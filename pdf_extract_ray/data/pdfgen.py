@@ -1,0 +1,405 @@
+"""Deterministic synthetic PDF writer for fixtures and the pages table.
+
+Implements the generator classes from FIXTURES.md §F2, each exercising a
+decode path of the extraction engine (reference anchors listed there).
+Everything is seed-free and bit-stable: same call -> same bytes.
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+
+class PdfBuilder:
+    """Assemble a classic xref-table PDF from numbered object bodies."""
+
+    def __init__(self, version: str = "1.4"):
+        self.bodies: List[bytes] = []
+
+    def add(self, body: bytes) -> int:
+        """Add object body (without `N 0 obj`/`endobj`); returns object num."""
+        self.bodies.append(body)
+        return len(self.bodies)
+
+    def stream(self, d: str, data: bytes, compress: bool = False) -> int:
+        if compress:
+            data = zlib.compress(data)
+            d = d[:-2].rstrip() + " /Filter /FlateDecode >>" if d.endswith(">>") else d
+        d_full = d[:-2].rstrip() + f" /Length {len(data)} >>" if d.endswith(">>") else d
+        return self.add(d_full.encode("latin-1") + b"\nstream\n" + data + b"\nendstream")
+
+    def build(self, root_num: int, info_num: Optional[int] = None,
+              version: str = "1.4") -> bytes:
+        out = bytearray()
+        out += f"%PDF-{version}\n%\xc2\xb5\xc2\xb6\n".encode("latin-1")
+        offsets = [0]
+        for i, body in enumerate(self.bodies, start=1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_off = len(out)
+        n = len(self.bodies) + 1
+        out += f"xref\n0 {n}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        trailer = f"trailer\n<< /Size {n} /Root {root_num} 0 R"
+        if info_num:
+            trailer += f" /Info {info_num} 0 R"
+        trailer += f" >>\nstartxref\n{xref_off}\n%%EOF\n"
+        out += trailer.encode()
+        return bytes(out)
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _single_page(b: PdfBuilder, font_objs: Dict[str, int], content: bytes,
+                 media_box: str = "[0 0 612 792]", compress: bool = False) -> int:
+    font_entries = " ".join(f"/{k} {v} 0 R" for k, v in font_objs.items())
+    content_num = b.stream("<< >>", content, compress=compress)
+    page_num = b.add(
+        f"<< /Type /Page /Parent {{PARENT}} /MediaBox {media_box} "
+        f"/Resources << /Font << {font_entries} >> >> "
+        f"/Contents {content_num} 0 R >>".encode())
+    pages_num = b.add(f"<< /Type /Pages /Kids [{page_num} 0 R] /Count 1 >>".encode())
+    b.bodies[page_num - 1] = b.bodies[page_num - 1].replace(
+        b"{PARENT}", f"{pages_num} 0 R".encode())
+    root_num = b.add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    return root_num
+
+
+def pdf_simple_helvetica(text: str = "Hello World", compress: bool = False) -> bytes:
+    """Core-font metrics + standard encoding widths, Tj/Td
+    (ref src/lib.rs:586-655, core_fonts.rs)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    lines = text.split("\n")
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14.4 Td")
+        ops.append(f"({_esc(line)}) Tj")
+    ops.append("ET")
+    root = _single_page(b, {"F1": f1}, "\n".join(ops).encode("latin-1"),
+                        compress=compress)
+    return b.build(root)
+
+
+def pdf_winansi_differences(text: str = "café “quoted”") -> bytes:
+    """Encoding dict + BaseEncoding=WinAnsi + Differences remap
+    (ref src/lib.rs:469-543)."""
+    b = PdfBuilder()
+    # remap code 0x80 -> eacute, 0x81 -> quotedblleft, 0x82 -> quotedblright
+    enc = b.add(b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+                b"/Differences [128 /eacute /quotedblleft /quotedblright] >>")
+    f1 = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               f"/Encoding {enc} 0 R >>".encode())
+    payload = (text.replace("é", "\x80")
+                   .replace("“", "\x81")
+                   .replace("”", "\x82"))
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(payload) + ") Tj ET").encode("latin-1")
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_macroman(text: str = "résumé café") -> bytes:
+    """MacRomanEncoding named encoding (ref src/lib.rs:354-365)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/Encoding /MacRomanEncoding >>")
+    payload = text.replace("é", "\x8e")  # MacRoman 0x8E = eacute
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(payload) + ") Tj ET").encode("latin-1")
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_tounicode_bfchar(text: str = "AB☃") -> bytes:
+    """ToUnicode CMap with bfchar + bfrange (ref src/lib.rs:920-968)."""
+    b = PdfBuilder()
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin begincmap\n"
+            b"/CMapName /Custom def\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"2 beginbfchar\n<41> <0041>\n<43> <2603>\nendbfchar\n"
+            b"1 beginbfrange <42> <42> <0042> endbfrange\n"
+            b"endcmap end end\n")
+    cm = b.stream("<< >>", cmap)
+    f1 = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               f"/ToUnicode {cm} 0 R >>".encode())
+    payload = text.replace("☃", "C")  # code 0x43 -> U+2603 via bfchar
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(payload) + ") Tj ET").encode("latin-1")
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_identity_h(text: str = "Unicode 你好!") -> bytes:
+    """Type0/CID font, Identity-H, 2-byte codes, W widths + DW, ToUnicode
+    (ref src/lib.rs:971-1089)."""
+    b = PdfBuilder()
+    codes = []
+    bfchars = []
+    for i, ch in enumerate(text):
+        code = 0x0100 + i
+        codes.append(code)
+        cps = ch.encode("utf-16-be").hex()
+        bfchars.append(f"<{code:04x}> <{cps}>")
+    cmap_txt = ("/CIDInit /ProcSet findresource begin\n"
+                "12 dict begin begincmap\n"
+                "1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+                f"{len(bfchars)} beginbfchar\n" + "\n".join(bfchars) +
+                "\nendbfchar\nendcmap end end\n").encode()
+    cm = b.stream("<< >>", cmap_txt)
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /Fake-CID /Flags 4 "
+                 b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                 b"/Descent -200 /CapHeight 700 /StemV 80 >>")
+    # W: list form [cid [w...]] covering half the codes; rest fall to DW 600
+    w_covered = codes[:len(codes) // 2]
+    w_str = f"[{w_covered[0]} [" + " ".join("500" for _ in w_covered) + "]]"
+    cidfont = b.add(f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake-CID "
+                    f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                    f"/Supplement 0 >> /FontDescriptor {desc} 0 R /DW 600 "
+                    f"/W {w_str} >>".encode())
+    f1 = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-CID "
+               f"/Encoding /Identity-H /DescendantFonts [{cidfont} 0 R] "
+               f"/ToUnicode {cm} 0 R >>".encode())
+    hexstr = "".join(f"{c:04x}" for c in codes)
+    content = f"BT /F1 12 Tf 72 700 Td <{hexstr}> Tj ET".encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_type3(text: str = "abc") -> bytes:
+    """Type3 font with mandatory Widths + Differences
+    (ref src/lib.rs:692-765)."""
+    b = PdfBuilder()
+    glyph = b.stream("<< >>", b"0 0 750 750 re f")
+    enc = b.add(b"<< /Type /Encoding /Differences [97 /a /b /c] >>")
+    f1 = b.add(f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 750 750] "
+               f"/FontMatrix [0.001 0 0 0.001 0 0] "
+               f"/CharProcs << /a {glyph} 0 R /b {glyph} 0 R /c {glyph} 0 R >> "
+               f"/Encoding {enc} 0 R /FirstChar 97 /LastChar 99 "
+               f"/Widths [750 750 750] >>".encode())
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_tj_array() -> bytes:
+    """TJ array with kerning adjustments + word spacing on byte 32
+    (ref src/lib.rs:1656-1688, 1307-1312)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content = (b"BT /F1 12 Tf 2 Tw 1 Tc 72 700 Td "
+               b"[(Ker) -120 (ned words) 250.5 (here)] TJ ET")
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_multiline_layout() -> bytes:
+    """Tm/Td/TD/T* line moves hitting all three PlainText reconstruction
+    thresholds (ref src/lib.rs:1730-1782, 2161-2190)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content = (b"BT /F1 12 Tf\n"
+               b"1 0 0 1 72 720 Tm (First line) Tj\n"
+               b"24 TL T* (far below) Tj\n"         # 24 > 1.5*12 -> newline
+               b"0 -14 Td (left and down) Tj\n"     # 14 > 0.5*12, x left -> newline
+               b"300 0 Td (gap) Tj\n"               # x jump -> space
+               b"ET")
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_multipage(n_pages: int = 3, compress: bool = False) -> bytes:
+    """Multi-page with inherited Resources/MediaBox from the Pages parent
+    (ref src/lib.rs:2352-2362, 2401-2416)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>")
+    page_nums = []
+    content_nums = []
+    for i in range(n_pages):
+        data = f"BT /F1 14 Tf 72 {700 - 10 * i} Td (Page {i + 1} of {n_pages}) Tj ET".encode()
+        content_nums.append(b.stream("<< >>", data, compress=compress))
+    for cn in content_nums:
+        # Page dicts with NO Resources/MediaBox: inherited from parent
+        page_nums.append(b.add(f"<< /Type /Page /Parent {{PARENT}} "
+                               f"/Contents {cn} 0 R >>".encode()))
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    pages_num = b.add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+                      f"/MediaBox [0 0 612 792] "
+                      f"/Resources << /Font << /F1 {f1} 0 R >> >> >>".encode())
+    for p in page_nums:
+        b.bodies[p - 1] = b.bodies[p - 1].replace(b"{PARENT}", f"{pages_num} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    return b.build(root)
+
+
+def pdf_xobject_form() -> bytes:
+    """`Do` Form XObject recursion with its own Resources
+    (ref src/lib.rs:1860-1869)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    f2 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    xo_content = b"BT /F9 10 Tf 72 650 Td (from xobject) Tj ET"
+    xo = b.stream(f"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                  f"/Resources << /Font << /F9 {f2} 0 R >> >> >>", xo_content)
+    content = f"BT /F1 12 Tf 72 700 Td (outer) Tj ET /X1 Do".encode()
+    content_num = b.stream("<< >>", content)
+    page = b.add(f"<< /Type /Page /Parent {{PARENT}} /MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {f1} 0 R >> "
+                 f"/XObject << /X1 {xo} 0 R >> >> "
+                 f"/Contents {content_num} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{PARENT}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    return b.build(root)
+
+
+def pdf_q_q_cm() -> bytes:
+    """q/Q graphics-state stack + cm composition affecting positions
+    (ref src/lib.rs:1622-1632, 1783-1791)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content = (b"BT /F1 12 Tf 72 700 Td (base) Tj ET\n"
+               b"q 2 0 0 2 10 -350 cm "
+               b"BT /F1 12 Tf 72 700 Td (scaled) Tj ET Q\n"
+               b"BT /F1 12 Tf 72 650 Td (after) Tj ET")
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_flate_xrefstream(text: str = "xref stream doc") -> bytes:
+    """FlateDecode content + xref stream + object stream layout
+    (rebuilt parser surface, SURVEY.md §7 step 1)."""
+    content_data = zlib.compress(
+        ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode())
+    # objects: 1=catalog 2=pages 3=page (in objstm), 4=font (in objstm),
+    # 5=content stream, 6=objstm, 7=xref stream
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    page = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>")
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    # object stream holds 1,2,3,4
+    inner = [catalog, pages, page, font]
+    offs = []
+    pos = 0
+    for body in inner:
+        offs.append(pos)
+        pos += len(body) + 1
+    head = " ".join(f"{n} {o}" for n, o in zip([1, 2, 3, 4], offs)).encode()
+    objstm_data = head + b"\n" + b"\n".join(inner) + b"\n"
+    first = len(head) + 1
+    objstm_z = zlib.compress(objstm_data)
+
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += (f"5 0 obj\n<< /Length {len(content_data)} /Filter /FlateDecode >>\n"
+            .encode() + b"stream\n" + content_data + b"\nendstream\nendobj\n")
+    offsets[6] = len(out)
+    out += (f"6 0 obj\n<< /Type /ObjStm /N 4 /First {first} "
+            f"/Length {len(objstm_z)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + objstm_z + b"\nendstream\nendobj\n")
+    xref_off = len(out)
+    # xref stream: W [1 4 2]; entries for objects 0..7
+    entries = []
+    entries.append((0, 0, 0xFFFF))
+    entries.append((2, 6, 0))  # 1 in objstm 6 idx 0
+    entries.append((2, 6, 1))
+    entries.append((2, 6, 2))
+    entries.append((2, 6, 3))
+    entries.append((1, offsets[5], 0))
+    entries.append((1, offsets[6], 0))
+    entries.append((1, xref_off, 0))
+    xdata = b"".join(t.to_bytes(1, "big") + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+                     for t, f2, f3 in entries)
+    xz = zlib.compress(xdata)
+    out += (f"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R "
+            f"/Length {len(xz)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + xz + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def pdf_zapf_symbol() -> bytes:
+    """Symbol + ZapfDingbats FontSpecific lookup (ref src/lib.rs:629-633)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>")
+    f2 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats >>")
+    # Symbol 0x61 = alpha; ZapfDingbats 0x61 = a1 (U+2701)
+    content = (b"BT /F1 12 Tf 72 700 Td (abg) Tj ET\n"
+               b"BT /F2 12 Tf 72 650 Td (abc) Tj ET")
+    root = _single_page(b, {"F1": f1, "F2": f2}, content)
+    return b.build(root)
+
+
+def pdf_rc4_encrypted(text: str = "secret text") -> bytes:
+    """RC4 (R2/V1) encrypted doc with empty user password."""
+    import hashlib
+    import struct as _struct
+    from ..engine.crypt import PAD, rc4
+
+    doc_id = bytes(range(16))
+    p = -1
+    # owner password = user password = empty: O = RC4(md5(pad(owner))[:5], pad(user))
+    okey = hashlib.md5(PAD).digest()[:5]
+    o = rc4(okey, PAD)
+    h = hashlib.md5()
+    h.update(PAD)
+    h.update(o)
+    h.update(_struct.pack("<i", p))
+    h.update(doc_id)
+    key = h.digest()[:5]
+    u = rc4(key, PAD)
+
+    def objkey(num, gen):
+        hh = hashlib.md5()
+        hh.update(key)
+        hh.update(_struct.pack("<i", num)[:3])
+        hh.update(_struct.pack("<i", gen)[:2])
+        return hh.digest()[:10]
+
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    cn_placeholder = b.stream("<< >>", b"")  # will replace with encrypted
+    page = b.add(f"<< /Type /Page /Parent {{PARENT}} /MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {f1} 0 R >> >> "
+                 f"/Contents {cn_placeholder} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{PARENT}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    enc_num = b.add(
+        b"<< /Filter /Standard /V 1 /R 2 /Length 40 "
+        b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        b"/P -1 >>")
+    enc_content = rc4(objkey(cn_placeholder, 0), content)
+    b.bodies[cn_placeholder - 1] = (
+        f"<< /Length {len(enc_content)} >>".encode()
+        + b"\nstream\n" + enc_content + b"\nendstream")
+    raw = b.build(root)
+    # patch trailer to add /Encrypt and /ID
+    raw = raw.replace(
+        b" >>\nstartxref",
+        f" /Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>] >>\nstartxref".encode())
+    return raw
+
+
+# registry used by the pages-table generator
+PDF_GENERATORS = {
+    "pdf_simple_helvetica": pdf_simple_helvetica,
+    "pdf_winansi_differences": pdf_winansi_differences,
+    "pdf_macroman": pdf_macroman,
+    "pdf_tounicode_bfchar": pdf_tounicode_bfchar,
+    "pdf_identity_h": pdf_identity_h,
+    "pdf_type3": pdf_type3,
+    "pdf_tj_array": pdf_tj_array,
+    "pdf_multiline_layout": pdf_multiline_layout,
+    "pdf_multipage": pdf_multipage,
+    "pdf_xobject_form": pdf_xobject_form,
+    "pdf_q_q_cm": pdf_q_q_cm,
+    "pdf_flate_xrefstream": pdf_flate_xrefstream,
+    "pdf_zapf_symbol": pdf_zapf_symbol,
+}

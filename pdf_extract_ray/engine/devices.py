@@ -1,0 +1,203 @@
+"""Output devices: consumers of the per-character event stream.
+
+`OutputDev` is the user-extension surface (reference src/lib.rs:1879-1888).
+`PlainTextOutput` is the byte-parity-critical word/line reconstruction
+(src/lib.rs:2131-2200); `SpanTextOutput` produces identical text plus a
+span record per character for the `spans` output column.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from .interpreter import Transform, mul, transform_vector
+
+
+class OutputDev:
+    """Protocol for event consumers; all hooks default to no-ops."""
+
+    def begin_page(self, page_num: int, media_box, art_box) -> None:
+        pass
+
+    def end_page(self) -> None:
+        pass
+
+    def output_character(self, trm: Transform, width: float, spacing: float,
+                         font_size: float, char: str) -> None:
+        pass
+
+    def begin_word(self) -> None:
+        pass
+
+    def end_word(self) -> None:
+        pass
+
+    def end_line(self) -> None:
+        pass
+
+    def stroke(self, ctm, colorspace, color, path) -> None:
+        pass
+
+    def fill(self, ctm, colorspace, color, path) -> None:
+        pass
+
+
+def _sqrt_or_nan(v: float) -> float:
+    # Rust f64::sqrt(negative) == NaN; Python math.sqrt raises, so guard.
+    return v ** 0.5 if v >= 0.0 else float("nan")
+
+
+class PlainTextOutput(OutputDev):
+    """Char events -> text, with the three spacing heuristics
+    (src/lib.rs:2161-2190):
+      newline if |y - last_y| > 1.5 * tfs
+      newline if x < last_end and |y - last_y| > 0.5 * tfs  (left+down)
+      space   if x > last_end + 0.1 * tfs
+    where tfs = sqrt(tx*ty) of the trm-transformed (fs, fs) vector.
+    Line breaks come ONLY from these y-delta rules; end_line is a no-op
+    (src/lib.rs:2196-2199).
+    """
+
+    def __init__(self):
+        self.parts: List[str] = []
+        self.last_end = 100000.0
+        self.last_y = 0.0
+        self.first_char = False
+        self.flip_ctm: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def get_text(self) -> str:
+        return "".join(self.parts)
+
+    def begin_page(self, page_num, media_box, art_box) -> None:
+        # flip page space vertically (src/lib.rs:2154-2156)
+        self.flip_ctm = (1.0, 0.0, 0.0, -1.0, 0.0, media_box[3] - media_box[1])
+
+    def begin_word(self) -> None:
+        self.first_char = True
+
+    def output_character(self, trm, width, _spacing, font_size, char) -> None:
+        position = mul(trm, self.flip_ctm)
+        tvx, tvy = transform_vector(trm, font_size, font_size)
+        transformed_font_size = _sqrt_or_nan(tvx * tvy)
+        x, y = position[4], position[5]
+        if self.first_char:
+            if abs(y - self.last_y) > transformed_font_size * 1.5:
+                self.parts.append("\n")
+            # we've moved to the left and down
+            if x < self.last_end and abs(y - self.last_y) > transformed_font_size * 0.5:
+                self.parts.append("\n")
+            if x > self.last_end + transformed_font_size * 0.1:
+                self.parts.append(" ")
+        self.parts.append(char)
+        self.first_char = False
+        self.last_y = y
+        self.last_end = x + width * transformed_font_size
+        # subclass hook (no-op here)
+        self._on_char(x, y, width, transformed_font_size, char)
+
+    def _on_char(self, x, y, width, tfs, char) -> None:
+        pass
+
+
+class SpanTextOutput(PlainTextOutput):
+    """PlainTextOutput + per-character span records:
+    (page, start, end, x, y, font_size) with start/end as offsets into the
+    final extracted text.  Text output is byte-identical to PlainTextOutput
+    by construction (it IS PlainTextOutput's logic)."""
+
+    def __init__(self):
+        super().__init__()
+        self.spans: List[Tuple[int, int, int, float, float, float]] = []
+        self._page = 0
+        self._len = 0
+
+    def begin_page(self, page_num, media_box, art_box) -> None:
+        super().begin_page(page_num, media_box, art_box)
+        self._page = page_num
+
+    def output_character(self, trm, width, spacing, font_size, char) -> None:
+        # track offset of the char itself (separators excluded)
+        before_parts = len(self.parts)
+        super().output_character(trm, width, spacing, font_size, char)
+        # everything appended before the char is separators
+        for p in self.parts[before_parts:-1]:
+            self._len += len(p)
+        start = self._len
+        self._len += len(char)
+        x, y = self._last_xy
+        self.spans.append((self._page, start, self._len, x, y, self._last_tfs))
+
+    def _on_char(self, x, y, width, tfs, char) -> None:
+        self._last_xy = (x, y)
+        self._last_tfs = tfs
+
+
+class PageTextOutput(PlainTextOutput):
+    """Collects per-page text (extract_text_by_pages helper for the
+    single-Processor path; the reference uses a fresh Processor per page —
+    see api.extract_text_from_mem_by_pages for that behavior)."""
+
+    def __init__(self):
+        super().__init__()
+        self.pages: List[str] = []
+
+    def end_page(self) -> None:
+        self.pages.append(self.get_text())
+        self.parts = []
+
+
+class HTMLOutput(OutputDev):
+    """Debug sink: absolutely-positioned divs per text run, loosely after
+    the reference's HTMLOutput (src/lib.rs:1891-1993)."""
+
+    def __init__(self):
+        self.parts: List[str] = []
+        self._flip: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self._buf: List[str] = []
+        self._pos: Optional[Tuple[float, float, float]] = None
+
+    def get_html(self) -> str:
+        return "".join(self.parts)
+
+    def begin_page(self, page_num, media_box, art_box) -> None:
+        w = media_box[2] - media_box[0]
+        h = media_box[3] - media_box[1]
+        self._flip = (1.0, 0.0, 0.0, -1.0, 0.0, media_box[3] - media_box[1])
+        self.parts.append(
+            f'<div class="page" style="position:relative;width:{w}px;height:{h}px">')
+
+    def end_page(self) -> None:
+        self._flush()
+        self.parts.append("</div>\n")
+
+    def begin_word(self) -> None:
+        pass
+
+    def output_character(self, trm, width, spacing, font_size, char) -> None:
+        pos = mul(trm, self._flip)
+        x, y = pos[4], pos[5]
+        if self._pos is None:
+            self._pos = (x, y, font_size)
+        self._buf.append(char)
+
+    def end_word(self) -> None:
+        self._flush()
+
+    def _flush(self) -> None:
+        if self._buf and self._pos is not None:
+            x, y, fs = self._pos
+            text = ("".join(self._buf)
+                    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+            # leading/trailing/solo spaces -> &nbsp; (insert_nbsp,
+            # src/lib.rs:1900-1918)
+            if text == " ":
+                text = "&nbsp;"
+            else:
+                if text.startswith(" "):
+                    text = "&nbsp;" + text[1:]
+                if text.endswith(" "):
+                    text = text[:-1] + "&nbsp;"
+            self.parts.append(
+                f'<div style="position:absolute;left:{x}px;top:{y - fs}px;'
+                f'font-size:{fs}px">{text}</div>')
+        self._buf = []
+        self._pos = None

@@ -1,0 +1,357 @@
+"""Content-stream interpreter: the Tm/Td/TJ text-positioning state machine.
+
+Reproduces the reference's `Processor::process_stream` op dispatch
+(/root/reference/src/lib.rs:1581-1876) and `show_text`
+(src/lib.rs:1276-1327) with float64 math in the same operation order as
+euclid's Transform2D (row-major, row-vector convention), so positions are
+bit-identical.
+"""
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Tuple
+
+from .content import parse_content
+from .fonts import PdfFont, make_font
+from .objects import (Name, PdfError, PdfString, Stream, as_num,
+                      maybe_get_obj, require_dict)
+
+log = logging.getLogger(__name__)
+
+NAN = float("nan")
+
+# Transform = (m11, m12, m21, m22, m31, m32), row-major; point maps as
+# (x, y) -> (x*m11 + y*m21 + m31, x*m12 + y*m22 + m32), like euclid.
+Transform = Tuple[float, float, float, float, float, float]
+
+IDENTITY: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mul(a: Transform, b: Transform) -> Transform:
+    """Apply `a` then `b` (euclid `a.post_transform(&b)`), with euclid's
+    exact product/sum ordering for float parity."""
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+def translation(tx: float, ty: float) -> Transform:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+def transform_vector(m: Transform, vx: float, vy: float) -> Tuple[float, float]:
+    return (vx * m[0] + vy * m[2], vx * m[1] + vy * m[3])
+
+
+class TextState:
+    __slots__ = ("font", "font_size", "character_spacing", "word_spacing",
+                 "horizontal_scaling", "leading", "rise", "tm")
+
+    def __init__(self):
+        self.font: Optional[PdfFont] = None
+        self.font_size = NAN
+        self.character_spacing = 0.0
+        self.word_spacing = 0.0
+        self.horizontal_scaling = 1.0
+        self.leading = 0.0
+        self.rise = 0.0
+        self.tm: Transform = IDENTITY
+
+    def clone(self) -> "TextState":
+        c = TextState.__new__(TextState)
+        for s in TextState.__slots__:
+            setattr(c, s, getattr(self, s))
+        return c
+
+
+class GraphicsState:
+    __slots__ = ("ctm", "ts", "smask", "fill_colorspace", "fill_color",
+                 "stroke_colorspace", "stroke_color", "line_width")
+
+    def __init__(self):
+        self.ctm: Transform = IDENTITY
+        self.ts = TextState()
+        self.smask = None
+        self.fill_colorspace = "DeviceGray"
+        self.fill_color: List[float] = []
+        self.stroke_colorspace = "DeviceGray"
+        self.stroke_color: List[float] = []
+        self.line_width = 1.0
+
+    def clone(self) -> "GraphicsState":
+        c = GraphicsState.__new__(GraphicsState)
+        c.ctm = self.ctm
+        c.ts = self.ts.clone()
+        c.smask = self.smask
+        c.fill_colorspace = self.fill_colorspace
+        c.fill_color = list(self.fill_color)
+        c.stroke_colorspace = self.stroke_colorspace
+        c.stroke_color = list(self.stroke_color)
+        c.line_width = self.line_width
+        return c
+
+
+def show_text(gs: GraphicsState, s: bytes, output) -> None:
+    """Per-glyph event emission + tm advance (src/lib.rs:1276-1327)."""
+    ts = gs.ts
+    font = ts.font
+    if font is None:
+        raise PdfError("show text with no font set")
+    output.begin_word()
+    ctm = gs.ctm
+    for code, length in font.char_codes(s):
+        tsm: Transform = (ts.horizontal_scaling, 0.0, 0.0, 1.0, 0.0, ts.rise)
+        trm = mul(tsm, mul(ts.tm, ctm))
+        w0 = font.get_width(code) / 1000.0
+        spacing = ts.character_spacing
+        # word spacing only for single-byte code 32 (src/lib.rs:1307-1312)
+        if code == 32 and length == 1:
+            spacing += ts.word_spacing
+        output.output_character(trm, w0, spacing, ts.font_size, font.decode_char(code))
+        tx = ts.horizontal_scaling * ((w0 - 0.0 / 1000.0) * ts.font_size + spacing)
+        ts.tm = mul(translation(tx, 0.0), ts.tm)
+    output.end_word()
+
+
+def apply_state(doc, gs: GraphicsState, state: dict) -> None:
+    """ExtGState application: SMask only (src/lib.rs:1337-1364)."""
+    from .objects import maybe_deref
+    for k, v in state.items():
+        if k == b"SMask":
+            v = maybe_deref(doc, v)
+            if isinstance(v, Name):
+                if bytes(v) == b"None":
+                    gs.smask = None
+                else:
+                    raise PdfError("unexpected smask name")
+            elif isinstance(v, dict):
+                gs.smask = v
+            else:
+                raise PdfError(f"unexpected smask type {v!r}")
+        elif k == b"Type":
+            if not (isinstance(v, Name) and bytes(v) == b"ExtGState"):
+                raise PdfError("unexpected type")
+        # everything else: logged-and-ignored in the reference
+
+
+def make_colorspace(doc, name: bytes, resources: dict) -> str:
+    """Colorspace resolution (src/lib.rs:1449-1569).  Only the Pattern-ness
+    matters downstream (SC/SCN drop components for Pattern); we resolve to a
+    string tag but keep the reference's failure modes for unknown spaces."""
+    if name in (b"DeviceGray", b"DeviceRGB", b"DeviceCMYK", b"Pattern"):
+        return name.decode()
+    colorspaces = require_dict(doc, resources, b"ColorSpace")
+    cs = maybe_get_obj(doc, colorspaces, name)
+    if cs is None:
+        raise PdfError(f"missing colorspace {name!r}")
+    if isinstance(cs, list):
+        first = cs[0]
+        if not isinstance(first, Name):
+            raise PdfError("first arg must be a name")
+        cs_name = bytes(first).decode("latin-1")
+        if cs_name in ("Separation", "ICCBased", "CalGray", "CalRGB", "Lab",
+                       "Pattern", "DeviceGray", "DeviceRGB", "DeviceCMYK", "DeviceN"):
+            return cs_name
+        raise PdfError(f"color_space {name!r} {cs_name!r}")
+    if isinstance(cs, Name):
+        csn = bytes(cs)
+        if csn in (b"DeviceRGB", b"DeviceGray"):
+            return csn.decode()
+        raise PdfError(f"unexpected colorspace name {csn!r}")
+    raise PdfError("bad colorspace object")
+
+
+class Processor:
+    """Per-document interpreter state: font cache keyed by resource name
+    (shared across pages AND across differing Resources dicts, exactly like
+    the reference's Processor.font_table, src/lib.rs:1571-1579)."""
+
+    def __init__(self):
+        self.font_table = {}
+
+    def process_stream(self, doc, content: bytes, resources: dict,
+                       media_box, output, page_num: int) -> None:
+        operations = parse_content(content)
+        gs = GraphicsState()
+        gs_stack: List[GraphicsState] = []
+        mc_depth = 0
+        tlm: Transform = IDENTITY
+        path: List[tuple] = []
+
+        for op, operands in operations:
+            if op == "TJ":
+                arr = operands[0] if operands else None
+                if isinstance(arr, list):
+                    ts = gs.ts
+                    for e in arr:
+                        if isinstance(e, PdfString):
+                            show_text(gs, bytes(e), output)
+                        elif isinstance(e, bool):
+                            pass
+                        elif isinstance(e, (int, float)):
+                            tj = float(e)
+                            tx = ts.horizontal_scaling * ((0.0 - tj / 1000.0) * ts.font_size)
+                            ts.tm = mul(translation(tx, 0.0), ts.tm)
+            elif op == "Tj":
+                o = operands[0]
+                if not isinstance(o, PdfString):
+                    raise PdfError(f"unexpected Tj operand {o!r}")
+                show_text(gs, bytes(o), output)
+            elif op == "Td":
+                if len(operands) != 2:
+                    raise PdfError("Td needs 2 operands")
+                tlm = mul(translation(as_num(operands[0]), as_num(operands[1])), tlm)
+                gs.ts.tm = tlm
+                output.end_line()
+            elif op == "TD":
+                if len(operands) != 2:
+                    raise PdfError("TD needs 2 operands")
+                tx, ty = as_num(operands[0]), as_num(operands[1])
+                gs.ts.leading = -ty
+                tlm = mul(translation(tx, ty), tlm)
+                gs.ts.tm = tlm
+                output.end_line()
+            elif op == "T*":
+                tlm = mul(translation(0.0, -gs.ts.leading), tlm)
+                gs.ts.tm = tlm
+                output.end_line()
+            elif op == "Tm":
+                if len(operands) != 6:
+                    raise PdfError("Tm needs 6 operands")
+                tlm = (as_num(operands[0]), as_num(operands[1]),
+                       as_num(operands[2]), as_num(operands[3]),
+                       as_num(operands[4]), as_num(operands[5]))
+                gs.ts.tm = tlm
+                output.end_line()
+            elif op == "BT" or op == "ET":
+                tlm = IDENTITY
+                gs.ts.tm = tlm
+            elif op == "cm":
+                if len(operands) != 6:
+                    raise PdfError("cm needs 6 operands")
+                m = (as_num(operands[0]), as_num(operands[1]),
+                     as_num(operands[2]), as_num(operands[3]),
+                     as_num(operands[4]), as_num(operands[5]))
+                gs.ctm = mul(m, gs.ctm)
+            elif op == "Tf":
+                fonts = require_dict(doc, resources, b"Font")
+                name = operands[0]
+                if not isinstance(name, Name):
+                    raise PdfError("Tf operand not a name")
+                key = bytes(name)
+                font = self.font_table.get(key)
+                if font is None:
+                    font = make_font(doc, require_dict(doc, fonts, key))
+                    self.font_table[key] = font
+                gs.ts.font = font
+                gs.ts.font_size = as_num(operands[1])
+            elif op == "Tc":
+                gs.ts.character_spacing = as_num(operands[0])
+            elif op == "Tw":
+                gs.ts.word_spacing = as_num(operands[0])
+            elif op == "Tz":
+                gs.ts.horizontal_scaling = as_num(operands[0]) / 100.0
+            elif op == "TL":
+                gs.ts.leading = as_num(operands[0])
+            elif op == "Ts":
+                gs.ts.rise = as_num(operands[0])
+            elif op == "q":
+                gs_stack.append(gs.clone())
+            elif op == "Q":
+                if gs_stack:
+                    gs = gs_stack.pop()
+                else:
+                    log.warning("No state to pop")
+            elif op == "gs":
+                ext_gstate = require_dict(doc, resources, b"ExtGState")
+                name = operands[0]
+                if not isinstance(name, Name):
+                    raise PdfError("gs operand not a name")
+                apply_state(doc, gs, require_dict(doc, ext_gstate, bytes(name)))
+            elif op == "CS":
+                name = operands[0]
+                if not isinstance(name, Name):
+                    raise PdfError("CS operand not a name")
+                gs.stroke_colorspace = make_colorspace(doc, bytes(name), resources)
+            elif op == "cs":
+                name = operands[0]
+                if not isinstance(name, Name):
+                    raise PdfError("cs operand not a name")
+                gs.fill_colorspace = make_colorspace(doc, bytes(name), resources)
+            elif op in ("SC", "SCN"):
+                if gs.stroke_colorspace == "Pattern":
+                    gs.stroke_color = []
+                else:
+                    gs.stroke_color = [as_num(x) for x in operands]
+            elif op in ("sc", "scn"):
+                if gs.fill_colorspace == "Pattern":
+                    gs.fill_color = []
+                else:
+                    gs.fill_color = [as_num(x) for x in operands]
+            elif op == "w":
+                gs.line_width = as_num(operands[0])
+            elif op == "m":
+                path.append(("m", as_num(operands[0]), as_num(operands[1])))
+            elif op == "l":
+                path.append(("l", as_num(operands[0]), as_num(operands[1])))
+            elif op == "c":
+                path.append(("c",) + tuple(as_num(x) for x in operands[:6]))
+            elif op == "v":
+                x, y = _current_point(path)
+                path.append(("c", x, y, as_num(operands[0]), as_num(operands[1]),
+                             as_num(operands[2]), as_num(operands[3])))
+            elif op == "y":
+                path.append(("c", as_num(operands[0]), as_num(operands[1]),
+                             as_num(operands[2]), as_num(operands[3]),
+                             as_num(operands[2]), as_num(operands[3])))
+            elif op == "h":
+                path.append(("h",))
+            elif op == "re":
+                path.append(("re",) + tuple(as_num(x) for x in operands[:4]))
+            elif op == "S":
+                output.stroke(gs.ctm, gs.stroke_colorspace, gs.stroke_color, path)
+                path = []
+            elif op in ("F", "f"):
+                output.fill(gs.ctm, gs.fill_colorspace, gs.fill_color, path)
+                path = []
+            elif op == "n":
+                path = []
+            elif op in ("BMC", "BDC"):
+                mc_depth += 1
+            elif op == "EMC":
+                mc_depth = max(0, mc_depth - 1)
+            elif op == "Do":
+                # recursive subdocument processing (src/lib.rs:1860-1869)
+                xobjects = require_dict(doc, resources, b"XObject")
+                name = operands[0]
+                if not isinstance(name, Name):
+                    raise PdfError("Do operand not a name")
+                xf = maybe_get_obj(doc, xobjects, bytes(name))
+                if not isinstance(xf, Stream):
+                    raise PdfError(f"missing XObject {bytes(name)!r}")
+                sub_res = xf.dict.get(b"Resources")
+                if sub_res is not None:
+                    from .objects import maybe_deref
+                    sub_res = maybe_deref(doc, sub_res)
+                sub_res = sub_res if isinstance(sub_res, dict) else resources
+                from .document import _contents_bytes
+                self.process_stream(doc, _contents_bytes(xf, doc), sub_res,
+                                    media_box, output, page_num)
+            # everything else is logged-and-ignored in the reference:
+            # i J j M d ri s f* B B* b W w* G g RG rg K k and unknowns
+
+
+def _current_point(path: List[tuple]) -> Tuple[float, float]:
+    if not path:
+        raise PdfError("current point on empty path")
+    last = path[-1]
+    if last[0] == "m" or last[0] == "l":
+        return last[1], last[2]
+    if last[0] == "c":
+        return last[5], last[6]
+    raise PdfError("no current point")
