@@ -1,44 +1,437 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator callables, and
+oracle_sql() DuckDB equivalents for the SQL-expressible ones.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Extraction pipelines run over the deterministic synthetic `pages` table
+(FIXTURES.md §F1; generated/cached under /tmp) because the driver's
+pre-registered views do not include a raw-payload table; those entries are
+rows-only checks, with byte-parity covered by tests/.  Everything over the
+`documents`/`embeddings` views carries a DuckDB oracle.
 """
-
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# rows per synthetic pages table, keyed by the sf encoded in the dir name
+_PAGES_ROWS = {"0.001": 100, "0.01": 2000, "0.1": 20000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def _pages_dir(sf_dir: str) -> str:
+    from pdf_extract_ray.data.pages import pages_parquet_path
+    n = _PAGES_ROWS.get(_sf_of(sf_dir), 2000)
+    giants = 5 if n >= 20000 else 0
+    shards = max(1, n // 500)
+    return pages_parquet_path(n, n_giants=giants, n_shards=shards)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship smoke pipeline
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic sf0.001-scale pages -> extraction Dataset."""
+    return _q_extract_pages("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_pages(sf_dir: str):
+    import ray
+    from pdf_extract_ray.pipelines.extract import extract_dataset
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    result = extract_dataset(ds)
+
+    # The parquet write path keeps typed list<struct> spans; for the
+    # driver's pandas conversion, JSON-encode them (tensor-extension
+    # casting can't represent list-of-struct).
+    def spans_to_json(b: pa.Table) -> pa.Table:
+        import json
+        spans = [None if s is None else json.dumps(s, separators=(",", ":"))
+                 for s in b.column("spans").to_pylist()]
+        i = b.schema.get_field_index("spans")
+        return b.set_column(i, "spans", pa.array(spans, pa.string()))
+
+    return result.map_batches(spans_to_json, batch_format="pyarrow")
+
+
+def _q_extract_status_histogram(sf_dir: str):
+    res = _q_extract_pages(sf_dir)
+    out = res.groupby("status").count()
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("status"), pc.cast(b.column("count()"), pa.int64())],
+            names=["status", "n_rows"]),
+        batch_format="pyarrow")
+
+
+def _q_extract_by_pages(sf_dir: str):
+    """One row per (url, page_num): the extract_text_by_pages surface
+    (fresh interpreter per page, reference src/lib.rs:2295-2307)."""
+    import ray
+    from pdf_extract_ray.engine.api import extract_text_from_mem_by_pages
+    from pdf_extract_ray.engine.html_extract import sniff_payload
+
+    def per_page(batch: pa.Table) -> pa.Table:
+        urls, nums, texts = [], [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("html").to_pylist()):
+            if sniff_payload(payload or b"") != "pdf":
+                continue
+            try:
+                pages = extract_text_from_mem_by_pages(payload)
+            except Exception:
+                continue
+            for i, t in enumerate(pages, start=1):
+                urls.append(url)
+                nums.append(i)
+                texts.append(t)
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(nums, pa.int32()),
+             pa.array(texts, pa.string())],
+            names=["url", "page_num", "page_text"])
+
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return ds.map_batches(per_page, batch_format="pyarrow", batch_size=16)
+
+
+def _q_extract_metadata(sf_dir: str):
+    import ray
+    from pdf_extract_ray.engine.api import get_metadata
+    from pdf_extract_ray.engine.html_extract import sniff_payload
+
+    def meta(batch: pa.Table) -> pa.Table:
+        urls, versions, counts = [], [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("html").to_pylist()):
+            if sniff_payload(payload or b"") != "pdf":
+                continue
+            try:
+                m = get_metadata(payload)
+            except Exception:
+                continue
+            urls.append(url)
+            versions.append(m.get("version", ""))
+            counts.append(int(m.get("page_count", "0")))
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(versions, pa.string()),
+             pa.array(counts, pa.int64())],
+            names=["url", "pdf_version", "page_count"])
+
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return ds.map_batches(meta, batch_format="pyarrow", batch_size=32)
+
+
+def _q_doc_stats_by_source(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(_sum("n_chars"), _count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = pc.cast(b.column("sum(n_chars)"), pa.int64())
+        n = pc.cast(b.column("count()"), pa.int64())
+        avg = pc.divide(pc.cast(total, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.Table.from_arrays([b.column("source"), n, total, avg],
+                                    names=["source", "n_docs", "total_chars", "avg_chars"])
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sum(col):
+    from ray.data.aggregate import Sum
+    return Sum(col)
+
+
+def _count():
+    from ray.data.aggregate import Count
+    return Count()
+
+
+def _q_lang_histogram(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    out = ds.groupby("lang").count()
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("lang"), pc.cast(b.column("count()"), pa.int64())],
+            names=["lang", "n_docs"]),
+        batch_format="pyarrow")
+
+
+def _q_doc_size_buckets(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars")
+        bucket = pc.if_else(pc.less(n, 100), pa.scalar("small"),
+                            pc.if_else(pc.less(n, 300), pa.scalar("medium"),
+                                       pa.scalar("large")))
+        return pa.Table.from_arrays([bucket], names=["bucket"])
+
+    out = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").count()
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("bucket"), pc.cast(b.column("count()"), pa.int64())],
+            names=["bucket", "n_docs"]),
+        batch_format="pyarrow")
+
+
+def _q_token_counts(sf_dir: str):
+    from pdf_extract_ray.ops.textstats import token_counts
+    return token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_quality_scores(sf_dir: str):
+    from pdf_extract_ray.ops.textstats import quality_scores
+    return quality_scores(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from pdf_extract_ray.ops.dedup import exact_dedup_groups
+    return exact_dedup_groups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_dups"])
+
+
+def _q_lang_id(sf_dir: str):
+    from pdf_extract_ray.ops.textstats import lang_id
+    return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_fingerprints(sf_dir: str):
+    from pdf_extract_ray.ops.textstats import fingerprints
+    return fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _with_neardup_copies(ds, every: int = 7):
+    """documents + perturbed copies (doc_id + 1_000_000, last word changed)
+    so the near-dup operators have true positives to find."""
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % every == 0:
+                words = t.split()
+                words[-1:] = ["perturbed"]
+                ids.append(d + 1_000_000)
+                texts.append(" ".join(words))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+            names=["doc_id", "text"])
+
+    copies = ds.map_batches(perturb, batch_format="pyarrow")
+    return ds.union(copies)
+
+
+def _q_minhash_neardup(sf_dir: str):
+    from pdf_extract_ray.ops.dedup import minhash_lsh_pairs
+    ds = _with_neardup_copies(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return minhash_lsh_pairs(ds, threshold=0.5).select_columns(
+        ["doc_id_a", "doc_id_b"])
+
+
+def _q_simhash_neardup(sf_dir: str):
+    from pdf_extract_ray.ops.dedup import simhash_pairs
+    ds = _with_neardup_copies(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return simhash_pairs(ds, max_hamming=3).select_columns(
+        ["doc_id_a", "doc_id_b", "hamming"])
+
+
+def _q_ngram_neardup(sf_dir: str):
+    from pdf_extract_ray.ops.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+    ds = _with_neardup_copies(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(ds, threshold=0.4)
+    return verify_pairs_jaccard(pairs, ds, threshold=0.6).select_columns(
+        ["doc_id_a", "doc_id_b"])
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray
+    from pdf_extract_ray.ops.similarity import brute_force_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.sort("vec_id").limit(10).take_all()
+    qids = [r["vec_id"] for r in head]
+    qvecs = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    return brute_force_topk(ds, qids, qvecs, k=10)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from pdf_extract_ray.ops.similarity import cosine_neardup_pairs
+    import ray
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids, vecs, labels = [], [], []
+        for vid, v, lab in zip(batch.column("vec_id").to_pylist(),
+                               batch.column("embedding").to_pylist(),
+                               batch.column("label").to_pylist()):
+            if vid % 9 == 0:
+                vv = np.asarray(v, dtype=np.float32)
+                vv[0] += np.float32(0.01)
+                ids.append(vid + 1_000_000)
+                vecs.append(vv.tolist())
+                labels.append(lab)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(vecs, pa.list_(pa.float32())),
+             pa.array(labels, pa.int32())],
+            names=["vec_id", "embedding", "label"])
+
+    full = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    return cosine_neardup_pairs(full, dim=64, threshold=0.99).select_columns(
+        ["vec_id_a", "vec_id_b"])
+
+
+def _q_embedding_label_histogram(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["label"])
+    out = ds.groupby("label").count()
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("label"), pa.int32()),
+             pc.cast(b.column("count()"), pa.int64())],
+            names=["label", "n_vecs"]),
+        batch_format="pyarrow")
+
+
+def _q_image_features(sf_dir: str):
+    """Multimodal plumbing demo: binary payloads derived from documents."""
+    from pdf_extract_ray.ops.multimodal import image_features
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array([t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                      pa.binary())],
+            names=["item_id", "payload"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return image_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
+def _q_frame_samples(sf_dir: str):
+    from pdf_extract_ray.ops.multimodal import sample_frames
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array([(t * 50).encode("utf-8") for t in batch.column("text").to_pylist()],
+                      pa.binary())],
+            names=["item_id", "payload"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return sample_frames(ds.map_batches(to_payload, batch_format="pyarrow"),
+                         every_n=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction surface (rows-only; byte parity covered in tests/)
+        "extract_pages": _q_extract_pages,
+        "extract_status_histogram": _q_extract_status_histogram,
+        "extract_by_pages": _q_extract_by_pages,
+        "extract_metadata": _q_extract_metadata,
+        # SQL-oracled corpus operators
+        "doc_stats_by_source": _q_doc_stats_by_source,
+        "lang_histogram": _q_lang_histogram,
+        "doc_size_buckets": _q_doc_size_buckets,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "exact_dedup": _q_exact_dedup,
+        "ann_topk": _q_ann_topk,
+        "embedding_label_histogram": _q_embedding_label_histogram,
+        # heuristic / non-SQL operators (rows-only)
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_neardup": _q_simhash_neardup,
+        "ngram_neardup": _q_ngram_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "image_features": _q_image_features,
+        "frame_samples": _q_frame_samples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   sum(n_chars) * 1.0 / count(*) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "lang_histogram": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "doc_size_buckets": """
+            SELECT CASE WHEN n_chars < 100 THEN 'small'
+                        WHEN n_chars < 300 THEN 'medium'
+                        ELSE 'large' END AS bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars_calc,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                     END AS n_tokens,
+                     length(replace(text, ' ', '')) AS nonspace
+              FROM documents)
+            SELECT doc_id, n_chars_calc, n_tokens,
+                   CASE WHEN n_tokens > 0 THEN nonspace * 1.0 / n_tokens
+                        ELSE 0.0 END AS avg_token_len,
+                   least(1.0, n_tokens / 100.0) *
+                   (CASE WHEN (CASE WHEN n_tokens > 0
+                               THEN nonspace * 1.0 / n_tokens ELSE 0.0 END)
+                              BETWEEN 2.0 AND 10.0
+                         THEN 1.0 ELSE 0.5 END) AS quality_score
+            FROM t
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10)
+            SELECT query_id, vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                                vec_id ASC) AS BIGINT) AS rank
+            FROM embeddings CROSS JOIN q
+            WHERE vec_id <> query_id
+            QUALIFY rank <= 10
+        """,
+        "embedding_label_histogram": """
+            SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+        """,
+    }

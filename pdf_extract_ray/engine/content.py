@@ -81,17 +81,21 @@ def _skip_inline_image(lx: Lexer) -> None:
     # one whitespace byte after ID, then binary data until EI
     if lx.pos < lx.end and lx.buf[lx.pos] in b"\x00\t\n\x0c\r ":
         lx.pos += 1
-    pos = lx.pos
+    start = lx.pos
     buf, end = lx.buf, lx.end
-    while True:
-        idx = buf.find(b"EI", pos, end)
-        if idx < 0:
-            lx.pos = end
-            return
-        # require whitespace before and ws/EOF after to avoid false matches
-        before_ok = idx == 0 or buf[idx - 1] in b"\x00\t\n\x0c\r "
-        after_ok = idx + 2 >= end or not _IS_REG[buf[idx + 2]]
-        if before_ok and after_ok:
-            lx.pos = idx + 2
-            return
-        pos = idx + 2
+    # prefer a whitespace-delimited EI (the normal spec shape); fall back to
+    # any EI followed by a non-regular char (binary data may abut it)
+    for require_ws_before in (True, False):
+        pos = start
+        while True:
+            idx = buf.find(b"EI", pos, end)
+            if idx < 0:
+                break
+            before_ok = (not require_ws_before) or idx == 0 \
+                or buf[idx - 1] in b"\x00\t\n\x0c\r "
+            after_ok = idx + 2 >= end or not _IS_REG[buf[idx + 2]]
+            if before_ok and after_ok:
+                lx.pos = idx + 2
+                return
+            pos = idx + 2
+    lx.pos = end

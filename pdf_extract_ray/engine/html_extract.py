@@ -1,0 +1,180 @@
+"""HTML main-content extraction: DOM-block text-density boilerplate strip.
+
+The graft-mandated fallback branch (SURVEY.md §2.2 P10) for rows whose
+payload is HTML rather than PDF.  Method follows the public literature
+(jusText / Boilerpipe): segment the DOM into blocks at block-level tags,
+score each block by text length, link density and stopword-ish ratio, keep
+blocks classified as content, join with blank lines.  Deterministic, pure
+stdlib (html.parser), no network.
+"""
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional
+
+BLOCK_TAGS = frozenset([
+    "p", "div", "section", "article", "main", "td", "li", "blockquote",
+    "pre", "h1", "h2", "h3", "h4", "h5", "h6", "body",
+])
+SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "svg", "head"])
+BOILERPLATE_TAGS = frozenset(["nav", "header", "footer", "aside", "form", "menu"])
+_VOID_TAGS = frozenset(["br", "hr", "img", "input", "meta", "link", "area",
+                        "base", "col", "embed", "source", "track", "wbr"])
+
+_WS_RE = re.compile(r"\s+")
+
+# a tiny function-word list; enough signal for the density heuristic without
+# shipping a per-language stopword corpus
+_STOPWORDS = frozenset("""
+the a an and or of to in is are was were for with on at by from as it this
+that be not have has had but they you we he she i his her its their our your
+der die das und ist ein eine im mit von zu den des le la les et de un une
+est en du au pour que el los las y es se del por un una lo em que nem az és
+""".split())
+
+
+class _Block:
+    __slots__ = ("text_parts", "link_chars", "depth_tag", "boiler")
+
+    def __init__(self, boiler: bool):
+        self.text_parts: List[str] = []
+        self.link_chars = 0
+        self.boiler = boiler
+
+    @property
+    def text(self) -> str:
+        return _WS_RE.sub(" ", "".join(self.text_parts)).strip()
+
+
+class _Segmenter(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self._cur: Optional[_Block] = None
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._title_parts: List[str] = []
+        self._in_title = False
+
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.text_parts:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def _ensure(self) -> _Block:
+        if self._cur is None:
+            self._cur = _Block(self._boiler_depth > 0)
+        return self._cur
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag in BOILERPLATE_TAGS:
+            self._flush()
+            self._boiler_depth += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag in BOILERPLATE_TAGS:
+            self._flush()
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self._title_parts.append(data)
+            return
+        if not data or data.isspace():
+            if self._cur is not None:
+                self._cur.text_parts.append(" ")
+            return
+        blk = self._ensure()
+        blk.text_parts.append(data)
+        if self._link_depth:
+            blk.link_chars += len(data)
+
+
+def _score_block(b: _Block) -> bool:
+    """Content / boilerplate decision for one block."""
+    text = b.text
+    n = len(text)
+    if n == 0:
+        return False
+    if b.boiler:
+        return False
+    link_density = b.link_chars / n
+    if link_density > 0.5:
+        return False
+    words = text.split()
+    n_words = len(words)
+    if n_words < 3:
+        return False
+    stop_ratio = sum(1 for w in words if w.lower().strip(".,;:!?\"'()") in _STOPWORDS) / n_words
+    avg_word = n / n_words
+    if n >= 120 and link_density < 0.33:
+        return True
+    # short blocks need linguistic signal: stopwords present, plausible words
+    return stop_ratio >= 0.15 and avg_word < 12 and link_density < 0.33
+
+
+def extract_html_text(payload: bytes) -> str:
+    """bytes (HTML) -> main-content text. Never raises on malformed input."""
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        text = payload.decode("latin-1", "replace")
+    seg = _Segmenter()
+    try:
+        seg.feed(text)
+        seg.close()
+    except Exception:
+        pass  # html.parser is tolerant; belt and braces
+    seg._flush()
+    kept = [b.text for b in seg.blocks if _score_block(b)]
+    return "\n\n".join(kept)
+
+
+_PDF_MAGIC = b"%PDF-"
+
+
+def sniff_payload(payload: bytes) -> str:
+    """Classify a raw payload: 'pdf' | 'html' | 'empty' | 'other'."""
+    if not payload:
+        return "empty"
+    head = payload[:1024]
+    if _PDF_MAGIC in head:
+        return "pdf"
+    low = head.lstrip()[:256].lower()
+    if (low.startswith(b"<!doctype html") or low.startswith(b"<html")
+            or b"<html" in head.lower() or b"<body" in head.lower()
+            or low.startswith(b"<head") or low.startswith(b"<?xml")):
+        return "html"
+    return "other"

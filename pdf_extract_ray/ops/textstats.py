@@ -1,0 +1,163 @@
+"""Text-analysis operators over a document corpus (Ray Data native).
+
+Large-scale training-data pipeline staples (graft brief): token counting,
+quality scoring, language-ID (n-gram heuristic), document fingerprinting
+(rolling hash / winnowing).  All are single-pass `map_batches` transforms —
+vectorized pyarrow.compute where the kernel exists, tight per-row Python
+where it doesn't (fingerprints) — with no shuffle.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --- token counting ---------------------------------------------------------
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """tokens = single-space-separated words: count(' ') + 1 on non-empty.
+    Matches the SQL oracle `length(text) - length(replace(text,' ','')) + 1`."""
+    text = batch.column("text")
+    n_spaces = pc.count_substring(text, " ")
+    n_tokens = pc.add(n_spaces, 1)
+    n_tokens = pc.if_else(pc.equal(pc.utf8_length(text), 0),
+                          pa.scalar(0, pa.int64()),
+                          pc.cast(n_tokens, pa.int64()))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_tokens], names=["doc_id", "n_tokens"])
+
+
+def token_counts(ds):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+# --- quality scoring --------------------------------------------------------
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Length/word-shape quality features + a simple score, fully
+    vectorized; formula mirrors the SQL oracle exactly."""
+    text = batch.column("text")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_spaces = pc.count_substring(text, " ")
+    n_tokens = pc.cast(pc.add(n_spaces, 1), pa.int64())
+    n_tokens = pc.if_else(pc.equal(n_chars, 0), pa.scalar(0, pa.int64()), n_tokens)
+    nonspace = pc.subtract(n_chars, pc.cast(n_spaces, pa.int64()))
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    ns = nonspace.to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg_token_len = np.where(nt > 0, ns / nt, 0.0)
+    score = np.minimum(1.0, nt / 100.0) * np.where(
+        (avg_token_len >= 2.0) & (avg_token_len <= 10.0), 1.0, 0.5)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_chars, n_tokens,
+         pa.array(avg_token_len, pa.float64()), pa.array(score, pa.float64())],
+        names=["doc_id", "n_chars_calc", "n_tokens", "avg_token_len", "quality_score"])
+
+
+def quality_scores(ds):
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+# --- language identification ------------------------------------------------
+
+# tiny deterministic per-language profiles: common function words.  This is
+# a heuristic classifier (n-gram/stopword evidence), not a model download.
+_LANG_PROFILES: Dict[str, frozenset] = {
+    "en": frozenset("the a and of to in is are was for with on at it this that".split()),
+    "de": frozenset("der die das und ist ein eine mit von zu den im nicht auch".split()),
+    "fr": frozenset("le la les et de un une est en du au pour que dans".split()),
+    "es": frozenset("el los las y es de en un una se del por para con".split()),
+    "hu": frozenset("a az és hogy nem is egy van de meg ez el".split()),
+}
+_LANG_ORDER = tuple(sorted(_LANG_PROFILES))
+
+
+class LangIdBatch:
+    """Actor-pool friendly language-ID stage: profiles built once."""
+
+    def __init__(self):
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds: List[str] = []
+        confs: List[float] = []
+        for t in texts:
+            words = t.lower().split()
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best_lang, best = "und", 0
+            for lang in _LANG_ORDER:
+                hits = sum(1 for w in words if w in self.profiles[lang])
+                if hits > best:
+                    best, best_lang = hits, lang
+            preds.append(best_lang)
+            confs.append(best / len(words))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(preds, pa.string()),
+             pa.array(confs, pa.float64())],
+            names=["doc_id", "pred_lang", "lang_confidence"])
+
+
+def lang_id(ds, concurrency=None):
+    from ..util import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(LangIdBatch, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+# --- document fingerprinting (rolling hash + winnowing) ---------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def _winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> List[int]:
+    """Rabin-Karp rolling k-gram hashes, winnowed with window w (the
+    standard MOSS winnowing scheme)."""
+    data = text.encode("utf-8", "surrogatepass")
+    n = len(data)
+    if n < k:
+        return []
+    hashes = []
+    h = 0
+    power = pow(_BASE, k - 1, _MOD)
+    for i in range(n):
+        h = (h * _BASE + data[i]) % _MOD
+        if i >= k:
+            h = (h - data[i - k] * power * _BASE) % _MOD
+        if i >= k - 1:
+            hashes.append(h)
+    fps = []
+    last = -1
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i:i + w]
+        m = min(window)
+        idx = i + window.index(m)
+        if idx != last:
+            fps.append(m)
+            last = idx
+    return fps
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    n_fps, min_fp = [], []
+    for t in texts:
+        fps = _winnow_fingerprints(t)
+        n_fps.append(len(fps))
+        min_fp.append(min(fps) if fps else 0)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(n_fps, pa.int64()),
+         pa.array(min_fp, pa.int64())],
+        names=["doc_id", "n_fingerprints", "min_fingerprint"])
+
+
+def fingerprints(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")

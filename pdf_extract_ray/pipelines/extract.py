@@ -1,0 +1,240 @@
+"""The flagship Ray Data pipeline: Common-Crawl-style pages -> extracted text.
+
+    read_parquet(columns=[url, html])
+      -> map_batches(ExtractBatch, actor pool, batch_format="pyarrow")
+      -> write_parquet(out/part=K/) + per-partition manifest (lineage+metrics)
+
+Design notes (scale):
+- Column pruning at the read: only `url` and `html` leave storage.
+- The per-row transform is CPU-bound and wildly variable in cost (a 40-page
+  PDF vs a 2 KB HTML page), so batches are SMALL (default 16 rows) and the
+  stage is an actor pool: static tables + warm caches load once per actor
+  (`__init__`), not per batch; Ray's streaming executor load-balances
+  batches across the pool, which absorbs size skew without a keyed
+  shuffle.  Giant payloads are additionally split into their own batches
+  by Ray's dynamic block splitting (target_max_block_size).
+- Checkpoint/resume: input files are hash-grouped into partitions; each
+  partition streams independently and finishes by writing
+  `manifest/part-K.json` with lineage (input files, row counts) and
+  metrics (status histogram, bytes, wall time).  A restarted job skips
+  partitions whose manifest exists — a driver-side set difference, no
+  data-plane join (SURVEY.md §2.5).
+- Output is partitioned parquet (`out/part=K/`), never one giant file.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SPAN_TYPE = pa.list_(pa.struct([
+    pa.field("page", pa.int32()),
+    pa.field("start", pa.int32()),
+    pa.field("end", pa.int32()),
+    pa.field("x", pa.float64()),
+    pa.field("y", pa.float64()),
+    pa.field("font_size", pa.float64()),
+]))
+
+RESULT_SCHEMA = pa.schema([
+    pa.field("url", pa.string()),
+    pa.field("extracted_text", pa.string()),
+    pa.field("spans", SPAN_TYPE),
+    pa.field("status", pa.string()),
+    pa.field("error", pa.string()),
+    pa.field("kind", pa.string()),
+    pa.field("payload_bytes", pa.int64()),
+    pa.field("n_chars", pa.int64()),
+])
+
+
+class ExtractBatch:
+    """Actor-pool batch UDF: (url, html) -> RESULT_SCHEMA.
+
+    Stateful per-actor setup happens once in __init__ (table imports via
+    module load); the per-row engine call is total — every exception is
+    captured into status='error' so one bad PDF never kills a task
+    (SURVEY.md §4: the reference panics, we must not).
+    """
+
+    def __init__(self, with_spans: bool = True):
+        # Touching the engine here forces the static tables (encodings,
+        # glyph names, AFM metrics) to load once per actor process.
+        from ..engine import api  # noqa: F401
+        from ..engine import html_extract  # noqa: F401
+        self.with_spans = with_spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..engine.api import (extract_text_and_spans_from_mem,
+                                  extract_text_from_mem)
+        from ..engine.html_extract import extract_html_text, sniff_payload
+
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        texts: List[str] = []
+        spans_col: List[Optional[list]] = []
+        statuses: List[str] = []
+        errors: List[Optional[str]] = []
+        kinds: List[str] = []
+        sizes: List[int] = []
+        for payload in payloads:
+            payload = payload or b""
+            kind = sniff_payload(payload)
+            text, spans, err = "", None, None
+            try:
+                if kind == "pdf":
+                    if self.with_spans:
+                        text, spans = extract_text_and_spans_from_mem(payload)
+                    else:
+                        text = extract_text_from_mem(payload)
+                    status = "ok" if text else "empty"
+                elif kind == "html":
+                    text = extract_html_text(payload)
+                    status = "ok" if text else "empty"
+                elif kind == "empty":
+                    status = "empty"
+                else:
+                    status = "skipped"
+            except Exception as e:  # total UDF: error rows, never task death
+                text, spans = "", None
+                status = "error"
+                err = f"{type(e).__name__}: {e}"[:500]
+            sizes.append(len(payload))
+            kinds.append(kind)
+            texts.append(text)
+            spans_col.append(spans)
+            statuses.append(status)
+            errors.append(err)
+        return pa.Table.from_arrays(
+            [batch.column("url"),
+             pa.array(texts, pa.string()),
+             pa.array(spans_col, SPAN_TYPE),
+             pa.array(statuses, pa.string()),
+             pa.array(errors, pa.string()),
+             pa.array(kinds, pa.string()),
+             pa.array(sizes, pa.int64()),
+             pa.array([len(t) for t in texts], pa.int64())],
+            schema=RESULT_SCHEMA)
+
+
+def extract_dataset(ds, *, batch_size: int = 16, concurrency=None,
+                    with_spans: bool = True):
+    """Attach the extraction stage to a Dataset of (url, html, ...) rows.
+
+    Returns a lazy Dataset with RESULT_SCHEMA.  `concurrency=None` lets Ray
+    autoscale the actor pool to the cluster; pass (min, max) to pin it.
+    """
+    import ray  # local import: library code must not own a Ray session
+    if concurrency is None:
+        n = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(1, n))
+    return ds.map_batches(
+        ExtractBatch,
+        fn_constructor_kwargs={"with_spans": with_spans},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def read_pages(input_path, *, columns=("url", "html")):
+    """Column-pruned read of the pages table."""
+    import ray
+    return ray.data.read_parquet(input_path, columns=list(columns))
+
+
+def _partition_files(files: List[str], num_partitions: int) -> Dict[int, List[str]]:
+    """Deterministic file -> partition assignment (hash of basename)."""
+    import hashlib
+    out: Dict[int, List[str]] = {i: [] for i in range(num_partitions)}
+    for f in sorted(files):
+        pid = int(hashlib.sha1(os.path.basename(f).encode()).hexdigest(), 16) % num_partitions
+        out[pid].append(f)
+    return {k: v for k, v in out.items() if v}
+
+
+def _list_parquet_files(input_dir: str) -> List[str]:
+    out = []
+    for root, _dirs, files in os.walk(input_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int] = None,
+                batch_size: int = 16, concurrency=None, with_spans: bool = True,
+                resume: bool = True) -> Dict:
+    """Checkpointed flagship run.  Returns the job-level metrics dict.
+
+    Each partition = a group of input files; completed partitions are
+    skipped on restart (manifest present).  Partition manifests carry
+    lineage + per-stage metrics; job metrics are their merge.
+    """
+    files = _list_parquet_files(input_dir) if os.path.isdir(input_dir) else [input_dir]
+    if not files:
+        raise FileNotFoundError(f"no parquet under {input_dir}")
+    if num_partitions is None:
+        num_partitions = len(files)
+    parts = _partition_files(files, num_partitions)
+    manifest_dir = os.path.join(output_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    job = {"partitions": 0, "skipped_partitions": 0, "rows": 0,
+           "payload_bytes": 0, "extracted_chars": 0, "statuses": {},
+           "wall_s": 0.0}
+    t_job = time.perf_counter()
+    for pid, group in sorted(parts.items()):
+        mpath = os.path.join(manifest_dir, f"part-{pid:05d}.json")
+        if resume and os.path.exists(mpath):
+            job["skipped_partitions"] += 1
+            continue
+        metrics = _run_partition(pid, group, output_dir, batch_size=batch_size,
+                                 concurrency=concurrency, with_spans=with_spans)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(metrics, f, indent=1)
+        os.replace(tmp, mpath)  # atomic: manifest presence == partition done
+        job["partitions"] += 1
+        job["rows"] += metrics["rows"]
+        job["payload_bytes"] += metrics["payload_bytes"]
+        job["extracted_chars"] += metrics["extracted_chars"]
+        for k, v in metrics["statuses"].items():
+            job["statuses"][k] = job["statuses"].get(k, 0) + v
+    job["wall_s"] = time.perf_counter() - t_job
+    return job
+
+
+def _run_partition(pid: int, files: List[str], output_dir: str, *,
+                   batch_size: int, concurrency, with_spans: bool) -> Dict:
+    import ray
+    part_dir = os.path.join(output_dir, f"part={pid:05d}")
+    t0 = time.perf_counter()
+    ds = read_pages(files)
+    result = extract_dataset(ds, batch_size=batch_size, concurrency=concurrency,
+                             with_spans=with_spans)
+    result.write_parquet(part_dir)
+    t1 = time.perf_counter()
+    # cheap metrics pass: column-pruned read of the partition output
+    out = ray.data.read_parquet(part_dir, columns=["status", "payload_bytes", "n_chars"])
+    agg = out.groupby("status").count().take_all()
+    sums = out.sum(["payload_bytes", "n_chars"])
+    statuses = {r["status"]: r["count()"] for r in agg}
+    rows = sum(statuses.values())
+    return {
+        "partition": pid,
+        "lineage": {"input_files": files},
+        "rows": rows,
+        "statuses": statuses,
+        "payload_bytes": int(sums["sum(payload_bytes)"] or 0),
+        "extracted_chars": int(sums["sum(n_chars)"] or 0),
+        "extract_wall_s": t1 - t0,
+        "docs_per_s": rows / (t1 - t0) if t1 > t0 else None,
+        "mb_per_s": (int(sums["sum(payload_bytes)"] or 0) / 1e6) / (t1 - t0)
+                    if t1 > t0 else None,
+    }

@@ -1,0 +1,95 @@
+"""Golden end-to-end extraction tests (SURVEY.md §5 plan, item 2).
+
+Each synthetic fixture class (FIXTURES.md §F2) has a committed golden
+string; `extract_text_from_mem` must reproduce it byte-identically.  The
+goldens were hand-derived from the reference's algorithm (the leading
+"\\n\\n" comes from both y-delta rules firing on the first glyph of a page:
+last_y starts at 0 and last_end at 100000, reference src/lib.rs:2139-2148,
+2169-2182).
+"""
+import pytest
+
+from pdf_extract_ray.data import pdfgen
+from pdf_extract_ray.engine import (PdfError, extract_text_from_mem,
+                                    extract_text_from_mem_by_pages,
+                                    extract_text_from_mem_encrypted,
+                                    get_metadata)
+
+GOLDEN = {
+    "pdf_simple_helvetica": "\n\nHello World",
+    "pdf_winansi_differences": "\n\ncafé “quoted”",
+    "pdf_macroman": "\n\nrésumé café",
+    "pdf_tounicode_bfchar": "\n\nAB☃",
+    "pdf_identity_h": "\n\nUnicode 你好!",
+    "pdf_type3": "\n\nabc",
+    "pdf_tj_array": "\n\nKer ned wordshere",
+    "pdf_multiline_layout": "\n\nFirst line\n\nfar below\nleft and down gap",
+    "pdf_multipage": "\n\nPage 1 of 3\nPage 2 of 3\nPage 3 of 3",
+    "pdf_xobject_form": "\n\nouter\n\nfrom xobject",
+    "pdf_q_q_cm": "\n\nbase\n scaled\n\nafter",
+    "pdf_flate_xrefstream": "\n\nxref stream doc",
+    "pdf_zapf_symbol": "\n\nαβγ\n\n❁❂❃",
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden(name):
+    pdf = pdfgen.PDF_GENERATORS[name]()
+    assert extract_text_from_mem(pdf) == GOLDEN[name]
+
+
+def test_compressed_content_same_text():
+    plain = pdfgen.pdf_simple_helvetica("Flate parity", compress=False)
+    flate = pdfgen.pdf_simple_helvetica("Flate parity", compress=True)
+    assert extract_text_from_mem(plain) == extract_text_from_mem(flate)
+
+
+def test_by_pages_fresh_state():
+    """Per-page extraction uses a fresh interpreter per page
+    (reference src/lib.rs:2295-2307): page texts are independent."""
+    pdf = pdfgen.pdf_multipage(3)
+    pages = extract_text_from_mem_by_pages(pdf)
+    assert len(pages) == 3
+    for i, p in enumerate(pages, start=1):
+        assert f"Page {i} of 3" in p
+        # every page starts fresh: the page-start newlines appear each time
+        assert p.startswith("\n\n")
+
+
+def test_by_pages_concat_differs_from_whole_doc():
+    """Whole-doc extraction shares PlainText state across pages, so the
+    concatenation relationship is heuristic-dependent, not equality."""
+    pdf = pdfgen.pdf_multipage(2)
+    whole = extract_text_from_mem(pdf)
+    pages = extract_text_from_mem_by_pages(pdf)
+    assert "Page 1 of 2" in whole and "Page 2 of 2" in whole
+    assert whole != "".join(pages)
+
+
+def test_rc4_encrypted_auto_empty_password():
+    pdf = pdfgen.pdf_rc4_encrypted("secret text")
+    assert extract_text_from_mem(pdf) == "\n\nsecret text"
+    assert extract_text_from_mem_encrypted(pdf, "") == "\n\nsecret text"
+
+
+def test_metadata():
+    pdf = pdfgen.pdf_multipage(3)
+    m = get_metadata(pdf)
+    assert m["page_count"] == "3"
+
+
+@pytest.mark.parametrize("junk", [
+    b"",
+    b"not a pdf at all",
+    b"%PDF-1.4\ntruncated",
+    b"%PDF-1.4\n" + b"\x00" * 64,
+])
+def test_junk_raises_pdferror(junk):
+    with pytest.raises(Exception):
+        extract_text_from_mem(junk)
+
+
+def test_deterministic_bytes():
+    a = pdfgen.pdf_identity_h()
+    b = pdfgen.pdf_identity_h()
+    assert a == b

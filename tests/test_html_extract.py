@@ -1,0 +1,64 @@
+"""HTML boilerplate-strip fallback tests (FIXTURES.md §F3)."""
+from pdf_extract_ray.data.htmlgen import (html_article, html_linkfarm,
+                                          html_malformed, html_nested)
+from pdf_extract_ray.engine.html_extract import extract_html_text, sniff_payload
+
+
+def test_article_keeps_main_drops_boilerplate():
+    main = ("This is the long main body of the article with plenty of real "
+            "sentences in it and the usual function words that mark prose.")
+    out = extract_html_text(html_article(main))
+    assert main in out
+    assert "Home" not in out          # nav stripped
+    assert "Copyright" not in out     # footer stripped
+    assert "Sponsored" not in out     # aside stripped
+    assert "var x" not in out         # script stripped
+
+
+def test_linkfarm_yields_nothing():
+    assert extract_html_text(html_linkfarm()) == ""
+
+
+def test_nested_paragraphs_all_kept():
+    paras = [
+        "the first paragraph has a run of words that is long enough to keep",
+        "and the second one is also made of the usual words in a sentence",
+        "finally the third block of prose is here to stay in the output",
+    ]
+    out = extract_html_text(html_nested(paras + ["x"]))
+    for p in paras:
+        assert p in out
+    assert "\nx" not in out  # the 1-word block is dropped
+
+
+def test_malformed_does_not_raise():
+    out = extract_html_text(html_malformed(
+        "the words of this block are plain and are enough to be kept"))
+    assert "the words of this block" in out
+
+
+def test_entities_decoded():
+    html = (b"<html><body><p>A &amp; B are the words of the sentence that "
+            b"is long enough to keep here</p></body></html>")
+    assert "A & B" in extract_html_text(html)
+
+
+def test_non_utf8_no_crash():
+    assert isinstance(extract_html_text(b"<html><body><p>\xff\xfe garbage "
+                                        b"bytes</p></body></html>"), str)
+
+
+class TestSniff:
+    def test_pdf(self):
+        assert sniff_payload(b"%PDF-1.4\n...") == "pdf"
+        assert sniff_payload(b"\xef\xbb\xbf%PDF-1.7") == "pdf"
+
+    def test_html(self):
+        assert sniff_payload(b"<!DOCTYPE html><html>") == "html"
+        assert sniff_payload(b"  <html lang='en'>") == "html"
+        assert sniff_payload(b"<body>x</body>") == "html"
+
+    def test_other(self):
+        assert sniff_payload(b"") == "empty"
+        assert sniff_payload(b"just some text") == "other"
+        assert sniff_payload(bytes(64)) == "other"

@@ -1,0 +1,130 @@
+"""Training-data operator tests: dedup, similarity, text stats."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_extract_ray.ops.dedup import (MinHashBatch, ngram_jaccard, simhash64)
+from pdf_extract_ray.ops.textstats import (_winnow_fingerprints,
+                                           quality_batch, token_count_batch)
+
+
+def docs_table(rows):
+    return pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.string())],
+        names=["doc_id", "text"])
+
+
+class TestTextStatsLocal:
+    def test_token_counts(self):
+        t = docs_table([(1, "a b c"), (2, ""), (3, "one")])
+        out = token_count_batch(t)
+        assert out.column("n_tokens").to_pylist() == [3, 0, 1]
+
+    def test_quality(self):
+        t = docs_table([(1, " ".join(["the quick brown fox"] * 30)), (2, "")])
+        out = quality_batch(t)
+        rows = out.to_pylist()
+        assert rows[0]["quality_score"] == 1.0
+        assert rows[1]["quality_score"] == 0.0
+        assert rows[0]["n_tokens"] == 120
+
+    def test_winnowing_deterministic_and_shift_robust(self):
+        a = _winnow_fingerprints("the quick brown fox jumps over the dog")
+        b = _winnow_fingerprints("the quick brown fox jumps over the dog")
+        assert a == b and len(a) > 0
+        # shared substring -> shared fingerprints
+        c = _winnow_fingerprints("XX the quick brown fox jumps over the dog")
+        assert set(a) & set(c)
+
+
+class TestMinHashLocal:
+    def test_signature_similarity_tracks_jaccard(self):
+        mh = MinHashBatch()
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base.replace("dog", "cat")
+        far = "completely different words in this one with nothing shared"
+        s1, s2, s3 = (mh.signature(t) for t in (base, near, far))
+        near_sim = float(np.mean(s1 == s2))
+        far_sim = float(np.mean(s1 == s3))
+        assert near_sim > 0.5 > far_sim
+
+    def test_simhash_hamming(self):
+        base = " ".join(f"word{i}" for i in range(60))
+        near = base.replace("word3", "wordX")
+        far = " ".join(f"other{i}" for i in range(60))
+        h1, h2, h3 = simhash64(base), simhash64(near), simhash64(far)
+        ham_near = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+        ham_far = bin((h1 ^ h3) & ((1 << 64) - 1)).count("1")
+        assert simhash64(base) == h1  # deterministic
+        assert ham_near < ham_far and ham_far > 20
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("abcdef", "abcdef") == 1.0
+        assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+        assert 0.0 < ngram_jaccard("abcdef", "abcxyz") < 1.0
+
+
+class TestOpsOnRay:
+    @pytest.fixture(scope="class")
+    def docs_ds(self, ray_session):
+        import ray
+        rows = [(i, f"doc {i} " + " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+                for i in range(40)]
+        rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+        return ray.data.from_arrow(docs_table(rows))
+
+    def test_exact_dedup(self, docs_ds):
+        from pdf_extract_ray.ops.dedup import exact_dedup_groups
+        out = exact_dedup_groups(docs_ds).to_pandas()
+        assert len(out) == 40  # 45 rows, 5 dup texts
+        dup_rows = out[out["n_dups"] > 1]
+        assert sorted(dup_rows["doc_id"]) == [0, 1, 2, 3, 4]
+        assert (dup_rows["n_dups"] == 2).all()
+
+    def test_exact_dedup_keep_first(self, docs_ds):
+        from pdf_extract_ray.ops.dedup import exact_dedup_keep_first
+        out = exact_dedup_keep_first(docs_ds).to_pandas()
+        assert len(out) == 40
+        assert not set(range(100, 105)) & set(out["doc_id"])
+
+    def test_minhash_finds_exact_dups(self, docs_ds):
+        from pdf_extract_ray.ops.dedup import minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(docs_ds, threshold=0.9).to_pandas()
+        found = {tuple(p) for p in pairs[["doc_id_a", "doc_id_b"]].values}
+        for i in range(5):
+            assert (i, 100 + i) in found
+
+    def test_brute_force_topk_matches_numpy(self, ray_session):
+        import ray
+        from pdf_extract_ray.ops.similarity import brute_force_topk
+        rng = np.random.RandomState(7)
+        vecs = rng.normal(size=(50, 16)).astype(np.float64)
+        tbl = pa.Table.from_arrays(
+            [pa.array(range(50), pa.int64()),
+             pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))],
+            names=["vec_id", "embedding"])
+        ds = ray.data.from_arrow(tbl)
+        out = brute_force_topk(ds, [0, 1], vecs[:2], k=5).to_pandas()
+        # single-process ground truth (float32 round-trip like the table)
+        v32 = vecs.astype(np.float32).astype(np.float64)
+        v32n = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+        qn = vecs[:2] / np.linalg.norm(vecs[:2], axis=1, keepdims=True)
+        sims = qn @ v32n.T
+        for qi in (0, 1):
+            order = [i for i in np.argsort(-sims[qi]) if i != qi][:5]
+            got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+            assert got == order
+
+    def test_image_features_plumbing(self, ray_session):
+        import ray
+        from pdf_extract_ray.ops.multimodal import image_features
+        tbl = pa.Table.from_arrays(
+            [pa.array([1, 2, 3], pa.int64()),
+             pa.array([b"payload-one", b"", b"payload-three"], pa.binary())],
+            names=["item_id", "payload"])
+        out = image_features(ray.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 3
+        by_id = {r.item_id: r for r in out.itertuples()}
+        assert by_id[1].status == "ok" and len(by_id[1].features) == 32
+        assert by_id[2].status.startswith("error")

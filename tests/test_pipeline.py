@@ -1,0 +1,117 @@
+"""Pipeline-level tests (SURVEY.md §5 plan, item 3): the Ray Data pipeline
+must produce byte-identical per-url text to the single-process engine, and
+resume from its checkpoint manifest."""
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extract_ray.data.pages import make_pages_table, pages_parquet_path
+from pdf_extract_ray.engine.api import extract_text_from_mem
+from pdf_extract_ray.engine.html_extract import extract_html_text, sniff_payload
+from pdf_extract_ray.pipelines.extract import run_extract
+
+N_ROWS = 120
+
+
+def reference_rows():
+    """Single-process ground truth over the same synthetic table."""
+    tbl = make_pages_table(N_ROWS)
+    out = {}
+    for url, payload in zip(tbl.column("url").to_pylist(),
+                            tbl.column("html").to_pylist()):
+        kind = sniff_payload(payload or b"")
+        try:
+            if kind == "pdf":
+                out[url] = ("ok", extract_text_from_mem(payload))
+            elif kind == "html":
+                out[url] = ("ok", extract_html_text(payload))
+            else:
+                out[url] = (kind if kind == "empty" else "skipped", "")
+        except Exception:
+            out[url] = ("error", "")
+    return out
+
+
+@pytest.fixture(scope="module")
+def extract_run(ray_session, tmp_path_factory):
+    in_dir = pages_parquet_path(N_ROWS, n_shards=4,
+                                cache_dir="/tmp/pdf_extract_ray_test_cache")
+    out_dir = str(tmp_path_factory.mktemp("extract_out"))
+    job = run_extract(in_dir, out_dir, batch_size=8)
+    return in_dir, out_dir, job
+
+
+def load_results(out_dir):
+    rows = {}
+    for f in glob.glob(os.path.join(out_dir, "part=*", "*.parquet")):
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            rows[r["url"]] = r
+    return rows
+
+
+def test_byte_identical_per_url(extract_run):
+    _in, out_dir, job = extract_run
+    got = load_results(out_dir)
+    want = reference_rows()
+    assert len(got) == N_ROWS == len(want)
+    for url, (w_status, w_text) in want.items():
+        r = got[url]
+        assert r["status"] == ("empty" if w_status == "ok" and not w_text
+                               else w_status), url
+        if w_status == "ok":
+            assert r["extracted_text"] == w_text, url  # byte-identical
+
+
+def test_spans_consistent(extract_run):
+    _in, out_dir, _job = extract_run
+    for r in load_results(out_dir).values():
+        if r["status"] == "ok" and r["spans"]:
+            text = r["extracted_text"]
+            for s in r["spans"]:
+                assert 0 <= s["start"] <= s["end"] <= len(text)
+            # spans cover the non-separator characters in order
+            assert all(a["start"] <= b["start"]
+                       for a, b in zip(r["spans"], r["spans"][1:])
+                       if a["page"] == b["page"])
+
+
+def test_manifest_lineage_and_metrics(extract_run):
+    _in, out_dir, job = extract_run
+    manifests = sorted(glob.glob(os.path.join(out_dir, "manifest", "*.json")))
+    assert manifests
+    total = 0
+    for m in manifests:
+        d = json.load(open(m))
+        assert d["lineage"]["input_files"], m
+        assert d["rows"] > 0 and d["extract_wall_s"] > 0
+        assert "statuses" in d and d["docs_per_s"] > 0
+        total += d["rows"]
+    assert total == N_ROWS
+    assert job["rows"] == N_ROWS
+
+
+def test_resume_skips_completed(extract_run):
+    in_dir, out_dir, _job = extract_run
+    n_parts = len(glob.glob(os.path.join(out_dir, "manifest", "*.json")))
+    # everything done -> full skip
+    job2 = run_extract(in_dir, out_dir, batch_size=8)
+    assert job2["skipped_partitions"] == n_parts
+    assert job2["partitions"] == 0
+    # drop one manifest -> exactly that partition reruns
+    victim = sorted(glob.glob(os.path.join(out_dir, "manifest", "*.json")))[0]
+    os.remove(victim)
+    job3 = run_extract(in_dir, out_dir, batch_size=8)
+    assert job3["partitions"] == 1
+    assert job3["skipped_partitions"] == n_parts - 1
+    assert os.path.exists(victim)
+
+
+def test_output_partitioned(extract_run):
+    _in, out_dir, _job = extract_run
+    parts = glob.glob(os.path.join(out_dir, "part=*"))
+    assert len(parts) > 1  # never one giant file
