@@ -68,18 +68,31 @@ def encoding_to_unicode_table(name: bytes) -> List[int]:
     return list(cached)
 
 
-def get_unicode_map(doc, font: dict) -> Optional[Dict[int, str]]:
-    """ToUnicode CMap stream -> {code: unicode str} (src/lib.rs:920-968)."""
-    to_unicode = maybe_get_obj(doc, font, b"ToUnicode")
-    if to_unicode is None:
-        return None
-    if isinstance(to_unicode, Name):
-        if pdf_to_utf8(bytes(to_unicode)) != "Identity-H":
-            raise PdfError(f"unsupported ToUnicode name {to_unicode!r}")
-        return None
-    if not isinstance(to_unicode, Stream):
-        raise PdfError(f"unsupported cmap {to_unicode!r}")
-    contents = _get_contents(to_unicode, doc)
+# Cross-document warm caches keyed by content hash (SURVEY.md §2.3 F2):
+# identical ToUnicode CMaps / CID encoding streams recur across a corpus
+# (same producer, same font subsetter), so parse each distinct stream once
+# per worker process.  Bounded LRU.
+_UNICODE_MAP_CACHE: "OrderedDict[bytes, Dict[int, str]]" = __import__(
+    "collections").OrderedDict()
+_BYTE_MAPPING_CACHE: "OrderedDict[bytes, ByteMapping]" = __import__(
+    "collections").OrderedDict()
+_CACHE_MAX = 256
+
+
+def _cache_get(cache, key):
+    v = cache.get(key)
+    if v is not None:
+        cache.move_to_end(key)
+    return v
+
+
+def _cache_put(cache, key, value):
+    cache[key] = value
+    if len(cache) > _CACHE_MAX:
+        cache.popitem(last=False)
+
+
+def _parse_unicode_map_contents(contents: bytes) -> Dict[int, str]:
     raw = get_unicode_map_raw(contents)
     unicode: Dict[int, str] = {}
     for k, v in raw.items():
@@ -92,6 +105,38 @@ def get_unicode_map(doc, font: dict) -> Optional[Dict[int, str]]:
                 continue
         unicode[k] = v.decode("utf-16-be")  # strict; invalid raises
     return unicode
+
+
+def get_unicode_map(doc, font: dict) -> Optional[Dict[int, str]]:
+    """ToUnicode CMap stream -> {code: unicode str} (src/lib.rs:920-968)."""
+    import hashlib
+    to_unicode = maybe_get_obj(doc, font, b"ToUnicode")
+    if to_unicode is None:
+        return None
+    if isinstance(to_unicode, Name):
+        if pdf_to_utf8(bytes(to_unicode)) != "Identity-H":
+            raise PdfError(f"unsupported ToUnicode name {to_unicode!r}")
+        return None
+    if not isinstance(to_unicode, Stream):
+        raise PdfError(f"unsupported cmap {to_unicode!r}")
+    contents = _get_contents(to_unicode, doc)
+    key = hashlib.blake2b(contents, digest_size=16).digest()
+    cached = _cache_get(_UNICODE_MAP_CACHE, key)
+    if cached is None:
+        cached = _parse_unicode_map_contents(contents)
+        _cache_put(_UNICODE_MAP_CACHE, key, cached)
+    # copy: callers (Differences merging) mutate the map
+    return dict(cached)
+
+
+def get_byte_mapping_cached(contents: bytes) -> ByteMapping:
+    import hashlib
+    key = hashlib.blake2b(contents, digest_size=16).digest()
+    cached = _cache_get(_BYTE_MAPPING_CACHE, key)
+    if cached is None:
+        cached = get_byte_mapping(contents)
+        _cache_put(_BYTE_MAPPING_CACHE, key, cached)
+    return cached
 
 
 def _get_contents(stm: Stream, doc) -> bytes:
@@ -372,7 +417,7 @@ class PdfCIDFont(PdfFont):
             else:
                 raise PdfError(f"unsupported encoding {name}")
         elif isinstance(encoding_obj, Stream):
-            self.encoding = get_byte_mapping(_get_contents(encoding_obj, doc))
+            self.encoding = get_byte_mapping_cached(_get_contents(encoding_obj, doc))
         else:
             raise PdfError(f"unsupported encoding {encoding_obj!r}")
 

@@ -1,25 +1,25 @@
 """Deduplication operators (Ray Data native).
 
-- exact_dedup: md5(text) hash-partitioned groupby, keep min(doc_id).
-  The shuffle key is the 16-byte digest, never the text itself.
-- minhash_lsh_pairs: word-shingle MinHash signatures (vectorized numpy),
-  banded LSH (b bands x r rows), groupby on (band, band_hash) buckets,
-  candidate pairs emitted per bucket, global pair dedup.  The classic
-  shingle->minhash->band->bucket-groupby plan: the only all-to-all is on
-  tiny (band_hash, sig) rows, pre-aggregated per batch.
-- simhash_pairs: 64-bit SimHash, 4x16-bit band bucketing, Hamming<=3 check
-  inside buckets.
-- ngram_jaccard: exact character-n-gram Jaccard verification for candidate
-  pairs (the verify stage after LSH).
+- exact_dedup: md5(text) hash + ONE native groupby().aggregate(Min, Count)
+  pass; the shuffle key is the 16-byte digest, never the text itself.
+- minhash_lsh_pairs: word-shingle MinHash signatures (vectorized numpy with
+  a per-worker word-hash cache), banded LSH, then PARTITION-level grouping:
+  buckets are hashed into a bounded number of partitions and each partition
+  resolves all of its buckets in one vectorized pass — per-tiny-group
+  map_groups overhead (the classic LSH-on-Ray trap) never appears.
+- simhash_pairs: 64-bit SimHash, 4x16-bit band bucketing, Hamming check
+  inside buckets; same partition-level grouping.
+- ngram_jaccard verify: exact character-n-gram Jaccard for candidate pairs
+  (broadcast small-side lookup, no shuffle join).
 """
 from __future__ import annotations
 
 import hashlib
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -35,29 +35,49 @@ def _md5_batch(batch: pa.Table) -> pa.Table:
 
 
 def exact_dedup_groups(ds):
-    """-> (doc_id = min per identical text, n_dups).  groupby shuffles only
-    (md5, doc_id) pairs."""
+    """-> (doc_id = min per identical text, n_dups) in ONE aggregation
+    shuffle of (md5, doc_id) pairs."""
+    from ray.data.aggregate import Count, Min
     hashed = ds.map_batches(_md5_batch, batch_format="pyarrow")
-    agg = hashed.groupby("text_md5").min("doc_id")
-    counts = hashed.groupby("text_md5").count()
-    # join the two small aggregates on the driver side would materialize;
-    # instead compute both in one map_groups pass:
-    def per_group(df):
-        import pandas as pd
-        return pd.DataFrame({
-            "doc_id": [int(df["doc_id"].min())],
-            "n_dups": [int(len(df))],
-        })
-    del agg, counts
-    return hashed.groupby("text_md5").map_groups(per_group, batch_format="pandas")
+    agg = hashed.groupby("text_md5").aggregate(Min("doc_id"), Count())
+
+    def rename(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("min(doc_id)"), pa.int64()),
+             pc.cast(b.column("count()"), pa.int64())],
+            names=["doc_id", "n_dups"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def exact_dedup_keep_first(ds):
-    """Full dedup: one surviving row (min doc_id) per distinct text."""
-    hashed = ds.map_batches(_md5_batch, batch_format="pyarrow")
-    def keep_first(df):
-        return df.sort_values("doc_id").head(1)[["doc_id"]]
-    return hashed.groupby("text_md5").map_groups(keep_first, batch_format="pandas")
+    """Full dedup: one surviving doc_id (min) per distinct text."""
+    return exact_dedup_groups(ds).select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# partition-level grouping helper
+# ---------------------------------------------------------------------------
+
+def _grouped_by_partition(ds, key_cols: List[str], fn, n_parts: int = 64):
+    """groupby(key).apply(fn) without per-tiny-group overhead: hash the key
+    into `n_parts` partitions, shuffle once on the small partition id, and
+    let `fn` handle one partition's DataFrame (all of its groups) at once.
+    `fn(df) -> DataFrame`; rows of one key always land in one partition."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for col in key_cols:
+            vals = batch.column(col).to_pandas()
+            col_h = pd.util.hash_array(np.asarray(vals)).astype(np.uint64)
+            h = h * np.uint64(1000003) + col_h
+        return batch.append_column("_part", pa.array(
+            (h % np.uint64(n_parts)).astype(np.int64), pa.int64()))
+
+    withpart = ds.map_batches(add_part, batch_format="pyarrow")
+    return withpart.groupby("_part").map_groups(
+        lambda df: fn(df.drop(columns=["_part"])), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -74,23 +94,9 @@ def _perm_params(n_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (uint64)."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-    return out
-
-
 class MinHashBatch:
-    """Stateful stage: permutation params computed once per actor
-    (SURVEY.md §2.3 pattern).  Emits one row per (doc, band)."""
+    """Stateful stage: permutation params + a word-hash cache built once
+    per worker (SURVEY.md §2.3 pattern).  Emits one row per (doc, band)."""
 
     def __init__(self, n_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         self.n_perm = n_perm
@@ -98,9 +104,36 @@ class MinHashBatch:
         self.rows_per_band = n_perm // bands
         self.shingle_k = shingle_k
         self.a, self.b = _perm_params(n_perm)
+        self._word_cache: Dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self._word_cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
+            if len(self._word_cache) < 1_000_000:
+                self._word_cache[w] = h
+        return h
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        """Vectorized k-shingle hashes: per-word hashes (cached) combined
+        with a rolling polynomial over uint64 (wraps mod 2^64)."""
+        words = text.split()
+        k = self.shingle_k
+        if not words:
+            return np.empty(0, dtype=np.uint64)
+        wh = np.fromiter((self._word_hash(w) for w in words),
+                         dtype=np.uint64, count=len(words))
+        if len(words) < k:
+            k = len(words)
+        B = np.uint64(1099511628211)
+        acc = wh[:len(wh) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * B + wh[j:len(wh) - k + 1 + j]
+        return acc
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_k)
+        h = self._shingle_hashes(text)
         if len(h) == 0:
             return np.zeros(self.n_perm, dtype=np.uint64)
         # (n_perm, n_shingles): ((a*h + b) mod p), min over shingles
@@ -110,49 +143,64 @@ class MinHashBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_bucket, out_sig = [], [], [], []
+        n = len(doc_ids)
+        sigs = np.empty((n, self.n_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = self.signature(text)
         r = self.rows_per_band
-        for doc_id, text in zip(doc_ids, texts):
-            sig = self.signature(text)
-            sig_bytes = sig.tobytes()
-            for band in range(self.bands):
-                band_slice = sig[band * r:(band + 1) * r]
-                bucket = hashlib.blake2b(band_slice.tobytes(),
-                                         digest_size=8).hexdigest()
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_bucket.append(bucket)
-                out_sig.append(sig_bytes)
+        # vectorized band bucket ids: hash each band slice row-wise
+        out_doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        buckets = np.empty(n * self.bands, dtype=np.uint64)
+        B = np.uint64(1099511628211)
+        for band in range(self.bands):
+            sl = sigs[:, band * r:(band + 1) * r]
+            acc = sl[:, 0].copy()
+            for j in range(1, r):
+                acc = acc * B + sl[:, j]
+            buckets[band::self.bands] = acc
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        out_sig = [sig_bytes[i] for i in range(n) for _ in range(self.bands)]
         return pa.Table.from_arrays(
             [pa.array(out_doc, pa.int64()), pa.array(out_band, pa.int32()),
-             pa.array(out_bucket, pa.string()), pa.array(out_sig, pa.binary())],
+             pa.array(buckets.astype(np.int64), pa.int64()),
+             pa.array(out_sig, pa.binary())],
             names=["doc_id", "band", "bucket", "sig"])
 
 
-def _bucket_pairs(df, n_perm: int, threshold: float):
-    """Candidate pairs within one LSH bucket, scored by signature overlap."""
-    import pandas as pd
+def _resolve_minhash_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """All LSH buckets of one partition -> candidate pairs."""
     rows = []
-    if len(df) > 1:
-        docs = df["doc_id"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
+    for (_band, _bucket), g in df.groupby(["band", "bucket"], sort=False):
+        if len(g) < 2:
+            continue
+        docs = g["doc_id"].to_numpy()
         order = np.argsort(docs)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                a, b = order[ii], order[jj]
-                if docs[a] == docs[b]:
-                    continue
-                est = float(np.mean(sigs[a] == sigs[b]))
-                if est >= threshold:
-                    rows.append((int(docs[a]), int(docs[b]), est))
-    return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "est_jaccard"])
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in g["sig"].to_numpy()])[order]
+        docs = docs[order]
+        for ii in range(len(docs)):
+            eq = (sigs[ii + 1:] == sigs[ii]).mean(axis=1)
+            for jj in np.nonzero(eq >= threshold)[0]:
+                a, b = docs[ii], docs[ii + 1 + jj]
+                if a != b:
+                    rows.append((int(a), int(b), float(eq[jj])))
+    return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "est_jaccard"]
+                        ).astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
+def _dedupe_pairs(pairs, extra_cols: List[str]):
+    """Global pair dedup via partition-level grouping."""
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+    return _grouped_by_partition(pairs, ["doc_id_a", "doc_id_b"], resolve,
+                                 n_parts=16)
 
 
 def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
                       concurrency=None):
-    """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
-    Pairs found in several buckets are deduped by a final tiny groupby."""
+    """Near-duplicate candidate pairs with estimated Jaccard >= threshold."""
     from ..util import default_concurrency
     if concurrency is None:
         concurrency = default_concurrency()
@@ -161,13 +209,10 @@ def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
         fn_constructor_kwargs={"n_perm": n_perm, "bands": bands,
                                "shingle_k": shingle_k},
         batch_format="pyarrow", concurrency=concurrency)
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        lambda df: _bucket_pairs(df, n_perm, threshold), batch_format="pandas")
-
-    def first_pair(df):
-        return df.sort_values("est_jaccard", ascending=False).head(1)
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        first_pair, batch_format="pandas")
+    pairs = _grouped_by_partition(
+        banded, ["bucket"],
+        lambda df: _resolve_minhash_partition(df, threshold), n_parts=32)
+    return _dedupe_pairs(pairs, ["est_jaccard"])
 
 
 # ---------------------------------------------------------------------------
@@ -206,27 +251,30 @@ def simhash_pairs(ds, max_hamming: int = 3):
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc, band, key, sh = [], [], [], []
-        for d, h in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("simhash").to_pylist()):
-            uh = h & ((1 << 64) - 1)
-            for bnd in range(4):
-                doc.append(d)
-                band.append(bnd)
-                key.append((uh >> (16 * bnd)) & 0xFFFF)
-                sh.append(h)
+        sh = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64)
+        uh = sh.view(np.uint64)
+        n = len(sh)
+        doc = np.repeat(np.asarray(batch.column("doc_id").to_pylist(),
+                                   dtype=np.int64), 4)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        key = np.empty(n * 4, dtype=np.int64)
+        for bnd in range(4):
+            key[bnd::4] = ((uh >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+                           ).astype(np.int64) + (bnd << 16)
         return pa.Table.from_arrays(
             [pa.array(doc, pa.int64()), pa.array(band, pa.int32()),
-             pa.array(key, pa.int32()), pa.array(sh, pa.int64())],
+             pa.array(key, pa.int64()),
+             pa.array(np.repeat(sh, 4), pa.int64())],
             names=["doc_id", "band", "band_key", "simhash"])
 
     banded = hashed.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(df):
-        import pandas as pd
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        if len(df) > 1:
-            recs = sorted(zip(df["doc_id"], df["simhash"]))
+        for _key, g in df.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            recs = sorted(set(zip(g["doc_id"], g["simhash"])))
             for i in range(len(recs)):
                 for j in range(i + 1, len(recs)):
                     a, b = recs[i], recs[j]
@@ -235,15 +283,13 @@ def simhash_pairs(ds, max_hamming: int = 3):
                     ham = bin((a[1] ^ b[1]) & ((1 << 64) - 1)).count("1")
                     if ham <= max_hamming:
                         rows.append((int(a[0]), int(b[0]), int(ham)))
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"]
+                            ).astype({"doc_id_a": "int64",
+                                      "doc_id_b": "int64",
+                                      "hamming": "int64"})
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-
-    def first_pair(df):
-        return df.head(1)
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        first_pair, batch_format="pandas")
+    pairs = _grouped_by_partition(banded, ["band_key"], resolve, n_parts=32)
+    return _dedupe_pairs(pairs, ["hamming"])
 
 
 # ---------------------------------------------------------------------------

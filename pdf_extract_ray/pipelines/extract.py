@@ -121,25 +121,56 @@ class ExtractBatch:
             schema=RESULT_SCHEMA)
 
 
-def extract_dataset(ds, *, batch_size: int = 16, concurrency=None,
-                    with_spans: bool = True):
+_TASK_UDFS = {}
+
+
+def _task_udf(with_spans: bool):
+    """Module-level singleton UDF: Ray reuses warm worker processes across
+    task-based map_batches executions, so the engine's static tables and
+    the cross-document CMap caches load once per worker and stay hot."""
+    eb = _TASK_UDFS.get(with_spans)
+    if eb is None:
+        eb = _TASK_UDFS[with_spans] = ExtractBatch(with_spans=with_spans)
+    return eb
+
+
+def extract_batch_fn(batch: pa.Table) -> pa.Table:
+    return _task_udf(True)(batch)
+
+
+def extract_batch_fn_nospans(batch: pa.Table) -> pa.Table:
+    return _task_udf(False)(batch)
+
+
+def extract_dataset(ds, *, batch_size: int = 64, compute: str = "tasks",
+                    concurrency=None, with_spans: bool = True):
     """Attach the extraction stage to a Dataset of (url, html, ...) rows.
 
-    Returns a lazy Dataset with RESULT_SCHEMA.  `concurrency=None` lets Ray
-    autoscale the actor pool to the cluster; pass (min, max) to pin it.
+    Returns a lazy Dataset with RESULT_SCHEMA.
+
+    compute="tasks" (default): plain-function map_batches on Ray's warm,
+    reused worker processes — static tables and the font/CMap caches are
+    per-process module state, so there is no per-execution actor spin-up
+    cost and scheduling is fully elastic.  compute="actors": explicit
+    actor pool (`concurrency=(min,max)`), the right choice when the stage
+    grows heavier per-actor state (e.g. a layout model); semantics are
+    identical.
     """
-    import ray  # local import: library code must not own a Ray session
-    if concurrency is None:
-        n = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(1, n))
-    return ds.map_batches(
-        ExtractBatch,
-        fn_constructor_kwargs={"with_spans": with_spans},
-        batch_size=batch_size,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if compute == "actors":
+        import ray  # local import: library code must not own a Ray session
+        if concurrency is None:
+            n = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = (1, max(1, n))
+        return ds.map_batches(
+            ExtractBatch,
+            fn_constructor_kwargs={"with_spans": with_spans},
+            batch_size=batch_size,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    fn = extract_batch_fn if with_spans else extract_batch_fn_nospans
+    return ds.map_batches(fn, batch_size=batch_size, batch_format="pyarrow")
 
 
 def read_pages(input_path, *, columns=("url", "html")):
