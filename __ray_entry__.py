@@ -273,6 +273,15 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qids, qvecs, k=10)
 
 
+def _q_ann_topk_lsh(sf_dir: str):
+    from pdf_extract_ray.ops.similarity import lsh_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.sort("vec_id").limit(10).take_all()
+    qids = [r["vec_id"] for r in head]
+    qvecs = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    return lsh_topk(ds, qids, qvecs, dim=64, k=10, n_bits=8, probe_hamming=1)
+
+
 def _q_embedding_neardup(sf_dir: str):
     from pdf_extract_ray.ops.similarity import cosine_neardup_pairs
     import ray
@@ -341,6 +350,31 @@ def _q_frame_samples(sf_dir: str):
                          every_n=10)
 
 
+def _q_events_hourly(sf_dir: str):
+    from pdf_extract_ray.ops.events import hourly_event_stats
+    return hourly_event_stats(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]))
+
+
+def _q_sessionize(sf_dir: str):
+    from pdf_extract_ray.ops.events import sessionize
+    return sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                      gap_minutes=30)
+
+
+def _q_top_customers(sf_dir: str):
+    from pdf_extract_ray.ops.events import top_customers_by_spend
+    import ray
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    lookup = {}
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        for ck, cn in zip(b.column("c_custkey").to_pylist(),
+                          b.column("c_name").to_pylist()):
+            lookup[ck] = cn
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return top_customers_by_spend(orders, lookup, k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -357,9 +391,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "ann_topk": _q_ann_topk,
         "embedding_label_histogram": _q_embedding_label_histogram,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "top_customers": _q_top_customers,
         # heuristic / non-SQL operators (rows-only)
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_neardup": _q_ngram_neardup,
@@ -433,5 +471,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_label_histogram": """
             SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT)
+                       AS total_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id,
+                   CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "top_customers": """
+            WITH agg AS (
+              SELECT o_custkey,
+                     CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                         AS total_spend_cents,
+                     sum(o_totalprice) AS raw_spend,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey)
+            SELECT CAST(row_number() OVER (
+                       ORDER BY raw_spend DESC, o_custkey ASC) AS BIGINT)
+                       AS rank,
+                   agg.o_custkey AS c_custkey, c.c_name AS c_name,
+                   total_spend_cents, n_orders
+            FROM agg JOIN customer c ON c.c_custkey = agg.o_custkey
+            ORDER BY rank LIMIT 10
         """,
     }

@@ -403,3 +403,113 @@ PDF_GENERATORS = {
     "pdf_flate_xrefstream": pdf_flate_xrefstream,
     "pdf_zapf_symbol": pdf_zapf_symbol,
 }
+
+
+def _encrypted_doc_skeleton(b: "PdfBuilder", enc_body: bytes, content_enc: bytes):
+    """Shared layout for the encrypted fixtures: font/page tree + an
+    already-encrypted content stream + the Encrypt dict."""
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    cn = b.add(f"<< /Length {len(content_enc)} >>".encode()
+               + b"\nstream\n" + content_enc + b"\nendstream")
+    page = b.add(f"<< /Type /Page /Parent {{PARENT}} /MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {f1} 0 R >> >> "
+                 f"/Contents {cn} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{PARENT}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    enc_num = b.add(enc_body)
+    return root, enc_num, cn
+
+
+def pdf_aes128_encrypted(text: str = "aes secret") -> bytes:
+    """V4/R4 AESV2 (AES-128-CBC) with empty user+owner password."""
+    import hashlib
+    import struct as _struct
+    from ..engine.aes import aes_cbc_encrypt
+    from ..engine.crypt import PAD, rc4
+
+    doc_id = bytes(range(16, 32))
+    p = -3904  # typical permission bits
+    klen = 16
+    # Algorithm 3: O entry (owner password == user password == empty)
+    h = hashlib.md5(PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:klen]).digest()
+    okey = h[:klen]
+    step = PAD
+    for i in range(20):
+        step = rc4(bytes(bb ^ i for bb in okey), step)
+    o = step
+    # Algorithm 2: file key (R4)
+    h = hashlib.md5()
+    h.update(PAD)
+    h.update(o[:32])
+    h.update(_struct.pack("<i", p))
+    h.update(doc_id)
+    key = h.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:klen]).digest()
+    key = key[:klen]
+    # Algorithm 5: U entry (R4)
+    hu = hashlib.md5()
+    hu.update(PAD)
+    hu.update(doc_id)
+    step = rc4(key, hu.digest())
+    for i in range(1, 20):
+        step = rc4(bytes(bb ^ i for bb in key), step)
+    u = step + bytes(16)
+
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    b = PdfBuilder()
+    # object number of the content stream in the skeleton is 2 (font is 1)
+    cn_num = 2
+    objkey = hashlib.md5(
+        key + _struct.pack("<i", cn_num)[:3] + _struct.pack("<i", 0)[:2]
+        + b"sAlT").digest()[:16]
+    iv = bytes(range(32, 48))  # deterministic fixture IV
+    content_enc = aes_cbc_encrypt(objkey, iv, content)
+    enc_body = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 /AuthEvent /DocOpen >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        b"/P " + str(p).encode() + b" >>")
+    root, enc_num, _cn = _encrypted_doc_skeleton(b, enc_body, content_enc)
+    raw = b.build(root)
+    return raw.replace(
+        b" >>\nstartxref",
+        f" /Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>] >>\nstartxref".encode())
+
+
+def pdf_aes256_encrypted(text: str = "aes256 secret") -> bytes:
+    """V5/R6 AESV3 (AES-256-CBC, ISO 32000-2) with empty user password."""
+    from ..engine.aes import aes_cbc_encrypt, aes_cbc_no_pad_encrypt
+    from ..engine.crypt import _hash_r6
+
+    file_key = bytes(range(64, 96))
+    vsalt = bytes(range(8))
+    ksalt = bytes(range(8, 16))
+    pw = b""
+    u = _hash_r6(pw, vsalt)[:32] + vsalt + ksalt
+    ikey = _hash_r6(pw, ksalt)
+    ue = aes_cbc_no_pad_encrypt(ikey, bytes(16), file_key)
+    o = bytes(48)  # owner entry unused by the empty-user-password path
+    oe = bytes(32)
+
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    iv = bytes(range(48, 64))
+    content_enc = aes_cbc_encrypt(file_key, iv, content)
+    enc_body = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /Length 32 /AuthEvent /DocOpen >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        b"/UE <" + ue.hex().encode() + b"> /OE <" + oe.hex().encode() + b"> "
+        b"/P -3904 >>")
+    b = PdfBuilder()
+    root, enc_num, _cn = _encrypted_doc_skeleton(b, enc_body, content_enc)
+    raw = b.build(root)
+    doc_id = bytes(range(16))
+    return raw.replace(
+        b" >>\nstartxref",
+        f" /Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>] >>\nstartxref".encode())

@@ -1,6 +1,6 @@
-"""Standard security handler (PDF 32000-1:2008 §7.6): RC4 (V1/V2, and V4
-crypt filters using V2).  AES (AESV2/AESV3) is not implemented yet — it
-raises a clear error and the row is totalized to status='error' upstream.
+"""Standard security handler (PDF 32000-1:2008 §7.6 + ISO 32000-2 R6):
+RC4 (V1/V2/V4-V2), AES-128-CBC (V4 AESV2) and AES-256-CBC (V5 R5/R6
+AESV3), all pure Python (engine/aes.py).
 
 The reference attempts an empty-password decrypt automatically
 (`maybe_decrypt`, src/lib.rs:2230-2244); same default here.
@@ -11,6 +11,7 @@ import hashlib
 import struct
 from typing import Optional
 
+from .aes import aes_cbc_decrypt, aes_cbc_no_pad_decrypt
 from .objects import Name, PdfError, PdfString, Ref, Stream, maybe_deref
 
 PAD = bytes([
@@ -36,6 +37,33 @@ def rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash."""
+    from .aes import _expand_key, _encrypt_block
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        w, nr = _expand_key(k[0:16])
+        prev = k[16:32]
+        e = bytearray()
+        for off in range(0, len(k1), 16):
+            block = bytes(p ^ v for p, v in zip(k1[off:off + 16], prev))
+            prev = _encrypt_block(w, nr, block)
+            e += prev
+        e = bytes(e)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class StandardSecurityHandler:
     def __init__(self, doc, password: str = ""):
         enc_ref = doc.trailer.get(b"Encrypt")
@@ -56,21 +84,33 @@ class StandardSecurityHandler:
             raise PdfError("missing O/U")
         ids = maybe_deref(doc, doc.trailer.get(b"ID"))
         id0 = bytes(ids[0]) if isinstance(ids, list) and ids and isinstance(ids[0], PdfString) else b""
-        self.aes = False
-        if self.v == 4 or self.v == 5:
+
+        # cipher from crypt filters (V4/V5); V1/V2 => RC4
+        self.cipher = "rc4"
+        if self.v in (4, 5):
             cf = maybe_deref(doc, enc.get(b"CF")) or {}
             stmf = enc.get(b"StmF")
             stmf_name = bytes(stmf) if isinstance(stmf, Name) else b"Identity"
             cfd = maybe_deref(doc, cf.get(stmf_name)) if isinstance(cf, dict) else None
             cfm = cfd.get(b"CFM") if isinstance(cfd, dict) else None
-            if isinstance(cfm, Name) and bytes(cfm) in (b"AESV2", b"AESV3"):
-                self.aes = True
-        if self.v == 5 or self.aes:
-            raise PdfError("AES-encrypted PDFs not supported yet (AESV2/AESV3)")
+            cfm_b = bytes(cfm) if isinstance(cfm, Name) else b""
+            if cfm_b == b"AESV2":
+                self.cipher = "aes128"
+                self.key_len = 16
+            elif cfm_b == b"AESV3":
+                self.cipher = "aes256"
+            elif cfm_b == b"V2":
+                self.cipher = "rc4"
+            elif self.v == 5:
+                self.cipher = "aes256"
+
+        if self.v == 5:
+            self._init_v5(bytes(o), bytes(u), enc, password)
+            return
         if self.v not in (1, 2, 4):
             raise PdfError(f"unsupported encryption V={self.v}")
 
-        # Algorithm 2: compute the encryption key
+        # Algorithm 2: compute the RC4/AES-128 encryption key
         pw = password.encode("latin-1", "replace")
         padded = (pw + PAD)[:32]
         h = hashlib.md5()
@@ -87,10 +127,26 @@ class StandardSecurityHandler:
                 key = hashlib.md5(key[:n]).digest()
         self.key = key[:n]
 
-        # verify the password via U (Algorithm 4/5); empty password must
-        # actually validate or we report IncorrectPassword like lopdf
         if not self._check_user_password(bytes(u), id0):
             raise PdfError("IncorrectPassword")
+
+    def _init_v5(self, o: bytes, u: bytes, enc: dict, password: str) -> None:
+        """R5 (deprecated Adobe ext.) / R6 (ISO 32000-2) AES-256."""
+        pw = password.encode("utf-8")[:127]
+        ue = enc.get(b"UE")
+        if not isinstance(ue, PdfString):
+            raise PdfError("missing UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if self.r >= 6:
+            if _hash_r6(pw, vsalt)[:32] != u[:32]:
+                raise PdfError("IncorrectPassword")
+            ikey = _hash_r6(pw, ksalt)
+        else:  # R5
+            if hashlib.sha256(pw + vsalt).digest() != u[:32]:
+                raise PdfError("IncorrectPassword")
+            ikey = hashlib.sha256(pw + ksalt).digest()
+        self.key = aes_cbc_no_pad_decrypt(ikey, bytes(16), bytes(ue))[:32]
+        self.cipher = "aes256"
 
     def _check_user_password(self, u: bytes, id0: bytes) -> bool:
         if self.r == 2:
@@ -110,10 +166,16 @@ class StandardSecurityHandler:
         h.update(self.key)
         h.update(struct.pack("<i", num)[:3])
         h.update(struct.pack("<i", gen)[:2])
+        if self.cipher == "aes128":
+            h.update(b"sAlT")
         n = min(len(self.key) + 5, 16)
         return h.digest()[:n]
 
     def decrypt_bytes(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.cipher == "aes256":
+            return aes_cbc_decrypt(self.key, data)
+        if self.cipher == "aes128":
+            return aes_cbc_decrypt(self.object_key(num, gen), data)
         return rc4(self.object_key(num, gen), data)
 
 

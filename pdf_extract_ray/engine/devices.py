@@ -201,3 +201,72 @@ class HTMLOutput(OutputDev):
                 f'font-size:{fs}px">{text}</div>')
         self._buf = []
         self._pos = None
+
+
+def _fmt(v: float) -> str:
+    """Float formatting like Rust's `{}` Display: shortest round-trip
+    repr, integral values without a trailing '.0'."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+class SVGOutput(OutputDev):
+    """Page -> SVG; emits fill paths, no text (reference SVGOutput,
+    src/lib.rs:1995-2087): svg header with viewBox from art-box or
+    media-box, a flip-y group, one <g><path> per fill event."""
+
+    def __init__(self):
+        self.parts: List[str] = []
+
+    def get_svg(self) -> str:
+        return "".join(self.parts)
+
+    def begin_page(self, page_num, media_box, art_box) -> None:
+        self.parts.append('<?xml version="1.0" encoding="UTF-8" ?>\n')
+        self.parts.append('<!DOCTYPE svg PUBLIC "-//W3C//DTD SVG 1.1//EN" '
+                          '"http://www.w3.org/Graphics/SVG/1.1/DTD/svg11.dtd">')
+        if art_box is not None:
+            width = art_box[2] - art_box[0]
+            height = art_box[3] - art_box[1]
+            y = media_box[3] - art_box[1] - height
+            vb = (art_box[0], y, width, height)
+        else:
+            width = media_box[2] - media_box[0]
+            height = media_box[3] - media_box[1]
+            vb = (media_box[0], media_box[1], width, height)
+        self.parts.append(
+            f'<svg width="{_fmt(width)}" height="{_fmt(height)}" '
+            f'xmlns="http://www.w3.org/2000/svg" version="1.1" '
+            f"viewBox='{_fmt(vb[0])} {_fmt(vb[1])} {_fmt(vb[2])} {_fmt(vb[3])}'>")
+        self.parts.append("\n")
+        # scale(1,-1) then translate(0, ury): flip page space
+        self.parts.append(
+            f"<g transform='matrix(1, 0, 0, -1, 0, {_fmt(media_box[3])})'>\n")
+
+    def end_page(self) -> None:
+        self.parts.append("</g>\n</svg>")
+
+    def fill(self, ctm, colorspace, color, path) -> None:
+        m = ctm
+        self.parts.append(
+            f"<g transform='matrix({_fmt(m[0])}, {_fmt(m[1])}, {_fmt(m[2])}, "
+            f"{_fmt(m[3])}, {_fmt(m[4])}, {_fmt(m[5])})'>")
+        d = []
+        for op in path:
+            if op[0] == "m":
+                d.append(f"M{_fmt(op[1])} {_fmt(op[2])}")
+            elif op[0] == "l":
+                d.append(f"L{_fmt(op[1])} {_fmt(op[2])}")
+            elif op[0] == "c":
+                d.append("C" + " ".join(_fmt(v) for v in op[1:7]))
+            elif op[0] == "h":
+                d.append("Z")
+            elif op[0] == "re":
+                x, y, w, h = op[1], op[2], op[3], op[4]
+                d.append(f"M{_fmt(x)} {_fmt(y)}")
+                d.append(f"L{_fmt(x + w)} {_fmt(y)}")
+                d.append(f"L{_fmt(x + w)} {_fmt(y + h)}")
+                d.append(f"L{_fmt(x)} {_fmt(y + h)}")
+                d.append("Z")
+        self.parts.append(f"<path d='{' '.join(d)}' /></g>\n")

@@ -1,0 +1,98 @@
+"""Event-stream operators: windowed aggregation and sessionization.
+
+The reference is batch-only (SURVEY.md §2.8) — these are the rebuild-level
+streaming-shaped operators a training-data pipeline needs (the brief's
+"windowed aggregate" custom-operator class), expressed Ray-Data-first:
+
+- tumbling window aggregate: floor the timestamp to the window inside
+  `map_batches` (vectorized), then ONE groupby over (window, key) with
+  native aggregates — the pre-aggregation happens in the map stage.
+- sessionization (gap-based): partition by user via groupby, order rows
+  within the group by time, split where the gap exceeds the threshold.
+  Partitioning assumption (documented per the brief): one user's events
+  fit in one group's memory; hot users would need salting by day first.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hourly_event_stats(ds):
+    """-> (hour, event_type, n_events, total_value); hour = ts floored."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.Table.from_arrays(
+            [hour, batch.column("event_type"), batch.column("value")],
+            names=["hour", "event_type", "value"])
+
+    agg = ds.map_batches(add_window, batch_format="pyarrow") \
+            .groupby(["hour", "event_type"]).aggregate(Count(), Sum("value"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        # integer cents: double-sum low-order bits are summation-order
+        # dependent, so emit an exactly-comparable integer
+        s = b.column("sum(value)").to_numpy(zero_copy_only=False)
+        cents = np.rint(np.asarray(s, dtype=np.float64) * 100.0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [b.column("hour"), b.column("event_type"),
+             pc.cast(b.column("count()"), pa.int64()),
+             pa.array(cents, pa.int64())],
+            names=["hour", "event_type", "n_events", "total_value_cents"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize(ds, gap_minutes: int = 30):
+    """-> (user_id, n_sessions, n_events): gap-based sessions per user."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for user_id, g in df.groupby("user_id", sort=False):
+            ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+            if len(ts) == 0:
+                continue
+            n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
+            out.append((int(user_id), n_sessions, int(len(ts))))
+        return pd.DataFrame(out, columns=["user_id", "n_sessions", "n_events"]
+                            ).astype({"user_id": "int64",
+                                      "n_sessions": "int64",
+                                      "n_events": "int64"})
+
+    # partition-level grouping: users hashed into bounded partitions
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
+
+
+def top_customers_by_spend(orders_ds, customer_lookup: dict, k: int = 10):
+    """Broadcast-join demo: per-customer order totals (one groupby over
+    (custkey, totalprice)), then the tiny top-k joined against a
+    broadcast customer-name dict — no shuffle join for the small side.
+
+    `customer_lookup`: {c_custkey: c_name} (caller broadcasts via ray.put
+    when used inside map_batches; here the join happens on the tiny top-k
+    result, driver-side)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = orders_ds.groupby("o_custkey").aggregate(Sum("o_totalprice"), Count())
+    top = agg.sort(["sum(o_totalprice)", "o_custkey"],
+                   descending=[True, False]).limit(k).take_all()
+    rows = []
+    for rank, r in enumerate(top, start=1):
+        ck = r["o_custkey"]
+        # integer cents: double-sum low-order bits are order-dependent
+        cents = int(np.rint(float(r["sum(o_totalprice)"]) * 100.0))
+        rows.append((rank, int(ck), customer_lookup.get(ck, ""),
+                     cents, int(r["count()"])))
+    return pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int64()),
+         pa.array([r[2] for r in rows], pa.string()),
+         pa.array([r[3] for r in rows], pa.int64()),
+         pa.array([r[4] for r in rows], pa.int64())],
+        names=["rank", "c_custkey", "c_name", "total_spend_cents", "n_orders"])

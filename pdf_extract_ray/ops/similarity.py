@@ -118,6 +118,82 @@ def lsh_bucketed(ds, *, dim: int, n_bits: int = 10, concurrency=None):
                           concurrency=concurrency)
 
 
+def lsh_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
+             k: int = 10, n_bits: int = 8, probe_hamming: int = 1):
+    """Scale-path ANN: hyperplane-LSH bucketing + multi-probe.
+
+    Each query scans only the corpus rows whose bucket is within
+    `probe_hamming` bit flips of the query's bucket (multi-probe LSH), so
+    the per-query work drops from O(corpus) to O(corpus / 2^n_bits *
+    n_probes).  Candidate buckets are broadcast as a filter; the scan is
+    the same batched matmul as brute force.  Approximate: recall depends
+    on n_bits/probe_hamming (documented; the brute-force operator is the
+    exact baseline)."""
+    import ray
+    lsh = HyperplaneLSH(dim, n_bits)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_buckets = lsh.bucket(q)
+    probe: set = set()
+    for b in q_buckets:
+        probe.add(int(b))
+        if probe_hamming >= 1:
+            for bit in range(n_bits):
+                probe.add(int(b) ^ (1 << bit))
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        probe_set = ray.get(probe_ref)
+        qm = ray.get(q_ref)
+        vecs = _normalize(_stack(batch.column("embedding")))
+        buckets = HyperplaneLSH(qm.shape[1], n_bits).bucket(vecs)
+        mask = np.fromiter((int(b) in probe_set for b in buckets),
+                           dtype=bool, count=len(buckets))
+        if not mask.any():
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int32()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["q_idx", "neighbor_id", "cos_sim"])
+        vecs = vecs[mask]
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)[mask]
+        sims = qm @ vecs.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int32()), pa.array(out_n, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["q_idx", "neighbor_id", "cos_sim"])
+
+    candidates = ds.map_batches(partial, batch_format="pyarrow")
+    best: List[List[Tuple[float, int]]] = [[] for _ in query_ids]
+    for b in candidates.iter_batches(batch_format="pyarrow"):
+        for qi, nid, s in zip(b.column("q_idx").to_pylist(),
+                              b.column("neighbor_id").to_pylist(),
+                              b.column("cos_sim").to_pylist()):
+            if nid == query_ids[qi]:
+                continue
+            heapq.heappush(best[qi], (s, -nid))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out_q, out_n, out_r = [], [], []
+    for qi, qid in enumerate(query_ids):
+        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, neg_nid) in enumerate(ranked, start=1):
+            out_q.append(qid)
+            out_n.append(-neg_nid)
+            out_r.append(rank)
+    return pa.Table.from_arrays(
+        [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
+         pa.array(out_r, pa.int64())],
+        names=["query_id", "neighbor_id", "rank"])
+
+
 def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
                          n_bits: int = 8):
     """Embedding-cosine near-dup pairs: LSH bucket groupby + exact cosine

@@ -1,18 +1,19 @@
 """The flagship Ray Data pipeline: Common-Crawl-style pages -> extracted text.
 
     read_parquet(columns=[url, html])
-      -> map_batches(ExtractBatch, actor pool, batch_format="pyarrow")
+      -> map_batches(extract UDF, batch_format="pyarrow")
       -> write_parquet(out/part=K/) + per-partition manifest (lineage+metrics)
 
 Design notes (scale):
 - Column pruning at the read: only `url` and `html` leave storage.
-- The per-row transform is CPU-bound and wildly variable in cost (a 40-page
-  PDF vs a 2 KB HTML page), so batches are SMALL (default 16 rows) and the
-  stage is an actor pool: static tables + warm caches load once per actor
-  (`__init__`), not per batch; Ray's streaming executor load-balances
-  batches across the pool, which absorbs size skew without a keyed
-  shuffle.  Giant payloads are additionally split into their own batches
-  by Ray's dynamic block splitting (target_max_block_size).
+- The extraction stage runs as task-compute map_batches on Ray's warm,
+  reused worker processes (static tables + font/CMap caches are
+  per-process module state; no per-execution actor spin-up); an explicit
+  actor-pool mode exists for heavier per-actor state.  The per-row cost is
+  wildly variable (a 40-page PDF vs a 2 KB HTML page): the streaming
+  executor load-balances batches across workers, which absorbs moderate
+  skew without a keyed shuffle, and `extract_dataset_bucketed` routes
+  giant payloads into their own tiny batches for heavy-tailed corpora.
 - Checkpoint/resume: input files are hash-grouped into partitions; each
   partition streams independently and finishes by writing
   `manifest/part-K.json` with lineage (input files, row counts) and
@@ -173,6 +174,39 @@ def extract_dataset(ds, *, batch_size: int = 64, compute: str = "tasks",
     return ds.map_batches(fn, batch_size=batch_size, batch_format="pyarrow")
 
 
+def extract_dataset_bucketed(ds_factory, *, threshold_bytes: int = 256 * 1024,
+                             small_batch: int = 64, giant_batch: int = 2,
+                             with_spans: bool = True):
+    """Skew-defused extraction: giant payloads get their own tiny batches.
+
+    `ds_factory()` must return a fresh (url, html) Dataset; two filtered
+    branches are built from it (small rows -> batch_size=`small_batch`,
+    rows >= threshold -> batch_size=`giant_batch`) and unioned.  Design
+    choice: the filter re-scans the column-pruned input once per branch —
+    for a 2-column projection this is far cheaper than the alternative
+    (an all-to-all repartition keyed on payload size, which would move
+    EVERY payload byte through the object store).  The small batch bound
+    keeps worker heap at ~giant_batch x max_payload regardless of skew.
+    """
+    import pyarrow.compute as pc_
+
+    def small_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc_.less(pc_.binary_length(b.column("html")),
+                                 threshold_bytes))
+
+    def giant_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc_.greater_equal(pc_.binary_length(b.column("html")),
+                                          threshold_bytes))
+
+    small = extract_dataset(
+        ds_factory().map_batches(small_only, batch_format="pyarrow"),
+        batch_size=small_batch, with_spans=with_spans)
+    giant = extract_dataset(
+        ds_factory().map_batches(giant_only, batch_format="pyarrow"),
+        batch_size=giant_batch, with_spans=with_spans)
+    return small.union(giant)
+
+
 def read_pages(input_path, *, columns=("url", "html")):
     """Column-pruned read of the pages table."""
     import ray
@@ -199,8 +233,9 @@ def _list_parquet_files(input_dir: str) -> List[str]:
 
 
 def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int] = None,
-                batch_size: int = 16, concurrency=None, with_spans: bool = True,
-                resume: bool = True) -> Dict:
+                batch_size: int = 64, concurrency=None, with_spans: bool = True,
+                resume: bool = True, size_buckets: bool = False,
+                size_threshold_bytes: int = 256 * 1024) -> Dict:
     """Checkpointed flagship run.  Returns the job-level metrics dict.
 
     Each partition = a group of input files; completed partitions are
@@ -226,7 +261,9 @@ def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int
             job["skipped_partitions"] += 1
             continue
         metrics = _run_partition(pid, group, output_dir, batch_size=batch_size,
-                                 concurrency=concurrency, with_spans=with_spans)
+                                 concurrency=concurrency, with_spans=with_spans,
+                                 size_buckets=size_buckets,
+                                 size_threshold_bytes=size_threshold_bytes)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(metrics, f, indent=1)
@@ -242,13 +279,20 @@ def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int
 
 
 def _run_partition(pid: int, files: List[str], output_dir: str, *,
-                   batch_size: int, concurrency, with_spans: bool) -> Dict:
+                   batch_size: int, concurrency, with_spans: bool,
+                   size_buckets: bool = False,
+                   size_threshold_bytes: int = 256 * 1024) -> Dict:
     import ray
     part_dir = os.path.join(output_dir, f"part={pid:05d}")
     t0 = time.perf_counter()
-    ds = read_pages(files)
-    result = extract_dataset(ds, batch_size=batch_size, concurrency=concurrency,
-                             with_spans=with_spans)
+    if size_buckets:
+        result = extract_dataset_bucketed(
+            lambda: read_pages(files), threshold_bytes=size_threshold_bytes,
+            small_batch=batch_size, with_spans=with_spans)
+    else:
+        ds = read_pages(files)
+        result = extract_dataset(ds, batch_size=batch_size, concurrency=concurrency,
+                                 with_spans=with_spans)
     result.write_parquet(part_dir)
     t1 = time.perf_counter()
     # cheap metrics pass: column-pruned read of the partition output

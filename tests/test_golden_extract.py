@@ -93,3 +93,32 @@ def test_deterministic_bytes():
     a = pdfgen.pdf_identity_h()
     b = pdfgen.pdf_identity_h()
     assert a == b
+
+
+def test_aes128_encrypted_auto_empty_password():
+    """V4/R4 AESV2 (AES-128-CBC) with empty password."""
+    pdf = pdfgen.pdf_aes128_encrypted("aes secret")
+    assert extract_text_from_mem(pdf) == "\n\naes secret"
+
+
+def test_aes256_encrypted_auto_empty_password():
+    """V5/R6 AESV3 (AES-256-CBC, ISO 32000-2) with empty password."""
+    pdf = pdfgen.pdf_aes256_encrypted("aes256 secret")
+    assert extract_text_from_mem(pdf) == "\n\naes256 secret"
+
+
+def test_svg_device_paths():
+    from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+    from pdf_extract_ray.engine import SVGOutput, load_document, output_doc
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content = b"10 20 m 100 20 l 100 120 l h f 50 50 30 40 re f"
+    root = _single_page(b, {"F1": f1}, content)
+    dev = SVGOutput()
+    output_doc(load_document(b.build(root)), dev)
+    svg = dev.get_svg()
+    assert svg.startswith('<?xml version="1.0"')
+    assert "viewBox='0 0 612 792'" in svg
+    assert "M10 20 L100 20 L100 120 Z" in svg
+    assert "M50 50 L80 50 L80 90 L50 90 Z" in svg  # re -> 4 lines + close
+    assert svg.endswith("</g>\n</svg>")

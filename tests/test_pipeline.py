@@ -115,3 +115,18 @@ def test_output_partitioned(extract_run):
     _in, out_dir, _job = extract_run
     parts = glob.glob(os.path.join(out_dir, "part=*"))
     assert len(parts) > 1  # never one giant file
+
+
+def test_size_bucketed_same_results(extract_run, ray_session, tmp_path):
+    """The skew-bucketed pipeline produces the same rows as the plain one."""
+    in_dir, plain_out, _job = extract_run
+    out_dir = str(tmp_path / "bucketed")
+    job = run_extract(in_dir, out_dir, size_buckets=True,
+                      size_threshold_bytes=4096)
+    assert job["rows"] == N_ROWS
+    got = load_results(out_dir)
+    want = load_results(plain_out)
+    assert set(got) == set(want)
+    for url, r in got.items():
+        assert r["extracted_text"] == want[url]["extracted_text"], url
+        assert r["status"] == want[url]["status"], url
