@@ -20,7 +20,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .htmlgen import html_article, html_linkfarm, html_malformed, html_nested
-from .pdfgen import (pdf_flate_xrefstream, pdf_identity_h, pdf_macroman,
+from .pdfgen import (pdf_aes128_encrypted, pdf_cff_type1c,
+                     pdf_flate_xrefstream, pdf_identity_h, pdf_macroman,
                      pdf_multiline_layout, pdf_multipage, pdf_q_q_cm,
                      pdf_simple_helvetica, pdf_tj_array, pdf_tounicode_bfchar,
                      pdf_type3, pdf_winansi_differences, pdf_xobject_form,
@@ -63,7 +64,12 @@ def make_payload(i: int, giant: bool = False) -> bytes:
     if cls == 0:
         return pdf_simple_helvetica(f"Document {i}: " + _lorem(i, 12 + i % 30))
     if cls == 1:
-        return pdf_multiline_layout() if i % 2 else pdf_tj_array()
+        k = i % 3
+        if k == 0:
+            return pdf_tj_array()
+        if k == 1:
+            return pdf_multiline_layout()
+        return pdf_aes128_encrypted(f"rc4aes {i}")
     if cls == 2:
         return pdf_winansi_differences() if i % 2 else pdf_macroman()
     if cls == 3:
@@ -71,7 +77,12 @@ def make_payload(i: int, giant: bool = False) -> bytes:
     if cls == 4:
         return pdf_multipage(n_pages=2 + i % 4, compress=bool(i % 2))
     if cls == 5:
-        return pdf_xobject_form() if i % 3 else pdf_type3()
+        k = i % 3
+        if k == 0:
+            return pdf_type3()
+        if k == 1:
+            return pdf_xobject_form()
+        return pdf_cff_type1c()
     if cls == 6:
         if i % 3 == 0:
             return pdf_flate_xrefstream(f"xref stream doc {i}")
@@ -124,7 +135,7 @@ def pages_parquet_path(n_rows: int, n_giants: int = 0,
 
     Sharded so the Ray reader can parallelize; cache key includes the
     generator parameters."""
-    key = f"pages_n{n_rows}_g{n_giants}_s{n_shards}"
+    key = f"pages_v2_n{n_rows}_g{n_giants}_s{n_shards}"
     out_dir = os.path.join(cache_dir, key)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):

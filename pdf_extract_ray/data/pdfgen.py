@@ -513,3 +513,68 @@ def pdf_aes256_encrypted(text: str = "aes256 secret") -> bytes:
     return raw.replace(
         b" >>\nstartxref",
         f" /Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>] >>\nstartxref".encode())
+
+
+def _cff_minimal() -> bytes:
+    """Minimal Type1C font program: 2 glyphs, custom encoding
+    (0x41 -> custom-string glyph 'eacute' via SID 391, 0x42 -> 'A'/SID 34)."""
+    def index(items):
+        if not items:
+            return (0).to_bytes(2, "big")
+        data = b"".join(items)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        osz = 1 if offs[-1] < 256 else 2
+        out = len(items).to_bytes(2, "big") + bytes([osz])
+        for o in offs:
+            out += o.to_bytes(osz, "big")
+        return out + data
+
+    def dict_int(v, op):
+        b = bytes([29]) + (v & 0xFFFFFFFF).to_bytes(4, "big")
+        return b + bytes([op])
+
+    header = bytes([1, 0, 4, 4])
+    name_idx = index([b"TestCFF"])
+    string_idx = index([b"eacute"])
+    gsubr = index([])
+    charset = bytes([0]) + (391).to_bytes(2, "big") + (34).to_bytes(2, "big")
+    encoding = bytes([0, 2, 0x41, 0x42])
+    charstrings = index([bytes([14])] * 3)  # .notdef + 2 glyphs, endchar
+
+    def build(charset_off, enc_off, cs_off):
+        top = (dict_int(charset_off, 15) + dict_int(enc_off, 16)
+               + dict_int(cs_off, 17))
+        top_idx = index([top])
+        pre = header + name_idx + top_idx + string_idx + gsubr
+        a = len(pre)
+        b_ = a + len(charset)
+        c = b_ + len(encoding)
+        return pre + charset + encoding + charstrings, a, b_, c
+
+    _blob, a, b_, c = build(0, 0, 0)
+    blob, a2, b2, c2 = build(a, b_, c)
+    assert (a2, b2, c2) == (a, b_, c)
+    return blob
+
+
+def pdf_cff_type1c(text: str = "AB") -> bytes:
+    """Simple font whose unicode map comes from an embedded Type1C (CFF)
+    charset/encoding (ref src/lib.rs:406-442).  'A' decodes via the custom
+    string-index glyph (eacute), 'B' via standard-string SID."""
+    b = PdfBuilder()
+    cff = b.stream("<< /Subtype /Type1C >>", _cff_minimal())
+    desc = b.add(f"<< /Type /FontDescriptor /FontName /TestCFF /Flags 4 "
+                 f"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                 f"/Descent -200 /CapHeight 700 /StemV 80 "
+                 f"/FontFile3 {cff} 0 R >>".encode())
+    f1 = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+               f"/FirstChar 65 /LastChar 66 /Widths [500 500] "
+               f"/FontDescriptor {desc} 0 R >>".encode())
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+PDF_GENERATORS["pdf_cff_type1c"] = pdf_cff_type1c

@@ -219,12 +219,23 @@ class PdfSimpleFont(_Simple256Font):
             if isinstance(font_file3, Stream):
                 ff3_subtype = get_name_string(doc, font_file3.dict, b"Subtype")
                 if ff3_subtype == "Type1C":
-                    # The reference parses the embedded CFF charset into a
-                    # unicode map (src/lib.rs:406-442).  We degrade
-                    # gracefully (documented in SURVEY.md §7 step 3): no
-                    # CFF-derived map; ToUnicode / Encoding still apply.
-                    log.warning("Type1C (CFF) charset parsing not implemented; "
-                                "falling back to Encoding/ToUnicode for %s", base_name)
+                    # embedded CFF charset/encoding -> unicode map
+                    # (src/lib.rs:406-442): skip .notdef, glyph-name ->
+                    # unicode with Zapf fallback, warn+skip unknown names
+                    from .cff import cff_code_to_names
+                    code_names = cff_code_to_names(_get_contents(font_file3, doc))
+                    mapping: Dict[int, str] = {}
+                    for code, nm in code_names.items():
+                        if nm == ".notdef":
+                            continue
+                        u = GLYPH_NAME_TO_UNICODE.get(nm)
+                        if u is None:
+                            u = ZAPF_NAME_TO_UNICODE.get(nm)
+                        if u is None:
+                            log.warning("Couldn't find unicode for %s", nm)
+                            continue
+                        mapping[code] = chr(u)
+                    unicode_map = mapping
 
         tounicode = get_unicode_map(doc, font)
         if unicode_map is not None:

@@ -122,3 +122,37 @@ def test_svg_device_paths():
     assert "M10 20 L100 20 L100 120 Z" in svg
     assert "M50 50 L80 50 L80 90 L50 90 Z" in svg  # re -> 4 lines + close
     assert svg.endswith("</g>\n</svg>")
+
+
+def test_cff_type1c_unicode_map():
+    """Embedded Type1C charset drives decode: custom string-index glyph
+    (SID>=391) and standard-string SID both resolve."""
+    pdf = pdfgen.pdf_cff_type1c("AB")
+    assert extract_text_from_mem(pdf) == "\n\néA"
+
+
+def test_cff_tounicode_overrides_cff_map():
+    """ToUnicode entries extend/override the CFF-derived map
+    (ref src/lib.rs:452-460)."""
+    import re
+    pdf = pdfgen.pdf_cff_type1c("AB")
+    # splice a ToUnicode CMap mapping 0x41 -> U+2603 into the font dict
+    cmap = (b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfchar <41> <2603> endbfchar\n")
+    from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page, _esc
+    b = PdfBuilder()
+    from pdf_extract_ray.data.pdfgen import _cff_minimal
+    cff = b.stream("<< /Subtype /Type1C >>", _cff_minimal())
+    cm = b.stream("<< >>", cmap)
+    desc = b.add(f"<< /Type /FontDescriptor /FontName /TestCFF /Flags 4 "
+                 f"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                 f"/Descent -200 /CapHeight 700 /StemV 80 "
+                 f"/FontFile3 {cff} 0 R >>".encode())
+    f1 = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+               f"/FirstChar 65 /LastChar 66 /Widths [500 500] "
+               f"/ToUnicode {cm} 0 R "
+               f"/FontDescriptor {desc} 0 R >>".encode())
+    content = b"BT /F1 12 Tf 72 700 Td (AB) Tj ET"
+    root = _single_page(b, {"F1": f1}, content)
+    out = extract_text_from_mem(b.build(root))
+    assert out == "\n\n☃A"  # ToUnicode wins for A; CFF map for B
