@@ -122,3 +122,53 @@ def sample_frames(ds, *, every_n: int = 30, batch_size: int = 4, concurrency=Non
                           fn_constructor_kwargs={"every_n": every_n},
                           batch_size=batch_size, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+AUDIO_FEATURES_SCHEMA = pa.schema([
+    pa.field("item_id", pa.int64()),
+    pa.field("duration_s", pa.float32()),
+    pa.field("sample_rate", pa.int32()),
+    pa.field("mfcc", pa.list_(pa.float32())),
+    pa.field("status", pa.string()),
+])
+
+
+class AudioFeatureBatch:
+    """Audio decode/feature stage (STUB decoder, real plumbing): emits
+    duration/sample-rate metadata + a fixed-width pseudo-MFCC vector."""
+
+    def __init__(self, n_mfcc: int = 13):
+        # production: load the audio codec / feature extractor ONCE here
+        self.n_mfcc = n_mfcc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        durs, srs, mfccs, status = [], [], [], []
+        for payload in payloads:
+            payload = payload or b""
+            if not payload:
+                durs.append(0.0)
+                srs.append(0)
+                mfccs.append([])
+                status.append("error: empty")
+                continue
+            digest = hashlib.sha256(payload).digest()
+            durs.append(len(payload) / 32000.0)  # STUB: 16 kHz 16-bit mono
+            srs.append(16000)
+            feats = np.frombuffer(digest[:self.n_mfcc * 2], dtype=np.uint16)
+            mfccs.append((feats.astype(np.float32) / 655.35 - 50.0).tolist())
+            status.append("ok")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(durs, pa.float32()),
+             pa.array(srs, pa.int32()), pa.array(mfccs, pa.list_(pa.float32())),
+             pa.array(status, pa.string())],
+            schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features(ds, *, batch_size: int = 8, concurrency=None):
+    from ..util import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(AudioFeatureBatch, batch_size=batch_size,
+                          batch_format="pyarrow", concurrency=concurrency)

@@ -1,0 +1,202 @@
+"""Document-parser edge cases: incremental updates (Prev chains), broken
+xref recovery, object streams, stream Length quirks, filters."""
+import zlib
+
+import pytest
+
+from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+from pdf_extract_ray.engine import extract_text_from_mem, load_document
+from pdf_extract_ray.engine.filters import decode_stream
+from pdf_extract_ray.engine.objects import Ref, Stream
+
+
+def base_pdf(text="original"):
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    root = _single_page(b, {"F1": f1}, f"BT /F1 12 Tf 72 700 Td ({text}) Tj ET".encode())
+    return b, root
+
+
+class TestIncrementalUpdate:
+    def test_prev_chain_overrides_object(self):
+        """An appended update section replaces the content stream; the
+        newest xref wins, older offsets still resolve via Prev."""
+        b, root = base_pdf("original")
+        raw = bytearray(b.build(root))
+        # object 2 is the content stream (font=1, content=2)
+        new_content = b"BT /F1 12 Tf 72 700 Td (updated) Tj ET"
+        update_off = len(raw)
+        body = (f"2 0 obj\n<< /Length {len(new_content)} >>\nstream\n".encode()
+                + new_content + b"\nendstream\nendobj\n")
+        raw += body
+        new_xref_off = len(raw)
+        old_startxref = int(bytes(raw).rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+        raw += (f"xref\n2 1\n{update_off:010d} 00000 n \n"
+                f"trailer\n<< /Size 6 /Root {root} 0 R /Prev {old_startxref} >>\n"
+                f"startxref\n{new_xref_off}\n%%EOF\n").encode()
+        assert extract_text_from_mem(bytes(raw)) == "\n\nupdated"
+
+    def test_broken_startxref_recovers_by_scan(self):
+        b, root = base_pdf("recovered")
+        raw = b.build(root)
+        # corrupt the startxref offset
+        broken = raw.replace(b"startxref\n", b"startxref\n9999")
+        assert extract_text_from_mem(broken) == "\n\nrecovered"
+
+    def test_no_trailer_finds_catalog_by_scan(self):
+        b, root = base_pdf("scanned")
+        raw = b.build(root)
+        # chop everything from `xref` on
+        body_only = raw[:raw.rfind(b"xref")]
+        assert extract_text_from_mem(bytes(body_only)) == "\n\nscanned"
+
+
+class TestStreams:
+    def test_indirect_length(self):
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        content = b"BT /F1 12 Tf 72 700 Td (indirect len) Tj ET"
+        len_obj = b.add(str(len(content)).encode())
+        cn = b.add(f"<< /Length {len_obj} 0 R >>".encode()
+                   + b"\nstream\n" + content + b"\nendstream")
+        page = b.add(f"<< /Type /Page /Parent {{PARENT}} /MediaBox [0 0 612 792] "
+                     f"/Resources << /Font << /F1 {f1} 0 R >> >> "
+                     f"/Contents {cn} 0 R >>".encode())
+        pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+        b.bodies[page - 1] = b.bodies[page - 1].replace(b"{PARENT}", f"{pages} 0 R".encode())
+        root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+        assert extract_text_from_mem(b.build(root)) == "\n\nindirect len"
+
+    def test_wrong_length_falls_back_to_scan(self):
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        content = b"BT /F1 12 Tf 72 700 Td (bad len) Tj ET"
+        cn = b.add(b"<< /Length 9999 >>\nstream\n" + content + b"\nendstream")
+        page = b.add(f"<< /Type /Page /Parent {{PARENT}} /MediaBox [0 0 612 792] "
+                     f"/Resources << /Font << /F1 {f1} 0 R >> >> "
+                     f"/Contents {cn} 0 R >>".encode())
+        pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+        b.bodies[page - 1] = b.bodies[page - 1].replace(b"{PARENT}", f"{pages} 0 R".encode())
+        root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+        assert extract_text_from_mem(b.build(root)) == "\n\nbad len"
+
+    def test_multiple_content_streams_concatenated(self):
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        c1 = b.stream("<< >>", b"BT /F1 12 Tf 72 700 Td (part one")
+        c2 = b.stream("<< >>", b" part two) Tj ET")
+        page = b.add(f"<< /Type /Page /Parent {{PARENT}} /MediaBox [0 0 612 792] "
+                     f"/Resources << /Font << /F1 {f1} 0 R >> >> "
+                     f"/Contents [{c1} 0 R {c2} 0 R] >>".encode())
+        pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+        b.bodies[page - 1] = b.bodies[page - 1].replace(b"{PARENT}", f"{pages} 0 R".encode())
+        root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+        # split literal across streams: lexer joins with newline -> the
+        # string contains "one\n part two"
+        out = extract_text_from_mem(b.build(root))
+        assert "part one" in out and "part two" in out
+
+
+class TestFilters:
+    def make(self, filters, raw):
+        return Stream({b"Filter": filters, b"Length": len(raw)}, raw)
+
+    def test_flate(self):
+        from pdf_extract_ray.engine.objects import Name
+        data = b"hello" * 10
+        s = self.make(Name(b"FlateDecode"), zlib.compress(data))
+        assert decode_stream(s) == data
+
+    def test_filter_chain_a85_flate(self):
+        import base64
+        from pdf_extract_ray.engine.objects import Name
+        data = b"chained!" * 5
+        enc = base64.a85encode(zlib.compress(data)) + b"~>"
+        s = self.make([Name(b"ASCII85Decode"), Name(b"FlateDecode")], enc)
+        assert decode_stream(s) == data
+
+    def test_ascii_hex(self):
+        from pdf_extract_ray.engine.objects import Name
+        s = self.make(Name(b"ASCIIHexDecode"), b"48 65 6C 6C 6F >")
+        assert decode_stream(s) == b"Hello"
+
+    def test_rle(self):
+        from pdf_extract_ray.engine.objects import Name
+        # literal run of 3 bytes + repeat 'X' 4 times + EOD
+        raw = bytes([2]) + b"abc" + bytes([253]) + b"X" + bytes([128])
+        s = self.make(Name(b"RunLengthDecode"), raw)
+        assert decode_stream(s) == b"abcXXXX"
+
+    def test_png_predictor_up(self):
+        from pdf_extract_ray.engine.objects import Name
+        # two rows of 4 bytes, filter type 2 (Up)
+        rows = bytes([2, 1, 1, 1, 1, 2, 1, 1, 1, 1])
+        parms = {b"Predictor": 12, b"Columns": 4, b"Colors": 1,
+                 b"BitsPerComponent": 8}
+        s = Stream({b"Filter": Name(b"FlateDecode"), b"DecodeParms": parms},
+                   zlib.compress(rows))
+        assert decode_stream(s) == bytes([1, 1, 1, 1, 2, 2, 2, 2])
+
+    def test_lzw(self):
+        from pdf_extract_ray.engine.objects import Name
+        # canonical LZW: encode by hand with the PDF early-change variant
+        # round-trip check via a tiny encoder
+        def lzw_encode(data):
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            out_bits = []
+            out_bits.append((256, width))  # clear
+            w = b""
+            for ch in data:
+                wc = w + bytes([ch])
+                if wc in table:
+                    w = wc
+                else:
+                    out_bits.append((table[w], width))
+                    table[wc] = next_code
+                    next_code += 1
+                    if next_code + 1 > (1 << width) and width < 12:
+                        width += 1
+                    w = bytes([ch])
+            if w:
+                out_bits.append((table[w], width))
+            out_bits.append((257, width))
+            bits = ""
+            for code, wd in out_bits:
+                bits += format(code, f"0{wd}b")
+            bits += "0" * ((8 - len(bits) % 8) % 8)
+            return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+        data = b"TOBEORNOTTOBEORTOBEORNOT"
+        s = self.make(__import__("pdf_extract_ray.engine.objects",
+                                 fromlist=["Name"]).Name(b"LZWDecode"),
+                      lzw_encode(data))
+        assert decode_stream(s) == data
+
+
+def test_audio_features_plumbing(ray_session):
+    import pyarrow as pa
+    import ray
+    from pdf_extract_ray.ops.multimodal import audio_features
+    tbl = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()),
+         pa.array([b"x" * 64000, b""], pa.binary())],
+        names=["item_id", "payload"])
+    out = audio_features(ray.data.from_arrow(tbl)).to_pandas()
+    by_id = {r.item_id: r for r in out.itertuples()}
+    assert by_id[1].status == "ok"
+    assert abs(by_id[1].duration_s - 2.0) < 1e-6
+    assert len(by_id[1].mfcc) == 13
+    assert by_id[2].status.startswith("error")
+
+
+def test_cli_roundtrip(tmp_path):
+    from pdf_extract_ray.cli import main
+    from pdf_extract_ray.data.pdfgen import pdf_simple_helvetica
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(pdf_simple_helvetica("cli text"))
+    assert main([str(p), "txt"]) == 0
+    assert (tmp_path / "doc.txt").read_text() == "\n\ncli text"
+    assert main([str(p), "svg"]) == 0
+    assert (tmp_path / "doc.svg").read_text().startswith("<?xml")
