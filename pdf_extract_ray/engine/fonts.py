@@ -76,6 +76,8 @@ _UNICODE_MAP_CACHE: "OrderedDict[bytes, Dict[int, str]]" = __import__(
     "collections").OrderedDict()
 _BYTE_MAPPING_CACHE: "OrderedDict[bytes, ByteMapping]" = __import__(
     "collections").OrderedDict()
+_CORE_WIDTHS_CACHE: "OrderedDict[tuple, tuple]" = __import__(
+    "collections").OrderedDict()
 _CACHE_MAX = 256
 
 
@@ -315,28 +317,47 @@ class PdfSimpleFont(_Simple256Font):
             # Helvetica" for non-core fonts but then compares metrics
             # against base_name, so non-core fonts get an empty width map
             # (every width = missing_width).  Replicated. (src/lib.rs:586-655)
-            for m_name, _m_enc, m_glyphs in CORE_FONT_METRICS:
-                if m_name == base_name:
-                    if encoding_table is not None:
-                        for g_code, g_width, g_name in m_glyphs:
-                            c = GLYPH_NAME_TO_UNICODE[g_name]  # KeyError == panic
+            # Cross-document cache: core fonts repeat constantly across a
+            # corpus; the (base_name, resolved encoding) pair fully
+            # determines the width map.
+            cache_key = (base_name,
+                         tuple(encoding_table) if encoding_table is not None else None)
+            cached = _cache_get(_CORE_WIDTHS_CACHE, cache_key)
+            if cached is not None:
+                width_map, enc_result = cached
+                width_map = dict(width_map)
+                if enc_result is not None:
+                    encoding_table = list(enc_result)
+            else:
+                for m_name, _m_enc, m_glyphs in CORE_FONT_METRICS:
+                    if m_name == base_name:
+                        if encoding_table is not None:
+                            # reverse map (unicode -> codes); semantics
+                            # identical to the reference's linear scan
+                            rev: Dict[int, list] = {}
                             for i in range(256):
-                                if encoding_table[i] == c:
+                                rev.setdefault(encoding_table[i], []).append(i)
+                            for g_code, g_width, g_name in m_glyphs:
+                                c = GLYPH_NAME_TO_UNICODE[g_name]  # KeyError == panic
+                                for i in rev.get(c, ()):
                                     width_map[i] = g_width
-                    else:
-                        table = [0] * 256
-                        for g_code, g_width, g_name in m_glyphs:
-                            if g_code != -1:
-                                if base_name == "ZapfDingbats":
-                                    u = ZAPF_NAME_TO_UNICODE.get(g_name)
-                                    if u is None:
-                                        raise PdfError(f"bad name {g_name!r}")
-                                    table[g_code] = u
-                                else:
-                                    table[g_code] = GLYPH_NAME_TO_UNICODE[g_name]
-                        for g_code, g_width, g_name in m_glyphs:
-                            width_map[g_code & 0xFFFFFFFF] = g_width
-                        encoding_table = table
+                        else:
+                            table = [0] * 256
+                            for g_code, g_width, g_name in m_glyphs:
+                                if g_code != -1:
+                                    if base_name == "ZapfDingbats":
+                                        u = ZAPF_NAME_TO_UNICODE.get(g_name)
+                                        if u is None:
+                                            raise PdfError(f"bad name {g_name!r}")
+                                        table[g_code] = u
+                                    else:
+                                        table[g_code] = GLYPH_NAME_TO_UNICODE[g_name]
+                            for g_code, g_width, g_name in m_glyphs:
+                                width_map[g_code & 0xFFFFFFFF] = g_width
+                            encoding_table = table
+                _cache_put(_CORE_WIDTHS_CACHE, cache_key,
+                           (dict(width_map),
+                            tuple(encoding_table) if encoding_table is not None else None))
 
         self.missing_width = get_num(doc, font, b"MissingWidth") or 0.0
         self.widths = width_map

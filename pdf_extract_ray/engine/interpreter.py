@@ -97,24 +97,46 @@ class GraphicsState:
 
 
 def show_text(gs: GraphicsState, s: bytes, output) -> None:
-    """Per-glyph event emission + tm advance (src/lib.rs:1276-1327)."""
+    """Per-glyph event emission + tm advance (src/lib.rs:1276-1327).
+
+    The generic products are specialized inline (tsm has the fixed shape
+    (h,0,0,1,0,rise), the advance is a pure translation): same float ops
+    in the same order as `mul`, minus the zero terms — a zero product
+    term only ever changes the sign of a zero, which no downstream
+    comparison can observe.
+    """
     ts = gs.ts
     font = ts.font
     if font is None:
         raise PdfError("show text with no font set")
     output.begin_word()
-    ctm = gs.ctm
+    c0, c1, c2, c3, c4, c5 = gs.ctm
+    get_width = font.get_width
+    decode_char = font.decode_char
+    out_char = output.output_character
     for code, length in font.char_codes(s):
-        tsm: Transform = (ts.horizontal_scaling, 0.0, 0.0, 1.0, 0.0, ts.rise)
-        trm = mul(tsm, mul(ts.tm, ctm))
-        w0 = font.get_width(code) / 1000.0
+        h = ts.horizontal_scaling
+        rise = ts.rise
+        t0, t1, t2, t3, t4, t5 = ts.tm
+        # m = tm * ctm  (euclid post_transform ordering)
+        m0 = t0 * c0 + t1 * c2
+        m1 = t0 * c1 + t1 * c3
+        m2 = t2 * c0 + t3 * c2
+        m3 = t2 * c1 + t3 * c3
+        m4 = t4 * c0 + t5 * c2 + c4
+        m5 = t4 * c1 + t5 * c3 + c5
+        # trm = tsm * m with tsm = (h, 0, 0, 1, 0, rise)
+        trm = (h * m0, h * m1, m2, m3,
+               rise * m2 + m4, rise * m3 + m5)
+        w0 = get_width(code) / 1000.0
         spacing = ts.character_spacing
         # word spacing only for single-byte code 32 (src/lib.rs:1307-1312)
         if code == 32 and length == 1:
             spacing += ts.word_spacing
-        output.output_character(trm, w0, spacing, ts.font_size, font.decode_char(code))
-        tx = ts.horizontal_scaling * ((w0 - 0.0 / 1000.0) * ts.font_size + spacing)
-        ts.tm = mul(translation(tx, 0.0), ts.tm)
+        out_char(trm, w0, spacing, ts.font_size, decode_char(code))
+        tx = h * ((w0 - 0.0 / 1000.0) * ts.font_size + spacing)
+        # tm = T(tx, 0) * tm: only the translation row changes
+        ts.tm = (t0, t1, t2, t3, tx * t0 + t4, tx * t1 + t5)
     output.end_word()
 
 

@@ -7,9 +7,15 @@ reference outsourced this layer to the lopdf crate; we rebuild it
 """
 from __future__ import annotations
 
+import re
 from typing import Optional, Tuple
 
 from .objects import NULL, Name, PdfError, PdfString, Ref, Stream, f32
+
+# C-speed scanners for the hot paths (profiled: skip_ws/read_regular_token
+# dominate parse time when done byte-by-byte in Python)
+_WS_RUN = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_REG_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMS = b"()<>[]{}/%"
@@ -41,29 +47,18 @@ class Lexer:
     # -- low-level ---------------------------------------------------------
 
     def skip_ws(self) -> None:
-        buf, pos, end = self.buf, self.pos, self.end
-        while pos < end:
-            c = buf[pos]
-            if _IS_WS[c]:
-                pos += 1
-            elif c == 0x25:  # '%' comment to EOL
-                while pos < end and buf[pos] not in b"\r\n":
-                    pos += 1
-            else:
-                break
-        self.pos = pos
+        m = _WS_RUN.match(self.buf, self.pos, self.end)
+        if m is not None:
+            self.pos = m.end()
 
     def peek(self) -> int:
         return self.buf[self.pos] if self.pos < self.end else -1
 
     def read_regular_token(self) -> bytes:
         """Read a run of regular (non-delimiter, non-ws) characters."""
-        buf, pos, end = self.buf, self.pos, self.end
-        start = pos
-        while pos < end and _IS_REG[buf[pos]]:
-            pos += 1
-        self.pos = pos
-        return buf[start:pos]
+        m = _REG_RUN.match(self.buf, self.pos, self.end)
+        self.pos = m.end()
+        return m.group()
 
     def expect_keyword(self, kw: bytes) -> None:
         self.skip_ws()
@@ -106,22 +101,24 @@ class Lexer:
         raise PdfError(f"unexpected token {tok!r} at {pos}")
 
     def _parse_name(self) -> Name:
-        buf, end = self.buf, self.end
-        pos = self.pos + 1  # skip '/'
+        m = _REG_RUN.match(self.buf, self.pos + 1, self.end)
+        raw = m.group()
+        self.pos = m.end()
+        if b"#" not in raw:
+            return Name(raw)
         out = bytearray()
-        while pos < end:
-            c = buf[pos]
-            if not _IS_REG[c]:
-                break
-            if c == 0x23 and pos + 2 < end:  # '#'
-                h1, h2 = buf[pos + 1], buf[pos + 2]
+        i = 0
+        n = len(raw)
+        while i < n:
+            c = raw[i]
+            if c == 0x23 and i + 2 < n:
+                h1, h2 = raw[i + 1], raw[i + 2]
                 if h1 in _HEX and h2 in _HEX:
                     out.append(_HEX[h1] * 16 + _HEX[h2])
-                    pos += 3
+                    i += 3
                     continue
             out.append(c)
-            pos += 1
-        self.pos = pos
+            i += 1
         return Name(bytes(out))
 
     def _parse_literal_string(self) -> PdfString:
