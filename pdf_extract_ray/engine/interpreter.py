@@ -176,7 +176,28 @@ def make_colorspace(doc, name: bytes, resources: dict) -> str:
         if not isinstance(first, Name):
             raise PdfError("first arg must be a name")
         cs_name = bytes(first).decode("latin-1")
-        if cs_name in ("Separation", "ICCBased", "CalGray", "CalRGB", "Lab",
+        if cs_name == "Separation":
+            # validate like the reference (src/lib.rs:1461-1514): name,
+            # alternate space, tint-transform Function construction
+            from .objects import maybe_deref as _deref
+            if not isinstance(cs[1], Name):
+                raise PdfError("second arg must be a name")
+            alt = _deref(doc, cs[2])
+            if isinstance(alt, Name):
+                if bytes(alt) not in (b"DeviceGray", b"DeviceRGB", b"DeviceCMYK"):
+                    raise PdfError("unexpected color space name")
+            elif isinstance(alt, list):
+                a0 = alt[0]
+                if not isinstance(a0, Name):
+                    raise PdfError("first arg must be a name")
+                if bytes(a0) not in (b"ICCBased", b"CalGray", b"CalRGB", b"Lab"):
+                    raise PdfError("Unexpected color space name")
+            else:
+                raise PdfError("Alternate space should be name or array")
+            from .functions import make_function
+            make_function(doc, cs[3])  # constructed for parity of failures
+            return cs_name
+        if cs_name in ("ICCBased", "CalGray", "CalRGB", "Lab",
                        "Pattern", "DeviceGray", "DeviceRGB", "DeviceCMYK", "DeviceN"):
             return cs_name
         raise PdfError(f"color_space {name!r} {cs_name!r}")

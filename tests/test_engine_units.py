@@ -202,3 +202,52 @@ class TestSqrtNan:
         dev.output_character(trm, 0.5, 0.0, 1.0, "A")
         dev.end_word()
         assert dev.get_text() == "A"
+
+
+class TestFunctions:
+    def test_type2_exponential(self):
+        from pdf_extract_ray.engine.functions import make_function
+        d = {b"FunctionType": 2, b"C0": [0.0], b"C1": [1.0], b"N": 1}
+        f = make_function(None, d)
+        assert f.eval([0.5]) == [0.5]
+        d2 = {b"FunctionType": 2, b"N": 2}
+        assert make_function(None, d2).eval([0.5]) == [0.25]
+
+    def test_type0_sampled(self):
+        from pdf_extract_ray.engine.functions import make_function
+        from pdf_extract_ray.engine.objects import Stream
+        s = Stream({b"FunctionType": 0, b"Domain": [0, 1], b"Range": [0, 1],
+                    b"Size": [2], b"BitsPerSample": 8, b"Length": 2},
+                   bytes([0, 255]))
+        f = make_function(None, s)
+        assert f.eval([0.0]) == [0.0]
+        assert f.eval([1.0]) == [1.0]
+
+    def test_missing_keys_raise(self):
+        import pytest as _pytest
+        from pdf_extract_ray.engine.functions import make_function
+        from pdf_extract_ray.engine.objects import PdfError
+        with _pytest.raises(PdfError):
+            make_function(None, {b"FunctionType": 2})  # no N
+        with _pytest.raises(PdfError):
+            make_function(None, {b"FunctionType": 0})  # type0 not a stream
+        with _pytest.raises(PdfError):
+            make_function(None, {b"FunctionType": 9})
+
+    def test_separation_colorspace_builds_function(self):
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        from pdf_extract_ray.engine import extract_text_from_mem
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        content = (b"/Sep1 cs 1 scn BT /F1 12 Tf 72 700 Td (sep) Tj ET")
+        content_num = b.stream("<< >>", content)
+        tint = b.add(b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] "
+                     b"/C1 [1 1 1] /N 1 >>")
+        page = b.add(f"<< /Type /Page /Parent {{P}} /MediaBox [0 0 612 792] "
+                     f"/Resources << /Font << /F1 {f1} 0 R >> "
+                     f"/ColorSpace << /Sep1 [/Separation /Spot1 /DeviceRGB "
+                     f"{tint} 0 R] >> >> /Contents {content_num} 0 R >>".encode())
+        pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+        b.bodies[page - 1] = b.bodies[page - 1].replace(b"{P}", f"{pages} 0 R".encode())
+        root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+        assert extract_text_from_mem(b.build(root)) == "\n\nsep"
