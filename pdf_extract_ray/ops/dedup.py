@@ -197,6 +197,46 @@ def _dedupe_pairs(pairs, extra_cols: List[str]):
                                  n_parts=16)
 
 
+class MinHashBandsOnly(MinHashBatch):
+    """Band rows WITHOUT the signature payload: ~24 B/doc/band through the
+    shuffle instead of ~540 B.  The scale path for 10^12-doc corpora:
+    candidates come out unverified and are exact-verified downstream
+    (verify_pairs_jaccard), which touches only the candidate pairs."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        full = super().__call__(batch)
+        return full.drop_columns(["sig"])
+
+
+def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 3, concurrency=None):
+    """Unverified candidate pairs (doc_id_a, doc_id_b) from LSH buckets —
+    minimal shuffle payload; follow with verify_pairs_jaccard."""
+    from ..util import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    banded = ds.map_batches(
+        MinHashBandsOnly,
+        fn_constructor_kwargs={"n_perm": n_perm, "bands": bands,
+                               "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (_b, _k), g in df.groupby(["band", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            docs = sorted(set(g["doc_id"]))
+            for ii in range(len(docs)):
+                for jj in range(ii + 1, len(docs)):
+                    rows.append((docs[ii], docs[jj]))
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b"]
+                            ).astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+    pairs = _grouped_by_partition(banded, ["bucket"], resolve, n_parts=32)
+    return _dedupe_pairs(pairs, [])
+
+
 def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
                       concurrency=None):

@@ -284,6 +284,12 @@ def _run_partition(pid: int, files: List[str], output_dir: str, *,
                    size_threshold_bytes: int = 256 * 1024) -> Dict:
     import ray
     part_dir = os.path.join(output_dir, f"part={pid:05d}")
+    # a partition without a manifest is incomplete: wipe any partial files
+    # from a previous crashed/preempted attempt before rewriting, so the
+    # manifest remains the single source of completion truth
+    if os.path.isdir(part_dir):
+        import shutil
+        shutil.rmtree(part_dir)
     t0 = time.perf_counter()
     if size_buckets:
         result = extract_dataset_bucketed(

@@ -128,3 +128,18 @@ class TestOpsOnRay:
         by_id = {r.item_id: r for r in out.itertuples()}
         assert by_id[1].status == "ok" and len(by_id[1].features) == 32
         assert by_id[2].status.startswith("error")
+
+
+def test_minhash_candidates_lightweight(ray_session):
+    import ray
+    from pdf_extract_ray.ops.dedup import (minhash_lsh_candidates,
+                                           verify_pairs_jaccard)
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # exact dups
+    ds = ray.data.from_arrow(docs_table(rows))
+    pairs = minhash_lsh_candidates(ds)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.9).to_pandas()
+    found = {tuple(p) for p in verified[["doc_id_a", "doc_id_b"]].values}
+    for i in range(3):
+        assert (i, 100 + i) in found

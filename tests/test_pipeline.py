@@ -109,6 +109,11 @@ def test_resume_skips_completed(extract_run):
     assert job3["partitions"] == 1
     assert job3["skipped_partitions"] == n_parts - 1
     assert os.path.exists(victim)
+    # rerun must REPLACE the partition dir, not append: no duplicate rows
+    assert len(load_results(out_dir)) == N_ROWS
+    total_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                     for f in glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    assert total_rows == N_ROWS
 
 
 def test_output_partitioned(extract_run):
