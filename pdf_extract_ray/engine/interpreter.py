@@ -214,11 +214,28 @@ class Processor:
     (shared across pages AND across differing Resources dicts, exactly like
     the reference's Processor.font_table, src/lib.rs:1571-1579)."""
 
+    # `Do` recursion bound: the reference recurses unboundedly (a
+    # self-referencing Form XObject would overflow its stack); our UDF
+    # must totalize instead of crashing, so cap the nesting depth.
+    MAX_DO_DEPTH = 64
+
     def __init__(self):
         self.font_table = {}
+        self._depth = 0
 
     def process_stream(self, doc, content: bytes, resources: dict,
                        media_box, output, page_num: int) -> None:
+        if self._depth >= self.MAX_DO_DEPTH:
+            raise PdfError("XObject recursion too deep")
+        self._depth += 1
+        try:
+            self._process_stream_inner(doc, content, resources, media_box,
+                                       output, page_num)
+        finally:
+            self._depth -= 1
+
+    def _process_stream_inner(self, doc, content: bytes, resources: dict,
+                              media_box, output, page_num: int) -> None:
         operations = parse_content(content)
         gs = GraphicsState()
         gs_stack: List[GraphicsState] = []
