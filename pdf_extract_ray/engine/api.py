@@ -166,6 +166,16 @@ def extract_text_and_spans_from_mem(buffer: bytes
     return out.get_text(), out.spans
 
 
+def extract_text_and_span_columns_from_mem(buffer: bytes):
+    """Pipeline fast path: text + flat span columns
+    (pages, starts, ends, xs, ys, font_sizes) — no per-char tuples."""
+    doc = load_document(buffer)
+    maybe_decrypt(doc)
+    out = SpanTextOutput()
+    output_doc(doc, out)
+    return out.get_text(), out.span_columns()
+
+
 def get_metadata(buffer_or_doc) -> Dict[str, str]:
     """Trailer Info dict (literal strings) + page count
     (print_metadata, src/lib.rs:2203-2216) as a dict."""

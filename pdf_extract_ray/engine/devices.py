@@ -102,13 +102,33 @@ class SpanTextOutput(PlainTextOutput):
     """PlainTextOutput + per-character span records:
     (page, start, end, x, y, font_size) with start/end as offsets into the
     final extracted text.  Text output is byte-identical to PlainTextOutput
-    by construction (it IS PlainTextOutput's logic)."""
+    by construction (it IS PlainTextOutput's logic).
+
+    Spans are collected as flat columnar buffers (`span_columns`) so the
+    Arrow list<struct> column can be built zero-inference; the tuple-list
+    `spans` property remains for direct API users."""
 
     def __init__(self):
         super().__init__()
-        self.spans: List[Tuple[int, int, int, float, float, float]] = []
+        import array
+        self._pages = array.array("i")
+        self._starts = array.array("i")
+        self._ends = array.array("i")
+        self._xs = array.array("d")
+        self._ys = array.array("d")
+        self._fss = array.array("d")
         self._page = 0
         self._len = 0
+
+    @property
+    def spans(self) -> List[Tuple[int, int, int, float, float, float]]:
+        return list(zip(self._pages, self._starts, self._ends,
+                        self._xs, self._ys, self._fss))
+
+    def span_columns(self):
+        """-> (pages, starts, ends, xs, ys, font_sizes) flat arrays."""
+        return (self._pages, self._starts, self._ends,
+                self._xs, self._ys, self._fss)
 
     def begin_page(self, page_num, media_box, art_box) -> None:
         super().begin_page(page_num, media_box, art_box)
@@ -119,12 +139,18 @@ class SpanTextOutput(PlainTextOutput):
         before_parts = len(self.parts)
         super().output_character(trm, width, spacing, font_size, char)
         # everything appended before the char is separators
+        n = self._len
         for p in self.parts[before_parts:-1]:
-            self._len += len(p)
-        start = self._len
-        self._len += len(char)
+            n += len(p)
+        self._starts.append(n)
+        n += len(char)
+        self._ends.append(n)
+        self._len = n
+        self._pages.append(self._page)
         x, y = self._last_xy
-        self.spans.append((self._page, start, self._len, x, y, self._last_tfs))
+        self._xs.append(x)
+        self._ys.append(y)
+        self._fss.append(self._last_tfs)
 
     def _on_char(self, x, y, width, tfs, char) -> None:
         self._last_xy = (x, y)

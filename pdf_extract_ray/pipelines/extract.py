@@ -53,6 +53,48 @@ RESULT_SCHEMA = pa.schema([
 ])
 
 
+def _build_spans_array(span_cols) -> pa.Array:
+    """Rows of flat span buffers -> Arrow list<struct> with no Python-object
+    inference: concatenate the per-row columns, compute offsets, and wrap a
+    StructArray in a ListArray.  None rows become null lists."""
+    # pyarrow convention: a null at offsets[i] makes list element i null
+    fixed = [0]
+    mask = [False] * len(span_cols)
+    run = 0
+    for i, sc in enumerate(span_cols):
+        if sc is None:
+            mask[i] = True
+            fixed.append(run)
+        else:
+            run += len(sc[0])
+            fixed.append(run)
+    import array as _arr
+    pages = _arr.array("i")
+    starts = _arr.array("i")
+    ends = _arr.array("i")
+    xs = _arr.array("d")
+    ys = _arr.array("d")
+    fss = _arr.array("d")
+    for sc in span_cols:
+        if sc is not None:
+            p, s, e, x, y, f = sc
+            pages.extend(p)
+            starts.extend(s)
+            ends.extend(e)
+            xs.extend(x)
+            ys.extend(y)
+            fss.extend(f)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(pages, pa.int32()), pa.array(starts, pa.int32()),
+         pa.array(ends, pa.int32()), pa.array(xs, pa.float64()),
+         pa.array(ys, pa.float64()), pa.array(fss, pa.float64())],
+        names=["page", "start", "end", "x", "y", "font_size"])
+    offsets_arr = pa.array(
+        [None if (i < len(mask) and mask[i]) else fixed[i]
+         for i in range(len(fixed))], pa.int32())
+    return pa.ListArray.from_arrays(offsets_arr, struct)
+
+
 class ExtractBatch:
     """Actor-pool batch UDF: (url, html) -> RESULT_SCHEMA.
 
@@ -70,14 +112,14 @@ class ExtractBatch:
         self.with_spans = with_spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..engine.api import (extract_text_and_spans_from_mem,
+        from ..engine.api import (extract_text_and_span_columns_from_mem,
                                   extract_text_from_mem)
         from ..engine.html_extract import extract_html_text, sniff_payload
 
-        urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         texts: List[str] = []
-        spans_col: List[Optional[list]] = []
+        # spans as flat columnar buffers (no per-char Python tuples)
+        span_cols: List[Optional[tuple]] = []
         statuses: List[str] = []
         errors: List[Optional[str]] = []
         kinds: List[str] = []
@@ -89,7 +131,7 @@ class ExtractBatch:
             try:
                 if kind == "pdf":
                     if self.with_spans:
-                        text, spans = extract_text_and_spans_from_mem(payload)
+                        text, spans = extract_text_and_span_columns_from_mem(payload)
                     else:
                         text = extract_text_from_mem(payload)
                     status = "ok" if text else "empty"
@@ -107,13 +149,13 @@ class ExtractBatch:
             sizes.append(len(payload))
             kinds.append(kind)
             texts.append(text)
-            spans_col.append(spans)
+            span_cols.append(spans)
             statuses.append(status)
             errors.append(err)
         return pa.Table.from_arrays(
             [batch.column("url"),
              pa.array(texts, pa.string()),
-             pa.array(spans_col, SPAN_TYPE),
+             _build_spans_array(span_cols),
              pa.array(statuses, pa.string()),
              pa.array(errors, pa.string()),
              pa.array(kinds, pa.string()),
