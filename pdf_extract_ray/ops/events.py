@@ -39,7 +39,9 @@ def hourly_event_stats(ds):
         s = b.column("sum(value)").to_numpy(zero_copy_only=False)
         cents = np.rint(np.asarray(s, dtype=np.float64) * 100.0).astype(np.int64)
         return pa.Table.from_arrays(
-            [b.column("hour"), b.column("event_type"),
+            # us precision: match DuckDB's TIMESTAMP for the driver compare
+            [pc.cast(b.column("hour"), pa.timestamp("us")),
+             b.column("event_type"),
              pc.cast(b.column("count()"), pa.int64()),
              pa.array(cents, pa.int64())],
             names=["hour", "event_type", "n_events", "total_value_cents"])

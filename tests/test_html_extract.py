@@ -62,3 +62,45 @@ class TestSniff:
         assert sniff_payload(b"") == "empty"
         assert sniff_payload(b"just some text") == "other"
         assert sniff_payload(bytes(64)) == "other"
+
+
+class TestHtmlStructures:
+    def test_table_cells_kept_when_prose(self):
+        html = (b"<html><body><table><tr>"
+                b"<td>this table cell holds a full sentence of real words "
+                b"that should be kept in the output</td>"
+                b"<td>so does the second cell with its own run of prose "
+                b"about the topic at hand</td>"
+                b"</tr></table></body></html>")
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        out = extract_html_text(html)
+        assert "full sentence of real words" in out
+        assert "second cell" in out
+
+    def test_comments_and_cdata_ignored(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        html = (b"<html><body><!-- a comment with words in it -->"
+                b"<p>the visible paragraph is here and long enough to be "
+                b"kept by the scorer</p></body></html>")
+        out = extract_html_text(html)
+        assert "visible paragraph" in out
+        assert "a comment" not in out
+
+    def test_lists_kept(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        items = "".join(
+            f"<li>item {i} of the list is a sentence with several words"
+            f"</li>" for i in range(3))
+        html = f"<html><body><ul>{items}</ul></body></html>".encode()
+        out = extract_html_text(html)
+        for i in range(3):
+            assert f"item {i} of the list" in out
+
+    def test_style_attribute_noise(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        html = (b"<html><body><div style='color: red; font-size: 12px'>"
+                b"the styled block keeps its words because the style lives "
+                b"in the attribute not the text</div></body></html>")
+        out = extract_html_text(html)
+        assert "styled block keeps its words" in out
+        assert "font-size" not in out
