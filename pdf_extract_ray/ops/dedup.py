@@ -208,18 +208,28 @@ class MinHashBandsOnly(MinHashBatch):
         return full.drop_columns(["sig"])
 
 
+def _minhash_map(ds, cls, n_perm, bands, shingle_k, concurrency):
+    """Task-compute by default (warm-worker singletons, no actor-pool
+    spin-up); explicit `concurrency` opts into an actor pool."""
+    if concurrency is not None:
+        return ds.map_batches(
+            cls, fn_constructor_kwargs={"n_perm": n_perm, "bands": bands,
+                                        "shingle_k": shingle_k},
+            batch_format="pyarrow", concurrency=concurrency)
+    from ..util import task_udf
+
+    def fn(batch):
+        return task_udf(cls, n_perm=n_perm, bands=bands,
+                        shingle_k=shingle_k)(batch)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, concurrency=None):
     """Unverified candidate pairs (doc_id_a, doc_id_b) from LSH buckets —
     minimal shuffle payload; follow with verify_pairs_jaccard."""
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    banded = ds.map_batches(
-        MinHashBandsOnly,
-        fn_constructor_kwargs={"n_perm": n_perm, "bands": bands,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency)
+    banded = _minhash_map(ds, MinHashBandsOnly, n_perm, bands, shingle_k,
+                          concurrency)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -241,14 +251,8 @@ def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
                       concurrency=None):
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold."""
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    banded = ds.map_batches(
-        MinHashBatch,
-        fn_constructor_kwargs={"n_perm": n_perm, "bands": bands,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency)
+    banded = _minhash_map(ds, MinHashBatch, n_perm, bands, shingle_k,
+                          concurrency)
     pairs = _grouped_by_partition(
         banded, ["bucket"],
         lambda df: _resolve_minhash_partition(df, threshold), n_parts=32)

@@ -80,12 +80,16 @@ class ImageFeatureBatch:
 
 
 def image_features(ds, *, batch_size: int = 8, concurrency=None):
-    """Large binary payloads => small batches; actor pool for warm decoder."""
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    return ds.map_batches(ImageFeatureBatch, batch_size=batch_size,
-                          batch_format="pyarrow", concurrency=concurrency)
+    """Large binary payloads => small batches.  Task-compute by default
+    (warm-worker decoder singleton); explicit concurrency => actor pool."""
+    if concurrency is not None:
+        return ds.map_batches(ImageFeatureBatch, batch_size=batch_size,
+                              batch_format="pyarrow", concurrency=concurrency)
+    from ..util import task_udf
+
+    def fn(batch):
+        return task_udf(ImageFeatureBatch)(batch)
+    return ds.map_batches(fn, batch_size=batch_size, batch_format="pyarrow")
 
 
 class FrameSampleBatch:
@@ -115,13 +119,16 @@ class FrameSampleBatch:
 
 
 def sample_frames(ds, *, every_n: int = 30, batch_size: int = 4, concurrency=None):
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    return ds.map_batches(FrameSampleBatch,
-                          fn_constructor_kwargs={"every_n": every_n},
-                          batch_size=batch_size, batch_format="pyarrow",
-                          concurrency=concurrency)
+    if concurrency is not None:
+        return ds.map_batches(FrameSampleBatch,
+                              fn_constructor_kwargs={"every_n": every_n},
+                              batch_size=batch_size, batch_format="pyarrow",
+                              concurrency=concurrency)
+    from ..util import task_udf
+
+    def fn(batch):
+        return task_udf(FrameSampleBatch, every_n=every_n)(batch)
+    return ds.map_batches(fn, batch_size=batch_size, batch_format="pyarrow")
 
 
 AUDIO_FEATURES_SCHEMA = pa.schema([
@@ -167,8 +174,11 @@ class AudioFeatureBatch:
 
 
 def audio_features(ds, *, batch_size: int = 8, concurrency=None):
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    return ds.map_batches(AudioFeatureBatch, batch_size=batch_size,
-                          batch_format="pyarrow", concurrency=concurrency)
+    if concurrency is not None:
+        return ds.map_batches(AudioFeatureBatch, batch_size=batch_size,
+                              batch_format="pyarrow", concurrency=concurrency)
+    from ..util import task_udf
+
+    def fn(batch):
+        return task_udf(AudioFeatureBatch)(batch)
+    return ds.map_batches(fn, batch_size=batch_size, batch_format="pyarrow")

@@ -98,24 +98,31 @@ class HyperplaneLSH:
         return out
 
 
+class Bucketer:
+    """LSH bucket-column stage (planes built once per instance)."""
+
+    def __init__(self, dim: int, n_bits: int):
+        self.lsh = HyperplaneLSH(dim, n_bits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_stack(batch.column("embedding")))
+        buckets = self.lsh.bucket(vecs)
+        return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
 def lsh_bucketed(ds, *, dim: int, n_bits: int = 10, concurrency=None):
     """Attach an LSH `bucket` column; downstream groupby('bucket') gives
-    co-candidate partitions for near-dup / candidate generation."""
+    co-candidate partitions for near-dup / candidate generation.  Task
+    compute by default; explicit `concurrency` opts into an actor pool."""
+    if concurrency is not None:
+        return ds.map_batches(Bucketer,
+                              fn_constructor_kwargs={"dim": dim, "n_bits": n_bits},
+                              batch_format="pyarrow", concurrency=concurrency)
+    from ..util import task_udf
 
-    class Bucketer:
-        def __init__(self):
-            self.lsh = HyperplaneLSH(dim, n_bits)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_stack(batch.column("embedding")))
-            buckets = self.lsh.bucket(vecs)
-            return batch.append_column("bucket", pa.array(buckets, pa.int64()))
-
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    return ds.map_batches(Bucketer, batch_format="pyarrow",
-                          concurrency=concurrency)
+    def fn(batch):
+        return task_udf(Bucketer, dim=dim, n_bits=n_bits)(batch)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def lsh_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,

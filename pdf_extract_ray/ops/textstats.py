@@ -105,11 +105,14 @@ class LangIdBatch:
 
 
 def lang_id(ds, concurrency=None):
-    from ..util import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
-    return ds.map_batches(LangIdBatch, batch_format="pyarrow",
-                          concurrency=concurrency)
+    if concurrency is not None:
+        return ds.map_batches(LangIdBatch, batch_format="pyarrow",
+                              concurrency=concurrency)
+    from ..util import task_udf
+
+    def fn(batch):
+        return task_udf(LangIdBatch)(batch)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # --- document fingerprinting (rolling hash + winnowing) ---------------------
