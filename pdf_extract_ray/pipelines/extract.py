@@ -277,12 +277,16 @@ def _list_parquet_files(input_dir: str) -> List[str]:
 def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int] = None,
                 batch_size: int = 64, concurrency=None, with_spans: bool = True,
                 resume: bool = True, size_buckets: bool = False,
-                size_threshold_bytes: int = 256 * 1024) -> Dict:
+                size_threshold_bytes: int = 256 * 1024,
+                max_concurrent_partitions: int = 1) -> Dict:
     """Checkpointed flagship run.  Returns the job-level metrics dict.
 
     Each partition = a group of input files; completed partitions are
     skipped on restart (manifest present).  Partition manifests carry
     lineage + per-stage metrics; job metrics are their merge.
+    `max_concurrent_partitions` > 1 overlaps partition pipelines via a
+    thread pool (manifests stay per-partition-atomic); on this shared
+    host it shows no benefit, so the default stays sequential.
     """
     files = _list_parquet_files(input_dir) if os.path.isdir(input_dir) else [input_dir]
     if not files:
@@ -297,11 +301,11 @@ def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int
            "payload_bytes": 0, "extracted_chars": 0, "statuses": {},
            "wall_s": 0.0}
     t_job = time.perf_counter()
-    for pid, group in sorted(parts.items()):
+
+    def do_partition(pid, group):
         mpath = os.path.join(manifest_dir, f"part-{pid:05d}.json")
         if resume and os.path.exists(mpath):
-            job["skipped_partitions"] += 1
-            continue
+            return None
         metrics = _run_partition(pid, group, output_dir, batch_size=batch_size,
                                  concurrency=concurrency, with_spans=with_spans,
                                  size_buckets=size_buckets,
@@ -310,6 +314,18 @@ def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int
         with open(tmp, "w") as f:
             json.dump(metrics, f, indent=1)
         os.replace(tmp, mpath)  # atomic: manifest presence == partition done
+        return metrics
+
+    from concurrent.futures import ThreadPoolExecutor
+    _stabilize_lazy_imports()
+    ordered = sorted(parts.items())
+    n_threads = max(1, min(max_concurrent_partitions, len(ordered)))
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        results = list(pool.map(lambda kv: do_partition(*kv), ordered))
+    for metrics in results:
+        if metrics is None:
+            job["skipped_partitions"] += 1
+            continue
         job["partitions"] += 1
         job["rows"] += metrics["rows"]
         job["payload_bytes"] += metrics["payload_bytes"]
@@ -318,6 +334,30 @@ def run_extract(input_dir: str, output_dir: str, *, num_partitions: Optional[int
             job["statuses"][k] = job["statuses"].get(k, 0) + v
     job["wall_s"] = time.perf_counter() - t_job
     return job
+
+
+def _stabilize_lazy_imports() -> None:
+    """Ray's path resolution lazily does `from fsspec.implementations.http
+    import HTTPFileSystem` on EVERY read/write call; in this environment
+    that import always fails (no aiohttp), and a failed import is never
+    cached — so two pool threads re-importing concurrently can observe a
+    partially-initialized module and die on a spurious ImportError.
+    Install a sentinel module (only used via isinstance) so the import
+    deterministically succeeds and gets cached."""
+    import sys
+    import types
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except Exception:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: never instantiated, isinstance-only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
 
 
 def _run_partition(pid: int, files: List[str], output_dir: str, *,
