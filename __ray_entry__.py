@@ -142,6 +142,15 @@ def _q_extract_metadata(sf_dir: str):
     return ds.map_batches(meta, batch_format="pyarrow", batch_size=32)
 
 
+def _q_textprep(sf_dir: str):
+    """Composed flagship: extract -> filter ok -> exact dedup (join) ->
+    token/quality/lang enrichment (pipelines/textprep.py)."""
+    import ray
+    from pdf_extract_ray.pipelines.textprep import textprep_dataset
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return textprep_dataset(ds, num_partitions=8)
+
+
 def _q_doc_stats_by_source(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
     agg = ds.groupby("source").aggregate(_sum("n_chars"), _count())
@@ -382,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_histogram": _q_extract_status_histogram,
         "extract_by_pages": _q_extract_by_pages,
         "extract_metadata": _q_extract_metadata,
+        "textprep": _q_textprep,
         # SQL-oracled corpus operators
         "doc_stats_by_source": _q_doc_stats_by_source,
         "lang_histogram": _q_lang_histogram,

@@ -1,0 +1,99 @@
+"""End-to-end training-data prep: the composed flagship a corpus team
+actually runs.
+
+    pages (url, html)
+      -> extract (PDF parity engine / HTML boilerplate strip)
+      -> keep status == 'ok'
+      -> exact near-corpus dedup (md5 of extracted text, keep first url)
+      -> enrich: token count, quality score, language id
+      -> (optionally) quality filter
+      -> partitioned parquet
+
+Shuffle discipline: the dedup decision shuffles only (md5, url) pairs;
+the surviving keys rejoin the full rows with Ray's hash join partitioned
+on url.  Every other stage is a shuffle-free map.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .extract import extract_dataset
+
+
+def _keep_ok(batch: pa.Table) -> pa.Table:
+    # spans dropped: text-prep output is text-oriented, and Arrow's hash
+    # join cannot carry list<struct> payload columns
+    out = batch.filter(pc.equal(batch.column("status"), "ok"))
+    return out.drop_columns(["spans", "error"])
+
+
+def _hash_rows(batch: pa.Table) -> pa.Table:
+    texts = batch.column("extracted_text").to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [pa.array(md5s, pa.string()), batch.column("url")],
+        names=["text_md5", "url"])
+
+
+def _enrich(batch: pa.Table) -> pa.Table:
+    """Token count, quality score, lang id over extracted_text (reuses the
+    ops kernels on a renamed view)."""
+    from ..ops.textstats import LangIdBatch, quality_batch
+    from ..util import task_udf
+    view = pa.Table.from_arrays(
+        [pa.array(range(batch.num_rows), pa.int64()),
+         batch.column("extracted_text")],
+        names=["doc_id", "text"])
+    q = quality_batch(view)
+    lang = task_udf(LangIdBatch)(view)
+    out = batch
+    for name, col in (("n_tokens", q.column("n_tokens")),
+                      ("quality_score", q.column("quality_score")),
+                      ("pred_lang", lang.column("pred_lang"))):
+        out = out.append_column(name, col)
+    return out
+
+
+def textprep_dataset(pages_ds, *, num_partitions: int = 32,
+                     min_quality: Optional[float] = None,
+                     batch_size: int = 64):
+    """Lazy composed pipeline over a (url, html) Dataset."""
+    extracted = extract_dataset(pages_ds, batch_size=batch_size,
+                                with_spans=False)
+    ok = extracted.map_batches(_keep_ok, batch_format="pyarrow")
+
+    # dedup decision on (md5, url) pairs only
+    hashed = ok.map_batches(_hash_rows, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    survivors = hashed.groupby("text_md5").aggregate(Min("url"))
+    survivors = survivors.map_batches(
+        lambda b: pa.Table.from_arrays([b.column("min(url)")], names=["url"]),
+        batch_format="pyarrow")
+
+    # rejoin survivors with the full rows: hash join partitioned on url
+    deduped = ok.join(survivors, join_type="inner",
+                      num_partitions=num_partitions, on=("url",))
+
+    enriched = deduped.map_batches(_enrich, batch_format="pyarrow")
+    if min_quality is not None:
+        enriched = enriched.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("quality_score"),
+                                                min_quality)),
+            batch_format="pyarrow")
+    return enriched
+
+
+def run_textprep(input_dir: str, output_dir: str, *,
+                 num_partitions: int = 32,
+                 min_quality: Optional[float] = None):
+    """Materialize the composed pipeline to partitioned parquet."""
+    import ray
+    ds = ray.data.read_parquet(input_dir, columns=["url", "html"])
+    result = textprep_dataset(ds, num_partitions=num_partitions,
+                              min_quality=min_quality)
+    result.write_parquet(output_dir)
+    return output_dir

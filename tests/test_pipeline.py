@@ -135,3 +135,38 @@ def test_size_bucketed_same_results(extract_run, ray_session, tmp_path):
     for url, r in got.items():
         assert r["extracted_text"] == want[url]["extracted_text"], url
         assert r["status"] == want[url]["status"], url
+
+
+def test_textprep_composed(ray_session):
+    """Composed prep pipeline: dedup + enrichment over a corpus with
+    deliberate duplicate payloads."""
+    import ray
+    from pdf_extract_ray.pipelines.textprep import textprep_dataset
+    in_dir = pages_parquet_path(N_ROWS, n_shards=4,
+                                cache_dir="/tmp/pdf_extract_ray_test_cache")
+    ds = ray.data.read_parquet(in_dir, columns=["url", "html"])
+    df = textprep_dataset(ds, num_partitions=4).to_pandas()
+    assert len(df) > 0
+    # dedup contract: one row per distinct extracted text
+    assert df["extracted_text"].nunique() == len(df)
+    # enrichment present and sane
+    assert (df["n_tokens"] >= 1).all()
+    assert df["quality_score"].between(0, 1).all()
+    assert set(df["pred_lang"]).issubset({"en", "de", "fr", "es", "hu", "und"})
+    # survivors are the minimum url per text group
+    full = {}
+    tbl = make_pages_table(N_ROWS)
+    from pdf_extract_ray.engine.html_extract import extract_html_text, sniff_payload
+    from pdf_extract_ray.engine.api import extract_text_from_mem
+    for url, payload in zip(tbl.column("url").to_pylist(),
+                            tbl.column("html").to_pylist()):
+        kind = sniff_payload(payload or b"")
+        try:
+            text = (extract_text_from_mem(payload) if kind == "pdf"
+                    else extract_html_text(payload) if kind == "html" else "")
+        except Exception:
+            text = ""
+        if text:
+            full.setdefault(text, []).append(url)
+    expect = {min(urls) for urls in full.values()}
+    assert set(df["url"]) == expect
