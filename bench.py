@@ -94,7 +94,7 @@ def run_ops(sf_dir: str):
     names = ["token_counts", "quality_scores", "exact_dedup", "lang_id",
              "minhash_neardup", "simhash_neardup", "ann_topk", "ann_topk_lsh",
              "events_hourly", "sessionize", "top_customers",
-             "extract_by_pages"]
+             "extract_by_pages", "textprep"]
     out = {}
     for name in names:
         t0 = time.perf_counter()
