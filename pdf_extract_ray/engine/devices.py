@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from .interpreter import Transform, mul, transform_vector
+from .interpreter import Transform, mul, transform_vector, translation
 
 
 class OutputDev:
@@ -171,62 +171,93 @@ class PageTextOutput(PlainTextOutput):
         self.parts = []
 
 
+def insert_nbsp(text: str) -> str:
+    """Leading/run-final/solo spaces -> &nbsp; (reference insert_nbsp,
+    src/lib.rs:1900-1918): a space becomes &nbsp; when it does not follow
+    a word character, or when only spaces (or nothing) follow it."""
+    result: List[str] = []
+    word_end = False
+    n = len(text)
+    for i, c in enumerate(text):
+        if c == " ":
+            nxt = text[i + 1] if i + 1 < n else None
+            if not word_end or nxt is None or nxt == " ":
+                result.append("&nbsp;")
+            else:
+                result.append(" ")
+            word_end = False
+        else:
+            word_end = True
+            result.append(c)
+    return "".join(result)
+
+
+def _approx_eq(a: Transform, b: Transform, eps: float = 1e-6) -> bool:
+    return all(abs(x - y) <= eps for x, y in zip(a, b))
+
+
 class HTMLOutput(OutputDev):
-    """Debug sink: absolutely-positioned divs per text run, loosely after
-    the reference's HTMLOutput (src/lib.rs:1891-1993)."""
+    """HTML sink mirroring the reference's HTMLOutput
+    (src/lib.rs:1891-1993): a per-char red debug div for every glyph, plus
+    text runs accumulated while the glyph transform continues from the
+    previous advance (approx-equal ctm), flushed as positioned divs."""
 
     def __init__(self):
         self.parts: List[str] = []
-        self._flip: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-        self._buf: List[str] = []
-        self._pos: Optional[Tuple[float, float, float]] = None
+        self.flip_ctm: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.last_ctm: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.buf_ctm: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.buf_font_size = 0.0
+        self.buf = ""
 
     def get_html(self) -> str:
         return "".join(self.parts)
 
+    def _flush_string(self) -> None:
+        if self.buf:
+            position = mul(self.buf_ctm, self.flip_ctm)
+            tvx, tvy = transform_vector(self.buf_ctm, self.buf_font_size,
+                                        self.buf_font_size)
+            tfs = _sqrt_or_nan(tvx * tvy)
+            x, y = position[4], position[5]
+            self.parts.append(
+                f"<div style='position: absolute; left: {_fmt(x)}px; "
+                f"top: {_fmt(y)}px; font-size: {_fmt(tfs)}px'>"
+                f"{insert_nbsp(self.buf)}</div>\n")
+
     def begin_page(self, page_num, media_box, art_box) -> None:
-        w = media_box[2] - media_box[0]
         h = media_box[3] - media_box[1]
-        self._flip = (1.0, 0.0, 0.0, -1.0, 0.0, media_box[3] - media_box[1])
+        w = media_box[2] - media_box[0]
+        self.parts.append("<meta charset='utf-8' /> ")
+        self.parts.append(f"<!-- page {page_num} -->")
         self.parts.append(
-            f'<div class="page" style="position:relative;width:{w}px;height:{h}px">')
+            f"<div id='page{page_num}' style='position: relative; "
+            f"height: {_fmt(h)}px; width: {_fmt(w)}px; "
+            f"border: 1px black solid'>")
+        self.flip_ctm = (1.0, 0.0, 0.0, -1.0, 0.0, media_box[3] - media_box[1])
 
     def end_page(self) -> None:
-        self._flush()
-        self.parts.append("</div>\n")
-
-    def begin_word(self) -> None:
-        pass
+        self._flush_string()
+        self.buf = ""
+        self.last_ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.parts.append("</div>")
 
     def output_character(self, trm, width, spacing, font_size, char) -> None:
-        pos = mul(trm, self._flip)
-        x, y = pos[4], pos[5]
-        if self._pos is None:
-            self._pos = (x, y, font_size)
-        self._buf.append(char)
-
-    def end_word(self) -> None:
-        self._flush()
-
-    def _flush(self) -> None:
-        if self._buf and self._pos is not None:
-            x, y, fs = self._pos
-            text = ("".join(self._buf)
-                    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
-            # leading/trailing/solo spaces -> &nbsp; (insert_nbsp,
-            # src/lib.rs:1900-1918)
-            if text == " ":
-                text = "&nbsp;"
-            else:
-                if text.startswith(" "):
-                    text = "&nbsp;" + text[1:]
-                if text.endswith(" "):
-                    text = text[:-1] + "&nbsp;"
-            self.parts.append(
-                f'<div style="position:absolute;left:{x}px;top:{y - fs}px;'
-                f'font-size:{fs}px">{text}</div>')
-        self._buf = []
-        self._pos = None
+        if _approx_eq(trm, self.last_ctm):
+            self.buf += char
+        else:
+            self._flush_string()
+            self.buf = char
+            self.buf_font_size = font_size
+            self.buf_ctm = trm
+        position = mul(trm, self.flip_ctm)
+        tvx, tvy = transform_vector(trm, font_size, font_size)
+        tfs = _sqrt_or_nan(tvx * tvy)
+        x, y = position[4], position[5]
+        self.parts.append(
+            f"<div style='position: absolute; color: red; left: {_fmt(x)}px; "
+            f"top: {_fmt(y)}px; font-size: {_fmt(tfs)}px'>{char}</div>")
+        self.last_ctm = mul(translation(width * font_size + spacing, 0.0), trm)
 
 
 def _fmt(v: float) -> str:

@@ -156,3 +156,26 @@ def test_cff_tounicode_overrides_cff_map():
     root = _single_page(b, {"F1": f1}, content)
     out = extract_text_from_mem(b.build(root))
     assert out == "\n\n☃A"  # ToUnicode wins for A; CFF map for B
+
+
+def test_html_output_device():
+    """HTMLOutput mirrors the reference sink (src/lib.rs:1891-1993):
+    page div + per-char debug divs + accumulated run divs with nbsp."""
+    from pdf_extract_ray.engine import HTMLOutput, load_document, output_doc
+    dev = HTMLOutput()
+    output_doc(load_document(pdfgen.pdf_simple_helvetica("Hi there")), dev)
+    html = dev.get_html()
+    assert html.startswith("<meta charset='utf-8' /> <!-- page 1 -->")
+    assert "border: 1px black solid" in html
+    assert "color: red; left: 72px" in html       # per-char debug div
+    assert ">Hi there</div>" in html              # one accumulated run
+    assert html.endswith("</div>")
+
+
+def test_insert_nbsp_rules():
+    from pdf_extract_ray.engine.devices import insert_nbsp
+    assert insert_nbsp(" lead") == "&nbsp;lead"
+    assert insert_nbsp("trail ") == "trail&nbsp;"
+    assert insert_nbsp("a b") == "a b"
+    assert insert_nbsp("a  b") == "a&nbsp;&nbsp;b"
+    assert insert_nbsp("  ") == "&nbsp;&nbsp;"
