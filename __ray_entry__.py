@@ -219,6 +219,29 @@ def _q_exact_dedup(sf_dir: str):
     ).select_columns(["doc_id", "n_dups"])
 
 
+def _q_deterministic_sample(sf_dir: str):
+    """Reproducible ~10% corpus sample by hashing the key (no RNG state:
+    any shard of any size re-derives the same membership)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * np.int64(2654435761)) % np.int64(100)
+        return b.filter(pa.array(bucket < 10))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """First 5 doc_ids per language: stratified eval-set carving."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def per_lang(df):
+        return df.sort_values("doc_id").head(5)
+
+    return ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -404,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "top_customers": _q_top_customers,
+        "deterministic_sample": _q_deterministic_sample,
+        "stratified_sample": _q_stratified_sample,
         # heuristic / non-SQL operators (rows-only)
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -481,6 +506,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_label_histogram": """
             SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 100 < 10
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                         AS rn
+              FROM documents) WHERE rn <= 5
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
