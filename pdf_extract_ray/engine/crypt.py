@@ -85,24 +85,34 @@ class StandardSecurityHandler:
         ids = maybe_deref(doc, doc.trailer.get(b"ID"))
         id0 = bytes(ids[0]) if isinstance(ids, list) and ids and isinstance(ids[0], PdfString) else b""
 
-        # cipher from crypt filters (V4/V5); V1/V2 => RC4
-        self.cipher = "rc4"
+        # ciphers from crypt filters (V4/V5); V1/V2 => RC4 for everything.
+        # StmF and StrF may name different filters (e.g. streams AES,
+        # strings Identity); track them separately.
+        self.cipher = "rc4"          # stream cipher
+        self.str_cipher = None       # None => same as stream cipher
         if self.v in (4, 5):
             cf = maybe_deref(doc, enc.get(b"CF")) or {}
-            stmf = enc.get(b"StmF")
-            stmf_name = bytes(stmf) if isinstance(stmf, Name) else b"Identity"
-            cfd = maybe_deref(doc, cf.get(stmf_name)) if isinstance(cf, dict) else None
-            cfm = cfd.get(b"CFM") if isinstance(cfd, dict) else None
-            cfm_b = bytes(cfm) if isinstance(cfm, Name) else b""
-            if cfm_b == b"AESV2":
-                self.cipher = "aes128"
+
+            def filter_cipher(key: bytes):
+                fname = enc.get(key)
+                fname_b = bytes(fname) if isinstance(fname, Name) else b"Identity"
+                if fname_b == b"Identity":
+                    return "identity"
+                cfd = maybe_deref(doc, cf.get(fname_b)) if isinstance(cf, dict) else None
+                cfm = cfd.get(b"CFM") if isinstance(cfd, dict) else None
+                cfm_b = bytes(cfm) if isinstance(cfm, Name) else b""
+                if cfm_b == b"AESV2":
+                    return "aes128"
+                if cfm_b == b"AESV3":
+                    return "aes256"
+                if cfm_b == b"V2":
+                    return "rc4"
+                return "aes256" if self.v == 5 else "rc4"
+
+            self.cipher = filter_cipher(b"StmF")
+            self.str_cipher = filter_cipher(b"StrF")
+            if "aes128" in (self.cipher, self.str_cipher):
                 self.key_len = 16
-            elif cfm_b == b"AESV3":
-                self.cipher = "aes256"
-            elif cfm_b == b"V2":
-                self.cipher = "rc4"
-            elif self.v == 5:
-                self.cipher = "aes256"
 
         if self.v == 5:
             self._init_v5(bytes(o), bytes(u), enc, password)
@@ -161,22 +171,33 @@ class StandardSecurityHandler:
             step = rc4(k, step)
         return step == u[:16]
 
-    def object_key(self, num: int, gen: int) -> bytes:
+    def object_key(self, num: int, gen: int, aes: bool) -> bytes:
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<i", num)[:3])
         h.update(struct.pack("<i", gen)[:2])
-        if self.cipher == "aes128":
+        if aes:
             h.update(b"sAlT")
         n = min(len(self.key) + 5, 16)
         return h.digest()[:n]
 
-    def decrypt_bytes(self, data: bytes, num: int, gen: int) -> bytes:
-        if self.cipher == "aes256":
+    def _apply(self, cipher: str, data: bytes, num: int, gen: int) -> bytes:
+        if cipher == "identity":
+            return data
+        if cipher == "aes256":
             return aes_cbc_decrypt(self.key, data)
-        if self.cipher == "aes128":
-            return aes_cbc_decrypt(self.object_key(num, gen), data)
-        return rc4(self.object_key(num, gen), data)
+        if cipher == "aes128":
+            return aes_cbc_decrypt(self.object_key(num, gen, True), data)
+        return rc4(self.object_key(num, gen, False), data)
+
+    def decrypt_bytes(self, data: bytes, num: int, gen: int) -> bytes:
+        """Stream payload decryption (StmF)."""
+        return self._apply(self.cipher, data, num, gen)
+
+    def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        """String decryption (StrF; falls back to the stream cipher)."""
+        cipher = self.str_cipher if self.str_cipher is not None else self.cipher
+        return self._apply(cipher, data, num, gen)
 
 
 def decrypt_document(doc, password: str = "") -> None:
@@ -192,7 +213,7 @@ def decrypt_document(doc, password: str = "") -> None:
 def decrypt_object(handler: StandardSecurityHandler, obj, num: int, gen: int):
     """Recursively decrypt strings (and stream payloads) in an object."""
     if isinstance(obj, PdfString):
-        return PdfString(handler.decrypt_bytes(bytes(obj), num, gen))
+        return PdfString(handler.decrypt_string(bytes(obj), num, gen))
     if isinstance(obj, list):
         return [decrypt_object(handler, x, num, gen) for x in obj]
     if isinstance(obj, dict):

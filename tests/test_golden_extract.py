@@ -179,3 +179,11 @@ def test_insert_nbsp_rules():
     assert insert_nbsp("a b") == "a b"
     assert insert_nbsp("a  b") == "a&nbsp;&nbsp;b"
     assert insert_nbsp("  ") == "&nbsp;&nbsp;"
+
+
+def test_aes128_with_identity_string_filter():
+    """StrF=Identity + StmF=AES: streams decrypt, strings pass through."""
+    pdf = pdfgen.pdf_aes128_encrypted("split filters")
+    pdf = pdf.replace(b"/StmF /StdCF /StrF /StdCF",
+                      b"/StmF /StdCF /StrF /Identity")
+    assert extract_text_from_mem(pdf) == "\n\nsplit filters"
