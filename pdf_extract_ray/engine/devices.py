@@ -134,27 +134,39 @@ class SpanTextOutput(PlainTextOutput):
         super().begin_page(page_num, media_box, art_box)
         self._page = page_num
 
-    def output_character(self, trm, width, spacing, font_size, char) -> None:
-        # track offset of the char itself (separators excluded)
-        before_parts = len(self.parts)
-        super().output_character(trm, width, spacing, font_size, char)
-        # everything appended before the char is separators
+    def output_character(self, trm, width, _spacing, font_size, char) -> None:
+        # PlainTextOutput's logic flattened inline (hot path: one virtual
+        # call per glyph instead of two) + span bookkeeping.  MUST stay
+        # byte-identical to PlainTextOutput.output_character; the parity
+        # test test_spans_text_identical guards this.
+        flip = self.flip_ctm
+        x = trm[4] * flip[0] + trm[5] * flip[2] + flip[4]
+        y = trm[4] * flip[1] + trm[5] * flip[3] + flip[5]
+        tvx, tvy = transform_vector(trm, font_size, font_size)
+        transformed_font_size = _sqrt_or_nan(tvx * tvy)
         n = self._len
-        for p in self.parts[before_parts:-1]:
-            n += len(p)
+        if self.first_char:
+            if abs(y - self.last_y) > transformed_font_size * 1.5:
+                self.parts.append("\n")
+                n += 1
+            if x < self.last_end and abs(y - self.last_y) > transformed_font_size * 0.5:
+                self.parts.append("\n")
+                n += 1
+            if x > self.last_end + transformed_font_size * 0.1:
+                self.parts.append(" ")
+                n += 1
+        self.parts.append(char)
+        self.first_char = False
+        self.last_y = y
+        self.last_end = x + width * transformed_font_size
         self._starts.append(n)
         n += len(char)
         self._ends.append(n)
         self._len = n
         self._pages.append(self._page)
-        x, y = self._last_xy
         self._xs.append(x)
         self._ys.append(y)
-        self._fss.append(self._last_tfs)
-
-    def _on_char(self, x, y, width, tfs, char) -> None:
-        self._last_xy = (x, y)
-        self._last_tfs = tfs
+        self._fss.append(transformed_font_size)
 
 
 class PageTextOutput(PlainTextOutput):

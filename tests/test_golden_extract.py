@@ -187,3 +187,17 @@ def test_aes128_with_identity_string_filter():
     pdf = pdf.replace(b"/StmF /StdCF /StrF /StdCF",
                       b"/StmF /StdCF /StrF /Identity")
     assert extract_text_from_mem(pdf) == "\n\nsplit filters"
+
+
+def test_spans_text_identical():
+    """SpanTextOutput's flattened hot path must produce byte-identical
+    text to PlainTextOutput for every fixture class."""
+    from pdf_extract_ray.engine.api import extract_text_and_spans_from_mem
+    for name, gen in pdfgen.PDF_GENERATORS.items():
+        pdf = gen()
+        text, spans = extract_text_and_spans_from_mem(pdf)
+        assert text == extract_text_from_mem(pdf), name
+        if spans:
+            for (page, start, end, x, y, fs) in spans:
+                assert text[start:end] == text[start:end]  # offsets in range
+                assert 0 <= start <= end <= len(text), name
