@@ -578,3 +578,58 @@ def pdf_cff_type1c(text: str = "AB") -> bytes:
 
 
 PDF_GENERATORS["pdf_cff_type1c"] = pdf_cff_type1c
+
+
+def pdf_textstate_ops() -> bytes:
+    """Tz (horizontal scaling), Ts (rise), Tc/Tw spacing, gs (ExtGState
+    with SMask) — the text-state ops not covered by other fixtures
+    (ref src/lib.rs:1697-1729, 1792-1797)."""
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    gs1 = b.add(b"<< /Type /ExtGState /SMask /None >>")
+    content = (b"/GS1 gs\n"
+               b"BT /F1 12 Tf\n"
+               b"72 700 Td 50 Tz (squeezed text) Tj\n"   # 50% h-scale
+               b"100 Tz 0 -30 Td 3 Ts (raised) Tj 0 Ts ( base) Tj\n"
+               b"0 -30 Td 2 Tc 4 Tw (w i d e) Tj\n"
+               b"ET")
+    content_num = b.stream("<< >>", content)
+    page = b.add(f"<< /Type /Page /Parent {{P}} /MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {f1} 0 R >> "
+                 f"/ExtGState << /GS1 {gs1} 0 R >> >> "
+                 f"/Contents {content_num} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>".encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{P}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    return b.build(root)
+
+
+def pdf_cid_word_spacing_quirk() -> bytes:
+    """Word spacing applies only to SINGLE-byte code 32: a CID font with
+    2-byte codes gets NO Tw advance even when a code maps to a space
+    (ref src/lib.rs:1307-1312)."""
+    b = PdfBuilder()
+    text = "a b"
+    codes = [0x0100, 0x0020, 0x0102]  # middle code IS 0x20 but 2 bytes wide
+    bfchars = [f"<{c:04x}> <{ord(ch):04x}>" for c, ch in zip(codes, text)]
+    cmap_txt = ("1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+                f"{len(bfchars)} beginbfchar\n" + "\n".join(bfchars) +
+                "\nendbfchar\n").encode()
+    cm = b.stream("<< >>", cmap_txt)
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /QuirkCID /Flags 4 "
+                 b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                 b"/Descent -200 /CapHeight 700 /StemV 80 >>")
+    cidfont = b.add(f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /QuirkCID "
+                    f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                    f"/Supplement 0 >> /FontDescriptor {desc} 0 R /DW 500 >>".encode())
+    f1 = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /QuirkCID "
+               f"/Encoding /Identity-H /DescendantFonts [{cidfont} 0 R] "
+               f"/ToUnicode {cm} 0 R >>".encode())
+    hexstr = "".join(f"{c:04x}" for c in codes)
+    content = f"BT /F1 12 Tf 1000 Tw 72 700 Td <{hexstr}> Tj ET".encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+PDF_GENERATORS["pdf_textstate_ops"] = pdf_textstate_ops
+PDF_GENERATORS["pdf_cid_word_spacing_quirk"] = pdf_cid_word_spacing_quirk

@@ -201,3 +201,30 @@ def test_spans_text_identical():
             for (page, start, end, x, y, fs) in spans:
                 assert text[start:end] == text[start:end]  # offsets in range
                 assert 0 <= start <= end <= len(text), name
+
+
+def test_textstate_ops_golden():
+    """Tz/Ts/Tc/Tw/gs coverage (ref src/lib.rs:1697-1729, 1792-1797)."""
+    out = extract_text_from_mem(pdfgen.pdf_textstate_ops())
+    assert out == "\n\nsqueezed text\n\nraised base\n\nw i d e"
+
+
+def test_cid_word_spacing_quirk_positions():
+    """Word spacing applies only to single-byte code 32: with Tw=1000 a
+    2-byte CID code 0x0020 must NOT advance, while a simple-font space
+    must (ref src/lib.rs:1307-1312).  Observable in span x positions."""
+    from pdf_extract_ray.engine.api import extract_text_and_spans_from_mem
+    cid_text, cid_spans = extract_text_and_spans_from_mem(
+        pdfgen.pdf_cid_word_spacing_quirk())
+    assert cid_text == "\n\na b"
+    # third glyph ('b') sits right after the space glyph: no Tw advance
+    assert cid_spans[2][3] < 100
+
+    from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+    b = PdfBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    root = _single_page(b, {"F1": f1},
+                        b"BT /F1 12 Tf 1000 Tw 72 700 Td (a b) Tj ET")
+    simple_text, simple_spans = extract_text_and_spans_from_mem(b.build(root))
+    assert simple_text == "\n\na b"
+    assert simple_spans[2][3] > 1000  # Tw pushed 'b' ~1000pt right
