@@ -295,22 +295,27 @@ def _q_ngram_neardup(sf_dir: str):
         ["doc_id_a", "doc_id_b"])
 
 
+def _ann_queries(ds, k: int = 10):
+    """Query rows = the k smallest vec_ids, selected with a per-batch
+    partial min-k + tiny driver merge (no all-to-all sort)."""
+    from pdf_extract_ray.ops.similarity import min_k_rows
+    head = min_k_rows(ds, "vec_id", k)
+    qids = head.column("vec_id").to_pylist()
+    qvecs = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    return qids, qvecs
+
+
 def _q_ann_topk(sf_dir: str):
-    import ray
     from pdf_extract_ray.ops.similarity import brute_force_topk
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    head = ds.sort("vec_id").limit(10).take_all()
-    qids = [r["vec_id"] for r in head]
-    qvecs = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    qids, qvecs = _ann_queries(ds)
     return brute_force_topk(ds, qids, qvecs, k=10)
 
 
 def _q_ann_topk_lsh(sf_dir: str):
     from pdf_extract_ray.ops.similarity import lsh_topk
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    head = ds.sort("vec_id").limit(10).take_all()
-    qids = [r["vec_id"] for r in head]
-    qvecs = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    qids, qvecs = _ann_queries(ds)
     return lsh_topk(ds, qids, qvecs, dim=64, k=10, n_bits=8, probe_hamming=1)
 
 
@@ -396,15 +401,9 @@ def _q_sessionize(sf_dir: str):
 
 def _q_top_customers(sf_dir: str):
     from pdf_extract_ray.ops.events import top_customers_by_spend
-    import ray
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    lookup = {}
-    for b in cust.iter_batches(batch_format="pyarrow"):
-        for ck, cn in zip(b.column("c_custkey").to_pylist(),
-                          b.column("c_name").to_pylist()):
-            lookup[ck] = cn
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    return top_customers_by_spend(orders, lookup, k=10)
+    return top_customers_by_spend(orders, cust, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -447,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_source": """
             SELECT source,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    sum(n_chars) * 1.0 / count(*) AS avg_chars
             FROM documents GROUP BY source
         """,

@@ -10,7 +10,9 @@
 - simhash_pairs: 64-bit SimHash, 4x16-bit band bucketing, Hamming check
   inside buckets; same partition-level grouping.
 - ngram_jaccard verify: exact character-n-gram Jaccard for candidate pairs
-  (broadcast small-side lookup, no shuffle join).
+  (broadcast candidate-id semi-join filters the corpus map-side; texts
+  attach to pairs via hash joins partitioned on doc_id — the corpus is
+  never materialized on the driver).
 """
 from __future__ import annotations
 
@@ -264,28 +266,59 @@ def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
 # ---------------------------------------------------------------------------
 
 
+class SimHashBatch:
+    """Stateful 64-bit SimHash stage: per-worker word-hash cache + fully
+    vectorized bit accumulation (one (n_words, 64) bit matrix per doc,
+    packed with np.packbits — no per-bit Python loop)."""
+
+    _SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)
+
+    def __init__(self):
+        self._word_cache: Dict[str, int] = {}
+
+    def _word_hashes(self, words: List[str]) -> np.ndarray:
+        cache = self._word_cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode("utf-8"),
+                                    digest_size=8).digest(), "big")
+                if len(cache) < 1_000_000:
+                    cache[w] = h
+            out[i] = h
+        return out
+
+    def simhash(self, text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        wh = self._word_hashes(words)
+        # (n_words, 64) sign matrix: +1 where bit set, -1 where clear
+        bits = ((wh[:, None] >> self._SHIFTS[None, :]) & np.uint64(1))
+        acc = bits.astype(np.int64).sum(axis=0) * 2 - len(words)
+        return int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        # store as int64 (two's complement) for Arrow friendliness
+        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(signed, pa.int64())],
+            names=["doc_id", "simhash"])
+
+
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over word features."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += np.where(bits.astype(np.int64) == 1, 1, -1)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= (1 << (63 - i))
-    return out
+    """Classic 64-bit SimHash over word features (thin wrapper over the
+    vectorized batch stage; kept as the unit-testable scalar surface)."""
+    from ..util import task_udf
+    return task_udf(SimHashBatch).simhash(text)
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    doc_ids = batch.column("doc_id")
-    hashes = [simhash64(t) for t in batch.column("text").to_pylist()]
-    # store as int64 (two's complement) for Arrow friendliness
-    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
-    return pa.Table.from_arrays(
-        [doc_ids, pa.array(signed, pa.int64())], names=["doc_id", "simhash"])
+    from ..util import task_udf
+    return task_udf(SimHashBatch)(batch)
 
 
 def simhash_pairs(ds, max_hamming: int = 3):
@@ -354,26 +387,81 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3, threshold: float = 0.6):
-    """Verify candidate pairs with exact n-gram Jaccard.  The docs side is
-    broadcast via ray.put (small-side lookup inside map_batches, no shuffle
-    join) — callers at true scale should pre-filter docs to candidate ids."""
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
+                         threshold: float = 0.6, num_partitions=None):
+    """Verify candidate pairs with exact n-gram Jaccard — scale-safe:
+
+    1. pairs (tiny: LSH survivors) are pinned once so collecting their id
+       set does not re-execute the LSH lineage;
+    2. the DISTINCT candidate-id set is broadcast via ray.put and docs are
+       filtered to it inside map_batches (map-side semi-join — the full
+       corpus text never leaves the read stage);
+    3. the filtered docs (bounded by 2 x n_pairs rows) attach to the pairs
+       via two hash joins partitioned on doc_id;
+    4. the exact Jaccard check runs per surviving pair.
+
+    No driver-side corpus materialization at any point."""
     import ray
-    id_to_text = {}
-    for batch in docs_ds.iter_batches(batch_format="pyarrow"):
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            id_to_text[d] = t
-    ref = ray.put(id_to_text)
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        # join aggregators reserve CPU budget / num_partitions each; cap
+        # partitions at the cluster CPU count so a join never deadlocks a
+        # small session, while still fanning out on a real cluster
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(32, cpus))
+
+    pairs = pairs_ds.materialize()  # tiny by construction (LSH survivors)
+    ids: set = set()
+    for batch in pairs.select_columns(["doc_id_a", "doc_id_b"]) \
+                      .iter_batches(batch_format="pyarrow"):
+        ids.update(batch.column("doc_id_a").to_pylist())
+        ids.update(batch.column("doc_id_b").to_pylist())
+    if not ids:
+        # no candidates (clean corpus): short-circuit — empty blocks have
+        # no schema, which would break the hash join's key resolution
+        return ray.data.from_arrow(pa.table(
+            {"doc_id_a": pa.array([], pa.int64()),
+             "doc_id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+    id_set = pa.array(sorted(ids), pa.int64())
+    ref = ray.put(id_set)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(ref))
+        out = batch.filter(mask)
+        return pa.Table.from_arrays(
+            [out.column("doc_id"), out.column("text")],
+            names=["doc_id", "text"])
+
+    # bounded by the candidate count -> safe (and single-executed) to pin
+    docs_f = docs_ds.map_batches(keep_candidates,
+                                 batch_format="pyarrow").materialize()
+
+    def side(name):
+        return docs_f.map_batches(
+            lambda b, _n=name: pa.Table.from_arrays(
+                [b.column("doc_id"), b.column("text")],
+                names=[f"doc_id_{_n}", f"text_{_n}"]),
+            batch_format="pyarrow")
+
+    # sequence the two joins (pin the tiny intermediate) so their
+    # aggregator pools never contend for the same CPU budget at once
+    joined = pairs.join(side("a"), join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("doc_id_a",)).materialize()
+    joined = joined.join(side("b"), join_type="inner",
+                         num_partitions=num_partitions, on=("doc_id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
         out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
-        for a, b in zip(batch.column("doc_id_a").to_pylist(),
-                        batch.column("doc_id_b").to_pylist()):
-            ta, tb = lookup.get(a), lookup.get(b)
-            if ta is None or tb is None:
-                continue
+        for a, b, ta, tb in zip(batch.column("doc_id_a").to_pylist(),
+                                batch.column("doc_id_b").to_pylist(),
+                                batch.column("text_a").to_pylist(),
+                                batch.column("text_b").to_pylist()):
             j = ngram_jaccard(ta, tb, n)
             if j >= threshold:
                 out["doc_id_a"].append(a)
@@ -385,4 +473,4 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3, threshold: float = 0.
              pa.array(out["jaccard"], pa.float64())],
             names=["doc_id_a", "doc_id_b", "jaccard"])
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -71,25 +71,53 @@ def sessionize(ds, gap_minutes: int = 30):
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
-def top_customers_by_spend(orders_ds, customer_lookup: dict, k: int = 10):
-    """Broadcast-join demo: per-customer order totals (one groupby over
-    (custkey, totalprice)), then the tiny top-k joined against a
-    broadcast customer-name dict — no shuffle join for the small side.
+def top_customers_by_spend(orders_ds, customer_ds, k: int = 10):
+    """Top-k customers by total spend, dimension fetched AFTER the top-k:
 
-    `customer_lookup`: {c_custkey: c_name} (caller broadcasts via ray.put
-    when used inside map_batches; here the join happens on the tiny top-k
-    result, driver-side)."""
+    1. one groupby shuffles only (custkey, partial sum, partial count);
+    2. per-batch partial top-k over the aggregate (no global sort — each
+       block emits its k best, the driver merges n_blocks x k rows);
+    3. only the k winning customer names are fetched from the dimension
+       via a map-side `pc.is_in` filter — the customer table is never
+       materialized anywhere."""
+    import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Count, Sum
 
     agg = orders_ds.groupby("o_custkey").aggregate(Sum("o_totalprice"), Count())
-    top = agg.sort(["sum(o_totalprice)", "o_custkey"],
-                   descending=[True, False]).limit(k).take_all()
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("sum(o_totalprice)").to_pylist(),
+                       dtype=np.float64)
+        ck = np.asarray(batch.column("o_custkey").to_pylist(), dtype=np.int64)
+        idx = np.lexsort((ck, -s))[:k]
+        return batch.take(pa.array(idx))
+
+    cands = sorted(
+        agg.map_batches(partial_topk, batch_format="pyarrow").take_all(),
+        key=lambda r: (-float(r["sum(o_totalprice)"]), int(r["o_custkey"])))
+    top = cands[:k]
+
+    keys = pa.array([int(r["o_custkey"]) for r in top], pa.int64())
+    keys_ref = ray.put(keys)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("c_custkey"), value_set=ray.get(keys_ref)))
+
+    names = {}
+    for b in customer_ds.map_batches(pick, batch_format="pyarrow") \
+                        .iter_batches(batch_format="pyarrow"):
+        for ck, cn in zip(b.column("c_custkey").to_pylist(),
+                          b.column("c_name").to_pylist()):
+            names[ck] = cn
+
     rows = []
     for rank, r in enumerate(top, start=1):
-        ck = r["o_custkey"]
+        ck = int(r["o_custkey"])
         # integer cents: double-sum low-order bits are order-dependent
         cents = int(np.rint(float(r["sum(o_totalprice)"]) * 100.0))
-        rows.append((rank, int(ck), customer_lookup.get(ck, ""),
+        rows.append((rank, ck, names.get(ck, ""),
                      cents, int(r["count()"])))
     return pa.Table.from_arrays(
         [pa.array([r[0] for r in rows], pa.int64()),

@@ -83,6 +83,24 @@ def brute_force_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
         names=["query_id", "neighbor_id", "rank"])
 
 
+def min_k_rows(ds, key: str, k: int) -> pa.Table:
+    """Rows holding the k smallest `key` values WITHOUT a global sort:
+    each batch emits its local k-minimum rows (a map), the driver merges
+    the tiny n_blocks x k candidate set.  Result sorted by `key`."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key).to_pylist())
+        idx = np.argsort(keys, kind="stable")[:k]
+        return batch.take(pa.array(idx))
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(cands.iter_batches(batch_format="pyarrow")))
+    keys = np.asarray(merged.column(key).to_pylist())
+    idx = np.argsort(keys, kind="stable")[:k]
+    return merged.take(pa.array(idx))
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: n_bits sign bits -> bucket id."""
 
@@ -150,10 +168,12 @@ def lsh_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
     q_ref = ray.put(q)
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..util import task_udf
         probe_set = ray.get(probe_ref)
         qm = ray.get(q_ref)
         vecs = _normalize(_stack(batch.column("embedding")))
-        buckets = HyperplaneLSH(qm.shape[1], n_bits).bucket(vecs)
+        # warm-worker singleton: planes built once per worker, not per batch
+        buckets = task_udf(HyperplaneLSH, dim=dim, n_bits=n_bits).bucket(vecs)
         mask = np.fromiter((int(b) in probe_set for b in buckets),
                            dtype=bool, count=len(buckets))
         if not mask.any():
@@ -201,18 +221,63 @@ def lsh_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
         names=["query_id", "neighbor_id", "rank"])
 
 
-def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
-                         n_bits: int = 8):
-    """Embedding-cosine near-dup pairs: LSH bucket groupby + exact cosine
-    verify within each bucket (only intra-bucket pairs are computed)."""
-    bucketed = lsh_bucketed(ds, dim=dim, n_bits=n_bits)
+class MultiTableBucketer:
+    """Emit (table, bucket, vec_id, embedding) rows for `n_tables`
+    independent hyperplane tables (seeds 42, 43, ...).  More tables =
+    higher near-dup recall at higher n_bits; built once per worker via
+    task_udf."""
 
-    def bucket_pairs(df):
+    def __init__(self, dim: int, n_bits: int, n_tables: int):
+        self.lshs = [HyperplaneLSH(dim, n_bits, seed=42 + t)
+                     for t in range(n_tables)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_stack(batch.column("embedding")))
+        n = len(vecs)
+        tabs, out = [], []
+        for t, lsh in enumerate(self.lshs):
+            tabs.append(np.full(n, t, dtype=np.int32))
+            out.append(lsh.bucket(vecs))
+        nt = len(self.lshs)
+        rep = pa.concat_tables([batch.select(["vec_id", "embedding"])] * nt)
+        return pa.table({
+            "table": pa.array(np.concatenate(tabs), pa.int32()),
+            "bucket": pa.array(np.concatenate(out), pa.int64()),
+            "vec_id": rep.column("vec_id"),
+            "embedding": rep.column("embedding")})
+
+
+def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
+                         n_bits: int = 8, n_tables: int = 1,
+                         n_parts: int = 64):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucketing + exact
+    cosine verify, with all grouping done at PARTITION level (buckets are
+    hashed into `n_parts` bounded partitions; one vectorized pass resolves
+    every bucket in a partition — no per-tiny-group map_groups, ever).
+
+    Scale guidance (expected bucket size ~= n_rows * n_tables / 2^n_bits):
+    pick n_bits ~= log2(n_rows / 1000) so intra-bucket exact cosine stays
+    O(1000^2) per bucket, and raise `n_tables` (independent hyperplane
+    tables, union of candidates) to recover the recall that extra planes
+    cost.  The intra-bucket pass is the documented partitioning
+    assumption: one bucket's vectors fit in one partition's memory."""
+    from ..util import task_udf
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return task_udf(MultiTableBucketer, dim=dim, n_bits=n_bits,
+                        n_tables=n_tables)(batch)
+
+    banded = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def resolve(df) -> "pd.DataFrame":
         import pandas as pd
         rows = []
-        if len(df) > 1:
-            ids = df["vec_id"].to_numpy()
-            vecs = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+        for (_t, _bkt), g in df.groupby(["table", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            vecs = _normalize(np.asarray(g["embedding"].tolist(),
+                                         dtype=np.float64))
             sims = vecs @ vecs.T
             order = np.argsort(ids)
             for ii in range(len(order)):
@@ -223,11 +288,15 @@ def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
                     s = float(sims[a, b])
                     if s >= threshold:
                         rows.append((int(ids[a]), int(ids[b]), s))
-        return pd.DataFrame(rows, columns=["vec_id_a", "vec_id_b", "cos_sim"])
+        return pd.DataFrame(rows, columns=["vec_id_a", "vec_id_b", "cos_sim"]
+                            ).astype({"vec_id_a": "int64",
+                                      "vec_id_b": "int64"})
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from .dedup import _grouped_by_partition
+    pairs = _grouped_by_partition(banded, ["table", "bucket"], resolve,
+                                  n_parts=n_parts)
 
-    def first_pair(df):
-        return df.head(1)
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        first_pair, batch_format="pandas")
+    def drop_dup(df):
+        return df.drop_duplicates(subset=["vec_id_a", "vec_id_b"])
+    return _grouped_by_partition(pairs, ["vec_id_a", "vec_id_b"], drop_dup,
+                                 n_parts=16)

@@ -60,11 +60,28 @@ def _enrich(batch: pa.Table) -> pa.Table:
 
 def textprep_dataset(pages_ds, *, num_partitions: int = 32,
                      min_quality: Optional[float] = None,
-                     batch_size: int = 64):
-    """Lazy composed pipeline over a (url, html) Dataset."""
+                     batch_size: int = 64,
+                     checkpoint_dir: Optional[str] = None):
+    """Composed pipeline over a (url, html) Dataset.
+
+    The extracted/ok dataset feeds BOTH join inputs (full rows + the
+    (md5,url) dedup decision).  Ray Data re-executes shared lazy lineage
+    once per consumer, so the expensive extraction stage MUST be pinned
+    before the lineage forks: `checkpoint_dir` writes it to partitioned
+    parquet and re-reads (the 100-TB path — resumable, object store
+    stays small); otherwise it is materialized into the object store
+    (fine while extracted text × replication fits cluster memory).
+    Either way extraction runs exactly once.
+    """
     extracted = extract_dataset(pages_ds, batch_size=batch_size,
                                 with_spans=False)
     ok = extracted.map_batches(_keep_ok, batch_format="pyarrow")
+    if checkpoint_dir is not None:
+        import ray
+        ok.write_parquet(checkpoint_dir)
+        ok = ray.data.read_parquet(checkpoint_dir)
+    else:
+        ok = ok.materialize()
 
     # dedup decision on (md5, url) pairs only
     hashed = ok.map_batches(_hash_rows, batch_format="pyarrow")
