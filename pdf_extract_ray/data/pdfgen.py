@@ -633,3 +633,165 @@ def pdf_cid_word_spacing_quirk() -> bytes:
 
 PDF_GENERATORS["pdf_textstate_ops"] = pdf_textstate_ops
 PDF_GENERATORS["pdf_cid_word_spacing_quirk"] = pdf_cid_word_spacing_quirk
+
+
+# ---------------------------------------------------------------------------
+# adversarial fixtures (round 2): real-world damage / exotic-feature patterns
+# targeting the residual real-corpus parity risks (VERDICT r1 "missing" #1).
+# Test-only: deliberately NOT wired into make_payload so the cached pages
+# corpus and its goldens stay byte-stable.
+# ---------------------------------------------------------------------------
+
+
+def pdf_corrupt_startxref(text: str = "recovered text") -> bytes:
+    """startxref points at a garbage offset: the xref chain is unusable and
+    the document loads only through the brute-force recovery scan
+    (document.py:_recover_scan, the lopdf repair-path analogue)."""
+    raw = pdf_simple_helvetica(text)
+    idx = raw.rfind(b"startxref")
+    return raw[:idx] + b"startxref\n42\n%%EOF\n"
+
+
+def pdf_truncated_xref(text: str = "truncated xref") -> bytes:
+    """xref table promises N entries but is cut off after the free entry:
+    the int() parse of the `trailer` keyword aborts the chain and recovery
+    rebuilds the object index from `N G obj` headers."""
+    raw = pdf_simple_helvetica(text)
+    i = raw.rfind(b"xref\n")
+    j = raw.find(b"trailer", i)
+    section = raw[i:j].split(b"\n")
+    damaged = b"\n".join(section[:3]) + b"\n"  # header + count + 1 entry
+    return raw[:i] + damaged + raw[j:]
+
+
+def pdf_hybrid_xref(text: str = "hybrid xref doc") -> bytes:
+    """Hybrid-reference file (PDF 1.5 spec 7.5.8.4): the classic xref
+    table marks the font object FREE; its real entry lives in an xref
+    STREAM referenced from the trailer's /XRefStm.  Readers that ignore
+    /XRefStm cannot resolve the font (document.py:101-107)."""
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    content_data = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    content = (f"<< /Length {len(content_data)} >>".encode()
+               + b"\nstream\n" + content_data + b"\nendstream")
+    page = (b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>")
+    pages = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    catalog = b"<< /Type /Catalog /Pages 4 0 R >>"
+
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+    offsets = {}
+    for num, body in ((1, font), (2, content), (3, page), (4, pages),
+                      (5, catalog)):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    # xref stream (object 6): carries ONLY the font entry
+    xrefstm_off = len(out)
+    entry = (1).to_bytes(1, "big") + offsets[1].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xz = zlib.compress(entry)
+    out += (f"6 0 obj\n<< /Type /XRef /Size 7 /Index [1 1] /W [1 4 2] "
+            f"/Root 5 0 R /Length {len(xz)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + xz + b"\nendstream\nendobj\n")
+
+    # classic xref table: object 1 deliberately FREE
+    xref_off = len(out)
+    out += b"xref\n0 7\n"
+    out += b"0000000000 65535 f \n"
+    out += b"0000000000 00000 f \n"  # font: only in the xref stream
+    for num in (2, 3, 4, 5):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += f"{xrefstm_off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 7 /Root 5 0 R /XRefStm {xrefstm_off} >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def pdf_embedded_cmap_multibyte() -> bytes:
+    """Type0 font whose /Encoding is an EMBEDDED CMap stream with a mixed
+    1-byte + 2-byte codespace and a hole (lead bytes 80-813F map to no
+    range).  Exercises the greedy 1..4-byte codespace match and the
+    reference's cid = code + dst_lo quirk (src/lib.rs:983-1035, 1060-1080).
+    Codes after the hole are dropped (next_char -> None ends the show)."""
+    b = PdfBuilder()
+    cid_cmap = (b"%!PS-Adobe-3.0 Resource-CMap\n"
+                b"/CIDInit /ProcSet findresource begin\n"
+                b"12 dict begin begincmap\n"
+                b"/CMapName /Mixed-H def /CMapType 1 def\n"
+                b"2 begincodespacerange\n<00> <7f>\n<8140> <9ffc>\n"
+                b"endcodespacerange\n"
+                b"2 begincidrange\n<00> <7f> 0\n<8140> <9ffc> 0\n"
+                b"endcidrange\nendcmap end end\n")
+    enc = b.stream("<< /Type /CMap /CMapName /Mixed-H >>", cid_cmap)
+    # ToUnicode keyed on the resulting CIDs (== raw code, dst lo 0)
+    bfchars = ["<0041> <004d>",  # code 0x41 -> 'M'
+               "<0042> <0069>",  # 0x42 -> 'i'
+               "<0043> <0078>",  # 0x43 -> 'x'
+               "<8140> <0065>",  # 2-byte 0x8140 -> 'e'
+               "<8141> <0064>"]  # 2-byte 0x8141 -> 'd'
+    tounicode = ("/CIDInit /ProcSet findresource begin\n"
+                 "12 dict begin begincmap\n"
+                 "1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+                 f"{len(bfchars)} beginbfchar\n" + "\n".join(bfchars) +
+                 "\nendbfchar\nendcmap end end\n").encode()
+    cm = b.stream("<< >>", tounicode)
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /MixedCID /Flags 4 "
+                 b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                 b"/Descent -200 /CapHeight 700 /StemV 80 >>")
+    cidfont = b.add(f"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /MixedCID "
+                    f"/CIDSystemInfo << /Registry (Test) /Ordering (Mixed) "
+                    f"/Supplement 0 >> /FontDescriptor {desc} 0 R /DW 600 "
+                    f"/W [33088 [500 500]] >>".encode())  # 33088 = 0x8140
+    f1 = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /MixedCID "
+               f"/Encoding {enc} 0 R /DescendantFonts [{cidfont} 0 R] "
+               f"/ToUnicode {cm} 0 R >>".encode())
+    # M i x (1-byte) e d (2-byte), then hole byte 0x80 0x20 and codes that
+    # would decode but are unreachable past the hole
+    hexstr = "414243" + "81408141" + "8020" + "4142"
+    content = f"BT /F1 12 Tf 72 700 Td <{hexstr}> Tj ET".encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_subset_partial_widths(text: str = "ABCD") -> bytes:
+    """Subset-tagged core font (ABCDEF+Helvetica is NOT a core-font name:
+    no prefix stripping, matching the reference) WITH a partial Widths
+    array: FirstChar..LastChar covers only A..C; code 'D' falls through to
+    /MissingWidth (read from the font dict, src/lib.rs:657)."""
+    b = PdfBuilder()
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /ABCDEF+Helvetica "
+                 b"/Flags 32 /FontBBox [0 0 1000 1000] /ItalicAngle 0 "
+                 b"/Ascent 718 /Descent -207 /CapHeight 718 /StemV 88 >>")
+    f1 = b.add(f"<< /Type /Font /Subtype /TrueType "
+               f"/BaseFont /ABCDEF+Helvetica /FirstChar 65 /LastChar 67 "
+               f"/Widths [600 0 650] /MissingWidth 250 "
+               f"/FontDescriptor {desc} 0 R >>".encode())
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+def pdf_subset_no_widths(text: str = "no widths here") -> bytes:
+    """Subset-tagged font with NO Widths at all: the reference's
+    substitution path looks up metrics by the ORIGINAL base name, finds
+    nothing for 'ABCDEF+Helvetica', and leaves the width map EMPTY (quirk,
+    src/lib.rs:586-655).  Text still decodes via PDFDocEncoding."""
+    b = PdfBuilder()
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /ABCDEF+Helvetica "
+                 b"/Flags 32 /FontBBox [0 0 1000 1000] /ItalicAngle 0 "
+                 b"/Ascent 718 /Descent -207 /CapHeight 718 /StemV 88 >>")
+    f1 = b.add(f"<< /Type /Font /Subtype /TrueType "
+               f"/BaseFont /ABCDEF+Helvetica "
+               f"/FontDescriptor {desc} 0 R >>".encode())
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    root = _single_page(b, {"F1": f1}, content)
+    return b.build(root)
+
+
+ADVERSARIAL_GENERATORS = {
+    "pdf_corrupt_startxref": pdf_corrupt_startxref,
+    "pdf_truncated_xref": pdf_truncated_xref,
+    "pdf_hybrid_xref": pdf_hybrid_xref,
+    "pdf_embedded_cmap_multibyte": pdf_embedded_cmap_multibyte,
+    "pdf_subset_partial_widths": pdf_subset_partial_widths,
+    "pdf_subset_no_widths": pdf_subset_no_widths,
+}

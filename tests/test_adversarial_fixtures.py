@@ -1,0 +1,99 @@
+"""Adversarial real-world-damage fixtures (round 2, VERDICT r1 next-round
+#8): corrupted xref chains, hybrid-reference files, multi-byte non-Identity
+CMaps with codespace holes, subset fonts with partial Widths.  Each anchors
+a reference decode path (citations on the generators in data/pdfgen.py);
+goldens freeze the engine's behavior WITHOUT touching the existing
+test_golden_extract goldens (parity freeze).
+"""
+from pdf_extract_ray.data.pdfgen import (pdf_corrupt_startxref,
+                                         pdf_embedded_cmap_multibyte,
+                                         pdf_hybrid_xref,
+                                         pdf_simple_helvetica,
+                                         pdf_subset_no_widths,
+                                         pdf_subset_partial_widths,
+                                         pdf_truncated_xref)
+from pdf_extract_ray.engine import extract_text_from_mem
+from pdf_extract_ray.engine.api import get_metadata
+from pdf_extract_ray.engine.document import Document
+from pdf_extract_ray.engine.fonts import make_font
+from pdf_extract_ray.engine.objects import maybe_get_obj
+
+
+def _first_font(buf: bytes):
+    doc = Document(buf)
+    page = doc.get_object(doc.get_pages()[1])
+    res = maybe_get_obj(doc, page, b"Resources")
+    fonts = maybe_get_obj(doc, res, b"Font")
+    (_name, ref), = fonts.items()
+    return make_font(doc, maybe_get_obj(doc, fonts, _name))
+
+
+class TestCorruptXref:
+    def test_corrupt_startxref_recovers_identically(self):
+        pristine = extract_text_from_mem(pdf_simple_helvetica("recovered text"))
+        assert extract_text_from_mem(pdf_corrupt_startxref()) == pristine
+        assert pristine == "\n\nrecovered text"
+
+    def test_truncated_xref_table_recovers(self):
+        pristine = extract_text_from_mem(pdf_simple_helvetica("truncated xref"))
+        assert extract_text_from_mem(pdf_truncated_xref()) == pristine
+
+    def test_corrupt_doc_metadata_still_works(self):
+        m = get_metadata(pdf_corrupt_startxref())
+        assert m["page_count"] == "1"
+
+
+class TestHybridXref:
+    def test_font_resolved_via_xrefstm(self):
+        # the classic table marks the font object free; only the /XRefStm
+        # xref stream maps it — text decodes only if that path works
+        assert extract_text_from_mem(pdf_hybrid_xref()) == "\n\nhybrid xref doc"
+
+    def test_classic_entries_still_used(self):
+        doc = Document(pdf_hybrid_xref())
+        assert doc.get_pages()  # page tree comes from the classic table
+        assert extract_text_from_mem(pdf_hybrid_xref("two words")) == "\n\ntwo words"
+
+
+class TestEmbeddedCMap:
+    def test_mixed_width_codespace(self):
+        # 1-byte codes 41 42 43 -> 'Mix', 2-byte 8140 8141 -> 'ed';
+        # hole byte 0x80 0x20 has no codespace match at widths 1..4 so the
+        # remaining (otherwise decodable) codes are dropped
+        assert extract_text_from_mem(pdf_embedded_cmap_multibyte()) == "\n\nMixed"
+
+    def test_cid_widths_from_w_list(self):
+        font = _first_font(pdf_embedded_cmap_multibyte())
+        assert font.get_width(0x8140) == 500.0
+        assert font.get_width(0x8141) == 500.0
+        assert font.get_width(0x41) == 600.0  # DW fallback
+
+    def test_greedy_match_consumes_two_bytes(self):
+        font = _first_font(pdf_embedded_cmap_multibyte())
+        codes = list(font.char_codes(bytes([0x41, 0x81, 0x40])))
+        assert codes == [(0x41, 1), (0x8140, 2)]
+        # hole: lead byte 0x80 never matches any width -> decode ends
+        assert list(font.char_codes(bytes([0x80, 0x20, 0x41]))) == []
+
+
+class TestSubsetFonts:
+    def test_partial_widths_text(self):
+        assert extract_text_from_mem(pdf_subset_partial_widths()) == "\n\nABCD"
+
+    def test_partial_widths_map(self):
+        font = _first_font(pdf_subset_partial_widths())
+        assert font.get_width(65) == 600.0
+        assert font.get_width(66) == 0.0    # explicit 0 in Widths
+        assert font.get_width(67) == 650.0
+        assert font.get_width(68) == 250.0  # outside range -> MissingWidth
+
+    def test_no_widths_empty_map_quirk(self):
+        # 'ABCDEF+Helvetica' is not a core-font name (no prefix stripping,
+        # ref src/lib.rs:586-655): substitution looks up metrics by the
+        # ORIGINAL name, finds none, leaves the width map empty
+        font = _first_font(pdf_subset_no_widths())
+        assert font.widths == {}
+        assert font.get_width(65) == 0.0  # MissingWidth default 0
+
+    def test_no_widths_text_still_decodes(self):
+        assert extract_text_from_mem(pdf_subset_no_widths()) == "\n\nno widths here"
