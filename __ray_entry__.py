@@ -406,6 +406,58 @@ def _q_top_customers(sf_dir: str):
     return top_customers_by_spend(orders, cust, k=10)
 
 
+def _q_tpch_q1(sf_dir: str):
+    from pdf_extract_ray.ops.relational import pricing_summary
+    return pricing_summary(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_tax",
+                       "l_shipdate"]))
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from pdf_extract_ray.ops.relational import revenue_by_nation
+    return revenue_by_nation(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
+
+
+def _q_asof_join(sf_dir: str):
+    from pdf_extract_ray.ops.relational import asof_join_orders
+    return asof_join_orders(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]))
+
+
+def _q_word_frequencies(sf_dir: str):
+    from pdf_extract_ray.ops.analytics import word_frequencies
+    return word_frequencies(_read(sf_dir, "documents", columns=["text"]),
+                            k=100)
+
+
+def _q_distinct_users(sf_dir: str):
+    from pdf_extract_ray.ops.analytics import distinct_count
+    return distinct_count(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from pdf_extract_ray.ops.analytics import topk_per_group
+    return topk_per_group(
+        _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"]),
+        "lang", "n_chars", "doc_id", k=3)
+
+
+def _q_median_chars_by_source(sf_dir: str):
+    from pdf_extract_ray.ops.analytics import grouped_median
+    return grouped_median(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -428,6 +480,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "deterministic_sample": _q_deterministic_sample,
         "stratified_sample": _q_stratified_sample,
+        "tpch_q1": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "asof_join": _q_asof_join,
+        "word_frequencies": _q_word_frequencies,
+        "distinct_users": _q_distinct_users,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "median_chars_by_source": _q_median_chars_by_source,
         # heuristic / non-SQL operators (rows-only)
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -536,6 +595,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 100, 0) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
+                       AS sum_base_price_cents,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100,
+                              0) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax)) * 100, 0) AS BIGINT)
+                       AS sum_charge_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            WITH per_cust AS (
+              SELECT o_custkey, sum(o_totalprice) AS spend
+              FROM orders GROUP BY o_custkey)
+            SELECT n_name,
+                   CAST(round(sum(spend) * 100, 0) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_customers
+            FROM per_cust
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        """,
+        "asof_join": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "word_frequencies": """
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+                         AS rank
+              FROM documents) WHERE rank <= 3
+        """,
+        "median_chars_by_source": """
+            SELECT source, CAST(median(n_chars) AS DOUBLE) AS median
+            FROM documents GROUP BY source
         """,
         "top_customers": """
             WITH agg AS (

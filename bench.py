@@ -88,23 +88,33 @@ def run_headline(sf_dir: str):
 
 
 def run_ops(sf_dir: str):
-    """Secondary pipelines: the training-data operators."""
+    """Secondary pipelines: the training-data operators.  Best-of-2 per
+    op (two full interleaved passes) — the shared host has 2-5x wall-time
+    swings and a single pass regularly records a load spike, not the
+    engine."""
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     names = ["token_counts", "quality_scores", "exact_dedup", "lang_id",
              "minhash_neardup", "simhash_neardup", "ann_topk", "ann_topk_lsh",
              "events_hourly", "sessionize", "top_customers",
-             "extract_by_pages", "textprep"]
+             "extract_by_pages", "textprep", "tpch_q1", "revenue_by_nation",
+             "asof_join", "word_frequencies", "distinct_users",
+             "top_docs_per_lang", "median_chars_by_source"]
     out = {}
-    for name in names:
-        t0 = time.perf_counter()
-        res = qs[name](sf_dir)
-        # consume: Dataset -> count via full execution; Table is done already
-        if hasattr(res, "to_pandas") and hasattr(res, "iter_batches"):
-            n = 0
-            for b in res.iter_batches(batch_format="pyarrow"):
-                n += b.num_rows
-        out[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in names:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            # consume: Dataset -> full execution; Table is done already
+            if hasattr(res, "to_pandas") and hasattr(res, "iter_batches"):
+                n = 0
+                for b in res.iter_batches(batch_format="pyarrow"):
+                    n += b.num_rows
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
     return out
 
 

@@ -1,0 +1,128 @@
+"""Distributed analytics operators: window-style top-k per group, exact
+distinct counts, exact grouped medians without a global sort, and corpus
+vocabulary building — the aggregate shapes a training-data pipeline needs
+beyond plain groupby sums.
+
+Scale discipline:
+- topk_per_group: every batch emits its local top-k per group (map-side
+  combine), so the shuffle carries at most n_blocks x n_groups x k rows;
+  the final per-group selection touches only those candidates.
+- distinct_count: batches pre-deduplicate (group, value) pairs before the
+  exact two-stage distinct (the shuffle moves unique pairs, not rows).
+- grouped_median: EXACT median with no global sort — one native
+  (group, value) count aggregation builds a histogram; each group's
+  histogram (bounded by the value cardinality, not the row count) is then
+  resolved in one pass.  Partitioning assumption: a group's distinct
+  VALUES fit in memory (holds for bounded-domain metrics like lengths).
+- word_frequencies: per-batch Counter (map-side combine) -> ONE groupby
+  sum over (word, partial_count) -> per-batch partial top-k -> tiny
+  driver merge (same pattern as top_customers).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def topk_per_group(ds, group_col: str, value_col: str, id_col: str,
+                   k: int = 3):
+    """Top-k rows per group by (value desc, id asc) with a dense 1-based
+    rank -> (group, id, value, rank).  Assumes a bounded number of groups
+    (each group's k candidates per block reach one map_groups call)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col, id_col]).to_pandas()
+        df = df.sort_values([group_col, value_col, id_col],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False)
+                                    .head(k), preserve_index=False)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([value_col, id_col],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return cands.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def distinct_count(ds, group_col: str, value_col: str):
+    """Exact count(distinct value) per group -> (group, n_distinct)."""
+    def dedup(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False)
+
+    pairs = ds.map_batches(dedup, batch_format="pyarrow")
+    uniq = pairs.groupby([group_col, value_col]).count()
+    out = uniq.map_batches(
+        lambda b: b.select([group_col]), batch_format="pyarrow") \
+        .groupby(group_col).count()
+    return out.map_batches(
+        lambda b: pa.table({group_col: b.column(group_col),
+                            "n_distinct": pc.cast(b.column("count()"),
+                                                  pa.int64())}),
+        batch_format="pyarrow")
+
+
+def grouped_median(ds, group_col: str, value_col: str):
+    """Exact median per group -> (group, median) as float64 (mean of the
+    two middle values for even counts, matching SQL MEDIAN)."""
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        cnts = df["count()"].to_numpy(dtype=np.int64)
+        total = cnts.sum()
+        cum = np.cumsum(cnts)
+        lo_pos = (total - 1) // 2  # 0-based
+        hi_pos = total // 2
+        lo = vals[np.searchsorted(cum, lo_pos, side="right")]
+        hi = vals[np.searchsorted(cum, hi_pos, side="right")]
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "median": [(lo + hi) / 2.0]})
+
+    return hist.groupby(group_col).map_groups(resolve, batch_format="pandas")
+
+
+def word_frequencies(ds, text_col: str = "text", k: int = 100) -> pa.Table:
+    """Corpus vocabulary: top-k words by count (ties broken by word asc)
+    -> pa.Table (word, n).  Words split on single spaces, empties dropped
+    (mirrors SQL string_split)."""
+    import collections
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in b.column(text_col).to_pylist():
+            c.update(w for w in t.split(" ") if w)
+        words = list(c.keys())
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n": pa.array([c[w] for w in words], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    summed = ds.map_batches(partial_counts, batch_format="pyarrow") \
+               .groupby("word").aggregate(Sum("n"))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        words = np.asarray(b.column("word").to_pylist(), dtype=object)
+        n = np.asarray(b.column("sum(n)").to_pylist(), dtype=np.int64)
+        idx = np.lexsort((words, -n))[:k]
+        return pa.table({"word": pa.array(words[idx].tolist(), pa.string()),
+                         "n": pa.array(n[idx], pa.int64())})
+
+    cands: List[tuple] = []
+    for b in summed.map_batches(partial_topk, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        cands.extend(zip(b.column("word").to_pylist(),
+                         b.column("n").to_pylist()))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    top = cands[:k]
+    return pa.table({"word": pa.array([w for w, _ in top], pa.string()),
+                     "n": pa.array([n for _, n in top], pa.int64())})

@@ -1,0 +1,182 @@
+"""Relational operators over the TPC-H-ish tables (Ray Data native).
+
+Scale discipline per operator:
+- pricing_summary (TPC-H Q1 shape): derived columns are vectorized
+  pyarrow.compute inside map_batches; the shuffle carries only the
+  6-value (returnflag, linestatus) key space through ONE native groupby.
+- revenue_by_nation: orders are PRE-AGGREGATED per custkey before the
+  join (the shuffle moves (custkey, sum) pairs, never order rows), then
+  one hash join against the customer dimension, a second tiny groupby per
+  nation, and a driver-side lookup of the 25-row nation names.
+- asof_join_orders: as-of (most-recent-at-or-before) join, an operator
+  Ray Data lacks.  Orders are first thinned to one row per
+  (custkey, orderdate) with a native Max aggregate; both sides are then
+  hash-partitioned BY KEY into bounded partitions (same pattern as
+  dedup._grouped_by_partition) and each partition resolves all of its
+  users with one sort + np.searchsorted pass.  Partitioning assumption:
+  one user's orders + events fit in one partition's memory (salting by
+  time range would defuse a hot user).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pricing_summary(lineitem_ds, cutoff: str = "2000-01-01"):
+    """TPC-H Q1 pricing summary: -> (l_returnflag, l_linestatus,
+    sum_qty_cents, sum_base_price_cents, sum_disc_price_cents,
+    sum_charge_cents, n_rows).  Money/quantity sums emitted as integer
+    cents (double-sum low bits are summation-order dependent)."""
+    from ray.data.aggregate import Count, Sum
+    cutoff_ts = np.datetime64(cutoff, "us")
+
+    def derive(b: pa.Table) -> pa.Table:
+        mask = pc.less_equal(b.column("l_shipdate"),
+                             pa.scalar(cutoff_ts.item(), pa.timestamp("us")))
+        b = b.filter(mask)
+        ext = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+        tax = b.column("l_tax")
+        disc_price = pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), tax))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty": b.column("l_quantity"),
+            "base": ext,
+            "disc_price": disc_price,
+            "charge": charge})
+
+    agg = lineitem_ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty"), Sum("base"), Sum("disc_price"),
+                   Sum("charge"), Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        def cents(col):
+            v = np.asarray(b.column(col).to_pylist(), dtype=np.float64)
+            return pa.array(np.rint(v * 100.0).astype(np.int64), pa.int64())
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty_cents": cents("sum(qty)"),
+            "sum_base_price_cents": cents("sum(base)"),
+            "sum_disc_price_cents": cents("sum(disc_price)"),
+            "sum_charge_cents": cents("sum(charge)"),
+            "n_rows": pc.cast(b.column("count()"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_nation(orders_ds, customer_ds, nation_ds, *,
+                      num_partitions=None):
+    """-> (n_name, revenue_cents, n_customers): total order revenue per
+    customer nation.  Orders pre-aggregate per custkey BEFORE the join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(32, cpus))
+
+    per_cust = orders_ds.groupby("o_custkey").aggregate(Sum("o_totalprice"))
+    per_cust = per_cust.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey"),
+                            "spend": b.column("sum(o_totalprice)")}),
+        batch_format="pyarrow")
+    cust = customer_ds.map_batches(
+        lambda b: b.select(["c_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    joined = per_cust.join(cust, join_type="inner",
+                           num_partitions=num_partitions, on=("c_custkey",))
+    per_nation = joined.groupby("c_nationkey").aggregate(Sum("spend"), Count())
+
+    # 25-row dimension: take to the driver, no shuffle
+    names = {}
+    for b in nation_ds.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b.column("n_nationkey").to_pylist(),
+                        b.column("n_name").to_pylist()):
+            names[k] = n
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b.column("c_nationkey").to_pylist()
+        spend = np.asarray(b.column("sum(spend)").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "n_name": pa.array([names.get(k, "") for k in keys], pa.string()),
+            "revenue_cents": pa.array(np.rint(spend * 100.0).astype(np.int64),
+                                      pa.int64()),
+            "n_customers": pc.cast(b.column("count()"), pa.int64())})
+
+    return per_nation.map_batches(finish, batch_format="pyarrow")
+
+
+def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
+    """As-of join: each event matches its user's most recent order at or
+    before the event time -> (event_id, user_id, ts, o_orderkey,
+    o_orderdate); events with no prior order are dropped (inner as-of).
+
+    Orders are deduped to max(o_orderkey) per (custkey, orderdate) first
+    so ties are deterministic (mirrors the SQL oracle's CTE)."""
+    from ray.data.aggregate import Max
+    from .dedup import _grouped_by_partition
+
+    thin = orders_ds.groupby(["o_custkey", "o_orderdate"]) \
+                    .aggregate(Max("o_orderkey"))
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("o_custkey"), pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "ts": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+            "event_id": pa.array([None] * n, pa.int64()),
+            "o_orderkey": pc.cast(b.column("max(o_orderkey)"), pa.int64())})
+
+    def event_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("user_id"), pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "ts": pc.cast(b.column("ts"), pa.timestamp("us")),
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "o_orderkey": pa.array([None] * n, pa.int64())})
+
+    both = events_ds.map_batches(event_rows, batch_format="pyarrow").union(
+        thin.map_batches(order_rows, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in df.groupby("key", sort=False):
+            orders = g[g["side"] == 1]
+            events = g[g["side"] == 0]
+            if len(orders) == 0 or len(events) == 0:
+                continue
+            ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            order_sort = np.argsort(ots, kind="stable")
+            ots = ots[order_sort]
+            okeys = orders["o_orderkey"].to_numpy()[order_sort]
+            ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            idx = np.searchsorted(ots, ets, side="right") - 1
+            ok = idx >= 0
+            for eid, t, i in zip(events["event_id"].to_numpy()[ok],
+                                 ets[ok], idx[ok]):
+                out.append((int(eid), int(key), t, int(okeys[i]),
+                            int(ots[i])))
+        res = pd.DataFrame(out, columns=["event_id", "user_id", "ts",
+                                         "o_orderkey", "o_orderdate"])
+        if len(res):
+            res["ts"] = res["ts"].astype("datetime64[us]")
+            res["o_orderdate"] = res["o_orderdate"].astype("datetime64[us]")
+        else:
+            res = res.astype({"event_id": "int64", "user_id": "int64",
+                              "ts": "datetime64[us]", "o_orderkey": "int64",
+                              "o_orderdate": "datetime64[us]"})
+        return res
+
+    return _grouped_by_partition(both, ["key"], resolve, n_parts=n_parts)

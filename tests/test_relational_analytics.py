@@ -1,0 +1,99 @@
+"""Unit tests for ops/relational.py and ops/analytics.py over small
+in-memory tables with hand-computed answers (the sf0.01 DuckDB oracle
+covers the same operators at scale via tools/check_oracle.py)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray
+    return ray.data.from_arrow(tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_asof_join_basic(self):
+        from pdf_extract_ray.ops.relational import asof_join_orders
+        ts = lambda s: np.datetime64(s, "us").item()
+        events = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "ts": pa.array([ts("2024-01-05"), ts("2024-01-01"),
+                            ts("2023-12-01"), ts("2024-01-05")],
+                           pa.timestamp("us"))})
+        orders = pa.table({
+            "o_orderkey": pa.array([100, 101, 102, 200], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 9], pa.int64()),
+            "o_orderdate": pa.array(
+                [ts("2024-01-01"), ts("2024-01-04"), ts("2024-01-01"),
+                 ts("2024-01-01")], pa.timestamp("us"))})
+        out = asof_join_orders(_ds(events), _ds(orders)).to_pandas()
+        got = {int(r.event_id): int(r.o_orderkey) for r in out.itertuples()}
+        # event 1 (Jan 5): latest order Jan 4 -> 101
+        # event 2 (Jan 1): tie on Jan 1 orders 100/102 -> max key 102
+        # event 3 (Dec 1): no prior order -> dropped
+        # event 4: user 8 has no orders -> dropped
+        assert got == {1: 101, 2: 102}
+
+    def test_pricing_summary_counts(self):
+        from pdf_extract_ray.ops.relational import pricing_summary
+        ts = lambda s: np.datetime64(s, "us").item()
+        li = pa.table({
+            "l_returnflag": pa.array(["A", "A", "N"], pa.string()),
+            "l_linestatus": pa.array(["F", "F", "O"], pa.string()),
+            "l_quantity": pa.array([2.0, 3.0, 1.0], pa.float64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 5.0], pa.float64()),
+            "l_discount": pa.array([0.1, 0.0, 0.5], pa.float64()),
+            "l_tax": pa.array([0.0, 0.1, 0.0], pa.float64()),
+            "l_shipdate": pa.array([ts("1999-01-01"), ts("1999-06-01"),
+                                    ts("2001-01-01")], pa.timestamp("us"))})
+        out = pricing_summary(_ds(li), cutoff="2000-01-01").to_pandas()
+        row = out[out.l_returnflag == "A"].iloc[0]
+        assert row.n_rows == 2
+        assert row.sum_qty_cents == 500
+        assert row.sum_base_price_cents == 3000
+        # 10*0.9 + 20*1.0 = 29 ; charge: 9 + 20*1.1 = 31
+        assert row.sum_disc_price_cents == 2900
+        assert row.sum_charge_cents == 3100
+        assert (out.l_returnflag == "N").sum() == 0  # filtered by cutoff
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnalytics:
+    def test_topk_per_group(self):
+        from pdf_extract_ray.ops.analytics import topk_per_group
+        t = pa.table({"lang": pa.array(["en", "en", "en", "de"], pa.string()),
+                      "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "n_chars": pa.array([10, 30, 30, 5], pa.int64())})
+        out = topk_per_group(_ds(t), "lang", "n_chars", "doc_id", k=2) \
+            .to_pandas().sort_values(["lang", "rank"])
+        en = out[out.lang == "en"]
+        # ties on 30 break by doc_id asc: 2 then 3
+        assert list(en.doc_id) == [2, 3]
+        assert list(en["rank"]) == [1, 2]
+        assert list(out[out.lang == "de"].doc_id) == [4]
+
+    def test_distinct_count(self):
+        from pdf_extract_ray.ops.analytics import distinct_count
+        t = pa.table({"event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+                      "user_id": pa.array([1, 1, 2, 1], pa.int64())})
+        out = distinct_count(_ds(t), "event_type", "user_id").to_pandas()
+        got = dict(zip(out.event_type, out.n_distinct))
+        assert got == {"a": 2, "b": 1}
+
+    def test_grouped_median_even_odd(self):
+        from pdf_extract_ray.ops.analytics import grouped_median
+        t = pa.table({"source": pa.array(["x"] * 4 + ["y"] * 3, pa.string()),
+                      "n_chars": pa.array([1, 3, 5, 7, 10, 20, 30], pa.int64())})
+        out = grouped_median(_ds(t), "source", "n_chars").to_pandas()
+        got = dict(zip(out.source, out["median"]))
+        assert got["x"] == 4.0   # (3+5)/2
+        assert got["y"] == 20.0
+
+    def test_word_frequencies(self):
+        from pdf_extract_ray.ops.analytics import word_frequencies
+        t = pa.table({"text": pa.array(["a b a", "b a", "c"], pa.string())})
+        out = word_frequencies(_ds(t), "text", k=2)
+        assert out.column("word").to_pylist() == ["a", "b"]
+        assert out.column("n").to_pylist() == [3, 2]
