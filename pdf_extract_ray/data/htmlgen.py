@@ -37,9 +37,54 @@ def html_malformed(text: str) -> bytes:
             f"<div><p>more {text}").encode()
 
 
+def html_table(cell_text: str, n_rows: int = 3) -> bytes:
+    """Data table: every <td> is its own block (BLOCK_TAGS includes td).
+    Long prose cells survive the block scorer; terse label cells (under 3
+    words) are dropped — the behavior a data-heavy page exercises."""
+    rows = "".join(
+        f"<tr><td>ID{r}</td><td>{cell_text} row {r}</td></tr>"
+        for r in range(n_rows))
+    return (f"<html><body><nav><a href='/'>home</a></nav>"
+            f"<table>{rows}</table>"
+            f"<footer>generated</footer></body></html>").encode()
+
+
+def html_comments_cdata(text: str) -> bytes:
+    """Comments and CDATA sections: html.parser routes them to
+    handle_comment/handle_unknown_decl, which the segmenter ignores —
+    neither may leak into the extraction."""
+    return (f"<html><body>"
+            f"<!-- boilerplate comment that must never appear -->"
+            f"<p>{text}</p>"
+            f"<![CDATA[ raw cdata payload must not leak ]]>"
+            f"<script>/*<![CDATA[*/ var hidden = 1; /*]]>*/</script>"
+            f"<p>{text} second</p>"
+            f"<!-- trailing comment --></body></html>").encode()
+
+
+def html_entities() -> bytes:
+    """Character references: convert_charrefs=True must decode named,
+    decimal and hex entities inside kept blocks."""
+    return (b"<html><body><p>The caf&eacute; serves M&amp;M and a dash "
+            b"&#8212; plus the hex form &#x2603; of the snowman in this "
+            b"long enough sentence of plain words</p></body></html>")
+
+
+def html_inline_links(text: str) -> bytes:
+    """Prose paragraph with moderate inline anchors: link density stays
+    under the 0.33 threshold so the block survives WITH the anchor text."""
+    return (f"<html><body><p>{text} with an <a href='/x'>inline link</a> "
+            f"inside the running prose of this paragraph which otherwise "
+            f"keeps enough plain words to stay</p></body></html>").encode()
+
+
 HTML_GENERATORS = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
     "html_nested": html_nested,
     "html_malformed": html_malformed,
+    "html_table": html_table,
+    "html_comments_cdata": html_comments_cdata,
+    "html_entities": html_entities,
+    "html_inline_links": html_inline_links,
 }

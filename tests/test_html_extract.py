@@ -104,3 +104,41 @@ class TestHtmlStructures:
         out = extract_html_text(html)
         assert "styled block keeps its words" in out
         assert "font-size" not in out
+
+
+def test_table_cells_are_blocks():
+    from pdf_extract_ray.data.htmlgen import html_table
+    prose = ("the words of this cell are plain prose and long enough to be "
+             "kept by the scorer")
+    out = extract_html_text(html_table(prose, n_rows=2))
+    assert out.count(prose) == 2      # each prose td is its own kept block
+    assert "ID0" not in out           # terse label cells dropped
+    assert "home" not in out          # nav stripped
+
+
+def test_comments_and_cdata_never_leak():
+    from pdf_extract_ray.data.htmlgen import html_comments_cdata
+    prose = "a plain sentence with enough of the usual words to be kept"
+    out = extract_html_text(html_comments_cdata(prose))
+    assert prose in out
+    assert f"{prose} second" in out
+    assert "boilerplate comment" not in out
+    assert "cdata payload" not in out
+    assert "hidden" not in out        # script content (even CDATA-wrapped)
+
+
+def test_char_references_decoded():
+    from pdf_extract_ray.data.htmlgen import html_entities
+    out = extract_html_text(html_entities())
+    assert "café" in out              # named entity
+    assert "M&M" in out               # &amp;
+    assert "—" in out            # decimal reference
+    assert "☃" in out            # hex reference
+
+
+def test_inline_links_kept_below_density_threshold():
+    from pdf_extract_ray.data.htmlgen import html_inline_links
+    out = extract_html_text(html_inline_links(
+        "a sentence of common words that runs on"))
+    assert "inline link" in out       # anchor text preserved in-place
+    assert "running prose" in out
