@@ -97,3 +97,42 @@ class TestSubsetFonts:
 
     def test_no_widths_text_still_decodes(self):
         assert extract_text_from_mem(pdf_subset_no_widths()) == "\n\nno widths here"
+
+
+class TestType3CharProcs:
+    """VERDICT r1 verify item #3: the reference never reads CharProcs
+    d0/d1 — Type3 advances come from the Widths array only
+    (src/lib.rs:692-765).  A glyph proc declaring a CONFLICTING d0 width
+    must not change text or span positions."""
+
+    @staticmethod
+    def _make(glyph_stream: bytes) -> bytes:
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        b = PdfBuilder()
+        glyph = b.stream("<< >>", glyph_stream)
+        enc = b.add(b"<< /Type /Encoding /Differences [97 /a /b /c] >>")
+        f1 = b.add(f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 750 750] "
+                   f"/FontMatrix [0.001 0 0 0.001 0 0] "
+                   f"/CharProcs << /a {glyph} 0 R /b {glyph} 0 R "
+                   f"/c {glyph} 0 R >> "
+                   f"/Encoding {enc} 0 R /FirstChar 97 /LastChar 99 "
+                   f"/Widths [750 750 750] >>".encode())
+        content = b"BT /F1 12 Tf 72 700 Td (abc) Tj ET"
+        root = _single_page(b, {"F1": f1}, content)
+        return b.build(root)
+
+    def test_d0_in_charproc_ignored(self):
+        from pdf_extract_ray.engine.api import extract_text_and_spans_from_mem
+        plain = self._make(b"0 0 750 750 re f")
+        with_d0 = self._make(b"999 0 d0 0 0 750 750 re f")
+        t1, s1 = extract_text_and_spans_from_mem(plain)
+        t2, s2 = extract_text_and_spans_from_mem(with_d0)
+        assert t1 == t2 == "\n\nabc"
+        assert s1 == s2  # positions driven by Widths, never by d0
+
+    def test_d1_in_charproc_ignored(self):
+        from pdf_extract_ray.engine.api import extract_text_and_spans_from_mem
+        plain = self._make(b"0 0 750 750 re f")
+        with_d1 = self._make(b"999 0 0 0 750 750 d1 0 0 750 750 re f")
+        assert (extract_text_and_spans_from_mem(plain)
+                == extract_text_and_spans_from_mem(with_d1))
