@@ -451,6 +451,15 @@ def _q_top_docs_per_lang(sf_dir: str):
         "lang", "n_chars", "doc_id", k=3)
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL sketch counterpart of distinct_users (approximate by design —
+    no SQL oracle; tests verify <5% error vs the exact operator)."""
+    from pdf_extract_ray.ops.sketch import approx_distinct_count
+    return approx_distinct_count(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 def _q_median_chars_by_source(sf_dir: str):
     from pdf_extract_ray.ops.analytics import grouped_median
     return grouped_median(
@@ -488,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "median_chars_by_source": _q_median_chars_by_source,
         # heuristic / non-SQL operators (rows-only)
+        "approx_distinct_users": _q_approx_distinct_users,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,

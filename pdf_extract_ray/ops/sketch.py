@@ -1,0 +1,99 @@
+"""Sketch operators: HyperLogLog approximate distinct counting.
+
+The mergeable-sketch pattern for 100-TB streams: every batch folds its
+rows into a fixed-size register array per group (map-side combine — the
+shuffle carries one 2^p-byte sketch per group per block, independent of
+row count), one groupby merges sketches by element-wise max, and the
+estimator runs on the tiny merged result.  Standard HLL from the public
+Flajolet et al. 2007 paper with the usual small/large-range corrections.
+
+Exact counterpart for verification: ops/analytics.py:distinct_count.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash64(values) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+            "big")
+    return out
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _estimate(registers: np.ndarray) -> float:
+    m = len(registers)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((registers == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)
+
+
+def hll_sketch_batch(values, p: int = 12) -> np.ndarray:
+    """Fold values into a fresh 2^p-register HLL sketch (uint8)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) & np.uint64((1 << 64) - 1)
+    # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1)
+    nz = rest != 0
+    lead = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    # log2 of the top bit position for nonzero remainders
+    bits = np.zeros(len(h), dtype=np.float64)
+    bits[nz] = np.floor(np.log2(rest[nz].astype(np.float64)))
+    lead[nz] = (63 - bits[nz]).astype(np.uint8) + 1
+    np.maximum.at(regs, idx, lead)
+    return regs
+
+
+def approx_distinct_count(ds, group_col: str, value_col: str, *,
+                          p: int = 12):
+    """Approximate count(distinct value) per group -> (group,
+    n_distinct_approx:int64).  Typical error ~1.04/sqrt(2^p) (~1.6% at
+    p=12)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col]).to_pandas()
+        groups = []
+        sketches = []
+        for g, sub in df.groupby(group_col, sort=False):
+            groups.append(g)
+            sketches.append(hll_sketch_batch(sub[value_col].tolist(), p).tobytes())
+        return pa.table({group_col: pa.array(groups),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for s in df["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(s, dtype=np.uint8))
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n_distinct_approx": [int(round(_estimate(regs)))]})
+
+    out = partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+    return out

@@ -97,3 +97,28 @@ class TestAnalytics:
         out = word_frequencies(_ds(t), "text", k=2)
         assert out.column("word").to_pylist() == ["a", "b"]
         assert out.column("n").to_pylist() == [3, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketch:
+    def test_hll_within_tolerance_of_exact(self):
+        from pdf_extract_ray.ops.sketch import approx_distinct_count
+        n = 5000
+        t = pa.table({
+            "g": pa.array(["a" if i % 3 else "b" for i in range(n)], pa.string()),
+            "v": pa.array([i % 700 for i in range(n)], pa.int64())})
+        out = approx_distinct_count(_ds(t), "g", "v", p=12).to_pandas()
+        got = dict(zip(out.g, out.n_distinct_approx))
+        # exact: 'a' sees values i%700 for i not divisible by 3; 'b' the rest
+        exact_a = len({i % 700 for i in range(n) if i % 3})
+        exact_b = len({i % 700 for i in range(n) if not i % 3})
+        assert abs(got["a"] - exact_a) / exact_a < 0.05
+        assert abs(got["b"] - exact_b) / exact_b < 0.05
+
+    def test_hll_deterministic(self):
+        from pdf_extract_ray.ops.sketch import hll_sketch_batch, _estimate
+        import numpy as np
+        r1 = hll_sketch_batch(list(range(1000)))
+        r2 = hll_sketch_batch(list(range(1000)))
+        assert (r1 == r2).all()
+        assert abs(_estimate(r1) - 1000) / 1000 < 0.05
