@@ -9,13 +9,14 @@ Scale discipline per operator:
   one hash join against the customer dimension, a second tiny groupby per
   nation, and a driver-side lookup of the 25-row nation names.
 - asof_join_orders: as-of (most-recent-at-or-before) join, an operator
-  Ray Data lacks.  Orders are first thinned to one row per
-  (custkey, orderdate) with a native Max aggregate; both sides are then
-  hash-partitioned BY KEY into bounded partitions (same pattern as
-  dedup._grouped_by_partition) and each partition resolves all of its
-  users with one sort + np.searchsorted pass.  Partitioning assumption:
-  one user's orders + events fit in one partition's memory (salting by
-  time range would defuse a hot user).
+  Ray Data lacks.  Both sides are hash-partitioned BY KEY into bounded
+  partitions (same pattern as dedup._grouped_by_partition) in ONE
+  shuffle; each partition resolves all of its users with one sort +
+  np.searchsorted pass, and the (custkey, orderdate) -> max(orderkey)
+  tie-break dedup happens inside the partition (an up-front native Max
+  aggregate would cost a second full shuffle for no volume reduction).
+  Partitioning assumption: one user's orders + events fit in one
+  partition's memory (salting by time range would defuse a hot user).
 """
 from __future__ import annotations
 
@@ -83,7 +84,9 @@ def revenue_by_nation(orders_ds, customer_ds, nation_ds, *,
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        num_partitions = max(2, min(32, cpus))
+        # join aggregator actors carry fixed spin-up cost; 16 partitions
+        # saturate a single node, real clusters pass num_partitions
+        num_partitions = max(2, min(16, cpus))
 
     per_cust = orders_ds.groupby("o_custkey").aggregate(Sum("o_totalprice"))
     per_cust = per_cust.map_batches(
@@ -121,13 +124,10 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
     before the event time -> (event_id, user_id, ts, o_orderkey,
     o_orderdate); events with no prior order are dropped (inner as-of).
 
-    Orders are deduped to max(o_orderkey) per (custkey, orderdate) first
-    so ties are deterministic (mirrors the SQL oracle's CTE)."""
-    from ray.data.aggregate import Max
+    Orders are deduped to max(o_orderkey) per (custkey, orderdate) INSIDE
+    the per-partition resolve so ties are deterministic (mirrors the SQL
+    oracle's CTE) without paying a separate aggregate shuffle."""
     from .dedup import _grouped_by_partition
-
-    thin = orders_ds.groupby(["o_custkey", "o_orderdate"]) \
-                    .aggregate(Max("o_orderkey"))
 
     def order_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -136,7 +136,7 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
             "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
             "ts": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
             "event_id": pa.array([None] * n, pa.int64()),
-            "o_orderkey": pc.cast(b.column("max(o_orderkey)"), pa.int64())})
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64())})
 
     def event_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -148,7 +148,7 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
             "o_orderkey": pa.array([None] * n, pa.int64())})
 
     both = events_ds.map_batches(event_rows, batch_format="pyarrow").union(
-        thin.map_batches(order_rows, batch_format="pyarrow"))
+        orders_ds.map_batches(order_rows, batch_format="pyarrow"))
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -158,9 +158,14 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
             if len(orders) == 0 or len(events) == 0:
                 continue
             ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            order_sort = np.argsort(ots, kind="stable")
+            okeys_raw = orders["o_orderkey"].to_numpy()
+            # in-partition tie-break dedup: keep max orderkey per date
+            order_sort = np.lexsort((okeys_raw, ots))
             ots = ots[order_sort]
-            okeys = orders["o_orderkey"].to_numpy()[order_sort]
+            okeys = okeys_raw[order_sort]
+            last = np.r_[ots[1:] != ots[:-1], True]  # last (=max key) per ts
+            ots = ots[last]
+            okeys = okeys[last]
             ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
             idx = np.searchsorted(ots, ets, side="right") - 1
             ok = idx >= 0
