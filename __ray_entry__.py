@@ -451,6 +451,19 @@ def _q_top_docs_per_lang(sf_dir: str):
         "lang", "n_chars", "doc_id", k=3)
 
 
+def _q_sliding_window_counts(sf_dir: str):
+    from pdf_extract_ray.ops.events import sliding_window_counts
+    return sliding_window_counts(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        window_minutes=60, slide_minutes=15)
+
+
+def _q_label_centroids(sf_dir: str):
+    from pdf_extract_ray.ops.similarity import label_centroids
+    return label_centroids(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]), dim=64)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL sketch counterpart of distinct_users (approximate by design —
     no SQL oracle; tests verify <5% error vs the exact operator)."""
@@ -496,6 +509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "median_chars_by_source": _q_median_chars_by_source,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "label_centroids": _q_label_centroids,
         # heuristic / non-SQL operators (rows-only)
         "approx_distinct_users": _q_approx_distinct_users,
         "lang_id": _q_lang_id,
@@ -667,6 +682,22 @@ def oracle_sql() -> dict[str, str]:
         "median_chars_by_source": """
             SELECT source, CAST(median(n_chars) AS DOUBLE) AS median
             FROM documents GROUP BY source
+        """,
+        "sliding_window_counts": """
+            SELECT make_timestamp(
+                       (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                        - k * 900) * 1000000) AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(k)
+            GROUP BY 1, 2
+        """,
+        "label_centroids": """
+            SELECT label, d AS dim_idx,
+                   CAST(round(avg(list_extract(embedding, d + 1))
+                              * 1000000, 0) AS BIGINT) AS mean_e6
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(64)) AS d) dims
+            GROUP BY label, d
         """,
         "top_customers": """
             WITH agg AS (

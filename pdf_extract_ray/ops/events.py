@@ -49,6 +49,43 @@ def hourly_event_stats(ds):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def sliding_window_counts(ds, *, window_minutes: int = 60,
+                          slide_minutes: int = 15):
+    """Sliding-window aggregate (window > slide => overlapping windows):
+    each event lands in window/slide consecutive windows.  Ray shape:
+    the map stage EXPLODES each event into its window keys (vectorized —
+    the map-side fanout is the streaming-window trick; payload per row is
+    just (window_start, event_type)), then ONE groupby counts.
+    -> (window_start, event_type, n_events)."""
+    from ray.data.aggregate import Count
+    slide_us = slide_minutes * 60 * 1_000_000
+    n_windows = window_minutes // slide_minutes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+                  .astype("datetime64[us]").astype(np.int64)
+        base = (ts // slide_us) * slide_us
+        n = len(ts)
+        starts = np.concatenate(
+            [base - k * slide_us for k in range(n_windows)])
+        et = pa.concat_arrays(
+            [batch.column("event_type").combine_chunks()] * n_windows)
+        return pa.table({
+            "window_start": pa.array(starts.astype("datetime64[us]"),
+                                     pa.timestamp("us")),
+            "event_type": et})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+            .groupby(["window_start", "event_type"]).count()
+    return agg.map_batches(
+        lambda b: pa.table({
+            "window_start": pc.cast(b.column("window_start"),
+                                    pa.timestamp("us")),
+            "event_type": b.column("event_type"),
+            "n_events": pc.cast(b.column("count()"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """-> (user_id, n_sessions, n_events): gap-based sessions per user."""
     gap_us = gap_minutes * 60 * 1_000_000

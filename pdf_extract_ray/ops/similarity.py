@@ -101,6 +101,51 @@ def min_k_rows(ds, key: str, k: int) -> pa.Table:
     return merged.take(pa.array(idx))
 
 
+def label_centroids(ds, *, dim: int) -> pa.Table:
+    """Mean embedding per label -> (label, dim_idx, mean_e6) with the
+    mean scaled to integer micro-units for exact comparison.  Map-side
+    combine: each batch reduces to one (sum-vector, count) per label; the
+    driver merges the tiny per-label partials (n_labels x n_blocks)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(vecs[m].sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "vsum": pa.array(out_s, pa.list_(pa.float64())),
+            "n": pa.array(out_n, pa.int64())})
+
+    sums: dict = {}
+    counts: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for lab, vs, n in zip(b.column("label").to_pylist(),
+                              b.column("vsum").to_pylist(),
+                              b.column("n").to_pylist()):
+            if lab in sums:
+                sums[lab] = sums[lab] + np.asarray(vs)
+                counts[lab] += n
+            else:
+                sums[lab] = np.asarray(vs)
+                counts[lab] = n
+    out_l, out_d, out_m = [], [], []
+    for lab in sorted(sums):
+        mean = sums[lab] / counts[lab]
+        for d in range(dim):
+            out_l.append(lab)
+            out_d.append(d)
+            out_m.append(int(np.rint(mean[d] * 1e6)))
+    return pa.table({"label": pa.array(out_l, pa.int32()),
+                     "dim_idx": pa.array(out_d, pa.int64()),
+                     "mean_e6": pa.array(out_m, pa.int64())})
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: n_bits sign bits -> bucket id."""
 

@@ -122,3 +122,32 @@ class TestSketch:
         r2 = hll_sketch_batch(list(range(1000)))
         assert (r1 == r2).all()
         assert abs(_estimate(r1) - 1000) / 1000 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowsAndCentroids:
+    def test_sliding_window_fanout(self):
+        from pdf_extract_ray.ops.events import sliding_window_counts
+        ts = np.datetime64("2024-01-01T00:31:00", "us").item()
+        t = pa.table({"ts": pa.array([ts], pa.timestamp("us")),
+                      "event_type": pa.array(["x"], pa.string())})
+        out = sliding_window_counts(_ds(t), window_minutes=60,
+                                    slide_minutes=15).to_pandas()
+        # one event -> 4 overlapping windows: 00:30, 00:15, 00:00, 23:45
+        assert len(out) == 4
+        assert set(out.n_events) == {1}
+        starts = sorted(str(s) for s in out.window_start)
+        assert starts[-1].endswith("00:30:00")
+
+    def test_label_centroids_exact(self):
+        from pdf_extract_ray.ops.similarity import label_centroids
+        t = pa.table({
+            "label": pa.array([1, 1, 2], pa.int32()),
+            "embedding": pa.array([[1.0, 0.0], [3.0, 2.0], [5.0, 5.0]],
+                                  pa.list_(pa.float32()))})
+        out = label_centroids(_ds(t), dim=2)
+        got = {(l, d): m for l, d, m in zip(out.column("label").to_pylist(),
+                                            out.column("dim_idx").to_pylist(),
+                                            out.column("mean_e6").to_pylist())}
+        assert got[(1, 0)] == 2_000_000 and got[(1, 1)] == 1_000_000
+        assert got[(2, 0)] == 5_000_000 and got[(2, 1)] == 5_000_000
