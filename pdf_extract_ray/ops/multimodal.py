@@ -1,11 +1,14 @@
 """Multimodal column stages: image/audio/video as opaque binary + metadata.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs): `DETERMINISTIC_FAKE_DECODE` derives stable
-pseudo-features from the payload bytes so the Ray-side plumbing — schema,
-batch size, actor pool signature, output layout — is real and testable.
-Swap `_fake_*` for a real decoder (PIL / torchaudio / pyav) in production;
-the stage contract does not change.
+Decode kernels: PNG, uncompressed BMP and PCM WAV are decoded FOR REAL
+with the pure-stdlib codecs in ops/codecs.py (zlib / struct / wave) —
+dimensions, channels and features come from actual pixels/samples.
+Formats that need an external codec (JPEG, MP4, ...) fall back to the
+declared deterministic fake (`DETERMINISTIC_FAKE_DECODE` path) so the
+Ray-side plumbing — schema, batch size, actor pool signature, output
+layout — stays total and testable; swap the fallback for PIL/pyav in
+production without changing the stage contract.  Video frame sampling
+remains a stub (no pure-Python container parser).
 """
 from __future__ import annotations
 
@@ -15,6 +18,9 @@ from typing import List, Optional
 import numpy as np
 import pyarrow as pa
 
+from .codecs import decode_bmp, decode_png, decode_wav, sniff_media
+
+# the FALLBACK for undecodable formats is fake; png/bmp/wav decode real
 DETERMINISTIC_FAKE_DECODE = True
 
 IMAGE_FEATURES_SCHEMA = pa.schema([
@@ -28,8 +34,9 @@ IMAGE_FEATURES_SCHEMA = pa.schema([
 
 
 def _fake_decode_image(payload: bytes):
-    """STUB decoder: derives (w, h, c) and a 32-d feature vector from the
-    byte content.  Raises on empty payload like a real decoder would."""
+    """FALLBACK decoder for formats without a pure-stdlib codec: derives
+    (w, h, c) and a feature vector from the byte content.  Raises on
+    empty payload like a real decoder would."""
     if not payload:
         raise ValueError("empty image payload")
     digest = hashlib.sha256(payload).digest()
@@ -37,6 +44,38 @@ def _fake_decode_image(payload: bytes):
     h = 64 + digest[1] % 192
     feats = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
     return w, h, 3, feats
+
+
+def _image_features_real(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real features from decoded pixels: per-channel mean/std (up to 4
+    channels) + 16-bin luminance histogram, padded/truncated to `dim`."""
+    px = img.astype(np.float32) / 255.0
+    feats = []
+    for c in range(min(img.shape[2], 4)):
+        feats.append(float(px[:, :, c].mean()))
+        feats.append(float(px[:, :, c].std()))
+    lum = px[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else px[:, :, 0]
+    hist, _ = np.histogram(lum, bins=16, range=(0.0, 1.0))
+    feats.extend((hist / max(1, lum.size)).tolist())
+    out = np.zeros(dim, dtype=np.float32)
+    n = min(dim, len(feats))
+    out[:n] = np.asarray(feats[:n], dtype=np.float32)
+    return out
+
+
+def decode_image(payload: bytes, feature_dim: int):
+    """-> (w, h, channels, features): real decode for PNG/BMP, declared
+    deterministic fake for anything else."""
+    kind = sniff_media(payload or b"")
+    if kind == "png":
+        img = decode_png(payload)
+    elif kind == "bmp":
+        img = decode_bmp(payload)
+    else:
+        w, h, c, f = _fake_decode_image(payload)
+        return w, h, c, f[:feature_dim]
+    h, w, c = img.shape
+    return w, h, c, _image_features_real(img, feature_dim)
 
 
 class ImageFeatureBatch:
@@ -57,11 +96,11 @@ class ImageFeatureBatch:
         ws, hs, cs, feats, status = [], [], [], [], []
         for payload in payloads:
             try:
-                w, h, c, f = _fake_decode_image(payload or b"")
+                w, h, c, f = decode_image(payload or b"", self.feature_dim)
                 ws.append(w)
                 hs.append(h)
                 cs.append(c)
-                feats.append(f[:self.feature_dim].tolist())
+                feats.append(f.tolist())
                 status.append("ok")
             except Exception as e:
                 ws.append(0)
@@ -141,12 +180,22 @@ AUDIO_FEATURES_SCHEMA = pa.schema([
 
 
 class AudioFeatureBatch:
-    """Audio decode/feature stage (STUB decoder, real plumbing): emits
-    duration/sample-rate metadata + a fixed-width pseudo-MFCC vector."""
+    """Audio decode/feature stage: REAL decode for PCM WAV (stdlib wave —
+    true duration/rate + per-segment RMS envelope standing in for MFCC),
+    declared deterministic fake for compressed formats."""
 
     def __init__(self, n_mfcc: int = 13):
         # production: load the audio codec / feature extractor ONCE here
         self.n_mfcc = n_mfcc
+
+    def _wav_features(self, payload: bytes):
+        samples, rate, _sw = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        dur = len(mono) / float(rate)
+        segs = np.array_split(mono, self.n_mfcc)
+        rms = [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0
+               for s in segs]
+        return dur, rate, rms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("item_id").to_pylist()
@@ -160,8 +209,22 @@ class AudioFeatureBatch:
                 mfccs.append([])
                 status.append("error: empty")
                 continue
+            if sniff_media(payload) == "wav":
+                try:
+                    dur, rate, rms = self._wav_features(payload)
+                    durs.append(dur)
+                    srs.append(rate)
+                    mfccs.append(rms)
+                    status.append("ok")
+                    continue
+                except Exception as e:
+                    durs.append(0.0)
+                    srs.append(0)
+                    mfccs.append([])
+                    status.append(f"error: {type(e).__name__}")
+                    continue
             digest = hashlib.sha256(payload).digest()
-            durs.append(len(payload) / 32000.0)  # STUB: 16 kHz 16-bit mono
+            durs.append(len(payload) / 32000.0)  # FAKE: 16 kHz 16-bit mono
             srs.append(16000)
             feats = np.frombuffer(digest[:self.n_mfcc * 2], dtype=np.uint16)
             mfccs.append((feats.astype(np.float32) / 655.35 - 50.0).tolist())

@@ -1,0 +1,128 @@
+"""Pure-stdlib media codecs (ops/codecs.py) + real-decode multimodal
+stages.  Roundtrips are exact: encoder and decoder are independent code
+paths over the published formats."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_extract_ray.ops.codecs import (decode_bmp, decode_png, decode_wav,
+                                        encode_bmp, encode_png, encode_wav,
+                                        sniff_media)
+
+
+def _img(shape, seed=3):
+    return np.random.RandomState(seed).randint(0, 256, size=shape,
+                                               dtype=np.uint8)
+
+
+class TestCodecs:
+    def test_png_roundtrip_all_color_types(self):
+        for shape in [(5, 7, 3), (4, 4, 1), (3, 9, 4), (2, 2, 2)]:
+            img = _img(shape)
+            back = decode_png(encode_png(img))
+            assert back.shape == img.shape
+            assert (back == img).all()
+
+    def test_png_filtered_scanlines(self):
+        # decoder must handle Sub/Up/Average/Paeth, not just filter 0
+        import struct
+        import zlib
+        img = _img((8, 6, 3))
+        h, w, c = img.shape
+        prev = np.zeros(w * c, dtype=np.int64)
+        out = b""
+        for y in range(h):
+            line = img[y].reshape(-1).astype(np.int64)
+            f = [0, 1, 2, 3, 4][y % 5]
+            enc = np.zeros_like(line)
+            for i in range(len(line)):
+                left = line[i - c] if i >= c else 0
+                up = prev[i]
+                ul = prev[i - c] if i >= c else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    d = (abs(p - left), abs(p - up), abs(p - ul))
+                    pred = (left if d[0] <= d[1] and d[0] <= d[2]
+                            else (up if d[1] <= d[2] else ul))
+                enc[i] = (line[i] - pred) & 0xFF
+            out += bytes([f]) + bytes(enc.astype(np.uint8))
+            prev = line
+
+        def chunk(ct, payload):
+            crc = zlib.crc32(ct + payload) & 0xFFFFFFFF
+            return (struct.pack(">I", len(payload)) + ct + payload
+                    + struct.pack(">I", crc))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b""))
+        assert (decode_png(data) == img).all()
+
+    def test_bmp_roundtrip_with_padding(self):
+        img = _img((6, 5, 3))  # 5*3=15 bytes/row -> 1 pad byte
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    def test_wav_roundtrip(self):
+        s = np.random.RandomState(5).uniform(-0.5, 0.5, size=(1600, 2))
+        dec, rate, sw = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000 and sw == 2 and dec.shape == (1600, 2)
+        assert np.abs(dec - s).max() < 1e-3
+
+    def test_sniff(self):
+        img = _img((2, 2, 3))
+        assert sniff_media(encode_png(img)) == "png"
+        assert sniff_media(encode_bmp(img)) == "bmp"
+        assert sniff_media(encode_wav(np.zeros((4, 1)))) == "wav"
+        assert sniff_media(b"\xff\xd8\xff any jpeg") == "unknown"
+
+    def test_decode_errors(self):
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG\r\n\x1a\ngarbage")
+        with pytest.raises(ValueError):
+            decode_bmp(b"BMshort")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRealDecodeStages:
+    def test_image_stage_real_png(self):
+        import ray
+        from pdf_extract_ray.ops.multimodal import image_features
+        img = _img((10, 8, 3))
+        flat = np.full((4, 4, 3), 128, dtype=np.uint8)
+        t = pa.table({"item_id": pa.array([1, 2, 3], pa.int64()),
+                      "payload": pa.array(
+                          [encode_png(img), encode_bmp(flat), b"not-media"],
+                          pa.binary())})
+        out = image_features(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("item_id")
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (8, 10)
+        assert out.loc[1, "n_channels"] == 3
+        assert (out.loc[2, "width"], out.loc[2, "height"]) == (4, 4)
+        # flat gray 128 -> mean ~0.502, std 0
+        f2 = out.loc[2, "features"]
+        assert abs(f2[0] - 128 / 255) < 1e-3 and f2[1] == 0.0
+        assert out.loc[3, "status"] == "ok"  # fake fallback stays total
+
+    def test_audio_stage_real_wav(self):
+        import ray
+        from pdf_extract_ray.ops.multimodal import audio_features
+        s = np.zeros((8000, 1))
+        s[:, 0] = np.sin(np.linspace(0, 100, 8000))
+        t = pa.table({"item_id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array([encode_wav(s, 8000), b"xx-opus"],
+                                          pa.binary())})
+        out = audio_features(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("item_id")
+        assert out.loc[1, "sample_rate"] == 8000
+        assert abs(out.loc[1, "duration_s"] - 1.0) < 1e-6
+        assert len(out.loc[1, "mfcc"]) == 13
+        assert 0.5 < out.loc[1, "mfcc"][0] < 0.9  # real RMS of a sine
+        assert out.loc[2, "sample_rate"] == 16000  # fake fallback
