@@ -358,18 +358,51 @@ def _q_embedding_label_histogram(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
-    """Multimodal plumbing demo: binary payloads derived from documents."""
+    """Multimodal stage over mixed payloads: every 5th doc gets a REAL
+    deterministic PNG (pure-stdlib decode path), the rest raw text bytes
+    (declared fake-decode fallback)."""
+    from pdf_extract_ray.ops.codecs import encode_png
     from pdf_extract_ray.ops.multimodal import image_features
 
     def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 5 == 0:
+                side = 4 + d % 8
+                img = (np.arange(side * side * 3, dtype=np.int64)
+                       * (d + 7)) % 256
+                payloads.append(encode_png(
+                    img.astype(np.uint8).reshape(side, side, 3)))
+            else:
+                payloads.append(t.encode("utf-8"))
         return pa.Table.from_arrays(
-            [batch.column("doc_id"),
-             pa.array([t.encode("utf-8") for t in batch.column("text").to_pylist()],
-                      pa.binary())],
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
             names=["item_id", "payload"])
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return image_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio stage over REAL deterministic WAV payloads (stdlib decode):
+    per-doc sine tones, true duration/rate + RMS envelope features."""
+    from pdf_extract_ray.ops.codecs import encode_wav
+    from pdf_extract_ray.ops.multimodal import audio_features
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch.column("doc_id").to_pylist():
+            n = 800 + (d % 5) * 400
+            t = np.arange(n, dtype=np.float64)
+            wave = 0.4 * np.sin(2 * np.pi * (110 + d % 440) * t / 8000.0)
+            payloads.append(encode_wav(wave.reshape(-1, 1), 8000))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
+            names=["item_id", "payload"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
 def _q_frame_samples(sf_dir: str):
@@ -521,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_neardup": _q_ngram_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
     }
 
