@@ -82,9 +82,16 @@ def textprep_dataset(pages_ds, *, num_partitions: int = 32,
         ok = ray.data.read_parquet(checkpoint_dir)
     else:
         ok = ok.materialize()
+    return _dedup_enrich(ok, num_partitions=num_partitions,
+                         min_quality=min_quality)
 
+
+def _dedup_enrich(ok_ds, *, num_partitions: int,
+                  min_quality: Optional[float]):
+    """Global exact dedup + enrichment over an already-extracted ok
+    dataset (the post-checkpoint phase of the composed pipeline)."""
     # dedup decision on (md5, url) pairs only
-    hashed = ok.map_batches(_hash_rows, batch_format="pyarrow")
+    hashed = ok_ds.map_batches(_hash_rows, batch_format="pyarrow")
     from ray.data.aggregate import Min
     survivors = hashed.groupby("text_md5").aggregate(Min("url"))
     survivors = survivors.map_batches(
@@ -92,8 +99,8 @@ def textprep_dataset(pages_ds, *, num_partitions: int = 32,
         batch_format="pyarrow")
 
     # rejoin survivors with the full rows: hash join partitioned on url
-    deduped = ok.join(survivors, join_type="inner",
-                      num_partitions=num_partitions, on=("url",))
+    deduped = ok_ds.join(survivors, join_type="inner",
+                         num_partitions=num_partitions, on=("url",))
 
     enriched = deduped.map_batches(_enrich, batch_format="pyarrow")
     if min_quality is not None:
@@ -106,11 +113,57 @@ def textprep_dataset(pages_ds, *, num_partitions: int = 32,
 
 def run_textprep(input_dir: str, output_dir: str, *,
                  num_partitions: int = 32,
-                 min_quality: Optional[float] = None):
-    """Materialize the composed pipeline to partitioned parquet."""
+                 min_quality: Optional[float] = None,
+                 resume: bool = True):
+    """Checkpointed composed run, resumable at two granularities:
+
+    Phase 1 (per-partition): extraction through run_extract's manifest
+    machinery — a preempted job skips finished partitions on restart.
+    Phase 2 (global): dedup shuffle + enrichment read the phase-1 parquet
+    (never re-extract) and write the final output; its completion marker
+    is `manifest/textprep.json` (atomic rename).
+
+    Returns the job metrics dict ({"extract": ..., "rows_out": ...}).
+    """
+    import json
+    import os
+
+    import pyarrow.compute as _pc
     import ray
-    ds = ray.data.read_parquet(input_dir, columns=["url", "html"])
-    result = textprep_dataset(ds, num_partitions=num_partitions,
-                              min_quality=min_quality)
-    result.write_parquet(output_dir)
-    return output_dir
+
+    from .extract import run_extract
+
+    extract_dir = os.path.join(output_dir, "extracted")
+    final_dir = os.path.join(output_dir, "textprep")
+    marker = os.path.join(output_dir, "manifest", "textprep.json")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)  # whole job already finished
+
+    job = run_extract(input_dir, extract_dir, with_spans=False,
+                      resume=resume, batch_size=64)
+
+    import glob as _glob
+    part_files = sorted(_glob.glob(
+        os.path.join(extract_dir, "part=*", "*.parquet")))
+    keep_cols = ["url", "extracted_text", "status", "kind",
+                 "payload_bytes", "n_chars"]
+    ok = ray.data.read_parquet(part_files) \
+        .map_batches(lambda b: b.filter(_pc.equal(b.column("status"), "ok"))
+                     .select(keep_cols),
+                     batch_format="pyarrow")
+    result = _dedup_enrich(ok, num_partitions=num_partitions,
+                           min_quality=min_quality)
+    import shutil
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)  # phase-2 output rebuilt atomically
+    result.write_parquet(final_dir)
+    n_out = ray.data.read_parquet(final_dir).count()
+    metrics = {"extract": job, "rows_out": n_out, "output": final_dir}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1)
+    os.replace(tmp, marker)
+    return metrics

@@ -170,3 +170,32 @@ def test_textprep_composed(ray_session):
             full.setdefault(text, []).append(url)
     expect = {min(urls) for urls in full.values()}
     assert set(df["url"]) == expect
+
+
+def test_textprep_checkpointed_resume(ray_session, tmp_path):
+    """Two-phase resumable textprep: phase 1 reuses the extract manifest
+    machinery (per-partition skip), phase 2 has an atomic completion
+    marker; a partially-wiped job redoes only the missing pieces."""
+    import os
+
+    from pdf_extract_ray.data.pages import pages_parquet_path
+    from pdf_extract_ray.pipelines.textprep import run_textprep
+    src = pages_parquet_path(200, n_giants=0, n_shards=2)
+    out = str(tmp_path / "tp")
+
+    m1 = run_textprep(src, out, num_partitions=4)
+    assert m1["rows_out"] > 0
+    assert m1["extract"]["partitions"] == 2
+
+    # full resume: marker short-circuits everything
+    m2 = run_textprep(src, out, num_partitions=4)
+    assert m2 == m1
+
+    # partial resume: wipe the phase-2 marker + ONE extract manifest
+    os.remove(os.path.join(out, "manifest", "textprep.json"))
+    mans = sorted(os.listdir(os.path.join(out, "extracted", "manifest")))
+    os.remove(os.path.join(out, "extracted", "manifest", mans[0]))
+    m3 = run_textprep(src, out, num_partitions=4)
+    assert m3["rows_out"] == m1["rows_out"]
+    assert m3["extract"]["partitions"] == 1      # only the wiped one reran
+    assert m3["extract"]["skipped_partitions"] == 1
