@@ -464,6 +464,22 @@ def _q_asof_join(sf_dir: str):
               columns=["o_orderkey", "o_custkey", "o_orderdate"]))
 
 
+def _q_big_spender_customers(sf_dir: str):
+    from pdf_extract_ray.ops.relational import customers_with_big_orders
+    return customers_with_big_orders(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        min_total=400000.0)
+
+
+def _q_quiet_customers(sf_dir: str):
+    from pdf_extract_ray.ops.relational import customers_without_big_orders
+    return customers_without_big_orders(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        min_total=400000.0)
+
+
 def _q_word_frequencies(sf_dir: str):
     from pdf_extract_ray.ops.analytics import word_frequencies
     return word_frequencies(_read(sf_dir, "documents", columns=["text"]),
@@ -538,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "asof_join": _q_asof_join,
+        "big_spender_customers": _q_big_spender_customers,
+        "quiet_customers": _q_quiet_customers,
         "word_frequencies": _q_word_frequencies,
         "distinct_users": _q_distinct_users,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -691,6 +709,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
             FROM events e ASOF JOIN o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "big_spender_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 400000)
+        """,
+        "quiet_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 400000)
         """,
         "word_frequencies": """
             SELECT word, count(*) AS n FROM (

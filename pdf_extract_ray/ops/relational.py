@@ -185,3 +185,48 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
         return res
 
     return _grouped_by_partition(both, ["key"], resolve, n_parts=n_parts)
+
+
+def _big_order_custkeys(orders_ds, min_total: float):
+    """Map-side filter + per-batch dedup of the join key: the anti/semi
+    probe side ships only distinct custkeys per block."""
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        mask = pc.greater(b.column("o_totalprice"), pa.scalar(min_total))
+        keys = pc.unique(b.filter(mask).column("o_custkey"))
+        return pa.table({"c_custkey": keys})
+    return orders_ds.map_batches(distinct_keys, batch_format="pyarrow")
+
+
+def _semi_anti_join(customer_ds, orders_ds, *, min_total: float,
+                    join_type: str, num_partitions=None):
+    import ray
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(16, cpus))
+    keys = _big_order_custkeys(orders_ds, min_total)
+    return customer_ds.join(keys, join_type=join_type,
+                            num_partitions=num_partitions,
+                            on=("c_custkey",))
+
+
+def customers_with_big_orders(customer_ds, orders_ds, *,
+                              min_total: float = 400000.0,
+                              num_partitions=None):
+    """LEFT SEMI hash join: customers having at least one order above
+    `min_total` -> (c_custkey, c_name); probe side is pre-deduped
+    map-side so the shuffle carries distinct keys only."""
+    return _semi_anti_join(customer_ds, orders_ds, min_total=min_total,
+                           join_type="left_semi",
+                           num_partitions=num_partitions)
+
+
+def customers_without_big_orders(customer_ds, orders_ds, *,
+                                 min_total: float = 400000.0,
+                                 num_partitions=None):
+    """LEFT ANTI hash join: customers with NO order above `min_total`."""
+    return _semi_anti_join(customer_ds, orders_ds, min_total=min_total,
+                           join_type="left_anti",
+                           num_partitions=num_partitions)
