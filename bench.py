@@ -99,7 +99,10 @@ def run_ops(sf_dir: str):
              "events_hourly", "sessionize", "top_customers",
              "extract_by_pages", "textprep", "tpch_q1", "revenue_by_nation",
              "asof_join", "word_frequencies", "distinct_users",
-             "top_docs_per_lang", "median_chars_by_source"]
+             "top_docs_per_lang", "median_chars_by_source",
+             "big_spender_customers", "quiet_customers",
+             "sliding_window_counts", "label_centroids",
+             "approx_distinct_users", "audio_features"]
     out = {}
     for _pass in range(2):
         for name in names:

@@ -151,3 +151,50 @@ class TestWindowsAndCentroids:
                                             out.column("mean_e6").to_pylist())}
         assert got[(1, 0)] == 2_000_000 and got[(1, 1)] == 1_000_000
         assert got[(2, 0)] == 5_000_000 and got[(2, 1)] == 5_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofProperty:
+    def test_asof_matches_bruteforce(self):
+        """Randomized cross-check: the distributed as-of join must equal a
+        per-event linear scan for every (event, order) configuration."""
+        from hypothesis import given, settings, strategies as st
+        from pdf_extract_ray.ops.relational import asof_join_orders
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.data())
+        def run(data):
+            n_ev = data.draw(st.integers(1, 12))
+            n_or = data.draw(st.integers(0, 12))
+            ev_ts = [data.draw(st.integers(0, 50)) for _ in range(n_ev)]
+            ev_user = [data.draw(st.integers(1, 3)) for _ in range(n_ev)]
+            or_ts = [data.draw(st.integers(0, 50)) for _ in range(n_or)]
+            or_user = [data.draw(st.integers(1, 3)) for _ in range(n_or)]
+            day = 86400_000_000  # us
+
+            events = pa.table({
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "user_id": pa.array(ev_user, pa.int64()),
+                "ts": pa.array([t * day for t in ev_ts], pa.timestamp("us"))})
+            orders = pa.table({
+                "o_orderkey": pa.array(range(100, 100 + n_or), pa.int64()),
+                "o_custkey": pa.array(or_user, pa.int64()),
+                "o_orderdate": pa.array([t * day for t in or_ts],
+                                        pa.timestamp("us"))})
+            out = asof_join_orders(_ds(events), _ds(orders),
+                                   n_parts=4).to_pandas()
+            got = {int(r.event_id): int(r.o_orderkey)
+                   for r in out.itertuples()}
+
+            expect = {}
+            for eid in range(n_ev):
+                best = None  # (date, orderkey)
+                for ok_, ou, ot in zip(range(100, 100 + n_or), or_user, or_ts):
+                    if ou == ev_user[eid] and ot <= ev_ts[eid]:
+                        if best is None or (ot, ok_) > best:
+                            best = (ot, ok_)
+                if best is not None:
+                    expect[eid] = best[1]
+            assert got == expect
+
+        run()
