@@ -142,13 +142,40 @@ class MinHashBatch:
         v = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return v.min(axis=1).astype(np.uint64)
 
+    def _signatures(self, texts) -> np.ndarray:
+        """Batch signatures: shingle hashes of MANY docs concatenate into
+        one (n_perm, total_shingles) permutation pass with per-doc minima
+        via np.minimum.reduceat — same math as signature(), one matmul-
+        sized kernel instead of a Python-loop per doc.  Chunked so the
+        intermediate stays under ~32 MB."""
+        n = len(texts)
+        sigs = np.zeros((n, self.n_perm), dtype=np.uint64)
+        hashes = [self._shingle_hashes(t) for t in texts]
+        idx = [i for i in range(n) if len(hashes[i])]
+        max_elems = 4_000_000 // self.n_perm * self.n_perm
+        start = 0
+        while start < len(idx):
+            chunk, total = [], 0
+            while start < len(idx) and (not chunk or
+                                        total + len(hashes[idx[start]])
+                                        <= max_elems):
+                chunk.append(idx[start])
+                total += len(hashes[idx[start]])
+                start += 1
+            concat = np.concatenate([hashes[i] for i in chunk])
+            offs = np.zeros(len(chunk), dtype=np.int64)
+            np.cumsum([len(hashes[i]) for i in chunk[:-1]], out=offs[1:])
+            v = (self.a[:, None] * concat[None, :]
+                 + self.b[:, None]) % _MERSENNE
+            mins = np.minimum.reduceat(v, offs, axis=1)  # (n_perm, chunk)
+            sigs[chunk] = mins.T.astype(np.uint64)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         n = len(doc_ids)
-        sigs = np.empty((n, self.n_perm), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sigs[i] = self.signature(text)
+        sigs = self._signatures(texts)
         r = self.rows_per_band
         # vectorized band bucket ids: hash each band slice row-wise
         out_doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), self.bands)
