@@ -38,10 +38,10 @@ def main(argv=None) -> int:
 
     if args.pipeline == "textprep":
         from .pipelines.textprep import run_textprep
-        out = run_textprep(args.input, args.output,
-                           num_partitions=args.num_partitions or 32,
-                           min_quality=args.min_quality)
-        print(json.dumps({"pipeline": "textprep", "output": out}))
+        metrics = run_textprep(args.input, args.output,
+                               num_partitions=args.num_partitions or 32,
+                               min_quality=args.min_quality)
+        print(json.dumps({"pipeline": "textprep", **metrics}))
         return 0
 
     from .pipelines.extract import run_extract
