@@ -292,6 +292,137 @@ class MultiTableBucketer:
             "embedding": rep.column("embedding")})
 
 
+def _sample_vectors(ds, *, max_rows: int = 2048) -> np.ndarray:
+    """Deterministic hash-based sample of embeddings (driver-bounded):
+    every shard derives membership from vec_id alone, no RNG state."""
+    import pyarrow.compute as pcc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mask = (ids * np.int64(2654435761)) % np.int64(97) < np.int64(11)
+        return batch.filter(pa.array(mask))
+
+    out = []
+    total = 0
+    for b in ds.map_batches(keep, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        out.append(np.asarray(b.column("embedding").to_pylist(),
+                              dtype=np.float64))
+        total += len(out[-1])
+        if total >= max_rows:
+            break
+    return np.concatenate(out)[:max_rows]
+
+
+def _kmeans(vecs: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd iterations on normalized vectors (seeded init
+    by farthest-point-ish hash order); the coarse quantizer for IVF."""
+    v = _normalize(vecs)
+    k = min(k, len(v))
+    # deterministic farthest-point init: random seeding can drop two
+    # seeds into one true cluster and Lloyd never recovers (splits a
+    # cluster across lists, silently halving recall at n_probe=1)
+    chosen = [0]
+    best_sim = v @ v[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, v @ v[nxt])
+    cent = v[chosen].copy()
+    for _ in range(iters):
+        sims = v @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = v[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
+             k: int = 10, n_clusters: int = 16, n_probe: int = 4):
+    """IVF ANN — the coarse-quantizer scale path (complement of lsh_topk):
+
+    1. a deterministic hash-sample of the corpus trains k-means centroids
+       on the driver (bounded; at true scale this is its own tiny job);
+    2. centroids broadcast once via ray.put;
+    3. each batch assigns its vectors to the nearest centroid and scans
+       ONLY rows whose cluster is among the query's `n_probe` closest
+       lists — per-query work drops to ~n_probe/n_clusters of the corpus;
+    4. per-batch partial top-k + tiny driver merge (same contract as
+       brute_force_topk, which is the exact-recall baseline).
+    Approximate: recall depends on n_clusters/n_probe."""
+    import ray
+
+    cent = _kmeans(_sample_vectors(ds), n_clusters)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_union = set(int(c) for row in q_lists for c in row)
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+    lists_ref = ray.put([set(int(c) for c in row) for row in q_lists])
+    union_ref = ray.put(probe_union)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        per_q_lists = ray.get(lists_ref)
+        union = ray.get(union_ref)
+        vecs = _normalize(_stack(batch.column("embedding")))
+        assign = np.argmax(vecs @ cm.T, axis=1)
+        mask = np.fromiter((int(a) in union for a in assign),
+                           dtype=bool, count=len(assign))
+        out_q, out_n, out_s = [], [], []
+        if mask.any():
+            vecs_f = vecs[mask]
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)[mask]
+            assign_f = assign[mask]
+            sims = qm @ vecs_f.T
+            kk = min(k + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                in_list = np.fromiter(
+                    (int(a) in per_q_lists[qi] for a in assign_f),
+                    dtype=bool, count=len(assign_f))
+                if not in_list.any():
+                    continue
+                s = np.where(in_list, sims[qi], -np.inf)
+                idx = np.argpartition(-s, min(kk, in_list.sum()) - 1)[:kk]
+                for j in idx:
+                    if in_list[j]:
+                        out_q.append(qi)
+                        out_n.append(int(ids[j]))
+                        out_s.append(float(s[j]))
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int32()), pa.array(out_n, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["q_idx", "neighbor_id", "cos_sim"])
+
+    candidates = ds.map_batches(partial, batch_format="pyarrow")
+    best: List[List[Tuple[float, int]]] = [[] for _ in query_ids]
+    for b in candidates.iter_batches(batch_format="pyarrow"):
+        for qi, nid, s in zip(b.column("q_idx").to_pylist(),
+                              b.column("neighbor_id").to_pylist(),
+                              b.column("cos_sim").to_pylist()):
+            if nid == query_ids[qi]:
+                continue
+            heapq.heappush(best[qi], (s, -nid))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out_q, out_n, out_r = [], [], []
+    for qi, qid in enumerate(query_ids):
+        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, neg_nid) in enumerate(ranked, start=1):
+            out_q.append(qid)
+            out_n.append(-neg_nid)
+            out_r.append(rank)
+    return pa.Table.from_arrays(
+        [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
+         pa.array(out_r, pa.int64())],
+        names=["query_id", "neighbor_id", "rank"])
+
+
 def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
                          n_bits: int = 8, n_tables: int = 1,
                          n_parts: int = 64):

@@ -198,3 +198,43 @@ class TestAsofProperty:
             assert got == expect
 
         run()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIVF:
+    def test_ivf_full_recall_on_clustered_data(self):
+        """On genuinely clustered vectors the IVF coarse quantizer finds
+        the true lists and recall@k vs brute force is perfect."""
+        from pdf_extract_ray.ops.similarity import brute_force_topk, ivf_topk
+        import ray
+        rng = np.random.RandomState(11)
+        centers = _normalize_rows(rng.normal(size=(4, 16)))
+        vecs, ids = [], []
+        for i in range(400):
+            c = centers[i % 4]
+            vecs.append((c + 0.05 * rng.normal(size=16)).tolist())
+            ids.append(i)
+        t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(t)
+        qids = ids[:4]
+        qvecs = np.asarray(vecs[:4], dtype=np.float64)
+        exact = brute_force_topk(ds, qids, qvecs, k=5)
+        approx = ivf_topk(ds, qids, qvecs, dim=16, k=5,
+                          n_clusters=4, n_probe=1)
+
+        def sets(tab):
+            out = {}
+            for q, n in zip(tab.column("query_id").to_pylist(),
+                            tab.column("neighbor_id").to_pylist()):
+                out.setdefault(q, set()).add(n)
+            return out
+        se, sa = sets(exact), sets(approx)
+        for q in se:
+            assert len(sa[q] & se[q]) / len(se[q]) >= 0.8
+
+
+def _normalize_rows(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
