@@ -795,3 +795,35 @@ ADVERSARIAL_GENERATORS = {
     "pdf_subset_partial_widths": pdf_subset_partial_widths,
     "pdf_subset_no_widths": pdf_subset_no_widths,
 }
+
+
+def pdf_incremental_update(old_text: str = "original text",
+                           new_text: str = "updated text") -> bytes:
+    """Incremental update (PDF spec 7.5.6): the original body stays
+    untouched; an APPENDED section rewrites the content-stream object and
+    adds a new xref table whose /Prev points at the original xref.  The
+    newest xref section must win for the updated object while every other
+    object resolves through the /Prev chain."""
+    base = pdf_simple_helvetica(old_text)
+    # object 2 is the content stream in pdf_simple_helvetica's layout
+    content = ("BT /F1 12 Tf 72 720 Td (" + _esc(new_text) + ") Tj ET").encode("latin-1")
+    new_obj = (f"<< /Length {len(content)} >>".encode()
+               + b"\nstream\n" + content + b"\nendstream")
+    prev_xref = int(base[base.rfind(b"startxref") + 9:base.rfind(b"%%EOF")]
+                    .strip())
+    out = bytearray(base)
+    obj_off = len(out)
+    out += b"2 0 obj\n" + new_obj + b"\nendobj\n"
+    xref_off = len(out)
+    out += (b"xref\n0 1\n0000000000 65535 f \n"
+            b"2 1\n" + f"{obj_off:010d} 00000 n \n".encode())
+    root_m = base.rfind(b"/Root")
+    root_num = int(base[root_m + 5:root_m + 12].split()[0])
+    size_m = base.rfind(b"/Size")
+    size = int(base[size_m + 5:size_m + 12].split()[0])
+    out += (f"trailer\n<< /Size {size} /Root {root_num} 0 R "
+            f"/Prev {prev_xref} >>\nstartxref\n{xref_off}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+ADVERSARIAL_GENERATORS["pdf_incremental_update"] = pdf_incremental_update

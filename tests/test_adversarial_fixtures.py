@@ -136,3 +136,18 @@ class TestType3CharProcs:
         with_d1 = self._make(b"999 0 0 0 750 750 d1 0 0 750 750 re f")
         assert (extract_text_and_spans_from_mem(plain)
                 == extract_text_and_spans_from_mem(with_d1))
+
+
+class TestIncrementalUpdate:
+    def test_newest_xref_section_wins(self):
+        from pdf_extract_ray.data.pdfgen import pdf_incremental_update
+        # the appended update rewrites the content stream; the /Prev chain
+        # must resolve every untouched object while the new xref overrides
+        # the rewritten one (first-seen-wins over chain traversal order)
+        assert extract_text_from_mem(pdf_incremental_update()) \
+            == "\n\nupdated text"
+
+    def test_prev_chain_still_resolves_untouched_objects(self):
+        from pdf_extract_ray.data.pdfgen import pdf_incremental_update
+        m = get_metadata(pdf_incremental_update("a", "b"))
+        assert m["page_count"] == "1"  # page tree lives in the ORIGINAL body
