@@ -26,6 +26,11 @@ _IS_DELIM = bytearray(256)
 for _b in DELIMS:
     _IS_DELIM[_b] = 1
 _IS_REG = bytearray(1 if not (_IS_WS[i] or _IS_DELIM[i]) else 0 for i in range(256))
+_IS_WS_OR_PCT = bytearray(_IS_WS)
+_IS_WS_OR_PCT[0x25] = 1  # '%' starts a comment (whitespace-equivalent)
+_REF_RE = re.compile(
+    rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])")
 
 _HEX = {}
 for _i, _c in enumerate(b"0123456789abcdef"):
@@ -47,7 +52,18 @@ class Lexer:
     # -- low-level ---------------------------------------------------------
 
     def skip_ws(self) -> None:
-        m = _WS_RUN.match(self.buf, self.pos, self.end)
+        # fast paths (profiled ~2x): no whitespace at all, or exactly one
+        # non-comment ws byte; the regex handles runs and %-comments
+        pos = self.pos
+        buf = self.buf
+        if pos >= self.end or not _IS_WS_OR_PCT[buf[pos]]:
+            return
+        if buf[pos] != 0x25:
+            pos += 1
+            if pos >= self.end or not _IS_WS_OR_PCT[buf[pos]]:
+                self.pos = pos
+                return
+        m = _WS_RUN.match(buf, self.pos, self.end)
         if m is not None:
             self.pos = m.end()
 
@@ -228,6 +244,14 @@ class Lexer:
             out[bytes(key)] = val
 
     def _parse_number_or_ref(self, allow_ref: bool):
+        if allow_ref:
+            # one-shot `N G R` match (the dominant case in dicts); the
+            # token-by-token fallback below also covers %-comments
+            # between the three tokens
+            m = _REF_RE.match(self.buf, self.pos, self.end)
+            if m is not None:
+                self.pos = m.end()
+                return Ref(int(m.group(1)), int(m.group(2)))
         tok = self.read_regular_token()
         num = parse_number(tok)
         if allow_ref and isinstance(num, int) and num >= 0:
