@@ -522,6 +522,15 @@ def _q_label_centroids(sf_dir: str):
         _read(sf_dir, "embeddings", columns=["label", "embedding"]), dim=64)
 
 
+def _q_approx_value_quantiles(sf_dir: str):
+    """Mergeable centroid quantile sketch (approximate by design — no SQL
+    oracle; tests bound rank error at 1%)."""
+    from pdf_extract_ray.ops.sketch import approx_quantiles
+    return approx_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", (0.5, 0.95, 0.99))
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL sketch counterpart of distinct_users (approximate by design —
     no SQL oracle; tests verify <5% error vs the exact operator)."""
@@ -573,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         # heuristic / non-SQL operators (rows-only)
         "approx_distinct_users": _q_approx_distinct_users,
+        "approx_value_quantiles": _q_approx_value_quantiles,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
