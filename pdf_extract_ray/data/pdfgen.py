@@ -827,3 +827,99 @@ def pdf_incremental_update(old_text: str = "original text",
 
 
 ADVERSARIAL_GENERATORS["pdf_incremental_update"] = pdf_incremental_update
+
+
+def pdf_aes128_objstm(text: str = "objstm aes secret") -> bytes:
+    """AES-128 encrypted document whose catalog/pages/page/font live in an
+    OBJECT STREAM — the modern writer default.  The ObjStm container is
+    encrypted like any stream; objects inside it carry no per-object crypt
+    (PDF spec 7.5.7), so the reader must decrypt the container exactly
+    once (document.py:_load_objstm)."""
+    import hashlib
+    import struct as _struct
+    from ..engine.aes import aes_cbc_encrypt
+    from ..engine.crypt import PAD, rc4
+
+    doc_id = bytes(range(16, 32))
+    p = -3904
+    klen = 16
+    h = hashlib.md5(PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:klen]).digest()
+    okey = h[:klen]
+    step = PAD
+    for i in range(20):
+        step = rc4(bytes(bb ^ i for bb in okey), step)
+    o = step
+    h = hashlib.md5()
+    h.update(PAD)
+    h.update(o[:32])
+    h.update(_struct.pack("<i", p))
+    h.update(doc_id)
+    key = h.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:klen]).digest()
+    key = key[:klen]
+    hu = hashlib.md5()
+    hu.update(PAD)
+    hu.update(doc_id)
+    step = rc4(key, hu.digest())
+    for i in range(1, 20):
+        step = rc4(bytes(bb ^ i for bb in key), step)
+    u = step + bytes(16)
+
+    def objkey(num, gen):
+        return hashlib.md5(key + _struct.pack("<i", num)[:3]
+                           + _struct.pack("<i", gen)[:2]
+                           + b"sAlT").digest()[:16]
+
+    content = ("BT /F1 12 Tf 72 700 Td (" + _esc(text) + ") Tj ET").encode()
+    content_enc = aes_cbc_encrypt(objkey(5, 0), bytes(range(16)), content)
+
+    inner = [b"<< /Type /Catalog /Pages 2 0 R >>",
+             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"]
+    offs, pos = [], 0
+    for b_ in inner:
+        offs.append(pos)
+        pos += len(b_) + 1
+    head = " ".join(f"{n} {off}" for n, off in zip([1, 2, 3, 4], offs)).encode()
+    objstm_plain = head + b"\n" + b"\n".join(inner) + b"\n"
+    first = len(head) + 1
+    objstm_stored = aes_cbc_encrypt(objkey(6, 0), bytes(range(16, 32)),
+                                    zlib.compress(objstm_plain))
+
+    out = bytearray(b"%PDF-1.6\n%\xc2\xb5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += (f"5 0 obj\n<< /Length {len(content_enc)} >>\n".encode()
+            + b"stream\n" + content_enc + b"\nendstream\nendobj\n")
+    offsets[6] = len(out)
+    out += (f"6 0 obj\n<< /Type /ObjStm /N 4 /First {first} "
+            f"/Length {len(objstm_stored)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + objstm_stored + b"\nendstream\nendobj\n")
+    offsets[8] = len(out)
+    enc_body = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 "
+                b"/AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF "
+                b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+                + b"> /P " + str(p).encode() + b" >>")
+    out += b"8 0 obj\n" + enc_body + b"\nendobj\n"
+    xref_off = len(out)
+    entries = [(0, 0, 0xFFFF), (2, 6, 0), (2, 6, 1), (2, 6, 2), (2, 6, 3),
+               (1, offsets[5], 0), (1, offsets[6], 0), (1, xref_off, 0),
+               (1, offsets[8], 0)]
+    xdata = b"".join(t.to_bytes(1, "big") + f2.to_bytes(4, "big")
+                     + f3.to_bytes(2, "big") for t, f2, f3 in entries)
+    xz = zlib.compress(xdata)
+    out += (f"7 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Root 1 0 R "
+            f"/Encrypt 8 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>] "
+            f"/Length {len(xz)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + xz + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+ADVERSARIAL_GENERATORS["pdf_aes128_objstm"] = pdf_aes128_objstm

@@ -180,6 +180,10 @@ def get_metadata(buffer_or_doc) -> Dict[str, str]:
     """Trailer Info dict (literal strings) + page count
     (print_metadata, src/lib.rs:2203-2216) as a dict."""
     doc = buffer_or_doc if isinstance(buffer_or_doc, Document) else load_document(buffer_or_doc)
+    try:
+        maybe_decrypt(doc)  # empty-password docs: page tree may live in
+    except Exception:       # encrypted object streams
+        pass
     meta: Dict[str, str] = {"version": doc.version}
     info = maybe_get_obj(doc, doc.trailer, b"Info")
     if isinstance(info, dict):

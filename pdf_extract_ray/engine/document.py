@@ -262,9 +262,16 @@ class Document:
         if entry is None or entry[0] != "n":
             raise PdfError(f"missing object stream {objstm_num}")
         lx = Lexer(self.buf, entry[1])
-        _, stm = parse_indirect_object(lx, self)
+        (pnum, pgen), stm = parse_indirect_object(lx, self)
         if not isinstance(stm, Stream):
             raise PdfError("ObjStm is not a stream")
+        if self._crypt is not None:
+            # the ObjStm container is encrypted like any stream; objects
+            # INSIDE it are not separately encrypted (PDF spec 7.5.7 —
+            # strings in object streams get no per-object crypt), so the
+            # plain parse below is correct
+            from .crypt import decrypt_object
+            stm = decrypt_object(self._crypt, stm, pnum, pgen)
         data = decode_stream(stm, self)
         n = get_int(self, stm.dict, b"N") or 0
         first = get_int(self, stm.dict, b"First") or 0

@@ -151,3 +151,18 @@ class TestIncrementalUpdate:
         from pdf_extract_ray.data.pdfgen import pdf_incremental_update
         m = get_metadata(pdf_incremental_update("a", "b"))
         assert m["page_count"] == "1"  # page tree lives in the ORIGINAL body
+
+
+class TestEncryptedObjStm:
+    def test_aes_doc_with_objects_in_object_stream(self):
+        """Real-world modern layout: AES-128 doc whose page tree lives in
+        an encrypted ObjStm.  The container decrypts exactly once; inner
+        objects carry no per-object crypt (spec 7.5.7).  This was a real
+        bug: _load_objstm decompressed ciphertext before round 2."""
+        from pdf_extract_ray.data.pdfgen import pdf_aes128_objstm
+        assert extract_text_from_mem(pdf_aes128_objstm()) \
+            == "\n\nobjstm aes secret"
+
+    def test_metadata_via_encrypted_objstm(self):
+        from pdf_extract_ray.data.pdfgen import pdf_aes128_objstm
+        assert get_metadata(pdf_aes128_objstm())["page_count"] == "1"
