@@ -66,6 +66,14 @@ def output_doc_inner(page_num: int, page_ref: Ref, doc: Document,
     output.end_page()
 
 
+def output_doc_encrypted(doc: Document, output: OutputDev,
+                         password: str) -> None:
+    """Decrypt with `password`, then run the device over every page
+    (src/lib.rs:2364-2372)."""
+    doc.decrypt(password)
+    output_doc(doc, output)
+
+
 def output_doc(doc: Document, output: OutputDev) -> None:
     """One shared Processor across pages — the font cache spans pages
     (src/lib.rs:2374-2387)."""

@@ -166,3 +166,16 @@ class TestEncryptedObjStm:
     def test_metadata_via_encrypted_objstm(self):
         from pdf_extract_ray.data.pdfgen import pdf_aes128_objstm
         assert get_metadata(pdf_aes128_objstm())["page_count"] == "1"
+
+
+def test_output_doc_encrypted_api():
+    """Public-API parity: output_doc_encrypted = decrypt + device run
+    (src/lib.rs:2364-2372)."""
+    from pdf_extract_ray.data.pdfgen import pdf_aes128_objstm
+    from pdf_extract_ray.engine import output_doc_encrypted
+    from pdf_extract_ray.engine.devices import PlainTextOutput
+    from pdf_extract_ray.engine.document import Document
+    doc = Document(pdf_aes128_objstm())
+    dev = PlainTextOutput()
+    output_doc_encrypted(doc, dev, "")
+    assert dev.get_text() == "\n\nobjstm aes secret"
