@@ -151,6 +151,15 @@ def _q_textprep(sf_dir: str):
     return textprep_dataset(ds, num_partitions=8)
 
 
+def _q_ccprep(sf_dir: str):
+    """Full Common-Crawl-style chain: extract -> enrich -> exact dedup ->
+    quality filter -> MinHash near-dup removal (pipelines/ccprep.py)."""
+    import ray
+    from pdf_extract_ray.pipelines.ccprep import ccprep_dataset
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return ccprep_dataset(ds, min_quality=0.1, neardup_threshold=0.95)
+
+
 def _q_doc_stats_by_source(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
     agg = ds.groupby("source").aggregate(_sum("n_chars"), _count())
@@ -245,6 +254,12 @@ def _q_stratified_sample(sf_dir: str):
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_normalize_text(sf_dir: str):
+    from pdf_extract_ray.ops.textstats import normalize_text
+    return normalize_text(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]))
 
 
 def _q_fingerprints(sf_dir: str):
@@ -555,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_by_pages": _q_extract_by_pages,
         "extract_metadata": _q_extract_metadata,
         "textprep": _q_textprep,
+        "ccprep": _q_ccprep,
         # SQL-oracled corpus operators
         "doc_stats_by_source": _q_doc_stats_by_source,
         "lang_histogram": _q_lang_histogram,
@@ -562,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "exact_dedup": _q_exact_dedup,
+        "normalize_text": _q_normalize_text,
         "ann_topk": _q_ann_topk,
         "embedding_label_histogram": _q_embedding_label_histogram,
         "events_hourly": _q_events_hourly,
@@ -645,6 +662,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                       '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+            FROM documents
         """,
         "ann_topk": """
             WITH q AS (

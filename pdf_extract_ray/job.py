@@ -19,7 +19,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_extract_ray.job")
     ap.add_argument("--input", required=True, help="pages parquet dir")
     ap.add_argument("--output", required=True, help="output dir (parquet + manifests)")
-    ap.add_argument("--pipeline", choices=["extract", "textprep"],
+    ap.add_argument("--pipeline", choices=["extract", "textprep", "ccprep"],
                     default="extract")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=64)
@@ -35,6 +35,15 @@ def main(argv=None) -> int:
         # on a cluster this attaches to the running Ray (ray job submit
         # sets RAY_ADDRESS); standalone it starts a local session
         ray.init(ignore_reinit_error=True)
+
+    if args.pipeline == "ccprep":
+        from .pipelines.ccprep import run_ccprep
+        metrics = run_ccprep(args.input, args.output,
+                             num_partitions=args.num_partitions or 8,
+                             min_quality=args.min_quality
+                             if args.min_quality is not None else 0.3)
+        print(json.dumps({"pipeline": "ccprep", **metrics}))
+        return 0
 
     if args.pipeline == "textprep":
         from .pipelines.textprep import run_textprep

@@ -164,3 +164,25 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprints(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def normalize_text(ds, *, form: str = "NFC"):
+    """Unicode normalization + whitespace collapse + control-char strip —
+    the canonicalization pass run before hashing/dedup at corpus scale.
+    Fully vectorized: pyarrow.compute utf8_normalize + regex replace.
+    -> (doc_id, norm_text, n_chars_norm)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(b.column("text"), form=form)
+        t = pc.replace_substring_regex(t, pattern=r"[\x00-\x08\x0b-\x1f\x7f]",
+                                       replacement="")
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "norm_text": t,
+            "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64())})
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -1,0 +1,160 @@
+"""Common-Crawl-style training-data prep — the full composed chain:
+
+    pages (url, html)
+      -> extract (PDF parity engine / HTML boilerplate strip)   [phase 1]
+      -> enrich (tokens, quality, language id) + exact dedup
+      -> language filter -> quality filter                      [phase 2]
+      -> MinHash-LSH near-dup removal (bands-only candidates,
+         exact n-gram Jaccard verification, drop the newer twin)
+      -> partitioned parquet
+
+Scale shape: phase 1 is the checkpointed per-partition extract
+(manifests, resume); phase 2 reads the checkpoint, so a preempted job
+never re-extracts.  The exact-dedup decision shuffles (md5, url) pairs;
+the near-dup stage ships ~24 B/doc/band through its only shuffle
+(MinHashBandsOnly) and verifies only the candidate pairs via the
+semi-join path in verify_pairs_jaccard.  The final drop-set broadcast is
+bounded by the number of verified near-dup pairs (at extreme dup rates,
+swap for a left_anti hash join on doc_id — the same shape as
+ops/relational._semi_anti_join).
+"""
+from __future__ import annotations
+
+import hashlib
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash_doc_id(urls) -> pa.Array:
+    """Deterministic int64 doc id from the url (minhash/jaccard ops key
+    on int64 ids)."""
+    ids = [int.from_bytes(hashlib.blake2b(u.encode("utf-8"),
+                                          digest_size=8).digest(),
+                          "big") >> 1
+           for u in urls]
+    return pa.array(ids, pa.int64())
+
+
+def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
+                        num_partitions):
+    """enrich -> exact dedup -> lang/quality filter -> near-dup removal
+    over an already-extracted ok dataset."""
+    import ray
+
+    from ..ops.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+    from .textprep import _dedup_enrich
+
+    enriched = _dedup_enrich(ok_ds, num_partitions=num_partitions,
+                             min_quality=None)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("quality_score"),
+                             pa.scalar(min_quality))
+        if langs is not None:
+            m = pc.and_(m, pc.is_in(
+                batch.column("pred_lang"),
+                value_set=pa.array(list(langs), pa.string())))
+        out = batch.filter(m)
+        return out.append_column("doc_id",
+                                 _hash_doc_id(out.column("url").to_pylist()))
+
+    # pinned: feeds BOTH the near-dup candidate generation and the final
+    # filter (shared lineage must execute once)
+    filtered = enriched.map_batches(keep, batch_format="pyarrow").materialize()
+
+    docs = filtered.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "text": b.column("extracted_text")}),
+        batch_format="pyarrow")
+    candidates = minhash_lsh_candidates(docs)
+    verified = verify_pairs_jaccard(candidates, docs,
+                                    threshold=neardup_threshold)
+
+    drop: set = set()
+    for b in verified.select_columns(["doc_id_a", "doc_id_b"]) \
+                     .iter_batches(batch_format="pyarrow"):
+        for a, bb in zip(b.column("doc_id_a").to_pylist(),
+                         b.column("doc_id_b").to_pylist()):
+            keep_id, drop_id = (a, bb) if a < bb else (bb, a)
+            if keep_id not in drop:
+                drop.add(drop_id)
+    drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
+
+    def not_dropped(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("doc_id"),
+                                  value_set=ray.get(drop_ref)))
+        return batch.filter(mask)
+
+    return filtered.map_batches(not_dropped, batch_format="pyarrow")
+
+
+def ccprep_dataset(pages_ds, *, langs=None,
+                   min_quality: float = 0.3,
+                   neardup_threshold: float = 0.85,
+                   num_partitions: int = 8):
+    """Lazy composed pipeline over a (url, html) Dataset -> surviving
+    enriched rows (url, extracted_text, ..., n_tokens, quality_score,
+    pred_lang, doc_id).  `langs=None` skips the language filter (the
+    synthetic lorem corpus IDs mostly as 'und'); pass e.g.
+    ("en", "und") to gate on language."""
+    from .extract import extract_dataset
+    from .textprep import _keep_ok
+
+    extracted = extract_dataset(pages_ds, with_spans=False)
+    ok = extracted.map_batches(_keep_ok, batch_format="pyarrow").materialize()
+    return _post_extract_chain(ok, langs=langs, min_quality=min_quality,
+                               neardup_threshold=neardup_threshold,
+                               num_partitions=num_partitions)
+
+
+def run_ccprep(input_dir: str, output_dir: str, *,
+               langs=None,
+               min_quality: float = 0.3,
+               neardup_threshold: float = 0.85,
+               num_partitions: int = 8,
+               resume: bool = True):
+    """Checkpointed run: phase 1 = per-partition extraction manifests
+    (resume skips finished partitions), phase 2 = the filter/dedup chain
+    from the checkpoint with an atomic completion marker."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import ray
+
+    from .extract import run_extract
+
+    extract_dir = os.path.join(output_dir, "extracted")
+    final_dir = os.path.join(output_dir, "ccprep")
+    marker = os.path.join(output_dir, "manifest", "ccprep.json")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+
+    job = run_extract(input_dir, extract_dir, with_spans=False,
+                      resume=resume)
+
+    part_files = sorted(glob.glob(
+        os.path.join(extract_dir, "part=*", "*.parquet")))
+    keep_cols = ["url", "extracted_text", "status", "kind",
+                 "payload_bytes", "n_chars"]
+    ok = ray.data.read_parquet(part_files).map_batches(
+        lambda b: b.filter(pc.equal(b.column("status"), "ok"))
+        .select(keep_cols), batch_format="pyarrow").materialize()
+
+    result = _post_extract_chain(ok, langs=langs, min_quality=min_quality,
+                                 neardup_threshold=neardup_threshold,
+                                 num_partitions=num_partitions)
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    result.write_parquet(final_dir)
+    n_out = ray.data.read_parquet(final_dir).count()
+    metrics = {"extract": job, "rows_out": n_out, "output": final_dir}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1)
+    os.replace(tmp, marker)
+    return metrics

@@ -199,3 +199,29 @@ def test_textprep_checkpointed_resume(ray_session, tmp_path):
     assert m3["rows_out"] == m1["rows_out"]
     assert m3["extract"]["partitions"] == 1      # only the wiped one reran
     assert m3["extract"]["skipped_partitions"] == 1
+
+
+def test_ccprep_composed_and_resume(ray_session, tmp_path):
+    """Full CC-style chain: extract -> enrich -> exact dedup -> quality
+    filter -> near-dup removal, with two-phase checkpoint resume."""
+    import os
+
+    import ray
+
+    from pdf_extract_ray.data.pages import pages_parquet_path
+    from pdf_extract_ray.pipelines.ccprep import ccprep_dataset, run_ccprep
+    src = pages_parquet_path(200, n_giants=0, n_shards=2)
+
+    ds = ray.data.read_parquet(src, columns=["url", "html"])
+    df = ccprep_dataset(ds, min_quality=0.1, neardup_threshold=0.95) \
+        .to_pandas()
+    assert len(df) > 0
+    assert (df.quality_score >= 0.1).all()
+    assert df.doc_id.is_unique
+
+    out = str(tmp_path / "cc")
+    m1 = run_ccprep(src, out, min_quality=0.1, neardup_threshold=0.95)
+    assert m1["rows_out"] == len(df)  # file path == lazy path
+    m2 = run_ccprep(src, out, min_quality=0.1, neardup_threshold=0.95)
+    assert m2 == m1  # marker short-circuit
+    assert os.path.exists(os.path.join(out, "manifest", "ccprep.json"))
