@@ -70,14 +70,19 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
     verified = verify_pairs_jaccard(candidates, docs,
                                     threshold=neardup_threshold)
 
-    drop: set = set()
+    # the greedy keep-smallest policy must run over a DETERMINISTIC pair
+    # order — block arrival order varies run to run, and an order-
+    # dependent greedy changes the drop set (observed 157 vs 159 rows)
+    pairs = set()
     for b in verified.select_columns(["doc_id_a", "doc_id_b"]) \
                      .iter_batches(batch_format="pyarrow"):
         for a, bb in zip(b.column("doc_id_a").to_pylist(),
                          b.column("doc_id_b").to_pylist()):
-            keep_id, drop_id = (a, bb) if a < bb else (bb, a)
-            if keep_id not in drop:
-                drop.add(drop_id)
+            pairs.add((a, bb) if a < bb else (bb, a))
+    drop: set = set()
+    for keep_id, drop_id in sorted(pairs):
+        if keep_id not in drop:
+            drop.add(drop_id)
     drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
 
     def not_dropped(batch: pa.Table) -> pa.Table:
