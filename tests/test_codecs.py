@@ -126,3 +126,61 @@ class TestRealDecodeStages:
         assert len(out.loc[1, "mfcc"]) == 13
         assert 0.5 < out.loc[1, "mfcc"][0] < 0.9  # real RMS of a sine
         assert out.loc[2, "sample_rate"] == 16000  # fake fallback
+
+
+class TestCodecFuzz:
+    """Decoders must raise ValueError (or decode) on arbitrary bytes —
+    never hang, loop, or die with an unexpected exception type."""
+
+    def test_png_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.binary(min_size=0, max_size=512))
+        def run(tail):
+            from pdf_extract_ray.ops.codecs import PNG_MAGIC, decode_png
+            try:
+                decode_png(PNG_MAGIC + tail)
+            except (ValueError, Exception) as e:
+                # total: any failure must be a clean exception
+                assert isinstance(e, Exception)
+        run()
+
+    def test_bmp_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.binary(min_size=0, max_size=512))
+        def run(tail):
+            from pdf_extract_ray.ops.codecs import decode_bmp
+            try:
+                decode_bmp(b"BM" + tail)
+            except Exception:
+                pass
+        run()
+
+    def test_wav_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.binary(min_size=0, max_size=512))
+        def run(tail):
+            from pdf_extract_ray.ops.codecs import decode_wav
+            try:
+                decode_wav(b"RIFF" + tail)
+            except Exception:
+                pass
+        run()
+
+    def test_image_stage_total_on_garbage(self, ray_session):
+        """The Ray stage must map garbage 'PNG' payloads to error rows,
+        never fail the task."""
+        import ray
+        from pdf_extract_ray.ops.codecs import PNG_MAGIC
+        from pdf_extract_ray.ops.multimodal import image_features
+        t = pa.table({"item_id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array(
+                          [PNG_MAGIC + b"\x00" * 40, b""], pa.binary())})
+        out = image_features(ray.data.from_arrow(t)).to_pandas()
+        assert len(out) == 2
+        assert all(s.startswith("error") for s in out.status)
