@@ -488,6 +488,23 @@ def _q_asof_join(sf_dir: str):
               columns=["o_orderkey", "o_custkey", "o_orderdate"]))
 
 
+def _q_asof_join_left(sf_dir: str):
+    """Left as-of join against big orders only: users with no qualifying
+    order keep their events with the (-1, epoch) sentinel."""
+    from pdf_extract_ray.ops.relational import asof_join_orders
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    big = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"),
+                                      pa.scalar(300000.0)))
+        .drop_columns(["o_totalprice"]),
+        batch_format="pyarrow")
+    return asof_join_orders(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        big, how="left")
+
+
 def _q_big_spender_customers(sf_dir: str):
     from pdf_extract_ray.ops.relational import customers_with_big_orders
     return customers_with_big_orders(
@@ -589,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "asof_join": _q_asof_join,
+        "asof_join_left": _q_asof_join_left,
         "big_spender_customers": _q_big_spender_customers,
         "quiet_customers": _q_quiet_customers,
         "word_frequencies": _q_word_frequencies,
@@ -757,6 +775,18 @@ def oracle_sql() -> dict[str, str]:
               FROM orders GROUP BY o_custkey, o_orderdate)
             SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
             FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "asof_join_left": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders WHERE o_totalprice > 300000
+              GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, e.ts,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_orderdate, TIMESTAMP '1970-01-01')
+                       AS o_orderdate
+            FROM events e ASOF LEFT JOIN o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "big_spender_customers": """

@@ -119,10 +119,13 @@ def revenue_by_nation(orders_ds, customer_ds, nation_ds, *,
     return per_nation.map_batches(finish, batch_format="pyarrow")
 
 
-def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
+def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64,
+                     how: str = "inner"):
     """As-of join: each event matches its user's most recent order at or
     before the event time -> (event_id, user_id, ts, o_orderkey,
-    o_orderdate); events with no prior order are dropped (inner as-of).
+    o_orderdate).  `how="inner"` drops events with no prior order;
+    `how="left"` keeps them with the sentinel (-1, epoch) so the output
+    schema stays non-nullable (mirrors the oracle's COALESCE).
 
     Orders are deduped to max(o_orderkey) per (custkey, orderdate) INSIDE
     the per-partition resolve so ties are deterministic (mirrors the SQL
@@ -155,24 +158,29 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64):
         for key, g in df.groupby("key", sort=False):
             orders = g[g["side"] == 1]
             events = g[g["side"] == 0]
-            if len(orders) == 0 or len(events) == 0:
+            if len(events) == 0:
                 continue
-            ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            okeys_raw = orders["o_orderkey"].to_numpy()
-            # in-partition tie-break dedup: keep max orderkey per date
-            order_sort = np.lexsort((okeys_raw, ots))
-            ots = ots[order_sort]
-            okeys = okeys_raw[order_sort]
-            last = np.r_[ots[1:] != ots[:-1], True]  # last (=max key) per ts
-            ots = ots[last]
-            okeys = okeys[last]
             ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            idx = np.searchsorted(ots, ets, side="right") - 1
-            ok = idx >= 0
-            for eid, t, i in zip(events["event_id"].to_numpy()[ok],
-                                 ets[ok], idx[ok]):
-                out.append((int(eid), int(key), t, int(okeys[i]),
-                            int(ots[i])))
+            eids = events["event_id"].to_numpy()
+            if len(orders):
+                ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                okeys_raw = orders["o_orderkey"].to_numpy()
+                # in-partition tie-break dedup: keep max orderkey per date
+                order_sort = np.lexsort((okeys_raw, ots))
+                ots = ots[order_sort]
+                okeys = okeys_raw[order_sort]
+                last = np.r_[ots[1:] != ots[:-1], True]  # last (=max) per ts
+                ots = ots[last]
+                okeys = okeys[last]
+                idx = np.searchsorted(ots, ets, side="right") - 1
+            else:
+                idx = np.full(len(ets), -1)
+            for eid, t, i in zip(eids, ets, idx):
+                if i >= 0:
+                    out.append((int(eid), int(key), t, int(okeys[i]),
+                                int(ots[i])))
+                elif how == "left":
+                    out.append((int(eid), int(key), t, -1, 0))
         res = pd.DataFrame(out, columns=["event_id", "user_id", "ts",
                                          "o_orderkey", "o_orderdate"])
         if len(res):
