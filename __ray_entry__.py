@@ -456,6 +456,12 @@ def _q_sessionize(sf_dir: str):
                       gap_minutes=30)
 
 
+def _q_sessionize_salted(sf_dir: str):
+    from pdf_extract_ray.ops.events import sessionize_salted
+    return sessionize_salted(
+        _read(sf_dir, "events", columns=["user_id", "ts"]), gap_minutes=30)
+
+
 def _q_top_customers(sf_dir: str):
     from pdf_extract_ray.ops.events import top_customers_by_spend
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
@@ -600,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_histogram": _q_embedding_label_histogram,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        "sessionize_salted": _q_sessionize_salted,
         "top_customers": _q_top_customers,
         "deterministic_sample": _q_deterministic_sample,
         "stratified_sample": _q_stratified_sample,
@@ -728,6 +735,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id,
+                   CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "sessionize_salted": """
             WITH d AS (
               SELECT user_id, ts,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id

@@ -108,6 +108,67 @@ def sessionize(ds, gap_minutes: int = 30):
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
+def sessionize_salted(ds, gap_minutes: int = 30, *, salt_days: int = 1,
+                      n_parts: int = 64):
+    """Hot-user-safe sessionization: the documented fix for the plain
+    operator's partitioning assumption ("one user's events fit in one
+    partition").
+
+    Stage 1 salts the key to (user_id, day-bucket): each partition sees
+    at most one user-DAY of events and emits (n_sessions, first_ts,
+    last_ts, n_events) per bucket — bounded regardless of how hot the
+    user is over time.
+    Stage 2 merges the tiny per-bucket summaries per user: consecutive
+    present buckets whose boundary gap <= threshold collapse one session
+    (exactly the sessions the unsalted pass would have joined), so the
+    result is IDENTICAL to sessionize() — same SQL oracle."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    day_us = salt_days * 86_400 * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (user_id, day), g in df.groupby(["user_id", "_day"], sort=False):
+            ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                         .astype(np.int64))
+            n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
+            out.append((int(user_id), int(day), n_sessions,
+                        int(ts[0]), int(ts[-1]), int(len(ts))))
+        return pd.DataFrame(out, columns=["user_id", "day", "n_sessions",
+                                          "first_ts", "last_ts", "n_events"]
+                            ).astype({"user_id": "int64", "day": "int64",
+                                      "n_sessions": "int64",
+                                      "first_ts": "int64",
+                                      "last_ts": "int64",
+                                      "n_events": "int64"})
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+                  .astype("datetime64[us]").astype(np.int64)
+        return batch.append_column("_day", pa.array(ts // day_us, pa.int64()))
+
+    from .dedup import _grouped_by_partition
+    salted = ds.map_batches(add_day, batch_format="pyarrow")
+    partials = _grouped_by_partition(salted, ["user_id", "_day"],
+                                     per_bucket, n_parts=n_parts)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day")
+        n = int(df["n_sessions"].sum())
+        # collapse boundary pairs: next bucket's first event within the
+        # gap of this bucket's last event -> one fewer session
+        gaps = df["first_ts"].to_numpy()[1:] - df["last_ts"].to_numpy()[:-1]
+        n -= int((gaps <= gap_us).sum())
+        return pd.DataFrame({"user_id": [int(df["user_id"].iloc[0])],
+                             "n_sessions": [n],
+                             "n_events": [int(df["n_events"].sum())]}
+                            ).astype({"user_id": "int64",
+                                      "n_sessions": "int64",
+                                      "n_events": "int64"})
+
+    return partials.groupby("user_id").map_groups(merge,
+                                                  batch_format="pandas")
+
+
 def top_customers_by_spend(orders_ds, customer_ds, k: int = 10):
     """Top-k customers by total spend, dimension fetched AFTER the top-k:
 

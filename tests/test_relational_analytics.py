@@ -262,3 +262,30 @@ class TestQuantileSketch:
             # p50) no matter how good the sketch is
             rank = (sub <= row.value).mean()
             assert abs(rank - row.q) < 0.01, (row.g, row.q, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedSessionize:
+    def test_boundary_merge_matches_plain(self):
+        """A hot user whose session straddles the day-salt boundary: the
+        two per-day partials must merge back into one session."""
+        import ray
+        from pdf_extract_ray.ops.events import sessionize, sessionize_salted
+        us = lambda s: np.datetime64(s, "us").item()
+        rows = [
+            (1, us("2024-01-01T23:50:00")),  # session A, day 0
+            (1, us("2024-01-02T00:05:00")),  # 15 min gap -> SAME session
+            (1, us("2024-01-02T09:00:00")),  # new session
+            (2, us("2024-01-01T10:00:00")),
+            (2, us("2024-01-03T10:00:00")),  # bucket gap > threshold
+        ]
+        t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "ts": pa.array([r[1] for r in rows],
+                                     pa.timestamp("us"))})
+        plain = sessionize(ray.data.from_arrow(t), gap_minutes=30) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        salted = sessionize_salted(ray.data.from_arrow(t), gap_minutes=30) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert plain.equals(salted)
+        got = dict(zip(plain.user_id, plain.n_sessions))
+        assert got == {1: 2, 2: 2}
