@@ -102,7 +102,9 @@ def run_ops(sf_dir: str):
              "top_docs_per_lang", "median_chars_by_source",
              "big_spender_customers", "quiet_customers",
              "sliding_window_counts", "label_centroids",
-             "approx_distinct_users", "audio_features"]
+             "approx_distinct_users", "audio_features",
+             "normalize_text", "sessionize_salted", "asof_join_left",
+             "approx_value_quantiles", "ann_topk_ivf"]
     out = {}
     for _pass in range(2):
         for name in names:
