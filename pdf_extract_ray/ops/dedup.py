@@ -415,7 +415,8 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
-                         threshold: float = 0.6, num_partitions=None):
+                         threshold: float = 0.6, num_partitions=None,
+                         broadcast_limit: int = 100_000):
     """Verify candidate pairs with exact n-gram Jaccard — scale-safe:
 
     1. pairs (tiny: LSH survivors) are pinned once so collecting their id
@@ -423,11 +424,17 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
     2. the DISTINCT candidate-id set is broadcast via ray.put and docs are
        filtered to it inside map_batches (map-side semi-join — the full
        corpus text never leaves the read stage);
-    3. the filtered docs (bounded by 2 x n_pairs rows) attach to the pairs
-       via two hash joins partitioned on doc_id;
+    3a. candidate sets up to `broadcast_limit` ids take the FAST path:
+       the filtered texts (bounded by the candidate count, NOT the
+       corpus) broadcast once via ray.put and pairs verify in a plain
+       map — no join machinery;
+    3b. larger candidate sets attach texts to pairs via two hash joins
+       partitioned on doc_id;
     4. the exact Jaccard check runs per surviving pair.
 
-    No driver-side corpus materialization at any point."""
+    No driver-side CORPUS materialization on either path — the broadcast
+    fast path holds only candidate texts, the same bound as the join
+    path's shuffle."""
     import ray
     import pyarrow.compute as pc
 
@@ -467,6 +474,35 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
     # bounded by the candidate count -> safe (and single-executed) to pin
     docs_f = docs_ds.map_batches(keep_candidates,
                                  batch_format="pyarrow").materialize()
+
+    if len(ids) <= broadcast_limit:
+        lookup = {}
+        for b in docs_f.iter_batches(batch_format="pyarrow"):
+            for d, t in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+                lookup[d] = t
+        lk_ref = ray.put(lookup)
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lk_ref)
+            out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+            for a, b in zip(batch.column("doc_id_a").to_pylist(),
+                            batch.column("doc_id_b").to_pylist()):
+                ta, tb = lk.get(a), lk.get(b)
+                if ta is None or tb is None:
+                    continue
+                j = ngram_jaccard(ta, tb, n)
+                if j >= threshold:
+                    out["doc_id_a"].append(a)
+                    out["doc_id_b"].append(b)
+                    out["jaccard"].append(j)
+            return pa.Table.from_arrays(
+                [pa.array(out["doc_id_a"], pa.int64()),
+                 pa.array(out["doc_id_b"], pa.int64()),
+                 pa.array(out["jaccard"], pa.float64())],
+                names=["doc_id_a", "doc_id_b", "jaccard"])
+
+        return pairs.map_batches(verify_bc, batch_format="pyarrow")
 
     def side(name):
         return docs_f.map_batches(
