@@ -108,3 +108,30 @@ def test_type1_fontfile_embedded_encoding():
     root = _single_page(b, {"F1": f1}, b"BT /F1 12 Tf 72 700 Td (AB) Tj ET")
     out = extract_text_from_mem(b.build(root))
     assert out == "\n\néä"
+
+
+if HAVE_HYPOTHESIS:
+    def _adversarial_bases():
+        from pdf_extract_ray.data.pdfgen import ADVERSARIAL_GENERATORS
+        return [gen() for gen in ADVERSARIAL_GENERATORS.values()]
+
+    _ADV = _adversarial_bases()
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, 10**6), st.data())
+    def test_mutated_adversarial_pdfs_fail_cleanly(seed, data):
+        """Mutation fuzz over the round-2 adversarial corpus too —
+        encrypted ObjStm, hybrid xref, embedded CMaps, incremental
+        updates all carry their own parser paths."""
+        base = bytearray(_ADV[seed % len(_ADV)])
+        n_mut = data.draw(st.integers(1, 12))
+        for _ in range(n_mut):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] = data.draw(st.integers(0, 255))
+        _try_extract(bytes(base))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10**6), st.integers(0, 100))
+    def test_truncated_adversarial_pdfs_fail_cleanly(seed, pct):
+        base = _ADV[seed % len(_ADV)]
+        _try_extract(base[:len(base) * pct // 100])
