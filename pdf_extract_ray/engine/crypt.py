@@ -208,6 +208,10 @@ def decrypt_document(doc, password: str = "") -> None:
     doc._cache.clear()
     doc._objstm_cache.clear()
     del doc.trailer[b"Encrypt"]
+    if getattr(doc, "_recovered", False):
+        # recovery ran BEFORE the file key existed, so encrypted ObjStms
+        # could not be expanded then — index their inner objects now
+        doc._index_objstms()
 
 
 def decrypt_object(handler: StandardSecurityHandler, obj, num: int, gen: int):

@@ -36,6 +36,7 @@ class Document:
         self._cache: Dict[int, object] = {}
         self._objstm_cache: Dict[int, Dict[int, object]] = {}
         self._crypt = None
+        self._recovered = False
         self.version = "1.4"
         self._parse()
 
@@ -191,6 +192,18 @@ class Document:
                         self.trailer.setdefault(k, v)
             except PdfError:
                 pass
+        # xref-stream layouts have no `trailer` keyword: harvest the
+        # trailer fields (Root/Info/Encrypt/ID/Size) from any /Type /XRef
+        # stream found in the scan, later (newer) occurrences winning
+        for num in sorted(self._xref, key=lambda n: self._xref[n][1]):
+            try:
+                obj = self.get_object(Ref(num, 0))
+            except Exception:
+                continue
+            if isinstance(obj, Stream) and obj.dict.get(b"Type") == b"XRef":
+                for k in (b"Root", b"Info", b"Encrypt", b"ID", b"Size"):
+                    if k in obj.dict:
+                        self.trailer[k] = obj.dict[k]
         if b"Root" not in self.trailer:
             # look for an object with /Type /Catalog
             for num in list(self._xref):
@@ -202,7 +215,17 @@ class Document:
                     self.trailer[b"Root"] = Ref(num, 0)
                     break
         # also index objects hidden in object streams
+        self._recovered = True
+        self._index_objstms()
+
+    def _index_objstms(self) -> None:
+        """Add ("c", objstm, idx) xref entries for every object found
+        inside an ObjStm.  Runs at recovery time and AGAIN after
+        decryption (an encrypted ObjStm cannot be expanded before the
+        file key exists, so the first pass silently skips it)."""
         for num in list(self._xref):
+            if self._xref[num][0] != "n":
+                continue
             try:
                 obj = self.get_object(Ref(num, 0))
             except PdfError:
@@ -210,7 +233,7 @@ class Document:
             if isinstance(obj, Stream) and obj.dict.get(b"Type") == b"ObjStm":
                 try:
                     objs = self._load_objstm(num)
-                except PdfError:
+                except Exception:
                     continue
                 for i, inner_num in enumerate(objs):
                     self._xref.setdefault(inner_num, ("c", num, i))

@@ -179,3 +179,29 @@ def test_output_doc_encrypted_api():
     dev = PlainTextOutput()
     output_doc_encrypted(doc, dev, "")
     assert dev.get_text() == "\n\nobjstm aes secret"
+
+
+class TestRecoveryXrefStream:
+    """Recovery on xref-STREAM layouts: no classic `trailer` keyword
+    exists, so the scan must harvest Root/Encrypt/ID from /Type /XRef
+    stream dicts; encrypted ObjStms re-index after the file key exists."""
+
+    @staticmethod
+    def _break(raw: bytes) -> bytes:
+        idx = raw.rfind(b"startxref")
+        return raw[:idx] + b"startxref\n42\n%%EOF\n"
+
+    def test_plain_xrefstream_recovery(self):
+        from pdf_extract_ray.data.pdfgen import pdf_flate_xrefstream
+        raw = pdf_flate_xrefstream("xrefstream recovery")
+        assert extract_text_from_mem(self._break(raw)) \
+            == extract_text_from_mem(raw)
+
+    def test_encrypted_objstm_recovery(self):
+        # hardest combo: broken startxref + AES + page tree in an
+        # encrypted ObjStm: recovery finds the Encrypt ref in the XRef
+        # stream dict, decrypt re-indexes the ObjStm interior
+        from pdf_extract_ray.data.pdfgen import pdf_aes128_objstm
+        raw = pdf_aes128_objstm()
+        assert extract_text_from_mem(self._break(raw)) \
+            == "\n\nobjstm aes secret"
