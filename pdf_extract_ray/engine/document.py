@@ -344,31 +344,31 @@ class Document:
         """page_num (1-based) -> page object Ref, in page-tree order
         (lopdf `Document::get_pages` equivalent)."""
         out: Dict[int, Ref] = {}
-        counter = [0]
+        counter = 0
         seen = set()
-
-        def walk(node_ref):
+        # explicit DFS stack (preorder): a pathological 100k-deep tree
+        # must not blow the Python recursion limit
+        stack = [self.get_root().get(b"Pages")]
+        while stack:
+            node_ref = stack.pop()
             if isinstance(node_ref, Ref):
                 if node_ref.num in seen:
-                    return
+                    continue
                 seen.add(node_ref.num)
                 node = self.get_object(node_ref)
             else:
                 node = node_ref
             if not isinstance(node, dict):
-                return
+                continue
             t = node.get(b"Type")
             kids = maybe_get_obj(self, node, b"Kids")
-            if (t == b"Pages" or (t is None and isinstance(kids, list))) and isinstance(kids, list):
-                for kid in kids:
-                    walk(kid)
+            if (t == b"Pages" or (t is None and isinstance(kids, list))) \
+                    and isinstance(kids, list):
+                stack.extend(reversed(kids))
             elif t == b"Page" or t is None:
-                counter[0] += 1
+                counter += 1
                 if isinstance(node_ref, Ref):
-                    out[counter[0]] = node_ref
-
-        pages_ref = self.get_root().get(b"Pages")
-        walk(pages_ref)
+                    out[counter] = node_ref
         return out
 
     def get_page_content(self, page_ref: Ref) -> bytes:

@@ -205,3 +205,78 @@ class TestRecoveryXrefStream:
         raw = pdf_aes128_objstm()
         assert extract_text_from_mem(self._break(raw)) \
             == "\n\nobjstm aes secret"
+
+
+class TestMetadataAndUnicode:
+    def test_astral_tounicode_surrogate_pair(self):
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        b = PdfBuilder()
+        cps = "\U0001F600".encode("utf-16-be").hex()
+        cmap = (b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+                b"1 beginbfchar\n<41> <" + cps.encode() + b">\nendbfchar\n")
+        cm = b.stream("<< >>", cmap)
+        f1 = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                   f"/ToUnicode {cm} 0 R >>".encode())
+        root = _single_page(b, {"F1": f1},
+                            b"BT /F1 12 Tf 72 700 Td (A) Tj ET")
+        assert "\U0001F600" in extract_text_from_mem(b.build(root))
+
+    def test_utf16be_info_strings(self):
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        title = b"\xfe\xff" + "Tïtlé ☃".encode("utf-16-be")
+        esc = bytearray()
+        for c in title:
+            if c in b"()\\":
+                esc += b"\\" + bytes([c])
+            elif 32 <= c < 127:
+                esc.append(c)
+            else:
+                esc += f"\\{c:03o}".encode()
+        info = b.add(b"<< /Title (" + bytes(esc) + b") /Author (Plain Name) >>")
+        root = _single_page(b, {"F1": f1},
+                            b"BT /F1 12 Tf 72 700 Td (x) Tj ET")
+        m = get_metadata(b.build(root, info_num=info))
+        assert m["Title"] == "Tïtlé ☃"
+        assert m["Author"] == "Plain Name"
+
+
+class TestDeepPageTree:
+    def test_100k_deep_tree_no_recursion_error(self):
+        """One page at the bottom of a pathologically deep Pages chain:
+        iterative DFS must survive where recursion would blow the stack."""
+        depth = 100_000
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        n_font = depth + 3
+        n_content = depth + 4
+        # object 1 = catalog, 2..depth+1 = Pages chain, depth+2 = page
+        offsets[1] = len(out)
+        out += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        for i in range(2, depth + 2):
+            offsets[i] = len(out)
+            kid = i + 1
+            out += (f"{i} 0 obj\n<< /Type /Pages /Kids [{kid} 0 R] "
+                    f"/Count 1 /MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 {n_font} 0 R >> >> "
+                    f">>\nendobj\n").encode()
+        offsets[depth + 2] = len(out)
+        out += (f"{depth + 2} 0 obj\n<< /Type /Page /Parent {depth + 1} 0 R "
+                f"/Contents {n_content} 0 R >>\nendobj\n").encode()
+        offsets[n_font] = len(out)
+        out += (f"{n_font} 0 obj\n<< /Type /Font /Subtype /Type1 "
+                f"/BaseFont /Helvetica >>\nendobj\n").encode()
+        data = b"BT /F1 12 Tf 72 700 Td (deep) Tj ET"
+        offsets[n_content] = len(out)
+        out += (f"{n_content} 0 obj\n<< /Length {len(data)} >>\n".encode()
+                + b"stream\n" + data + b"\nendstream\nendobj\n")
+        xref_off = len(out)
+        n = n_content + 1
+        out += f"xref\n0 {n}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for i in range(1, n):
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+                f"startxref\n{xref_off}\n%%EOF\n").encode()
+        assert extract_text_from_mem(bytes(out)) == "\n\ndeep"
