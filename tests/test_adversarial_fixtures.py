@@ -280,3 +280,55 @@ class TestDeepPageTree:
         out += (f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
                 f"startxref\n{xref_off}\n%%EOF\n").encode()
         assert extract_text_from_mem(bytes(out)) == "\n\ndeep"
+
+
+class TestFontEdgeCases:
+    def test_widths_as_indirect_reference(self):
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        b = PdfBuilder()
+        w = b.add(b"[500 500 500]")
+        f1 = b.add(f"<< /Type /Font /Subtype /TrueType /BaseFont /Custom "
+                   f"/FirstChar 65 /LastChar 67 /Widths {w} 0 R >>".encode())
+        root = _single_page(b, {"F1": f1},
+                            b"BT /F1 12 Tf 72 700 Td (ABC) Tj ET")
+        assert extract_text_from_mem(b.build(root)) == "\n\nABC"
+
+    def test_identity_v_cid(self):
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        b = PdfBuilder()
+        bfchars = [f"<{0x0100 + i:04x}> <{ord(c):04x}>"
+                   for i, c in enumerate("Vert")]
+        cmap_txt = ("1 begincodespacerange <0000> <ffff> "
+                    "endcodespacerange\n"
+                    f"{len(bfchars)} beginbfchar\n" + "\n".join(bfchars)
+                    + "\nendbfchar\n").encode()
+        cm = b.stream("<< >>", cmap_txt)
+        desc = b.add(b"<< /Type /FontDescriptor /FontName /VFont /Flags 4 "
+                     b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                     b"/Descent -200 /CapHeight 700 /StemV 80 >>")
+        cid = b.add(f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+                    f"/VFont /CIDSystemInfo << /Registry (Adobe) "
+                    f"/Ordering (Identity) /Supplement 0 >> "
+                    f"/FontDescriptor {desc} 0 R /DW 600 >>".encode())
+        f1 = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /VFont "
+                   f"/Encoding /Identity-V /DescendantFonts [{cid} 0 R] "
+                   f"/ToUnicode {cm} 0 R >>".encode())
+        hexstr = "".join(f"{0x0100 + i:04x}" for i in range(4))
+        root = _single_page(
+            b, {"F1": f1},
+            f"BT /F1 12 Tf 72 700 Td <{hexstr}> Tj ET".encode())
+        assert extract_text_from_mem(b.build(root)) == "\n\nVert"
+
+    def test_out_of_range_differences_fails_cleanly(self):
+        # reference panics on table[300]; we raise (IndexError) — any
+        # orderly exception totalizes to an error row in the pipeline
+        import pytest as _pytest
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        b = PdfBuilder()
+        enc = b.add(b"<< /Type /Encoding /Differences [300 /eacute] >>")
+        f1 = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                   f"/Encoding {enc} 0 R >>".encode())
+        root = _single_page(b, {"F1": f1},
+                            b"BT /F1 12 Tf 72 700 Td (hi) Tj ET")
+        with _pytest.raises(Exception):
+            extract_text_from_mem(b.build(root))
