@@ -216,6 +216,12 @@ def _q_token_counts(sf_dir: str):
     return token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    from pdf_extract_ray.ops.textstats import bpe_token_counts
+    return bpe_token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_quality_scores(sf_dir: str):
     from pdf_extract_ray.ops.textstats import quality_scores
     return quality_scores(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -254,6 +260,14 @@ def _q_stratified_sample(sf_dir: str):
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_lm_scores(sf_dir: str):
+    """CCNet-style unigram LM bits/token (model built corpus-side; no
+    SQL oracle — two-pass model + float scoring)."""
+    from pdf_extract_ray.ops.textstats import lm_perplexity_scores
+    return lm_perplexity_scores(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _q_normalize_text(sf_dir: str):
@@ -599,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": _q_lang_histogram,
         "doc_size_buckets": _q_doc_size_buckets,
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_scores": _q_quality_scores,
         "exact_dedup": _q_exact_dedup,
         "normalize_text": _q_normalize_text,
@@ -626,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "lang_id": _q_lang_id,
+        "lm_scores": _q_lm_scores,
         "fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -663,6 +679,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(text) = 0 THEN 0
                         ELSE length(text) - length(replace(text, ' ', '')) + 1
                    END AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|''|\s+')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_scores": """

@@ -186,3 +186,72 @@ def normalize_text(ds, *, form: str = "NFC"):
             "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64())})
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer (GPT-2-style shape, RE2-compatible: no lookahead —
+# contraction suffixes, letter runs, digit runs, punctuation runs, ws runs)
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'|\s+")
+
+
+def bpe_token_counts(ds):
+    """-> (doc_id, n_bpe_tokens): subword-style token counts via ONE
+    vectorized RE2 pass (pyarrow count_substring_regex); DuckDB runs the
+    byte-identical pattern through its own RE2, so the operator is
+    exactly oracle-comparable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"),
+                                     pattern=BPE_ISH_PATTERN)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def lm_perplexity_scores(ds, *, vocab_k: int = 50_000):
+    """CCNet-style quality signal: per-doc mean negative log2 probability
+    under a corpus unigram model -> (doc_id, lm_bits_per_token).
+
+    Two passes, both scale-shaped: pass 1 builds the model exactly like
+    word_frequencies (per-batch Counter combine -> one groupby sum ->
+    partial top-k -> tiny driver merge; the broadcast model is bounded at
+    `vocab_k` entries, with OOV words floored at 0.1/total).  Pass 2 is a
+    pure map: vectorized-ish scoring against the broadcast model.  Lower
+    bits = more stereotypical text (the filter keeps the middle band in a
+    CCNet-style setup)."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from .analytics import word_frequencies
+
+    vocab = word_frequencies(ds.map_batches(
+        lambda b: pa.table({"text": b.column("text")}),
+        batch_format="pyarrow"), "text", k=vocab_k)
+    counts = dict(zip(vocab.column("word").to_pylist(),
+                      vocab.column("n").to_pylist()))
+    total = max(1, sum(counts.values()))
+    logp = {w: math.log2(c / total) for w, c in counts.items()}
+    oov = math.log2(0.1 / total)
+    model_ref = ray.put((logp, oov))
+
+    def score(b: pa.Table) -> pa.Table:
+        lp, oo = ray.get(model_ref)
+        out = []
+        for t in b.column("text").to_pylist():
+            words = [w for w in t.split(" ") if w]
+            if not words:
+                out.append(0.0)
+                continue
+            s = 0.0
+            for w in words:
+                s -= lp.get(w, oo)
+            out.append(s / len(words))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lm_bits_per_token": pa.array(out, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -143,3 +143,27 @@ def test_minhash_candidates_lightweight(ray_session):
     found = {tuple(p) for p in verified[["doc_id_a", "doc_id_b"]].values}
     for i in range(3):
         assert (i, 100 + i) in found
+
+
+def test_bpe_token_counts(ray_session):
+    import ray
+    from pdf_extract_ray.ops.textstats import bpe_token_counts
+    t = docs_table([(1, "Hello world's fun!"), (2, ""), (3, "it's 42")])
+    out = bpe_token_counts(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out.doc_id, out.n_bpe_tokens))
+    # Hello| world|'s| fun|! ; it|'s| 42
+    assert got == {1: 5, 2: 0, 3: 3}
+
+
+def test_lm_perplexity_scores(ray_session):
+    import ray
+    from pdf_extract_ray.ops.textstats import lm_perplexity_scores
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(20)] + [(99, "zyx qwv unseen")]
+    t = docs_table(rows)
+    out = lm_perplexity_scores(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+    # stereotypical docs score fewer bits/token than the rare-word doc
+    assert out.loc[0, "lm_bits_per_token"] < out.loc[99, "lm_bits_per_token"]
+    assert abs(out.loc[0, "lm_bits_per_token"]
+               - out.loc[5, "lm_bits_per_token"]) < 1e-12
