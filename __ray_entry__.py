@@ -234,6 +234,22 @@ def _q_exact_dedup(sf_dir: str):
     ).select_columns(["doc_id", "n_dups"])
 
 
+def _q_dataset_splits(sf_dir: str):
+    """Deterministic train/val/test assignment (~80/10/10) by key hash —
+    any shard of any size re-derives the same membership, no RNG state."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * np.int64(2654435761)) % np.int64(10)
+        split = np.where(bucket < 8, "train",
+                         np.where(bucket == 8, "val", "test"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def _q_deterministic_sample(sf_dir: str):
     """Reproducible ~10% corpus sample by hashing the key (no RNG state:
     any shard of any size re-derives the same membership)."""
@@ -625,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "deterministic_sample": _q_deterministic_sample,
         "stratified_sample": _q_stratified_sample,
+        "dataset_splits": _q_dataset_splits,
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "asof_join": _q_asof_join,
@@ -737,6 +754,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_label_histogram": """
             SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+        """,
+        "dataset_splits": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "deterministic_sample": """
             SELECT doc_id, lang FROM documents
