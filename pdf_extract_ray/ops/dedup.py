@@ -254,9 +254,15 @@ def _minhash_map(ds, cls, n_perm, bands, shingle_k, concurrency):
 
 
 def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 3, concurrency=None):
+                           shingle_k: int = 3, concurrency=None,
+                           max_bucket=None):
     """Unverified candidate pairs (doc_id_a, doc_id_b) from LSH buckets —
-    minimal shuffle payload; follow with verify_pairs_jaccard."""
+    minimal shuffle payload; follow with verify_pairs_jaccard.
+
+    `max_bucket` caps the per-bucket pair fanout: a bucket larger than
+    the cap is a degenerate cluster (boilerplate/spam at crawl scale —
+    O(bucket^2) pairs would dominate the job) and is skipped; its members
+    still pair through their other, more selective bands."""
     banded = _minhash_map(ds, MinHashBandsOnly, n_perm, bands, shingle_k,
                           concurrency)
 
@@ -264,6 +270,8 @@ def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
         rows = []
         for (_b, _k), g in df.groupby(["band", "bucket"], sort=False):
             if len(g) < 2:
+                continue
+            if max_bucket is not None and len(g) > max_bucket:
                 continue
             docs = sorted(set(g["doc_id"]))
             for ii in range(len(docs)):

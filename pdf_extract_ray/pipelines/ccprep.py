@@ -66,7 +66,9 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "text": b.column("extracted_text")}),
         batch_format="pyarrow")
-    candidates = minhash_lsh_candidates(docs)
+    # degenerate-cluster guard: a bucket bigger than this is boilerplate
+    # (pathological pair fanout); members still pair via selective bands
+    candidates = minhash_lsh_candidates(docs, max_bucket=500)
     verified = verify_pairs_jaccard(candidates, docs,
                                     threshold=neardup_threshold)
 
