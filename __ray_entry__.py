@@ -278,6 +278,19 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Bloom-filter membership against an existing corpus (the
+    incremental-crawl 'seen before?' gate): build over the documents
+    texts, probe the corpus plus unseen perturbed docs -> (doc_id,
+    maybe_seen).  No false negatives; FP rate set by sizing."""
+    from pdf_extract_ray.ops.sketch import bloom_build, bloom_contains
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bloom = bloom_build(docs, "text")
+    probe = _with_neardup_copies(docs)  # copies have CHANGED last word
+    return bloom_contains(probe, "text", bloom).select_columns(
+        ["doc_id", "maybe_seen"])
+
+
 def _q_lm_scores(sf_dir: str):
     """CCNet-style unigram LM bits/token (model built corpus-side; no
     SQL oracle — two-pass model + float scoring)."""
@@ -659,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_value_quantiles,
         "lang_id": _q_lang_id,
         "lm_scores": _q_lm_scores,
+        "incremental_dedup": _q_incremental_dedup,
         "fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,

@@ -167,3 +167,65 @@ def approx_quantiles(ds, group_col: str, value_col: str,
 
     return partials.groupby(group_col).map_groups(merge,
                                                   batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(values, m_bits: int, k: int) -> np.ndarray:
+    """k positions per value via double hashing (Kirsch-Mitzenmacher)."""
+    h = _hash64(values)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+    ks = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None])
+            % np.uint64(m_bits)).reshape(-1)
+
+
+def bloom_build(ds, value_col: str, *, m_bits: int = 1 << 23,
+                k: int = 7) -> bytes:
+    """Build a Bloom filter over a column -> filter bytes (m_bits/8).
+
+    Mergeable by construction: every batch folds its values into a local
+    bitmap (map-side combine; one m/8-byte bitmap per block through the
+    driver merge, independent of row count) and bitmaps OR together.
+    m=8M bits / k=7 -> <1% FP at ~800k inserts."""
+    def partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        vals = b.column(value_col).to_pylist()
+        if vals:
+            pos = _bloom_positions(vals, m_bits, k)
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(np.uint8(1),
+                                           (pos & 7).astype(np.uint8)))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for blob in b.column("bloom").to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_contains(ds, value_col: str, bloom: bytes, *, k: int = 7):
+    """-> ds + `maybe_seen` bool column: no false negatives, FP rate set
+    by the filter sizing.  The filter broadcasts once via ray.put."""
+    import ray
+    m_bits = len(bloom) * 8
+    ref = ray.put(np.frombuffer(bloom, dtype=np.uint8))
+
+    def check(b: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        vals = b.column(value_col).to_pylist()
+        if not vals:
+            return b.append_column("maybe_seen", pa.array([], pa.bool_()))
+        pos = _bloom_positions(vals, m_bits, k).reshape(len(vals), k)
+        hit = (bits[pos >> 3] & np.left_shift(
+            np.uint8(1), (pos & 7).astype(np.uint8))) != 0
+        return b.append_column("maybe_seen",
+                               pa.array(hit.all(axis=1), pa.bool_()))
+
+    return ds.map_batches(check, batch_format="pyarrow")

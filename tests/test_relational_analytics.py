@@ -289,3 +289,20 @@ class TestSaltedSessionize:
         assert plain.equals(salted)
         got = dict(zip(plain.user_id, plain.n_sessions))
         assert got == {1: 2, 2: 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        from pdf_extract_ray.ops.sketch import bloom_build, bloom_contains
+        seen = pa.table({"v": pa.array([f"doc-{i}" for i in range(5000)],
+                                       pa.string())})
+        bloom = bloom_build(_ds(seen), "v")
+        probe = pa.table({"v": pa.array(
+            [f"doc-{i}" for i in range(5000)]
+            + [f"new-{i}" for i in range(5000)], pa.string())})
+        out = bloom_contains(_ds(probe), "v", bloom).to_pandas()
+        hits = dict(zip(out.v, out.maybe_seen))
+        assert all(hits[f"doc-{i}"] for i in range(5000))  # no false negs
+        fp = sum(hits[f"new-{i}"] for i in range(5000)) / 5000
+        assert fp < 0.01, fp
