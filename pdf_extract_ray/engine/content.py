@@ -59,9 +59,43 @@ def parse_content(data: bytes) -> List[Operation]:
     return ops
 
 
+_INLINE_NCOMP = {b"G": 1, b"DeviceGray": 1, b"RGB": 3, b"DeviceRGB": 3,
+                 b"CMYK": 4, b"DeviceCMYK": 4}
+
+
+def _inline_data_length(params: dict):
+    """Exact byte length of UNCOMPRESSED inline-image data from the dict
+    (spec 8.9.7: rows are byte-aligned); None when a filter is present or
+    the geometry is incomplete — the caller then falls back to the EI
+    scan."""
+    if b"F" in params or b"Filter" in params:
+        return None
+    w = params.get(b"W", params.get(b"Width"))
+    h = params.get(b"H", params.get(b"Height"))
+    if not isinstance(w, int) or not isinstance(h, int) or w < 0 or h < 0:
+        return None
+    if params.get(b"IM", params.get(b"ImageMask")) is True:
+        bpc, ncomp = 1, 1
+    else:
+        bpc = params.get(b"BPC", params.get(b"BitsPerComponent"))
+        cs = params.get(b"CS", params.get(b"ColorSpace"))
+        cs_key = bytes(cs) if isinstance(cs, (bytes, bytearray)) or \
+            type(cs).__name__ == "Name" else None
+        ncomp = _INLINE_NCOMP.get(cs_key)
+        if not isinstance(bpc, int) or ncomp is None:
+            return None
+    return h * ((w * bpc * ncomp + 7) // 8)
+
+
 def _skip_inline_image(lx: Lexer) -> None:
-    """Skip `BI <dict entries> ID <binary data> EI`."""
-    # skip dict entries until ID
+    """Skip `BI <dict entries> ID <binary data> EI`.
+
+    The dict is parsed (not discarded): for uncompressed images the data
+    length is computed exactly from W/H/BPC/CS, so binary bytes that
+    happen to spell ` EI ` cannot truncate the skip; filtered images fall
+    back to the delimited-EI scan."""
+    params: dict = {}
+    pending_key = None
     while True:
         lx.skip_ws()
         if lx.pos >= lx.end:
@@ -73,15 +107,45 @@ def _skip_inline_image(lx: Lexer) -> None:
                 break
             if not tok:
                 lx.pos = save + 1
+                continue
+            # numbers / booleans arrive as regular tokens here
+            val = None
+            if tok == b"true":
+                val = True
+            elif tok == b"false":
+                val = False
+            else:
+                try:
+                    val = parse_number(tok)
+                except PdfError:
+                    val = None
+            if pending_key is not None and val is not None:
+                params[pending_key] = val
+                pending_key = None
             continue
         try:
-            lx.parse_object(allow_ref=False)
+            obj = lx.parse_object(allow_ref=False)
+            nm = type(obj).__name__ == "Name"
+            if pending_key is None and nm:
+                pending_key = bytes(obj)
+            elif pending_key is not None:
+                params[pending_key] = obj
+                pending_key = None
         except PdfError:
             lx.pos = save + 1
     # one whitespace byte after ID, then binary data until EI
     if lx.pos < lx.end and lx.buf[lx.pos] in b"\x00\t\n\x0c\r ":
         lx.pos += 1
     start = lx.pos
+
+    n = _inline_data_length(params)
+    if n is not None and start + n <= lx.end:
+        probe = Lexer(lx.buf, start + n, lx.end)
+        probe.skip_ws()
+        if lx.buf[probe.pos:probe.pos + 2] == b"EI":
+            lx.pos = probe.pos + 2
+            return
+        # geometry didn't line up with an EI: fall through to the scan
     buf, end = lx.buf, lx.end
     # prefer a whitespace-delimited EI (the normal spec shape); fall back to
     # any EI followed by a non-regular char (binary data may abut it)

@@ -332,3 +332,45 @@ class TestFontEdgeCases:
                             b"BT /F1 12 Tf 72 700 Td (hi) Tj ET")
         with _pytest.raises(Exception):
             extract_text_from_mem(b.build(root))
+
+
+class TestInlineImages:
+    """BI/ID/EI skipping: uncompressed images compute the exact data
+    length from the dict (spec 8.9.7 byte-aligned rows), so binary bytes
+    spelling ' EI ' cannot truncate the skip; filtered images use the
+    delimited-EI scan."""
+
+    @staticmethod
+    def _make(img_dict: bytes, img_data: bytes) -> bytes:
+        from pdf_extract_ray.data.pdfgen import PdfBuilder, _single_page
+        content = (b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+                   b"BI " + img_dict + b" ID " + img_data + b" EI\n"
+                   b"BT /F1 12 Tf 72 650 Td (after) Tj ET")
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        root = _single_page(b, {"F1": f1}, content)
+        return b.build(root)
+
+    def test_fake_ei_inside_uncompressed_data(self):
+        data = bytes(range(21)) + b" EI " + bytes(range(64, 87))  # 48 B
+        out = extract_text_from_mem(
+            self._make(b"/W 4 /H 4 /CS /RGB /BPC 8", data))
+        assert out == "\n\nbefore\n\nafter"
+
+    def test_image_mask_one_bpc(self):
+        out = extract_text_from_mem(
+            self._make(b"/W 4 /H 4 /IM true", b"\xff\x00\x01\x02"))
+        assert "before" in out and "after" in out
+
+    def test_filtered_image_falls_back_to_scan(self):
+        import zlib
+        out = extract_text_from_mem(self._make(
+            b"/W 4 /H 4 /CS /RGB /BPC 8 /F /Fl", zlib.compress(bytes(48))))
+        assert "before" in out and "after" in out
+
+    def test_long_form_keys(self):
+        data = bytes(range(21)) + b" EI " + bytes(range(64, 87))
+        out = extract_text_from_mem(self._make(
+            b"/Width 4 /Height 4 /ColorSpace /DeviceRGB "
+            b"/BitsPerComponent 8", data))
+        assert out == "\n\nbefore\n\nafter"
