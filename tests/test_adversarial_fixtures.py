@@ -374,3 +374,33 @@ class TestInlineImages:
             b"/Width 4 /Height 4 /ColorSpace /DeviceRGB "
             b"/BitsPerComponent 8", data))
         assert out == "\n\nbefore\n\nafter"
+
+
+def test_form_xobject_matrix_ignored_quirk():
+    """The reference's `Do` never applies the form's /Matrix or clips to
+    /BBox (src/lib.rs:1860-1869) — positions must be identical with and
+    without a scaling Matrix.  Parity freeze, don't 'fix'."""
+    from pdf_extract_ray.data.pdfgen import PdfBuilder
+    from pdf_extract_ray.engine.api import extract_text_and_spans_from_mem
+
+    def make(matrix: bytes) -> bytes:
+        b = PdfBuilder()
+        f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        xo_content = b"BT /F1 10 Tf 72 650 Td (inner) Tj ET"
+        mat = (" /Matrix " + matrix.decode()) if matrix else ""
+        xo = b.stream("<< /Type /XObject /Subtype /Form "
+                      "/BBox [0 0 612 792]" + mat + " >>", xo_content)
+        content_num = b.stream("<< >>", b"/X1 Do")
+        page = b.add(f"<< /Type /Page /Parent {{P}} /MediaBox [0 0 612 792] "
+                     f"/Resources << /Font << /F1 {f1} 0 R >> "
+                     f"/XObject << /X1 {xo} 0 R >> >> "
+                     f"/Contents {content_num} 0 R >>".encode())
+        pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>"
+                      .encode())
+        b.bodies[page - 1] = b.bodies[page - 1].replace(
+            b"{P}", f"{pages} 0 R".encode())
+        root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+        return b.build(root)
+
+    assert extract_text_and_spans_from_mem(make(b"")) \
+        == extract_text_and_spans_from_mem(make(b"[2 0 0 2 50 50]"))
