@@ -264,13 +264,25 @@ def _q_deterministic_sample(sf_dir: str):
 
 
 def _q_stratified_sample(sf_dir: str):
-    """First 5 doc_ids per language: stratified eval-set carving."""
+    """First 5 doc_ids per language: stratified eval-set carving.
+
+    Scale shape (ops/analytics.topk_per_group pattern): every BATCH
+    emits its local 5 smallest doc_ids per language (map-side combine),
+    so the groupby shuffle carries at most n_blocks x n_langs x 5 rows —
+    never a whole language's corpus into one worker."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
-    def per_lang(df):
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["lang", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(5), preserve_index=False)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df):
         return df.sort_values("doc_id").head(5)
 
-    return ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
+    return cands.groupby("lang").map_groups(final, batch_format="pandas")
 
 
 def _q_lang_id(sf_dir: str):
@@ -554,6 +566,18 @@ def _q_asof_join_left(sf_dir: str):
         big, how="left")
 
 
+def _q_asof_join_salted(sf_dir: str):
+    """Same as-of semantics through the hot-key-salted path (the big
+    shuffle keys on (user, 90-day bucket), never a whole user) — same
+    oracle as asof_join."""
+    from pdf_extract_ray.ops.relational import asof_join_orders_salted
+    return asof_join_orders_salted(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        salt_days=90)
+
+
 def _q_big_spender_customers(sf_dir: str):
     from pdf_extract_ray.ops.relational import customers_with_big_orders
     return customers_with_big_orders(
@@ -659,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "asof_join": _q_asof_join,
         "asof_join_left": _q_asof_join_left,
+        "asof_join_salted": _q_asof_join_salted,
         "big_spender_customers": _q_big_spender_customers,
         "quiet_customers": _q_quiet_customers,
         "word_frequencies": _q_word_frequencies,
@@ -850,6 +875,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "asof_join": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "asof_join_salted": """
             WITH o AS (
               SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
               FROM orders GROUP BY o_custkey, o_orderdate)

@@ -922,4 +922,19 @@ def pdf_aes128_objstm(text: str = "objstm aes secret") -> bytes:
     return bytes(out)
 
 
+def pdf_encrypted_corrupt_startxref(text: str = "objstm aes secret") -> bytes:
+    """The encrypted+recovery COMBO (VERDICT r2 #5): an AES-128 doc whose
+    catalog/page tree live in an ENCRYPTED object stream AND whose
+    startxref points at garbage.  The loader must brute-force-scan for
+    object headers, harvest Root/Encrypt/ID from the /Type /XRef stream
+    it finds, skip the still-encrypted ObjStm on the first index pass,
+    then re-index its members after decrypt_document installs the file
+    key (crypt.py:decrypt_document -> Document._index_objstms)."""
+    raw = pdf_aes128_objstm(text)
+    idx = raw.rfind(b"startxref")
+    return raw[:idx] + b"startxref\n13\n%%EOF\n"
+
+
 ADVERSARIAL_GENERATORS["pdf_aes128_objstm"] = pdf_aes128_objstm
+ADVERSARIAL_GENERATORS["pdf_encrypted_corrupt_startxref"] = \
+    pdf_encrypted_corrupt_startxref

@@ -186,12 +186,22 @@ def extract_text_and_span_columns_from_mem(buffer: bytes):
 
 def get_metadata(buffer_or_doc) -> Dict[str, str]:
     """Trailer Info dict (literal strings) + page count
-    (print_metadata, src/lib.rs:2203-2216) as a dict."""
-    doc = buffer_or_doc if isinstance(buffer_or_doc, Document) else load_document(buffer_or_doc)
-    try:
-        maybe_decrypt(doc)  # empty-password docs: page tree may live in
-    except Exception:       # encrypted object streams
-        pass
+    (print_metadata, src/lib.rs:2203-2216) as a dict.
+
+    When called with raw bytes, empty-password decryption is attempted
+    on the freshly-created Document so the page tree inside encrypted
+    object streams is countable.  A caller-passed Document is NEVER
+    mutated (the reference's print_metadata does not decrypt either) —
+    decrypt it yourself first if you want page_count on encrypted
+    input."""
+    if isinstance(buffer_or_doc, Document):
+        doc = buffer_or_doc
+    else:
+        doc = load_document(buffer_or_doc)
+        try:
+            maybe_decrypt(doc)  # empty-password docs: page tree may
+        except Exception:       # live in encrypted object streams
+            pass
     meta: Dict[str, str] = {"version": doc.version}
     info = maybe_get_obj(doc, doc.trailer, b"Info")
     if isinstance(info, dict):

@@ -142,7 +142,11 @@ def _skip_inline_image(lx: Lexer) -> None:
     if n is not None and start + n <= lx.end:
         probe = Lexer(lx.buf, start + n, lx.end)
         probe.skip_ws()
-        if lx.buf[probe.pos:probe.pos + 2] == b"EI":
+        # mirror the fallback scan's delimiter check: `EI` must be
+        # followed by a non-regular byte, else a token like `EIX` just
+        # past the computed geometry would be consumed here but not there
+        if lx.buf[probe.pos:probe.pos + 2] == b"EI" and (
+                probe.pos + 2 >= lx.end or not _IS_REG[lx.buf[probe.pos + 2]]):
             lx.pos = probe.pos + 2
             return
         # geometry didn't line up with an EI: fall through to the scan

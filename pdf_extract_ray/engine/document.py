@@ -194,8 +194,15 @@ class Document:
                 pass
         # xref-stream layouts have no `trailer` keyword: harvest the
         # trailer fields (Root/Info/Encrypt/ID/Size) from any /Type /XRef
-        # stream found in the scan, later (newer) occurrences winning
-        for num in sorted(self._xref, key=lambda n: self._xref[n][1]):
+        # stream found in the scan — later (newer) occurrences win among
+        # the streams, but keys the literal trailer already provided are
+        # NOT clobbered (it may be the newest appended revision).  Only
+        # type-'n' entries carry byte offsets; 'c' entries (objstm ids)
+        # must not enter the offset sort.
+        harvest: dict = {}
+        for num in sorted(
+                (n for n in self._xref if self._xref[n][0] == "n"),
+                key=lambda n: self._xref[n][1]):
             try:
                 obj = self.get_object(Ref(num, 0))
             except Exception:
@@ -203,7 +210,9 @@ class Document:
             if isinstance(obj, Stream) and obj.dict.get(b"Type") == b"XRef":
                 for k in (b"Root", b"Info", b"Encrypt", b"ID", b"Size"):
                     if k in obj.dict:
-                        self.trailer[k] = obj.dict[k]
+                        harvest[k] = obj.dict[k]
+        for k, v in harvest.items():
+            self.trailer.setdefault(k, v)
         if b"Root" not in self.trailer:
             # look for an object with /Type /Catalog
             for num in list(self._xref):

@@ -422,6 +422,169 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def greedy_drop_ids(pairs_ds, *, n_parts: int = 16, max_rounds: int = 64,
+                    worker_finish_threshold: int = 1_000_000):
+    """Distributed keep-smallest near-dup resolution.
+
+    Input: verified/candidate pairs ``(doc_id_a, doc_id_b)``.  Output: a
+    Dataset with one column ``doc_id`` — the ids the deterministic
+    greedy drops.  Semantics are byte-identical to the sequential rule
+    "sort all (min,max)-normalized pairs; for each, if the smaller id is
+    still kept, drop the larger" — i.e. the complement of the
+    lexicographically-first maximal independent set of the near-dup
+    graph — but computed by round-based distributed peeling with NO
+    driver-side pair iteration:
+
+      each round, a node that never appears as the max of a surviving
+      pair has no smaller undetermined neighbour and is KEPT; the max
+      partners of kept nodes are DROPPED; pairs touching a dropped node
+      are resolved and removed.  Rounds ~ half the longest dup *chain*:
+      clique-shaped dup clusters (the crawl-scale common case) finish in
+      one round.
+
+    Every step is a hash-partitioned shuffle of int64 pair rows
+    (``_grouped_by_partition``); the driver holds only Dataset handles
+    and a per-round row count.  Peeling rounds kill the clique mass;
+    once the surviving pair count drops to ``worker_finish_threshold``
+    the residual chain-tail resolves sequentially inside ONE worker
+    task (``repartition(1)`` + map_batches — the recursion bottoming
+    out, still never on the driver).  The result is distinct.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("doc_id_a"), batch.column("doc_id_b")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(lo, hi))
+
+    def finish_in_worker(batch: pa.Table) -> pa.Table:
+        norm = set(zip(batch.column("a").to_pylist(),
+                       batch.column("b").to_pylist()))
+        drop: set = set()
+        for keep_id, drop_id in sorted(norm):
+            if keep_id not in drop:
+                drop.add(drop_id)
+        return pa.table({"doc_id": pa.array(sorted(drop), pa.int64())})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    pairs = pairs_ds.map_batches(normalize,
+                                 batch_format="pyarrow").materialize()
+    drops = []
+    for _ in range(max_rounds):
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            break
+        if n_pairs <= worker_finish_threshold:
+            drops.append(pairs.repartition(1).map_batches(
+                finish_in_worker, batch_format="pyarrow",
+                batch_size=None).materialize())
+            break
+
+        # -- find this round's drops: group pair endpoints by node;
+        # a node with no is_max row is a kept root -> its partners drop
+        def node_rows(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            node = np.concatenate([a, b])
+            other = np.concatenate([b, np.zeros(len(b), np.int64)])
+            is_max = np.concatenate([np.zeros(len(a), np.int8),
+                                     np.ones(len(b), np.int8)])
+            return pa.table({"node": node, "other": other,
+                             "is_max": pa.array(is_max, pa.int8())})
+
+        def resolve_roots(df: pd.DataFrame) -> pd.DataFrame:
+            has_smaller = df.loc[df.is_max == 1, "node"].unique()
+            roots = df[(df.is_max == 0) & ~df.node.isin(has_smaller)]
+            return pd.DataFrame(
+                {"doc_id": roots["other"].unique().astype("int64")})
+
+        d_new = _grouped_by_partition(
+            pairs.map_batches(node_rows, batch_format="pyarrow"),
+            ["node"], resolve_roots, n_parts=n_parts).materialize()
+        if d_new.count() == 0:
+            break  # cannot happen on a nonempty graph; safety only
+        drops.append(d_new)
+
+        # -- resolve pairs touching a dropped node: one membership
+        # shuffle per endpoint (marker rows co-partitioned with pairs)
+        def survivors(ds, key):
+            markers = d_new.map_batches(
+                lambda bb, _k=key: pa.table(
+                    {"a": bb.column("doc_id") if _k == "a"
+                     else pa.array([0] * bb.num_rows, pa.int64()),
+                     "b": bb.column("doc_id") if _k == "b"
+                     else pa.array([0] * bb.num_rows, pa.int64()),
+                     "_m": pa.array([1] * bb.num_rows, pa.int8())}),
+                batch_format="pyarrow")
+            tagged = ds.map_batches(
+                lambda bb: bb.append_column(
+                    "_m", pa.array(np.zeros(bb.num_rows, np.int8),
+                                   pa.int8())),
+                batch_format="pyarrow").union(markers)
+
+            def resolve(df: pd.DataFrame) -> pd.DataFrame:
+                bad = df.loc[df._m == 1, key].unique()
+                out = df[(df._m == 0) & ~df[key].isin(bad)]
+                return out[["a", "b"]].astype("int64")
+
+            return _grouped_by_partition(tagged, [key], resolve,
+                                         n_parts=n_parts)
+
+        pairs = survivors(survivors(pairs, "a"), "b").materialize()
+
+    if not drops:
+        return ray.data.from_arrow(empty)
+    out = drops[0]
+    for d in drops[1:]:
+        out = out.union(d)
+    # distinct (the same id can drop via several roots/rounds' partners)
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_id"])
+    return _grouped_by_partition(out, ["doc_id"], dedup, n_parts=n_parts)
+
+
+def drop_rows_by_id(ds, drop_ids, *, id_col: str = "doc_id",
+                    broadcast_limit: int = 1_000_000,
+                    num_partitions=None):
+    """Remove rows of `ds` whose `id_col` appears in the `drop_ids`
+    Dataset (single ``doc_id`` column).  Bounded broadcast fast path
+    (``ray.put`` + map-side ``is_in``) when the drop set is small, else
+    a ``left_anti`` hash join on the id — the verify_pairs_jaccard
+    dual-path shape."""
+    import ray
+    import pyarrow.compute as pc
+
+    n_drop = drop_ids.count()
+    if n_drop == 0:
+        return ds
+    if n_drop <= broadcast_limit:
+        chunks = [b.column("doc_id").to_numpy(zero_copy_only=False)
+                  for b in drop_ids.iter_batches(batch_format="pyarrow")]
+        ref = ray.put(pa.array(np.concatenate(chunks), pa.int64()))
+
+        def not_dropped(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column(id_col),
+                                      value_set=ray.get(ref)))
+            return batch.filter(mask)
+
+        return ds.map_batches(not_dropped, batch_format="pyarrow")
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(32, cpus))
+    right = drop_ids.map_batches(
+        lambda b: pa.table({id_col: b.column("doc_id")}),
+        batch_format="pyarrow")
+    return ds.join(right, join_type="left_anti",
+                   num_partitions=num_partitions, on=(id_col,))
+
+
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
                          threshold: float = 0.6, num_partitions=None,
                          broadcast_limit: int = 100_000):

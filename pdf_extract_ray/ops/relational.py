@@ -195,6 +195,183 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64,
     return _grouped_by_partition(both, ["key"], resolve, n_parts=n_parts)
 
 
+def asof_join_orders_salted(events_ds, orders_ds, *, n_parts: int = 64,
+                            how: str = "inner", salt_days: int = 365):
+    """Hot-key-safe as-of join — same output (and SQL oracle) as
+    asof_join_orders, but the big shuffle key is salted to
+    (user, time-bucket) so no partition ever holds more than one
+    user-BUCKET of rows (the sessionize_salted pattern; VERDICT r2 #4).
+
+    Stage 1 (the only full-volume shuffle, salted): each (user, bucket)
+    partition tie-dedups its orders, resolves its events against
+    same-bucket prior orders, and emits (a) resolved matches, (b)
+    unresolved events — no in-bucket prior order, (c) ONE boundary row =
+    the bucket's last order.  Any order in an EARLIER bucket is strictly
+    before every event of this bucket, so the correct match for an
+    unresolved event is exactly the latest earlier boundary.
+    Stage 2 (tiny): per user, the per-bucket boundary rows + unresolved
+    bucket markers merge; each unresolved bucket gets its carry-in order
+    (latest earlier boundary).
+    Stage 3 (unresolved events only): carry-ins co-locate with their
+    events on (user, bucket) and finish the match; `how="left"` keeps
+    carry-less events with the (-1, epoch) sentinel."""
+    from .dedup import _grouped_by_partition
+
+    bucket_us = salt_days * 86_400 * 1_000_000
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ts = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        day = pc.divide(pc.cast(ts, pa.int64()), bucket_us)
+        return pa.table({
+            "key": pc.cast(b.column("o_custkey"), pa.int64()),
+            "_day": day,
+            "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "ts": ts,
+            "event_id": pa.array([None] * n, pa.int64()),
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64())})
+
+    def event_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ts = pc.cast(b.column("ts"), pa.timestamp("us"))
+        day = pc.divide(pc.cast(ts, pa.int64()), bucket_us)
+        return pa.table({
+            "key": pc.cast(b.column("user_id"), pa.int64()),
+            "_day": day,
+            "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "ts": ts,
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "o_orderkey": pa.array([None] * n, pa.int64())})
+
+    both = events_ds.map_batches(event_rows, batch_format="pyarrow").union(
+        orders_ds.map_batches(order_rows, batch_format="pyarrow"))
+
+    _COLS = ["kind", "event_id", "user_id", "day", "ts",
+             "o_orderkey", "o_orderdate"]
+    _TYPES = {c: "int64" for c in _COLS[1:]}
+    _TYPES["kind"] = "int8"
+
+    def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (key, day), g in df.groupby(["key", "_day"], sort=False):
+            key, day = int(key), int(day)
+            orders = g[g["side"] == 1]
+            events = g[g["side"] == 0]
+            okeys = ots = None
+            if len(orders):
+                ots = orders["ts"].to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                okeys_raw = orders["o_orderkey"].to_numpy()
+                order_sort = np.lexsort((okeys_raw, ots))
+                ots = ots[order_sort]
+                okeys = okeys_raw[order_sort]
+                last = np.r_[ots[1:] != ots[:-1], True]
+                ots, okeys = ots[last], okeys[last]
+                # (c) boundary: the bucket's last (tie-deduped) order
+                out.append((2, -1, key, day, 0,
+                            int(okeys[-1]), int(ots[-1])))
+            if len(events) == 0:
+                continue
+            ets = events["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            eids = events["event_id"].to_numpy()
+            idx = (np.searchsorted(ots, ets, side="right") - 1
+                   if okeys is not None else np.full(len(ets), -1))
+            for eid, t, i in zip(eids, ets, idx):
+                if i >= 0:   # (a) resolved in-bucket
+                    out.append((0, int(eid), key, day, t,
+                                int(okeys[i]), int(ots[i])))
+                else:        # (b) unresolved: needs an earlier bucket
+                    out.append((1, int(eid), key, day, t, -1, 0))
+        return pd.DataFrame(out, columns=_COLS).astype(_TYPES)
+
+    staged = _grouped_by_partition(both, ["key", "_day"], resolve_bucket,
+                                   n_parts=n_parts).materialize()
+
+    resolved = staged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)),
+        batch_format="pyarrow")
+    unresolved = staged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+        batch_format="pyarrow")
+
+    # stage 2 input: boundaries + one marker per unresolved bucket
+    def summaries(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("kind"), 0))
+        df = t.select(["kind", "user_id", "day", "o_orderkey",
+                       "o_orderdate"]).to_pandas()
+        df = df.drop_duplicates(subset=["kind", "user_id", "day"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    summary = staged.map_batches(summaries, batch_format="pyarrow")
+
+    def carry_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for user, g in df.groupby("user_id", sort=False):
+            bounds = g[g["kind"] == 2].sort_values("day")
+            needs = g.loc[g["kind"] == 1, "day"].unique()
+            if not len(needs) or not len(bounds):
+                continue
+            bdays = bounds["day"].to_numpy()
+            for d in needs:
+                i = np.searchsorted(bdays, d) - 1  # latest bucket < d
+                if i >= 0:
+                    row = bounds.iloc[i]
+                    out.append((int(user), int(d), int(row["o_orderkey"]),
+                                int(row["o_orderdate"])))
+        return pd.DataFrame(out, columns=["user_id", "day", "o_orderkey",
+                                          "o_orderdate"]
+                            ).astype({"user_id": "int64", "day": "int64",
+                                      "o_orderkey": "int64",
+                                      "o_orderdate": "int64"})
+
+    carries = _grouped_by_partition(summary, ["user_id"], carry_per_user,
+                                    n_parts=n_parts)
+
+    # stage 3: match unresolved events to their bucket's carry-in
+    carry_rows = carries.map_batches(
+        lambda b: pa.table({
+            "kind": pa.array(np.full(b.num_rows, 2, np.int8), pa.int8()),
+            "event_id": pa.array([-1] * b.num_rows, pa.int64()),
+            "user_id": b.column("user_id"), "day": b.column("day"),
+            "ts": pa.array([0] * b.num_rows, pa.int64()),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": b.column("o_orderdate")}),
+        batch_format="pyarrow")
+
+    def finish_unresolved(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (user, day), g in df.groupby(["user_id", "day"], sort=False):
+            carry = g[g["kind"] == 2]
+            ok, od = (int(carry["o_orderkey"].iloc[0]),
+                      int(carry["o_orderdate"].iloc[0])) \
+                if len(carry) else (None, None)
+            for r in g[g["kind"] == 1].itertuples():
+                if ok is not None:
+                    out.append((0, int(r.event_id), int(user), int(day),
+                                int(r.ts), ok, od))
+                elif how == "left":
+                    out.append((0, int(r.event_id), int(user), int(day),
+                                int(r.ts), -1, 0))
+        return pd.DataFrame(out, columns=_COLS).astype(_TYPES)
+
+    late = _grouped_by_partition(unresolved.union(carry_rows),
+                                 ["user_id", "day"], finish_unresolved,
+                                 n_parts=n_parts)
+
+    def to_output(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": pc.cast(b.column("ts"), pa.timestamp("us")),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": pc.cast(b.column("o_orderdate"),
+                                   pa.timestamp("us"))})
+
+    return resolved.union(late).map_batches(to_output,
+                                            batch_format="pyarrow")
+
+
 def _big_order_custkeys(orders_ds, min_total: float):
     """Map-side filter + per-batch dedup of the join key: the anti/semi
     probe side ships only distinct custkeys per block."""

@@ -292,36 +292,64 @@ class MultiTableBucketer:
             "embedding": rep.column("embedding")})
 
 
-def _sample_vectors(ds, *, max_rows: int = 2048) -> np.ndarray:
-    """Deterministic hash-based sample of embeddings (driver-bounded):
-    every shard derives membership from vec_id alone, no RNG state."""
-    import pyarrow.compute as pcc
+def _hash_sample(ds, *, keep: int = 11, mod: int = 97):
+    """Deterministic hash-based sample of embeddings AS A DATASET (never
+    pulled to the driver): every shard derives membership from vec_id
+    alone, no RNG state.  keep/mod sets the sampling rate (~11%); at
+    crawl scale, lower it so the training set stays ~1-10M vectors."""
 
-    def keep(batch: pa.Table) -> pa.Table:
+    def flt(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mask = (ids * np.int64(2654435761)) % np.int64(97) < np.int64(11)
+        mask = (ids * np.int64(2654435761)) % np.int64(mod) < np.int64(keep)
         return batch.filter(pa.array(mask))
 
-    out = []
-    total = 0
-    for b in ds.map_batches(keep, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _bounded_head_vectors(ds, max_rows: int) -> np.ndarray:
+    """Pull at most `max_rows` embeddings to the driver (init seeding
+    only — the Lloyd iterations never do this)."""
+    out, total = [], 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
         out.append(np.asarray(b.column("embedding").to_pylist(),
                               dtype=np.float64))
         total += len(out[-1])
         if total >= max_rows:
             break
+    if not out:
+        return np.empty((0, 0), dtype=np.float64)
     return np.concatenate(out)[:max_rows]
 
 
-def _kmeans(vecs: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
-    """Deterministic Lloyd iterations on normalized vectors (seeded init
-    by farthest-point-ish hash order); the coarse quantizer for IVF."""
-    v = _normalize(vecs)
+def kmeans_fit(ds, k: int, *, iters: int = 10, max_init_rows: int = 2048,
+               sample_keep: int = 11, sample_mod: int = 97):
+    """DISTRIBUTED k-means for the IVF coarse quantizer.
+
+    - Training set: a deterministic hash-sample of the corpus kept as a
+      Dataset (``_hash_sample``) and pinned once — the sample is spread
+      across the cluster, never collected.
+    - Init: deterministic farthest-point seeding on a driver-BOUNDED
+      slice of the sample (``max_init_rows``) — random seeding can drop
+      two seeds into one true cluster and Lloyd never recovers.
+    - Lloyd: each iteration broadcasts the centroids via ``ray.put`` and
+      every batch emits its partial (cluster -> vector sum, count); the
+      driver merges only the tiny (n_blocks x k x dim) partials — the
+      ops/similarity.label_centroids map-side-combine shape.
+
+    Returns (k', dim) normalized centroids, or ``None`` when the sample
+    is empty (degenerate corpus — callers fall back to brute force)."""
+    import ray
+
+    sample = _hash_sample(ds, keep=sample_keep, mod=sample_mod) \
+        .map_batches(lambda b: pa.table({"embedding": b.column("embedding")}),
+                     batch_format="pyarrow").materialize()
+    init = _bounded_head_vectors(sample, max_init_rows)
+    if init.size == 0:
+        return None
+    v = _normalize(init)
     k = min(k, len(v))
-    # deterministic farthest-point init: random seeding can drop two
-    # seeds into one true cluster and Lloyd never recovers (splits a
-    # cluster across lists, silently halving recall at n_probe=1)
     chosen = [0]
     best_sim = v @ v[0]
     for _ in range(1, k):
@@ -329,13 +357,42 @@ def _kmeans(vecs: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, v @ v[nxt])
     cent = v[chosen].copy()
+
     for _ in range(iters):
-        sims = v @ cent.T
-        assign = np.argmax(sims, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                cent[c] = v[m].mean(axis=0)
+        cent_ref = ray.put(cent)
+        kk, dim = cent.shape
+
+        def partial(batch: pa.Table, _ref=cent_ref, _k=kk, _d=dim):
+            cm = ray.get(_ref)
+            vecs = _normalize(np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float64))
+            if len(vecs) == 0:
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
+            assign = np.argmax(vecs @ cm.T, axis=1)
+            sums = np.zeros((_k, _d), dtype=np.float64)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=_k).astype(np.int64)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int32), pa.int32()),
+                "vsum": pa.array(sums[nz].tolist(), pa.list_(pa.float64())),
+                "n": pa.array(counts[nz], pa.int64())})
+
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        counts = np.zeros(kk, dtype=np.int64)
+        for b in sample.map_batches(partial, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+            cl = np.asarray(b.column("cluster").to_pylist(), dtype=np.int64)
+            if len(cl) == 0:
+                continue
+            vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.float64)
+            nn = np.asarray(b.column("n").to_pylist(), dtype=np.int64)
+            np.add.at(sums, cl, vs)
+            np.add.at(counts, cl, nn)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
         cent = _normalize(cent)
     return cent
 
@@ -344,8 +401,10 @@ def ivf_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
              k: int = 10, n_clusters: int = 16, n_probe: int = 4):
     """IVF ANN — the coarse-quantizer scale path (complement of lsh_topk):
 
-    1. a deterministic hash-sample of the corpus trains k-means centroids
-       on the driver (bounded; at true scale this is its own tiny job);
+    1. DISTRIBUTED k-means (``kmeans_fit``: hash-sampled training
+       Dataset, per-batch partial sums, tiny k x dim driver merge per
+       Lloyd iteration) trains the coarse quantizer; a degenerate/empty
+       corpus falls back to the exact brute-force baseline;
     2. centroids broadcast once via ray.put;
     3. each batch assigns its vectors to the nearest centroid and scans
        ONLY rows whose cluster is among the query's `n_probe` closest
@@ -355,7 +414,12 @@ def ivf_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
     Approximate: recall depends on n_clusters/n_probe."""
     import ray
 
-    cent = _kmeans(_sample_vectors(ds), n_clusters)
+    cent = kmeans_fit(ds, n_clusters)
+    if cent is None:
+        # empty/degenerate sample: exact scan is both the safest and the
+        # cheapest thing on a corpus this small (ADVICE r2: ivf_topk must
+        # be total on degenerate input)
+        return brute_force_topk(ds, query_ids, query_vecs, k=k)
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     probe_union = set(int(c) for row in q_lists for c in row)

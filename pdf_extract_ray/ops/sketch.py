@@ -20,12 +20,19 @@ import pyarrow as pa
 
 
 def _hash64(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
-            "big")
-    return out
+    """Stable vectorized 64-bit hashes.  Numeric arrays take pandas'
+    splitmix64-style finalizer (pure C, excellent avalanche for HLL
+    register selection); everything else goes through the deterministic
+    fixed-key siphash of pd.util.hash_array on str() values.  Both are
+    process-independent (no PYTHONHASHSEED)."""
+    arr = np.asarray(values, dtype=object)
+    try:
+        num = arr.astype(np.int64)
+    except (TypeError, ValueError, OverflowError):
+        return pd.util.hash_array(
+            np.asarray([str(v) for v in arr], dtype=object)
+        ).astype(np.uint64)
+    return pd.util.hash_array(num).astype(np.uint64)
 
 
 def _alpha(m: int) -> float:
@@ -59,13 +66,19 @@ def hll_sketch_batch(values, p: int = 12) -> np.ndarray:
     h = _hash64(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) & np.uint64((1 << 64) - 1)
-    # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1)
+    # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1).
+    # Integral bit-position (ADVICE r2): float64 log2 rounds 2^k-eps up
+    # to 2^k for remainders >= 2^53, biasing the rank by one.
     nz = rest != 0
     lead = np.full(len(h), 64 - p + 1, dtype=np.uint8)
-    # log2 of the top bit position for nonzero remainders
-    bits = np.zeros(len(h), dtype=np.float64)
-    bits[nz] = np.floor(np.log2(rest[nz].astype(np.float64)))
-    lead[nz] = (63 - bits[nz]).astype(np.uint8) + 1
+    if nz.any():
+        v = rest[nz].copy()
+        top = np.zeros(len(v), dtype=np.uint8)  # floor(log2(v)), exact
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            top[big] += np.uint8(s)
+            v[big] >>= np.uint64(s)
+        lead[nz] = (63 - top) + 1
     np.maximum.at(regs, idx, lead)
     return regs
 

@@ -13,10 +13,11 @@ Scale shape: phase 1 is the checkpointed per-partition extract
 never re-extracts.  The exact-dedup decision shuffles (md5, url) pairs;
 the near-dup stage ships ~24 B/doc/band through its only shuffle
 (MinHashBandsOnly) and verifies only the candidate pairs via the
-semi-join path in verify_pairs_jaccard.  The final drop-set broadcast is
-bounded by the number of verified near-dup pairs (at extreme dup rates,
-swap for a left_anti hash join on doc_id — the same shape as
-ops/relational._semi_anti_join).
+semi-join path in verify_pairs_jaccard.  The keep-smallest drop set is
+computed DISTRIBUTED (ops/dedup.greedy_drop_ids — round-based peeling
+over hash-partitioned int64 pair rows, no driver-side pair iteration)
+and applied via drop_rows_by_id (bounded broadcast fast path, left_anti
+hash join at crawl-scale dup rates).
 """
 from __future__ import annotations
 
@@ -39,9 +40,8 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
                         num_partitions):
     """enrich -> exact dedup -> lang/quality filter -> near-dup removal
     over an already-extracted ok dataset."""
-    import ray
-
-    from ..ops.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+    from ..ops.dedup import (drop_rows_by_id, greedy_drop_ids,
+                             minhash_lsh_candidates, verify_pairs_jaccard)
     from .textprep import _dedup_enrich
 
     enriched = _dedup_enrich(ok_ds, num_partitions=num_partitions,
@@ -72,27 +72,14 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
     verified = verify_pairs_jaccard(candidates, docs,
                                     threshold=neardup_threshold)
 
-    # the greedy keep-smallest policy must run over a DETERMINISTIC pair
-    # order — block arrival order varies run to run, and an order-
-    # dependent greedy changes the drop set (observed 157 vs 159 rows)
-    pairs = set()
-    for b in verified.select_columns(["doc_id_a", "doc_id_b"]) \
-                     .iter_batches(batch_format="pyarrow"):
-        for a, bb in zip(b.column("doc_id_a").to_pylist(),
-                         b.column("doc_id_b").to_pylist()):
-            pairs.add((a, bb) if a < bb else (bb, a))
-    drop: set = set()
-    for keep_id, drop_id in sorted(pairs):
-        if keep_id not in drop:
-            drop.add(drop_id)
-    drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
-
-    def not_dropped(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch.column("doc_id"),
-                                  value_set=ray.get(drop_ref)))
-        return batch.filter(mask)
-
-    return filtered.map_batches(not_dropped, batch_format="pyarrow")
+    # the greedy keep-smallest policy is ORDER-FREE by construction
+    # (distributed peeling = the lexicographically-first maximal
+    # independent set of the near-dup graph), so the drop set is
+    # deterministic regardless of block arrival order; no pair ever
+    # reaches the driver — see ops/dedup.greedy_drop_ids
+    drop_ids = greedy_drop_ids(
+        verified.select_columns(["doc_id_a", "doc_id_b"]))
+    return drop_rows_by_id(filtered, drop_ids)
 
 
 def ccprep_dataset(pages_ds, *, langs=None,

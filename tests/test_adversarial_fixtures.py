@@ -167,6 +167,18 @@ class TestEncryptedObjStm:
         from pdf_extract_ray.data.pdfgen import pdf_aes128_objstm
         assert get_metadata(pdf_aes128_objstm())["page_count"] == "1"
 
+    def test_encrypted_and_corrupt_startxref_combo(self):
+        """VERDICT r2 #5: a doc that is BOTH xref-corrupted and
+        encrypted (catalog inside an encrypted ObjStm).  Recovery scans
+        object headers, harvests Root/Encrypt/ID from the xref STREAM,
+        and the ObjStm members index only after decrypt installs the
+        file key — output must equal the clean encrypted path."""
+        from pdf_extract_ray.data.pdfgen import (
+            pdf_aes128_objstm, pdf_encrypted_corrupt_startxref)
+        pristine = extract_text_from_mem(pdf_aes128_objstm())
+        assert extract_text_from_mem(pdf_encrypted_corrupt_startxref()) \
+            == pristine == "\n\nobjstm aes secret"
+
 
 def test_output_doc_encrypted_api():
     """Public-API parity: output_doc_encrypted = decrypt + device run

@@ -145,6 +145,76 @@ def test_minhash_candidates_lightweight(ray_session):
         assert (i, 100 + i) in found
 
 
+def _greedy_reference(pairs):
+    """The sequential keep-smallest rule the distributed peeling must
+    reproduce byte-for-byte (the round-2 driver-side implementation)."""
+    norm = {(a, b) if a < b else (b, a) for a, b in pairs if a != b}
+    drop = set()
+    for keep_id, drop_id in sorted(norm):
+        if keep_id not in drop:
+            drop.add(drop_id)
+    return drop
+
+
+def test_greedy_drop_ids_matches_sequential(ray_session):
+    import random
+
+    import ray
+    from pdf_extract_ray.ops.dedup import greedy_drop_ids
+
+    rng = random.Random(7)
+    rand_graph = [(rng.randrange(50), rng.randrange(50))
+                  for _ in range(120)]         # random multigraph
+    cases = [
+        [],                                    # empty
+        [(1, 2)],                              # single pair
+        [(2, 1), (1, 2)],                      # reversed duplicate
+        [(1, 2), (2, 3)],                      # chain: 3 survives via 2
+        [(1, 2), (2, 3), (3, 4)],              # 2-round chain
+        [(1, 2), (1, 3), (2, 3)],              # clique
+        list(zip(range(0, 20), range(1, 21))),  # long chain
+        [(5, 5)],                              # self-loop dropped
+        rand_graph,
+    ]
+    # default path: peeling immediately bottoms out in the bounded
+    # single-worker finish (the common small-residual case)
+    for pairs in cases:
+        tbl = pa.table(
+            {"doc_id_a": pa.array([p[0] for p in pairs], pa.int64()),
+             "doc_id_b": pa.array([p[1] for p in pairs], pa.int64())})
+        out = greedy_drop_ids(ray.data.from_arrow(tbl))
+        got = set() if out.count() == 0 else set(out.to_pandas()["doc_id"])
+        assert got == _greedy_reference(pairs), pairs
+    # forced distributed peeling (threshold 0): multi-round chain + the
+    # random multigraph must still match the sequential rule exactly
+    for pairs in ([(1, 2), (2, 3), (3, 4)], rand_graph):
+        tbl = pa.table(
+            {"doc_id_a": pa.array([p[0] for p in pairs], pa.int64()),
+             "doc_id_b": pa.array([p[1] for p in pairs], pa.int64())})
+        out = greedy_drop_ids(ray.data.from_arrow(tbl), n_parts=4,
+                              worker_finish_threshold=0)
+        got = set() if out.count() == 0 else set(out.to_pandas()["doc_id"])
+        assert got == _greedy_reference(pairs), pairs
+
+
+def test_drop_rows_by_id_paths(ray_session):
+    import ray
+    from pdf_extract_ray.ops.dedup import drop_rows_by_id
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()),
+         "v": pa.array(range(10), pa.int64())}))
+    drops = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([2, 5, 7], pa.int64())}))
+    for limit in (100, 1):  # broadcast path, then join path
+        out = drop_rows_by_id(ds, drops, broadcast_limit=limit).to_pandas()
+        assert sorted(out.doc_id) == [0, 1, 3, 4, 6, 8, 9]
+    # empty drop set: unchanged
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64())}))
+    assert drop_rows_by_id(ds, empty).count() == 10
+
+
 def test_bpe_token_counts(ray_session):
     import ray
     from pdf_extract_ray.ops.textstats import bpe_token_counts
