@@ -104,7 +104,8 @@ def run_ops(sf_dir: str):
              "sliding_window_counts", "label_centroids",
              "approx_distinct_users", "audio_features",
              "normalize_text", "sessionize_salted", "asof_join_left",
-             "approx_value_quantiles", "ann_topk_ivf", "ccprep"]
+             "approx_value_quantiles", "ann_topk_ivf", "ccprep",
+             "asof_join_salted", "stratified_sample"]
     out = {}
     for _pass in range(2):
         for name in names:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from .lexer import _IS_REG, Lexer, parse_number
+from .lexer import _IS_REG, _IS_WS, Lexer, parse_number
 from .objects import NULL, PdfError
 
 Operation = Tuple[str, list]
@@ -18,11 +18,21 @@ def parse_content(data: bytes) -> List[Operation]:
     lx = Lexer(data)
     ops: List[Operation] = []
     operands: list = []
+    buf, end = lx.buf, lx.end
     while True:
-        lx.skip_ws()
-        if lx.pos >= lx.end:
+        # skip_ws fast path inlined (one call per token otherwise):
+        # plain ws bytes loop here, %-comments defer to the regex
+        pos = lx.pos
+        while pos < end and _IS_WS[buf[pos]]:
+            pos += 1
+        if pos < end and buf[pos] == 0x25:
+            lx.pos = pos
+            lx.skip_ws()
+            pos = lx.pos
+        lx.pos = pos
+        if pos >= end:
             break
-        c = lx.buf[lx.pos]
+        c = buf[pos]
         if c in b"/(<[":
             operands.append(lx.parse_object(allow_ref=False))
             continue

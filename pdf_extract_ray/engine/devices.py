@@ -63,6 +63,12 @@ class PlainTextOutput(OutputDev):
         self.last_y = 0.0
         self.first_char = False
         self.flip_ctm: Transform = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        # memo for transform_vector+sqrt: the linear part of trm and the
+        # font size are constant within a Tj run, so all but the first
+        # glyph of a word hit the cache (identical inputs -> identical
+        # output; byte parity unaffected)
+        self._tfs_key = None
+        self._tfs = 0.0
 
     def get_text(self) -> str:
         return "".join(self.parts)
@@ -75,10 +81,18 @@ class PlainTextOutput(OutputDev):
         self.first_char = True
 
     def output_character(self, trm, width, _spacing, font_size, char) -> None:
-        position = mul(trm, self.flip_ctm)
-        tvx, tvy = transform_vector(trm, font_size, font_size)
-        transformed_font_size = _sqrt_or_nan(tvx * tvy)
-        x, y = position[4], position[5]
+        key = (trm[0], trm[1], trm[2], trm[3], font_size)
+        if key == self._tfs_key:
+            transformed_font_size = self._tfs
+        else:
+            tvx, tvy = transform_vector(trm, font_size, font_size)
+            transformed_font_size = _sqrt_or_nan(tvx * tvy)
+            self._tfs_key = key
+            self._tfs = transformed_font_size
+        # translation row of mul(trm, flip_ctm), inlined (only 4,5 used)
+        flip = self.flip_ctm
+        x = trm[4] * flip[0] + trm[5] * flip[2] + flip[4]
+        y = trm[4] * flip[1] + trm[5] * flip[3] + flip[5]
         if self.first_char:
             if abs(y - self.last_y) > transformed_font_size * 1.5:
                 self.parts.append("\n")
@@ -142,8 +156,14 @@ class SpanTextOutput(PlainTextOutput):
         flip = self.flip_ctm
         x = trm[4] * flip[0] + trm[5] * flip[2] + flip[4]
         y = trm[4] * flip[1] + trm[5] * flip[3] + flip[5]
-        tvx, tvy = transform_vector(trm, font_size, font_size)
-        transformed_font_size = _sqrt_or_nan(tvx * tvy)
+        key = (trm[0], trm[1], trm[2], trm[3], font_size)
+        if key == self._tfs_key:
+            transformed_font_size = self._tfs
+        else:
+            tvx, tvy = transform_vector(trm, font_size, font_size)
+            transformed_font_size = _sqrt_or_nan(tvx * tvy)
+            self._tfs_key = key
+            self._tfs = transformed_font_size
         n = self._len
         if self.first_char:
             if abs(y - self.last_y) > transformed_font_size * 1.5:

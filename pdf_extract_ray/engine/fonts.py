@@ -185,17 +185,29 @@ class _Simple256Font(PdfFont):
 
     def decode_char(self, code: int) -> str:
         # (src/lib.rs:826-848): unicode-map hit, else encoding (required if
-        # a unicode map exists), else encoding-or-PDFDocEncoding
+        # a unicode map exists), else encoding-or-PDFDocEncoding.
+        # Per-font memo: codes are 0..255 so the cache is bounded; the
+        # single-byte to_utf8 is inlined as chr(table[code]) (a one-byte
+        # input can never carry the len>2 UTF-16BE BOM branch).
+        cache = self.__dict__.get("_decode_cache")
+        if cache is None:
+            cache = self.__dict__["_decode_cache"] = {}
+        s = cache.get(code)
+        if s is not None:
+            return s
         um = self.unicode_map
         if um is not None:
             s = um.get(code)
-            if s is not None:
-                return s
-            if self.encoding is None:
-                raise PdfError("missing unicode map and encoding")
-            return to_utf8(self.encoding, bytes([code & 0xFF]))
-        enc = self.encoding if self.encoding is not None else PDFDOC_ENCODING
-        return to_utf8(enc, bytes([code & 0xFF]))
+            if s is None:
+                if self.encoding is None:
+                    raise PdfError("missing unicode map and encoding")
+                s = chr(self.encoding[code & 0xFF])
+        else:
+            enc = self.encoding if self.encoding is not None \
+                else PDFDOC_ENCODING
+            s = chr(enc[code & 0xFF])
+        cache[code] = s
+        return s
 
 
 class PdfSimpleFont(_Simple256Font):

@@ -114,29 +114,41 @@ def show_text(gs: GraphicsState, s: bytes, output) -> None:
     get_width = font.get_width
     decode_char = font.decode_char
     out_char = output.output_character
+    # loop invariants: inside one Tj only the tm TRANSLATION row (t4,t5)
+    # changes, and no operator can touch the text state mid-string — so
+    # the linear part of m = tm * ctm, the tsm scale factors, spacings
+    # and font size hoist out of the per-glyph loop.  Every product is
+    # the same operands in the same order as the per-glyph computation,
+    # so the emitted floats are bit-identical.
+    h = ts.horizontal_scaling
+    rise = ts.rise
+    t0, t1, t2, t3, t4, t5 = ts.tm
+    m0 = t0 * c0 + t1 * c2
+    m1 = t0 * c1 + t1 * c3
+    m2 = t2 * c0 + t3 * c2
+    m3 = t2 * c1 + t3 * c3
+    hm0 = h * m0
+    hm1 = h * m1
+    r4 = rise * m2
+    r5 = rise * m3
+    char_spacing = ts.character_spacing
+    word_extra = char_spacing + ts.word_spacing
+    font_size = ts.font_size
     for code, length in font.char_codes(s):
-        h = ts.horizontal_scaling
-        rise = ts.rise
-        t0, t1, t2, t3, t4, t5 = ts.tm
-        # m = tm * ctm  (euclid post_transform ordering)
-        m0 = t0 * c0 + t1 * c2
-        m1 = t0 * c1 + t1 * c3
-        m2 = t2 * c0 + t3 * c2
-        m3 = t2 * c1 + t3 * c3
         m4 = t4 * c0 + t5 * c2 + c4
         m5 = t4 * c1 + t5 * c3 + c5
-        # trm = tsm * m with tsm = (h, 0, 0, 1, 0, rise)
-        trm = (h * m0, h * m1, m2, m3,
-               rise * m2 + m4, rise * m3 + m5)
+        # trm = tsm * (tm * ctm) with tsm = (h, 0, 0, 1, 0, rise)
+        trm = (hm0, hm1, m2, m3, r4 + m4, r5 + m5)
         w0 = get_width(code) / 1000.0
-        spacing = ts.character_spacing
         # word spacing only for single-byte code 32 (src/lib.rs:1307-1312)
-        if code == 32 and length == 1:
-            spacing += ts.word_spacing
-        out_char(trm, w0, spacing, ts.font_size, decode_char(code))
-        tx = h * ((w0 - 0.0 / 1000.0) * ts.font_size + spacing)
+        spacing = word_extra if (code == 32 and length == 1) \
+            else char_spacing
+        out_char(trm, w0, spacing, font_size, decode_char(code))
+        tx = h * ((w0 - 0.0 / 1000.0) * font_size + spacing)
         # tm = T(tx, 0) * tm: only the translation row changes
-        ts.tm = (t0, t1, t2, t3, tx * t0 + t4, tx * t1 + t5)
+        t4 = tx * t0 + t4
+        t5 = tx * t1 + t5
+    ts.tm = (t0, t1, t2, t3, t4, t5)
     output.end_word()
 
 

@@ -87,10 +87,24 @@ class Lexer:
     def parse_object(self, allow_ref: bool = True):
         """Parse one object. `allow_ref=False` for content streams/CMaps
         where `R` is not a thing and bare numbers stay numbers."""
-        self.skip_ws()
-        if self.pos >= self.end:
+        # skip_ws inlined (profiled: this is the hottest skip_ws call
+        # site; typical separators are 0-2 plain ws bytes — loop those
+        # here, defer %-comments to the regex path)
+        buf, pos, end = self.buf, self.pos, self.end
+        while pos < end:
+            c = buf[pos]
+            if _IS_WS[c]:
+                pos += 1
+            elif c == 0x25:  # '%' comment: regex consumes run + comments
+                self.pos = pos
+                self.skip_ws()
+                pos = self.pos
+            else:
+                break
+        if pos >= end:
+            self.pos = pos
             raise PdfError("EOF while parsing object")
-        buf, pos = self.buf, self.pos
+        self.pos = pos
         c = buf[pos]
         if c == 0x2F:  # '/'
             return self._parse_name()

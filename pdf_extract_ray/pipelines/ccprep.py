@@ -37,13 +37,23 @@ def _hash_doc_id(urls) -> pa.Array:
 
 
 def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
-                        num_partitions):
+                        num_partitions, timings=None):
     """enrich -> exact dedup -> lang/quality filter -> near-dup removal
-    over an already-extracted ok dataset."""
+    over an already-extracted ok dataset.  `timings`: optional dict that
+    receives per-phase wall seconds (the natural materialize boundaries
+    double as phase marks — no extra execution is forced beyond them)."""
+    import time as _time
+
     from ..ops.dedup import (drop_rows_by_id, greedy_drop_ids,
                              minhash_lsh_candidates, verify_pairs_jaccard)
     from .textprep import _dedup_enrich
 
+    def mark(key, t0):
+        if timings is not None:
+            timings[key] = round(_time.perf_counter() - t0, 3)
+        return _time.perf_counter()
+
+    t = _time.perf_counter()
     enriched = _dedup_enrich(ok_ds, num_partitions=num_partitions,
                              min_quality=None)
 
@@ -61,6 +71,7 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
     # pinned: feeds BOTH the near-dup candidate generation and the final
     # filter (shared lineage must execute once)
     filtered = enriched.map_batches(keep, batch_format="pyarrow").materialize()
+    t = mark("enrich_dedup_filter", t)
 
     docs = filtered.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
@@ -69,8 +80,11 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
     # degenerate-cluster guard: a bucket bigger than this is boilerplate
     # (pathological pair fanout); members still pair via selective bands
     candidates = minhash_lsh_candidates(docs, max_bucket=500)
+    # pinned: the pair set is tiny (LSH survivors) and feeds the greedy's
+    # normalize pass — pinning it here also marks the verify phase
     verified = verify_pairs_jaccard(candidates, docs,
-                                    threshold=neardup_threshold)
+                                    threshold=neardup_threshold).materialize()
+    t = mark("lsh_verify", t)
 
     # the greedy keep-smallest policy is ORDER-FREE by construction
     # (distributed peeling = the lexicographically-first maximal
@@ -79,7 +93,9 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
     # reaches the driver — see ops/dedup.greedy_drop_ids
     drop_ids = greedy_drop_ids(
         verified.select_columns(["doc_id_a", "doc_id_b"]))
-    return drop_rows_by_id(filtered, drop_ids)
+    out = drop_rows_by_id(filtered, drop_ids)
+    mark("greedy_drop", t)
+    return out
 
 
 def ccprep_dataset(pages_ds, *, langs=None,
@@ -128,9 +144,14 @@ def run_ccprep(input_dir: str, output_dir: str, *,
         with open(marker) as f:
             return json.load(f)
 
+    import time as _time
+    phases: dict = {}
+    t0 = _time.perf_counter()
     job = run_extract(input_dir, extract_dir, with_spans=False,
                       resume=resume)
+    phases["extract"] = round(_time.perf_counter() - t0, 3)
 
+    t0 = _time.perf_counter()
     part_files = sorted(glob.glob(
         os.path.join(extract_dir, "part=*", "*.parquet")))
     keep_cols = ["url", "extracted_text", "status", "kind",
@@ -138,15 +159,20 @@ def run_ccprep(input_dir: str, output_dir: str, *,
     ok = ray.data.read_parquet(part_files).map_batches(
         lambda b: b.filter(pc.equal(b.column("status"), "ok"))
         .select(keep_cols), batch_format="pyarrow").materialize()
+    phases["read_checkpoint"] = round(_time.perf_counter() - t0, 3)
 
     result = _post_extract_chain(ok, langs=langs, min_quality=min_quality,
                                  neardup_threshold=neardup_threshold,
-                                 num_partitions=num_partitions)
+                                 num_partitions=num_partitions,
+                                 timings=phases)
+    t0 = _time.perf_counter()
     if os.path.isdir(final_dir):
         shutil.rmtree(final_dir)
     result.write_parquet(final_dir)
     n_out = ray.data.read_parquet(final_dir).count()
-    metrics = {"extract": job, "rows_out": n_out, "output": final_dir}
+    phases["apply_write"] = round(_time.perf_counter() - t0, 3)
+    metrics = {"extract": job, "rows_out": n_out, "output": final_dir,
+               "phases": phases}
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(metrics, f, indent=1)
