@@ -365,6 +365,24 @@ def _q_ngram_neardup(sf_dir: str):
         ["doc_id_a", "doc_id_b"])
 
 
+def _q_neardup_dedup_survivors(sf_dir: str):
+    """Full near-dup DEDUP (not just pair listing): LSH candidates ->
+    exact Jaccard verify -> distributed keep-smallest greedy
+    (ops/dedup.greedy_drop_ids, the lex-first maximal-independent-set
+    peeling) -> drop via broadcast/left_anti.  Every planted perturbed
+    copy (doc_id + 1M) must drop; originals survive.  Deterministic
+    row count; no SQL oracle (the greedy is a recursive fixpoint)."""
+    from pdf_extract_ray.ops.dedup import (drop_rows_by_id, greedy_drop_ids,
+                                           minhash_lsh_pairs,
+                                           verify_pairs_jaccard)
+    ds = _with_neardup_copies(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(ds, threshold=0.4)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.6)
+    drop = greedy_drop_ids(verified.select_columns(["doc_id_a", "doc_id_b"]))
+    return drop_rows_by_id(ds, drop).select_columns(["doc_id"])
+
+
 def _ann_queries(ds, k: int = 10):
     """Query rows = the k smallest vec_ids, selected with a per-batch
     partial min-k + tiny driver merge (no all-to-all sort)."""
@@ -704,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_neardup": _q_ngram_neardup,
+        "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,

@@ -119,6 +119,20 @@ def revenue_by_nation(orders_ds, customer_ds, nation_ds, *,
     return per_nation.map_batches(finish, batch_format="pyarrow")
 
 
+def _seg_last_idx(flag: np.ndarray, group_change: np.ndarray):
+    """Segmented forward scan: for every row, the index of the last
+    preceding row (inclusive) with `flag` set WITHIN its group.
+    Returns (last_idx, valid) where valid marks rows whose match lies in
+    the same group.  One maximum.accumulate instead of a Python loop
+    over groups — the kernel behind every as-of resolve here."""
+    n = len(flag)
+    idx = np.arange(n)
+    last = np.maximum.accumulate(np.where(flag, idx, -1))
+    starts = np.nonzero(group_change)[0]
+    gid = np.cumsum(group_change) - 1
+    return last, last >= starts[gid]
+
+
 def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64,
                      how: str = "inner"):
     """As-of join: each event matches its user's most recent order at or
@@ -154,43 +168,54 @@ def asof_join_orders(events_ds, orders_ds, *, n_parts: int = 64,
         orders_ds.map_batches(order_rows, batch_format="pyarrow"))
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for key, g in df.groupby("key", sort=False):
-            orders = g[g["side"] == 1]
-            events = g[g["side"] == 0]
-            if len(events) == 0:
-                continue
-            ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            eids = events["event_id"].to_numpy()
-            if len(orders):
-                ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-                okeys_raw = orders["o_orderkey"].to_numpy()
-                # in-partition tie-break dedup: keep max orderkey per date
-                order_sort = np.lexsort((okeys_raw, ots))
-                ots = ots[order_sort]
-                okeys = okeys_raw[order_sort]
-                last = np.r_[ots[1:] != ots[:-1], True]  # last (=max) per ts
-                ots = ots[last]
-                okeys = okeys[last]
-                idx = np.searchsorted(ots, ets, side="right") - 1
-            else:
-                idx = np.full(len(ets), -1)
-            for eid, t, i in zip(eids, ets, idx):
-                if i >= 0:
-                    out.append((int(eid), int(key), t, int(okeys[i]),
-                                int(ots[i])))
-                elif how == "left":
-                    out.append((int(eid), int(key), t, -1, 0))
-        res = pd.DataFrame(out, columns=["event_id", "user_id", "ts",
-                                         "o_orderkey", "o_orderdate"])
-        if len(res):
-            res["ts"] = res["ts"].astype("datetime64[us]")
-            res["o_orderdate"] = res["o_orderdate"].astype("datetime64[us]")
-        else:
-            res = res.astype({"event_id": "int64", "user_id": "int64",
-                              "ts": "datetime64[us]", "o_orderkey": "int64",
-                              "o_orderdate": "datetime64[us]"})
-        return res
+        # vectorized merge: sort (key, ts, orders-before-events,
+        # orderkey), then one segmented forward scan picks, per event,
+        # the latest order at ts' <= ts — with the max orderkey among
+        # equal-ts orders (the sort puts it last), i.e. exactly the
+        # per-user tie-break-dedup + searchsorted the loop version did.
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                         "o_orderkey", "o_orderdate"]
+                                ).astype({"event_id": "int64",
+                                          "user_id": "int64",
+                                          "ts": "datetime64[us]",
+                                          "o_orderkey": "int64",
+                                          "o_orderdate": "datetime64[us]"})
+        key = df["key"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int8)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        okey = df["o_orderkey"].to_numpy(dtype=np.float64)  # NaN on events
+        eid = df["event_id"].to_numpy(dtype=np.float64)
+        order = np.lexsort((okey, (1 - side), ts, key))
+        key_s, side_s = key[order], side[order]
+        ts_s, okey_s, eid_s = ts[order], okey[order], eid[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = key_s[1:] != key_s[:-1]
+        last, valid = _seg_last_idx(side_s == 1, gch)
+        is_ev = side_s == 0
+        hit = is_ev & valid
+        out_eid = eid_s[hit].astype(np.int64)
+        out_key = key_s[hit]
+        out_ts = ts_s[hit]
+        out_ok = okey_s[last[hit]].astype(np.int64)
+        out_ot = ts_s[last[hit]]
+        if how == "left":
+            miss = is_ev & ~valid
+            out_eid = np.concatenate([out_eid,
+                                      eid_s[miss].astype(np.int64)])
+            out_key = np.concatenate([out_key, key_s[miss]])
+            out_ts = np.concatenate([out_ts, ts_s[miss]])
+            out_ok = np.concatenate(
+                [out_ok, np.full(int(miss.sum()), -1, np.int64)])
+            out_ot = np.concatenate(
+                [out_ot, np.zeros(int(miss.sum()), np.int64)])
+        return pd.DataFrame({
+            "event_id": out_eid, "user_id": out_key,
+            "ts": out_ts.astype("datetime64[us]"),
+            "o_orderkey": out_ok,
+            "o_orderdate": out_ot.astype("datetime64[us]")})
 
     return _grouped_by_partition(both, ["key"], resolve, n_parts=n_parts)
 
@@ -204,17 +229,17 @@ def asof_join_orders_salted(events_ds, orders_ds, *, n_parts: int = 64,
 
     Stage 1 (the only full-volume shuffle, salted): each (user, bucket)
     partition tie-dedups its orders, resolves its events against
-    same-bucket prior orders, and emits (a) resolved matches, (b)
-    unresolved events — no in-bucket prior order, (c) ONE boundary row =
-    the bucket's last order.  Any order in an EARLIER bucket is strictly
-    before every event of this bucket, so the correct match for an
-    unresolved event is exactly the latest earlier boundary.
-    Stage 2 (tiny): per user, the per-bucket boundary rows + unresolved
-    bucket markers merge; each unresolved bucket gets its carry-in order
-    (latest earlier boundary).
-    Stage 3 (unresolved events only): carry-ins co-locate with their
-    events on (user, bucket) and finish the match; `how="left"` keeps
-    carry-less events with the (-1, epoch) sentinel."""
+    same-bucket prior orders (vectorized: one lexsort + one segmented
+    forward scan per partition, no per-group Python loop), and emits
+    (a) resolved matches, (b) unresolved events — no in-bucket prior
+    order, (c) ONE boundary row = the bucket's last order.  Any order
+    in an EARLIER bucket is strictly before every event of this bucket,
+    so the correct match for an unresolved event is exactly the latest
+    earlier boundary.
+    Late stage (one small user-keyed shuffle): unresolved events and
+    boundaries merge per user with the same segmented-scan kernel;
+    `how="left"` keeps carry-less events with the (-1, epoch)
+    sentinel."""
     from .dedup import _grouped_by_partition
 
     bucket_us = salt_days * 86_400 * 1_000_000
@@ -252,38 +277,52 @@ def asof_join_orders_salted(events_ds, orders_ds, *, n_parts: int = 64,
     _TYPES["kind"] = "int8"
 
     def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (key, day), g in df.groupby(["key", "_day"], sort=False):
-            key, day = int(key), int(day)
-            orders = g[g["side"] == 1]
-            events = g[g["side"] == 0]
-            okeys = ots = None
-            if len(orders):
-                ots = orders["ts"].to_numpy().astype("datetime64[us]") \
-                    .astype(np.int64)
-                okeys_raw = orders["o_orderkey"].to_numpy()
-                order_sort = np.lexsort((okeys_raw, ots))
-                ots = ots[order_sort]
-                okeys = okeys_raw[order_sort]
-                last = np.r_[ots[1:] != ots[:-1], True]
-                ots, okeys = ots[last], okeys[last]
-                # (c) boundary: the bucket's last (tie-deduped) order
-                out.append((2, -1, key, day, 0,
-                            int(okeys[-1]), int(ots[-1])))
-            if len(events) == 0:
-                continue
-            ets = events["ts"].to_numpy().astype("datetime64[us]") \
-                .astype(np.int64)
-            eids = events["event_id"].to_numpy()
-            idx = (np.searchsorted(ots, ets, side="right") - 1
-                   if okeys is not None else np.full(len(ets), -1))
-            for eid, t, i in zip(eids, ets, idx):
-                if i >= 0:   # (a) resolved in-bucket
-                    out.append((0, int(eid), key, day, t,
-                                int(okeys[i]), int(ots[i])))
-                else:        # (b) unresolved: needs an earlier bucket
-                    out.append((1, int(eid), key, day, t, -1, 0))
-        return pd.DataFrame(out, columns=_COLS).astype(_TYPES)
+        # same vectorized segmented-scan kernel as the plain resolve,
+        # grouped on (key, day); additionally emits one boundary row
+        # per bucket (its last, tie-deduped order) for the carry merge
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=_COLS).astype(_TYPES)
+        key = df["key"].to_numpy(dtype=np.int64)
+        day = df["_day"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int8)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        okey = df["o_orderkey"].to_numpy(dtype=np.float64)
+        eid = df["event_id"].to_numpy(dtype=np.float64)
+        order = np.lexsort((okey, (1 - side), ts, day, key))
+        key_s, day_s, side_s = key[order], day[order], side[order]
+        ts_s, okey_s, eid_s = ts[order], okey[order], eid[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = (key_s[1:] != key_s[:-1]) | (day_s[1:] != day_s[:-1])
+        last, valid = _seg_last_idx(side_s == 1, gch)
+        is_ev = side_s == 0
+        hit = is_ev & valid
+        miss = is_ev & ~valid
+        # (c) boundaries: last order index of each group, where present
+        ends = np.r_[np.nonzero(gch)[0][1:] - 1, n - 1]
+        bsel = valid[ends] if len(ends) else np.zeros(0, bool)
+        bidx = last[ends][bsel]
+        n_hit, n_miss, n_b = int(hit.sum()), int(miss.sum()), len(bidx)
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(n_hit, np.int8),
+                                    np.ones(n_miss, np.int8),
+                                    np.full(n_b, 2, np.int8)]),
+            "event_id": np.concatenate([eid_s[hit].astype(np.int64),
+                                        eid_s[miss].astype(np.int64),
+                                        np.full(n_b, -1, np.int64)]),
+            "user_id": np.concatenate([key_s[hit], key_s[miss],
+                                       key_s[bidx]]),
+            "day": np.concatenate([day_s[hit], day_s[miss], day_s[bidx]]),
+            "ts": np.concatenate([ts_s[hit], ts_s[miss],
+                                  np.zeros(n_b, np.int64)]),
+            "o_orderkey": np.concatenate(
+                [okey_s[last[hit]].astype(np.int64),
+                 np.full(n_miss, -1, np.int64),
+                 okey_s[bidx].astype(np.int64)]),
+            "o_orderdate": np.concatenate(
+                [ts_s[last[hit]], np.zeros(n_miss, np.int64),
+                 ts_s[bidx]])}).astype(_TYPES)
 
     staged = _grouped_by_partition(both, ["key", "_day"], resolve_bucket,
                                    n_parts=n_parts).materialize()
@@ -291,73 +330,64 @@ def asof_join_orders_salted(events_ds, orders_ds, *, n_parts: int = 64,
     resolved = staged.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), 0)),
         batch_format="pyarrow")
-    unresolved = staged.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+
+    # late stage (the ONLY other shuffle; each Ray Sort has seconds of
+    # fixed cost, so stages 2+3 of the round-2 design collapse into one
+    # user-keyed pass): unresolved events + per-bucket boundaries merge
+    # per user — an event in bucket d takes the latest boundary of a
+    # STRICTLY earlier bucket (any order there precedes every event of
+    # bucket d).  Partitioning assumption (far weaker than the plain
+    # join's whole-user one): a user's unresolved-tail events (events
+    # before the first order of their bucket) + one boundary per bucket
+    # fit in one partition.
+    late_in = staged.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("kind"), 0)),
         batch_format="pyarrow")
 
-    # stage 2 input: boundaries + one marker per unresolved bucket
-    def summaries(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.not_equal(b.column("kind"), 0))
-        df = t.select(["kind", "user_id", "day", "o_orderkey",
-                       "o_orderdate"]).to_pandas()
-        df = df.drop_duplicates(subset=["kind", "user_id", "day"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def finish_late(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=_COLS).astype(_TYPES)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        day = df["day"].to_numpy(dtype=np.int64)
+        kind = df["kind"].to_numpy(dtype=np.int8)
+        ts = df["ts"].to_numpy(dtype=np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        okey = df["o_orderkey"].to_numpy(dtype=np.int64)
+        odate = df["o_orderdate"].to_numpy(dtype=np.int64)
+        # (user, day, kind): events (1) precede boundaries (2) at equal
+        # day, so the scan only ever hands an event an EARLIER bucket's
+        # boundary
+        order = np.lexsort((kind, day, user))
+        user_s, day_s, kind_s = user[order], day[order], kind[order]
+        ts_s, eid_s = ts[order], eid[order]
+        okey_s, odate_s = okey[order], odate[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = user_s[1:] != user_s[:-1]
+        last, valid = _seg_last_idx(kind_s == 2, gch)
+        is_ev = kind_s == 1
+        hit = is_ev & valid
+        parts = {
+            "event_id": [eid_s[hit]], "user_id": [user_s[hit]],
+            "day": [day_s[hit]], "ts": [ts_s[hit]],
+            "o_orderkey": [okey_s[last[hit]]],
+            "o_orderdate": [odate_s[last[hit]]]}
+        if how == "left":
+            miss = is_ev & ~valid
+            nm = int(miss.sum())
+            parts["event_id"].append(eid_s[miss])
+            parts["user_id"].append(user_s[miss])
+            parts["day"].append(day_s[miss])
+            parts["ts"].append(ts_s[miss])
+            parts["o_orderkey"].append(np.full(nm, -1, np.int64))
+            parts["o_orderdate"].append(np.zeros(nm, np.int64))
+        out = {k: np.concatenate(v) for k, v in parts.items()}
+        out["kind"] = np.zeros(len(out["event_id"]), np.int8)
+        return pd.DataFrame(out)[_COLS].astype(_TYPES)
 
-    summary = staged.map_batches(summaries, batch_format="pyarrow")
-
-    def carry_per_user(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for user, g in df.groupby("user_id", sort=False):
-            bounds = g[g["kind"] == 2].sort_values("day")
-            needs = g.loc[g["kind"] == 1, "day"].unique()
-            if not len(needs) or not len(bounds):
-                continue
-            bdays = bounds["day"].to_numpy()
-            for d in needs:
-                i = np.searchsorted(bdays, d) - 1  # latest bucket < d
-                if i >= 0:
-                    row = bounds.iloc[i]
-                    out.append((int(user), int(d), int(row["o_orderkey"]),
-                                int(row["o_orderdate"])))
-        return pd.DataFrame(out, columns=["user_id", "day", "o_orderkey",
-                                          "o_orderdate"]
-                            ).astype({"user_id": "int64", "day": "int64",
-                                      "o_orderkey": "int64",
-                                      "o_orderdate": "int64"})
-
-    carries = _grouped_by_partition(summary, ["user_id"], carry_per_user,
-                                    n_parts=n_parts)
-
-    # stage 3: match unresolved events to their bucket's carry-in
-    carry_rows = carries.map_batches(
-        lambda b: pa.table({
-            "kind": pa.array(np.full(b.num_rows, 2, np.int8), pa.int8()),
-            "event_id": pa.array([-1] * b.num_rows, pa.int64()),
-            "user_id": b.column("user_id"), "day": b.column("day"),
-            "ts": pa.array([0] * b.num_rows, pa.int64()),
-            "o_orderkey": b.column("o_orderkey"),
-            "o_orderdate": b.column("o_orderdate")}),
-        batch_format="pyarrow")
-
-    def finish_unresolved(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (user, day), g in df.groupby(["user_id", "day"], sort=False):
-            carry = g[g["kind"] == 2]
-            ok, od = (int(carry["o_orderkey"].iloc[0]),
-                      int(carry["o_orderdate"].iloc[0])) \
-                if len(carry) else (None, None)
-            for r in g[g["kind"] == 1].itertuples():
-                if ok is not None:
-                    out.append((0, int(r.event_id), int(user), int(day),
-                                int(r.ts), ok, od))
-                elif how == "left":
-                    out.append((0, int(r.event_id), int(user), int(day),
-                                int(r.ts), -1, 0))
-        return pd.DataFrame(out, columns=_COLS).astype(_TYPES)
-
-    late = _grouped_by_partition(unresolved.union(carry_rows),
-                                 ["user_id", "day"], finish_unresolved,
-                                 n_parts=n_parts)
+    late = _grouped_by_partition(late_in, ["user_id"], finish_late,
+                                 n_parts=max(4, n_parts // 4))
 
     def to_output(b: pa.Table) -> pa.Table:
         return pa.table({

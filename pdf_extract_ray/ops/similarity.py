@@ -392,8 +392,14 @@ def kmeans_fit(ds, k: int, *, iters: int = 10, max_init_rows: int = 2048,
             np.add.at(sums, cl, vs)
             np.add.at(counts, cl, nn)
         nonempty = counts > 0
+        prev = cent.copy()
         cent[nonempty] = sums[nonempty] / counts[nonempty, None]
         cent = _normalize(cent)
+        # converged: each remaining iteration costs a full pass over the
+        # sample Dataset (fixed scheduling overhead dominates at bench
+        # scale), so stop as soon as the centroids stop moving
+        if np.abs(cent - prev).max() < 1e-9:
+            break
     return cent
 
 
