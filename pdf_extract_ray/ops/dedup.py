@@ -97,8 +97,8 @@ def _perm_params(n_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class MinHashBatch:
-    """Stateful stage: permutation params + a word-hash cache built once
-    per worker (SURVEY.md §2.3 pattern).  Emits one row per (doc, band)."""
+    """Stateful stage: permutation params built once per worker
+    (SURVEY.md §2.3 pattern).  Emits one row per (doc, band)."""
 
     def __init__(self, n_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         self.n_perm = n_perm
@@ -106,26 +106,18 @@ class MinHashBatch:
         self.rows_per_band = n_perm // bands
         self.shingle_k = shingle_k
         self.a, self.b = _perm_params(n_perm)
-        self._word_cache: Dict[str, int] = {}
-
-    def _word_hash(self, w: str) -> int:
-        h = self._word_cache.get(w)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
-            if len(self._word_cache) < 1_000_000:
-                self._word_cache[w] = h
-        return h
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
-        """Vectorized k-shingle hashes: per-word hashes (cached) combined
-        with a rolling polynomial over uint64 (wraps mod 2^64)."""
+        """Vectorized k-shingle hashes: per-word hashes (pandas'
+        fixed-key siphash — one C call per doc, VERDICT r2 #6 shape)
+        combined with a rolling polynomial over uint64 (wraps mod
+        2^64)."""
         words = text.split()
         k = self.shingle_k
         if not words:
             return np.empty(0, dtype=np.uint64)
-        wh = np.fromiter((self._word_hash(w) for w in words),
-                         dtype=np.uint64, count=len(words))
+        wh = pd.util.hash_array(
+            np.asarray(words, dtype=object)).astype(np.uint64)
         if len(words) < k:
             k = len(words)
         B = np.uint64(1099511628211)
@@ -302,28 +294,16 @@ def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
 
 
 class SimHashBatch:
-    """Stateful 64-bit SimHash stage: per-worker word-hash cache + fully
-    vectorized bit accumulation (one (n_words, 64) bit matrix per doc,
-    packed with np.packbits — no per-bit Python loop)."""
+    """Stateful 64-bit SimHash stage: vectorized word hashing (pandas'
+    fixed-key siphash, one C call per doc) + fully vectorized bit
+    accumulation (one (n_words, 64) bit matrix per doc, packed with
+    np.packbits — no per-bit Python loop)."""
 
     _SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)
 
-    def __init__(self):
-        self._word_cache: Dict[str, int] = {}
-
     def _word_hashes(self, words: List[str]) -> np.ndarray:
-        cache = self._word_cache
-        out = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            h = cache.get(w)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(w.encode("utf-8"),
-                                    digest_size=8).digest(), "big")
-                if len(cache) < 1_000_000:
-                    cache[w] = h
-            out[i] = h
-        return out
+        return pd.util.hash_array(
+            np.asarray(words, dtype=object)).astype(np.uint64)
 
     def simhash(self, text: str) -> int:
         words = text.split()

@@ -383,12 +383,18 @@ def _run_partition(pid: int, files: List[str], output_dir: str, *,
                                  with_spans=with_spans)
     result.write_parquet(part_dir)
     t1 = time.perf_counter()
-    # cheap metrics pass: column-pruned read of the partition output
+    # cheap metrics pass: column-pruned read of the partition output,
+    # ONE aggregation job (count + both sums per status) — each extra
+    # dataset execution costs fixed scheduling seconds x n_partitions
+    from ray.data.aggregate import Count, Sum
     out = ray.data.read_parquet(part_dir, columns=["status", "payload_bytes", "n_chars"])
-    agg = out.groupby("status").count().take_all()
-    sums = out.sum(["payload_bytes", "n_chars"])
+    agg = out.groupby("status").aggregate(
+        Count(), Sum("payload_bytes"), Sum("n_chars")).take_all()
     statuses = {r["status"]: r["count()"] for r in agg}
     rows = sum(statuses.values())
+    sums = {"sum(payload_bytes)": sum(r["sum(payload_bytes)"] or 0
+                                      for r in agg),
+            "sum(n_chars)": sum(r["sum(n_chars)"] or 0 for r in agg)}
     return {
         "partition": pid,
         "lineage": {"input_files": files},
