@@ -64,6 +64,9 @@ def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
+_PW_CHECK_CACHE: dict = {}
+
+
 class StandardSecurityHandler:
     def __init__(self, doc, password: str = ""):
         enc_ref = doc.trailer.get(b"Encrypt")
@@ -159,17 +162,28 @@ class StandardSecurityHandler:
         self.cipher = "aes256"
 
     def _check_user_password(self, u: bytes, id0: bytes) -> bool:
+        # bounded memo: the 20-round RC4 verification is pure in
+        # (key, r, U, ID); crawls contain runs of docs from one producer
+        # with identical security records, and re-verifying costs ~100us
+        # of sequential RC4 per doc.  Distinct docs miss harmlessly.
+        ck = (self.key, self.r, u[:32], id0)
+        hit = _PW_CHECK_CACHE.get(ck)
+        if hit is not None:
+            return hit
         if self.r == 2:
-            expect = rc4(self.key, PAD)
-            return expect == u[:32]
-        h = hashlib.md5()
-        h.update(PAD)
-        h.update(id0)
-        step = rc4(self.key, h.digest())
-        for i in range(1, 20):
-            k = bytes(b ^ i for b in self.key)
-            step = rc4(k, step)
-        return step == u[:16]
+            res = rc4(self.key, PAD) == u[:32]
+        else:
+            h = hashlib.md5()
+            h.update(PAD)
+            h.update(id0)
+            step = rc4(self.key, h.digest())
+            for i in range(1, 20):
+                k = bytes(b ^ i for b in self.key)
+                step = rc4(k, step)
+            res = step == u[:16]
+        if len(_PW_CHECK_CACHE) < 10_000:
+            _PW_CHECK_CACHE[ck] = res
+        return res
 
     def object_key(self, num: int, gen: int, aes: bool) -> bytes:
         h = hashlib.md5()

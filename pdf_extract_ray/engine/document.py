@@ -8,6 +8,7 @@ for documents with broken xref, like lopdf's repair path.
 """
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Optional, Tuple
 
 from .filters import decode_stream
@@ -16,6 +17,10 @@ from .objects import (NULL, Name, PdfError, PdfNull, Ref, Stream, get_dict,
                       get_int, maybe_deref, maybe_get_obj)
 
 ObjectId = Tuple[int, int]
+
+# one spec-layout xref entry: 10-digit offset, 5-digit gen, n/f, 2-byte
+# EOL drawn from (SP CR, SP LF, CR LF) — PDF 32000-1 §7.5.4
+_XREF_ENT20 = re.compile(rb"(\d{10}) (\d{5}) ([nf])[ \r\n]{2}")
 
 
 class Document:
@@ -128,8 +133,29 @@ class Document:
                 raise PdfError("bad xref count")
             count = int(count_tok)
             lx.skip_ws()
+            # strict 20-byte-record fast path (the spec layout virtually
+            # every writer emits): one C regex pass over the subsection
+            # instead of 3 token reads per entry
+            block = lx.buf[lx.pos:lx.pos + 20 * count]
+            ents: list = []
+            if len(block) == 20 * count:
+                mt = _XREF_ENT20.match
+                for i in range(count):
+                    m = mt(block, 20 * i)
+                    if m is None:  # misaligned record: token fallback
+                        ents = []
+                        break
+                    ents.append(m.groups())
+            if count and len(ents) == count:
+                xref = self._xref
+                for i, (off_tok, gen_tok, kind) in enumerate(ents):
+                    num = start + i
+                    if kind == b"n" and num not in xref:
+                        xref[num] = ("n", int(off_tok), int(gen_tok))
+                lx.pos += 20 * count
+                continue
             for i in range(count):
-                # each entry is exactly 20 bytes, but be lenient
+                # lenient fallback: token-by-token
                 lx.skip_ws()
                 off_tok = lx.read_regular_token()
                 lx.skip_ws()

@@ -230,32 +230,57 @@ class Lexer:
         raise PdfError("unterminated hex string")
 
     def _parse_array(self, allow_ref: bool) -> list:
-        self.pos += 1  # skip '['
+        # ws fast path inlined (same shape as parse_object's)
+        buf, end = self.buf, self.end
+        pos = self.pos + 1  # skip '['
         out = []
+        append = out.append
+        parse = self.parse_object
         while True:
-            self.skip_ws()
-            if self.pos >= self.end:
+            while pos < end and _IS_WS[buf[pos]]:
+                pos += 1
+            if pos < end and buf[pos] == 0x25:
+                self.pos = pos
+                self.skip_ws()
+                pos = self.pos
+                continue
+            if pos >= end:
                 raise PdfError("unterminated array")
-            if self.buf[self.pos] == 0x5D:
-                self.pos += 1
+            if buf[pos] == 0x5D:
+                self.pos = pos + 1
                 return out
-            out.append(self.parse_object(allow_ref))
+            self.pos = pos
+            append(parse(allow_ref))
+            pos = self.pos
 
     def _parse_dict(self) -> dict:
-        self.pos += 2  # skip '<<'
+        buf, end = self.buf, self.end
+        pos = self.pos + 2  # skip '<<'
         out = {}
+        parse = self.parse_object
         while True:
-            self.skip_ws()
-            if self.pos + 1 < self.end and self.buf[self.pos] == 0x3E and self.buf[self.pos + 1] == 0x3E:
-                self.pos += 2
+            while pos < end and _IS_WS[buf[pos]]:
+                pos += 1
+            if pos < end and buf[pos] == 0x25:
+                self.pos = pos
+                self.skip_ws()
+                pos = self.pos
+                continue
+            if pos + 1 < end and buf[pos] == 0x3E and buf[pos + 1] == 0x3E:
+                self.pos = pos + 2
                 return out
-            if self.pos >= self.end:
+            if pos >= end:
                 raise PdfError("unterminated dict")
-            key = self.parse_object()
-            if not isinstance(key, Name):
-                raise PdfError(f"dict key not a name: {key!r}")
-            val = self.parse_object()
+            self.pos = pos
+            if buf[pos] == 0x2F:  # keys are names: skip the dispatch
+                key = self._parse_name()
+            else:
+                key = parse()
+                if not isinstance(key, Name):
+                    raise PdfError(f"dict key not a name: {key!r}")
+            val = parse()
             out[bytes(key)] = val
+            pos = self.pos
 
     def _parse_number_or_ref(self, allow_ref: bool):
         if allow_ref:
