@@ -50,6 +50,31 @@ class TestIncrementalUpdate:
         body_only = raw[:raw.rfind(b"xref")]
         assert extract_text_from_mem(bytes(body_only)) == "\n\nscanned"
 
+    def test_nonconforming_19_byte_xref_entries(self):
+        """Entries with a single-byte EOL (19 bytes, spec violation some
+        writers commit) must take the lenient token-scan fallback, not
+        the 20-byte fast path."""
+        b, root = base_pdf("short entries")
+        raw = bytes(b.build(root))
+        i = raw.rfind(b"xref\n0 ")  # NOT the startxref substring
+        j = raw.find(b"trailer", i)
+        section = raw[i:j]
+        squeezed = section.replace(b" \n", b"\n").replace(b" \r\n", b"\n")
+        assert len(squeezed) < len(section)  # actually nonconforming now
+        assert extract_text_from_mem(raw[:i] + squeezed + raw[j:]) \
+            == "\n\nshort entries"
+
+    def test_xref_entries_with_space_cr_eol(self):
+        """SP CR is one of the three legal 2-byte EOLs (§7.5.4) — the
+        fast path must accept it."""
+        b, root = base_pdf("space cr")
+        raw = bytes(b.build(root))
+        i = raw.rfind(b"xref\n0 ")
+        j = raw.find(b"trailer", i)
+        section = raw[i:j].replace(b" \n", b" \r").replace(b"\r\n", b" \r")
+        assert extract_text_from_mem(raw[:i] + section + raw[j:]) \
+            == "\n\nspace cr"
+
 
 class TestStreams:
     def test_indirect_length(self):
