@@ -190,8 +190,13 @@ class MinHashBatch:
 
 
 def _resolve_minhash_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """All LSH buckets of one partition -> candidate pairs."""
+    """All LSH buckets of one partition -> candidate pairs.
+
+    Singleton buckets (the overwhelming majority at selective band
+    widths) are dropped with one vectorized duplicated() mask BEFORE the
+    group loop — iterating pandas groups costs ~100us each."""
     rows = []
+    df = df[df.duplicated(subset=["band", "bucket"], keep=False)]
     for (_band, _bucket), g in df.groupby(["band", "bucket"], sort=False):
         if len(g) < 2:
             continue
@@ -260,6 +265,7 @@ def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        df = df[df.duplicated(subset=["band", "bucket"], keep=False)]
         for (_b, _k), g in df.groupby(["band", "bucket"], sort=False):
             if len(g) < 2:
                 continue
@@ -363,6 +369,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        df = df[df.duplicated(subset=["band_key"], keep=False)]
         for _key, g in df.groupby("band_key", sort=False):
             if len(g) < 2:
                 continue

@@ -518,6 +518,7 @@ def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
     def resolve(df) -> "pd.DataFrame":
         import pandas as pd
         rows = []
+        df = df[df.duplicated(subset=["table", "bucket"], keep=False)]
         for (_t, _bkt), g in df.groupby(["table", "bucket"], sort=False):
             if len(g) < 2:
                 continue

@@ -198,12 +198,16 @@ def _bloom_positions(values, m_bits: int, k: int) -> np.ndarray:
 
 
 def bloom_build(ds, value_col: str, *, m_bits: int = 1 << 23,
-                k: int = 7) -> bytes:
+                k: int = 7, fanin: int = 32) -> bytes:
     """Build a Bloom filter over a column -> filter bytes (m_bits/8).
 
     Mergeable by construction: every batch folds its values into a local
-    bitmap (map-side combine; one m/8-byte bitmap per block through the
-    driver merge, independent of row count) and bitmaps OR together.
+    bitmap (map-side combine — one m/8-byte bitmap per block,
+    independent of row count) and bitmaps OR together through a
+    DATASET-NATIVE TREE REDUCE: repeated `map_batches(batch_size=fanin)`
+    passes OR up to `fanin` bitmaps into one inside workers, so the
+    driver only ever pulls the single final bitmap — never
+    O(n_blocks) x m/8 bytes (the crawl-scale driver-merge trap).
     m=8M bits / k=7 -> <1% FP at ~800k inserts."""
     def partial(b: pa.Table) -> pa.Table:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -215,12 +219,24 @@ def bloom_build(ds, value_col: str, *, m_bits: int = 1 << 23,
                                            (pos & 7).astype(np.uint8)))
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
-    merged = np.zeros(m_bits // 8, dtype=np.uint8)
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+    def or_batch(b: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
         for blob in b.column("bloom").to_pylist():
-            merged |= np.frombuffer(blob, dtype=np.uint8)
-    return merged.tobytes()
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+               .map_batches(or_batch, batch_format="pyarrow",
+                            batch_size=fanin).materialize()
+    while merged.count() > 1:
+        n = merged.count()
+        merged = merged.repartition(max(1, (n + fanin - 1) // fanin)) \
+            .map_batches(or_batch, batch_format="pyarrow",
+                         batch_size=fanin).materialize()
+    rows = merged.take(1)
+    if not rows:
+        return bytes(m_bits // 8)
+    return rows[0]["bloom"]
 
 
 def bloom_contains(ds, value_col: str, bloom: bytes, *, k: int = 7):
