@@ -145,9 +145,12 @@ def approx_quantiles(ds, group_col: str, value_col: str,
     mergeable equi-weight centroid sketch: every batch compresses its
     values to <=k weighted centroids per group (map-side combine — the
     shuffle carries k points per group per block, independent of rows),
-    one map_groups merges and interpolates.  Empirical error <1% at
-    k=512 on smooth distributions; exact counterparts: grouped_median /
-    a full sort."""
+    a per-batch COMBINER re-compresses same-group partials at bounded
+    fan-in to 4k centroids (so the final merge holds
+    ~(n_blocks/combine-batch) x 4k points per group, never
+    n_blocks x k — the crawl-scale single-worker trap), and one
+    map_groups merges and interpolates.  Empirical rank error <1% at
+    k=512; exact counterparts: grouped_median / a full sort."""
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select([group_col, value_col]).to_pandas()
@@ -162,7 +165,29 @@ def approx_quantiles(ds, group_col: str, value_col: str,
                          "cv": pa.array(cv, pa.list_(pa.float64())),
                          "cw": pa.array(cw, pa.list_(pa.float64()))})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    def combine(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        groups, cv, cw = [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            groups.append(g)
+            if len(sub) == 1:
+                cv.append(list(sub["cv"].iloc[0]))
+                cw.append(list(sub["cw"].iloc[0]))
+                continue
+            v = np.concatenate([np.asarray(x) for x in sub["cv"]])
+            w = np.concatenate([np.asarray(x) for x in sub["cw"]])
+            # 4k intermediate centroids: quantization granularity
+            # ~mass/8k per point — far below the 1% rank-error budget,
+            # unlike an aggressive re-compression back to k
+            v2, w2 = _compress(v, w, 4 * k)
+            cv.append(v2.tolist())
+            cw.append(w2.tolist())
+        return pa.table({group_col: pa.array(groups),
+                         "cv": pa.array(cv, pa.list_(pa.float64())),
+                         "cw": pa.array(cw, pa.list_(pa.float64()))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+                 .map_batches(combine, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # merged set stays UNCOMPRESSED (n_blocks x k points per group —

@@ -266,17 +266,34 @@ def lm_perplexity_scores(ds, *, vocab_k: int = 50_000):
     model_ref = ray.put((logp, oov))
 
     def score(b: pa.Table) -> pa.Table:
+        # vectorized: split to a flat word array once, map through the
+        # model with one pandas dict-map, per-doc means via cumsum
+        # differences at the list offsets (the LangIdBatch shape)
+        import pandas as pd
+        import pyarrow.compute as pc
+
         lp, oo = ray.get(model_ref)
-        out = []
-        for t in b.column("text").to_pylist():
-            words = [w for w in t.split(" ") if w]
-            if not words:
-                out.append(0.0)
-                continue
-            s = 0.0
-            for w in words:
-                s -= lp.get(w, oo)
-            out.append(s / len(words))
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "lm_bits_per_token": pa.array([],
+                                                           pa.float64())})
+        words = pc.split_pattern(b.column("text"), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = words.flatten()
+        ne = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        wl = pd.Series(flat.to_pandas()).map(lp).fillna(oo).to_numpy(
+            dtype=np.float64)
+        wl = np.where(ne, wl, 0.0)
+        cs = np.concatenate([[0.0], np.cumsum(wl)])
+        sums = cs[off[1:]] - cs[off[:-1]]
+        cn = np.concatenate([[0], np.cumsum(ne.astype(np.int64))])
+        counts = cn[off[1:]] - cn[off[:-1]]
+        out = np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
         return pa.table({"doc_id": b.column("doc_id"),
                          "lm_bits_per_token": pa.array(out, pa.float64())})
 

@@ -200,6 +200,51 @@ class TestAsofProperty:
 
         run()
 
+    def test_asof_salted_matches_bruteforce_random(self):
+        """Randomized cross-check for the salted path: tiny buckets
+        (salt_days=3) force heavy carry-in traffic; output must equal a
+        per-event linear scan."""
+        from hypothesis import given, settings, strategies as st
+        from pdf_extract_ray.ops.relational import asof_join_orders_salted
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.data())
+        def run(data):
+            n_ev = data.draw(st.integers(1, 12))
+            n_or = data.draw(st.integers(0, 12))
+            ev_ts = [data.draw(st.integers(0, 50)) for _ in range(n_ev)]
+            ev_user = [data.draw(st.integers(1, 3)) for _ in range(n_ev)]
+            or_ts = [data.draw(st.integers(0, 50)) for _ in range(n_or)]
+            or_user = [data.draw(st.integers(1, 3)) for _ in range(n_or)]
+            day = 86400_000_000
+            events = pa.table({
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "user_id": pa.array(ev_user, pa.int64()),
+                "ts": pa.array([t * day for t in ev_ts], pa.timestamp("us"))})
+            orders = pa.table({
+                "o_orderkey": pa.array(range(100, 100 + n_or), pa.int64()),
+                "o_custkey": pa.array(or_user, pa.int64()),
+                "o_orderdate": pa.array([t * day for t in or_ts],
+                                        pa.timestamp("us"))})
+            out = asof_join_orders_salted(_ds(events), _ds(orders),
+                                          n_parts=4,
+                                          salt_days=3).to_pandas()
+            got = {int(r.event_id): int(r.o_orderkey)
+                   for r in out.itertuples()}
+            expect = {}
+            for eid in range(n_ev):
+                best = None
+                for ok_, ou, ot in zip(range(100, 100 + n_or), or_user,
+                                       or_ts):
+                    if ou == ev_user[eid] and ot <= ev_ts[eid]:
+                        if best is None or (ot, ok_) > best:
+                            best = (ot, ok_)
+                if best is not None:
+                    expect[eid] = best[1]
+            assert got == expect
+
+        run()
+
     def test_asof_salted_matches_plain_on_skew(self):
         """The hot-key-salted as-of join must be row-identical to the
         plain one on a skewed fixture (one user owns ~90% of rows) with
