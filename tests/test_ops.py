@@ -186,15 +186,18 @@ def test_greedy_drop_ids_matches_sequential(ray_session):
         got = set() if out.count() == 0 else set(out.to_pandas()["doc_id"])
         assert got == _greedy_reference(pairs), pairs
     # forced distributed peeling (threshold 0): multi-round chain + the
-    # random multigraph must still match the sequential rule exactly
-    for pairs in ([(1, 2), (2, 3), (3, 4)], rand_graph):
+    # random multigraph must still match the sequential rule exactly;
+    # threshold 20 on the random graph exercises the hybrid path
+    # (peel until the residual shrinks, then bounded worker finish)
+    for pairs, thr in ([(1, 2), (2, 3), (3, 4)], 0), (rand_graph, 0), \
+                      (rand_graph, 20):
         tbl = pa.table(
             {"doc_id_a": pa.array([p[0] for p in pairs], pa.int64()),
              "doc_id_b": pa.array([p[1] for p in pairs], pa.int64())})
         out = greedy_drop_ids(ray.data.from_arrow(tbl), n_parts=4,
-                              worker_finish_threshold=0)
+                              worker_finish_threshold=thr)
         got = set() if out.count() == 0 else set(out.to_pandas()["doc_id"])
-        assert got == _greedy_reference(pairs), pairs
+        assert got == _greedy_reference(pairs), (pairs, thr)
 
 
 def test_drop_rows_by_id_paths(ray_session):
