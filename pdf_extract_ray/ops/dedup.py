@@ -62,11 +62,32 @@ def exact_dedup_keep_first(ds):
 # partition-level grouping helper
 # ---------------------------------------------------------------------------
 
-def _grouped_by_partition(ds, key_cols: List[str], fn, n_parts: int = 64):
+def _grouped_by_partition(ds, key_cols: List[str], fn, n_parts: int = 64,
+                          small_rows: int = 1_000_000,
+                          small_bytes: int = 128 * 1024 * 1024):
     """groupby(key).apply(fn) without per-tiny-group overhead: hash the key
     into `n_parts` partitions, shuffle once on the small partition id, and
     let `fn` handle one partition's DataFrame (all of its groups) at once.
-    `fn(df) -> DataFrame`; rows of one key always land in one partition."""
+    `fn(df) -> DataFrame`; rows of one key always land in one partition.
+
+    ADAPTIVE (AQE-style): the input is pinned and, when it is small
+    (<= `small_rows` rows AND <= `small_bytes`; a 1M-row pandas
+    resolve costs well under a second, the sort exchange costs 2-5 s), ALL groups resolve in
+    one worker task — identical semantics (`fn` already handles many
+    groups per partition; "one partition" simply becomes "the whole
+    input") and none of the sort-exchange's seconds of fixed cost.
+    Bigger inputs take the hash-partitioned shuffle, which would
+    materialize internally anyway, so the up-front pin is not extra."""
+    mat = ds.materialize()
+    n = mat.count()
+    if 0 < n <= small_rows and (mat.size_bytes() or 0) <= small_bytes:
+        # normalize block types per block first (Ray 2.49 cannot merge
+        # mixed arrow/pandas blocks into one batch or repartition them),
+        # then batch_size=n coalesces everything into ONE pandas batch
+        # resolved in one task
+        norm = mat.map_batches(lambda b: b, batch_format="pyarrow",
+                               batch_size=None)
+        return norm.map_batches(fn, batch_format="pandas", batch_size=n)
 
     def add_part(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -77,7 +98,7 @@ def _grouped_by_partition(ds, key_cols: List[str], fn, n_parts: int = 64):
         return batch.append_column("_part", pa.array(
             (h % np.uint64(n_parts)).astype(np.int64), pa.int64()))
 
-    withpart = ds.map_batches(add_part, batch_format="pyarrow")
+    withpart = mat.map_batches(add_part, batch_format="pyarrow")
     return withpart.groupby("_part").map_groups(
         lambda df: fn(df.drop(columns=["_part"])), batch_format="pandas")
 
