@@ -91,17 +91,29 @@ def sessionize(ds, gap_minutes: int = 30):
     gap_us = gap_minutes * 60 * 1_000_000
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for user_id, g in df.groupby("user_id", sort=False):
-            ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-            if len(ts) == 0:
-                continue
-            n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
-            out.append((int(user_id), n_sessions, int(len(ts))))
-        return pd.DataFrame(out, columns=["user_id", "n_sessions", "n_events"]
-                            ).astype({"user_id": "int64",
-                                      "n_sessions": "int64",
-                                      "n_events": "int64"})
+        # vectorized: one (user, ts) lexsort; a session starts at every
+        # group boundary or gap > threshold; per-user counts via
+        # reduceat at the group starts — no Python loop over users
+        n = len(df)
+        cols = {"user_id": "int64", "n_sessions": "int64",
+                "n_events": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, user))
+        u, t = user[order], ts[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = u[1:] != u[:-1]
+        new_sess = gch.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
+        starts = np.nonzero(gch)[0]
+        n_sessions = np.add.reduceat(new_sess.astype(np.int64), starts)
+        n_events = np.diff(np.r_[starts, n])
+        return pd.DataFrame({"user_id": u[starts],
+                             "n_sessions": n_sessions,
+                             "n_events": n_events}).astype(cols)
 
     # partition-level grouping: users hashed into bounded partitions
     from .dedup import _grouped_by_partition
@@ -126,20 +138,33 @@ def sessionize_salted(ds, gap_minutes: int = 30, *, salt_days: int = 1,
     day_us = salt_days * 86_400 * 1_000_000
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (user_id, day), g in df.groupby(["user_id", "_day"], sort=False):
-            ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
-                         .astype(np.int64))
-            n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
-            out.append((int(user_id), int(day), n_sessions,
-                        int(ts[0]), int(ts[-1]), int(len(ts))))
-        return pd.DataFrame(out, columns=["user_id", "day", "n_sessions",
-                                          "first_ts", "last_ts", "n_events"]
-                            ).astype({"user_id": "int64", "day": "int64",
-                                      "n_sessions": "int64",
-                                      "first_ts": "int64",
-                                      "last_ts": "int64",
-                                      "n_events": "int64"})
+        # vectorized (same kernel as sessionize.per_user, grouped on
+        # (user, day)); also emits each bucket's first/last event time
+        # for the boundary merge
+        n = len(df)
+        cols = {"user_id": "int64", "day": "int64", "n_sessions": "int64",
+                "first_ts": "int64", "last_ts": "int64",
+                "n_events": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        day = df["_day"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, day, user))
+        u, d, t = user[order], day[order], ts[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        new_sess = gch.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
+        starts = np.nonzero(gch)[0]
+        ends = np.r_[starts[1:] - 1, n - 1]
+        return pd.DataFrame({
+            "user_id": u[starts], "day": d[starts],
+            "n_sessions": np.add.reduceat(new_sess.astype(np.int64),
+                                          starts),
+            "first_ts": t[starts], "last_ts": t[ends],
+            "n_events": np.diff(np.r_[starts, n])}).astype(cols)
 
     def add_day(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False) \
@@ -151,22 +176,39 @@ def sessionize_salted(ds, gap_minutes: int = 30, *, salt_days: int = 1,
     partials = _grouped_by_partition(salted, ["user_id", "_day"],
                                      per_bucket, n_parts=n_parts)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("day")
-        n = int(df["n_sessions"].sum())
+    def merge_all(df: pd.DataFrame) -> pd.DataFrame:
         # collapse boundary pairs: next bucket's first event within the
-        # gap of this bucket's last event -> one fewer session
-        gaps = df["first_ts"].to_numpy()[1:] - df["last_ts"].to_numpy()[:-1]
-        n -= int((gaps <= gap_us).sum())
-        return pd.DataFrame({"user_id": [int(df["user_id"].iloc[0])],
-                             "n_sessions": [n],
-                             "n_events": [int(df["n_events"].sum())]}
-                            ).astype({"user_id": "int64",
-                                      "n_sessions": "int64",
-                                      "n_events": "int64"})
+        # gap of this bucket's last event -> one fewer session.
+        # Vectorized over ALL users in the partition (one lexsort +
+        # reduceat) — per-tiny-group map_groups never appears.
+        n = len(df)
+        cols = {"user_id": "int64", "n_sessions": "int64",
+                "n_events": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        day = df["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((day, user))
+        u = user[order]
+        ns = df["n_sessions"].to_numpy(dtype=np.int64)[order]
+        ft = df["first_ts"].to_numpy(dtype=np.int64)[order]
+        lt = df["last_ts"].to_numpy(dtype=np.int64)[order]
+        ne = df["n_events"].to_numpy(dtype=np.int64)[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = u[1:] != u[:-1]
+        collapse = np.zeros(n, dtype=np.int64)
+        collapse[1:] = (~gch[1:] & ((ft[1:] - lt[:-1]) <= gap_us)
+                        ).astype(np.int64)
+        starts = np.nonzero(gch)[0]
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n_sessions": (np.add.reduceat(ns, starts)
+                           - np.add.reduceat(collapse, starts)),
+            "n_events": np.add.reduceat(ne, starts)}).astype(cols)
 
-    return partials.groupby("user_id").map_groups(merge,
-                                                  batch_format="pandas")
+    from .dedup import _grouped_by_partition as _gbp
+    return _gbp(partials, ["user_id"], merge_all, n_parts=n_parts)
 
 
 def top_customers_by_spend(orders_ds, customer_ds, k: int = 10):
