@@ -430,6 +430,41 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+_NGRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hashed_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """Sorted UNIQUE uint64 hashes of the char-level n-grams of `text` —
+    the vectorized twin of `char_ngrams` (same set semantics up to
+    negligible 64-bit collisions).  UTF-32 decode keeps the windows
+    char-exact (not byte-approximate); the polynomial rolls in uint64
+    wraparound arithmetic, no Python loop."""
+    if len(text) < n:
+        return np.empty(0, np.uint64)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(cps, n)
+    p = int(_NGRAM_P)
+    pows = np.array([pow(p, n - 1 - j, 1 << 64) for j in range(n)],
+                    np.uint64)
+    h = win @ pows  # uint64 matmul wraps mod 2**64 — intended
+    h.sort()
+    keep = np.empty(len(h), bool)
+    keep[0] = True
+    np.not_equal(h[1:], h[:-1], out=keep[1:])
+    return h[keep]
+
+
+def _jaccard_hashed(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hashed-ngram arrays (matches
+    ngram_jaccard's empty-set convention)."""
+    if not len(a) and not len(b):
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
 def greedy_drop_ids(pairs_ds, *, n_parts: int = 16, max_rounds: int = 64,
                     worker_finish_threshold: int = 1_000_000):
     """Distributed keep-smallest near-dup resolution.
@@ -664,13 +699,27 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
 
         def verify_bc(batch: pa.Table) -> pa.Table:
             lk = ray.get(lk_ref)
+            # memoized hashed-ngram arrays: each doc's set is built ONCE
+            # per batch no matter how many pairs it appears in (dup
+            # clusters make the pair list quadratic in cluster size)
+            memo: dict = {}
+            miss = object()  # None is a valid memo value (absent doc)
+
+            def grams(i):
+                g = memo.get(i, miss)
+                if g is miss:
+                    t = lk.get(i)
+                    g = None if t is None else _hashed_ngrams(t, n)
+                    memo[i] = g
+                return g
+
             out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
             for a, b in zip(batch.column("doc_id_a").to_pylist(),
                             batch.column("doc_id_b").to_pylist()):
-                ta, tb = lk.get(a), lk.get(b)
-                if ta is None or tb is None:
+                ga, gb = grams(a), grams(b)
+                if ga is None or gb is None:
                     continue
-                j = ngram_jaccard(ta, tb, n)
+                j = _jaccard_hashed(ga, gb)
                 if j >= threshold:
                     out["doc_id_a"].append(a)
                     out["doc_id_b"].append(b)
@@ -681,7 +730,10 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
                  pa.array(out["jaccard"], pa.float64())],
                 names=["doc_id_a", "doc_id_b", "jaccard"])
 
-        return pairs.map_batches(verify_bc, batch_format="pyarrow")
+        # large batches amortize the per-doc memo across pairs; memory is
+        # bounded by unique-docs-per-batch x ~8 B/char of gram hashes
+        return pairs.map_batches(verify_bc, batch_format="pyarrow",
+                                 batch_size=32_768)
 
     def side(name):
         return docs_f.map_batches(
@@ -699,12 +751,20 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
                          num_partitions=num_partitions, on=("doc_id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
+        memo: dict = {}  # doc_id -> hashed grams; dup clusters reuse it
+
+        def grams(i, t):
+            g = memo.get(i)
+            if g is None:
+                g = memo[i] = _hashed_ngrams(t, n)
+            return g
+
         out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
         for a, b, ta, tb in zip(batch.column("doc_id_a").to_pylist(),
                                 batch.column("doc_id_b").to_pylist(),
                                 batch.column("text_a").to_pylist(),
                                 batch.column("text_b").to_pylist()):
-            j = ngram_jaccard(ta, tb, n)
+            j = _jaccard_hashed(grams(a, ta), grams(b, tb))
             if j >= threshold:
                 out["doc_id_a"].append(a)
                 out["doc_id_b"].append(b)
