@@ -285,6 +285,42 @@ def _q_stratified_sample(sf_dir: str):
     return cands.groupby("lang").map_groups(final, batch_format="pandas")
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag train docs sharing any word
+    5-gram with the held-out benchmark slice (doc_id % 11 == 0).  The
+    benchmark gram set is broadcast once (eval sets are small by
+    definition); the train side never shuffles (ops/corpus.py)."""
+    from pdf_extract_ray.ops.corpus import decontaminate
+    return decontaminate(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]))
+
+
+def _q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition statistics — zero-shuffle map-side
+    word/2-gram duplication counts per document (ops/corpus.py)."""
+    from pdf_extract_ray.ops.corpus import repetition_scores
+    return repetition_scores(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+
+
+def _q_chunk_dedup(sf_dir: str):
+    """C4-style first-occurrence span dedup: 8-word chunks, global
+    keep-first election over 16 B (hash, position) rows, text rebuilt
+    from surviving chunks (ops/corpus.py)."""
+    from pdf_extract_ray.ops.corpus import chunk_dedup
+    return chunk_dedup(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Most corpus-distinctive term per doc by tf/df rarity — df joined
+    on term (vocabulary never broadcast), map-side tf, partial top-1
+    before the final per-doc groupby (ops/corpus.py)."""
+    from pdf_extract_ray.ops.corpus import tfidf_top_terms
+    return tfidf_top_terms(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]))
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -722,6 +758,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_neardup": _q_ngram_neardup,
+        "decontaminate": _q_decontaminate,
+        "repetition_scores": _q_repetition_scores,
+        "chunk_dedup": _q_chunk_dedup,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
@@ -732,6 +772,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                       FROM documents),
+            gj AS (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS i
+                   FROM w),
+            g AS (SELECT doc_id,
+                         array_to_string(list_slice(ws, i, i+4), ' ') AS gram
+                  FROM gj),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+            train AS (SELECT DISTINCT doc_id, gram FROM g
+                      WHERE doc_id % 11 <> 0),
+            overl AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) n_overlaps
+                      FROM train t JOIN bench b USING (gram)
+                      GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(o.n_overlaps, 0) AS n_overlaps,
+                   COALESCE(o.n_overlaps, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+            LEFT JOIN overl o USING (doc_id)
+        """,
+        "repetition_scores": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                       FROM documents),
+            ws_stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_words,
+                                CAST(len(list_distinct(ws)) AS BIGINT)
+                                    n_distinct_words
+                         FROM w),
+            gj AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                   FROM w),
+            g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g2 FROM gj),
+            gc AS (SELECT doc_id, g2, count(*) c FROM g
+                   GROUP BY doc_id, g2),
+            gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_2grams,
+                          CAST(count(*) AS BIGINT) n_distinct_2grams,
+                          CAST(max(c) AS BIGINT) top_2gram_count
+                   FROM gc GROUP BY doc_id)
+            SELECT s.doc_id, s.n_words, s.n_distinct_words,
+                   COALESCE(g.n_2grams, 0) AS n_2grams,
+                   COALESCE(g.n_distinct_2grams, 0) AS n_distinct_2grams,
+                   COALESCE(g.top_2gram_count, 0) AS top_2gram_count
+            FROM ws_stats s LEFT JOIN gs g USING (doc_id)
+        """,
+        "chunk_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                       FROM documents),
+            cj AS (SELECT doc_id, ws,
+                          unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                              AS idx
+                   FROM w),
+            c AS (SELECT doc_id, idx,
+                         array_to_string(list_slice(ws, 8*idx+1,
+                                         LEAST(8*idx+8, len(ws))), ' ')
+                             AS chunk
+                  FROM cj),
+            firsts AS (SELECT chunk, min(doc_id*1048576 + idx) AS pk
+                       FROM c GROUP BY chunk),
+            kept AS (SELECT c.doc_id, c.idx, c.chunk
+                     FROM c JOIN firsts f
+                     ON c.chunk = f.chunk
+                        AND c.doc_id*1048576 + c.idx = f.pk)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n_chunks_kept
+            FROM kept GROUP BY doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+                   FROM w GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) df
+                   FROM tf GROUP BY term),
+            scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                              row_number() OVER (
+                                  PARTITION BY t.doc_id
+                                  ORDER BY CAST(t.tf AS DOUBLE)/d.df DESC,
+                                           t.term ASC) rn
+                       FROM tf t JOIN df d USING (term))
+            SELECT doc_id, term, tf, df FROM scored WHERE rn = 1
+        """,
         "doc_stats_by_source": """
             SELECT source,
                    count(*) AS n_docs,

@@ -105,7 +105,8 @@ def run_ops(sf_dir: str):
              "approx_distinct_users", "audio_features",
              "normalize_text", "sessionize_salted", "asof_join_left",
              "approx_value_quantiles", "ann_topk_ivf", "ccprep",
-             "asof_join_salted", "stratified_sample"]
+             "asof_join_salted", "stratified_sample", "decontaminate",
+             "repetition_scores", "chunk_dedup", "tfidf_top_terms"]
     out = {}
     for _pass in range(2):
         for name in names:

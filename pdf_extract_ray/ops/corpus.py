@@ -1,0 +1,350 @@
+"""Corpus-level training-data operators over word-stream documents:
+benchmark decontamination, Gopher-style repetition statistics, C4-style
+first-occurrence span (chunk) dedup, and rarity-ranked term extraction.
+
+These are the "beyond the reference" LLM-data operators (the reference,
+jrmuizel/pdf-extract, stops at text extraction — lib.rs's public surface
+ends at extract_text/print_metadata); everything here is downstream
+corpus hygiene a crawl-scale training pipeline needs.
+
+Shared kernel: every operator tokenizes by single-space split (the
+synthetic documents table is a single-space word stream; swap the split
+for a regex at ingestion time for real text) and works on uint64 word /
+n-gram hashes (pd.util.hash_array — stable across processes, vectorized)
+instead of strings, so shuffles carry 8-16 B per token group rather than
+text.  String identity is preserved w.h.p. (64-bit collisions ~ n^2/2^64;
+the DuckDB oracles compare against true string semantics and stay green).
+
+Scale notes per operator:
+- decontaminate: the benchmark/eval side is SMALL BY DEFINITION (an eval
+  suite, not a second corpus) -> its distinct-gram set is collected once,
+  np.unique'd and broadcast via ray.put; the train side never shuffles at
+  all (membership is a map-side searchsorted).  If the "benchmark" were
+  corpus-sized, use the chunk_dedup join shape instead.
+- repetition_scores: pure map-side, zero shuffles — every statistic is
+  per-document.
+- chunk_dedup: one hash-keyed groupby over (chunk_hash, packed_position)
+  16 B rows to elect first occurrences, one left_semi join to keep the
+  winning chunk instances, one per-doc groupby to reconstruct text.  The
+  explode is recomputed for the winner branch instead of materializing
+  corpus text mid-pipeline (the winner branch projects to 16 B/chunk
+  before its shuffle).
+- tfidf_top_terms: document frequency is joined on term, NOT broadcast —
+  a web corpus vocabulary is unbounded; per-doc tf is computed map-side
+  (document rows are atomic), and the final per-doc top-1 uses the
+  map-side-partial + tiny-groupby shape (ops/analytics.topk_per_group).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+# packed chunk position = doc_id * _POS_BASE + chunk_idx: lexicographic
+# (doc_id, idx) order == numeric order.  Assumes doc_id < 2**43 and at
+# most _POS_BASE chunks per document (1M chunks x chunk_words words is a
+# ~8M-word document — far beyond any web page).
+_POS_BASE = 1 << 20
+
+
+def _default_parts():
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(32, cpus))
+
+
+def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split each text on ' ' and hash every word -> (row_of, wh, counts):
+    row index per word, uint64 word hashes, and words-per-row.  All
+    pandas/numpy C paths — no per-row Python loop."""
+    s = pd.Series(texts, dtype=object)
+    sp = s.str.split(" ")
+    counts = sp.str.len().fillna(0).to_numpy(np.int64)
+    if counts.sum() == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64), counts)
+    flat = sp.explode().to_numpy(dtype=object)
+    wh = pd.util.hash_array(flat).astype(np.uint64)
+    row_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return row_of, wh, counts
+
+
+def _gram_hashes(row_of: np.ndarray, wh: np.ndarray,
+                 n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram hashes that do not cross row boundaries ->
+    (gram_row_of, gram_hashes).  Polynomial combine in uint64 wraparound
+    arithmetic over a sliding window (ops/dedup._hashed_ngrams shape)."""
+    if len(wh) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(wh, n)
+    p = int(_GRAM_P)
+    pows = np.array([pow(p, n - 1 - j, 1 << 64) for j in range(n)],
+                    np.uint64)
+    gh = win @ pows  # uint64 matmul wraps mod 2**64 — intended
+    grow = row_of[: len(wh) - n + 1]
+    valid = grow == row_of[n - 1:]
+    return grow[valid], gh[valid]
+
+
+def _distinct_runs(row_of: np.ndarray, h: np.ndarray):
+    """Sort (row, hash) pairs and collapse duplicates -> (run_rows,
+    run_lengths): one entry per DISTINCT hash per row, with its
+    multiplicity.  Grouped by row (rows ascending)."""
+    if len(h) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((h, row_of))
+    hs, rs = h[order], row_of[order]
+    new = np.empty(len(hs), bool)
+    new[0] = True
+    np.logical_or(hs[1:] != hs[:-1], rs[1:] != rs[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    lengths = np.diff(np.append(starts, len(hs)))
+    return rs[starts], lengths.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs_ds, *, n: int = 5, bench_mod: int = 11,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """GPT-3-style benchmark decontamination: flag training documents
+    sharing any word n-gram with the held-out benchmark slice
+    (doc_id % bench_mod == 0) -> (doc_id, n_overlaps, contaminated),
+    n_overlaps = DISTINCT overlapping n-grams.  Train docs with fewer
+    than n words report 0.
+
+    The benchmark gram set is collected + broadcast once (eval sets are
+    small by definition); the train side is map-only."""
+    import ray
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % bench_mod == 0)
+        texts = b.filter(mask).column(text_col).to_pylist()
+        row_of, wh, _ = _word_hashes(texts)
+        _, gh = _gram_hashes(row_of, wh, n)
+        return pa.table({"g": pa.array(np.unique(gh).view(np.int64),
+                                       pa.int64())})
+
+    parts = [b.column("g").to_numpy(zero_copy_only=False)
+             for b in docs_ds.map_batches(bench_grams,
+                                          batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.int64)).astype(np.uint64)
+    bench_ref = ray.put(np.sort(bench.view(np.uint64)))
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % bench_mod != 0))
+        texts = b.column(text_col).to_pylist()
+        row_of, wh, _ = _word_hashes(texts)
+        grow, gh = _gram_hashes(row_of, wh, n)
+        # distinct grams per row, sorted for membership probing
+        order = np.lexsort((gh, grow))
+        hs, rs = gh[order], grow[order]
+        if len(hs):
+            keep = np.empty(len(hs), bool)
+            keep[0] = True
+            np.logical_or(hs[1:] != hs[:-1], rs[1:] != rs[:-1],
+                          out=keep[1:])
+            hs, rs = hs[keep], rs[keep]
+        bench_arr = ray.get(bench_ref)
+        if len(hs) and len(bench_arr):
+            idx = np.searchsorted(bench_arr, hs)
+            idx[idx == len(bench_arr)] = 0
+            hit = bench_arr[idx] == hs
+            n_over = np.bincount(rs[hit], minlength=b.num_rows) \
+                .astype(np.int64)
+        else:
+            n_over = np.zeros(b.num_rows, np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_overlaps": pa.array(n_over, pa.int64()),
+            "contaminated": pa.array(n_over > 0, pa.bool_()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_scores(docs_ds, *, n: int = 2,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition statistics (Gopher repetition-filter
+    family, adapted to word streams): word and n-gram duplication counts
+    plus the most-frequent-n-gram multiplicity -> (doc_id, n_words,
+    n_distinct_words, n_2grams, n_distinct_2grams, top_2gram_count).
+    Pure map-side — every statistic is per-row."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        nrows = b.num_rows
+        row_of, wh, counts = _word_hashes(texts)
+        w_rows, _ = _distinct_runs(row_of, wh)
+        n_dw = np.bincount(w_rows, minlength=nrows).astype(np.int64)
+
+        grow, gh = _gram_hashes(row_of, wh, n)
+        n_g = np.bincount(grow, minlength=nrows).astype(np.int64) \
+            if len(grow) else np.zeros(nrows, np.int64)
+        run_rows, run_len = _distinct_runs(grow, gh)
+        n_dg = np.bincount(run_rows, minlength=nrows).astype(np.int64)
+        top = np.zeros(nrows, np.int64)
+        if len(run_rows):
+            first = np.flatnonzero(np.r_[True,
+                                         run_rows[1:] != run_rows[:-1]])
+            top[run_rows[first]] = np.maximum.reduceat(run_len, first)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_words": pa.array(counts, pa.int64()),
+            "n_distinct_words": pa.array(n_dw, pa.int64()),
+            "n_2grams": pa.array(n_g, pa.int64()),
+            "n_distinct_2grams": pa.array(n_dg, pa.int64()),
+            "top_2gram_count": pa.array(top, pa.int64()),
+        })
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C4-style first-occurrence chunk dedup
+# ---------------------------------------------------------------------------
+
+def chunk_dedup(docs_ds, *, chunk_words: int = 8, num_partitions=None,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Split every document into consecutive chunk_words-word spans, keep
+    each distinct span's FIRST occurrence (lexicographic (doc_id, idx)),
+    and rebuild documents from their surviving spans -> (doc_id, text,
+    n_chunks_kept).  Documents whose every span occurred earlier vanish
+    (the C4 duplicated-span rule at chunk granularity).
+
+    Shape: explode -> groupby(chunk_hash).min(packed_position) elects
+    winners over 16 B rows -> left_semi join keeps winning instances ->
+    per-doc groupby rebuilds text.  Deterministic regardless of block
+    order (min over a commutative key)."""
+    if num_partitions is None:
+        num_partitions = _default_parts()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        texts = b.column(text_col).to_pylist()
+        out_id, out_idx, out_chunk = [], [], []
+        for did, t in zip(ids, texts):
+            words = t.split(" ")
+            for j in range(0, len(words), chunk_words):
+                out_id.append(did)
+                out_idx.append(j // chunk_words)
+                out_chunk.append(" ".join(words[j:j + chunk_words]))
+        h = pd.util.hash_array(np.asarray(out_chunk, object)) \
+            .astype(np.uint64).view(np.int64)
+        ids_a = np.asarray(out_id, np.int64)
+        idx_a = np.asarray(out_idx, np.int64)
+        return pa.table({
+            id_col: pa.array(ids_a, pa.int64()),
+            "idx": pa.array(idx_a, pa.int64()),
+            "packed": pa.array(ids_a * _POS_BASE + idx_a, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.string()),
+        })
+
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    # winner branch ships only (h, packed) — 16 B/chunk — through its
+    # shuffle; the explode recomputes rather than pinning corpus text
+    winners = exploded.map_batches(
+        lambda b: b.select(["h", "packed"]), batch_format="pyarrow") \
+        .groupby("h").min("packed")
+    winners = winners.map_batches(
+        lambda b: pa.table({"packed": b.column("min(packed)")}),
+        batch_format="pyarrow").materialize()  # tiny vs text; sequences
+    # the shuffle before the join (Ray 2.49 aggregator-pool contention)
+
+    kept = exploded.join(winners, join_type="left_semi",
+                         num_partitions=num_partitions, on=("packed",))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("idx")
+        return pd.DataFrame({
+            id_col: [df[id_col].iloc[0]],
+            "text": [" ".join(df["chunk"])],
+            "n_chunks_kept": np.array([len(df)], np.int64),
+        })
+
+    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# rarity-ranked term extraction (tf-idf family)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(docs_ds, *, num_partitions=None,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Most corpus-distinctive term per document -> (doc_id, term, tf,
+    df), ranked by tf/df descending (term ascending tie-break).
+
+    tf/df replaces tf*log(N/df) deliberately: the ordering statistic must
+    be bit-identical between numpy and the DuckDB oracle, and IEEE
+    division is exactly reproducible where libm log is not; the ranking
+    it induces is the same rarity ordering for fixed tf.
+
+    df comes from a term-keyed groupby and is JOINED back on term (a web
+    vocabulary is unbounded — never broadcast); tf is map-side because
+    document rows are atomic."""
+    if num_partitions is None:
+        num_partitions = _default_parts()
+
+    def term_freqs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            id_col: b.column(id_col).to_numpy(zero_copy_only=False),
+            "term": b.column(text_col).to_pandas().str.split(" "),
+        }).explode("term")
+        tf = df.groupby([id_col, "term"], sort=False).size() \
+            .reset_index(name="tf")
+        return pa.table({
+            id_col: pa.array(tf[id_col].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(tf["term"], pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
+        })
+
+    tf_ds = docs_ds.map_batches(term_freqs, batch_format="pyarrow")
+
+    # (doc, term) rows are already distinct -> df = row count per term;
+    # materialize sequences the groupby shuffle before the join
+    df_ds = tf_ds.map_batches(
+        lambda b: b.select(["term"]), batch_format="pyarrow") \
+        .groupby("term").count()
+    df_ds = df_ds.map_batches(
+        lambda b: pa.table({"term": b.column("term"),
+                            "df": pc.cast(b.column("count()"),
+                                          pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    joined = tf_ds.join(df_ds, join_type="inner",
+                        num_partitions=num_partitions, on=("term",))
+
+    def partial_best(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["score"] = df["tf"].to_numpy(np.float64) / df["df"].to_numpy(
+            np.float64)
+        df = df.sort_values([id_col, "score", "term"],
+                            ascending=[True, False, True])
+        out = df.groupby(id_col, sort=False).head(1)
+        return pa.Table.from_pandas(
+            out[[id_col, "term", "tf", "df", "score"]],
+            preserve_index=False)
+
+    cands = joined.map_batches(partial_best, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "term"], ascending=[False, True])
+        return df.head(1)[[id_col, "term", "tf", "df"]]
+
+    return cands.groupby(id_col).map_groups(final, batch_format="pandas")

@@ -1,0 +1,183 @@
+"""Unit tests for ops/corpus.py (decontamination, repetition stats,
+chunk dedup, tf-idf top terms) over small in-memory tables with
+hand-computed answers plus naive-Python property checks (the sf0.01
+DuckDB oracle covers the same operators at scale)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray
+    return ray.data.from_arrow(tbl)
+
+
+def _docs(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def _naive_grams(text, n):
+    w = text.split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    def test_overlap_counts(self):
+        from pdf_extract_ray.ops.corpus import decontaminate
+        # doc 0 (0 % 11 == 0) is the benchmark; grams are 2-words
+        tbl = _docs([
+            (0, "a b c d"),            # bench grams: "a b", "b c", "c d"
+            (1, "a b x y b c"),        # overlaps: "a b", "b c" -> 2
+            (2, "x y z"),              # no overlap
+            (3, "c d"),                # overlap: "c d" -> 1
+        ])
+        out = decontaminate(_ds(tbl), n=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.doc_id.tolist() == [1, 2, 3]
+        assert out.n_overlaps.tolist() == [2, 0, 1]
+        assert out.contaminated.tolist() == [True, False, True]
+
+    def test_short_docs_report_zero(self):
+        from pdf_extract_ray.ops.corpus import decontaminate
+        tbl = _docs([(0, "a b c d e"), (1, "a b"), (2, "q")])
+        out = decontaminate(_ds(tbl), n=5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.doc_id.tolist() == [1, 2]
+        assert out.n_overlaps.tolist() == [0, 0]
+
+    def test_matches_naive_sets(self):
+        from pdf_extract_ray.ops.corpus import decontaminate
+        rng = np.random.default_rng(7)
+        vocab = list("abcdefg")
+        rows = [(i, " ".join(rng.choice(vocab, rng.integers(3, 40))))
+                for i in range(40)]
+        n = 3
+        bench = set()
+        for i, t in rows:
+            if i % 11 == 0:
+                bench |= _naive_grams(t, n)
+        want = {i: len(_naive_grams(t, n) & bench)
+                for i, t in rows if i % 11 != 0}
+        out = decontaminate(_ds(_docs(rows)), n=n).to_pandas()
+        got = dict(zip(out.doc_id, out.n_overlaps))
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionScores:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.corpus import repetition_scores
+        tbl = _docs([
+            (1, "a b a b a"),   # words: 5/2 distinct; 2-grams: "a b"x2,
+                                # "b a"x2 -> 4 total, 2 distinct, top 2
+            (2, "x"),           # 1 word, no 2-grams
+            (3, "p q r"),       # all distinct
+        ])
+        out = repetition_scores(_ds(tbl)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.n_words.tolist() == [5, 1, 3]
+        assert out.n_distinct_words.tolist() == [2, 1, 3]
+        assert out.n_2grams.tolist() == [4, 0, 2]
+        assert out.n_distinct_2grams.tolist() == [2, 0, 2]
+        assert out.top_2gram_count.tolist() == [2, 0, 1]
+
+    def test_matches_naive(self):
+        from pdf_extract_ray.ops.corpus import repetition_scores
+        rng = np.random.default_rng(3)
+        vocab = list("abcd")
+        rows = [(i, " ".join(rng.choice(vocab, rng.integers(1, 25))))
+                for i in range(30)]
+        out = repetition_scores(_ds(_docs(rows))).to_pandas()
+        for _, r in out.iterrows():
+            t = dict(rows)[r.doc_id]
+            w = t.split(" ")
+            g = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+            from collections import Counter
+            assert r.n_words == len(w)
+            assert r.n_distinct_words == len(set(w))
+            assert r.n_2grams == len(g)
+            assert r.n_distinct_2grams == len(set(g))
+            assert r.top_2gram_count == (max(Counter(g).values())
+                                         if g else 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkDedup:
+    def test_first_occurrence_wins(self):
+        from pdf_extract_ray.ops.corpus import chunk_dedup
+        tbl = _docs([
+            (1, "a b c d"),        # chunks (2w): "a b", "c d"
+            (2, "a b x y"),        # "a b" dup -> keeps "x y"
+            (3, "c d a b"),        # both dup -> doc vanishes
+            (4, "c d q"),          # "c d" dup -> keeps "q"
+        ])
+        out = chunk_dedup(_ds(tbl), chunk_words=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.doc_id.tolist() == [1, 2, 4]
+        assert out.text.tolist() == ["a b c d", "x y", "q"]
+        assert out.n_chunks_kept.tolist() == [2, 1, 1]
+
+    def test_within_doc_duplicate_spans_collapse(self):
+        from pdf_extract_ray.ops.corpus import chunk_dedup
+        tbl = _docs([(5, "a b a b c")])  # chunks: "a b", "a b", "c"
+        out = chunk_dedup(_ds(tbl), chunk_words=2).to_pandas()
+        assert out.text.tolist() == ["a b c"]
+        assert out.n_chunks_kept.tolist() == [2]
+
+    def test_chunk_order_preserved(self):
+        from pdf_extract_ray.ops.corpus import chunk_dedup
+        words = [f"w{i}" for i in range(23)]
+        tbl = _docs([(9, " ".join(words))])
+        out = chunk_dedup(_ds(tbl), chunk_words=4).to_pandas()
+        assert out.text.tolist() == [" ".join(words)]
+        assert out.n_chunks_kept.tolist() == [6]  # 5 full + 1 partial
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidfTopTerms:
+    def test_rarity_ranking(self):
+        from pdf_extract_ray.ops.corpus import tfidf_top_terms
+        tbl = _docs([
+            (1, "common rare common"),   # rare df=1 tf=1 > common df=3
+            (2, "common common unique"),  # unique df=1
+            (3, "common solo solo"),     # solo df=1 tf=2
+        ])
+        out = tfidf_top_terms(_ds(tbl)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.term.tolist() == ["rare", "unique", "solo"]
+        assert out.tf.tolist() == [1, 1, 2]
+        assert out.df.tolist() == [1, 1, 1]
+
+    def test_tie_breaks_on_term(self):
+        from pdf_extract_ray.ops.corpus import tfidf_top_terms
+        # both terms tf=1 df=1 -> alphabetically first wins
+        tbl = _docs([(1, "zeta alpha"), (2, "zeta alpha")])
+        out = tfidf_top_terms(_ds(tbl)).to_pandas()
+        # after doc 1+2 share both terms: df=2 for each, still tied
+        assert set(out.term) == {"alpha"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKernels:
+    def test_gram_hashes_respect_row_boundaries(self):
+        from pdf_extract_ray.ops.corpus import _word_hashes, _gram_hashes
+        row_of, wh, counts = _word_hashes(["a b c", "d e"])
+        assert counts.tolist() == [3, 2]
+        grow, gh = _gram_hashes(row_of, wh, 2)
+        # "a b","b c" from row 0; "d e" from row 1 — never "c d"
+        assert grow.tolist() == [0, 0, 1]
+        row_of2, wh2, _ = _word_hashes(["c d"])
+        _, gh2 = _gram_hashes(row_of2, wh2, 2)
+        assert gh2[0] not in set(gh.tolist())
+
+    def test_word_hash_equality_matches_strings(self):
+        from pdf_extract_ray.ops.corpus import _word_hashes
+        _, wh, _ = _word_hashes(["x y x", "y x"])
+        assert wh[0] == wh[2] == wh[4]
+        assert wh[1] == wh[3]
+        assert wh[0] != wh[1]
