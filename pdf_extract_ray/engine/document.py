@@ -155,13 +155,18 @@ class Document:
                 lx.pos += 20 * count
                 continue
             for i in range(count):
-                # lenient fallback: token-by-token
+                # lenient fallback: token-by-token.  A corrupt count (a
+                # flipped digit can claim 10^15 entries) must not spin
+                # here: empty tokens mean the lexer stopped advancing
+                # (EOF or a delimiter), so the table is truncated — bail.
                 lx.skip_ws()
                 off_tok = lx.read_regular_token()
                 lx.skip_ws()
                 gen_tok = lx.read_regular_token()
                 lx.skip_ws()
                 kind = lx.read_regular_token()
+                if not kind:
+                    raise PdfError("truncated xref subsection")
                 num = start + i
                 if kind == b"n" and num not in self._xref:
                     self._xref[num] = ("n", int(off_tok), int(gen_tok))

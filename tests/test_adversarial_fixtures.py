@@ -42,6 +42,24 @@ class TestCorruptXref:
         m = get_metadata(pdf_corrupt_startxref())
         assert m["page_count"] == "1"
 
+    def test_huge_xref_count_terminates(self):
+        """A flipped digit can make a subsection claim 10^15 entries;
+        the lenient token fallback must bail when the lexer stops
+        advancing instead of spinning count times (regression: fuzz
+        found an effectively-infinite loop here)."""
+        import re
+        import time
+        base = pdf_simple_helvetica("huge count")
+        # inflate the subsection count ("0 N\n" after the xref keyword)
+        mutated = re.sub(rb"xref\r?\n0 (\d+)",
+                         lambda m: b"xref\n0 " + m.group(1) + b"0" * 12,
+                         base, count=1)
+        assert mutated != base
+        t0 = time.perf_counter()
+        out = extract_text_from_mem(mutated)  # recovery path or error text
+        assert time.perf_counter() - t0 < 30.0
+        assert isinstance(out, str)
+
 
 class TestHybridXref:
     def test_font_resolved_via_xrefstm(self):
