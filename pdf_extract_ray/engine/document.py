@@ -179,6 +179,11 @@ class Document:
         if len(w) < 3 or not all(isinstance(x, int) for x in w):
             raise PdfError("bad W in xref stream")
         w1, w2, w3 = w[0], w[1], w[2]
+        # all-zero/negative widths would make the entry cursor never
+        # advance below — a corrupt count then spins forever (same
+        # pattern as the xref-table fallback bail)
+        if w1 < 0 or w2 < 0 or w3 < 0 or w1 + w2 + w3 <= 0:
+            raise PdfError("bad W widths in xref stream")
         size = get_int(self, d, b"Size")
         index = d.get(b"Index")
         if isinstance(index, list) and len(index) % 2 == 0:

@@ -60,6 +60,19 @@ class TestCorruptXref:
         assert time.perf_counter() - t0 < 30.0
         assert isinstance(out, str)
 
+    def test_zero_width_xref_stream_terminates(self):
+        """W=[0,0,0] makes the xref-stream entry cursor never advance —
+        the parser must reject it (recovery scan still extracts)."""
+        import time
+        from pdf_extract_ray.data.pdfgen import pdf_flate_xrefstream
+        base = pdf_flate_xrefstream("spin test")
+        mutated = base.replace(b"/W [1 4 2]", b"/W [0 0 0]", 1)
+        assert mutated != base
+        t0 = time.perf_counter()
+        out = extract_text_from_mem(mutated)
+        assert time.perf_counter() - t0 < 30.0
+        assert out == "\n\nspin test"  # recovery scan repairs it
+
 
 class TestHybridXref:
     def test_font_resolved_via_xrefstm(self):
