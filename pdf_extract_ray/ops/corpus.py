@@ -59,6 +59,19 @@ def _default_parts():
     return max(2, min(32, cpus))
 
 
+def _coalesce_nonempty(ds, num_partitions: int):
+    """Repartition a MATERIALIZED aggregate output so no block is empty:
+    a groupby with more partitions than distinct keys emits empty,
+    schema-less blocks that crash a downstream join's key resolution
+    (Ray 2.49; bench-reproduced with a 30-term vocab on 32 CPUs).
+    Block count scales with rows (~64k rows/block, capped at
+    num_partitions) so the guard costs one tiny shuffle, never a
+    single-block bottleneck at corpus scale."""
+    n = ds.count()
+    return ds.repartition(max(1, min(num_partitions,
+                                     (n + 65535) // 65536)))
+
+
 def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Split each text on ' ' and hash every word -> (row_of, wh, counts):
     row index per word, uint64 word hashes, and words-per-row.  All
@@ -266,6 +279,7 @@ def chunk_dedup(docs_ds, *, chunk_words: int = 8, num_partitions=None,
         lambda b: pa.table({"packed": b.column("min(packed)")}),
         batch_format="pyarrow").materialize()  # tiny vs text; sequences
     # the shuffle before the join (Ray 2.49 aggregator-pool contention)
+    winners = _coalesce_nonempty(winners, num_partitions)
 
     kept = exploded.join(winners, join_type="left_semi",
                          num_partitions=num_partitions, on=("packed",))
@@ -326,6 +340,7 @@ def tfidf_top_terms(docs_ds, *, num_partitions=None,
                             "df": pc.cast(b.column("count()"),
                                           pa.int64())}),
         batch_format="pyarrow").materialize()
+    df_ds = _coalesce_nonempty(df_ds, num_partitions)
 
     joined = tf_ds.join(df_ds, join_type="inner",
                         num_partitions=num_partitions, on=("term",))
