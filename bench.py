@@ -113,14 +113,20 @@ def run_ops(sf_dir: str):
             if name not in qs:
                 continue
             t0 = time.perf_counter()
-            res = qs[name](sf_dir)
-            # consume: Dataset -> full execution; Table is done already
-            if hasattr(res, "to_pandas") and hasattr(res, "iter_batches"):
-                n = 0
-                for b in res.iter_batches(batch_format="pyarrow"):
-                    n += b.num_rows
+            try:
+                res = qs[name](sf_dir)
+                # consume: Dataset -> full execution; Table is done
+                if hasattr(res, "to_pandas") and hasattr(res, "iter_batches"):
+                    n = 0
+                    for b in res.iter_batches(batch_format="pyarrow"):
+                        n += b.num_rows
+            except Exception as e:  # record, don't lose the whole bench
+                print(f"bench: {name} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                out.setdefault(name, -1.0)
+                continue
             dt = round(time.perf_counter() - t0, 3)
-            if name not in out or dt < out[name]:
+            if name not in out or out[name] < 0 or dt < out[name]:
                 out[name] = dt
     return out
 
