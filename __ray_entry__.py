@@ -303,6 +303,15 @@ def _q_repetition_scores(sf_dir: str):
                                    columns=["doc_id", "text"]))
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Composite Gopher-style quality gate (word-count window + 2-gram
+    duplication/dominance thresholds) — one map-side pass, zero
+    shuffles (ops/corpus.py)."""
+    from pdf_extract_ray.ops.corpus import gopher_filter
+    return gopher_filter(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]))
+
+
 def _q_chunk_dedup(sf_dir: str):
     """C4-style first-occurrence span dedup: 8-word chunks, global
     keep-first election over 16 B (hash, position) rows, text rebuilt
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_neardup": _q_ngram_neardup,
         "decontaminate": _q_decontaminate,
         "repetition_scores": _q_repetition_scores,
+        "gopher_filter": _q_gopher_filter,
         "chunk_dedup": _q_chunk_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "neardup_dedup": _q_neardup_dedup_survivors,
@@ -812,6 +822,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.n_distinct_2grams, 0) AS n_distinct_2grams,
                    COALESCE(g.top_2gram_count, 0) AS top_2gram_count
             FROM ws_stats s LEFT JOIN gs g USING (doc_id)
+        """,
+        "gopher_filter": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                       FROM documents),
+            ws_stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_words
+                         FROM w),
+            gj AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                   FROM w),
+            g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g2 FROM gj),
+            gc AS (SELECT doc_id, g2, count(*) c FROM g
+                   GROUP BY doc_id, g2),
+            gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n2,
+                          CAST(count(*) AS BIGINT) nd2,
+                          CAST(max(c) AS BIGINT) top2
+                   FROM gc GROUP BY doc_id),
+            fr AS (SELECT s.doc_id, s.n_words,
+                          CASE WHEN COALESCE(g.n2, 0) = 0 THEN 0.0
+                               ELSE 1.0 - g.nd2 / CAST(g.n2 AS DOUBLE)
+                          END AS dup_2gram_frac,
+                          CASE WHEN COALESCE(g.n2, 0) = 0 THEN 0.0
+                               ELSE g.top2 / CAST(g.n2 AS DOUBLE)
+                          END AS top_2gram_frac
+                   FROM ws_stats s LEFT JOIN gs g USING (doc_id))
+            SELECT doc_id, n_words, dup_2gram_frac, top_2gram_frac
+            FROM fr
+            WHERE n_words >= 15 AND n_words <= 90
+              AND dup_2gram_frac <= 0.06 AND top_2gram_frac <= 0.06
         """,
         "chunk_dedup": """
             WITH w AS (SELECT doc_id, string_split(text,' ') ws

@@ -106,7 +106,8 @@ def run_ops(sf_dir: str):
              "normalize_text", "sessionize_salted", "asof_join_left",
              "approx_value_quantiles", "ann_topk_ivf", "ccprep",
              "asof_join_salted", "stratified_sample", "decontaminate",
-             "repetition_scores", "chunk_dedup", "tfidf_top_terms"]
+             "repetition_scores", "chunk_dedup", "tfidf_top_terms",
+             "gopher_filter"]
     out = {}
     for _pass in range(2):
         for name in names:

@@ -227,6 +227,42 @@ def repetition_scores(docs_ds, *, n: int = 2,
     return docs_ds.map_batches(stats, batch_format="pyarrow")
 
 
+def gopher_filter(docs_ds, *, min_words: int = 15, max_words: int = 90,
+                  max_dup_2gram_frac: float = 0.06,
+                  max_top_2gram_frac: float = 0.06,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Composite Gopher-style quality gate: keep documents whose word
+    count is within [min_words, max_words] and whose 2-gram duplication
+    and top-2-gram-dominance fractions stay under the thresholds ->
+    (doc_id, n_words, dup_2gram_frac, top_2gram_frac) for survivors.
+
+    Composes repetition_scores (still one map-side pass, zero shuffles).
+    Fractions are IEEE-exact (one int64->float64 division + subtraction,
+    mirrored in the SQL oracle), so the gate is bit-deterministic."""
+    stats = repetition_scores(docs_ds, id_col=id_col, text_col=text_col)
+
+    def gate(b: pa.Table) -> pa.Table:
+        nw = b.column("n_words").to_numpy(zero_copy_only=False)
+        n2 = b.column("n_2grams").to_numpy(zero_copy_only=False)
+        nd2 = b.column("n_distinct_2grams").to_numpy(zero_copy_only=False)
+        top = b.column("top_2gram_count").to_numpy(zero_copy_only=False)
+        n2f = n2.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(n2 > 0, 1.0 - nd2 / n2f, 0.0)
+            topf = np.where(n2 > 0, top / n2f, 0.0)
+        keep = ((nw >= min_words) & (nw <= max_words)
+                & (dup <= max_dup_2gram_frac)
+                & (topf <= max_top_2gram_frac))
+        return pa.table({
+            id_col: b.column(id_col).filter(pa.array(keep)),
+            "n_words": pa.array(nw[keep], pa.int64()),
+            "dup_2gram_frac": pa.array(dup[keep], pa.float64()),
+            "top_2gram_frac": pa.array(topf[keep], pa.float64()),
+        })
+
+    return stats.map_batches(gate, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # C4-style first-occurrence chunk dedup
 # ---------------------------------------------------------------------------

@@ -107,6 +107,32 @@ class TestRepetitionScores:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestGopherFilter:
+    def test_gate_rules(self):
+        from pdf_extract_ray.ops.corpus import gopher_filter
+        tbl = _docs([
+            (1, " ".join(f"w{i}" for i in range(20))),    # clean -> keep
+            (2, " ".join(["a b"] * 10)),                  # dup-heavy
+            (3, "short doc"),                             # too few words
+            (4, " ".join(f"w{i}" for i in range(200))),   # too many words
+        ])
+        out = gopher_filter(_ds(tbl), min_words=10, max_words=100,
+                            max_dup_2gram_frac=0.2,
+                            max_top_2gram_frac=0.2).to_pandas()
+        assert out.doc_id.tolist() == [1]
+        assert out.n_words.tolist() == [20]
+        assert out.dup_2gram_frac.tolist() == [0.0]
+
+    def test_single_word_doc_passes_gram_rules(self):
+        from pdf_extract_ray.ops.corpus import gopher_filter
+        out = gopher_filter(_ds(_docs([(7, "solo")])), min_words=1,
+                            max_words=5).to_pandas()
+        assert out.doc_id.tolist() == [7]
+        assert out.dup_2gram_frac.tolist() == [0.0]
+        assert out.top_2gram_frac.tolist() == [0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestChunkDedup:
     def test_first_occurrence_wins(self):
         from pdf_extract_ray.ops.corpus import chunk_dedup
