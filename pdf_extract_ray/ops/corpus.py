@@ -51,12 +51,16 @@ _POS_BASE = 1 << 20
 
 
 def _default_parts():
+    """Join/groupby partition count: half the session CPUs (A/B at 32
+    CPUs: 16 partitions beat 32 by ~2x — hash-join aggregator actors
+    otherwise starve the map tasks), capped for the local sandbox.  On a
+    real multi-node cluster size this to total cluster CPUs."""
     import ray
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, min(32, cpus))
+    return max(2, min(32, cpus // 2))
 
 
 def _coalesce_nonempty(ds, num_partitions: int):
