@@ -283,27 +283,50 @@ class Lexer:
             pos = self.pos
 
     def _parse_number_or_ref(self, allow_ref: bool):
+        buf, end = self.buf, self.end
         if allow_ref:
             # one-shot `N G R` match (the dominant case in dicts); the
-            # token-by-token fallback below also covers %-comments
-            # between the three tokens
-            m = _REF_RE.match(self.buf, self.pos, self.end)
+            # byte-loop fallback below also covers %-comments between
+            # the three tokens
+            m = _REF_RE.match(buf, self.pos, end)
             if m is not None:
                 self.pos = m.end()
                 return Ref(int(m.group(1)), int(m.group(2)))
-        tok = self.read_regular_token()
+        m = _REG_RUN.match(buf, self.pos, end)
+        tok = m.group()
+        self.pos = m.end()
         num = parse_number(tok)
-        if allow_ref and isinstance(num, int) and num >= 0:
-            # lookahead for `gen R`
-            save = self.pos
-            self.skip_ws()
-            tok2 = self.read_regular_token()
-            if tok2 and tok2.isdigit():
-                self.skip_ws()
-                tok3 = self.read_regular_token()
-                if tok3 == b"R":
-                    return Ref(num, int(tok2))
-            self.pos = save
+        if allow_ref and type(num) is int and num >= 0:
+            # `N G R` lookahead in pure byte loops (profiled: the old
+            # token-by-token fallback cost 2 skip_ws + 2 regex token
+            # reads per bare integer in arrays — widths arrays are full
+            # of them; this scan fails after a handful of byte compares)
+            p = self.pos
+            while True:
+                while p < end and _IS_WS[buf[p]]:
+                    p += 1
+                if p < end and buf[p] == 0x25:  # %-comment to EOL
+                    while p < end and buf[p] != 0x0D and buf[p] != 0x0A:
+                        p += 1
+                    continue
+                break
+            q = p
+            while q < end and 0x30 <= buf[q] <= 0x39:
+                q += 1
+            if q > p and (q >= end or not _IS_REG[buf[q]]):
+                r = q
+                while True:
+                    while r < end and _IS_WS[buf[r]]:
+                        r += 1
+                    if r < end and buf[r] == 0x25:
+                        while r < end and buf[r] != 0x0D and buf[r] != 0x0A:
+                            r += 1
+                        continue
+                    break
+                if r < end and buf[r] == 0x52 and (
+                        r + 1 >= end or not _IS_REG[buf[r + 1]]):
+                    self.pos = r + 1
+                    return Ref(num, int(buf[p:q]))
         return num
 
 
@@ -311,6 +334,13 @@ def parse_number(tok: bytes):
     """Integer -> int; real -> float rounded through f32 (lopdf parity)."""
     if not tok:
         raise PdfError("empty number token")
+    if b"." in tok:
+        # real fast path: skip the int() attempt (exception churn — reals
+        # dominate content-stream operands)
+        try:
+            return f32(float(tok))
+        except ValueError:
+            raise PdfError(f"bad number {tok!r}") from None
     try:
         return int(tok)
     except ValueError:
