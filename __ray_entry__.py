@@ -330,6 +330,88 @@ def _q_tfidf_top_terms(sf_dir: str):
                                  columns=["doc_id", "text"]))
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Dup-graph cluster resolution as distributed connected components
+    (the CC-Net/RefinedWeb shape: near-dup PAIRS -> cluster ids).  The
+    candidate-pair rule here is SQL-expressible (same (source, lang) and
+    |n_chars| within 5 — a banded interval self-join) so the WHOLE chain
+    — pair generation, min-label propagation with pointer jumping, and
+    isolated-doc fill — is DuckDB-oracled via a recursive CTE.  The
+    production near-dup graph goes through the same operator in
+    _q_neardup_clusters."""
+    from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
+    from pdf_extract_ray.ops.graph import (connected_components,
+                                           interval_self_join)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "lang", "n_chars"])
+    edges = interval_self_join(docs, ["source", "lang"], "n_chars",
+                               "doc_id", tol=5)
+    comp = connected_components(edges, "id_a", "id_b").map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
+    ids = docs.select_columns(["doc_id"])
+
+    def own(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "component": b.column("doc_id")})
+
+    if comp.count() == 0:
+        return ids.map_batches(own, batch_format="pyarrow")
+    parts = _default_parts()
+    comp = _coalesce_nonempty(comp, parts).materialize()
+    # isolated docs keep their own id: anti-join + union (left_anti is
+    # the proven shape here; avoids outer-join null handling)
+    isolated = ids.join(comp.select_columns(["doc_id"]),
+                        join_type="left_anti", num_partitions=parts,
+                        on=("doc_id",)) \
+        .map_batches(own, batch_format="pyarrow")
+    return comp.union(isolated)
+
+
+def _q_neardup_clusters(sf_dir: str):
+    """Production dup clustering: MinHash-LSH candidates -> exact
+    Jaccard verify -> distributed connected components over the verified
+    pair graph (ops/graph.py).  Every planted perturbed copy must land
+    in its original's cluster.  No SQL oracle (MinHash banding is not
+    SQL-expressible); rows-only plus the planted-cluster pytest."""
+    from pdf_extract_ray.ops.dedup import (minhash_lsh_pairs,
+                                           verify_pairs_jaccard)
+    from pdf_extract_ray.ops.graph import connected_components
+    ds = _with_neardup_copies(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(ds, threshold=0.4)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.6)
+    return connected_components(
+        verified.select_columns(["doc_id_a", "doc_id_b"]),
+        "doc_id_a", "doc_id_b")
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample (data-mixing primitive):
+    P(doc) ~ k*w/sum(W) with w = n_chars, k = 50 expected rows.  The
+    inclusion test is INTEGER-EXACT and shared verbatim with the SQL
+    oracle — ((doc_id*2654435761) mod 2^32) * sum(W) < k * w * 2^32 —
+    so no float boundary can flip membership between engines.  sum(W) is
+    one scalar aggregate closed over by the map filter; everything else
+    is map-side, shard-independent and resumable.  int64 products stay
+    exact while sum(W) < 2^31; beyond that (real corpus) promote the
+    comparison to per-batch Python ints or rescale both sides."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    total = int(ds.sum("n_chars"))
+    k = 50
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(1 << 32)
+        return b.filter(pa.array(h * total < k * w * np.int64(1 << 32)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -772,6 +854,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "chunk_dedup": _q_chunk_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "dup_clusters": _q_dup_clusters,
+        "neardup_clusters": _q_neardup_clusters,
+        "weighted_sample": _q_weighted_sample,
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
@@ -800,6 +885,28 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n_overlaps, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
             LEFT JOIN overl o USING (doc_id)
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT a.doc_id ua, b.doc_id ub FROM documents a
+              JOIN documents b
+                ON a.source = b.source AND a.lang = b.lang
+               AND abs(a.n_chars - b.n_chars) <= 5
+               AND a.doc_id < b.doc_id),
+            sym AS (SELECT ua, ub FROM e UNION SELECT ub, ua FROM e),
+            reach(x, y) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.x, s.ub FROM reach r JOIN sym s ON r.y = s.ua)
+            SELECT x AS doc_id, MIN(y) AS component
+            FROM reach GROUP BY x
+        """,
+        "weighted_sample": """
+            WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) w
+                         FROM documents)
+            SELECT doc_id, n_chars FROM documents, tot
+            WHERE ((doc_id * 2654435761) % 4294967296) * tot.w
+                  < 50 * n_chars * 4294967296
         """,
         "repetition_scores": """
             WITH w AS (SELECT doc_id, string_split(text,' ') ws

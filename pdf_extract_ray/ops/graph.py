@@ -1,0 +1,168 @@
+"""Distributed graph operators for dedup-cluster resolution.
+
+A crawl-scale near-dup pass (MinHash/SimHash -> verified pairs) leaves a
+PAIR LIST; turning pairs into clusters so one canonical doc per cluster
+survives is a connected-components problem (the CC-Net / RefinedWeb
+dedup shape).  The reference (jrmuizel/pdf-extract) stops at text
+extraction, so this whole module is "beyond the reference" training-data
+machinery.
+
+Scale design:
+- connected_components: iterative min-label propagation expressed as
+  Ray Data joins/groupbys.  Per round: one hash join (edges x labels,
+  shuffles EDGE-ID PAIRS only — 16 B/edge), one groupby-min over
+  candidate labels, then a POINTER-JUMPING self-join (label <- its
+  label's label) that halves path lengths, giving O(log diameter)
+  rounds instead of O(diameter).  Convergence is detected by the label
+  sum (strictly decreasing until fixpoint), a scalar aggregate per
+  round.  Labels are materialized once per round — they are O(nodes),
+  never O(edges).
+- interval_self_join: banded all-pairs within |value diff| <= tol inside
+  each group — ONE group-key shuffle, then an in-partition sort +
+  two-pointer sweep (O(n log n + output) per group, never a cross
+  product).  Partitioning assumption: one group's rows fit in a
+  partition (same assumption as ops/relational.asof_join documents; use
+  value-bucket salting with boundary overlap if a group outgrows it).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .corpus import _coalesce_nonempty, _default_parts
+
+
+def connected_components(edges_ds, src: str = "src", dst: str = "dst", *,
+                         num_partitions: int | None = None,
+                         max_rounds: int = 64):
+    """Connected components over an undirected edge list.
+
+    edges_ds: Dataset with two int64-castable id columns (src, dst).
+    Returns a Dataset (node, component) covering every node incident to
+    at least one edge (callers union isolated nodes back in if they need
+    them); component is the minimum node id reachable.
+    """
+    if num_partitions is None:
+        num_partitions = _default_parts()
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pa.table({"b": np.concatenate([a, c]),
+                         "cand": np.concatenate([c, a])})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())}))
+    # nonempty-block guard for the edge side of every round's join
+    edge_parts = max(1, min(num_partitions, (n_edges + 65535) // 65536))
+    edges = edges.repartition(edge_parts).materialize()
+
+    def with_self(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b.column("b"), "cand": b.column("b")})
+
+    def _rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # schema-less empty aggregate block
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"b": t.column("b"),
+                         "label": t.column(t.column_names[-1])})
+
+    # round 0: label(v) = min(v, neighbors) — the self edge folds the
+    # node's own id into the same groupby-min
+    cand0 = edges.union(edges.map_batches(with_self, batch_format="pyarrow"))
+    labels = (cand0.groupby("b").min("cand")
+              .map_batches(_rename, batch_format="pyarrow").materialize())
+    # size the per-round label repartition ONCE from the true node count
+    # (count() on materialized data is metadata-only); folding the
+    # repartition into each round's plan saves a count+reshuffle job per
+    # round, and node count is invariant across rounds
+    label_parts = max(1, min(num_partitions, (labels.count() + 65535)
+                             // 65536))
+    labels = labels.repartition(label_parts).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        # propagate: for each edge (b, cand), candidate label of b is
+        # label(cand); the join shuffles (edge endpoint, 8 B label) only.
+        # ONE join per lazy plan (two concurrent hash joins deadlock
+        # small sessions — Ray 2.49); labels is materialized between.
+        prop = edges.join(
+            labels.map_batches(
+                lambda t: pa.table({"cand": t.column("b"),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("cand",)) \
+            .map_batches(
+                lambda t: pa.table({"b": t.column("b"),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow")
+        labels = (prop.union(labels).groupby("b").min("label")
+                  .map_batches(_rename, batch_format="pyarrow")
+                  .repartition(label_parts).materialize())
+
+        # pointer jumping: label <- label(label) (path halving; turns
+        # O(diameter) propagation rounds into O(log diameter))
+        jump = labels.map_batches(
+            lambda t: pa.table({"b": t.column("label"),
+                                "orig": t.column("b")}),
+            batch_format="pyarrow").join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("b",))
+        labels = (jump.map_batches(
+            lambda t: pa.table({"b": t.column("orig"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+            .repartition(label_parts).materialize())
+
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("b"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
+
+
+def interval_self_join(ds, group_cols: list[str], value_col: str,
+                       id_col: str, *, tol: int):
+    """All pairs (id_a < id_b) within each group whose values differ by
+    at most tol -> Dataset (id_a, id_b).  One group-key shuffle; each
+    group is sorted once and swept with a two-pointer window (output-
+    sensitive, no cross product)."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col, kind="mergesort")
+        vals = df[value_col].to_numpy()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        n = len(vals)
+        # for each i, rows j in (i, hi) have vals[j] - vals[i] <= tol;
+        # expand the ragged windows without a Python row loop
+        hi = np.searchsorted(vals, vals + tol, side="right")
+        idx = np.arange(n)
+        cnt = np.maximum(hi - idx - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        left = np.repeat(idx, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        right = left + 1 + offs
+        a, b2 = ids[left], ids[right]
+        return pd.DataFrame({"id_a": np.minimum(a, b2),
+                             "id_b": np.maximum(a, b2)})
+
+    cols = list(group_cols) + [value_col, id_col]
+    return ds.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow") \
+        .groupby(group_cols).map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,154 @@
+"""Unit tests for ops/graph.py: distributed connected components
+(min-label propagation + pointer jumping) and the banded interval
+self-join, against naive union-find / brute-force references.  The
+sf0.01 DuckDB oracle (dup_clusters, recursive CTE) covers the composed
+query; these pin the operator semantics on adversarial shapes (long
+chains that force multiple propagation rounds, merged stars, isolated
+self-loops)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray
+    return ray.data.from_arrow(tbl)
+
+
+def _edges(pairs):
+    return pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    })
+
+
+def _naive_components(pairs):
+    """Union-find reference: node -> min id of its component."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def _run(self, pairs):
+        from pdf_extract_ray.ops.graph import connected_components
+        out = connected_components(_ds(_edges(pairs))).to_pandas()
+        if out.empty:  # Ray drops the schema on zero-row datasets
+            return {}
+        return dict(zip(out["node"], out["component"]))
+
+    def test_chain_forces_multiple_rounds(self):
+        # a 40-node path with ids descending: min id sits at one END, so
+        # plain propagation needs ~diameter rounds — pointer jumping must
+        # still converge well inside max_rounds
+        pairs = [(i + 1, i) for i in range(40)]
+        got = self._run(pairs)
+        assert got == {n: 0 for n in range(41)}
+
+    def test_two_stars_merged_by_bridge(self):
+        pairs = [(100, i) for i in range(1, 5)] + \
+                [(200, i) for i in range(201, 205)] + [(4, 204)]
+        got = self._run(pairs)
+        expect = _naive_components(pairs)
+        assert got == expect
+
+    def test_disjoint_components_and_self_loops(self):
+        pairs = [(1, 2), (2, 3), (7, 7), (10, 11), (5, 5)]
+        got = self._run(pairs)
+        # pure self-loop nodes carry no real edge -> not covered
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_empty_edges(self):
+        got = self._run([])
+        assert got == {}
+
+    def test_random_graph_matches_union_find(self):
+        rng = np.random.RandomState(7)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 60, size=(80, 2)) if a != b]
+        got = self._run(pairs)
+        assert got == _naive_components(pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalSelfJoin:
+    def test_pairs_within_tolerance(self):
+        from pdf_extract_ray.ops.graph import interval_self_join
+        tbl = pa.table({
+            "g": pa.array(["x", "x", "x", "x", "y", "y", "z"]),
+            "v": pa.array([10, 11, 13, 30, 10, 11, 5], pa.int64()),
+            "i": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        })
+        out = interval_self_join(_ds(tbl), ["g"], "v", "i", tol=2) \
+            .to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert got == {(1, 2), (2, 3), (5, 6)}
+
+    def test_matches_bruteforce_on_random_groups(self):
+        from pdf_extract_ray.ops.graph import interval_self_join
+        rng = np.random.RandomState(3)
+        n = 120
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], size=n),
+            "v": rng.randint(0, 40, size=n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+        })
+        tol = 3
+        expect = set()
+        for _, grp in df.groupby("g"):
+            v = grp["v"].to_numpy()
+            ids = grp["i"].to_numpy()
+            for a in range(len(v)):
+                for b in range(a + 1, len(v)):
+                    if abs(int(v[a]) - int(v[b])) <= tol:
+                        expect.add((min(ids[a], ids[b]),
+                                    max(ids[a], ids[b])))
+        out = interval_self_join(
+            _ds(pa.Table.from_pandas(df, preserve_index=False)),
+            ["g"], "v", "i", tol=tol).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNeardupClustering:
+    def test_planted_copies_cluster_with_originals(self):
+        """Perturbed copies (id + 1M, like _with_neardup_copies) must land
+        in their original's component via the LSH->verify->CC chain."""
+        from pdf_extract_ray.ops.dedup import (minhash_lsh_pairs,
+                                               verify_pairs_jaccard)
+        from pdf_extract_ray.ops.graph import connected_components
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(50)]
+        base = {i: " ".join(rng.choice(vocab, size=60)) for i in range(8)}
+        rows = [(i, t) for i, t in base.items()]
+        for i, t in base.items():
+            words = t.split(" ")
+            words[5] = "CHANGED"
+            rows.append((i + 1_000_000, " ".join(words)))
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        pairs = minhash_lsh_pairs(_ds(tbl), threshold=0.4)
+        verified = verify_pairs_jaccard(pairs, _ds(tbl), threshold=0.6)
+        comp = connected_components(
+            verified.select_columns(["doc_id_a", "doc_id_b"]),
+            "doc_id_a", "doc_id_b").to_pandas()
+        lab = dict(zip(comp["node"], comp["component"]))
+        for i in base:
+            assert lab.get(i + 1_000_000) == lab.get(i) == i
