@@ -412,6 +412,94 @@ def _q_weighted_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Source-rebalancing mixture sample (the data-mixing primitive):
+    downsample every source to the smallest source's total weight so the
+    output mixture is ~uniform across sources.  Per-source totals are ONE
+    tiny aggregate (n_sources rows — the mixture config is small by
+    definition) collected to a dict and closed over by the map filter;
+    the inclusion test is integer-exact and shared verbatim with the SQL
+    oracle: ((doc_id*2654435761) mod 2^32) * total_src < min_total *
+    2^32.  Everything after the scalar aggregate is map-side,
+    shard-independent and resumable."""
+    import pandas as pd
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    tot = {r["source"]: int(r["sum(n_chars)"])
+           for r in ds.groupby("source").sum("n_chars").take_all()}
+    min_total = min(tot.values())
+
+    def keep(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        h = (df["doc_id"].to_numpy(np.int64) * np.int64(2654435761)) \
+            % np.int64(1 << 32)
+        ts = df["source"].map(tot).to_numpy(np.int64)
+        m = h * ts < min_total * np.int64(1 << 32)
+        return pa.Table.from_pandas(df[m], preserve_index=False)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_inverted_index(sf_dir: str):
+    """Posting-list construction (search / dedup-support index): term ->
+    comma-joined sorted doc_id list, for terms with document frequency
+    in [2, 80% of corpus] (integer-exact: df*10 <= n_docs*8).  Scale
+    discipline: hot terms (stopwords) are the hazard, so the df GATE
+    runs before any list collection — (term, doc) pairs are map-side
+    deduped, df comes from two native combine-able count aggregations
+    (no single-worker hotspot even for 'the'), and only gated terms
+    (bounded postings) reach the left_semi join + the per-term list
+    build."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out_t, out_d = [], []
+        for did, t in zip(ids, texts):
+            for w in set(t.split(" ")):
+                if w:
+                    out_t.append(w)
+                    out_d.append(did)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(np.asarray(out_d, np.int64))})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    parts = _default_parts()
+    # exact df per term: (term, doc) distinct -> term count; both steps
+    # are native partial-combine aggregations
+    uniq = pairs.groupby(["term", "doc_id"]).count()
+    df_tbl = uniq.map_batches(
+        lambda t: t.select(["term"]), batch_format="pyarrow") \
+        .groupby("term").count()
+    gated = df_tbl.filter(
+        lambda r: r["count()"] >= 2 and r["count()"] * 10 <= n_docs * 8) \
+        .materialize()
+    if gated.count() == 0:  # empty gate -> schema-less join crash
+        import ray
+        return ray.data.from_arrow(
+            pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "postings": pa.array([], pa.string())}))
+    gated = _coalesce_nonempty(gated, parts)
+    kept = uniq.map_batches(
+        lambda t: t.select(["term", "doc_id"]), batch_format="pyarrow") \
+        .join(gated.select_columns(["term"]), join_type="left_semi",
+              num_partitions=parts, on=("term",))
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "term": [df["term"].iloc[0]],
+            "df": np.array([len(ids)], np.int64),
+            "postings": [",".join(str(i) for i in ids)],
+        })
+
+    return kept.groupby("term").map_groups(build, batch_format="pandas")
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -857,6 +945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "neardup_clusters": _q_neardup_clusters,
         "weighted_sample": _q_weighted_sample,
+        "mixture_sample": _q_mixture_sample,
+        "inverted_index": _q_inverted_index,
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
@@ -907,6 +997,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, tot
             WHERE ((doc_id * 2654435761) % 4294967296) * tot.w
                   < 50 * n_chars * 4294967296
+        """,
+        "mixture_sample": """
+            WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) ts
+                       FROM documents GROUP BY source),
+            m AS (SELECT MIN(ts) mt FROM t)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d, t, m
+            WHERE d.source = t.source
+              AND ((d.doc_id * 2654435761) % 4294967296) * t.ts
+                  < m.mt * 4294967296
+        """,
+        "inverted_index": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                       FROM documents),
+            p AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM w
+                  WHERE len(ws) > 0),
+            pp AS (SELECT term, doc_id FROM p WHERE term <> ''),
+            d AS (SELECT term, CAST(count(*) AS BIGINT) df FROM pp
+                  GROUP BY term)
+            SELECT pp.term, d.df,
+                   string_agg(CAST(pp.doc_id AS VARCHAR), ','
+                              ORDER BY pp.doc_id) AS postings
+            FROM pp JOIN d USING (term)
+            WHERE d.df >= 2
+              AND d.df * 10 <= 8 * (SELECT count(*) FROM documents)
+            GROUP BY pp.term, d.df
         """,
         "repetition_scores": """
             WITH w AS (SELECT doc_id, string_split(text,' ') ws

@@ -107,7 +107,8 @@ def run_ops(sf_dir: str):
              "approx_value_quantiles", "ann_topk_ivf", "ccprep",
              "asof_join_salted", "stratified_sample", "decontaminate",
              "repetition_scores", "chunk_dedup", "tfidf_top_terms",
-             "gopher_filter", "dup_clusters", "weighted_sample"]
+             "gopher_filter", "dup_clusters", "weighted_sample",
+             "mixture_sample", "inverted_index"]
     out = {}
     for _pass in range(2):
         for name in names:
