@@ -500,6 +500,73 @@ def _q_inverted_index(sf_dir: str):
     return kept.groupby("term").map_groups(build, batch_format="pandas")
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Model-based quality filtering (FineWeb/DCLM shape): train a tiny
+    logistic regression BY DISTRIBUTED IRLS to imitate a rule gate
+    (word-count window), then score every doc map-side.  Each Newton
+    iteration is one map_batches pass emitting O(d^2) partials per
+    block; no corpus row reaches the driver.  Rows-only (iterative
+    Newton is not SQL-expressible); separation/parity pinned in
+    tests/test_classifier_ops.py."""
+    from pdf_extract_ray.ops.classifier import (logreg_fit_irls,
+                                                logreg_score,
+                                                text_gate_features)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .materialize()
+
+    def label_fn(b: pa.Table) -> np.ndarray:
+        texts = b.column("text").to_pylist()
+        return np.array([
+            1.0 if 15 <= len([w for w in t.split(" ") if w]) <= 90 else 0.0
+            for t in texts])
+
+    beta = logreg_fit_irls(ds, text_gate_features(label_fn=label_fn),
+                           dim=4, iters=6)
+    return logreg_score(ds, text_gate_features(), beta)
+
+
+def _q_zscore_by_source(sf_dir: str):
+    """Per-group z-score normalization (feature standardization): two
+    passes — one tiny per-source aggregate of INTEGER sums (count, sum,
+    sum of squares: exact, so no float summation-order skew vs the
+    oracle), then a map-side transform with the same IEEE op sequence
+    the SQL uses (mean = s1/n; var = (s2 - s1*s1/n)/n; z =
+    (x-mean)/sqrt(var)), making the float output bit-identical across
+    engines."""
+    import pandas as pd
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def sq(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"source": b.column("source"),
+                         "x": pa.array(x), "xx": pa.array(x * x)})
+
+    from ray.data.aggregate import Count, Sum
+    stats = {r["source"]: (int(r["count()"]), int(r["sum(x)"]),
+                           int(r["sum(xx)"]))
+             for r in ds.map_batches(sq, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Count(), Sum("x"), Sum("xx")).take_all()}
+    params = {}
+    for s, (n, s1, s2) in stats.items():
+        mean = s1 / n
+        var = (float(s2) - float(s1) * s1 / n) / n
+        if var > 0:
+            params[s] = (mean, np.sqrt(var))
+
+    def z(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["source"].isin(params)]
+        ms = df["source"].map(lambda s: params[s][0]).to_numpy(np.float64)
+        sd = df["source"].map(lambda s: params[s][1]).to_numpy(np.float64)
+        x = df["n_chars"].to_numpy(np.float64)
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                         "z": pa.array((x - ms) / sd, pa.float64())})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -947,6 +1014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "mixture_sample": _q_mixture_sample,
         "inverted_index": _q_inverted_index,
+        "zscore_by_source": _q_zscore_by_source,
+        "quality_classifier": _q_quality_classifier,
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
@@ -997,6 +1066,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, tot
             WHERE ((doc_id * 2654435761) % 4294967296) * tot.w
                   < 50 * n_chars * 4294967296
+        """,
+        "zscore_by_source": """
+            WITH s AS (SELECT source, CAST(count(*) AS BIGINT) n,
+                              CAST(sum(n_chars) AS BIGINT) s1,
+                              CAST(sum(n_chars * n_chars) AS BIGINT) s2
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id,
+                   (d.n_chars - CAST(s1 AS DOUBLE) / n)
+                   / sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * s1 / n) / n) AS z
+            FROM documents d JOIN s USING (source)
+            WHERE (CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
         """,
         "mixture_sample": """
             WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) ts

@@ -108,7 +108,8 @@ def run_ops(sf_dir: str):
              "asof_join_salted", "stratified_sample", "decontaminate",
              "repetition_scores", "chunk_dedup", "tfidf_top_terms",
              "gopher_filter", "dup_clusters", "weighted_sample",
-             "mixture_sample", "inverted_index"]
+             "mixture_sample", "inverted_index", "zscore_by_source",
+             "quality_classifier"]
     out = {}
     for _pass in range(2):
         for name in names:
