@@ -54,7 +54,48 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst", *,
         return pa.table({"b": np.concatenate([a, c]),
                          "cand": np.concatenate([c, a])})
 
-    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    def local_star(b: pa.Table) -> pa.Table:
+        """Block-local union-find contraction: collapse every component
+        visible WITHIN this block to star edges (node <-> local root).
+        Components are preserved exactly (within-block transitivity is
+        compressed, cross-block edges survive as stars sharing nodes);
+        the global iterate then converges in rounds proportional to the
+        CONTRACTED graph's diameter — for banded/bucketed dup graphs,
+        whose candidate pairs are emitted block-locally, that is 1-3
+        rounds instead of O(log component-diameter).  The union-find
+        loop is per-edge Python but block-bounded (~64k edges)."""
+        if b.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "cand": pa.array([], pa.int64())})
+        a = b.column("b").to_numpy(zero_copy_only=False)
+        c = b.column("cand").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([a, c]), return_inverse=True)
+        parent = np.arange(len(nodes))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        half = len(a)
+        for i in range(half):
+            ra, rc = find(inv[i]), find(inv[half + i])
+            if ra != rc:
+                # root at the smaller NODE ID (stable across block
+                # orderings)
+                if nodes[ra] < nodes[rc]:
+                    parent[rc] = ra
+                else:
+                    parent[ra] = rc
+        roots = nodes[np.array([find(i) for i in range(len(nodes))])]
+        keep = roots != nodes
+        n2, r2 = nodes[keep], roots[keep]
+        return pa.table({"b": np.concatenate([n2, r2]),
+                         "cand": np.concatenate([r2, n2])})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow") \
+        .map_batches(local_star, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
         import ray
