@@ -878,6 +878,102 @@ def _q_asof_join_salted(sf_dir: str):
         salt_days=90)
 
 
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: lineitem x part conditional revenue over a
+    shipdate year.  The part dim is ~0.3% of lineitem rows, so the
+    promo-partkey SET is collected once and rides the task closure
+    (broadcast) — the fact table never shuffles at all; per-batch
+    partial (promo, total) sums reduce to one row.  With a dim too big
+    to broadcast, fall back to the revenue_by_nation hash-join path."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    promo = part.filter(lambda r: r["p_type"] == "PROMO") \
+        .select_columns(["p_partkey"]).take_all()
+    promo_keys = np.sort(np.array([r["p_partkey"] for r in promo],
+                                  dtype=np.int64))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    lo = np.datetime64("1998-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)[m]
+        rev = (b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+               * (1.0 - b.column("l_discount")
+                  .to_numpy(zero_copy_only=False)[m]))
+        idx = np.searchsorted(promo_keys, pk)
+        idx[idx >= len(promo_keys)] = 0
+        is_promo = promo_keys[idx] == pk if len(promo_keys) else \
+            np.zeros(len(pk), bool)
+        return pa.table({
+            "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "total": pa.array([float(rev.sum())], pa.float64()),
+            "n": pa.array([int(m.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    promo_sum = sum(r["promo"] for r in parts)
+    total_sum = sum(r["total"] for r in parts)
+    n = sum(r["n"] for r in parts)
+    return pa.table({
+        "promo_revenue_cents": pa.array([int(round(promo_sum * 100))],
+                                        pa.int64()),
+        "total_revenue_cents": pa.array([int(round(total_sum * 100))],
+                                        pa.int64()),
+        "n_rows": pa.array([n], pa.int64())})
+
+
+def _q_revenue_by_region(sf_dir: str):
+    """Snowflake rollup: lineitem revenue by supplier REGION through the
+    supplier -> nation -> region dim chain.  All three dims are tiny by
+    construction (supplier 0.2% of lineitem; nation 25; region 5) and
+    compose into ONE suppkey->region_name lookup on the driver,
+    broadcast via the task closure; the fact scan emits per-batch
+    partial sums per region (<= 5 x n_blocks rows) into a final tiny
+    groupby."""
+    import pandas as pd
+    sup = {r["s_suppkey"]: r["s_nationkey"]
+           for r in _read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]).take_all()}
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in _read(sf_dir, "nation",
+                          columns=["n_nationkey", "n_regionkey"]).take_all()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in _read(sf_dir, "region",
+                          columns=["r_regionkey", "r_name"]).take_all()}
+    lookup = {sk: reg[nat[nk]] for sk, nk in sup.items()}
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        rev = df["l_extendedprice"].to_numpy() \
+            * (1.0 - df["l_discount"].to_numpy())
+        names = df["l_suppkey"].map(lookup)
+        g = pd.DataFrame({"r_name": names, "rev": rev, "one": 1}) \
+            .groupby("r_name", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("rev"), Sum("one"))
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"r_name": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        rev = t.column("sum(rev)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": t.column("r_name"),
+            "revenue_cents": pa.array(
+                [int(round(v * 100)) for v in rev], pa.int64()),
+            "n_items": pc.cast(t.column("sum(one)"), pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def _q_big_spender_customers(sf_dir: str):
     from pdf_extract_ray.ops.relational import customers_with_big_orders
     return customers_with_big_orders(
@@ -981,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_splits": _q_dataset_splits,
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
+        "promo_revenue": _q_promo_revenue,
+        "revenue_by_region": _q_revenue_by_region,
         "asof_join": _q_asof_join,
         "asof_join_left": _q_asof_join_left,
         "asof_join_salted": _q_asof_join_salted,
@@ -1339,6 +1437,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "promo_revenue": """
+            SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice
+                                       * (1 - l.l_discount)
+                                  ELSE 0 END) * 100, 0) AS BIGINT)
+                       AS promo_revenue_cents,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+                              * 100, 0) AS BIGINT)
+                       AS total_revenue_cents,
+                   count(*) AS n_rows
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+                              * 100, 0) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "revenue_by_nation": """
             WITH per_cust AS (
