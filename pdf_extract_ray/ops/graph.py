@@ -7,6 +7,13 @@ dedup shape).  The reference (jrmuizel/pdf-extract) stops at text
 extraction, so this whole module is "beyond the reference" training-data
 machinery.
 
+Algorithm family: iterative min-label propagation with path halving and
+local contraction — the public MapReduce-CC lineage (hash-min /
+two-phase style algorithms, e.g. Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014; Rastogi et al., "Finding Connected
+Components in Map-Reduce in Logarithmic Rounds", ICDE 2013), re-expressed
+as Ray Data joins/groupbys.
+
 Scale design:
 - connected_components: iterative min-label propagation expressed as
   Ray Data joins/groupbys.  Per round: one hash join (edges x labels,
