@@ -477,17 +477,28 @@ def _q_inverted_index(sf_dir: str):
     gated = df_tbl.filter(
         lambda r: r["count()"] >= 2 and r["count()"] * 10 <= n_docs * 8) \
         .materialize()
-    if gated.count() == 0:  # empty gate -> schema-less join crash
+    n_gated = gated.count()
+    if n_gated == 0:  # empty gate -> schema-less join crash
         import ray
         return ray.data.from_arrow(
             pa.table({"term": pa.array([], pa.string()),
                       "df": pa.array([], pa.int64()),
                       "postings": pa.array([], pa.string())}))
-    gated = _coalesce_nonempty(gated, parts)
-    kept = uniq.map_batches(
-        lambda t: t.select(["term", "doc_id"]), batch_format="pyarrow") \
-        .join(gated.select_columns(["term"]), join_type="left_semi",
-              num_partitions=parts, on=("term",))
+    pairs_sel = uniq.map_batches(
+        lambda t: t.select(["term", "doc_id"]), batch_format="pyarrow")
+    if n_gated <= 200_000:
+        # bounded-broadcast fast path (verify_pairs_jaccard pattern):
+        # the gated vocabulary rides the task closure; pairs stream
+        # through a map-side membership filter, no join shuffle
+        gkeys = pa.array(sorted({r["term"] for r in gated.take_all()}),
+                         pa.string())
+        kept = pairs_sel.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("term"), gkeys)),
+            batch_format="pyarrow")
+    else:
+        kept = pairs_sel.join(
+            _coalesce_nonempty(gated, parts).select_columns(["term"]),
+            join_type="left_semi", num_partitions=parts, on=("term",))
 
     def build(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df["doc_id"].to_numpy(np.int64))

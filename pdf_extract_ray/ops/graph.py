@@ -42,13 +42,21 @@ from .corpus import _coalesce_nonempty, _default_parts
 
 def connected_components(edges_ds, src: str = "src", dst: str = "dst", *,
                          num_partitions: int | None = None,
-                         max_rounds: int = 64):
+                         max_rounds: int = 64,
+                         single_task_edges: int = 4_000_000):
     """Connected components over an undirected edge list.
 
     edges_ds: Dataset with two int64-castable id columns (src, dst).
     Returns a Dataset (node, component) covering every node incident to
     at least one edge (callers union isolated nodes back in if they need
     them); component is the minimum node id reachable.
+
+    Adaptive finish (the greedy_drop_ids residual pattern): after the
+    block-local contraction, if the surviving star edges fit one worker
+    task (<= single_task_edges int64 pairs, ~64 MB at the default), ONE
+    union-find task resolves them exactly and the join/groupby loop is
+    skipped — the loop is the at-scale path for contracted graphs that
+    are still distributed-sized.
     """
     if num_partitions is None:
         num_partitions = _default_parts()
@@ -109,6 +117,27 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst", *,
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "component": pa.array([], pa.int64())}))
+    if n_edges <= single_task_edges:
+        # bounded single-task finish: all star edges in one block, one
+        # exact union-find, labels emitted directly (root = component
+        # min by construction — union always parents the larger root)
+        def finish(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "component": pa.array([], pa.int64())})
+            stars = local_star(b)
+            n = stars.column("b").to_numpy(zero_copy_only=False)
+            r = stars.column("cand").to_numpy(zero_copy_only=False)
+            half = len(n) // 2
+            node, comp = n[:half], r[:half]
+            roots = np.unique(comp)
+            return pa.table({
+                "node": np.concatenate([node, roots]),
+                "component": np.concatenate([comp, roots])})
+
+        return edges.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None)
+
     # nonempty-block guard for the edge side of every round's join
     edge_parts = max(1, min(num_partitions, (n_edges + 65535) // 65536))
     edges = edges.repartition(edge_parts).materialize()

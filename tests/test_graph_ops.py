@@ -44,25 +44,31 @@ def _naive_components(pairs):
 
 @pytest.mark.usefixtures("ray_session")
 class TestConnectedComponents:
-    def _run(self, pairs):
+    def _run(self, pairs, **kw):
         from pdf_extract_ray.ops.graph import connected_components
-        out = connected_components(_ds(_edges(pairs))).to_pandas()
+        out = connected_components(_ds(_edges(pairs)), **kw).to_pandas()
         if out.empty:  # Ray drops the schema on zero-row datasets
             return {}
         return dict(zip(out["node"], out["component"]))
 
-    def test_chain_forces_multiple_rounds(self):
+    # single_task_edges=0 forces the distributed join/groupby loop (the
+    # at-scale path); the default exercises the bounded one-task finish
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_chain_forces_multiple_rounds(self, kw):
         # a 40-node path with ids descending: min id sits at one END, so
         # plain propagation needs ~diameter rounds — pointer jumping must
         # still converge well inside max_rounds
         pairs = [(i + 1, i) for i in range(40)]
-        got = self._run(pairs)
+        got = self._run(pairs, **kw)
         assert got == {n: 0 for n in range(41)}
 
-    def test_two_stars_merged_by_bridge(self):
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_two_stars_merged_by_bridge(self, kw):
         pairs = [(100, i) for i in range(1, 5)] + \
                 [(200, i) for i in range(201, 205)] + [(4, 204)]
-        got = self._run(pairs)
+        got = self._run(pairs, **kw)
         expect = _naive_components(pairs)
         assert got == expect
 
@@ -76,11 +82,13 @@ class TestConnectedComponents:
         got = self._run([])
         assert got == {}
 
-    def test_random_graph_matches_union_find(self):
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_random_graph_matches_union_find(self, kw):
         rng = np.random.RandomState(7)
         pairs = [(int(a), int(b))
                  for a, b in rng.randint(0, 60, size=(80, 2)) if a != b]
-        got = self._run(pairs)
+        got = self._run(pairs, **kw)
         assert got == _naive_components(pairs)
 
 
