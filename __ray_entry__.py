@@ -985,6 +985,18 @@ def _q_revenue_by_region(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def _q_running_totals(sf_dir: str):
+    """Per-user running-sum window (ROWS UNBOUNDED PRECEDING) — the
+    prefix-aggregation shape (ops/events.running_totals): one
+    partition-level shuffle, in-partition lexsort + grouped sequential
+    cumsum, accumulation order pinned to (ts, event_id) on both
+    engines."""
+    from pdf_extract_ray.ops.events import running_totals
+    return running_totals(_read(sf_dir, "events",
+                                columns=["event_id", "user_id", "ts",
+                                         "value"]))
+
+
 def _q_big_spender_customers(sf_dir: str):
     from pdf_extract_ray.ops.relational import customers_with_big_orders
     return customers_with_big_orders(
@@ -1090,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "promo_revenue": _q_promo_revenue,
         "revenue_by_region": _q_revenue_by_region,
+        "running_totals": _q_running_totals,
         "asof_join": _q_asof_join,
         "asof_join_left": _q_asof_join_left,
         "asof_join_salted": _q_asof_join_salted,
@@ -1448,6 +1461,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(round(sum(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) * 100, 0) AS BIGINT)
+                       AS running_cents
+            FROM events
         """,
         "promo_revenue": """
             SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'

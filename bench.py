@@ -109,7 +109,8 @@ def run_ops(sf_dir: str):
              "repetition_scores", "chunk_dedup", "tfidf_top_terms",
              "gopher_filter", "dup_clusters", "weighted_sample",
              "mixture_sample", "inverted_index", "zscore_by_source",
-             "quality_classifier", "promo_revenue", "revenue_by_region"]
+             "quality_classifier", "promo_revenue", "revenue_by_region",
+             "running_totals"]
     out = {}
     for _pass in range(2):
         for name in names:

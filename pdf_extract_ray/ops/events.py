@@ -120,6 +120,47 @@ def sessionize(ds, gap_minutes: int = 30):
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
+def running_totals(ds):
+    """Prefix window aggregation: per-user running sum of `value` in
+    (ts, event_id) order -> (event_id, user_id, running_cents).
+
+    One partition-level shuffle (users hashed into bounded partitions,
+    the sessionize shape); within a partition ONE lexsort + a segmented
+    cumulative sum (cumsum minus its value at each user's first row) —
+    no per-user loop.  Cents are rounded per PREFIX, exactly like the
+    SQL window sum, and the accumulation order (ts, event_id) is pinned
+    on both engines so float prefix sums agree.  Partitioning
+    assumption: one user's events fit a partition (salt by time bucket
+    with carried boundary sums beyond that — the sessionize_salted
+    lift)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {"event_id": "int64", "user_id": "int64",
+                "running_cents": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        val = df["value"].to_numpy(dtype=np.float64)
+        order = np.lexsort((eid, ts, user))
+        u, e, v = user[order], eid[order], val[order]
+        # per-user SEQUENTIAL left-to-right accumulation (pandas grouped
+        # cumsum) — same float op order as the SQL running window, so
+        # the cents rounding cannot diverge; a cross-user cumsum minus
+        # per-segment base would be mathematically equal but float-drift
+        run = pd.Series(v).groupby(pd.Series(u), sort=False).cumsum() \
+            .to_numpy()
+        return pd.DataFrame({
+            "event_id": e, "user_id": u,
+            "running_cents": np.round(run * 100.0).astype(np.int64),
+        }).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
+
+
 def sessionize_salted(ds, gap_minutes: int = 30, *, salt_days: int = 1,
                       n_parts: int = 64):
     """Hot-user-safe sessionization: the documented fix for the plain
