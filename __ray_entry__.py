@@ -369,6 +369,40 @@ def _q_dup_clusters(sf_dir: str):
     return comp.union(isolated)
 
 
+def _q_dup_clusters_salted(sf_dir: str):
+    """dup_clusters through the VALUE-BUCKET-SALTED banded join
+    (ops/graph.interval_self_join_salted): identical semantics and the
+    SAME DuckDB oracle, but no partition ever holds a whole
+    (source, lang) group — the asof_join_salted pattern applied to the
+    pair-generation stage."""
+    from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
+    from pdf_extract_ray.ops.graph import (connected_components,
+                                           interval_self_join_salted)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "lang", "n_chars"])
+    edges = interval_self_join_salted(docs, ["source", "lang"], "n_chars",
+                                      "doc_id", tol=5)
+    comp = connected_components(edges, "id_a", "id_b").map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
+    ids = docs.select_columns(["doc_id"])
+
+    def own(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "component": b.column("doc_id")})
+
+    if comp.count() == 0:
+        return ids.map_batches(own, batch_format="pyarrow")
+    parts = _default_parts()
+    comp = _coalesce_nonempty(comp, parts).materialize()
+    isolated = ids.join(comp.select_columns(["doc_id"]),
+                        join_type="left_anti", num_partitions=parts,
+                        on=("doc_id",)) \
+        .map_batches(own, batch_format="pyarrow")
+    return comp.union(isolated)
+
+
 def _q_neardup_clusters(sf_dir: str):
     """Production dup clustering: MinHash-LSH candidates -> exact
     Jaccard verify -> distributed connected components over the verified
@@ -1132,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_clusters": _q_dup_clusters,
+        "dup_clusters_salted": _q_dup_clusters_salted,
         "neardup_clusters": _q_neardup_clusters,
         "weighted_sample": _q_weighted_sample,
         "mixture_sample": _q_mixture_sample,
@@ -1168,6 +1203,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN overl o USING (doc_id)
         """,
         "dup_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT a.doc_id ua, b.doc_id ub FROM documents a
+              JOIN documents b
+                ON a.source = b.source AND a.lang = b.lang
+               AND abs(a.n_chars - b.n_chars) <= 5
+               AND a.doc_id < b.doc_id),
+            sym AS (SELECT ua, ub FROM e UNION SELECT ub, ua FROM e),
+            reach(x, y) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.x, s.ub FROM reach r JOIN sym s ON r.y = s.ua)
+            SELECT x AS doc_id, MIN(y) AS component
+            FROM reach GROUP BY x
+        """,
+        "dup_clusters_salted": """
             WITH RECURSIVE e AS (
               SELECT a.doc_id ua, b.doc_id ub FROM documents a
               JOIN documents b

@@ -243,3 +243,59 @@ def interval_self_join(ds, group_cols: list[str], value_col: str,
     return ds.map_batches(
         lambda t: t.select(cols), batch_format="pyarrow") \
         .groupby(group_cols).map_groups(pairs, batch_format="pandas")
+
+
+def interval_self_join_salted(ds, group_cols: list[str], value_col: str,
+                              id_col: str, *, tol: int):
+    """interval_self_join with VALUE-BUCKET SALTING: identical output,
+    but a hot group is split across partitions by value bucket of width
+    max(tol, 1), so no partition ever holds a whole group (the
+    asof_join_salted lift).  Cross-bucket pairs are covered by emitting
+    every row a second time as a GHOST in the next bucket: a bucket's
+    partition forms own-own and own-ghost pairs (ghost-ghost pairs are
+    the previous bucket's own-own pairs and are skipped), and bucket
+    width >= tol guarantees non-adjacent buckets cannot pair — each
+    qualifying pair is emitted exactly once, no dedup shuffle."""
+    width = max(int(tol), 1)
+
+    def salt(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = v // width
+        own = b.append_column("_bucket", pa.array(bucket)) \
+               .append_column("_ghost", pa.array(np.zeros(len(v), bool)))
+        ghost = b.append_column("_bucket", pa.array(bucket + 1)) \
+                 .append_column("_ghost", pa.array(np.ones(len(v), bool)))
+        return pa.concat_tables([own, ghost])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col, kind="mergesort")
+        vals = df[value_col].to_numpy()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        ghost = df["_ghost"].to_numpy().astype(bool)
+        n = len(vals)
+        hi = np.searchsorted(vals, vals + tol, side="right")
+        idx = np.arange(n)
+        cnt = np.maximum(hi - idx - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        left = np.repeat(idx, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        right = left + 1 + offs
+        # drop ghost-ghost (owned by the previous bucket) and any
+        # ghost-own duplicate of an own-own pair (same ids both present
+        # as own is impossible — a row is own in exactly one bucket)
+        keep = ~(ghost[left] & ghost[right])
+        left, right = left[keep], right[keep]
+        a, b2 = ids[left], ids[right]
+        return pd.DataFrame({"id_a": np.minimum(a, b2),
+                             "id_b": np.maximum(a, b2)})
+
+    cols = list(group_cols) + [value_col, id_col]
+    return ds.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow") \
+        .map_batches(salt, batch_format="pyarrow") \
+        .groupby(list(group_cols) + ["_bucket"]) \
+        .map_groups(pairs, batch_format="pandas")

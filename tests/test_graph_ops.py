@@ -106,6 +106,47 @@ class TestIntervalSelfJoin:
         got = set(zip(out["id_a"], out["id_b"]))
         assert got == {(1, 2), (2, 3), (5, 6)}
 
+    def test_salted_equals_plain_on_random_groups(self):
+        from pdf_extract_ray.ops.graph import (interval_self_join,
+                                               interval_self_join_salted)
+        rng = np.random.RandomState(17)
+        n = 150
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], size=n),
+            "v": rng.randint(0, 30, size=n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+        })
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        for tol in (0, 2, 5):
+            plain = interval_self_join(_ds(tbl), ["g"], "v", "i",
+                                       tol=tol).to_pandas()
+            salted = interval_self_join_salted(_ds(tbl), ["g"], "v", "i",
+                                               tol=tol).to_pandas()
+            sp = set(zip(plain["id_a"], plain["id_b"]))
+            ss = set(zip(salted["id_a"], salted["id_b"]))
+            assert ss == sp, f"tol={tol}"
+
+    def test_salted_skewed_single_group(self):
+        # one giant group: the salted path must split it by value bucket
+        # and still produce the exact pair set
+        from pdf_extract_ray.ops.graph import (interval_self_join,
+                                               interval_self_join_salted)
+        rng = np.random.RandomState(23)
+        n = 400
+        df = pd.DataFrame({
+            "g": ["hot"] * n,
+            "v": rng.randint(0, 1000, size=n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+        })
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        plain = interval_self_join(_ds(tbl), ["g"], "v", "i",
+                                   tol=7).to_pandas()
+        salted = interval_self_join_salted(_ds(tbl), ["g"], "v", "i",
+                                           tol=7).to_pandas()
+        assert set(zip(salted["id_a"], salted["id_b"])) \
+            == set(zip(plain["id_a"], plain["id_b"]))
+        assert len(salted) == len(plain)  # exactly-once emission, no dups
+
     def test_matches_bruteforce_on_random_groups(self):
         from pdf_extract_ray.ops.graph import interval_self_join
         rng = np.random.RandomState(3)
