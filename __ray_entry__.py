@@ -1019,6 +1019,16 @@ def _q_revenue_by_region(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy-hitter words (count*30 >= corpus words) via two-pass
+    Misra-Gries — candidate summaries are O(blocks x 60) rows, the exact
+    recount is candidate-filtered map-side, and NO vocabulary-sized
+    shuffle ever happens (ops/sketch.heavy_hitter_words)."""
+    from pdf_extract_ray.ops.sketch import heavy_hitter_words
+    return heavy_hitter_words(
+        _read(sf_dir, "documents", columns=["text"]), ratio=30)
+
+
 def _q_running_totals(sf_dir: str):
     """Per-user running-sum window (ROWS UNBOUNDED PRECEDING) — the
     prefix-aggregation shape (ops/events.running_totals): one
@@ -1137,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "revenue_by_region": _q_revenue_by_region,
         "running_totals": _q_running_totals,
+        "heavy_hitters": _q_heavy_hitters,
         "asof_join": _q_asof_join,
         "asof_join_left": _q_asof_join_left,
         "asof_join_salted": _q_asof_join_salted,
@@ -1511,6 +1522,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "heavy_hitters": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            ww AS (SELECT word FROM w WHERE word <> ''),
+            t AS (SELECT count(*) n FROM ww)
+            SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ww, t GROUP BY word, t.n
+            HAVING count(*) * 30 >= t.n
         """,
         "running_totals": """
             SELECT event_id, user_id,

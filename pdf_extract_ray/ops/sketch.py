@@ -283,3 +283,94 @@ def bloom_contains(ds, value_col: str, bloom: bytes, *, k: int = 7):
                                pa.array(hit.all(axis=1), pa.bool_()))
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def heavy_hitter_words(ds, text_col: str = "text", *, ratio: int = 30):
+    """EXACT heavy hitters — words whose count*ratio >= total words —
+    without a vocabulary-sized shuffle (the web-corpus vocabulary is
+    unbounded; a plain groupby ships every (word, count) pair).
+
+    Two passes, Misra-Gries style:
+    1. Every batch runs a Misra-Gries summary with k = 2*ratio counters
+       and reports (word, est) pairs plus its decrement total.  Driver
+       merge is O(blocks * k).  Guarantee: summed undercount <= sum of
+       per-batch decrements <= N/(k+1) < N/(2*ratio), so every word with
+       true count >= N/ratio has merged est >= N/ratio - N/(2*ratio) > 0
+       and survives the candidate cut est + err_total >= threshold.
+    2. Candidates (bounded by blocks*k) broadcast into ONE map-side
+       filtered exact count; the final integer-exact cut
+       count * ratio >= N matches the SQL HAVING clause verbatim.
+
+    -> pa.Table (word, n_occurrences) — exact, not approximate.
+    """
+    k = 2 * ratio
+
+    def mg(b: pa.Table) -> pa.Table:
+        counters: dict = {}
+        decrements = 0
+        n_words = 0
+        for t in b.column(text_col).to_pylist():
+            for w in t.split(" "):
+                if not w:
+                    continue
+                n_words += 1
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    decrements += 1
+                    dead = [u for u, c in counters.items() if c == 1]
+                    for u in dead:
+                        del counters[u]
+                    for u in counters:
+                        counters[u] -= 1
+        words = list(counters)
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "est": pa.array([counters[w] for w in words], pa.int64()),
+            "decr": pa.array([decrements] + [0] * (len(words) - 1)
+                             if words else [], pa.int64()),
+            "nw": pa.array([n_words] + [0] * (len(words) - 1)
+                           if words else [], pa.int64()),
+        })
+
+    est: dict = {}
+    err_total = 0
+    total = 0
+    for r in ds.map_batches(mg, batch_format="pyarrow").take_all():
+        est[r["word"]] = est.get(r["word"], 0) + r["est"]
+        err_total += r["decr"]
+        total += r["nw"]
+    if total == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n_occurrences": pa.array([], pa.int64())})
+    # threshold*ratio >= total  <=>  count >= total/ratio (integer-safe)
+    cand = sorted(w for w, e in est.items()
+                  if (e + err_total) * ratio >= total)
+    if not cand:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n_occurrences": pa.array([], pa.int64())})
+
+    def exact(b: pa.Table) -> pa.Table:
+        import collections
+        c: collections.Counter = collections.Counter()
+        cs = set(cand)
+        for t in b.column(text_col).to_pylist():
+            for w in t.split(" "):
+                if w in cs:
+                    c[w] += 1
+        words = list(c)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n": pa.array([c[w] for w in words], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = []
+    for r in ds.map_batches(exact, batch_format="pyarrow") \
+            .groupby("word").aggregate(Sum("n")).take_all():
+        if r["sum(n)"] * ratio >= total:
+            out.append((r["word"], int(r["sum(n)"])))
+    out.sort()
+    return pa.table({
+        "word": pa.array([w for w, _ in out], pa.string()),
+        "n_occurrences": pa.array([n for _, n in out], pa.int64())})

@@ -201,3 +201,48 @@ class TestNeardupClustering:
         lab = dict(zip(comp["node"], comp["component"]))
         for i in base:
             assert lab.get(i + 1_000_000) == lab.get(i) == i
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def _run(self, texts, ratio, n_blocks=6):
+        import ray
+        from pdf_extract_ray.ops.sketch import heavy_hitter_words
+        tbl = pa.table({"text": pa.array(texts, pa.string())})
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        out = heavy_hitter_words(ds, ratio=ratio)
+        return dict(zip(out.column("word").to_pylist(),
+                        out.column("n_occurrences").to_pylist()))
+
+    def _naive(self, texts, ratio):
+        import collections
+        c = collections.Counter(
+            w for t in texts for w in t.split(" ") if w)
+        total = sum(c.values())
+        return {w: n for w, n in c.items() if n * ratio >= total}
+
+    def test_matches_naive_exact(self):
+        rng = np.random.RandomState(31)
+        vocab = [f"w{i}" for i in range(40)]
+        # Zipf-ish skew so some words pass the cut and some don't
+        probs = 1.0 / np.arange(1, 41)
+        probs /= probs.sum()
+        texts = [" ".join(rng.choice(vocab, size=30, p=probs))
+                 for _ in range(120)]
+        for ratio in (10, 30, 100):
+            assert self._run(texts, ratio) == self._naive(texts, ratio)
+
+    def test_thin_spread_word_not_lost(self):
+        # a word JUST above threshold, spread one-per-document across
+        # many blocks — the per-batch Misra-Gries must not drop it from
+        # the candidate set (the merged-error bound at work)
+        rng = np.random.RandomState(41)
+        filler = [f"f{i}" for i in range(500)]  # high-cardinality noise
+        texts = [("needle " if i % 2 == 0 else "")
+                 + " ".join(rng.choice(filler, size=25))
+                 for i in range(200)]
+        ratio = 60  # threshold ~ total/60 ~ 87; needle count = 100
+        got = self._run(texts, ratio, n_blocks=8)
+        expect = self._naive(texts, ratio)
+        assert "needle" in expect  # fixture sanity
+        assert got == expect
