@@ -144,7 +144,9 @@ def show_text(gs: GraphicsState, s: bytes, output) -> None:
         spacing = word_extra if (code == 32 and length == 1) \
             else char_spacing
         out_char(trm, w0, spacing, font_size, decode_char(code))
-        tx = h * ((w0 - 0.0 / 1000.0) * font_size + spacing)
+        # (w0 - 0.0/1000.0) == w0 bit-exactly for every float (incl.
+        # -0.0 and NaN), so the reference's ws.0 term drops out
+        tx = h * (w0 * font_size + spacing)
         # tm = T(tx, 0) * tm: only the translation row changes
         t4 = tx * t0 + t4
         t5 = tx * t1 + t5
