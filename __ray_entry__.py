@@ -1019,6 +1019,18 @@ def _q_revenue_by_region(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrub (emails/IPv4/US phones -> placeholders): zero-shuffle
+    vectorized RE2 over Arrow string columns (ops/textstats.redact_pii).
+    The DuckDB oracle runs the SAME RE2 patterns via regexp_replace —
+    engine agreement on planted PII is pinned in tests (the synthetic
+    corpus itself is match-free, so the oracle here verifies
+    pass-through fidelity)."""
+    from pdf_extract_ray.ops.textstats import redact_pii
+    return redact_pii(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy-hitter words (count*30 >= corpus words) via two-pass
     Misra-Gries — candidate summaries are O(blocks x 60) rows, the exact
@@ -1148,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _q_revenue_by_region,
         "running_totals": _q_running_totals,
         "heavy_hitters": _q_heavy_hitters,
+        "redact_pii": _q_redact_pii,
         "asof_join": _q_asof_join,
         "asof_join_left": _q_asof_join_left,
         "asof_join_salted": _q_asof_join_salted,
@@ -1522,6 +1535,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "redact_pii": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                       '[IP]', 'g'),
+                       '(?:\\+?1[ .\\-]?)?(?:\\([0-9]{3}\\)[ .\\-]?|[0-9]{3}[ .\\-])[0-9]{3}[ .\\-][0-9]{4}',
+                       '[PHONE]', 'g') AS text
+            FROM documents
         """,
         "heavy_hitters": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word

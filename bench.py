@@ -110,7 +110,8 @@ def run_ops(sf_dir: str):
              "gopher_filter", "dup_clusters", "weighted_sample",
              "mixture_sample", "inverted_index", "zscore_by_source",
              "quality_classifier", "promo_revenue", "revenue_by_region",
-             "running_totals", "dup_clusters_salted", "heavy_hitters"]
+             "running_totals", "dup_clusters_salted", "heavy_hitters",
+             "redact_pii"]
     out = {}
     for _pass in range(2):
         for name in names:

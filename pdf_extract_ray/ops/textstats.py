@@ -298,3 +298,36 @@ def lm_perplexity_scores(ds, *, vocab_k: int = 50_000):
                          "lm_bits_per_token": pa.array(out, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# PII redaction patterns (RE2 — identical semantics in pyarrow.compute
+# and DuckDB regexp_replace, verified on planted fixtures in
+# tests/test_graph_ops.py::TestRedactPII); order matters: emails first
+# (their domains would otherwise be half-eaten by the IP rule), then
+# IPs, then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = (r"(?:\+?1[ .\-]?)?(?:\([0-9]{3}\)[ .\-]?|[0-9]{3}[ .\-])"
+             r"[0-9]{3}[ .\-][0-9]{4}")
+
+
+def redact_pii(ds, text_col: str = "text"):
+    """Scrub emails / IPv4 addresses / US-style phone numbers ->
+    (doc_id, text) with [EMAIL]/[IP]/[PHONE] placeholders.  Pure
+    map-side, zero shuffles; the three compiled RE2 kernels run
+    vectorized over whole Arrow string columns (pyarrow
+    replace_substring_regex), never per-row Python."""
+    import pyarrow.compute as _pc
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        t = _pc.replace_substring_regex(t, pattern=PII_EMAIL,
+                                        replacement="[EMAIL]")
+        t = _pc.replace_substring_regex(t, pattern=PII_IPV4,
+                                        replacement="[IP]")
+        t = _pc.replace_substring_regex(t, pattern=PII_PHONE,
+                                        replacement="[PHONE]")
+        return b.set_column(b.schema.get_field_index(text_col),
+                            text_col, t)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

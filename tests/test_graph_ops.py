@@ -246,3 +246,54 @@ class TestHeavyHitters:
         expect = self._naive(texts, ratio)
         assert "needle" in expect  # fixture sanity
         assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRedactPII:
+    def test_planted_pii_scrubbed(self):
+        import ray
+        from pdf_extract_ray.ops.textstats import redact_pii
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "contact me a.b+c@ex-ample.co.uk or 192.168.001.1 now",
+                "call +1 (555) 123-4567 or 555-123-4567 x89",
+                "no pii here",
+                "ip 10.0.0.255 email x@y.io phone 5551234567",
+            ], pa.string()),
+        })
+        out = redact_pii(ray.data.from_arrow(tbl)).to_pandas() \
+            .sort_values("doc_id")["text"].tolist()
+        assert out == [
+            "contact me [EMAIL] or [IP] now",
+            "call [PHONE] or [PHONE] x89",
+            "no pii here",
+            # bare 10-digit runs are deliberately NOT matched (too many
+            # false positives on ids/timestamps in web text)
+            "ip [IP] email [EMAIL] phone 5551234567",
+        ]
+
+    def test_matches_duckdb_regexp_replace(self):
+        """Same RE2 patterns through DuckDB — pins engine agreement on
+        matching text (the sf0.01 oracle only sees match-free text)."""
+        import duckdb
+        import ray
+        from pdf_extract_ray.ops.textstats import (PII_EMAIL, PII_IPV4,
+                                                   PII_PHONE, redact_pii)
+        texts = [
+            "a@b.co 1.2.3.4 (123) 456-7890",
+            "mixed: x.y@z.org, 255.255.255.255, +1 222-333-4444 end",
+            "edge a@b.c a@b.cd 999.999.999.999 1.2.3.4.5",
+        ]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = redact_pii(ray.data.from_arrow(tbl)).to_pandas() \
+            .sort_values("doc_id")["text"].tolist()
+        con = duckdb.connect()
+        for t, p in zip(texts, got):
+            sql = con.execute(
+                """SELECT regexp_replace(regexp_replace(regexp_replace(
+                       ?, ?, '[EMAIL]', 'g'), ?, '[IP]', 'g'),
+                       ?, '[PHONE]', 'g')""",
+                [t, PII_EMAIL, PII_IPV4, PII_PHONE]).fetchone()[0]
+            assert p == sql
