@@ -1031,6 +1031,74 @@ def _q_redact_pii(sf_dir: str):
                             columns=["doc_id", "text"]))
 
 
+def _q_props_k_stats(sf_dir: str):
+    """Nested/JSON payload extraction: pull the integer `k` field out of
+    the events.props JSON string with ONE vectorized RE2 extract (no
+    per-row json.loads), then a native per-type aggregate.  The oracle
+    uses the same RE2 via DuckDB regexp_extract, so both engines parse
+    identically."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"), r'"k": (?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "k": k})
+
+    from ray.data.aggregate import Count, Max, Sum
+    agg = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("k"), Max("k"), Count())
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "total_k": pa.array([], pa.int64()),
+                             "max_k": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "total_k": pc.cast(t.column("sum(k)"), pa.int64()),
+            "max_k": pc.cast(t.column("max(k)"), pa.int64()),
+            "n_events": pc.cast(t.column("count()"), pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_customer_order_coverage(sf_dir: str):
+    """FULL OUTER join coverage report: every customer (with or without
+    orders) and every order-side custkey (known or orphaned) ->
+    (custkey, n_orders, known_customer).  The order side pre-aggregates
+    to per-customer counts BEFORE the join (never order rows), and the
+    join itself is Ray's native full_outer hash join."""
+    from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    parts = _default_parts()
+    counts = orders.groupby("o_custkey").count()
+    counts = counts.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
+                            "n_orders": pc.cast(t.column("count()"),
+                                                pa.int64())})
+        if t.num_rows else
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "n_orders": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    counts = _coalesce_nonempty(counts.materialize(), parts)
+    cust = cust.map_batches(
+        lambda t: t.append_column("known", pa.array(
+            np.ones(t.num_rows, bool))), batch_format="pyarrow")
+    joined = cust.join(counts, join_type="full_outer",
+                       num_partitions=parts, on=("c_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        known = pc.fill_null(b.column("known"), False)
+        n = pc.fill_null(b.column("n_orders"), 0)
+        return pa.table({"custkey": b.column("c_custkey"),
+                         "n_orders": pc.cast(n, pa.int64()),
+                         "known_customer": known})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy-hitter words (count*30 >= corpus words) via two-pass
     Misra-Gries — candidate summaries are O(blocks x 60) rows, the exact
@@ -1161,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "heavy_hitters": _q_heavy_hitters,
         "redact_pii": _q_redact_pii,
+        "props_k_stats": _q_props_k_stats,
+        "customer_order_coverage": _q_customer_order_coverage,
         "asof_join": _q_asof_join,
         "asof_join_left": _q_asof_join_left,
         "asof_join_salted": _q_asof_join_salted,
@@ -1535,6 +1605,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "props_k_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props,
+                       '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT)
+                       AS total_k,
+                   CAST(max(CAST(regexp_extract(props,
+                       '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT)
+                       AS max_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "customer_order_coverage": """
+            WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT)
+                            n_orders
+                        FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(c.c_custkey, oc.o_custkey) AS custkey,
+                   COALESCE(oc.n_orders, 0) AS n_orders,
+                   c.c_custkey IS NOT NULL AS known_customer
+            FROM customer c FULL OUTER JOIN oc
+                 ON c.c_custkey = oc.o_custkey
         """,
         "redact_pii": """
             SELECT doc_id,
