@@ -770,6 +770,19 @@ def _q_embedding_neardup(sf_dir: str):
         ["vec_id_a", "vec_id_b"])
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Embedding preprocessing: distributed PCA (per-block moment
+    partials -> driver d x d eigh -> broadcast projection; ops/
+    similarity.pca_fit/pca_project).  Rows-only (eigendecomposition is
+    not SQL-expressible); subspace parity vs local numpy PCA pinned in
+    tests."""
+    from pdf_extract_ray.ops.similarity import pca_fit, pca_project
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .materialize()
+    mean, comps = pca_fit(ds, k=8)
+    return pca_project(ds, mean, comps)
+
+
 def _q_embedding_label_histogram(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["label"])
     out = ds.groupby("label").count()
@@ -1250,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "embedding_pca": _q_embedding_pca,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,

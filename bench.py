@@ -111,7 +111,8 @@ def run_ops(sf_dir: str):
              "mixture_sample", "inverted_index", "zscore_by_source",
              "quality_classifier", "promo_revenue", "revenue_by_region",
              "running_totals", "dup_clusters_salted", "heavy_hitters",
-             "redact_pii", "props_k_stats", "customer_order_coverage"]
+             "redact_pii", "props_k_stats", "customer_order_coverage",
+             "embedding_pca"]
     out = {}
     for _pass in range(2):
         for name in names:

@@ -547,3 +547,72 @@ def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
         return df.drop_duplicates(subset=["vec_id_a", "vec_id_b"])
     return _grouped_by_partition(pairs, ["vec_id_a", "vec_id_b"], drop_dup,
                                  n_parts=16)
+
+
+def pca_fit(ds, vec_col: str = "embedding", *, k: int = 8):
+    """Distributed PCA fit: ONE map pass emits per-block moment partials
+    (n, sum_x [d], sum_outer [d*d] — the label_centroids / IRLS
+    partial-sum shape), the driver forms the d x d covariance and
+    eigendecomposes it (d ~ 64-1024: trivially driver-sized even at
+    100 TB, because the partials are corpus-size-independent).
+
+    Returns (mean [d], components [k, d]) with a deterministic sign
+    convention (each component's largest-|entry| is positive).
+    """
+
+    def partials(b: pa.Table) -> pa.Table:
+        X = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        if X.ndim != 2 or len(X) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(X.T @ X).ravel().tolist()],
+                           pa.list_(pa.float64()))})
+
+    n = 0
+    s = None
+    ss = None
+    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        n += r["n"]
+        rs = np.asarray(r["s"])
+        rss = np.asarray(r["ss"])
+        s = rs if s is None else s + rs
+        ss = rss if ss is None else ss + rss
+    if n == 0 or s is None:
+        raise ValueError("pca_fit: empty input")
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T.copy()  # [k, d], descending variance
+    # sign convention for determinism across runs
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Project every vector onto the fitted components -> (id, proj
+    list<double>[k]).  mean/components ride the task closure (broadcast
+    once); one vectorized matmul per batch."""
+    mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(comps, dtype=np.float64)
+
+    def project(b: pa.Table) -> pa.Table:
+        X = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        if X.ndim != 2 or len(X) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.list_(pa.float64()))})
+        P = (X - mean) @ comps.T
+        return pa.table({id_col: b.column(id_col),
+                         "proj": pa.array(P.tolist(),
+                                          pa.list_(pa.float64()))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -297,3 +297,52 @@ class TestRedactPII:
                        ?, '[PHONE]', 'g')""",
                 [t, PII_EMAIL, PII_IPV4, PII_PHONE]).fetchone()[0]
             assert p == sql
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingPCA:
+    def test_matches_local_pca_subspace(self):
+        import ray
+        from pdf_extract_ray.ops.similarity import pca_fit, pca_project
+        rng = np.random.RandomState(13)
+        d, n, k = 16, 300, 4
+        # anisotropic data: known dominant directions
+        scales = np.array([10, 7, 5, 3] + [0.5] * (d - 4))
+        X = rng.normal(0, 1, (n, d)) * scales
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(5).materialize()
+        mean, comps = pca_fit(ds, k=k)
+
+        # local reference PCA on the same data
+        Xc = X - X.mean(axis=0)
+        cov = (Xc.T @ Xc) / n
+        w, v = np.linalg.eigh(cov)
+        ref = v[:, ::-1][:, :k].T
+
+        assert comps.shape == (k, d)
+        # orthonormal rows
+        assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-8)
+        # same subspace: |cos| of matched components ~ 1
+        for i in range(k):
+            assert abs(float(comps[i] @ ref[i])) > 0.99, i
+
+        proj = pca_project(ds, mean, comps).to_pandas() \
+            .sort_values("vec_id")
+        P = np.asarray(proj["proj"].tolist())
+        assert P.shape == (n, k)
+        # projected variance is in descending component order
+        var = P.var(axis=0)
+        assert np.all(np.diff(var) <= 1e-6)
+
+    def test_empty_input_raises(self):
+        import ray
+        from pdf_extract_ray.ops.similarity import pca_fit
+        tbl = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        })
+        with pytest.raises(ValueError):
+            pca_fit(ray.data.from_arrow(tbl))
