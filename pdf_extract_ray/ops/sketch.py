@@ -325,21 +325,25 @@ def heavy_hitter_words(ds, text_col: str = "text", *, ratio: int = 30):
                         del counters[u]
                     for u in counters:
                         counters[u] -= 1
+        # the "" sentinel row carries this batch's decrement/word totals
+        # even when the counter set ends empty (an all-distinct batch
+        # can decrement itself to nothing; dropping its totals would
+        # skew the global threshold) — "" never occurs as a real word
         words = list(counters)
         return pa.table({
-            "word": pa.array(words, pa.string()),
-            "est": pa.array([counters[w] for w in words], pa.int64()),
-            "decr": pa.array([decrements] + [0] * (len(words) - 1)
-                             if words else [], pa.int64()),
-            "nw": pa.array([n_words] + [0] * (len(words) - 1)
-                           if words else [], pa.int64()),
+            "word": pa.array([""] + words, pa.string()),
+            "est": pa.array([0] + [counters[w] for w in words],
+                            pa.int64()),
+            "decr": pa.array([decrements] + [0] * len(words), pa.int64()),
+            "nw": pa.array([n_words] + [0] * len(words), pa.int64()),
         })
 
     est: dict = {}
     err_total = 0
     total = 0
     for r in ds.map_batches(mg, batch_format="pyarrow").take_all():
-        est[r["word"]] = est.get(r["word"], 0) + r["est"]
+        if r["word"]:  # "" is the per-batch totals sentinel, not a word
+            est[r["word"]] = est.get(r["word"], 0) + r["est"]
         err_total += r["decr"]
         total += r["nw"]
     if total == 0:

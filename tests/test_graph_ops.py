@@ -247,6 +247,17 @@ class TestHeavyHitters:
         assert "needle" in expect  # fixture sanity
         assert got == expect
 
+    def test_all_distinct_batches_keep_totals(self):
+        """Batches whose Misra-Gries counters drain to empty must still
+        contribute their word/decrement totals to the global threshold
+        (regression: the totals row used to be dropped with the
+        counters)."""
+        texts = ["hot hot hot"] * 30 + \
+                [" ".join(f"u{i}_{j}" for j in range(130))
+                 for i in range(20)]
+        got = self._run(texts, ratio=40, n_blocks=8)
+        assert got == self._naive(texts, 40)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRedactPII:
