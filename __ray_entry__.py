@@ -479,10 +479,10 @@ def _q_inverted_index(sf_dir: str):
     in [2, 80% of corpus] (integer-exact: df*10 <= n_docs*8).  Scale
     discipline: hot terms (stopwords) are the hazard, so the df GATE
     runs before any list collection — (term, doc) pairs are map-side
-    deduped, df comes from two native combine-able count aggregations
-    (no single-worker hotspot even for 'the'), and only gated terms
-    (bounded postings) reach the left_semi join + the per-term list
-    build."""
+    deduped (globally unique: one doc per batch), df is one native
+    combine-able count aggregation (no single-worker hotspot even for
+    'the'), and only gated terms (bounded postings) reach the broadcast
+    filter / left_semi join + the per-term list build."""
     import pandas as pd
     from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -500,12 +500,12 @@ def _q_inverted_index(sf_dir: str):
         return pa.table({"term": pa.array(out_t, pa.string()),
                          "doc_id": pa.array(np.asarray(out_d, np.int64))})
 
-    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    # (term, doc) pairs are GLOBALLY unique already: each doc lives in
+    # exactly one batch and explode set-dedups within the doc — so df is
+    # one direct combine-able count, no (term, doc) distinct pass needed
+    pairs = ds.map_batches(explode, batch_format="pyarrow").materialize()
     parts = _default_parts()
-    # exact df per term: (term, doc) distinct -> term count; both steps
-    # are native partial-combine aggregations
-    uniq = pairs.groupby(["term", "doc_id"]).count()
-    df_tbl = uniq.map_batches(
+    df_tbl = pairs.map_batches(
         lambda t: t.select(["term"]), batch_format="pyarrow") \
         .groupby("term").count()
     gated = df_tbl.filter(
@@ -518,8 +518,7 @@ def _q_inverted_index(sf_dir: str):
             pa.table({"term": pa.array([], pa.string()),
                       "df": pa.array([], pa.int64()),
                       "postings": pa.array([], pa.string())}))
-    pairs_sel = uniq.map_batches(
-        lambda t: t.select(["term", "doc_id"]), batch_format="pyarrow")
+    pairs_sel = pairs
     if n_gated <= 200_000:
         # bounded-broadcast fast path (verify_pairs_jaccard pattern):
         # the gated vocabulary rides the task closure; pairs stream
