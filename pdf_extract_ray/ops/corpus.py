@@ -349,9 +349,12 @@ def tfidf_top_terms(docs_ds, *, num_partitions=None,
     division is exactly reproducible where libm log is not; the ranking
     it induces is the same rarity ordering for fixed tf.
 
-    df comes from a term-keyed groupby and is JOINED back on term (a web
-    vocabulary is unbounded — never broadcast); tf is map-side because
-    document rows are atomic."""
+    df comes from a term-keyed groupby and is JOINED back on term when
+    the vocabulary is big (a web vocabulary is unbounded); vocabularies
+    up to ~200k terms instead ride the task closure as a map-side df
+    lookup (the verify_pairs_jaccard bounded-broadcast pattern — saves
+    the join's fixed all-to-all cost).  tf is map-side because document
+    rows are atomic."""
     if num_partitions is None:
         num_partitions = _default_parts()
 
@@ -368,7 +371,10 @@ def tfidf_top_terms(docs_ds, *, num_partitions=None,
             "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
         })
 
-    tf_ds = docs_ds.map_batches(term_freqs, batch_format="pyarrow")
+    # materialize: tf feeds BOTH the df aggregate and the score stage
+    # (lazy would re-explode the corpus twice)
+    tf_ds = docs_ds.map_batches(term_freqs,
+                                batch_format="pyarrow").materialize()
 
     # (doc, term) rows are already distinct -> df = row count per term;
     # materialize sequences the groupby shuffle before the join
@@ -380,10 +386,20 @@ def tfidf_top_terms(docs_ds, *, num_partitions=None,
                             "df": pc.cast(b.column("count()"),
                                           pa.int64())}),
         batch_format="pyarrow").materialize()
-    df_ds = _coalesce_nonempty(df_ds, num_partitions)
 
-    joined = tf_ds.join(df_ds, join_type="inner",
-                        num_partitions=num_partitions, on=("term",))
+    if df_ds.count() <= 200_000:
+        dfmap = {r["term"]: r["df"] for r in df_ds.take_all()}
+
+        def attach(b: pa.Table) -> pa.Table:
+            t = b.to_pandas()
+            t["df"] = t["term"].map(dfmap).astype(np.int64)
+            return pa.Table.from_pandas(t, preserve_index=False)
+
+        joined = tf_ds.map_batches(attach, batch_format="pyarrow")
+    else:
+        df_ds = _coalesce_nonempty(df_ds, num_partitions)
+        joined = tf_ds.join(df_ds, join_type="inner",
+                            num_partitions=num_partitions, on=("term",))
 
     def partial_best(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
