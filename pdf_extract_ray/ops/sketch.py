@@ -290,68 +290,54 @@ def heavy_hitter_words(ds, text_col: str = "text", *, ratio: int = 30):
     without a vocabulary-sized shuffle (the web-corpus vocabulary is
     unbounded; a plain groupby ships every (word, count) pair).
 
-    Two passes, Misra-Gries style:
-    1. Every batch runs a Misra-Gries summary with k = 2*ratio counters
-       and reports (word, est) pairs plus its decrement total.  Driver
-       merge is O(blocks * k).  Guarantee: summed undercount <= sum of
-       per-batch decrements <= N/(k+1) < N/(2*ratio), so every word with
-       true count >= N/ratio has merged est >= N/ratio - N/(2*ratio) > 0
-       and survives the candidate cut est + err_total >= threshold.
-    2. Candidates (bounded by blocks*k) broadcast into ONE map-side
-       filtered exact count; the final integer-exact cut
-       count * ratio >= N matches the SQL HAVING clause verbatim.
+    Two passes (the Misra-Gries family, in its vectorized batch form):
+    1. Every batch counts its OWN words exactly (pandas value_counts —
+       no per-word Python) and reports only words with batch_count *
+       2*ratio >= batch_n, plus its word total.  A word dropped by a
+       batch had batch_count < batch_n/(2*ratio) there, so its summed
+       undercount U < N/(2*ratio) = T/2 — every word with true count
+       >= T = N/ratio keeps merged est > T/2 and survives the candidate
+       cut est * 2*ratio >= N (integer-exact, inclusive => superset).
+       Summary size per batch is bounded by 2*ratio words (counts above
+       batch_n/(2*ratio) can't number more); driver merge is
+       O(blocks * ratio).
+    2. Candidates broadcast into ONE map-side filtered exact count; the
+       final integer-exact cut count * ratio >= N matches the SQL
+       HAVING clause verbatim.
 
     -> pa.Table (word, n_occurrences) — exact, not approximate.
     """
-    k = 2 * ratio
+    import pandas as pd
 
-    def mg(b: pa.Table) -> pa.Table:
-        counters: dict = {}
-        decrements = 0
-        n_words = 0
-        for t in b.column(text_col).to_pylist():
-            for w in t.split(" "):
-                if not w:
-                    continue
-                n_words += 1
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < k:
-                    counters[w] = 1
-                else:
-                    decrements += 1
-                    dead = [u for u, c in counters.items() if c == 1]
-                    for u in dead:
-                        del counters[u]
-                    for u in counters:
-                        counters[u] -= 1
-        # the "" sentinel row carries this batch's decrement/word totals
-        # even when the counter set ends empty (an all-distinct batch
-        # can decrement itself to nothing; dropping its totals would
-        # skew the global threshold) — "" never occurs as a real word
-        words = list(counters)
+    def summary(b: pa.Table) -> pa.Table:
+        s = b.column(text_col).to_pandas().str.split(" ").explode()
+        s = s[(s != "") & s.notna()]
+        n = len(s)
+        if n == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "est": pa.array([], pa.int64()),
+                             "nw": pa.array([], pa.int64())})
+        vc = s.value_counts()
+        keep = vc[vc * (2 * ratio) >= n]
+        # the "" sentinel row carries the batch word total even when no
+        # word clears the local cut — "" never occurs as a real word
         return pa.table({
-            "word": pa.array([""] + words, pa.string()),
-            "est": pa.array([0] + [counters[w] for w in words],
-                            pa.int64()),
-            "decr": pa.array([decrements] + [0] * len(words), pa.int64()),
-            "nw": pa.array([n_words] + [0] * len(words), pa.int64()),
+            "word": pa.array([""] + keep.index.tolist(), pa.string()),
+            "est": pa.array(np.concatenate(
+                [[0], keep.to_numpy(np.int64)]).astype(np.int64)),
+            "nw": pa.array([n] + [0] * len(keep), pa.int64()),
         })
 
     est: dict = {}
-    err_total = 0
     total = 0
-    for r in ds.map_batches(mg, batch_format="pyarrow").take_all():
+    for r in ds.map_batches(summary, batch_format="pyarrow").take_all():
         if r["word"]:  # "" is the per-batch totals sentinel, not a word
             est[r["word"]] = est.get(r["word"], 0) + r["est"]
-        err_total += r["decr"]
         total += r["nw"]
     if total == 0:
         return pa.table({"word": pa.array([], pa.string()),
                          "n_occurrences": pa.array([], pa.int64())})
-    # threshold*ratio >= total  <=>  count >= total/ratio (integer-safe)
-    cand = sorted(w for w, e in est.items()
-                  if (e + err_total) * ratio >= total)
+    cand = sorted(w for w, e in est.items() if e * 2 * ratio >= total)
     if not cand:
         return pa.table({"word": pa.array([], pa.string()),
                          "n_occurrences": pa.array([], pa.int64())})
