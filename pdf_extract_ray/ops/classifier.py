@@ -86,20 +86,26 @@ def text_gate_features(text_col: str = "text",
     count (log1p), distinct-word ratio, mean word length.  label_fn
     (batch -> float64 [n]) supplies training labels; None for scoring."""
 
+    import pandas as pd
+
     def featurize(b: pa.Table):
-        texts = b.column(text_col).to_pylist()
+        texts = b.column(text_col).to_pandas().reset_index(drop=True)
         n = len(texts)
-        nw = np.empty(n, np.float64)
-        dr = np.empty(n, np.float64)
-        ml = np.empty(n, np.float64)
-        for i, t in enumerate(texts):
-            words = t.split(" ") if t else []
-            words = [w for w in words if w]
-            k = len(words)
-            nw[i] = k
-            dr[i] = (len(set(words)) / k) if k else 0.0
-            ml[i] = (sum(len(w) for w in words) / k) if k else 0.0
-        X = np.column_stack([np.ones(n), np.log1p(nw), dr, ml])
+        # vectorized word stats: one explode, grouped size/nunique/char
+        # sums — no per-row Python
+        ex = texts.str.split(" ").explode()
+        ex = ex[(ex != "") & ex.notna()]
+        g = ex.groupby(level=0)
+        idx = pd.RangeIndex(n)
+        k = g.size().reindex(idx, fill_value=0).to_numpy(np.float64)
+        nuniq = g.nunique().reindex(idx, fill_value=0) \
+            .to_numpy(np.float64)
+        chars = ex.str.len().groupby(level=0).sum() \
+            .reindex(idx, fill_value=0).to_numpy(np.float64)
+        safe_k = np.where(k > 0, k, 1.0)
+        dr = np.where(k > 0, nuniq / safe_k, 0.0)
+        ml = np.where(k > 0, chars / safe_k, 0.0)
+        X = np.column_stack([np.ones(n), np.log1p(k), dr, ml])
         y = label_fn(b) if label_fn is not None else np.zeros(n)
         return X, np.asarray(y, np.float64)
 
