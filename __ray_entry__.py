@@ -489,16 +489,15 @@ def _q_inverted_index(sf_dir: str):
     n_docs = ds.count()
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = b.column("text").to_pylist()
-        out_t, out_d = [], []
-        for did, t in zip(ids, texts):
-            for w in set(t.split(" ")):
-                if w:
-                    out_t.append(w)
-                    out_d.append(did)
-        return pa.table({"term": pa.array(out_t, pa.string()),
-                         "doc_id": pa.array(np.asarray(out_d, np.int64))})
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+            "term": b.column("text").to_pandas().str.split(" ").values,
+        }).explode("term")
+        df = df[df["term"].ne("") & df["term"].notna()] \
+            .drop_duplicates(["doc_id", "term"])
+        return pa.table({
+            "term": pa.array(df["term"].tolist(), pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64))})
 
     # (term, doc) pairs are GLOBALLY unique already: each doc lives in
     # exactly one batch and explode set-dedups within the doc — so df is
@@ -559,10 +558,13 @@ def _q_quality_classifier(sf_dir: str):
         .materialize()
 
     def label_fn(b: pa.Table) -> np.ndarray:
-        texts = b.column("text").to_pylist()
-        return np.array([
-            1.0 if 15 <= len([w for w in t.split(" ") if w]) <= 90 else 0.0
-            for t in texts])
+        import pandas as pd
+        texts = b.column("text").to_pandas().reset_index(drop=True)
+        ex = texts.str.split(" ").explode()
+        ex = ex[(ex != "") & ex.notna()]
+        k = ex.groupby(level=0).size() \
+            .reindex(pd.RangeIndex(len(texts)), fill_value=0).to_numpy()
+        return ((k >= 15) & (k <= 90)).astype(np.float64)
 
     beta = logreg_fit_irls(ds, text_gate_features(label_fn=label_fn),
                            dim=4, iters=6)

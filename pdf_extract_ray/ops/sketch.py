@@ -342,17 +342,14 @@ def heavy_hitter_words(ds, text_col: str = "text", *, ratio: int = 30):
         return pa.table({"word": pa.array([], pa.string()),
                          "n_occurrences": pa.array([], pa.int64())})
 
+    cand_set = set(cand)
+
     def exact(b: pa.Table) -> pa.Table:
-        import collections
-        c: collections.Counter = collections.Counter()
-        cs = set(cand)
-        for t in b.column(text_col).to_pylist():
-            for w in t.split(" "):
-                if w in cs:
-                    c[w] += 1
-        words = list(c)
-        return pa.table({"word": pa.array(words, pa.string()),
-                         "n": pa.array([c[w] for w in words], pa.int64())})
+        s = b.column(text_col).to_pandas().str.split(" ").explode()
+        s = s[s.isin(cand_set)]
+        vc = s.value_counts()
+        return pa.table({"word": pa.array(vc.index.tolist(), pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
 
     from ray.data.aggregate import Sum
     out = []
