@@ -421,6 +421,48 @@ def _q_neardup_clusters(sf_dir: str):
         "doc_id_a", "doc_id_b")
 
 
+def _q_neardup_cluster_dedup(sf_dir: str):
+    """Cluster-canonical near-dup DEDUP (the CC-Net keep-one policy,
+    complementing neardup_dedup's greedy-MIS policy): LSH candidates ->
+    Jaccard verify -> connected components -> keep the MIN doc id per
+    cluster -> survivors = cluster canonicals + all never-paired docs.
+    The canonical election is one groupby-min over (component, node)
+    pairs; non-clustered docs are recovered with a left_anti join (no
+    corpus broadcast).  Every planted perturbed copy (doc_id + 1M) must
+    drop; all originals survive."""
+    from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
+    from pdf_extract_ray.ops.dedup import (minhash_lsh_pairs,
+                                           verify_pairs_jaccard)
+    from pdf_extract_ray.ops.graph import connected_components
+    ds = _with_neardup_copies(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(ds, threshold=0.4)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.6)
+    comp = connected_components(
+        verified.select_columns(["doc_id_a", "doc_id_b"]),
+        "doc_id_a", "doc_id_b")
+    parts = _default_parts()
+    ids = ds.map_batches(lambda t: t.select(["doc_id"]),
+                         batch_format="pyarrow")
+    if comp.count() == 0:
+        return ids
+    comp = _coalesce_nonempty(
+        comp.map_batches(
+            lambda t: pa.table({"doc_id": t.column("node"),
+                                "component": t.column("component")}),
+            batch_format="pyarrow").materialize(), parts).materialize()
+    canon = comp.groupby("component").min("doc_id").map_batches(
+        lambda t: pa.table({"doc_id": t.column("min(doc_id)")})
+        if t.num_rows else pa.table({"doc_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    canon = _coalesce_nonempty(canon, parts)
+    # never-paired docs: not in any component
+    unpaired = ids.join(comp.select_columns(["doc_id"]),
+                        join_type="left_anti", num_partitions=parts,
+                        on=("doc_id",))
+    return unpaired.union(canon)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted Bernoulli sample (data-mixing primitive):
     P(doc) ~ k*w/sum(W) with w = n_chars, k = 50 expected rows.  The
@@ -1277,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_salted": _q_dup_clusters_salted,
         "neardup_clusters": _q_neardup_clusters,
+        "neardup_cluster_dedup": _q_neardup_cluster_dedup,
         "weighted_sample": _q_weighted_sample,
         "mixture_sample": _q_mixture_sample,
         "inverted_index": _q_inverted_index,

@@ -357,3 +357,30 @@ class TestEmbeddingPCA:
         })
         with pytest.raises(ValueError):
             pca_fit(ray.data.from_arrow(tbl))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterDedup:
+    def test_cluster_canonicals_planted(self):
+        """Keep-one-per-CC-cluster dedup: planted copies (id+1M) always
+        drop (their original has the smaller id); survivors are exactly
+        one doc per component plus all never-paired docs."""
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+                "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        sf = "/root/testdata/sf0.001"
+        surv = set(m._q_neardup_cluster_dedup(sf).to_pandas()["doc_id"])
+        comp = m._q_neardup_clusters(sf).to_pandas()
+        assert all(i < 1_000_000 for i in surv)  # every copy dropped
+        # survivors inside components are exactly the component minima
+        by_comp = comp.groupby("component")["node"].min()
+        clustered = set(comp["node"])
+        assert set(by_comp) == surv & clustered
+        # determinism
+        surv2 = set(m._q_neardup_cluster_dedup(sf).to_pandas()["doc_id"])
+        assert surv2 == surv
