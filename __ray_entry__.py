@@ -655,6 +655,35 @@ def _q_zscore_by_source(sf_dir: str):
     return ds.map_batches(z, batch_format="pyarrow")
 
 
+def _q_doc_rollup(sf_dir: str):
+    """ROLLUP-style multi-level aggregate over (source, lang): per-pair,
+    per-source subtotal, and grand total in one result (NULL marks the
+    rolled-up level, like SQL GROUP BY ROLLUP).  The fine level is ONE
+    combine-able aggregation; the coarser levels re-aggregate its TINY
+    output (|sources| x |langs| rows) — the corpus is scanned once."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    fine = ds.groupby(["source", "lang"]) \
+        .aggregate(Count(), Sum("n_chars")).take_all()
+    df = pd.DataFrame(fine).rename(
+        columns={"count()": "n_docs", "sum(n_chars)": "total_chars"})
+    levels = [df]
+    src = df.groupby("source", as_index=False)[
+        ["n_docs", "total_chars"]].sum()
+    src["lang"] = None
+    levels.append(src)
+    grand = pd.DataFrame({"source": [None], "lang": [None],
+                          "n_docs": [df["n_docs"].sum()],
+                          "total_chars": [df["total_chars"].sum()]})
+    levels.append(grand)
+    out = pd.concat(levels, ignore_index=True)[
+        ["source", "lang", "n_docs", "total_chars"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -1324,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "inverted_index": _q_inverted_index,
         "zscore_by_source": _q_zscore_by_source,
+        "doc_rollup": _q_doc_rollup,
         "quality_classifier": _q_quality_classifier,
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
@@ -1390,6 +1420,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, tot
             WHERE ((doc_id * 2654435761) % 4294967296) * tot.w
                   < 50 * n_chars * 4294967296
+        """,
+        "doc_rollup": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP (source, lang)
         """,
         "zscore_by_source": """
             WITH s AS (SELECT source, CAST(count(*) AS BIGINT) n,
