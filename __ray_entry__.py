@@ -684,6 +684,27 @@ def _q_doc_rollup(sf_dir: str):
     return out
 
 
+def _q_lang_pivot(sf_dir: str):
+    """Cross-tab / pivot: per-source doc counts with one column per
+    language (the reporting shape).  ONE combine-able (source, lang)
+    aggregation scans the corpus; the pivot itself reshapes the tiny
+    |sources| x |langs| output on the driver.  Language columns are the
+    corpus's closed lang domain (de/en/es/fr/zh)."""
+    import pandas as pd
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    fine = ds.groupby(["source", "lang"]).count().take_all()
+    df = pd.DataFrame(fine)
+    piv = df.pivot_table(index="source", columns="lang",
+                         values="count()", aggfunc="sum",
+                         fill_value=0)
+    out = pd.DataFrame({"source": piv.index})
+    for lang in ["de", "en", "es", "fr", "zh"]:
+        out[f"n_{lang}"] = (piv[lang].to_numpy(np.int64)
+                            if lang in piv.columns
+                            else np.zeros(len(piv), np.int64))
+    return out.reset_index(drop=True)
+
+
 def _q_lang_id(sf_dir: str):
     from pdf_extract_ray.ops.textstats import lang_id
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
@@ -1354,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "zscore_by_source": _q_zscore_by_source,
         "doc_rollup": _q_doc_rollup,
+        "lang_pivot": _q_lang_pivot,
         "quality_classifier": _q_quality_classifier,
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
@@ -1420,6 +1442,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, tot
             WHERE ((doc_id * 2654435761) % 4294967296) * tot.w
                   < 50 * n_chars * 4294967296
+        """,
+        "lang_pivot": """
+            SELECT source,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_de,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fr,
+                   CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zh
+            FROM documents GROUP BY source
         """,
         "doc_rollup": """
             SELECT source, lang, count(*) AS n_docs,

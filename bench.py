@@ -112,7 +112,7 @@ def run_ops(sf_dir: str):
              "quality_classifier", "promo_revenue", "revenue_by_region",
              "running_totals", "dup_clusters_salted", "heavy_hitters",
              "redact_pii", "props_k_stats", "customer_order_coverage",
-             "embedding_pca", "doc_rollup"]
+             "embedding_pca", "doc_rollup", "lang_pivot"]
     out = {}
     for _pass in range(2):
         for name in names:
