@@ -1611,7 +1611,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
-        "bpe_token_counts": """
+        "bpe_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|''|\s+')) AS BIGINT) AS n_bpe_tokens

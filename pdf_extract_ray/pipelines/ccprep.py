@@ -37,11 +37,20 @@ def _hash_doc_id(urls) -> pa.Array:
 
 
 def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
-                        num_partitions, timings=None):
+                        num_partitions, timings=None,
+                        drop_policy: str = "mis"):
     """enrich -> exact dedup -> lang/quality filter -> near-dup removal
     over an already-extracted ok dataset.  `timings`: optional dict that
     receives per-phase wall seconds (the natural materialize boundaries
-    double as phase marks — no extra execution is forced beyond them)."""
+    double as phase marks — no extra execution is forced beyond them).
+
+    drop_policy selects the near-dup resolution:
+    - "mis" (default): distributed lex-first maximal-independent-set
+      peeling (ops/dedup.greedy_drop_ids) — keeps the most docs.
+    - "cluster": CC-Net style — connected components over the verified
+      pair graph (ops/graph.connected_components), keep ONE canonical
+      (min id) per cluster.  Same oracle-tested CC machinery as
+      dup_clusters/neardup_clusters."""
     import time as _time
 
     from ..ops.dedup import (drop_rows_by_id, greedy_drop_ids,
@@ -86,6 +95,25 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
                                     threshold=neardup_threshold).materialize()
     t = mark("lsh_verify", t)
 
+    if drop_policy == "cluster":
+        # CC-Net policy: one canonical per near-dup cluster; drops are
+        # exactly the non-min members of each component
+        from ..ops.graph import connected_components
+        comp = connected_components(
+            verified.select_columns(["doc_id_a", "doc_id_b"]),
+            "doc_id_a", "doc_id_b")
+
+        def noncanon(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            kept = t.filter(pc.not_equal(t.column("node"),
+                                         t.column("component")))
+            return pa.table({"doc_id": kept.column("node")})
+
+        drop_ids = comp.map_batches(noncanon, batch_format="pyarrow")
+        out = drop_rows_by_id(filtered, drop_ids)
+        mark("cluster_drop", t)
+        return out
     # the greedy keep-smallest policy is ORDER-FREE by construction
     # (distributed peeling = the lexicographically-first maximal
     # independent set of the near-dup graph), so the drop set is
@@ -101,7 +129,8 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
 def ccprep_dataset(pages_ds, *, langs=None,
                    min_quality: float = 0.3,
                    neardup_threshold: float = 0.85,
-                   num_partitions: int = 8):
+                   num_partitions: int = 8,
+                   drop_policy: str = "mis"):
     """Lazy composed pipeline over a (url, html) Dataset -> surviving
     enriched rows (url, extracted_text, ..., n_tokens, quality_score,
     pred_lang, doc_id).  `langs=None` skips the language filter (the
@@ -114,7 +143,8 @@ def ccprep_dataset(pages_ds, *, langs=None,
     ok = extracted.map_batches(_keep_ok, batch_format="pyarrow").materialize()
     return _post_extract_chain(ok, langs=langs, min_quality=min_quality,
                                neardup_threshold=neardup_threshold,
-                               num_partitions=num_partitions)
+                               num_partitions=num_partitions,
+                               drop_policy=drop_policy)
 
 
 def run_ccprep(input_dir: str, output_dir: str, *,

@@ -384,3 +384,45 @@ class TestClusterDedup:
         # determinism
         surv2 = set(m._q_neardup_cluster_dedup(sf).to_pandas()["doc_id"])
         assert surv2 == surv
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcprepClusterPolicy:
+    def test_cluster_policy_runs_and_is_deterministic(self):
+        import ray
+        from pdf_extract_ray.data.pages import pages_parquet_path
+        from pdf_extract_ray.pipelines.ccprep import ccprep_dataset
+
+        def run():
+            ds = ray.data.read_parquet(pages_parquet_path(100),
+                                       columns=["url", "html"])
+            return ccprep_dataset(ds, min_quality=0.1,
+                                  neardup_threshold=0.95,
+                                  drop_policy="cluster").to_pandas()
+
+        a, b = run(), run()
+        assert len(a) > 0
+        assert sorted(a["url"]) == sorted(b["url"])
+
+    def test_cluster_policy_drops_at_least_mis_complement(self):
+        """Both policies resolve the same verified pair graph; the
+        cluster policy keeps exactly one doc per component, so it can
+        never keep MORE docs than the maximal-independent-set policy."""
+        import ray
+        from pdf_extract_ray.data.pages import pages_parquet_path
+        from pdf_extract_ray.pipelines.ccprep import ccprep_dataset
+
+        def run(policy):
+            ds = ray.data.read_parquet(pages_parquet_path(100),
+                                       columns=["url", "html"])
+            return ccprep_dataset(ds, min_quality=0.1,
+                                  neardup_threshold=0.95,
+                                  drop_policy=policy).to_pandas()
+
+        mis = run("mis")
+        clu = run("cluster")
+        assert len(clu) <= len(mis)
+        # docs untouched by any near-dup pair survive under BOTH
+        # policies, so the smaller (cluster) result can differ from the
+        # MIS result only on clustered docs — never on the isolated core
+        assert set(clu["url"]) & set(mis["url"])
