@@ -1301,6 +1301,60 @@ def _q_median_chars_by_source(sf_dir: str):
         "source", "n_chars")
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3: top-10 open BUILDING-segment orders by revenue —
+    segment semi-join + map-side int-cent revenue pre-agg + partial
+    top-k (no global sort)."""
+    from pdf_extract_ray.ops.relational import shipping_priority
+    return shipping_priority(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"]))
+
+
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4: correlated EXISTS decorrelated into a per-order max +
+    one hash join."""
+    from pdf_extract_ray.ops.relational import order_priority_counts
+    return order_priority_counts(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]))
+
+
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18: HAVING sum(qty) > 250, then join back to orders +
+    customer (sequenced hash joins over the qualifying few)."""
+    from pdf_extract_ray.ops.relational import large_volume_customers
+    return large_volume_customers(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]))
+
+
+def _q_orders_above_avg(sf_dir: str):
+    """Correlated scalar subquery (price > customer's avg) decorrelated
+    to groupby + join-back; integer cross-multiplication inclusion test
+    so no float boundary can flip a row."""
+    from pdf_extract_ray.ops.relational import orders_above_customer_avg
+    return orders_above_customer_avg(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"]))
+
+
+def _q_event_gaps(sf_dir: str):
+    """LAG window: per-user previous-event gap in exact integer
+    microseconds (-1 sentinel on each user's first event)."""
+    from pdf_extract_ray.ops.events import event_gaps
+    return event_gaps(_read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -1333,6 +1387,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "revenue_by_region": _q_revenue_by_region,
         "running_totals": _q_running_totals,
+        "shipping_priority": _q_shipping_priority,
+        "order_priority_counts": _q_order_priority_counts,
+        "large_volume_customers": _q_large_volume_customers,
+        "orders_above_avg": _q_orders_above_avg,
+        "event_gaps": _q_event_gaps,
         "heavy_hitters": _q_heavy_hitters,
         "redact_pii": _q_redact_pii,
         "props_k_stats": _q_props_k_stats,
@@ -1783,6 +1842,73 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) * 100, 0) AS BIGINT)
                        AS running_cents
+            FROM events
+        """,
+        "shipping_priority": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100, 0)
+                                            AS BIGINT))) AS BIGINT)
+                         AS revenue_c4
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l_orderkey)
+            SELECT o.o_orderkey, r.revenue_c4, o.o_orderdate
+            FROM orders o
+            JOIN rev r ON r.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            ORDER BY r.revenue_c4 DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "large_volume_customers": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > 250)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                       AS totalprice_cents,
+                   q.sum_qty
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "orders_above_avg": """
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT)) AS BIGINT) AS total_cents,
+                     count(*) AS n
+              FROM orders GROUP BY o_custkey)
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                       AS totalprice_cents
+            FROM orders o JOIN s ON s.o_custkey = o.o_custkey
+            WHERE CAST(round(o.o_totalprice * 100, 0) AS BIGINT) * s.n
+                  > s.total_cents
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   CAST(COALESCE(date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts), -1) AS BIGINT) AS gap_us
             FROM events
         """,
         "promo_revenue": """

@@ -307,3 +307,38 @@ def top_customers_by_spend(orders_ds, customer_ds, k: int = 10):
          pa.array([r[3] for r in rows], pa.int64()),
          pa.array([r[4] for r in rows], pa.int64())],
         names=["rank", "c_custkey", "c_name", "total_spend_cents", "n_orders"])
+
+
+def event_gaps(ds, *, n_parts: int = 32):
+    """LAG window: per-user gap to the previous event in (ts, event_id)
+    order -> (event_id, user_id, gap_us int64; -1 for each user's first
+    event).
+
+    One partition-level shuffle (users hashed into bounded partitions,
+    the running_totals shape); within a partition ONE lexsort + a
+    shifted diff masked at user boundaries — no per-user loop.  Gaps in
+    exact integer microseconds, so both engines agree bit-for-bit.
+    Partitioning assumption: one user's events fit a partition (salt by
+    time bucket with carried boundary timestamps beyond that — the
+    sessionize_salted lift)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "gap_us": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t, e = user[order], ts[order], eid[order]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(u[1:] == u[:-1], t[1:] - t[:-1], -1)
+        return pd.DataFrame({"event_id": e, "user_id": u,
+                             "gap_us": gap}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)

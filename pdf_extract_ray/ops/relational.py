@@ -445,3 +445,287 @@ def customers_without_big_orders(customer_ds, orders_ds, *,
     return _semi_anti_join(customer_ds, orders_ds, min_total=min_total,
                            join_type="left_anti",
                            num_partitions=num_partitions)
+
+
+def _cap_partitions(num_partitions, cap: int = 16):
+    """Default hash-join partition count: bounded by cluster CPUs (join
+    aggregator actors carry fixed spin-up cost; Ray 2.49 deadlocks a
+    small session when concurrent join pools oversubscribe CPUs)."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))
+
+
+def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10,
+                      num_partitions=None):
+    """TPC-H Q3 shape: top-k undelivered orders by revenue for one market
+    segment -> (o_orderkey, revenue_cents, o_orderdate).
+
+    Scale plan: the segment filter + per-batch key dedup shrinks the
+    customer side to bare custkeys BEFORE its semi join against orders
+    (shuffle carries keys, never names); lineitem pre-aggregates revenue
+    per orderkey map-side per batch (int cents — revenue groups are
+    single orders, <=7 lines, so cents are exact) before the native
+    groupby; the two hash joins are SEQUENCED via a materialize of the
+    small filtered-orders intermediate (Ray 2.49 concurrent-join
+    deadlock); the final top-k is per-batch partial top-k + a tiny
+    driver merge — no global sort anywhere."""
+    num_partitions = _cap_partitions(num_partitions)
+    cut = pa.scalar(np.datetime64(cutoff, "us").item(), pa.timestamp("us"))
+
+    def seg_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("c_mktsegment"), pa.scalar(segment))
+        return pa.table({"o_custkey": pc.unique(
+            pc.cast(b.filter(m).column("c_custkey"), pa.int64()))})
+
+    keys = customer_ds.map_batches(seg_keys, batch_format="pyarrow")
+
+    def open_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), cut))
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderdate": b.column("o_orderdate")})
+
+    sel = orders_ds.map_batches(open_orders, batch_format="pyarrow") \
+        .join(keys, join_type="left_semi", num_partitions=num_partitions,
+              on=("o_custkey",)).materialize()
+
+    def partial_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cut))
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "rev_c4": pa.array([], pa.int64())})
+        # exact integer revenue in 1e-4-dollar units: prices are exact
+        # cents and discounts exact 2-decimals, so
+        # price_cents * (100 - disc*100) is an integer identity on both
+        # engines — no float rounding can disagree at any half-way point
+        pcents = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        d100 = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderkey": b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "rev_c4": pcents * (100 - d100)})
+        g = df.groupby("o_orderkey", sort=False)["rev_c4"].sum()
+        return pa.table({
+            "o_orderkey": pa.array(g.index.to_numpy(np.int64)),
+            "rev_c4": pa.array(g.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    rev = lineitem_ds.map_batches(partial_rev, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("rev_c4"))
+    joined = rev.join(sel, join_type="inner",
+                      num_partitions=num_partitions, on=("o_orderkey",))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "revenue_c4": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array(
+                                 [], pa.timestamp("us"))})
+        s = b.column("sum(rev_c4)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.lexsort((okey, -s))[:k]
+        t = b.take(pa.array(idx))
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "revenue_c4": pc.cast(t.column("sum(rev_c4)"), pa.int64()),
+            "o_orderdate": t.column("o_orderdate")})
+
+    import ray
+    cands = sorted(
+        joined.map_batches(partial_topk, batch_format="pyarrow").take_all(),
+        key=lambda r: (-int(r["revenue_c4"]), int(r["o_orderkey"])))[:k]
+    return ray.data.from_items(cands).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "revenue_c4": pc.cast(b.column("revenue_c4"), pa.int64()),
+            "o_orderdate": pc.cast(b.column("o_orderdate"),
+                                   pa.timestamp("us"))}),
+        batch_format="pyarrow")
+
+
+def order_priority_counts(orders_ds, lineitem_ds, *,
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01",
+                          num_partitions=None):
+    """TPC-H Q4 shape: orders in a window having at least one lineitem
+    shipped AFTER the order date -> (o_orderpriority, n_orders).
+
+    The correlated EXISTS predicate (l_shipdate > o_orderdate) becomes a
+    map-side partial max + native groupby max per orderkey — the shuffle
+    carries one (orderkey, ts) pair per order, never lineitem rows —
+    then ONE hash join against the date-filtered orders and a 5-key
+    groupby count."""
+    num_partitions = _cap_partitions(num_partitions)
+    lo = pa.scalar(np.datetime64(date_from, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_to, "us").item(), pa.timestamp("us"))
+
+    def partial_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "ship": pa.array([], pa.timestamp("us"))})
+        df = pd.DataFrame({
+            "o_orderkey": b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "ship": b.column("l_shipdate").to_numpy(zero_copy_only=False)})
+        g = df.groupby("o_orderkey", sort=False)["ship"].max()
+        return pa.table({
+            "o_orderkey": pa.array(g.index.to_numpy(np.int64)),
+            "ship": pa.array(g.to_numpy())})
+
+    from ray.data.aggregate import Count, Max
+    last_ship = lineitem_ds.map_batches(partial_max,
+                                        batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Max("ship"))
+
+    def window(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        b = b.filter(m)
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+            "o_orderpriority": b.column("o_orderpriority")})
+
+    sel = orders_ds.map_batches(window, batch_format="pyarrow")
+    joined = sel.join(last_ship, join_type="inner",
+                      num_partitions=num_partitions, on=("o_orderkey",))
+
+    def late_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"o_orderpriority": pa.array([], pa.string())})
+        b = b.filter(pc.greater(b.column("max(ship)"),
+                                b.column("o_orderdate")))
+        return pa.table({"o_orderpriority": b.column("o_orderpriority")})
+
+    agg = joined.map_batches(late_only, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_orders": pc.cast(b.column("count()"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def large_volume_customers(customer_ds, orders_ds, lineitem_ds, *,
+                           min_qty: int = 250, num_partitions=None):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    `min_qty`, with their customer -> (c_custkey, c_name, o_orderkey,
+    o_orderdate, totalprice_cents, sum_qty).
+
+    HAVING-then-join-back: quantities partial-sum map-side per batch
+    (exact int64 — quantities are integral), the native groupby + filter
+    shrinks to the few qualifying orderkeys, and only THOSE rows flow
+    through the two sequenced hash joins (orders, then customer)."""
+    num_partitions = _cap_partitions(num_partitions)
+
+    def partial_qty(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "o_orderkey": b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "qty": np.rint(b.column("l_quantity").to_numpy(
+                zero_copy_only=False)).astype(np.int64)})
+        g = df.groupby("o_orderkey", sort=False)["qty"].sum()
+        return pa.table({"o_orderkey": pa.array(g.index.to_numpy(np.int64)),
+                         "qty": pa.array(g.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    qty = lineitem_ds.map_batches(partial_qty, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("qty"))
+
+    def big_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64())})
+        b = b.filter(pc.greater(b.column("sum(qty)"),
+                                pa.scalar(min_qty, pa.int64())))
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "sum_qty": pc.cast(b.column("sum(qty)"), pa.int64())})
+
+    big = qty.map_batches(big_only, batch_format="pyarrow")
+
+    def order_cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+            "totalprice_cents": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())})
+
+    withord = big.join(
+        orders_ds.map_batches(order_cols, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("o_orderkey",)).materialize()
+
+    def cust_cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": b.column("c_name")})
+
+    out = withord.join(
+        customer_ds.map_batches(cust_cols, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("c_custkey",))
+    return out.map_batches(
+        lambda b: b.select(["c_custkey", "c_name", "o_orderkey",
+                            "o_orderdate", "totalprice_cents", "sum_qty"]),
+        batch_format="pyarrow")
+
+
+def orders_above_customer_avg(orders_ds, *, num_partitions=None):
+    """Correlated-subquery shape: orders strictly pricier than their own
+    customer's average order price -> (o_orderkey, o_custkey,
+    totalprice_cents).
+
+    The correlation decorrelates into one groupby (per-customer int64
+    cent sum + count — prices are exact cents, so the sums are
+    order-independent) and one join back; the inclusion test is the
+    INTEGER cross-multiplication  cents * n > sum_cents , so no float
+    summation-order difference between engines can flip a row at the
+    boundary (the weighted_sample discipline)."""
+    num_partitions = _cap_partitions(num_partitions)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())})
+
+    cents = orders_ds.map_batches(to_cents, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+    stats = cents.groupby("o_custkey").aggregate(Sum("cents"), Count())
+    joined = cents.join(stats, join_type="inner",
+                        num_partitions=num_partitions, on=("o_custkey",))
+
+    def above(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "totalprice_cents": pa.array([], pa.int64())})
+        lhs = pc.multiply(b.column("cents"),
+                          pc.cast(b.column("count()"), pa.int64()))
+        b = b.filter(pc.greater(lhs, b.column("sum(cents)")))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "totalprice_cents": b.column("cents")})
+
+    return joined.map_batches(above, batch_format="pyarrow")

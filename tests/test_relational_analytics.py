@@ -439,3 +439,112 @@ class TestBloom:
         assert all(hits[f"doc-{i}"] for i in range(5000))  # no false negs
         fp = sum(hits[f"new-{i}"] for i in range(5000)) / 5000
         assert fp < 0.01, fp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTpchShapes:
+    """Hand-computed answers for the Q3/Q4/Q18/correlated-avg/LAG wave
+    (the sf0.01 DuckDB oracle covers the same operators at scale)."""
+
+    def _ts(self, s):
+        return np.datetime64(s, "us").item()
+
+    def test_shipping_priority(self):
+        from pdf_extract_ray.ops.relational import shipping_priority
+        ts = self._ts
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"],
+                                     pa.string())})
+        orders = pa.table({
+            "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [ts("1998-01-01"), ts("1998-07-01"), ts("1998-01-01")],
+                pa.timestamp("us"))})
+        li = pa.table({
+            "l_orderkey": pa.array([10, 10, 11, 12], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 5.0, 7.0],
+                                        pa.float64()),
+            "l_discount": pa.array([0.1, 0.0, 0.0, 0.0], pa.float64()),
+            "l_shipdate": pa.array(
+                [ts("1998-07-01"), ts("1998-08-01"), ts("1998-07-02"),
+                 ts("1998-07-02")], pa.timestamp("us"))})
+        out = shipping_priority(_ds(cust), _ds(orders), _ds(li),
+                                cutoff="1998-06-01").to_pandas()
+        # order 11 is not open (placed after cutoff); order 12 is not
+        # BUILDING; order 10 revenue = 10*0.9 + 20 = 29.0 -> 290000 c4
+        assert list(out.o_orderkey) == [10]
+        assert list(out.revenue_c4) == [290000]
+
+    def test_order_priority_counts(self):
+        from pdf_extract_ray.ops.relational import order_priority_counts
+        ts = self._ts
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [ts("1996-03-01"), ts("1996-03-01"), ts("1995-01-01")],
+                pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH",
+                                         "1-URGENT"], pa.string())})
+        li = pa.table({
+            "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                [ts("1996-04-01"),   # after orderdate -> counts
+                 ts("1996-02-01"),   # before -> no
+                 ts("1995-02-01")],  # order outside window
+                pa.timestamp("us"))})
+        out = order_priority_counts(_ds(orders), _ds(li)).to_pandas()
+        got = dict(zip(out.o_orderpriority, out.n_orders))
+        assert got == {"1-URGENT": 1}
+
+    def test_large_volume_customers(self):
+        from pdf_extract_ray.ops.relational import large_volume_customers
+        ts = self._ts
+        cust = pa.table({
+            "c_custkey": pa.array([5, 6], pa.int64()),
+            "c_name": pa.array(["five", "six"], pa.string())})
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([5, 6], pa.int64()),
+            "o_orderdate": pa.array([ts("2000-01-01")] * 2,
+                                    pa.timestamp("us")),
+            "o_totalprice": pa.array([12.34, 1.0], pa.float64())})
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_quantity": pa.array([2.0, 3.0, 10.0], pa.float64())})
+        out = large_volume_customers(_ds(cust), _ds(orders), _ds(li),
+                                     min_qty=4).to_pandas()
+        out = out.sort_values("o_orderkey").reset_index(drop=True)
+        assert list(out.o_orderkey) == [1, 2]
+        assert list(out.sum_qty) == [5, 10]
+        assert list(out.totalprice_cents) == [1234, 100]
+        assert list(out.c_name) == ["five", "six"]
+
+    def test_orders_above_customer_avg(self):
+        from pdf_extract_ray.ops.relational import \
+            orders_above_customer_avg
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 8], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 5.0],
+                                     pa.float64())})
+        out = orders_above_customer_avg(_ds(orders)).to_pandas()
+        # user 7 avg = 20 -> only order 3 strictly above; user 8's single
+        # order equals its own avg exactly -> excluded in both engines
+        assert list(out.o_orderkey) == [3]
+        assert list(out.totalprice_cents) == [3000]
+
+    def test_event_gaps(self):
+        from pdf_extract_ray.ops.events import event_gaps
+        ts = self._ts
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 8, 7], pa.int64()),
+            "ts": pa.array(
+                [ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:05"),
+                 ts("2024-01-01T00:00:00"), ts("2024-01-01T00:01:05")],
+                pa.timestamp("us"))})
+        out = event_gaps(_ds(ev)).to_pandas()
+        got = dict(zip(out.event_id, out.gap_us))
+        assert got == {1: -1, 2: 5_000_000, 3: -1, 4: 60_000_000}
