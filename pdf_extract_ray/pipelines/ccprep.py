@@ -10,8 +10,9 @@
 
 Scale shape: phase 1 is the checkpointed per-partition extract
 (manifests, resume); phase 2 reads the checkpoint, so a preempted job
-never re-extracts.  The exact-dedup decision shuffles (md5, url) pairs;
-the near-dup stage ships ~24 B/doc/band through its only shuffle
+never re-extracts.  Exact dedup is one md5-partitioned shuffle with a
+map-side combine (textprep._dedup_enrich); the near-dup stage ships
+~24 B/doc/band through its only shuffle
 (MinHashBandsOnly) and verifies only the candidate pairs via the
 semi-join path in verify_pairs_jaccard.  The keep-smallest drop set is
 computed DISTRIBUTED (ops/dedup.greedy_drop_ids — round-based peeling
@@ -80,6 +81,12 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
     # pinned: feeds BOTH the near-dup candidate generation and the final
     # filter (shared lineage must execute once)
     filtered = enriched.map_batches(keep, batch_format="pyarrow").materialize()
+    if filtered.num_blocks() < num_partitions:
+        # the exact-dedup small path resolves in ONE task and so emits
+        # one block; re-split so the minhash/verify stage parallelizes
+        # (measured 15 s -> 7 s at sf0.1).  At scale the dedup shuffle
+        # already yields >= num_partitions blocks and this is a no-op.
+        filtered = filtered.repartition(num_partitions).materialize()
     t = mark("enrich_dedup_filter", t)
 
     docs = filtered.map_batches(

