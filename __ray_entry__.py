@@ -1347,6 +1347,24 @@ def _q_orders_above_avg(sf_dir: str):
               columns=["o_orderkey", "o_custkey", "o_totalprice"]))
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """Per-pair exact n-gram Jaccard vs the benchmark slice (broadcast
+    postings, map-only train side, integer inclusion test)."""
+    from pdf_extract_ray.ops.corpus import fuzzy_decontaminate
+    return fuzzy_decontaminate(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_chars_rank_by_source(sf_dir: str):
+    """Per-row RANK/DENSE_RANK window with NO row shuffle: value-based
+    ranks come from a broadcast (source, n_chars) histogram."""
+    from pdf_extract_ray.ops.analytics import grouped_value_ranks
+    return grouped_value_ranks(
+        _read(sf_dir, "documents", columns=["doc_id", "source",
+                                            "n_chars"]),
+        "source", "n_chars", "doc_id")
+
+
 def _q_event_gaps(sf_dir: str):
     """LAG window: per-user previous-event gap in exact integer
     microseconds (-1 sentinel on each user's first event)."""
@@ -1392,6 +1410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "orders_above_avg": _q_orders_above_avg,
         "event_gaps": _q_event_gaps,
+        "chars_rank_by_source": _q_chars_rank_by_source,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "heavy_hitters": _q_heavy_hitters,
         "redact_pii": _q_redact_pii,
         "props_k_stats": _q_props_k_stats,
@@ -1902,6 +1922,46 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN s ON s.o_custkey = o.o_custkey
             WHERE CAST(round(o.o_totalprice * 100, 0) AS BIGINT) * s.n
                   > s.total_cents
+        """,
+        "fuzzy_decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                       FROM documents),
+            gj AS (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS i
+                   FROM w),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(ws, i, i+4), ' ')
+                             AS gram
+                  FROM gj),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) ng
+                      FROM g GROUP BY doc_id),
+            bench AS (SELECT doc_id AS bid, gram FROM g
+                      WHERE doc_id % 11 = 0),
+            train AS (SELECT doc_id AS tid, gram FROM g
+                      WHERE doc_id % 11 <> 0),
+            shared AS (SELECT tid, bid, CAST(count(*) AS BIGINT) s
+                       FROM train JOIN bench USING (gram)
+                       GROUP BY tid, bid),
+            hits AS (SELECT s.tid,
+                            CAST(count(*) AS BIGINT) AS n_contaminating
+                     FROM shared s
+                     JOIN sizes st ON st.doc_id = s.tid
+                     JOIN sizes sb ON sb.doc_id = s.bid
+                     WHERE 100 * s.s >= 50 * (st.ng + sb.ng - s.s)
+                     GROUP BY s.tid)
+            SELECT d.doc_id,
+                   COALESCE(h.n_contaminating, 0) AS n_contaminating,
+                   COALESCE(h.n_contaminating, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+            LEFT JOIN hits h ON h.tid = d.doc_id
+        """,
+        "chars_rank_by_source": """
+            SELECT doc_id, source, n_chars,
+                   CAST(rank() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY source
+                                           ORDER BY n_chars) AS BIGINT)
+                       AS dense_rnk
+            FROM documents
         """,
         "event_gaps": """
             SELECT event_id, user_id,

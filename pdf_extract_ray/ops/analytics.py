@@ -126,3 +126,71 @@ def word_frequencies(ds, text_col: str = "text", k: int = 100) -> pa.Table:
     top = cands[:k]
     return pa.table({"word": pa.array([w for w, _ in top], pa.string()),
                      "n": pa.array([n for _, n in top], pa.int64())})
+
+
+def grouped_value_ranks(ds, group_col: str, value_col: str, id_col: str):
+    """RANK() and DENSE_RANK() of `value_col` within `group_col` for
+    EVERY row, with no row-level shuffle -> (id, group, value, rnk,
+    dense_rnk).
+
+    Value-based window ranks depend only on the per-(group, value)
+    histogram: rank = 1 + #rows with a smaller value in the group,
+    dense = 1 + #smaller distinct values.  So: per-batch partial counts
+    -> one tiny (group, value) groupby -> the driver builds cumulative
+    ranks per group -> the lookup broadcasts via ray.put and a map-side
+    pandas merge assigns both ranks per row.  The full corpus is never
+    shuffled.  Bound: distinct (group, value) pairs fit in memory (the
+    grouped_median assumption — value domains like char counts are
+    bounded)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             value_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas(),
+            value_col: b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby([group_col, value_col], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            group_col: pa.array(idx[group_col], pa.string()),
+            value_col: pa.array(idx[value_col].to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64))})
+
+    hist = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).aggregate(Sum("n"))
+
+    rows = hist.take_all()
+    df = pd.DataFrame({
+        group_col: [r[group_col] for r in rows],
+        value_col: np.array([r[value_col] for r in rows], np.int64),
+        "n": np.array([r["sum(n)"] for r in rows], np.int64),
+    }).sort_values([group_col, value_col], kind="mergesort")
+    grp = df.groupby(group_col, sort=False)
+    df["rnk"] = grp["n"].cumsum() - df["n"] + 1
+    df["dense_rnk"] = grp.cumcount() + 1
+    lookup = df[[group_col, value_col, "rnk", "dense_rnk"]] \
+        .reset_index(drop=True)
+    lookup_ref = ray.put(lookup)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            id_col: b.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            group_col: b.column(group_col).to_pandas(),
+            value_col: b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        out = df.merge(lk, on=[group_col, value_col], how="left")
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            group_col: pa.array(out[group_col], pa.string()),
+            value_col: pa.array(out[value_col].to_numpy(np.int64)),
+            "rnk": pa.array(out["rnk"].to_numpy(np.int64)),
+            "dense_rnk": pa.array(out["dense_rnk"].to_numpy(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

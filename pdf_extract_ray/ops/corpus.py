@@ -419,3 +419,92 @@ def tfidf_top_terms(docs_ds, *, num_partitions=None,
         return df.head(1)[[id_col, "term", "tf", "df"]]
 
     return cands.groupby(id_col).map_groups(final, batch_format="pandas")
+
+
+def fuzzy_decontaminate(docs_ds, *, n: int = 5, bench_mod: int = 11,
+                        threshold_pct: int = 50,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Fuzzy benchmark decontamination: flag training documents whose
+    word-n-gram JACCARD similarity against ANY individual benchmark doc
+    (doc_id % bench_mod == 0) reaches threshold_pct/100
+    -> (doc_id, n_contaminating, contaminated).
+
+    Unlike `decontaminate` (any single shared gram), this is the
+    near-duplicate eval-overlap test training pipelines actually want —
+    exact per-(train, bench)-pair Jaccard, not MinHash.  Shape: the
+    bench side collects (gram_hash, bench_id) pairs + per-bench gram
+    counts ONCE and broadcasts (eval sets are small by definition); the
+    train side is map-only — per batch, distinct gram hashes merge
+    against the broadcast postings, one grouped size() gives shared
+    counts per pair, and the inclusion test is the integer
+    cross-multiplication  100*shared >= pct*(na + nb - shared)  so no
+    float ratio can flip a row at the boundary."""
+    import ray
+
+    def bench_pairs(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = ids % bench_mod == 0
+        bids = ids[mask]
+        texts = b.filter(pa.array(mask)).column(text_col).to_pylist()
+        row_of, wh, _ = _word_hashes(texts)
+        grow, gh = _gram_hashes(row_of, wh, n)
+        if len(gh) == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "bid": pa.array([], pa.int64())})
+        order = np.lexsort((gh, grow))
+        hs, rs = gh[order], grow[order]
+        keep = np.empty(len(hs), bool)
+        keep[0] = True
+        np.logical_or(hs[1:] != hs[:-1], rs[1:] != rs[:-1], out=keep[1:])
+        return pa.table({"g": pa.array(hs[keep].view(np.int64)),
+                         "bid": pa.array(bids[rs[keep]].astype(np.int64))})
+
+    parts = [b.to_pandas() for b in docs_ds
+             .map_batches(bench_pairs, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    bench = (pd.concat(parts, ignore_index=True) if parts
+             else pd.DataFrame({"g": pd.Series([], dtype=np.int64),
+                                "bid": pd.Series([], dtype=np.int64)}))
+    nb = bench.groupby("bid", sort=False).size()
+    bench_sizes = dict(zip(nb.index.to_numpy(np.int64),
+                           nb.to_numpy(np.int64)))
+    bench_ref = ray.put(bench)
+    sizes_ref = ray.put(bench_sizes)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % bench_mod != 0))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_n = np.zeros(len(ids), np.int64)
+        texts = b.column(text_col).to_pylist()
+        row_of, wh, _ = _word_hashes(texts)
+        grow, gh = _gram_hashes(row_of, wh, n)
+        if len(gh):
+            order = np.lexsort((gh, grow))
+            hs, rs = gh[order], grow[order]
+            keep = np.empty(len(hs), bool)
+            keep[0] = True
+            np.logical_or(hs[1:] != hs[:-1], rs[1:] != rs[:-1],
+                          out=keep[1:])
+            hs, rs = hs[keep], rs[keep]
+            na = np.bincount(rs, minlength=len(ids)).astype(np.int64)
+            bdf = ray.get(bench_ref)
+            sizes = ray.get(sizes_ref)
+            m = pd.DataFrame({"g": hs.view(np.int64), "row": rs}) \
+                .merge(bdf, on="g", how="inner")
+            if len(m):
+                shared = m.groupby(["row", "bid"], sort=False).size()
+                pr = shared.index.get_level_values(0).to_numpy(np.int64)
+                pb = shared.index.get_level_values(1).to_numpy(np.int64)
+                s = shared.to_numpy(np.int64)
+                nbv = np.array([sizes[x] for x in pb], np.int64)
+                hit = 100 * s >= threshold_pct * (na[pr] + nbv - s)
+                out_n += np.bincount(pr[hit], minlength=len(ids)) \
+                    .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_contaminating": pa.array(out_n),
+            "contaminated": pa.array(out_n > 0)})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

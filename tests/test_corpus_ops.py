@@ -207,3 +207,48 @@ class TestKernels:
         assert wh[0] == wh[2] == wh[4]
         assert wh[1] == wh[3]
         assert wh[0] != wh[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFuzzyDecontaminate:
+    def test_planted_near_copy_flags(self):
+        import ray
+        from pdf_extract_ray.ops.corpus import fuzzy_decontaminate
+        words = [f"w{i}" for i in range(40)]
+        bench_text = " ".join(words)                    # doc 0 (bench)
+        near = " ".join(words[:38] + ["x", "y"])        # doc 1: high overlap
+        far = " ".join(f"z{i}" for i in range(40))      # doc 2: disjoint
+        short = "a b c"                                 # doc 3: <5 words
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([bench_text, near, far, short],
+                             pa.string())})
+        out = fuzzy_decontaminate(
+            ray.data.from_arrow(tbl), threshold_pct=50).to_pandas()
+        got = dict(zip(out.doc_id, out.contaminated))
+        # train docs only (doc 0 is the bench slice)
+        assert set(out.doc_id) == {1, 2, 3}
+        # doc1: 34 shared 5-grams of 36 each -> jaccard 34/38 >= 0.5
+        assert got[1] and not got[2] and not got[3]
+        n = dict(zip(out.doc_id, out.n_contaminating))
+        assert n[1] == 1 and n[2] == 0 and n[3] == 0
+
+    def test_threshold_boundary_integer_exact(self):
+        import ray
+        from pdf_extract_ray.ops.corpus import fuzzy_decontaminate
+        # bench doc: grams G = {g1..g6}; train doc shares exactly s of
+        # them with na=nb=6 -> jaccard = s/(12-s); threshold 50% hits
+        # exactly at s=4 (4/8 = 0.5, >= holds)
+        w = [f"c{i}" for i in range(10)]  # 6 grams for 10 words
+        bench = " ".join(w)
+        # train: first 8 words shared (4 grams), then diverge
+        train = " ".join(w[:8] + ["q1", "q2"])
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([bench, train], pa.string())})
+        out = fuzzy_decontaminate(
+            ray.data.from_arrow(tbl), threshold_pct=50).to_pandas()
+        assert bool(out[out.doc_id == 1].contaminated.iloc[0]) is True
+        out49 = fuzzy_decontaminate(
+            ray.data.from_arrow(tbl), threshold_pct=51).to_pandas()
+        assert bool(out49[out49.doc_id == 1].contaminated.iloc[0]) is False

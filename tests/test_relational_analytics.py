@@ -548,3 +548,21 @@ class TestTpchShapes:
         out = event_gaps(_ds(ev)).to_pandas()
         got = dict(zip(out.event_id, out.gap_us))
         assert got == {1: -1, 2: 5_000_000, 3: -1, 4: 60_000_000}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedValueRanks:
+    def test_ranks_match_window_semantics(self):
+        from pdf_extract_ray.ops.analytics import grouped_value_ranks
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "source": pa.array(["a", "a", "a", "a", "b", "b"],
+                               pa.string()),
+            "n_chars": pa.array([10, 10, 20, 5, 7, 7], pa.int64())})
+        out = grouped_value_ranks(_ds(tbl), "source", "n_chars",
+                                  "doc_id").to_pandas()
+        got = {int(r.doc_id): (int(r.rnk), int(r.dense_rnk))
+               for r in out.itertuples()}
+        # a: 5 -> (1,1); 10,10 -> (2,2); 20 -> (4,3); b: 7,7 -> (1,1)
+        assert got == {4: (1, 1), 1: (2, 2), 2: (2, 2), 3: (4, 3),
+                       5: (1, 1), 6: (1, 1)}
