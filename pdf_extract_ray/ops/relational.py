@@ -4,10 +4,10 @@ Scale discipline per operator:
 - pricing_summary (TPC-H Q1 shape): derived columns are vectorized
   pyarrow.compute inside map_batches; the shuffle carries only the
   6-value (returnflag, linestatus) key space through ONE native groupby.
-- revenue_by_nation: orders are PRE-AGGREGATED per custkey before the
-  join (the shuffle moves (custkey, sum) pairs, never order rows), then
-  one hash join against the customer dimension, a second tiny groupby per
-  nation, and a driver-side lookup of the 25-row nation names.
+- revenue_by_nation: ONE custkey-partitioned shuffle carrying map-side
+  (custkey, partial sum) rows unioned with (custkey, nationkey) customer
+  rows; partitions emit per-nation partials, a 25-key groupby merges,
+  and the 25-row nation names resolve on the driver.
 - asof_join_orders: as-of (most-recent-at-or-before) join, an operator
   Ray Data lacks.  Both sides are hash-partitioned BY KEY into bounded
   partitions (same pattern as dedup._grouped_by_partition) in ONE
@@ -73,32 +73,69 @@ def pricing_summary(lineitem_ds, cutoff: str = "2000-01-01"):
 
 
 def revenue_by_nation(orders_ds, customer_ds, nation_ds, *,
-                      num_partitions=None):
+                      num_partitions: int = 16):
     """-> (n_name, revenue_cents, n_customers): total order revenue per
-    customer nation.  Orders pre-aggregate per custkey BEFORE the join."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    customer nation.
 
-    if num_partitions is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        # join aggregator actors carry fixed spin-up cost; 16 partitions
-        # saturate a single node, real clusters pass num_partitions
-        num_partitions = max(2, min(16, cpus))
+    ONE full shuffle total (round-3 rewrite; the round-2 groupby +
+    hash-join pair cost two all-to-alls plus join-actor spin-up — A/B at
+    sf0.1, 32 CPUs: ~20 s -> ~4.1 s, cent-identical): orders partial-sum
+    per custkey map-side, union with tagged (custkey, nationkey)
+    customer rows, hash-partition by custkey once; each partition maps
+    its custkeys to nations and emits per-nation partials, which a tiny
+    25-key groupby merges.  The 25-row nation dimension resolves on the
+    driver."""
+    from ray.data.aggregate import Sum
 
-    per_cust = orders_ds.groupby("o_custkey").aggregate(Sum("o_totalprice"))
-    per_cust = per_cust.map_batches(
-        lambda b: pa.table({"c_custkey": b.column("o_custkey"),
-                            "spend": b.column("sum(o_totalprice)")}),
-        batch_format="pyarrow")
-    cust = customer_ds.map_batches(
-        lambda b: b.select(["c_custkey", "c_nationkey"]),
-        batch_format="pyarrow")
-    joined = per_cust.join(cust, join_type="inner",
-                           num_partitions=num_partitions, on=("c_custkey",))
-    per_nation = joined.groupby("c_nationkey").aggregate(Sum("spend"), Count())
+    from .dedup import _grouped_by_partition
+
+    def opart(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "key": b.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "spend": b.column("o_totalprice").to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby("key", sort=False)["spend"].sum()
+        n = len(g)
+        return pa.table({
+            "key": pa.array(g.index.to_numpy(np.int64)),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "spend": pa.array(g.to_numpy(np.float64)),
+            "nk": pa.array(np.full(n, -1, np.int64))})
+
+    def cpart(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("c_custkey"), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "spend": pa.array(np.zeros(n, np.float64)),
+            "nk": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+    both = orders_ds.map_batches(opart, batch_format="pyarrow").union(
+        customer_ds.map_batches(cpart, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nk": "int64", "spend": "float64", "ncust": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        cust = df[df["side"] == 1]
+        nk = dict(zip(cust["key"].to_numpy(np.int64),
+                      cust["nk"].to_numpy(np.int64)))
+        o = df[df["side"] == 0]
+        per = o.groupby("key", sort=False)["spend"].sum()
+        keys = per.index.to_numpy(np.int64)
+        nks = np.array([nk.get(k, -1) for k in keys], np.int64)
+        valid = nks >= 0  # inner-join semantics: unknown custkeys drop
+        sub = pd.DataFrame({"nk": nks[valid],
+                            "spend": per.to_numpy()[valid]})
+        g = sub.groupby("nk", sort=False)["spend"].agg(["sum", "count"])
+        return pd.DataFrame({"nk": g.index.to_numpy(np.int64),
+                             "spend": g["sum"].to_numpy(),
+                             "ncust": g["count"].to_numpy(np.int64)})
+
+    parts = _grouped_by_partition(both, ["key"], resolve,
+                                  n_parts=num_partitions)
+    agg = parts.groupby("nk").aggregate(Sum("spend"), Sum("ncust"))
 
     # 25-row dimension: take to the driver, no shuffle
     names = {}
@@ -108,15 +145,17 @@ def revenue_by_nation(orders_ds, customer_ds, nation_ds, *,
             names[k] = n
 
     def finish(b: pa.Table) -> pa.Table:
-        keys = b.column("c_nationkey").to_pylist()
-        spend = np.asarray(b.column("sum(spend)").to_pylist(), dtype=np.float64)
+        keys = b.column("nk").to_pylist()
+        spend = np.asarray(b.column("sum(spend)").to_pylist(),
+                           dtype=np.float64)
         return pa.table({
-            "n_name": pa.array([names.get(k, "") for k in keys], pa.string()),
-            "revenue_cents": pa.array(np.rint(spend * 100.0).astype(np.int64),
-                                      pa.int64()),
-            "n_customers": pc.cast(b.column("count()"), pa.int64())})
+            "n_name": pa.array([names.get(k, "") for k in keys],
+                               pa.string()),
+            "revenue_cents": pa.array(np.rint(spend * 100.0)
+                                      .astype(np.int64), pa.int64()),
+            "n_customers": pc.cast(b.column("sum(ncust)"), pa.int64())})
 
-    return per_nation.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _seg_last_idx(flag: np.ndarray, group_change: np.ndarray):
