@@ -1347,6 +1347,85 @@ def _q_orders_above_avg(sf_dir: str):
               columns=["o_orderkey", "o_custkey", "o_totalprice"]))
 
 
+def _q_chars_percentiles_by_source(sf_dir: str):
+    """Exact discrete p25/p50/p75/p95 per source from ONE histogram
+    aggregate (integer-exact index arithmetic, no global sort)."""
+    from pdf_extract_ray.ops.analytics import grouped_percentiles
+    return grouped_percentiles(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_chars_mode_by_source(sf_dir: str):
+    """Most frequent n_chars per source (ties -> smallest value), one
+    histogram aggregate + per-group argmax."""
+    from pdf_extract_ray.ops.analytics import grouped_mode
+    return grouped_mode(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_doc_cube(sf_dir: str):
+    """CUBE-style aggregate over (source, lang): all four grouping sets
+    from ONE corpus scan — the coarser three re-aggregate the tiny fine
+    output (the doc_rollup shape plus the lang-only set)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    fine = ds.groupby(["source", "lang"]) \
+        .aggregate(Count(), Sum("n_chars")).take_all()
+    df = pd.DataFrame(fine).rename(
+        columns={"count()": "n_docs", "sum(n_chars)": "total_chars"})
+    levels = [df]
+    for keep in ("source", "lang"):
+        sub = df.groupby(keep, as_index=False)[
+            ["n_docs", "total_chars"]].sum()
+        sub["lang" if keep == "source" else "source"] = None
+        levels.append(sub)
+    grand = pd.DataFrame({"source": [None], "lang": [None],
+                          "n_docs": [df["n_docs"].sum()],
+                          "total_chars": [df["total_chars"].sum()]})
+    levels.append(grand)
+    out = pd.concat(levels, ignore_index=True)[
+        ["source", "lang", "n_docs", "total_chars"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out
+
+
+def _q_shared_user_ids(sf_dir: str):
+    """INTERSECT set op across two tables: ids present in BOTH events
+    and orders.  Map-side per-batch key dedup tags each side, one
+    groupby takes Min/Max of the tag — no join, shuffle carries
+    distinct (id, tag) pairs only."""
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def tag(col, side):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = pc.unique(pc.cast(b.column(col), pa.int64()))
+            return pa.table({
+                "user_id": keys,
+                "side": pa.array(
+                    np.full(len(keys), side, np.int8), pa.int8())})
+        return fn
+
+    both = ev.map_batches(tag("user_id", 1), batch_format="pyarrow") \
+        .union(orders.map_batches(tag("o_custkey", 2),
+                                  batch_format="pyarrow"))
+    agg = both.groupby("user_id").aggregate(Min("side"), Max("side"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("min(side)"), pa.scalar(1)),
+                    pc.equal(b.column("max(side)"), pa.scalar(2)))
+        return pa.table({"user_id": pc.cast(
+            b.filter(m).column("user_id"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_fuzzy_decontaminate(sf_dir: str):
     """Per-pair exact n-gram Jaccard vs the benchmark slice (broadcast
     postings, map-only train side, integer inclusion test)."""
@@ -1412,6 +1491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "chars_rank_by_source": _q_chars_rank_by_source,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "chars_percentiles_by_source": _q_chars_percentiles_by_source,
+        "chars_mode_by_source": _q_chars_mode_by_source,
+        "doc_cube": _q_doc_cube,
+        "shared_user_ids": _q_shared_user_ids,
         "heavy_hitters": _q_heavy_hitters,
         "redact_pii": _q_redact_pii,
         "props_k_stats": _q_props_k_stats,
@@ -1922,6 +2005,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN s ON s.o_custkey = o.o_custkey
             WHERE CAST(round(o.o_totalprice * 100, 0) AS BIGINT) * s.n
                   > s.total_cents
+        """,
+        "chars_percentiles_by_source": """
+            SELECT source,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+            FROM documents GROUP BY source
+        """,
+        "chars_mode_by_source": """
+            WITH h AS (SELECT source, n_chars,
+                              CAST(count(*) AS BIGINT) c,
+                              max(count(*)) OVER (PARTITION BY source)
+                                  AS mx
+                       FROM documents GROUP BY source, n_chars)
+            SELECT source, CAST(min(n_chars) AS BIGINT) AS mode_value,
+                   CAST(min(c) AS BIGINT) AS n_occurrences
+            FROM h WHERE c = mx GROUP BY source
+        """,
+        "doc_cube": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE (source, lang)
+        """,
+        "shared_user_ids": """
+            SELECT user_id FROM events
+            INTERSECT
+            SELECT o_custkey AS user_id FROM orders
         """,
         "fuzzy_decontaminate": """
             WITH w AS (SELECT doc_id, string_split(text,' ') ws

@@ -194,3 +194,50 @@ def grouped_value_ranks(ds, group_col: str, value_col: str, id_col: str):
             "dense_rnk": pa.array(out["dense_rnk"].to_numpy(np.int64))})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_percentiles(ds, group_col: str, value_col: str,
+                        percents=(25, 50, 75, 95)):
+    """EXACT discrete percentiles per group with no global sort ->
+    (group, p25, p50, ...).  Same histogram shape as grouped_median:
+    one (group, value) count aggregate (bounded by value cardinality),
+    then each group's percentiles resolve in one cumsum+searchsorted
+    pass.  Index arithmetic is integer-exact (ceil(p*n/100) via
+    (p*n+99)//100 — DuckDB quantile_disc semantics), so no float
+    boundary can pick a neighboring element."""
+    hist = ds.groupby([group_col, value_col]).count()
+    pcols = [f"p{p}" for p in percents]
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        cnts = df["count()"].to_numpy(dtype=np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        out = {group_col: [df[group_col].iloc[0]]}
+        for p, name in zip(percents, pcols):
+            target = (p * total + 99) // 100  # ceil(p*n/100), integer
+            out[name] = [int(vals[np.searchsorted(cum, target,
+                                                  side="left")])]
+        return pd.DataFrame(out)
+
+    return hist.groupby(group_col).map_groups(resolve,
+                                              batch_format="pandas")
+
+
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Most frequent value per group (ties -> smallest value) ->
+    (group, mode_value, n_occurrences).  One (group, value) count
+    aggregate; each group's argmax resolves in one pass."""
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        cnts = df["count()"].to_numpy(dtype=np.int64)
+        best = np.lexsort((vals, -cnts))[0]
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "mode_value": [int(vals[best])],
+                             "n_occurrences": [int(cnts[best])]})
+
+    return hist.groupby(group_col).map_groups(resolve,
+                                              batch_format="pandas")

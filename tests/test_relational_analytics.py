@@ -566,3 +566,49 @@ class TestGroupedValueRanks:
         # a: 5 -> (1,1); 10,10 -> (2,2); 20 -> (4,3); b: 7,7 -> (1,1)
         assert got == {4: (1, 1), 1: (2, 2), 2: (2, 2), 3: (4, 3),
                        5: (1, 1), 6: (1, 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPercentilesModeSetOps:
+    def test_grouped_percentiles_disc_semantics(self):
+        from pdf_extract_ray.ops.analytics import grouped_percentiles
+        tbl = pa.table({
+            "source": pa.array(["a"] * 4 + ["b"] * 5, pa.string()),
+            "n_chars": pa.array([1, 2, 3, 4, 10, 20, 30, 40, 50],
+                                pa.int64())})
+        out = grouped_percentiles(_ds(tbl), "source", "n_chars") \
+            .to_pandas().set_index("source")
+        # DuckDB quantile_disc: element at ceil(q*n)-1 (0-based)
+        assert list(out.loc["a", ["p25", "p50", "p75", "p95"]]) == \
+            [1, 2, 3, 4]
+        assert list(out.loc["b", ["p25", "p50", "p75", "p95"]]) == \
+            [20, 30, 40, 50]
+
+    def test_grouped_mode_tie_breaks_smallest(self):
+        from pdf_extract_ray.ops.analytics import grouped_mode
+        tbl = pa.table({
+            "source": pa.array(["a"] * 5, pa.string()),
+            "n_chars": pa.array([7, 7, 3, 3, 9], pa.int64())})
+        out = grouped_mode(_ds(tbl), "source", "n_chars").to_pandas()
+        assert int(out.mode_value.iloc[0]) == 3     # tie 2-2 -> smaller
+        assert int(out.n_occurrences.iloc[0]) == 2
+
+    def test_shared_ids_intersect(self):
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod2", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+                "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        out = m._q_shared_user_ids("/root/testdata/sf0.001").to_pandas()
+        import duckdb
+        exp = duckdb.sql("""
+            SELECT user_id
+            FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+            INTERSECT
+            SELECT o_custkey
+            FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
+        """).df()
+        assert sorted(out.user_id) == sorted(exp.user_id)
