@@ -112,7 +112,12 @@ def run_ops(sf_dir: str):
              "quality_classifier", "promo_revenue", "revenue_by_region",
              "running_totals", "dup_clusters_salted", "heavy_hitters",
              "redact_pii", "props_k_stats", "customer_order_coverage",
-             "embedding_pca", "doc_rollup", "lang_pivot"]
+             "embedding_pca", "doc_rollup", "lang_pivot",
+             "shipping_priority", "order_priority_counts",
+             "large_volume_customers", "orders_above_avg", "event_gaps",
+             "chars_rank_by_source", "fuzzy_decontaminate",
+             "chars_percentiles_by_source", "chars_mode_by_source",
+             "doc_cube", "shared_user_ids"]
     out = {}
     for _pass in range(2):
         for name in names:
