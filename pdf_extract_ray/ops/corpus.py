@@ -279,10 +279,14 @@ def chunk_dedup(docs_ds, *, chunk_words: int = 8, num_partitions=None,
     n_chunks_kept).  Documents whose every span occurred earlier vanish
     (the C4 duplicated-span rule at chunk granularity).
 
-    Shape: explode -> groupby(chunk_hash).min(packed_position) elects
-    winners over 16 B rows -> left_semi join keeps winning instances ->
-    per-doc groupby rebuilds text.  Deterministic regardless of block
-    order (min over a commutative key)."""
+    Shape (round-3 rewrite; the former elect-then-left_semi-join plan
+    cost three exchanges plus join actors and re-ran the explode for
+    each lazy consumer — A/B at sf0.1, 32 CPUs: ~22 s -> ~3.5 s,
+    byte-identical output): explode once -> ONE hash shuffle partitioned
+    by chunk hash, where each partition keeps the rows equal to their
+    group's min packed position (election and filtering fused, no join)
+    -> one doc_id-partitioned pass rebuilds text.  Deterministic
+    regardless of block order (min over a commutative key)."""
     if num_partitions is None:
         num_partitions = _default_parts()
 
@@ -310,29 +314,39 @@ def chunk_dedup(docs_ds, *, chunk_words: int = 8, num_partitions=None,
 
     exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
 
-    # winner branch ships only (h, packed) — 16 B/chunk — through its
-    # shuffle; the explode recomputes rather than pinning corpus text
-    winners = exploded.map_batches(
-        lambda b: b.select(["h", "packed"]), batch_format="pyarrow") \
-        .groupby("h").min("packed")
-    winners = winners.map_batches(
-        lambda b: pa.table({"packed": b.column("min(packed)")}),
-        batch_format="pyarrow").materialize()  # tiny vs text; sequences
-    # the shuffle before the join (Ray 2.49 aggregator-pool contention)
-    winners = _coalesce_nonempty(winners, num_partitions)
+    from .dedup import _grouped_by_partition
 
-    kept = exploded.join(winners, join_type="left_semi",
-                         num_partitions=num_partitions, on=("packed",))
+    def keep_winners(df: pd.DataFrame) -> pd.DataFrame:
+        # all instances of a chunk hash co-locate; keep exactly the rows
+        # that ARE their group's minimum packed position (first
+        # occurrence), fusing election and semi-join filtering
+        if len(df) == 0:
+            return df
+        mn = df.groupby("h", sort=False)["packed"].transform("min")
+        return df[df["packed"] == mn]
+
+    kept = _grouped_by_partition(exploded, ["h"], keep_winners,
+                                 n_parts=num_partitions)
 
     def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("idx")
+        # vectorized multi-group rebuild (one partition holds all of a
+        # doc's surviving chunks)
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "text": pd.Series([], dtype=object),
+                "n_chunks_kept": pd.Series([], dtype=np.int64)})
+        df = df.sort_values([id_col, "idx"])
+        g = df.groupby(id_col, sort=False)
+        texts = g["chunk"].agg(" ".join)
+        n = g.size()
         return pd.DataFrame({
-            id_col: [df[id_col].iloc[0]],
-            "text": [" ".join(df["chunk"])],
-            "n_chunks_kept": np.array([len(df)], np.int64),
-        })
+            id_col: texts.index.to_numpy(np.int64),
+            "text": texts.to_numpy(object),
+            "n_chunks_kept": n.to_numpy(np.int64)})
 
-    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+    return _grouped_by_partition(kept, [id_col], rebuild,
+                                 n_parts=num_partitions)
 
 
 # ---------------------------------------------------------------------------
