@@ -1170,39 +1170,53 @@ def _q_props_k_stats(sf_dir: str):
 
 
 def _q_customer_order_coverage(sf_dir: str):
-    """FULL OUTER join coverage report: every customer (with or without
+    """FULL OUTER coverage report: every customer (with or without
     orders) and every order-side custkey (known or orphaned) ->
-    (custkey, n_orders, known_customer).  The order side pre-aggregates
-    to per-customer counts BEFORE the join (never order rows), and the
-    join itself is Ray's native full_outer hash join."""
-    from pdf_extract_ray.ops.corpus import _coalesce_nonempty, _default_parts
+    (custkey, n_orders, known_customer).  ONE custkey-partitioned
+    shuffle (the revenue_by_nation shape): orders partial-count per
+    custkey map-side, union with tagged customer keys, and each
+    partition emits its keys' merged coverage rows — full-outer
+    semantics with no join actors (was groupby + native full_outer:
+    two exchanges + spin-up)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import _default_parts
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    parts = _default_parts()
-    counts = orders.groupby("o_custkey").count()
-    counts = counts.map_batches(
-        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
-                            "n_orders": pc.cast(t.column("count()"),
-                                                pa.int64())})
-        if t.num_rows else
-        pa.table({"c_custkey": pa.array([], pa.int64()),
-                  "n_orders": pa.array([], pa.int64())}),
-        batch_format="pyarrow")
-    counts = _coalesce_nonempty(counts.materialize(), parts)
-    cust = cust.map_batches(
-        lambda t: t.append_column("known", pa.array(
-            np.ones(t.num_rows, bool))), batch_format="pyarrow")
-    joined = cust.join(counts, join_type="full_outer",
-                       num_partitions=parts, on=("c_custkey",))
 
-    def finish(b: pa.Table) -> pa.Table:
-        known = pc.fill_null(b.column("known"), False)
-        n = pc.fill_null(b.column("n_orders"), 0)
-        return pa.table({"custkey": b.column("c_custkey"),
-                         "n_orders": pc.cast(n, pa.int64()),
-                         "known_customer": known})
+    def opart(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"key": b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("key", sort=False).size()
+        return pa.table({
+            "key": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64)),
+            "known": pa.array(np.zeros(len(g), bool))})
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    def cpart(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("c_custkey"), pa.int64()),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "known": pa.array(np.ones(n, bool))})
+
+    both = orders.map_batches(opart, batch_format="pyarrow").union(
+        cust.map_batches(cpart, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"custkey": "int64", "n_orders": "int64",
+                "known_customer": "bool"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("key", sort=False).agg(
+            n_orders=("n", "sum"), known_customer=("known", "max"))
+        return pd.DataFrame({
+            "custkey": g.index.to_numpy(np.int64),
+            "n_orders": g["n_orders"].to_numpy(np.int64),
+            "known_customer": g["known_customer"].to_numpy(bool)})
+
+    return _grouped_by_partition(both, ["key"], resolve,
+                                 n_parts=_default_parts())
 
 
 def _q_heavy_hitters(sf_dir: str):
