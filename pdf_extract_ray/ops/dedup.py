@@ -62,6 +62,12 @@ def exact_dedup_keep_first(ds):
 # partition-level grouping helper
 # ---------------------------------------------------------------------------
 
+# Test hook: when True, _grouped_by_partition always takes the
+# hash-partitioned shuffle path, never the single-task small-input
+# fast path — lets tests assert both paths produce identical results.
+_FORCE_SHUFFLE = False
+
+
 def _grouped_by_partition(ds, key_cols: List[str], fn, n_parts: int = 64,
                           small_rows: int = 1_000_000,
                           small_bytes: int = 128 * 1024 * 1024):
@@ -80,7 +86,8 @@ def _grouped_by_partition(ds, key_cols: List[str], fn, n_parts: int = 64,
     materialize internally anyway, so the up-front pin is not extra."""
     mat = ds.materialize()
     n = mat.count()
-    if 0 < n <= small_rows and (mat.size_bytes() or 0) <= small_bytes:
+    if (not _FORCE_SHUFFLE and 0 < n <= small_rows
+            and (mat.size_bytes() or 0) <= small_bytes):
         # normalize block types per block first (Ray 2.49 cannot merge
         # mixed arrow/pandas blocks into one batch or repartition them),
         # then batch_size=n coalesces everything into ONE pandas batch

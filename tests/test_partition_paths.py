@@ -1,0 +1,56 @@
+"""Both _grouped_by_partition execution paths (single-task small input
+vs hash-partitioned shuffle) must be semantically identical for every
+resolve kernel built on the helper.  The sf test inputs always take the
+small path; _FORCE_SHUFFLE pins the big path so this suite proves the
+at-scale plan, not just the local fast path."""
+import importlib.util
+import os
+
+import pandas as pd
+import pytest
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_paths", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
+           "event_gaps", "running_totals", "sessionize", "asof_join",
+           "exact_dedup", "textprep"]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", QUERIES)
+def test_small_and_shuffle_paths_agree(name):
+    from pdf_extract_ray.ops import dedup as dedup_mod
+    m = _entry()
+    q = m.queries()[name]
+
+    def run():
+        res = q(SF)
+        if hasattr(res, "iter_batches"):
+            res = res.to_pandas()
+        return _canon(pd.DataFrame(res))
+
+    assert dedup_mod._FORCE_SHUFFLE is False
+    small = run()
+    dedup_mod._FORCE_SHUFFLE = True
+    try:
+        big = run()
+    finally:
+        dedup_mod._FORCE_SHUFFLE = False
+    pd.testing.assert_frame_equal(small, big)
+    assert len(small) > 0
