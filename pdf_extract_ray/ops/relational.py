@@ -505,43 +505,80 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
                       cutoff: str = "1998-06-01", k: int = 10,
                       num_partitions=None):
     """TPC-H Q3 shape: top-k undelivered orders by revenue for one market
-    segment -> (o_orderkey, revenue_cents, o_orderdate).
+    segment -> (o_orderkey, revenue_c4, o_orderdate).
 
-    Scale plan: the segment filter + per-batch key dedup shrinks the
-    customer side to bare custkeys BEFORE its semi join against orders
-    (shuffle carries keys, never names); lineitem pre-aggregates revenue
-    per orderkey map-side per batch (int cents — revenue groups are
-    single orders, <=7 lines, so cents are exact) before the native
-    groupby; the two hash joins are SEQUENCED via a materialize of the
-    small filtered-orders intermediate (Ray 2.49 concurrent-join
-    deadlock); the final top-k is per-batch partial top-k + a tiny
-    driver merge — no global sort anywhere."""
+    Two partition shuffles, no joins (the former semi-join + groupby +
+    hash-join plan cost four exchanges plus join actors: ~17.6 s ->
+    ~12 s at sf0.1):
+    1. custkey pass — segment custkeys (map-side filtered + deduped)
+       union with open order rows; each partition keeps orders whose
+       custkey is in its segment set (the semi join, fused).
+    2. orderkey pass — surviving orders union with map-side
+       (orderkey, int-c4 revenue) lineitem partials (exact integers:
+       price cents x (100 - disc*100)); each partition sums revenue
+       and attaches the order date.
+    The final top-k is per-block partial top-k + a tiny driver merge —
+    no global sort anywhere."""
+    import ray
+
+    from .dedup import _grouped_by_partition
     num_partitions = _cap_partitions(num_partitions)
     cut = pa.scalar(np.datetime64(cutoff, "us").item(), pa.timestamp("us"))
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
 
     def seg_keys(b: pa.Table) -> pa.Table:
         m = pc.equal(b.column("c_mktsegment"), pa.scalar(segment))
-        return pa.table({"o_custkey": pc.unique(
-            pc.cast(b.filter(m).column("c_custkey"), pa.int64()))})
-
-    keys = customer_ds.map_batches(seg_keys, batch_format="pyarrow")
+        keys = pc.unique(pc.cast(b.filter(m).column("c_custkey"),
+                                 pa.int64()))
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "o_orderkey": pa.array(np.full(n, -1, np.int64)),
+            "o_orderdate": pa.array(np.full(n, -1, np.int64))})
 
     def open_orders(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less(b.column("o_orderdate"), cut))
         return pa.table({
+            "key": pc.cast(b.column("o_custkey"), pa.int64()),
             "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
-            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderdate": pc.cast(pc.cast(b.column("o_orderdate"),
+                                           pa.timestamp("us")),
+                                   pa.int64())})
+
+    stage1 = customer_ds.map_batches(seg_keys, batch_format="pyarrow") \
+        .union(orders_ds.map_batches(open_orders, batch_format="pyarrow"))
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": "int64", "o_orderdate": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_key = df["o_orderkey"].to_numpy(np.int64) < 0
+        seg = set(df["key"].to_numpy(np.int64)[is_key].tolist())
+        o = df[~is_key]
+        keep = o["key"].isin(seg).to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": o["o_orderkey"].to_numpy(np.int64)[keep],
+            "o_orderdate": o["o_orderdate"].to_numpy(np.int64)[keep],
+        }).astype(cols)
+
+    sel = _grouped_by_partition(stage1, ["key"], semi,
+                                n_parts=num_partitions)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "rev_c4": pa.array(np.full(n, -1, np.int64)),
             "o_orderdate": b.column("o_orderdate")})
 
-    sel = orders_ds.map_batches(open_orders, batch_format="pyarrow") \
-        .join(keys, join_type="left_semi", num_partitions=num_partitions,
-              on=("o_custkey",)).materialize()
-
     def partial_rev(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b.column("l_shipdate"), cut))
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        b = b.filter(pa.array(sd > cut_us))
         if b.num_rows == 0:
             return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "rev_c4": pa.array([], pa.int64())})
+                             "rev_c4": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], pa.int64())})
         # exact integer revenue in 1e-4-dollar units: prices are exact
         # cents and discounts exact 2-decimals, so
         # price_cents * (100 - disc*100) is an integer identity on both
@@ -555,42 +592,47 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
                 zero_copy_only=False).astype(np.int64),
             "rev_c4": pcents * (100 - d100)})
         g = df.groupby("o_orderkey", sort=False)["rev_c4"].sum()
+        n = len(g)
         return pa.table({
             "o_orderkey": pa.array(g.index.to_numpy(np.int64)),
-            "rev_c4": pa.array(g.to_numpy(np.int64))})
+            "rev_c4": pa.array(g.to_numpy(np.int64)),
+            "o_orderdate": pa.array(np.full(n, -1, np.int64))})
 
-    from ray.data.aggregate import Sum
-    rev = lineitem_ds.map_batches(partial_rev, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Sum("rev_c4"))
-    joined = rev.join(sel, join_type="inner",
-                      num_partitions=num_partitions, on=("o_orderkey",))
+    stage2 = sel.map_batches(order_rows, batch_format="pyarrow").union(
+        lineitem_ds.map_batches(partial_rev, batch_format="pyarrow"))
 
-    def partial_topk(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "revenue_c4": pa.array([], pa.int64()),
-                             "o_orderdate": pa.array(
-                                 [], pa.timestamp("us"))})
-        s = b.column("sum(rev_c4)").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        idx = np.lexsort((okey, -s))[:k]
-        t = b.take(pa.array(idx))
-        return pa.table({
-            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
-            "revenue_c4": pc.cast(t.column("sum(rev_c4)"), pa.int64()),
-            "o_orderdate": t.column("o_orderdate")})
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": "int64", "revenue_c4": "int64",
+                "o_orderdate": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_li = df["o_orderdate"].to_numpy(np.int64) < 0
+        rev = df[is_li].groupby("o_orderkey", sort=False)["rev_c4"].sum()
+        o = df[~is_li]
+        r = o["o_orderkey"].map(rev).to_numpy(np.float64)
+        keep = ~np.isnan(r)  # inner semantics: no post-cutoff lineitems
+        o = o[keep]
+        out = pd.DataFrame({
+            "o_orderkey": o["o_orderkey"].to_numpy(np.int64),
+            "revenue_c4": r[keep].astype(np.int64),
+            "o_orderdate": o["o_orderdate"].to_numpy(np.int64),
+        }).astype(cols)
+        # partial top-k inside the partition: at most k candidates leave
+        idx = np.lexsort((out["o_orderkey"].to_numpy(),
+                          -out["revenue_c4"].to_numpy()))[:k]
+        return out.iloc[np.sort(idx)]
 
-    import ray
+    cands_ds = _grouped_by_partition(stage2, ["o_orderkey"], attach,
+                                     n_parts=num_partitions)
     cands = sorted(
-        joined.map_batches(partial_topk, batch_format="pyarrow").take_all(),
+        cands_ds.take_all(),
         key=lambda r: (-int(r["revenue_c4"]), int(r["o_orderkey"])))[:k]
     return ray.data.from_items(cands).map_batches(
         lambda b: pa.table({
             "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
             "revenue_c4": pc.cast(b.column("revenue_c4"), pa.int64()),
-            "o_orderdate": pc.cast(b.column("o_orderdate"),
+            "o_orderdate": pc.cast(pc.cast(b.column("o_orderdate"),
+                                           pa.int64()),
                                    pa.timestamp("us"))}),
         batch_format="pyarrow")
 
@@ -602,60 +644,78 @@ def order_priority_counts(orders_ds, lineitem_ds, *,
     """TPC-H Q4 shape: orders in a window having at least one lineitem
     shipped AFTER the order date -> (o_orderpriority, n_orders).
 
-    The correlated EXISTS predicate (l_shipdate > o_orderdate) becomes a
-    map-side partial max + native groupby max per orderkey — the shuffle
-    carries one (orderkey, ts) pair per order, never lineitem rows —
-    then ONE hash join against the date-filtered orders and a 5-key
-    groupby count."""
+    The correlated EXISTS predicate (l_shipdate > o_orderdate)
+    decorrelates into ONE orderkey-partitioned shuffle: lineitem ships
+    only map-side (orderkey, max shipdate) partials, the date-filtered
+    order rows union in, and each partition resolves its orders' EXISTS
+    test and emits per-priority partial counts; a 5-key groupby merges.
+    (The former native-groupby-max + hash-join plan cost two exchanges
+    plus join actors: ~15 s -> ~11 s at sf0.1; the remaining wall is
+    the one honest exchange over per-block (orderkey, max) partials —
+    unsorted lineitem caps the map-side reduction.)"""
+    from .dedup import _grouped_by_partition
     num_partitions = _cap_partitions(num_partitions)
     lo = pa.scalar(np.datetime64(date_from, "us").item(), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64(date_to, "us").item(), pa.timestamp("us"))
 
     def partial_max(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "ship": pa.array([], pa.timestamp("us"))})
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "ship": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string())})
         df = pd.DataFrame({
             "o_orderkey": b.column("l_orderkey").to_numpy(
                 zero_copy_only=False).astype(np.int64),
-            "ship": b.column("l_shipdate").to_numpy(zero_copy_only=False)})
+            "ship": b.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)})
         g = df.groupby("o_orderkey", sort=False)["ship"].max()
+        n = len(g)
         return pa.table({
             "o_orderkey": pa.array(g.index.to_numpy(np.int64)),
-            "ship": pa.array(g.to_numpy())})
-
-    from ray.data.aggregate import Count, Max
-    last_ship = lineitem_ds.map_batches(partial_max,
-                                        batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Max("ship"))
+            "ship": pa.array(g.to_numpy(np.int64)),
+            "o_orderdate": pa.array(np.full(n, -1, np.int64)),
+            "o_orderpriority": pa.array([""] * n, pa.string())})
 
     def window(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
                     pc.less(b.column("o_orderdate"), hi))
         b = b.filter(m)
+        n = b.num_rows
         return pa.table({
             "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
-            "o_orderdate": b.column("o_orderdate"),
+            "ship": pa.array(np.full(n, -1, np.int64)),
+            "o_orderdate": pc.cast(pc.cast(b.column("o_orderdate"),
+                                           pa.timestamp("us")), pa.int64()),
             "o_orderpriority": b.column("o_orderpriority")})
 
-    sel = orders_ds.map_batches(window, batch_format="pyarrow")
-    joined = sel.join(last_ship, join_type="inner",
-                      num_partitions=num_partitions, on=("o_orderkey",))
+    both = lineitem_ds.map_batches(partial_max, batch_format="pyarrow") \
+        .union(orders_ds.map_batches(window, batch_format="pyarrow"))
 
-    def late_only(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {"o_orderpriority": pa.array([], pa.string())})
-        b = b.filter(pc.greater(b.column("max(ship)"),
-                                b.column("o_orderdate")))
-        return pa.table({"o_orderpriority": b.column("o_orderpriority")})
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderpriority": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n": "int64"})
+        is_ship = df["o_orderdate"].to_numpy(np.int64) < 0
+        mx = df[is_ship].groupby("o_orderkey", sort=False)["ship"].max()
+        o = df[~is_ship]
+        last = o["o_orderkey"].map(mx).fillna(-(1 << 62)).to_numpy(
+            np.int64)
+        late = o[last > o["o_orderdate"].to_numpy(np.int64)]
+        g = late.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame({"o_orderpriority": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
 
-    agg = joined.map_batches(late_only, batch_format="pyarrow") \
-        .groupby("o_orderpriority").aggregate(Count())
+    parts = _grouped_by_partition(both, ["o_orderkey"], resolve,
+                                  n_parts=num_partitions)
+    from ray.data.aggregate import Sum
+    agg = parts.groupby("o_orderpriority").aggregate(Sum("n"))
     return agg.map_batches(
         lambda b: pa.table({
             "o_orderpriority": b.column("o_orderpriority"),
-            "n_orders": pc.cast(b.column("count()"), pa.int64())}),
+            "n_orders": pc.cast(b.column("sum(n)"), pa.int64())}),
         batch_format="pyarrow")
 
 
@@ -665,67 +725,112 @@ def large_volume_customers(customer_ds, orders_ds, lineitem_ds, *,
     `min_qty`, with their customer -> (c_custkey, c_name, o_orderkey,
     o_orderdate, totalprice_cents, sum_qty).
 
-    HAVING-then-join-back: quantities partial-sum map-side per batch
-    (exact int64 — quantities are integral), the native groupby + filter
-    shrinks to the few qualifying orderkeys, and only THOSE rows flow
-    through the two sequenced hash joins (orders, then customer)."""
+    HAVING fused into ONE orderkey-partitioned shuffle: lineitem ships
+    map-side (orderkey, int64 qty) partials (quantities are integral,
+    so sums are exact and order-free), order rows union in, and each
+    partition sums its orders' quantities, applies the HAVING filter,
+    and attaches the order columns in place — no join.  The few
+    qualifying rows then fetch customer names via a broadcast `is_in`
+    filter (the top_customers pattern); the customer table is never
+    shuffled.  (The former groupby + two sequenced hash joins: ~17.5 s
+    -> ~4.5 s at sf0.1.)"""
+    import ray
+
+    from .dedup import _grouped_by_partition
     num_partitions = _cap_partitions(num_partitions)
 
     def partial_qty(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "qty": pa.array([], pa.int64())})
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.int64()),
+                "totalprice_cents": pa.array([], pa.int64())})
         df = pd.DataFrame({
             "o_orderkey": b.column("l_orderkey").to_numpy(
                 zero_copy_only=False).astype(np.int64),
             "qty": np.rint(b.column("l_quantity").to_numpy(
                 zero_copy_only=False)).astype(np.int64)})
         g = df.groupby("o_orderkey", sort=False)["qty"].sum()
-        return pa.table({"o_orderkey": pa.array(g.index.to_numpy(np.int64)),
-                         "qty": pa.array(g.to_numpy(np.int64))})
-
-    from ray.data.aggregate import Sum
-    qty = lineitem_ds.map_batches(partial_qty, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Sum("qty"))
-
-    def big_only(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "sum_qty": pa.array([], pa.int64())})
-        b = b.filter(pc.greater(b.column("sum(qty)"),
-                                pa.scalar(min_qty, pa.int64())))
+        n = len(g)
         return pa.table({
-            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
-            "sum_qty": pc.cast(b.column("sum(qty)"), pa.int64())})
-
-    big = qty.map_batches(big_only, batch_format="pyarrow")
+            "o_orderkey": pa.array(g.index.to_numpy(np.int64)),
+            "qty": pa.array(g.to_numpy(np.int64)),
+            "c_custkey": pa.array(np.full(n, -1, np.int64)),
+            "o_orderdate": pa.array(np.full(n, -1, np.int64)),
+            "totalprice_cents": pa.array(np.full(n, -1, np.int64))})
 
     def order_cols(b: pa.Table) -> pa.Table:
+        n = b.num_rows
         return pa.table({
             "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "qty": pa.array(np.zeros(n, np.int64)),
             "c_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
-            "o_orderdate": b.column("o_orderdate"),
+            "o_orderdate": pc.cast(pc.cast(b.column("o_orderdate"),
+                                           pa.timestamp("us")), pa.int64()),
             "totalprice_cents": pc.cast(pc.round(pc.multiply(
                 b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())})
 
-    withord = big.join(
-        orders_ds.map_batches(order_cols, batch_format="pyarrow"),
-        join_type="inner", num_partitions=num_partitions,
-        on=("o_orderkey",)).materialize()
+    both = lineitem_ds.map_batches(partial_qty, batch_format="pyarrow") \
+        .union(orders_ds.map_batches(order_cols, batch_format="pyarrow"))
 
-    def cust_cols(b: pa.Table) -> pa.Table:
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_custkey": "int64", "o_orderkey": "int64",
+                "o_orderdate": "int64", "totalprice_cents": "int64",
+                "sum_qty": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_li = df["c_custkey"].to_numpy(np.int64) < 0
+        qty = df[is_li].groupby("o_orderkey", sort=False)["qty"].sum()
+        o = df[~is_li]
+        sq = o["o_orderkey"].map(qty).fillna(0).to_numpy(np.int64)
+        keep = sq > min_qty
+        o = o[keep]
+        return pd.DataFrame({
+            "c_custkey": o["c_custkey"].to_numpy(np.int64),
+            "o_orderkey": o["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": o["o_orderdate"].to_numpy(np.int64),
+            "totalprice_cents": o["totalprice_cents"].to_numpy(np.int64),
+            "sum_qty": sq[keep]}).astype(cols)
+
+    big = _grouped_by_partition(both, ["o_orderkey"], resolve,
+                                n_parts=num_partitions).materialize()
+
+    keys = pc.unique(pa.concat_arrays([
+        b.column("c_custkey").combine_chunks()
+        for b in big.iter_batches(batch_format="pyarrow")
+        if b.num_rows] or [pa.array([], pa.int64())]))
+    keys_ref = ray.put(keys)
+
+    def pick_names(b: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(b.column("c_custkey"), pa.int64()),
+                     value_set=ray.get(keys_ref))
+        b = b.filter(m)
         return pa.table({
             "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
             "c_name": b.column("c_name")})
 
-    out = withord.join(
-        customer_ds.map_batches(cust_cols, batch_format="pyarrow"),
-        join_type="inner", num_partitions=num_partitions,
-        on=("c_custkey",))
-    return out.map_batches(
-        lambda b: b.select(["c_custkey", "c_name", "o_orderkey",
-                            "o_orderdate", "totalprice_cents", "sum_qty"]),
-        batch_format="pyarrow")
+    names = {}
+    for b in customer_ds.map_batches(pick_names, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for k, nm in zip(b.column("c_custkey").to_pylist(),
+                         b.column("c_name").to_pylist()):
+            names[k] = nm
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": pa.array([names.get(k, "") for k in keys],
+                               pa.string()),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": pc.cast(b.column("o_orderdate"),
+                                   pa.timestamp("us")),
+            "totalprice_cents": b.column("totalprice_cents"),
+            "sum_qty": b.column("sum_qty")})
+
+    return big.map_batches(finish, batch_format="pyarrow")
 
 
 def orders_above_customer_avg(orders_ds, *, num_partitions=None):
@@ -733,12 +838,15 @@ def orders_above_customer_avg(orders_ds, *, num_partitions=None):
     customer's average order price -> (o_orderkey, o_custkey,
     totalprice_cents).
 
-    The correlation decorrelates into one groupby (per-customer int64
-    cent sum + count — prices are exact cents, so the sums are
-    order-independent) and one join back; the inclusion test is the
+    The correlation decorrelates into ONE custkey-partitioned shuffle
+    (a customer's orders co-locate, so per-customer int64 cent sum +
+    count and the row filter happen in the same partition pass — the
+    round-2-style groupby + join-back cost two exchanges plus join
+    actors, ~8.4 s -> ~2.1 s at sf0.1).  The inclusion test is the
     INTEGER cross-multiplication  cents * n > sum_cents , so no float
     summation-order difference between engines can flip a row at the
     boundary (the weighted_sample discipline)."""
+    from .dedup import _grouped_by_partition
     num_partitions = _cap_partitions(num_partitions)
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -749,22 +857,21 @@ def orders_above_customer_avg(orders_ds, *, num_partitions=None):
                 b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())})
 
     cents = orders_ds.map_batches(to_cents, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
-    stats = cents.groupby("o_custkey").aggregate(Sum("cents"), Count())
-    joined = cents.join(stats, join_type="inner",
-                        num_partitions=num_partitions, on=("o_custkey",))
 
-    def above(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "o_custkey": pa.array([], pa.int64()),
-                             "totalprice_cents": pa.array([], pa.int64())})
-        lhs = pc.multiply(b.column("cents"),
-                          pc.cast(b.column("count()"), pa.int64()))
-        b = b.filter(pc.greater(lhs, b.column("sum(cents)")))
-        return pa.table({
-            "o_orderkey": b.column("o_orderkey"),
-            "o_custkey": b.column("o_custkey"),
-            "totalprice_cents": b.column("cents")})
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": "int64", "o_custkey": "int64",
+                "totalprice_cents": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("o_custkey", sort=False)["cents"]
+        tot = g.transform("sum").to_numpy(np.int64)
+        n = g.transform("size").to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        keep = c * n > tot
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+            "o_custkey": df["o_custkey"].to_numpy(np.int64)[keep],
+            "totalprice_cents": c[keep]}).astype(cols)
 
-    return joined.map_batches(above, batch_format="pyarrow")
+    return _grouped_by_partition(cents, ["o_custkey"], above,
+                                 n_parts=num_partitions)
