@@ -1409,11 +1409,9 @@ def _q_doc_cube(sf_dir: str):
 
 def _q_shared_user_ids(sf_dir: str):
     """INTERSECT set op across two tables: ids present in BOTH events
-    and orders.  Map-side per-batch key dedup tags each side, one
-    groupby takes Min/Max of the tag — no join, shuffle carries
-    distinct (id, tag) pairs only."""
-    from ray.data.aggregate import Max, Min
-
+    and orders.  Map-side per-batch key dedup tags each side; ONE
+    id-partitioned pass takes Min/Max of the tag per id — no join, the
+    exchange carries distinct (id, tag) pairs only."""
     ev = _read(sf_dir, "events", columns=["user_id"])
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
@@ -1429,15 +1427,21 @@ def _q_shared_user_ids(sf_dir: str):
     both = ev.map_batches(tag("user_id", 1), batch_format="pyarrow") \
         .union(orders.map_batches(tag("o_custkey", 2),
                                   batch_format="pyarrow"))
-    agg = both.groupby("user_id").aggregate(Min("side"), Max("side"))
 
-    def finish(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.equal(b.column("min(side)"), pa.scalar(1)),
-                    pc.equal(b.column("max(side)"), pa.scalar(2)))
-        return pa.table({"user_id": pc.cast(
-            b.filter(m).column("user_id"), pa.int64())})
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import _default_parts
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([],
+                                                      dtype=np.int64)})
+        g = df.groupby("user_id", sort=False)["side"].agg(["min", "max"])
+        keep = g[(g["min"] == 1) & (g["max"] == 2)]
+        return pd.DataFrame({"user_id": keep.index.to_numpy(np.int64)})
+
+    return _grouped_by_partition(both, ["user_id"], resolve,
+                                 n_parts=_default_parts())
 
 
 def _q_fuzzy_decontaminate(sf_dir: str):
