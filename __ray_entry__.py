@@ -1444,6 +1444,24 @@ def _q_shared_user_ids(sf_dir: str):
                                  n_parts=_default_parts())
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts per (prev_type -> type) within each
+    user's ordered stream (LAG over strings + two-level count merge)."""
+    from pdf_extract_ray.ops.events import event_transitions
+    return event_transitions(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """Combinable ARGMAX: per-batch partial argmax per user + one
+    id-partitioned global pick (no sort, no join)."""
+    from pdf_extract_ray.ops.events import latest_event_per_user
+    return latest_event_per_user(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+
 def _q_fuzzy_decontaminate(sf_dir: str):
     """Per-pair exact n-gram Jaccard vs the benchmark slice (broadcast
     postings, map-only train side, integer inclusion test)."""
@@ -1509,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "chars_rank_by_source": _q_chars_rank_by_source,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "event_transitions": _q_event_transitions,
+        "latest_event_per_user": _q_latest_event_per_user,
         "chars_percentiles_by_source": _q_chars_percentiles_by_source,
         "chars_mode_by_source": _q_chars_mode_by_source,
         "doc_cube": _q_doc_cube,
@@ -2023,6 +2043,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN s ON s.o_custkey = o.o_custkey
             WHERE CAST(round(o.o_totalprice * 100, 0) AS BIGINT) * s.n
                   > s.total_cents
+        """,
+        "event_transitions": """
+            WITH x AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type, count(*) AS n_transitions
+            FROM x WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
         """,
         "chars_percentiles_by_source": """
             SELECT source,

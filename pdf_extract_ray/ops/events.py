@@ -342,3 +342,107 @@ def event_gaps(ds, *, n_parts: int = 32):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_user,
                                  n_parts=n_parts)
+
+
+def event_transitions(ds, *, n_parts: int = 32):
+    """Markov transition counts: per (previous event_type -> event_type)
+    pair within a user's (ts, event_id)-ordered stream -> (prev_type,
+    event_type, n_transitions).
+
+    One partition-level shuffle (the event_gaps shape); within a
+    partition ONE lexsort + a shifted comparison masked at user
+    boundaries, then per-partition pair counts; a tiny
+    (|types|^2)-key groupby merges the partials."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prev_type": "object", "event_type": "object",
+                "n": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype({"n": "int64"})
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        et = df["event_type"].to_numpy(dtype=object)
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], et[order]
+        same = np.zeros(n, dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"prev_type": np.r_[[""], t[:-1]][same],
+                              "event_type": t[same]})
+        g = pairs.groupby(["prev_type", "event_type"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame({"prev_type": idx["prev_type"],
+                             "event_type": idx["event_type"],
+                             "n": g.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _grouped_by_partition
+    parts = _grouped_by_partition(ds, ["user_id"], per_user,
+                                  n_parts=n_parts)
+    agg = parts.groupby(["prev_type", "event_type"]).aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "prev_type": b.column("prev_type"),
+            "event_type": b.column("event_type"),
+            "n_transitions": pc.cast(b.column("sum(n)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def latest_event_per_user(ds):
+    """First-class combinable ARGMAX: each user's latest event by
+    (ts, event_id) -> (user_id, event_id, ts, event_type).
+
+    Map-side per-batch argmax per user shrinks every block to one row
+    per user seen in it; ONE id-partitioned pass picks the global
+    argmax per user.  No sort, no join — the exchange carries at most
+    (#users x #blocks) single rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(["user_id", "event_id", "ts", "event_type"])
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "event_id": b.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "ts": b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            "event_type": b.column("event_type").to_pandas()})
+        order = np.lexsort((df["event_id"].to_numpy(),
+                            df["ts"].to_numpy(),
+                            df["user_id"].to_numpy()))
+        df = df.iloc[order]
+        keep = df.groupby("user_id", sort=False).tail(1)
+        return pa.table({
+            "user_id": pa.array(keep["user_id"].to_numpy(np.int64)),
+            "event_id": pa.array(keep["event_id"].to_numpy(np.int64)),
+            "ts": pa.array(keep["ts"].to_numpy(np.int64)),
+            "event_type": pa.array(keep["event_type"], pa.string())})
+
+    from .dedup import _grouped_by_partition
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "event_id": "int64", "ts": "int64",
+                "event_type": "object"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {k: v for k, v in cols.items() if v != "object"})
+        order = np.lexsort((df["event_id"].to_numpy(np.int64),
+                            df["ts"].to_numpy(np.int64),
+                            df["user_id"].to_numpy(np.int64)))
+        df = df.iloc[order]
+        return df.groupby("user_id", sort=False).tail(1)
+
+    picked = _grouped_by_partition(cands, ["user_id"], resolve,
+                                   n_parts=32)
+    return picked.map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "ts": pc.cast(pc.cast(b.column("ts"), pa.int64()),
+                          pa.timestamp("us")),
+            "event_type": b.column("event_type")}),
+        batch_format="pyarrow")

@@ -612,3 +612,33 @@ class TestPercentilesModeSetOps:
             FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
         """).df()
         assert sorted(out.user_id) == sorted(exp.user_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventWindows2:
+    def _ev(self):
+        ts = lambda s: np.datetime64(s, "us").item()
+        return pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array(
+                [ts("2024-01-01T00:00:00"), ts("2024-01-01T00:01:00"),
+                 ts("2024-01-01T00:02:00"), ts("2024-01-01T00:00:00"),
+                 ts("2024-01-01T00:00:00")], pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "a", "c", "a"],
+                                   pa.string())})
+
+    def test_event_transitions(self):
+        from pdf_extract_ray.ops.events import event_transitions
+        out = event_transitions(_ds(self._ev())).to_pandas()
+        got = {(r.prev_type, r.event_type): int(r.n_transitions)
+               for r in out.itertuples()}
+        # user7: a->b, b->a ; user8 (tie ts, event_id order): c->a
+        assert got == {("a", "b"): 1, ("b", "a"): 1, ("c", "a"): 1}
+
+    def test_latest_event_per_user(self):
+        from pdf_extract_ray.ops.events import latest_event_per_user
+        out = latest_event_per_user(_ds(self._ev())).to_pandas()
+        got = {int(r.user_id): int(r.event_id) for r in out.itertuples()}
+        # user 7: latest ts -> event 3; user 8: ts tie -> max event_id 5
+        assert got == {7: 3, 8: 5}
