@@ -1488,6 +1488,165 @@ def _q_event_gaps(sf_dir: str):
                             columns=["event_id", "user_id", "ts"]))
 
 
+def _q_except_users(sf_dir: str):
+    """EXCEPT set op: order custkeys that never appear as an event
+    user.  Same tagged-union shape as shared_user_ids (INTERSECT) —
+    map-side per-batch key dedup, ONE id-partitioned Max-of-tag pass,
+    no join."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import _default_parts
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def tag(col, side):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = pc.unique(pc.cast(b.column(col), pa.int64()))
+            return pa.table({
+                "user_id": keys,
+                "side": pa.array(
+                    np.full(len(keys), side, np.int8), pa.int8())})
+        return fn
+
+    both = orders.map_batches(tag("o_custkey", 1),
+                              batch_format="pyarrow") \
+        .union(ev.map_batches(tag("user_id", 2),
+                              batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([],
+                                                      dtype=np.int64)})
+        g = df.groupby("user_id", sort=False)["side"].max()
+        keep = g[g == 1]
+        return pd.DataFrame({"user_id": keep.index.to_numpy(np.int64)})
+
+    return _grouped_by_partition(both, ["user_id"], resolve,
+                                 n_parts=_default_parts())
+
+
+def _q_cust_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: orders-per-customer histogram including
+    zero-order customers — one custkey shuffle emitting per-partition
+    partial histograms (ops/relational.customer_order_distribution)."""
+    from pdf_extract_ray.ops.relational import customer_order_distribution
+    return customer_order_distribution(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]))
+
+
+def _q_brand_suppliers(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per part brand — partkey
+    shuffle attaches the dim attribute with no join actors and no
+    fact-sized broadcast (ops/relational.brand_supplier_distinct)."""
+    from pdf_extract_ray.ops.relational import brand_supplier_distinct
+    return brand_supplier_distinct(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+
+
+def _q_rich_quiet_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with no big
+    order, per nation.  Integer cross-multiplication inclusion test +
+    one anti-semantics id pass (ops/relational.rich_quiet_customers)."""
+    from pdf_extract_ray.ops.relational import rich_quiet_customers
+    return rich_quiet_customers(
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        big_order_total=300000.0)
+
+
+def _q_window3_sums(sf_dir: str):
+    """Bounded-frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+    per-user 3-event cent sums via one shuffle + vectorized
+    prefix-difference (ops/events.window3_sums)."""
+    from pdf_extract_ray.ops.events import window3_sums
+    return window3_sums(_read(sf_dir, "events",
+                              columns=["event_id", "user_id", "ts",
+                                       "value"]))
+
+
+def _q_chars_quartiles_by_source(sf_dir: str):
+    """Interpolated (continuous) quartiles per source, x4 so every
+    value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
+    from pdf_extract_ray.ops.analytics import grouped_quartiles_cont
+    return grouped_quartiles_cont(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_source_chars_token_corr(sf_dir: str):
+    """Pearson corr(n_chars, n_tokens) per source from exact integer
+    moment partials; the float output is computed with the same IEEE
+    op order as the SQL (ops/analytics.grouped_corr)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import grouped_corr
+    ds = _read(sf_dir, "documents", columns=["source", "text",
+                                             "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pandas()
+        nsp = texts.str.count(" ").to_numpy(np.int64)
+        nlen = texts.str.len().to_numpy(np.int64)
+        y = np.where(nlen > 0, nsp + 1, 0)
+        return pa.table({
+            "source": b.column("source"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            "n_tokens": pa.array(y, pa.int64())})
+
+    return grouped_corr(ds.map_batches(derive, batch_format="pyarrow"),
+                        "source", "n_chars", "n_tokens")
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape: max-revenue supplier(s) for a quarter — one
+    bounded groupby + tiny Max + is_in name fetch, no sort
+    (ops/relational.top_supplier_revenue)."""
+    from pdf_extract_ray.ops.relational import top_supplier_revenue
+    return top_supplier_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]))
+
+
+def _q_top_return_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned revenue — one
+    orderkey shuffle fusing the fact-fact join, partial top-k merge
+    (ops/relational.top_return_customers)."""
+    from pdf_extract_ray.ops.relational import top_return_customers
+    return top_return_customers(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                       "l_discount"]))
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: per shipped part, its cheapest-balance supplier
+    (deterministic tie-break) — three keyed passes, no join actors
+    (ops/relational.min_cost_supplier_per_part)."""
+    from pdf_extract_ray.ops.relational import min_cost_supplier_per_part
+    return min_cost_supplier_per_part(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]))
+
+
+def _q_disjunctive_part_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive part+lineitem predicate revenue —
+    one partkey pass attaches dim attrs, two-int global sum
+    (ops/relational.disjunctive_part_revenue)."""
+    from pdf_extract_ray.ops.relational import disjunctive_part_revenue
+    return disjunctive_part_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -1533,6 +1692,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_mode_by_source": _q_chars_mode_by_source,
         "doc_cube": _q_doc_cube,
         "shared_user_ids": _q_shared_user_ids,
+        "except_users": _q_except_users,
+        "cust_order_distribution": _q_cust_order_distribution,
+        "brand_suppliers": _q_brand_suppliers,
+        "rich_quiet_customers": _q_rich_quiet_customers,
+        "window3_sums": _q_window3_sums,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "top_return_customers": _q_top_return_customers,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "disjunctive_part_revenue": _q_disjunctive_part_revenue,
+        "chars_quartiles_by_source": _q_chars_quartiles_by_source,
+        "source_chars_token_corr": _q_source_chars_token_corr,
         "heavy_hitters": _q_heavy_hitters,
         "redact_pii": _q_redact_pii,
         "props_k_stats": _q_props_k_stats,
@@ -2088,6 +2258,151 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             INTERSECT
             SELECT o_custkey AS user_id FROM orders
+        """,
+        "except_users": """
+            SELECT o_custkey AS user_id FROM orders
+            EXCEPT
+            SELECT user_id FROM events
+        """,
+        "cust_order_distribution": """
+            WITH c AS (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey)
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM c GROUP BY n_orders
+        """,
+        "brand_suppliers": """
+            SELECT p.p_brand,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS n_suppliers
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand
+        """,
+        "rich_quiet_customers": """
+            WITH cc AS (
+              SELECT c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS nationkey,
+                     CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+              FROM customer),
+            s AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM cc WHERE cents > 0),
+            rich AS (SELECT cc.* FROM cc, s
+                     WHERE cc.cents * s.n > s.total_cents),
+            quiet AS (SELECT r.* FROM rich r
+                      WHERE NOT EXISTS (
+                          SELECT 1 FROM orders o
+                          WHERE o.o_custkey = r.c_custkey
+                            AND o.o_totalprice > 300000))
+            SELECT nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_acctbal_cents
+            FROM quiet GROUP BY nationkey
+        """,
+        "window3_sums": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS w_sum_cents
+            FROM events
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+              SELECT l_suppkey AS suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100, 0)
+                                            AS BIGINT))) AS BIGINT)
+                         AS total_revenue_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_c4
+            FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+            WHERE r.total_revenue_c4 = (SELECT max(total_revenue_c4)
+                                        FROM rev)
+        """,
+        "top_return_customers": """
+            WITH rev AS (
+              SELECT o.o_custkey AS c_custkey,
+                     CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100, 0)
+                                            AS BIGINT))) AS BIGINT)
+                         AS revenue_c4
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY o.o_custkey)
+            SELECT r.c_custkey, c.c_name, r.revenue_c4
+            FROM rev r JOIN customer c ON c.c_custkey = r.c_custkey
+            ORDER BY r.revenue_c4 DESC, r.c_custkey
+            LIMIT 20
+        """,
+        "min_cost_supplier": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
+                                        l_suppkey AS suppkey
+                        FROM lineitem),
+            j AS (SELECT ps.partkey, ps.suppkey,
+                         CAST(round(s.s_acctbal * 100, 0) AS BIGINT)
+                             AS acctbal_cents
+                  FROM ps JOIN supplier s ON s.s_suppkey = ps.suppkey)
+            SELECT partkey, suppkey, acctbal_cents FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY partkey
+                ORDER BY acctbal_cents, suppkey) = 1
+        """,
+        "disjunctive_part_revenue": """
+            SELECT
+              CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100, 0)
+                                     AS BIGINT))) AS BIGINT)
+                  AS revenue_c4,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+                   AND l.l_quantity <= 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
+                   AND l.l_quantity <= 30)
+        """,
+        "chars_quartiles_by_source": """
+            SELECT source,
+                   CAST(round(quantile_cont(n_chars, 0.25) * 4, 0)
+                        AS BIGINT) AS q1_x4,
+                   CAST(round(quantile_cont(n_chars, 0.50) * 4, 0)
+                        AS BIGINT) AS q2_x4,
+                   CAST(round(quantile_cont(n_chars, 0.75) * 4, 0)
+                        AS BIGINT) AS q3_x4
+            FROM documents GROUP BY source
+        """,
+        "source_chars_token_corr": """
+            WITH t AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS x,
+                     CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS y
+              FROM documents),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(y * y) AS BIGINT) syy,
+                         CAST(sum(x * y) AS BIGINT) sxy
+                  FROM t GROUP BY source)
+            SELECT source,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr_xy
+            FROM s
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
         "fuzzy_decontaminate": """
             WITH w AS (SELECT doc_id, string_split(text,' ') ws

@@ -241,3 +241,87 @@ def grouped_mode(ds, group_col: str, value_col: str):
 
     return hist.groupby(group_col).map_groups(resolve,
                                               batch_format="pandas")
+
+
+def grouped_quartiles_cont(ds, group_col: str, value_col: str):
+    """EXACT interpolated (continuous) quartiles per group, scaled x4
+    so every result is an INTEGER -> (group, q1_x4, q2_x4, q3_x4).
+
+    quantile_cont(q) interpolates  x[lo] + (x[hi]-x[lo]) * frac  at
+    pos = (n-1)*q; for quartiles frac is a multiple of 1/4, so 4*value
+    is exact integer arithmetic:  x[lo]*(4-rem) + x[hi]*rem  with
+    pos4 = (n-1)*k, lo = pos4 // 4, rem = pos4 % 4.  Same histogram
+    shape as grouped_percentiles (one bounded (group, value) count
+    aggregate, cumsum + searchsorted rank lookups — no whole-group
+    sort shuffle), and no float can sit on a rank boundary."""
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        cnts = df["count()"].to_numpy(dtype=np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+
+        def at_rank(r: int) -> int:  # 0-based rank lookup
+            return int(vals[np.searchsorted(cum, r, side="right")])
+
+        out = {group_col: [df[group_col].iloc[0]]}
+        for k, name in ((1, "q1_x4"), (2, "q2_x4"), (3, "q3_x4")):
+            pos4 = (total - 1) * k
+            lo, rem = pos4 // 4, pos4 % 4
+            v = at_rank(lo) * (4 - rem)
+            if rem:
+                v += at_rank(lo + 1) * rem
+            out[name] = [v]
+        return pd.DataFrame(out)
+
+    return hist.groupby(group_col).map_groups(resolve,
+                                              batch_format="pandas")
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str):
+    """Pearson correlation per group from EXACT integer moment sums ->
+    (group, corr_xy).  Map-side per-batch partials (n, sx, sy, sxx,
+    syy, sxy) over int64 inputs combine associatively, so the shuffle
+    carries O(blocks x groups) six-int rows; the final float is
+    computed with the SAME IEEE op sequence the SQL uses
+    (num = n*sxy - sx*sy exactly as int, then one double divide of two
+    exact doubles), making the output bit-identical across engines —
+    the zscore_by_source discipline."""
+    import math
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, x_col, y_col]).to_pandas()
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        p = pd.DataFrame({group_col: df[group_col], "n": 1,
+                          "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                          "sxy": x * y})
+        g = p.groupby(group_col, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                      Sum("sxx"), Sum("syy"), Sum("sxy"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rows = b.to_pylist()
+        groups, corrs = [], []
+        for r in rows:
+            n, sx, sy = int(r["sum(n)"]), int(r["sum(sx)"]), int(r["sum(sy)"])
+            sxx, syy, sxy = (int(r["sum(sxx)"]), int(r["sum(syy)"]),
+                             int(r["sum(sxy)"]))
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx <= 0 or dy <= 0:
+                continue
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(dx)) * math.sqrt(float(dy))
+            groups.append(r[group_col])
+            corrs.append(num / den)
+        return pa.table({group_col: pa.array(groups),
+                         "corr_xy": pa.array(corrs, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -446,3 +446,53 @@ def latest_event_per_user(ds):
                           pa.timestamp("us")),
             "event_type": b.column("event_type")}),
         batch_format="pyarrow")
+
+
+def window3_sums(ds, *, window: int = 3):
+    """Bounded-frame window aggregation: per-user sum of the current +
+    (window-1) preceding event values in (ts, event_id) order ->
+    (event_id, user_id, w_sum_cents).  The SQL shape is
+    SUM(cents) OVER (PARTITION BY user ORDER BY ts, id
+                     ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW).
+
+    Values are rounded to INTEGER cents per row first (same rounding on
+    both engines), so the windowed sum is exact integer arithmetic —
+    no float accumulation-order skew.  One partition-level shuffle
+    (the running_totals shape); within a partition ONE lexsort + a
+    vectorized prefix-difference (cum[i] - cum[i-window] clamped to
+    each user's segment start) — no per-user loop, no rolling-window
+    object."""
+    w = int(window)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {"event_id": "int64", "user_id": "int64",
+                "w_sum_cents": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.round(df["value"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, e, c = user[order], eid[order], cents[order]
+        gcum = np.cumsum(c)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), 0))
+        # user-local prefix sum: global cumsum minus the cumsum just
+        # before each segment
+        base = np.where(seg_start > 0, gcum[seg_start - 1], 0)
+        prefix = gcum - base
+        j = np.arange(n) - w
+        in_seg = j >= seg_start
+        wsum = prefix - np.where(in_seg, prefix[np.maximum(j, 0)], 0)
+        return pd.DataFrame({
+            "event_id": e, "user_id": u, "w_sum_cents": wsum,
+        }).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)

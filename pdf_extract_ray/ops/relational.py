@@ -875,3 +875,520 @@ def orders_above_customer_avg(orders_ds, *, num_partitions=None):
 
     return _grouped_by_partition(cents, ["o_custkey"], above,
                                  n_parts=num_partitions)
+
+
+def customer_order_distribution(customer_ds, orders_ds, *,
+                                num_partitions=None):
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers -> (n_orders, n_customers).
+
+    ONE custkey-partitioned shuffle (the customer_order_coverage
+    shape): orders partial-count per custkey map-side, union with
+    tagged customer keys; each partition merges its keys' counts for
+    KNOWN customers only (orphaned order custkeys drop, matching the
+    LEFT JOIN from customer) and emits its partition-local histogram
+    (n_orders -> count) — so the second aggregate is over
+    O(partitions x distinct order counts) tiny rows, never
+    per-customer rows."""
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    def opart(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"key": b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("key", sort=False).size()
+        return pa.table({
+            "key": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64)),
+            "known": pa.array(np.zeros(len(g), bool))})
+
+    def cpart(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("c_custkey"), pa.int64()),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "known": pa.array(np.ones(n, bool))})
+
+    both = orders_ds.map_batches(opart, batch_format="pyarrow").union(
+        customer_ds.map_batches(cpart, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_orders": "int64", "n_customers": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("key", sort=False).agg(
+            n_orders=("n", "sum"), known=("known", "max"))
+        hist = g[g["known"]].groupby("n_orders", sort=False).size()
+        return pd.DataFrame({
+            "n_orders": hist.index.to_numpy(np.int64),
+            "n_customers": hist.to_numpy(np.int64)}).astype(cols)
+
+    partial = _grouped_by_partition(both, ["key"], resolve,
+                                    n_parts=num_partitions)
+    from ray.data.aggregate import Sum
+    out = partial.groupby("n_orders").aggregate(Sum("n_customers"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+            "n_customers": pc.cast(b.column("sum(n_customers)"),
+                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
+def brand_supplier_distinct(lineitem_ds, part_ds, *, num_partitions=None):
+    """TPC-H Q16 shape: distinct suppliers that shipped each part brand
+    -> (p_brand, n_suppliers).
+
+    Pass 1 is ONE partkey-partitioned shuffle: lineitem ships map-side
+    DISTINCT (partkey, suppkey) pairs, part ships (partkey, brand)
+    rows; each partition attaches the brand to its pairs and dedups
+    (brand, suppkey) locally — no join actors, no broadcast of the
+    part table (part is fact-sized at TPC-H scale).  Pass 2 is the
+    bounded distinct_count shuffle over near-distinct (brand, suppkey)
+    pairs (|brands| x |suppliers| at most)."""
+    from .dedup import _grouped_by_partition
+    from .analytics import distinct_count
+    num_partitions = _cap_partitions(num_partitions)
+
+    def lpart(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "key": b.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "supp": b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        }).drop_duplicates()
+        return pa.table({
+            "key": pa.array(df["key"].to_numpy(np.int64)),
+            "supp": pa.array(df["supp"].to_numpy(np.int64)),
+            "brand": pa.array([None] * len(df), pa.string())})
+
+    def ppart(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(b.column("p_partkey"), pa.int64()),
+            "supp": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "brand": pc.cast(b.column("p_brand"), pa.string())})
+
+    both = lineitem_ds.map_batches(lpart, batch_format="pyarrow").union(
+        part_ds.map_batches(ppart, batch_format="pyarrow"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_brand": "object", "l_suppkey": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"l_suppkey": "int64"})
+        dim = df[df["supp"] < 0]
+        fact = df[df["supp"] >= 0]
+        brand = dict(zip(dim["key"].to_numpy(np.int64),
+                         dim["brand"].tolist()))
+        b = fact["key"].map(brand)
+        out = pd.DataFrame({"p_brand": b.to_numpy(),
+                            "l_suppkey": fact["supp"].to_numpy(np.int64)})
+        out = out[out["p_brand"].notna()].drop_duplicates()
+        return out
+
+    pairs = _grouped_by_partition(both, ["key"], attach,
+                                  n_parts=num_partitions)
+    out = distinct_count(pairs, "p_brand", "l_suppkey")
+    return out.map_batches(
+        lambda b: pa.table({
+            "p_brand": pc.cast(b.column("p_brand"), pa.string()),
+            "n_suppliers": pc.cast(b.column("n_distinct"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def rich_quiet_customers(customer_ds, orders_ds, *,
+                         big_order_total: float = 300000.0,
+                         num_partitions=None):
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and no order above `big_order_total`, grouped by nation ->
+    (nationkey, n_customers, total_acctbal_cents).
+
+    Step 1: ONE tiny global aggregate of INTEGER cents (sum, count)
+    over positive-balance customers — exact, so the above-average test
+    is the integer cross-multiplication  cents * n > sum_cents  (no
+    float-boundary row flips vs the oracle).  Step 2: the rich
+    customers union tagged distinct big-order custkeys into ONE
+    id-partitioned pass that keeps customers with no such order (anti
+    semantics, no join actors) and emits per-partition
+    (nationkey, count, cents) partials; a |nations|-row groupby
+    merges."""
+    from .dedup import _grouped_by_partition
+    from ray.data.aggregate import Count, Sum
+    num_partitions = _cap_partitions(num_partitions)
+
+    def cust_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("c_acctbal"), pa.scalar(100.0))), pa.int64())})
+
+    cust = customer_ds.map_batches(cust_cents,
+                                   batch_format="pyarrow").materialize()
+    pos = cust.filter(expr="cents > 0")
+    agg = pos.aggregate(Sum("cents"), Count())
+    total_cents = int(agg["sum(cents)"] or 0)
+    n_pos = int(agg["count()"] or 0)
+    if n_pos == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "nationkey": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "total_acctbal_cents": pa.array([], pa.int64())}))
+
+    def rich_rows(b: pa.Table) -> pa.Table:
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        keep = c * n_pos > total_cents
+        t = b.filter(pa.array(keep))
+        return pa.table({"key": t.column("c_custkey"),
+                         "nationkey": t.column("nationkey"),
+                         "cents": t.column("cents")})
+
+    rich = cust.map_batches(rich_rows, batch_format="pyarrow")
+
+    def okeys(b: pa.Table) -> pa.Table:
+        mask = pc.greater(b.column("o_totalprice"),
+                          pa.scalar(big_order_total))
+        keys = pc.unique(pc.cast(
+            b.filter(mask).column("o_custkey"), pa.int64()))
+        n = len(keys)
+        return pa.table({"key": keys,
+                         "nationkey": pa.array(np.full(n, -1, np.int64)),
+                         "cents": pa.array(np.zeros(n, np.int64))})
+
+    both = rich.union(orders_ds.map_batches(okeys,
+                                            batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nationkey": "int64", "n_customers": "int64",
+                "total_acctbal_cents": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        has_order = df.groupby("key", sort=False)["nationkey"] \
+            .transform("min") < 0
+        quiet = df[(~has_order) & (df["nationkey"] >= 0)]
+        g = quiet.groupby("nationkey", sort=False)["cents"] \
+            .agg(["size", "sum"])
+        return pd.DataFrame({
+            "nationkey": g.index.to_numpy(np.int64),
+            "n_customers": g["size"].to_numpy(np.int64),
+            "total_acctbal_cents": g["sum"].to_numpy(np.int64),
+        }).astype(cols)
+
+    partial = _grouped_by_partition(both, ["key"], resolve,
+                                    n_parts=num_partitions)
+    out = partial.groupby("nationkey").aggregate(
+        Sum("n_customers"), Sum("total_acctbal_cents"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "nationkey": pc.cast(b.column("nationkey"), pa.int64()),
+            "n_customers": pc.cast(b.column("sum(n_customers)"),
+                                   pa.int64()),
+            "total_acctbal_cents": pc.cast(
+                b.column("sum(total_acctbal_cents)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _c4_revenue(b: pa.Table):
+    """Exact integer revenue units: cents x (100 - discount cents) —
+    the shipping_priority (Q3) discipline, immune to float summation
+    order."""
+    price_c = pc.cast(pc.round(pc.multiply(
+        b.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+    disc_c = pc.cast(pc.round(pc.multiply(
+        b.column("l_discount"), pa.scalar(100.0))), pa.int64())
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                            disc_c))
+
+
+def top_supplier_revenue(lineitem_ds, supplier_ds, *,
+                         start: str = "1996-01-01",
+                         end: str = "1996-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter -> (s_suppkey, s_name, total_revenue_c4).
+
+    Map-side per-batch (suppkey, c4) partial sums -> ONE bounded
+    groupby (|suppliers| rows) -> a tiny global Max aggregate -> a
+    map-side equality filter.  The winner set (usually one row)
+    fetches its name via an is_in filter over supplier — the
+    top_customers shape, no join, no sort."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(start, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(end, "us").item(), pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi))
+        b = b.filter(m)
+        df = pd.DataFrame({
+            "suppkey": b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "c4": _c4_revenue(b).to_numpy(zero_copy_only=False)})
+        g = df.groupby("suppkey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = lineitem_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("suppkey").aggregate(Sum("c4")).materialize()
+    mx = rev.aggregate(ray.data.aggregate.Max("sum(c4)"))["max(sum(c4))"]
+    if mx is None:
+        return ray.data.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_c4": pa.array([], pa.int64())}))
+    mxv = int(mx)
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("sum(c4)"),
+                                    pa.scalar(mxv, pa.int64()))),
+        batch_format="pyarrow")
+    wk = {int(r["suppkey"]) for r in winners.take_all()}
+    names = supplier_ds.map_batches(
+        lambda b: b.filter(pc.is_in(pc.cast(b.column("s_suppkey"),
+                                            pa.int64()),
+                                    pa.array(sorted(wk), pa.int64()))),
+        batch_format="pyarrow")
+    nmap = {int(r["s_suppkey"]): r["s_name"] for r in names.take_all()}
+    rows = sorted(wk)
+    return ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array(rows, pa.int64()),
+        "s_name": pa.array([nmap.get(k, "") for k in rows], pa.string()),
+        "total_revenue_c4": pa.array([int(mx)] * len(rows), pa.int64())}))
+
+
+def top_return_customers(customer_ds, orders_ds, lineitem_ds, *,
+                         start: str = "1996-01-01",
+                         end: str = "1996-04-01", k: int = 20,
+                         num_partitions=None):
+    """TPC-H Q10 shape: top-k customers by RETURNED revenue for orders
+    placed in a quarter -> (c_custkey, c_name, revenue_c4).
+
+    ONE orderkey-partitioned shuffle fuses the lineitem->orders join:
+    map-side (orderkey, c4) partials over returnflag='R' rows union
+    with in-window (orderkey, custkey) order rows; each partition
+    attaches custkeys and emits per-custkey partials.  A bounded
+    custkey groupby merges, per-block partial top-k + a tiny driver
+    merge picks the k winners (no global sort), and c_name arrives via
+    an is_in filter."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    lo = pa.scalar(np.datetime64(start, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(end, "us").item(), pa.timestamp("us"))
+
+    def li_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), pa.scalar("R")))
+        df = pd.DataFrame({
+            "key": b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "c4": _c4_revenue(b).to_numpy(zero_copy_only=False)})
+        g = df.groupby("key", sort=False, as_index=False).sum()
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(np.int64)),
+            "c4": pa.array(g["c4"].to_numpy(np.int64)),
+            "custkey": pa.array(np.full(len(g), -1, np.int64))})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        b = b.filter(m)
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "custkey": pc.cast(b.column("o_custkey"), pa.int64())})
+
+    both = lineitem_ds.map_batches(li_part, batch_format="pyarrow") \
+        .union(orders_ds.map_batches(o_rows, batch_format="pyarrow"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"custkey": "int64", "c4": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_o = df["custkey"].to_numpy(np.int64) >= 0
+        omap = dict(zip(df["key"].to_numpy(np.int64)[is_o],
+                        df["custkey"].to_numpy(np.int64)[is_o]))
+        li = df[~is_o]
+        ck = li["key"].map(omap)
+        keep = ck.notna().to_numpy()
+        out = pd.DataFrame({
+            "custkey": ck.to_numpy()[keep].astype(np.int64),
+            "c4": li["c4"].to_numpy(np.int64)[keep]})
+        return out.groupby("custkey", sort=False, as_index=False).sum() \
+            .astype(cols)
+
+    per_cust = _grouped_by_partition(both, ["key"], attach,
+                                     n_parts=num_partitions) \
+        .groupby("custkey").aggregate(Sum("c4"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "custkey": b.column("custkey").to_numpy(zero_copy_only=False),
+            "revenue_c4": b.column("sum(c4)").to_numpy(
+                zero_copy_only=False)})
+        df = df.sort_values(["revenue_c4", "custkey"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = per_cust.map_batches(block_topk, batch_format="pyarrow") \
+        .take_all()
+    import ray
+    if not cand:
+        return ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue_c4": pa.array([], pa.int64())}))
+    top = pd.DataFrame(cand).sort_values(
+        ["revenue_c4", "custkey"], ascending=[False, True]).head(k)
+    wk = top["custkey"].to_numpy(np.int64)
+    names = customer_ds.map_batches(
+        lambda b: b.filter(pc.is_in(pc.cast(b.column("c_custkey"),
+                                            pa.int64()),
+                                    pa.array(sorted(wk), pa.int64()))),
+        batch_format="pyarrow")
+    nmap = {int(r["c_custkey"]): r["c_name"] for r in names.take_all()}
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(wk, pa.int64()),
+        "c_name": pa.array([nmap.get(int(c), "") for c in wk],
+                           pa.string()),
+        "revenue_c4": pa.array(top["revenue_c4"].to_numpy(np.int64),
+                               pa.int64())}))
+
+
+def min_cost_supplier_per_part(lineitem_ds, supplier_ds, *,
+                               num_partitions=None):
+    """TPC-H Q2 shape: for every part that shipped, the supplier with
+    the LOWEST account balance among its shippers (ties -> smallest
+    suppkey) -> (partkey, suppkey, acctbal_cents).
+
+    Three keyed passes, no join actors: (1) map-side distinct
+    (partkey, suppkey) pairs; (2) suppkey-partitioned pass attaches
+    INTEGER acctbal cents from the tagged supplier union; (3)
+    partkey-partitioned argmin with the deterministic
+    (cents, suppkey) lexicographic tie-break."""
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "suppkey": b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "partkey": b.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        }).drop_duplicates()
+        df["cents"] = np.int64(0)
+        df["is_dim"] = False
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def supp(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "partkey": pa.array(np.full(n, -1, np.int64)),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("s_acctbal"), pa.scalar(100.0))), pa.int64()),
+            "is_dim": pa.array(np.ones(n, bool))})
+
+    both = lineitem_ds.map_batches(pairs, batch_format="pyarrow").union(
+        supplier_ds.map_batches(supp, batch_format="pyarrow"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"partkey": "int64", "suppkey": "int64", "cents": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        dim = df[df["is_dim"]]
+        cmap = dict(zip(dim["suppkey"].to_numpy(np.int64),
+                        dim["cents"].to_numpy(np.int64)))
+        fact = df[~df["is_dim"]].drop_duplicates(["partkey", "suppkey"])
+        c = fact["suppkey"].map(cmap)
+        keep = c.notna().to_numpy()
+        return pd.DataFrame({
+            "partkey": fact["partkey"].to_numpy(np.int64)[keep],
+            "suppkey": fact["suppkey"].to_numpy(np.int64)[keep],
+            "cents": c.to_numpy()[keep].astype(np.int64)}).astype(cols)
+
+    withbal = _grouped_by_partition(both, ["suppkey"], attach,
+                                    n_parts=num_partitions)
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"partkey": "int64", "suppkey": "int64",
+                "acctbal_cents": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["partkey", "cents", "suppkey"])
+        first = df.drop_duplicates("partkey", keep="first")
+        return pd.DataFrame({
+            "partkey": first["partkey"].to_numpy(np.int64),
+            "suppkey": first["suppkey"].to_numpy(np.int64),
+            "acctbal_cents": first["cents"].to_numpy(np.int64),
+        }).astype(cols)
+
+    return _grouped_by_partition(withbal, ["partkey"], argmin,
+                                 n_parts=num_partitions)
+
+
+def disjunctive_part_revenue(lineitem_ds, part_ds, *, num_partitions=None):
+    """TPC-H Q19 shape: one-row revenue total under a DISJUNCTIVE
+    part+lineitem predicate -> (revenue_c4, n_items).
+
+    ONE partkey-partitioned pass attaches (brand, size) to in-filter
+    lineitem rows (no join actors, no fact-sized broadcast); the OR of
+    conjunctive clauses evaluates vectorized per partition and only
+    (c4, n) partials leave — a two-int global sum finishes."""
+    from .dedup import _grouped_by_partition
+    from ray.data.aggregate import Sum
+    import ray
+    num_partitions = _cap_partitions(num_partitions)
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        qty = pc.cast(b.column("l_quantity"), pa.float64())
+        return pa.table({
+            "key": pc.cast(b.column("l_partkey"), pa.int64()),
+            "c4": _c4_revenue(b),
+            "qty": qty,
+            "size": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "brand": pa.array([None] * b.num_rows, pa.string())})
+
+    def p_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("p_partkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "qty": pa.array(np.zeros(n, np.float64)),
+            "size": pc.cast(b.column("p_size"), pa.int64()),
+            "brand": pc.cast(b.column("p_brand"), pa.string())})
+
+    both = lineitem_ds.map_batches(li_rows, batch_format="pyarrow") \
+        .union(part_ds.map_batches(p_rows, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"revenue_c4": "int64", "n_items": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["size"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        bmap = dict(zip(dim["key"].to_numpy(np.int64),
+                        zip(dim["brand"].tolist(),
+                            dim["size"].to_numpy(np.int64))))
+        fact = df[~is_dim]
+        key = fact["key"].to_numpy(np.int64)
+        qty = fact["qty"].to_numpy(np.float64)
+        c4 = fact["c4"].to_numpy(np.int64)
+        bs = [bmap.get(k) for k in key]
+        brand = np.array([x[0] if x else "" for x in bs])
+        size = np.array([x[1] if x else -1 for x in bs], np.int64)
+        m = (((brand == "Brand#1") & (size <= 10) & (qty <= 20))
+             | ((brand == "Brand#2") & (size <= 25) & (qty <= 30)))
+        return pd.DataFrame({"revenue_c4": [int(c4[m].sum())],
+                             "n_items": [int(m.sum())]}).astype(cols)
+
+    partials = _grouped_by_partition(both, ["key"], resolve,
+                                     n_parts=num_partitions)
+    agg = partials.aggregate(Sum("revenue_c4"), Sum("n_items"))
+    return ray.data.from_arrow(pa.table({
+        "revenue_c4": pa.array([int(agg["sum(revenue_c4)"] or 0)],
+                               pa.int64()),
+        "n_items": pa.array([int(agg["sum(n_items)"] or 0)],
+                            pa.int64())}))

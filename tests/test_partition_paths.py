@@ -24,7 +24,11 @@ SF = "/root/testdata/sf0.001"
 
 QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "event_gaps", "running_totals", "sessionize", "asof_join",
-           "exact_dedup", "textprep"]
+           "exact_dedup", "textprep", "except_users",
+           "cust_order_distribution", "brand_suppliers",
+           "rich_quiet_customers", "window3_sums",
+           "top_return_customers", "min_cost_supplier",
+           "disjunctive_part_revenue"]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -642,3 +642,195 @@ class TestEventWindows2:
         got = {int(r.user_id): int(r.event_id) for r in out.itertuples()}
         # user 7: latest ts -> event 3; user 8: ts tie -> max event_id 5
         assert got == {7: 3, 8: 5}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWave4Ops:
+    def test_window3_sums(self):
+        from pdf_extract_ray.ops.events import window3_sums
+        ts = lambda s: np.datetime64(s, "us").item()
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array([ts("2024-01-01T00:00:00"),
+                            ts("2024-01-01T00:01:00"),
+                            ts("2024-01-01T00:02:00"),
+                            ts("2024-01-01T00:03:00"),
+                            ts("2024-01-01T00:00:00"),
+                            ts("2024-01-01T00:01:00")],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 0.5, 0.25],
+                              pa.float64())})
+        out = window3_sums(_ds(ev)).to_pandas()
+        got = {int(r.event_id): int(r.w_sum_cents)
+               for r in out.itertuples()}
+        # user 7: 100, 100+200, 100+200+400, 200+400+800 (frame of 3)
+        # user 8: 50, 50+25 (window never crosses users)
+        assert got == {1: 100, 2: 300, 3: 700, 4: 1400, 5: 50, 6: 75}
+
+    def test_grouped_quartiles_cont(self):
+        from pdf_extract_ray.ops.analytics import grouped_quartiles_cont
+        t = pa.table({
+            "source": pa.array(["s"] * 4 + ["t"] * 3, pa.string()),
+            "n_chars": pa.array([10, 20, 30, 40, 1, 2, 4], pa.int64())})
+        out = grouped_quartiles_cont(_ds(t), "source", "n_chars") \
+            .to_pandas().set_index("source")
+        # s (n=4): q1 at pos 0.75 -> 17.5 (x4=70); q2 at 1.5 -> 25
+        # (x4=100); q3 at 2.25 -> 32.5 (x4=130)
+        assert list(out.loc["s", ["q1_x4", "q2_x4", "q3_x4"]]) \
+            == [70, 100, 130]
+        # t (n=3): q1 at pos 0.5 -> 1.5 (x4=6); q2 -> 2 (8); q3 at
+        # pos 1.5 -> 3 (12)
+        assert list(out.loc["t", ["q1_x4", "q2_x4", "q3_x4"]]) \
+            == [6, 8, 12]
+
+    def test_grouped_corr(self):
+        from pdf_extract_ray.ops.analytics import grouped_corr
+        t = pa.table({
+            "g": pa.array(["a"] * 3 + ["b"] * 3 + ["c"] * 2, pa.string()),
+            "x": pa.array([1, 2, 3, 1, 2, 3, 5, 5], pa.int64()),
+            "y": pa.array([2, 4, 6, 6, 4, 2, 1, 9], pa.int64())})
+        out = grouped_corr(_ds(t), "g", "x", "y").to_pandas() \
+            .set_index("g")["corr_xy"]
+        assert out.loc["a"] == pytest.approx(1.0)
+        assert out.loc["b"] == pytest.approx(-1.0)
+        # group c: x constant -> zero variance -> dropped
+        assert "c" not in out.index
+
+    def test_customer_order_distribution(self):
+        from pdf_extract_ray.ops.relational import \
+            customer_order_distribution
+        cust = pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())})
+        orders = pa.table({
+            "o_custkey": pa.array([1, 1, 2, 99], pa.int64())})
+        out = customer_order_distribution(_ds(cust), _ds(orders)) \
+            .to_pandas()
+        got = {int(r.n_orders): int(r.n_customers)
+               for r in out.itertuples()}
+        # cust 1 has 2 orders, cust 2 has 1, custs 3+4 have 0; the
+        # orphan order custkey 99 must NOT count
+        assert got == {0: 2, 1: 1, 2: 1}
+
+    def test_brand_supplier_distinct(self):
+        from pdf_extract_ray.ops.relational import brand_supplier_distinct
+        part = pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["B1", "B1", "B2"], pa.string())})
+        li = pa.table({
+            "l_partkey": pa.array([1, 1, 2, 3, 3, 7], pa.int64()),
+            "l_suppkey": pa.array([10, 10, 11, 10, 12, 13], pa.int64())})
+        out = brand_supplier_distinct(_ds(li), _ds(part)).to_pandas()
+        got = {r.p_brand: int(r.n_suppliers) for r in out.itertuples()}
+        # B1: suppliers {10, 11}; B2: {10, 12}; partkey 7 has no part
+        # row and drops
+        assert got == {"B1": 2, "B2": 2}
+
+    def test_rich_quiet_customers(self):
+        from pdf_extract_ray.ops.relational import rich_quiet_customers
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 1, 1, 1], pa.int32()),
+            "c_acctbal": pa.array([100.0, 100.0, 100.0, 100.0, -50.0],
+                                  pa.float64())})
+        # avg positive balance = 100 -> nobody strictly above; shift
+        # one balance up to make custs 1..2 the rich set
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_nationkey": pa.array([0, 1, 1, 1, 1], pa.int32()),
+            "c_acctbal": pa.array([200.0, 200.0, 10.0, 10.0, -50.0],
+                                  pa.float64())})
+        orders = pa.table({
+            "o_custkey": pa.array([2, 3], pa.int64()),
+            "o_totalprice": pa.array([999999.0, 5.0], pa.float64())})
+        out = rich_quiet_customers(_ds(cust), _ds(orders),
+                                   big_order_total=1000.0).to_pandas()
+        # rich (cents*n > total): 1 and 2 (avg=105); 2 has a big order
+        # -> quiet rich = {1} in nation 0
+        got = {int(r.nationkey): (int(r.n_customers),
+                                  int(r.total_acctbal_cents))
+               for r in out.itertuples()}
+        assert got == {0: (1, 20000)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTpchShapes2:
+    def _li(self):
+        ts = lambda s: np.datetime64(s, "us").item()
+        return pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_partkey": pa.array([10, 11, 10, 12], pa.int64()),
+            "l_suppkey": pa.array([5, 6, 5, 6], pa.int64()),
+            "l_quantity": pa.array([10.0, 25.0, 15.0, 40.0],
+                                   pa.float64()),
+            "l_extendedprice": pa.array([100.0, 200.0, 50.0, 400.0],
+                                        pa.float64()),
+            "l_discount": pa.array([0.0, 0.1, 0.0, 0.5], pa.float64()),
+            "l_returnflag": pa.array(["R", "N", "R", "R"], pa.string()),
+            "l_shipdate": pa.array(
+                [ts("1996-02-01"), ts("1996-02-01"), ts("1996-03-01"),
+                 ts("1999-01-01")], pa.timestamp("us"))})
+
+    def test_top_supplier_revenue(self):
+        from pdf_extract_ray.ops.relational import top_supplier_revenue
+        supp = pa.table({
+            "s_suppkey": pa.array([5, 6], pa.int64()),
+            "s_name": pa.array(["s5", "s6"], pa.string())})
+        out = top_supplier_revenue(_ds(self._li()), _ds(supp)) \
+            .to_pandas()
+        # window [1996-01-01, 1996-04-01): supp 5 rev = (10000+5000)*100
+        # = 1.5e6 c4; supp 6 rev = 20000*90 = 1.8e6 c4 -> supp 6 wins
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (int(r.s_suppkey), r.s_name, int(r.total_revenue_c4)) \
+            == (6, "s6", 1_800_000)
+
+    def test_top_return_customers(self):
+        from pdf_extract_ray.ops.relational import top_return_customers
+        ts = lambda s: np.datetime64(s, "us").item()
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([100, 101, 100], pa.int64()),
+            "o_orderdate": pa.array(
+                [ts("1996-01-15"), ts("1996-02-15"), ts("1999-05-01")],
+                pa.timestamp("us"))})
+        cust = pa.table({
+            "c_custkey": pa.array([100, 101], pa.int64()),
+            "c_name": pa.array(["c100", "c101"], pa.string())})
+        out = top_return_customers(_ds(cust), _ds(orders),
+                                   _ds(self._li()), k=5).to_pandas()
+        got = {int(r.c_custkey): (r.c_name, int(r.revenue_c4))
+               for r in out.itertuples()}
+        # R rows in-window: order1 line1 (cust 100, 10000*100), order2
+        # line (cust 101, 5000*100); order3 is out of window
+        assert got == {100: ("c100", 1_000_000),
+                       101: ("c101", 500_000)}
+
+    def test_min_cost_supplier_per_part(self):
+        from pdf_extract_ray.ops.relational import \
+            min_cost_supplier_per_part
+        supp = pa.table({
+            "s_suppkey": pa.array([5, 6], pa.int64()),
+            "s_acctbal": pa.array([50.0, 10.0], pa.float64())})
+        out = min_cost_supplier_per_part(_ds(self._li()), _ds(supp)) \
+            .to_pandas()
+        got = {int(r.partkey): (int(r.suppkey), int(r.acctbal_cents))
+               for r in out.itertuples()}
+        # part 10 shipped by 5 only; part 11 by 6; part 12 by 6
+        assert got == {10: (5, 5000), 11: (6, 1000), 12: (6, 1000)}
+
+    def test_disjunctive_part_revenue(self):
+        from pdf_extract_ray.ops.relational import \
+            disjunctive_part_revenue
+        part = pa.table({
+            "p_partkey": pa.array([10, 11, 12], pa.int64()),
+            "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#1"],
+                                pa.string()),
+            "p_size": pa.array([5, 20, 40], pa.int32())})
+        out = disjunctive_part_revenue(_ds(self._li()), _ds(part)) \
+            .to_pandas().iloc[0]
+        # clause1 (Brand#1, size<=10, qty<=20): lines 1 (part10 qty10,
+        # 10000*100) and 3 (part10 qty15, 5000*100); clause2 (Brand#2,
+        # size<=25, qty<=30): line 2 (part11 qty25, 20000*90); line 4
+        # fails both (part12 size 40, qty 40)
+        assert int(out.revenue_c4) == 1_000_000 + 500_000 + 1_800_000
+        assert int(out.n_items) == 3
