@@ -278,33 +278,68 @@ def _minhash_map(ds, cls, n_perm, bands, shingle_k, concurrency):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bands_for_threshold(n_perm: int, threshold: float,
+                        min_catch: float = 0.9) -> int:
+    """Threshold-matched LSH band count: the FEWEST bands (longest rows
+    -> most selective buckets, fewest false-positive candidates) whose
+    catch probability  1 - (1 - t^r)^b  at Jaccard == `threshold` stays
+    >= `min_catch`.  A high verify threshold (0.95) with the generic
+    16-band config floods the verifier with ~50x false positives; 4
+    bands x 16 rows keeps >=0.9 recall at the threshold (and ~1.0 for
+    exact dups) while cutting candidates by an order of magnitude."""
+    best = n_perm
+    for b in (2, 4, 8, 16, 32):
+        if n_perm % b:
+            continue
+        r = n_perm // b
+        if 1.0 - (1.0 - threshold ** r) ** b >= min_catch:
+            return b
+    return best
+
+
 def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, concurrency=None,
-                           max_bucket=None):
+                           max_bucket=None, star_bucket=None):
     """Unverified candidate pairs (doc_id_a, doc_id_b) from LSH buckets —
     minimal shuffle payload; follow with verify_pairs_jaccard.
 
-    `max_bucket` caps the per-bucket pair fanout: a bucket larger than
-    the cap is a degenerate cluster (boilerplate/spam at crawl scale —
-    O(bucket^2) pairs would dominate the job) and is skipped; its members
-    still pair through their other, more selective bands."""
+    Degenerate-bucket controls (boilerplate/spam clusters at crawl
+    scale would emit O(bucket^2) pairs and dominate the job):
+    - `star_bucket`: a bucket larger than this emits STAR pairs only
+      (its minimum doc id against every other member — O(bucket) rows,
+      deterministic).  Verified star edges keep the cluster connected,
+      so the downstream greedy/CC drop resolves it as keep-one — the
+      right call for boilerplate — while edges between members whose
+      similarity only shows pairwise (not via the root) are forgone.
+    - `max_bucket`: a bucket larger than this is skipped outright;
+      members still pair through their other, more selective bands.
+    """
     banded = _minhash_map(ds, MinHashBandsOnly, n_perm, bands, shingle_k,
                           concurrency)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
         df = df[df.duplicated(subset=["band", "bucket"], keep=False)]
+        cols_a, cols_b = [], []
         for (_b, _k), g in df.groupby(["band", "bucket"], sort=False):
             if len(g) < 2:
                 continue
             if max_bucket is not None and len(g) > max_bucket:
                 continue
-            docs = sorted(set(g["doc_id"]))
-            for ii in range(len(docs)):
-                for jj in range(ii + 1, len(docs)):
-                    rows.append((docs[ii], docs[jj]))
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b"]
-                            ).astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+            docs = np.unique(g["doc_id"].to_numpy(np.int64))
+            if len(docs) < 2:
+                continue
+            if star_bucket is not None and len(docs) > star_bucket:
+                cols_a.append(np.full(len(docs) - 1, docs[0], np.int64))
+                cols_b.append(docs[1:])
+                continue
+            ii, jj = np.triu_indices(len(docs), k=1)
+            cols_a.append(docs[ii])
+            cols_b.append(docs[jj])
+        if not cols_a:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                                 "doc_id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id_a": np.concatenate(cols_a),
+                             "doc_id_b": np.concatenate(cols_b)})
 
     pairs = _grouped_by_partition(banded, ["bucket"], resolve, n_parts=32)
     return _dedupe_pairs(pairs, [])

@@ -93,9 +93,17 @@ def _post_extract_chain(ok_ds, *, langs, min_quality, neardup_threshold,
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "text": b.column("extracted_text")}),
         batch_format="pyarrow")
-    # degenerate-cluster guard: a bucket bigger than this is boilerplate
-    # (pathological pair fanout); members still pair via selective bands
-    candidates = minhash_lsh_candidates(docs, max_bucket=500)
+    # Band count is matched to the verify threshold (fewest bands whose
+    # catch probability at J == threshold stays >= 0.9) so a high
+    # threshold doesn't flood the verifier with false positives.
+    # Buckets above star_bucket emit star pairs (O(bucket) rows) — a
+    # boilerplate cluster stays connected and resolves as keep-one
+    # downstream without the O(bucket^2) pair explosion the old
+    # skip-guard dodged by missing the cluster entirely.
+    from ..ops.dedup import bands_for_threshold
+    candidates = minhash_lsh_candidates(
+        docs, bands=bands_for_threshold(64, neardup_threshold),
+        star_bucket=64)
     # pinned: the pair set is tiny (LSH survivors) and feeds the greedy's
     # normalize pass — pinning it here also marks the verify phase
     verified = verify_pairs_jaccard(candidates, docs,

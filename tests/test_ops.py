@@ -240,3 +240,34 @@ def test_lm_perplexity_scores(ray_session):
     assert out.loc[0, "lm_bits_per_token"] < out.loc[99, "lm_bits_per_token"]
     assert abs(out.loc[0, "lm_bits_per_token"]
                - out.loc[5, "lm_bits_per_token"]) < 1e-12
+
+
+def test_bands_for_threshold_operating_points():
+    from pdf_extract_ray.ops.dedup import bands_for_threshold
+    # fewest bands whose catch prob at J == t stays >= 0.9
+    assert bands_for_threshold(64, 0.95) == 4
+    assert bands_for_threshold(64, 0.85) == 8
+    assert bands_for_threshold(64, 0.60) == 32
+    # exact dups are still caught with near-certainty at 4 bands
+    b, r = 4, 16
+    assert 1 - (1 - 0.99 ** r) ** b > 0.999
+
+
+def test_star_bucket_keeps_cluster_connected(ray_session):
+    import ray
+    from pdf_extract_ray.ops.dedup import (minhash_lsh_candidates,
+                                           verify_pairs_jaccard)
+    # 12 identical docs: a degenerate boilerplate bucket
+    text = " ".join(f"tok{j}" for j in range(40))
+    rows = [(i, text) for i in range(12)]
+    ds = ray.data.from_arrow(docs_table(rows))
+    pairs = minhash_lsh_candidates(ds, star_bucket=4).to_pandas()
+    # star fanout: O(k) per (band, bucket), never k*(k-1)/2
+    assert 11 <= len(pairs) <= 11 * 16
+    # every pair roots at the min id -> the cluster stays connected
+    assert set(pairs["doc_id_a"]) == {0}
+    assert set(pairs["doc_id_b"]) == set(range(1, 12))
+    verified = verify_pairs_jaccard(
+        minhash_lsh_candidates(ds, star_bucket=4), ds,
+        threshold=0.95).to_pandas()
+    assert set(verified["doc_id_b"]) == set(range(1, 12))
