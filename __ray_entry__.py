@@ -1647,6 +1647,28 @@ def _q_disjunctive_part_revenue(sf_dir: str):
         _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """LM-training sequence packing: deterministic greedy concat of
+    docs into <=512-token rows, hash-partitioned by doc_id (not
+    SQL-expressible — the bin assignment depends on the partition
+    function; invariants are pytest-covered: ops/corpus.pack_sequences)."""
+    from pdf_extract_ray.ops.corpus import pack_sequences
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_tokens=512)
+
+
+def _q_funnel_counts(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase, 6 h windows): one
+    user-partitioned shuffle, vectorized grouped-min chaining in exact
+    integer microseconds (ops/events.funnel_counts)."""
+    from pdf_extract_ray.ops.events import funnel_counts
+    return funnel_counts(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type"]),
+        steps=("view", "click", "purchase"), window_hours=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -1701,6 +1723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
         "disjunctive_part_revenue": _q_disjunctive_part_revenue,
+        "funnel_counts": _q_funnel_counts,
+        "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
         "heavy_hitters": _q_heavy_hitters,
@@ -2370,6 +2394,26 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity <= 20)
                OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
                    AND l.l_quantity <= 30)
+        """,
+        "funnel_counts": """
+            WITH a AS (SELECT user_id, min(ts) t FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            b AS (SELECT e.user_id, min(e.ts) t FROM events e
+                  JOIN a ON a.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > a.t
+                    AND e.ts <= a.t + INTERVAL '6 hours'
+                  GROUP BY e.user_id),
+            c AS (SELECT e.user_id, min(e.ts) t FROM events e
+                  JOIN b ON b.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > b.t
+                    AND e.ts <= b.t + INTERVAL '6 hours'
+                  GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step,
+                   (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_users
+            UNION ALL
+            SELECT 2, (SELECT count(*) FROM b)
+            UNION ALL
+            SELECT 3, (SELECT count(*) FROM c)
         """,
         "chars_quartiles_by_source": """
             SELECT source,

@@ -522,3 +522,71 @@ def fuzzy_decontaminate(docs_ds, *, n: int = 5, bench_mod: int = 11,
             "contaminated": pa.array(out_n > 0)})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(ds, *, max_tokens: int = 512, n_parts: int = 32):
+    """Greedy sequence packing for LM training: concatenate documents
+    into fixed-budget training rows -> (seq_id, text, n_docs,
+    n_tokens).
+
+    Docs are hash-partitioned by doc_id and packed in doc_id order
+    within each partition, so the output is DETERMINISTIC regardless
+    of block arrival order (re-runs and resumes produce identical
+    sequences).  Unlike the aggregate ops, packing is
+    LAYOUT-DEPENDENT by nature (which docs share a sequence depends on
+    which partition they land in), so this op always takes the
+    explicit hash-partition path — never the adaptive single-task
+    fast path — keeping output a pure function of (doc_ids, n_parts).
+    A document longer than `max_tokens` gets its own sequence — never
+    split, never dropped.  seq_id is the first member's doc_id (unique
+    because membership is a partition of the corpus).  The greedy scan
+    is a per-partition O(docs) loop over an int array; join/concat
+    stay vectorized."""
+    cap = int(max_tokens)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"seq_id": "int64", "text": "object", "n_docs": "int64",
+                "n_tokens": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"seq_id": "int64", "n_docs": "int64",
+                 "n_tokens": "int64"})
+        df = df.sort_values("doc_id")
+        texts = df["text"].astype(str)
+        ntok = texts.str.count(" ").to_numpy(np.int64) + 1
+        ntok[texts.str.len().to_numpy(np.int64) == 0] = 0
+        ids = df["doc_id"].to_numpy(np.int64)
+        # greedy bin assignment (sequential by construction)
+        bins = np.empty(len(df), np.int64)
+        b = -1
+        run = cap + 1  # force a new bin at the first doc
+        for i, t in enumerate(ntok):
+            if run + t > cap and run > 0:
+                b += 1
+                run = 0
+            bins[i] = b
+            run += t
+        starts = np.flatnonzero(np.diff(bins, prepend=-1))
+        seq_ids = ids[starts]
+        tx = texts.to_numpy()
+        out_text = ["\n\n".join(tx[s:e]) for s, e in
+                    zip(starts, np.append(starts[1:], len(df)))]
+        g = pd.DataFrame({"bins": bins, "ntok": ntok}) \
+            .groupby("bins", sort=True).agg(n_docs=("ntok", "size"),
+                                            n_tokens=("ntok", "sum"))
+        return pd.DataFrame({
+            "seq_id": seq_ids,
+            "text": out_text,
+            "n_docs": g["n_docs"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64)})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pandas()
+        h = pd.util.hash_array(np.asarray(ids)).astype(np.uint64)
+        return batch.append_column("_part", pa.array(
+            (h % np.uint64(n_parts)).astype(np.int64), pa.int64()))
+
+    withpart = ds.map_batches(add_part, batch_format="pyarrow")
+    return withpart.groupby("_part").map_groups(
+        lambda df: per_partition(df.drop(columns=["_part"])),
+        batch_format="pandas")

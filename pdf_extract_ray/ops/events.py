@@ -496,3 +496,54 @@ def window3_sums(ds, *, window: int = 3):
 
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
+
+
+def funnel_counts(ds, steps=("view", "click", "purchase"), *,
+                  window_hours: int = 6, n_parts: int = 32):
+    """Ordered funnel conversion: how many users performed step 1, then
+    step 2 within `window_hours` of their FIRST step-1 event, then step
+    3 within the window of that first qualifying step-2 event ->
+    (step, n_users).
+
+    One user-partitioned shuffle; within a partition each stage is a
+    vectorized mask + grouped min over ALL users at once (no per-user
+    loop), chaining  t_k = min ts  with the strict ( > t_{k-1},
+    <= t_{k-1} + W ) inclusion in exact integer microseconds.  Each
+    partition emits a |steps|-row partial; a tiny groupby sums."""
+    window_us = int(window_hours) * 3_600 * 1_000_000
+    step_list = list(steps)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"step": "int64", "n_users": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        etype = df["event_type"].to_numpy()
+        t_prev = None  # per-user Series of the previous step's anchor
+        counts = []
+        for i, step in enumerate(step_list):
+            m = etype == step
+            if i > 0:
+                prev = pd.Series(user).map(t_prev)
+                pv = prev.to_numpy(np.float64)
+                m = m & np.isfinite(pv) & (ts > pv) \
+                    & (ts <= pv + window_us)
+            sel = pd.DataFrame({"u": user[m], "t": ts[m]})
+            t_prev = sel.groupby("u")["t"].min()
+            counts.append(len(t_prev))
+        return pd.DataFrame({
+            "step": np.arange(1, len(step_list) + 1, dtype=np.int64),
+            "n_users": np.array(counts, np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    from ray.data.aggregate import Sum
+    partials = _grouped_by_partition(ds, ["user_id"], per_partition,
+                                     n_parts=n_parts)
+    out = partials.groupby("step").aggregate(Sum("n_users"))
+    import pyarrow.compute as _pc
+    return out.map_batches(
+        lambda b: pa.table({
+            "step": _pc.cast(b.column("step"), pa.int64()),
+            "n_users": _pc.cast(b.column("sum(n_users)"), pa.int64())}),
+        batch_format="pyarrow")

@@ -252,3 +252,45 @@ class TestFuzzyDecontaminate:
         out49 = fuzzy_decontaminate(
             ray.data.from_arrow(tbl), threshold_pct=51).to_pandas()
         assert bool(out49[out49.doc_id == 1].contaminated.iloc[0]) is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackSequences:
+    def _docs(self, rows):
+        import ray
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    def test_invariants_and_determinism(self):
+        from pdf_extract_ray.ops.corpus import pack_sequences
+        rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 13) % 40)))
+                for i in range(60)]
+        rows.append((999, " ".join(f"x{j}" for j in range(100))))  # giant
+        ds = self._docs(rows)
+        out = pack_sequences(ds, max_tokens=50).to_pandas()
+        out2 = pack_sequences(self._docs(rows), max_tokens=50).to_pandas()
+        # deterministic across runs
+        pd.testing.assert_frame_equal(
+            out.sort_values("seq_id").reset_index(drop=True),
+            out2.sort_values("seq_id").reset_index(drop=True))
+        # every input doc lands in exactly one sequence
+        assert int(out["n_docs"].sum()) == len(rows)
+        # budget respected unless a sequence is a single oversized doc
+        over = out[out["n_tokens"] > 50]
+        assert (over["n_docs"] == 1).all()
+        # token accounting is exact
+        total_in = sum(len(t.split()) for _, t in rows)
+        assert int(out["n_tokens"].sum()) == total_in
+        # text joins members with the document separator
+        joined = out[out["n_docs"] > 1].iloc[0]
+        assert joined["text"].count("\n\n") == joined["n_docs"] - 1
+
+    def test_oversized_doc_isolated(self):
+        from pdf_extract_ray.ops.corpus import pack_sequences
+        rows = [(1, "a b c"), (2, " ".join(["t"] * 30)), (3, "d e")]
+        out = pack_sequences(self._docs(rows), max_tokens=10).to_pandas()
+        big = out[out["seq_id"] == 2]
+        assert len(big) == 1 and int(big["n_docs"].iloc[0]) == 1
+        assert int(big["n_tokens"].iloc[0]) == 30

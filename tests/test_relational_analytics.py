@@ -834,3 +834,46 @@ class TestTpchShapes2:
         # fails both (part12 size 40, qty 40)
         assert int(out.revenue_c4) == 1_000_000 + 500_000 + 1_800_000
         assert int(out.n_items) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def test_funnel_counts_windowed(self):
+        from pdf_extract_ray.ops.events import funnel_counts
+        ts = lambda s: np.datetime64(s, "us").item()
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+            "ts": pa.array([
+                ts("2024-01-01T00:00:00"),   # u1 view
+                ts("2024-01-01T01:00:00"),   # u1 click (in window)
+                ts("2024-01-01T01:30:00"),   # u1 purchase (in window)
+                ts("2024-01-01T00:00:00"),   # u2 view
+                ts("2024-01-01T09:00:00"),   # u2 click (OUT of 6h)
+                ts("2024-01-01T00:00:00"),   # u3 click only (no view)
+                ts("2024-01-01T00:10:00"),   # u3 view
+                ts("2024-01-01T00:05:00"),   # u3 purchase BEFORE click
+            ], pa.timestamp("us")),
+            "event_type": pa.array(
+                ["view", "click", "purchase", "view", "click",
+                 "click", "view", "purchase"], pa.string())})
+        out = funnel_counts(_ds(ev), steps=("view", "click", "purchase"),
+                            window_hours=6).to_pandas()
+        got = {int(r.step): int(r.n_users) for r in out.itertuples()}
+        # u1 completes all three; u2 stops at view (click too late);
+        # u3 has a view but no click AFTER it -> step1 only
+        assert got == {1: 3, 2: 1, 3: 1}
+
+    def test_funnel_strict_ordering(self):
+        from pdf_extract_ray.ops.events import funnel_counts
+        ts = lambda s: np.datetime64(s, "us").item()
+        # click exactly AT the view timestamp must NOT count (strict >)
+        ev = pa.table({
+            "user_id": pa.array([9, 9], pa.int64()),
+            "ts": pa.array([ts("2024-01-01T00:00:00"),
+                            ts("2024-01-01T00:00:00")],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["view", "click"], pa.string())})
+        out = funnel_counts(_ds(ev), steps=("view", "click"),
+                            window_hours=6).to_pandas()
+        got = {int(r.step): int(r.n_users) for r in out.itertuples()}
+        assert got == {1: 1, 2: 0}
