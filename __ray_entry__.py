@@ -1647,6 +1647,32 @@ def _q_disjunctive_part_revenue(sf_dir: str):
         _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
 
 
+def _q_langs_per_source(sf_dir: str):
+    """Set-valued aggregate (SQL string_agg of DISTINCT values in
+    order): per source, the sorted comma-joined language set plus its
+    cardinality.  Map-side per-batch distinct (source, lang) pairs ->
+    one bounded groupby over |sources| x |langs| rows -> per-group
+    sorted join; the corpus text never shuffles."""
+    import pandas as pd
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(dedup, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).count()
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(df["lang"].tolist())
+        return pd.DataFrame({
+            "source": [df["source"].iloc[0]],
+            "langs": [",".join(langs)],
+            "n_langs": np.array([len(langs)], np.int64)})
+
+    return pairs.groupby("source").map_groups(agg, batch_format="pandas")
+
+
 def _q_pack_sequences(sf_dir: str):
     """LM-training sequence packing: deterministic greedy concat of
     docs into <=512-token rows, hash-partitioned by doc_id (not
@@ -1724,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "disjunctive_part_revenue": _q_disjunctive_part_revenue,
         "funnel_counts": _q_funnel_counts,
+        "langs_per_source": _q_langs_per_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
@@ -2394,6 +2421,12 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity <= 20)
                OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
                    AND l.l_quantity <= 30)
+        """,
+        "langs_per_source": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
         """,
         "funnel_counts": """
             WITH a AS (SELECT user_id, min(ts) t FROM events

@@ -117,7 +117,14 @@ def run_ops(sf_dir: str):
              "large_volume_customers", "orders_above_avg", "event_gaps",
              "chars_rank_by_source", "fuzzy_decontaminate",
              "chars_percentiles_by_source", "chars_mode_by_source",
-             "doc_cube", "shared_user_ids"]
+             "doc_cube", "shared_user_ids", "event_transitions",
+             "latest_event_per_user", "except_users",
+             "cust_order_distribution", "brand_suppliers",
+             "rich_quiet_customers", "window3_sums",
+             "top_supplier_revenue", "top_return_customers",
+             "min_cost_supplier", "disjunctive_part_revenue",
+             "chars_quartiles_by_source", "source_chars_token_corr",
+             "funnel_counts", "langs_per_source", "pack_sequences"]
     out = {}
     for _pass in range(2):
         for name in names:
