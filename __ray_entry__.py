@@ -1647,6 +1647,19 @@ def _q_disjunctive_part_revenue(sf_dir: str):
         _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
 
 
+def _q_order_event_range_counts(sf_dir: str):
+    """Range (band) join: per order, same-user events within 24 h of
+    the order date (zero-count orders kept).  One user shuffle +
+    segmented probe-rank scan — no per-order slicing
+    (ops/relational.range_join_counts)."""
+    from pdf_extract_ray.ops.relational import range_join_counts
+    return range_join_counts(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        window_hours=24)
+
+
 def _q_langs_per_source(sf_dir: str):
     """Set-valued aggregate (SQL string_agg of DISTINCT values in
     order): per source, the sorted comma-joined language set plus its
@@ -1751,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_part_revenue": _q_disjunctive_part_revenue,
         "funnel_counts": _q_funnel_counts,
         "langs_per_source": _q_langs_per_source,
+        "order_event_range_counts": _q_order_event_range_counts,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
@@ -2421,6 +2435,16 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity <= 20)
                OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
                    AND l.l_quantity <= 30)
+        """,
+        "order_event_range_counts": """
+            SELECT o.o_orderkey,
+                   CAST(count(e.user_id) AS BIGINT) AS n_events
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL '24 hours'
+            GROUP BY o.o_orderkey
         """,
         "langs_per_source": """
             SELECT source,

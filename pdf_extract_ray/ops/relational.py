@@ -943,11 +943,11 @@ def brand_supplier_distinct(lineitem_ds, part_ds, *, num_partitions=None):
     DISTINCT (partkey, suppkey) pairs, part ships (partkey, brand)
     rows; each partition attaches the brand to its pairs and dedups
     (brand, suppkey) locally — no join actors, no broadcast of the
-    part table (part is fact-sized at TPC-H scale).  Pass 2 is the
-    bounded distinct_count shuffle over near-distinct (brand, suppkey)
-    pairs (|brands| x |suppliers| at most)."""
+    part table (part is fact-sized at TPC-H scale).  Pass 2 is ONE
+    brand-keyed pass over near-distinct (brand, suppkey) pairs
+    (|brands| x |suppliers| at most) finishing with a grouped
+    nunique."""
     from .dedup import _grouped_by_partition
-    from .analytics import distinct_count
     num_partitions = _cap_partitions(num_partitions)
 
     def lpart(b: pa.Table) -> pa.Table:
@@ -988,12 +988,21 @@ def brand_supplier_distinct(lineitem_ds, part_ds, *, num_partitions=None):
 
     pairs = _grouped_by_partition(both, ["key"], attach,
                                   n_parts=num_partitions)
-    out = distinct_count(pairs, "p_brand", "l_suppkey")
-    return out.map_batches(
-        lambda b: pa.table({
-            "p_brand": pc.cast(b.column("p_brand"), pa.string()),
-            "n_suppliers": pc.cast(b.column("n_distinct"), pa.int64())}),
-        batch_format="pyarrow")
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_brand": "object", "n_suppliers": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_suppliers": "int64"})
+        g = df.groupby("p_brand", sort=False)["l_suppkey"].nunique()
+        return pd.DataFrame({"p_brand": g.index.to_numpy(),
+                             "n_suppliers": g.to_numpy(np.int64)})
+
+    # pass-1 output is near-distinct (brand, suppkey) pairs bounded by
+    # |brands| x |suppliers|; one brand-keyed pass finishes (the former
+    # distinct_count cost TWO native groupby exchanges)
+    return _grouped_by_partition(pairs, ["p_brand"], count_distinct,
+                                 n_parts=num_partitions)
 
 
 def rich_quiet_customers(customer_ds, orders_ds, *,
@@ -1166,12 +1175,11 @@ def top_return_customers(customer_ds, orders_ds, lineitem_ds, *,
     ONE orderkey-partitioned shuffle fuses the lineitem->orders join:
     map-side (orderkey, c4) partials over returnflag='R' rows union
     with in-window (orderkey, custkey) order rows; each partition
-    attaches custkeys and emits per-custkey partials.  A bounded
-    custkey groupby merges, per-block partial top-k + a tiny driver
-    merge picks the k winners (no global sort), and c_name arrives via
-    an is_in filter."""
+    attaches custkeys and emits per-custkey partials.  A second
+    custkey-keyed pass fuses the global per-customer sum with a
+    partition-local top-k, a tiny driver merge picks the k winners (no
+    global sort), and c_name arrives via an is_in filter."""
     import ray
-    from ray.data.aggregate import Sum
     from .dedup import _grouped_by_partition
     num_partitions = _cap_partitions(num_partitions)
     lo = pa.scalar(np.datetime64(start, "us").item(), pa.timestamp("us"))
@@ -1219,20 +1227,23 @@ def top_return_customers(customer_ds, orders_ds, lineitem_ds, *,
             .astype(cols)
 
     per_cust = _grouped_by_partition(both, ["key"], attach,
-                                     n_parts=num_partitions) \
-        .groupby("custkey").aggregate(Sum("c4"))
+                                     n_parts=num_partitions)
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "custkey": b.column("custkey").to_numpy(zero_copy_only=False),
-            "revenue_c4": b.column("sum(c4)").to_numpy(
-                zero_copy_only=False)})
-        df = df.sort_values(["revenue_c4", "custkey"],
-                            ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def sum_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"custkey": "int64", "revenue_c4": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("custkey", sort=False)["c4"].sum() \
+            .rename("revenue_c4").reset_index()
+        return g.sort_values(["revenue_c4", "custkey"],
+                             ascending=[False, True]).head(k) \
+            .astype(cols)
 
-    cand = per_cust.map_batches(block_topk, batch_format="pyarrow") \
-        .take_all()
+    # custkey-keyed pass fuses the global sum AND the partition-local
+    # top-k (the former plan paid a native groupby exchange plus a
+    # separate top-k map); the driver merges k x partitions rows
+    cand = _grouped_by_partition(per_cust, ["custkey"], sum_topk,
+                                 n_parts=num_partitions).take_all()
     import ray
     if not cand:
         return ray.data.from_arrow(pa.table({
@@ -1392,3 +1403,98 @@ def disjunctive_part_revenue(lineitem_ds, part_ds, *, num_partitions=None):
                                pa.int64()),
         "n_items": pa.array([int(agg["sum(n_items)"] or 0)],
                             pa.int64())}))
+
+
+def range_join_counts(orders_ds, events_ds, *, window_hours: int = 24,
+                      num_partitions=None):
+    """Range (band) join, an operator Ray Data lacks: per order, how
+    many of the SAME user's events fall in [orderdate, orderdate + W)
+    -> (o_orderkey, n_events), zero-count orders included (LEFT
+    semantics).
+
+    ONE user-partitioned shuffle carrying both sides union'd; within a
+    partition the counts come from a single lexsort + segmented
+    cumulative rank scan, NOT per-order slicing: each order emits two
+    PROBES (window start, inclusive; window end, exclusive), probes
+    sort BEFORE events at equal timestamps, and the running per-user
+    event count at each probe position gives  n = rank(end) -
+    rank(start)  for every order at once.  Partitioning assumption:
+    one user's orders + events fit in one partition (salt by time
+    bucket with boundary-window overlap beyond that)."""
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    window_us = int(window_hours) * 3_600 * 1_000_000
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({
+            "user": pc.cast(b.column("o_custkey"), pa.int64()),
+            "t": t,
+            "okey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "is_event": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def e_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({
+            "user": pc.cast(b.column("user_id"), pa.int64()),
+            "t": t,
+            "okey": pa.array(np.full(n, -1, np.int64)),
+            "is_event": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    both = orders_ds.map_batches(o_rows, batch_format="pyarrow").union(
+        events_ds.map_batches(e_rows, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": "int64", "n_events": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        okey = df["okey"].to_numpy(np.int64)
+        is_ev = df["is_event"].to_numpy(np.int8)
+        is_probe = is_ev == 0
+        n_orders = int(is_probe.sum())
+        if n_orders == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        # each order contributes two probe rows: [start, end)
+        pu = np.concatenate([user[is_probe], user[is_probe]])
+        pt = np.concatenate([t[is_probe], t[is_probe] + window_us])
+        pk = np.concatenate([okey[is_probe], okey[is_probe]])
+        sign = np.concatenate([np.full(n_orders, -1, np.int64),
+                               np.ones(n_orders, np.int64)])
+        eu, et = user[is_ev == 1], t[is_ev == 1]
+        u = np.concatenate([pu, eu])
+        tt = np.concatenate([pt, et])
+        ev = np.concatenate([np.zeros(2 * n_orders, np.int8),
+                             np.ones(len(eu), np.int8)])
+        # probes (ev=0) sort before events (ev=1) at equal (user, t):
+        # start-probe excludes nothing at t (>= is inclusive via the
+        # cum BEFORE the first equal event), end-probe is exclusive
+        order = np.lexsort((ev, tt, u))
+        us, evs = u[order], ev[order]
+        cum = np.cumsum(evs.astype(np.int64))
+        new_seg = np.empty(len(us), bool)
+        new_seg[0] = True
+        new_seg[1:] = us[1:] != us[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(len(us)), 0))
+        base = np.where(seg_start > 0, cum[seg_start - 1], 0)
+        rank = cum - base  # events at or before this row, within user
+        probe_pos = order < 2 * n_orders  # positions holding probes
+        # rank AT a probe row counts exactly the events sorted before
+        # it in its user segment (the probe itself contributes 0)
+        pr = rank[probe_pos]
+        pidx = order[probe_pos]  # original probe indices 0..2n-1
+        counts = np.zeros(n_orders, np.int64)
+        # start probe i and end probe i+n_orders both map to order i
+        np.add.at(counts, pidx % n_orders, sign[pidx] * pr)
+        return pd.DataFrame({
+            "o_orderkey": pk[:n_orders],
+            "n_events": counts}).astype(cols)
+
+    return _grouped_by_partition(both, ["user"], resolve,
+                                 n_parts=num_partitions)

@@ -877,3 +877,35 @@ class TestFunnel:
                             window_hours=6).to_pandas()
         got = {int(r.step): int(r.n_users) for r in out.itertuples()}
         assert got == {1: 1, 2: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def test_range_join_counts(self):
+        from pdf_extract_ray.ops.relational import range_join_counts
+        ts = lambda s: np.datetime64(s, "us").item()
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array(
+                [ts("2024-01-01T00:00:00"), ts("2024-01-02T00:00:00"),
+                 ts("2024-01-01T00:00:00")], pa.timestamp("us"))})
+        events = pa.table({
+            "user_id": pa.array([7, 7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([
+                ts("2024-01-01T00:00:00"),  # == o1 start: counted (>=)
+                ts("2024-01-01T23:59:59"),  # inside o1's day
+                ts("2024-01-02T00:00:00"),  # == o1 window end:
+                                            # excluded there, counts
+                                            # for o2 (its start)
+                ts("2023-12-31T23:59:59"),  # before o1
+                ts("2024-01-01T12:00:00"),  # user 9: nobody's order
+            ], pa.timestamp("us"))})
+        out = range_join_counts(_ds(orders), _ds(events),
+                                window_hours=24).to_pandas()
+        got = {int(r.o_orderkey): int(r.n_events)
+               for r in out.itertuples()}
+        # o1 (u7, Jan1): events at 00:00 and 23:59:59 -> 2 (boundary
+        # event at Jan2 00:00 is exclusive); o2 (u7, Jan2): 1;
+        # o3 (u8): no events for user 8 -> 0 (LEFT semantics)
+        assert got == {1: 2, 2: 1, 3: 0}
