@@ -1647,6 +1647,32 @@ def _q_disjunctive_part_revenue(sf_dir: str):
         _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
 
 
+def _q_doc_pagerank(sf_dir: str):
+    """Distributed PageRank (power iteration: broadcast rank vector,
+    per-block pre-summed contributions, one bounded groupby per round)
+    over the banded doc-similarity graph, symmetrized.  Not
+    SQL-oracled (float accumulation order); numpy-reference parity is
+    pytest-pinned (ops/graph.pagerank)."""
+    import ray
+    from pdf_extract_ray.ops.graph import interval_self_join, pagerank
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "lang", "n_chars"])
+    edges = interval_self_join(docs, ["source", "lang"], "n_chars",
+                               "doc_id", tol=5)
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                pc.cast(b.column("id_a"), pa.int64()).combine_chunks(),
+                pc.cast(b.column("id_b"), pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                pc.cast(b.column("id_b"), pa.int64()).combine_chunks(),
+                pc.cast(b.column("id_a"), pa.int64()).combine_chunks()])})
+
+    return pagerank(edges.map_batches(sym, batch_format="pyarrow"),
+                    damping=0.85, iters=8)
+
+
 def _q_order_event_range_counts(sf_dir: str):
     """Range (band) join: per order, same-user events within 24 h of
     the order date (zero-count orders kept).  One user shuffle +
@@ -1765,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "langs_per_source": _q_langs_per_source,
         "order_event_range_counts": _q_order_event_range_counts,
+        "doc_pagerank": _q_doc_pagerank,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,

@@ -124,7 +124,8 @@ def run_ops(sf_dir: str):
              "top_supplier_revenue", "top_return_customers",
              "min_cost_supplier", "disjunctive_part_revenue",
              "chars_quartiles_by_source", "source_chars_token_corr",
-             "funnel_counts", "langs_per_source", "pack_sequences"]
+             "funnel_counts", "langs_per_source", "pack_sequences",
+             "order_event_range_counts", "doc_pagerank"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

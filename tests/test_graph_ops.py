@@ -426,3 +426,56 @@ class TestCcprepClusterPolicy:
         # policies, so the smaller (cluster) result can differ from the
         # MIS result only on clustered docs — never on the isolated core
         assert set(clu["url"]) & set(mis["url"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRank:
+    @staticmethod
+    def _local_pagerank(edges, n_nodes_map, damping=0.85, iters=10):
+        import numpy as np
+        nodes = sorted(n_nodes_map)
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        outdeg = np.zeros(n)
+        for s, _d in edges:
+            outdeg[idx[s]] += 1
+        rank = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            incoming = np.zeros(n)
+            for s, d in edges:
+                incoming[idx[d]] += rank[idx[s]] / outdeg[idx[s]]
+            dangling = rank[outdeg == 0].sum()
+            rank = (1 - damping) / n + damping * (incoming + dangling / n)
+        return dict(zip(nodes, rank))
+
+    def test_matches_local_reference(self):
+        import ray
+        import numpy as np
+        import pyarrow as pa
+        from pdf_extract_ray.ops.graph import pagerank
+        rng = np.random.default_rng(7)
+        edges = sorted({(int(a), int(b))
+                        for a, b in rng.integers(0, 40, (300, 2))
+                        if a != b})
+        nodes = {v for e in edges for v in e}
+        t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], pa.int64())})
+        got = pagerank(ray.data.from_arrow(t), iters=10).to_pandas()
+        want = self._local_pagerank(edges, nodes, iters=10)
+        assert len(got) == len(nodes)
+        for r in got.itertuples():
+            assert abs(r.rank - want[int(r.node)]) < 1e-9
+        # ranks form a probability distribution
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_dangling_and_isolated_sink(self):
+        import ray
+        import pyarrow as pa
+        from pdf_extract_ray.ops.graph import pagerank
+        # 1 -> 2 -> 3, 3 dangles; star into 3 makes it the max
+        t = pa.table({"src": pa.array([1, 2, 4, 5], pa.int64()),
+                      "dst": pa.array([2, 3, 3, 3], pa.int64())})
+        got = pagerank(ray.data.from_arrow(t), iters=15).to_pandas() \
+            .set_index("node")["rank"]
+        assert got.idxmax() == 3
+        assert abs(got.sum() - 1.0) < 1e-9
