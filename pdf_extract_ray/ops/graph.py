@@ -387,3 +387,138 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", *,
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
         "rank": pa.array(rank, pa.float64())}))
+
+
+def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
+                         damping: float = 0.85, iters: int = 10,
+                         n_parts: int = 32):
+    """PageRank without the broadcast rank vector — the scale path for
+    node sets too large to ship to every task (pagerank()'s documented
+    limit).  Ranks live as a DATASET (node, rank, outdeg) co-partitioned
+    with the edges; per iteration:
+
+    1. src-keyed pass: edges union rank rows; each partition maps its
+       src ranks onto its edges and emits per-dst contribution partials
+       PLUS one row carrying the partition's dangling-rank sum.
+    2. a tiny driver merge of the n_parts dangling partials (scalar);
+    3. dst-keyed pass: contribution partials union (node, outdeg) rows;
+       each partition emits its nodes' new ranks.
+
+    2 bounded partition shuffles per iteration, edge payload 16 B, rank
+    payload 24 B/node — nothing is ever O(graph) on the driver.  Tests
+    pin agreement with pagerank() (same numpy reference)."""
+    import ray
+    import pyarrow.compute as pc
+    from .dedup import _grouped_by_partition
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table({
+            "key": pc.cast(b.column(src), pa.int64()),
+            "dst": pc.cast(b.column(dst), pa.int64()),
+            "val": pa.array(np.full(b.num_rows, -1.0), pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    # initial state: node set + out-degrees (one keyed pass)
+    def deg_rows(b: pa.Table) -> pa.Table:
+        s = b.column("key").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        sdf = pd.DataFrame({"node": s}).groupby("node").size() \
+            .rename("outdeg").reset_index()
+        ddf = pd.DataFrame({"node": d, "outdeg": 0})
+        return pa.Table.from_pandas(pd.concat([sdf, ddf]),
+                                    preserve_index=False)
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["outdeg"].sum()
+        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
+                             "outdeg": g.to_numpy(np.int64)})
+
+    state = _grouped_by_partition(
+        edges.map_batches(deg_rows, batch_format="pyarrow"),
+        ["node"], deg_merge, n_parts=n_parts).materialize()
+    n = state.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
+    r0 = 1.0 / n
+    state = state.map_batches(
+        lambda b: b.append_column("rank", pa.array(
+            np.full(b.num_rows, r0), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(int(iters)):
+        # pass 1 (key = src node): rank rows ride with val >= 0
+        rank_rows = state.map_batches(
+            lambda b: pa.table({
+                "key": b.column("node"),
+                "dst": pc.cast(pc.subtract(pa.scalar(0, pa.int64()),
+                                           b.column("outdeg")),
+                               pa.int64()),
+                "val": b.column("rank")}),
+            batch_format="pyarrow")
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"node": "int64", "w": "float64"}
+            if len(df) == 0:
+                return pd.DataFrame(columns=list(cols)).astype(cols)
+            is_state = df["val"].to_numpy() >= 0.0
+            st = df[is_state]
+            rank = dict(zip(st["key"].to_numpy(np.int64),
+                            st["val"].to_numpy(np.float64)))
+            outdeg = dict(zip(st["key"].to_numpy(np.int64),
+                              (-st["dst"].to_numpy(np.int64))))
+            dangling = float(st[st["dst"] == 0]["val"].sum())
+            e = df[~is_state]
+            sk = e["key"].to_numpy(np.int64)
+            w = (np.array([rank.get(k, 0.0) for k in sk])
+                 / np.array([max(outdeg.get(k, 1), 1) for k in sk]))
+            g = pd.DataFrame({"node": e["dst"].to_numpy(np.int64),
+                              "w": w}).groupby("node", sort=False) \
+                ["w"].sum().reset_index()
+            extra = pd.DataFrame({"node": [-1], "w": [dangling]})
+            return pd.concat([g, extra], ignore_index=True).astype(cols)
+
+        partials = _grouped_by_partition(edges.union(rank_rows), ["key"],
+                                         contrib,
+                                         n_parts=n_parts).materialize()
+        dang = sum(r["w"] for r in
+                   partials.filter(expr="node == -1").take_all())
+        incoming = partials.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("node"),
+                                                pa.scalar(0, pa.int64()))),
+            batch_format="pyarrow")
+
+        # pass 2 (key = node): merge incoming with the carried outdeg
+        carried = state.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "w": pc.cast(pc.subtract(
+                    pa.scalar(-1.0), pc.cast(b.column("outdeg"),
+                                             pa.float64())),
+                    pa.float64())}),
+            batch_format="pyarrow")
+        base = (1.0 - damping) / n + damping * dang / n
+
+        def new_rank(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"node": "int64", "outdeg": "int64",
+                    "rank": "float64"}
+            if len(df) == 0:
+                return pd.DataFrame(columns=list(cols)).astype(cols)
+            w = df["w"].to_numpy(np.float64)
+            is_state = w <= -1.0
+            st = df[is_state]
+            inc = df[~is_state].groupby("node", sort=False)["w"].sum()
+            nodes = st["node"].to_numpy(np.int64)
+            outd = (-st["w"].to_numpy(np.float64) - 1.0).astype(np.int64)
+            iv = inc.reindex(nodes, fill_value=0.0).to_numpy(np.float64)
+            return pd.DataFrame({
+                "node": nodes, "outdeg": outd,
+                "rank": base + damping * iv}).astype(cols)
+
+        state = _grouped_by_partition(incoming.union(carried), ["node"],
+                                      new_rank,
+                                      n_parts=n_parts).materialize()
+
+    return state.map_batches(
+        lambda b: b.select(["node", "rank"]), batch_format="pyarrow")

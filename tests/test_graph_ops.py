@@ -479,3 +479,24 @@ class TestPageRank:
             .set_index("node")["rank"]
         assert got.idxmax() == 3
         assert abs(got.sum() - 1.0) < 1e-9
+
+    def test_partitioned_variant_agrees(self):
+        import ray
+        import numpy as np
+        import pyarrow as pa
+        from pdf_extract_ray.ops.graph import pagerank, pagerank_partitioned
+        rng = np.random.default_rng(11)
+        edges = sorted({(int(a), int(b))
+                        for a, b in rng.integers(0, 60, (400, 2))
+                        if a != b})
+        t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], pa.int64())})
+        bc = pagerank(ray.data.from_arrow(t), iters=6).to_pandas() \
+            .set_index("node")["rank"].sort_index()
+        pt = pagerank_partitioned(ray.data.from_arrow(t), iters=6,
+                                  n_parts=8).to_pandas() \
+            .set_index("node")["rank"].sort_index()
+        assert list(bc.index) == list(pt.index)
+        # same math, different float accumulation order
+        assert np.allclose(bc.to_numpy(), pt.to_numpy(), atol=1e-12)
+        assert abs(pt.sum() - 1.0) < 1e-9
