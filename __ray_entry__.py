@@ -1647,6 +1647,33 @@ def _q_disjunctive_part_revenue(sf_dir: str):
         _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
 
 
+def _q_orders_by_month(sf_dir: str):
+    """Calendar bucketing (SQL date_trunc parity): per-month order
+    count + exact cent revenue.  Truncation is vectorized
+    datetime64[M] casting map-side; ONE bounded groupby (|months|
+    keys) merges."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype("datetime64[us]")
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"month": pa.array(d, pa.timestamp("us")),
+                         "cents": cents})
+
+    out = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("month").aggregate(Count(), Sum("cents"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "month": pc.cast(b.column("month"), pa.timestamp("us")),
+            "n_orders": pc.cast(b.column("count()"), pa.int64()),
+            "revenue_cents": pc.cast(b.column("sum(cents)"),
+                                     pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_doc_pagerank(sf_dir: str):
     """Distributed PageRank (power iteration: broadcast rank vector,
     per-block pre-summed contributions, one bounded groupby per round)
@@ -1792,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langs_per_source": _q_langs_per_source,
         "order_event_range_counts": _q_order_event_range_counts,
         "doc_pagerank": _q_doc_pagerank,
+        "orders_by_month": _q_orders_by_month,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
@@ -2462,6 +2490,13 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity <= 20)
                OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
                    AND l.l_quantity <= 30)
+        """,
+        "orders_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY month
         """,
         "order_event_range_counts": """
             SELECT o.o_orderkey,
