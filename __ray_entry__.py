@@ -1647,6 +1647,22 @@ def _q_disjunctive_part_revenue(sf_dir: str):
         _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]))
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation — a 4-hop join fused into three keyed partition passes
+    (ops/relational.local_supplier_volume)."""
+    from pdf_extract_ray.ops.relational import local_supplier_volume
+    return local_supplier_volume(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
+
+
 def _q_orders_by_month(sf_dir: str):
     """Calendar bucketing (SQL date_trunc parity): per-month order
     count + exact cent revenue.  Truncation is vectorized
@@ -1820,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_event_range_counts": _q_order_event_range_counts,
         "doc_pagerank": _q_doc_pagerank,
         "orders_by_month": _q_orders_by_month,
+        "local_supplier_volume": _q_local_supplier_volume,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
@@ -2490,6 +2507,23 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity <= 20)
                OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
                    AND l.l_quantity <= 30)
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE s.s_nationkey = c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         "orders_by_month": """
             SELECT date_trunc('month', o_orderdate) AS month,

@@ -1498,3 +1498,148 @@ def range_join_counts(orders_ds, events_ds, *, window_hours: int = 24,
 
     return _grouped_by_partition(both, ["user"], resolve,
                                  n_parts=num_partitions)
+
+
+def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
+                          supplier_ds, nation_ds, *,
+                          start: str = "1996-01-01",
+                          end: str = "1997-01-01",
+                          num_partitions=None):
+    """TPC-H Q5 shape: revenue from lineitems whose CUSTOMER and
+    SUPPLIER share a nation, grouped by that nation ->
+    (n_name, revenue_c4).
+
+    A 4-hop join fused into THREE keyed partition passes (no join
+    actors), each moving the fact rows once with only the columns the
+    next hop needs:
+      1. orderkey pass — in-window orders (orderkey -> custkey) union
+         map-side (orderkey, suppkey, c4) lineitem rows; emits fact
+         rows with custkey attached.
+      2. custkey pass — customer (custkey -> nationkey) union the
+         pass-1 rows; emits rows with the customer nation attached.
+      3. suppkey pass — supplier (suppkey -> nationkey) union pass-2
+         rows; keeps rows where the supplier nation EQUALS the
+         customer nation and emits per-nation int-c4 partials.
+    A |nations|-row groupby merges and the 25-row nation name table
+    resolves on the driver (the revenue_by_nation discipline)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    lo = pa.scalar(np.datetime64(start, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(end, "us").item(), pa.timestamp("us"))
+
+    # ---- pass 1: attach custkey to lineitem rows by orderkey
+    def li_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "c4": _c4_revenue(b),
+            "supp": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "attach": pa.array(np.full(n, -1, np.int64))})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        b = b.filter(m)
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "supp": pa.array(np.full(n, -1, np.int64)),
+            "attach": pc.cast(b.column("o_custkey"), pa.int64())})
+
+    def attach_pass(df: pd.DataFrame) -> pd.DataFrame:
+        """Generic hop: dim rows carry attach >= 0; fact rows rekey to
+        the attached id and carry (c4, supp) forward."""
+        cols = {"key": "int64", "c4": "int64", "supp": "int64",
+                "attach": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["attach"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        amap = dict(zip(dim["key"].to_numpy(np.int64),
+                        dim["attach"].to_numpy(np.int64)))
+        fact = df[~is_dim]
+        a = fact["key"].map(amap)
+        keep = a.notna().to_numpy()
+        return pd.DataFrame({
+            "key": a.to_numpy()[keep].astype(np.int64),
+            "c4": fact["c4"].to_numpy(np.int64)[keep],
+            "supp": fact["supp"].to_numpy(np.int64)[keep],
+            "attach": np.full(int(keep.sum()), -1, np.int64),
+        }).astype(cols)
+
+    hop1 = _grouped_by_partition(
+        lineitem_ds.map_batches(li_rows, batch_format="pyarrow").union(
+            orders_ds.map_batches(o_rows, batch_format="pyarrow")),
+        ["key"], attach_pass, n_parts=num_partitions)
+    # hop1 rows: key=custkey, supp, c4
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "supp": pa.array(np.full(n, -1, np.int64)),
+            "attach": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+    hop2 = _grouped_by_partition(
+        hop1.union(customer_ds.map_batches(c_rows,
+                                           batch_format="pyarrow")),
+        ["key"], attach_pass, n_parts=num_partitions)
+    # hop2 rows: key=customer nationkey, supp, c4 -> rekey by supp for
+    # the final hop (swap key & supp so the generic pass partitions on
+    # the supplier)
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("supp"),
+                         "c4": b.column("c4"),
+                         "supp": b.column("key"),
+                         "attach": b.column("attach")})
+
+    hop2s = hop2.map_batches(swap, batch_format="pyarrow")
+
+    def s_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "supp": pa.array(np.full(n, -1, np.int64)),
+            "attach": pc.cast(b.column("s_nationkey"), pa.int64())})
+
+    def final_pass(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nationkey": "int64", "revenue_c4": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["attach"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        smap = dict(zip(dim["key"].to_numpy(np.int64),
+                        dim["attach"].to_numpy(np.int64)))
+        fact = df[~is_dim]
+        snat = fact["key"].map(smap)
+        cnat = fact["supp"].to_numpy(np.int64)
+        keep = snat.notna().to_numpy() \
+            & (snat.fillna(-1).to_numpy(np.int64) == cnat)
+        g = pd.DataFrame({"nationkey": cnat[keep],
+                          "revenue_c4": fact["c4"].to_numpy(
+                              np.int64)[keep]}) \
+            .groupby("nationkey", sort=False, as_index=False).sum()
+        return g.astype(cols)
+
+    partials = _grouped_by_partition(
+        hop2s.union(supplier_ds.map_batches(s_rows,
+                                            batch_format="pyarrow")),
+        ["key"], final_pass, n_parts=num_partitions)
+    agg = partials.groupby("nationkey").aggregate(Sum("revenue_c4"))
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in nation_ds.take_all()}
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names.get(int(k), "") for k in keys],
+                               pa.string()),
+            "revenue_c4": pc.cast(b.column("sum(revenue_c4)"),
+                                  pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
