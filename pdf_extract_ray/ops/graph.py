@@ -464,15 +464,18 @@ def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
                 return pd.DataFrame(columns=list(cols)).astype(cols)
             is_state = df["val"].to_numpy() >= 0.0
             st = df[is_state]
-            rank = dict(zip(st["key"].to_numpy(np.int64),
-                            st["val"].to_numpy(np.float64)))
-            outdeg = dict(zip(st["key"].to_numpy(np.int64),
-                              (-st["dst"].to_numpy(np.int64))))
-            dangling = float(st[st["dst"] == 0]["val"].sum())
+            skeys = st["key"].to_numpy(np.int64)
+            svals = st["val"].to_numpy(np.float64)
+            sdeg = -st["dst"].to_numpy(np.int64)
+            o = np.argsort(skeys)
+            skeys, svals, sdeg = skeys[o], svals[o], sdeg[o]
+            dangling = float(svals[sdeg == 0].sum())
             e = df[~is_state]
             sk = e["key"].to_numpy(np.int64)
-            w = (np.array([rank.get(k, 0.0) for k in sk])
-                 / np.array([max(outdeg.get(k, 1), 1) for k in sk]))
+            # vectorized rank/outdeg lookup (every edge's src has its
+            # state row in this partition by construction)
+            si = np.searchsorted(skeys, sk)
+            w = svals[si] / np.maximum(sdeg[si], 1)
             g = pd.DataFrame({"node": e["dst"].to_numpy(np.int64),
                               "w": w}).groupby("node", sort=False) \
                 ["w"].sum().reset_index()
