@@ -1663,6 +1663,23 @@ def _q_local_supplier_volume(sf_dir: str):
         _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
 
 
+def _q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape: cross-nation trade volume per (customer nation,
+    supplier nation) ordered pair — same fused three-pass chain as Q5
+    with the != relation (ops/relational.local_supplier_volume)."""
+    from pdf_extract_ray.ops.relational import local_supplier_volume
+    return local_supplier_volume(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        relation="cross")
+
+
 def _q_orders_by_month(sf_dir: str):
     """Calendar bucketing (SQL date_trunc parity): per-month order
     count + exact cent revenue.  Truncation is vectorized
@@ -1837,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank": _q_doc_pagerank,
         "orders_by_month": _q_orders_by_month,
         "local_supplier_volume": _q_local_supplier_volume,
+        "nation_pair_volume": _q_nation_pair_volume,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
@@ -2524,6 +2542,24 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
+        """,
+        "nation_pair_volume": """
+            SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY nc.n_name, ns.n_name
         """,
         "orders_by_month": """
             SELECT date_trunc('month', o_orderdate) AS month,

@@ -1504,10 +1504,13 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
                           supplier_ds, nation_ds, *,
                           start: str = "1996-01-01",
                           end: str = "1997-01-01",
+                          relation: str = "same",
                           num_partitions=None):
-    """TPC-H Q5 shape: revenue from lineitems whose CUSTOMER and
-    SUPPLIER share a nation, grouped by that nation ->
-    (n_name, revenue_c4).
+    """TPC-H Q5 shape (relation="same"): revenue from lineitems whose
+    CUSTOMER and SUPPLIER share a nation, grouped by that nation ->
+    (n_name, revenue_c4).  TPC-H Q7 shape (relation="cross"): revenue
+    where the nations DIFFER, grouped by the ordered pair ->
+    (cust_nation, supp_nation, revenue_c4).
 
     A 4-hop join fused into THREE keyed partition passes (no join
     actors), each moving the fact rows once with only the columns the
@@ -1518,10 +1521,10 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
       2. custkey pass — customer (custkey -> nationkey) union the
          pass-1 rows; emits rows with the customer nation attached.
       3. suppkey pass — supplier (suppkey -> nationkey) union pass-2
-         rows; keeps rows where the supplier nation EQUALS the
-         customer nation and emits per-nation int-c4 partials.
-    A |nations|-row groupby merges and the 25-row nation name table
-    resolves on the driver (the revenue_by_nation discipline)."""
+         rows; applies the nation relation (== for Q5, != for Q7) and
+         emits per-key int-c4 partials.
+    A |nations|(^2)-row groupby merges and the 25-row nation name
+    table resolves on the driver (the revenue_by_nation discipline)."""
     import ray
     from ray.data.aggregate import Sum
     from .dedup import _grouped_by_partition
@@ -1607,8 +1610,10 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
             "supp": pa.array(np.full(n, -1, np.int64)),
             "attach": pc.cast(b.column("s_nationkey"), pa.int64())})
 
+    cross = relation == "cross"
+
     def final_pass(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"nationkey": "int64", "revenue_c4": "int64"}
+        cols = {"cnat": "int64", "snat": "int64", "revenue_c4": "int64"}
         if len(df) == 0:
             return pd.DataFrame(columns=list(cols)).astype(cols)
         is_dim = df["attach"].to_numpy(np.int64) >= 0
@@ -1618,28 +1623,34 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
         fact = df[~is_dim]
         snat = fact["key"].map(smap)
         cnat = fact["supp"].to_numpy(np.int64)
+        sv = snat.fillna(-1).to_numpy(np.int64)
         keep = snat.notna().to_numpy() \
-            & (snat.fillna(-1).to_numpy(np.int64) == cnat)
-        g = pd.DataFrame({"nationkey": cnat[keep],
+            & ((sv != cnat) if cross else (sv == cnat))
+        g = pd.DataFrame({"cnat": cnat[keep], "snat": sv[keep],
                           "revenue_c4": fact["c4"].to_numpy(
                               np.int64)[keep]}) \
-            .groupby("nationkey", sort=False, as_index=False).sum()
+            .groupby(["cnat", "snat"], sort=False, as_index=False).sum()
         return g.astype(cols)
 
     partials = _grouped_by_partition(
         hop2s.union(supplier_ds.map_batches(s_rows,
                                             batch_format="pyarrow")),
         ["key"], final_pass, n_parts=num_partitions)
-    agg = partials.groupby("nationkey").aggregate(Sum("revenue_c4"))
+    agg = partials.groupby(["cnat", "snat"]).aggregate(Sum("revenue_c4"))
     names = {int(r["n_nationkey"]): r["n_name"]
              for r in nation_ds.take_all()}
 
     def finish(b: pa.Table) -> pa.Table:
-        keys = b.column("nationkey").to_pylist()
+        ck = b.column("cnat").to_pylist()
+        rev = pc.cast(b.column("sum(revenue_c4)"), pa.int64())
+        cn = pa.array([names.get(int(k), "") for k in ck], pa.string())
+        if not cross:
+            return pa.table({"n_name": cn, "revenue_c4": rev})
+        sk = b.column("snat").to_pylist()
         return pa.table({
-            "n_name": pa.array([names.get(int(k), "") for k in keys],
-                               pa.string()),
-            "revenue_c4": pc.cast(b.column("sum(revenue_c4)"),
-                                  pa.int64())})
+            "cust_nation": cn,
+            "supp_nation": pa.array([names.get(int(k), "") for k in sk],
+                                    pa.string()),
+            "revenue_c4": rev})
 
     return agg.map_batches(finish, batch_format="pyarrow")

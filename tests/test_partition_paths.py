@@ -29,7 +29,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "rich_quiet_customers", "window3_sums",
            "top_return_customers", "min_cost_supplier",
            "disjunctive_part_revenue", "funnel_counts",
-           "local_supplier_volume", "order_event_range_counts"]
+           "local_supplier_volume", "order_event_range_counts",
+           "nation_pair_volume"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
