@@ -914,6 +914,36 @@ def _q_image_features(sf_dir: str):
     return image_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _q_image_resize(sf_dir: str):
+    """Multimodal resize stage: decode (real for the PNG subset),
+    nearest-neighbor resample to 16x16, raw uint8 pixels out
+    (ops/multimodal.resize_images; declared-fake pseudo-image for
+    non-stdlib formats keeps the stage total)."""
+    from pdf_extract_ray.ops.codecs import encode_png
+    from pdf_extract_ray.ops.multimodal import resize_images
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 5 == 0:
+                side = 4 + d % 8
+                img = (np.arange(side * side * 3, dtype=np.int64)
+                       * (d + 7)) % 256
+                payloads.append(encode_png(
+                    img.astype(np.uint8).reshape(side, side, 3)))
+            else:
+                payloads.append(t.encode("utf-8"))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
+            names=["item_id", "payload"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return resize_images(ds.map_batches(to_payload,
+                                        batch_format="pyarrow"),
+                         width=16, height=16)
+
+
 def _q_audio_features(sf_dir: str):
     """Audio stage over REAL deterministic WAV payloads (stdlib decode):
     per-doc sine tones, true duration/rate + RMS envelope features."""
@@ -1905,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_dedup": _q_neardup_dedup_survivors,
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
+        "image_resize": _q_image_resize,
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
     }

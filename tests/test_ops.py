@@ -271,3 +271,35 @@ def test_star_bucket_keeps_cluster_connected(ray_session):
         minhash_lsh_candidates(ds, star_bucket=4), ds,
         threshold=0.95).to_pandas()
     assert set(verified["doc_id_b"]) == set(range(1, 12))
+
+
+def test_resize_images_real_and_fallback(ray_session):
+    import ray
+    import numpy as np
+    from pdf_extract_ray.ops.codecs import encode_png
+    from pdf_extract_ray.ops.multimodal import resize_images, _resize_nearest
+
+    # real path: a 4x4 PNG with known pixels resized to 2x2 must equal
+    # the numpy nearest-neighbor reference exactly
+    img = (np.arange(4 * 4 * 3, dtype=np.uint8)).reshape(4, 4, 3)
+    want = _resize_nearest(img, 2, 2)
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()),
+         pa.array([encode_png(img), b"not-an-image"], pa.binary())],
+        names=["item_id", "payload"])
+    out = resize_images(ray.data.from_arrow(t), width=2, height=2) \
+        .to_pandas().set_index("item_id")
+    r1 = out.loc[1]
+    assert r1.status == "ok" and (r1.width, r1.height) == (2, 2)
+    got = np.frombuffer(r1.pixels, np.uint8).reshape(2, 2, 3)
+    assert (got == want).all()
+    # fallback path: deterministic fake, fixed dims, declared status
+    r2 = out.loc[2]
+    assert r2.status == "fake" and len(r2.pixels) == 2 * 2 * 3
+    # empty payload -> error row, stage stays total
+    t2 = pa.Table.from_arrays(
+        [pa.array([3], pa.int64()), pa.array([b""], pa.binary())],
+        names=["item_id", "payload"])
+    out2 = resize_images(ray.data.from_arrow(t2), width=2,
+                         height=2).to_pandas()
+    assert out2.iloc[0].status.startswith("error")
