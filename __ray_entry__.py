@@ -1693,6 +1693,16 @@ def _q_local_supplier_volume(sf_dir: str):
         _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
 
 
+def _q_chars_mad_by_source(sf_dir: str):
+    """Robust spread statistic: median absolute deviation per source,
+    x4 integer-exact via two bounded value-histogram passes
+    (ops/analytics.grouped_mad)."""
+    from pdf_extract_ray.ops.analytics import grouped_mad
+    return grouped_mad(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
 def _q_nation_pair_volume(sf_dir: str):
     """TPC-H Q7 shape: cross-nation trade volume per (customer nation,
     supplier nation) ordered pair — same fused three-pass chain as Q5
@@ -1885,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         "local_supplier_volume": _q_local_supplier_volume,
         "nation_pair_volume": _q_nation_pair_volume,
+        "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
         "source_chars_token_corr": _q_source_chars_token_corr,
@@ -2573,6 +2584,17 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
+        """,
+        "chars_mad_by_source": """
+            WITH m AS (SELECT source,
+                              CAST(round(median(n_chars) * 2, 0)
+                                   AS BIGINT) AS m2
+                       FROM documents GROUP BY source)
+            SELECT d.source,
+                   CAST(round(median(abs(2 * d.n_chars - m.m2)) * 2, 0)
+                        AS BIGINT) AS mad_x4
+            FROM documents d JOIN m USING (source)
+            GROUP BY d.source
         """,
         "nation_pair_volume": """
             SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,

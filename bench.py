@@ -127,7 +127,7 @@ def run_ops(sf_dir: str):
              "funnel_counts", "langs_per_source", "pack_sequences",
              "order_event_range_counts", "doc_pagerank",
              "orders_by_month", "local_supplier_volume",
-             "nation_pair_volume", "image_resize"]
+             "nation_pair_volume", "image_resize", "chars_mad_by_source"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

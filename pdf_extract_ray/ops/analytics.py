@@ -325,3 +325,61 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str):
                          "corr_xy": pa.array(corrs, pa.float64())})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_mad(ds, group_col: str, value_col: str):
+    """Median absolute deviation per group, scaled x4 so the result is
+    INTEGER-exact -> (group, mad_x4).
+
+    Two bounded (group, value)-histogram aggregates (the grouped_median
+    shape — shuffles carry value counts, never rows): pass 1 yields
+    each group's median in x2 units (sum of the two middle values —
+    integer even for even counts); the deviations |2x - m2| are
+    integers, so pass 2's median of deviations in x2 units gives MAD
+    in x4 units with no float anywhere."""
+    hist = ds.groupby([group_col, value_col]).count().materialize()
+
+    def med2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        cnts = df["count()"].to_numpy(dtype=np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        lo = int(vals[np.searchsorted(cum, (total - 1) // 2,
+                                      side="right")])
+        hi = int(vals[np.searchsorted(cum, total // 2, side="right")])
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "m2": np.array([lo + hi], np.int64)})
+
+    m2 = {r[group_col]: int(r["m2"])
+          for r in hist.groupby(group_col)
+          .map_groups(med2, batch_format="pandas").take_all()}
+
+    def dev_counts(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df[group_col].isin(m2)]
+        mm = df[group_col].map(m2).to_numpy(np.int64)
+        dev = np.abs(2 * df[value_col].to_numpy(np.int64) - mm)
+        return pa.table({group_col: pa.array(df[group_col].to_numpy()),
+                         "dev": pa.array(dev),
+                         "count()": pa.array(df["count()"].to_numpy(
+                             np.int64))})
+
+    from ray.data.aggregate import Sum
+    dev_hist = hist.map_batches(dev_counts, batch_format="pyarrow") \
+        .groupby([group_col, "dev"]).aggregate(Sum("count()"))
+
+    def mad4(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("dev")
+        vals = df["dev"].to_numpy(dtype=np.int64)
+        cnts = df["sum(count())"].to_numpy(dtype=np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        lo = int(vals[np.searchsorted(cum, (total - 1) // 2,
+                                      side="right")])
+        hi = int(vals[np.searchsorted(cum, total // 2, side="right")])
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "mad_x4": np.array([lo + hi], np.int64)})
+
+    return dev_hist.groupby(group_col).map_groups(mad4,
+                                                  batch_format="pandas")

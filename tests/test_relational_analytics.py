@@ -909,3 +909,19 @@ class TestRangeJoin:
         # event at Jan2 00:00 is exclusive); o2 (u7, Jan2): 1;
         # o3 (u8): no events for user 8 -> 0 (LEFT semantics)
         assert got == {1: 2, 2: 1, 3: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedMad:
+    def test_exact_x4_units(self):
+        from pdf_extract_ray.ops.analytics import grouped_mad
+        t = pa.table({
+            "source": pa.array(["a"] * 5 + ["b"] * 4, pa.string()),
+            "n_chars": pa.array([1, 2, 3, 4, 100, 10, 20, 30, 40],
+                                pa.int64())})
+        out = grouped_mad(_ds(t), "source", "n_chars").to_pandas() \
+            .set_index("source")["mad_x4"]
+        # a: median 3 -> devs |x-3| = [2,1,0,1,97] -> MAD 1 -> x4 = 4
+        assert int(out.loc["a"]) == 4
+        # b: median 25 -> devs [15,5,5,15] -> MAD 10 -> x4 = 40
+        assert int(out.loc["b"]) == 40
