@@ -836,6 +836,35 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ivf_topk(ds, qids, qvecs, dim=64, k=10, n_clusters=16, n_probe=8)
 
 
+def _q_ann_recall_report(sf_dir: str):
+    """Self-evaluating ANN quality report: recall@10 of the IVF and
+    LSH paths against the exact brute-force neighbors, one row per
+    method.  Ground truth and approximations are the same distributed
+    ops the standalone queries run; the comparison joins three tiny
+    (n_queries x k) results on the driver."""
+    import pandas as pd
+    from pdf_extract_ray.ops.similarity import (brute_force_topk,
+                                                ivf_topk, lsh_topk)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qids, qvecs = _ann_queries(ds)
+    k = 10
+    exact = brute_force_topk(ds, qids, qvecs, k=k).to_pandas()
+    truth = exact.groupby("query_id")["neighbor_id"].apply(set)
+    rows = []
+    for method, res in (
+            ("ivf", ivf_topk(ds, qids, qvecs, dim=64, k=k,
+                             n_clusters=16, n_probe=8)),
+            ("lsh", lsh_topk(ds, qids, qvecs, dim=64, k=k, n_bits=8,
+                             probe_hamming=1))):
+        got = res.to_pandas().groupby("query_id")["neighbor_id"] \
+            .apply(set)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth.index)
+        rows.append({"method": method,
+                     "n_queries": np.int64(len(truth)),
+                     "recall_at_10": hits / (k * len(truth))})
+    return pd.DataFrame(rows)
+
+
 def _q_embedding_neardup(sf_dir: str):
     from pdf_extract_ray.ops.similarity import cosine_neardup_pairs
     import ray
@@ -1947,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
+        "ann_recall_report": _q_ann_recall_report,
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
     }
