@@ -522,13 +522,19 @@ def funnel_counts(ds, steps=("view", "click", "purchase"), *,
         etype = df["event_type"].to_numpy()
         t_prev = None  # per-user Series of the previous step's anchor
         counts = []
+        user_s = pd.Series(user)
         for i, step in enumerate(step_list):
             m = etype == step
             if i > 0:
-                prev = pd.Series(user).map(t_prev)
-                pv = prev.to_numpy(np.float64)
-                m = m & np.isfinite(pv) & (ts > pv) \
-                    & (ts <= pv + window_us)
+                # EXACT int64 anchor lookup: users without a prior-step
+                # anchor are masked out first, so no NaN/float64 anchor
+                # ever enters the boundary comparisons
+                has_prev = user_s.isin(t_prev.index).to_numpy()
+                m = m & has_prev
+                pv = np.zeros(len(user), np.int64)
+                if m.any():
+                    pv[m] = t_prev.reindex(user[m]).to_numpy(np.int64)
+                m = m & (ts > pv) & (ts <= pv + window_us)
             sel = pd.DataFrame({"u": user[m], "t": ts[m]})
             t_prev = sel.groupby("u")["t"].min()
             counts.append(len(t_prev))

@@ -301,6 +301,33 @@ def interval_self_join_salted(ds, group_cols: list[str], value_col: str,
         .map_groups(pairs, batch_format="pandas")
 
 
+def _node_outdegrees(edges_ds, src: str, dst: str):
+    """Shared degree pass for both PageRank variants -> Dataset (node,
+    outdeg) covering every node incident to an edge.  Map-side: src
+    contributes per-batch partial counts, dst contributes its PER-BATCH
+    DISTINCT ids only (np.unique) — the shuffle payload is O(nodes x
+    blocks), never one row per edge."""
+    from .dedup import _grouped_by_partition
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        sdf = pd.DataFrame({"node": s}).groupby("node").size() \
+            .rename("outdeg").reset_index()
+        ddf = pd.DataFrame({"node": np.unique(d), "outdeg": 0})
+        return pa.Table.from_pandas(pd.concat([sdf, ddf]),
+                                    preserve_index=False)
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["outdeg"].sum()
+        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
+                             "outdeg": g.to_numpy(np.int64)})
+
+    return _grouped_by_partition(
+        edges_ds.map_batches(deg_rows, batch_format="pyarrow"),
+        ["node"], deg_merge)
+
+
 def pagerank(edges_ds, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, iters: int = 10,
              num_partitions=None):
@@ -325,24 +352,7 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", *,
     from ray.data.aggregate import Sum
     from .dedup import _grouped_by_partition
 
-    # ONE pass collects the node set and out-degrees (both O(nodes))
-    def deg_rows(b: pa.Table) -> pa.Table:
-        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        sdf = pd.DataFrame({"node": s}).groupby("node").size() \
-            .rename("outdeg").reset_index()
-        ddf = pd.DataFrame({"node": d, "outdeg": 0})
-        return pa.Table.from_pandas(pd.concat([sdf, ddf]),
-                                    preserve_index=False)
-
-    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)["outdeg"].sum()
-        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
-                             "outdeg": g.to_numpy(np.int64)})
-
-    degs = _grouped_by_partition(
-        edges_ds.map_batches(deg_rows, batch_format="pyarrow"),
-        ["node"], deg_merge).to_pandas()
+    degs = _node_outdegrees(edges_ds, src, dst).to_pandas()
     nodes = degs["node"].to_numpy(np.int64)
     outdeg = degs["outdeg"].to_numpy(np.int64)
     n = len(nodes)
@@ -418,24 +428,8 @@ def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
             "val": pa.array(np.full(b.num_rows, -1.0), pa.float64())}),
         batch_format="pyarrow").materialize()
 
-    # initial state: node set + out-degrees (one keyed pass)
-    def deg_rows(b: pa.Table) -> pa.Table:
-        s = b.column("key").to_numpy(zero_copy_only=False)
-        d = b.column("dst").to_numpy(zero_copy_only=False)
-        sdf = pd.DataFrame({"node": s}).groupby("node").size() \
-            .rename("outdeg").reset_index()
-        ddf = pd.DataFrame({"node": d, "outdeg": 0})
-        return pa.Table.from_pandas(pd.concat([sdf, ddf]),
-                                    preserve_index=False)
-
-    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)["outdeg"].sum()
-        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
-                             "outdeg": g.to_numpy(np.int64)})
-
-    state = _grouped_by_partition(
-        edges.map_batches(deg_rows, batch_format="pyarrow"),
-        ["node"], deg_merge, n_parts=n_parts).materialize()
+    # initial state: node set + out-degrees (the shared degree pass)
+    state = _node_outdegrees(edges_ds, src, dst).materialize()
     n = state.count()
     if n == 0:
         return ray.data.from_arrow(pa.table({
@@ -459,7 +453,7 @@ def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
             batch_format="pyarrow")
 
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
-            cols = {"node": "int64", "w": "float64"}
+            cols = {"node": "int64", "w": "float64", "dang": "bool"}
             if len(df) == 0:
                 return pd.DataFrame(columns=list(cols)).astype(cols)
             is_state = df["val"].to_numpy() >= 0.0
@@ -479,17 +473,23 @@ def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
             g = pd.DataFrame({"node": e["dst"].to_numpy(np.int64),
                               "w": w}).groupby("node", sort=False) \
                 ["w"].sum().reset_index()
-            extra = pd.DataFrame({"node": [-1], "w": [dangling]})
+            g["dang"] = False
+            # dangling mass rides an explicitly FLAGGED row (a node-id
+            # sentinel would collide with real ids, e.g. negative ones)
+            extra = pd.DataFrame({"node": [0], "w": [dangling],
+                                  "dang": [True]})
             return pd.concat([g, extra], ignore_index=True).astype(cols)
 
         partials = _grouped_by_partition(edges.union(rank_rows), ["key"],
                                          contrib,
                                          n_parts=n_parts).materialize()
-        dang = sum(r["w"] for r in
-                   partials.filter(expr="node == -1").take_all())
+        dang = sum(r["w"] for r in partials.map_batches(
+            lambda b: b.filter(b.column("dang")).select(["w"]),
+            batch_format="pyarrow").take_all())
         incoming = partials.map_batches(
-            lambda b: b.filter(pc.greater_equal(b.column("node"),
-                                                pa.scalar(0, pa.int64()))),
+            lambda b: b.filter(pc.equal(b.column("dang"),
+                                        pa.scalar(False)))
+            .select(["node", "w"]),
             batch_format="pyarrow")
 
         # pass 2 (key = node): merge incoming with the carried outdeg

@@ -1244,7 +1244,6 @@ def top_return_customers(customer_ds, orders_ds, lineitem_ds, *,
     # separate top-k map); the driver merges k x partitions rows
     cand = _grouped_by_partition(per_cust, ["custkey"], sum_topk,
                                  n_parts=num_partitions).take_all()
-    import ray
     if not cand:
         return ray.data.from_arrow(pa.table({
             "c_custkey": pa.array([], pa.int64()),
@@ -1259,7 +1258,6 @@ def top_return_customers(customer_ds, orders_ds, lineitem_ds, *,
                                     pa.array(sorted(wk), pa.int64()))),
         batch_format="pyarrow")
     nmap = {int(r["c_custkey"]): r["c_name"] for r in names.take_all()}
-    import ray
     return ray.data.from_arrow(pa.table({
         "c_custkey": pa.array(wk, pa.int64()),
         "c_name": pa.array([nmap.get(int(c), "") for c in wk],
@@ -1380,16 +1378,17 @@ def disjunctive_part_revenue(lineitem_ds, part_ds, *, num_partitions=None):
             return pd.DataFrame(columns=list(cols)).astype(cols)
         is_dim = df["size"].to_numpy(np.int64) >= 0
         dim = df[is_dim]
-        bmap = dict(zip(dim["key"].to_numpy(np.int64),
-                        zip(dim["brand"].tolist(),
-                            dim["size"].to_numpy(np.int64))))
+        dkeys = dim["key"].to_numpy(np.int64)
+        bmap = pd.Series(dim["brand"].to_numpy(), index=dkeys)
+        smap = pd.Series(dim["size"].to_numpy(np.int64), index=dkeys)
         fact = df[~is_dim]
-        key = fact["key"].to_numpy(np.int64)
+        keys = fact["key"]
         qty = fact["qty"].to_numpy(np.float64)
         c4 = fact["c4"].to_numpy(np.int64)
-        bs = [bmap.get(k) for k in key]
-        brand = np.array([x[0] if x else "" for x in bs])
-        size = np.array([x[1] if x else -1 for x in bs], np.int64)
+        # vectorized dim-attribute lookup (Series.map = one hash join
+        # in C; rows without a part row get ""/-1 and fail both arms)
+        brand = keys.map(bmap).fillna("").to_numpy()
+        size = keys.map(smap).fillna(-1).to_numpy(np.int64)
         m = (((brand == "Brand#1") & (size <= 10) & (qty <= 20))
              | ((brand == "Brand#2") & (size <= 25) & (qty <= 30)))
         return pd.DataFrame({"revenue_c4": [int(c4[m].sum())],

@@ -500,3 +500,22 @@ class TestPageRank:
         # same math, different float accumulation order
         assert np.allclose(bc.to_numpy(), pt.to_numpy(), atol=1e-12)
         assert abs(pt.sum() - 1.0) < 1e-9
+
+    def test_partitioned_handles_negative_node_ids(self):
+        """Regression: the dangling-mass row used to ride node id -1,
+        colliding with real negative ids and dropping their incoming
+        mass; it now rides an explicit flag column."""
+        import ray
+        import numpy as np
+        import pyarrow as pa
+        from pdf_extract_ray.ops.graph import pagerank, pagerank_partitioned
+        t = pa.table({"src": pa.array([-1, 2, 3, -5], pa.int64()),
+                      "dst": pa.array([2, -1, -1, 3], pa.int64())})
+        bc = pagerank(ray.data.from_arrow(t), iters=8).to_pandas() \
+            .set_index("node")["rank"].sort_index()
+        pt = pagerank_partitioned(ray.data.from_arrow(t), iters=8,
+                                  n_parts=4).to_pandas() \
+            .set_index("node")["rank"].sort_index()
+        assert list(bc.index) == list(pt.index) == [-5, -1, 2, 3]
+        assert np.allclose(bc.to_numpy(), pt.to_numpy(), atol=1e-12)
+        assert abs(pt.sum() - 1.0) < 1e-9
