@@ -1863,6 +1863,84 @@ def _q_funnel_counts(sf_dir: str):
         steps=("view", "click", "purchase"), window_hours=6)
 
 
+def _q_discount_revenue(sf_dir: str):
+    """TPC-H Q6 shape: map-only filtered global aggregate — every batch
+    folds to one exact-int partial row, no shuffle at all
+    (ops/relational.forecast_revenue)."""
+    from pdf_extract_ray.ops.relational import forecast_revenue
+    return forecast_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_quantity", "l_discount",
+                       "l_extendedprice"]))
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: correlated per-part average gate resolved inside
+    ONE partkey-hash pass, brand partkey set broadcast to prune the
+    fact before the shuffle (ops/relational.small_qty_revenue)."""
+    from pdf_extract_ray.ops.relational import small_qty_revenue
+    return small_qty_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: target nation's revenue share per order year for
+    one part type in one region — part set + supplier map broadcast,
+    fact through two keyed partition passes
+    (ops/relational.market_share)."""
+    from pdf_extract_ray.ops.relational import market_share
+    return market_share(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation",
+              columns=["n_nationkey", "n_name", "n_regionkey"]),
+        _read(sf_dir, "region", columns=["r_regionkey", "r_name"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"]))
+
+
+def _q_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape (adapted: supply cost = 50% of p_retailprice; no
+    partsupp table exists): profit by supplier nation x order year,
+    exact 1e-4-dollar ints (ops/relational.profit_by_nation_year)."""
+    from pdf_extract_ray.ops.relational import profit_by_nation_year
+    return profit_by_nation_year(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_quantity", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        _read(sf_dir, "part",
+              columns=["p_partkey", "p_name", "p_retailprice"]))
+
+
+def _q_chars_ntile_by_source(sf_dir: str):
+    """NTILE(4) window over a deterministic (n_chars, doc_id) total
+    order per source: histogram base ranks broadcast, row shuffle BY
+    (source, n_chars) only (ops/analytics.grouped_ntile)."""
+    from pdf_extract_ray.ops.analytics import grouped_ntile
+    return grouped_ntile(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id", k=4)
+
+
+def _q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: map-side pair
+    dedup, two-level aggregate (ops/analytics.distinct_count)."""
+    from pdf_extract_ray.ops.analytics import distinct_count
+    return distinct_count(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -1924,6 +2002,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         "local_supplier_volume": _q_local_supplier_volume,
         "nation_pair_volume": _q_nation_pair_volume,
+        "discount_revenue": _q_discount_revenue,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "market_share": _q_market_share,
+        "profit_by_nation": _q_profit_by_nation,
+        "chars_ntile_by_source": _q_chars_ntile_by_source,
+        "distinct_users_per_type": _q_distinct_users_per_type,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
@@ -2643,6 +2727,100 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY nc.n_name, ns.n_name
+        """,
+        "discount_revenue": """
+            SELECT CAST(COALESCE(sum(
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100, 0) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_c4,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100, 0) AS BIGINT)
+                  BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "small_qty_revenue": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(l_quantity AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         AS p_c2
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#13'),
+            w AS (
+              SELECT q, p_c2,
+                     sum(q) OVER (PARTITION BY l_partkey) AS sq,
+                     count(*) OVER (PARTITION BY l_partkey) AS n
+              FROM li)
+            SELECT CAST(COALESCE(sum(CASE WHEN 5 * q * n < sq
+                                          THEN p_c2 END), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(CASE WHEN 5 * q * n < sq THEN 1 END)
+                        AS BIGINT) AS n_small
+            FROM w
+        """,
+        "market_share": """
+            WITH tk AS (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_3'),
+            rn AS (SELECT n_nationkey FROM nation
+                   JOIN region ON r_regionkey = n_regionkey
+                   WHERE r_name = 'EUROPE'),
+            f AS (
+              SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                         AS o_year,
+                     CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100, 0)
+                                   AS BIGINT)) AS c4,
+                     s.s_nationkey AS snat
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              WHERE p.p_type = 'ECONOMY'
+                AND c.c_nationkey IN (SELECT n_nationkey FROM rn)
+                AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   CAST(COALESCE(sum(CASE WHEN snat IN
+                       (SELECT n_nationkey FROM tk) THEN c4 END), 0)
+                       AS BIGINT) AS target_c4,
+                   CAST(sum(c4) AS BIGINT) AS total_c4
+            FROM f GROUP BY o_year
+        """,
+        "profit_by_nation": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(sum(
+                       CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100, 0)
+                                     AS BIGINT))
+                       - CAST(l.l_quantity AS BIGINT)
+                         * CAST(round(p.p_retailprice * 100, 0)
+                                AS BIGINT) * 50) AS BIGINT)
+                       AS profit_c4
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY n.n_name, o_year
+        """,
+        "chars_ntile_by_source": """
+            SELECT doc_id, source, n_chars,
+                   CAST(NTILE(4) OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "orders_by_month": """
             SELECT date_trunc('month', o_orderdate) AS month,

@@ -383,3 +383,88 @@ def grouped_mad(ds, group_col: str, value_col: str):
 
     return dev_hist.groupby(group_col).map_groups(mad4,
                                                   batch_format="pandas")
+
+
+def grouped_ntile(ds, group_col: str, value_col: str, id_col: str,
+                  k: int = 4, num_partitions: int = 16):
+    """NTILE(k) OVER (PARTITION BY group ORDER BY value, id) for every
+    row -> (id, group, value, tile).  Deterministic: (value, id) is a
+    total order, so the SQL window is unambiguous.
+
+    No whole-group sort anywhere: rownum = base_rank(group, value) +
+    tie_rank(id within its (group, value) tie class).  Base ranks come
+    from the tiny (group, value) histogram (the grouped_value_ranks
+    machinery) and broadcast via ray.put together with the group sizes;
+    the only row-level shuffle hashes BY (group, value), so the unit a
+    single task orders is one tie class, never one group — at 100 TB
+    the "en" group spreads over every partition while each equal-value
+    slice stays local.  Tile split follows SQL NTILE: the first n%k
+    tiles get ceil(n/k) rows."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             value_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas(),
+            value_col: b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby([group_col, value_col], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            group_col: pa.array(idx[group_col], pa.string()),
+            value_col: pa.array(idx[value_col].to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64))})
+
+    hist = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).aggregate(Sum("n"))
+    rows = hist.take_all()
+    hdf = pd.DataFrame({
+        group_col: [r[group_col] for r in rows],
+        value_col: np.array([r[value_col] for r in rows], np.int64),
+        "n": np.array([r["sum(n)"] for r in rows], np.int64),
+    }).sort_values([group_col, value_col], kind="mergesort")
+    grp = hdf.groupby(group_col, sort=False)
+    hdf["base"] = grp["n"].cumsum() - hdf["n"]  # rows strictly below
+    counts = grp["n"].sum().to_dict()
+    lookup = hdf[[group_col, value_col, "base"]].reset_index(drop=True)
+    bcast = ray.put((lookup, counts))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "int64", group_col: "object",
+                value_col: "int64", "tile": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {c: t for c, t in cols.items() if t != "object"})
+        lk, cnt = ray.get(bcast)
+        df = df.sort_values([group_col, value_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        tie = df.groupby([group_col, value_col], sort=False).cumcount() \
+            .to_numpy(np.int64)
+        m = df.merge(lk, on=[group_col, value_col], how="left")
+        r0 = m["base"].to_numpy(np.int64) + tie  # 0-based rownum
+        n = df[group_col].map(cnt).to_numpy(np.int64)
+        kk = np.int64(k)
+        q, rem = n // kk, n % kk
+        big = rem * (q + 1)
+        tile = np.where(r0 < big, r0 // (q + 1),
+                        rem + (r0 - big) // np.maximum(q, 1)) + 1
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            group_col: df[group_col].to_numpy(),
+            value_col: df[value_col].to_numpy(np.int64),
+            "tile": tile.astype(np.int64)})
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            group_col: b.column(group_col),
+            value_col: pc.cast(b.column(value_col), pa.int64())})
+
+    return _grouped_by_partition(
+        ds.map_batches(to_rows, batch_format="pyarrow"),
+        [group_col, value_col], resolve, n_parts=num_partitions)

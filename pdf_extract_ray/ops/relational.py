@@ -1653,3 +1653,379 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
             "revenue_c4": rev})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def forecast_revenue(lineitem_ds, *, start: str = "1996-01-01",
+                     end: str = "1997-01-01", disc_c2_lo: int = 5,
+                     disc_c2_hi: int = 7, max_qty: int = 24):
+    """TPC-H Q6 shape (reference has no SQL engine; shape from the
+    public spec): revenue increase from dropping small-quantity
+    discounts -> ONE row (revenue_c4, n_rows).
+
+    Map-only: every batch folds to a single partial row (exact int
+    1e-4-dollar units: ext_c2 * disc_c2 — both 2dp, so the product is
+    exact), the driver sums the per-batch partials.  No shuffle, no
+    groupby — the cheapest possible plan at any scale."""
+    lo = np.datetime64(start, "us")
+    hi = np.datetime64(end, "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc_c2 = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        m = ((ship >= lo) & (ship < hi) & (qty < max_qty)
+             & (disc_c2 >= disc_c2_lo) & (disc_c2 <= disc_c2_hi))
+        ext_c2 = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        return pa.table({
+            "revenue_c4": pa.array([int((ext_c2 * disc_c2[m]).sum())],
+                                   pa.int64()),
+            "n_rows": pa.array([int(m.sum())], pa.int64())})
+
+    parts = lineitem_ds.map_batches(partial,
+                                    batch_format="pyarrow").take_all()
+    return pa.table({
+        "revenue_c4": pa.array([sum(r["revenue_c4"] for r in parts)],
+                               pa.int64()),
+        "n_rows": pa.array([sum(r["n_rows"] for r in parts)],
+                           pa.int64())})
+
+
+def small_qty_revenue(lineitem_ds, part_ds, *, brand: str = "Brand#13",
+                      num_partitions=None):
+    """TPC-H Q17 shape: revenue from lineitems of one brand's parts with
+    quantity below 20% of that part's average quantity -> ONE row
+    (revenue_cents, n_small).
+
+    The brand's partkey set is collected once and broadcast (the
+    promo_revenue discipline — part is ~3% of lineitem rows, the brand
+    slice ~0.1%), pruning the fact BEFORE its single partkey-hash
+    shuffle; each partition resolves all of its parts' correlated
+    averages locally with the integer-exact gate
+    5*qty*n < sum_qty  <=>  qty < 0.2*avg(qty)  (quantities are
+    integral), so no float boundary can flip membership vs the SQL
+    oracle.  With a dim too big to broadcast, attach the brand flag via
+    a partkey hop pass (the local_supplier_volume shape) instead."""
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    rows = part_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_brand"), brand))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow").take_all()
+    keys = np.sort(np.array([r["p_partkey"] for r in rows], np.int64))
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()
+        if len(keys):
+            idx = np.searchsorted(keys, pk)
+            idx[idx >= len(keys)] = 0
+            m = keys[idx] == pk
+        else:
+            m = np.zeros(len(pk), bool)
+        qty = b.column("l_quantity").to_numpy(
+            zero_copy_only=False)[m].astype(np.int64)
+        ext_c2 = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        return pa.table({"key": pa.array(pk[m]),
+                         "qty": pa.array(qty),
+                         "price_c2": pa.array(ext_c2)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"revenue_cents": "int64", "n_small": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("key")["qty"].agg(["sum", "count"])
+        sq = df["key"].map(g["sum"]).to_numpy(np.int64)
+        n = df["key"].map(g["count"]).to_numpy(np.int64)
+        keep = 5 * df["qty"].to_numpy(np.int64) * n < sq
+        return pd.DataFrame({
+            "revenue_cents": [int(df["price_c2"].to_numpy(
+                np.int64)[keep].sum())],
+            "n_small": [int(keep.sum())]}).astype(cols)
+
+    partials = _grouped_by_partition(
+        lineitem_ds.map_batches(li_rows, batch_format="pyarrow"),
+        ["key"], resolve, n_parts=num_partitions).take_all()
+    return pa.table({
+        "revenue_cents": pa.array(
+            [sum(r["revenue_cents"] for r in partials)], pa.int64()),
+        "n_small": pa.array([sum(r["n_small"] for r in partials)],
+                            pa.int64())})
+
+
+def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
+                 nation_ds, region_ds, part_ds, *,
+                 r_name: str = "EUROPE", p_type: str = "ECONOMY",
+                 target_nation: str = "NATION_3",
+                 start: str = "1995-01-01", end: str = "1997-01-01",
+                 num_partitions=None):
+    """TPC-H Q8 shape: the target nation's share of revenue for one part
+    type sold to one region's customers, per order year ->
+    (o_year, target_c4, total_c4) exact ints (share = target/total).
+
+    Plan: part's matching-key set and supplier -> nationkey map
+    broadcast (both dims are <=3% of the fact; at a scale where they
+    stop fitting, attach them via extra hop passes — the
+    local_supplier_volume shape), so the fact moves through just TWO
+    keyed partition passes: orderkey (attach year + custkey to the
+    pruned lineitem rows) then custkey (attach the customer's nation,
+    gate on the region's 5-nation set, fold to per-year partials).
+    A |years|-row groupby merges."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    lo = pa.scalar(np.datetime64(start, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(end, "us").item(), pa.timestamp("us"))
+
+    pk_rows = part_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"), p_type))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow").take_all()
+    part_keys = np.sort(np.array([r["p_partkey"] for r in pk_rows],
+                                 np.int64))
+    s_rows = supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]).take_all()
+    sk = np.array([r["s_suppkey"] for r in s_rows], np.int64)
+    order_ = np.argsort(sk)
+    sk = sk[order_]
+    snat_v = np.array([r["s_nationkey"] for r in s_rows],
+                      np.int64)[order_]
+    nk_to_region = {int(r["n_nationkey"]): int(r["n_regionkey"])
+                    for r in nation_ds.take_all()}
+    region_key = {r["r_name"]: int(r["r_regionkey"])
+                  for r in region_ds.take_all()}[r_name]
+    region_nations = frozenset(k for k, v in nk_to_region.items()
+                               if v == region_key)
+    target_key = {r["n_name"]: int(r["n_nationkey"])
+                  for r in nation_ds.take_all()}[target_nation]
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()
+        if len(part_keys):
+            idx = np.searchsorted(part_keys, pk)
+            idx[idx >= len(part_keys)] = 0
+            m = part_keys[idx] == pk
+        else:
+            m = np.zeros(len(pk), bool)
+        ext_c2 = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        disc_c2 = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        sup = pc.cast(b.column("l_suppkey"), pa.int64()).to_numpy()[m]
+        sidx = np.searchsorted(sk, sup)
+        sidx[sidx >= len(sk)] = 0
+        snat = np.where(sk[sidx] == sup, snat_v[sidx], -1)
+        n = int(m.sum())
+        return pa.table({
+            "key": pa.array(pc.cast(b.column("l_orderkey"),
+                                    pa.int64()).to_numpy()[m]),
+            "c4": pa.array(ext_c2 * (100 - disc_c2)),
+            "snat": pa.array(snat),
+            "yr": pa.array(np.full(n, -1, np.int64)),
+            "attach": pa.array(np.full(n, -1, np.int64))})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        b = b.filter(m)
+        yr = pd.DatetimeIndex(b.column("o_orderdate").to_pandas()) \
+            .year.to_numpy(np.int64)
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "snat": pa.array(np.full(n, -1, np.int64)),
+            "yr": pa.array(yr),
+            "attach": pc.cast(b.column("o_custkey"), pa.int64())})
+
+    def attach_order(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"key": "int64", "c4": "int64", "snat": "int64",
+                "yr": "int64", "attach": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["attach"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        kmap = dict(zip(dim["key"].to_numpy(np.int64),
+                        zip(dim["attach"].to_numpy(np.int64),
+                            dim["yr"].to_numpy(np.int64))))
+        fact = df[~is_dim]
+        hit = fact["key"].map(kmap)
+        keep = hit.notna().to_numpy()
+        pairs = np.array([p for p in hit.to_numpy()[keep]],
+                         np.int64).reshape(-1, 2)
+        return pd.DataFrame({
+            "key": pairs[:, 0],
+            "c4": fact["c4"].to_numpy(np.int64)[keep],
+            "snat": fact["snat"].to_numpy(np.int64)[keep],
+            "yr": pairs[:, 1],
+            "attach": np.full(int(keep.sum()), -1, np.int64),
+        }).astype(cols)
+
+    hop1 = _grouped_by_partition(
+        lineitem_ds.map_batches(li_rows, batch_format="pyarrow").union(
+            orders_ds.map_batches(o_rows, batch_format="pyarrow")),
+        ["key"], attach_order, n_parts=num_partitions)
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "snat": pa.array(np.full(n, -1, np.int64)),
+            "yr": pa.array(np.full(n, -1, np.int64)),
+            "attach": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+    rn = np.sort(np.array(sorted(region_nations), np.int64))
+
+    def final_pass(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_year": "int64", "target_c4": "int64",
+                "total_c4": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["attach"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        cmap = dict(zip(dim["key"].to_numpy(np.int64),
+                        dim["attach"].to_numpy(np.int64)))
+        fact = df[~is_dim]
+        cnat = fact["key"].map(cmap)
+        cv = cnat.fillna(-1).to_numpy(np.int64)
+        keep = np.isin(cv, rn)
+        snat = fact["snat"].to_numpy(np.int64)[keep]
+        c4 = fact["c4"].to_numpy(np.int64)[keep]
+        yr = fact["yr"].to_numpy(np.int64)[keep]
+        g = pd.DataFrame({
+            "o_year": yr,
+            "target_c4": np.where(snat == target_key, c4, 0),
+            "total_c4": c4}) \
+            .groupby("o_year", sort=False, as_index=False).sum()
+        return g.astype(cols)
+
+    partials = _grouped_by_partition(
+        hop1.union(customer_ds.map_batches(c_rows,
+                                           batch_format="pyarrow")),
+        ["key"], final_pass, n_parts=num_partitions)
+    agg = partials.groupby("o_year").aggregate(Sum("target_c4"),
+                                               Sum("total_c4"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_year": pc.cast(b.column("o_year"), pa.int64()),
+            "target_c4": pc.cast(b.column("sum(target_c4)"), pa.int64()),
+            "total_c4": pc.cast(b.column("sum(total_c4)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def profit_by_nation_year(orders_ds, lineitem_ds, supplier_ds, nation_ds,
+                          part_ds, *, name_substr: str = "widget",
+                          num_partitions=None):
+    """TPC-H Q9 shape (adapted: no partsupp table exists, so supply cost
+    is 50% of p_retailprice): profit by supplier nation and order year
+    for parts whose name contains `name_substr` ->
+    (nation, o_year, profit_c4).
+
+    profit_c4 = ext_c2*(100-disc_c2) - qty*retail_c2*50 — every term a
+    product of <=2dp inputs, so int64-exact vs the oracle.  part map
+    (matching keys -> retail_c2) and supplier -> nationkey map broadcast
+    once; the fact moves through ONE orderkey partition pass to pick up
+    the year, folding to (snat, year) partials inside the pass."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    p_rows = part_ds.map_batches(
+        lambda b: b.filter(pc.match_substring(b.column("p_name"),
+                                              name_substr))
+                   .select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow").take_all()
+    pk = np.array([r["p_partkey"] for r in p_rows], np.int64)
+    porder = np.argsort(pk)
+    pk = pk[porder]
+    retail_c2 = np.rint(np.array([r["p_retailprice"] for r in p_rows],
+                                 np.float64)[porder] * 100) \
+        .astype(np.int64)
+    s_rows = supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]).take_all()
+    sk = np.array([r["s_suppkey"] for r in s_rows], np.int64)
+    sorder = np.argsort(sk)
+    sk = sk[sorder]
+    snat_v = np.array([r["s_nationkey"] for r in s_rows],
+                      np.int64)[sorder]
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        part = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()
+        if len(pk):
+            idx = np.searchsorted(pk, part)
+            idx[idx >= len(pk)] = 0
+            m = pk[idx] == part
+        else:
+            m = np.zeros(len(part), bool)
+        rc2 = retail_c2[np.searchsorted(pk, part[m])] if m.any() else \
+            np.zeros(0, np.int64)
+        ext_c2 = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        disc_c2 = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        qty = b.column("l_quantity").to_numpy(
+            zero_copy_only=False)[m].astype(np.int64)
+        sup = pc.cast(b.column("l_suppkey"), pa.int64()).to_numpy()[m]
+        sidx = np.searchsorted(sk, sup)
+        sidx[sidx >= len(sk)] = 0
+        snat = np.where(sk[sidx] == sup, snat_v[sidx], -1)
+        amt = ext_c2 * (100 - disc_c2) - qty * rc2 * 50
+        return pa.table({
+            "key": pa.array(pc.cast(b.column("l_orderkey"),
+                                    pa.int64()).to_numpy()[m]),
+            "amt": pa.array(amt),
+            "snat": pa.array(snat),
+            "attach": pa.array(np.full(int(m.sum()), -1, np.int64))})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        yr = pd.DatetimeIndex(b.column("o_orderdate").to_pandas()) \
+            .year.to_numpy(np.int64)
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "amt": pa.array(np.zeros(n, np.int64)),
+            "snat": pa.array(np.full(n, -1, np.int64)),
+            "attach": pa.array(yr)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"snat": "int64", "o_year": "int64", "profit_c4": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["attach"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        ymap = dict(zip(dim["key"].to_numpy(np.int64),
+                        dim["attach"].to_numpy(np.int64)))
+        fact = df[~is_dim]
+        yr = fact["key"].map(ymap)
+        keep = yr.notna().to_numpy()
+        g = pd.DataFrame({
+            "snat": fact["snat"].to_numpy(np.int64)[keep],
+            "o_year": yr.to_numpy()[keep].astype(np.int64),
+            "profit_c4": fact["amt"].to_numpy(np.int64)[keep]}) \
+            .groupby(["snat", "o_year"], sort=False, as_index=False) \
+            .sum()
+        return g.astype(cols)
+
+    partials = _grouped_by_partition(
+        lineitem_ds.map_batches(li_rows, batch_format="pyarrow").union(
+            orders_ds.map_batches(o_rows, batch_format="pyarrow")),
+        ["key"], resolve, n_parts=num_partitions)
+    agg = partials.groupby(["snat", "o_year"]).aggregate(
+        Sum("profit_c4"))
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in nation_ds.take_all()}
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b.column("snat").to_pylist()
+        return pa.table({
+            "nation": pa.array([names.get(int(k), "") for k in keys],
+                               pa.string()),
+            "o_year": pc.cast(b.column("o_year"), pa.int64()),
+            "profit_c4": pc.cast(b.column("sum(profit_c4)"),
+                                 pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -925,3 +925,63 @@ class TestGroupedMad:
         assert int(out.loc["a"]) == 4
         # b: median 25 -> devs [15,5,5,15] -> MAD 10 -> x4 = 40
         assert int(out.loc["b"]) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNtileAndQ17Wave:
+    def test_ntile_split_and_tie_order(self):
+        """SQL NTILE: first n%k tiles take ceil(n/k) rows; order is the
+        deterministic (value, id) total order, so equal values fall to
+        tiles by doc id."""
+        from pdf_extract_ray.ops.analytics import grouped_ntile
+        # group a: n=6, k=4 -> tile sizes 2,2,1,1 over order
+        #   (5,#4) (7,#6) (7,#9) (10,#1) (10,#2) (20,#3)
+        # group b: n=3, k=4 -> sizes 1,1,1 (tile 4 empty)
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 6, 9, 11, 12, 13],
+                               pa.int64()),
+            "source": pa.array(["a"] * 6 + ["b"] * 3, pa.string()),
+            "n_chars": pa.array([10, 10, 20, 5, 7, 7, 8, 8, 1],
+                                pa.int64())})
+        out = grouped_ntile(_ds(tbl), "source", "n_chars", "doc_id",
+                            k=4).to_pandas()
+        got = {int(r.doc_id): int(r.tile) for r in out.itertuples()}
+        assert got == {4: 1, 6: 1, 9: 2, 1: 2, 2: 3, 3: 4,
+                       13: 1, 11: 2, 12: 3}
+
+    def test_small_qty_revenue_boundary_exact(self):
+        """The 20%-of-average gate is strict: qty*5*n == sum_qty must
+        NOT count (matches SQL's l_quantity < 0.2*avg)."""
+        from pdf_extract_ray.ops.relational import small_qty_revenue
+        # part 1: qtys [1, 4, 5] sum=10 n=3 -> gate 15*q < 30 wait:
+        #   5*q*n < sq -> q=1: 15<10? no. Use qtys [1, 9]: sq=10 n=2,
+        #   5*1*2=10 == 10 -> excluded (boundary); [1, 14]: 10 < 15 in.
+        li = pa.table({
+            "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_quantity": pa.array([1.0, 9.0, 1.0, 14.0, 8.0]),
+            "l_extendedprice": pa.array([10.0, 1.0, 7.5, 1.0, 1.0])})
+        part = pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["Brand#13", "Brand#13", "Brand#9"],
+                                pa.string())})
+        out = small_qty_revenue(_ds(li), _ds(part),
+                                brand="Brand#13").to_pandas()
+        # part1 qty1: 5*1*2=10 == 10 -> out; part2 qty1: 10 < 15 -> in
+        # part3 filtered by brand
+        assert int(out.n_small.iloc[0]) == 1
+        assert int(out.revenue_cents.iloc[0]) == 750
+
+    def test_forecast_revenue_exact_ints(self):
+        from pdf_extract_ray.ops.relational import forecast_revenue
+        li = pa.table({
+            "l_shipdate": pa.array(
+                [np.datetime64("1996-06-01", "us")] * 3
+                + [np.datetime64("1997-06-01", "us")],
+                pa.timestamp("us")),
+            "l_quantity": pa.array([10.0, 30.0, 5.0, 5.0]),
+            "l_discount": pa.array([0.06, 0.06, 0.04, 0.06]),
+            "l_extendedprice": pa.array([100.0, 100.0, 100.0, 100.0])})
+        out = forecast_revenue(_ds(li)).to_pandas()
+        # only row 1 passes (row 2 qty>=24, row 3 disc 4, row 4 date)
+        assert int(out.n_rows.iloc[0]) == 1
+        assert int(out.revenue_c4.iloc[0]) == 10000 * 6
