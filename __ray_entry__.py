@@ -1941,6 +1941,43 @@ def _q_distinct_users_per_type(sf_dir: str):
         "event_type", "user_id")
 
 
+def _q_late_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape (adapted: late = shipped >60 days after order
+    date; grouped by returnflag): one orderkey partition pass over the
+    lineitem+orders union (ops/relational.late_priority_counts)."""
+    from pdf_extract_ray.ops.relational import late_priority_counts
+    return late_priority_counts(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_returnflag", "l_shipdate"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderdate", "o_orderpriority"]))
+
+
+def _q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape (adapted: late = shipped >90 days after order
+    date, finished orders only): per-order EXISTS/NOT-EXISTS set logic
+    resolved inside one orderkey partition pass
+    (ops/relational.sole_late_supplier)."""
+    from pdf_extract_ray.ops.relational import sole_late_supplier
+    return sole_late_supplier(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderstatus", "o_orderdate"]))
+
+
+def _q_chars_pct_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST windows per source over n_chars:
+    histogram broadcast, zero row shuffle; doubles are single int/int
+    divisions so they hash bit-identical vs the SQL engine
+    (ops/analytics.grouped_pct_ranks)."""
+    from pdf_extract_ray.ops.analytics import grouped_pct_ranks
+    return grouped_pct_ranks(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2008,6 +2045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation": _q_profit_by_nation,
         "chars_ntile_by_source": _q_chars_ntile_by_source,
         "distinct_users_per_type": _q_distinct_users_per_type,
+        "late_priority_counts": _q_late_priority_counts,
+        "sole_late_supplier": _q_sole_late_supplier,
+        "chars_pct_rank": _q_chars_pct_rank,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
@@ -2821,6 +2861,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "late_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(count(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 END) AS BIGINT)
+                       AS n_high_late,
+                   CAST(count(CASE WHEN o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH') THEN 1 END) AS BIGINT)
+                       AS n_low_late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag
+        """,
+        "sole_late_supplier": """
+            WITH f AS (
+              SELECT l_orderkey AS k, l_suppkey AS s,
+                     (l_shipdate > o_orderdate + INTERVAL 90 DAY)
+                         AS late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F'),
+            per_order AS (
+              SELECT k, count(DISTINCT s) AS ns,
+                     count(DISTINCT CASE WHEN late THEN s END) AS nl,
+                     min(CASE WHEN late THEN s END) AS ls
+              FROM f GROUP BY k)
+            SELECT CAST(ls AS BIGINT) AS s_suppkey,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order WHERE ns >= 2 AND nl = 1
+            GROUP BY ls
+        """,
+        "chars_pct_rank": """
+            SELECT doc_id, source, n_chars,
+                   PERCENT_RANK() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS pct_rank,
+                   CUME_DIST() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS cume_dist
+            FROM documents
         """,
         "orders_by_month": """
             SELECT date_trunc('month', o_orderdate) AS month,

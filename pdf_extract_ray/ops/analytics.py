@@ -468,3 +468,73 @@ def grouped_ntile(ds, group_col: str, value_col: str, id_col: str,
     return _grouped_by_partition(
         ds.map_batches(to_rows, batch_format="pyarrow"),
         [group_col, value_col], resolve, n_parts=num_partitions)
+
+
+def grouped_pct_ranks(ds, group_col: str, value_col: str, id_col: str):
+    """PERCENT_RANK() and CUME_DIST() of `value_col` within `group_col`
+    for EVERY row, no row-level shuffle -> (id, group, value, pct_rank,
+    cume_dist).
+
+    Same machinery as grouped_value_ranks: both windows are pure
+    functions of the (group, value) histogram — pct_rank =
+    (rank-1)/(n-1), cume_dist = rows_at_or_below/n — so the tiny
+    histogram aggregates, the driver turns it into per-(group, value)
+    doubles (one correctly-rounded int64/int64 division each, hence
+    bit-identical to the SQL engine's), and a broadcast merge assigns
+    them map-side.  n=1 groups get pct_rank 0.0 (SQL convention)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             value_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas(),
+            value_col: b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby([group_col, value_col], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            group_col: pa.array(idx[group_col], pa.string()),
+            value_col: pa.array(idx[value_col].to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64))})
+
+    hist = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).aggregate(Sum("n"))
+    rows = hist.take_all()
+    df = pd.DataFrame({
+        group_col: [r[group_col] for r in rows],
+        value_col: np.array([r[value_col] for r in rows], np.int64),
+        "n": np.array([r["sum(n)"] for r in rows], np.int64),
+    }).sort_values([group_col, value_col], kind="mergesort")
+    grp = df.groupby(group_col, sort=False)
+    cum = grp["n"].cumsum().to_numpy(np.int64)
+    rank = (cum - df["n"].to_numpy(np.int64) + 1)
+    size = grp["n"].transform("sum").to_numpy(np.int64)
+    denom = np.maximum(size - 1, 1).astype(np.float64)
+    df["pct_rank"] = (rank - 1).astype(np.float64) / denom
+    df["cume_dist"] = cum.astype(np.float64) / size.astype(np.float64)
+    lookup = df[[group_col, value_col, "pct_rank", "cume_dist"]] \
+        .reset_index(drop=True)
+    lookup_ref = ray.put(lookup)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            id_col: b.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            group_col: b.column(group_col).to_pandas(),
+            value_col: b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        out = df.merge(lk, on=[group_col, value_col], how="left")
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            group_col: pa.array(out[group_col], pa.string()),
+            value_col: pa.array(out[value_col].to_numpy(np.int64)),
+            "pct_rank": pa.array(out["pct_rank"].to_numpy(np.float64)),
+            "cume_dist": pa.array(
+                out["cume_dist"].to_numpy(np.float64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

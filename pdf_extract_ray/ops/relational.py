@@ -2029,3 +2029,177 @@ def profit_by_nation_year(orders_ds, lineitem_ds, supplier_ds, nation_ds,
                                  pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def late_priority_counts(lineitem_ds, orders_ds, *, late_days: int = 60,
+                         high=("1-URGENT", "2-HIGH"),
+                         num_partitions=None):
+    """TPC-H Q12 shape (adapted: the synthetic lineitem has no
+    l_shipmode/l_commitdate, so "late" = shipped more than `late_days`
+    after the order date and the grouping key is l_returnflag):
+    per returnflag, late-lineitem counts split by order priority ->
+    (l_returnflag, n_high_late, n_low_late).
+
+    Both inputs are fact-sized, so nothing broadcasts: ONE orderkey-hash
+    partition pass over the union (lineitem rows carry shipdate+flag,
+    order rows carry orderdate+priority class), each partition resolves
+    its orders' lateness locally and folds to per-flag partials; a
+    |flags|-row groupby merges."""
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    late_us = np.int64(late_days) * 86_400_000_000
+    high_set = frozenset(high)
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]") \
+            .view(np.int64)
+        return pa.table({
+            "key": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "t_us": pa.array(ship),
+            "flag": pc.cast(b.column("l_returnflag"), pa.string()),
+            "pri": pa.array(np.full(b.num_rows, -1, np.int64))})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        o_us = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]") \
+            .view(np.int64)
+        pri = np.fromiter(
+            (1 if p in high_set else 0
+             for p in b.column("o_orderpriority").to_pylist()),
+            np.int64, b.num_rows)
+        return pa.table({
+            "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "t_us": pa.array(o_us),
+            "flag": pa.array([""] * b.num_rows, pa.string()),
+            "pri": pa.array(pri)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_returnflag": "object", "n_high_late": "int64",
+                "n_low_late": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_high_late": "int64", "n_low_late": "int64"})
+        is_dim = df["pri"].to_numpy(np.int64) >= 0
+        dim = df[is_dim]
+        omap = dict(zip(dim["key"].to_numpy(np.int64),
+                        zip(dim["t_us"].to_numpy(np.int64),
+                            dim["pri"].to_numpy(np.int64))))
+        fact = df[~is_dim]
+        hit = fact["key"].map(omap)
+        keep = hit.notna().to_numpy()
+        if not keep.any():
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_high_late": "int64", "n_low_late": "int64"})
+        pairs = np.array([p for p in hit.to_numpy()[keep]],
+                         np.int64).reshape(-1, 2)
+        late = fact["t_us"].to_numpy(np.int64)[keep] \
+            > pairs[:, 0] + late_us
+        hi = pairs[:, 1] == 1
+        g = pd.DataFrame({
+            "l_returnflag": fact["flag"].to_numpy()[keep],
+            "n_high_late": (late & hi).astype(np.int64),
+            "n_low_late": (late & ~hi).astype(np.int64)}) \
+            .groupby("l_returnflag", sort=False, as_index=False).sum()
+        return g.astype({"n_high_late": "int64", "n_low_late": "int64"})
+
+    partials = _grouped_by_partition(
+        lineitem_ds.map_batches(li_rows, batch_format="pyarrow").union(
+            orders_ds.map_batches(o_rows, batch_format="pyarrow")),
+        ["key"], resolve, n_parts=num_partitions)
+    agg = partials.groupby("l_returnflag").aggregate(
+        Sum("n_high_late"), Sum("n_low_late"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": pc.cast(b.column("l_returnflag"),
+                                    pa.string()),
+            "n_high_late": pc.cast(b.column("sum(n_high_late)"),
+                                   pa.int64()),
+            "n_low_late": pc.cast(b.column("sum(n_low_late)"),
+                                  pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sole_late_supplier(lineitem_ds, orders_ds, *, late_days: int = 90,
+                       status: str = "F", num_partitions=None):
+    """TPC-H Q21 shape (adapted: "kept waiting" = shipped more than
+    `late_days` after the order date; only finished orders,
+    o_orderstatus = `status`): suppliers who were the SOLE late supplier
+    of a multi-supplier order -> (s_suppkey, numwait).
+
+    Q21's EXISTS / NOT EXISTS pair is per-order set logic, so it
+    resolves entirely inside ONE orderkey-hash partition pass: each
+    partition holds every lineitem of its orders plus the order's
+    date (orders rows pre-filtered to `status` before the union), and
+    emits the lone late supplier of each order with >= 2 distinct
+    suppliers.  A supplier-keyed count merges — no join, no second
+    row-level shuffle."""
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]") \
+            .view(np.int64)
+        return pa.table({
+            "key": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "supp": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "t_us": pa.array(ship)})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("o_orderstatus"), status))
+        o_us = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]") \
+            .view(np.int64)
+        return pa.table({
+            "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "supp": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "t_us": pa.array(o_us)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s_suppkey": "int64", "numwait": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        is_dim = df["supp"].to_numpy(np.int64) < 0
+        dim = df[is_dim]
+        omap = dict(zip(dim["key"].to_numpy(np.int64),
+                        dim["t_us"].to_numpy(np.int64)))
+        fact = df[~is_dim]
+        o_us = fact["key"].map(omap)
+        keep = o_us.notna().to_numpy()
+        if not keep.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        sub = pd.DataFrame({
+            "key": fact["key"].to_numpy(np.int64)[keep],
+            "supp": fact["supp"].to_numpy(np.int64)[keep],
+            "late": fact["t_us"].to_numpy(np.int64)[keep]
+            > o_us.to_numpy()[keep].astype(np.int64) + late_us})
+        # distinct (order, supplier) pairs, flagged late if ANY of the
+        # pair's lineitems is late
+        pairs = sub.groupby(["key", "supp"], sort=False,
+                            as_index=False)["late"].any()
+        po = pairs.groupby("key", sort=False).agg(
+            ns=("supp", "size"), nl=("late", "sum"))
+        late_only = pairs[pairs["late"]]
+        sole = late_only.set_index("key")["supp"]
+        hits = po[(po["ns"] >= 2) & (po["nl"] == 1)].index
+        if len(hits) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = sole.loc[sole.index.isin(hits)].to_frame("s_suppkey") \
+            .groupby("s_suppkey", sort=False).size() \
+            .to_frame("numwait").reset_index()
+        return g.astype(cols)
+
+    partials = _grouped_by_partition(
+        lineitem_ds.map_batches(li_rows, batch_format="pyarrow").union(
+            orders_ds.map_batches(o_rows, batch_format="pyarrow")),
+        ["key"], resolve, n_parts=num_partitions)
+    agg = partials.groupby("s_suppkey").aggregate(Sum("numwait"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "numwait": pc.cast(b.column("sum(numwait)"), pa.int64())}),
+        batch_format="pyarrow")

@@ -985,3 +985,74 @@ class TestNtileAndQ17Wave:
         # only row 1 passes (row 2 qty>=24, row 3 disc 4, row 4 date)
         assert int(out.n_rows.iloc[0]) == 1
         assert int(out.revenue_c4.iloc[0]) == 10000 * 6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateShipmentWave:
+    def test_late_priority_strict_boundary(self):
+        """Exactly 60 days after the order date is NOT late (strict >)."""
+        from pdf_extract_ray.ops.relational import late_priority_counts
+        d0 = np.datetime64("1995-01-01", "us")
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_returnflag": pa.array(["A", "A", "N"], pa.string()),
+            "l_shipdate": pa.array(
+                [d0 + np.timedelta64(60, "D"),     # boundary: not late
+                 d0 + np.timedelta64(61, "D"),     # late
+                 d0 + np.timedelta64(90, "D")],    # late
+                pa.timestamp("us"))})
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([d0, d0], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"],
+                                        pa.string())})
+        out = late_priority_counts(_ds(li), _ds(orders)).to_pandas() \
+            .set_index("l_returnflag")
+        assert int(out.loc["A", "n_high_late"]) == 1
+        assert int(out.loc["A", "n_low_late"]) == 0
+        assert int(out.loc["N", "n_low_late"]) == 1
+
+    def test_sole_late_supplier_set_logic(self):
+        """Only multi-supplier finished orders with EXACTLY one late
+        supplier count; two late lineitems of the same supplier are one
+        late supplier."""
+        from pdf_extract_ray.ops.relational import sole_late_supplier
+        d0 = np.datetime64("1995-01-01", "us")
+        late = d0 + np.timedelta64(91, "D")
+        ok = d0 + np.timedelta64(10, "D")
+        li = pa.table({
+            #  o1: supp 7 late twice, supp 8 on time -> counts for 7
+            #  o2: single-supplier order, late       -> excluded (ns<2)
+            #  o3: both suppliers late               -> excluded (nl=2)
+            #  o4: status 'O'                        -> excluded
+            "l_orderkey": pa.array([1, 1, 1, 2, 3, 3, 4, 4], pa.int64()),
+            "l_suppkey": pa.array([7, 7, 8, 7, 7, 8, 7, 8], pa.int64()),
+            "l_shipdate": pa.array(
+                [late, late, ok, late, late, late, late, ok],
+                pa.timestamp("us"))})
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "F", "O"], pa.string()),
+            "o_orderdate": pa.array([d0] * 4, pa.timestamp("us"))})
+        out = sole_late_supplier(_ds(li), _ds(orders)).to_pandas()
+        assert {int(r.s_suppkey): int(r.numwait)
+                for r in out.itertuples()} == {7: 1}
+
+    def test_pct_rank_singleton_and_ties(self):
+        from pdf_extract_ray.ops.analytics import grouped_pct_ranks
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "source": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+            "n_chars": pa.array([10, 10, 20, 30, 99], pa.int64())})
+        out = grouped_pct_ranks(_ds(tbl), "source", "n_chars",
+                                "doc_id").to_pandas().set_index("doc_id")
+        # group a (n=4): ranks 1,1,3,4 -> pct (r-1)/3; cume 2/4,2/4,3/4,1
+        assert out.loc[1, "pct_rank"] == 0.0
+        assert out.loc[2, "pct_rank"] == 0.0
+        assert out.loc[3, "pct_rank"] == pytest.approx(2 / 3, abs=0)
+        assert out.loc[4, "pct_rank"] == 1.0
+        assert out.loc[1, "cume_dist"] == 0.5
+        assert out.loc[3, "cume_dist"] == 0.75
+        # singleton group: pct_rank 0, cume_dist 1 (SQL convention)
+        assert out.loc[5, "pct_rank"] == 0.0
+        assert out.loc[5, "cume_dist"] == 1.0
