@@ -1978,6 +1978,40 @@ def _q_chars_pct_rank(sf_dir: str):
         "source", "n_chars", "doc_id")
 
 
+def _q_user_first_last(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE per user over (ts, event_id): arg_min/
+    arg_max combiner — each batch folds to <=2 rows per user, the
+    shuffle carries partials only (ops/events.user_first_last)."""
+    from pdf_extract_ray.ops.events import user_first_last
+    return user_first_last(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"]))
+
+
+def _q_chars_skew_by_source(sf_dir: str):
+    """Population skewness per source from exact integer moments; the
+    oracle SQL spells out the identical HUGEINT->double op sequence so
+    floats hash bit-identical (ops/analytics.grouped_skew)."""
+    from pdf_extract_ray.ops.analytics import grouped_skew
+    return grouped_skew(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_embedding_clusters(sf_dir: str):
+    """Distributed k-means (hash-sampled fit, partial-sum Lloyd) + pure
+    map-side assignment -> (vec_id, cluster).  Not SQL-expressible
+    (iterative); determinism + nearest-centroid invariants in tests
+    (ops/similarity.kmeans_fit/kmeans_assign)."""
+    from pdf_extract_ray.ops.similarity import kmeans_assign, kmeans_fit
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, iters=5)
+    if cent is None:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    return kmeans_assign(ds, cent)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2048,6 +2082,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_priority_counts": _q_late_priority_counts,
         "sole_late_supplier": _q_sole_late_supplier,
         "chars_pct_rank": _q_chars_pct_rank,
+        "user_first_last": _q_user_first_last,
+        "chars_skew_by_source": _q_chars_skew_by_source,
+        "embedding_clusters": _q_embedding_clusters,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
@@ -2898,6 +2935,40 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER (PARTITION BY source
                                      ORDER BY n_chars) AS cume_dist
             FROM documents
+        """,
+        "user_first_last": """
+            SELECT DISTINCT user_id,
+                   first_value(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS first_type,
+                   last_value(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+                       AS last_type
+            FROM events
+        """,
+        "chars_skew_by_source": """
+            WITH m AS (
+              SELECT source,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s1,
+                     CAST(sum(CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s2,
+                     CAST(sum(CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s3
+              FROM documents GROUP BY source),
+            d AS (SELECT source, n, s1, s2, s3,
+                         n * s2 - s1 * s1 AS dd FROM m)
+            SELECT source,
+                   CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+                   / (sqrt(CAST(dd AS DOUBLE)) * sqrt(CAST(dd AS DOUBLE))
+                      * sqrt(CAST(dd AS DOUBLE))) AS skew
+            FROM d WHERE dd > 0
         """,
         "orders_by_month": """
             SELECT date_trunc('month', o_orderdate) AS month,

@@ -538,3 +538,75 @@ def grouped_pct_ranks(ds, group_col: str, value_col: str, id_col: str):
                 out["cume_dist"].to_numpy(np.float64))})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_skew(ds, group_col: str, value_col: str):
+    """Population skewness per group from EXACT integer moment sums ->
+    (group, skew).  The grouped_corr discipline: per-batch partials
+    (n, s1, s2, s3) over int64 values combine associatively, the
+    shuffle carries O(blocks x groups) four-int rows, and the final
+    float is one arbitrary-precision-int -> double cast plus the SAME
+    IEEE op sequence the SQL oracle spells out
+    (num = n^2*s3 - 3n*s1*s2 + 2*s1^3, d = n*s2 - s1^2,
+    skew = num / (sqrt(d))^3) — bit-identical across engines.  The int
+    products exceed int64, so the merge runs in Python ints (exact);
+    the SQL side uses HUGEINT.  Groups with zero variance are dropped
+    (SQL: WHERE d > 0)."""
+    import math
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col]).to_pandas()
+        x = df[value_col].to_numpy(np.int64)
+        # int64 is exact up to |x| <= 2M AND batch-sum headroom (x^3 <=
+        # 8.4e18 edge): vectorized fast path, python-int fallback
+        if len(x) == 0 or (np.abs(x).max() < 1_000_000
+                           and len(x) < 1_000_000):
+            p = pd.DataFrame({group_col: df[group_col], "n": 1,
+                              "s1": x, "s2": x * x, "s3": x * x * x})
+            g = p.groupby(group_col, sort=False, as_index=False).sum()
+            s2s = [str(int(v)) for v in g["s2"]]
+            s3s = [str(int(v)) for v in g["s3"]]
+        else:
+            xi = df[value_col].astype(object)
+            p = pd.DataFrame({group_col: df[group_col], "n": 1,
+                              "s1": x, "s2": xi * xi,
+                              "s3": xi * xi * xi})
+            g = p.groupby(group_col, sort=False, as_index=False).sum()
+            s2s = [str(v) for v in g["s2"]]
+            s3s = [str(v) for v in g["s3"]]
+        return pa.table({
+            group_col: pa.array(g[group_col], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s1": pa.array(g["s1"].to_numpy(np.int64)),
+            "s2": pa.array(s2s, pa.string()),
+            "s3": pa.array(s3s, pa.string())})
+
+    # exact big-int partials travel as strings; the per-group count is
+    # tiny so the final merge sums python ints per group in one task
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "skew": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"skew": "float64"})
+        out_g, out_s = [], []
+        for gname, sub in df.groupby(group_col, sort=False):
+            n = int(sub["n"].sum())
+            s1 = int(sub["s1"].sum())
+            s2 = sum(int(v) for v in sub["s2"])
+            s3 = sum(int(v) for v in sub["s3"])
+            d = n * s2 - s1 * s1
+            if d <= 0:
+                continue
+            num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            sd = math.sqrt(float(d))
+            out_g.append(gname)
+            out_s.append(float(num) / (sd * sd * sd))
+        return pd.DataFrame({group_col: out_g,
+                             "skew": np.array(out_s, np.float64)})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(partials, [group_col], merge,
+                                 n_parts=8)

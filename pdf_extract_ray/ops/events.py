@@ -553,3 +553,68 @@ def funnel_counts(ds, steps=("view", "click", "purchase"), *,
             "step": _pc.cast(b.column("step"), pa.int64()),
             "n_users": _pc.cast(b.column("sum(n_users)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def user_first_last(ds, *, n_parts: int = 32):
+    """FIRST_VALUE / LAST_VALUE window per user over the (ts, event_id)
+    total order -> (user_id, first_type, last_type).
+
+    Classic arg_min/arg_max combiner: every batch folds to at most TWO
+    rows per user present (its local extreme events), so the shuffle
+    carries O(users x blocks) tiny partials instead of the event
+    stream; a user-keyed partition pass picks the global extremes.
+    Associative and order-free — no sort of the full stream anywhere."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ["user_id", "min_ts", "min_eid", "first_type",
+                "max_ts", "max_eid", "last_type"]
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "min_ts": pa.array([], pa.int64()),
+                "min_eid": pa.array([], pa.int64()),
+                "first_type": pa.array([], pa.string()),
+                "max_ts": pa.array([], pa.int64()),
+                "max_eid": pa.array([], pa.int64()),
+                "last_type": pa.array([], pa.string())})
+        user = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = b.column("event_type").to_pandas().to_numpy(object)
+        order = np.lexsort((eid, ts, user))
+        u = user[order]
+        first_idx = np.r_[True, u[1:] != u[:-1]]
+        last_idx = np.r_[u[1:] != u[:-1], True]
+        fi, li = order[first_idx], order[last_idx]
+        return pa.table({
+            "user_id": pa.array(u[first_idx]),
+            "min_ts": pa.array(ts[fi]), "min_eid": pa.array(eid[fi]),
+            "first_type": pa.array(et[fi], pa.string()),
+            "max_ts": pa.array(ts[li]), "max_eid": pa.array(eid[li]),
+            "last_type": pa.array(et[li], pa.string())})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "first_type": "object",
+                "last_type": "object"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"user_id": "int64"})
+        lo = df.sort_values(["user_id", "min_ts", "min_eid"],
+                            kind="mergesort") \
+            .groupby("user_id", sort=False, as_index=False).first()
+        hi = df.sort_values(["user_id", "max_ts", "max_eid"],
+                            kind="mergesort") \
+            .groupby("user_id", sort=False, as_index=False).last()
+        return pd.DataFrame({
+            "user_id": lo["user_id"].to_numpy(np.int64),
+            "first_type": lo["first_type"].to_numpy(object),
+            "last_type": hi["last_type"].to_numpy(object)})
+
+    from .dedup import _grouped_by_partition
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _grouped_by_partition(partials, ["user_id"], resolve,
+                                 n_parts=n_parts)

@@ -616,3 +616,28 @@ def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
                                           pa.list_(pa.float64()))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kmeans_assign(ds, centroids: np.ndarray):
+    """Map-side nearest-centroid assignment over normalized cosine
+    (the trained quantizer broadcast ONCE via ray.put, one matmul per
+    batch) -> Dataset (vec_id, cluster).  With kmeans_fit this is the
+    complete distributed clustering pipeline: fit's shuffle carries
+    (k x dim) partial sums, assign moves nothing at all."""
+    import ray
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        cm = ray.get(cent_ref)
+        vecs = _normalize(_stack(batch.column("embedding")))
+        cl = np.argmax(vecs @ cm.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.asarray(
+                batch.column("vec_id").to_pylist(), np.int64)),
+            "cluster": pa.array(cl)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

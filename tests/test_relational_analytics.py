@@ -1056,3 +1056,82 @@ class TestLateShipmentWave:
         # singleton group: pct_rank 0, cume_dist 1 (SQL convention)
         assert out.loc[5, "pct_rank"] == 0.0
         assert out.loc[5, "cume_dist"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFirstLastSkewClusters:
+    def test_user_first_last_tiebreak_and_singleton(self):
+        from pdf_extract_ray.ops.events import user_first_last
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        tbl = pa.table({
+            # user 1: ties on ts -> event_id breaks (first=eid 2, last=
+            # eid 5); user 2: single event
+            "event_id": pa.array([5, 2, 3, 9], pa.int64()),
+            "ts": pa.array([t0, t0, t0 - np.timedelta64(1, "h"), t0],
+                           pa.timestamp("us")).take([1, 1, 3, 3])
+            if False else pa.array(
+                [t0, t0, t0, t0 + np.timedelta64(1, "h")],
+                pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["c", "a", "b", "z"], pa.string())})
+        out = user_first_last(_ds(tbl)).to_pandas().set_index("user_id")
+        assert out.loc[1, "first_type"] == "a"   # eid 2 wins the tie
+        assert out.loc[1, "last_type"] == "c"    # eid 5 is last
+        assert out.loc[2, "first_type"] == "z"
+        assert out.loc[2, "last_type"] == "z"
+
+    def test_grouped_skew_bigint_path_matches_fast_path(self):
+        """Values > 1e6 force the python-int partial; both paths give
+        the same float because the merge math is exact either way."""
+        from pdf_extract_ray.ops.analytics import grouped_skew
+        small = [10, 20, 20, 90]
+        scale = 10_000_000
+        big = [v * scale for v in small]
+        t1 = pa.table({"source": pa.array(["s"] * 4, pa.string()),
+                       "n_chars": pa.array(small, pa.int64())})
+        t2 = pa.table({"source": pa.array(["s"] * 4, pa.string()),
+                       "n_chars": pa.array(big, pa.int64())})
+        a = grouped_skew(_ds(t1), "source", "n_chars").to_pandas()
+        b = grouped_skew(_ds(t2), "source", "n_chars").to_pandas()
+        # skewness is scale-invariant; both must equal the numpy value
+        x = np.array(small, np.float64)
+        m = x.mean()
+        expect = ((x - m) ** 3).mean() / (((x - m) ** 2).mean() ** 1.5)
+        assert float(a["skew"].iloc[0]) == pytest.approx(expect, rel=1e-12)
+        assert float(b["skew"].iloc[0]) == pytest.approx(
+            float(a["skew"].iloc[0]), rel=1e-12)
+
+    def test_grouped_skew_zero_variance_dropped(self):
+        from pdf_extract_ray.ops.analytics import grouped_skew
+        tbl = pa.table({"source": pa.array(["c", "c"], pa.string()),
+                        "n_chars": pa.array([7, 7], pa.int64())})
+        out = grouped_skew(_ds(tbl), "source", "n_chars").to_pandas()
+        assert len(out) == 0
+
+    def test_kmeans_assign_nearest_and_deterministic(self):
+        from pdf_extract_ray.ops.similarity import (kmeans_assign,
+                                                    kmeans_fit)
+        rng = np.random.RandomState(7)
+        # three tight clusters on distinct axes
+        base = np.eye(3)
+        vecs = np.repeat(base, 40, axis=0) + rng.normal(
+            0, 0.05, (120, 3))
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(120), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs])})
+        cent = kmeans_fit(_ds(tbl), k=3, iters=5, sample_keep=97,
+                          sample_mod=97)  # keep every row
+        out1 = kmeans_assign(_ds(tbl), cent).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        out2 = kmeans_assign(_ds(tbl), cent).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert out1.equals(out2)
+        # every true cluster maps to one label, and labels differ
+        lab = out1.cluster.to_numpy()
+        g = [set(lab[i * 40:(i + 1) * 40]) for i in range(3)]
+        assert all(len(s) == 1 for s in g)
+        assert len(set.union(*g)) == 3
+        # nearest-centroid invariant
+        cm = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        assert (np.argmax(vn @ cm.T, axis=1) == lab).all()
