@@ -2012,6 +2012,17 @@ def _q_embedding_clusters(sf_dir: str):
     return kmeans_assign(ds, cent)
 
 
+def _q_lm_buckets(sf_dir: str):
+    """CCNet head/middle/tail tiers: per-language NTILE(3) over the
+    unigram-LM bits-per-token score (broadcast model + broadcast tile
+    histogram; the only row shuffle hashes (lang, score)).  Iterative
+    model fit -> rows-only; NTILE balance + ordering in tests
+    (ops/textstats.lm_buckets)."""
+    from pdf_extract_ray.ops.textstats import lm_buckets
+    return lm_buckets(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2085,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": _q_user_first_last,
         "chars_skew_by_source": _q_chars_skew_by_source,
         "embedding_clusters": _q_embedding_clusters,
+        "lm_buckets": _q_lm_buckets,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,

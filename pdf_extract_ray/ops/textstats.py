@@ -237,7 +237,8 @@ def bpe_token_counts(ds):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
-def lm_perplexity_scores(ds, *, vocab_k: int = 50_000):
+def lm_perplexity_scores(ds, *, vocab_k: int = 50_000,
+                         keep_cols: tuple = ()):
     """CCNet-style quality signal: per-doc mean negative log2 probability
     under a corpus unigram model -> (doc_id, lm_bits_per_token).
 
@@ -276,6 +277,7 @@ def lm_perplexity_scores(ds, *, vocab_k: int = 50_000):
         n = b.num_rows
         if n == 0:
             return pa.table({"doc_id": b.column("doc_id"),
+                             **{c: b.column(c) for c in keep_cols},
                              "lm_bits_per_token": pa.array([],
                                                            pa.float64())})
         words = pc.split_pattern(b.column("text"), pattern=" ")
@@ -295,9 +297,51 @@ def lm_perplexity_scores(ds, *, vocab_k: int = 50_000):
         counts = cn[off[1:]] - cn[off[:-1]]
         out = np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
         return pa.table({"doc_id": b.column("doc_id"),
+                         **{c: b.column(c) for c in keep_cols},
                          "lm_bits_per_token": pa.array(out, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_buckets(ds, *, vocab_k: int = 50_000, k: int = 3):
+    """CCNet-style head/middle/tail corpus split: per LANGUAGE, docs are
+    NTILE(k)-bucketed by unigram-LM bits-per-token (head = most
+    stereotypical / lowest bits) -> (doc_id, lang, lm_bits_q, bucket).
+
+    Composition of two scale-shaped stages: lm_perplexity_scores (tiny
+    broadcast model, pure map) then ops/analytics.grouped_ntile over the
+    score quantized to integer micro-bits (deterministic total order
+    (lm_bits_q, doc_id) — no float boundary ambiguity).  Per-language
+    bucket sizes differ by at most one (the SQL NTILE guarantee), which
+    is what makes the split usable as reproducible train-data tiers."""
+    from .analytics import grouped_ntile
+
+    scored = lm_perplexity_scores(ds, vocab_k=vocab_k,
+                                  keep_cols=("lang",))
+
+    def quantize(b: pa.Table) -> pa.Table:
+        bits = b.column("lm_bits_per_token").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "lang": pc.cast(b.column("lang"), pa.string()),
+            "lm_bits_q": pa.array(np.rint(bits * 1e6).astype(np.int64))})
+
+    tiles = grouped_ntile(scored.map_batches(quantize,
+                                             batch_format="pyarrow"),
+                          "lang", "lm_bits_q", "doc_id", k=k)
+    names = {1: "head", 2: "middle", 3: "tail"}
+
+    def label(b: pa.Table) -> pa.Table:
+        t = b.column("tile").to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "lang": pc.cast(b.column("lang"), pa.string()),
+            "lm_bits_q": pc.cast(b.column("lm_bits_q"), pa.int64()),
+            "bucket": pa.array([names.get(v, str(v)) for v in t],
+                               pa.string())})
+
+    return tiles.map_batches(label, batch_format="pyarrow")
 
 
 # PII redaction patterns (RE2 — identical semantics in pyarrow.compute

@@ -303,3 +303,34 @@ def test_resize_images_real_and_fallback(ray_session):
     out2 = resize_images(ray.data.from_arrow(t2), width=2,
                          height=2).to_pandas()
     assert out2.iloc[0].status.startswith("error")
+
+
+def test_lm_buckets_balance_and_ordering(ray_session):
+    """Per-language NTILE(3) balance (sizes differ <= 1) and order:
+    every head doc scores <= every tail doc within its language."""
+    import ray
+    from pdf_extract_ray.ops.textstats import lm_buckets
+    common = "the cat sat on the mat " * 5
+    rare = "zyx qwv jjk plo uhg bnm " * 5
+    texts, langs = [], []
+    for i in range(8):
+        texts.append(common if i < 5 else rare)
+        langs.append("en")
+    for i in range(4):
+        texts.append(common if i < 2 else rare)
+        langs.append("fr")
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())})
+    out = lm_buckets(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == len(texts)
+    for lang, sub in out.groupby("lang"):
+        sizes = sub["bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        head_max = sub.loc[sub.bucket == "head", "lm_bits_q"].max()
+        tail_min = sub.loc[sub.bucket == "tail", "lm_bits_q"].min()
+        assert head_max <= tail_min
+    # the repeated-common-word docs are the most stereotypical -> head
+    en = out[out.lang == "en"].set_index("doc_id")
+    assert set(en.loc[[0, 1, 2], "bucket"]) == {"head"}
