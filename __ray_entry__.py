@@ -2023,6 +2023,26 @@ def _q_lm_buckets(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus top-100 word bigrams: vectorized per-batch partial counts,
+    one bounded gram groupby, partial top-k, tiny driver merge — the
+    word_frequencies shape one n up (ops/analytics.ngram_frequencies)."""
+    from pdf_extract_ray.ops.analytics import ngram_frequencies
+    return ngram_frequencies(
+        _read(sf_dir, "documents", columns=["text"]), "text", k=100)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE merge-rule learning: the corpus-sized pass is the distributed
+    word-frequency aggregate; the merge loop runs on that BOUNDED
+    (word, count) table (the standard Sennrich formulation).  Iterative
+    -> rows-only; known-corpus merge-sequence tests
+    (ops/textstats.bpe_learn)."""
+    from pdf_extract_ray.ops.textstats import bpe_learn
+    return bpe_learn(_read(sf_dir, "documents", columns=["text"]),
+                     n_merges=30, vocab_k=10_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2097,6 +2117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_skew_by_source": _q_chars_skew_by_source,
         "embedding_clusters": _q_embedding_clusters,
         "lm_buckets": _q_lm_buckets,
+        "top_bigrams": _q_top_bigrams,
+        "bpe_merges": _q_bpe_merges,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
@@ -2959,6 +2981,22 @@ def oracle_sql() -> dict[str, str]:
                                  AND UNBOUNDED FOLLOWING)
                        AS last_type
             FROM events
+        """,
+        "top_bigrams": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(ws) AS word,
+                         generate_subscripts(ws, 1) AS pos FROM t),
+            w AS (SELECT doc_id, word,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS rn
+                  FROM u WHERE word <> ''),
+            g AS (SELECT a.word || ' ' || b.word AS gram
+                  FROM w a JOIN w b
+                    ON b.doc_id = a.doc_id AND b.rn = a.rn + 1)
+            SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY gram
+            ORDER BY n DESC, gram ASC LIMIT 100
         """,
         "chars_skew_by_source": """
             WITH m AS (

@@ -610,3 +610,63 @@ def grouped_skew(ds, group_col: str, value_col: str):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(partials, [group_col], merge,
                                  n_parts=8)
+
+
+def ngram_frequencies(ds, text_col: str = "text", k: int = 100):
+    """Corpus top-k word BIGRAMS (count desc, gram asc tie-break) ->
+    pa.Table (gram, n).  Adjacency is over each doc's empty-filtered
+    word sequence (split on single spaces), mirroring the SQL
+    row_number-then-self-join definition exactly.
+
+    Same scale shape as word_frequencies: per-batch vectorized partial
+    counts (one flatten + one shifted comparison, no per-word Python),
+    one bounded groupby over distinct grams, per-block partial top-k,
+    tiny driver merge."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words = pc.split_pattern(b.column(text_col), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        off = off - off[0]
+        flat = words.flatten().to_pandas().to_numpy(object)
+        doc = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        ne = np.fromiter((len(w) > 0 for w in flat), bool, len(flat))
+        w, d = flat[ne], doc[ne]
+        if len(w) < 2:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = d[1:] == d[:-1]
+        grams = pd.Series(w[:-1][adj]).str.cat(
+            pd.Series(w[1:][adj]), sep=" ")
+        vc = grams.value_counts()
+        return pa.table({
+            "gram": pa.array(vc.index.to_numpy(object), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64))})
+
+    summed = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("n"))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        grams = np.asarray(b.column("gram").to_pylist(), dtype=object)
+        n = np.asarray(b.column("sum(n)").to_pylist(), dtype=np.int64)
+        idx = np.lexsort((grams, -n))[:k]
+        return pa.table({"gram": pa.array(grams[idx].tolist(),
+                                          pa.string()),
+                         "n": pa.array(n[idx], pa.int64())})
+
+    cands = []
+    for b in summed.map_batches(partial_topk, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        cands.extend(zip(b.column("gram").to_pylist(),
+                         b.column("n").to_pylist()))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    top = cands[:k]
+    return pa.table({"gram": pa.array([g for g, _ in top], pa.string()),
+                     "n": pa.array([n for _, n in top], pa.int64())})

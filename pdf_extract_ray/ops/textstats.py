@@ -375,3 +375,58 @@ def redact_pii(ds, text_col: str = "text"):
                             text_col, t)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def bpe_learn(ds, *, n_merges: int = 50, vocab_k: int = 10_000):
+    """Byte-pair-encoding merge-rule learning (sentencepiece-style) ->
+    pa.Table (merge_rank, left, right, pair_count).
+
+    The corpus-sized work is the DISTRIBUTED word-frequency aggregate
+    (ops/analytics.word_frequencies: per-batch Counter combine, one
+    bounded groupby, partial top-k); BPE's merge loop then runs on that
+    BOUNDED (word -> count) table — the standard formulation (Sennrich
+    et al. 2016 trains on exactly this table), so the driver step is
+    O(vocab_k), independent of corpus size, like the IVF seeding.
+    Deterministic: pair ties break lexicographically.  Words are
+    space-split; each word ends with the '</w>' end-of-word symbol."""
+    from .analytics import word_frequencies
+
+    vocab = word_frequencies(ds, "text", k=vocab_k)
+    words = vocab.column("word").to_pylist()
+    counts = vocab.column("n").to_pylist()
+    seqs = [tuple(w) + ("</w>",) for w in words]
+
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for seq, c in zip(seqs, counts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        joined = left + right
+        new_seqs = []
+        for seq in seqs:
+            out, i, n = [], 0, len(seq)
+            while i < n:
+                if (i + 1 < n and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+
+    return pa.table({
+        "merge_rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64())})

@@ -334,3 +334,47 @@ def test_lm_buckets_balance_and_ordering(ray_session):
     # the repeated-common-word docs are the most stereotypical -> head
     en = out[out.lang == "en"].set_index("doc_id")
     assert set(en.loc[[0, 1, 2], "bucket"]) == {"head"}
+
+
+def test_ngram_frequencies_adjacency_and_tiebreak(ray_session):
+    """Bigrams form over the empty-filtered sequence (double spaces do
+    not break adjacency) and the top-k tie-break is gram asc."""
+    import ray
+    from pdf_extract_ray.ops.analytics import ngram_frequencies
+    t = pa.table({"text": pa.array(
+        ["a b  c", "a b", "z z", "b c"], pa.string())})
+    out = ngram_frequencies(ray.data.from_arrow(t), "text", k=3)
+    got = list(zip(out.column("gram").to_pylist(),
+                   out.column("n").to_pylist()))
+    # counts: "a b" 2, "b c" 2 ("a b  c" bridges the double space), "z z" 1
+    assert got == [("a b", 2), ("b c", 2), ("z z", 1)]
+
+
+def test_bpe_learn_known_sequence(ray_session):
+    """Classic BPE example: corpus where 'ab' is the dominant pair."""
+    import ray
+    from pdf_extract_ray.ops.textstats import bpe_learn
+    # words: "abab" x3, "ab" x2  (via repeated docs)
+    t = pa.table({"text": pa.array(
+        ["abab abab abab ab ab"], pa.string())})
+    out = bpe_learn(ray.data.from_arrow(t), n_merges=3).to_pandas()
+    # merge 1: (a,b) count = 2*3 + 1*2 = 8
+    assert (out.loc[0, "left"], out.loc[0, "right"]) == ("a", "b")
+    assert int(out.loc[0, "pair_count"]) == 8
+    # merge 2: (ab,ab) in "abab" -> 3; (ab,</w>) -> 3+2=5 wait:
+    # after merge1 seqs: (ab,ab,</w>) c3 ; (ab,</w>) c2
+    # pairs: (ab,ab)=3, (ab,</w>)=3+2=5 -> merge 2 = (ab,</w>) 5
+    assert (out.loc[1, "left"], out.loc[1, "right"]) == ("ab", "</w>")
+    assert int(out.loc[1, "pair_count"]) == 5
+    # after merge2: (ab,ab</w>) c3 ; (ab</w>) c2 -> merge 3 (ab,ab</w>)=3
+    assert (out.loc[2, "left"], out.loc[2, "right"]) == ("ab", "ab</w>")
+    assert int(out.loc[2, "pair_count"]) == 3
+
+
+def test_bpe_learn_stops_below_two(ray_session):
+    import ray
+    from pdf_extract_ray.ops.textstats import bpe_learn
+    t = pa.table({"text": pa.array(["xy"], pa.string())})
+    out = bpe_learn(ray.data.from_arrow(t), n_merges=10).to_pandas()
+    # every pair occurs once -> no merge with count >= 2
+    assert len(out) == 0
