@@ -2043,6 +2043,32 @@ def _q_bpe_merges(sf_dir: str):
                      n_merges=30, vocab_k=10_000)
 
 
+def _q_significant_parts(sf_dir: str):
+    """TPC-H Q11 shape (adapted: value = one nation's suppliers'
+    lineitem revenue per part; scale-free gate: parts above 2x the
+    mean part value): broadcast supplier set, one partkey groupby,
+    integer cross-multiplied HAVING gate
+    (ops/relational.significant_parts)."""
+    from pdf_extract_ray.ops.relational import significant_parts
+    return significant_parts(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation_key=3, mean_mult=2)
+
+
+def _q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (adapted: supplier dominates a part when it
+    shipped >1/5 of its total quantity): one partkey pass computes both
+    per-(part,supp) and per-part totals locally
+    (ops/relational.dominant_suppliers)."""
+    from pdf_extract_ray.ops.relational import dominant_suppliers
+    return dominant_suppliers(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2119,6 +2145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_buckets": _q_lm_buckets,
         "top_bigrams": _q_top_bigrams,
         "bpe_merges": _q_bpe_merges,
+        "significant_parts": _q_significant_parts,
+        "dominant_suppliers": _q_dominant_suppliers,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
@@ -2981,6 +3009,36 @@ def oracle_sql() -> dict[str, str]:
                                  AND UNBOUNDED FOLLOWING)
                        AS last_type
             FROM events
+        """,
+        "significant_parts": """
+            WITH v AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100, 0)
+                                            AS BIGINT))) AS BIGINT)
+                         AS value_c4
+              FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              WHERE s_nationkey = 3
+              GROUP BY l_partkey),
+            t AS (SELECT sum(CAST(value_c4 AS HUGEINT)) AS total,
+                         count(*) AS n_parts FROM v)
+            SELECT p_partkey, value_c4
+            FROM v, t
+            WHERE n_parts * CAST(value_c4 AS HUGEINT) > 2 * total
+        """,
+        "dominant_suppliers": """
+            WITH pq AS (
+              SELECT l_partkey AS k, l_suppkey AS s,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS q
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT k, sum(q) AS tq FROM pq GROUP BY k)
+            SELECT CAST(pq.s AS BIGINT) AS s_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_parts_dominated
+            FROM pq JOIN tot ON tot.k = pq.k
+            WHERE 5 * pq.q > tot.tq
+            GROUP BY pq.s
         """,
         "top_bigrams": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

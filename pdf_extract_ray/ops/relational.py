@@ -2203,3 +2203,126 @@ def sole_late_supplier(lineitem_ds, orders_ds, *, late_days: int = 90,
             "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
             "numwait": pc.cast(b.column("sum(numwait)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def significant_parts(lineitem_ds, supplier_ds, *,
+                      nation_key: int = 3, mean_mult: int = 2,
+                      num_partitions=None):
+    """TPC-H Q11 shape (adapted: no partsupp table, so "inventory
+    value" = revenue ext*(1-disc) of lineitems supplied by one
+    nation's suppliers; Q11's fixed-fraction cutoff is scale-dependent
+    — at 10x the parts each share shrinks 10x — so the gate is
+    scale-FREE: parts worth more than `mean_mult`x the mean part
+    value) -> (p_partkey, value_c4).
+
+    One broadcast (the nation's supplier set) prunes the fact map-side;
+    ONE partkey groupby over exact-int partials gives per-part values;
+    the grand total and part count fold from that BOUNDED aggregate
+    (distinct parts, not rows), and the HAVING gate is the integer
+    cross-multiplication n_parts * value > mean_mult * total — no
+    float boundary."""
+    from ray.data.aggregate import Sum
+    num_partitions = _cap_partitions(num_partitions)
+    s_rows = supplier_ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.cast(b.column("s_nationkey"),
+                                            pa.int64()),
+                                    nation_key))
+                   .select(["s_suppkey"]),
+        batch_format="pyarrow").take_all()
+    sk = np.sort(np.array([r["s_suppkey"] for r in s_rows], np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sup = pc.cast(b.column("l_suppkey"), pa.int64()).to_numpy()
+        if len(sk):
+            idx = np.searchsorted(sk, sup)
+            idx[idx >= len(sk)] = 0
+            m = sk[idx] == sup
+        else:
+            m = np.zeros(len(sup), bool)
+        ext_c2 = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        disc_c2 = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "p_partkey": pc.cast(b.column("l_partkey"),
+                                 pa.int64()).to_numpy()[m],
+            "value_c4": ext_c2 * (100 - disc_c2)}) \
+            .groupby("p_partkey", sort=False, as_index=False).sum()
+        return pa.table({
+            "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+            "value_c4": pa.array(g["value_c4"].to_numpy(np.int64))})
+
+    per_part = lineitem_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_partkey").aggregate(Sum("value_c4")).materialize()
+    vals = [r["sum(value_c4)"] for r in
+            per_part.select_columns(["sum(value_c4)"]).take_all()]
+    total, n_parts = sum(vals), len(vals)
+
+    def gate(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column("sum(value_c4)"), pa.int64()).to_numpy()
+        if len(v) == 0:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "value_c4": pa.array([], pa.int64())})
+        keep = np.fromiter((n_parts * int(x) > mean_mult * total
+                            for x in v), bool, len(v))
+        return pa.table({
+            "p_partkey": pa.array(pc.cast(
+                b.column("p_partkey"), pa.int64()).to_numpy()[keep]),
+            "value_c4": pa.array(v[keep])})
+
+    return per_part.map_batches(gate, batch_format="pyarrow")
+
+
+def dominant_suppliers(lineitem_ds, *, share_inv: int = 5,
+                       num_partitions=None):
+    """TPC-H Q20 shape (adapted: no partsupp, so "excess availability"
+    = a supplier shipped MORE THAN 1/`share_inv` of a part's total
+    shipped quantity — 1/5 by default, well above the 1/10 fair share
+    of the synthetic supplier pool): per supplier, how many parts they
+    dominate -> (s_suppkey, n_parts_dominated).
+
+    ONE partkey-hash partition pass computes per-(part, supplier)
+    quantity AND the part total locally (all rows of a part co-locate),
+    emitting dominated pairs under the integer-exact gate
+    share_inv * supp_qty > total_qty; a supplier-keyed count merges.
+    No joins, no broadcast, one row-level shuffle of (part, supp, qty)
+    triples pre-combined per batch."""
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "key": pc.cast(b.column("l_partkey"), pa.int64()).to_numpy(),
+            "supp": pc.cast(b.column("l_suppkey"),
+                            pa.int64()).to_numpy(),
+            "qty": b.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64)}) \
+            .groupby(["key", "supp"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s_suppkey": "int64", "n_parts_dominated": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby(["key", "supp"], sort=False,
+                       as_index=False)["qty"].sum()
+        tot = g.groupby("key", sort=False)["qty"].transform("sum")
+        dom = g[share_inv * g["qty"].to_numpy(np.int64)
+                > tot.to_numpy(np.int64)]
+        out = dom.groupby("supp", sort=False).size() \
+            .to_frame("n_parts_dominated").reset_index() \
+            .rename(columns={"supp": "s_suppkey"})
+        return out.astype(cols)
+
+    partials = _grouped_by_partition(
+        lineitem_ds.map_batches(pre, batch_format="pyarrow"),
+        ["key"], resolve, n_parts=num_partitions)
+    agg = partials.groupby("s_suppkey").aggregate(
+        Sum("n_parts_dominated"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "n_parts_dominated": pc.cast(
+                b.column("sum(n_parts_dominated)"), pa.int64())}),
+        batch_format="pyarrow")

@@ -1135,3 +1135,46 @@ class TestFirstLastSkewClusters:
         cm = cent / np.linalg.norm(cent, axis=1, keepdims=True)
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         assert (np.argmax(vn @ cm.T, axis=1) == lab).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ11Q20Shapes:
+    def test_significant_parts_mean_gate_strict(self):
+        """Gate is strict >: a part exactly AT mean_mult x mean is out."""
+        from pdf_extract_ray.ops.relational import significant_parts
+        # nation-3 suppliers: 7, 8.  values (c4 = price_c2 * 100 at
+        # disc 0): parts 1..4 -> 100, 100, 100, 500 -> total 800,
+        # n=4, gate: 4*v > 2*800 -> v > 400 -> only part 4.
+        li = pa.table({
+            "l_partkey": pa.array([1, 2, 3, 4, 9], pa.int64()),
+            "l_suppkey": pa.array([7, 7, 8, 8, 5], pa.int64()),
+            "l_extendedprice": pa.array([1.0, 1.0, 1.0, 5.0, 99.0]),
+            "l_discount": pa.array([0.0] * 5)})
+        supp = pa.table({
+            "s_suppkey": pa.array([5, 7, 8], pa.int64()),
+            "s_nationkey": pa.array([1, 3, 3], pa.int64())})
+        out = significant_parts(_ds(li), _ds(supp), nation_key=3,
+                                mean_mult=2).to_pandas()
+        assert out.p_partkey.tolist() == [4]
+        # exactly at the boundary: make part 4 worth 400 -> empty…
+        li2 = pa.table({
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_suppkey": pa.array([7, 7], pa.int64()),
+            "l_extendedprice": pa.array([1.0, 1.0]),
+            "l_discount": pa.array([0.0, 0.0])})
+        out2 = significant_parts(_ds(li2), _ds(supp), nation_key=3,
+                                 mean_mult=2).to_pandas()
+        assert len(out2) == 0  # both parts equal the mean, 2x gate out
+
+    def test_dominant_suppliers_share_gate(self):
+        from pdf_extract_ray.ops.relational import dominant_suppliers
+        # part 1: qtys supp7=30, supp8=70 -> shares 30/70%; with
+        # share_inv=2 (majority) only supp8; boundary: part 2 split
+        # 50/50 -> nobody (strict >)
+        li = pa.table({
+            "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([7, 8, 7, 8], pa.int64()),
+            "l_quantity": pa.array([30.0, 70.0, 5.0, 5.0])})
+        out = dominant_suppliers(_ds(li), share_inv=2).to_pandas()
+        assert {int(r.s_suppkey): int(r.n_parts_dominated)
+                for r in out.itertuples()} == {8: 1}
