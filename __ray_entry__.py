@@ -2069,6 +2069,15 @@ def _q_dominant_suppliers(sf_dir: str):
               columns=["l_partkey", "l_suppkey", "l_quantity"]))
 
 
+def _q_source_vocab_stats(sf_dir: str):
+    """Type-token ratio per source: map-side (source, word) pair dedup
+    before the shuffle, one bounded vocab groupby, bit-identical
+    int/int ttr double (ops/analytics.source_vocab_stats)."""
+    from pdf_extract_ray.ops.analytics import source_vocab_stats
+    return source_vocab_stats(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2147,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "significant_parts": _q_significant_parts,
         "dominant_suppliers": _q_dominant_suppliers,
+        "source_vocab_stats": _q_source_vocab_stats,
         "chars_mad_by_source": _q_chars_mad_by_source,
         "pack_sequences": _q_pack_sequences,
         "chars_quartiles_by_source": _q_chars_quartiles_by_source,
@@ -3009,6 +3019,18 @@ def oracle_sql() -> dict[str, str]:
                                  AND UNBOUNDED FOLLOWING)
                        AS last_type
             FROM events
+        """,
+        "source_vocab_stats": """
+            WITH t AS (SELECT source, string_split(text, ' ') AS ws
+                       FROM documents),
+            u AS (SELECT source, unnest(ws) AS word FROM t),
+            w AS (SELECT source, word FROM u WHERE word <> '')
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+                   CAST(count(DISTINCT word) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS ttr
+            FROM w GROUP BY source
         """,
         "significant_parts": """
             WITH v AS (

@@ -127,7 +127,14 @@ def run_ops(sf_dir: str):
              "funnel_counts", "langs_per_source", "pack_sequences",
              "order_event_range_counts", "doc_pagerank",
              "orders_by_month", "local_supplier_volume",
-             "nation_pair_volume", "image_resize", "chars_mad_by_source"]
+             "nation_pair_volume", "image_resize", "chars_mad_by_source",
+             "discount_revenue", "small_qty_revenue", "market_share",
+             "profit_by_nation", "late_priority_counts",
+             "sole_late_supplier", "significant_parts",
+             "dominant_suppliers", "chars_ntile_by_source",
+             "chars_pct_rank", "user_first_last", "chars_skew_by_source",
+             "distinct_users_per_type", "top_bigrams", "bpe_merges",
+             "lm_buckets", "embedding_clusters", "source_vocab_stats"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

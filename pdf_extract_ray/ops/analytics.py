@@ -670,3 +670,70 @@ def ngram_frequencies(ds, text_col: str = "text", k: int = 100):
     top = cands[:k]
     return pa.table({"gram": pa.array([g for g, _ in top], pa.string()),
                      "n": pa.array([n for _, n in top], pa.int64())})
+
+
+def source_vocab_stats(ds, group_col: str = "source",
+                       text_col: str = "text"):
+    """Lexical-diversity report per source: total words, distinct words
+    and type-token ratio -> (source, n_words, n_distinct, ttr).
+
+    Scale shape: each batch explodes to (source, word) pairs but
+    DEDUPLICATES them per batch before the shuffle (map-side combine
+    carrying per-batch pair counts), so the exchange moves at most
+    n_blocks x |local vocab| rows; one (source, word) groupby sums,
+    then a bounded per-source fold.  ttr = n_distinct/n_words is one
+    int64/int64 double division — bit-identical vs SQL."""
+    from ray.data.aggregate import Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        words = pc.split_pattern(b.column(text_col), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        off = off - off[0]
+        flat = words.flatten().to_pandas().to_numpy(object)
+        src = np.repeat(b.column(group_col).to_pandas()
+                        .to_numpy(object), np.diff(off))
+        ne = np.fromiter((len(w) > 0 for w in flat), bool, len(flat))
+        g = pd.DataFrame({group_col: src[ne], "word": flat[ne]}) \
+            .groupby([group_col, "word"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            group_col: pa.array(idx[group_col], pa.string()),
+            "word": pa.array(idx["word"], pa.string()),
+            "cnt": pa.array(g.to_numpy(np.int64))})
+
+    per_word = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby([group_col, "word"]).aggregate(Sum("cnt"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas(),
+            "n_words": pc.cast(b.column("sum(cnt)"),
+                               pa.int64()).to_numpy(),
+            "n_distinct": 1}) \
+            .groupby(group_col, sort=False, as_index=False).sum()
+        return pa.table({
+            group_col: pa.array(g[group_col], pa.string()),
+            "n_words": pa.array(g["n_words"].to_numpy(np.int64)),
+            "n_distinct": pa.array(g["n_distinct"].to_numpy(np.int64))})
+
+    agg = per_word.map_batches(fold, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n_words"), Sum("n_distinct"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nw = pc.cast(b.column("sum(n_words)"), pa.int64()).to_numpy()
+        nd = pc.cast(b.column("sum(n_distinct)"), pa.int64()).to_numpy()
+        return pa.table({
+            group_col: pc.cast(b.column(group_col), pa.string()),
+            "n_words": pa.array(nw),
+            "n_distinct": pa.array(nd),
+            "ttr": pa.array(nd.astype(np.float64)
+                            / np.maximum(nw, 1).astype(np.float64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

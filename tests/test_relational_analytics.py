@@ -1178,3 +1178,20 @@ class TestQ11Q20Shapes:
         out = dominant_suppliers(_ds(li), share_inv=2).to_pandas()
         assert {int(r.s_suppkey): int(r.n_parts_dominated)
                 for r in out.itertuples()} == {8: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceVocabStats:
+    def test_counts_and_ttr(self):
+        from pdf_extract_ray.ops.analytics import source_vocab_stats
+        tbl = pa.table({
+            "source": pa.array(["a", "a", "b"], pa.string()),
+            "text": pa.array(["x y  x", "y z", ""], pa.string())})
+        out = source_vocab_stats(_ds(tbl)).to_pandas() \
+            .set_index("source")
+        # source a: words x,y,x,y,z -> n=5, distinct {x,y,z}=3
+        assert int(out.loc["a", "n_words"]) == 5
+        assert int(out.loc["a", "n_distinct"]) == 3
+        assert float(out.loc["a", "ttr"]) == 3.0 / 5.0
+        # source b: empty text -> no words -> no row
+        assert "b" not in out.index
