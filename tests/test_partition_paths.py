@@ -30,7 +30,11 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "top_return_customers", "min_cost_supplier",
            "disjunctive_part_revenue", "funnel_counts",
            "local_supplier_volume", "order_event_range_counts",
-           "nation_pair_volume"]
+           "nation_pair_volume", "small_qty_revenue", "market_share",
+           "profit_by_nation", "late_priority_counts",
+           "sole_late_supplier", "chars_ntile_by_source",
+           "user_first_last", "chars_skew_by_source",
+           "dominant_suppliers"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
@@ -50,7 +54,7 @@ def test_small_and_shuffle_paths_agree(name):
 
     def run():
         res = q(SF)
-        if hasattr(res, "iter_batches"):
+        if hasattr(res, "to_pandas"):  # Dataset or pa.Table
             res = res.to_pandas()
         return _canon(pd.DataFrame(res))
 
