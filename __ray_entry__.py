@@ -2078,6 +2078,30 @@ def _q_source_vocab_stats(sf_dir: str):
         _read(sf_dir, "documents", columns=["source", "text"]))
 
 
+def _q_audio_resample(sf_dir: str):
+    """Audio resample stage over REAL deterministic WAV payloads:
+    stdlib decode, mono downmix, linear-interp resample 8 kHz -> 4 kHz,
+    raw int16 PCM out (ops/multimodal.resample_audio; deterministic
+    fake for non-WAV keeps the stage total)."""
+    from pdf_extract_ray.ops.codecs import encode_wav
+    from pdf_extract_ray.ops.multimodal import resample_audio
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch.column("doc_id").to_pylist():
+            n = 800 + (d % 5) * 400
+            t = np.arange(n, dtype=np.float64)
+            wave = 0.4 * np.sin(2 * np.pi * (110 + d % 440) * t / 8000.0)
+            payloads.append(encode_wav(wave.reshape(-1, 1), 8000))
+        return pa.table({
+            "item_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    items = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(to_payload, batch_format="pyarrow")
+    return resample_audio(items, target_rate=4000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2211,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _q_image_resize,
         "ann_recall_report": _q_ann_recall_report,
         "audio_features": _q_audio_features,
+        "audio_resample": _q_audio_resample,
         "frame_samples": _q_frame_samples,
     }
 

@@ -339,3 +339,93 @@ def resize_images(ds, *, width: int = 32, height: int = 32,
         return task_udf(ResizeImageBatch, width=width, height=height)(batch)
     return ds.map_batches(fn, batch_size=batch_size,
                           batch_format="pyarrow")
+
+
+RESAMPLED_AUDIO_SCHEMA = pa.schema([
+    pa.field("item_id", pa.int64()),
+    pa.field("sample_rate", pa.int32()),
+    pa.field("n_samples", pa.int32()),
+    pa.field("pcm16", pa.binary()),
+    pa.field("status", pa.string()),
+])
+
+
+class ResampleAudioBatch:
+    """Actor-pool audio resample stage: REAL decode for PCM WAV (stdlib
+    wave), downmix to mono, LINEAR-interpolation resample to
+    `target_rate` (one np.interp per clip — the standard polyphase-free
+    baseline), emit raw little-endian int16 PCM.  Non-WAV payloads emit
+    a DETERMINISTIC hash-seeded PCM clip (status='fake') so the stage
+    stays total — swap the decoder in production without changing the
+    contract."""
+
+    def __init__(self, target_rate: int = 4000):
+        # production: codec context / resampler state loads ONCE here
+        self.target_rate = int(target_rate)
+
+    def _resample(self, mono: np.ndarray, rate: int) -> np.ndarray:
+        if len(mono) == 0 or rate == self.target_rate:
+            return mono
+        n_out = int((len(mono) - 1) * self.target_rate / rate) + 1
+        pos = np.arange(n_out, dtype=np.float64) * (rate /
+                                                    self.target_rate)
+        return np.interp(pos, np.arange(len(mono), dtype=np.float64),
+                         mono)
+
+    def _fallback(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload).digest()
+        seed = np.frombuffer(digest, np.uint8).astype(np.float64)
+        n = self.target_rate // 4
+        return np.resize(seed / 255.0 - 0.5, n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates, ns, pcms, status = [], [], [], []
+        for payload in payloads:
+            payload = payload or b""
+            try:
+                if not payload:
+                    raise ValueError("empty audio payload")
+                if sniff_media(payload) == "wav":
+                    samples, rate, _sw = decode_wav(payload)
+                    mono = samples.mean(axis=1)
+                    out, st = self._resample(mono, rate), "ok"
+                else:
+                    out, st = self._fallback(payload), "fake"
+                pcm = np.clip(np.rint(out * 32767.0), -32768,
+                              32767).astype("<i2")
+                rates.append(self.target_rate)
+                ns.append(len(pcm))
+                pcms.append(pcm.tobytes())
+                status.append(st)
+            except Exception as e:
+                rates.append(0)
+                ns.append(0)
+                pcms.append(b"")
+                status.append(f"error: {type(e).__name__}")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(rates, pa.int32()),
+             pa.array(ns, pa.int32()), pa.array(pcms, pa.binary()),
+             pa.array(status, pa.string())],
+            schema=RESAMPLED_AUDIO_SCHEMA)
+
+
+def resample_audio(ds, *, target_rate: int = 4000, batch_size: int = 8,
+                   concurrency=None):
+    """Large binary payloads -> SMALL batches (the multimodal sizing
+    rule); actor pool when `concurrency` is given, warm task singleton
+    otherwise."""
+    if concurrency is not None:
+        return ds.map_batches(ResampleAudioBatch,
+                              fn_constructor_kwargs={
+                                  "target_rate": target_rate},
+                              batch_size=batch_size,
+                              batch_format="pyarrow",
+                              concurrency=concurrency)
+    from ..util import task_udf
+
+    def fn(batch):
+        return task_udf(ResampleAudioBatch, target_rate=target_rate)(batch)
+    return ds.map_batches(fn, batch_size=batch_size,
+                          batch_format="pyarrow")

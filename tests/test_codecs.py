@@ -184,3 +184,48 @@ class TestCodecFuzz:
         out = image_features(ray.data.from_arrow(t)).to_pandas()
         assert len(out) == 2
         assert all(s.startswith("error") for s in out.status)
+
+
+class TestResampleAudio:
+    def test_linear_resample_preserves_tone_and_halves_length(self):
+        import ray
+        from pdf_extract_ray.ops.codecs import encode_wav
+        from pdf_extract_ray.ops.multimodal import resample_audio
+        n, rate, freq = 1600, 8000, 200.0
+        t = np.arange(n, dtype=np.float64)
+        wave = 0.4 * np.sin(2 * np.pi * freq * t / rate)
+        tbl = pa.table({
+            "item_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(wave.reshape(-1, 1), rate), b"not a wav"],
+                pa.binary())})
+        out = resample_audio(ray.data.from_arrow(tbl),
+                             target_rate=4000).to_pandas() \
+            .set_index("item_id")
+        row = out.loc[1]
+        assert row.status == "ok"
+        assert int(row.sample_rate) == 4000
+        # n_out = (1600-1)//2 + 1 = 800
+        assert int(row.n_samples) == 800
+        pcm = np.frombuffer(row.pcm16, dtype="<i2").astype(np.float64) \
+            / 32767.0
+        # exact linear-interp reference
+        pos = np.arange(800, dtype=np.float64) * 2.0
+        ref = np.interp(pos, t, wave)
+        assert np.max(np.abs(pcm - ref)) < 1.0 / 32000  # int16 rounding
+        # dominant FFT bin stays at 200 Hz
+        spec = np.abs(np.fft.rfft(pcm))
+        peak_hz = np.argmax(spec[1:]) + 1
+        assert abs(peak_hz * 4000 / 800 - freq) < 6.0
+        # non-wav payload -> deterministic fake, still total
+        assert out.loc[2].status == "fake"
+        assert int(out.loc[2].n_samples) == 1000
+
+    def test_empty_payload_is_error_row(self):
+        import ray
+        from pdf_extract_ray.ops.multimodal import resample_audio
+        tbl = pa.table({"item_id": pa.array([7], pa.int64()),
+                        "payload": pa.array([b""], pa.binary())})
+        out = resample_audio(ray.data.from_arrow(tbl)).to_pandas()
+        assert out.status.iloc[0].startswith("error")
+        assert int(out.n_samples.iloc[0]) == 0
