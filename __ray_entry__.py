@@ -2078,6 +2078,23 @@ def _q_source_vocab_stats(sf_dir: str):
         _read(sf_dir, "documents", columns=["source", "text"]))
 
 
+def _q_ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): distributed PQ
+    codebook fit (per-batch partial sums over a hash sample), map-side
+    uint8 encoding (8x compression at dim 64 / m 8), ADC lookup-table
+    top-k — the memory-bound billion-vector scale path
+    (ops/similarity.pq_fit/pq_encode/pq_topk)."""
+    from pdf_extract_ray.ops.similarity import pq_fit, pq_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qids, qvecs = _ann_queries(ds)
+    books = pq_fit(ds, m=8, k=16, iters=6)
+    if books is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    return pq_topk(ds, qids, qvecs, books, k=10)
+
+
 def _q_audio_resample(sf_dir: str):
     """Audio resample stage over REAL deterministic WAV payloads:
     stdlib decode, mono downmix, linear-interp resample 8 kHz -> 4 kHz,
@@ -2236,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_report": _q_ann_recall_report,
         "audio_features": _q_audio_features,
         "audio_resample": _q_audio_resample,
+        "ann_topk_pq": _q_ann_topk_pq,
         "frame_samples": _q_frame_samples,
     }
 

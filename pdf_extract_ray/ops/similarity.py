@@ -641,3 +641,190 @@ def kmeans_assign(ds, centroids: np.ndarray):
             "cluster": pa.array(cl)})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --- product quantization (PQ) ANN ------------------------------------------
+
+def pq_fit(ds, *, m: int = 8, k: int = 16, iters: int = 8,
+           max_init_rows: int = 2048, sample_keep: int = 11,
+           sample_mod: int = 97):
+    """DISTRIBUTED product-quantizer training (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the D-dim
+    space splits into `m` subspaces of D/m dims, each with its own
+    `k`-word EUCLIDEAN codebook -> np.ndarray (m, k, D/m).
+
+    Scale shape mirrors kmeans_fit: a deterministic hash-sample stays a
+    Dataset; every Lloyd iteration broadcasts all m codebooks once and
+    each batch emits (m x k x D/m sums, m x k counts) partials — ALL
+    subspaces assign in the same pass, so the iteration cost is one
+    sweep regardless of m.  Init: evenly-strided rows of a bounded
+    deterministic slice (per subspace).  Returns None on a degenerate
+    (empty) sample."""
+    import ray
+
+    sample = _hash_sample(ds, keep=sample_keep, mod=sample_mod) \
+        .map_batches(lambda b: pa.table(
+            {"embedding": b.column("embedding")}),
+            batch_format="pyarrow").materialize()
+    init = _bounded_head_vectors(sample, max_init_rows)
+    if init.size == 0:
+        return None
+    n0, dim = init.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    kk = min(k, n0)
+    stride = max(1, n0 // kk)
+    books = np.stack([init[::stride][:kk, j * sub:(j + 1) * sub].copy()
+                      for j in range(m)])  # (m, kk, sub)
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table, _ref=ref, _m=m, _k=kk, _s=sub):
+            bk = ray.get(_ref)
+            vecs = np.asarray(batch.column("embedding").to_pylist(),
+                              dtype=np.float64)
+            if len(vecs) == 0:
+                return pa.table({"sums": pa.array([], pa.binary()),
+                                 "counts": pa.array([], pa.binary())})
+            sums = np.zeros((_m, _k, _s))
+            counts = np.zeros((_m, _k), np.int64)
+            for j in range(_m):
+                v = vecs[:, j * _s:(j + 1) * _s]
+                d = ((v[:, None, :] - bk[j][None, :, :]) ** 2).sum(2)
+                a = np.argmin(d, axis=1)
+                np.add.at(sums[j], a, v)
+                np.add.at(counts[j], a, 1)
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([counts.tobytes()], pa.binary())})
+
+        sums = np.zeros((m, kk, sub))
+        counts = np.zeros((m, kk), np.int64)
+        for r in sample.map_batches(partial,
+                                    batch_format="pyarrow").take_all():
+            if not r["sums"]:
+                continue
+            sums += np.frombuffer(r["sums"]).reshape(m, kk, sub)
+            counts += np.frombuffer(r["counts"],
+                                    np.int64).reshape(m, kk)
+        nz = counts > 0
+        new = books.copy()
+        new[nz] = sums[nz] / counts[nz][:, None]
+        if np.allclose(new, books, atol=1e-12):
+            break
+        books = new
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray):
+    """Map-side PQ encoding (codebooks broadcast ONCE) -> Dataset
+    (vec_id, codes) with codes a list<uint8> of length m — the 8x-64x
+    compressed representation that makes billion-vector ANN fit in
+    memory.  No shuffle."""
+    import ray
+    bk = np.ascontiguousarray(codebooks, dtype=np.float64)
+    ref = ray.put(bk)
+    m, kk, sub = bk.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "codes": pa.array([], pa.list_(pa.uint8()))})
+        b = ray.get(ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        codes = np.empty((len(vecs), m), np.uint8)
+        for j in range(m):
+            v = vecs[:, j * sub:(j + 1) * sub]
+            d = ((v[:, None, :] - b[j][None, :, :]) ** 2).sum(2)
+            codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        return pa.table({
+            "vec_id": pa.array(np.asarray(
+                batch.column("vec_id").to_pylist(), np.int64)),
+            "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
+            codebooks: np.ndarray, k: int = 10,
+            exclude_self: bool = True):
+    """ADC (asymmetric distance computation) top-k over PQ codes ->
+    pa.Table (query_id, neighbor_id, rank), same contract as
+    brute_force_topk.  Each task builds the (n_query x m x k') exact
+    query-to-codeword distance table once per batch and scores every
+    code row with pure table lookups + a sum over m — no
+    reconstruction, no full-dim math per candidate.  Per-batch partial
+    top-k, tiny driver merge."""
+    import heapq
+
+    import ray
+    bk = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kk, sub = bk.shape
+    q = np.asarray(query_vecs, dtype=np.float64)
+    # (n_q, m, kk) exact subspace distances
+    tables = np.stack([(((q[:, j * sub:(j + 1) * sub][:, None, :]
+                          - bk[j][None, :, :]) ** 2).sum(2))
+                       for j in range(m)], axis=1)
+    t_ref = ray.put(tables)
+    qid_set = set(query_ids) if exclude_self else frozenset()
+
+    encoded = pq_encode(ds, bk)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"q_idx": pa.array([], pa.int32()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        tb = ray.get(t_ref)  # (n_q, m, kk)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        codes = np.asarray(
+            [c for c in batch.column("codes").to_pylist()], np.int64)
+        # dist[q, row] = sum_j tb[q, j, codes[row, j]]
+        n_q = tb.shape[0]
+        cols = np.arange(m)
+        d = tb[:, cols[None, :], codes].sum(axis=2)  # (n_q, n_rows)
+        out_q, out_n, out_d = [], [], []
+        kk2 = min(k + (1 if exclude_self else 0), d.shape[1])
+        for qi in range(n_q):
+            idx = np.argpartition(d[qi], kk2 - 1)[:kk2]
+            for j in idx:
+                out_q.append(qi)
+                out_n.append(int(ids[j]))
+                out_d.append(float(d[qi, j]))
+        return pa.table({"q_idx": pa.array(out_q, pa.int32()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "dist": pa.array(out_d, pa.float64())})
+
+    best: dict = {}
+    for b in encoded.map_batches(partial,
+                                 batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for qi, nid, dist in zip(b.column("q_idx").to_pylist(),
+                                 b.column("neighbor_id").to_pylist(),
+                                 b.column("dist").to_pylist()):
+            if exclude_self and query_ids[qi] == nid:
+                continue
+            # heap keeps the k best under the FINAL (dist asc, nid asc)
+            # preference: evict the max tuple (-dist, -nid) so dist
+            # ties deterministically keep the smaller nid regardless
+            # of batch arrival order
+            heapq.heappush(best.setdefault(qi, []),
+                           (-dist, -nid))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out_q, out_n, out_r = [], [], []
+    for qi in range(len(query_ids)):
+        cands = sorted(((-negd, -negn) for negd, negn in
+                        best.get(qi, [])),
+                       key=lambda t: (t[0], t[1]))[:k]
+        for r, (_, nid) in enumerate(cands, 1):
+            out_q.append(query_ids[qi])
+            out_n.append(nid)
+            out_r.append(r)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
