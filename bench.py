@@ -134,7 +134,8 @@ def run_ops(sf_dir: str):
              "dominant_suppliers", "chars_ntile_by_source",
              "chars_pct_rank", "user_first_last", "chars_skew_by_source",
              "distinct_users_per_type", "top_bigrams", "bpe_merges",
-             "lm_buckets", "embedding_clusters", "source_vocab_stats"]
+             "lm_buckets", "embedding_clusters", "source_vocab_stats",
+             "ann_topk_pq"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
