@@ -330,6 +330,37 @@ def _q_tfidf_top_terms(sf_dir: str):
                                  columns=["doc_id", "text"]))
 
 
+def _q_bm25_top_docs(sf_dir: str):
+    """Top-3 BM25-relevant docs per term, ranked by the log-free
+    algebraic reduction (W + 3*N*dl)/tf — the integer-derived key makes
+    the ranking bit-identical to DuckDB with no float score column
+    (ops/corpus.bm25_top_docs)."""
+    from pdf_extract_ray.ops.corpus import bm25_top_docs
+    return bm25_top_docs(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]), k=3)
+
+
+def _q_range_window_sums(sf_dir: str):
+    """RANGE-frame trailing 60-min per-user window sum over integer
+    cents — peers included per RANGE semantics, resolved as prefix
+    differences over a composite-key searchsorted, no per-user loop
+    (ops/events.range_window_sums)."""
+    from pdf_extract_ray.ops.events import range_window_sums
+    return range_window_sums(_read(sf_dir, "events",
+                                   columns=["event_id", "user_id", "ts",
+                                            "value"]))
+
+
+def _q_dup_span_stats(sf_dir: str):
+    """Exact duplicated 5-gram position counts per doc (the Lee et al.
+    2022 substring-dedup signal): one gram-hash shuffle, duplicate
+    flags resolved inside the partition, zero joins
+    (ops/corpus.dup_span_stats)."""
+    from pdf_extract_ray.ops.corpus import dup_span_stats
+    return dup_span_stats(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]), n=5)
+
+
 def _q_dup_clusters(sf_dir: str):
     """Dup-graph cluster resolution as distributed connected components
     (the CC-Net/RefinedWeb shape: near-dup PAIRS -> cluster ids).  The
@@ -2235,6 +2266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "chunk_dedup": _q_chunk_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_top_docs": _q_bm25_top_docs,
+        "dup_span_stats": _q_dup_span_stats,
+        "range_window_sums": _q_range_window_sums,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_salted": _q_dup_clusters_salted,
         "neardup_clusters": _q_neardup_clusters,
@@ -2459,6 +2493,57 @@ def oracle_sql() -> dict[str, str]:
                                            t.term ASC) rn
                        FROM tf t JOIN df d USING (term))
             SELECT doc_id, term, tf, df FROM scored WHERE rn = 1
+        """,
+        "bm25_top_docs": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM w GROUP BY doc_id),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(dl) AS BIGINT) AS w_total FROM dl),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM w GROUP BY doc_id, term),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            ranked AS (SELECT t.term, t.doc_id, t.tf, f.df, d.dl,
+                              row_number() OVER (
+                                  PARTITION BY t.term
+                                  ORDER BY CAST(tot.w_total
+                                                + 3*tot.n_docs*d.dl
+                                                AS DOUBLE)
+                                           / CAST(t.tf AS DOUBLE) ASC,
+                                           t.doc_id ASC) AS rank
+                       FROM tf t
+                       JOIN dl d ON t.doc_id = d.doc_id
+                       JOIN dft f ON t.term = f.term
+                       CROSS JOIN tot)
+            SELECT term, doc_id, tf, df, dl, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "dup_span_stats": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            pos AS (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 4)) AS i
+                    FROM ws),
+            grams AS (SELECT doc_id,
+                             array_to_string(w[i:i+4], ' ') AS gram
+                      FROM pos),
+            gc AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams
+            FROM grams g JOIN gc c ON g.gram = c.gram
+            GROUP BY g.doc_id
+        """,
+        "range_window_sums": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS win_cents
+            FROM events
         """,
         "doc_stats_by_source": """
             SELECT source,

@@ -135,7 +135,8 @@ def run_ops(sf_dir: str):
              "chars_pct_rank", "user_first_last", "chars_skew_by_source",
              "distinct_users_per_type", "top_bigrams", "bpe_merges",
              "lm_buckets", "embedding_clusters", "source_vocab_stats",
-             "ann_topk_pq"]
+             "ann_topk_pq", "bm25_top_docs", "range_window_sums",
+             "dup_span_stats"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -590,3 +590,203 @@ def pack_sequences(ds, *, max_tokens: int = 512, n_parts: int = 32):
     return withpart.groupby("_part").map_groups(
         lambda df: per_partition(df.drop(columns=["_part"])),
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking (log-free exact-ordering variant)
+# ---------------------------------------------------------------------------
+
+def bm25_top_docs(docs_ds, *, k: int = 3, num_partitions=None,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k most BM25-relevant documents per corpus term
+    -> (term, doc_id, tf, df, dl, rank).
+
+    With Robertson's k1=1.2, b=3/4 and a log-free rational idf
+    ((N-df+.5)/(df+.5), positive for every df<=N), BM25's WITHIN-TERM
+    ordering collapses algebraically to the single per-doc key
+        (W + 3*N*dl) / tf   ascending
+    (W = corpus words, N = docs, dl = doc words, tf = term count):
+    score1 > score2  <=>  tf1*(W+3N*dl2) > tf2*(W+3N*dl1), divide by
+    tf1*tf2.  The key's numerator is an exact small integer, so the
+    IEEE division — and therefore the rank — is bit-identical between
+    numpy and the DuckDB oracle; no float score is ever emitted and
+    doc_id breaks exact-key ties.
+
+    Shape mirrors tfidf_top_terms: map-side (tf, dl) explode (document
+    rows are atomic), tiny driver-merged (N, W) scalar partials, df
+    joined on term (bounded-broadcast fast path under 200k terms),
+    per-batch partial top-k per term, final per-term merge over <=
+    batches*k candidate rows."""
+    import ray  # noqa: F401  (Dataset ops only)
+
+    if num_partitions is None:
+        num_partitions = _default_parts()
+
+    def term_freqs(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pandas()
+        words = texts.str.split(" ")
+        dl_per_doc = words.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            id_col: b.column(id_col).to_numpy(zero_copy_only=False),
+            "dl": dl_per_doc,
+            "term": words,
+        }).explode("term")
+        tf = df.groupby([id_col, "dl", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        return pa.table({
+            id_col: pa.array(tf[id_col].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(tf["term"], pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
+            "dl": pa.array(tf["dl"].to_numpy(np.int64), pa.int64()),
+        })
+
+    # materialize: tf feeds the (N, W) scalars, the df aggregate AND the
+    # score stage (lazy would re-explode the corpus three times)
+    tf_ds = docs_ds.map_batches(term_freqs,
+                                batch_format="pyarrow").materialize()
+
+    def nw_partial(b: pa.Table) -> pa.Table:
+        # (doc, term) rows carry dl per row; one row per doc per batch
+        # suffices for the scalars (docs are atomic per batch)
+        d = pd.DataFrame({
+            id_col: b.column(id_col).to_numpy(zero_copy_only=False),
+            "dl": b.column("dl").to_numpy(zero_copy_only=False),
+        }).drop_duplicates(id_col)
+        return pa.table({
+            "n": pa.array([len(d)], pa.int64()),
+            "w": pa.array([int(d["dl"].sum())], pa.int64())})
+
+    n_docs, w_total = 0, 0
+    for r in tf_ds.map_batches(nw_partial,
+                               batch_format="pyarrow").take_all():
+        n_docs += r["n"]
+        w_total += r["w"]
+    if n_docs == 0:
+        return ray.data.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    df_ds = tf_ds.map_batches(
+        lambda b: b.select(["term"]), batch_format="pyarrow") \
+        .groupby("term").count()
+    df_ds = df_ds.map_batches(
+        lambda b: pa.table({"term": b.column("term"),
+                            "df": pc.cast(b.column("count()"),
+                                          pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    if df_ds.count() <= 200_000:
+        dfmap = {r["term"]: r["df"] for r in df_ds.take_all()}
+
+        def attach(b: pa.Table) -> pa.Table:
+            t = b.to_pandas()
+            t["df"] = t["term"].map(dfmap).astype(np.int64)
+            return pa.Table.from_pandas(t, preserve_index=False)
+
+        joined = tf_ds.map_batches(attach, batch_format="pyarrow")
+    else:
+        df_ds = _coalesce_nonempty(df_ds, num_partitions)
+        joined = tf_ds.join(df_ds, join_type="inner",
+                            num_partitions=num_partitions, on=("term",))
+
+    def partial_best(b: pa.Table) -> pa.Table:
+        t = b.to_pandas()
+        # exact integer numerator (< 2^53 by construction), one IEEE
+        # division -> the bit-identical within-term BM25 ordering key
+        t["key"] = (w_total + 3 * n_docs * t["dl"].to_numpy(np.int64)) \
+            .astype(np.float64) / t["tf"].to_numpy(np.float64)
+        t = t.sort_values(["term", "key", id_col],
+                          ascending=[True, True, True])
+        out = t.groupby("term", sort=False).head(k)
+        return pa.Table.from_pandas(
+            out[["term", id_col, "tf", "df", "dl", "key"]],
+            preserve_index=False)
+
+    cands = joined.map_batches(partial_best, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", id_col]).head(k)
+        g = g.drop(columns=["key"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("term").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span statistics (substring-dedup signal, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(docs_ds, *, n: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Exact duplicated-substring signal per document: of a doc's word
+    n-gram POSITIONS, how many carry a gram that occurs more than once
+    anywhere in the corpus (including within the same doc)
+    -> (doc_id, n_grams, n_dup_grams).  Docs shorter than n words have
+    no gram positions and emit no row (matching the SQL oracle).
+
+    This is the per-doc statistic behind suffix-style exact substring
+    dedup ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): a high n_dup_grams/n_grams ratio marks template/
+    mirror text for span removal.
+
+    Shape: ONE gram-hash shuffle, zero joins.  The map side emits
+    (gram_hash, doc_id, k) with within-batch combine; each hash
+    partition then holds EVERY occurrence of its grams, so duplicate
+    flags resolve locally and collapse to one (doc, n_grams, n_dup)
+    partial per doc per partition before a trivially small final doc
+    groupby.  Gram identity is the shared uint64 polynomial kernel
+    (collision odds ~(corpus grams)^2 / 2^64)."""
+
+    def gram_doc_counts(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        texts = b.column(text_col).to_pylist()
+        row_of, wh, _ = _word_hashes(texts)
+        grow, gh = _gram_hashes(row_of, wh, n)
+        if len(gh) == 0:
+            return pa.table({
+                "gh": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64())})
+        t = pd.DataFrame({"gh": gh.view(np.int64),
+                          id_col: ids[grow].astype(np.int64)})
+        g = t.groupby(["gh", id_col], sort=False).size() \
+            .reset_index(name="k")
+        return pa.table({
+            "gh": pa.array(g["gh"].to_numpy(np.int64)),
+            id_col: pa.array(g[id_col].to_numpy(np.int64)),
+            "k": pa.array(g["k"].to_numpy(np.int64))})
+
+    pairs = docs_ds.map_batches(gram_doc_counts, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "int64", "n_grams": "int64",
+                "n_dup_grams": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        total = df.groupby("gh")["k"].transform("sum")
+        dup_k = np.where(total.to_numpy() > 1,
+                         df["k"].to_numpy(np.int64), 0)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                            "n_grams": df["k"].to_numpy(np.int64),
+                            "n_dup_grams": dup_k})
+        out = out.groupby(id_col, sort=False, as_index=False).sum()
+        return out.astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(pairs, ["gh"], per_partition)
+
+    from ray.data.aggregate import Sum
+    agg = partials.groupby(id_col).aggregate(Sum("n_grams"),
+                                             Sum("n_dup_grams"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "n_grams": pc.cast(b.column("sum(n_grams)"), pa.int64()),
+            "n_dup_grams": pc.cast(b.column("sum(n_dup_grams)"),
+                                   pa.int64())}),
+        batch_format="pyarrow")

@@ -161,6 +161,58 @@ def running_totals(ds):
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
+def range_window_sums(ds, *, window_minutes: int = 60):
+    """RANGE-frame time window: per event, the sum of the SAME USER's
+    values whose ts lies in [ts - window, ts] — SQL `SUM(..) OVER
+    (PARTITION BY user ORDER BY ts RANGE BETWEEN INTERVAL .. PRECEDING
+    AND CURRENT ROW)`, which (unlike a ROWS frame) includes every
+    ts-peer of the current row -> (event_id, user_id, win_cents).
+
+    Summed quantity is per-row integer cents, so the window total is
+    order-independent and EXACT against the oracle (a float window sum
+    would drift in the low bits with DuckDB's segment-tree association
+    order).  Shape: one user-hash shuffle; per partition ONE lexsort +
+    cumulative cents + two global searchsorted probes over a composite
+    (user-rank * BIG + clamped-ts) key — the per-user segments never
+    loop, and the window bounds resolve as prefix differences.
+    Partitioning assumption: one user's events fit a partition (salt by
+    time bucket with carried boundary prefixes beyond that)."""
+    win_us = window_minutes * 60 * 1_000_000
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {"event_id": "int64", "user_id": "int64",
+                "win_cents": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.round(
+            df["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t, e, c = user[order], ts[order], eid[order], cents[order]
+        # composite key: user segments separated by > (ts span + window)
+        # so a probe at t - win never crosses into the previous user
+        t0 = t - t.min()
+        rank = np.empty(n, np.int64)
+        rank[0] = 0
+        np.cumsum(u[1:] != u[:-1], out=rank[1:])
+        big = t0.max() + win_us + 2
+        key = rank * big + t0
+        prefix = np.concatenate(([0], np.cumsum(c)))
+        lo = np.searchsorted(key, key - win_us, side="left")
+        hi = np.searchsorted(key, key, side="right")  # include ts peers
+        return pd.DataFrame({
+            "event_id": e, "user_id": u,
+            "win_cents": prefix[hi] - prefix[lo],
+        }).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_partition,
+                                 n_parts=32)
+
+
 def sessionize_salted(ds, gap_minutes: int = 30, *, salt_days: int = 1,
                       n_parts: int = 64):
     """Hot-user-safe sessionization: the documented fix for the plain

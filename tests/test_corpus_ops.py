@@ -294,3 +294,96 @@ class TestPackSequences:
         big = out[out["seq_id"] == 2]
         assert len(big) == 1 and int(big["n_docs"].iloc[0]) == 1
         assert int(big["n_tokens"].iloc[0]) == 30
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25TopDocs:
+    def test_matches_real_bm25_ordering(self):
+        # the algebraic key (W + 3*N*dl)/tf must induce EXACTLY the
+        # classic BM25 within-term ordering (k1=1.2, b=0.75, rational
+        # idf) — verify against a naive float BM25 on a corpus with
+        # varied dl and tf
+        from pdf_extract_ray.ops.corpus import bm25_top_docs
+        rows = [
+            (1, "apple apple banana cherry"),
+            (2, "apple banana banana banana cherry date elder fig"),
+            (3, "apple"),
+            (4, "banana cherry cherry date date date"),
+            (5, "elder elder elder elder fig"),
+        ]
+        out = bm25_top_docs(_ds(_docs(rows)), k=3).to_pandas()
+        texts = {d: t.split(" ") for d, t in rows}
+        n_docs = len(rows)
+        w_total = sum(len(w) for w in texts.values())
+        avgdl = w_total / n_docs
+        dfc = {}
+        for w in texts.values():
+            for t in set(w):
+                dfc[t] = dfc.get(t, 0) + 1
+        k1, b = 1.2, 0.75
+        for term in dfc:
+            idf = (n_docs - dfc[term] + 0.5) / (dfc[term] + 0.5)
+            scored = []
+            for d, w in texts.items():
+                tf = w.count(term)
+                if tf == 0:
+                    continue
+                denom = tf + k1 * (1 - b + b * len(w) / avgdl)
+                scored.append((-idf * tf * (k1 + 1) / denom, d))
+            want = [d for _, d in sorted(scored)][:3]
+            got = out[out.term == term].sort_values("rank")
+            assert got.doc_id.tolist() == want, term
+            assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+    def test_counts_and_types(self):
+        from pdf_extract_ray.ops.corpus import bm25_top_docs
+        out = bm25_top_docs(
+            _ds(_docs([(7, "x y x"), (8, "y")])), k=2).to_pandas()
+        row = out[(out.term == "x")].iloc[0]
+        assert (row.doc_id, row.tf, row.df, row.dl) == (7, 2, 1, 3)
+        assert set(out[out.term == "y"].doc_id) == {7, 8}
+        for c in ("doc_id", "tf", "df", "dl", "rank"):
+            assert out[c].dtype == np.int64, c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpanStats:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.corpus import dup_span_stats
+        tbl = _docs([
+            (1, "a b c d e f"),      # grams: abcde, bcdef
+            (2, "a b c d e"),        # gram abcde -> dup with doc 1
+            (3, "q r s t u v w"),    # 3 unique grams
+            (4, "x y z"),            # < 5 words -> no row
+            (5, "m m m m m m"),      # 2 positions of the SAME gram ->
+                                     # within-doc duplicate counts
+        ])
+        out = dup_span_stats(_ds(tbl), n=5).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert 4 not in out.index
+        assert out.loc[1].tolist() == [2, 1]   # abcde dup, bcdef unique
+        assert out.loc[2].tolist() == [1, 1]
+        assert out.loc[3].tolist() == [3, 0]
+        assert out.loc[5].tolist() == [2, 2]
+
+    def test_matches_naive(self):
+        from pdf_extract_ray.ops.corpus import dup_span_stats
+        rng = np.random.RandomState(4)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [(i, " ".join(rng.choice(vocab, rng.randint(3, 30))))
+                for i in range(60)]
+        out = dup_span_stats(_ds(_docs(rows)), n=5).to_pandas() \
+            .set_index("doc_id")
+        from collections import Counter
+        n = 5
+        grams = {d: [" ".join(t.split(" ")[i:i + n])
+                     for i in range(len(t.split(" ")) - n + 1)]
+                 for d, t in rows}
+        cnt = Counter(g for gs in grams.values() for g in gs)
+        for d, gs in grams.items():
+            if not gs:
+                assert d not in out.index
+                continue
+            assert out.loc[d, "n_grams"] == len(gs)
+            assert out.loc[d, "n_dup_grams"] == sum(
+                1 for g in gs if cnt[g] > 1)

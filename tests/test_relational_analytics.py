@@ -1195,3 +1195,53 @@ class TestSourceVocabStats:
         assert float(out.loc["a", "ttr"]) == 3.0 / 5.0
         # source b: empty text -> no words -> no row
         assert "b" not in out.index
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeWindowSums:
+    def test_hand_computed_with_peers_and_boundary(self):
+        from pdf_extract_ray.ops.events import range_window_sums
+        ts = lambda s: np.datetime64(s, "us").item()
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array([
+                ts("2024-01-01T00:00:00"),   # 1
+                ts("2024-01-01T00:30:00"),   # 2: 1+2
+                ts("2024-01-01T01:00:00"),   # 3: boundary INCLUSIVE 1+2+4
+                ts("2024-01-01T01:00:00"),   # 4: ts PEER of 3 -> same set
+                ts("2024-01-01T02:00:01"),   # 5: window empty of others
+                ts("2024-01-01T00:00:00"),   # 6: other user
+                ts("2024-01-01T00:59:59"),   # 7: inside window
+            ], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 0.5, 0.25],
+                              pa.float64())})
+        out = range_window_sums(_ds(ev)).to_pandas()
+        got = {int(r.event_id): int(r.win_cents) for r in out.itertuples()}
+        # RANGE frame: peers of the current ts are in-frame BOTH ways —
+        # events 3 and 4 (same user, same ts) each see 1+2+4+8
+        assert got == {1: 100, 2: 300, 3: 1500, 4: 1500, 5: 1600,
+                       6: 50, 7: 75}
+
+    def test_matches_naive_on_random(self):
+        from pdf_extract_ray.ops.events import range_window_sums
+        rng = np.random.RandomState(11)
+        n = 400
+        base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+        tsv = base + rng.randint(0, 6 * 3600, n) * 1_000_000
+        ev = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.randint(0, 5, n).astype(np.int64)),
+            "ts": pa.array(tsv, pa.timestamp("us")),
+            "value": pa.array(np.round(rng.uniform(0, 50, n), 2),
+                              pa.float64())})
+        out = range_window_sums(_ds(ev)).to_pandas() \
+            .set_index("event_id").win_cents
+        users = ev.column("user_id").to_numpy()
+        cents = np.round(ev.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        win = 3600 * 1_000_000
+        for i in range(n):
+            mask = (users == users[i]) & (tsv >= tsv[i] - win) \
+                & (tsv <= tsv[i])
+            assert out.loc[i] == cents[mask].sum(), i
