@@ -351,6 +351,22 @@ def _q_range_window_sums(sf_dir: str):
                                             "value"]))
 
 
+def _q_triangle_counts(sf_dir: str):
+    """Distributed triangle counting (Suri-Vassilvitskii degree-ordered
+    wedge join) over the banded doc-similarity graph: same (source,
+    lang), |n_chars| diff <= 60.  Orientation by (degree, id) bounds
+    every node's wedge fanout; membership resolves as ONE tagged-union
+    shuffle on (v, w) — no hash-join actor pool
+    (ops/graph.triangle_counts)."""
+    from pdf_extract_ray.ops.graph import interval_self_join, \
+        triangle_counts
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "lang", "n_chars"])
+    edges = interval_self_join(docs, ["source", "lang"], "n_chars",
+                               "doc_id", tol=60, keep_group=True)
+    return triangle_counts(edges, group_cols=["source", "lang"])
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Exact duplicated 5-gram position counts per doc (the Lee et al.
     2022 substring-dedup signal): one gram-hash shuffle, duplicate
@@ -1398,6 +1414,16 @@ def _q_approx_distinct_users(sf_dir: str):
         "event_type", "user_id")
 
 
+def _q_cms_word_counts(sf_dir: str):
+    """Count-Min sketch word counts (Cormode-Muthukrishnan): mergeable
+    (depth x width) partials per block, broadcast query pass.
+    Approximate by design — no SQL oracle; tests pin the one-sided CM
+    guarantee (approx >= exact, always) against word_frequencies
+    (ops/sketch.cms_word_counts)."""
+    from pdf_extract_ray.ops.sketch import cms_word_counts
+    return cms_word_counts(_read(sf_dir, "documents", columns=["text"]))
+
+
 def _q_median_chars_by_source(sf_dir: str):
     from pdf_extract_ray.ops.analytics import grouped_median
     return grouped_median(
@@ -2250,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         # heuristic / non-SQL operators (rows-only)
         "approx_distinct_users": _q_approx_distinct_users,
+        "cms_word_counts": _q_cms_word_counts,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "lang_id": _q_lang_id,
         "lm_scores": _q_lm_scores,
@@ -2268,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_top_docs": _q_bm25_top_docs,
         "dup_span_stats": _q_dup_span_stats,
+        "triangle_counts": _q_triangle_counts,
         "range_window_sums": _q_range_window_sums,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_salted": _q_dup_clusters_salted,
@@ -2519,6 +2547,23 @@ def oracle_sql() -> dict[str, str]:
                        CROSS JOIN tot)
             SELECT term, doc_id, tf, df, dl, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "triangle_counts": """
+            WITH e AS (
+              SELECT d1.source, d1.lang,
+                     d1.doc_id AS id_a, d2.doc_id AS id_b
+              FROM documents d1 JOIN documents d2
+                ON d1.source = d2.source AND d1.lang = d2.lang
+               AND d1.doc_id < d2.doc_id
+               AND abs(d1.n_chars - d2.n_chars) <= 60)
+            SELECT e1.source, e1.lang,
+                   CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.source = e1.source AND e2.lang = e1.lang
+                     AND e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+            JOIN e e3 ON e3.source = e1.source AND e3.lang = e1.lang
+                     AND e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+            GROUP BY e1.source, e1.lang
         """,
         "dup_span_stats": """
             WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -122,9 +122,9 @@ class _Segmenter(HTMLParser):
             blk.link_chars += len(data)
 
 
-def _score_block(b: _Block) -> bool:
-    """Content / boilerplate decision for one block."""
-    text = b.text
+def _score_block(b: _Block, text: str) -> bool:
+    """Content / boilerplate decision for one block (text passed in so
+    the _WS_RE normalization runs once per block, not per use)."""
     n = len(text)
     if n == 0:
         return False
@@ -137,12 +137,126 @@ def _score_block(b: _Block) -> bool:
     n_words = len(words)
     if n_words < 3:
         return False
-    stop_ratio = sum(1 for w in words if w.lower().strip(".,;:!?\"'()") in _STOPWORDS) / n_words
-    avg_word = n / n_words
     if n >= 120 and link_density < 0.33:
         return True
-    # short blocks need linguistic signal: stopwords present, plausible words
+    # short blocks need linguistic signal: stopwords present, plausible
+    # words (the stopword scan is skipped for long blocks above — pure
+    # evaluation reordering, the decision is unchanged)
+    stop_ratio = sum(1 for w in words
+                     if w.lower().strip(".,;:!?\"'()") in _STOPWORDS) / n_words
+    avg_word = n / n_words
     return stop_ratio >= 0.15 and avg_word < 12 and link_density < 0.33
+
+
+class _FastBail(Exception):
+    """Input left the fast tokenizer's verified-identical subset."""
+
+
+# Fast-path token regexes.  Every string _FAST_START matches is parsed
+# with the SAME boundaries and events by html.parser's tolerant regexes
+# (tagfind/attrfind/locatestarttagend_tolerant): the tag-name charset is
+# a subset of the tolerant one, each attribute requires the whitespace
+# separation the tolerant lookbehind demands, quoted values are the
+# identical "[^"]*" forms, and the unquoted value form is exactly the
+# tolerant (?!['"])[^>\s]+ consumption.  Anything outside the subset
+# (junk before '>', slash separators, exotic names, marked sections,
+# unterminated constructs) raises _FastBail and the document re-parses
+# from scratch with the stdlib parser — so outputs can never diverge on
+# inputs the fast path does not provably share.  Differential tests
+# compare event streams against HTMLParser across the generator + fuzz
+# corpora.
+_FAST_START = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9:._-]*)'
+    r'((?:\s+[^\s/>][^\s/=>]*(?:\s*=+\s*'
+    r'(?:"[^"]*"|\'[^\']*\'|(?!["\'])[^>\s]+))?)*)'
+    r'\s*(/?)>')
+_FAST_END = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_COMMENT_CLOSE = re.compile(r'--\s*>')
+_DOCTYPE_RE = re.compile(r'<!doctype[^>\[]*>', re.I)
+_CDATA_CLOSE = {
+    "script": re.compile(r'</\s*script\s*>', re.I),
+    "style": re.compile(r'</\s*style\s*>', re.I),
+}
+
+
+def _fast_feed(seg: _Segmenter, s: str) -> None:
+    """Emit html.parser's event stream (convert_charrefs=True, whole
+    input + EOF) into `seg` ~3x faster than HTMLParser.feed; raises
+    _FastBail on any construct outside the verified subset."""
+    from html import unescape
+    i, n = 0, len(s)
+    cdata: Optional[str] = None
+    hd = seg.handle_data
+    while i < n:
+        if cdata is not None:
+            m = _CDATA_CLOSE[cdata].search(s, i)
+            if m is None:
+                return  # unterminated script/style: stdlib drops the tail
+            if i < m.start():
+                hd(s[i:m.start()])
+            seg.handle_endtag(cdata)
+            cdata = None
+            i = m.end()
+            continue
+        j = s.find('<', i)
+        if j < 0:
+            hd(unescape(s[i:n]))
+            return
+        if i < j:
+            hd(unescape(s[i:j]))
+        i = j
+        c = s[i + 1] if i + 1 < n else ''
+        if ('a' <= c <= 'z') or ('A' <= c <= 'Z'):
+            m = _FAST_START.match(s, i)
+            if m is None:
+                raise _FastBail
+            tag = m.group(1).lower()
+            if m.group(3):
+                seg.handle_starttag(tag, [])
+                seg.handle_endtag(tag)
+            else:
+                seg.handle_starttag(tag, [])
+                if tag in _CDATA_CLOSE:
+                    cdata = tag
+            i = m.end()
+        elif c == '/':
+            m = _FAST_END.match(s, i)
+            if m is None:
+                raise _FastBail
+            seg.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif c == '!':
+            if s.startswith('<!--', i):
+                m = _COMMENT_CLOSE.search(s, i + 4)
+                if m is None:
+                    raise _FastBail  # unterminated comment: odd fallback
+                i = m.end()
+            elif s.startswith('<![', i):
+                raise _FastBail  # marked section: ]]>-scanning rules
+            else:
+                m = _DOCTYPE_RE.match(s, i)
+                if m is not None:
+                    i = m.end()
+                else:
+                    if s[i:i + 9].lower() == '<!doctype':
+                        raise _FastBail  # doctype with internal subset
+                    p = s.find('>', i + 2)  # bogus comment: skip to '>'
+                    if p < 0:
+                        raise _FastBail
+                    i = p + 1
+        elif c == '?':
+            p = s.find('>', i + 2)  # processing instruction
+            if p < 0:
+                raise _FastBail
+            i = p + 1
+        else:
+            if i + 1 < n:
+                hd('<')  # lone '<': literal data (raw, not unescaped)
+                i += 1
+            else:
+                # goahead's EOF flush emits the trailing '<' as data
+                hd(unescape(s[i:n]))
+                return
 
 
 def extract_html_text(payload: bytes) -> str:
@@ -153,12 +267,20 @@ def extract_html_text(payload: bytes) -> str:
         text = payload.decode("latin-1", "replace")
     seg = _Segmenter()
     try:
-        seg.feed(text)
-        seg.close()
-    except Exception:
-        pass  # html.parser is tolerant; belt and braces
+        _fast_feed(seg, text)
+    except Exception:  # _FastBail or anything else: full stdlib reparse
+        seg = _Segmenter()
+        try:
+            seg.feed(text)
+            seg.close()
+        except Exception:
+            pass  # html.parser is tolerant; belt and braces
     seg._flush()
-    kept = [b.text for b in seg.blocks if _score_block(b)]
+    kept = []
+    for b in seg.blocks:
+        text = b.text
+        if _score_block(b, text):
+            kept.append(text)
     return "\n\n".join(kept)
 
 

@@ -212,11 +212,13 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst", *,
 
 
 def interval_self_join(ds, group_cols: list[str], value_col: str,
-                       id_col: str, *, tol: int):
+                       id_col: str, *, tol: int, keep_group: bool = False):
     """All pairs (id_a < id_b) within each group whose values differ by
-    at most tol -> Dataset (id_a, id_b).  One group-key shuffle; each
-    group is sorted once and swept with a two-pointer window (output-
-    sensitive, no cross product)."""
+    at most tol -> Dataset (id_a, id_b) (+ the group columns when
+    keep_group — edges never cross groups, so each pair has exactly one
+    group value).  One group-key shuffle; each group is sorted once and
+    swept with a two-pointer window (output-sensitive, no cross
+    product)."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(value_col, kind="mergesort")
@@ -230,14 +232,22 @@ def interval_self_join(ds, group_cols: list[str], value_col: str,
         cnt = np.maximum(hi - idx - 1, 0)
         total = int(cnt.sum())
         if total == 0:
-            return pd.DataFrame({"id_a": np.empty(0, np.int64),
-                                 "id_b": np.empty(0, np.int64)})
+            out = pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                "id_b": np.empty(0, np.int64)})
+            if keep_group:
+                for g in group_cols:
+                    out[g] = df[g].iloc[:0]
+            return out
         left = np.repeat(idx, cnt)
         offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         right = left + 1 + offs
         a, b2 = ids[left], ids[right]
-        return pd.DataFrame({"id_a": np.minimum(a, b2),
-                             "id_b": np.maximum(a, b2)})
+        out = pd.DataFrame({"id_a": np.minimum(a, b2),
+                            "id_b": np.maximum(a, b2)})
+        if keep_group:
+            for g in group_cols:
+                out[g] = df[g].iloc[0]
+        return out
 
     cols = list(group_cols) + [value_col, id_col]
     return ds.map_batches(
@@ -525,3 +535,209 @@ def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
 
     return state.map_batches(
         lambda b: b.select(["node", "rank"]), batch_format="pyarrow")
+
+
+def triangle_counts(edges_ds, *, group_cols=(), id_a: str = "id_a",
+                    id_b: str = "id_b", broadcast_max_nodes: int = 200_000):
+    """Distributed triangle counting over undirected edges (id_a < id_b)
+    -> (group..., n_triangles) (one global row when group_cols is
+    empty; edges must not cross groups).
+
+    The Suri-Vassilvitskii / Cohen MapReduce shape: every edge is
+    ORIENTED from its lower to its higher endpoint under the total
+    order (degree, id) — so each node's out-degree is O(sqrt(m)) and a
+    hub node can never fan out quadratically.  Each wedge (v, w) spawned
+    at its lowest-ordered corner u matches the oriented edge v->w
+    exactly once, so triangles count exactly once with no dedup.
+
+    Stages (all exact integers): (1) degree pass — map-side per-batch
+    partial counts, one node-hash merge; (2) orientation — degrees
+    attached map-side from a bounded broadcast (<= broadcast_max_nodes
+    nodes) or via a node-keyed union-resolve pass (no hash-join actors)
+    beyond that; (3) wedges — src-hash partition, in-partition lexsort +
+    ragged-window pair expansion (the interval_self_join kernel, no
+    per-node loop); (4) membership — wedges and edges TAGGED and
+    union-shuffled on (v, w): a partition counts wedge rows whose (v, w)
+    also carries an edge row, pre-sums per group, and a trivially small
+    final groupby finishes."""
+    import ray
+
+    from .dedup import _grouped_by_partition
+    gcols = list(group_cols)
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        a = b.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"node": np.concatenate([a, d])}) \
+            .groupby("node", sort=False).size().reset_index(name="deg")
+        return pa.table({"node": pa.array(g["node"].to_numpy(np.int64)),
+                         "deg": pa.array(g["deg"].to_numpy(np.int64))})
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"node": "int64", "deg": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("node", sort=False)["deg"].sum()
+        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
+                             "deg": g.to_numpy(np.int64)})
+
+    deg = _grouped_by_partition(
+        edges_ds.map_batches(deg_rows, batch_format="pyarrow"),
+        ["node"], deg_merge).materialize()
+
+    if deg.count() == 0:
+        import ray as _ray
+        cols = {g: pa.array([], pa.string()) for g in gcols}
+        cols["n_triangles"] = pa.array([], pa.int64())
+        return _ray.data.from_arrow(pa.table(cols))
+
+    def orient_frame(df: pd.DataFrame) -> pd.DataFrame:
+        # (deg, id) lexicographic orientation; carries the dst order key
+        a = df[id_a].to_numpy(np.int64)
+        b = df[id_b].to_numpy(np.int64)
+        da = df["_deg_a"].to_numpy(np.int64)
+        db = df["_deg_b"].to_numpy(np.int64)
+        swap = (db < da) | ((db == da) & (b < a))
+        out = pd.DataFrame({
+            "src": np.where(swap, b, a),
+            "dst": np.where(swap, a, b),
+            "dst_deg": np.where(swap, da, db)})
+        for g in gcols:
+            out[g] = df[g].to_numpy()
+        return out
+
+    if deg.count() <= broadcast_max_nodes:
+        degmap = {r["node"]: r["deg"] for r in deg.take_all()}
+        ref = ray.put(degmap)
+
+        def orient(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            dm = ray.get(ref)
+            df["_deg_a"] = df[id_a].map(dm).astype(np.int64)
+            df["_deg_b"] = df[id_b].map(dm).astype(np.int64)
+            return pa.Table.from_pandas(orient_frame(df),
+                                        preserve_index=False)
+
+        oriented = edges_ds.map_batches(orient, batch_format="pyarrow") \
+            .materialize()
+    else:
+        # at-scale path: attach each endpoint's degree with a node-keyed
+        # union-resolve (tagged edge + degree rows share one shuffle;
+        # the partition merges locally — no hash-join aggregator pool)
+        def attach(col, dcol, eds):
+            def tag_edges(b: pa.Table) -> pa.Table:
+                t = b.to_pandas()
+                t["_key"] = t[col].to_numpy(np.int64)
+                t["_is_deg"] = False
+                t["deg"] = np.int64(0)
+                return pa.Table.from_pandas(t, preserve_index=False)
+
+            def tag_deg(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "_key": b.column("node"),
+                    "_is_deg": pa.array(
+                        np.ones(b.num_rows, bool)),
+                    "deg": b.column("deg")})
+
+            u = eds.map_batches(tag_edges, batch_format="pyarrow") \
+                .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+
+            def resolve(df: pd.DataFrame) -> pd.DataFrame:
+                e = df[~df["_is_deg"]].drop(columns=["_is_deg", "deg"])
+                if len(e) == 0:
+                    e[dcol] = pd.Series(dtype=np.int64)
+                    return e.drop(columns=["_key"], errors="ignore")
+                d = df[df["_is_deg"]].set_index("_key")["deg"]
+                e[dcol] = e["_key"].map(d).astype(np.int64)
+                return e.drop(columns=["_key"])
+
+            return _grouped_by_partition(u, ["_key"], resolve)
+
+        withdeg = attach(id_a, "_deg_a", edges_ds)
+        withdeg = attach(id_b, "_deg_b", withdeg)
+        oriented = withdeg.map_batches(
+            lambda b: pa.Table.from_pandas(orient_frame(b.to_pandas()),
+                                           preserve_index=False),
+            batch_format="pyarrow").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"v": "int64", "w": "int64", "is_edge": "int64"}
+        base = {**cols, **{g: "object" for g in gcols}}
+        if len(df) == 0:
+            out = pd.DataFrame(columns=list(base))
+            return out.astype(cols)
+        df = df.sort_values(["src", "dst_deg", "dst"], kind="mergesort")
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        n = len(src)
+        seg_start = np.zeros(n, np.int64)
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new_seg)
+        seg_end = np.empty(n, np.int64)
+        ends = np.append(starts[1:], n)
+        seg_end = np.repeat(ends, np.diff(np.append(starts, n)))
+        idx = np.arange(n)
+        cnt = seg_end - idx - 1
+        total = int(cnt.sum())
+        if total == 0:
+            out = pd.DataFrame(columns=list(base))
+            return out.astype(cols)
+        left = np.repeat(idx, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        right = left + 1 + offs
+        out = pd.DataFrame({"v": dst[left], "w": dst[right],
+                            "is_edge": np.zeros(total, np.int64)})
+        for g in gcols:
+            out[g] = df[g].to_numpy()[left]
+        return out.astype(cols)
+
+    wedge_rows = _grouped_by_partition(oriented, ["src"], wedges)
+
+    def edge_rows_fn(b: pa.Table) -> pa.Table:
+        t = b.to_pandas()
+        out = pd.DataFrame({"v": t["src"].to_numpy(np.int64),
+                            "w": t["dst"].to_numpy(np.int64),
+                            "is_edge": np.ones(len(t), np.int64)})
+        for g in gcols:
+            out[g] = t[g].to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    unioned = wedge_rows.union(
+        oriented.map_batches(edge_rows_fn, batch_format="pyarrow"))
+
+    def resolve_tri(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {**{g: "object" for g in gcols}, "n_triangles": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_triangles": "int64"})
+        g = df.groupby(["v", "w"], sort=False)["is_edge"]
+        n_w = g.transform("size") - g.transform("sum")
+        has_e = g.transform("max")
+        tri = (df["is_edge"] == 0) & (has_e > 0)
+        out = df[tri].copy() if gcols else df
+        if gcols:
+            r = out.groupby(gcols, sort=False, as_index=False).size() \
+                .rename(columns={"size": "n_triangles"})
+            r["n_triangles"] = r["n_triangles"].astype(np.int64)
+            return r
+        n = int(tri.sum())
+        return pd.DataFrame({"n_triangles": np.array([n], np.int64)})
+
+    partials = _grouped_by_partition(unioned, ["v", "w"], resolve_tri)
+
+    from ray.data.aggregate import Sum
+    if gcols:
+        agg = partials.groupby(gcols).aggregate(Sum("n_triangles"))
+    else:
+        agg = partials.groupby(None).aggregate(Sum("n_triangles"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {g: b.column(g) for g in gcols}
+        cols["n_triangles"] = pc.cast(b.column("sum(n_triangles)"),
+                                      pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

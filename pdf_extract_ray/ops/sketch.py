@@ -17,6 +17,7 @@ from typing import Dict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hash64(values) -> np.ndarray:
@@ -361,3 +362,84 @@ def heavy_hitter_words(ds, text_col: str = "text", *, ratio: int = 30):
     return pa.table({
         "word": pa.array([w for w, _ in out], pa.string()),
         "n_occurrences": pa.array([n for _, n in out], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+_CMS_SALT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _cms_rows(h0: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket indices from base hashes — row i re-mixes h0
+    with the splitmix64 increment so the depth hash functions are
+    pairwise independent enough for the CM guarantee; all pandas C
+    paths."""
+    out = np.empty((depth, len(h0)), np.int64)
+    for i in range(depth):
+        # salt computed in Python ints mod 2^64: numpy scalar uint64
+        # multiply warns on the (intended) wraparound
+        salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64))
+        mixed = pd.util.hash_array((h0 + salt).astype(np.int64))
+        out[i] = (mixed % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_word_counts(ds, text_col: str = "text", *,
+                    width: int = 4096, depth: int = 4):
+    """Approximate per-word corpus counts via a Count-Min sketch
+    -> Dataset (word, approx_count).
+
+    The mergeable-sketch shape (same as HLL): every batch folds its
+    exploded words into ONE (depth x width) int64 matrix — the driver
+    merge is a sum of ~128 KB partials per block, independent of corpus
+    size — then the query pass broadcasts the merged sketch and looks
+    up each distinct word map-side (min over the depth rows).  CM
+    guarantee: approx_count >= true count always; overshoot exceeds
+    eps*N with probability <= (1/2)^depth at width = 2/eps.  Exact
+    counterpart for verification: ops/analytics.word_frequencies."""
+    import ray
+
+    def explode(b: pa.Table):
+        s = pd.Series(b.column(text_col).to_pylist(), dtype=object)
+        words = s.str.split(" ").explode()
+        return words[words.notna()].to_numpy(dtype=object)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = explode(b)
+        mat = np.zeros((depth, width), np.int64)
+        if len(w):
+            h0 = pd.util.hash_array(w).astype(np.uint64)
+            rows = _cms_rows(h0, depth, width)
+            for i in range(depth):
+                np.add.at(mat[i], rows[i], 1)
+        return pa.table({"mat": pa.array([mat.tobytes()], pa.binary())})
+
+    mat = np.zeros((depth, width), np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        mat += np.frombuffer(r["mat"], np.int64).reshape(depth, width)
+    ref = ray.put(mat)
+
+    def query(b: pa.Table) -> pa.Table:
+        w = explode(b)
+        if len(w) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "approx_count": pa.array([], pa.int64())})
+        uniq = pd.unique(w)
+        m = ray.get(ref)
+        h0 = pd.util.hash_array(uniq).astype(np.uint64)
+        rows = _cms_rows(h0, depth, width)
+        est = m[np.arange(depth)[:, None], rows].min(axis=0)
+        return pa.table({"word": pa.array(list(uniq), pa.string()),
+                         "approx_count": pa.array(est, pa.int64())})
+
+    # per-batch distinct -> one tiny max-merge (all estimates of a word
+    # are identical, max is just the dedup)
+    return ds.map_batches(query, batch_format="pyarrow") \
+        .groupby("word").max("approx_count") \
+        .map_batches(lambda b: pa.table({
+            "word": b.column("word"),
+            "approx_count": pc.cast(
+                b.column("max(approx_count)"), pa.int64())}),
+            batch_format="pyarrow")

@@ -519,3 +519,64 @@ class TestPageRank:
         assert list(bc.index) == list(pt.index) == [-5, -1, 2, 3]
         assert np.allclose(bc.to_numpy(), pt.to_numpy(), atol=1e-12)
         assert abs(pt.sum() - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleCounts:
+    def _tbl(self, pairs, groups=None):
+        t = {"id_a": pa.array([min(a, b) for a, b in pairs], pa.int64()),
+             "id_b": pa.array([max(a, b) for a, b in pairs], pa.int64())}
+        if groups is not None:
+            t["g"] = pa.array(groups, pa.string())
+        return pa.table(t)
+
+    def _naive(self, pairs):
+        import itertools
+        es = {(min(a, b), max(a, b)) for a, b in pairs}
+        nodes = sorted({x for e in es for x in e})
+        return sum(1 for a, b, c in itertools.combinations(nodes, 3)
+                   if (a, b) in es and (a, c) in es and (b, c) in es)
+
+    def test_matches_naive_random(self):
+        from pdf_extract_ray.ops.graph import triangle_counts
+        rng = np.random.RandomState(3)
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in rng.randint(0, 30, (200, 2)) if a != b}
+        out = triangle_counts(_ds(self._tbl(sorted(pairs)))).to_pandas()
+        assert out.n_triangles.tolist() == [self._naive(pairs)]
+
+    def test_union_resolve_degree_path_agrees(self):
+        # broadcast_max_nodes=0 forces the at-scale degree-attach path
+        from pdf_extract_ray.ops.graph import triangle_counts
+        rng = np.random.RandomState(9)
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in rng.randint(0, 25, (150, 2)) if a != b}
+        tbl = self._tbl(sorted(pairs))
+        a = triangle_counts(_ds(tbl)).to_pandas()
+        b = triangle_counts(_ds(tbl),
+                            broadcast_max_nodes=0).to_pandas()
+        assert a.n_triangles.tolist() == b.n_triangles.tolist() \
+            == [self._naive(pairs)]
+
+    def test_grouped_cliques_and_hub(self):
+        import itertools
+        from pdf_extract_ray.ops.graph import triangle_counts
+        pairs, groups = [], []
+        for grp, base, k in (("x", 0, 5), ("y", 100, 4)):
+            for a, b in itertools.combinations(range(base, base + k), 2):
+                pairs.append((a, b))
+                groups.append(grp)
+        # star (hub) in its own group: no triangles despite high degree
+        for leaf in range(201, 208):
+            pairs.append((200, leaf))
+            groups.append("z")
+        out = triangle_counts(_ds(self._tbl(pairs, groups)),
+                              group_cols=["g"]).to_pandas() \
+            .set_index("g").n_triangles
+        assert out.get("x") == 10 and out.get("y") == 4
+        assert out.get("z", 0) in (0, None) or out.get("z") == 0
+
+    def test_empty_edges(self):
+        from pdf_extract_ray.ops.graph import triangle_counts
+        out = triangle_counts(_ds(self._tbl([]))).to_pandas()
+        assert len(out) == 0

@@ -142,3 +142,137 @@ def test_inline_links_kept_below_density_threshold():
         "a sentence of common words that runs on"))
     assert "inline link" in out       # anchor text preserved in-place
     assert "running prose" in out
+
+
+class TestFastTokenizerParity:
+    """The fast HTML tokenizer must be EVENT-IDENTICAL to
+    html.parser (convert_charrefs=True) on everything it does not bail
+    on; bailing re-parses with the stdlib so outputs can never diverge."""
+
+    class _Rec:
+        def __init__(self):
+            self.ev = []
+
+        def handle_data(self, d):
+            self.ev.append(("d", d))
+
+        def handle_starttag(self, t, a):
+            self.ev.append(("s", t))
+
+        def handle_endtag(self, t):
+            self.ev.append(("e", t))
+
+    @staticmethod
+    def _coalesce(ev):
+        out = []
+        for k, v in ev:
+            if k == "d" and out and out[-1][0] == "d":
+                out[-1] = ("d", out[-1][1] + v)
+            else:
+                out.append((k, v))
+        return out
+
+    def _diff(self, doc: str):
+        from html.parser import HTMLParser
+
+        from pdf_extract_ray.engine import html_extract as hx
+        fast = self._Rec()
+        try:
+            hx._fast_feed(fast, doc)
+        except hx._FastBail:
+            return None  # bail is always safe (stdlib reparse)
+
+        rec = self._Rec()
+
+        class P(HTMLParser):
+            def handle_data(self, d):
+                rec.handle_data(d)
+
+            def handle_starttag(self, t, a):
+                rec.handle_starttag(t, a)
+
+            def handle_endtag(self, t):
+                rec.handle_endtag(t)
+
+        p = P(convert_charrefs=True)
+        p.feed(doc)
+        p.close()
+        a, b = self._coalesce(fast.ev), self._coalesce(rec.ev)
+        return None if a == b else (doc[:120], a[:8], b[:8])
+
+    EDGES = [
+        '<p>abc &am', '<p>abc &amp', 'tail &', 'a<b', 'x</>y',
+        '<p>A&nbsp;B</p>', '<script>if(a<b){}</script>ok',
+        '<div a="x>y">z', '<!doctype html><p>t', '<!-- c --><p>u',
+        '<? pi ?><p>v', '<![CDATA[w]]><p>q', '<script>xyz',
+        '<!-- unterminated', '<!x>t', '<![if ie]>t', '<p foo>u',
+        '<P Foo=Bar>v</P >', '</p attr>w', '<p>&#65;&#x42;</p>',
+        '<p>&unknownent;x', '<style>a{}</STYLE >b',
+        '<script>a</script x>b</script>c', '<p\nclass="x">nl',
+        '<p a = "x" / >y', '<p a==b>c', '<p foo=>x', '<br/>',
+        '<a href=x/>y', '<p/ >z', '<p a / b>w', '<div a="x<b">c',
+        "<p a='y'>d", '<p>&amp;&lt;&gt;</p>', '<<p>>', '<', '<p', '</',
+        '<!', '<!>', '<?', '<p title="a&amp;b">t', '<><', 'x<', 'x&',
+    ]
+
+    def test_edge_cases_event_identical(self):
+        fails = [d for d in (self._diff(c) for c in self.EDGES) if d]
+        assert not fails, fails
+
+    def test_mutated_corpus_event_identical(self):
+        import random
+
+        from pdf_extract_ray.data import htmlgen as hg
+        base = [
+            hg.html_article("main content sentence here " * 30).decode(),
+            hg.html_linkfarm().decode(),
+            hg.html_malformed("malformed body text " * 10).decode(),
+            hg.html_comments_cdata("visible text " * 12).decode(),
+            hg.html_entities().decode(),
+        ]
+        rng = random.Random(17)
+        fails = []
+        for _ in range(2000):
+            dl = list(rng.choice(base))
+            for _ in range(rng.randint(1, 8)):
+                op = rng.randint(0, 2)
+                pos = rng.randrange(max(1, len(dl)))
+                if op == 0 and dl:
+                    dl[pos % len(dl)] = rng.choice('<>&"\'/=! abczé;')
+                elif op == 1:
+                    dl.insert(pos, rng.choice(
+                        ['<', '>', '&amp;', '</', '<!--', '<script>',
+                         '&#', '"', '<![', '<?', '-->', '/>']))
+                elif op == 2 and len(dl) > 2:
+                    del dl[pos % len(dl)]
+            d = self._diff("".join(dl))
+            if d:
+                fails.append(d)
+        assert not fails, fails[:3]
+
+    def test_extract_output_identical_fast_vs_stdlib(self):
+        from pdf_extract_ray.data import htmlgen as hg
+        from pdf_extract_ray.engine import html_extract as hx
+        docs = [
+            hg.html_article("Hello world main content sentence. " * 25),
+            hg.html_linkfarm(),
+            hg.html_nested(["para one long enough to keep " * 6,
+                            "two " * 30]),
+            hg.html_malformed("some malformed body text " * 10),
+            hg.html_table("cell content words " * 8),
+            hg.html_comments_cdata("visible main text " * 15),
+            hg.html_entities(),
+            hg.html_inline_links("link heavy text " * 10),
+        ]
+        fast = [hx.extract_html_text(d) for d in docs]
+        orig = hx._fast_feed
+
+        def bail(seg, s):
+            raise hx._FastBail()
+
+        hx._fast_feed = bail
+        try:
+            slow = [hx.extract_html_text(d) for d in docs]
+        finally:
+            hx._fast_feed = orig
+        assert fast == slow

@@ -378,3 +378,46 @@ def test_bpe_learn_stops_below_two(ray_session):
     out = bpe_learn(ray.data.from_arrow(t), n_merges=10).to_pandas()
     # every pair occurs once -> no merge with count >= 2
     assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMinSketch:
+    def _corpus(self, seed=0, n=300, vocab=40):
+        rng = np.random.RandomState(seed)
+        # zipf-ish skew so there are real heavy hitters
+        words = [f"w{int(i)}" for i in
+                 np.minimum(rng.zipf(1.5, 4000), vocab)]
+        texts = [" ".join(words[i::n]) for i in range(n)]
+        exact = {}
+        for w in words:
+            exact[w] = exact.get(w, 0) + 1
+        return texts, exact
+
+    def test_one_sided_guarantee_and_exactness_at_wide_width(self):
+        import ray
+        import pyarrow as pa
+        from pdf_extract_ray.ops.sketch import cms_word_counts
+        texts, exact = self._corpus()
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(texts)})).repartition(8)
+        out = cms_word_counts(ds, width=1 << 14, depth=4).to_pandas()
+        got = dict(zip(out.word, out.approx_count))
+        assert set(got) == set(exact)
+        # CM guarantee: never an undercount (holds for ANY width)
+        assert all(got[w] >= c for w, c in exact.items())
+        # at width >> vocab the estimate should be exact
+        assert got == exact
+
+    def test_narrow_width_overcounts_within_bound(self):
+        import ray
+        import pyarrow as pa
+        from pdf_extract_ray.ops.sketch import cms_word_counts
+        texts, exact = self._corpus(seed=3)
+        n_total = sum(exact.values())
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+        out = cms_word_counts(ds, width=64, depth=4).to_pandas()
+        got = dict(zip(out.word, out.approx_count))
+        assert all(got[w] >= c for w, c in exact.items())
+        # e/width * N expected overshoot bound, generous 8x slack
+        bound = 8 * 2.72 * n_total / 64
+        assert all(got[w] - c <= bound for w, c in exact.items())

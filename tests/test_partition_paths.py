@@ -34,7 +34,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "profit_by_nation", "late_priority_counts",
            "sole_late_supplier", "chars_ntile_by_source",
            "user_first_last", "chars_skew_by_source",
-           "dominant_suppliers", "range_window_sums", "dup_span_stats"]
+           "dominant_suppliers", "range_window_sums", "dup_span_stats",
+           "triangle_counts"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
