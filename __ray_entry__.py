@@ -1424,6 +1424,16 @@ def _q_cms_word_counts(sf_dir: str):
     return cms_word_counts(_read(sf_dir, "documents", columns=["text"]))
 
 
+def _q_chars_histogram(sf_dir: str):
+    """Equal-width n_chars histogram per source (floor-division
+    bucketing, map-side partial counts — shuffle payload is groups x
+    buckets, never rows; ops/analytics.grouped_histogram)."""
+    from pdf_extract_ray.ops.analytics import grouped_histogram
+    return grouped_histogram(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars", bucket_width=100)
+
+
 def _q_median_chars_by_source(sf_dir: str):
     from pdf_extract_ray.ops.analytics import grouped_median
     return grouped_median(
@@ -2277,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heuristic / non-SQL operators (rows-only)
         "approx_distinct_users": _q_approx_distinct_users,
         "cms_word_counts": _q_cms_word_counts,
+        "chars_histogram": _q_chars_histogram,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "lang_id": _q_lang_id,
         "lm_scores": _q_lm_scores,
@@ -2564,6 +2575,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN e e3 ON e3.source = e1.source AND e3.lang = e1.lang
                      AND e3.id_a = e1.id_b AND e3.id_b = e2.id_b
             GROUP BY e1.source, e1.lang
+        """,
+        "chars_histogram": """
+            SELECT source,
+                   CAST(n_chars // 100 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents
+            GROUP BY source, n_chars // 100
         """,
         "dup_span_stats": """
             WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w

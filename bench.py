@@ -136,7 +136,8 @@ def run_ops(sf_dir: str):
              "distinct_users_per_type", "top_bigrams", "bpe_merges",
              "lm_buckets", "embedding_clusters", "source_vocab_stats",
              "ann_topk_pq", "bm25_top_docs", "range_window_sums",
-             "dup_span_stats", "triangle_counts", "cms_word_counts"]
+             "dup_span_stats", "triangle_counts", "cms_word_counts",
+             "chars_histogram"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

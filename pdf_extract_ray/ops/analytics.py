@@ -737,3 +737,33 @@ def source_vocab_stats(ds, group_col: str = "source",
                             / np.maximum(nw, 1).astype(np.float64))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_histogram(ds, group_col: str, value_col: str, *,
+                      bucket_width: int = 100):
+    """Equal-width histogram per group -> (group, bucket, n_rows) with
+    bucket = floor(value / width) (SQL's integer-division bucketing).
+    Pure map-side pre-aggregation: each batch collapses to its distinct
+    (group, bucket) partial counts before ONE tiny groupby-sum — the
+    shuffle payload is O(groups x buckets x blocks), never O(rows)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            group_col: b.column(group_col).to_numpy(zero_copy_only=False),
+            "bucket": np.floor_divide(v, bucket_width),
+        }).groupby([group_col, "bucket"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "bucket"]).aggregate(Sum("n"))
+
+    return agg.map_batches(
+        lambda b: pa.table({
+            group_col: b.column(group_col),
+            "bucket": pc.cast(b.column("bucket"), pa.int64()),
+            "n_rows": pc.cast(b.column("sum(n)"), pa.int64())}),
+        batch_format="pyarrow")

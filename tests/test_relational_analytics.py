@@ -1245,3 +1245,17 @@ class TestRangeWindowSums:
             mask = (users == users[i]) & (tsv >= tsv[i] - win) \
                 & (tsv <= tsv[i])
             assert out.loc[i] == cents[mask].sum(), i
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedHistogram:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.analytics import grouped_histogram
+        t = pa.table({
+            "source": pa.array(["a", "a", "a", "b", "b"]),
+            "n_chars": pa.array([5, 99, 100, 250, 251], pa.int64())})
+        out = grouped_histogram(_ds(t), "source", "n_chars",
+                                bucket_width=100).to_pandas()
+        got = {(r.source, int(r.bucket)): int(r.n_rows)
+               for r in out.itertuples()}
+        assert got == {("a", 0): 2, ("a", 1): 1, ("b", 2): 2}
