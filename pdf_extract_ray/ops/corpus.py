@@ -390,14 +390,22 @@ def tfidf_top_terms(docs_ds, *, num_partitions=None,
     tf_ds = docs_ds.map_batches(term_freqs,
                                 batch_format="pyarrow").materialize()
 
-    # (doc, term) rows are already distinct -> df = row count per term;
-    # materialize sequences the groupby shuffle before the join
-    df_ds = tf_ds.map_batches(
-        lambda b: b.select(["term"]), batch_format="pyarrow") \
-        .groupby("term").count()
+    # (doc, term) rows are already distinct -> df = row count per term,
+    # PRE-COMBINED per batch so the groupby shuffle carries O(terms x
+    # blocks) partial counts, never one row per (doc, term);
+    # materialize sequences the shuffle before the join
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"term": b.column("term").to_pandas()}) \
+            .groupby("term", sort=False).size().reset_index(name="k")
+        return pa.table({"term": pa.array(g["term"], pa.string()),
+                         "k": pa.array(g["k"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+    df_ds = tf_ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(_Sum("k"))
     df_ds = df_ds.map_batches(
         lambda b: pa.table({"term": b.column("term"),
-                            "df": pc.cast(b.column("count()"),
+                            "df": pc.cast(b.column("sum(k)"),
                                           pa.int64())}),
         batch_format="pyarrow").materialize()
 
@@ -670,12 +678,20 @@ def bm25_top_docs(docs_ds, *, k: int = 3, num_partitions=None,
             "dl": pa.array([], pa.int64()),
             "rank": pa.array([], pa.int64())}))
 
-    df_ds = tf_ds.map_batches(
-        lambda b: b.select(["term"]), batch_format="pyarrow") \
-        .groupby("term").count()
+    def df_partial(b: pa.Table) -> pa.Table:
+        # distinct (doc, term) rows -> per-batch partial df counts; the
+        # shuffle carries O(terms x blocks) rows, never (doc, term)
+        g = pd.DataFrame({"term": b.column("term").to_pandas()}) \
+            .groupby("term", sort=False).size().reset_index(name="k")
+        return pa.table({"term": pa.array(g["term"], pa.string()),
+                         "k": pa.array(g["k"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+    df_ds = tf_ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(_Sum("k"))
     df_ds = df_ds.map_batches(
         lambda b: pa.table({"term": b.column("term"),
-                            "df": pc.cast(b.column("count()"),
+                            "df": pc.cast(b.column("sum(k)"),
                                           pa.int64())}),
         batch_format="pyarrow").materialize()
 
