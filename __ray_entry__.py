@@ -1614,6 +1614,64 @@ def _q_event_gaps(sf_dir: str):
                             columns=["event_id", "user_id", "ts"]))
 
 
+def _q_event_next_gaps(sf_dir: str):
+    """LEAD window: per-user NEXT-event gap in exact integer
+    microseconds (-1 sentinel on each user's last event) — the
+    event_gaps kernel mirrored forward."""
+    from pdf_extract_ray.ops.events import event_next_gaps
+    return event_next_gaps(_read(sf_dir, "events",
+                                 columns=["event_id", "user_id", "ts"]))
+
+
+def _q_value_share(sf_dir: str):
+    """Ratio-to-report window (share of the event_type total) with NO
+    row shuffle: the |types|-sized denominator table is a map-side
+    partial sum merged on the driver and broadcast back.  Integer-exact
+    (cents rows, floor-ppm shares)."""
+    from pdf_extract_ray.ops.events import value_share
+    return value_share(_read(sf_dir, "events",
+                             columns=["event_id", "event_type", "value"]))
+
+
+def _q_doc_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((source),(lang)) — disjoint grouping
+    sets (neither a rollup nor a cube): ONE combine-able (source, lang)
+    corpus scan; both sets re-aggregate its tiny |sources| x |langs|
+    output on the driver (the doc_rollup shape)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    fine = ds.groupby(["source", "lang"]) \
+        .aggregate(Count(), Sum("n_chars")).take_all()
+    df = pd.DataFrame(fine).rename(
+        columns={"count()": "n_docs", "sum(n_chars)": "total_chars"})
+    by_src = df.groupby("source", as_index=False)[
+        ["n_docs", "total_chars"]].sum()
+    by_src["lang"] = None
+    by_lang = df.groupby("lang", as_index=False)[
+        ["n_docs", "total_chars"]].sum()
+    by_lang["source"] = None
+    out = pd.concat([by_src, by_lang], ignore_index=True)[
+        ["source", "lang", "n_docs", "total_chars"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out
+
+
+def _q_bpe_encode_stats(sf_dir: str):
+    """BPE tokenization applied at corpus scale: learn merge rules on
+    the bounded word-frequency table (bpe_merges), then a MAP-ONLY
+    encode pass (per-actor memoized unique-word encoding) emitting only
+    per-source partial sums.  Iterative merge application -> rows-only;
+    greedy-vs-replay parity is pytest-frozen
+    (ops/textstats.bpe_encode_stats)."""
+    from pdf_extract_ray.ops.textstats import bpe_learn, bpe_encode_stats
+    merges = bpe_learn(_read(sf_dir, "documents", columns=["text"]),
+                       n_merges=30, vocab_k=10_000)
+    return bpe_encode_stats(
+        _read(sf_dir, "documents", columns=["source", "text"]), merges)
+
+
 def _q_except_users(sf_dir: str):
     """EXCEPT set op: order custkeys that never appear as an event
     user.  Same tagged-union shape as shared_user_ids (INTERSECT) —
@@ -2223,6 +2281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "orders_above_avg": _q_orders_above_avg,
         "event_gaps": _q_event_gaps,
+        "event_next_gaps": _q_event_next_gaps,
+        "value_share": _q_value_share,
+        "doc_grouping_sets": _q_doc_grouping_sets,
+        "bpe_encode_stats": _q_bpe_encode_stats,
         "chars_rank_by_source": _q_chars_rank_by_source,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "event_transitions": _q_event_transitions,
@@ -3414,6 +3476,32 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS BIGINT) AS gap_us
             FROM events
+        """,
+        "event_next_gaps": """
+            SELECT event_id, user_id,
+                   CAST(COALESCE(date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)),
+                       -1) AS BIGINT) AS next_gap_us
+            FROM events
+        """,
+        "value_share": """
+            WITH cents AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+                FROM events
+            )
+            SELECT event_id, event_type, value_cents,
+                   CAST((value_cents * 1000000)
+                        // sum(value_cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS share_ppm
+            FROM cents
+        """,
+        "doc_grouping_sets": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((source), (lang))
         """,
         "promo_revenue": """
             SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'

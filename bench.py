@@ -137,7 +137,8 @@ def run_ops(sf_dir: str):
              "lm_buckets", "embedding_clusters", "source_vocab_stats",
              "ann_topk_pq", "bm25_top_docs", "range_window_sums",
              "dup_span_stats", "triangle_counts", "cms_word_counts",
-             "chars_histogram"]
+             "chars_histogram", "event_next_gaps", "value_share",
+             "doc_grouping_sets", "bpe_encode_stats"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

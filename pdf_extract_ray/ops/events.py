@@ -670,3 +670,79 @@ def user_first_last(ds, *, n_parts: int = 32):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return _grouped_by_partition(partials, ["user_id"], resolve,
                                  n_parts=n_parts)
+
+
+def event_next_gaps(ds, *, n_parts: int = 32):
+    """LEAD window: per-user gap to the NEXT event in (ts, event_id)
+    order -> (event_id, user_id, next_gap_us int64; -1 for each user's
+    last event).
+
+    The event_gaps kernel mirrored forward: one partition-level shuffle
+    (users hashed into bounded partitions), within a partition ONE
+    lexsort + a shifted diff masked at user boundaries — no per-user
+    loop.  Exact integer microseconds, so both engines agree
+    bit-for-bit."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "next_gap_us": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t, e = user[order], ts[order], eid[order]
+        gap = np.empty(n, dtype=np.int64)
+        gap[-1] = -1
+        gap[:-1] = np.where(u[1:] == u[:-1], t[1:] - t[:-1], -1)
+        return pd.DataFrame({"event_id": e, "user_id": u,
+                             "next_gap_us": gap}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def value_share(ds):
+    """Ratio-to-report window: each event's share of its event_type's
+    total value -> (event_id, event_type, value_cents, share_ppm).
+
+    SUM(...) OVER (PARTITION BY type) needs NO row shuffle: the
+    denominator domain is |event_types| (tiny), so pass 1 is a map-side
+    per-batch partial sum per type merged on the driver, and pass 2 is
+    a map-only division against the broadcast totals.  Integer-exact:
+    values quantize to cents per row (order-independent), shares are
+    floor parts-per-million of bigint cents — bit-identical to the SQL
+    window."""
+    import ray
+
+    totals: dict = {}
+    partials = ds.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("value"), pa.scalar(100.0))), pa.int64()),
+        }).group_by("event_type").aggregate([("cents", "sum")]),
+        batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b.column("event_type").to_pylist(),
+                        b.column("cents_sum").to_pylist()):
+            totals[k] = totals.get(k, 0) + int(v)
+    totals_ref = ray.put(totals)
+
+    def share(b: pa.Table) -> pa.Table:
+        tot = ray.get(totals_ref)
+        et = b.column("event_type").to_pandas()
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        denom = et.map(tot).to_numpy(np.int64)
+        ppm = (cents * 1_000_000) // denom
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "event_type": b.column("event_type"),
+            "value_cents": pa.array(cents, pa.int64()),
+            "share_ppm": pa.array(ppm, pa.int64())})
+
+    return ds.map_batches(share, batch_format="pyarrow")

@@ -430,3 +430,102 @@ def bpe_learn(ds, *, n_merges: int = 50, vocab_k: int = 10_000):
         "left": pa.array([m[0] for m in merges], pa.string()),
         "right": pa.array([m[1] for m in merges], pa.string()),
         "pair_count": pa.array([m[2] for m in merges], pa.int64())})
+
+
+def bpe_encode_stats(ds, merges, *, text_col: str = "text"):
+    """Apply learned BPE merge rules to the corpus (the tokenization
+    stage of a training-data pipeline) -> per-source
+    (source, n_docs, n_words, n_tokens).
+
+    Scale shape: encoding is MAP-ONLY (embarrassingly parallel); the
+    merge table is tiny (n_merges rows) and captured by value in the
+    actor closure, built into a rank dict once per actor.  Per batch,
+    words explode to a flat frame, each UNIQUE word is encoded once
+    (memoized across batches per worker — Zipf makes the memo hit rate
+    ~99%), token lengths map back vectorized, and only per-source
+    partial sums leave the worker; a |sources|-key groupby merges them.
+    Greedy lowest-rank pair merging — the canonical BPE apply (equal to
+    replaying merges in rank order)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ranks = {}
+    pair_of = {}
+    for k, l, r in zip(merges.column("merge_rank").to_pylist(),
+                       merges.column("left").to_pylist(),
+                       merges.column("right").to_pylist()):
+        ranks[(l, r)] = k
+        pair_of[k] = (l, r)
+
+    class EncodeBatch:
+        def __init__(self):
+            self.memo: dict = {}
+
+        def _tok_len(self, word: str) -> int:
+            got = self.memo.get(word)
+            if got is not None:
+                return got
+            seq = list(word) + ["</w>"]
+            while len(seq) > 1:
+                best_rank = None
+                for i in range(len(seq) - 1):
+                    r = ranks.get((seq[i], seq[i + 1]))
+                    if r is not None and (best_rank is None
+                                          or r < best_rank):
+                        best_rank = r
+                if best_rank is None:
+                    break
+                left, right = pair_of[best_rank]
+                out, i, n = [], 0, len(seq)
+                while i < n:
+                    if (i + 1 < n and seq[i] == left
+                            and seq[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            self.memo[word] = len(seq)
+            return len(seq)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"source": pa.array([], pa.string()),
+                                 "n_docs": pa.array([], pa.int64()),
+                                 "n_words": pa.array([], pa.int64()),
+                                 "n_tokens": pa.array([], pa.int64())})
+            src = b.column("source").to_pandas()
+            words = b.column(text_col).to_pandas().str.split()
+            ex = words.explode().dropna()
+            uniq = pd.unique(ex.to_numpy(dtype=object))
+            tokmap = {w: self._tok_len(w) for w in uniq}
+            tok = ex.map(tokmap)
+            per_row_tokens = tok.groupby(level=0).sum()
+            per_row_words = ex.groupby(level=0).size()
+            df = pd.DataFrame({
+                "source": src,
+                "w": per_row_words.reindex(src.index, fill_value=0)
+                .to_numpy(np.int64),
+                "t": per_row_tokens.reindex(src.index, fill_value=0)
+                .to_numpy(np.int64)})
+            g = df.groupby("source", sort=False).agg(
+                n_docs=("w", "size"), n_words=("w", "sum"),
+                n_tokens=("t", "sum")).reset_index()
+            return pa.table({
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "n_words": pa.array(g["n_words"].to_numpy(np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64))})
+
+    partials = ds.map_batches(EncodeBatch, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    agg = partials.groupby("source").aggregate(
+        Sum("n_docs"), Sum("n_words"), Sum("n_tokens"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b.column("source"),
+            "n_docs": pc.cast(b.column("sum(n_docs)"), pa.int64()),
+            "n_words": pc.cast(b.column("sum(n_words)"), pa.int64()),
+            "n_tokens": pc.cast(b.column("sum(n_tokens)"), pa.int64())}),
+        batch_format="pyarrow")

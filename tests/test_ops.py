@@ -421,3 +421,78 @@ class TestCountMinSketch:
         # e/width * N expected overshoot bound, generous 8x slack
         bound = 8 * 2.72 * n_total / 64
         assert all(got[w] - c <= bound for w, c in exact.items())
+
+
+def test_bpe_encode_stats_parity_with_replay(ray_session):
+    """Greedy lowest-rank apply == replaying merges in learned order
+    (the canonical equivalence), and totals add up per source."""
+    import ray
+    from pdf_extract_ray.ops.textstats import bpe_learn, bpe_encode_stats
+    texts = ["abab abab ab banana", "banana ab abab", "z z z abab"]
+    srcs = ["s1", "s1", "s2"]
+    t = pa.table({"source": pa.array(srcs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    merges = bpe_learn(ds, n_merges=8, vocab_k=100)
+    out = bpe_encode_stats(ds, merges).to_pandas() \
+        .set_index("source").sort_index()
+
+    # local replay reference: apply merges sequentially in rank order
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+
+    def replay_len(word):
+        seq = list(word) + ["</w>"]
+        for left, right in rules:
+            out_, i = [], 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out_.append(left + right)
+                    i += 2
+                else:
+                    out_.append(seq[i])
+                    i += 1
+            seq = out_
+        return len(seq)
+
+    import collections
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for s, txt in zip(srcs, texts):
+        ws = txt.split()
+        want[s][0] += 1
+        want[s][1] += len(ws)
+        want[s][2] += sum(replay_len(w) for w in ws)
+    for s in ("s1", "s2"):
+        assert int(out.loc[s, "n_docs"]) == want[s][0]
+        assert int(out.loc[s, "n_words"]) == want[s][1]
+        assert int(out.loc[s, "n_tokens"]) == want[s][2]
+    # merges really compress: tokens < raw chars+1 per word
+    assert int(out["n_tokens"].sum()) < sum(
+        len(w) + 1 for txt in texts for w in txt.split())
+
+
+def test_event_next_gaps_and_value_share(ray_session):
+    import ray
+    import numpy as np
+    from pdf_extract_ray.ops.events import event_next_gaps, value_share
+    ts = lambda s: np.datetime64(s, "us").astype("datetime64[us]")
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 8, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 4.0, 1.0], pa.float64()),
+        "ts": pa.array([ts("2024-01-01T00:00:00"),
+                        ts("2024-01-01T00:00:05"),
+                        ts("2024-01-01T00:00:00"),
+                        ts("2024-01-01T00:01:05")], pa.timestamp("us"))})
+    out = event_next_gaps(ray.data.from_arrow(ev)).to_pandas()
+    got = dict(zip(out.event_id, out.next_gap_us))
+    assert got == {1: 5_000_000, 2: 60_000_000, 3: -1, 4: -1}
+
+    sh = value_share(ray.data.from_arrow(ev)).to_pandas()
+    got = dict(zip(sh.event_id, sh.share_ppm))
+    # type a total = 400 cents: 100/400=250000 ppm, 200/400=500000
+    assert got == {1: 250_000, 2: 500_000, 4: 250_000, 3: 1_000_000}
+    assert dict(zip(sh.event_id, sh.value_cents)) == \
+        {1: 100, 2: 200, 3: 400, 4: 100}
