@@ -1672,6 +1672,91 @@ def _q_bpe_encode_stats(sf_dir: str):
         _read(sf_dir, "documents", columns=["source", "text"]), merges)
 
 
+def _q_all_user_ids(sf_dir: str):
+    """UNION (distinct) set op across two tables — the third of the
+    set-op family (INTERSECT = shared_user_ids, EXCEPT = except_users).
+    Map-side per-batch key dedup on each side; ONE id-partitioned
+    distinct pass — no join, the exchange carries distinct ids only."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import _default_parts
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def dedup(col):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"user_id": pc.unique(
+                pc.cast(b.column(col), pa.int64()))})
+        return fn
+
+    both = ev.map_batches(dedup("user_id"), batch_format="pyarrow") \
+        .union(orders.map_batches(dedup("o_custkey"),
+                                  batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": np.unique(
+            df["user_id"].to_numpy(np.int64))})
+
+    return _grouped_by_partition(both, ["user_id"], resolve,
+                                 n_parts=_default_parts())
+
+
+def _q_chars_token_regression(sf_dir: str):
+    """REGR_SLOPE/REGR_INTERCEPT per source (token count ~ n_chars)
+    from exact integer moment partials; one double divide per group in
+    the oracle's own IEEE op order -> bit-identical floats
+    (ops/analytics.grouped_regression)."""
+    from pdf_extract_ray.ops.analytics import grouped_regression
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars",
+                                             "text"])
+
+    def add_tokens(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pandas()
+        nsp = texts.str.count(" ").to_numpy(np.int64)
+        nlen = texts.str.len().to_numpy(np.int64)
+        y = np.where(nlen > 0, nsp + 1, 0)
+        return pa.table({"source": b.column("source"),
+                         "x": pc.cast(b.column("n_chars"), pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    return grouped_regression(
+        ds.map_batches(add_tokens, batch_format="pyarrow"),
+        "source", "x", "y")
+
+
+def _q_winsorized_chars(sf_dir: str):
+    """Percentile winsorization (feature clipping): clamp n_chars to
+    each source's [p10, p90].  Pass 1 is the bounded (group, value)
+    histogram percentile aggregate (grouped_percentiles — shuffles
+    carry value counts, never rows); the tiny per-source bounds
+    broadcast via ray.put and pass 2 is a MAP-ONLY clamp.
+    Integer-exact (quantile_disc index math), zero row shuffles."""
+    import ray
+    from pdf_extract_ray.ops.analytics import grouped_percentiles
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    q = grouped_percentiles(ds, "source", "n_chars",
+                            percents=(10, 90)).take_all()
+    bounds = {r["source"]: (int(r["p10"]), int(r["p90"])) for r in q}
+    ref = ray.put(bounds)
+
+    def clamp(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        src = b.column("source").to_pandas()
+        lo = src.map(lambda s: bd[s][0]).to_numpy(np.int64)
+        hi = src.map(lambda s: bd[s][1]).to_numpy(np.int64)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "source": b.column("source"),
+            "n_chars": pa.array(x, pa.int64()),
+            "clamped": pa.array(np.minimum(np.maximum(x, lo), hi),
+                                pa.int64())})
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
 def _q_except_users(sf_dir: str):
     """EXCEPT set op: order custkeys that never appear as an event
     user.  Same tagged-union shape as shared_user_ids (INTERSECT) —
@@ -2285,6 +2370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share": _q_value_share,
         "doc_grouping_sets": _q_doc_grouping_sets,
         "bpe_encode_stats": _q_bpe_encode_stats,
+        "all_user_ids": _q_all_user_ids,
+        "chars_token_regression": _q_chars_token_regression,
+        "winsorized_chars": _q_winsorized_chars,
         "chars_rank_by_source": _q_chars_rank_by_source,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "event_transitions": _q_event_transitions,
@@ -3502,6 +3590,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY GROUPING SETS ((source), (lang))
+        """,
+        "all_user_ids": """
+            SELECT user_id FROM events
+            UNION
+            SELECT o_custkey AS user_id FROM orders
+        """,
+        "chars_token_regression": """
+            WITH t AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS x,
+                     CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS y
+              FROM documents),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(x * y) AS BIGINT) sxy
+                  FROM t GROUP BY source)
+            SELECT source,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                       AS intercept
+            FROM s WHERE n * sxx - sx * sx > 0
+        """,
+        "winsorized_chars": """
+            WITH q AS (
+              SELECT source,
+                     CAST(quantile_disc(n_chars, 0.10) AS BIGINT) AS lo,
+                     CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS hi
+              FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CAST(least(greatest(d.n_chars, q.lo), q.hi) AS BIGINT)
+                       AS clamped
+            FROM documents d JOIN q USING (source)
         """,
         "promo_revenue": """
             SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'

@@ -327,6 +327,55 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str):
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_regression(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group simple linear regression (REGR_SLOPE/REGR_INTERCEPT)
+    from EXACT integer moment sums -> (group, slope, intercept).
+
+    Same combine-able six-int partials as grouped_corr (n, sx, sy,
+    sxx, syy, sxy — the shuffle carries O(blocks x groups) rows); the
+    finish computes slope = (n*sxy - sx*sy) / (n*sxx - sx*sx) with the
+    numerator/denominator formed exactly in integers and ONE double
+    divide, and intercept = (sy - slope*sx) / n with the same IEEE op
+    sequence the oracle SQL spells out — bit-identical floats across
+    engines.  Groups with zero x-variance are dropped (slope
+    undefined), matching the SQL's WHERE guard."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, x_col, y_col]).to_pandas()
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        p = pd.DataFrame({group_col: df[group_col], "n": 1,
+                          "sx": x, "sy": y, "sxx": x * x,
+                          "sxy": x * y})
+        g = p.groupby(group_col, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                      Sum("sxx"), Sum("sxy"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        groups, slopes, intercepts = [], [], []
+        for r in b.to_pylist():
+            n, sx, sy = (int(r["sum(n)"]), int(r["sum(sx)"]),
+                         int(r["sum(sy)"]))
+            sxx, sxy = int(r["sum(sxx)"]), int(r["sum(sxy)"])
+            dx = n * sxx - sx * sx
+            if dx <= 0:
+                continue
+            slope = float(n * sxy - sx * sy) / float(dx)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            groups.append(r[group_col])
+            slopes.append(slope)
+            intercepts.append(intercept)
+        return pa.table({group_col: pa.array(groups),
+                         "slope": pa.array(slopes, pa.float64()),
+                         "intercept": pa.array(intercepts, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_mad(ds, group_col: str, value_col: str):
     """Median absolute deviation per group, scaled x4 so the result is
     INTEGER-exact -> (group, mad_x4).

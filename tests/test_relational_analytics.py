@@ -1259,3 +1259,30 @@ class TestGroupedHistogram:
         got = {(r.source, int(r.bucket)): int(r.n_rows)
                for r in out.itertuples()}
         assert got == {("a", 0): 2, ("a", 1): 1, ("b", 2): 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedRegression:
+    def test_matches_numpy_lstsq(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import grouped_regression
+        rng = np.random.default_rng(7)
+        x = rng.integers(1, 1000, 200)
+        y = (3 * x + 17 + rng.integers(-50, 50, 200)).astype(np.int64)
+        tbl = pa.table({"g": pa.array(["a"] * 200, pa.string()),
+                        "x": pa.array(x, pa.int64()),
+                        "y": pa.array(y, pa.int64())})
+        out = grouped_regression(_ds(tbl), "g", "x", "y").to_pandas()
+        slope, intercept = np.polyfit(x.astype(float),
+                                      y.astype(float), 1)
+        assert abs(float(out.slope[0]) - slope) < 1e-9
+        assert abs(float(out.intercept[0]) - intercept) < 1e-6
+
+    def test_zero_variance_group_dropped(self):
+        from pdf_extract_ray.ops.analytics import grouped_regression
+        tbl = pa.table({"g": pa.array(["z", "z", "ok", "ok"], pa.string()),
+                        "x": pa.array([5, 5, 1, 2], pa.int64()),
+                        "y": pa.array([1, 9, 10, 20], pa.int64())})
+        out = grouped_regression(_ds(tbl), "g", "x", "y").to_pandas()
+        assert list(out.g) == ["ok"]
+        assert abs(float(out.slope[0]) - 10.0) < 1e-12
