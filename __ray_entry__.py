@@ -1672,6 +1672,16 @@ def _q_bpe_encode_stats(sf_dir: str):
         _read(sf_dir, "documents", columns=["source", "text"]), merges)
 
 
+def _q_training_shards(sf_dir: str):
+    """Deterministic global shuffle into training shards (the 'write
+    the training mix' primitive): shard = md5(id) high-32 mod 16, pos =
+    rank within shard by md5 hex — reproducible shard-independently,
+    ONE shard-keyed partition pass (ops/corpus.training_shards)."""
+    from pdf_extract_ray.ops.corpus import training_shards
+    return training_shards(_read(sf_dir, "documents",
+                                 columns=["doc_id"]), n_shards=16)
+
+
 def _q_all_user_ids(sf_dir: str):
     """UNION (distinct) set op across two tables — the third of the
     set-op family (INTERSECT = shared_user_ids, EXCEPT = except_users).
@@ -2371,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_grouping_sets": _q_doc_grouping_sets,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "all_user_ids": _q_all_user_ids,
+        "training_shards": _q_training_shards,
         "chars_token_regression": _q_chars_token_regression,
         "winsorized_chars": _q_winsorized_chars,
         "chars_rank_by_source": _q_chars_rank_by_source,
@@ -3595,6 +3606,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             UNION
             SELECT o_custkey AS user_id FROM orders
+        """,
+        "training_shards": """
+            WITH h AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(hx, 1, 8)) AS UBIGINT) % 16
+                        AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY CAST(('0x' || substr(hx, 1, 8))
+                                         AS UBIGINT) % 16
+                       ORDER BY hx, doc_id) AS BIGINT) AS pos
+            FROM h
         """,
         "chars_token_regression": """
             WITH t AS (

@@ -806,3 +806,60 @@ def dup_span_stats(docs_ds, *, n: int = 5,
             "n_dup_grams": pc.cast(b.column("sum(n_dup_grams)"),
                                    pa.int64())}),
         batch_format="pyarrow")
+
+
+def training_shards(ds, *, id_col: str = "doc_id", n_shards: int = 16):
+    """Deterministic global shuffle into training shards -> (doc_id,
+    shard, pos): shard = md5(id) high-32 mod n_shards, pos = the row's
+    1-based rank within its shard by (md5 hex, id).
+
+    This is the "write the training mix" primitive: a seeded
+    pseudo-random permutation that is reproducible shard-independently
+    (any worker can recompute any row's placement from the id alone —
+    no global sort, no RNG state).  The only exchange is ONE
+    shard-keyed partition pass; within a partition one vectorized
+    argsort ranks the shard.  Scale note: n_shards is chosen so a
+    shard fits a worker (at 100 TB that means n_shards ~ corpus /
+    target_shard_bytes, e.g. 25k shards of 4 GB) — the per-shard rank
+    is then bounded by design, and the output maps 1:1 onto
+    partitioned parquet files for resumable writes."""
+    import hashlib
+
+    from .dedup import _grouped_by_partition
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hx = [hashlib.md5(str(i).encode("ascii")).hexdigest()
+              for i in ids]
+        shard = np.array([int(h[:8], 16) % n_shards for h in hx],
+                         np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "hx": pa.array(hx, pa.string())})
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        # one partition may hold SEVERAL shards: one lexsort by
+        # (shard, hx, id), then per-shard positions via run offsets —
+        # no per-shard loop
+        cols = {id_col: "int64", "shard": "int64", "pos": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        order = np.lexsort((df[id_col].to_numpy(np.int64),
+                            df["hx"].to_numpy(object),
+                            df["shard"].to_numpy(np.int64)))
+        out = df.iloc[order]
+        shard = out["shard"].to_numpy(np.int64)
+        n = len(out)
+        new_run = np.r_[True, shard[1:] != shard[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+        return pd.DataFrame({
+            id_col: out[id_col].to_numpy(np.int64),
+            "shard": shard,
+            "pos": pos})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    return _grouped_by_partition(hashed, ["shard"], rank,
+                                 n_parts=min(n_shards, _default_parts()))
