@@ -796,16 +796,22 @@ def dup_span_stats(docs_ds, *, n: int = 5,
     from .dedup import _grouped_by_partition
     partials = _grouped_by_partition(pairs, ["gh"], per_partition)
 
-    from ray.data.aggregate import Sum
-    agg = partials.groupby(id_col).aggregate(Sum("n_grams"),
-                                             Sum("n_dup_grams"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            id_col: pc.cast(b.column(id_col), pa.int64()),
-            "n_grams": pc.cast(b.column("sum(n_grams)"), pa.int64()),
-            "n_dup_grams": pc.cast(b.column("sum(n_dup_grams)"),
-                                   pa.int64())}),
-        batch_format="pyarrow")
+    # final per-doc merge: partials carry at most one row per doc per
+    # gh-partition, so this input is tiny relative to the corpus — the
+    # adaptive helper resolves it in one task when small and falls back
+    # to the same hash-partitioned shuffle at scale.  (A Ray-native
+    # groupby().aggregate() here costs ~20 s of aggregate-actor fixed
+    # cost on a small session for a 5k-row input — bench-measured.)
+    def merge_docs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "int64", "n_grams": "int64",
+                "n_dup_grams": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = df.groupby(id_col, sort=False, as_index=False)[
+            ["n_grams", "n_dup_grams"]].sum()
+        return out.astype(cols)
+
+    return _grouped_by_partition(partials, [id_col], merge_docs)
 
 
 def training_shards(ds, *, id_col: str = "doc_id", n_shards: int = 16):
