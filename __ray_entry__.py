@@ -1672,6 +1672,21 @@ def _q_bpe_encode_stats(sf_dir: str):
         _read(sf_dir, "documents", columns=["source", "text"]), merges)
 
 
+def _q_bloom_semi_revenue(sf_dir: str):
+    """Bloom-pushdown semi-join: the dim side's Bloom filter (fixed
+    m/8 bytes however many keys) is pushed into the fact scan so the
+    map-side prefilter drops non-matching rows BEFORE the one keyed
+    exchange; the partition pass re-checks membership exactly, so FPs
+    never reach the result (ops/relational.bloom_semi_revenue)."""
+    from pdf_extract_ray.ops.relational import bloom_semi_revenue
+    return bloom_semi_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand",
+                                       "p_size"]),
+        max_size=10)
+
+
 def _q_training_shards(sf_dir: str):
     """Deterministic global shuffle into training shards (the 'write
     the training mix' primitive): shard = md5(id) high-32 mod 16, pos =
@@ -2382,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_stats": _q_bpe_encode_stats,
         "all_user_ids": _q_all_user_ids,
         "training_shards": _q_training_shards,
+        "bloom_semi_revenue": _q_bloom_semi_revenue,
         "chars_token_regression": _q_chars_token_regression,
         "winsorized_chars": _q_winsorized_chars,
         "chars_rank_by_source": _q_chars_rank_by_source,
@@ -3606,6 +3622,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             UNION
             SELECT o_custkey AS user_id FROM orders
+        """,
+        "bloom_semi_revenue": """
+            SELECT p.p_brand,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_size <= 10
+            GROUP BY p.p_brand
         """,
         "training_shards": """
             WITH h AS (

@@ -139,7 +139,8 @@ def run_ops(sf_dir: str):
              "dup_span_stats", "triangle_counts", "cms_word_counts",
              "chars_histogram", "event_next_gaps", "value_share",
              "doc_grouping_sets", "bpe_encode_stats", "all_user_ids",
-             "chars_token_regression", "winsorized_chars"]
+             "chars_token_regression", "winsorized_chars",
+             "training_shards", "bloom_semi_revenue"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -2326,3 +2326,104 @@ def dominant_suppliers(lineitem_ds, *, share_inv: int = 5,
             "n_parts_dominated": pc.cast(
                 b.column("sum(n_parts_dominated)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def bloom_semi_revenue(lineitem_ds, part_ds, *, max_size: int = 10,
+                       m_bits: int = 1 << 20, k: int = 7,
+                       num_partitions=None):
+    """Bloom-pushdown semi-join: per-brand revenue from lineitems whose
+    part passes a selective dim predicate (p_size <= max_size) ->
+    (p_brand, revenue_c4, n_items).
+
+    The crawl-scale join strategy this demonstrates: when the dim side
+    is too big to broadcast as an exact set but its BLOOM FILTER fits
+    (m/8 bytes regardless of key count), push the filter into the fact
+    scan — the map-side prefilter drops the non-matching majority of
+    fact rows BEFORE any exchange, so the one keyed partition pass only
+    carries probable matches.  Bloom false positives cannot corrupt the
+    result: the partition pass re-checks membership EXACTLY against the
+    co-partitioned dim keys (no false negatives by construction, FPs
+    filtered there).  Finish is per-brand int-c4 partials + a tiny
+    |brands| merge — exact integer money end-to-end."""
+    import ray
+
+    from .dedup import _grouped_by_partition
+    from .sketch import _bloom_positions, bloom_build
+
+    num_partitions = _cap_partitions(num_partitions)
+
+    def dim_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("p_size"),
+                                   pa.scalar(max_size)))
+        return pa.table({
+            "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+            "p_brand": b.column("p_brand")})
+
+    dim = part_ds.map_batches(dim_filter,
+                              batch_format="pyarrow").materialize()
+    bloom = bloom_build(dim, "p_partkey", m_bits=m_bits, k=k)
+    bits_ref = ray.put(np.frombuffer(bloom, np.uint8))
+
+    def fact_prefilter(b: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(keys) == 0:
+            hit = np.zeros(0, bool)
+        else:
+            pos = _bloom_positions(keys, m_bits, k).reshape(len(keys), k)
+            hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) \
+                .all(axis=1)
+        b = b.filter(pa.array(hit))
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("l_partkey"), pa.int64()),
+            "c4": _c4_revenue(b),
+            "brand": pa.array([""] * n, pa.string()),
+            "is_dim": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def dim_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": b.column("p_partkey"),
+            "c4": pa.array(np.zeros(n, np.int64)),
+            "brand": b.column("p_brand"),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    both = lineitem_ds.map_batches(fact_prefilter,
+                                   batch_format="pyarrow") \
+        .union(dim.map_batches(dim_rows, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_brand": "object", "c4": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"c4": "int64", "n": "int64"})
+        is_dim = df["is_dim"].to_numpy(np.int8) == 1
+        bmap = dict(zip(df["key"].to_numpy(np.int64)[is_dim],
+                        df["brand"].to_numpy(object)[is_dim]))
+        fact = df[~is_dim]
+        brands = fact["key"].map(bmap)
+        keep = brands.notna().to_numpy()  # exact check kills Bloom FPs
+        g = pd.DataFrame({
+            "p_brand": brands.to_numpy(object)[keep],
+            "c4": fact["c4"].to_numpy(np.int64)[keep],
+            "n": 1}).groupby("p_brand", sort=False, as_index=False).sum()
+        return g
+
+    partials = _grouped_by_partition(both, ["key"], resolve,
+                                     n_parts=num_partitions)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_brand": "object", "revenue_c4": "int64",
+                "n_items": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"revenue_c4": "int64", "n_items": "int64"})
+        g = df.groupby("p_brand", sort=False, as_index=False)[
+            ["c4", "n"]].sum()
+        return pd.DataFrame({"p_brand": g["p_brand"],
+                             "revenue_c4": g["c4"].to_numpy(np.int64),
+                             "n_items": g["n"].to_numpy(np.int64)})
+
+    return _grouped_by_partition(partials, ["p_brand"], merge)

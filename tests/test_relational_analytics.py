@@ -1286,3 +1286,35 @@ class TestGroupedRegression:
         out = grouped_regression(_ds(tbl), "g", "x", "y").to_pandas()
         assert list(out.g) == ["ok"]
         assert abs(float(out.slope[0]) - 10.0) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSemiRevenue:
+    def test_fp_recheck_keeps_result_exact(self):
+        """Deliberately undersized filter (64 bits, 500 alien keys) ->
+        false positives guaranteed; the partition-level exact re-check
+        must still produce the true join result."""
+        import numpy as np
+        from pdf_extract_ray.ops.relational import bloom_semi_revenue
+        n_alien = 500
+        li = pa.table({
+            "l_partkey": pa.array(
+                [1, 2, 1] + list(range(1000, 1000 + n_alien)),
+                pa.int64()),
+            "l_extendedprice": pa.array(
+                [100.0, 200.0, 50.0] + [10.0] * n_alien, pa.float64()),
+            "l_discount": pa.array(
+                [0.0, 0.1, 0.0] + [0.0] * n_alien, pa.float64())})
+        part = pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["B1", "B2", "B1"], pa.string()),
+            "p_size": pa.array([5, 5, 50], pa.int64())})
+        out = bloom_semi_revenue(_ds(li), _ds(part), max_size=10,
+                                 m_bits=64, k=2).to_pandas() \
+            .set_index("p_brand").sort_index()
+        # B1: part 1 -> 100*100*100 + 50*100*100 ; B2: 200*100*90
+        assert int(out.loc["B1", "revenue_c4"]) == 150_00 * 100
+        assert int(out.loc["B1", "n_items"]) == 2
+        assert int(out.loc["B2", "revenue_c4"]) == 200_00 * 90
+        assert int(out.loc["B2", "n_items"]) == 1
+        assert list(out.index) == ["B1", "B2"]
