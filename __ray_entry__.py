@@ -377,6 +377,35 @@ def _q_dup_span_stats(sf_dir: str):
                                 columns=["doc_id", "text"]), n=5)
 
 
+def _q_cross_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct shared 8-gram spans
+    per source pair — one distinct-(gram,source) exchange, vectorized
+    within-partition self-join (ops/corpus.cross_source_overlap)."""
+    from pdf_extract_ray.ops.corpus import cross_source_overlap
+    return cross_source_overlap(_read(sf_dir, "documents",
+                                      columns=["source", "text"]), n=8)
+
+
+def _q_vocab_jaccard(sf_dir: str):
+    """Pairwise source vocabulary Jaccard from ONE exchange: diagonal
+    partials give |A|, off-diagonal give |A∩B|, union by
+    inclusion-exclusion (ops/corpus.vocab_jaccard)."""
+    from pdf_extract_ray.ops.corpus import vocab_jaccard
+    return vocab_jaccard(_read(sf_dir, "documents",
+                               columns=["source", "text"]))
+
+
+def _q_chars_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per source over n_chars, resolved
+    from the same bounded (group,value) histogram as the percentile
+    family — doubled-integer fence test, no float boundary
+    (ops/analytics.grouped_iqr_outliers)."""
+    from pdf_extract_ray.ops.analytics import grouped_iqr_outliers
+    return grouped_iqr_outliers(_read(sf_dir, "documents",
+                                      columns=["source", "n_chars"]),
+                                "source", "n_chars")
+
+
 def _q_dup_clusters(sf_dir: str):
     """Dup-graph cluster resolution as distributed connected components
     (the CC-Net/RefinedWeb shape: near-dup PAIRS -> cluster ids).  The
@@ -2483,6 +2512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_top_docs": _q_bm25_top_docs,
         "dup_span_stats": _q_dup_span_stats,
+        "cross_source_overlap": _q_cross_source_overlap,
+        "vocab_jaccard": _q_vocab_jaccard,
+        "chars_iqr_outliers": _q_chars_iqr_outliers,
         "triangle_counts": _q_triangle_counts,
         "range_window_sums": _q_range_window_sums,
         "dup_clusters": _q_dup_clusters,
@@ -2776,6 +2808,57 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_grams
             FROM grams g JOIN gc c ON g.gram = c.gram
             GROUP BY g.doc_id
+        """,
+        "cross_source_overlap": """
+            WITH ws AS (SELECT source, string_split(text, ' ') AS w
+                        FROM documents),
+            pos AS (SELECT source, w,
+                           unnest(generate_series(1, len(w) - 7)) AS i
+                    FROM ws),
+            g AS (SELECT DISTINCT source,
+                         array_to_string(w[i:i+7], ' ') AS gram
+                  FROM pos)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM g a JOIN g b
+              ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "vocab_jaccard": """
+            WITH ws AS (SELECT DISTINCT source,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                    FROM ws GROUP BY source),
+            inter AS (SELECT a.source AS sa, b.source AS sb,
+                             CAST(count(*) AS BIGINT) AS i
+                      FROM ws a JOIN ws b
+                        ON a.w = b.w AND a.source < b.source
+                      GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b,
+                   i AS inter_words,
+                   ca.c + cb.c - i AS union_words,
+                   CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE)
+                       AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.source = sa
+            JOIN cnt cb ON cb.source = sb
+        """,
+        "chars_iqr_outliers": """
+            WITH q AS (SELECT source,
+                              CAST(quantile_disc(n_chars, 0.25)
+                                   AS BIGINT) AS q1,
+                              CAST(quantile_disc(n_chars, 0.75)
+                                   AS BIGINT) AS q3
+                       FROM documents GROUP BY source)
+            SELECT d.source, q.q1, q.q3,
+                   CAST(count(*) FILTER (
+                       WHERE 2 * d.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                          OR 2 * d.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1))
+                        AS BIGINT) AS n_outliers,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN q ON d.source = q.source
+            GROUP BY 1, 2, 3
         """,
         "range_window_sums": """
             SELECT event_id, user_id,

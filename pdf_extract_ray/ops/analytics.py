@@ -816,3 +816,40 @@ def grouped_histogram(ds, group_col: str, value_col: str, *,
             "bucket": pc.cast(b.column("bucket"), pa.int64()),
             "n_rows": pc.cast(b.column("sum(n)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def grouped_iqr_outliers(ds, group_col: str, value_col: str):
+    """Tukey-fence outlier counts per group -> (group, q1, q3,
+    n_outliers, n_docs): values outside [q1 - 1.5*IQR, q3 + 1.5*IQR]
+    with q1/q3 = DuckDB quantile_disc(0.25/0.75).
+
+    Everything resolves from the SAME single (group, value) count
+    aggregate as grouped_percentiles — quantiles via integer-exact
+    ceil(p*n/100) index math AND the fence test via the doubled-integer
+    comparison 2*v < 2*q1 - 3*(q3-q1) (so the 1.5x multiplier never
+    touches floats), so the whole operator is one bounded-cardinality
+    shuffle and zero extra passes over the data."""
+    import numpy as np
+    import pandas as pd
+
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        cnts = df["count()"].to_numpy(dtype=np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        q1 = int(vals[np.searchsorted(cum, (25 * total + 99) // 100,
+                                      side="left")])
+        q3 = int(vals[np.searchsorted(cum, (75 * total + 99) // 100,
+                                      side="left")])
+        iqr3 = 3 * (q3 - q1)
+        out_mask = (2 * vals < 2 * q1 - iqr3) | (2 * vals > 2 * q3 + iqr3)
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "q1": [q1], "q3": [q3],
+                             "n_outliers": [int(cnts[out_mask].sum())],
+                             "n_docs": [total]})
+
+    return hist.groupby(group_col).map_groups(resolve,
+                                              batch_format="pandas")

@@ -869,3 +869,142 @@ def training_shards(ds, *, id_col: str = "doc_id", n_shards: int = 16):
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     return _grouped_by_partition(hashed, ["shard"], rank,
                                  n_parts=min(n_shards, _default_parts()))
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap / contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def _pair_partials(ds, gram_rows_fn, n_parts: int):
+    """Shared shape for source-pair co-occurrence counting: map docs ->
+    batch-distinct (gh, source) rows, ONE gram-hash-keyed partition
+    pass that (a) exactly dedups (gh, source), (b) counts per-source
+    distinct grams, (c) self-joins within the partition to count pairs.
+    Every gram hash lives in exactly one partition, so per-partition
+    partials sum to exact global counts.  Returns the partial rows
+    Dataset with columns (source_a, source_b, n): diagonal rows
+    (s, s, n) carry per-source distinct totals, off-diagonal rows
+    (a < b) carry intersection counts.
+
+    Scale: the shuffle carries 8 B hashes + a dictionary-encodable
+    source string per distinct (gram, source); the self-join inside a
+    partition emits k^2 rows per gram where k = #sources containing
+    the gram (k is bounded by the source-dimension cardinality —
+    crawls/snapshots/shards, not documents — and in real corpora most
+    grams live in 1-2 sources).  The partial output is bounded by
+    n_parts * n_sources^2 rows, so the final sum is a tiny exchange."""
+    from .dedup import _grouped_by_partition
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source_a": "object", "source_b": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n": "int64"})
+        df = df.drop_duplicates(["gh", "source"])
+        diag = df.groupby("source", sort=False).size()
+        m = df.merge(df, on="gh")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"], sort=False).size()
+        out = {
+            "source_a": list(diag.index) + [a for a, _ in inter.index],
+            "source_b": list(diag.index) + [b for _, b in inter.index],
+            "n": np.concatenate([diag.to_numpy(np.int64),
+                                 inter.to_numpy(np.int64)])
+            if len(inter) or len(diag) else np.empty(0, np.int64),
+        }
+        return pd.DataFrame(out)
+
+    gram_rows = ds.map_batches(gram_rows_fn, batch_format="pyarrow")
+    return _grouped_by_partition(gram_rows, ["gh"], pairs,
+                                 n_parts=n_parts)
+
+
+def _sum_pair_partials(partials_ds) -> pd.DataFrame:
+    """Driver-side exact sum of the bounded pair partials (<= n_parts *
+    n_sources^2 rows — an aggregate result, not corpus data)."""
+    df = partials_ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                             "source_b": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    return (df.groupby(["source_a", "source_b"], sort=True, as_index=False)
+              .agg(n=("n", "sum")))
+
+
+def cross_source_overlap(docs_ds, *, n: int = 8, num_partitions=None):
+    """Cross-source contamination matrix: for every pair of sources,
+    the number of DISTINCT word n-grams (default 8 — chunk_dedup's
+    span size) that appear in BOTH -> (source_a, source_b,
+    shared_ngrams), source_a < source_b, zero-overlap pairs omitted.
+
+    This is the "did snapshot A leak into snapshot B" primitive of a
+    crawl pipeline; exact-duplicate sharing is its degenerate form
+    (the synthetic corpus has no full-text cross-source dups, but
+    1125 shared 8-gram spans at sf0.01).  One map pass + one
+    hash-partitioned exchange of distinct (gram-hash, source) rows;
+    pair counting is a vectorized within-partition self-join (see
+    _pair_partials)."""
+    parts = num_partitions or _default_parts()
+
+    def grams(b: pa.Table) -> pa.Table:
+        row_of, wh, _ = _word_hashes(b.column("text").to_pylist())
+        grow, gh = _gram_hashes(row_of, wh, n)
+        if len(gh) == 0:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        src = b.column("source").to_pandas().to_numpy(object)
+        df = pd.DataFrame({"gh": gh.view(np.int64),
+                           "source": src[grow]}).drop_duplicates()
+        return pa.table({"gh": pa.array(df["gh"].to_numpy(np.int64)),
+                         "source": pa.array(df["source"], pa.string())})
+
+    partials = _pair_partials(docs_ds, grams, parts)
+    tot = _sum_pair_partials(partials)
+    tot = tot[tot["source_a"] < tot["source_b"]]
+    return pa.table({
+        "source_a": pa.array(tot["source_a"], pa.string()),
+        "source_b": pa.array(tot["source_b"], pa.string()),
+        "shared_ngrams": pa.array(tot["n"].to_numpy(np.int64))})
+
+
+def vocab_jaccard(docs_ds, *, num_partitions=None):
+    """Vocabulary similarity between every pair of sources ->
+    (source_a, source_b, inter_words, union_words, jaccard), a < b,
+    pairs with empty intersection omitted.
+
+    Distinct-word sets per source are never materialized anywhere:
+    the same one-exchange _pair_partials pass yields per-source
+    distinct counts (diagonal) and pairwise intersections
+    (off-diagonal); union = |A| + |B| - |A∩B| by
+    inclusion-exclusion, so jaccard is one float division of exact
+    integers (bit-identical to the SQL oracle's)."""
+    parts = num_partitions or _default_parts()
+
+    def words(b: pa.Table) -> pa.Table:
+        row_of, wh, _ = _word_hashes(b.column("text").to_pylist())
+        if len(wh) == 0:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        src = b.column("source").to_pandas().to_numpy(object)
+        df = pd.DataFrame({"gh": wh.view(np.int64),
+                           "source": src[row_of]}).drop_duplicates()
+        return pa.table({"gh": pa.array(df["gh"].to_numpy(np.int64)),
+                         "source": pa.array(df["source"], pa.string())})
+
+    partials = _pair_partials(docs_ds, words, parts)
+    tot = _sum_pair_partials(partials)
+    diag = (tot[tot["source_a"] == tot["source_b"]]
+            .set_index("source_a")["n"])
+    pairs = tot[tot["source_a"] < tot["source_b"]]
+    inter = pairs["n"].to_numpy(np.int64)
+    ca = diag.reindex(pairs["source_a"]).to_numpy(np.int64)
+    cb = diag.reindex(pairs["source_b"]).to_numpy(np.int64)
+    union = ca + cb - inter
+    return pa.table({
+        "source_a": pa.array(pairs["source_a"], pa.string()),
+        "source_b": pa.array(pairs["source_b"], pa.string()),
+        "inter_words": pa.array(inter),
+        "union_words": pa.array(union),
+        "jaccard": pa.array(inter.astype(np.float64)
+                            / union.astype(np.float64))})

@@ -387,3 +387,131 @@ class TestDupSpanStats:
             assert out.loc[d, "n_grams"] == len(gs)
             assert out.loc[d, "n_dup_grams"] == sum(
                 1 for g in gs if cnt[g] > 1)
+
+
+def _sdocs(rows):
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrossSourceOverlap:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.corpus import cross_source_overlap
+        tbl = _sdocs([
+            ("s1", "a b c d"),      # 2-grams: ab bc cd
+            ("s1", "a b"),          # ab (dup within source — distinct)
+            ("s2", "b c d e"),      # bc cd de
+            ("s3", "x y"),          # xy (no overlap with anyone)
+        ])
+        out = cross_source_overlap(_ds(tbl), n=2).to_pandas()
+        out = out.sort_values(["source_a", "source_b"]).reset_index(
+            drop=True)
+        # s1 ∩ s2 = {bc, cd}; s3 shares nothing -> omitted
+        assert out.source_a.tolist() == ["s1"]
+        assert out.source_b.tolist() == ["s2"]
+        assert out.shared_ngrams.tolist() == [2]
+
+    def test_matches_naive_sets(self):
+        from pdf_extract_ray.ops.corpus import cross_source_overlap
+        rng = np.random.default_rng(11)
+        vocab = list("abcdef")
+        rows = [(f"s{int(i % 4)}",
+                 " ".join(rng.choice(vocab, rng.integers(3, 25))))
+                for i in range(60)]
+        n = 3
+        per_src = {}
+        for s, t in rows:
+            per_src.setdefault(s, set()).update(_naive_grams(t, n))
+        want = {}
+        srcs = sorted(per_src)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1:]:
+                k = len(per_src[a] & per_src[b])
+                if k:
+                    want[(a, b)] = k
+        out = cross_source_overlap(_ds(_sdocs(rows)), n=n).to_pandas()
+        got = {(r.source_a, r.source_b): r.shared_ngrams
+               for r in out.itertuples()}
+        assert got == want
+
+    def test_empty_and_disjoint(self):
+        from pdf_extract_ray.ops.corpus import cross_source_overlap
+        out = cross_source_overlap(
+            _ds(_sdocs([("a", "p q r"), ("b", "x y z")])), n=2
+        ).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["source_a", "source_b",
+                                     "shared_ngrams"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabJaccard:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.corpus import vocab_jaccard
+        tbl = _sdocs([
+            ("s1", "a b c"),
+            ("s1", "a d"),          # s1 vocab {a b c d}
+            ("s2", "c d e"),        # s2 vocab {c d e}
+        ])
+        out = vocab_jaccard(_ds(tbl)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.source_a, r.source_b) == ("s1", "s2")
+        assert r.inter_words == 2          # {c, d}
+        assert r.union_words == 5          # {a b c d e}
+        assert r.jaccard == 2.0 / 5.0
+
+    def test_matches_naive_sets(self):
+        from pdf_extract_ray.ops.corpus import vocab_jaccard
+        rng = np.random.default_rng(13)
+        vocab = [f"w{int(k)}" for k in range(30)]
+        rows = [(f"s{int(i % 5)}",
+                 " ".join(rng.choice(vocab, rng.integers(1, 20))))
+                for i in range(80)]
+        per_src = {}
+        for s, t in rows:
+            per_src.setdefault(s, set()).update(t.split(" "))
+        out = vocab_jaccard(_ds(_sdocs(rows))).to_pandas()
+        for r in out.itertuples():
+            a, b = per_src[r.source_a], per_src[r.source_b]
+            assert r.inter_words == len(a & b)
+            assert r.union_words == len(a | b)
+            assert r.jaccard == len(a & b) / len(a | b)
+        # every overlapping pair present
+        srcs = sorted(per_src)
+        n_pairs = sum(1 for i, a in enumerate(srcs)
+                      for b in srcs[i + 1:]
+                      if per_src[a] & per_src[b])
+        assert len(out) == n_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedIqrOutliers:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.analytics import grouped_iqr_outliers
+        # group g: values 1..10 plus an extreme 1000
+        vals = list(range(1, 11)) + [1000]
+        tbl = pa.table({
+            "source": pa.array(["g"] * len(vals), pa.string()),
+            "n_chars": pa.array(vals, pa.int64())})
+        out = grouped_iqr_outliers(_ds(tbl), "source",
+                                   "n_chars").to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        # quantile_disc over 11 values: q1 = v[ceil(.25*11)=3] = 3,
+        # q3 = v[ceil(.75*11)=9] = 9; fences [-6, 18] -> only 1000 out
+        assert (r.q1, r.q3) == (3, 9)
+        assert r.n_outliers == 1
+        assert r.n_docs == 11
+
+    def test_no_outliers_uniform(self):
+        from pdf_extract_ray.ops.analytics import grouped_iqr_outliers
+        tbl = pa.table({
+            "source": pa.array(["g"] * 8, pa.string()),
+            "n_chars": pa.array([5] * 8, pa.int64())})
+        out = grouped_iqr_outliers(_ds(tbl), "source",
+                                   "n_chars").to_pandas()
+        assert out.iloc[0].n_outliers == 0

@@ -36,7 +36,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "user_first_last", "chars_skew_by_source",
            "dominant_suppliers", "range_window_sums", "dup_span_stats",
            "triangle_counts", "training_shards", "all_user_ids",
-           "event_next_gaps", "bloom_semi_revenue"]
+           "event_next_gaps", "bloom_semi_revenue",
+           "cross_source_overlap", "vocab_jaccard"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
