@@ -1890,6 +1890,16 @@ def _q_window3_sums(sf_dir: str):
                                        "value"]))
 
 
+def _q_rolling_median(sf_dir: str):
+    """Rolling 5-event discrete median per user (windowed
+    quantile_disc): one user-keyed pass, per-width sorted sliding
+    windows, integer cents (ops/events.rolling_median)."""
+    from pdf_extract_ray.ops.events import rolling_median
+    return rolling_median(_read(sf_dir, "events",
+                                columns=["event_id", "user_id", "ts",
+                                         "value"]), window=5)
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2442,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_suppliers": _q_brand_suppliers,
         "rich_quiet_customers": _q_rich_quiet_customers,
         "window3_sums": _q_window3_sums,
+        "rolling_median": _q_rolling_median,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3218,6 +3229,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS w_sum_cents
+            FROM events
+        """,
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   CAST(quantile_disc(
+                       CAST(round(value * 100, 0) AS BIGINT), 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS med_cents
             FROM events
         """,
         "top_supplier_revenue": """

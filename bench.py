@@ -140,7 +140,9 @@ def run_ops(sf_dir: str):
              "chars_histogram", "event_next_gaps", "value_share",
              "doc_grouping_sets", "bpe_encode_stats", "all_user_ids",
              "chars_token_regression", "winsorized_chars",
-             "training_shards", "bloom_semi_revenue"]
+             "training_shards", "bloom_semi_revenue",
+             "cross_source_overlap", "vocab_jaccard",
+             "chars_iqr_outliers", "rolling_median"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

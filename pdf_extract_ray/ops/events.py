@@ -550,6 +550,61 @@ def window3_sums(ds, *, window: int = 3):
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
+def rolling_median(ds, *, window: int = 5):
+    """Per-user rolling MEDIAN over the trailing `window` events in
+    (ts, event_id) order -> (event_id, user_id, med_cents): the SQL
+    shape  quantile_disc(cents, 0.5) OVER (PARTITION BY user
+    ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW).
+
+    Values round to integer cents first, and the median is the
+    DISCRETE lower median (1-based sorted index ceil(n/2), DuckDB
+    quantile_disc semantics), so the result is integer-exact.  One
+    user-keyed partition pass (the window3_sums shape); within a
+    partition ONE lexsort, then one np.sort of fixed-width sliding
+    windows per distinct width w <= window (ragged segment-start
+    windows are just the smaller fixed widths, selected by each row's
+    user-local position) — no per-row loop, no rolling-window
+    object."""
+    w = int(window)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {"event_id": "int64", "user_id": "int64",
+                "med_cents": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.round(df["value"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, e, c = user[order], eid[order], cents[order]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), 0))
+        width = np.minimum(np.arange(n) - seg_start + 1, w)
+        med = np.empty(n, np.int64)
+        for k in range(1, w + 1):
+            rows = np.flatnonzero(width == k)
+            if len(rows) == 0:
+                continue
+            # trailing window of width k ends at each selected row
+            wins = np.sort(
+                np.lib.stride_tricks.sliding_window_view(c, k)[rows
+                                                               - (k - 1)],
+                axis=1)
+            med[rows] = wins[:, (k + 1) // 2 - 1]
+        return pd.DataFrame({
+            "event_id": e, "user_id": u, "med_cents": med,
+        }).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
+
+
 def funnel_counts(ds, steps=("view", "click", "purchase"), *,
                   window_hours: int = 6, n_parts: int = 32):
     """Ordered funnel conversion: how many users performed step 1, then

@@ -1318,3 +1318,54 @@ class TestBloomSemiRevenue:
         assert int(out.loc["B2", "revenue_c4"]) == 200_00 * 90
         assert int(out.loc["B2", "n_items"]) == 1
         assert list(out.index) == ["B1", "B2"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingMedian:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.events import rolling_median
+        ts = lambda s: np.datetime64(s, "us").item()
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array([ts(f"2024-01-01T00:0{i}:00")
+                            for i in range(6)]
+                           + [ts("2024-01-01T00:00:00"),
+                              ts("2024-01-01T00:01:00")],
+                           pa.timestamp("us")),
+            "value": pa.array([5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 0.5, 0.25],
+                              pa.float64())})
+        out = rolling_median(_ds(ev), window=5).to_pandas()
+        got = {int(r.event_id): int(r.med_cents)
+               for r in out.itertuples()}
+        # user 7 cents: 500 100 900 300 700 200; trailing-5 lower
+        # medians: [500], [100 500]->100, [100 500 900]->500,
+        # [100 300 500 900]->300, [100 300 500 700 900]->500,
+        # [100 200 300 700 900]->300.  user 8: 50; [25 50]->25
+        assert got == {1: 500, 2: 100, 3: 500, 4: 300, 5: 500, 6: 300,
+                       7: 50, 8: 25}
+
+    def test_matches_naive(self):
+        from pdf_extract_ray.ops.events import rolling_median
+        rng = np.random.default_rng(5)
+        n = 300
+        users = rng.integers(0, 7, n)
+        tss = np.datetime64("2024-01-01", "us") + \
+            rng.integers(0, 10**9, n).astype("timedelta64[us]")
+        vals = np.round(rng.uniform(0, 100, n), 2)
+        ev = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(tss),
+            "value": pa.array(vals)})
+        out = rolling_median(_ds(ev), window=5).to_pandas()
+        got = {int(r.event_id): int(r.med_cents)
+               for r in out.itertuples()}
+        cents = np.round(vals * 100).astype(np.int64)
+        df = pd.DataFrame({"e": np.arange(n), "u": users, "t": tss,
+                           "c": cents}).sort_values(["u", "t", "e"])
+        for u, g in df.groupby("u"):
+            cs = g["c"].to_numpy()
+            for i, e in enumerate(g["e"].to_numpy()):
+                win = np.sort(cs[max(0, i - 4): i + 1])
+                assert got[int(e)] == win[(len(win) + 1) // 2 - 1], e
