@@ -1019,6 +1019,41 @@ def _q_image_features(sf_dir: str):
     return image_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _q_image_dedup(sf_dir: str):
+    """Perceptual image dedup over mixed payloads: docs with the same
+    d % 40 render IDENTICAL pixels but alternate between PNG and BMP
+    containers, so byte-level dedup cannot group them — the dHash
+    stage (real stdlib decode) + one 16 B/image aggregation shuffle
+    does (ops/multimodal.image_dhash_groups).  Rows-only: image
+    decode is not SQL-expressible; planted-duplicate recovery is
+    pytest-pinned."""
+    from pdf_extract_ray.ops.codecs import encode_bmp, encode_png
+    from pdf_extract_ray.ops.multimodal import image_dhash_groups
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads, ids = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 5 == 0:
+                k = d % 40
+                side = 6 + k % 6
+                img = ((np.arange(side * side * 3, dtype=np.int64)
+                        * (k + 7)) % 256).astype(np.uint8) \
+                    .reshape(side, side, 3)
+                enc = encode_png if (d // 5) % 2 == 0 else encode_bmp
+                payloads.append(enc(img))
+            else:
+                payloads.append(t.encode("utf-8"))
+            ids.append(d)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+            names=["item_id", "payload"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return image_dhash_groups(
+        ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
 def _q_image_resize(sf_dir: str):
     """Multimodal resize stage: decode (real for the PNG subset),
     nearest-neighbor resample to 16x16, raw uint8 pixels out
@@ -2543,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
+        "image_dedup": _q_image_dedup,
         "ann_recall_report": _q_ann_recall_report,
         "audio_features": _q_audio_features,
         "audio_resample": _q_audio_resample,

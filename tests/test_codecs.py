@@ -229,3 +229,60 @@ class TestResampleAudio:
         out = resample_audio(ray.data.from_arrow(tbl)).to_pandas()
         assert out.status.iloc[0].startswith("error")
         assert int(out.n_samples.iloc[0]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestImageDHash:
+    def _img(self, seed: int, side: int = 10) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (side, side, 3)).astype(np.uint8)
+
+    def test_container_invariance(self):
+        from pdf_extract_ray.ops.codecs import (decode_bmp, decode_png,
+                                                encode_bmp, encode_png)
+        from pdf_extract_ray.ops.multimodal import dhash64
+        img = self._img(3)
+        assert encode_png(img) != encode_bmp(img)  # bytes differ
+        assert dhash64(decode_png(encode_png(img))) \
+            == dhash64(decode_bmp(encode_bmp(img)))
+
+    def test_brightness_shift_invariance(self):
+        from pdf_extract_ray.ops.multimodal import dhash64
+        img = self._img(4).astype(np.int64) % 200  # headroom for +40
+        assert dhash64(img.astype(np.uint8)) \
+            == dhash64((img + 40).astype(np.uint8))
+
+    def test_distinct_images_distinct_hashes(self):
+        from pdf_extract_ray.ops.multimodal import dhash64
+        hs = {dhash64(self._img(s)) for s in range(20)}
+        assert len(hs) == 20
+
+    def test_tiny_image_upscale_path(self):
+        from pdf_extract_ray.ops.multimodal import dhash64
+        img = self._img(5, side=3)   # smaller than the 8x9 hash grid
+        assert 0 <= dhash64(img) < 2 ** 64
+
+    def test_groups_recover_planted_cross_container_dups(self):
+        import ray
+        from pdf_extract_ray.ops.codecs import encode_bmp, encode_png
+        from pdf_extract_ray.ops.multimodal import image_dhash_groups
+        # 4 distinct pixel contents, each encoded twice (PNG + BMP),
+        # plus 6 unique images and one corrupt payload
+        rows = []
+        iid = 0
+        for k in range(4):
+            img = self._img(100 + k)
+            for enc in (encode_png, encode_bmp):
+                rows.append((iid, enc(img)))
+                iid += 1
+        for k in range(6):
+            rows.append((iid, encode_png(self._img(200 + k))))
+            iid += 1
+        rows.append((iid, b"\x89PNG\r\n\x1a\ntruncated"))
+        t = pa.table({
+            "item_id": pa.array([r[0] for r in rows], pa.int64()),
+            "payload": pa.array([r[1] for r in rows], pa.binary())})
+        out = image_dhash_groups(ray.data.from_arrow(t)).to_pandas()
+        assert len(out) == 4
+        assert sorted(out.item_id.tolist()) == [0, 2, 4, 6]
+        assert out.n_items.tolist() == [2, 2, 2, 2]
