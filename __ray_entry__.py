@@ -1935,6 +1935,16 @@ def _q_rolling_median(sf_dir: str):
                                          "value"]), window=5)
 
 
+def _q_attributed_purchases(sf_dir: str):
+    """Last-touch attribution (purchase -> latest preceding click/view
+    within 24h, -1 sentinel): one user-keyed pass over the shared
+    segmented as-of kernel (ops/events.attribute_purchases)."""
+    from pdf_extract_ray.ops.events import attribute_purchases
+    return attribute_purchases(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2488,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_quiet_customers": _q_rich_quiet_customers,
         "window3_sums": _q_window3_sums,
         "rolling_median": _q_rolling_median,
+        "attributed_purchases": _q_attributed_purchases,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3275,6 +3286,32 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS med_cents
             FROM events
+        """,
+        "attributed_purchases": """
+            WITH seq AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN event_type IN ('click','view')
+                          THEN event_id END AS tid,
+                     CASE WHEN event_type IN ('click','view')
+                          THEN ts END AS tts
+              FROM events),
+            attr AS (
+              SELECT event_id, user_id, event_type, ts,
+                 last_value(tid IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS t_id,
+                 last_value(tts IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS t_ts
+              FROM seq)
+            SELECT event_id, user_id,
+                   CAST(CASE WHEN t_ts IS NOT NULL
+                             AND ts - t_ts <= INTERVAL 24 HOURS
+                        THEN t_id ELSE -1 END AS BIGINT)
+                       AS touch_event_id
+            FROM attr WHERE event_type = 'purchase'
         """,
         "top_supplier_revenue": """
             WITH rev AS (

@@ -605,6 +605,57 @@ def rolling_median(ds, *, window: int = 5):
     return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
+def attribute_purchases(ds, *, touch_types=("click", "view"),
+                        conv_type: str = "purchase",
+                        window_hours: int = 24, n_parts: int = 32):
+    """Last-touch attribution: each conversion event maps to its user's
+    most recent PRECEDING touch event (click/view) within
+    `window_hours` -> (event_id, user_id, touch_event_id), sentinel
+    -1 when no touch qualifies (the as-of-left discipline: output
+    schema stays non-nullable).
+
+    One user-keyed partition pass; within a partition one lexsort by
+    (user, ts, event_id) and ONE segmented maximum.accumulate
+    (relational._seg_last_idx — the shared as-of kernel) forward-fills
+    the latest touch index, so conversions, touches and the window
+    test all resolve without any per-user loop.  "Preceding" is strict
+    row order (ts ties break on event_id), matching the SQL frame
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING."""
+    window_us = int(window_hours) * 3_600 * 1_000_000
+    touch_set = set(touch_types)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "touch_event_id": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        from .relational import _seg_last_idx
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        etype = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        u, t, e, ty = user[order], ts[order], eid[order], etype[order]
+        gch = np.empty(n, dtype=bool)
+        gch[0] = True
+        gch[1:] = u[1:] != u[:-1]
+        is_touch = np.isin(ty, list(touch_set))
+        last, valid = _seg_last_idx(is_touch, gch)
+        conv = ty == conv_type
+        li = last[conv]
+        ok = valid[conv] & (li >= 0) \
+            & (t[conv] - t[np.maximum(li, 0)] <= window_us)
+        touch_id = np.where(ok, e[np.maximum(li, 0)], -1)
+        return pd.DataFrame({
+            "event_id": e[conv], "user_id": u[conv],
+            "touch_event_id": touch_id}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
 def funnel_counts(ds, steps=("view", "click", "purchase"), *,
                   window_hours: int = 6, n_parts: int = 32):
     """Ordered funnel conversion: how many users performed step 1, then

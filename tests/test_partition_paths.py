@@ -37,7 +37,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "dominant_suppliers", "range_window_sums", "dup_span_stats",
            "triangle_counts", "training_shards", "all_user_ids",
            "event_next_gaps", "bloom_semi_revenue",
-           "cross_source_overlap", "vocab_jaccard", "rolling_median"]
+           "cross_source_overlap", "vocab_jaccard", "rolling_median",
+           "attributed_purchases"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).

@@ -1369,3 +1369,43 @@ class TestRollingMedian:
             for i, e in enumerate(g["e"].to_numpy()):
                 win = np.sort(cs[max(0, i - 4): i + 1])
                 assert got[int(e)] == win[(len(win) + 1) // 2 - 1], e
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAttributedPurchases:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.events import attribute_purchases
+        ts = lambda s: np.datetime64(s, "us").item()
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([
+                ts("2024-01-01T00:00:00"),   # 1 u1 click
+                ts("2024-01-01T01:00:00"),   # 2 u1 purchase -> 1
+                ts("2024-01-01T02:00:00"),   # 3 u1 error (not a touch)
+                ts("2024-01-02T03:00:00"),   # 4 u1 purchase: click 26h old -> -1
+                ts("2024-01-01T00:00:00"),   # 5 u2 purchase, no touch -> -1
+                ts("2024-01-01T00:00:00"),   # 6 u2 view AFTER by id order
+                ts("2024-01-01T00:00:00"),   # 7 u3 view (ts tie, id before)
+                ts("2024-01-01T00:00:00"),   # 8 u3 purchase -> 7
+            ], pa.timestamp("us")),
+            "event_type": pa.array(
+                ["click", "purchase", "error", "purchase",
+                 "purchase", "view", "view", "purchase"], pa.string())})
+        out = attribute_purchases(_ds(ev)).to_pandas()
+        got = {int(r.event_id): int(r.touch_event_id)
+               for r in out.itertuples()}
+        assert got == {2: 1, 4: -1, 5: -1, 8: 7}
+
+    def test_window_boundary_inclusive(self):
+        from pdf_extract_ray.ops.events import attribute_purchases
+        ts = lambda s: np.datetime64(s, "us").item()
+        ev = pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([ts("2024-01-01T00:00:00"),
+                            ts("2024-01-02T00:00:00")],  # exactly 24h
+                           pa.timestamp("us")),
+            "event_type": pa.array(["click", "purchase"], pa.string())})
+        out = attribute_purchases(_ds(ev)).to_pandas()
+        assert out.touch_event_id.tolist() == [1]
