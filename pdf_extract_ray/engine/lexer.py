@@ -209,6 +209,19 @@ class Lexer:
     def _parse_hex_string(self) -> PdfString:
         buf, end = self.buf, self.end
         pos = self.pos + 1  # skip '<'
+        # fast path (profiled ~4x): clean even-length hex (possibly with
+        # whitespace BETWEEN byte pairs — fromhex skips exactly the same
+        # separators the loop does) in one C call; anything fromhex
+        # rejects (odd nibble count, junk bytes, ws splitting a pair)
+        # falls through to the quirk-preserving byte loop
+        j = buf.find(b">", pos, end)
+        if j >= 0:
+            try:
+                s = bytes.fromhex(buf[pos:j].decode("ascii"))
+                self.pos = j + 1
+                return PdfString(s)
+            except (ValueError, UnicodeDecodeError):
+                pass
         out = bytearray()
         hi = None
         while pos < end:
