@@ -1945,6 +1945,36 @@ def _q_attributed_purchases(sf_dir: str):
               columns=["event_id", "user_id", "ts", "event_type"]))
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention triangle (cohort = Monday week of first event;
+    distinct active users per (cohort, offset) cell): map-side
+    (user, week) dedup + one user-keyed partition pass with exact
+    partial counts (ops/events.retention_cohorts)."""
+    from pdf_extract_ray.ops.events import retention_cohorts
+    return retention_cohorts(_read(sf_dir, "events",
+                                   columns=["user_id", "ts"]))
+
+
+def _q_user_paths(sf_dir: str):
+    """First-3 event-type path per user, counted across users: one
+    user-keyed pass, segmented head-k + column-wise path assembly
+    (ops/events.user_paths)."""
+    from pdf_extract_ray.ops.events import user_paths
+    return user_paths(_read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"]), k=3)
+
+
+def _q_gram_edit_pairs(sf_dir: str):
+    """Edit-distance-1 pairs over distinct char 4-grams (SymSpell
+    positional-deletion buckets; exactly-once emission, no verify/
+    dedup pass needed for fixed-length grams)
+    (ops/corpus.gram_edit_pairs)."""
+    from pdf_extract_ray.ops.corpus import gram_edit_pairs
+    return gram_edit_pairs(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]), n=4)
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2499,6 +2529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window3_sums": _q_window3_sums,
         "rolling_median": _q_rolling_median,
         "attributed_purchases": _q_attributed_purchases,
+        "retention_cohorts": _q_retention_cohorts,
+        "user_paths": _q_user_paths,
+        "gram_edit_pairs": _q_gram_edit_pairs,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3277,6 +3310,46 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS w_sum_cents
             FROM events
+        """,
+        "retention_cohorts": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               date_trunc('week', ts) AS wk
+                        FROM events),
+            c AS (SELECT user_id, wk,
+                         min(wk) OVER (PARTITION BY user_id) AS cw
+                  FROM uw)
+            SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+                   CAST(date_diff('day', cw, wk) // 7 AS BIGINT)
+                       AS offset_weeks,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM c GROUP BY 1, 2
+        """,
+        "user_paths": """
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY user_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+        """,
+        "gram_edit_pairs": """
+            WITH g AS (SELECT DISTINCT
+                              substr(text, CAST(i AS INT), 4) AS gram
+                       FROM documents
+                       CROSS JOIN unnest(range(1, len(text)-2)) AS t(i)),
+            p AS (
+              SELECT a.gram AS ga, b.gram AS gb FROM g a JOIN g b
+                ON substr(a.gram,1,2) = substr(b.gram,1,2)
+               AND a.gram < b.gram
+              UNION
+              SELECT a.gram, b.gram FROM g a JOIN g b
+                ON substr(a.gram,3,2) = substr(b.gram,3,2)
+               AND a.gram < b.gram)
+            SELECT ga AS gram_a, gb AS gram_b FROM p
+            WHERE levenshtein(ga, gb) = 1
         """,
         "rolling_median": """
             SELECT event_id, user_id,

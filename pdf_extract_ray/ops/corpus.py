@@ -1008,3 +1008,88 @@ def vocab_jaccard(docs_ds, *, num_partitions=None):
         "union_words": pa.array(union),
         "jaccard": pa.array(inter.astype(np.float64)
                             / union.astype(np.float64))})
+
+
+def gram_edit_pairs(docs_ds, *, n: int = 4, text_col: str = "text",
+                    n_parts=None):
+    """Edit-distance-1 pairs over the corpus's distinct character
+    n-grams (SymSpell-style deletion neighbourhoods) ->
+    (gram_a, gram_b), gram_a < gram_b.
+
+    For FIXED-length grams, Levenshtein distance 1 is exactly one
+    substitution, so two distinct grams are at distance 1 iff they
+    agree on all but one position — i.e. they share the bucket
+    (i, gram-with-position-i-removed) for exactly ONE i.  That gives
+    exactly-once pair emission with NO candidate verification and NO
+    global pair dedup: a pair differing at position i shares no other
+    positional deletion key.
+
+    Scale shape: per-batch gram extraction is one UTF-32 sliding
+    window over the '\\x00'-joined batch text (windows crossing doc
+    boundaries masked) + a per-batch void-view np.unique, so the
+    exchange to the distinct-gram groupby carries per-batch-distinct
+    grams only; the deletion-key stage emits n rows per distinct gram
+    (bounded by n x |gram vocab|), and buckets hold at most
+    |alphabet| grams, so the within-bucket pandas self-merge is
+    bounded work.  No per-row Python anywhere."""
+    from .dedup import _grouped_by_partition
+    if n_parts is None:
+        n_parts = _default_parts()
+
+    def extract(b: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        texts = b.column(text_col).to_pylist()
+        s = "\x00".join(t if t is not None else "" for t in texts)
+        if len(s) < n:
+            return empty
+        code = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        win = np.lib.stride_tricks.sliding_window_view(code, n)
+        win = win[~(win == 0).any(axis=1)]
+        if len(win) == 0:
+            return empty
+        win = np.ascontiguousarray(win)
+        void = win.view(np.dtype((np.void, win.dtype.itemsize * n)))
+        uniq = np.unique(void).view(np.uint32).reshape(-1, n)
+        big = uniq.tobytes().decode("utf-32-le")
+        grams = [big[i * n:(i + 1) * n] for i in range(len(uniq))]
+        return pa.table({"gram": pa.array(grams, pa.string())})
+
+    distinct = docs_ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("gram").count()
+
+    def keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "rest": pa.array([], pa.string()),
+                             "gram": pa.array([], pa.string())})
+        grams = b.column("gram").to_pylist()
+        mat = np.frombuffer("".join(grams).encode("utf-32-le"),
+                            dtype=np.uint32).reshape(-1, n)
+        out_pos, out_rest, out_gram = [], [], []
+        cols = np.arange(n)
+        for i in range(n):
+            rest_mat = np.ascontiguousarray(mat[:, cols != i])
+            big = rest_mat.tobytes().decode("utf-32-le")
+            m = n - 1
+            out_rest.extend(big[j * m:(j + 1) * m]
+                            for j in range(len(grams)))
+            out_pos.append(np.full(len(grams), i, np.int64))
+            out_gram.extend(grams)
+        return pa.table({"pos": pa.array(np.concatenate(out_pos)),
+                         "rest": pa.array(out_rest, pa.string()),
+                         "gram": pa.array(out_gram, pa.string())})
+
+    keyed = distinct.map_batches(keys, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"gram_a": "object", "gram_b": "object"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols))
+        m = df.merge(df, on=["pos", "rest"], suffixes=("_a", "_b"))
+        m = m[m["gram_a"] < m["gram_b"]]
+        return m[["gram_a", "gram_b"]].reset_index(drop=True)
+
+    return _grouped_by_partition(keyed, ["pos", "rest"], bucket_pairs,
+                                 n_parts=n_parts)

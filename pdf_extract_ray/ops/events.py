@@ -852,3 +852,137 @@ def value_share(ds):
             "share_ppm": pa.array(ppm, pa.int64())})
 
     return ds.map_batches(share, batch_format="pyarrow")
+
+
+def retention_cohorts(ds, *, n_parts: int = 32):
+    """Weekly retention triangle: cohort a user by the Monday-start
+    week of their FIRST event, then count distinct users active in
+    each later week -> (cohort_week, offset_weeks, n_users).
+
+    Scale shape: map-side per-batch dedup of (user, week) pairs first
+    (the exchange carries at most n_users x n_weeks rows, not one row
+    per event), then ONE user-keyed partition pass — every row of a
+    user lands in one partition, so the per-partition distinct-user
+    counts per (cohort, offset) cell are EXACT partials and a tiny
+    (|weeks|^2/2)-key groupby sums them.  Week truncation is integer
+    day arithmetic on epoch-microsecond timestamps (DuckDB
+    date_trunc('week') = Monday start; epoch day 0 is a Thursday),
+    so no float or calendar library enters the comparison."""
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+
+    def week_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "week_day": pa.array([], pa.int64())})
+        ts = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        week = day - ((day + 3) % 7)  # Monday-start (day 0 = Thursday)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pair = pd.DataFrame({"user_id": uid, "week_day": week}) \
+            .drop_duplicates()
+        return pa.table({"user_id": pa.array(pair["user_id"].to_numpy(),
+                                             pa.int64()),
+                         "week_day": pa.array(pair["week_day"].to_numpy(),
+                                              pa.int64())})
+
+    pairs = ds.map_batches(week_pairs, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort_day": "int64", "offset_weeks": "int64",
+                "n_users": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.drop_duplicates(["user_id", "week_day"])
+        cohort = df.groupby("user_id")["week_day"].transform("min")
+        cells = pd.DataFrame({
+            "cohort_day": cohort.to_numpy(np.int64),
+            "offset_weeks": (df["week_day"].to_numpy(np.int64)
+                             - cohort.to_numpy(np.int64)) // 7})
+        g = cells.groupby(["cohort_day", "offset_weeks"],
+                          sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame({"cohort_day": idx["cohort_day"],
+                             "offset_weeks": idx["offset_weeks"],
+                             "n_users": g.to_numpy(np.int64)}).astype(cols)
+
+    partials = _grouped_by_partition(pairs, ["user_id"], per_partition,
+                                     n_parts=n_parts)
+    out = partials.groupby(["cohort_day", "offset_weeks"]) \
+        .aggregate(Sum("n_users"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        day = pc.cast(b.column("cohort_day"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wk = (day * 86_400_000_000).astype("datetime64[us]")
+        return pa.table({
+            "cohort_week": pa.array(wk, pa.timestamp("us")),
+            "offset_weeks": pc.cast(b.column("offset_weeks"), pa.int64()),
+            "n_users": pc.cast(b.column("sum(n_users)"), pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def user_paths(ds, *, k: int = 3, n_parts: int = 32):
+    """Behavioural path mining: each user's first `k` event types in
+    (ts, event_id) order joined with '>' into a path string, counted
+    across users -> (path, n_users).
+
+    One user-keyed partition pass (each user wholly in one partition,
+    so per-partition path counts are exact partials); within a
+    partition ONE lexsort + segmented rank takes the head-k rows of
+    every user at once, and the k-slot path strings are built by
+    COLUMN-WISE numpy concatenation (k string adds over user-count
+    arrays — no per-user join loop).  A |paths|-key groupby sums the
+    partials; the key domain is bounded by |event_types|^k."""
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"path": "object", "n_users": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_users": "int64"})
+        user = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(dtype=object)
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], et[order]
+        n = len(u)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        # segmented rank: position within each user's run
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - seg_start
+        head = rank < k
+        hu, ht, hr = u[head], t[head], rank[head]
+        users = hu[hr == 0]
+        # k-slot matrix: slot[r][user_pos] = type at rank r (or "")
+        upos = np.cumsum(hr == 0) - 1
+        path = np.full(len(users), "", dtype=object)
+        for r in range(k):
+            m = hr == r
+            slot = np.full(len(users), "", dtype=object)
+            slot[upos[m]] = ht[m]
+            if r == 0:
+                path = slot
+            else:
+                has = slot != ""
+                path[has] = path[has] + ">" + slot[has]
+        g = pd.Series(path).groupby(pd.Series(path), sort=False).size()
+        return pd.DataFrame({"path": g.index.to_numpy(object),
+                             "n_users": g.to_numpy(np.int64)})
+
+    partials = _grouped_by_partition(ds, ["user_id"], per_partition,
+                                     n_parts=n_parts)
+    out = partials.groupby("path").aggregate(Sum("n_users"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "path": b.column("path"),
+            "n_users": pc.cast(b.column("sum(n_users)"), pa.int64())}),
+        batch_format="pyarrow")

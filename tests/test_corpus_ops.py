@@ -515,3 +515,41 @@ class TestGroupedIqrOutliers:
         out = grouped_iqr_outliers(_ds(tbl), "source",
                                    "n_chars").to_pandas()
         assert out.iloc[0].n_outliers == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGramEditPairs:
+    def test_hand_computed_no_false_positives(self):
+        from pdf_extract_ray.ops.corpus import gram_edit_pairs
+        # grams of doc A: abcd, bcde; doc B: abce (abcd~abce dist 1,
+        # bcde is dist>1 from both).  'dcba' (doc C) is a reversal of
+        # abcd -> distance 4, and 'abdc' is a transposition of abcd ->
+        # Levenshtein distance 2: NEITHER may be reported even though
+        # transpositions share no positional-deletion bucket by
+        # construction.  Windows never cross doc boundaries.
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["abcde", "abce", "dcba", "abdc"],
+                             pa.string())})
+        out = gram_edit_pairs(_ds(docs), n=4).to_pandas()
+        pairs = set(zip(out["gram_a"], out["gram_b"]))
+        assert ("abcd", "abce") in pairs
+        assert all(sum(x != y for x, y in zip(a, b)) == 1
+                   for a, b in pairs)
+        assert ("abcd", "abdc") not in pairs
+        assert ("abcd", "dcba") not in pairs
+        # boundary check: no gram may contain characters of two docs
+        grams = set(out["gram_a"]) | set(out["gram_b"])
+        assert all(g.isalpha() for g in grams)
+
+    def test_exactly_once_emission(self):
+        from pdf_extract_ray.ops.corpus import gram_edit_pairs
+        # 'aaaa' vs 'aaab' differ at one position; the pair must appear
+        # exactly once even though both grams share several deletion
+        # buckets ('aaa' at multiple positions).
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["aaaa", "aaab"], pa.string())})
+        out = gram_edit_pairs(_ds(docs), n=4).to_pandas()
+        assert list(zip(out["gram_a"], out["gram_b"])) \
+            == [("aaaa", "aaab")]

@@ -1409,3 +1409,56 @@ class TestAttributedPurchases:
             "event_type": pa.array(["click", "purchase"], pa.string())})
         out = attribute_purchases(_ds(ev)).to_pandas()
         assert out.touch_event_id.tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRetentionCohorts:
+    def test_hand_computed_week_boundaries(self):
+        from pdf_extract_ray.ops.events import retention_cohorts
+        ts = lambda s: np.datetime64(s, "us").item()
+        # 2024-01-01 is a Monday.  user 1: first event week of Jan 1,
+        # active again weeks +1 and +3 (two events in week +1 must
+        # count once).  user 2: first event SUNDAY Jan 7 (still week
+        # of Jan 1), active Monday Jan 8 (offset 1).  user 3: cohort
+        # week of Jan 8 only.
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([ts("2024-01-01T10:00:00"),
+                            ts("2024-01-09T00:00:00"),
+                            ts("2024-01-10T23:59:59"),
+                            ts("2024-01-22T05:00:00"),
+                            ts("2024-01-07T12:00:00"),
+                            ts("2024-01-08T00:00:00"),
+                            ts("2024-01-08T09:00:00")],
+                           pa.timestamp("us"))})
+        out = retention_cohorts(_ds(ev)).to_pandas()
+        got = {(str(np.datetime64(r.cohort_week, "D")),
+                int(r.offset_weeks)): int(r.n_users)
+               for r in out.itertuples()}
+        assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 2,
+                       ("2024-01-01", 3): 1, ("2024-01-08", 0): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserPaths:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.events import user_paths
+        ts = lambda s: np.datetime64(s, "us").item()
+        # user 1: a>b>c (4th event ignored); user 2 has a ts tie broken
+        # by event_id (10 before 11); user 3: single event -> 'a'.
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 10, 11, 20], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([ts("2024-01-01T00:00:01"),
+                            ts("2024-01-01T00:00:02"),
+                            ts("2024-01-01T00:00:03"),
+                            ts("2024-01-01T00:00:04"),
+                            ts("2024-01-01T00:00:05"),
+                            ts("2024-01-01T00:00:05"),
+                            ts("2024-01-01T00:00:06")],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "c", "d",
+                                    "b", "a", "a"], pa.string())})
+        out = user_paths(_ds(ev), k=3).to_pandas()
+        got = dict(zip(out["path"], out["n_users"].astype(int)))
+        assert got == {"a>b>c": 1, "b>a": 1, "a": 1}
