@@ -1975,6 +1975,15 @@ def _q_gram_edit_pairs(sf_dir: str):
                                  columns=["doc_id", "text"]), n=4)
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """Exact duplicate-span REMOVAL (Lee et al. 2022 action): words
+    covered by any corpus-duplicated 5-gram dropped, text rebuilt.
+    Two bounded exchanges, zero joins (ops/corpus.remove_dup_spans)."""
+    from pdf_extract_ray.ops.corpus import remove_dup_spans
+    return remove_dup_spans(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]), n=5)
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2532,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "user_paths": _q_user_paths,
         "gram_edit_pairs": _q_gram_edit_pairs,
+        "remove_dup_spans": _q_remove_dup_spans,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3350,6 +3360,35 @@ def oracle_sql() -> dict[str, str]:
                AND a.gram < b.gram)
             SELECT ga AS gram_a, gb AS gram_b FROM p
             WHERE levenshtein(ga, gb) = 1
+        """,
+        "remove_dup_spans": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                         array_to_string(
+                             list_slice(ws, CAST(i AS INT),
+                                        CAST(i AS INT)+4), ' ') AS gram
+                  FROM w CROSS JOIN unnest(range(1, len(ws)-3)) t(i)),
+            c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT doc_id, i + CAST(o AS BIGINT) AS pos
+                    FROM g JOIN c USING (gram)
+                    CROSS JOIN unnest(range(0, 5)) t2(o)),
+            words AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+                             ws[CAST(i AS INT)] AS word
+                      FROM w CROSS JOIN unnest(range(1, len(ws)+1)) t(i)),
+            kept AS (SELECT wo.doc_id, wo.p, wo.word
+                     FROM words wo LEFT JOIN cov
+                       ON wo.doc_id = cov.doc_id AND wo.p = cov.pos
+                     WHERE cov.pos IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(word, ' ' ORDER BY p) AS ct,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(a.ct, '') AS clean_text,
+                   CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM w LEFT JOIN agg a USING (doc_id)
         """,
         "rolling_median": """
             SELECT event_id, user_id,

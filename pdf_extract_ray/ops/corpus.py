@@ -1093,3 +1093,123 @@ def gram_edit_pairs(docs_ds, *, n: int = 4, text_col: str = "text",
 
     return _grouped_by_partition(keyed, ["pos", "rest"], bucket_pairs,
                                  n_parts=n_parts)
+
+
+def remove_dup_spans(docs_ds, *, n: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Exact duplicated-substring REMOVAL (the action behind
+    dup_span_stats's signal, after Lee et al. 2022): drop every word
+    position covered by a word n-gram whose gram value occurs more
+    than once corpus-wide, and rebuild the surviving text ->
+    (doc_id, clean_text, n_removed).  Every input doc emits a row
+    (clean_text = '' when fully covered; docs shorter than n words
+    keep their text verbatim).
+
+    Shape: TWO bounded exchanges, zero joins.
+      1. gram-occurrence shuffle (gh, doc, pos) — each hash partition
+         holds every occurrence of its grams, so "occurs > 1" resolves
+         locally and only the FLAGGED (doc, pos) rows (16 B each)
+         leave the partition;
+      2. one doc-keyed pass over the tagged union of docs + flags —
+         per partition the covered-word mask for ALL docs at once is
+         one scatter into a flat word array (gram starts always have
+         the full gram in range, so no clipping), and the rebuild is
+         one grouped ' '.join over surviving words.
+    Gram identity is the shared uint64 polynomial kernel, exactly the
+    dup_span_stats contract."""
+    from .dedup import _grouped_by_partition
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        empty = pa.table({"gh": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        row_of, wh, counts = _word_hashes(texts)
+        if len(wh) < n:
+            return empty
+        win = np.lib.stride_tricks.sliding_window_view(wh, n)
+        p = int(_GRAM_P)
+        pows = np.array([pow(p, n - 1 - j, 1 << 64) for j in range(n)],
+                        np.uint64)
+        gh = win @ pows
+        g_idx = np.arange(len(wh) - n + 1)
+        grow = row_of[:len(wh) - n + 1]
+        valid = grow == row_of[n - 1:]
+        row_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = g_idx[valid] - row_start[grow[valid]]
+        return pa.table({
+            "gh": pa.array(gh[valid].view(np.int64)),
+            id_col: pa.array(ids[grow[valid]]),
+            "pos": pa.array(pos.astype(np.int64))})
+
+    occ = docs_ds.map_batches(occurrences, batch_format="pyarrow")
+
+    def flag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "int64", "pos": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        total = df.groupby("gh")["gh"].transform("size")
+        dup = total.to_numpy() > 1
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[dup],
+            "pos": df["pos"].to_numpy(np.int64)[dup]})
+
+    flags = _grouped_by_partition(occ, ["gh"], flag_dups)
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "text": pc.cast(b.column(text_col), pa.string()),
+            "pos": pa.array(np.full(b.num_rows, -1, np.int64))})
+
+    def flag_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            "text": pa.array([""] * b.num_rows, pa.string()),
+            "pos": pc.cast(b.column("pos"), pa.int64())})
+
+    tagged = docs_ds.map_batches(doc_side, batch_format="pyarrow") \
+        .union(flags.map_batches(flag_side, batch_format="pyarrow"))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "int64", "clean_text": "object",
+                "n_removed": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {id_col: "int64", "n_removed": "int64"})
+        docs = df[df["side"] == 0]
+        fl = df[df["side"] == 1]
+        ids = docs[id_col].to_numpy(np.int64)
+        texts = docs["text"].tolist()
+        sp = pd.Series(texts, dtype=object).str.split(" ")
+        counts = sp.str.len().fillna(0).to_numpy(np.int64)
+        off = np.concatenate(([0], np.cumsum(counts)))
+        total = int(off[-1])
+        covered = np.zeros(total, bool)
+        if len(fl):
+            di = pd.Series(np.arange(len(ids)), index=ids)
+            fdi = di.reindex(fl[id_col].to_numpy(np.int64)) \
+                .to_numpy(np.int64)
+            starts = off[fdi] + fl["pos"].to_numpy(np.int64)
+            idx = (starts[:, None] + np.arange(n)).ravel()
+            covered[idx] = True
+        words = sp.explode().to_numpy(dtype=object) \
+            if total else np.empty(0, object)
+        docix = np.repeat(np.arange(len(ids)), counts)
+        keep = ~covered
+        joined = pd.Series(words[keep], dtype=object) \
+            .groupby(docix[keep], sort=False).agg(" ".join) \
+            .reindex(np.arange(len(ids))).fillna("")
+        n_rm = np.bincount(docix[covered], minlength=len(ids)) \
+            .astype(np.int64)
+        return pd.DataFrame({id_col: ids,
+                             "clean_text": joined.to_numpy(object),
+                             "n_removed": n_rm}).astype(cols)
+
+    return _grouped_by_partition(tagged, [id_col], rebuild)

@@ -553,3 +553,33 @@ class TestGramEditPairs:
         out = gram_edit_pairs(_ds(docs), n=4).to_pandas()
         assert list(zip(out["gram_a"], out["gram_b"])) \
             == [("aaaa", "aaab")]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRemoveDupSpans:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.corpus import remove_dup_spans
+        # docs 1+2 share the 5-gram 'a b c d e' -> words 0..4 covered
+        # in both; doc 3 is shorter than n and is kept verbatim; doc 4
+        # repeats one gram WITHIN itself -> fully covered -> ''.
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c d e f", "a b c d e x",
+                              "q w e r",
+                              "z z z z z z z z z z"], pa.string())})
+        out = remove_dup_spans(_ds(docs), n=5).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert list(out["clean_text"]) == ["f", "x", "q w e r", ""]
+        assert list(out["n_removed"].astype(int)) == [5, 5, 0, 10]
+
+    def test_no_dups_identity(self):
+        from pdf_extract_ray.ops.corpus import remove_dup_spans
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f g", "h i j k l m n"],
+                             pa.string())})
+        out = remove_dup_spans(_ds(docs), n=5).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert list(out["clean_text"]) == ["a b c d e f g",
+                                           "h i j k l m n"]
+        assert out["n_removed"].sum() == 0
