@@ -2,9 +2,10 @@
 
 Large-scale training-data pipeline staples (graft brief): token counting,
 quality scoring, language-ID (n-gram heuristic), document fingerprinting
-(rolling hash / winnowing).  All are single-pass `map_batches` transforms —
-vectorized pyarrow.compute where the kernel exists, tight per-row Python
-where it doesn't (fingerprints) — with no shuffle.
+(rolling hash / winnowing).  All are single-pass `map_batches` transforms,
+vectorized batch-wide (pyarrow.compute kernels, or flat-numpy-array passes
+where no kernel exists — winnowing hashes all docs of a batch at once),
+with no shuffle.
 """
 from __future__ import annotations
 
@@ -143,48 +144,83 @@ def lang_id(ds, concurrency=None):
 
 # --- document fingerprinting (rolling hash + winnowing) ---------------------
 
-_MOD = (1 << 61) - 1
-_BASE = 257
+_FP_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, mod 2^64
+
+
+def _winnow_batch(texts, k: int = 8, w: int = 4):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme)
+    for a WHOLE batch of texts in one flat numpy pass: byte k-gram
+    polynomial hashes (uint64 wrap-around), per window of w consecutive
+    grams select the leftmost minimum, drop consecutive re-selections.
+    Grams and windows never cross document boundaries (validity masks on
+    the flat arrays).  Returns (doc_of, fp) — selected fingerprint
+    hashes (shifted into int64-positive range) and their doc row index.
+    Content-identical k-grams hash identically regardless of position,
+    so shared substrings of length >= w + k - 1 share a fingerprint."""
+    enc = [t.encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+    total = int(lens.sum())
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if total < k:
+        return empty
+    flat = np.frombuffer(b"".join(enc), np.uint8).astype(np.uint64)
+    doc_of = np.repeat(np.arange(len(enc)), lens)
+    # Horner over k shifted contiguous slices (beats a strided matvec)
+    ng = total - k + 1
+    gh = np.zeros(ng, np.uint64)
+    for j in range(k):
+        gh *= _FP_BASE
+        gh += flat[j:j + ng]
+    g_ok = doc_of[:ng] == doc_of[k - 1:]
+    gdoc = doc_of[:ng]
+    # keep only in-doc grams, contiguous per doc by construction
+    gh, gdoc = gh[g_ok], gdoc[g_ok]
+    if len(gh) < w:
+        return empty
+    # leftmost window-min via w shifted contiguous passes (strict <
+    # keeps the leftmost index on ties), windows all inside one doc
+    nw = len(gh) - w + 1
+    best = gh[:nw].copy()
+    sel = np.arange(nw)
+    for j in range(1, w):
+        upd = gh[j:j + nw] < best
+        best[upd] = gh[j:j + nw][upd]
+        sel[upd] = np.flatnonzero(upd) + j
+    w_ok = gdoc[:nw] == gdoc[w - 1:]
+    sel = sel[w_ok]
+    if not len(sel):
+        return empty
+    # drop consecutive duplicate selections (same gram picked by the
+    # next window) — doc change always changes sel, grams are doc-unique
+    keep = np.empty(len(sel), bool)
+    keep[0] = True
+    np.not_equal(sel[1:], sel[:-1], out=keep[1:])
+    picked = sel[keep]
+    return gdoc[picked].astype(np.int64), (gh[picked] >> np.uint64(3)) \
+        .astype(np.int64)
 
 
 def _winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> List[int]:
-    """Rabin-Karp rolling k-gram hashes, winnowed with window w (the
-    standard MOSS winnowing scheme)."""
-    data = text.encode("utf-8", "surrogatepass")
-    n = len(data)
-    if n < k:
-        return []
-    hashes = []
-    h = 0
-    power = pow(_BASE, k - 1, _MOD)
-    for i in range(n):
-        h = (h * _BASE + data[i]) % _MOD
-        if i >= k:
-            h = (h - data[i - k] * power * _BASE) % _MOD
-        if i >= k - 1:
-            hashes.append(h)
-    fps = []
-    last = -1
-    for i in range(len(hashes) - w + 1):
-        window = hashes[i:i + w]
-        m = min(window)
-        idx = i + window.index(m)
-        if idx != last:
-            fps.append(m)
-            last = idx
-    return fps
+    """Single-text wrapper over the batch kernel (tests / ad-hoc use)."""
+    _, fp = _winnow_batch([text], k, w)
+    return fp.tolist()
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc fingerprint summary: count + min, from one flat-array
+    winnowing pass over the whole batch (no per-row Python)."""
     texts = batch.column("text").to_pylist()
-    n_fps, min_fp = [], []
-    for t in texts:
-        fps = _winnow_fingerprints(t)
-        n_fps.append(len(fps))
-        min_fp.append(min(fps) if fps else 0)
+    doc_of, fp = _winnow_batch(texts)
+    n = batch.num_rows
+    n_fps = np.bincount(doc_of, minlength=n).astype(np.int64)
+    min_fp = np.zeros(n, np.int64)
+    if len(fp):
+        order = np.lexsort((fp, doc_of))
+        first = np.concatenate(([True], doc_of[order][1:]
+                                != doc_of[order][:-1]))
+        min_fp[doc_of[order][first]] = fp[order][first]
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(n_fps, pa.int64()),
-         pa.array(min_fp, pa.int64())],
+        [batch.column("doc_id"), pa.array(n_fps), pa.array(min_fp)],
         names=["doc_id", "n_fingerprints", "min_fingerprint"])
 
 

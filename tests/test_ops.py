@@ -37,6 +37,37 @@ class TestTextStatsLocal:
         c = _winnow_fingerprints("XX the quick brown fox jumps over the dog")
         assert set(a) & set(c)
 
+    def test_winnowing_batch_kernel_matches_naive(self):
+        # flat-array batch kernel == per-text naive winnowing (leftmost
+        # window min, consecutive-selection dedupe, uint64 poly hash)
+        from pdf_extract_ray.ops.textstats import _winnow_batch, _FP_BASE
+
+        def naive(text, k=8, w=4):
+            data = text.encode("utf-8", "surrogatepass")
+            if len(data) < k:
+                return []
+            B, M = int(_FP_BASE), 1 << 64
+            hs = []
+            for i in range(len(data) - k + 1):
+                h = 0
+                for j in range(k):
+                    h = (h * B + data[i + j]) % M
+                hs.append(h)
+            fps, last = [], -1
+            for i in range(len(hs) - w + 1):
+                win = hs[i:i + w]
+                idx = i + win.index(min(win))
+                if idx != last:
+                    fps.append(min(win) >> 3)
+                    last = idx
+            return fps
+
+        texts = ["", "x", "x" * 8, "ab " * 20, "é中文 unicode" * 4,
+                 "the quick brown fox", "aaaaaaaaaaaaaaaa"]
+        doc_of, fp = _winnow_batch(texts)
+        for i, t in enumerate(texts):
+            assert fp[doc_of == i].tolist() == naive(t), repr(t)
+
 
 class TestMinHashLocal:
     def test_signature_similarity_tracks_jaccard(self):
