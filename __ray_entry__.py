@@ -1984,6 +1984,17 @@ def _q_remove_dup_spans(sf_dir: str):
                                   columns=["doc_id", "text"]), n=5)
 
 
+def _q_ssjoin_jaccard(sf_dir: str):
+    """EXACT-threshold Jaccard self-join (prefix filtering, Chaudhuri/
+    Vernica shape): all doc pairs whose distinct word-3-gram sets have
+    Jaccard >= 1/2, all-integer gate (ops/dedup.ssjoin_jaccard).  The
+    deterministic complement to the MinHash-LSH near-dup path."""
+    from pdf_extract_ray.ops.dedup import ssjoin_jaccard
+    return ssjoin_jaccard(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                          n=3, t_num=1, t_den=2)
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2542,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": _q_user_paths,
         "gram_edit_pairs": _q_gram_edit_pairs,
         "remove_dup_spans": _q_remove_dup_spans,
+        "ssjoin_jaccard": _q_ssjoin_jaccard,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3389,6 +3401,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM w LEFT JOIN agg a USING (doc_id)
+        """,
+        "ssjoin_jaccard": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                       FROM documents),
+            tok AS (SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           array_to_string(
+                               list_slice(ws, CAST(i AS INT),
+                                          CAST(i AS INT)+2), ' ') AS g
+                    FROM w CROSS JOIN unnest(range(1, len(ws)-1)) t(i))),
+            sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                             count(*) AS i
+                      FROM tok a JOIN tok b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY da, db)
+            SELECT da AS doc_id_a, db AS doc_id_b,
+                   CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.s + sb.s - i AS BIGINT) AS n_union
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE i * 2 >= 1 * (sa.s + sb.s - i)
         """,
         "rolling_median": """
             SELECT event_id, user_id,

@@ -144,7 +144,7 @@ def run_ops(sf_dir: str):
              "cross_source_overlap", "vocab_jaccard",
              "chars_iqr_outliers", "rolling_median", "image_dedup",
              "attributed_purchases", "retention_cohorts", "user_paths",
-             "gram_edit_pairs", "remove_dup_spans"]
+             "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

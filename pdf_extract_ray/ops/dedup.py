@@ -818,3 +818,252 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
             names=["doc_id_a", "doc_id_b", "jaccard"])
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact-threshold set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _doc_gram_sets(batch: pa.Table, id_col: str, text_col: str, n: int):
+    """Distinct word n-gram hash SET per document -> (ids, doc_of, gh,
+    sizes); gh is sorted ascending within each doc (lexsort order), so
+    per-doc slices are ready for assume_unique set intersection."""
+    from .corpus import _word_hashes, _gram_hashes
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    row_of, wh, _counts = _word_hashes(texts)
+    if n == 1:
+        grow, gh = row_of, wh
+    else:
+        grow, gh = _gram_hashes(row_of, wh, n)
+    if len(gh) == 0:
+        return (ids, np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.zeros(len(texts), np.int64))
+    order = np.lexsort((gh, grow))
+    g, r = gh[order], grow[order]
+    first = np.concatenate(([True], (g[1:] != g[:-1]) | (r[1:] != r[:-1])))
+    g, r = g[first], r[first]
+    sizes = np.bincount(r, minlength=len(texts)).astype(np.int64)
+    return ids, r, g, sizes
+
+
+def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
+                   hot_k: int = 2048, sample_mod: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: int | None = None,
+                   broadcast_limit: int = 500_000):
+    """EXACT-threshold Jaccard set-similarity self-join via prefix
+    filtering (Chaudhuri et al. 2006 / Vernica et al. 2010 shape) —
+    the deterministic complement to minhash_lsh_pairs: every pair of
+    documents whose distinct word-n-gram sets have Jaccard >= t_num /
+    t_den, with NO probabilistic misses.  -> (doc_id_a, doc_id_b,
+    n_inter, n_union), gated all-integer (n_inter * t_den >= t_num *
+    n_union) so no float boundary can flip membership vs the SQL oracle.
+
+    Scale shape:
+      0. hot-token pass (optional, `hot_k`): gram frequencies over a
+         deterministic 1/`sample_mod` doc sample, per-partition top-k,
+         driver merge of <= n_parts x hot_k rows, ONE bounded broadcast.
+         The canonical token order is (cold tokens by hash) < (hot
+         tokens by ascending frequency) — the df-ascending approximation
+         that keeps frequent tokens OUT of prefixes, so no prefix token
+         group is ever stop-word-sized (the classic all-pairs blowup).
+      1. prefix postings: map-side; doc with s distinct tokens emits its
+         first s - ceil(t*s) + 1 tokens in canonical order (the prefix
+         theorem: any pair with J >= t shares a prefix token under ANY
+         fixed total order).
+      2. candidate pairs: one token-keyed partition pass; within a token
+         group all pairs pass the length filter min*t_den >= t_num*max.
+         One more (a,b)-keyed pass dedupes pairs emitted by several
+         shared prefix tokens.
+      3. verify: candidates are BOUNDED (above-threshold pair rate ~
+         near-dup rate, same bound verify_pairs_jaccard documents) ->
+         candidate docs' gram sets broadcast once via ray.put, pairs
+         verified in a map with exact sorted-set intersection.
+         `broadcast_limit` guards the bound; beyond it, band the pairs
+         through verify_pairs_jaccard's join path instead.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(32, cpus // 2))
+
+    _P = np.uint64(0x9E3779B97F4A7C15)
+
+    # ---- pass 0: hot-token canonical order (bounded broadcast) ----
+    hot_ref = None
+    if hot_k:
+        def sample_counts(b: pa.Table) -> pa.Table:
+            empty = pa.table({"gh": pa.array([], pa.int64()),
+                              "cnt": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            ids, r, g, _sz = _doc_gram_sets(b, id_col, text_col, n)
+            if not len(g):
+                return empty
+            dh = (ids[r].astype(np.uint64) * _P) >> np.uint64(33)
+            m = (dh % np.uint64(sample_mod)) == 0
+            if not m.any():
+                return empty
+            uq, ct = np.unique(g[m], return_counts=True)
+            return pa.table({"gh": pa.array(uq.view(np.int64)),
+                             "cnt": pa.array(ct.astype(np.int64))})
+
+        def part_top(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"gh": pd.Series([], dtype=np.int64),
+                                     "cnt": pd.Series([], dtype=np.int64)})
+            s = df.groupby("gh", as_index=False)["cnt"].sum()
+            return s[s["cnt"] > 1].nlargest(hot_k, "cnt")
+
+        tops = _grouped_by_partition(
+            docs_ds.map_batches(sample_counts, batch_format="pyarrow"),
+            ["gh"], part_top, n_parts=num_partitions).to_pandas()
+        if len(tops):
+            # each gh lives in ONE partition, so per-partition sums are
+            # global; merge the <= n_parts x hot_k survivors
+            tops = tops.sort_values(["cnt", "gh"]).tail(hot_k)
+            hot_wh = tops["gh"].to_numpy(np.int64).view(np.uint64)
+            # ascending frequency -> ascending canonical key; most
+            # frequent token sorts LAST (least likely in any prefix)
+            hot_key = (np.uint64(1) << np.uint64(63)) \
+                + np.arange(len(hot_wh), dtype=np.uint64)
+            srt = np.argsort(hot_wh)
+            hot_ref = ray.put((hot_wh[srt], hot_key[srt]))
+
+    def canon(g: np.ndarray) -> np.ndarray:
+        key = g >> np.uint64(1)  # cold: < 2**63
+        if hot_ref is not None:
+            hw, hk = ray.get(hot_ref)
+            pos = np.minimum(np.searchsorted(hw, g), len(hw) - 1)
+            m = hw[pos] == g
+            key[m] = hk[pos[m]]
+        return key
+
+    # ---- pass 1: prefix postings (map-side) ----
+    def prefix_postings(b: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "size": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ids, r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
+        if not len(g):
+            return empty
+        key = canon(g)
+        order = np.lexsort((key, r))
+        r2, k2 = r[order], key[order]
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        rank = np.arange(len(r2)) - starts[r2]
+        s = sizes[r2]
+        # prefix length p = s - ceil(s * t) + 1, all-integer
+        p = s + ((-s * t_num) // t_den) + 1
+        keep = rank < p
+        return pa.table({"key": pa.array(k2[keep].view(np.int64)),
+                         "doc": pa.array(ids[r2[keep]]),
+                         "size": pa.array(s[keep])})
+
+    prefix = docs_ds.map_batches(prefix_postings, batch_format="pyarrow")
+
+    # ---- pass 2: candidate pairs per prefix-token group ----
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id_a": np.int64, "doc_id_b": np.int64}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        df = df.sort_values(["key", "doc"], kind="mergesort")
+        key = df["key"].to_numpy(np.int64)
+        doc = df["doc"].to_numpy(np.int64)
+        size = df["size"].to_numpy(np.int64)
+        grp_start = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        c = np.diff(np.concatenate((grp_start, [len(key)])))
+        local = np.arange(len(key)) - np.repeat(grp_start, c)
+        n_follow = np.repeat(c, c) - 1 - local
+        total = int(n_follow.sum())
+        if total == 0:
+            return pd.DataFrame({c_: pd.Series([], dtype=t)
+                                 for c_, t in cols.items()})
+        a_idx = np.repeat(np.arange(len(key)), n_follow)
+        off = np.concatenate(([0], np.cumsum(n_follow)))[:-1]
+        b_idx = a_idx + (np.arange(total) - np.repeat(off, n_follow)) + 1
+        sa, sb = size[a_idx], size[b_idx]
+        ok = np.minimum(sa, sb) * t_den >= t_num * np.maximum(sa, sb)
+        da, db = doc[a_idx][ok], doc[b_idx][ok]
+        return pd.DataFrame({"doc_id_a": np.minimum(da, db),
+                             "doc_id_b": np.maximum(da, db)}) \
+            .drop_duplicates()
+
+    cand = _grouped_by_partition(prefix, ["key"], gen_pairs,
+                                 n_parts=num_partitions)
+    pairs = _grouped_by_partition(
+        cand, ["doc_id_a", "doc_id_b"],
+        lambda df: df.drop_duplicates(), n_parts=num_partitions) \
+        .materialize()
+
+    empty_out = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                          "doc_id_b": pa.array([], pa.int64()),
+                          "n_inter": pa.array([], pa.int64()),
+                          "n_union": pa.array([], pa.int64())})
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty_out)
+
+    # ---- pass 3: broadcast-verify the bounded candidate set ----
+    ids: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ids.update(b.column("doc_id_a").to_pylist())
+        ids.update(b.column("doc_id_b").to_pylist())
+    if len(ids) > broadcast_limit:
+        raise ValueError(
+            f"{len(ids)} candidate docs exceed broadcast_limit="
+            f"{broadcast_limit}; raise the threshold or verify via the "
+            "verify_pairs_jaccard join path")
+    id_arr = pa.array(sorted(ids), pa.int64())
+    id_ref = ray.put(id_arr)
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        out = b.filter(pc.is_in(b.column(id_col), value_set=ray.get(id_ref)))
+        return pa.Table.from_arrays(
+            [out.column(id_col), out.column(text_col)],
+            names=[id_col, text_col])
+
+    sets: dict = {}
+    for b in docs_ds.map_batches(keep_candidates, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        bids, _r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
+        offs = np.cumsum(sizes)
+        for i in range(len(bids)):  # bounded: candidate docs only
+            sets[int(bids[i])] = g[offs[i] - sizes[i]:offs[i]]
+    sets_ref = ray.put(sets)
+
+    def verify(b: pa.Table) -> pa.Table:
+        lk = ray.get(sets_ref)
+        av = b.column("doc_id_a").to_pylist()
+        bv = b.column("doc_id_b").to_pylist()
+        oa, ob, oi, ou = [], [], [], []
+        for a_, b_ in zip(av, bv):
+            ga, gb = lk.get(a_), lk.get(b_)
+            if ga is None or gb is None or not len(ga) or not len(gb):
+                continue
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            if inter * t_den >= t_num * union:
+                oa.append(a_); ob.append(b_); oi.append(inter); ou.append(union)
+        return pa.table({"doc_id_a": pa.array(oa, pa.int64()),
+                         "doc_id_b": pa.array(ob, pa.int64()),
+                         "n_inter": pa.array(oi, pa.int64()),
+                         "n_union": pa.array(ou, pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             batch_size=32_768)

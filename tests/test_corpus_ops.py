@@ -583,3 +583,63 @@ class TestRemoveDupSpans:
         assert list(out["clean_text"]) == ["a b c d e f g",
                                            "h i j k l m n"]
         assert out["n_removed"].sum() == 0
+
+
+def _naive_ssjoin(rows, n, t_num, t_den):
+    """Brute-force exact Jaccard over distinct word n-gram sets."""
+    sets = {i: _naive_grams(t, n) for i, t in rows}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ga, gb = sets[a], sets[b]
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            union = len(ga | gb)
+            if inter * t_den >= t_num * union:
+                out.add((a, b, inter, union))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSsjoinJaccard:
+    def _run(self, rows, **kw):
+        from pdf_extract_ray.ops.dedup import ssjoin_jaccard
+        out = ssjoin_jaccard(_ds(_docs(rows)), **kw).to_pandas()
+        if len(out) == 0:  # Ray 2.49: to_pandas of all-empty drops cols
+            return set()
+        return set(zip(out["doc_id_a"].astype(int),
+                       out["doc_id_b"].astype(int),
+                       out["n_inter"].astype(int),
+                       out["n_union"].astype(int)))
+
+    def test_hand_computed(self):
+        rows = [(1, "a b c d e"), (2, "a b c d x"),
+                (3, "p q r s t"), (4, "p q r s t")]
+        # 3-gram sets: 1={abc,bcd,cde}, 2={abc,bcd,cdx} -> J=2/4=0.5
+        got = self._run(rows, n=3, t_num=1, t_den=2)
+        assert got == {(1, 2, 2, 4), (3, 4, 3, 3)}
+
+    def test_matches_bruteforce_randomized(self):
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [(i, " ".join(rng.choice(vocab, rng.integers(0, 15))))
+                for i in range(40)]
+        for n, tn, td in [(1, 3, 5), (2, 1, 2), (3, 1, 3)]:
+            got = self._run(rows, n=n, t_num=tn, t_den=td)
+            assert got == _naive_ssjoin(rows, n, tn, td), (n, tn, td)
+
+    def test_hot_token_order_no_false_negatives(self):
+        # every doc shares one stop word; hot-token ordering must push
+        # it out of prefixes WITHOUT losing above-threshold pairs
+        rows = [(i, f"the u{i} v{i} x{i} y{i}") for i in range(30)]
+        rows += [(100, "the a b c d"), (101, "the a b c e")]
+        got = self._run(rows, n=1, t_num=3, t_den=5,
+                        hot_k=4, sample_mod=1)
+        assert got == _naive_ssjoin(rows, 1, 3, 5)
+
+    def test_empty_and_short_docs(self):
+        rows = [(1, ""), (2, ""), (3, "a b"), (4, "x")]
+        assert self._run(rows, n=3, t_num=1, t_den=2) == set()
