@@ -1995,6 +1995,17 @@ def _q_ssjoin_jaccard(sf_dir: str):
                           n=3, t_num=1, t_den=2)
 
 
+def _q_part_skyline(sf_dir: str):
+    """2-D Pareto skyline over parts (cheapest price / largest size
+    frontier): map-side local-skyline reduction, one tiny merge task
+    (ops/analytics.skyline_2d)."""
+    from pdf_extract_ray.ops.analytics import skyline_2d
+    return skyline_2d(
+        _read(sf_dir, "part",
+              columns=["p_partkey", "p_retailprice", "p_size"]),
+        id_col="p_partkey", min_col="p_retailprice", max_col="p_size")
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2554,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_edit_pairs": _q_gram_edit_pairs,
         "remove_dup_spans": _q_remove_dup_spans,
         "ssjoin_jaccard": _q_ssjoin_jaccard,
+        "part_skyline": _q_part_skyline,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3401,6 +3413,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM w LEFT JOIN agg a USING (doc_id)
+        """,
+        "part_skyline": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
         """,
         "ssjoin_jaccard": """
             WITH w AS (SELECT doc_id, string_split(text,' ') AS ws

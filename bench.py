@@ -144,7 +144,8 @@ def run_ops(sf_dir: str):
              "cross_source_overlap", "vocab_jaccard",
              "chars_iqr_outliers", "rolling_median", "image_dedup",
              "attributed_purchases", "retention_cohorts", "user_paths",
-             "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard"]
+             "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
+             "part_skyline"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -853,3 +853,49 @@ def grouped_iqr_outliers(ds, group_col: str, value_col: str):
 
     return hist.groupby(group_col).map_groups(resolve,
                                               batch_format="pandas")
+
+
+def skyline_2d(ds, *, id_col: str, min_col: str, max_col: str):
+    """2-D Pareto skyline: rows not dominated by any other row, where q
+    dominates p iff q[min_col] <= p[min_col] AND q[max_col] >=
+    p[max_col] with at least one strict.  -> (id_col, min_col, max_col).
+    Ties on BOTH dimensions are mutually non-dominating: all such
+    duplicates stay in the skyline (the SQL NOT-EXISTS semantics).
+
+    Scale shape (the classic distributed skyline): dominance is
+    transitive, so a point dominated inside its own block is dominated
+    globally — every batch reduces to its LOCAL skyline map-side
+    (vectorized: per-min-value max filter + one sorted cummax scan),
+    and only those survivors (for real 2-D data, a sliver of the input)
+    move to a single final task that runs the same scan over the union.
+    The merge input is O(blocks x local skyline size); if an
+    anti-correlated domain ever made that large, replace the final task
+    with one more partition level of the same kernel."""
+
+    def _sky(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        mx = df.groupby(min_col)[max_col].transform("max")
+        df = df[df[max_col] == mx]
+        df = df.sort_values([min_col, max_col], ascending=[True, False],
+                            kind="mergesort")
+        price = df[min_col].to_numpy()
+        size = df[max_col].to_numpy().astype(np.float64)
+        grp_first = np.concatenate(([True], price[1:] != price[:-1]))
+        cm = np.maximum.accumulate(size)
+        prev = np.concatenate(([-np.inf], cm[:-1]))
+        # max size among STRICTLY cheaper rows = prev cummax at the
+        # first row of each equal-min group (ties share one size here,
+        # the per-min max kept above)
+        pgm = prev[np.flatnonzero(grp_first)]
+        gid = np.cumsum(grp_first) - 1
+        return df[size > pgm[gid]]
+
+    def local(b: pa.Table) -> pa.Table:
+        df = b.select([id_col, min_col, max_col]).to_pandas()
+        return pa.Table.from_pandas(_sky(df), preserve_index=False)
+
+    survivors = ds.map_batches(local, batch_format="pyarrow") \
+        .repartition(1)
+    return survivors.map_batches(
+        lambda df: _sky(df), batch_format="pandas", batch_size=None)

@@ -1462,3 +1462,46 @@ class TestUserPaths:
         out = user_paths(_ds(ev), k=3).to_pandas()
         got = dict(zip(out["path"], out["n_users"].astype(int)))
         assert got == {"a>b>c": 1, "b>a": 1, "a": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkyline2d:
+    def _run(self, ids, price, size):
+        from pdf_extract_ray.ops.analytics import skyline_2d
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "price": pa.array(price, pa.float64()),
+                      "size": pa.array(size, pa.int64())})
+        out = skyline_2d(_ds(t), id_col="id", min_col="price",
+                         max_col="size").to_pandas()
+        return set(out["id"].astype(int)) if len(out) else set()
+
+    @staticmethod
+    def _naive(ids, price, size):
+        pts = list(zip(ids, price, size))
+        keep = set()
+        for i, p, s in pts:
+            dominated = any(
+                q <= p and t >= s and (q < p or t > s)
+                for _, q, t in pts)
+            if not dominated:
+                keep.add(i)
+        return keep
+
+    def test_hand_computed_with_ties(self):
+        # (1) cheapest, (2) biggest, (3) dominated, (4)+(5) exact
+        # duplicates on the frontier -> both kept, (6) same price as 1
+        # but smaller -> dominated
+        ids = [1, 2, 3, 4, 5, 6]
+        price = [1.0, 9.0, 5.0, 3.0, 3.0, 1.0]
+        size = [2, 10, 3, 7, 7, 1]
+        assert self._run(ids, price, size) == {1, 2, 4, 5}
+        assert self._naive(ids, price, size) == {1, 2, 4, 5}
+
+    def test_matches_bruteforce_randomized(self):
+        rng = np.random.default_rng(3)
+        n = 300
+        ids = list(range(n))
+        price = [float(x) for x in rng.integers(0, 40, n)]  # many ties
+        size = [int(x) for x in rng.integers(0, 40, n)]
+        assert self._run(ids, price, size) \
+            == self._naive(ids, price, size)
