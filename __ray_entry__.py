@@ -2006,6 +2006,31 @@ def _q_part_skyline(sf_dir: str):
         id_col="p_partkey", min_col="p_retailprice", max_col="p_size")
 
 
+def _q_doc_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (<= 6 hops) from the doc_id%97==0
+    seed set over the per-(source,lang) n_chars-order CHAIN graph (a
+    path graph, so distances genuinely span 0..6 — the banded clique
+    graph saturates at hop 1).  Frontier iteration: two keyed exchanges
+    per round, early exit on drained frontier (ops/graph.bfs_hops);
+    oracled with a recursive-CTE shortest-hop query."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from pdf_extract_ray.ops.graph import bfs_hops, chain_edges
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "lang", "n_chars"])
+    edges = chain_edges(docs, ["source", "lang"], "n_chars", "doc_id")
+
+    def seeds(b: "_pa.Table") -> "_pa.Table":
+        import numpy as _np
+        ids = _pc.cast(b.column("doc_id"), _pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return _pa.table({"doc_id": _pa.array(ids[ids % 97 == 0],
+                                              _pa.int64())})
+
+    return bfs_hops(edges, docs.map_batches(seeds, batch_format="pyarrow"),
+                    src="id_a", dst="id_b", node_col="doc_id", max_hops=6)
+
+
 def _q_chars_quartiles_by_source(sf_dir: str):
     """Interpolated (continuous) quartiles per source, x4 so every
     value is integer-exact (ops/analytics.grouped_quartiles_cont)."""
@@ -2566,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "ssjoin_jaccard": _q_ssjoin_jaccard,
         "part_skyline": _q_part_skyline,
+        "doc_bfs_hops": _q_doc_bfs_hops,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3413,6 +3439,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM w LEFT JOIN agg a USING (doc_id)
+        """,
+        "doc_bfs_hops": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS ua,
+                     lead(doc_id) OVER (PARTITION BY source, lang
+                                        ORDER BY n_chars, doc_id) AS ub
+              FROM documents QUALIFY ub IS NOT NULL),
+            sym AS (SELECT ua, ub FROM e UNION SELECT ub, ua FROM e),
+            bfs(node, h) AS (
+              SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+              UNION
+              SELECT s.ub, bfs.h + 1 FROM bfs JOIN sym s
+                ON s.ua = bfs.node
+              WHERE bfs.h < 6)
+            SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
+            FROM bfs GROUP BY node
         """,
         "part_skyline": """
             SELECT p_partkey, p_retailprice, p_size FROM part p

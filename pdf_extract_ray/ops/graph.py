@@ -749,3 +749,127 @@ def triangle_counts(edges_ds, *, group_cols=(), id_a: str = "id_a",
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_hops(edges_ds, seeds_ds, *, src: str = "src", dst: str = "dst",
+             node_col: str = "node", max_hops: int = 6,
+             num_partitions: int | None = None):
+    """Multi-source BFS hop distances over an undirected edge list ->
+    (node_col, hop): the shortest hop count from ANY seed, for every
+    node within `max_hops`.  Seeds themselves get hop 0 (even when
+    isolated).
+
+    Frontier iteration, bounded by max_hops rounds; per round exactly
+    two keyed exchanges and NO join actor pools:
+      1. expand — tagged union of (symmetrized edges keyed by src,
+         frontier keyed by node): partitions holding a frontier node
+         emit its neighbors, pre-deduped per partition;
+      2. dedupe-and-filter — tagged union of (known distances,
+         candidates) keyed by node keeps only first-visited nodes,
+         which become the next frontier.
+    Frontier and distance sets are O(nodes); the edge set is
+    re-exchanged each round (on a long-lived cluster, pre-partition the
+    symmetrized edges by src once and pin them so rounds reuse the
+    layout).  Early exit when a frontier drains.
+    """
+    import pyarrow.compute as pc
+    from .dedup import _grouped_by_partition
+
+    n_parts = num_partitions or _default_parts()
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        return pa.table({
+            "key": pa.concat_arrays([a.combine_chunks(),
+                                     d.combine_chunks()]),
+            "nbr": pa.concat_arrays([d.combine_chunks(),
+                                     a.combine_chunks()]),
+            "side": pa.array(np.zeros(2 * b.num_rows, np.int64))})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column(node_col), pa.int64())
+        return pa.table({node_col: n,
+                         "hop": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    dist = _grouped_by_partition(
+        seeds_ds.map_batches(seed_rows, batch_format="pyarrow"),
+        [node_col],
+        lambda df: df.drop_duplicates(subset=[node_col]),
+        n_parts=n_parts).materialize()
+    frontier = dist
+
+    for h in range(max_hops):
+        f_tag = frontier.map_batches(
+            lambda b: pa.table({
+                "key": pc.cast(b.column(node_col), pa.int64()),
+                "nbr": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "side": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow")
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            front = df.loc[df["side"] == 1, "key"].unique()
+            m = (df["side"].to_numpy() == 0) \
+                & df["key"].isin(front).to_numpy()
+            out = df.loc[m, ["nbr"]].drop_duplicates()
+            return pd.DataFrame({node_col: out["nbr"].to_numpy(np.int64),
+                                 "side": np.ones(len(out), np.int64)})
+
+        cand = _grouped_by_partition(edges.union(f_tag), ["key"], expand,
+                                     n_parts=n_parts).materialize()
+        if cand.count() == 0:
+            break
+
+        d_tag = dist.map_batches(
+            lambda b: pa.table({
+                node_col: pc.cast(b.column(node_col), pa.int64()),
+                "side": pa.array(np.zeros(b.num_rows, np.int64))}),
+            batch_format="pyarrow")
+
+        def newly(df: pd.DataFrame, _h=h) -> pd.DataFrame:
+            known = df.loc[df["side"] == 0, node_col].unique()
+            c = df.loc[df["side"] == 1, node_col].drop_duplicates()
+            new = c[~c.isin(known)]
+            return pd.DataFrame({node_col: new.to_numpy(np.int64),
+                                 "hop": np.full(len(new), _h + 1,
+                                                np.int64)})
+
+        frontier = _grouped_by_partition(d_tag.union(cand), [node_col],
+                                         newly,
+                                         n_parts=n_parts).materialize()
+        if frontier.count() == 0:
+            break
+        dist = dist.union(frontier).materialize()
+
+    return dist
+
+
+def chain_edges(ds, group_cols: list[str], value_col: str, id_col: str,
+                *, num_partitions: int | None = None):
+    """Path-graph edge list: each row linked to its successor in
+    (value_col, id_col) order within its group -> (id_a, id_b).  One
+    group-key exchange, per-group sort + shift (the interval_self_join
+    partitioning assumption: one group's rows fit a partition)."""
+    from .dedup import _grouped_by_partition
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        df = df.sort_values(group_cols + [value_col, id_col],
+                            kind="mergesort")
+        ids = df[id_col].to_numpy().astype(np.int64)
+        gkey = pd.util.hash_pandas_object(
+            df[group_cols], index=False).to_numpy()
+        same = np.concatenate((gkey[1:] == gkey[:-1], [False]))
+        return pd.DataFrame({"id_a": ids[:-1][same[:-1]]
+                             if len(ids) else np.empty(0, np.int64),
+                             "id_b": ids[1:][same[:-1]]
+                             if len(ids) else np.empty(0, np.int64)})
+
+    cols = list(group_cols) + [value_col, id_col]
+    return _grouped_by_partition(
+        ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow"),
+        list(group_cols), pairs,
+        n_parts=num_partitions or _default_parts())

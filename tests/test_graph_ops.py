@@ -580,3 +580,65 @@ class TestTriangleCounts:
         from pdf_extract_ray.ops.graph import triangle_counts
         out = triangle_counts(_ds(self._tbl([]))).to_pandas()
         assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBfsHops:
+    def _run(self, pairs, seeds, **kw):
+        import ray
+        from pdf_extract_ray.ops.graph import bfs_hops
+        seeds_t = pa.table({"node": pa.array(seeds, pa.int64())})
+        out = bfs_hops(_ds(_edges(pairs)), ray.data.from_arrow(seeds_t),
+                       **kw).to_pandas()
+        return dict(zip(out["node"].astype(int), out["hop"].astype(int)))
+
+    def test_path_graph_exact_distances(self):
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+                 (8, 9)]
+        got = self._run(pairs, seeds=[1], max_hops=4)
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_multi_seed_min_and_isolated_seed(self):
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+        # seed 99 touches no edge -> hop 0 only; node 3 is 1 from seed 4
+        got = self._run(pairs, seeds=[1, 4, 99], max_hops=6)
+        # 10/11 unreachable from any seed -> absent
+        assert got == {1: 0, 4: 0, 99: 0, 2: 1, 3: 1}
+
+    def test_early_exit_on_drained_frontier(self):
+        got = self._run([(1, 2)], seeds=[1], max_hops=50)
+        assert got == {1: 0, 2: 1}
+
+    def test_cycle(self):
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        got = self._run(pairs, seeds=[1], max_hops=6)
+        assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+    def test_forced_shuffle_path(self):
+        # the at-scale hash-partitioned path of every _grouped_by_partition
+        # inside bfs_hops must agree with the small-input fast path
+        from pdf_extract_ray.ops import dedup as dedup_mod
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+        expect = self._run(pairs, seeds=[1, 10], max_hops=3)
+        assert dedup_mod._FORCE_SHUFFLE is False
+        dedup_mod._FORCE_SHUFFLE = True
+        try:
+            got = self._run(pairs, seeds=[1, 10], max_hops=3)
+        finally:
+            dedup_mod._FORCE_SHUFFLE = False
+        assert got == expect == {1: 0, 10: 0, 2: 1, 11: 1, 3: 2, 4: 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChainEdges:
+    def test_chain_ordering_and_groups(self):
+        from pdf_extract_ray.ops.graph import chain_edges
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "g": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "v": pa.array([30, 10, 20, 2, 1, 5], pa.int64())})
+        import ray
+        out = chain_edges(ray.data.from_arrow(t), ["g"], "v", "id") \
+            .to_pandas()
+        got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+        assert got == {(2, 3), (3, 1), (5, 4)}

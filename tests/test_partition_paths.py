@@ -43,6 +43,10 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
+# doc_bfs_hops is also absent: 6 frontier rounds x 2 exchanges under
+# _FORCE_SHUFFLE cost minutes at 4 CPUs; the forced-shuffle path is
+# covered directly on a tiny graph in
+# tests/test_graph_ops.py::TestBfsHops::test_forced_shuffle_path.
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
