@@ -453,17 +453,43 @@ def _big_order_custkeys(orders_ds, min_total: float):
 
 def _semi_anti_join(customer_ds, orders_ds, *, min_total: float,
                     join_type: str, num_partitions=None):
-    import ray
-    if num_partitions is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_partitions = max(2, min(16, cpus))
-    keys = _big_order_custkeys(orders_ds, min_total)
-    return customer_ds.join(keys, join_type=join_type,
-                            num_partitions=num_partitions,
-                            on=("c_custkey",))
+    """Semi/anti join fused into ONE custkey-partitioned shuffle (no join
+    aggregator actors): map-side-deduped probe keys union with customer
+    rows, each partition filters its customers by membership in its key
+    set.  Same semantics as Dataset.join(left_semi/left_anti) — A/B'd
+    faster (the hash-join actor pool costs seconds of spin-up on a small
+    session and an extra exchange at scale)."""
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+    want = join_type == "left_semi"
+
+    def tag_keys(b: pa.Table) -> pa.Table:
+        mask = pc.greater(b.column("o_totalprice"), pa.scalar(min_total))
+        keys = pc.unique(pc.cast(b.filter(mask).column("o_custkey"),
+                                 pa.int64()))
+        n = len(keys)
+        return pa.table({
+            "c_custkey": keys,
+            "c_name": pa.array([""] * n, pa.string()),
+            "_is_key": pa.array(np.ones(n, np.int8))})
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": pc.cast(b.column("c_name"), pa.string()),
+            "_is_key": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    tagged = customer_ds.map_batches(tag_cust, batch_format="pyarrow") \
+        .union(orders_ds.map_batches(tag_keys, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        is_key = df["_is_key"].to_numpy() == 1
+        cust = df.loc[~is_key, ["c_custkey", "c_name"]]
+        member = cust["c_custkey"].isin(df.loc[is_key, "c_custkey"])
+        return cust.loc[member if want else ~member]
+
+    return _grouped_by_partition(tagged, ["c_custkey"], resolve,
+                                 n_parts=num_partitions)
 
 
 def customers_with_big_orders(customer_ds, orders_ds, *,

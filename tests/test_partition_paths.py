@@ -39,7 +39,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "event_next_gaps", "bloom_semi_revenue",
            "cross_source_overlap", "vocab_jaccard", "rolling_median",
            "attributed_purchases", "retention_cohorts", "user_paths",
-           "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard"]
+           "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
+           "big_spender_customers", "quiet_customers"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
