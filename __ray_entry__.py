@@ -2524,6 +2524,49 @@ def _q_audio_resample(sf_dir: str):
     return resample_audio(items, target_rate=4000)
 
 
+def _q_lang_gini_by_source(sf_dir: str):
+    """Gini impurity of the language mix per source, exact-integer ppm
+    (one histogram aggregate + combinable (t, ssq) partials;
+    ops/analytics.grouped_gini)."""
+    from pdf_extract_ray.ops.analytics import grouped_gini
+    return grouped_gini(_read(sf_dir, "documents",
+                              columns=["source", "lang"]),
+                        "source", "lang")
+
+
+def _q_nth_event_per_user(sf_dir: str):
+    """NTH_VALUE window: each user's 3rd event by (ts, event_id) —
+    map-side bounded top-n candidates + one user-keyed resolve
+    (ops/events.nth_event_per_user)."""
+    from pdf_extract_ray.ops.events import nth_event_per_user
+    return nth_event_per_user(_read(sf_dir, "events",
+                                    columns=["event_id", "ts",
+                                             "user_id", "event_type"]),
+                              n=3)
+
+
+def _q_brand_copurchase(sf_dir: str):
+    """Market-basket co-occurrence: unordered brand pairs sharing an
+    order — broadcast partkey->brand dim, one orderkey partition pass
+    with size-class vectorized pair formation, 300-key merge
+    (ops/relational.copurchase_pairs)."""
+    from pdf_extract_ray.ops.relational import copurchase_pairs
+    return copurchase_pairs(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+
+
+def _q_pmi_pairs(sf_dir: str):
+    """Top word pairs by document-level PMI over a df-selected bounded
+    vocabulary; the ranking statistic is the exact integer ppm rational
+    (no libm) so Ray and DuckDB order identically
+    (ops/corpus.pmi_pairs)."""
+    from pdf_extract_ray.ops.corpus import pmi_pairs
+    return pmi_pairs(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]),
+                     vocab_k=64, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2592,6 +2635,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_jaccard": _q_ssjoin_jaccard,
         "part_skyline": _q_part_skyline,
         "doc_bfs_hops": _q_doc_bfs_hops,
+        "lang_gini_by_source": _q_lang_gini_by_source,
+        "nth_event_per_user": _q_nth_event_per_user,
+        "brand_copurchase": _q_brand_copurchase,
+        "pmi_pairs": _q_pmi_pairs,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3455,6 +3502,61 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "lang_gini_by_source": """
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY source, lang),
+            s AS (SELECT source, SUM(n) AS t, SUM(n*n) AS ssq
+                  FROM c GROUP BY source)
+            SELECT source, CAST(t AS BIGINT) AS n_rows,
+                   CAST(ssq AS BIGINT) AS ssq,
+                   CAST((t*t - ssq) * 1000000 // (t*t) AS BIGINT)
+                       AS gini_ppm
+            FROM s
+        """,
+        "nth_event_per_user": """
+            SELECT user_id, event_id, ts, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) = 3
+        """,
+        "brand_copurchase": """
+            WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                        FROM lineitem JOIN part
+                          ON p_partkey = l_partkey)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_orders
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+        """,
+        "pmi_pairs": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            dw0 AS (SELECT DISTINCT doc_id, word FROM w
+                    WHERE word <> ''),
+            d AS (SELECT word, count(*) AS df FROM dw0 GROUP BY word),
+            v AS (SELECT word, df FROM d
+                  ORDER BY df DESC, word LIMIT 64),
+            nd AS (SELECT count(*) AS n FROM documents),
+            dw AS (SELECT doc_id, word FROM dw0
+                   WHERE word IN (SELECT word FROM v)),
+            p AS (SELECT a.word AS word_a, b.word AS word_b,
+                         count(*) AS c_xy
+                  FROM dw a JOIN dw b
+                    ON a.doc_id = b.doc_id AND a.word < b.word
+                  GROUP BY a.word, b.word)
+            SELECT word_a, word_b, CAST(c_xy AS BIGINT) AS n_pair,
+                   CAST(c_xy * nd.n * 1000000
+                        // (va.df * vb.df) AS BIGINT) AS pmi_ppm
+            FROM p
+            JOIN v va ON va.word = p.word_a
+            JOIN v vb ON vb.word = p.word_b
+            CROSS JOIN nd
+            ORDER BY pmi_ppm DESC, word_a, word_b
+            LIMIT 50
         """,
         "part_skyline": """
             SELECT p_partkey, p_retailprice, p_size FROM part p

@@ -145,7 +145,8 @@ def run_ops(sf_dir: str):
              "chars_iqr_outliers", "rolling_median", "image_dedup",
              "attributed_purchases", "retention_cohorts", "user_paths",
              "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
-             "part_skyline", "doc_bfs_hops"]
+             "part_skyline", "doc_bfs_hops", "lang_gini_by_source",
+             "nth_event_per_user", "brand_copurchase", "pmi_pairs"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

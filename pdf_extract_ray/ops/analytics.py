@@ -899,3 +899,50 @@ def skyline_2d(ds, *, id_col: str, min_col: str, max_col: str):
         .repartition(1)
     return survivors.map_batches(
         lambda df: _sky(df), batch_format="pandas", batch_size=None)
+
+
+def grouped_gini(ds, group_col: str, value_col: str):
+    """Gini impurity of the value distribution per group, in EXACT
+    integer arithmetic -> (group, n_rows, ssq, gini_ppm) where
+    gini = 1 - sum((c_v/t)^2) = (t^2 - sum(c_v^2)) / t^2, reported in
+    parts-per-million via integer floor division so no float summation
+    order can diverge from the SQL oracle.
+
+    Scale shape: ONE native (group, value) count aggregation (the
+    grouped_median histogram — shuffle bounded by the value domain, not
+    the row count), then per-batch partial (t, ssq) sums per group
+    (each (group, value) pair appears exactly once globally, so the
+    partials are safely combinable) and a tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas(),
+            "c": pc.cast(b.column("count()"), pa.int64()).to_numpy(),
+        })
+        df["c2"] = df["c"] * df["c"]
+        g = df.groupby(group_col, sort=False, as_index=False).sum()
+        return pa.table({group_col: pa.array(g[group_col]),
+                         "t": pa.array(g["c"].to_numpy(np.int64)),
+                         "s2": pa.array(g["c2"].to_numpy(np.int64))})
+
+    agg = hist.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("t"), Sum("s2"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("sum(t)"), pa.int64()).to_numpy()
+        s2 = pc.cast(b.column("sum(s2)"), pa.int64()).to_numpy()
+        # object dtype: t*t can exceed int64 only at absurd group sizes,
+        # but the ppm product (t*t - s2) * 1e6 can overflow first — do
+        # the division in Python ints exactly like the HUGEINT oracle
+        ppm = np.array([((int(a) * int(a) - int(b_)) * 1_000_000)
+                        // (int(a) * int(a)) for a, b_ in zip(t, s2)],
+                       np.int64)
+        return pa.table({group_col: b.column(group_col),
+                         "n_rows": pa.array(t),
+                         "ssq": pa.array(s2),
+                         "gini_ppm": pa.array(ppm)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

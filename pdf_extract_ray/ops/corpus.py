@@ -1213,3 +1213,107 @@ def remove_dup_spans(docs_ds, *, n: int = 5, id_col: str = "doc_id",
                              "n_removed": n_rm}).astype(cols)
 
     return _grouped_by_partition(tagged, [id_col], rebuild)
+
+
+def pmi_pairs(docs_ds, *, vocab_k: int = 64, k: int = 50,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k word pairs by pointwise mutual information over DOCUMENT
+    co-occurrence -> (word_a, word_b, n_pair, pmi_ppm), word_a < word_b.
+
+    PMI = log(N * c_xy / (c_x * c_y)) is monotone in the exact rational
+    N*c_xy / (c_x*c_y), so the ranking statistic is computed as the
+    INTEGER parts-per-million floor  (c_xy * N * 1e6) // (c_x * c_y)
+    — bit-identical to the HUGEINT oracle, no libm anywhere.
+
+    Scale shape: pass 1 builds per-word document frequencies map-side
+    (per-doc distinct words, per-batch partial counts -> one bounded
+    groupby -> partial top-vocab_k per block -> tiny driver merge);
+    pass 2 broadcasts the <=vocab_k vocabulary into the scan, forms
+    each doc's present-word pairs fully vectorized (size-class reshape
+    + triu gather — docs are atomic rows, so no cross-block state), and
+    folds every batch to a <=C(vocab_k,2)-key partial count.  The only
+    exchanges carry word-count partials, never text."""
+    assert vocab_k <= 128
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        d = pd.DataFrame({
+            "w": b.column(text_col).to_pandas().str.split(" "),
+            "i": np.arange(b.num_rows)}).explode("w")
+        d = d[d["w"].notna() & (d["w"] != "")].drop_duplicates()
+        g = d.groupby("w", sort=False).size().reset_index(name="c")
+        return pa.table({"word": pa.array(g["w"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    summed = docs_ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c"))
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("word").to_pylist(), object)
+        c = pc.cast(b.column("sum(c)"), pa.int64()).to_numpy()
+        idx = np.lexsort((w, -c))[:vocab_k]
+        return pa.table({"word": pa.array(w[idx].tolist(), pa.string()),
+                         "df": pa.array(c[idx])})
+
+    cands: list[tuple] = []
+    for b in summed.map_batches(partial_top, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        cands.extend(zip(b.column("word").to_pylist(),
+                         b.column("df").to_pylist()))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    vocab = cands[:vocab_k]
+    n_docs = docs_ds.count()
+    # ids in LEXICOGRAPHIC order so id-order pairs == the SQL word_a <
+    # word_b ordering (vocab membership is still by df rank)
+    words = sorted(w for w, _ in vocab)
+    dfs = {w: int(c) for w, c in vocab}
+    wid = {w: i for i, w in enumerate(words)}
+    nv = len(words)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        cols = {"a": "int64", "b": "int64", "n": "int64"}
+        d = pd.DataFrame({
+            "w": b.column(text_col).to_pandas().str.split(" "),
+            "i": np.arange(b.num_rows)}).explode("w")
+        d = d[d["w"].isin(wid)].drop_duplicates()
+        if len(d) == 0:
+            e = pd.DataFrame(columns=list(cols)).astype(cols)
+            return pa.Table.from_pandas(e, preserve_index=False)
+        key = (d["i"].to_numpy(np.int64) * 128
+               + d["w"].map(wid).to_numpy(np.int64))
+        u = np.unique(key)
+        w_of = u % 128
+        doc = u >> 7
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        sizes = np.diff(np.r_[starts, u.size])
+        counts = np.zeros(nv * nv, np.int64)
+        for kk in np.unique(sizes):
+            if kk < 2:
+                continue
+            grp = w_of[starts[sizes == kk][:, None] + np.arange(kk)]
+            ii, jj = np.triu_indices(int(kk), 1)
+            np.add.at(counts, grp[:, ii].ravel() * nv
+                      + grp[:, jj].ravel(), 1)
+        nz = np.flatnonzero(counts)
+        return pa.table({"a": pa.array(nz // nv), "b": pa.array(nz % nv),
+                         "n": pa.array(counts[nz])})
+
+    agg = docs_ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("n"))
+
+    rows = []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        a = pc.cast(b.column("a"), pa.int64()).to_numpy()
+        c = pc.cast(b.column("b"), pa.int64()).to_numpy()
+        n = pc.cast(b.column("sum(n)"), pa.int64()).to_numpy()
+        for ai, bi, ni in zip(a, c, n):
+            wa, wb = words[ai], words[bi]
+            ppm = (int(ni) * n_docs * 1_000_000) // (dfs[wa] * dfs[wb])
+            rows.append((wa, wb, int(ni), ppm))
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    top = rows[:k]
+    return pa.table({
+        "word_a": pa.array([r[0] for r in top], pa.string()),
+        "word_b": pa.array([r[1] for r in top], pa.string()),
+        "n_pair": pa.array([r[2] for r in top], pa.int64()),
+        "pmi_ppm": pa.array([r[3] for r in top], pa.int64())})

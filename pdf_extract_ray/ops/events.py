@@ -986,3 +986,55 @@ def user_paths(ds, *, k: int = 3, n_parts: int = 32):
             "path": b.column("path"),
             "n_users": pc.cast(b.column("sum(n_users)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def nth_event_per_user(ds, *, n: int = 3, n_parts: int = 32):
+    """NTH_VALUE window: each user's n-th event in (ts, event_id) order
+    -> (user_id, event_id, ts, event_type); users with fewer than n
+    events emit nothing (the row_number() = n filter semantics).
+
+    Combinable bounded-top-n: a user's global n-th smallest event is
+    always among the union of its per-block n smallest, so every batch
+    folds to at most n rows per user present (vectorized lexsort +
+    within-user rank mask, no per-user loop), and ONE user-keyed
+    partition pass picks the exact n-th from those candidates.  The
+    exchange carries O(users x blocks x n) rows, never the stream."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ["user_id", "event_id", "ts", "event_type"]
+        if b.num_rows == 0:
+            return b.select(cols)
+        user = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u = order.size
+        uu = user[order]
+        first = np.r_[True, uu[1:] != uu[:-1]]
+        # within-user 0-based rank via cumcount over the sorted runs
+        starts = np.flatnonzero(first)
+        rank = np.arange(u) - np.repeat(starts,
+                                        np.diff(np.r_[starts, u]))
+        keep = order[rank < n]
+        return b.select(cols).take(pa.array(np.sort(keep)))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "event_id": "int64",
+                "event_type": "object"}
+        if len(df) == 0:
+            out = pd.DataFrame(columns=["user_id", "event_id", "ts",
+                                        "event_type"])
+            out["ts"] = pd.to_datetime(out["ts"])
+            return out.astype({"user_id": "int64", "event_id": "int64"})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        nth = df.groupby("user_id", sort=False).nth(n - 1)
+        return nth[["user_id", "event_id", "ts", "event_type"]]
+
+    from .dedup import _grouped_by_partition
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _grouped_by_partition(partials, ["user_id"], resolve,
+                                 n_parts=n_parts)

@@ -2453,3 +2453,81 @@ def bloom_semi_revenue(lineitem_ds, part_ds, *, max_size: int = 10,
                              "n_items": g["n"].to_numpy(np.int64)})
 
     return _grouped_by_partition(partials, ["p_brand"], merge)
+
+
+def copurchase_pairs(lineitem_ds, part_ds, *, num_partitions=None):
+    """Market-basket brand co-occurrence: for every unordered pair of
+    DISTINCT part brands appearing in the same order -> (brand_a,
+    brand_b, n_orders) with brand_a < brand_b.
+
+    Scale shape: the partkey->brand dim rides a broadcast lookup into
+    the fact scan (dense-key numpy array — promo_revenue discipline;
+    with a dim too big to broadcast, attach brand via one partkey hop
+    pass first).  Orders span blocks, so pair formation needs the whole
+    order co-located: ONE orderkey-keyed partition pass dedups
+    (order, brand) and emits pairs fully vectorized — groups are
+    bucketed BY SIZE k and each size class forms its C(k,2) pairs in a
+    single reshape + triu gather (brand domain ~25, so k <= 25 and the
+    per-partition pair partials are bounded by C(25,2) keys).  A tiny
+    300-key groupby merges the partials — the only row-weight exchange
+    is the orderkey pass over (orderkey, brand_id) int pairs."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    rows = part_ds.map_batches(
+        lambda b: b.select(["p_partkey", "p_brand"]),
+        batch_format="pyarrow").take_all()
+    pk = np.array([r["p_partkey"] for r in rows], np.int64)
+    brands = sorted({r["p_brand"] for r in rows})
+    bid_of = {s: i for i, s in enumerate(brands)}
+    lut = np.zeros(int(pk.max()) + 1 if len(pk) else 1, np.int32)
+    lut[pk] = np.array([bid_of[r["p_brand"]] for r in rows], np.int32)
+    nb = len(brands)
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("l_orderkey"), pa.int64()).to_numpy()
+        part = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()
+        return pa.table({"okey": pa.array(key),
+                         "bid": pa.array(lut[part])})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        okey = df["okey"].to_numpy(np.int64)
+        bid = df["bid"].to_numpy(np.int64)
+        # distinct (order, brand), sorted by (order, brand)
+        u = np.unique(okey * np.int64(4096) + bid)
+        ob = u % 4096
+        starts = np.flatnonzero(np.r_[True, (u >> 12)[1:] != (u >> 12)[:-1]])
+        sizes = np.diff(np.r_[starts, u.size])
+        counts = np.zeros(nb * nb, np.int64)
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            grp = ob[starts[sizes == k][:, None] + np.arange(k)]
+            ii, jj = np.triu_indices(int(k), 1)
+            a = grp[:, ii].ravel()
+            c = grp[:, jj].ravel()
+            np.add.at(counts, a * nb + c, 1)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"a": nz // nb, "b": nz % nb,
+                             "n": counts[nz]})
+
+    fact = lineitem_ds.map_batches(li_rows, batch_format="pyarrow")
+    partials = _grouped_by_partition(fact, ["okey"], pairs,
+                                     n_parts=num_partitions)
+    agg = partials.groupby(["a", "b"]).aggregate(Sum("n"))
+    blist = pa.array(brands, pa.string())
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("a"), pa.int64()).to_numpy()
+        c = pc.cast(b.column("b"), pa.int64()).to_numpy()
+        return pa.table({
+            "brand_a": blist.take(pa.array(a)),
+            "brand_b": blist.take(pa.array(c)),
+            "n_orders": pc.cast(b.column("sum(n)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

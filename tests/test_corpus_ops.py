@@ -643,3 +643,45 @@ class TestSsjoinJaccard:
     def test_empty_and_short_docs(self):
         rows = [(1, ""), (2, ""), (3, "a b"), (4, "x")]
         assert self._run(rows, n=3, t_num=1, t_den=2) == set()
+
+
+class TestPmiPairs:
+    def test_matches_naive(self):
+        import itertools
+        import math
+
+        import ray
+
+        from pdf_extract_ray.ops.corpus import pmi_pairs
+        docs = [
+            "the cat sat", "the dog sat", "the cat ran",
+            "dog park fun", "cat park", "the the the",
+            "fun cat dog", "park run fun dog",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        out = pmi_pairs(ray.data.from_arrow(t).repartition(3),
+                        vocab_k=6, k=20).to_pandas()
+
+        # naive reference
+        sets = [set(w for w in d.split(" ") if w) for d in docs]
+        df: dict = {}
+        for s in sets:
+            for w in s:
+                df[w] = df.get(w, 0) + 1
+        vocab = sorted(df, key=lambda w: (-df[w], w))[:6]
+        n = len(docs)
+        pairs: dict = {}
+        for s in sets:
+            present = sorted(x for x in s if x in vocab)
+            for a, b in itertools.combinations(present, 2):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        exp = sorted(
+            ((a, b, c, (c * n * 1_000_000) // (df[a] * df[b]))
+             for (a, b), c in pairs.items()),
+            key=lambda r: (-r[3], r[0], r[1]))[:20]
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == exp
+        # sanity: PMI ppm is monotone in the true log-PMI
+        logs = [math.log(r[3]) for r in exp if r[3] > 0]
+        assert logs == sorted(logs, reverse=True)

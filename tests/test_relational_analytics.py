@@ -1505,3 +1505,92 @@ class TestSkyline2d:
         size = [int(x) for x in rng.integers(0, 40, n)]
         assert self._run(ids, price, size) \
             == self._naive(ids, price, size)
+
+
+class TestGroupedGini:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.analytics import grouped_gini
+        t = pa.table({
+            "source": pa.array(["a"] * 4 + ["b"] * 3, pa.string()),
+            "lang": pa.array(["en", "en", "de", "fr",
+                              "en", "en", "en"], pa.string())})
+        out = grouped_gini(_ds(t), "source", "lang").to_pandas() \
+            .set_index("source")
+        # a: counts {en:2, de:1, fr:1}, t=4, ssq=6 -> (16-6)*1e6//16
+        assert int(out.loc["a", "n_rows"]) == 4
+        assert int(out.loc["a", "ssq"]) == 6
+        assert int(out.loc["a", "gini_ppm"]) == (16 - 6) * 1_000_000 // 16
+        # b: pure -> gini 0
+        assert int(out.loc["b", "gini_ppm"]) == 0
+
+    def test_matches_float_formula(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import grouped_gini
+        rng = np.random.RandomState(7)
+        src = rng.choice(list("xyz"), 500)
+        lang = rng.choice(["en", "de", "fr", "it", "pt"], 500)
+        t = pa.table({"source": pa.array(src.tolist(), pa.string()),
+                      "lang": pa.array(lang.tolist(), pa.string())})
+        out = grouped_gini(_ds(t), "source", "lang").to_pandas()
+        df = pd.DataFrame({"source": src, "lang": lang})
+        for _, r in out.iterrows():
+            c = df[df["source"] == r["source"]]["lang"].value_counts()
+            tt = int(c.sum())
+            gini = 1.0 - float((c ** 2).sum()) / (tt * tt)
+            assert abs(r["gini_ppm"] / 1e6 - gini) < 2e-6
+
+
+class TestCopurchasePairs:
+    def test_cross_block_orders_and_dedup(self):
+        from pdf_extract_ray.ops.relational import copurchase_pairs
+        # order 1 has brands A,B (B twice -> dedup); order 2 has A only;
+        # order 3 has A,B,C -> 3 pairs
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
+            "l_partkey": pa.array([10, 20, 21, 10, 10, 20, 30],
+                                  pa.int64())})
+        part = pa.table({
+            "p_partkey": pa.array([10, 20, 21, 30], pa.int64()),
+            "p_brand": pa.array(["A", "B", "B", "C"], pa.string())})
+        out = copurchase_pairs(_ds(li).repartition(4), _ds(part)) \
+            .to_pandas()
+        got = {(r.brand_a, r.brand_b): int(r.n_orders)
+               for r in out.itertuples()}
+        assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+class TestNthEventPerUser:
+    def test_matches_pandas_rank(self):
+        import numpy as np
+        from pdf_extract_ray.ops.events import nth_event_per_user
+        rng = np.random.RandomState(3)
+        n = 400
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10_000, n), unit="s")),
+            "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "buy"], n).tolist(),
+                pa.string())})
+        out = nth_event_per_user(_ds(t).repartition(8), n=3) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        exp = df.groupby("user_id").nth(2).sort_values("user_id") \
+            .reset_index(drop=True)
+        assert len(out) == len(exp)
+        assert (out["event_id"].to_numpy()
+                == exp["event_id"].to_numpy()).all()
+
+    def test_short_users_dropped(self):
+        from pdf_extract_ray.ops.events import nth_event_per_user
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2024-01-01"] * 5)),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 5, pa.string())})
+        out = nth_event_per_user(_ds(t), n=3).to_pandas()
+        assert set(out["user_id"]) == {1}
+        assert int(out["event_id"].iloc[0]) == 3  # eid tiebreak
