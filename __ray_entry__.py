@@ -2567,6 +2567,67 @@ def _q_pmi_pairs(sf_dir: str):
                      vocab_k=64, k=50)
 
 
+def _q_asof_join_forward(sf_dir: str):
+    """FORWARD as-of (time-to-conversion): each 'view' event matches
+    the same user's next 'purchase' at/after it — the backward as-of
+    kernel run on the negated time axis, zero new shuffle shapes
+    (ops/relational.asof_join_orders_forward).  The build side is the
+    purchase stream renamed into the order-probe schema."""
+    from pdf_extract_ray.ops.relational import asof_join_orders_forward
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    views = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "view"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    buys = ev.map_batches(
+        lambda b: (lambda f: pa.table({
+            "o_orderkey": pc.cast(f.column("event_id"), pa.int64()),
+            "o_custkey": pc.cast(f.column("user_id"), pa.int64()),
+            "o_orderdate": pc.cast(f.column("ts"), pa.timestamp("us")),
+        }))(b.filter(pc.equal(b.column("event_type"), "purchase"))),
+        batch_format="pyarrow")
+    return asof_join_orders_forward(views, buys)
+
+
+def _q_record_high_events(sf_dir: str):
+    """Running-max high-watermark window per user — one keyed partition
+    pass, grouped cummax, comparisons only
+    (ops/events.record_high_events)."""
+    from pdf_extract_ray.ops.events import record_high_events
+    return record_high_events(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]))
+
+
+def _q_prefix_dedup_best(sf_dir: str):
+    """Keep-best fuzzy-key dedup: same first-8-words prefix keeps the
+    longest doc (combinable argmax; ops/dedup.prefix_dedup_best)."""
+    from pdf_extract_ray.ops.dedup import prefix_dedup_best
+    return prefix_dedup_best(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "text", "n_chars"]), k_words=8)
+
+
+def _q_doc_stats_long(sf_dir: str):
+    """UNPIVOT / melt shape: the per-source integer stats emitted as
+    (source, metric, value) long-form rows from ONE aggregate."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(_sum("n_chars"), _count())
+
+    def melt(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        tot = pc.cast(b.column("sum(n_chars)"), pa.int64()).to_pylist()
+        n = pc.cast(b.column("count()"), pa.int64()).to_pylist()
+        return pa.table({
+            "source": pa.array(src + src, pa.string()),
+            "metric": pa.array(["n_docs"] * len(src)
+                               + ["total_chars"] * len(src), pa.string()),
+            "value": pa.array(n + tot, pa.int64())})
+
+    return agg.map_batches(melt, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2639,6 +2700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nth_event_per_user": _q_nth_event_per_user,
         "brand_copurchase": _q_brand_copurchase,
         "pmi_pairs": _q_pmi_pairs,
+        "asof_join_forward": _q_asof_join_forward,
+        "record_high_events": _q_record_high_events,
+        "prefix_dedup_best": _q_prefix_dedup_best,
+        "doc_stats_long": _q_doc_stats_long,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3502,6 +3567,47 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "asof_join_forward": """
+            WITH p AS (
+              SELECT user_id AS o_custkey, ts AS o_orderdate,
+                     min(event_id) AS o_orderkey
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.ts, p.o_orderkey, p.o_orderdate
+            FROM events e ASOF JOIN p
+              ON e.user_id = p.o_custkey AND e.ts <= p.o_orderdate
+            WHERE e.event_type = 'view'
+        """,
+        "record_high_events": """
+            SELECT event_id, user_id,
+                   CAST(CASE WHEN prev_max IS NULL OR value > prev_max
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_record
+            FROM (
+              SELECT event_id, user_id, value,
+                     max(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+              FROM events)
+        """,
+        "prefix_dedup_best": """
+            WITH p AS (SELECT doc_id, n_chars,
+                              array_to_string(
+                                  list_slice(string_split(text, ' '),
+                                             1, 8), ' ') AS pfx
+                       FROM documents)
+            SELECT doc_id, n_chars FROM p
+            QUALIFY row_number() OVER (
+                PARTITION BY pfx ORDER BY n_chars DESC, doc_id) = 1
+        """,
+        "doc_stats_long": """
+            SELECT source, 'n_docs' AS metric, count(*) AS value
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source, 'total_chars' AS metric,
+                   CAST(sum(n_chars) AS BIGINT) AS value
+            FROM documents GROUP BY source
         """,
         "lang_gini_by_source": """
             WITH c AS (SELECT source, lang, count(*) AS n

@@ -146,7 +146,9 @@ def run_ops(sf_dir: str):
              "attributed_purchases", "retention_cohorts", "user_paths",
              "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
              "part_skyline", "doc_bfs_hops", "lang_gini_by_source",
-             "nth_event_per_user", "brand_copurchase", "pmi_pairs"]
+             "nth_event_per_user", "brand_copurchase", "pmi_pairs",
+             "asof_join_forward", "record_high_events",
+             "prefix_dedup_best", "doc_stats_long"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -22,6 +22,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1067,3 +1068,46 @@ def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
 
     return pairs.map_batches(verify, batch_format="pyarrow",
                              batch_size=32_768)
+
+
+def prefix_dedup_best(ds, *, k_words: int = 8, n_parts: int = 64):
+    """Keep-BEST fuzzy-key dedup: docs sharing the same first `k_words`
+    words keep only the longest variant (max n_chars, min doc_id on
+    ties) -> (doc_id, n_chars).  The CCNet-style "keep the richest
+    copy" policy, vs exact_dedup's keep-min-id.
+
+    Combinable ARGMAX (the latest_event_per_user shape): every batch
+    folds to one candidate per prefix present — the shuffle carries
+    O(prefixes x blocks) rows of (prefix md5, doc_id, n_chars), never
+    text — and ONE keyed partition pass picks the global winner."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pandas()
+        pfx = texts.str.split(" ").str[:k_words].str.join(" ")
+        df = pd.DataFrame({
+            "pfx_md5": [hashlib.md5(p.encode()).hexdigest()
+                        for p in pfx],
+            "doc_id": b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_chars": pc.cast(b.column("n_chars"),
+                               pa.int64()).to_numpy()})
+        df = df.sort_values(["pfx_md5", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        best = df.groupby("pfx_md5", sort=False, as_index=False).first()
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "n_chars": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["pfx_md5", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        best = df.groupby("pfx_md5", sort=False, as_index=False).first()
+        return best[["doc_id", "n_chars"]]
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+    return _grouped_by_partition(cands, ["pfx_md5"], resolve,
+                                 n_parts=n_parts)

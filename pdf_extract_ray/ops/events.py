@@ -1038,3 +1038,41 @@ def nth_event_per_user(ds, *, n: int = 3, n_parts: int = 32):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return _grouped_by_partition(partials, ["user_id"], resolve,
                                  n_parts=n_parts)
+
+
+def record_high_events(ds, *, n_parts: int = 32):
+    """Running-max (high-watermark) window: flags each event whose value
+    STRICTLY exceeds every earlier value of the same user in (ts,
+    event_id) order -> (event_id, user_id, is_record); a user's first
+    event is a record by definition.
+
+    One user-keyed partition pass (the event_gaps shape): within a
+    partition ONE lexsort + a grouped cummax (pandas' single-pass
+    Cython kernel) shifted by one row inside each user run —
+    comparisons only, no float arithmetic, so the flags are bit-exact
+    vs the SQL window."""
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "is_record": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        val = df["value"].to_numpy(np.float64)
+        order = np.lexsort((eid, ts, user))
+        u, v = user[order], val[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        cmax = pd.Series(v).groupby(gid).cummax().to_numpy()
+        prev = np.r_[-np.inf, cmax[:-1]]  # max of rows strictly before
+        rec = first | (v > prev)
+        return pd.DataFrame({"event_id": eid[order],
+                             "user_id": u,
+                             "is_record": rec.astype(np.int64)})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_part,
+                                 n_parts=n_parts)

@@ -2531,3 +2531,53 @@ def copurchase_pairs(lineitem_ds, part_ds, *, num_partitions=None):
             "n_orders": pc.cast(b.column("sum(n)"), pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def asof_join_orders_forward(events_ds, orders_ds, *, n_parts: int = 64):
+    """FORWARD as-of join: each event matches its user's EARLIEST order
+    at or after the event time (min o_orderkey among equal-date orders)
+    -> (event_id, user_id, ts, o_orderkey, o_orderdate), inner.
+
+    Zero new kernel: forward-asof == backward-asof on the negated time
+    axis (and negated orderkey, so the backward max-okey tie-break
+    becomes the forward min-okey one).  Both sides negate int64
+    microseconds on entry and the output un-negates — the partition
+    pass, segmented scan and tie-break dedup are asof_join_orders
+    verbatim."""
+
+    def neg_events(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.timestamp("us"))
+        neg = pc.multiply(pc.cast(ts, pa.int64()), -1)
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "ts": pc.cast(neg, pa.timestamp("us"))})
+
+    def neg_orders(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        neg = pc.multiply(pc.cast(od, pa.int64()), -1)
+        return pa.table({
+            "o_orderkey": pc.multiply(
+                pc.cast(b.column("o_orderkey"), pa.int64()), -1),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderdate": pc.cast(neg, pa.timestamp("us"))})
+
+    ev = events_ds.map_batches(neg_events, batch_format="pyarrow")
+    od = orders_ds.map_batches(neg_orders, batch_format="pyarrow")
+    out = asof_join_orders(ev, od, n_parts=n_parts, how="inner")
+
+    def unneg(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.multiply(
+            pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                    pa.int64()), -1), pa.timestamp("us"))
+        odt = pc.cast(pc.multiply(
+            pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64()), -1), pa.timestamp("us"))
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": ts,
+            "o_orderkey": pc.multiply(b.column("o_orderkey"), -1),
+            "o_orderdate": odt})
+
+    return out.map_batches(unneg, batch_format="pyarrow")

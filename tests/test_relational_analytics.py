@@ -1594,3 +1594,90 @@ class TestNthEventPerUser:
         out = nth_event_per_user(_ds(t), n=3).to_pandas()
         assert set(out["user_id"]) == {1}
         assert int(out["event_id"].iloc[0]) == 3  # eid tiebreak
+
+
+class TestAsofForward:
+    def test_matches_naive_forward(self):
+        import numpy as np
+        from pdf_extract_ray.ops.relational import asof_join_orders_forward
+        rng = np.random.RandomState(11)
+        ne, no = 120, 60
+        ev = pa.table({
+            "event_id": pa.array(np.arange(ne), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 12, ne), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01") + pd.to_timedelta(
+                rng.randint(0, 500_000, ne), unit="s"))})
+        od = pa.table({
+            "o_orderkey": pa.array(np.arange(no), pa.int64()),
+            "o_custkey": pa.array(rng.randint(0, 12, no), pa.int64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime("2024-01-01") + pd.to_timedelta(
+                    rng.randint(0, 500_000, no) // 3600 * 3600,
+                    unit="s"))})
+        out = asof_join_orders_forward(_ds(ev).repartition(5),
+                                       _ds(od).repartition(3)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        e, o = ev.to_pandas(), od.to_pandas()
+        # tie-dedup: min orderkey per (cust, date); then earliest >= ts
+        o = o.sort_values("o_orderkey").groupby(
+            ["o_custkey", "o_orderdate"], as_index=False).first()
+        rows = []
+        for r in e.itertuples():
+            c = o[(o["o_custkey"] == r.user_id)
+                  & (o["o_orderdate"] >= r.ts)]
+            if len(c):
+                c = c.sort_values(["o_orderdate", "o_orderkey"]).iloc[0]
+                rows.append((r.event_id, int(c["o_orderkey"]),
+                             c["o_orderdate"]))
+        exp = pd.DataFrame(rows, columns=["event_id", "o_orderkey",
+                                          "o_orderdate"]) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == len(exp)
+        assert (out["o_orderkey"].to_numpy()
+                == exp["o_orderkey"].to_numpy()).all()
+        assert (out["o_orderdate"].to_numpy()
+                == exp["o_orderdate"].to_numpy()).all()
+
+
+class TestRecordHighEvents:
+    def test_matches_naive(self):
+        import numpy as np
+        from pdf_extract_ray.ops.events import record_high_events
+        rng = np.random.RandomState(5)
+        n = 300
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01")
+                           + pd.to_timedelta(
+                               rng.randint(0, 9999, n), unit="s")),
+            "user_id": pa.array(rng.randint(0, 25, n), pa.int64()),
+            "value": pa.array(
+                rng.choice([1.0, 2.5, 2.5, 7.0, -3.0], n))})
+        out = record_high_events(_ds(t).repartition(6)).to_pandas() \
+            .set_index("event_id")["is_record"]
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        seen: dict = {}
+        for r in df.itertuples():
+            rec = r.user_id not in seen or r.value > seen[r.user_id]
+            seen[r.user_id] = max(seen.get(r.user_id, -1e18), r.value)
+            assert int(out.loc[r.event_id]) == int(rec), r
+
+
+class TestPrefixDedupBest:
+    def test_keeps_longest_cross_block(self):
+        from pdf_extract_ray.ops.dedup import prefix_dedup_best
+        pfx = "a b c d e f g h"
+        docs = [
+            (1, pfx + " tail one", 30),
+            (2, pfx + " much longer tail here", 40),   # winner
+            (3, pfx, 15),
+            (4, "different prefix words x y z w v u", 20),  # own group
+            (5, pfx + " equal", 40),  # ties 2 on n_chars -> id 2 wins
+        ]
+        t = pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "n_chars": pa.array([d[2] for d in docs], pa.int64())})
+        out = prefix_dedup_best(_ds(t).repartition(4), k_words=8) \
+            .to_pandas()
+        assert set(out["doc_id"]) == {2, 4}
