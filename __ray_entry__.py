@@ -2628,6 +2628,63 @@ def _q_doc_stats_long(sf_dir: str):
     return agg.map_batches(melt, batch_format="pyarrow")
 
 
+def _q_chars_kurtosis_by_source(sf_dir: str):
+    """Population excess kurtosis per source from exact integer moments
+    (4th-moment extension of the skew kernel;
+    ops/analytics.grouped_kurtosis)."""
+    from pdf_extract_ray.ops.analytics import grouped_kurtosis
+    return grouped_kurtosis(_read(sf_dir, "documents",
+                                  columns=["source", "n_chars"]),
+                            "source", "n_chars")
+
+
+def _q_orders_by_dow(sf_dir: str):
+    """Day-of-week histogram (0=Sunday, DuckDB dayofweek parity) with
+    exact-cent revenue — map-side 7-bin bincount partials, one tiny
+    sum."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").view(np.int64)
+        dow = (ts + 4) % 7  # epoch day 0 = Thursday = dayofweek 4
+        cents = np.rint(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        n = np.bincount(dow, minlength=7)
+        rev = np.bincount(dow, weights=cents, minlength=7) \
+            .astype(np.int64)
+        return pa.table({"dow": pa.array(np.arange(7, dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "rev": pa.array(rev)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dow").aggregate(Sum("n"), Sum("rev"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "dow": b.column("dow"),
+            "n_orders": pc.cast(b.column("sum(n)"), pa.int64()),
+            "revenue_cents": pc.cast(b.column("sum(rev)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_ann_topk_filtered(sf_dir: str):
+    """Filtered vector search: brute-force cosine top-k restricted to a
+    label predicate pushed down BEFORE the matmul — the standard
+    attribute-filtered ANN shape (ops/similarity.brute_force_topk over
+    the pre-filtered stream)."""
+    from pdf_extract_ray.ops.similarity import brute_force_topk
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    qids, qvecs = _ann_queries(ds)
+    flt = ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.cast(b.column("label"),
+                                            pa.int64()), 1))
+                   .select(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    return brute_force_topk(flt, qids, qvecs, k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2704,6 +2761,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_high_events": _q_record_high_events,
         "prefix_dedup_best": _q_prefix_dedup_best,
         "doc_stats_long": _q_doc_stats_long,
+        "chars_kurtosis_by_source": _q_chars_kurtosis_by_source,
+        "orders_by_dow": _q_orders_by_dow,
+        "ann_topk_filtered": _q_ann_topk_filtered,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3567,6 +3627,54 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "chars_kurtosis_by_source": """
+            WITH m AS (
+              SELECT source,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s1,
+                     CAST(sum(CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s2,
+                     CAST(sum(CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s3,
+                     CAST(sum(CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)
+                              * CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                         AS s4
+              FROM documents GROUP BY source),
+            d AS (SELECT source, n, s1, s2, s3, s4,
+                         n * s2 - s1 * s1 AS dd FROM m)
+            SELECT source,
+                   CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                        - 3*s1*s1*s1*s1 AS DOUBLE)
+                   / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE)) - 3.0
+                       AS kurt
+            FROM d WHERE dd > 0
+        """,
+        "orders_by_dow": """
+            SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY dow
+        """,
+        "ann_topk_filtered": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10)
+            SELECT query_id, vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                                vec_id ASC) AS BIGINT) AS rank
+            FROM embeddings CROSS JOIN q
+            WHERE vec_id <> query_id AND label = 1
+            QUALIFY rank <= 10
         """,
         "asof_join_forward": """
             WITH p AS (

@@ -148,7 +148,9 @@ def run_ops(sf_dir: str):
              "part_skyline", "doc_bfs_hops", "lang_gini_by_source",
              "nth_event_per_user", "brand_copurchase", "pmi_pairs",
              "asof_join_forward", "record_high_events",
-             "prefix_dedup_best", "doc_stats_long"]
+             "prefix_dedup_best", "doc_stats_long",
+             "chars_kurtosis_by_source", "orders_by_dow",
+             "ann_topk_filtered"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

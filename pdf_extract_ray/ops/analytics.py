@@ -946,3 +946,72 @@ def grouped_gini(ds, group_col: str, value_col: str):
                          "gini_ppm": pa.array(ppm)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_kurtosis(ds, group_col: str, value_col: str):
+    """Population EXCESS kurtosis per group from exact integer moment
+    sums -> (group, kurt).  The grouped_skew discipline extended to the
+    4th moment: per-batch partials (n, s1..s4) combine associatively
+    (big products as python ints / HUGEINT — s4 and n^3*s4 overflow
+    int64 early), and the final float is
+        kurt = double(A) / (double(dd) * double(dd)) - 3.0
+    with A = n^3*s4 - 4*n^2*s1*s3 + 6*n*s1^2*s2 - 3*s1^4 and
+    dd = n*s2 - s1^2 — the same IEEE op sequence both engines, so the
+    doubles are bit-identical.  Zero-variance groups drop (dd > 0)."""
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col]).to_pandas()
+        x = df[value_col].to_numpy(np.int64)
+        # x^4 headroom in int64 needs |x| < 55k AND small batch sums
+        if len(x) == 0 or (np.abs(x).max() < 30_000
+                           and len(x) < 10_000):
+            p = pd.DataFrame({group_col: df[group_col], "n": 1,
+                              "s1": x, "s2": x * x, "s3": x ** 3,
+                              "s4": x ** 4})
+            g = p.groupby(group_col, sort=False, as_index=False).sum()
+            s2s = [str(int(v)) for v in g["s2"]]
+            s3s = [str(int(v)) for v in g["s3"]]
+            s4s = [str(int(v)) for v in g["s4"]]
+        else:
+            xi = df[value_col].astype(object)
+            p = pd.DataFrame({group_col: df[group_col], "n": 1,
+                              "s1": x, "s2": xi * xi, "s3": xi ** 3,
+                              "s4": xi ** 4})
+            g = p.groupby(group_col, sort=False, as_index=False).sum()
+            s2s = [str(v) for v in g["s2"]]
+            s3s = [str(v) for v in g["s3"]]
+            s4s = [str(v) for v in g["s4"]]
+        return pa.table({
+            group_col: pa.array(g[group_col], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s1": pa.array(g["s1"].to_numpy(np.int64)),
+            "s2": pa.array(s2s, pa.string()),
+            "s3": pa.array(s3s, pa.string()),
+            "s4": pa.array(s4s, pa.string())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "kurt": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"kurt": "float64"})
+        out_g, out_k = [], []
+        for gname, sub in df.groupby(group_col, sort=False):
+            n = int(sub["n"].sum())
+            s1 = int(sub["s1"].sum())
+            s2 = sum(int(v) for v in sub["s2"])
+            s3 = sum(int(v) for v in sub["s3"])
+            s4 = sum(int(v) for v in sub["s4"])
+            dd = n * s2 - s1 * s1
+            if dd <= 0:
+                continue
+            a = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                 + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+            out_g.append(gname)
+            out_k.append(float(a) / (float(dd) * float(dd)) - 3.0)
+        return pd.DataFrame({group_col: out_g,
+                             "kurt": np.array(out_k, np.float64)})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(partials, [group_col], merge,
+                                 n_parts=8)

@@ -1681,3 +1681,30 @@ class TestPrefixDedupBest:
         out = prefix_dedup_best(_ds(t).repartition(4), k_words=8) \
             .to_pandas()
         assert set(out["doc_id"]) == {2, 4}
+
+
+class TestGroupedKurtosis:
+    def test_matches_numpy_formula(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import grouped_kurtosis
+        rng = np.random.RandomState(9)
+        src = rng.choice(list("ab"), 600)
+        val = rng.randint(0, 5000, 600)
+        t = pa.table({"source": pa.array(src.tolist(), pa.string()),
+                      "n_chars": pa.array(val, pa.int64())})
+        out = grouped_kurtosis(_ds(t).repartition(5),
+                               "source", "n_chars").to_pandas() \
+            .set_index("source")["kurt"]
+        for g in "ab":
+            x = val[src == g].astype(np.float64)
+            mu = x.mean()
+            kurt = len(x) * ((x - mu) ** 4).sum() \
+                / (((x - mu) ** 2).sum() ** 2) - 3.0
+            assert abs(out.loc[g] - kurt) < 1e-6
+
+    def test_binary_is_minus_two(self):
+        from pdf_extract_ray.ops.analytics import grouped_kurtosis
+        t = pa.table({"source": pa.array(["a"] * 4, pa.string()),
+                      "n_chars": pa.array([0, 0, 7, 7], pa.int64())})
+        out = grouped_kurtosis(_ds(t), "source", "n_chars").to_pandas()
+        assert abs(float(out["kurt"].iloc[0]) + 2.0) < 1e-12
