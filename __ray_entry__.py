@@ -2685,6 +2685,85 @@ def _q_ann_topk_filtered(sf_dir: str):
     return brute_force_topk(flt, qids, qvecs, k=10)
 
 
+def _q_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month revenue change: the orders_by_month aggregate
+    (bounded to ~#months rows) + ONE final task running the LAG window
+    over the tiny series — exact integer cents, first month delta 0."""
+    ds = _q_orders_by_month(sf_dir)
+
+    def delta(df):
+        df = df.sort_values("month").reset_index(drop=True)
+        prev = df["revenue_cents"].shift(1)
+        df["delta_cents"] = (df["revenue_cents"] - prev).fillna(0) \
+            .astype(np.int64)
+        return df[["month", "revenue_cents", "delta_cents"]]
+
+    return ds.repartition(1).map_batches(delta, batch_format="pandas",
+                                         batch_size=None)
+
+
+def _q_weighted_avg_discount(sf_dir: str):
+    """Quantity-weighted average discount per returnflag in EXACT
+    integers: (num, den) partial sums combine map-side, the ratio ships
+    as integer ppm floor — no float summation anywhere."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "flag": b.column("l_returnflag").to_pandas(),
+            "qty": b.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "disc_c2": np.rint(b.column("l_discount").to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+        df["num"] = df["disc_c2"] * df["qty"]
+        g = df.groupby("flag", sort=False, as_index=False) \
+            .agg(num=("num", "sum"), den=("qty", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("flag").aggregate(Sum("num"), Sum("den"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = pc.cast(b.column("sum(num)"), pa.int64()).to_numpy()
+        den = pc.cast(b.column("sum(den)"), pa.int64()).to_numpy()
+        ppm = np.array([int(a) * 1_000_000 // int(d)
+                        for a, d in zip(num, den)], np.int64)
+        return pa.table({
+            "l_returnflag": b.column("flag"),
+            "num_c2_qty": pa.array(num), "den_qty": pa.array(den),
+            "wavg_disc_ppm_c2": pa.array(ppm)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_word_length_histogram(sf_dir: str):
+    """Distribution of word lengths over the corpus — per-batch flat
+    bincount partials (explode stays inside the task; the exchange
+    carries <=64 (length, count) rows per block)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pandas()
+        lens = texts.str.split(" ").explode().str.len()
+        lens = lens[lens > 0].to_numpy(np.int64)
+        c = np.bincount(lens, minlength=1)
+        nz = np.flatnonzero(c)
+        return pa.table({"wlen": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(c[nz].astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("wlen").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({"wlen": b.column("wlen"),
+                            "n_words": pc.cast(b.column("sum(n)"),
+                                               pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2764,6 +2843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_kurtosis_by_source": _q_chars_kurtosis_by_source,
         "orders_by_dow": _q_orders_by_dow,
         "ann_topk_filtered": _q_ann_topk_filtered,
+        "monthly_revenue_delta": _q_monthly_revenue_delta,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "word_length_histogram": _q_word_length_histogram,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3627,6 +3709,41 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "monthly_revenue_delta": """
+            WITH m AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT)) AS BIGINT)
+                         AS revenue_cents
+              FROM orders GROUP BY month)
+            SELECT month, revenue_cents,
+                   CAST(COALESCE(revenue_cents - lag(revenue_cents)
+                                 OVER (ORDER BY month), 0) AS BIGINT)
+                       AS delta_cents
+            FROM m
+        """,
+        "weighted_avg_discount": """
+            WITH p AS (
+              SELECT l_returnflag,
+                     CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS num_c2_qty,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS den_qty
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, num_c2_qty, den_qty,
+                   CAST(CAST(num_c2_qty AS HUGEINT) * 1000000
+                        // den_qty AS BIGINT) AS wavg_disc_ppm_c2
+            FROM p
+        """,
+        "word_length_histogram": """
+            SELECT CAST(length(w) AS BIGINT) AS wlen,
+                   count(*) AS n_words
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE length(w) > 0
+            GROUP BY wlen
         """,
         "chars_kurtosis_by_source": """
             WITH m AS (
