@@ -2764,6 +2764,38 @@ def _q_word_length_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_mannwhitney_chars(sf_dir: str):
+    """Mann-Whitney U between src0 and src1 doc lengths — exact doubled
+    midranks from one bounded (value, group) histogram
+    (ops/analytics.mannwhitney_u)."""
+    from pdf_extract_ray.ops.analytics import mannwhitney_u
+    return mannwhitney_u(_read(sf_dir, "documents",
+                               columns=["source", "n_chars"]),
+                         "source", "n_chars", "src0", "src1")
+
+
+def _q_lang_source_contingency(sf_dir: str):
+    """Contingency table with margins (lang x source observed counts +
+    row/col/grand totals) — one bounded histogram aggregate, margins
+    resolved in a single tiny task; all integers (the chi-squared
+    inputs without any float summation)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    hist = ds.groupby(["lang", "source"]).count()
+
+    def margins(df):
+        df = df.rename(columns={"count()": "n"})
+        df["n"] = df["n"].astype(np.int64)
+        df["lang_tot"] = df.groupby("lang")["n"].transform("sum")
+        df["src_tot"] = df.groupby("source")["n"].transform("sum")
+        df["n_total"] = np.int64(df["n"].sum())
+        return df[["lang", "source", "n", "lang_tot", "src_tot",
+                   "n_total"]]
+
+    return hist.repartition(1).map_batches(margins,
+                                           batch_format="pandas",
+                                           batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2846,6 +2878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_delta": _q_monthly_revenue_delta,
         "weighted_avg_discount": _q_weighted_avg_discount,
         "word_length_histogram": _q_word_length_histogram,
+        "mannwhitney_chars": _q_mannwhitney_chars,
+        "lang_source_contingency": _q_lang_source_contingency,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3709,6 +3743,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "mannwhitney_chars": """
+            WITH t AS (SELECT source, n_chars AS v FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            r AS (SELECT source,
+                         2 * rank() OVER (ORDER BY v)
+                         + count(*) OVER (PARTITION BY v) - 1 AS dr
+                  FROM t),
+            agg AS (SELECT
+                CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN source = 'src0' THEN dr ELSE 0 END)
+                     AS BIGINT) AS two_r_a
+                FROM r)
+            SELECT n_a, n_b, two_r_a,
+                   CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS two_u_a
+            FROM agg
+        """,
+        "lang_source_contingency": """
+            WITH c AS (SELECT lang, source, count(*) AS n
+                       FROM documents GROUP BY lang, source)
+            SELECT lang, source, CAST(n AS BIGINT) AS n,
+                   CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+                       AS lang_tot,
+                   CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+                       AS src_tot,
+                   CAST(sum(n) OVER () AS BIGINT) AS n_total
+            FROM c
         """,
         "monthly_revenue_delta": """
             WITH m AS (

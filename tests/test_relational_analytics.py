@@ -1708,3 +1708,37 @@ class TestGroupedKurtosis:
                       "n_chars": pa.array([0, 0, 7, 7], pa.int64())})
         out = grouped_kurtosis(_ds(t), "source", "n_chars").to_pandas()
         assert abs(float(out["kurt"].iloc[0]) + 2.0) < 1e-12
+
+
+class TestMannWhitney:
+    def test_matches_naive_midranks(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import mannwhitney_u
+        rng = np.random.RandomState(17)
+        src = rng.choice(["a", "b", "c"], 500)  # c must be ignored
+        val = rng.randint(0, 50, 500)  # heavy ties
+        t = pa.table({"source": pa.array(src.tolist(), pa.string()),
+                      "n_chars": pa.array(val, pa.int64())})
+        out = mannwhitney_u(_ds(t).repartition(7), "source", "n_chars",
+                            "a", "b").to_pandas().iloc[0]
+        # naive midranks over the a/b subset
+        m = src != "c"
+        v, g = val[m], src[m]
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), np.float64)
+        sv = v[order]
+        i = 0
+        pos = 1
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+            pos += j - i
+            i = j
+        r_a = ranks[g == "a"].sum()
+        n_a = int((g == "a").sum())
+        assert int(out["n_a"]) == n_a
+        assert int(out["two_r_a"]) == int(round(2 * r_a))
+        assert int(out["two_u_a"]) == int(round(2 * (r_a
+                                                     - n_a * (n_a + 1) / 2)))
