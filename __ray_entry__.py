@@ -2796,6 +2796,41 @@ def _q_lang_source_contingency(sf_dir: str):
                                            batch_size=None)
 
 
+def _q_ks_chars(sf_dir: str):
+    """Two-sample KS statistic between src0/src1 doc lengths — exact
+    cross-multiplied integer CDFs (ops/analytics.ks_statistic)."""
+    from pdf_extract_ray.ops.analytics import ks_statistic
+    return ks_statistic(_read(sf_dir, "documents",
+                              columns=["source", "n_chars"]),
+                        "source", "n_chars", "src0", "src1")
+
+
+def _q_benford_digits(sf_dir: str):
+    """Benford first-digit distribution over order totals — digit
+    extracted through the decimal STRING in both engines (no float
+    log), 9-bin bincount partials."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        v = np.floor(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        digits = pd.Series(v).astype(str).str[0].astype(np.int64)
+        c = np.bincount(digits.to_numpy(), minlength=10)
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(c[1:10].astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({"digit": b.column("digit"),
+                            "n_orders": pc.cast(b.column("sum(n)"),
+                                                pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2880,6 +2915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_length_histogram": _q_word_length_histogram,
         "mannwhitney_chars": _q_mannwhitney_chars,
         "lang_source_contingency": _q_lang_source_contingency,
+        "ks_chars": _q_ks_chars,
+        "benford_digits": _q_benford_digits,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3743,6 +3780,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "ks_chars": """
+            WITH t AS (SELECT source, n_chars AS v FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            h AS (SELECT v,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                             END) AS ca,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                             END) AS cb
+                  FROM t GROUP BY v),
+            c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+                         sum(cb) OVER (ORDER BY v) AS cumb
+                  FROM h),
+            n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT)
+                       AS d_num,
+                   CAST(na * nb AS BIGINT) AS d_den
+            FROM c, n GROUP BY na, nb
+        """,
+        "benford_digits": """
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   count(*) AS n_orders
+            FROM orders GROUP BY digit
         """,
         "mannwhitney_chars": """
             WITH t AS (SELECT source, n_chars AS v FROM documents

@@ -152,7 +152,8 @@ def run_ops(sf_dir: str):
              "chars_kurtosis_by_source", "orders_by_dow",
              "ann_topk_filtered", "monthly_revenue_delta",
              "weighted_avg_discount", "word_length_histogram",
-             "mannwhitney_chars", "lang_source_contingency"]
+             "mannwhitney_chars", "lang_source_contingency",
+             "ks_chars", "benford_digits"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1066,3 +1066,49 @@ def mannwhitney_u(ds, group_col: str, value_col: str,
     return hist.repartition(1).map_batches(resolve,
                                            batch_format="pandas",
                                            batch_size=None)
+
+
+def ks_statistic(ds, group_col: str, value_col: str,
+                 group_a: str, group_b: str):
+    """Two-sample Kolmogorov-Smirnov statistic in EXACT integers ->
+    one row (n_a, n_b, d_num, d_den) with D = d_num / d_den:
+    d_num = max over distinct values of |cum_a*n_b - cum_b*n_a| and
+    d_den = n_a*n_b — cross-multiplied empirical CDFs, so no float
+    division can disagree with the SQL window-sum oracle.
+
+    Same scale shape as mannwhitney_u: ONE bounded (value, group)
+    histogram aggregation, one tiny sorted-walk task."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(b.column(group_col), group_a),
+                   pc.equal(b.column(group_col), group_b))
+        return b.filter(m).select([group_col, value_col])
+
+    hist = ds.map_batches(keep, batch_format="pyarrow") \
+        .groupby([value_col, group_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_a": "int64", "n_b": "int64",
+                "d_num": "int64", "d_den": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy()
+        cnt = df["count()"].to_numpy(np.int64)
+        is_a = (df[group_col] == group_a).to_numpy()
+        first = np.r_[True, vals[1:] != vals[:-1]]
+        vid = np.cumsum(first) - 1
+        nvals = int(vid[-1]) + 1
+        c_a = np.zeros(nvals, np.int64)
+        c_b = np.zeros(nvals, np.int64)
+        np.add.at(c_a, vid, np.where(is_a, cnt, 0))
+        np.add.at(c_b, vid, np.where(is_a, 0, cnt))
+        cum_a, cum_b = np.cumsum(c_a), np.cumsum(c_b)
+        n_a, n_b = int(cum_a[-1]), int(cum_b[-1])
+        d_num = int(np.abs(cum_a * n_b - cum_b * n_a).max())
+        return pd.DataFrame({"n_a": [n_a], "n_b": [n_b],
+                             "d_num": [d_num], "d_den": [n_a * n_b]})
+
+    return hist.repartition(1).map_batches(resolve,
+                                           batch_format="pandas",
+                                           batch_size=None)

@@ -1742,3 +1742,24 @@ class TestMannWhitney:
         assert int(out["two_r_a"]) == int(round(2 * r_a))
         assert int(out["two_u_a"]) == int(round(2 * (r_a
                                                      - n_a * (n_a + 1) / 2)))
+
+
+class TestKsStatistic:
+    def test_matches_naive_cdf_sup(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import ks_statistic
+        rng = np.random.RandomState(23)
+        src = rng.choice(["a", "b", "zz"], 400)
+        val = np.where(src == "a", rng.randint(0, 40, 400),
+                       rng.randint(10, 60, 400))
+        t = pa.table({"source": pa.array(src.tolist(), pa.string()),
+                      "n_chars": pa.array(val, pa.int64())})
+        out = ks_statistic(_ds(t).repartition(6), "source", "n_chars",
+                           "a", "b").to_pandas().iloc[0]
+        xa = np.sort(val[src == "a"]); xb = np.sort(val[src == "b"])
+        grid = np.unique(np.r_[xa, xb])
+        fa = np.searchsorted(xa, grid, side="right") / len(xa)
+        fb = np.searchsorted(xb, grid, side="right") / len(xb)
+        d = np.abs(fa - fb).max()
+        assert abs(out["d_num"] / out["d_den"] - d) < 1e-12
+        assert int(out["n_a"]) == len(xa) and int(out["n_b"]) == len(xb)
