@@ -2831,6 +2831,33 @@ def _q_benford_digits(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted lower median of extendedprice cents per
+    returnflag — exact integer histogram + cumsum walk
+    (ops/analytics.grouped_weighted_median)."""
+    from pdf_extract_ray.ops.analytics import grouped_weighted_median
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "price_c2": pa.array(np.rint(
+                b.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False) * 100).astype(np.int64)),
+            "qty": pa.array(b.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    out = grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag", "price_c2", "qty")
+    return out.map_batches(
+        lambda b: pa.table({"l_returnflag": b.column("l_returnflag"),
+                            "wmedian_c2": pc.cast(b.column("wmedian"),
+                                                  pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2917,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_contingency": _q_lang_source_contingency,
         "ks_chars": _q_ks_chars,
         "benford_digits": _q_benford_digits,
+        "weighted_median_price": _q_weighted_median_price,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3780,6 +3808,22 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "weighted_median_price": """
+            WITH h AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         AS c,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS w
+              FROM lineitem GROUP BY l_returnflag, c),
+            t AS (SELECT l_returnflag, c, w,
+                         sum(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY c) AS cw,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM h)
+            SELECT l_returnflag, CAST(min(c) AS BIGINT) AS wmedian_c2
+            FROM t WHERE 2 * cw >= tw GROUP BY l_returnflag
         """,
         "ks_chars": """
             WITH t AS (SELECT source, n_chars AS v FROM documents

@@ -153,7 +153,7 @@ def run_ops(sf_dir: str):
              "ann_topk_filtered", "monthly_revenue_delta",
              "weighted_avg_discount", "word_length_histogram",
              "mannwhitney_chars", "lang_source_contingency",
-             "ks_chars", "benford_digits"]
+             "ks_chars", "benford_digits", "weighted_median_price"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

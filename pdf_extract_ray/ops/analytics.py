@@ -1112,3 +1112,46 @@ def ks_statistic(ds, group_col: str, value_col: str,
     return hist.repartition(1).map_batches(resolve,
                                            batch_format="pandas",
                                            batch_size=None)
+
+
+def grouped_weighted_median(ds, group_col: str, value_col: str,
+                            weight_col: str):
+    """Lower weighted median per group in EXACT integers -> (group,
+    wmedian): the smallest value v with 2 * cumweight(v) >= total
+    weight (so no float boundary or interpolation can diverge from the
+    SQL window-sum oracle).
+
+    Scale shape: grouped_median's histogram trick with weights — ONE
+    native (group, value) Sum(weight) aggregation bounds the exchange
+    by the value domain, then each group's sorted histogram resolves in
+    one cumsum pass via the partition helper."""
+    from ray.data.aggregate import Sum
+
+    hist = ds.groupby([group_col, value_col]).aggregate(Sum(weight_col))
+    wcol = f"sum({weight_col})"
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "wmedian": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"wmedian": "int64"})
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        w = df[wcol].to_numpy(np.int64)
+        g = df[group_col].to_numpy()
+        first = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(first) - 1
+        cw = pd.Series(w).groupby(gid).cumsum().to_numpy()
+        tot = np.zeros(int(gid[-1]) + 1, np.int64)
+        np.add.at(tot, gid, w)
+        hit = 2 * cw >= tot[gid]
+        # hit is monotone within a group (cw increases), so the first
+        # hit is where hit flips; the shift stays INSIDE the group
+        prev = pd.Series(hit).groupby(gid).shift(
+            1, fill_value=False).to_numpy(bool)
+        take = hit & ~prev
+        vals = df[value_col].to_numpy(np.int64)
+        return pd.DataFrame({group_col: g[take],
+                             "wmedian": vals[take]})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)

@@ -40,7 +40,11 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "cross_source_overlap", "vocab_jaccard", "rolling_median",
            "attributed_purchases", "retention_cohorts", "user_paths",
            "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
-           "big_spender_customers", "quiet_customers"]
+           "big_spender_customers", "quiet_customers",
+           "nth_event_per_user", "record_high_events",
+           "prefix_dedup_best", "brand_copurchase",
+           "asof_join_forward", "chars_kurtosis_by_source",
+           "mannwhitney_chars", "ks_chars", "weighted_median_price"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).

@@ -1763,3 +1763,44 @@ class TestKsStatistic:
         d = np.abs(fa - fb).max()
         assert abs(out["d_num"] / out["d_den"] - d) < 1e-12
         assert int(out["n_a"]) == len(xa) and int(out["n_b"]) == len(xb)
+
+
+class TestWeightedMedian:
+    def test_matches_naive_and_first_row_edge(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import grouped_weighted_median
+        # group "a": value 1 holds >= half the weight -> first row wins
+        t = pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+            "v": pa.array([1, 2, 3, 10, 20, 30], pa.int64()),
+            "w": pa.array([5, 2, 2, 1, 1, 4], pa.int64())})
+        out = grouped_weighted_median(_ds(t).repartition(3),
+                                      "g", "v", "w").to_pandas() \
+            .set_index("g")["wmedian"]
+        # a: tot=9, cum(1)=5, 2*5>=9 -> 1 ; b: tot=6, cum(10)=1,
+        # cum(20)=2, cum(30)=6, first 2*cw>=6 at 30... check: 2*2=4<6,
+        # 2*6=12>=6 -> 30
+        assert int(out.loc["a"]) == 1
+        assert int(out.loc["b"]) == 30
+
+    def test_random_matches_naive(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import grouped_weighted_median
+        rng = np.random.RandomState(31)
+        g = rng.choice(list("pqr"), 400)
+        v = rng.randint(0, 60, 400)
+        w = rng.randint(1, 9, 400)
+        t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                      "v": pa.array(v, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+        out = grouped_weighted_median(_ds(t).repartition(7),
+                                      "g", "v", "w").to_pandas() \
+            .set_index("g")["wmedian"]
+        df = pd.DataFrame({"g": g, "v": v, "w": w}) \
+            .groupby(["g", "v"], as_index=False)["w"].sum()
+        for grp, sub in df.groupby("g"):
+            sub = sub.sort_values("v")
+            cw = sub["w"].cumsum()
+            tot = sub["w"].sum()
+            exp = int(sub["v"][(2 * cw >= tot)].iloc[0])
+            assert int(out.loc[grp]) == exp
