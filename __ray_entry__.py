@@ -2858,6 +2858,15 @@ def _q_weighted_median_price(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_user_value_integral(sf_dir: str):
+    """Time-weighted value per user (LEAD window x integer cents x
+    whole-second gaps; ops/events.user_value_integral)."""
+    from pdf_extract_ray.ops.events import user_value_integral
+    return user_value_integral(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2945,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_chars": _q_ks_chars,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
+        "user_value_integral": _q_user_value_integral,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3808,6 +3818,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "user_value_integral": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS vc2,
+                     (CAST(epoch_us(lead(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                          AS BIGINT)
+                      - CAST(epoch_us(ts) AS BIGINT)) // 1000000
+                         AS gap_s
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(vc2 * gap_s) AS BIGINT) AS integral_c2s
+            FROM w WHERE gap_s IS NOT NULL GROUP BY user_id
         """,
         "weighted_median_price": """
             WITH h AS (

@@ -153,7 +153,8 @@ def run_ops(sf_dir: str):
              "ann_topk_filtered", "monthly_revenue_delta",
              "weighted_avg_discount", "word_length_histogram",
              "mannwhitney_chars", "lang_source_contingency",
-             "ks_chars", "benford_digits", "weighted_median_price"]
+             "ks_chars", "benford_digits", "weighted_median_price",
+             "user_value_integral"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1076,3 +1076,42 @@ def record_high_events(ds, *, n_parts: int = 32):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_part,
                                  n_parts=n_parts)
+
+
+def user_value_integral(ds, *, n_parts: int = 32):
+    """Time-weighted value sum per user (the area under the step curve
+    between consecutive events) -> (user_id, integral_c2s): for each
+    event with a successor, value contributes
+    round(value*100) * ((next_ts - ts) whole seconds) — all integers,
+    so the LEAD-window oracle agrees bit-for-bit.  Users with a single
+    event emit nothing (their LEAD is NULL in SQL too).
+
+    One user-keyed partition pass, lexsort + shifted diff masked at
+    user boundaries (the event_gaps kernel), per-partition integer
+    groupby — no per-user loops."""
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "integral_c2s": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        vc2 = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t, v = user[order], ts[order], vc2[order]
+        nxt = np.zeros(n, dtype=bool)
+        nxt[:-1] = u[1:] == u[:-1]  # row i has a successor in-run
+        gap_s = np.zeros(n, np.int64)
+        gap_s[:-1] = (t[1:] - t[:-1]) // 1_000_000
+        contrib = np.where(nxt, v * gap_s, 0)
+        g = pd.DataFrame({"user_id": u[nxt], "c": contrib[nxt]}) \
+            .groupby("user_id", sort=False, as_index=False).sum()
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                             "integral_c2s": g["c"].to_numpy(np.int64)})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_part,
+                                 n_parts=n_parts)
