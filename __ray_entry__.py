@@ -2867,6 +2867,18 @@ def _q_user_value_integral(sf_dir: str):
               columns=["event_id", "ts", "user_id", "value"]))
 
 
+def _q_release_prep(sf_dir: str):
+    """Full training-data RELEASE chain: pages -> ccprep (extract,
+    dedup, near-dup) -> decontaminate -> Gopher gate -> deterministic
+    packing -> deterministic shards (pipelines/release.py).  Rows-only
+    by nature (the chain composes approximate near-dup banding); every
+    component op is individually oracled or property-tested."""
+    import ray
+    from pdf_extract_ray.pipelines.release import release_dataset
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return release_dataset(ds, min_quality=0.1, neardup_threshold=0.95)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2955,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
+        "release_prep": _q_release_prep,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,

@@ -129,12 +129,18 @@ def _distinct_runs(row_of: np.ndarray, h: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def decontaminate(docs_ds, *, n: int = 5, bench_mod: int = 11,
-                  id_col: str = "doc_id", text_col: str = "text"):
+                  id_col: str = "doc_id", text_col: str = "text",
+                  with_totals: bool = False):
     """GPT-3-style benchmark decontamination: flag training documents
     sharing any word n-gram with the held-out benchmark slice
     (doc_id % bench_mod == 0) -> (doc_id, n_overlaps, contaminated),
     n_overlaps = DISTINCT overlapping n-grams.  Train docs with fewer
     than n words report 0.
+
+    `with_totals=True` appends n_grams (the doc's DISTINCT gram count)
+    so callers can apply fraction-based drop rules
+    (release pipeline: drop iff 2*n_overlaps >= n_grams); the default
+    output schema is unchanged (it is oracle-pinned).
 
     The benchmark gram set is collected + broadcast once (eval sets are
     small by definition); the train side is map-only."""
@@ -181,11 +187,17 @@ def decontaminate(docs_ds, *, n: int = 5, bench_mod: int = 11,
                 .astype(np.int64)
         else:
             n_over = np.zeros(b.num_rows, np.int64)
-        return pa.table({
+        cols = {
             id_col: b.column(id_col),
             "n_overlaps": pa.array(n_over, pa.int64()),
             "contaminated": pa.array(n_over > 0, pa.bool_()),
-        })
+        }
+        if with_totals:
+            n_grams = np.bincount(rs, minlength=b.num_rows) \
+                .astype(np.int64) if len(hs) \
+                else np.zeros(b.num_rows, np.int64)
+            cols["n_grams"] = pa.array(n_grams, pa.int64())
+        return pa.table(cols)
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
 

@@ -225,3 +225,68 @@ def test_ccprep_composed_and_resume(ray_session, tmp_path):
     m2 = run_ccprep(src, out, min_quality=0.1, neardup_threshold=0.95)
     assert m2 == m1  # marker short-circuit
     assert os.path.exists(os.path.join(out, "manifest", "ccprep.json"))
+
+
+class TestReleasePipeline:
+    SF = "/root/testdata/sf0.001"
+
+    def _pages(self):
+        import importlib.util
+        import os
+
+        import ray
+        spec = importlib.util.spec_from_file_location(
+            "entry_rel", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return ray.data.read_parquet(m._pages_dir(self.SF),
+                                     columns=["url", "html"])
+
+    def _run(self):
+        from pdf_extract_ray.pipelines.release import release_dataset
+        return release_dataset(
+            self._pages(), min_quality=0.1, neardup_threshold=0.95) \
+            .to_pandas().sort_values("seq_id").reset_index(drop=True)
+
+    def test_deterministic_and_budgeted(self):
+        import pandas as pd
+        a, b = self._run(), self._run()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+        # budget: multi-doc sequences stay within max_tokens (256);
+        # only single-doc sequences may exceed it
+        multi = a[a["n_docs"] > 1]
+        assert (multi["n_tokens"] <= 256).all()
+        # shards bounded, ranks contiguous per shard
+        assert a["shard"].between(0, 7).all()
+        for _, sub in a.groupby("shard"):
+            assert sorted(sub["pos"]) == list(range(1, len(sub) + 1))
+
+    def test_eval_slice_and_contaminated_absent(self):
+        import numpy as np
+        from pdf_extract_ray.ops.corpus import decontaminate
+        from pdf_extract_ray.pipelines.ccprep import ccprep_dataset
+        import pyarrow as pa
+        import ray
+        surv = ccprep_dataset(self._pages(), min_quality=0.1,
+                              neardup_threshold=0.95)
+        docs = surv.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "text": b.column("extracted_text")}),
+            batch_format="pyarrow").materialize()
+        flags = decontaminate(docs, n=13, bench_mod=97,
+                              with_totals=True).to_pandas()
+        hard = flags[(flags["n_grams"] > 0)
+                     & (2 * flags["n_overlaps"] >= flags["n_grams"])]
+        bad = set(hard["doc_id"])
+        out = self._run()
+        # no packed sequence may contain a bench-slice or contaminated
+        # doc: seq_id is the first member id; verify via the member
+        # count proxy — rebuild the clean set and repack must match
+        clean = docs.to_pandas()
+        clean = clean[(clean["doc_id"] % 97 != 0)
+                      & ~clean["doc_id"].isin(bad)]
+        total_clean_ids = set(clean["doc_id"])
+        # every seq_id must be a clean doc id (seq_id = first member)
+        assert set(out["seq_id"]).issubset(total_clean_ids)
