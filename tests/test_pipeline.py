@@ -290,3 +290,29 @@ class TestReleasePipeline:
         total_clean_ids = set(clean["doc_id"])
         # every seq_id must be a clean doc id (seq_id = first member)
         assert set(out["seq_id"]).issubset(total_clean_ids)
+
+    def test_run_release_checkpoint_and_resume(self, tmp_path):
+        import importlib.util
+        import json
+        import os
+
+        from pdf_extract_ray.pipelines.release import run_release
+        spec = importlib.util.spec_from_file_location(
+            "entry_rel2", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        pages = m._pages_dir(self.SF)
+        out = str(tmp_path / "rel")
+        met = run_release(pages, out)
+        assert met["rows_out"] > 0
+        assert set(met["phases"]) >= {"ccprep", "decontaminate",
+                                      "gopher_gate", "pack", "shard",
+                                      "total"}
+        # shard-partitioned layout on disk
+        shards = [d for d in os.listdir(os.path.join(out, "release"))
+                  if d.startswith("shard=")]
+        assert len(shards) >= 1
+        # resume returns the SAME manifest without recomputation
+        met2 = run_release(pages, out)
+        assert met2 == met
