@@ -2879,6 +2879,16 @@ def _q_release_prep(sf_dir: str):
     return release_dataset(ds, min_quality=0.1, neardup_threshold=0.95)
 
 
+def _q_chars_gmd_by_source(sf_dir: str):
+    """Gini mean difference of doc lengths per source — the exact
+    order-statistic identity over one bounded histogram
+    (ops/analytics.gini_mean_difference)."""
+    from pdf_extract_ray.ops.analytics import gini_mean_difference
+    return gini_mean_difference(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars", "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2968,6 +2978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
         "release_prep": _q_release_prep,
+        "chars_gmd_by_source": _q_chars_gmd_by_source,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3831,6 +3842,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "chars_gmd_by_source": """
+            WITH r AS (
+              SELECT source, n_chars AS v,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT source,
+                   CAST(sum((2*rn - n - 1) * v) AS BIGINT) AS gmd_num,
+                   CAST(max(n) * (max(n) - 1) // 2 AS BIGINT)
+                       AS n_pairs
+            FROM r GROUP BY source
         """,
         "user_value_integral": """
             WITH w AS (

@@ -154,7 +154,8 @@ def run_ops(sf_dir: str):
              "weighted_avg_discount", "word_length_histogram",
              "mannwhitney_chars", "lang_source_contingency",
              "ks_chars", "benford_digits", "weighted_median_price",
-             "user_value_integral", "release_prep"]
+             "user_value_integral", "release_prep",
+             "chars_gmd_by_source"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1155,3 +1155,47 @@ def grouped_weighted_median(ds, group_col: str, value_col: str,
 
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)
+
+
+def gini_mean_difference(ds, group_col: str, value_col: str,
+                         id_col: str):
+    """Gini mean difference per group in EXACT integers -> (group,
+    gmd_num, n_pairs) with GMD = gmd_num / n_pairs:
+    gmd_num = sum over all unordered pairs of |x_i - x_j|, computed
+    WITHOUT pairing via the order-statistic identity
+    sum_{i<j}(x_(j) - x_(i)) = sum_i (2i - n + 1) * x_(i)  (0-based i),
+    which a tie block of c equal values v starting at position p
+    contributes  v * (2*(c*p + c*(c-1)/2) - c*(n-1))  to — so one
+    bounded (group, value) histogram is all that ever shuffles (the
+    mannwhitney_u discipline; no row-level sort, no O(n^2) pairs)."""
+
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "gmd_num": "int64",
+                "n_pairs": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"gmd_num": "int64", "n_pairs": "int64"})
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy(np.int64)
+        c = df["count()"].to_numpy(np.int64)
+        first = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(first) - 1
+        ngroups = int(gid[-1]) + 1
+        n = np.zeros(ngroups, np.int64)
+        np.add.at(n, gid, c)
+        # start position p of each tie block inside its group
+        cum = pd.Series(c).groupby(gid).cumsum().to_numpy()
+        p = cum - c
+        contrib = v * (2 * (c * p + c * (c - 1) // 2) - c * (n[gid] - 1))
+        num = np.zeros(ngroups, np.int64)
+        np.add.at(num, gid, contrib)
+        out_g = g[first]
+        return pd.DataFrame({group_col: out_g,
+                             "gmd_num": num,
+                             "n_pairs": n * (n - 1) // 2})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)

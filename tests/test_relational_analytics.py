@@ -1804,3 +1804,25 @@ class TestWeightedMedian:
             tot = sub["w"].sum()
             exp = int(sub["v"][(2 * cw >= tot)].iloc[0])
             assert int(out.loc[grp]) == exp
+
+
+class TestGiniMeanDifference:
+    def test_matches_allpairs_naive(self):
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import gini_mean_difference
+        rng = np.random.RandomState(41)
+        g = rng.choice(list("xy"), 150)
+        v = rng.randint(0, 25, 150)  # heavy ties
+        t = pa.table({"source": pa.array(g.tolist(), pa.string()),
+                      "n_chars": pa.array(v, pa.int64()),
+                      "doc_id": pa.array(np.arange(150), pa.int64())})
+        out = gini_mean_difference(_ds(t).repartition(5), "source",
+                                   "n_chars", "doc_id").to_pandas() \
+            .set_index("source")
+        for grp in "xy":
+            x = v[g == grp].astype(np.int64)
+            naive = sum(abs(int(a) - int(b))
+                        for i, a in enumerate(x) for b in x[i + 1:])
+            n = len(x)
+            assert int(out.loc[grp, "gmd_num"]) == naive
+            assert int(out.loc[grp, "n_pairs"]) == n * (n - 1) // 2
