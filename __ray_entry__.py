@@ -2889,6 +2889,17 @@ def _q_chars_gmd_by_source(sf_dir: str):
         "source", "n_chars", "doc_id")
 
 
+def _q_order_total_audit(sf_dir: str):
+    """Cross-table header-vs-lines reconciliation in exact 1e-6-dollar
+    integers (ops/relational.order_total_audit)."""
+    from pdf_extract_ray.ops.relational import order_total_audit
+    return order_total_audit(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_tax"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -2979,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_integral": _q_user_value_integral,
         "release_prep": _q_release_prep,
         "chars_gmd_by_source": _q_chars_gmd_by_source,
+        "order_total_audit": _q_order_total_audit,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3842,6 +3854,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "order_total_audit": """
+            WITH l AS (
+              SELECT l_orderkey AS okey,
+                     CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+                          * (100 + CAST(round(l_tax*100,0) AS BIGINT)))
+                          AS BIGINT) AS line_c6
+              FROM lineitem GROUP BY l_orderkey),
+            o AS (SELECT o_orderkey AS okey,
+                         CAST(round(o_totalprice*100,0) AS BIGINT)
+                             * 10000 AS hdr_c6
+                  FROM orders),
+            j AS (SELECT o.okey, hdr_c6, line_c6
+                  FROM o LEFT JOIN l USING (okey))
+            SELECT count(*) AS n_orders,
+                   CAST(count(line_c6) AS BIGINT) AS n_with_lines,
+                   CAST(sum(CASE WHEN line_c6 IS NOT NULL
+                                  AND hdr_c6 <> line_c6
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched,
+                   CAST(COALESCE(max(abs(hdr_c6 - line_c6)), 0)
+                        AS BIGINT) AS max_abs_diff_c6
+            FROM j
         """,
         "chars_gmd_by_source": """
             WITH r AS (

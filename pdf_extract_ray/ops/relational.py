@@ -2581,3 +2581,93 @@ def asof_join_orders_forward(events_ds, orders_ds, *, n_parts: int = 64):
             "o_orderdate": odt})
 
     return out.map_batches(unneg, batch_format="pyarrow")
+
+
+def order_total_audit(orders_ds, lineitem_ds, *, num_partitions=None):
+    """Cross-table consistency audit in EXACT integers: does
+    o_totalprice equal sum(l_extendedprice*(1-l_discount)*(1+l_tax))
+    per order? -> ONE row (n_orders, n_with_lines, n_mismatched,
+    max_abs_diff_c6).
+
+    All arithmetic in integer 1e-6-dollar units ("c6"): prices carry 2
+    decimals and discount/tax 2 decimals each, so
+    e_c2 * (100 - d_c2) * (100 + t_c2) is integral and exact; the
+    order's header total scales by 1e4 to the same units.  No float
+    ever sums, so Ray and DuckDB agree bit-for-bit.
+
+    Scale shape: the revenue_by_nation union pattern — both sides fold
+    to (orderkey, side, c6) rows map-side (lineitem pre-aggregates per
+    batch), ONE orderkey-keyed partition pass reconciles, a tiny
+    all-reduce sums the four counters."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        c2 = np.rint(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "okey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "c6": pa.array(c2 * 10_000)})
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        okey = pc.cast(b.column("l_orderkey"), pa.int64()).to_numpy()
+        e = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        d = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = np.rint(b.column("l_tax").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        c6 = e * (100 - d) * (100 + t)
+        g = pd.DataFrame({"okey": okey, "c6": c6}) \
+            .groupby("okey", sort=False, as_index=False).sum()
+        return pa.table({
+            "okey": pa.array(g["okey"].to_numpy(np.int64)),
+            "side": pa.array(np.ones(len(g), np.int8), pa.int8()),
+            "c6": pa.array(g["c6"].to_numpy(np.int64))})
+
+    both = orders_ds.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem_ds.map_batches(line_rows,
+                                       batch_format="pyarrow"))
+
+    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_orders": "int64", "n_with_lines": "int64",
+                "n_mismatched": "int64", "max_abs_diff_c6": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.pivot_table(index="okey", columns="side", values="c6",
+                           aggfunc="sum")
+        hdr = g.get(0)
+        lin = g.get(1)
+        has_hdr = hdr.notna() if hdr is not None else None
+        if hdr is None:
+            return pd.DataFrame({"n_orders": [0], "n_with_lines": [0],
+                                 "n_mismatched": [0],
+                                 "max_abs_diff_c6": [0]})
+        if lin is None:
+            lin = hdr * np.nan
+        both_m = hdr.notna() & lin.notna()
+        diff = (hdr[both_m] - lin[both_m]).abs().astype(np.int64)
+        return pd.DataFrame({
+            "n_orders": [int(hdr.notna().sum())],
+            "n_with_lines": [int(both_m.sum())],
+            "n_mismatched": [int((diff != 0).sum())],
+            "max_abs_diff_c6": [int(diff.max()) if len(diff) else 0]})
+
+    parts = _grouped_by_partition(both, ["okey"], reconcile,
+                                  n_parts=num_partitions)
+    agg = parts.groupby(None).aggregate(
+        Sum("n_orders"), Sum("n_with_lines"), Sum("n_mismatched"),
+        Max("max_abs_diff_c6"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_orders": pc.cast(b.column("sum(n_orders)"), pa.int64()),
+            "n_with_lines": pc.cast(b.column("sum(n_with_lines)"),
+                                    pa.int64()),
+            "n_mismatched": pc.cast(b.column("sum(n_mismatched)"),
+                                    pa.int64()),
+            "max_abs_diff_c6": pc.cast(
+                b.column("max(max_abs_diff_c6)"), pa.int64())}),
+        batch_format="pyarrow")

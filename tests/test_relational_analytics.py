@@ -1826,3 +1826,27 @@ class TestGiniMeanDifference:
             n = len(x)
             assert int(out.loc[grp, "gmd_num"]) == naive
             assert int(out.loc[grp, "n_pairs"]) == n * (n - 1) // 2
+
+
+class TestOrderTotalAudit:
+    def test_hand_built_counters(self):
+        from pdf_extract_ray.ops.relational import order_total_audit
+        # order 1: exact match; order 2: off by 1 cent-c6; order 3: no
+        # lines; order 4: match with discount/tax
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 4], pa.int64()),
+            "l_extendedprice": pa.array([10.00, 5.00, 7.00, 8.00]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.10]),
+            "l_tax": pa.array([0.0, 0.0, 0.0, 0.05])})
+        # hdr: 1 -> 15.00 (match), 2 -> 7.01 (mismatch by 0.01*1e4 c6),
+        # 4 -> 8*0.9*1.05 = 7.56 (match)
+        od = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_totalprice": pa.array([15.00, 7.01, 9.99, 7.56])})
+        out = order_total_audit(_ds(od).repartition(3),
+                                _ds(li).repartition(2)).to_pandas()
+        r = out.iloc[0]
+        assert int(r["n_orders"]) == 4
+        assert int(r["n_with_lines"]) == 3
+        assert int(r["n_mismatched"]) == 1
+        assert int(r["max_abs_diff_c6"]) == 100_00  # one cent in c6
