@@ -43,6 +43,18 @@ def _read(sf_dir: str, table: str, columns=None):
                                  columns=columns)
 
 
+def _df_from_rows(rows, columns):
+    """take_all() rows -> DataFrame that keeps its COLUMNS when empty
+    (pd.DataFrame([]) loses them, and every downstream driver-side
+    reshape then KeyErrors — empty inputs/partitions are routine at
+    scale, so the reshape queries must stay total)."""
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    if df.empty:
+        df = pd.DataFrame({c: [] for c in columns})
+    return df
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship smoke pipeline
 # ---------------------------------------------------------------------------
@@ -550,7 +562,7 @@ def _q_weighted_sample(sf_dir: str):
     exact while sum(W) < 2^31; beyond that (real corpus) promote the
     comparison to per-batch Python ints or rescale both sides."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    total = int(ds.sum("n_chars"))
+    total = int(ds.sum("n_chars") or 0)  # None on an empty corpus
     k = 50
 
     def keep(b: pa.Table) -> pa.Table:
@@ -578,6 +590,8 @@ def _q_mixture_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     tot = {r["source"]: int(r["sum(n_chars)"])
            for r in ds.groupby("source").sum("n_chars").take_all()}
+    if not tot:  # empty corpus: nothing to rebalance
+        return ds
     min_total = min(tot.values())
 
     def keep(b: pa.Table) -> pa.Table:
@@ -742,7 +756,8 @@ def _q_doc_rollup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
     fine = ds.groupby(["source", "lang"]) \
         .aggregate(Count(), Sum("n_chars")).take_all()
-    df = pd.DataFrame(fine).rename(
+    df = _df_from_rows(fine, ["source", "lang", "count()",
+                              "sum(n_chars)"]).rename(
         columns={"count()": "n_docs", "sum(n_chars)": "total_chars"})
     levels = [df]
     src = df.groupby("source", as_index=False)[
@@ -769,7 +784,7 @@ def _q_lang_pivot(sf_dir: str):
     import pandas as pd
     ds = _read(sf_dir, "documents", columns=["source", "lang"])
     fine = ds.groupby(["source", "lang"]).count().take_all()
-    df = pd.DataFrame(fine)
+    df = _df_from_rows(fine, ["source", "lang", "count()"])
     piv = df.pivot_table(index="source", columns="lang",
                          values="count()", aggfunc="sum",
                          fill_value=0)
@@ -937,7 +952,8 @@ def _q_ann_recall_report(sf_dir: str):
         hits = sum(len(truth[q] & got.get(q, set())) for q in truth.index)
         rows.append({"method": method,
                      "n_queries": np.int64(len(truth)),
-                     "recall_at_10": hits / (k * len(truth))})
+                     "recall_at_10": (hits / (k * len(truth))
+                                      if len(truth) else 0.0)})
     return pd.DataFrame(rows)
 
 
@@ -978,6 +994,9 @@ def _q_embedding_pca(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
         .materialize()
     mean, comps = pca_fit(ds, k=8)
+    if mean is None:  # empty corpus
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "proj": pa.array([], pa.list_(pa.float64()))})
     return pca_project(ds, mean, comps)
 
 
@@ -1578,7 +1597,8 @@ def _q_doc_cube(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
     fine = ds.groupby(["source", "lang"]) \
         .aggregate(Count(), Sum("n_chars")).take_all()
-    df = pd.DataFrame(fine).rename(
+    df = _df_from_rows(fine, ["source", "lang", "count()",
+                              "sum(n_chars)"]).rename(
         columns={"count()": "n_docs", "sum(n_chars)": "total_chars"})
     levels = [df]
     for keep in ("source", "lang"):
@@ -1707,7 +1727,8 @@ def _q_doc_grouping_sets(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
     fine = ds.groupby(["source", "lang"]) \
         .aggregate(Count(), Sum("n_chars")).take_all()
-    df = pd.DataFrame(fine).rename(
+    df = _df_from_rows(fine, ["source", "lang", "count()",
+                              "sum(n_chars)"]).rename(
         columns={"count()": "n_docs", "sum(n_chars)": "total_chars"})
     by_src = df.groupby("source", as_index=False)[
         ["n_docs", "total_chars"]].sum()

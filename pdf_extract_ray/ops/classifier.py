@@ -53,6 +53,8 @@ def logreg_fit_irls(ds, featurize: Callable[[pa.Table], tuple],
 
         parts = ds.map_batches(partials, batch_format="pyarrow") \
             .take_all()
+        if not parts:  # empty corpus: the zero model (p = 0.5)
+            break
         g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
         H = np.sum([np.asarray(r["h"]) for r in parts], axis=0) \
             .reshape(dim, dim)

@@ -329,6 +329,9 @@ def _node_outdegrees(edges_ds, src: str, dst: str):
                                     preserve_index=False)
 
     def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty graph: keep the typed schema
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "outdeg": pd.Series(dtype="int64")})
         g = df.groupby("node", sort=False)["outdeg"].sum()
         return pd.DataFrame({"node": g.index.to_numpy(np.int64),
                              "outdeg": g.to_numpy(np.int64)})
@@ -363,6 +366,10 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", *,
     from .dedup import _grouped_by_partition
 
     degs = _node_outdegrees(edges_ds, src, dst).to_pandas()
+    if len(degs) == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
     nodes = degs["node"].to_numpy(np.int64)
     outdeg = degs["outdeg"].to_numpy(np.int64)
     n = len(nodes)

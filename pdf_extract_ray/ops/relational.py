@@ -1820,12 +1820,21 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
                       np.int64)[order_]
     nk_to_region = {int(r["n_nationkey"]): int(r["n_regionkey"])
                     for r in nation_ds.take_all()}
-    region_key = {r["r_name"]: int(r["r_regionkey"])
-                  for r in region_ds.take_all()}[r_name]
+    region_keys = {r["r_name"]: int(r["r_regionkey"])
+                   for r in region_ds.take_all()}
+    target_keys = {r["n_name"]: int(r["n_nationkey"])
+                   for r in nation_ds.take_all()}
+    if r_name not in region_keys or target_nation not in target_keys:
+        # empty/missing dims: typed empty result (totality on empty)
+        import ray as _ray
+        return _ray.data.from_arrow(pa.table({
+            "o_year": pa.array([], pa.int64()),
+            "target_c4": pa.array([], pa.int64()),
+            "total_c4": pa.array([], pa.int64())}))
+    region_key = region_keys[r_name]
     region_nations = frozenset(k for k, v in nk_to_region.items()
                                if v == region_key)
-    target_key = {r["n_name"]: int(r["n_nationkey"])
-                  for r in nation_ds.take_all()}[target_nation]
+    target_key = target_keys[target_nation]
 
     def li_rows(b: pa.Table) -> pa.Table:
         pk = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()

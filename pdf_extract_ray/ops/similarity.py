@@ -27,6 +27,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _empty_topk() -> pa.Table:
+    """Typed empty (query_id, neighbor_id, rank) result — the ANN ops
+    are total on empty corpora / empty query sets (empty partitions are
+    routine at scale; Ray blocks lose their schema otherwise)."""
+    return pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.int64())],
+        names=["query_id", "neighbor_id", "rank"])
+
+
 def brute_force_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
                      k: int = 10, exclude_self: bool = True):
     """-> pa.Table (query_id, neighbor_id, rank); rank 1 = most similar.
@@ -36,6 +46,8 @@ def brute_force_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
     leaves the workers, only (n_batches x n_query x k) rows do.
     """
     import ray
+    if len(query_ids) == 0:
+        return _empty_topk()
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(q)
     qid_set = set(query_ids) if exclude_self else frozenset()
@@ -94,8 +106,11 @@ def min_k_rows(ds, key: str, k: int) -> pa.Table:
         return batch.take(pa.array(idx))
 
     cands = ds.map_batches(partial, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        list(cands.iter_batches(batch_format="pyarrow")))
+    batches = list(cands.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty corpus: typed empty via the dataset schema
+        sch = ds.schema()
+        return getattr(sch, "base_schema", sch).empty_table()
+    merged = pa.concat_tables(batches)
     keys = np.asarray(merged.column(key).to_pylist())
     idx = np.argsort(keys, kind="stable")[:k]
     return merged.take(pa.array(idx))
@@ -200,6 +215,8 @@ def lsh_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
     on n_bits/probe_hamming (documented; the brute-force operator is the
     exact baseline)."""
     import ray
+    if len(query_ids) == 0:
+        return _empty_topk()
     lsh = HyperplaneLSH(dim, n_bits)
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_buckets = lsh.bucket(q)
@@ -418,6 +435,8 @@ def ivf_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *, dim: int,
     4. per-batch partial top-k + tiny driver merge (same contract as
        brute_force_topk, which is the exact-recall baseline).
     Approximate: recall depends on n_clusters/n_probe."""
+    if len(query_ids) == 0:
+        return _empty_topk()
     import ray
 
     cent = kmeans_fit(ds, n_clusters)
@@ -583,7 +602,7 @@ def pca_fit(ds, vec_col: str = "embedding", *, k: int = 8):
         s = rs if s is None else s + rs
         ss = rss if ss is None else ss + rss
     if n == 0 or s is None:
-        raise ValueError("pca_fit: empty input")
+        return None, None  # empty corpus: caller emits a typed empty
     d = len(s)
     mean = s / n
     cov = ss.reshape(d, d) / n - np.outer(mean, mean)
@@ -762,6 +781,8 @@ def pq_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
     import heapq
 
     import ray
+    if len(query_ids) == 0:
+        return _empty_topk()
     bk = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, kk, sub = bk.shape
     q = np.asarray(query_vecs, dtype=np.float64)

@@ -1,0 +1,58 @@
+"""Totality on EMPTY inputs: empty partitions/filters are routine at
+scale and Ray blocks lose their schema when zero-row — every query must
+return a typed (possibly empty) result, never crash.  A full sweep of
+all 171 table queries over the empty fixture passes (2026-08 session
+log); this module pins the 16 that once crashed plus representatives of
+each shape family, so the guard paths stay covered without paying the
+full sweep per CI run."""
+import importlib.util
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        s = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(s.empty_table(), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_empty", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+QUERIES = [
+    # the 16 once-broken ones
+    "ann_recall_report", "ann_topk", "ann_topk_filtered", "ann_topk_ivf",
+    "ann_topk_lsh", "ann_topk_pq", "doc_cube", "doc_grouping_sets",
+    "doc_pagerank", "doc_rollup", "embedding_pca", "lang_pivot",
+    "market_share", "mixture_sample", "quality_classifier",
+    "weighted_sample",
+    # shape-family representatives
+    "exact_dedup", "asof_join", "sessionize", "tpch_q1",
+    "revenue_by_nation", "dup_clusters", "heavy_hitters",
+    "mannwhitney_chars", "order_total_audit", "pmi_pairs",
+    "user_value_integral", "weighted_median_price",
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", QUERIES)
+def test_total_on_empty_input(empty_sf, name):
+    m = _entry()
+    out = m.queries()[name](empty_sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) >= 0  # no exception is the contract
