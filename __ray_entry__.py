@@ -1282,7 +1282,10 @@ def _q_revenue_by_region(sf_dir: str):
     reg = {r["r_regionkey"]: r["r_name"]
            for r in _read(sf_dir, "region",
                           columns=["r_regionkey", "r_name"]).take_all()}
-    lookup = {sk: reg[nat[nk]] for sk, nk in sup.items()}
+    # inner-join semantics: suppliers whose nation/region rows are
+    # missing (filtered or degenerate dims) simply contribute nothing
+    lookup = {sk: reg[nat[nk]] for sk, nk in sup.items()
+              if nk in nat and nat[nk] in reg}
     li = _read(sf_dir, "lineitem",
                columns=["l_suppkey", "l_extendedprice", "l_discount"])
 

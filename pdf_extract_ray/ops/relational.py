@@ -2491,15 +2491,21 @@ def copurchase_pairs(lineitem_ds, part_ds, *, num_partitions=None):
     pk = np.array([r["p_partkey"] for r in rows], np.int64)
     brands = sorted({r["p_brand"] for r in rows})
     bid_of = {s: i for i, s in enumerate(brands)}
-    lut = np.zeros(int(pk.max()) + 1 if len(pk) else 1, np.int32)
+    size = int(pk.max()) + 1 if len(pk) else 1
+    lut = np.full(size, -1, np.int32)  # -1 = partkey not in the dim
     lut[pk] = np.array([bid_of[r["p_brand"]] for r in rows], np.int32)
-    nb = len(brands)
+    nb = max(len(brands), 1)
 
     def li_rows(b: pa.Table) -> pa.Table:
         key = pc.cast(b.column("l_orderkey"), pa.int64()).to_numpy()
         part = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()
-        return pa.table({"okey": pa.array(key),
-                         "bid": pa.array(lut[part])})
+        # drop fact rows whose partkey the dim doesn't cover (partial
+        # dims happen on filtered/degenerate inputs; totality > crash)
+        bid = np.where(part < size, lut[np.minimum(part, size - 1)],
+                       np.int32(-1))
+        ok = bid >= 0
+        return pa.table({"okey": pa.array(key[ok]),
+                         "bid": pa.array(bid[ok])})
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"a": "int64", "b": "int64", "n": "int64"}

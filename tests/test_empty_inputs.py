@@ -56,3 +56,36 @@ def test_total_on_empty_input(empty_sf, name):
     if hasattr(out, "to_pandas"):
         out = out.to_pandas()
     assert len(out) >= 0  # no exception is the contract
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_one")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tab.slice(0, 1), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+ONE_ROW_QUERIES = [
+    # the two that once crashed on partial dims
+    "brand_copurchase", "revenue_by_region",
+    # degenerate-math representatives (zero variance, single tie block,
+    # single month, k > n)
+    "chars_skew_by_source", "chars_kurtosis_by_source",
+    "mannwhitney_chars", "ks_chars", "chars_gmd_by_source",
+    "monthly_revenue_delta", "weighted_median_price", "ann_topk",
+    "market_share", "order_total_audit",
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ONE_ROW_QUERIES)
+def test_total_on_single_row_input(one_row_sf, name):
+    m = _entry()
+    out = m.queries()[name](one_row_sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) >= 0
