@@ -2924,6 +2924,59 @@ def _q_order_total_audit(sf_dir: str):
                        "l_tax"]))
 
 
+def _q_shortest_docs_with_ties(sf_dir: str):
+    """Top-k WITH TIES (the SQL `QUALIFY rank() <= k` semantics, unlike
+    topk_per_group's row_number cut): the 2 shortest length VALUES per
+    source keep EVERY doc at those lengths — composed from the
+    broadcast-histogram rank kernel, zero row shuffles."""
+    from pdf_extract_ray.ops.analytics import grouped_value_ranks
+    ranks = grouped_value_ranks(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id")
+    return ranks.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("rnk"), 2)),
+        batch_format="pyarrow")
+
+
+def _q_conversion_latency(sf_dir: str):
+    """First-view -> first-purchase latency per user in exact integer
+    microseconds (signed; users missing either event drop).  ONE native
+    (user, type) Min aggregate — map-side combinable — then a keyed
+    pivot pass over the two-row-per-user partials."""
+    from ray.data.aggregate import Min
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(b.column("event_type"), "view"),
+                   pc.equal(b.column("event_type"), "purchase"))
+        return b.filter(m)
+
+    mins = ds.map_batches(keep, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(Min("ts"))
+
+    def pivot(df):
+        import pandas as pd
+        cols = {"user_id": "int64", "latency_us": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        p = df.pivot_table(index="user_id", columns="event_type",
+                           values="min(ts)", aggfunc="min")
+        if "view" not in p.columns or "purchase" not in p.columns:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        both = p[p["view"].notna() & p["purchase"].notna()]
+        lat = (both["purchase"].to_numpy().astype("datetime64[us]")
+               .view(np.int64)
+               - both["view"].to_numpy().astype("datetime64[us]")
+               .view(np.int64))
+        return pd.DataFrame({"user_id": both.index.to_numpy(np.int64),
+                             "latency_us": lat})
+
+    return _grouped_by_partition(mins, ["user_id"], pivot, n_parts=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3015,6 +3068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "release_prep": _q_release_prep,
         "chars_gmd_by_source": _q_chars_gmd_by_source,
         "order_total_audit": _q_order_total_audit,
+        "shortest_docs_with_ties": _q_shortest_docs_with_ties,
+        "conversion_latency": _q_conversion_latency,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3878,6 +3933,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "conversion_latency": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                         AS v,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         AS p
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(epoch_us(p) - epoch_us(v) AS BIGINT)
+                       AS latency_us
+            FROM m WHERE v IS NOT NULL AND p IS NOT NULL
+        """,
+        "shortest_docs_with_ties": """
+            SELECT doc_id, source, n_chars,
+                   CAST(rank() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS BIGINT)
+                       AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY source
+                                           ORDER BY n_chars) AS BIGINT)
+                       AS dense_rnk
+            FROM documents
+            QUALIFY rnk <= 2
         """,
         "order_total_audit": """
             WITH l AS (
