@@ -2977,6 +2977,56 @@ def _q_conversion_latency(sf_dir: str):
     return _grouped_by_partition(mins, ["user_id"], pivot, n_parts=32)
 
 
+def _q_cdc_compaction(sf_dir: str):
+    """CDC / upsert compaction: base snapshot (version 0) unioned with
+    a deterministic delta stream (docs with doc_id % 7 == 0 get a
+    version-1 update whose text is truncated to its first 3 words),
+    keep the LATEST version per key.  The combinable argmax shape
+    (latest_event_per_user): every block folds to one candidate per
+    doc_id present, one keyed pass picks the winner — the standard
+    incremental-ingest compaction, no sort."""
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_versions(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = b.column("text").to_pandas()
+        out_id = [ids]
+        out_v = [np.zeros(len(ids), np.int64)]
+        out_t = [texts]
+        upd = ids % 7 == 0
+        if upd.any():
+            out_id.append(ids[upd])
+            out_v.append(np.ones(int(upd.sum()), np.int64))
+            out_t.append(texts[upd].str.split(" ").str[:3].str.join(" "))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "version": pa.array(np.concatenate(out_v)),
+            "text": pa.array(pd.concat(out_t).tolist(), pa.string())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["doc_id", "version"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("doc_id", sort=False, as_index=False).last(),
+            preserve_index=False)
+
+    def resolve(df):
+        import pandas as pd
+        cols = {"doc_id": "int64", "version": "int64", "text": "object"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"doc_id": "int64", "version": "int64"})
+        df = df.sort_values(["doc_id", "version"], kind="mergesort")
+        return df.groupby("doc_id", sort=False, as_index=False).last()
+
+    versions = base.map_batches(with_versions, batch_format="pyarrow")
+    cands = versions.map_batches(partial, batch_format="pyarrow")
+    return _grouped_by_partition(cands, ["doc_id"], resolve, n_parts=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3070,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_audit": _q_order_total_audit,
         "shortest_docs_with_ties": _q_shortest_docs_with_ties,
         "conversion_latency": _q_conversion_latency,
+        "cdc_compaction": _q_cdc_compaction,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -3933,6 +3984,21 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "cdc_compaction": """
+            WITH delta AS (
+              SELECT doc_id, 1 AS version,
+                     array_to_string(
+                         list_slice(string_split(text, ' '), 1, 3),
+                         ' ') AS text
+              FROM documents WHERE doc_id % 7 = 0),
+            allv AS (
+              SELECT doc_id, 0 AS version, text FROM documents
+              UNION ALL SELECT * FROM delta)
+            SELECT doc_id, CAST(version AS BIGINT) AS version, text
+            FROM allv
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY version DESC) = 1
         """,
         "conversion_latency": """
             WITH m AS (

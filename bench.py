@@ -156,7 +156,8 @@ def run_ops(sf_dir: str):
              "ks_chars", "benford_digits", "weighted_median_price",
              "user_value_integral", "release_prep",
              "chars_gmd_by_source", "order_total_audit",
-             "shortest_docs_with_ties", "conversion_latency"]
+             "shortest_docs_with_ties", "conversion_latency",
+             "cdc_compaction"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
