@@ -39,10 +39,12 @@ def _parse_warc_ts(value: str) -> int:
         return 0
 
 
-def parse_warc_records(buf: bytes):
-    """Yield (url, ts_us, html_bytes) for every response/resource
-    record in one WARC buffer (already decompressed).  Total: damaged
-    records are skipped; an unparseable region ends the scan."""
+def parse_warc_records(buf: bytes, types=("response", "resource")):
+    """Yield (url, ts_us, payload_bytes) for every record whose
+    WARC-Type is in `types` in one WARC buffer (already decompressed).
+    `response` payloads strip their HTTP message head; `resource` and
+    `conversion` (WET) payloads pass through.  Total: damaged records
+    are skipped; an unparseable region ends the scan."""
     pos = 0
     n = len(buf)
     while pos < n:
@@ -72,7 +74,7 @@ def parse_warc_records(buf: bytes):
         if length < 0 or body_end > n:
             return  # truncated tail
         rtype = fields.get("warc-type", "")
-        if rtype in ("response", "resource"):
+        if rtype in types:
             payload = buf[body_start:body_end]
             if rtype == "response":
                 # strip the HTTP message head; body = after CRLFCRLF
@@ -97,10 +99,12 @@ def _maybe_gunzip(buf: bytes) -> bytes:
         return b""
 
 
-def warc_rows(path: str, buf: bytes) -> pa.Table:
+def warc_rows(path: str, buf: bytes,
+              types=("response", "resource")) -> pa.Table:
     """One WARC file -> pages-schema Arrow table."""
     urls, tss, payloads = [], [], []
-    for url, ts, html in parse_warc_records(_maybe_gunzip(bytes(buf))):
+    for url, ts, html in parse_warc_records(_maybe_gunzip(bytes(buf)),
+                                            types=types):
         urls.append(url)
         tss.append(ts)
         payloads.append(html)
@@ -143,6 +147,51 @@ def write_warc(rows, path: str, *, gzip_members: bool = False):
                f"WARC-Date: {date}\r\n"
                f"Content-Length: {len(http)}\r\n\r\n").encode("latin-1")
         rec = hdr + http + b"\r\n\r\n"
+        out += gzip.compress(bytes(rec)) if gzip_members else rec
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_wet(paths):
+    """WET shard path(s) (Common Crawl's pre-extracted plain-text
+    conversion format — WARC framing, `conversion` records, UTF-8 text
+    payloads) -> ray.data.Dataset (url, warc_ts, text).  The text
+    column decodes lossily (crawl text is never clean UTF-8); same
+    files-as-parallel-unit shape as read_warc."""
+    import ray
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, texts = [], [], []
+        for p, b in zip(batch.column("path").to_pylist(),
+                        batch.column("bytes").to_pylist()):
+            for url, ts, payload in parse_warc_records(
+                    _maybe_gunzip(bytes(b)), types=("conversion",)):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(payload.decode("utf-8", "replace"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                np.asarray(tss, np.int64).view("datetime64[us]")),
+            "text": pa.array(texts, pa.string())})
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def write_wet(rows, path: str, *, gzip_members: bool = False):
+    """Fixture helper: (url, ts_us, text) rows -> a WET file
+    (conversion records)."""
+    out = bytearray()
+    for url, ts_us, text in rows:
+        date = np.datetime64(int(ts_us), "us").item() \
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+        body = text.encode("utf-8")
+        hdr = (f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               f"WARC-Target-URI: {url}\r\n"
+               f"WARC-Date: {date}\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+        rec = hdr + body + b"\r\n\r\n"
         out += gzip.compress(bytes(rec)) if gzip_members else rec
     with open(path, "wb") as f:
         f.write(bytes(out))

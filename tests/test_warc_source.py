@@ -84,3 +84,18 @@ class TestReadWarcPipeline:
             exp = extract_html_text(html)
             got = out[out["url"] == url]["extracted_text"].iloc[0]
             assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWetReader:
+    def test_wet_roundtrip_and_type_isolation(self, tmp_path):
+        from pdf_extract_ray.sources.warc import read_wet, write_wet
+        p = str(tmp_path / "c.wet.gz")
+        rows = [("http://w.example/1", TS, "hello wet world"),
+                ("http://w.example/2", TS + 5, "zweite seite")]
+        write_wet(rows, p, gzip_members=True)
+        out = read_wet([p]).to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        assert out["text"].tolist() == [r[2] for r in rows]
+        # a WET file contains no response records -> read_warc sees none
+        assert read_warc([p]).to_pandas().shape[0] == 0
