@@ -3027,6 +3027,35 @@ def _q_cdc_compaction(sf_dir: str):
     return _grouped_by_partition(cands, ["doc_id"], resolve, n_parts=32)
 
 
+def _q_neardup_eval_report(sf_dir: str):
+    """Self-evaluating dedup quality report (the ann_recall_report
+    analog for the near-dup stack): MinHash-LSH candidate pairs at
+    threshold 0.5 scored against the EXACT word-3-gram Jaccard >= 1/2
+    self-join (ops/dedup.ssjoin_jaccard — no probabilistic misses) on
+    the planted-near-dup corpus -> one row (n_truth, n_pred, precision,
+    recall, f1).  Both pair sets are bounded (near-dup rates, not the
+    corpus), so the driver compare is tiny."""
+    import pandas as pd
+    from pdf_extract_ray.ops.dedup import minhash_lsh_pairs, ssjoin_jaccard
+    ds = _with_neardup_copies(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .materialize()
+    tru = ssjoin_jaccard(ds, n=3, t_num=1, t_den=2).to_pandas()
+    truth = {(min(a, b), max(a, b))
+             for a, b in zip(tru["doc_id_a"], tru["doc_id_b"])}
+    pr = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    pred = {(min(a, b), max(a, b))
+            for a, b in zip(pr["doc_id_a"], pr["doc_id_b"])}
+    tp = len(truth & pred)
+    prec = tp / len(pred) if pred else 0.0
+    rec = tp / len(truth) if truth else 0.0
+    f1 = (2 * prec * rec / (prec + rec)) if (prec + rec) else 0.0
+    return pd.DataFrame({
+        "n_truth": [np.int64(len(truth))],
+        "n_pred": [np.int64(len(pred))],
+        "precision": [prec], "recall": [rec], "f1": [f1]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3121,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_docs_with_ties": _q_shortest_docs_with_ties,
         "conversion_latency": _q_conversion_latency,
         "cdc_compaction": _q_cdc_compaction,
+        "neardup_eval_report": _q_neardup_eval_report,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,

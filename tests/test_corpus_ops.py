@@ -685,3 +685,20 @@ class TestPmiPairs:
         # sanity: PMI ppm is monotone in the true log-PMI
         logs = [math.log(r[3]) for r in exp if r[3] > 0]
         assert logs == sorted(logs, reverse=True)
+
+
+class TestNeardupEvalReport:
+    def test_planted_dups_full_recall(self):
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "entry_ndeval", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+                "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        out = m._q_neardup_eval_report("/root/testdata/sf0.001")
+        r = out.iloc[0]
+        assert int(r["n_truth"]) > 50  # planted positives present
+        assert r["recall"] == 1.0      # LSH at 0.5 misses nothing >= 1/2
+        assert r["precision"] >= 0.9
