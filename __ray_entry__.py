@@ -3056,6 +3056,74 @@ def _q_neardup_eval_report(sf_dir: str):
         "precision": [prec], "recall": [rec], "f1": [f1]})
 
 
+def _q_above_avg_sources(sf_dir: str):
+    """HAVING-above-group-average: sources whose total chars exceed the
+    mean source total — one tiny per-source aggregate, integer
+    cross-multiplied gate (total*k > grand), no float boundary."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(Sum("n_chars")).materialize()
+    rows = agg.take_all()
+    k = len(rows)
+    grand = sum(int(r["sum(n_chars)"]) for r in rows)
+
+    def gate(b: pa.Table) -> pa.Table:
+        tot = pc.cast(b.column("sum(n_chars)"), pa.int64()).to_numpy()
+        keep = tot * k > grand
+        return pa.table({
+            "source": b.column("source").filter(pa.array(keep)),
+            "total_chars": pa.array(tot[keep])})
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+def _q_order_streaks(sf_dir: str):
+    """Gaps-and-islands: each customer's LONGEST strictly-increasing
+    run of order totals in (date, key) order -> (o_custkey,
+    max_streak).  One custkey partition pass; runs found with a
+    vectorized break-flag cumsum + bincount — exact cents comparisons,
+    no float arithmetic."""
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": pc.cast(b.column("o_custkey"), pa.int64()),
+            "okey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "od": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+            "p": pa.array(np.rint(b.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64))})
+
+    def streaks(df):
+        import pandas as pd
+        cols = {"o_custkey": "int64", "max_streak": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        cust = df["cust"].to_numpy(np.int64)
+        od = df["od"].to_numpy().astype("datetime64[us]").view(np.int64)
+        okey = df["okey"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        order = np.lexsort((okey, od, cust))
+        c, v = cust[order], p[order]
+        first = np.r_[True, c[1:] != c[:-1]]
+        inc = np.r_[False, v[1:] > v[:-1]]
+        brk = first | ~inc
+        runid = np.cumsum(brk) - 1
+        lens = np.bincount(runid)
+        run_cust = c[brk]
+        g = pd.DataFrame({"o_custkey": run_cust, "len": lens}) \
+            .groupby("o_custkey", sort=False, as_index=False).max()
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "max_streak": g["len"].to_numpy(np.int64)})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+    return _grouped_by_partition(rows, ["cust"], streaks, n_parts=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3151,6 +3219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": _q_conversion_latency,
         "cdc_compaction": _q_cdc_compaction,
         "neardup_eval_report": _q_neardup_eval_report,
+        "above_avg_sources": _q_above_avg_sources,
+        "order_streaks": _q_order_streaks,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4014,6 +4084,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "above_avg_sources": """
+            WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT)
+                           AS total
+                       FROM documents GROUP BY source),
+            g AS (SELECT count(*) AS k, CAST(sum(total) AS BIGINT)
+                      AS grand FROM s)
+            SELECT source, total AS total_chars FROM s, g
+            WHERE total * k > grand
+        """,
+        "order_streaks": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p,
+                     row_number() OVER w AS rn,
+                     CASE WHEN CAST(round(o_totalprice * 100, 0)
+                               AS BIGINT)
+                             > lag(CAST(round(o_totalprice * 100, 0)
+                                        AS BIGINT)) OVER w
+                          THEN 0 ELSE 1 END AS brk
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)),
+            r AS (SELECT o_custkey, rn,
+                         sum(brk) OVER (PARTITION BY o_custkey
+                                        ORDER BY rn) AS runid
+                  FROM o),
+            l AS (SELECT o_custkey, runid, count(*) AS len
+                  FROM r GROUP BY o_custkey, runid)
+            SELECT o_custkey, CAST(max(len) AS BIGINT) AS max_streak
+            FROM l GROUP BY o_custkey
         """,
         "cdc_compaction": """
             WITH delta AS (

@@ -157,7 +157,8 @@ def run_ops(sf_dir: str):
              "user_value_integral", "release_prep",
              "chars_gmd_by_source", "order_total_audit",
              "shortest_docs_with_ties", "conversion_latency",
-             "cdc_compaction", "neardup_eval_report"]
+             "cdc_compaction", "neardup_eval_report",
+             "above_avg_sources", "order_streaks"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

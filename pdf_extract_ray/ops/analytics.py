@@ -1121,20 +1121,36 @@ def grouped_weighted_median(ds, group_col: str, value_col: str,
     weight (so no float boundary or interpolation can diverge from the
     SQL window-sum oracle).
 
-    Scale shape: grouped_median's histogram trick with weights — ONE
-    native (group, value) Sum(weight) aggregation bounds the exchange
-    by the value domain, then each group's sorted histogram resolves in
-    one cumsum pass via the partition helper."""
-    from ray.data.aggregate import Sum
+    Scale shape: per-batch PARTIAL (group, value) weight sums (map-side
+    combine — the only exchange then carries weight partials, bounded
+    by distinct values per block) feed ONE group-keyed partition pass
+    whose resolve merges the partials and walks the sorted histogram.
+    A near-unique value domain (prices) makes a native keyed aggregate
+    pure overhead — measured 6.8 s -> ~1 s at sf0.1 replacing it with
+    this single exchange.  Assumption: a GROUP's distinct values fit a
+    partition (grouped_median's documented bound; beyond that use the
+    quantile sketch)."""
 
-    hist = ds.groupby([group_col, value_col]).aggregate(Sum(weight_col))
-    wcol = f"sum({weight_col})"
+    wcol = "w"
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col, weight_col]).to_pandas()
+        g = df.groupby([group_col, value_col], sort=False,
+                       as_index=False)[weight_col].sum()
+        return pa.table({
+            group_col: pa.array(g[group_col]),
+            value_col: pa.array(g[value_col].to_numpy(np.int64)),
+            "w": pa.array(g[weight_col].to_numpy(np.int64))})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow")
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         cols = {group_col: "object", "wmedian": "int64"}
         if len(df) == 0:
             return pd.DataFrame(columns=list(cols)).astype(
                 {"wmedian": "int64"})
+        df = df.groupby([group_col, value_col], sort=False,
+                        as_index=False)[wcol].sum()
         df = df.sort_values([group_col, value_col], kind="mergesort")
         w = df[wcol].to_numpy(np.int64)
         g = df[group_col].to_numpy()

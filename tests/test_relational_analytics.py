@@ -1850,3 +1850,33 @@ class TestOrderTotalAudit:
         assert int(r["n_with_lines"]) == 3
         assert int(r["n_mismatched"]) == 1
         assert int(r["max_abs_diff_c6"]) == 100_00  # one cent in c6
+
+
+class TestOrderStreaks:
+    def test_matches_naive_runs(self):
+        import importlib.util
+        import os
+
+        import numpy as np
+        spec = importlib.util.spec_from_file_location(
+            "entry_streaks", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+                "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        out = m._q_order_streaks("/root/testdata/sf0.001").to_pandas() \
+            .set_index("o_custkey")["max_streak"]
+        import pyarrow.parquet as pq
+        df = pq.read_table(
+            "/root/testdata/sf0.001/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice"]).to_pandas()
+        df["p"] = np.rint(df["o_totalprice"] * 100).astype(np.int64)
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        for cust, sub in df.groupby("o_custkey"):
+            best = cur = 1
+            vals = sub["p"].tolist()
+            for a, b in zip(vals, vals[1:]):
+                cur = cur + 1 if b > a else 1
+                best = max(best, cur)
+            assert int(out.loc[cust]) == best, cust
