@@ -195,3 +195,14 @@ def write_wet(rows, path: str, *, gzip_members: bool = False):
         out += gzip.compress(bytes(rec)) if gzip_members else rec
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def read_docs_jsonl(paths):
+    """JSONL corpus reader (one {"doc_id", "text", ...} object per
+    line — the interchange format most text-corpus releases ship
+    besides parquet) -> ray.data.Dataset with string/int64 columns.
+    Thin wrapper over ray.data.read_json (which already streams and
+    parallelizes per file); here for source-format completeness next
+    to WARC/WET."""
+    import ray
+    return ray.data.read_json(paths)

@@ -99,3 +99,20 @@ class TestWetReader:
         assert out["text"].tolist() == [r[2] for r in rows]
         # a WET file contains no response records -> read_warc sees none
         assert read_warc([p]).to_pandas().shape[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlSource:
+    def test_jsonl_roundtrip(self, tmp_path):
+        import json
+
+        from pdf_extract_ray.sources.warc import read_docs_jsonl
+        p = str(tmp_path / "docs.jsonl")
+        rows = [{"doc_id": 1, "text": "hello world", "lang": "en"},
+                {"doc_id": 2, "text": "zwei drei", "lang": "de"}]
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        out = read_docs_jsonl([p]).to_pandas().sort_values("doc_id")
+        assert out["text"].tolist() == ["hello world", "zwei drei"]
+        assert out["lang"].tolist() == ["en", "de"]
