@@ -3124,6 +3124,39 @@ def _q_order_streaks(sf_dir: str):
     return _grouped_by_partition(rows, ["cust"], streaks, n_parts=32)
 
 
+def _q_order_gap_stats(sf_dir: str):
+    """Inter-order cadence per customer: number of gaps and their exact
+    integer-microsecond sum (mean = sum/n as an exact pair, no float
+    division) over (date, key)-ordered orders; single-order customers
+    drop.  One custkey partition pass, lexsort + masked diff."""
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def gaps(df):
+        import pandas as pd
+        cols = {"o_custkey": "int64", "n_gaps": "int64",
+                "sum_gap_us": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        cust = df["o_custkey"].to_numpy(np.int64)
+        od = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        okey = df["o_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((okey, od, cust))
+        c, t = cust[order], od[order]
+        same = np.r_[False, c[1:] == c[:-1]]
+        gap = np.r_[0, t[1:] - t[:-1]]
+        g = pd.DataFrame({"o_custkey": c[same], "gap": gap[same]}) \
+            .groupby("o_custkey", sort=False, as_index=False) \
+            .agg(n_gaps=("gap", "size"), sum_gap_us=("gap", "sum"))
+        g["n_gaps"] = g["n_gaps"].astype(np.int64)
+        g["sum_gap_us"] = g["sum_gap_us"].astype(np.int64)
+        return g
+
+    return _grouped_by_partition(ds, ["o_custkey"], gaps, n_parts=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3221,6 +3254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "above_avg_sources": _q_above_avg_sources,
         "order_streaks": _q_order_streaks,
+        "order_gap_stats": _q_order_gap_stats,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4084,6 +4118,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.h < 6)
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "order_gap_stats": """
+            WITH g AS (
+              SELECT o_custkey,
+                     CAST(epoch_us(o_orderdate) AS BIGINT)
+                     - CAST(epoch_us(lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey))
+                           AS BIGINT) AS gap_us
+              FROM orders)
+            SELECT o_custkey, count(*) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY o_custkey
         """,
         "above_avg_sources": """
             WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT)

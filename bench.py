@@ -158,7 +158,7 @@ def run_ops(sf_dir: str):
              "chars_gmd_by_source", "order_total_audit",
              "shortest_docs_with_ties", "conversion_latency",
              "cdc_compaction", "neardup_eval_report",
-             "above_avg_sources", "order_streaks"]
+             "above_avg_sources", "order_streaks", "order_gap_stats"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
@@ -219,10 +219,12 @@ def main_bench(sf_dir: str, headline_only: bool = False) -> dict:
     return result
 
 
-SCALING_N = 3            # N and 4N CPUs, chosen to fit INSIDE the host's
-SCALING_4N = 12          # actually-available capacity (~22 effective cores
-                         # shared with other tenants; asking for more than
-                         # is free measures the neighbors, not the engine)
+#  N and 4N CPUs, chosen to fit INSIDE the host's actually-available
+#  capacity (~22 effective cores shared with other tenants; asking for
+#  more than is free measures the neighbors, not the engine).  Override
+#  via GRAFT_SCALING_N / GRAFT_SCALING_4N for quiet-host 8->32 runs.
+SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "3"))
+SCALING_4N = int(os.environ.get("GRAFT_SCALING_4N", "12"))
 SCALING_ROWS = 160000    # ~3 min of CPU: large enough to amortize fixed
                          # per-run overhead, the regime a real job runs in
 
