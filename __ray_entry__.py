@@ -4119,6 +4119,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
         """,
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS w
+              FROM documents),
+            h AS (SELECT doc_id,
+                   sum(CASE WHEN w IN ('auch', 'das', 'den', 'der', 'die', 'ein', 'eine', 'im', 'ist', 'mit', 'nicht', 'und', 'von', 'zu')
+                            THEN 1 ELSE 0 END) AS de,
+                   sum(CASE WHEN w IN ('a', 'and', 'are', 'at', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'this', 'to', 'was', 'with')
+                            THEN 1 ELSE 0 END) AS en,
+                   sum(CASE WHEN w IN ('con', 'de', 'del', 'el', 'en', 'es', 'las', 'los', 'para', 'por', 'se', 'un', 'una', 'y')
+                            THEN 1 ELSE 0 END) AS es,
+                   sum(CASE WHEN w IN ('au', 'dans', 'de', 'du', 'en', 'est', 'et', 'la', 'le', 'les', 'pour', 'que', 'un', 'une')
+                            THEN 1 ELSE 0 END) AS fr,
+                   sum(CASE WHEN w IN ('a', 'az', 'de', 'egy', 'el', 'ez', 'hogy', 'is', 'meg', 'nem', 'van', 'és')
+                            THEN 1 ELSE 0 END) AS hu,
+                   count(*) AS n_words
+                  FROM w GROUP BY doc_id),
+            j AS (SELECT d.doc_id,
+                         COALESCE(h.de,0) AS de, COALESCE(h.en,0) AS en,
+                         COALESCE(h.es,0) AS es, COALESCE(h.fr,0) AS fr,
+                         COALESCE(h.hu,0) AS hu,
+                         COALESCE(h.n_words,0) AS n_words
+                  FROM documents d LEFT JOIN h USING (doc_id)),
+            u AS (SELECT doc_id, 'de' AS lang, de AS hits FROM j
+                  UNION ALL SELECT doc_id, 'en' AS lang, en AS hits FROM j
+                  UNION ALL SELECT doc_id, 'es' AS lang, es AS hits FROM j
+                  UNION ALL SELECT doc_id, 'fr' AS lang, fr AS hits FROM j
+                  UNION ALL SELECT doc_id, 'hu' AS lang, hu AS hits FROM j),
+            b AS (SELECT doc_id, lang, hits,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY hits DESC, lang)
+                             AS rn
+                  FROM u)
+            SELECT j.doc_id,
+                   CASE WHEN b.hits > 0 THEN b.lang
+                        ELSE 'und' END AS pred_lang,
+                   CASE WHEN j.n_words > 0
+                        THEN CAST(b.hits AS DOUBLE)
+                             / CAST(j.n_words AS DOUBLE)
+                        ELSE 0.0 END AS lang_confidence
+            FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
         "order_gap_stats": """
             WITH g AS (
               SELECT o_custkey,
