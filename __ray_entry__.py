@@ -3037,8 +3037,29 @@ def _q_neardup_eval_report(sf_dir: str):
     corpus), so the driver compare is tiny."""
     import pandas as pd
     from pdf_extract_ray.ops.dedup import minhash_lsh_pairs, ssjoin_jaccard
-    ds = _with_neardup_copies(
-        _read(sf_dir, "documents", columns=["doc_id", "text"])) \
+
+    # graded-mutation corpus: copies at deterministic word-replacement
+    # strides produce pair similarities ON BOTH SIDES of the 0.5
+    # threshold (stride 2 ~ heavy mutation, far below; stride 8 ~ light,
+    # far above; strides 3-5 land near the boundary), so precision and
+    # recall are informative rather than trivially 1.0
+    def graded(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 4 == 0:
+                stride = 2 + (d // 4) % 7  # 2..8
+                words = t.split(" ")
+                for i in range(0, len(words), stride):
+                    words[i] = f"mut{i}"
+                ids.append(d + 1_000_000)
+                texts.append(" ".join(words))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+            names=["doc_id", "text"])
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = base.union(base.map_batches(graded, batch_format="pyarrow")) \
         .materialize()
     tru = ssjoin_jaccard(ds, n=3, t_num=1, t_den=2).to_pandas()
     truth = {(min(a, b), max(a, b))

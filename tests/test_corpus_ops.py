@@ -699,6 +699,10 @@ class TestNeardupEvalReport:
         spec.loader.exec_module(m)
         out = m._q_neardup_eval_report("/root/testdata/sf0.001")
         r = out.iloc[0]
-        assert int(r["n_truth"]) > 50  # planted positives present
-        assert r["recall"] == 1.0      # LSH at 0.5 misses nothing >= 1/2
-        assert r["precision"] >= 0.9
+        # graded mutations put pairs on BOTH sides of the threshold, so
+        # the report is informative (not trivially 1.0) yet the stack
+        # must stay strong on the clear cases
+        assert int(r["n_truth"]) > 10
+        assert r["recall"] >= 0.9
+        assert 0.7 <= r["precision"] <= 1.0
+        assert r["f1"] >= 0.8
