@@ -3178,6 +3178,16 @@ def _q_order_gap_stats(sf_dir: str):
     return _grouped_by_partition(ds, ["o_custkey"], gaps, n_parts=32)
 
 
+def _q_ssjoin_containment(sf_dir: str):
+    """EXACT directional containment self-join (|A&B|/|A| >= 3/4 over
+    word-3-gram sets): finds quoted/subset duplicates symmetric
+    Jaccard misses (ops/dedup.ssjoin_containment)."""
+    from pdf_extract_ray.ops.dedup import ssjoin_containment
+    return ssjoin_containment(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=3, t_num=3, t_den=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3276,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_sources": _q_above_avg_sources,
         "order_streaks": _q_order_streaks,
         "order_gap_stats": _q_order_gap_stats,
+        "ssjoin_containment": _q_ssjoin_containment,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4184,6 +4195,28 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "ssjoin_containment": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                       FROM documents),
+            tok AS (SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           array_to_string(
+                               list_slice(ws, CAST(i AS INT),
+                                          CAST(i AS INT)+2), ' ') AS g
+                    FROM w CROSS JOIN unnest(range(1, len(ws)-1)) t(i))),
+            sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                             count(*) AS i
+                      FROM tok a JOIN tok b
+                        ON a.g = b.g AND a.doc_id <> b.doc_id
+                      GROUP BY da, db)
+            SELECT da AS doc_id_a, db AS doc_id_b,
+                   CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.s AS BIGINT) AS n_a
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            WHERE i * 4 >= 3 * sa.s
         """,
         "order_gap_stats": """
             WITH g AS (

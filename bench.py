@@ -158,7 +158,8 @@ def run_ops(sf_dir: str):
              "chars_gmd_by_source", "order_total_audit",
              "shortest_docs_with_ties", "conversion_latency",
              "cdc_compaction", "neardup_eval_report",
-             "above_avg_sources", "order_streaks", "order_gap_stats"]
+             "above_avg_sources", "order_streaks", "order_gap_stats",
+             "ssjoin_containment"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

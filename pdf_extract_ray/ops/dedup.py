@@ -1111,3 +1111,164 @@ def prefix_dedup_best(ds, *, k_words: int = 8, n_parts: int = 64):
     cands = ds.map_batches(partial, batch_format="pyarrow")
     return _grouped_by_partition(cands, ["pfx_md5"], resolve,
                                  n_parts=n_parts)
+
+
+def ssjoin_containment(docs_ds, *, n: int = 3, t_num: int = 3,
+                       t_den: int = 4, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_partitions: int | None = None,
+                       broadcast_limit: int = 500_000):
+    """EXACT-threshold CONTAINMENT self-join (directional subset
+    similarity): every ordered pair (a, b) with
+    |grams(a) & grams(b)| / |grams(a)| >= t_num/t_den, a != b ->
+    (doc_id_a, doc_id_b, n_inter, n_a), all-integer gate
+    (n_inter * t_den >= t_num * n_a).  Finds QUOTED/SUBSET duplicates
+    that symmetric Jaccard misses (a short doc fully contained in a
+    long one has low Jaccard but containment 1.0).
+
+    Scale shape (ssjoin_jaccard's passes, asymmetric variant):
+      1. postings: map-side, every doc emits ALL distinct gram hashes
+         with a prefix flag on its s - ceil(t*s) + 1 smallest (the
+         prefix theorem applies to the CONTAINED side only; the
+         container side must be fully indexed).
+      2. candidates: one gram-keyed partition pass pairs prefix-flagged
+         rows against every co-occurring doc, directional length filter
+         s_b * t_den >= t_num * s_a; one (a,b)-keyed dedupe pass.
+      3. verify: bounded candidate set, gram sets broadcast once, exact
+         sorted intersection, both directions gated independently.
+    Known cost: full postings make hot-gram groups df-sized — the
+    containment join's inherent index weight.  At crawl scale, band
+    hot grams (star_bucket style) or pre-gate probe docs; here the
+    corpus-wide gram df is bounded by the synthetic vocabulary."""
+    import ray
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(32, cpus // 2))
+
+    def postings(b: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "size": pa.array([], pa.int64()),
+                          "pfx": pa.array([], pa.int8())})
+        if b.num_rows == 0:
+            return empty
+        ids, r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
+        if not len(g):
+            return empty
+        order = np.lexsort((g, r))
+        r2, g2 = r[order], g[order]
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        rank = np.arange(len(r2)) - starts[r2]
+        s = sizes[r2]
+        p = s + ((-s * t_num) // t_den) + 1
+        return pa.table({"key": pa.array(g2.view(np.int64)),
+                         "doc": pa.array(ids[r2]),
+                         "size": pa.array(s),
+                         "pfx": pa.array((rank < p).astype(np.int8))})
+
+    posts = docs_ds.map_batches(postings, batch_format="pyarrow")
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id_a": np.int64, "doc_id_b": np.int64}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        df = df.sort_values(["key", "doc"], kind="mergesort")
+        key = df["key"].to_numpy(np.int64)
+        doc = df["doc"].to_numpy(np.int64)
+        size = df["size"].to_numpy(np.int64)
+        pfx = df["pfx"].to_numpy(np.int8)
+        out_a, out_b = [], []
+        grp_start = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.concatenate((grp_start[1:], [len(key)]))
+        for s0, e0 in zip(grp_start, ends):  # per gram group
+            if e0 - s0 < 2:
+                continue
+            d, sz, fl = doc[s0:e0], size[s0:e0], pfx[s0:e0]
+            probe = np.flatnonzero(fl == 1)
+            if not len(probe):
+                continue
+            # each prefix-flagged doc probes everyone in the group
+            a_idx = np.repeat(probe, e0 - s0)
+            b_idx = np.tile(np.arange(e0 - s0), len(probe))
+            m = (d[a_idx] != d[b_idx]) \
+                & (sz[b_idx] * t_den >= t_num * sz[a_idx])
+            out_a.append(d[a_idx][m])
+            out_b.append(d[b_idx][m])
+        if not out_a:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return pd.DataFrame({
+            "doc_id_a": np.concatenate(out_a),
+            "doc_id_b": np.concatenate(out_b)}).drop_duplicates()
+
+    cand = _grouped_by_partition(posts, ["key"], gen_pairs,
+                                 n_parts=num_partitions)
+    pairs = _grouped_by_partition(
+        cand, ["doc_id_a", "doc_id_b"],
+        lambda df: df.drop_duplicates(), n_parts=num_partitions) \
+        .materialize()
+
+    empty_out = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                          "doc_id_b": pa.array([], pa.int64()),
+                          "n_inter": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64())})
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty_out)
+
+    ids: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ids.update(b.column("doc_id_a").to_pylist())
+        ids.update(b.column("doc_id_b").to_pylist())
+    if len(ids) > broadcast_limit:
+        raise ValueError(
+            f"{len(ids)} candidate docs exceed broadcast_limit="
+            f"{broadcast_limit}; band hot grams or pre-gate probes")
+    id_ref = ray.put(pa.array(sorted(ids), pa.int64()))
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        out = b.filter(pc.is_in(b.column(id_col),
+                                value_set=ray.get(id_ref)))
+        return pa.Table.from_arrays(
+            [out.column(id_col), out.column(text_col)],
+            names=[id_col, text_col])
+
+    sets: dict = {}
+    for b in docs_ds.map_batches(keep_candidates,
+                                 batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        bids, _r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
+        offs = np.cumsum(sizes)
+        for i in range(len(bids)):  # bounded: candidate docs only
+            sets[int(bids[i])] = np.sort(
+                g[offs[i] - sizes[i]:offs[i]])
+    sets_ref = ray.put(sets)
+
+    def verify(b: pa.Table) -> pa.Table:
+        lk = ray.get(sets_ref)
+        av = b.column("doc_id_a").to_pylist()
+        bv = b.column("doc_id_b").to_pylist()
+        oa, ob, oi, on = [], [], [], []
+        for a_, b_ in zip(av, bv):
+            ga, gb = lk.get(a_), lk.get(b_)
+            if ga is None or gb is None or not len(ga) or not len(gb):
+                continue
+            i = int(np.intersect1d(ga, gb, assume_unique=True).size)
+            if i * t_den >= t_num * len(ga):
+                oa.append(a_)
+                ob.append(b_)
+                oi.append(i)
+                on.append(len(ga))
+        return pa.table({"doc_id_a": pa.array(oa, pa.int64()),
+                         "doc_id_b": pa.array(ob, pa.int64()),
+                         "n_inter": pa.array(oi, pa.int64()),
+                         "n_a": pa.array(on, pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

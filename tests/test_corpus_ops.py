@@ -706,3 +706,39 @@ class TestNeardupEvalReport:
         assert r["recall"] >= 0.9
         assert 0.7 <= r["precision"] <= 1.0
         assert r["f1"] >= 0.8
+
+
+class TestSsjoinContainment:
+    def test_subset_doc_found_and_matches_naive(self):
+        import itertools
+
+        import ray
+
+        from pdf_extract_ray.ops.dedup import ssjoin_containment
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        docs = [
+            (1, base),                                   # full doc
+            (2, " ".join(base.split()[:10])),            # strict subset
+            (3, base + " extra words appended here ok"), # superset
+            (4, "totally different content with no overlap at all x y"),
+        ]
+        t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                      "text": pa.array([d[1] for d in docs], pa.string())})
+        out = ssjoin_containment(ray.data.from_arrow(t).repartition(3),
+                                 n=3, t_num=3, t_den=4).to_pandas()
+        got = {(r.doc_id_a, r.doc_id_b) for r in out.itertuples()}
+
+        def grams(s):
+            w = s.split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        exp = set()
+        for (ia, ta), (ib, tb) in itertools.permutations(docs, 2):
+            ga, gb = grams(ta), grams(tb)
+            if ga and 4 * len(ga & gb) >= 3 * len(ga):
+                exp.add((ia, ib))
+        assert got == exp
+        assert (2, 1) in got      # subset doc contained in full doc
+        assert (1, 3) in got      # full doc contained in superset
+        assert (1, 2) not in got  # big-in-small direction fails
