@@ -3188,6 +3188,46 @@ def _q_ssjoin_containment(sf_dir: str):
         n=3, t_num=3, t_den=4)
 
 
+def _q_corpus_datacard(sf_dir: str):
+    """Data-card summary (the release-documentation numbers) as one
+    (metric, value) long-form table — each figure from the cheapest
+    distributed kernel that computes it exactly: native counts/sums,
+    two-stage distincts, the md5 dedup aggregate, the histogram-walk
+    median.  Everything integer, fully oracled."""
+    import pandas as pd
+    from pdf_extract_ray.ops.dedup import _md5_batch
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    n_docs = ds.count()
+    total_chars = int(ds.sum("n_chars") or 0)
+    n_sources = ds.select_columns(["source"]).groupby("source") \
+        .count().count()
+    lang_counts = ds.select_columns(["lang"]).groupby("lang").count() \
+        .to_pandas()
+    n_langs = len(lang_counts)
+    top_lang_count = int(lang_counts["count()"].max()) if n_langs else 0
+    # dup docs = rows - distinct texts, via the md5 aggregate (the
+    # shuffle carries digests, not text)
+    groups = ds.map_batches(_md5_batch, batch_format="pyarrow") \
+        .groupby("text_md5").count().count()
+    n_dup_docs = n_docs - groups
+    # discrete p50 with DuckDB quantile_disc index math:
+    # target = ceil(50*n/100) (the grouped_percentiles kernel)
+    hist = ds.select_columns(["n_chars"]).groupby("n_chars").count() \
+        .to_pandas().sort_values("n_chars")
+    cum = hist["count()"].cumsum().to_numpy()
+    vals = hist["n_chars"].to_numpy(np.int64)
+    p50 = int(vals[np.searchsorted(cum, (50 * n_docs + 99) // 100,
+                                   side="left")]) if n_docs else 0
+    rows = [("n_docs", n_docs), ("n_sources", n_sources),
+            ("n_langs", n_langs), ("total_chars", total_chars),
+            ("p50_chars", p50), ("n_dup_docs", n_dup_docs),
+            ("top_lang_count", top_lang_count)]
+    return pd.DataFrame({"metric": [r[0] for r in rows],
+                         "value": np.array([r[1] for r in rows],
+                                           np.int64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3287,6 +3327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_streaks": _q_order_streaks,
         "order_gap_stats": _q_order_gap_stats,
         "ssjoin_containment": _q_ssjoin_containment,
+        "corpus_datacard": _q_corpus_datacard,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4195,6 +4236,24 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "corpus_datacard": """
+            SELECT 'n_docs' AS metric, count(*) AS value FROM documents
+            UNION ALL SELECT 'n_sources',
+                   CAST(count(DISTINCT source) AS BIGINT) FROM documents
+            UNION ALL SELECT 'n_langs',
+                   CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+            UNION ALL SELECT 'total_chars',
+                   CAST(sum(n_chars) AS BIGINT) FROM documents
+            UNION ALL SELECT 'p50_chars',
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                   FROM documents
+            UNION ALL SELECT 'n_dup_docs',
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT)
+                   FROM documents
+            UNION ALL SELECT 'top_lang_count', CAST(max(c) AS BIGINT)
+                   FROM (SELECT count(*) AS c FROM documents
+                         GROUP BY lang)
         """,
         "ssjoin_containment": """
             WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
