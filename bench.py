@@ -7,10 +7,12 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
     {"metric": ..., "value": secs, "unit": "sec", "queries": {...},
      "sf": ..., "num_cpus": N}
 
---scaling: run the headline extraction twice in FRESH processes at 8 and
-32 CPUs on the same input and report both throughputs + scaling
+--scaling: run the headline extraction in FRESH processes at N and 4N
+CPUs (default 3 and 12 — both inside the shared host's real capacity;
+override with GRAFT_SCALING_N / GRAFT_SCALING_4N, e.g. 8/32 on a quiet
+host) on the same input and report both throughputs + scaling
 efficiency (the sandbox stand-in for the N->4N-node criterion;
-BASELINE.md records the result).
+BASELINE.md records the results and the capacity analysis).
 """
 from __future__ import annotations
 
