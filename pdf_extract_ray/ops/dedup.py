@@ -1182,30 +1182,30 @@ def ssjoin_containment(docs_ds, *, n: int = 3, t_num: int = 3,
         doc = df["doc"].to_numpy(np.int64)
         size = df["size"].to_numpy(np.int64)
         pfx = df["pfx"].to_numpy(np.int8)
-        out_a, out_b = [], []
-        grp_start = np.flatnonzero(
-            np.concatenate(([True], key[1:] != key[:-1])))
-        ends = np.concatenate((grp_start[1:], [len(key)]))
-        for s0, e0 in zip(grp_start, ends):  # per gram group
-            if e0 - s0 < 2:
-                continue
-            d, sz, fl = doc[s0:e0], size[s0:e0], pfx[s0:e0]
-            probe = np.flatnonzero(fl == 1)
-            if not len(probe):
-                continue
-            # each prefix-flagged doc probes everyone in the group
-            a_idx = np.repeat(probe, e0 - s0)
-            b_idx = np.tile(np.arange(e0 - s0), len(probe))
-            m = (d[a_idx] != d[b_idx]) \
-                & (sz[b_idx] * t_den >= t_num * sz[a_idx])
-            out_a.append(d[a_idx][m])
-            out_b.append(d[b_idx][m])
-        if not out_a:
-            return pd.DataFrame({c: pd.Series([], dtype=t)
-                                 for c, t in cols.items()})
+        # ALL gram groups at once: every prefix-flagged row probes its
+        # whole group — a_idx repeats each flagged row by its group
+        # size, b_idx walks the group's range (one flat-array pass, no
+        # per-group Python loop)
+        first = np.concatenate(([True], key[1:] != key[:-1]))
+        gid = np.cumsum(first) - 1
+        grp_start = np.flatnonzero(first)
+        c = np.diff(np.concatenate((grp_start, [len(key)])))
+        flagged = np.flatnonzero(pfx == 1)
+        fg = gid[flagged]
+        reps = c[fg]
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({cn: pd.Series([], dtype=t)
+                                 for cn, t in cols.items()})
+        a_idx = np.repeat(flagged, reps)
+        off = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        within = np.arange(total) - np.repeat(off, reps)
+        b_idx = np.repeat(grp_start[fg], reps) + within
+        m = (doc[a_idx] != doc[b_idx]) \
+            & (size[b_idx] * t_den >= t_num * size[a_idx])
         return pd.DataFrame({
-            "doc_id_a": np.concatenate(out_a),
-            "doc_id_b": np.concatenate(out_b)}).drop_duplicates()
+            "doc_id_a": doc[a_idx][m],
+            "doc_id_b": doc[b_idx][m]}).drop_duplicates()
 
     cand = _grouped_by_partition(posts, ["key"], gen_pairs,
                                  n_parts=num_partitions)
