@@ -644,3 +644,27 @@ class TestChainEdges:
             .to_pandas()
         got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
         assert got == {(2, 3), (3, 1), (5, 4)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBfsSingleTaskPath:
+    def test_single_task_equals_loop_path(self):
+        import numpy as np
+        import ray
+
+        from pdf_extract_ray.ops.graph import bfs_hops
+        rng = np.random.RandomState(13)
+        e = pa.table({"src": pa.array(rng.randint(0, 60, 150), pa.int64()),
+                      "dst": pa.array(rng.randint(0, 60, 150), pa.int64())})
+        seeds = pa.table({"node": pa.array([0, 7, 13], pa.int64())})
+        fast = bfs_hops(ray.data.from_arrow(e).repartition(4),
+                        ray.data.from_arrow(seeds),
+                        max_hops=4).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        slow = bfs_hops(ray.data.from_arrow(e).repartition(4),
+                        ray.data.from_arrow(seeds),
+                        max_hops=4, single_task_edges=0).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(fast, slow)
+        assert (fast[fast["node"].isin([0, 7, 13])]["hop"] == 0).all()
