@@ -343,7 +343,7 @@ def _node_outdegrees(edges_ds, src: str, dst: str):
 
 def pagerank(edges_ds, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, iters: int = 10,
-             num_partitions=None):
+             num_partitions=None, single_task_edges: int = 4_000_000):
     """Distributed PageRank over an (src, dst) edge list (directed;
     pass both directions for an undirected graph) -> (node, rank).
 
@@ -385,6 +385,36 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", *,
             "s": pc.cast(b.column(src), pa.int64()),
             "d": pc.cast(b.column(dst), pa.int64())}),
         batch_format="pyarrow").materialize()
+
+    if edges.count() <= single_task_edges:
+        # ADAPTIVE bounded finish (the bfs_hops/CC pattern): a
+        # block-sized edge set runs ALL power iterations in ONE worker
+        # task — the same searchsorted + bincount + dangling math, just
+        # without `iters` fixed-cost dataset rounds (measured ~3.5 s ->
+        # ~1 s warm at sf0.1).  The streamed loop below stays for
+        # bigger graphs and is pinned by tests via single_task_edges=0.
+        def all_iters(b: pa.Table, _nodes=nodes, _outdeg=outdeg,
+                      _n=n) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"node": pa.array(_nodes, pa.int64()),
+                                 "rank": pa.array(
+                                     np.full(_n, 1.0 / _n))})
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            d = b.column("d").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(_nodes, s)
+            di = np.searchsorted(_nodes, d)
+            r = np.full(_n, 1.0 / _n)
+            for _ in range(int(iters)):
+                w = r[si] / _outdeg[si]
+                incoming = np.bincount(di, weights=w, minlength=_n)
+                dangling = r[_outdeg == 0].sum()
+                r = ((1.0 - damping) / _n
+                     + damping * (incoming + dangling / _n))
+            return pa.table({"node": pa.array(_nodes, pa.int64()),
+                             "rank": pa.array(r, pa.float64())})
+
+        return edges.repartition(1).map_batches(
+            all_iters, batch_format="pyarrow", batch_size=None)
 
     for _ in range(int(iters)):
         ref = ray.put(rank)

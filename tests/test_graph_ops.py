@@ -668,3 +668,25 @@ class TestBfsSingleTaskPath:
         import pandas as pd
         pd.testing.assert_frame_equal(fast, slow)
         assert (fast[fast["node"].isin([0, 7, 13])]["hop"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerankSingleTaskPath:
+    def test_single_task_equals_streamed_loop(self):
+        import numpy as np
+        import ray
+
+        from pdf_extract_ray.ops.graph import pagerank
+        rng = np.random.default_rng(19)
+        edges = sorted({(int(a), int(b))
+                        for a, b in rng.integers(0, 50, (300, 2))
+                        if a != b})
+        t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], pa.int64())})
+        fast = pagerank(ray.data.from_arrow(t), iters=8).to_pandas() \
+            .set_index("node")["rank"].sort_index()
+        slow = pagerank(ray.data.from_arrow(t), iters=8,
+                        single_task_edges=0).to_pandas() \
+            .set_index("node")["rank"].sort_index()
+        assert list(fast.index) == list(slow.index)
+        assert np.allclose(fast.to_numpy(), slow.to_numpy(), atol=1e-12)
