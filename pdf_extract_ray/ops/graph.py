@@ -583,7 +583,8 @@ def pagerank_partitioned(edges_ds, src: str = "src", dst: str = "dst", *,
 
 
 def triangle_counts(edges_ds, *, group_cols=(), id_a: str = "id_a",
-                    id_b: str = "id_b", broadcast_max_nodes: int = 200_000):
+                    id_b: str = "id_b", broadcast_max_nodes: int = 200_000,
+                    single_task_edges: int = 4_000_000):
     """Distributed triangle counting over undirected edges (id_a < id_b)
     -> (group..., n_triangles) (one global row when group_cols is
     empty; edges must not cross groups).
@@ -609,6 +610,9 @@ def triangle_counts(edges_ds, *, group_cols=(), id_a: str = "id_a",
 
     from .dedup import _grouped_by_partition
     gcols = list(group_cols)
+    # pin the (possibly expensive) edge lineage once: the degree pass,
+    # the orientation pass and the single-task path all re-read it
+    edges_ds = edges_ds.materialize()
 
     def deg_rows(b: pa.Table) -> pa.Table:
         a = b.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -769,6 +773,27 @@ def triangle_counts(edges_ds, *, group_cols=(), id_a: str = "id_a",
             return r
         n = int(tri.sum())
         return pd.DataFrame({"n_triangles": np.array([n], np.int64)})
+
+    # ADAPTIVE bounded finish (the bfs/pagerank pattern): a block-sized
+    # oriented edge set runs wedges + membership + the final group sum
+    # in ONE task using the SAME kernels, skipping the two remaining
+    # partition exchanges.  Distributed path pinned via
+    # single_task_edges=0 in tests.
+    n_edges_total = oriented.count()
+    if n_edges_total <= single_task_edges:
+        def tri_task(df: pd.DataFrame) -> pd.DataFrame:
+            w = wedges(df)
+            e = pd.DataFrame({"v": df["src"].to_numpy(np.int64),
+                              "w": df["dst"].to_numpy(np.int64),
+                              "is_edge": np.ones(len(df), np.int64)})
+            for g in gcols:
+                e[g] = df[g].to_numpy()
+            return resolve_tri(pd.concat([w, e], ignore_index=True))
+
+        norm = oriented.map_batches(lambda b: b, batch_format="pyarrow",
+                                    batch_size=None)
+        return norm.map_batches(tri_task, batch_format="pandas",
+                                batch_size=max(n_edges_total, 1))
 
     partials = _grouped_by_partition(unioned, ["v", "w"], resolve_tri)
 

@@ -690,3 +690,23 @@ class TestPagerankSingleTaskPath:
             .set_index("node")["rank"].sort_index()
         assert list(fast.index) == list(slow.index)
         assert np.allclose(fast.to_numpy(), slow.to_numpy(), atol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleSingleTaskPath:
+    def test_single_task_equals_distributed(self):
+        import numpy as np
+        import ray
+
+        from pdf_extract_ray.ops.graph import triangle_counts
+        rng = np.random.RandomState(29)
+        pairs = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.randint(0, 40, (200, 2))
+                        if a != b})
+        t = pa.table({"id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                      "id_b": pa.array([p[1] for p in pairs], pa.int64())})
+        fast = triangle_counts(ray.data.from_arrow(t)).to_pandas()
+        slow = triangle_counts(ray.data.from_arrow(t),
+                               single_task_edges=0).to_pandas()
+        assert int(fast["n_triangles"].iloc[0]) \
+            == int(slow["n_triangles"].iloc[0]) > 0
