@@ -116,3 +116,23 @@ class TestJsonlSource:
         out = read_docs_jsonl([p]).to_pandas().sort_values("doc_id")
         assert out["text"].tolist() == ["hello world", "zwei drei"]
         assert out["lang"].tolist() == ["en", "de"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcPdfPayload:
+    def test_pdf_records_extract_through_engine(self, tmp_path):
+        from pdf_extract_ray.data.pdfgen import pdf_simple_helvetica
+        from pdf_extract_ray.engine.api import extract_text_from_mem
+        from pdf_extract_ray.pipelines.extract import extract_dataset
+        from pdf_extract_ray.sources.warc import read_warc, write_warc
+        pdf = pdf_simple_helvetica("warc carried pdf payload")
+        p = str(tmp_path / "pdfs.warc.gz")
+        write_warc([("http://p.example/doc.pdf", TS, pdf)], p,
+                   gzip_members=True)
+        out = extract_dataset(read_warc([p]),
+                              with_spans=False).to_pandas()
+        assert len(out) == 1
+        assert out["status"].iloc[0] == "ok"
+        assert out["kind"].iloc[0] == "pdf"
+        assert out["extracted_text"].iloc[0] \
+            == extract_text_from_mem(pdf)
