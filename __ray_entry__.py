@@ -3228,6 +3228,38 @@ def _q_corpus_datacard(sf_dir: str):
                                            np.int64)})
 
 
+def _q_full_coverage_customers(sf_dir: str):
+    """RELATIONAL DIVISION: customers with orders in EVERY distinct
+    order-priority class — map-side (cust, prio) dedupe, one bounded
+    distinct-count aggregate, integer equality against the global
+    class count (itself a tiny distinct)."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "c": b.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "p": b.column("o_orderpriority").to_pandas()})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    pairs = ds.map_batches(dedup, batch_format="pyarrow").materialize()
+    n_classes = pairs.map_batches(
+        lambda b: b.select(["p"]), batch_format="pyarrow") \
+        .groupby("p").count().count()
+    per_cust = pairs.groupby(["c", "p"]).count() \
+        .map_batches(lambda b: b.select(["c"]), batch_format="pyarrow") \
+        .groupby("c").count()
+    return per_cust.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.column("c").filter(
+                pc.equal(pc.cast(b.column("count()"), pa.int64()),
+                         n_classes))}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3328,6 +3360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_gap_stats": _q_order_gap_stats,
         "ssjoin_containment": _q_ssjoin_containment,
         "corpus_datacard": _q_corpus_datacard,
+        "full_coverage_customers": _q_full_coverage_customers,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4236,6 +4269,12 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "full_coverage_customers": """
+            SELECT o_custkey FROM orders
+            GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderpriority) =
+                   (SELECT count(DISTINCT o_orderpriority) FROM orders)
         """,
         "corpus_datacard": """
             SELECT 'n_docs' AS metric, count(*) AS value FROM documents

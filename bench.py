@@ -161,7 +161,8 @@ def run_ops(sf_dir: str):
              "shortest_docs_with_ties", "conversion_latency",
              "cdc_compaction", "neardup_eval_report",
              "above_avg_sources", "order_streaks", "order_gap_stats",
-             "ssjoin_containment", "corpus_datacard"]
+             "ssjoin_containment", "corpus_datacard",
+             "full_coverage_customers"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
