@@ -3260,6 +3260,42 @@ def _q_full_coverage_customers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_target_mixture_sample(sf_dir: str):
+    """Target-WEIGHTED mixture sampling (the general data-mixing
+    primitive; mixture_sample's uniform case generalized): source s
+    with target weight w_s keeps docs at rate
+    min(1, w_s*grand / (W*total_s)) — rebalancing chars toward the
+    target shares.  Weights derive from the source NAME (even-index
+    sources get 2x the share of odd) so both engines compute them
+    without a side table.  The per-source keep THRESHOLD
+    floor(2^32 * w_s * grand / (W * total_s)) is computed in exact
+    python ints on the tiny per-source aggregate and broadcast; the
+    map-side test is a single int64 compare h < thr — identical to the
+    HUGEINT floor the oracle computes, so membership can never differ."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    tot = {r["source"]: int(r["sum(n_chars)"])
+           for r in ds.groupby("source").sum("n_chars").take_all()}
+    if not tot:
+        return ds
+    w = {s: 2 if int(s[3:]) % 2 == 0 else 1 for s in tot}
+    grand = sum(tot.values())
+    big_w = sum(w.values())
+    thr = {s: min(1 << 32,
+                  ((1 << 32) * w[s] * grand) // (big_w * tot[s]))
+           for s in tot}
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        h = (df["doc_id"].to_numpy(np.int64) * np.int64(2654435761)) \
+            % np.int64(1 << 32)
+        t = df["source"].map(thr).to_numpy(np.int64)
+        return pa.Table.from_pandas(df[h < t], preserve_index=False)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3361,6 +3397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_containment": _q_ssjoin_containment,
         "corpus_datacard": _q_corpus_datacard,
         "full_coverage_customers": _q_full_coverage_customers,
+        "target_mixture_sample": _q_target_mixture_sample,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4269,6 +4306,24 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "target_mixture_sample": """
+            WITH t AS (SELECT source,
+                              CAST(sum(n_chars) AS HUGEINT) AS total,
+                              CASE WHEN CAST(substr(source, 4) AS INT)
+                                        % 2 = 0
+                                   THEN 2 ELSE 1 END AS w
+                       FROM documents GROUP BY source),
+            g AS (SELECT CAST(sum(total) AS HUGEINT) AS grand,
+                         CAST(sum(w) AS HUGEINT) AS big_w FROM t),
+            thr AS (SELECT source,
+                           least(CAST(4294967296 AS HUGEINT),
+                                 (CAST(4294967296 AS HUGEINT) * w
+                                  * grand) // (big_w * total)) AS thr
+                    FROM t, g)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE (d.doc_id * 2654435761) % 4294967296 < thr.thr
         """,
         "full_coverage_customers": """
             SELECT o_custkey FROM orders
