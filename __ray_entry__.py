@@ -3296,6 +3296,51 @@ def _q_target_mixture_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_late_event_counts(sf_dir: str):
+    """Streaming watermark semantics: an event is LATE if its timestamp
+    is more than 1 hour behind the user's watermark (the running max ts
+    over ARRIVAL order) at arrival -> (user_id, n_events, n_late).
+    Arrival order is the deterministic hash permutation
+    (event_id * 2654435761) mod 2^32 — the synthetic ids are already
+    time-ordered, so a pseudo-random arrival shuffle (identical in both
+    engines) is what makes out-of-order ingest actually occur.  One
+    user-keyed pass, grouped cummax shifted in-run, integer-us
+    comparisons only — the out-of-order-ingest audit every event
+    pipeline needs."""
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id"])
+    wm_us = 3_600_000_000  # 1 hour
+
+    def per_part(df):
+        import pandas as pd
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_late": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        akey = (eid * np.int64(2654435761)) % np.int64(1 << 32)
+        order = np.lexsort((eid, akey, user))  # arrival order in user
+        u, t = user[order], ts[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        cmax = pd.Series(t).groupby(gid).cummax().to_numpy()
+        prev = np.r_[np.int64(-2 ** 62), cmax[:-1]]
+        prev[first] = -2 ** 62  # a user's first arrival is never late
+        late = t < prev - wm_us
+        g = pd.DataFrame({"user_id": u, "late": late.astype(np.int64)}) \
+            .groupby("user_id", sort=False, as_index=False) \
+            .agg(n_events=("late", "size"), n_late=("late", "sum"))
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["n_late"] = g["n_late"].astype(np.int64)
+        return g
+
+    return _grouped_by_partition(ds, ["user_id"], per_part, n_parts=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3398,6 +3443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_datacard": _q_corpus_datacard,
         "full_coverage_customers": _q_full_coverage_customers,
         "target_mixture_sample": _q_target_mixture_sample,
+        "late_event_counts": _q_late_event_counts,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4306,6 +4352,24 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "late_event_counts": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS t,
+                     CAST(epoch_us(max(ts) OVER (
+                         PARTITION BY user_id
+                         ORDER BY (event_id * 2654435761) % 4294967296,
+                                  event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)) AS BIGINT) AS wm
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND t < wm - 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late
+            FROM w GROUP BY user_id
         """,
         "target_mixture_sample": """
             WITH t AS (SELECT source,
