@@ -3341,6 +3341,86 @@ def _q_late_event_counts(sf_dir: str):
     return _grouped_by_partition(ds, ["user_id"], per_part, n_parts=32)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Snapshot diff audit (crawl-over-crawl change detection): OLD =
+    docs with doc_id % 5 != 0; NEW = all docs, with doc_id % 7 == 0
+    texts truncated to their first 3 words (the cdc_compaction delta) ->
+    ONE row (n_added, n_removed, n_changed, n_same).  Texts never
+    shuffle: both sides fold to (doc_id, md5) map-side, one id-keyed
+    partition pass classifies, a scalar aggregate sums."""
+    from ray.data.aggregate import Sum
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    import hashlib
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .materialize()
+
+    def old_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ids % 5 != 0
+        texts = b.column("text").to_pandas()[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "h": pa.array([hashlib.md5(t.encode()).hexdigest()
+                           for t in texts], pa.string()),
+            "side": pa.array(np.zeros(int(keep.sum()), np.int8),
+                             pa.int8())})
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = b.column("text").to_pandas()
+        mod = ids % 7 == 0
+        texts = texts.where(
+            ~mod, texts.str.split(" ").str[:3].str.join(" "))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "h": pa.array([hashlib.md5(t.encode()).hexdigest()
+                           for t in texts], pa.string()),
+            "side": pa.array(np.ones(len(ids), np.int8), pa.int8())})
+
+    both = ds.map_batches(old_rows, batch_format="pyarrow") \
+        .union(ds.map_batches(new_rows, batch_format="pyarrow"))
+
+    def classify(df):
+        import pandas as pd
+        cols = {"n_added": "int64", "n_removed": "int64",
+                "n_changed": "int64", "n_same": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        p = df.pivot_table(index="doc_id", columns="side", values="h",
+                           aggfunc="first")
+        old = p[0] if 0 in p.columns else pd.Series(dtype=object)
+        new = p[1] if 1 in p.columns else pd.Series(dtype=object)
+        has_o = p[0].notna() if 0 in p.columns \
+            else pd.Series(False, index=p.index)
+        has_n = p[1].notna() if 1 in p.columns \
+            else pd.Series(False, index=p.index)
+        added = int((~has_o & has_n).sum())
+        removed = int((has_o & ~has_n).sum())
+        both_m = has_o & has_n
+        changed = int((both_m & (p[0] != p[1])).sum()) \
+            if 0 in p.columns and 1 in p.columns else 0
+        same = int(both_m.sum()) - changed
+        return pd.DataFrame({"n_added": [added], "n_removed": [removed],
+                             "n_changed": [changed], "n_same": [same]})
+
+    parts = _grouped_by_partition(both, ["doc_id"], classify,
+                                  n_parts=32)
+    agg = parts.groupby(None).aggregate(
+        Sum("n_added"), Sum("n_removed"), Sum("n_changed"),
+        Sum("n_same"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_added": pc.cast(b.column("sum(n_added)"), pa.int64()),
+            "n_removed": pc.cast(b.column("sum(n_removed)"),
+                                 pa.int64()),
+            "n_changed": pc.cast(b.column("sum(n_changed)"),
+                                 pa.int64()),
+            "n_same": pc.cast(b.column("sum(n_same)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3444,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_coverage_customers": _q_full_coverage_customers,
         "target_mixture_sample": _q_target_mixture_sample,
         "late_event_counts": _q_late_event_counts,
+        "snapshot_diff": _q_snapshot_diff,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4352,6 +4433,34 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "snapshot_diff": """
+            WITH oldt AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 5 <> 0),
+            newt AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0
+                                 THEN array_to_string(
+                                     list_slice(
+                                         string_split(text, ' '),
+                                         1, 3), ' ')
+                                 ELSE text END AS text
+                     FROM documents),
+            j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         o.text AS ot, n.text AS nt
+                  FROM oldt o FULL OUTER JOIN newt n
+                    ON o.doc_id = n.doc_id)
+            SELECT
+                CAST(sum(CASE WHEN ot IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_added,
+                CAST(sum(CASE WHEN nt IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_removed,
+                CAST(sum(CASE WHEN ot IS NOT NULL AND nt IS NOT NULL
+                               AND ot <> nt THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_changed,
+                CAST(sum(CASE WHEN ot IS NOT NULL AND nt IS NOT NULL
+                               AND ot = nt THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_same
+            FROM j
         """,
         "late_event_counts": """
             WITH w AS (
