@@ -3421,6 +3421,17 @@ def _q_snapshot_diff(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_catalog_rowcounts(sf_dir: str):
+    """Catalog / information-schema analog: row count per registered
+    table (Ray side reads parquet metadata — no data scan)."""
+    import pandas as pd
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    counts = [_read(sf_dir, t).count() for t in tables]
+    return pd.DataFrame({"table_name": tables,
+                         "n_rows": np.array(counts, np.int64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3525,6 +3536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_mixture_sample": _q_target_mixture_sample,
         "late_event_counts": _q_late_event_counts,
         "snapshot_diff": _q_snapshot_diff,
+        "catalog_rowcounts": _q_catalog_rowcounts,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4433,6 +4445,18 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "catalog_rowcounts": """
+            SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'customer', count(*) FROM customer
+            UNION ALL SELECT 'supplier', count(*) FROM supplier
+            UNION ALL SELECT 'part', count(*) FROM part
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'documents', count(*) FROM documents
+            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
         """,
         "snapshot_diff": """
             WITH oldt AS (SELECT doc_id, text FROM documents
