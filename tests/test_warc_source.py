@@ -136,3 +136,40 @@ class TestWarcPdfPayload:
         assert out["kind"].iloc[0] == "pdf"
         assert out["extracted_text"].iloc[0] \
             == extract_text_from_mem(pdf)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcToReleaseEndToEnd:
+    def test_raw_warc_shards_to_packed_training_shards(self, tmp_path):
+        """The north-star path in one test: raw Common-Crawl-style WARC
+        shards -> extract -> dedup/near-dup -> decontaminate -> gopher
+        -> packed, sharded training sequences."""
+        import pandas as pd
+
+        from pdf_extract_ray.data.pages import make_payload
+        from pdf_extract_ray.pipelines.release import release_dataset
+        from pdf_extract_ray.sources.warc import read_warc, write_warc
+
+        rows = [(f"http://cc.example/{i}", TS + i, make_payload(i))
+                for i in range(120)]
+        p1 = str(tmp_path / "shard0.warc.gz")
+        p2 = str(tmp_path / "shard1.warc.gz")
+        write_warc(rows[:60], p1, gzip_members=True)
+        write_warc(rows[60:], p2, gzip_members=True)
+
+        def run():
+            return release_dataset(
+                read_warc([p1, p2]), min_quality=0.05,
+                neardup_threshold=0.95, min_words=3,
+                max_dup_2gram_frac=0.9, max_top_2gram_frac=0.9) \
+                .to_pandas().sort_values("seq_id") \
+                .reset_index(drop=True)
+
+        out = run()
+        assert len(out) > 0
+        assert set(out.columns) == {"seq_id", "text", "n_docs",
+                                    "n_tokens", "shard", "pos"}
+        multi = out[out["n_docs"] > 1]
+        assert (multi["n_tokens"] <= 256).all()
+        # determinism end to end, including the WARC parse
+        pd.testing.assert_frame_equal(out, run())
