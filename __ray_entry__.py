@@ -3432,6 +3432,31 @@ def _q_catalog_rowcounts(sf_dir: str):
                          "n_rows": np.array(counts, np.int64)})
 
 
+def _q_order_size_distribution(sf_dir: str):
+    """Two-level aggregate: distribution of lineitem counts per order
+    -> (n_items, n_orders).  Level 1 is ONE native orderkey count
+    (map-side combinable); level 2 histograms the bounded count domain
+    with per-batch bincount partials."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    per_order = ds.groupby("l_orderkey").count()
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("count()"), pa.int64()).to_numpy()
+        h = np.bincount(c)
+        nz = np.flatnonzero(h)
+        return pa.table({"n_items": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(h[nz].astype(np.int64))})
+
+    agg = per_order.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_items").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_items": b.column("n_items"),
+            "n_orders": pc.cast(b.column("sum(n)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3537,6 +3562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_counts": _q_late_event_counts,
         "snapshot_diff": _q_snapshot_diff,
         "catalog_rowcounts": _q_catalog_rowcounts,
+        "order_size_distribution": _q_order_size_distribution,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4445,6 +4471,13 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "order_size_distribution": """
+            WITH c AS (SELECT l_orderkey, count(*) AS n_items
+                       FROM lineitem GROUP BY l_orderkey)
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   count(*) AS n_orders
+            FROM c GROUP BY n_items
         """,
         "catalog_rowcounts": """
             SELECT 'region' AS table_name, count(*) AS n_rows FROM region

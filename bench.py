@@ -163,7 +163,8 @@ def run_ops(sf_dir: str):
              "above_avg_sources", "order_streaks", "order_gap_stats",
              "ssjoin_containment", "corpus_datacard",
              "full_coverage_customers", "target_mixture_sample",
-             "late_event_counts", "snapshot_diff", "catalog_rowcounts"]
+             "late_event_counts", "snapshot_diff", "catalog_rowcounts",
+             "order_size_distribution"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
