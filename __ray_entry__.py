@@ -196,7 +196,13 @@ def _count():
 
 
 def _q_lang_histogram(sf_dir: str):
+    """Null lang counts as 'und' (COALESCE policy — crawl metadata is
+    never complete; the native groupby cannot sort None keys)."""
     ds = _read(sf_dir, "documents", columns=["lang"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"lang": pc.coalesce(b.column("lang"),
+                                                pa.scalar("und"))}),
+        batch_format="pyarrow")
     out = ds.groupby("lang").count()
     return out.map_batches(
         lambda b: pa.Table.from_arrays(
@@ -842,7 +848,7 @@ def _with_neardup_copies(ds, every: int = 7):
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
             if d % every == 0:
-                words = t.split()
+                words = (t or "").split()
                 words[-1:] = ["perturbed"]
                 ids.append(d + 1_000_000)
                 texts.append(" ".join(words))
@@ -2254,7 +2260,9 @@ def _q_langs_per_source(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "lang"])
 
     def dedup(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().drop_duplicates()
+        df = b.to_pandas()
+        df["lang"] = df["lang"].fillna("und")  # COALESCE policy
+        df = df.drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pairs = ds.map_batches(dedup, batch_format="pyarrow") \
@@ -3202,8 +3210,10 @@ def _q_corpus_datacard(sf_dir: str):
     total_chars = int(ds.sum("n_chars") or 0)
     n_sources = ds.select_columns(["source"]).groupby("source") \
         .count().count()
-    lang_counts = ds.select_columns(["lang"]).groupby("lang").count() \
-        .to_pandas()
+    lang_counts = ds.select_columns(["lang"]).map_batches(
+        lambda b: pa.table({"lang": pc.coalesce(b.column("lang"),
+                                                pa.scalar("und"))}),
+        batch_format="pyarrow").groupby("lang").count().to_pandas()
     n_langs = len(lang_counts)
     top_lang_count = int(lang_counts["count()"].max()) if n_langs else 0
     # dup docs = rows - distinct texts, via the md5 aggregate (the
@@ -3361,7 +3371,7 @@ def _q_snapshot_diff(sf_dir: str):
         texts = b.column("text").to_pandas()[keep]
         return pa.table({
             "doc_id": pa.array(ids[keep]),
-            "h": pa.array([hashlib.md5(t.encode()).hexdigest()
+            "h": pa.array([hashlib.md5((t or "").encode()).hexdigest()
                            for t in texts], pa.string()),
             "side": pa.array(np.zeros(int(keep.sum()), np.int8),
                              pa.int8())})
@@ -3369,13 +3379,13 @@ def _q_snapshot_diff(sf_dir: str):
     def new_rows(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        texts = b.column("text").to_pandas()
+        texts = b.column("text").to_pandas().fillna("")
         mod = ids % 7 == 0
         texts = texts.where(
             ~mod, texts.str.split(" ").str[:3].str.join(" "))
         return pa.table({
             "doc_id": pa.array(ids),
-            "h": pa.array([hashlib.md5(t.encode()).hexdigest()
+            "h": pa.array([hashlib.md5((t or "").encode()).hexdigest()
                            for t in texts], pa.string()),
             "side": pa.array(np.ones(len(ids), np.int8), pa.int8())})
 

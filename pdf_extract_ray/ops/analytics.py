@@ -101,7 +101,7 @@ def word_frequencies(ds, text_col: str = "text", k: int = 100) -> pa.Table:
     def partial_counts(b: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
         for t in b.column(text_col).to_pylist():
-            c.update(w for w in t.split(" ") if w)
+            c.update(w for w in (t or "").split(" ") if w)
         words = list(c.keys())
         return pa.table({"word": pa.array(words, pa.string()),
                          "n": pa.array([c[w] for w in words], pa.int64())})

@@ -80,7 +80,10 @@ def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Split each text on ' ' and hash every word -> (row_of, wh, counts):
     row index per word, uint64 word hashes, and words-per-row.  All
     pandas/numpy C paths — no per-row Python loop."""
-    s = pd.Series(texts, dtype=object)
+    # null text == empty text (the COALESCE(text, '') policy: crawl
+    # data carries nulls; every downstream stat then sees one "" word,
+    # exactly like a present-but-empty document)
+    s = pd.Series(texts, dtype=object).fillna("")
     sp = s.str.split(" ")
     counts = sp.str.len().fillna(0).to_numpy(np.int64)
     if counts.sum() == 0:
@@ -307,7 +310,7 @@ def chunk_dedup(docs_ds, *, chunk_words: int = 8, num_partitions=None,
         texts = b.column(text_col).to_pylist()
         out_id, out_idx, out_chunk = [], [], []
         for did, t in zip(ids, texts):
-            words = t.split(" ")
+            words = (t or "").split(" ")
             for j in range(0, len(words), chunk_words):
                 out_id.append(did)
                 out_idx.append(j // chunk_words)
@@ -1199,7 +1202,9 @@ def remove_dup_spans(docs_ds, *, n: int = 5, id_col: str = "doc_id",
         fl = df[df["side"] == 1]
         ids = docs[id_col].to_numpy(np.int64)
         texts = docs["text"].tolist()
-        sp = pd.Series(texts, dtype=object).str.split(" ")
+        # null text == "" (the _word_hashes COALESCE policy): explode of
+        # NaN would emit one spurious element and misalign the offsets
+        sp = pd.Series(texts, dtype=object).fillna("").str.split(" ")
         counts = sp.str.len().fillna(0).to_numpy(np.int64)
         off = np.concatenate(([0], np.cumsum(counts)))
         total = int(off[-1])

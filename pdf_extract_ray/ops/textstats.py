@@ -157,7 +157,7 @@ def _winnow_batch(texts, k: int = 8, w: int = 4):
     hashes (shifted into int64-positive range) and their doc row index.
     Content-identical k-grams hash identically regardless of position,
     so shared substrings of length >= w + k - 1 share a fingerprint."""
-    enc = [t.encode("utf-8", "surrogatepass") for t in texts]
+    enc = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
     lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
     total = int(lens.sum())
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))

@@ -1,0 +1,77 @@
+"""NULL tolerance: crawl metadata is never complete — text and lang
+columns arrive null.  Policy (documented at the kernels): null text ==
+empty text (COALESCE(text, '')); null lang counts as 'und' in the
+lang-keyed aggregates.  A 10%-null fixture must run every text-family
+query without an exception; the 22 crash sites a null sweep found
+(word-hash explode misalignment, md5/encode on None, split on None,
+native groupby over None keys) are fixed and held here."""
+import importlib.util
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+NULL_SENSITIVE = [
+    "token_counts", "quality_scores", "normalize_text", "lang_id",
+    "repetition_scores", "redact_pii", "fingerprints", "exact_dedup",
+    "minhash_neardup", "word_frequencies", "tfidf_top_terms",
+    "gopher_filter", "decontaminate", "chunk_dedup", "lang_histogram",
+    "langs_per_source", "dup_span_stats", "remove_dup_spans",
+    "ssjoin_jaccard", "ssjoin_containment", "prefix_dedup_best",
+    "snapshot_diff", "corpus_datacard", "lm_scores", "bpe_merges",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        tab = pq.read_table(f"{SF}/{t}.parquet")
+        if t == "documents":
+            ids = tab.column("doc_id").to_numpy()
+            mask = ids % 10 == 0
+            texts = [None if m else v for v, m in
+                     zip(tab.column("text").to_pylist(), mask)]
+            langs = [None if m else v for v, m in
+                     zip(tab.column("lang").to_pylist(), mask)]
+            tab = tab.set_column(
+                tab.schema.get_field_index("text"), "text",
+                pa.array(texts, pa.string()))
+            tab = tab.set_column(
+                tab.schema.get_field_index("lang"), "lang",
+                pa.array(langs, pa.string()))
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_nulls", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", NULL_SENSITIVE)
+def test_total_on_null_text_and_lang(null_sf, name):
+    m = _entry()
+    out = m.queries()[name](null_sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) >= 0  # no exception is the contract
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_text_counts_as_empty_in_dedup(null_sf):
+    # all null-text docs share md5("") -> they form ONE exact-dup group
+    m = _entry()
+    out = m.queries()["exact_dedup"](null_sf).to_pandas()
+    big = out[out["n_dups"] >= 50]  # the 10% null slice collapses
+    assert len(big) >= 1
