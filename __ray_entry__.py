@@ -905,8 +905,9 @@ def _ann_queries(ds, k: int = 10):
     partial min-k + tiny driver merge (no all-to-all sort)."""
     from pdf_extract_ray.ops.similarity import min_k_rows
     head = min_k_rows(ds, "vec_id", k)
+    from pdf_extract_ray.ops.similarity import _stack
     qids = head.column("vec_id").to_pylist()
-    qvecs = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    qvecs = _stack(head.column("embedding"))  # null-embedding safe
     return qids, qvecs
 
 
@@ -974,6 +975,8 @@ def _q_embedding_neardup(sf_dir: str):
                                batch.column("embedding").to_pylist(),
                                batch.column("label").to_pylist()):
             if vid % 9 == 0:
+                if v is None:  # null embeddings have no perturbed twin
+                    continue
                 vv = np.asarray(v, dtype=np.float32)
                 vv[0] += np.float32(0.01)
                 ids.append(vid + 1_000_000)
@@ -2681,8 +2684,9 @@ def _q_orders_by_dow(sf_dir: str):
         ts = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
             .astype("datetime64[D]").view(np.int64)
         dow = (ts + 4) % 7  # epoch day 0 = Thursday = dayofweek 4
-        cents = np.rint(b.column("o_totalprice").to_numpy(
-            zero_copy_only=False) * 100).astype(np.int64)
+        praw = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.rint(np.nan_to_num(praw) * 100).astype(np.int64)
+        # null price sums as 0 — exactly SQL SUM's null-skip
         n = np.bincount(dow, minlength=7)
         rev = np.bincount(dow, weights=cents, minlength=7) \
             .astype(np.int64)
@@ -2846,8 +2850,9 @@ def _q_benford_digits(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
-        v = np.floor(b.column("o_totalprice").to_numpy(
-            zero_copy_only=False)).astype(np.int64)
+        raw = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        raw = raw[~np.isnan(raw)]  # null measures have no first digit
+        v = np.floor(raw).astype(np.int64)
         digits = pd.Series(v).astype(str).str[0].astype(np.int64)
         c = np.bincount(digits.to_numpy(), minlength=10)
         return pa.table({

@@ -18,7 +18,16 @@ import pyarrow as pa
 
 
 def _stack(batch_col) -> np.ndarray:
-    return np.asarray(batch_col.to_pylist(), dtype=np.float64)
+    """Embedding column -> (n, d) float64.  Null embeddings become zero
+    vectors (cosine 0 against everything — never a neighbor, never a
+    centroid contribution beyond the count) so crawl-grade gaps cannot
+    crash the vector ops; _normalize already guards zero norms."""
+    rows = batch_col.to_pylist()
+    dim = next((len(r) for r in rows if r is not None), 0)
+    if any(r is None for r in rows):
+        rows = [([0.0] * dim if r is None else r) for r in rows]
+    return np.asarray(rows, dtype=np.float64) if rows \
+        else np.empty((0, dim), np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -123,8 +132,7 @@ def label_centroids(ds, *, dim: int) -> pa.Table:
     driver merges the tiny per-label partials (n_labels x n_blocks)."""
     def partial(batch: pa.Table) -> pa.Table:
         labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
-        vecs = np.asarray(batch.column("embedding").to_pylist(),
-                          dtype=np.float64)
+        vecs = _stack(batch.column("embedding"))
         out_l, out_s, out_n = [], [], []
         for lab in np.unique(labels):
             m = labels == lab
@@ -330,8 +338,7 @@ def _bounded_head_vectors(ds, max_rows: int) -> np.ndarray:
     for b in ds.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
-        out.append(np.asarray(b.column("embedding").to_pylist(),
-                              dtype=np.float64))
+        out.append(_stack(b.column("embedding")))
         total += len(out[-1])
         if total >= max_rows:
             break
@@ -381,8 +388,7 @@ def kmeans_fit(ds, k: int, *, iters: int = 10, max_init_rows: int = 2048,
 
         def partial(batch: pa.Table, _ref=cent_ref, _k=kk, _d=dim):
             cm = ray.get(_ref)
-            vecs = _normalize(np.asarray(
-                batch.column("embedding").to_pylist(), dtype=np.float64))
+            vecs = _normalize(_stack(batch.column("embedding")))
             if len(vecs) == 0:
                 return pa.table({"cluster": pa.array([], pa.int32()),
                                  "vsum": pa.array([], pa.list_(pa.float64())),
@@ -542,8 +548,10 @@ def cosine_neardup_pairs(ds, *, dim: int, threshold: float = 0.9,
             if len(g) < 2:
                 continue
             ids = g["vec_id"].to_numpy()
-            vecs = _normalize(np.asarray(g["embedding"].tolist(),
-                                         dtype=np.float64))
+            raw = g["embedding"].tolist()
+            dim = next((len(r) for r in raw if r is not None), 0)
+            raw = [([0.0] * dim if r is None else r) for r in raw]
+            vecs = _normalize(np.asarray(raw, dtype=np.float64))
             sims = vecs @ vecs.T
             order = np.argsort(ids)
             for ii in range(len(order)):
@@ -580,7 +588,7 @@ def pca_fit(ds, vec_col: str = "embedding", *, k: int = 8):
     """
 
     def partials(b: pa.Table) -> pa.Table:
-        X = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        X = _stack(b.column(vec_col))
         if X.ndim != 2 or len(X) == 0:
             return pa.table({"n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.list_(pa.float64())),
@@ -625,7 +633,7 @@ def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
     comps = np.asarray(comps, dtype=np.float64)
 
     def project(b: pa.Table) -> pa.Table:
-        X = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        X = _stack(b.column(vec_col))
         if X.ndim != 2 or len(X) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "proj": pa.array([], pa.list_(pa.float64()))})
@@ -702,8 +710,7 @@ def pq_fit(ds, *, m: int = 8, k: int = 16, iters: int = 8,
 
         def partial(batch: pa.Table, _ref=ref, _m=m, _k=kk, _s=sub):
             bk = ray.get(_ref)
-            vecs = np.asarray(batch.column("embedding").to_pylist(),
-                              dtype=np.float64)
+            vecs = _stack(batch.column("embedding"))
             if len(vecs) == 0:
                 return pa.table({"sums": pa.array([], pa.binary()),
                                  "counts": pa.array([], pa.binary())})
@@ -753,8 +760,7 @@ def pq_encode(ds, codebooks: np.ndarray):
                 "vec_id": pa.array([], pa.int64()),
                 "codes": pa.array([], pa.list_(pa.uint8()))})
         b = ray.get(ref)
-        vecs = np.asarray(batch.column("embedding").to_pylist(),
-                          dtype=np.float64)
+        vecs = _stack(batch.column("embedding"))
         codes = np.empty((len(vecs), m), np.uint8)
         for j in range(m):
             v = vecs[:, j * sub:(j + 1) * sub]

@@ -75,3 +75,71 @@ def test_null_text_counts_as_empty_in_dedup(null_sf):
     out = m.queries()["exact_dedup"](null_sf).to_pandas()
     big = out[out["n_dups"] >= 50]  # the 10% null slice collapses
     assert len(big) >= 1
+
+
+@pytest.fixture(scope="module")
+def nan_sf(tmp_path_factory):
+    """Numeric nulls: 5% null prices/values, null + zero embeddings."""
+    dst = tmp_path_factory.mktemp("sf_nan")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        tab = pq.read_table(f"{SF}/{t}.parquet")
+        if t == "orders":
+            v = tab.column("o_totalprice").to_pylist()
+            k = tab.column("o_orderkey").to_pylist()
+            v = [None if kk % 20 == 0 else vv for vv, kk in zip(v, k)]
+            tab = tab.set_column(
+                tab.schema.get_field_index("o_totalprice"),
+                "o_totalprice", pa.array(v, pa.float64()))
+        if t == "events":
+            v = tab.column("value").to_pylist()
+            e = tab.column("event_id").to_pylist()
+            v = [None if ee % 20 == 0 else vv for vv, ee in zip(v, e)]
+            tab = tab.set_column(tab.schema.get_field_index("value"),
+                                 "value", pa.array(v, pa.float64()))
+        if t == "embeddings":
+            emb = tab.column("embedding").to_pylist()
+            ids = tab.column("vec_id").to_pylist()
+            out = []
+            for vv, ii in zip(emb, ids):
+                if ii % 25 == 0:
+                    out.append([0.0] * len(vv))
+                elif ii % 25 == 1:
+                    out.append(None)
+                else:
+                    out.append(vv)
+            tab = tab.set_column(
+                tab.schema.get_field_index("embedding"), "embedding",
+                pa.array(out, pa.list_(pa.float32())))
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+NAN_SENSITIVE = ["orders_by_dow", "benford_digits", "ann_topk",
+                 "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
+                 "embedding_pca", "embedding_clusters",
+                 "label_centroids", "embedding_neardup",
+                 "ann_recall_report", "ann_topk_filtered", "tpch_q1",
+                 "user_value_integral", "record_high_events"]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", NAN_SENSITIVE)
+def test_total_on_null_measures_and_embeddings(nan_sf, name):
+    m = _entry()
+    out = m.queries()[name](nan_sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_embedding_never_a_neighbor(nan_sf):
+    # null embeddings become zero vectors: cosine 0 -> out-ranked by
+    # every real vector in a full top-10
+    m = _entry()
+    out = m.queries()["ann_topk"](nan_sf).to_pandas()
+    null_ids = {i for i in range(0, 500) if i % 25 == 1}
+    # neighbors ranked 1..5 must never be a null-embedding row
+    top5 = out[out["rank"] <= 5]
+    assert not set(top5["neighbor_id"]).intersection(null_ids)
