@@ -143,3 +143,37 @@ def test_null_embedding_never_a_neighbor(nan_sf):
     # neighbors ranked 1..5 must never be a null-embedding row
     top5 = out[out["rank"] <= 5]
     assert not set(top5["neighbor_id"]).intersection(null_ids)
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory):
+    """Exotic unicode prepended to 10% of docs: emoji, CJK, RTL,
+    zero-width, combining marks, fullwidth forms, control whitespace."""
+    dst = tmp_path_factory.mktemp("sf_uni")
+    exotic = ["🎉🚀 汉字测试 مرحبا עברית ​‌zw",
+              "é combining å \U0001F600 astral",
+              "ＦＵＬＬＷＩＤＴＨ ᴀɴᴅ sᴍᴀʟʟ",
+              "\t tabs\nnewlines\r\n   spaces"]
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        tab = pq.read_table(f"{SF}/{t}.parquet")
+        if t == "documents":
+            ids = tab.column("doc_id").to_pylist()
+            texts = [exotic[i % 4] + " " + v if i % 10 == 0 else v
+                     for i, v in zip(ids, tab.column("text").to_pylist())]
+            tab = tab.set_column(tab.schema.get_field_index("text"),
+                                 "text", pa.array(texts, pa.string()))
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ["normalize_text", "fingerprints",
+                                  "ssjoin_jaccard", "lang_id",
+                                  "word_length_histogram"])
+def test_total_on_exotic_unicode(unicode_sf, name):
+    m = _entry()
+    out = m.queries()[name](unicode_sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) >= 0
