@@ -177,3 +177,33 @@ def test_total_on_exotic_unicode(unicode_sf, name):
     if hasattr(out, "to_pandas"):
         out = out.to_pandas()
     assert len(out) >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_giant_doc_skew(tmp_path):
+    """One 200k-word doc among 50 normal ones: the flat-array text
+    kernels must stay memory-bounded and correct under extreme row
+    skew (the documents-table analog of the pages giants)."""
+    import numpy as np
+    import ray
+
+    from pdf_extract_ray.ops.corpus import dup_span_stats
+    from pdf_extract_ray.ops.dedup import exact_dedup_groups, \
+        minhash_lsh_pairs
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(50)]
+    giant = " ".join(rng.choice(vocab, 200_000))
+    tab = pa.table({
+        "doc_id": pa.array(range(51), pa.int64()),
+        "text": pa.array(texts + [giant], pa.string())})
+    ds = ray.data.from_arrow(tab).repartition(6)
+    assert exact_dedup_groups(ds).count() == 51
+    # minhash signature of the giant computes (chunked kernel)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert len(pairs) >= 0
+    stats = dup_span_stats(ds, n=5).to_pandas()
+    assert len(stats) == 51
+    g = stats[stats["doc_id"] == 50].iloc[0]
+    assert g["n_grams"] > 190_000 if "n_grams" in stats.columns \
+        else True
