@@ -3472,6 +3472,45 @@ def _q_order_size_distribution(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_stratified_hash_sample(sf_dir: str):
+    """EXACT-k-per-stratum pseudo-random sample: each source keeps its
+    5 docs with the smallest id-hash (deterministic, shard-independent,
+    integer-exact — no float boundary, no RNG state).  Combinable
+    bounded top-k: every block folds to <=5 candidates per source, one
+    keyed pass picks the winners (the nth_event shape)."""
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    k = 5
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "source": b.column("source").to_pandas()})
+        df["h"] = (df["doc_id"].to_numpy(np.int64)
+                   * np.int64(2654435761)) % np.int64(1 << 32)
+        df = df.sort_values(["source", "h", "doc_id"],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(k),
+            preserve_index=False)
+
+    def resolve(df):
+        import pandas as pd
+        cols = {"doc_id": "int64", "source": "object"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"doc_id": "int64"})
+        df = df.sort_values(["source", "h", "doc_id"],
+                            kind="mergesort")
+        out = df.groupby("source", sort=False).head(k)
+        return out[["doc_id", "source"]]
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+    return _grouped_by_partition(cands, ["source"], resolve, n_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3578,6 +3617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "catalog_rowcounts": _q_catalog_rowcounts,
         "order_size_distribution": _q_order_size_distribution,
+        "stratified_hash_sample": _q_stratified_hash_sample,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4486,6 +4526,13 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "stratified_hash_sample": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY (doc_id * 2654435761) % 4294967296,
+                         doc_id) <= 5
         """,
         "order_size_distribution": """
             WITH c AS (SELECT l_orderkey, count(*) AS n_items

@@ -164,7 +164,7 @@ def run_ops(sf_dir: str):
              "ssjoin_containment", "corpus_datacard",
              "full_coverage_customers", "target_mixture_sample",
              "late_event_counts", "snapshot_diff", "catalog_rowcounts",
-             "order_size_distribution"]
+             "order_size_distribution", "stratified_hash_sample"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -49,7 +49,7 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "order_total_audit", "conversion_latency",
            "cdc_compaction", "order_streaks", "order_gap_stats",
            "ssjoin_containment", "late_event_counts",
-           "snapshot_diff"]
+           "snapshot_diff", "stratified_hash_sample"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
