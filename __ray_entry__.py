@@ -3511,6 +3511,48 @@ def _q_stratified_hash_sample(sf_dir: str):
     return _grouped_by_partition(cands, ["source"], resolve, n_parts=16)
 
 
+def _q_orders_time_rollup(sf_dir: str):
+    """Time-dimension ROLLUP (year -> quarter -> grand total) over
+    order revenue in exact cents — ONE (year, quarter) combinable
+    aggregate scans the facts; the coarser levels re-aggregate its
+    ~#quarters-row output (the doc_rollup shape on a derived time
+    hierarchy).  NULL marks rolled-up levels."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        mo = d.astype(np.int64) % 12  # 0-based month
+        q = mo // 3 + 1
+        cents = np.rint(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False))
+            * 100).astype(np.int64)
+        return pa.table({"yr": pa.array(yr), "q": pa.array(q),
+                         "c": pa.array(cents)})
+
+    fine = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["yr", "q"]).aggregate(Count(), Sum("c")).take_all()
+    df = _df_from_rows(fine, ["yr", "q", "count()", "sum(c)"]).rename(
+        columns={"count()": "n_orders", "sum(c)": "revenue_cents"})
+    levels = [df]
+    yr = df.groupby("yr", as_index=False)[
+        ["n_orders", "revenue_cents"]].sum()
+    yr["q"] = None
+    levels.append(yr)
+    grand = pd.DataFrame({"yr": [None], "q": [None],
+                          "n_orders": [df["n_orders"].sum()],
+                          "revenue_cents": [df["revenue_cents"].sum()]})
+    levels.append(grand)
+    out = pd.concat(levels, ignore_index=True)[
+        ["yr", "q", "n_orders", "revenue_cents"]]
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3618,6 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_rowcounts": _q_catalog_rowcounts,
         "order_size_distribution": _q_order_size_distribution,
         "stratified_hash_sample": _q_stratified_hash_sample,
+        "orders_time_rollup": _q_orders_time_rollup,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4526,6 +4569,16 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "orders_time_rollup": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders
+            GROUP BY ROLLUP (yr, q)
         """,
         "stratified_hash_sample": """
             SELECT doc_id, source FROM documents
