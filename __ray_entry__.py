@@ -3553,6 +3553,40 @@ def _q_orders_time_rollup(sf_dir: str):
     return out
 
 
+def _q_quarter_share(sf_dir: str):
+    """Percent-of-parent in the time hierarchy: each quarter's share of
+    its year's revenue as integer ppm floor — one (year, quarter)
+    combinable aggregate, parent totals re-derived from the tiny
+    output, exact-cent arithmetic throughout."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        q = d.astype(np.int64) % 12 // 3 + 1
+        cents = np.rint(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False))
+            * 100).astype(np.int64)
+        return pa.table({"yr": pa.array(yr), "q": pa.array(q),
+                         "c": pa.array(cents)})
+
+    fine = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["yr", "q"]).aggregate(Sum("c")).take_all()
+    df = _df_from_rows(fine, ["yr", "q", "sum(c)"]).rename(
+        columns={"sum(c)": "revenue_cents"})
+    df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+    ytot = df.groupby("yr")["revenue_cents"].transform("sum")
+    df["yr_cents"] = ytot.astype(np.int64)
+    df["share_ppm"] = np.array(
+        [int(c) * 1_000_000 // int(t) if t else 0
+         for c, t in zip(df["revenue_cents"], df["yr_cents"])],
+        np.int64)
+    return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3661,6 +3695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_size_distribution": _q_order_size_distribution,
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
+        "quarter_share": _q_quarter_share,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4569,6 +4604,22 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "quarter_share": """
+            WITH f AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT)) AS BIGINT)
+                         AS revenue_cents
+              FROM orders GROUP BY yr, q)
+            SELECT yr, q, revenue_cents,
+                   CAST(sum(revenue_cents) OVER (PARTITION BY yr)
+                        AS BIGINT) AS yr_cents,
+                   CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+                        // sum(revenue_cents) OVER (PARTITION BY yr)
+                        AS BIGINT) AS share_ppm
+            FROM f
         """,
         "orders_time_rollup": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
