@@ -3587,6 +3587,80 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_url_host_stats(sf_dir: str):
+    """Per-host crawl stats over a URL column (the web-scale grouping
+    key): docs, total path depth, query-string count, distinct langs.
+    URLs derive deterministically from (source, lang, doc_id) so the
+    DuckDB oracle can reproduce the expected values; the Ray side
+    genuinely PARSES the built strings with ops.weburl's vectorized
+    kernel (one compiled-regex pass per batch, map-side (host, lang)
+    combine, exchange carries one row per (host, lang))."""
+    import pandas as pd  # noqa: F401 (vectorized string build below)
+    from pdf_extract_ray.ops import weburl
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def build(df):
+        did = df["doc_id"].fillna(0).astype(np.int64)
+        lang = df["lang"].fillna("und").astype(str)
+        src = df["source"].fillna("").astype(str).str.lower()
+        tail = ("/" + lang + "/d" + (did % 17).astype(str)
+                + "/p" + did.astype(str) + ".html")
+        tail = tail.where(did % 5 != 0, "/")
+        q = "?utm_source=x&ref=r" + (did % 7).astype(str)
+        q = q.where(did % 4 == 0, "")
+        df = df.copy()
+        df["url"] = "https://" + src + ".example.com" + tail + q
+        df["lang"] = lang
+        return df[["url", "lang"]]
+
+    built = ds.map_batches(build, batch_format="pandas")
+    rows = weburl.host_stats(built).take_all()
+    df = _df_from_rows(
+        rows, ["host", "n_docs", "depth_sum", "with_query", "n_langs"])
+    for c in ("n_docs", "depth_sum", "with_query", "n_langs"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_url_normalize_dedup(sf_dir: str):
+    """Crawl-dedup canonicalization: noisy URL variants (mixed-case
+    host, :443 default port, utm_* tracking params, #fragments,
+    duplicate path slashes) must normalize to one canonical form.  The
+    Ray side builds the NOISY urls and runs ops.weburl.normalize_urls'
+    generic canonicalizer; the oracle derives the canonical form
+    directly — per-host distinct counts and min() pin the exact
+    normalized bytes."""
+    import pandas as pd
+    from pdf_extract_ray.ops import weburl
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(df):
+        did = df["doc_id"].fillna(0).astype(np.int64)
+        src = df["source"].fillna("").astype(str).str.lower()
+        host = src + ".example.com"
+        host = host.where(did % 3 != 0, host.str.upper())
+        port = pd.Series(np.where(did % 5 == 0, ":443", ""),
+                         index=df.index)
+        slash = pd.Series(np.where(did % 11 == 0, "//", "/"),
+                          index=df.index)
+        path = "/p" + (did % 13).astype(str) + slash + "x.html"
+        utm = pd.Series(np.where(did % 2 == 0, "utm_campaign=c&", ""),
+                        index=df.index)
+        frag = pd.Series(np.where(did % 7 == 0, "#sec", ""),
+                         index=df.index)
+        out = pd.DataFrame({
+            "url": "https://" + host + port + path + "?" + utm
+                   + "id=" + (did % 3).astype(str) + frag})
+        return out
+
+    built = ds.map_batches(build, batch_format="pandas")
+    rows = weburl.normalized_dedup_stats(built).take_all()
+    df = _df_from_rows(rows, ["host", "n_urls", "n_distinct", "first_url"])
+    for c in ("n_urls", "n_distinct"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -3696,6 +3770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "url_host_stats": _q_url_host_stats,
+        "url_normalize_dedup": _q_url_normalize_dedup,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "top_return_customers": _q_top_return_customers,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4604,6 +4680,33 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "url_host_stats": """
+            WITH u AS (
+              SELECT lower(source) || '.example.com' AS host,
+                     COALESCE(lang, 'und') AS lang,
+                     CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 3 END AS depth,
+                     CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS wq
+              FROM documents)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(depth) AS BIGINT) AS depth_sum,
+                   CAST(sum(wq) AS BIGINT) AS with_query,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM u GROUP BY host
+        """,
+        "url_normalize_dedup": """
+            WITH c AS (
+              SELECT lower(source) || '.example.com' AS host,
+                     'https://' || lower(source) || '.example.com/p'
+                       || CAST(doc_id % 13 AS VARCHAR) || '/x.html?id='
+                       || CAST(doc_id % 3 AS VARCHAR) AS norm_url
+              FROM documents)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT norm_url) AS BIGINT) AS n_distinct,
+                   min(norm_url) AS first_url
+            FROM c GROUP BY host
         """,
         "quarter_share": """
             WITH f AS (

@@ -165,7 +165,8 @@ def run_ops(sf_dir: str):
              "full_coverage_customers", "target_mixture_sample",
              "late_event_counts", "snapshot_diff", "catalog_rowcounts",
              "order_size_distribution", "stratified_hash_sample",
-             "orders_time_rollup", "quarter_share"]
+             "orders_time_rollup", "quarter_share",
+             "url_host_stats", "url_normalize_dedup"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1,0 +1,112 @@
+"""URL parse/normalize kernels (ops/weburl.py): unit semantics on
+tricky URLs, null/garbage totality, DuckDB differential for the two
+oracled queries at sf0.001, and a real-URL pass over the synthetic
+pages corpus (the input_hint (url, warc_ts, html, text, lang) shape)."""
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.ops import weburl
+
+
+def parse_one(url):
+    return weburl.parse_url_frame(pd.Series([url])).iloc[0]
+
+
+def norm_one(url):
+    return weburl.normalize_url_series(pd.Series([url])).iloc[0]
+
+
+class TestParse:
+    def test_basic(self):
+        p = parse_one("https://WWW.Example.COM:8080/a/b/c.html?x=1#top")
+        assert p["scheme"] == "https"
+        assert p["host"] == "www.example.com"
+        assert p["port"] == "8080"
+        assert p["path"] == "/a/b/c.html"
+        assert p["query"] == "x=1"
+        assert p["fragment"] == "top"
+        assert p["path_depth"] == 3
+        assert p["has_query"]
+
+    def test_root_and_empty_path_depth(self):
+        assert parse_one("http://h/")["path_depth"] == 0
+        assert parse_one("http://h")["path_depth"] == 0
+        assert parse_one("http://h//a///b/")["path_depth"] == 2
+
+    def test_userinfo(self):
+        p = parse_one("ftp://user:pw@files.example.org/pub/x")
+        assert p["userinfo"] == "user:pw"
+        assert p["host"] == "files.example.org"
+
+    def test_unparseable_is_total(self):
+        for bad in ["", "not a url", "://nohost", "http://", None,
+                    "mailto:someone@example.com"]:
+            p = weburl.parse_url_frame(pd.Series([bad])).iloc[0]
+            assert pd.isna(p["host"])
+            assert p["path_depth"] == 0
+            assert not p["has_query"]
+
+    def test_query_without_value(self):
+        p = parse_one("https://h/p?")
+        assert not p["has_query"]
+
+
+class TestNormalize:
+    def test_canonical_fixture(self):
+        noisy = ("HTTPS://News.Example.COM:443//world//story.html"
+                 "?utm_source=tw&id=7&utm_medium=x#para-3")
+        # scheme/host lowered, :443 stripped, slashes collapsed,
+        # utm_* dropped (order of survivors kept), fragment dropped
+        assert (norm_one(noisy)
+                == "https://news.example.com/world/story.html?id=7")
+
+    def test_non_default_port_kept(self):
+        assert norm_one("http://h:8080/a") == "http://h:8080/a"
+        assert norm_one("http://h:80/a") == "http://h/a"
+
+    def test_empty_path_becomes_root(self):
+        assert norm_one("https://h?a=1") == "https://h/?a=1"
+
+    def test_all_utm_query_drops_question_mark(self):
+        assert norm_one("https://h/p?utm_a=1&utm_b=2") == "https://h/p"
+
+    def test_userinfo_dropped(self):
+        assert norm_one("https://bob@h/p") == "https://h/p"
+
+    def test_unparseable_normalizes_empty(self):
+        assert norm_one("garbage") == ""
+        assert norm_one(None) == ""
+
+
+class TestQueriesDifferential:
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.mark.parametrize("name", ["url_host_stats",
+                                      "url_normalize_dedup"])
+    def test_matches_duckdb(self, ray_session, name):
+        import __ray_entry__ as entry
+        got = entry.queries()[name](self.SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{self.SF}/documents.parquet')")
+        want = con.execute(entry.oracle_sql()[name]).fetchdf()
+        g = got.sort_values("host").reset_index(drop=True)
+        w = want.sort_values("host").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False)
+
+
+class TestPagesCorpus:
+    def test_parse_real_pages_urls(self, ray_session):
+        import ray
+        from pdf_extract_ray.data.pages import pages_parquet_path
+        path = pages_parquet_path(60)
+        ds = ray.data.read_parquet(path, columns=["url", "lang"])
+        out = weburl.host_stats(ds).take_all()
+        assert len(out) == 1  # single synthetic host
+        row = out[0]
+        assert row["host"] == "example.org"
+        assert row["n_docs"] == 60
+        assert row["depth_sum"] == 120  # /doc/NNNNNN -> depth 2 each
