@@ -3587,6 +3587,35 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_lang_chi2_cells(sf_dir: str):
+    """Chi-square contingency cells for source x lang, exact-integer
+    ppm (ops/analytics.grouped_chi2_cells; one (source, lang) count
+    shuffle, driver-side margins over the tiny cross-tab)."""
+    from pdf_extract_ray.ops.analytics import grouped_chi2_cells
+    return grouped_chi2_cells(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        "source", "lang")
+
+
+def _q_lang_entropy_by_source(sf_dir: str):
+    """Shannon entropy (nats, floor-ppm) of the language mix per
+    source (ops/analytics.grouped_entropy; same one-count shape)."""
+    from pdf_extract_ray.ops.analytics import grouped_entropy
+    return grouped_entropy(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        "source", "lang")
+
+
+def _q_geomean_chars_by_source(sf_dir: str):
+    """Geometric mean document length per source, floor-milli units
+    (ops/analytics.grouped_geomean; distributed (sum ln, n) partials,
+    combinable, one tiny groupby)."""
+    from pdf_extract_ray.ops.analytics import grouped_geomean
+    return grouped_geomean(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
 def _q_url_host_stats(sf_dir: str):
     """Per-host crawl stats over a URL column (the web-scale grouping
     key): docs, total path depth, query-string count, distinct langs.
@@ -3770,6 +3799,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "lang_chi2_cells": _q_lang_chi2_cells,
+        "lang_entropy_by_source": _q_lang_entropy_by_source,
+        "geomean_chars_by_source": _q_geomean_chars_by_source,
         "url_host_stats": _q_url_host_stats,
         "url_normalize_dedup": _q_url_normalize_dedup,
         "top_supplier_revenue": _q_top_supplier_revenue,
@@ -4680,6 +4712,45 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "lang_chi2_cells": """
+            WITH c AS (SELECT COALESCE(source, 'und') AS source,
+                              COALESCE(lang, 'und') AS lang,
+                              CAST(count(*) AS HUGEINT) AS o
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM c),
+            r AS (SELECT source, CAST(sum(o) AS HUGEINT) AS rs
+                  FROM c GROUP BY source),
+            l AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS cl
+                  FROM c GROUP BY lang)
+            SELECT c.source, c.lang, CAST(o AS BIGINT) AS observed,
+                   CAST(rs * cl * 1000000 // n AS BIGINT)
+                       AS expected_ppm,
+                   CAST((o * n - rs * cl) * (o * n - rs * cl) * 1000000
+                        // (rs * cl * n) AS BIGINT) AS chi2_term_ppm
+            FROM c CROSS JOIN t
+            JOIN r ON r.source = c.source
+            JOIN l ON l.lang = c.lang
+        """,
+        "lang_entropy_by_source": """
+            WITH c AS (SELECT COALESCE(source, 'und') AS source,
+                              COALESCE(lang, 'und') AS lang,
+                              count(*) AS o
+                       FROM documents GROUP BY 1, 2),
+            s AS (SELECT source, sum(o) AS t FROM c GROUP BY source)
+            SELECT c.source, CAST(t AS BIGINT) AS n_rows,
+                   CAST(floor(sum(-(o * 1.0 / t) * ln(o * 1.0 / t))
+                              * 1000000) AS BIGINT) AS entropy_ppm
+            FROM c JOIN s USING (source)
+            GROUP BY c.source, t
+        """,
+        "geomean_chars_by_source": """
+            WITH v AS (SELECT COALESCE(source, '') AS source, n_chars
+                       FROM documents WHERE n_chars > 0)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(floor(exp(sum(ln(n_chars * 1.0)) / count(*))
+                              * 1000 + 0.5) AS BIGINT) AS geomean_milli
+            FROM v GROUP BY source
         """,
         "url_host_stats": """
             WITH u AS (

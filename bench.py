@@ -166,7 +166,9 @@ def run_ops(sf_dir: str):
              "late_event_counts", "snapshot_diff", "catalog_rowcounts",
              "order_size_distribution", "stratified_hash_sample",
              "orders_time_rollup", "quarter_share",
-             "url_host_stats", "url_normalize_dedup"]
+             "url_host_stats", "url_normalize_dedup",
+             "lang_chi2_cells", "lang_entropy_by_source",
+             "geomean_chars_by_source"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1215,3 +1215,137 @@ def gini_mean_difference(ds, group_col: str, value_col: str,
 
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)
+
+
+def grouped_chi2_cells(ds, group_col: str, value_col: str,
+                       null_value: str = "und"):
+    """Chi-square contingency cells for a (group, value) cross-tab in
+    EXACT integer arithmetic: per cell, expected_ppm =
+    floor(row_tot*col_tot*1e6 / N) and chi2_term_ppm =
+    floor((o*N - row_tot*col_tot)^2 * 1e6 / (row_tot*col_tot*N)) —
+    the (o-e)^2/e term cleared of float division so no summation order
+    can diverge from a HUGEINT oracle.
+
+    Scale shape: ONE native (group, value) count aggregation (shuffle
+    bounded by the domain product, not the row count); the margins and
+    per-cell terms come from the tiny cross-tab on the driver (same
+    discipline as lang_pivot's reshape — |groups| x |values| rows,
+    independent of corpus size)."""
+    def prep(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()), null_value)
+        v = pc.fill_null(pc.cast(b.column(value_col), pa.string()), null_value)
+        return pa.table({group_col: g, value_col: v})
+
+    hist = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).count()
+    rows = hist.take_all()
+    if not rows:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             value_col: pd.Series([], dtype=object),
+                             "observed": pd.Series([], dtype=np.int64),
+                             "expected_ppm": pd.Series([], dtype=np.int64),
+                             "chi2_term_ppm": pd.Series([], dtype=np.int64)})
+    df = pd.DataFrame(rows).rename(columns={"count()": "o"})
+    df["o"] = df["o"].astype(object).map(int)
+    n = int(df["o"].sum())
+    rtot = df.groupby(group_col)["o"].transform("sum").map(int)
+    ctot = df.groupby(value_col)["o"].transform("sum").map(int)
+    exp_ppm, term_ppm = [], []
+    for o, r, c in zip(df["o"], rtot, ctot):
+        rc = r * c
+        exp_ppm.append(rc * 1_000_000 // n)
+        d = o * n - rc
+        term_ppm.append(d * d * 1_000_000 // (rc * n))
+    out = pd.DataFrame({group_col: df[group_col],
+                        value_col: df[value_col],
+                        "observed": df["o"].astype(np.int64),
+                        "expected_ppm": np.array(exp_ppm, np.int64),
+                        "chi2_term_ppm": np.array(term_ppm, np.int64)})
+    return out.reset_index(drop=True)
+
+
+def grouped_entropy(ds, group_col: str, value_col: str,
+                    null_value: str = "und"):
+    """Shannon entropy (nats) of the value mix per group, reported as
+    floor(H * 1e6) -> (group, n_rows, entropy_ppm).  H is a float, but
+    both engines derive it from the SAME exact integer counts; the ppm
+    floor leaves ~1e10 units of slack above double rounding noise, and
+    the driver-side sum runs in sorted value order for determinism.
+
+    Scale shape: identical to grouped_chi2_cells — one native
+    (group, value) count, tiny cross-tab finish."""
+    import math
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()), null_value)
+        v = pc.fill_null(pc.cast(b.column(value_col), pa.string()), null_value)
+        return pa.table({group_col: g, value_col: v})
+
+    hist = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby([group_col, value_col]).count()
+    rows = hist.take_all()
+    if not rows:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_rows": pd.Series([], dtype=np.int64),
+                             "entropy_ppm": pd.Series([], dtype=np.int64)})
+    df = pd.DataFrame(rows).rename(columns={"count()": "o"}) \
+        .sort_values([group_col, value_col])
+    out_g, out_n, out_e = [], [], []
+    for g, grp in df.groupby(group_col, sort=True):
+        t = int(grp["o"].sum())
+        h = 0.0
+        for o in grp["o"]:
+            p = int(o) / t
+            h += -p * math.log(p)
+        out_g.append(g)
+        out_n.append(t)
+        out_e.append(math.floor(h * 1_000_000))
+    return pd.DataFrame({group_col: out_g,
+                         "n_rows": np.array(out_n, np.int64),
+                         "entropy_ppm": np.array(out_e, np.int64)})
+
+
+def grouped_geomean(ds, group_col: str, value_col: str,
+                    scale: int = 1000):
+    """Geometric mean of a positive measure per group as
+    floor(exp(mean(ln v)) * scale + 0.5) -> (group, n_pos,
+    geomean_milli).  Rows with v <= 0 or null are excluded (matching
+    the SQL's WHERE v > 0 gate).  The +0.5 (round-half-up, identical
+    expression in the SQL) keeps EXACT-integer geomeans — where
+    exp(ln x) lands one ulp under x — mid-interval instead of on the
+    floor boundary.  Distributed: per-batch partial (sum ln, count)
+    combine under a native Sum — float partials, but the milli
+    quantum sits ~1e7 units above cross-engine summation-order
+    noise."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()), "")
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mask = np.isfinite(v) & (v > 0)
+        df = pd.DataFrame({group_col: g.to_numpy(zero_copy_only=False),
+                           "lnv": np.where(mask, np.log(
+                               np.where(mask, v, 1.0)), 0.0),
+                           "n": mask.astype(np.int64)})
+        agg = df.groupby(group_col, sort=False, as_index=False).sum()
+        return pa.table({group_col: pa.array(agg[group_col]),
+                         "lnsum": pa.array(agg["lnv"].to_numpy(np.float64)),
+                         "n": pa.array(agg["n"].to_numpy(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("lnsum"), Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import math
+        ln = pc.cast(b.column("sum(lnsum)"), pa.float64()).to_numpy()
+        n = pc.cast(b.column("sum(n)"), pa.int64()).to_numpy()
+        keep = n > 0  # a group with no positive rows has no geomean
+        gm = [math.floor(math.exp(s / k) * scale + 0.5)
+              for s, k in zip(ln[keep], n[keep])]
+        return pa.table({group_col: b.column(group_col).filter(
+                             pa.array(keep)),
+                         "n_pos": pa.array(n[keep]),
+                         "geomean_milli": pa.array(np.array(gm, np.int64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""Contingency-stat kernels (grouped_chi2_cells / grouped_entropy /
+grouped_geomean): exact-integer unit fixtures, degenerate
+distributions, and a DuckDB differential on the oracled queries at
+sf0.001 (the driver re-checks at sf0.01)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from pdf_extract_ray.ops.analytics import (grouped_chi2_cells,
+                                           grouped_entropy,
+                                           grouped_geomean)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+class TestChi2Cells:
+    def test_hand_computed_2x2(self, ray_session):
+        # contingency: a/x=3 a/y=1, b/x=1 b/y=3 ; N=8, margins 4 each
+        rows = {"g": ["a"] * 3 + ["a"] + ["b"] + ["b"] * 3,
+                "v": ["x"] * 3 + ["y"] + ["x"] + ["y"] * 3}
+        out = grouped_chi2_cells(_ds(rows), "g", "v") \
+            .sort_values(["g", "v"]).reset_index(drop=True)
+        # e = 4*4/8 = 2 -> expected_ppm 2_000_000 per cell
+        assert (out["expected_ppm"] == 2_000_000).all()
+        # term = (o*N - rc)^2 / (rc*N) = (24-16)^2/128 = 0.5 per cell
+        assert (out["chi2_term_ppm"] == 500_000).all()
+        assert list(out["observed"]) == [3, 1, 1, 3]
+
+    def test_independent_table_zero_terms(self, ray_session):
+        rows = {"g": ["a", "a", "b", "b"], "v": ["x", "y", "x", "y"]}
+        out = grouped_chi2_cells(_ds(rows), "g", "v")
+        assert (out["chi2_term_ppm"] == 0).all()
+
+
+class TestEntropy:
+    def test_single_value_zero(self, ray_session):
+        out = grouped_entropy(_ds({"g": ["a"] * 5, "v": ["x"] * 5}),
+                              "g", "v")
+        assert list(out["entropy_ppm"]) == [0]
+        assert list(out["n_rows"]) == [5]
+
+    def test_uniform_is_ln_k(self, ray_session):
+        out = grouped_entropy(
+            _ds({"g": ["a"] * 4, "v": ["w", "x", "y", "z"]}), "g", "v")
+        assert out["entropy_ppm"].iloc[0] == int(np.log(4) * 1_000_000)
+
+
+class TestGeomean:
+    def test_exact_powers(self, ray_session):
+        # geomean(2, 8) = 4 -> 4000 milli
+        out = grouped_geomean(_ds({"g": ["a", "a"], "v": [2, 8]}),
+                              "g", "v").take_all()
+        assert out[0]["geomean_milli"] == 4000
+        assert out[0]["n_pos"] == 2
+
+    def test_nonpositive_rows_excluded(self, ray_session):
+        out = grouped_geomean(
+            _ds({"g": ["a", "a", "a", "b"], "v": [5, 0, -3, 0]}),
+            "g", "v").take_all()
+        assert len(out) == 1  # b has no positive rows -> dropped
+        assert out[0]["n_pos"] == 1
+        assert out[0]["geomean_milli"] == 5000  # round-half-up rescue
+
+
+@pytest.mark.parametrize("name", ["lang_chi2_cells",
+                                  "lang_entropy_by_source",
+                                  "geomean_chars_by_source"])
+def test_matches_duckdb(ray_session, name):
+    import __ray_entry__ as entry
+    got = entry.queries()[name](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(entry.oracle_sql()[name]).fetchdf()
+    keys = [c for c in ("source", "lang") if c in got.columns]
+    g = got.sort_values(keys).reset_index(drop=True)
+    w = want.sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False)
