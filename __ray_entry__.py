@@ -3587,6 +3587,25 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_trimmed_mean_chars(sf_dir: str):
+    """10%-trimmed mean document length per source, exact integers
+    (ops/analytics.grouped_trimmed_mean; bounded histogram shuffle,
+    segmented cumulative trim)."""
+    from pdf_extract_ray.ops.analytics import grouped_trimmed_mean
+    return grouped_trimmed_mean(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_oov_rate_report(sf_dir: str):
+    """Tokenizer-coverage: per-source OOV rate against the global
+    top-1000 vocabulary, integer ppm (ops/corpus.oov_rate; vocab
+    broadcast once, apply pass map-only)."""
+    from pdf_extract_ray.ops.corpus import oov_rate
+    return oov_rate(_read(sf_dir, "documents",
+                          columns=["text", "source"]), k=1000)
+
+
 def _q_lang_chi2_cells(sf_dir: str):
     """Chi-square contingency cells for source x lang, exact-integer
     ppm (ops/analytics.grouped_chi2_cells; one (source, lang) count
@@ -3799,6 +3818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "trimmed_mean_chars": _q_trimmed_mean_chars,
+        "oov_rate_report": _q_oov_rate_report,
         "lang_chi2_cells": _q_lang_chi2_cells,
         "lang_entropy_by_source": _q_lang_entropy_by_source,
         "geomean_chars_by_source": _q_geomean_chars_by_source,
@@ -4712,6 +4733,44 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "trimmed_mean_chars": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) * 1000 // count(*) AS BIGINT)
+                       AS trimmed_mean_milli
+            FROM r
+            WHERE rn > n // 10 AND rn <= n - n // 10
+            GROUP BY source
+        """,
+        "oov_rate_report": """
+            WITH ww AS (
+              SELECT COALESCE(source, '') AS source, word
+              FROM (SELECT source,
+                           unnest(string_split(COALESCE(text, ''), ' '))
+                               AS word
+                    FROM documents)
+              WHERE word <> ''),
+            vocab AS (
+              SELECT word FROM (
+                SELECT word, count(*) AS c FROM ww GROUP BY word
+                ORDER BY c DESC, word ASC LIMIT 1000)),
+            per AS (
+              SELECT source, count(*) AS n_tokens,
+                     sum(CASE WHEN word IN (SELECT word FROM vocab)
+                              THEN 0 ELSE 1 END) AS oov_tokens
+              FROM ww GROUP BY source)
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(oov_tokens AS BIGINT) AS oov_tokens,
+                   CAST(oov_tokens * 1000000 // n_tokens AS BIGINT)
+                       AS oov_ppm
+            FROM per
         """,
         "lang_chi2_cells": """
             WITH c AS (SELECT COALESCE(source, 'und') AS source,

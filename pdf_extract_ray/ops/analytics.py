@@ -1349,3 +1349,49 @@ def grouped_geomean(ds, group_col: str, value_col: str,
                          "geomean_milli": pa.array(np.array(gm, np.int64))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_trimmed_mean(ds, group_col: str, value_col: str,
+                         trim_den: int = 10, scale: int = 1000):
+    """10%-trimmed mean per group in EXACT integers -> (group, n_rows,
+    n_kept, trimmed_mean_milli): drop the lo = n // trim_den smallest
+    and largest rows by value rank, mean of the rest as
+    floor(sum * scale / n_kept).  Rank cuts inside a tie block are
+    value-identical, so the kept SUM is well-defined without any
+    row-level ordering — only the bounded (group, value) histogram
+    shuffles (the grouped_gmd discipline), and the per-bucket
+    bottom/top removals come from segmented cumulative counts."""
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "n_rows": "int64",
+                "n_kept": "int64", "trimmed_mean_milli": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {k: t for k, t in cols.items() if k != group_col})
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy(np.int64)
+        c = df["count()"].to_numpy(np.int64)
+        first = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(first) - 1
+        ngroups = int(gid[-1]) + 1
+        n = np.zeros(ngroups, np.int64)
+        np.add.at(n, gid, c)
+        lo = n // trim_den
+        cum = pd.Series(c).groupby(gid).cumsum().to_numpy()
+        prev = cum - c
+        bot = np.clip(lo[gid] - prev, 0, c)
+        top = np.clip(lo[gid] - (n[gid] - cum), 0, c)
+        kept = np.clip(c - bot - top, 0, None)
+        sums = np.zeros(ngroups, np.int64)
+        np.add.at(sums, gid, v * kept)
+        n_kept = n - 2 * lo
+        tm = np.array([int(s) * scale // int(k) if k > 0 else 0
+                       for s, k in zip(sums, n_kept)], np.int64)
+        return pd.DataFrame({group_col: g[first],
+                             "n_rows": n, "n_kept": n_kept,
+                             "trimmed_mean_milli": tm})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)

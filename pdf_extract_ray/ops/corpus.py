@@ -1334,3 +1334,57 @@ def pmi_pairs(docs_ds, *, vocab_k: int = 64, k: int = 50,
         "word_b": pa.array([r[1] for r in top], pa.string()),
         "n_pair": pa.array([r[2] for r in top], pa.int64()),
         "pmi_ppm": pa.array([r[3] for r in top], pa.int64())})
+
+
+def oov_rate(docs_ds, *, k: int = 1000, text_col: str = "text",
+             group_col: str = "source"):
+    """Tokenizer-coverage report: per group, the fraction of tokens NOT
+    in the global top-k vocabulary (count desc, word asc ties) as
+    integer ppm -> (group, n_tokens, oov_tokens, oov_ppm).  Groups with
+    zero tokens emit no row (the SQL's exploded view has nothing to
+    group).
+
+    Scale shape: vocab fit is word_frequencies' one word-keyed count
+    (exchange bounded by the vocabulary, not the corpus); the top-k
+    array broadcasts once via ray.put and the apply pass is map-only
+    with exact string membership (np-backed isin, no hashing-collision
+    risk against the oracle) + per-batch (group) combine, so the final
+    groupby exchanges one row per (block, group)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .analytics import word_frequencies
+
+    vocab_tbl = word_frequencies(docs_ds, text_col=text_col, k=k)
+    vocab_ref = ray.put(np.asarray(vocab_tbl.column("word").to_pylist(),
+                                   dtype=object))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(vocab_ref)
+        s = pd.DataFrame({
+            "source": df[group_col].fillna("").astype(str),
+            "w": df[text_col].fillna("").str.split(" ")})
+        ex = s.explode("w")
+        ex = ex[ex["w"].notna() & (ex["w"] != "")]
+        if not len(ex):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "oov_tokens": pd.Series([], dtype=np.int64)})
+        ex["oov"] = (~ex["w"].isin(vocab)).to_numpy().astype(np.int64)
+        return ex.groupby("source", as_index=False).agg(
+            n_tokens=("w", "size"), oov_tokens=("oov", "sum"))
+
+    agg = docs_ds.map_batches(partial, batch_format="pandas") \
+        .groupby("source").aggregate(Sum("n_tokens"), Sum("oov_tokens"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("sum(n_tokens)"), pa.int64()).to_numpy()
+        o = pc.cast(b.column("sum(oov_tokens)"), pa.int64()).to_numpy()
+        ppm = np.array([int(x) * 1_000_000 // int(t) if t else 0
+                        for x, t in zip(o, n)], np.int64)
+        return pa.table({"source": b.column("source"),
+                         "n_tokens": pa.array(n),
+                         "oov_tokens": pa.array(o),
+                         "oov_ppm": pa.array(ppm)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -85,3 +85,46 @@ def test_matches_duckdb(ray_session, name):
     w = want.sort_values(keys).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False)
+
+
+class TestTrimmedMean:
+    def test_hand_1_to_10(self, ray_session):
+        from pdf_extract_ray.ops.analytics import grouped_trimmed_mean
+        out = grouped_trimmed_mean(
+            _ds({"g": ["a"] * 10, "v": list(range(1, 11))}),
+            "g", "v").take_all()
+        # lo = 1: keep ranks 2..9 -> 2..9, sum 44, mean 5.5
+        assert out[0]["n_rows"] == 10
+        assert out[0]["n_kept"] == 8
+        assert out[0]["trimmed_mean_milli"] == 5500
+
+    def test_ties_across_cut(self, ray_session):
+        from pdf_extract_ray.ops.analytics import grouped_trimmed_mean
+        # 20 rows: ten 1s then ten 5s; lo=2 -> drop two 1s and two 5s
+        out = grouped_trimmed_mean(
+            _ds({"g": ["a"] * 20, "v": [1] * 10 + [5] * 10}),
+            "g", "v").take_all()
+        assert out[0]["n_kept"] == 16
+        assert out[0]["trimmed_mean_milli"] == (8 * 1 + 8 * 5) * 1000 // 16
+
+    def test_small_group_untrimmed(self, ray_session):
+        from pdf_extract_ray.ops.analytics import grouped_trimmed_mean
+        out = grouped_trimmed_mean(_ds({"g": ["a"] * 3, "v": [1, 2, 9]}),
+                                   "g", "v").take_all()
+        assert out[0]["n_kept"] == 3
+        assert out[0]["trimmed_mean_milli"] == 4000
+
+
+class TestOovRate:
+    def test_small_fixture(self, ray_session):
+        from pdf_extract_ray.ops.corpus import oov_rate
+        rows = {"source": ["s1", "s1", "s2"],
+                "text": ["a a b", "a c", "b b z q"]}
+        out = {r["source"]: r for r in
+               oov_rate(_ds(rows), k=2).take_all()}
+        # counts: a=3 b=3 c=1 z=1 q=1 -> top-2 = {a, b}
+        assert out["s1"]["n_tokens"] == 5
+        assert out["s1"]["oov_tokens"] == 1  # 'c'
+        assert out["s2"]["n_tokens"] == 4
+        assert out["s2"]["oov_tokens"] == 2  # z, q
+        assert out["s2"]["oov_ppm"] == 500_000
