@@ -3587,6 +3587,30 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_snapshot_schema_union(sf_dir: str):
+    """Schema-drift ingestion: two crawl snapshots with different
+    column sets union BY NAME (missing columns -> typed nulls,
+    metadata-only Dataset.union) and a one-pass per-column
+    completeness audit (ops/relational.union_by_name +
+    column_completeness)."""
+    from pdf_extract_ray.ops.relational import (column_completeness,
+                                                union_by_name)
+    def half(parity):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        return _f
+
+    a = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .map_batches(half(0), batch_format="pyarrow")
+    b = _read(sf_dir, "documents",
+              columns=["doc_id", "text", "source", "n_chars"]) \
+        .map_batches(half(1), batch_format="pyarrow")
+    u = union_by_name(a, b)
+    return column_completeness(
+        u, ["text", "lang", "source", "n_chars"])
+
+
 def _q_trimmed_mean_chars(sf_dir: str):
     """10%-trimmed mean document length per source, exact integers
     (ops/analytics.grouped_trimmed_mean; bounded histogram shuffle,
@@ -3818,6 +3842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "snapshot_schema_union": _q_snapshot_schema_union,
         "trimmed_mean_chars": _q_trimmed_mean_chars,
         "oov_rate_report": _q_oov_rate_report,
         "lang_chi2_cells": _q_lang_chi2_cells,
@@ -4733,6 +4758,19 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "snapshot_schema_union": """
+            WITH a AS (SELECT doc_id, text, lang FROM documents
+                       WHERE doc_id % 2 = 0),
+            b AS (SELECT doc_id, text, source, n_chars FROM documents
+                  WHERE doc_id % 2 = 1),
+            u AS (SELECT * FROM a UNION ALL BY NAME FROM b)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(text) AS BIGINT) AS text_nonnull,
+                   CAST(count(lang) AS BIGINT) AS lang_nonnull,
+                   CAST(count(source) AS BIGINT) AS source_nonnull,
+                   CAST(count(n_chars) AS BIGINT) AS n_chars_nonnull
+            FROM u
         """,
         "trimmed_mean_chars": """
             WITH r AS (

@@ -2688,3 +2688,78 @@ def order_total_audit(orders_ds, lineitem_ds, *, num_partitions=None):
             "max_abs_diff_c6": pc.cast(
                 b.column("max(max_abs_diff_c6)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def union_by_name(*datasets):
+    """UNION ALL BY NAME across Datasets with drifting schemas — the
+    crawl-snapshot ingestion case (a column added or dropped between
+    crawls must not break the union).  Each input is map-projected onto
+    the merged column set (missing columns become typed nulls; column
+    order normalized to the merged order) and the results chain through
+    Dataset.union, which is metadata-only — no data moves.
+
+    Type policy: a column appearing in several inputs must carry the
+    same Arrow type in all of them (the caller owns coercion);
+    first-seen type wins for the null fill of absent columns."""
+    def _arrow_type(t):
+        # pandas-backed blocks report numpy dtypes / python classes;
+        # parquet-backed ones report Arrow DataTypes — normalize so the
+        # null fill is always a typed Arrow array (object dtype means
+        # strings by this repo's conventions)
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t) if not isinstance(t, np.dtype) else t
+        if dt.kind == "O":
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    merged: dict = {}
+    schemas = []
+    for ds in datasets:
+        sch = ds.schema()
+        schemas.append(sch)
+        for name, typ in zip(sch.names, sch.types):
+            merged.setdefault(name, _arrow_type(typ))
+    names = list(merged)
+
+    def project(sch):
+        have = set(sch.names)
+
+        def _batch(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = []
+            for name in names:
+                if name in have:
+                    cols.append(b.column(name))
+                else:
+                    cols.append(pa.nulls(n, merged[name]))
+            return pa.Table.from_arrays(cols, names=names)
+        return _batch
+
+    parts = [ds.map_batches(project(sch), batch_format="pyarrow")
+             for ds, sch in zip(datasets, schemas)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def column_completeness(ds, count_cols):
+    """Per-column non-null counts + total rows in ONE map-side combine
+    pass -> single row (n_rows, <col>_nonnull ...).  The schema-drift
+    audit that pairs with union_by_name."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        data = {"n_rows": pa.array([len(b)], pa.int64())}
+        for c in count_cols:
+            nn = len(b) - b.column(c).null_count
+            data[f"{c}_nonnull"] = pa.array([nn], pa.int64())
+        return pa.table(data)
+
+    aggs = [Sum("n_rows")] + [Sum(f"{c}_nonnull") for c in count_cols]
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    row = {"n_rows": int(agg.get("sum(n_rows)", 0) or 0)}
+    for c in count_cols:
+        row[f"{c}_nonnull"] = int(agg.get(f"sum({c}_nonnull)", 0) or 0)
+    return pd.DataFrame([row]).astype(np.int64)

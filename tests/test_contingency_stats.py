@@ -128,3 +128,26 @@ class TestOovRate:
         assert out["s2"]["n_tokens"] == 4
         assert out["s2"]["oov_tokens"] == 2  # z, q
         assert out["s2"]["oov_ppm"] == 500_000
+
+
+class TestUnionByName:
+    def test_schema_drift_union(self, ray_session):
+        from pdf_extract_ray.ops.relational import union_by_name
+        a = ray.data.from_pandas(pd.DataFrame(
+            {"id": [1, 2], "x": ["p", "q"]}))
+        b = ray.data.from_pandas(pd.DataFrame(
+            {"id": [3], "y": [7]}))
+        u = union_by_name(a, b)
+        rows = sorted(u.take_all(), key=lambda r: r["id"])
+        assert [r["id"] for r in rows] == [1, 2, 3]
+        assert rows[0]["x"] == "p" and rows[0]["y"] is None
+        assert rows[2]["x"] is None and rows[2]["y"] == 7
+
+    def test_column_completeness(self, ray_session):
+        from pdf_extract_ray.ops.relational import column_completeness
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"a": [1, None, 3], "b": [None, None, "z"]}))
+        out = column_completeness(ds, ["a", "b"])
+        assert out.iloc[0]["n_rows"] == 3
+        assert out.iloc[0]["a_nonnull"] == 2
+        assert out.iloc[0]["b_nonnull"] == 1
