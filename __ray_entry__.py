@@ -3587,6 +3587,45 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_robots_audit(sf_dir: str):
+    """robots.txt-style disallow filtering: hosts whose source name has
+    even length disallow path prefixes /p0/ /p1/ /p2/; per-host
+    allowed/blocked counts.  The rule table is tiny by nature — built
+    from the distinct sources (one combinable count) and broadcast via
+    ray.put; the URL pass is map-only (ops/weburl.robots_filter), the
+    final count one (host) groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_extract_ray.ops import weburl
+
+    srcs = [r["source"] or ""
+            for r in _read(sf_dir, "documents", columns=["source"])
+            .groupby("source").count().take_all()]
+    rules = [(s.lower() + ".example.com", f"/p{d}/")
+             for s in sorted(srcs) if len(s) % 2 == 0 for d in range(3)]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(df):
+        did = df["doc_id"].fillna(0).astype(np.int64)
+        src = df["source"].fillna("").astype(str).str.lower()
+        return pd.DataFrame({
+            "url": "https://" + src + ".example.com/p"
+                   + (did % 13).astype(str) + "/x.html"})
+
+    flagged = weburl.robots_filter(
+        ds.map_batches(build, batch_format="pandas"), rules)
+    rows = flagged.groupby("host") \
+        .aggregate(Count(), Sum("blocked")).take_all()
+    df = _df_from_rows(rows, ["host", "count()", "sum(blocked)"]) \
+        .rename(columns={"count()": "n_urls", "sum(blocked)": "n_blocked"})
+    df["n_urls"] = df["n_urls"].astype(np.int64)
+    df["n_blocked"] = df["n_blocked"].astype(np.int64)
+    df["n_allowed"] = (df["n_urls"] - df["n_blocked"]).astype(np.int64)
+    return df[["host", "n_urls", "n_allowed", "n_blocked"]]
+
+
 def _q_snapshot_schema_union(sf_dir: str):
     """Schema-drift ingestion: two crawl snapshots with different
     column sets union BY NAME (missing columns -> typed nulls,
@@ -3842,6 +3881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "robots_audit": _q_robots_audit,
         "snapshot_schema_union": _q_snapshot_schema_union,
         "trimmed_mean_chars": _q_trimmed_mean_chars,
         "oov_rate_report": _q_oov_rate_report,
@@ -4758,6 +4798,19 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "robots_audit": """
+            WITH m AS (
+              SELECT lower(COALESCE(source, '')) || '.example.com'
+                         AS host,
+                     CASE WHEN length(COALESCE(source, '')) % 2 = 0
+                               AND doc_id % 13 IN (0, 1, 2)
+                          THEN 1 ELSE 0 END AS blocked
+              FROM documents)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(*) - sum(blocked) AS BIGINT) AS n_allowed,
+                   CAST(sum(blocked) AS BIGINT) AS n_blocked
+            FROM m GROUP BY host
         """,
         "snapshot_schema_union": """
             WITH a AS (SELECT doc_id, text, lang FROM documents

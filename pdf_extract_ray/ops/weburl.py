@@ -187,3 +187,36 @@ def normalized_dedup_stats(ds, url_col: str = "url"):
             n_distinct=("norm_url", "nunique"),
             first_url=("norm_url", "min"))
     return per_url.groupby("host").map_groups(_roll, batch_format="pandas")
+
+
+def robots_filter(ds, rules, url_col: str = "url"):
+    """robots.txt-style URL filtering: `rules` is a small list of
+    (host, path_prefix) disallow pairs, broadcast once via ray.put; a
+    URL is blocked when its host has a rule whose prefix starts its
+    path.  Map-only: per batch, one parse pass, then one vectorized
+    startswith per DISTINCT prefix (rule sets are tiny by nature —
+    the loop is over rule prefixes, never rows).  Appends a `blocked`
+    int64 column (1 = disallowed)."""
+    import ray
+
+    by_prefix: dict = {}
+    for host, prefix in rules:
+        by_prefix.setdefault(prefix, set()).add(host)
+    rules_ref = ray.put({p: np.array(sorted(hs), dtype=object)
+                         for p, hs in by_prefix.items()})
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(rules_ref)
+        parts = parse_url_frame(df[url_col])
+        host = parts["host"].fillna("")
+        path = parts["path"].fillna("")
+        blocked = np.zeros(len(df), dtype=bool)
+        for prefix, hosts in table.items():
+            blocked |= (path.str.startswith(prefix)
+                        & host.isin(hosts)).to_numpy()
+        out = df.copy()
+        out["host"] = host.to_numpy()
+        out["blocked"] = blocked.astype(np.int64)
+        return out
+
+    return ds.map_batches(_batch, batch_format="pandas")

@@ -110,3 +110,30 @@ class TestPagesCorpus:
         assert row["host"] == "example.org"
         assert row["n_docs"] == 60
         assert row["depth_sum"] == 120  # /doc/NNNNNN -> depth 2 each
+
+
+class TestRobotsFilter:
+    def test_prefix_and_host_scoping(self, ray_session):
+        import ray
+        rules = [("a.com", "/private/"), ("a.com", "/tmp/")]
+        ds = ray.data.from_pandas(pd.DataFrame({"url": [
+            "https://a.com/private/x.html",   # blocked
+            "https://a.com/privateer/x.html", # prefix has trailing /
+            "https://b.com/private/x.html",   # other host: allowed
+            "https://a.com/tmp/y",            # blocked
+            "https://a.com/pub/z",            # allowed
+        ]}))
+        out = weburl.robots_filter(ds, rules).take_all()
+        got = {r["url"]: r["blocked"] for r in out}
+        assert got["https://a.com/private/x.html"] == 1
+        assert got["https://a.com/privateer/x.html"] == 0
+        assert got["https://b.com/private/x.html"] == 0
+        assert got["https://a.com/tmp/y"] == 1
+        assert got["https://a.com/pub/z"] == 0
+
+    def test_empty_rules_allows_all(self, ray_session):
+        import ray
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"url": ["https://a.com/x"]}))
+        out = weburl.robots_filter(ds, []).take_all()
+        assert out[0]["blocked"] == 0
