@@ -3587,6 +3587,19 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_crawlprep(sf_dir: str):
+    """Crawl-prep composed chain over the pages corpus: canonical-URL
+    normalize -> robots disallow (block the first ten /doc/00000x
+    pages) -> canonical-url dedup (one hash pass) -> extraction on the
+    survivors only (pipelines/crawlprep.py).  Extraction semantics are
+    test-frozen, not SQL-expressible -> rows-only check."""
+    import ray
+    from pdf_extract_ray.pipelines.crawlprep import crawlprep_dataset
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return crawlprep_dataset(
+        ds, rules=[("example.org", "/doc/00000")], num_partitions=8)
+
+
 def _q_robots_audit(sf_dir: str):
     """robots.txt-style disallow filtering: hosts whose source name has
     even length disallow path prefixes /p0/ /p1/ /p2/; per-host
@@ -3881,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "crawlprep": _q_crawlprep,
         "robots_audit": _q_robots_audit,
         "snapshot_schema_union": _q_snapshot_schema_union,
         "trimmed_mean_chars": _q_trimmed_mean_chars,

@@ -137,3 +137,43 @@ class TestRobotsFilter:
             {"url": ["https://a.com/x"]}))
         out = weburl.robots_filter(ds, []).take_all()
         assert out[0]["blocked"] == 0
+
+
+class TestCrawlprep:
+    def test_robots_dedup_then_extract(self, ray_session):
+        """Planted noisy corpus: duplicates by canonical url keep
+        exactly one survivor; robots-disallowed pages never reach the
+        extractor; survivor extraction matches direct extraction."""
+        import ray
+        from pdf_extract_ray.data.pages import make_payload
+        from pdf_extract_ray.pipelines.crawlprep import crawlprep_dataset
+
+        payload = make_payload(3)
+        rows = pd.DataFrame({
+            "url": [
+                "https://A.site.com:443/a/x.html?utm_s=1",  # dup of next
+                "https://a.site.com/a/x.html",
+                "https://a.site.com/private/secret.html",   # blocked
+                "https://b.site.com/ok.html",
+            ],
+            "html": [payload] * 4,
+        })
+        out = crawlprep_dataset(
+            ray.data.from_pandas(rows),
+            rules=[("a.site.com", "/private/")],
+            num_partitions=2).take_all()
+        urls = sorted(r["url"] for r in out)
+        # canonical dup: min original url survives ("https://A..." <
+        # "https://a..." bytewise)
+        assert urls == ["https://A.site.com:443/a/x.html?utm_s=1",
+                        "https://b.site.com/ok.html"]
+        assert all(r["status"] == "ok" for r in out)
+
+    def test_no_rules_pass_through_counts(self, ray_session):
+        import ray
+        from pdf_extract_ray.data.pages import pages_parquet_path
+        from pdf_extract_ray.pipelines.crawlprep import crawlprep_dataset
+        path = pages_parquet_path(40)
+        ds = ray.data.read_parquet(path, columns=["url", "html"])
+        out = crawlprep_dataset(ds, num_partitions=2)
+        assert out.count() == 40  # unique urls, nothing dropped
