@@ -3587,6 +3587,15 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_session_stats(sf_dir: str):
+    """Session-level rollup of the 30-minute gap sessionization:
+    bounce rate, max/mean session length (ops/events.session_stats;
+    4-number partial per partition)."""
+    from pdf_extract_ray.ops.events import session_stats
+    return session_stats(_read(sf_dir, "events",
+                               columns=["user_id", "ts"]))
+
+
 def _q_crawlprep(sf_dir: str):
     """Crawl-prep composed chain over the pages corpus: canonical-URL
     normalize -> robots disallow (block the first ten /doc/00000x
@@ -3894,6 +3903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "session_stats": _q_session_stats,
         "crawlprep": _q_crawlprep,
         "robots_audit": _q_robots_audit,
         "snapshot_schema_union": _q_snapshot_schema_union,
@@ -4812,6 +4822,34 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "session_stats": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                         AS sess_id
+              FROM d),
+            sess AS (
+              SELECT user_id, sess_id, count(*) AS len
+              FROM s GROUP BY user_id, sess_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS bounce_ppm,
+                   CAST(max(len) AS BIGINT) AS max_session_events,
+                   CAST(sum(len) * 1000 // count(*) AS BIGINT)
+                       AS avg_session_events_milli
+            FROM sess
         """,
         "robots_audit": """
             WITH m AS (

@@ -1115,3 +1115,54 @@ def user_value_integral(ds, *, n_parts: int = 32):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_part,
                                  n_parts=n_parts)
+
+
+def session_stats(ds, gap_minutes: int = 30):
+    """Session-level funnel health in ONE row: total sessions, bounce
+    sessions (exactly one event), bounce ppm, the largest session, and
+    mean session length in milli-events -> (n_sessions, n_bounce,
+    bounce_ppm, max_session_events, avg_session_events_milli).
+
+    Same partitioning contract as sessionize (users hash into bounded
+    partitions; events of one user in one partition — the salted lift
+    applies identically).  Per partition: ONE (user, ts) lexsort +
+    reduceat over session starts gives per-SESSION event counts; only
+    a 4-number partial leaves each partition."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_sessions": "int64", "n_bounce": "int64",
+                "n_events": "int64", "max_len": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, user))
+        u, t = user[order], ts[order]
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        lens = np.diff(np.r_[starts, n])
+        return pd.DataFrame({"n_sessions": [len(starts)],
+                             "n_bounce": [int((lens == 1).sum())],
+                             "n_events": [n],
+                             "max_len": [int(lens.max())]}).astype(cols)
+
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _grouped_by_partition
+    parts = _grouped_by_partition(ds, ["user_id"], per_part, n_parts=32)
+    agg = parts.aggregate(Sum("n_sessions"), Sum("n_bounce"),
+                          Sum("n_events"), Max("max_len"))
+    ns = int(agg.get("sum(n_sessions)") or 0)
+    nb = int(agg.get("sum(n_bounce)") or 0)
+    ne = int(agg.get("sum(n_events)") or 0)
+    ml = int(agg.get("max(max_len)") or 0)
+    return pd.DataFrame([{
+        "n_sessions": ns, "n_bounce": nb,
+        "bounce_ppm": nb * 1_000_000 // ns if ns else 0,
+        "max_session_events": ml,
+        "avg_session_events_milli": ne * 1000 // ns if ns else 0,
+    }]).astype(np.int64)

@@ -151,3 +151,21 @@ class TestUnionByName:
         assert out.iloc[0]["n_rows"] == 3
         assert out.iloc[0]["a_nonnull"] == 2
         assert out.iloc[0]["b_nonnull"] == 1
+
+
+class TestSessionStats:
+    def test_hand_sessions(self, ray_session):
+        from pdf_extract_ray.ops.events import session_stats
+        ts = pd.to_datetime([
+            "2026-01-01 10:00", "2026-01-01 10:10",  # u1 sess A (2)
+            "2026-01-01 12:00",                      # u1 sess B (1)
+            "2026-01-01 09:00",                      # u2 sess C (1)
+        ])
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"user_id": [1, 1, 1, 2], "ts": ts}))
+        out = session_stats(ds).iloc[0]
+        assert out["n_sessions"] == 3
+        assert out["n_bounce"] == 2
+        assert out["bounce_ppm"] == 666_666
+        assert out["max_session_events"] == 2
+        assert out["avg_session_events_milli"] == 1333
