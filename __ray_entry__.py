@@ -3587,6 +3587,33 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_sentence_stats(sf_dir: str):
+    """Sentence-count aggregates per source ('. '-delimited sentence
+    rule = string_split parity, empty text counts 1 like SQL's
+    ['']-split): map-side combine, one tiny groupby."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column("text"), "")
+        n_sent = pc.cast(pc.add(pc.count_substring(text, ". "), 1),
+                         pa.int64())
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()), "")
+        return pa.table({"source": src, "n_sent": n_sent})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(Count(), Sum("n_sent"), Max("n_sent")).take_all()
+    df = _df_from_rows(rows, ["source", "count()", "sum(n_sent)",
+                              "max(n_sent)"]).rename(
+        columns={"count()": "n_docs", "sum(n_sent)": "total_sentences",
+                 "max(n_sent)": "max_sentences"})
+    for c in ("n_docs", "total_sentences", "max_sentences"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_session_stats(sf_dir: str):
     """Session-level rollup of the 30-minute gap sessionization:
     bounce rate, max/mean session length (ops/events.session_stats;
@@ -3903,6 +3930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "sentence_stats": _q_sentence_stats,
         "session_stats": _q_session_stats,
         "crawlprep": _q_crawlprep,
         "robots_audit": _q_robots_audit,
@@ -4822,6 +4850,17 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "sentence_stats": """
+            WITH s AS (
+              SELECT COALESCE(source, '') AS source,
+                     CAST(len(string_split(COALESCE(text, ''), '. '))
+                          AS BIGINT) AS n_sent
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+                   CAST(max(n_sent) AS BIGINT) AS max_sentences
+            FROM s GROUP BY source
         """,
         "session_stats": """
             WITH d AS (
