@@ -3587,6 +3587,101 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_tld_rollup(sf_dir: str):
+    """Top-level-domain rollup: parse hosts out of built URLs (tld
+    varies by doc_id%4), then hosts-and-docs per TLD — the standard
+    two-level (tld, host) pre-aggregate so the exchange carries one
+    row per host, and the TLD suffix comes from a genuine regex
+    extract over the parsed host."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops import weburl
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    tlds = np.array(["com", "org", "net", "io"], dtype=object)
+
+    def build(df):
+        did = df["doc_id"].fillna(0).astype(np.int64)
+        src = df["source"].fillna("").astype(str).str.lower()
+        return pd.DataFrame({
+            "url": "https://" + src + ".example."
+                   + pd.Series(tlds[(did % 4).to_numpy()],
+                               index=df.index) + "/"})
+
+    def per_host(df):
+        parts = weburl.parse_url_frame(df["url"])
+        host = parts["host"].fillna("")
+        g = pd.DataFrame({
+            "tld": host.str.extract(r"\.([^.]+)$", expand=False)
+                       .fillna("").to_numpy(),
+            "host": host.to_numpy()})
+        return g.groupby(["tld", "host"], as_index=False) \
+                .agg(n=("host", "size"))
+
+    hosts = ds.map_batches(build, batch_format="pandas") \
+        .map_batches(per_host, batch_format="pandas") \
+        .groupby(["tld", "host"]).aggregate(Sum("n"))
+
+    def roll(df):
+        return df.groupby("tld", as_index=False).agg(
+            n_hosts=("host", "size"), n_docs=("sum(n)", "sum"))
+
+    rows = hosts.groupby("tld").map_groups(roll, batch_format="pandas") \
+        .take_all()
+    df = _df_from_rows(rows, ["tld", "n_hosts", "n_docs"])
+    df["n_hosts"] = df["n_hosts"].astype(np.int64)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df
+
+
+def _q_orders_profile(sf_dir: str):
+    """Data-profiling pass (pandas-describe analog, long format): one
+    scan of orders emits per-column (n_nonnull, min, max) partial rows
+    per batch; a groupby over the 3-row column dimension combines —
+    nothing but 9 numbers per block ever moves.  Money profiled in
+    exact cents."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cols, nn, mn, mx = [], [], [], []
+        for name in ("o_orderkey", "o_custkey"):
+            v = b.column(name).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ok = v[np.isfinite(v)].astype(np.int64)
+            if len(ok):
+                cols.append(name)
+                nn.append(len(ok))
+                mn.append(int(ok.min()))
+                mx.append(int(ok.max()))
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        pc_ok = p[np.isfinite(p)]
+        if len(pc_ok):
+            cents = np.rint(pc_ok * 100).astype(np.int64)
+            cols.append("o_totalprice_cents")
+            nn.append(len(cents))
+            mn.append(int(cents.min()))
+            mx.append(int(cents.max()))
+        return pa.table({"column": pa.array(cols, pa.string()),
+                         "n_nonnull": pa.array(nn, pa.int64()),
+                         "min_v": pa.array(mn, pa.int64()),
+                         "max_v": pa.array(mx, pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("column") \
+        .aggregate(Sum("n_nonnull"), Min("min_v"), Max("max_v")) \
+        .take_all()
+    df = _df_from_rows(rows, ["column", "sum(n_nonnull)", "min(min_v)",
+                              "max(max_v)"]).rename(
+        columns={"sum(n_nonnull)": "n_nonnull", "min(min_v)": "min_v",
+                 "max(max_v)": "max_v"})
+    for c in ("n_nonnull", "min_v", "max_v"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_sentence_stats(sf_dir: str):
     """Sentence-count aggregates per source ('. '-delimited sentence
     rule = string_split parity, empty text counts 1 like SQL's
@@ -3930,6 +4025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "tld_rollup": _q_tld_rollup,
+        "orders_profile": _q_orders_profile,
         "sentence_stats": _q_sentence_stats,
         "session_stats": _q_session_stats,
         "crawlprep": _q_crawlprep,
@@ -4850,6 +4947,41 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "tld_rollup": """
+            WITH u AS (
+              SELECT lower(COALESCE(source, '')) || '.example.' ||
+                     CASE doc_id % 4 WHEN 0 THEN 'com'
+                                     WHEN 1 THEN 'org'
+                                     WHEN 2 THEN 'net'
+                                     ELSE 'io' END AS host
+              FROM documents),
+            h AS (SELECT host, count(*) AS n FROM u GROUP BY host)
+            SELECT regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(sum(n) AS BIGINT) AS n_docs
+            FROM h GROUP BY tld
+        """,
+        "orders_profile": """
+            SELECT 'o_orderkey' AS column,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+                   CAST(min(o_orderkey) AS BIGINT) AS min_v,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(count(o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS BIGINT),
+                   CAST(max(o_custkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_cents',
+                   CAST(count(o_totalprice) AS BIGINT),
+                   CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT),
+                   CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT)
+            FROM orders
         """,
         "sentence_stats": """
             WITH s AS (
