@@ -3587,6 +3587,94 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate (corpus-hygiene headline
+    number): map-side (source, md5) combine -> one bounded groupby ->
+    per-source rollup; dup_ppm = (docs - unique) * 1e6 // docs.  The
+    shuffle carries one digest row per distinct text per block."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _md5_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        h = _md5_batch(b)
+        df = pd.DataFrame({
+            "source": pc.fill_null(pc.cast(b.column("source"),
+                                           pa.string()), "")
+            .to_numpy(zero_copy_only=False),
+            "h": h.column("text_md5").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["source", "h"], as_index=False) \
+              .agg(c=("h", "size"))
+        return pa.table({"source": pa.array(g["source"]),
+                         "h": pa.array(g["h"]),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    per_hash = ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby(["source", "h"]).aggregate(Sum("c"))
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", as_index=False).agg(
+            n_docs=("sum(c)", "sum"), n_unique=("sum(c)", "size"))
+        out["dup_ppm"] = [
+            (int(d) - int(u)) * 1_000_000 // int(d) if d else 0
+            for d, u in zip(out["n_docs"], out["n_unique"])]
+        return out.astype({"n_docs": np.int64, "n_unique": np.int64,
+                           "dup_ppm": np.int64})
+
+    rows = per_hash.groupby("source").map_groups(
+        roll, batch_format="pandas").take_all()
+    df = _df_from_rows(rows, ["source", "n_docs", "n_unique", "dup_ppm"])
+    for c in ("n_docs", "n_unique", "dup_ppm"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series: one
+    bounded hour-keyed count (the events_hourly exchange), then the
+    tiny series resolves on the driver with EXACT integer moment sums
+    and the same IEEE float op order as the SQL — bit-identical
+    double.  Degenerate series (no adjacent-hour pairs or zero
+    variance) emit no row, matching the SQL WHERE gate."""
+    import math
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        return pa.table({"hr": pa.array(t)})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("hr").count().take_all()
+    counts = {int(r["hr"]): int(r["count()"]) for r in rows}
+    xs = [(c, counts[h + 1]) for h, c in counts.items()
+          if h + 1 in counts]
+    out_cols = {"n_pairs": np.int64, "lag1_corr": np.float64}
+    if not xs:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in out_cols.items()})
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if n <= 1 or vx <= 0 or vy <= 0:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in out_cols.items()})
+    corr = float(n * sxy - sx * sy) / (math.sqrt(float(vx))
+                                       * math.sqrt(float(vy)))
+    return pd.DataFrame([{"n_pairs": np.int64(n),
+                          "lag1_corr": np.float64(corr)}])
+
+
 def _q_tld_rollup(sf_dir: str):
     """Top-level-domain rollup: parse hosts out of built URLs (tld
     varies by doc_id%4), then hosts-and-docs per TLD — the standard
@@ -4025,6 +4113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "hourly_autocorr": _q_hourly_autocorr,
         "tld_rollup": _q_tld_rollup,
         "orders_profile": _q_orders_profile,
         "sentence_stats": _q_sentence_stats,
@@ -4947,6 +5037,42 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "dup_rate_by_source": """
+            WITH g AS (
+              SELECT COALESCE(source, '') AS source,
+                     COALESCE(text, '') AS t, count(*) AS c
+              FROM documents GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST((sum(c) - count(*)) * 1000000 // sum(c)
+                        AS BIGINT) AS dup_ppm
+            FROM g GROUP BY source
+        """,
+        "hourly_autocorr": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hr,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY hr),
+            p AS (
+              SELECT a.c AS x, b.c AS y
+              FROM h a JOIN h b ON b.hr = a.hr + INTERVAL 1 HOUR),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM p)
+            SELECT n AS n_pairs,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS lag1_corr
+            FROM s
+            WHERE n > 1 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
         """,
         "tld_rollup": """
             WITH u AS (

@@ -171,7 +171,8 @@ def run_ops(sf_dir: str):
              "geomean_chars_by_source", "oov_rate_report",
              "trimmed_mean_chars", "snapshot_schema_union",
              "robots_audit", "crawlprep", "session_stats", "sentence_stats",
-             "orders_profile", "tld_rollup"]
+             "orders_profile", "tld_rollup",
+             "dup_rate_by_source", "hourly_autocorr"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -648,9 +648,13 @@ def drop_rows_by_id(ds, drop_ids, *, id_col: str = "doc_id",
     if n_drop == 0:
         return ds
     if n_drop <= broadcast_limit:
-        chunks = [b.column("doc_id").to_numpy(zero_copy_only=False)
-                  for b in drop_ids.iter_batches(batch_format="pyarrow")]
-        ref = ray.put(pa.array(np.concatenate(chunks), pa.int64()))
+        # type-preserving concat: the drop column may be int64 doc ids
+        # or string urls — is_in and the anti join handle both.  Empty
+        # blocks can carry a null-typed column (pandas-object schema
+        # loss) — skip them; n_drop > 0 guarantees a real chunk exists
+        chunks = [c for b in drop_ids.iter_batches(batch_format="pyarrow")
+                  for c in b.column("doc_id").chunks if len(c)]
+        ref = ray.put(pa.concat_arrays(chunks))
 
         def not_dropped(batch: pa.Table) -> pa.Table:
             mask = pc.invert(pc.is_in(batch.column(id_col),

@@ -169,3 +169,37 @@ class TestSessionStats:
         assert out["bounce_ppm"] == 666_666
         assert out["max_session_events"] == 2
         assert out["avg_session_events_milli"] == 1333
+
+
+class TestDupRateAutocorr:
+    def test_dup_rate_small(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a", "a", "b", "c"],
+            "source": ["s", "s", "s", "t"],
+            "lang": ["en"] * 4,
+            "n_chars": [1] * 4,
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["dup_rate_by_source"](str(tmp_path))
+        row = out.set_index("source").loc["s"]
+        assert row["n_docs"] == 3 and row["n_unique"] == 2
+        assert row["dup_ppm"] == 333_333
+        assert out.set_index("source").loc["t"]["dup_ppm"] == 0
+
+    def test_hourly_autocorr_matches_duckdb(self, ray_session):
+        import duckdb
+        import __ray_entry__ as entry
+        sf = "/root/testdata/sf0.001"
+        got = entry.queries()["hourly_autocorr"](sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        want = con.execute(entry.oracle_sql()["hourly_autocorr"]).fetchdf()
+        assert len(got) == len(want) == 1
+        assert int(got["n_pairs"].iloc[0]) == int(want["n_pairs"].iloc[0])
+        # bit-identical float discipline (same IEEE op order)
+        assert got["lag1_corr"].iloc[0] == want["lag1_corr"].iloc[0]

@@ -177,3 +177,33 @@ class TestCrawlprep:
         ds = ray.data.read_parquet(path, columns=["url", "html"])
         out = crawlprep_dataset(ds, num_partitions=2)
         assert out.count() == 40  # unique urls, nothing dropped
+
+
+def test_crawlprep_checkpointed_resume(ray_session, tmp_path):
+    """Two-phase resumable crawl-prep: urlprep writes survivors + an
+    atomic marker; extraction reuses the per-partition manifest
+    machinery.  Resume must re-pay NEITHER phase."""
+    import os
+
+    from pdf_extract_ray.data.pages import pages_parquet_path
+    from pdf_extract_ray.pipelines.crawlprep import run_crawlprep
+    src = pages_parquet_path(120, n_giants=0, n_shards=2)
+    out = str(tmp_path / "cp")
+
+    m1 = run_crawlprep(src, out,
+                       rules=[("example.org", "/doc/00000")],
+                       num_partitions=4)
+    assert m1["urlprep"]["rows_in"] == 120
+    assert m1["urlprep"]["dropped"] == 10     # /doc/00000x blocked
+    assert m1["urlprep"]["survivors"] == 110
+    assert m1["urlprep"]["wall_s"] > 0
+    assert m1["extract"]["partitions"] >= 1
+
+    # full resume: both markers short-circuit
+    m2 = run_crawlprep(src, out,
+                       rules=[("example.org", "/doc/00000")],
+                       num_partitions=4)
+    assert m2["urlprep"] == m1["urlprep"]
+    assert m2["extract"]["skipped_partitions"] \
+        == m1["extract"]["partitions"] + m1["extract"].get(
+            "skipped_partitions", 0)
