@@ -3587,6 +3587,66 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a 10k-page crawl
+    budget across sources proportional to doc counts — EXACT integers:
+    base = B*c // T, the B - sum(base) leftover units go to the largest
+    remainders (ties: source asc).  One tiny per-source count; the
+    apportionment itself runs on the |sources|-row table."""
+    import pandas as pd
+    B = 10_000
+    rows = _read(sf_dir, "documents", columns=["source"]) \
+        .groupby("source").count().take_all()
+    cols = {"source": object, "n_docs": np.int64, "quota": np.int64}
+    if not rows:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    df = pd.DataFrame([{"source": r["source"] if r["source"] is not None
+                        else "", "n": int(r["count()"])} for r in rows])
+    T = int(df["n"].sum())
+    df["base"] = [B * int(c) // T for c in df["n"]]
+    df["rem"] = [B * int(c) % T for c in df["n"]]
+    extra = B - int(df["base"].sum())
+    order = df.sort_values(["rem", "source"],
+                           ascending=[False, True]).index.to_numpy()
+    quota = df["base"].to_numpy().copy()
+    quota[order[:extra]] += 1
+    out = pd.DataFrame({"source": df["source"],
+                        "n_docs": df["n"].astype(np.int64),
+                        "quota": quota.astype(np.int64)})
+    return out.reset_index(drop=True)
+
+
+def _q_event_bigram_perplexity(sf_dir: str):
+    """Markov bigram perplexity of the event-type streams: transition
+    cells from the oracle-tested event_transitions op (|types|^2 rows),
+    then exp(-sum(c*ln(c/row_tot))/N) on the tiny cell table in sorted
+    cell order, reported as round-half-up micro units."""
+    import math
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.events import event_transitions
+    cells = event_transitions(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])) \
+        .take_all()
+    out_cols = {"n_transitions": np.int64, "perplexity_micro": np.int64}
+    if not cells:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in out_cols.items()})
+    df = pd.DataFrame(cells).sort_values(
+        ["prev_type", "event_type"]).reset_index(drop=True)
+    tot = df.groupby("prev_type")["n_transitions"].transform("sum")
+    n = int(df["n_transitions"].sum())
+    ll = 0.0
+    for c, t in zip(df["n_transitions"], tot):
+        ll += int(c) * math.log(int(c) / int(t))
+    ppx = math.floor(math.exp(-ll / n) * 1_000_000 + 0.5)
+    return pd.DataFrame([{"n_transitions": np.int64(n),
+                          "perplexity_micro": np.int64(ppx)}])
+
+
 def _q_dup_rate_by_source(sf_dir: str):
     """Per-source exact-duplicate rate (corpus-hygiene headline
     number): map-side (source, md5) combine -> one bounded groupby ->
@@ -4113,6 +4173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "crawl_budget": _q_crawl_budget,
+        "event_bigram_perplexity": _q_event_bigram_perplexity,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "hourly_autocorr": _q_hourly_autocorr,
         "tld_rollup": _q_tld_rollup,
@@ -5037,6 +5099,46 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "crawl_budget": """
+            WITH c AS (SELECT COALESCE(source, '') AS source,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                         CAST(10000 AS BIGINT) AS b FROM c),
+            a AS (SELECT source, n,
+                         CAST(b * n // tot AS BIGINT) AS base,
+                         CAST(b * n % tot AS BIGINT) AS rem
+                  FROM c CROSS JOIN t),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY rem DESC, source ASC) AS rk FROM a),
+            e AS (SELECT CAST((SELECT b FROM t)
+                              - (SELECT sum(base) FROM a) AS BIGINT)
+                             AS extra)
+            SELECT source, n AS n_docs,
+                   CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                        AS BIGINT) AS quota
+            FROM r CROSS JOIN e
+        """,
+        "event_bigram_perplexity": """
+            WITH x AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+                       FROM events),
+            cnt AS (SELECT prev_type, event_type,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM x WHERE prev_type IS NOT NULL
+                    GROUP BY prev_type, event_type),
+            tot AS (SELECT prev_type, CAST(sum(c) AS BIGINT) AS tp
+                    FROM cnt GROUP BY prev_type),
+            s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         sum(c * ln(CAST(c AS DOUBLE) / tp)) AS ll
+                  FROM cnt JOIN tot USING (prev_type))
+            SELECT n AS n_transitions,
+                   CAST(floor(exp(-ll / n) * 1000000 + 0.5) AS BIGINT)
+                       AS perplexity_micro
+            FROM s WHERE n > 0
         """,
         "dup_rate_by_source": """
             WITH g AS (

@@ -172,7 +172,8 @@ def run_ops(sf_dir: str):
              "trimmed_mean_chars", "snapshot_schema_union",
              "robots_audit", "crawlprep", "session_stats", "sentence_stats",
              "orders_profile", "tld_rollup",
-             "dup_rate_by_source", "hourly_autocorr"]
+             "dup_rate_by_source", "hourly_autocorr",
+             "crawl_budget", "event_bigram_perplexity"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -203,3 +203,47 @@ class TestDupRateAutocorr:
         assert int(got["n_pairs"].iloc[0]) == int(want["n_pairs"].iloc[0])
         # bit-identical float discipline (same IEEE op order)
         assert got["lag1_corr"].iloc[0] == want["lag1_corr"].iloc[0]
+
+
+class TestCrawlBudget:
+    def test_hamilton_apportionment_sums_to_budget(self, ray_session,
+                                                   tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        # 3/3/1 docs over 10000 -> base 4285/4285/1428 (sum 9998),
+        # two leftovers by remainder: rem 5,5,4 -> a,b get +1
+        t = pa.table({"doc_id": list(range(7)),
+                      "text": ["x"] * 7,
+                      "source": ["a"] * 3 + ["b"] * 3 + ["c"],
+                      "lang": ["en"] * 7,
+                      "n_chars": [1] * 7})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["crawl_budget"](str(tmp_path)) \
+            .set_index("source")
+        assert int(out["quota"].sum()) == 10_000
+        assert out.loc["a"]["quota"] == 4286
+        assert out.loc["b"]["quota"] == 4286
+        assert out.loc["c"]["quota"] == 1428
+
+
+class TestBigramPerplexity:
+    def test_uniform_two_state_chain(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        # one user alternating A,B,A,B... -> every transition prob 1
+        # (A always -> B, B always -> A) -> perplexity exactly 1.0
+        n = 10
+        t = pa.table({
+            "event_id": list(range(n)),
+            "ts": pa.array([1_000_000 * i for i in range(n)],
+                           pa.timestamp("us")),
+            "user_id": [1] * n,
+            "event_type": ["A", "B"] * (n // 2),
+            "value": [1.0] * n,
+            "props": ["{}"] * n})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["event_bigram_perplexity"](str(tmp_path))
+        assert int(out["n_transitions"].iloc[0]) == n - 1
+        assert int(out["perplexity_micro"].iloc[0]) == 1_000_000
