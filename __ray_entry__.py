@@ -3587,6 +3587,79 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_harmonic_mean_chars(sf_dir: str):
+    """Harmonic mean document length per source (the third Pythagorean
+    mean beside mean/geomean): distributed (sum 1/x, n) partials, milli
+    round-half-up — the grouped_geomean float discipline."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()), "") \
+            .to_numpy(zero_copy_only=False)
+        v = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mask = np.isfinite(v) & (v > 0)
+        df = pd.DataFrame({
+            "source": src,
+            "inv": np.where(mask, 1.0 / np.where(mask, v, 1.0), 0.0),
+            "n": mask.astype(np.int64)})
+        g = df.groupby("source", sort=False, as_index=False).sum()
+        return pa.table({"source": pa.array(g["source"]),
+                         "invsum": pa.array(g["inv"].to_numpy(np.float64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("invsum"), Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import math
+        s = pc.cast(b.column("sum(invsum)"), pa.float64()).to_numpy()
+        n = pc.cast(b.column("sum(n)"), pa.int64()).to_numpy()
+        keep = n > 0
+        hm = [math.floor(k / x * 1000 + 0.5)
+              for x, k in zip(s[keep], n[keep])]
+        return pa.table({"source": b.column("source").filter(
+                             pa.array(keep)),
+                         "n_pos": pa.array(n[keep]),
+                         "harmonic_mean_milli": pa.array(
+                             np.array(hm, np.int64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_host_balance_gini(sf_dir: str):
+    """Gini COEFFICIENT of the docs-per-host distribution (crawl-skew
+    headline: 0 = perfectly balanced hosts, ->1 = one host dominates).
+    EXACT integers end to end: per-host counts (bounded groupby), then
+    the order-statistic identity sum_i (2i-n+1) x_(i) for the Gini
+    mean difference on the tiny host table, gini_ppm =
+    gmd_num * 1e6 // (n_pairs * 2 * mean) with mean folded in as
+    integer cross-multiplication."""
+    import pandas as pd
+    rows = _read(sf_dir, "documents", columns=["source"]) \
+        .groupby("source").count().take_all()
+    cols = {"n_hosts": np.int64, "n_docs": np.int64, "gini_ppm": np.int64}
+    if not rows:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    counts = sorted(int(r["count()"]) for r in rows)
+    n = len(counts)
+    total = sum(counts)
+    if n < 2 or total == 0:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    gmd_num = sum((2 * i - n + 1) * x for i, x in enumerate(counts))
+    n_pairs = n * (n - 1) // 2
+    # gini = (gmd_num / n_pairs) / (2 * total / n)
+    gini_ppm = gmd_num * n * 1_000_000 // (n_pairs * 2 * total)
+    return pd.DataFrame([{"n_hosts": np.int64(n),
+                          "n_docs": np.int64(total),
+                          "gini_ppm": np.int64(gini_ppm)}])
+
+
 def _q_crawl_budget(sf_dir: str):
     """Largest-remainder (Hamilton) apportionment of a 10k-page crawl
     budget across sources proportional to doc counts — EXACT integers:
@@ -4173,6 +4246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "harmonic_mean_chars": _q_harmonic_mean_chars,
+        "host_balance_gini": _q_host_balance_gini,
         "crawl_budget": _q_crawl_budget,
         "event_bigram_perplexity": _q_event_bigram_perplexity,
         "dup_rate_by_source": _q_dup_rate_by_source,
@@ -5099,6 +5174,34 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "harmonic_mean_chars": """
+            WITH v AS (SELECT COALESCE(source, '') AS source, n_chars
+                       FROM documents WHERE n_chars > 0)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(floor(count(*) / sum(1.0 / n_chars) * 1000
+                              + 0.5) AS BIGINT)
+                       AS harmonic_mean_milli
+            FROM v GROUP BY source
+        """,
+        "host_balance_gini": """
+            WITH c AS (SELECT count(*) AS n FROM documents
+                       GROUP BY source),
+            o AS (SELECT n,
+                         row_number() OVER (ORDER BY n) - 1 AS i,
+                         count(*) OVER () AS k,
+                         sum(n) OVER () AS tot
+                  FROM c),
+            s AS (SELECT CAST(sum((2 * i - k + 1) * n) AS BIGINT)
+                             AS gmd_num,
+                         CAST(max(k) AS BIGINT) AS k,
+                         CAST(max(tot) AS BIGINT) AS tot
+                  FROM o)
+            SELECT k AS n_hosts, tot AS n_docs,
+                   CAST(gmd_num * k * 1000000
+                        // ((k * (k - 1) // 2) * 2 * tot) AS BIGINT)
+                       AS gini_ppm
+            FROM s WHERE k >= 2 AND tot > 0
         """,
         "crawl_budget": """
             WITH c AS (SELECT COALESCE(source, '') AS source,

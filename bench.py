@@ -173,7 +173,8 @@ def run_ops(sf_dir: str):
              "robots_audit", "crawlprep", "session_stats", "sentence_stats",
              "orders_profile", "tld_rollup",
              "dup_rate_by_source", "hourly_autocorr",
-             "crawl_budget", "event_bigram_perplexity"]
+             "crawl_budget", "event_bigram_perplexity",
+             "harmonic_mean_chars", "host_balance_gini"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

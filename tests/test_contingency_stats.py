@@ -247,3 +247,38 @@ class TestBigramPerplexity:
         out = entry.queries()["event_bigram_perplexity"](str(tmp_path))
         assert int(out["n_transitions"].iloc[0]) == n - 1
         assert int(out["perplexity_micro"].iloc[0]) == 1_000_000
+
+
+class TestHarmonicGini:
+    def test_harmonic_exact(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        # HM(2, 6) = 2/(1/2 + 1/6) = 3.0 -> 3000 milli
+        t = pa.table({"doc_id": [1, 2], "text": ["x", "y"],
+                      "source": ["s", "s"], "lang": ["en"] * 2,
+                      "n_chars": [2, 6]})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["harmonic_mean_chars"](str(tmp_path))
+        row = out.to_pandas().iloc[0] if not hasattr(out, "iloc") \
+            else out.iloc[0]
+        assert row["harmonic_mean_milli"] == 3000
+
+    def test_gini_extremes(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import __ray_entry__ as entry
+        # perfectly balanced: gini 0
+        t = pa.table({"doc_id": [1, 2, 3, 4], "text": ["x"] * 4,
+                      "source": ["a", "a", "b", "b"],
+                      "lang": ["en"] * 4, "n_chars": [1] * 4})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = entry.queries()["host_balance_gini"](str(tmp_path))
+        assert int(out["gini_ppm"].iloc[0]) == 0
+        # skewed 9 vs 1: GMD = 8, mean = 5 -> gini = 8/10 = 0.8
+        t2 = pa.table({"doc_id": list(range(10)), "text": ["x"] * 10,
+                       "source": ["a"] * 9 + ["b"],
+                       "lang": ["en"] * 10, "n_chars": [1] * 10})
+        pq.write_table(t2, str(tmp_path / "documents.parquet"))
+        out2 = entry.queries()["host_balance_gini"](str(tmp_path))
+        assert int(out2["gini_ppm"].iloc[0]) == 800_000
