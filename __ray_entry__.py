@@ -3587,6 +3587,58 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_split_leakage_report(sf_dir: str):
+    """Train/eval contamination audit over the dataset_splits
+    assignment: eval docs whose exact text also appears in train,
+    distinct leaked texts, and train x eval duplicate pairs.  Map-side
+    (md5, n_train, n_eval) combine -> one digest-keyed groupby -> a
+    3-number scalar aggregate; text bytes never shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _md5_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_train = (ids * np.int64(2654435761)) % np.int64(10) < 8
+        h = _md5_batch(b).column("text_md5") \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"h": h,
+                           "n_train": is_train.astype(np.int64),
+                           "n_eval": (~is_train).astype(np.int64)})
+        g = df.groupby("h", as_index=False).sum()
+        return pa.table({"h": pa.array(g["h"]),
+                         "n_train": pa.array(g["n_train"]
+                                             .to_numpy(np.int64)),
+                         "n_eval": pa.array(g["n_eval"]
+                                            .to_numpy(np.int64))})
+
+    per_text = ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n_train"), Sum("n_eval"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tr = pc.cast(b.column("sum(n_train)"), pa.int64()).to_numpy()
+        ev = pc.cast(b.column("sum(n_eval)"), pa.int64()).to_numpy()
+        leaky = tr > 0
+        return pa.table({
+            "eval_docs_leaked": pa.array(
+                [int(ev[leaky].sum())], pa.int64()),
+            "texts_leaked": pa.array(
+                [int((leaky & (ev > 0)).sum())], pa.int64()),
+            "leak_pairs": pa.array([int((tr * ev).sum())], pa.int64())})
+
+    parts = per_text.map_batches(finish, batch_format="pyarrow")
+    agg = parts.aggregate(Sum("eval_docs_leaked"), Sum("texts_leaked"),
+                          Sum("leak_pairs"))
+    return pd.DataFrame([{
+        "eval_docs_leaked": int(agg.get("sum(eval_docs_leaked)") or 0),
+        "texts_leaked": int(agg.get("sum(texts_leaked)") or 0),
+        "leak_pairs": int(agg.get("sum(leak_pairs)") or 0),
+    }]).astype(np.int64)
+
+
 def _q_harmonic_mean_chars(sf_dir: str):
     """Harmonic mean document length per source (the third Pythagorean
     mean beside mean/geomean): distributed (sum 1/x, n) partials, milli
@@ -4246,6 +4298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "split_leakage_report": _q_split_leakage_report,
         "harmonic_mean_chars": _q_harmonic_mean_chars,
         "host_balance_gini": _q_host_balance_gini,
         "crawl_budget": _q_crawl_budget,
@@ -5174,6 +5227,25 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "split_leakage_report": """
+            WITH s AS (
+              SELECT COALESCE(text, '') AS t,
+                     CASE WHEN (doc_id * 2654435761) % 10 < 8
+                          THEN 1 ELSE 0 END AS is_train
+              FROM documents),
+            g AS (
+              SELECT t, CAST(sum(is_train) AS BIGINT) AS n_train,
+                     CAST(sum(1 - is_train) AS BIGINT) AS n_eval
+              FROM s GROUP BY t)
+            SELECT CAST(sum(CASE WHEN n_train > 0 THEN n_eval
+                                 ELSE 0 END) AS BIGINT)
+                       AS eval_docs_leaked,
+                   CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS texts_leaked,
+                   CAST(sum(n_train * n_eval) AS BIGINT) AS leak_pairs
+            FROM g
         """,
         "harmonic_mean_chars": """
             WITH v AS (SELECT COALESCE(source, '') AS source, n_chars

@@ -174,7 +174,8 @@ def run_ops(sf_dir: str):
              "orders_profile", "tld_rollup",
              "dup_rate_by_source", "hourly_autocorr",
              "crawl_budget", "event_bigram_perplexity",
-             "harmonic_mean_chars", "host_balance_gini"]
+             "harmonic_mean_chars", "host_balance_gini",
+             "split_leakage_report"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

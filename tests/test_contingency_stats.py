@@ -282,3 +282,25 @@ class TestHarmonicGini:
         pq.write_table(t2, str(tmp_path / "documents.parquet"))
         out2 = entry.queries()["host_balance_gini"](str(tmp_path))
         assert int(out2["gini_ppm"].iloc[0]) == 800_000
+
+
+class TestSplitLeakage:
+    def test_planted_leak(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        # find ids on both sides of the hash split, plant a shared text
+        train_ids = [i for i in range(40)
+                     if (i * 2654435761) % 10 < 8][:2]
+        eval_ids = [i for i in range(40)
+                    if (i * 2654435761) % 10 >= 8][:2]
+        ids = train_ids + eval_ids
+        texts = ["LEAK", "unique-a", "LEAK", "unique-b"]
+        t = pa.table({"doc_id": ids, "text": texts,
+                      "source": ["s"] * 4, "lang": ["en"] * 4,
+                      "n_chars": [4] * 4})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["split_leakage_report"](str(tmp_path))
+        assert int(out["eval_docs_leaked"].iloc[0]) == 1
+        assert int(out["texts_leaked"].iloc[0]) == 1
+        assert int(out["leak_pairs"].iloc[0]) == 1
