@@ -3587,6 +3587,73 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_char_class_mix(sf_dir: str):
+    """Character-class composition per source (alpha / digit / space /
+    other, integer ppm of total chars): one map pass with vectorized
+    regex-class counts, integer partials, tiny groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        total = text.str.len().to_numpy(np.int64)
+        alpha = text.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        digit = text.str.count(r"[0-9]").to_numpy(np.int64)
+        space = text.str.count(r" ").to_numpy(np.int64)
+        out = pd.DataFrame({
+            "source": df["source"].fillna("").to_numpy(),
+            "n_chars_total": total, "n_alpha": alpha,
+            "n_digit": digit, "n_space": space})
+        return out.groupby("source", as_index=False).sum()
+
+    rows = ds.map_batches(prep, batch_format="pandas") \
+        .groupby("source") \
+        .aggregate(Sum("n_chars_total"), Sum("n_alpha"),
+                   Sum("n_digit"), Sum("n_space")).take_all()
+    df = _df_from_rows(rows, ["source", "sum(n_chars_total)",
+                              "sum(n_alpha)", "sum(n_digit)",
+                              "sum(n_space)"])
+    df.columns = ["source", "n_chars_total", "n_alpha", "n_digit",
+                  "n_space"]
+    for c in ("n_chars_total", "n_alpha", "n_digit", "n_space"):
+        df[c] = df[c].astype(np.int64)
+    t = df["n_chars_total"].to_numpy()
+    for c in ("alpha", "digit", "space"):
+        df[f"{c}_ppm"] = np.array(
+            [int(x) * 1_000_000 // int(k) if k else 0
+             for x, k in zip(df[f"n_{c}"], t)], np.int64)
+    return df[["source", "n_chars_total", "alpha_ppm", "digit_ppm",
+               "space_ppm"]]
+
+
+def _q_host_lorenz(sf_dir: str):
+    """Lorenz curve of the docs-per-host distribution (the curve behind
+    host_balance_gini): at each host decile (hosts sorted by count
+    asc), the cumulative share of docs in integer ppm.  Exact: decile
+    cut i covers the first i*k//10 hosts of the tiny sorted host
+    table."""
+    import pandas as pd
+    rows = _read(sf_dir, "documents", columns=["source"]) \
+        .groupby("source").count().take_all()
+    cols = {"decile": np.int64, "n_hosts_cum": np.int64,
+            "docs_cum": np.int64, "share_ppm": np.int64}
+    if not rows:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    counts = sorted(int(r["count()"]) for r in rows)
+    k, total = len(counts), sum(counts)
+    cum = np.cumsum([0] + counts)
+    out = []
+    for d in range(1, 11):
+        nh = d * k // 10
+        dc = int(cum[nh])
+        out.append({"decile": d, "n_hosts_cum": nh, "docs_cum": dc,
+                    "share_ppm": dc * 1_000_000 // total if total else 0})
+    return pd.DataFrame(out).astype(cols)
+
+
 def _q_split_leakage_report(sf_dir: str):
     """Train/eval contamination audit over the dataset_splits
     assignment: eval docs whose exact text also appears in train,
@@ -4298,6 +4365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "char_class_mix": _q_char_class_mix,
+        "host_lorenz": _q_host_lorenz,
         "split_leakage_report": _q_split_leakage_report,
         "harmonic_mean_chars": _q_harmonic_mean_chars,
         "host_balance_gini": _q_host_balance_gini,
@@ -5227,6 +5296,47 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "char_class_mix": """
+            WITH s AS (SELECT COALESCE(source, '') AS source,
+                              COALESCE(text, '') AS t FROM documents),
+            g AS (SELECT source,
+                         CAST(sum(length(t)) AS BIGINT) AS total,
+                         CAST(sum(length(regexp_replace(
+                             t, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS a,
+                         CAST(sum(length(regexp_replace(
+                             t, '[^0-9]', '', 'g'))) AS BIGINT) AS d,
+                         CAST(sum(length(t)
+                              - length(replace(t, ' ', '')))
+                              AS BIGINT) AS sp
+                  FROM s GROUP BY source)
+            SELECT source, total AS n_chars_total,
+                   CAST(CASE WHEN total > 0 THEN a * 1000000 // total
+                             ELSE 0 END AS BIGINT) AS alpha_ppm,
+                   CAST(CASE WHEN total > 0 THEN d * 1000000 // total
+                             ELSE 0 END AS BIGINT) AS digit_ppm,
+                   CAST(CASE WHEN total > 0 THEN sp * 1000000 // total
+                             ELSE 0 END AS BIGINT) AS space_ppm
+            FROM g
+        """,
+        "host_lorenz": """
+            WITH c AS (SELECT count(*) AS n FROM documents
+                       GROUP BY source),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(n) AS BIGINT) AS tot FROM c),
+            o AS (SELECT n, row_number() OVER (ORDER BY n) AS rn
+                  FROM c),
+            d AS (SELECT unnest(range(1, 11)) AS decile),
+            j AS (SELECT d.decile, s.k, s.tot,
+                         (SELECT COALESCE(sum(o.n), 0) FROM o
+                          WHERE o.rn <= d.decile * s.k // 10) AS dc
+                  FROM d CROSS JOIN s)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(decile * k // 10 AS BIGINT) AS n_hosts_cum,
+                   CAST(dc AS BIGINT) AS docs_cum,
+                   CAST(CASE WHEN tot > 0 THEN dc * 1000000 // tot
+                             ELSE 0 END AS BIGINT) AS share_ppm
+            FROM j
         """,
         "split_leakage_report": """
             WITH s AS (

@@ -304,3 +304,25 @@ class TestSplitLeakage:
         assert int(out["eval_docs_leaked"].iloc[0]) == 1
         assert int(out["texts_leaked"].iloc[0]) == 1
         assert int(out["leak_pairs"].iloc[0]) == 1
+
+
+class TestCharMixLorenz:
+    def test_char_classes(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = pa.table({"doc_id": [1], "text": ["ab 12"],
+                      "source": ["s"], "lang": ["en"], "n_chars": [5]})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["char_class_mix"](str(tmp_path)).iloc[0]
+        assert out["n_chars_total"] == 5
+        assert out["alpha_ppm"] == 400_000
+        assert out["digit_ppm"] == 400_000
+        assert out["space_ppm"] == 200_000
+
+    def test_lorenz_monotone_and_total(self, ray_session):
+        import __ray_entry__ as entry
+        out = entry.queries()["host_lorenz"]("/root/testdata/sf0.001")
+        s = out["share_ppm"].to_numpy()
+        assert (np.diff(s) >= 0).all()
+        assert s[-1] == 1_000_000  # decile 10 covers all docs
