@@ -3449,27 +3449,42 @@ def _q_catalog_rowcounts(sf_dir: str):
 
 def _q_order_size_distribution(sf_dir: str):
     """Two-level aggregate: distribution of lineitem counts per order
-    -> (n_items, n_orders).  Level 1 is ONE native orderkey count
-    (map-side combinable); level 2 histograms the bounded count domain
-    with per-batch bincount partials."""
-    from ray.data.aggregate import Sum
+    -> (n_items, n_orders).  Map-side per-batch orderkey combine (the
+    parquet is order-clustered, so ~1 row per order per block), ONE
+    adaptive hash-partition pass (single-task below 1M rows — skips
+    the native sort-exchange's fixed seconds), per-partition bincount,
+    tiny driver merge.  A/B at sf0.1: 4.3 s -> see BASELINE.md."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
-    per_order = ds.groupby("l_orderkey").count()
 
-    def partial(b: pa.Table) -> pa.Table:
-        c = pc.cast(b.column("count()"), pa.int64()).to_numpy()
-        h = np.bincount(c)
+    def combine(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(k, return_counts=True)
+        return pa.table({"l_orderkey": pa.array(keys.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_items": pd.Series([], np.int64),
+                                 "n": pd.Series([], np.int64)})
+        g = df.groupby("l_orderkey", sort=False)["n"].sum()
+        h = np.bincount(g.to_numpy(np.int64))
         nz = np.flatnonzero(h)
-        return pa.table({"n_items": pa.array(nz.astype(np.int64)),
-                         "n": pa.array(h[nz].astype(np.int64))})
+        return pd.DataFrame({"n_items": nz.astype(np.int64),
+                             "n": h[nz].astype(np.int64)})
 
-    agg = per_order.map_batches(partial, batch_format="pyarrow") \
-        .groupby("n_items").aggregate(Sum("n"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "n_items": b.column("n_items"),
-            "n_orders": pc.cast(b.column("sum(n)"), pa.int64())}),
-        batch_format="pyarrow")
+    hist = _grouped_by_partition(partials, ["l_orderkey"], resolve,
+                                 n_parts=16).take_all()
+    df = _df_from_rows(hist, ["n_items", "n"])
+    out = df.groupby("n_items", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_orders"})
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
 
 
 def _q_stratified_hash_sample(sf_dir: str):
