@@ -207,3 +207,41 @@ def test_crawlprep_checkpointed_resume(ray_session, tmp_path):
     assert m2["extract"]["skipped_partitions"] \
         == m1["extract"]["partitions"] + m1["extract"].get(
             "skipped_partitions", 0)
+
+
+class TestNormalizerProperties:
+    def test_idempotence_over_fuzz_corpus(self):
+        """normalize(normalize(x)) == normalize(x): canonical forms
+        must be fixed points, else crawl dedup depends on how many
+        times a URL passed through the pipeline."""
+        import random
+        rng = random.Random(7)
+        schemes = ["http", "https", "ftp", "ws"]
+        hosts = ["A.B.com", "x.io", "EXAMPLE.org", "h", ""]
+        ports = ["", ":80", ":443", ":8080", ":"]
+        paths = ["", "/", "//a//b", "/x/y.html", "/%20z", "/" * 20]
+        queries = ["", "?a=1", "?utm_a=1", "?utm_a=1&b=2&utm_c=3",
+                   "?a=1&a=2", "?"]
+        frags = ["", "#f", "##", "#a#b"]
+        urls = []
+        for _ in range(500):
+            urls.append(rng.choice(schemes) + "://" + rng.choice(hosts)
+                        + rng.choice(ports) + rng.choice(paths)
+                        + rng.choice(queries) + rng.choice(frags))
+        s = pd.Series(urls)
+        once = weburl.normalize_url_series(s)
+        twice = weburl.normalize_url_series(pd.Series(once.to_numpy()))
+        pd.testing.assert_series_equal(once.reset_index(drop=True),
+                                       twice.reset_index(drop=True))
+
+    def test_total_on_garbage_bytes(self):
+        """Random byte noise must parse to nulls, never raise."""
+        import random
+        rng = random.Random(13)
+        junk = ["".join(chr(rng.randrange(1, 0x300))
+                        for _ in range(rng.randrange(0, 60)))
+                for _ in range(300)]
+        parts = weburl.parse_url_frame(pd.Series(junk))
+        assert len(parts) == 300
+        norm = weburl.normalize_url_series(pd.Series(junk))
+        assert len(norm) == 300
