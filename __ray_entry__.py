@@ -3602,6 +3602,135 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_events_dow_hour(sf_dir: str):
+    """Traffic heatmap: event counts per (day-of-week, hour-of-day) —
+    168-bin bincount partials per batch, one tiny sum (the
+    orders_by_dow discipline in two dimensions)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hours = t // 3_600_000_000
+        days = hours // 24
+        dow = (days + 4) % 7  # epoch day 0 = Thursday = dayofweek 4
+        hr = hours % 24
+        h = np.bincount(dow * 24 + hr, minlength=168).astype(np.int64)
+        cells = np.arange(168, dtype=np.int64)
+        return pa.table({"dow": pa.array(cells // 24),
+                         "hr": pa.array(cells % 24),
+                         "n": pa.array(h)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dow", "hr"]).aggregate(Sum("n")).take_all()
+    df = _df_from_rows(rows, ["dow", "hr", "sum(n)"]).rename(
+        columns={"sum(n)": "n_events"})
+    df = df[df["n_events"] > 0].reset_index(drop=True)
+    for c in ("dow", "hr", "n_events"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_order_sla_breach(sf_dir: str):
+    """Fulfilment-SLA audit: orders whose FIRST shipment left more
+    than 30 days after the order date, breach rate per month in ppm —
+    per-batch min-shipdate combine, ONE orderkey partition pass over
+    the orders+lineitem union, tiny month rollup."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").view(np.int64)
+        return pa.table({"k": b.column("o_orderkey"),
+                         "d": pa.array(d), "side": pa.array(
+                             np.zeros(len(b), np.int64))})
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "d": b.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").view(np.int64)})
+        g = df.groupby("k", as_index=False)["d"].min()
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "d": pa.array(g["d"].to_numpy(np.int64)),
+                         "side": pa.array(np.ones(len(g), np.int64))})
+
+    u = orders.map_batches(o_prep, batch_format="pyarrow").union(
+        items.map_batches(l_prep, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"month": "int64", "n_orders": "int64", "n_breach": "int64"}
+        if not len(df):
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1].groupby("k", as_index=False)["d"].min()
+        m = o.merge(l, on="k", how="inner", suffixes=("_o", "_s"))
+        if not len(m):
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        month = m["d_o"].to_numpy(np.int64) \
+            .view("datetime64[D]").astype("datetime64[M]") \
+            .astype(np.int64)
+        breach = (m["d_s"].to_numpy(np.int64)
+                  - m["d_o"].to_numpy(np.int64)) > 30
+        out = pd.DataFrame({"month": month,
+                            "breach": breach.astype(np.int64)})
+        g = out.groupby("month", as_index=False).agg(
+            n_orders=("breach", "size"), n_breach=("breach", "sum"))
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(u, ["k"], resolve, n_parts=16).take_all()
+    df = _df_from_rows(rows, ["month", "n_orders", "n_breach"])
+    g = df.groupby("month", as_index=False).sum()
+    g["breach_ppm"] = np.array(
+        [int(b) * 1_000_000 // int(n) if n else 0
+         for b, n in zip(g["n_breach"], g["n_orders"])], np.int64)
+    for c in ("month", "n_orders", "n_breach", "breach_ppm"):
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Zipf fit over the top-100 vocabulary: OLS slope of ln(freq) on
+    ln(rank).  Counts are exact integers from word_frequencies; the
+    regression runs on the 100-row table in rank order with the same
+    IEEE op sequence as the SQL (n*sxy - sx*sy over n*sxx - sx^2),
+    reported micro-rounded."""
+    import math
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.analytics import word_frequencies
+    tbl = word_frequencies(_read(sf_dir, "documents", columns=["text"]),
+                           k=100)
+    n = tbl.num_rows
+    cols = {"n_words": np.int64, "slope_micro": np.int64}
+    if n < 2:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    freqs = tbl.column("n").to_pylist()
+    sx = sy = sxy = sxx = 0.0
+    for i, f in enumerate(freqs):
+        x = math.log(float(i + 1))
+        y = math.log(float(f))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    return pd.DataFrame([{
+        "n_words": np.int64(n),
+        "slope_micro": np.int64(math.floor(slope * 1_000_000 + 0.5))}])
+
+
 def _q_char_class_mix(sf_dir: str):
     """Character-class composition per source (alpha / digit / space /
     other, integer ppm of total chars): one map pass with vectorized
@@ -4380,6 +4509,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "events_dow_hour": _q_events_dow_hour,
+        "order_sla_breach": _q_order_sla_breach,
+        "zipf_slope": _q_zipf_slope,
         "char_class_mix": _q_char_class_mix,
         "host_lorenz": _q_host_lorenz,
         "split_leakage_report": _q_split_leakage_report,
@@ -5311,6 +5443,55 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "events_dow_hour": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hr,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "order_sla_breach": """
+            WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT o.o_orderdate, f.first_ship
+                  FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey)
+            SELECT CAST((year(o_orderdate) - 1970) * 12
+                        + month(o_orderdate) - 1 AS BIGINT) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN datediff('day', o_orderdate,
+                                               first_ship) > 30
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_breach,
+                   CAST(sum(CASE WHEN datediff('day', o_orderdate,
+                                               first_ship) > 30
+                                 THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS breach_ppm
+            FROM j GROUP BY 1
+        """,
+        "zipf_slope": """
+            WITH w AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                    AS word FROM documents)
+              WHERE word <> '' GROUP BY word),
+            top AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, word ASC)
+                         AS rk
+              FROM w ORDER BY n DESC, word ASC LIMIT 100),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     sum(ln(CAST(rk AS DOUBLE))) AS sx,
+                     sum(ln(CAST(n AS DOUBLE))) AS sy,
+                     sum(ln(CAST(rk AS DOUBLE))
+                         * ln(CAST(n AS DOUBLE))) AS sxy,
+                     sum(ln(CAST(rk AS DOUBLE))
+                         * ln(CAST(rk AS DOUBLE))) AS sxx
+              FROM top)
+            SELECT k AS n_words,
+                   CAST(floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+                              * 1000000 + 0.5) AS BIGINT)
+                       AS slope_micro
+            FROM s WHERE k >= 2
         """,
         "char_class_mix": """
             WITH s AS (SELECT COALESCE(source, '') AS source,

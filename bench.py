@@ -175,7 +175,8 @@ def run_ops(sf_dir: str):
              "dup_rate_by_source", "hourly_autocorr",
              "crawl_budget", "event_bigram_perplexity",
              "harmonic_mean_chars", "host_balance_gini",
-             "split_leakage_report", "char_class_mix", "host_lorenz"]
+             "split_leakage_report", "char_class_mix", "host_lorenz",
+             "events_dow_hour", "order_sla_breach", "zipf_slope"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
