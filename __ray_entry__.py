@@ -3602,6 +3602,59 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency <= 90 days of the corpus
+    max date / frequency >= 10 orders / monetary >= $100k), customer
+    counts per 2x2x2 cell: ONE custkey aggregate carrying (max date,
+    count, exact cents), a scalar max-date pass, tier mapping + tiny
+    cell count."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").view(np.int64)
+        cents = np.rint(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False))
+            * 100).astype(np.int64)
+        return pa.table({"c": b.column("o_custkey"),
+                         "d": pa.array(d), "cents": pa.array(cents)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    per_cust = prepped.groupby("c") \
+        .aggregate(Max("d"), Count(), Sum("cents"))
+
+    cols = {"recent": np.int64, "frequent": np.int64, "big": np.int64,
+            "n_customers": np.int64}
+    gagg = prepped.aggregate(Max("d"))
+    gmax = gagg.get("max(d)") if gagg else None
+    if gmax is None:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    gmax = int(gmax)
+
+    def tiers(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("max(d)"), pa.int64()).to_numpy()
+        n = pc.cast(b.column("count()"), pa.int64()).to_numpy()
+        cents = pc.cast(b.column("sum(cents)"), pa.int64()).to_numpy()
+        return pa.table({
+            "recent": pa.array((gmax - d <= 90).astype(np.int64)),
+            "frequent": pa.array((n >= 10).astype(np.int64)),
+            "big": pa.array((cents >= 10_000_000).astype(np.int64)),
+            "n": pa.array(np.ones(len(d), np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+    rows = per_cust.map_batches(tiers, batch_format="pyarrow") \
+        .groupby(["recent", "frequent", "big"]).aggregate(_Sum("n")) \
+        .take_all()
+    df = _df_from_rows(rows, ["recent", "frequent", "big", "sum(n)"]) \
+        .rename(columns={"sum(n)": "n_customers"})
+    return df.astype(cols)
+
+
 def _q_events_dow_hour(sf_dir: str):
     """Traffic heatmap: event counts per (day-of-week, hour-of-day) —
     168-bin bincount partials per batch, one tiny sum (the
@@ -4509,6 +4562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "rfm_segments": _q_rfm_segments,
         "events_dow_hour": _q_events_dow_hour,
         "order_sla_breach": _q_order_sla_breach,
         "zipf_slope": _q_zipf_slope,
@@ -5443,6 +5497,24 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey, max(o_orderdate) AS last_d,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            g AS (SELECT max(o_orderdate) AS gmax FROM orders)
+            SELECT CAST(CASE WHEN datediff('day', last_d, gmax) <= 90
+                             THEN 1 ELSE 0 END AS BIGINT) AS recent,
+                   CAST(CASE WHEN n >= 10 THEN 1 ELSE 0 END AS BIGINT)
+                       AS frequent,
+                   CAST(CASE WHEN cents >= 10000000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS big,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM pc CROSS JOIN g
+            GROUP BY 1, 2, 3
         """,
         "events_dow_hour": """
             SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,

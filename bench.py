@@ -176,7 +176,8 @@ def run_ops(sf_dir: str):
              "crawl_budget", "event_bigram_perplexity",
              "harmonic_mean_chars", "host_balance_gini",
              "split_leakage_report", "char_class_mix", "host_lorenz",
-             "events_dow_hour", "order_sla_breach", "zipf_slope"]
+             "events_dow_hour", "order_sla_breach", "zipf_slope",
+             "rfm_segments"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
