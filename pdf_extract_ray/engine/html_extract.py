@@ -259,12 +259,37 @@ def _fast_feed(seg: _Segmenter, s: str) -> None:
                 return
 
 
+import re as _re
+
+# <meta charset="X"> or <meta http-equiv=... content="...;charset=X">,
+# case-insensitive, scanned in the head region only (WHATWG prescan)
+_CHARSET_RE = _re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""",
+    _re.IGNORECASE)
+
+
+def _decode_html(payload: bytes) -> str:
+    """WHATWG-style decode: honor a declared <meta charset> from the
+    first 2 KiB when Python knows the codec (errors='replace' — a lying
+    declaration must not crash the crawl); else UTF-8 when valid; else
+    latin-1 with replacement (total, never raises)."""
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        if name not in ("utf-8", "utf8"):
+            try:
+                return payload.decode(name, "replace")
+            except LookupError:
+                pass
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1", "replace")
+
+
 def extract_html_text(payload: bytes) -> str:
     """bytes (HTML) -> main-content text. Never raises on malformed input."""
-    try:
-        text = payload.decode("utf-8")
-    except UnicodeDecodeError:
-        text = payload.decode("latin-1", "replace")
+    text = _decode_html(payload)
     seg = _Segmenter()
     try:
         _fast_feed(seg, text)

@@ -276,3 +276,38 @@ class TestFastTokenizerParity:
         finally:
             hx._fast_feed = orig
         assert fast == slow
+
+
+class TestCharsetSniffing:
+    def test_declared_cp1251_decodes(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        # >= 120 chars so the long-block rule applies (the short-block
+        # stopword heuristic is English-specific by frozen design)
+        body = "Привет мир, это тестовый абзац достаточной длины чтобы " \
+               "пройти фильтр плотности текста в извлекателе контента " \
+               "без англоязычных стоп-слов в принципе."
+        html = ('<html><head><meta charset="windows-1251"></head>'
+                '<body><p>' + body + '</p></body></html>') \
+            .encode("cp1251")
+        out = extract_html_text(html)
+        assert "Привет мир" in out
+
+    def test_lying_charset_never_raises(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        html = (b'<meta charset="utf-16"><p>' + b"\xff\xfe\x00garbage" * 40
+                + b"</p>")
+        extract_html_text(html)  # total: no exception
+
+    def test_unknown_charset_falls_back(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        body = ("plain ascii body long enough to score as content " * 5)
+        html = ('<meta charset="no-such-codec-xyz"><p>' + body
+                + "</p>").encode()
+        out = extract_html_text(html)
+        assert "plain ascii body" in out
+
+    def test_utf8_unaffected(self):
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        body = "déjà vu — unicode paragraph with plenty of words " * 5
+        html = ('<meta charset="utf-8"><p>' + body + "</p>").encode()
+        assert "déjà vu" in extract_html_text(html)
