@@ -3602,6 +3602,46 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_url_templates(sf_dir: str):
+    """URL template mining: digit runs in parsed paths collapse to 'N'
+    ('/p7/x3.html' -> '/pN/xN.html'), count per (host, template) —
+    the crawl-structure fingerprint.  Map-side parse + template
+    combine, one bounded groupby (template space is tiny by
+    construction of real sites)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops import weburl
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def build(df):
+        did = df["doc_id"].fillna(0).astype(np.int64)
+        lang = df["lang"].fillna("und").astype(str)
+        src = df["source"].fillna("").astype(str).str.lower()
+        return pd.DataFrame({
+            "url": "https://" + src + ".example.com/" + lang + "/a"
+                   + (did % 7).astype(str) + "/item" + did.astype(str)
+                   + ".html"})
+
+    def templ(df):
+        parts = weburl.parse_url_frame(df["url"])
+        host = parts["host"].fillna("")
+        tpl = parts["path"].fillna("").str.replace(
+            r"[0-9]+", "N", regex=True)
+        g = pd.DataFrame({"host": host.to_numpy(),
+                          "template": tpl.to_numpy()})
+        return g.groupby(["host", "template"], as_index=False) \
+                .agg(n=("template", "size"))
+
+    rows = ds.map_batches(build, batch_format="pandas") \
+        .map_batches(templ, batch_format="pandas") \
+        .groupby(["host", "template"]).aggregate(Sum("n")).take_all()
+    df = _df_from_rows(rows, ["host", "template", "sum(n)"]).rename(
+        columns={"sum(n)": "n_urls"})
+    df["n_urls"] = df["n_urls"].astype(np.int64)
+    return df
+
+
 def _q_rfm_segments(sf_dir: str):
     """RFM customer segmentation (recency <= 90 days of the corpus
     max date / frequency >= 10 orders / monetary >= $100k), customer
@@ -4562,6 +4602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "url_templates": _q_url_templates,
         "rfm_segments": _q_rfm_segments,
         "events_dow_hour": _q_events_dow_hour,
         "order_sla_breach": _q_order_sla_breach,
@@ -5497,6 +5538,19 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "url_templates": """
+            WITH u AS (
+              SELECT lower(COALESCE(source, '')) || '.example.com'
+                         AS host,
+                     regexp_replace('/' || COALESCE(lang, 'und')
+                         || '/a' || CAST(doc_id % 7 AS VARCHAR)
+                         || '/item' || CAST(doc_id AS VARCHAR)
+                         || '.html', '[0-9]+', 'N', 'g') AS template
+              FROM documents)
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM u GROUP BY host, template
         """,
         "rfm_segments": """
             WITH pc AS (
