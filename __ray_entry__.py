@@ -3602,6 +3602,64 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_page_titles(sf_dir: str):
+    """Crawl-metadata enrichment: per-page <title> extraction over the
+    pages corpus (html payloads; PDFs/others title to "") -> (url,
+    title, has_title).  Map-only; extraction semantics are engine
+    code, so this is a rows-only row."""
+    import ray
+
+    from pdf_extract_ray.engine.html_extract import extract_title
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+
+    def batch(b: pa.Table) -> pa.Table:
+        payloads = b.column("html").to_pylist()
+        titles = [extract_title(p or b"") for p in payloads]
+        return pa.table({
+            "url": b.column("url"),
+            "title": pa.array(titles, pa.string()),
+            "has_title": pa.array(
+                np.array([1 if t else 0 for t in titles], np.int64))})
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared lang vs the oracle-tested
+    stopword classifier's prediction, cell counts — the labeling-QA
+    view.  The LangIdBatch kernel runs row-aligned inside the map (warm
+    task singleton), cells combine map-side, one tiny groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.textstats import LangIdBatch
+    from pdf_extract_ray.util import task_udf
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        pred = task_udf(LangIdBatch)(b.select(["doc_id", "text"]))
+        df = pd.DataFrame({
+            "declared": pc.fill_null(pc.cast(b.column("lang"),
+                                             pa.string()), "und")
+            .to_numpy(zero_copy_only=False),
+            "predicted": pred.column("pred_lang")
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby(["declared", "predicted"], as_index=False) \
+              .agg(n=("predicted", "size"))
+        return pa.table({"declared": pa.array(g["declared"]),
+                         "predicted": pa.array(g["predicted"]),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(cells, batch_format="pyarrow") \
+        .groupby(["declared", "predicted"]).aggregate(Sum("n")) \
+        .take_all()
+    df = _df_from_rows(rows, ["declared", "predicted", "sum(n)"]) \
+        .rename(columns={"sum(n)": "n_docs"})
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df
+
+
 def _q_url_templates(sf_dir: str):
     """URL template mining: digit runs in parsed paths collapse to 'N'
     ('/p7/x3.html' -> '/pN/xN.html'), count per (host, template) —
@@ -4602,6 +4660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "page_titles": _q_page_titles,
+        "lang_confusion": _q_lang_confusion,
         "url_templates": _q_url_templates,
         "rfm_segments": _q_rfm_segments,
         "events_dow_hour": _q_events_dow_hour,
@@ -5538,6 +5598,48 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "lang_confusion": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS w
+              FROM documents),
+            h AS (SELECT doc_id,
+                   sum(CASE WHEN w IN ('auch', 'das', 'den', 'der', 'die', 'ein', 'eine', 'im', 'ist', 'mit', 'nicht', 'und', 'von', 'zu')
+                            THEN 1 ELSE 0 END) AS de,
+                   sum(CASE WHEN w IN ('a', 'and', 'are', 'at', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'this', 'to', 'was', 'with')
+                            THEN 1 ELSE 0 END) AS en,
+                   sum(CASE WHEN w IN ('con', 'de', 'del', 'el', 'en', 'es', 'las', 'los', 'para', 'por', 'se', 'un', 'una', 'y')
+                            THEN 1 ELSE 0 END) AS es,
+                   sum(CASE WHEN w IN ('au', 'dans', 'de', 'du', 'en', 'est', 'et', 'la', 'le', 'les', 'pour', 'que', 'un', 'une')
+                            THEN 1 ELSE 0 END) AS fr,
+                   sum(CASE WHEN w IN ('a', 'az', 'de', 'egy', 'el', 'ez', 'hogy', 'is', 'meg', 'nem', 'van', 'és')
+                            THEN 1 ELSE 0 END) AS hu
+                  FROM w GROUP BY doc_id),
+            j AS (SELECT d.doc_id,
+                         COALESCE(d.lang, 'und') AS declared,
+                         COALESCE(h.de,0) AS de, COALESCE(h.en,0) AS en,
+                         COALESCE(h.es,0) AS es, COALESCE(h.fr,0) AS fr,
+                         COALESCE(h.hu,0) AS hu
+                  FROM documents d LEFT JOIN h USING (doc_id)),
+            u AS (SELECT doc_id, 'de' AS lang, de AS hits FROM j
+                  UNION ALL SELECT doc_id, 'en', en FROM j
+                  UNION ALL SELECT doc_id, 'es', es FROM j
+                  UNION ALL SELECT doc_id, 'fr', fr FROM j
+                  UNION ALL SELECT doc_id, 'hu', hu FROM j),
+            b AS (SELECT doc_id, lang, hits,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY hits DESC, lang)
+                             AS rn
+                  FROM u)
+            SELECT j.declared,
+                   CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END
+                       AS predicted,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+            GROUP BY 1, 2
         """,
         "url_templates": """
             WITH u AS (

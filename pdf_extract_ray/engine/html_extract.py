@@ -325,3 +325,19 @@ def sniff_payload(payload: bytes) -> str:
             or low.startswith(b"<head") or low.startswith(b"<?xml")):
         return "html"
     return "other"
+
+
+_TITLE_RE = _re.compile(r"<title[^>]*>(.*?)</title", _re.IGNORECASE | _re.DOTALL)
+_WS_RUN_RE = _re.compile(r"\s+")
+
+
+def extract_title(payload: bytes) -> str:
+    """First <title> text (entity-unescaped, whitespace-collapsed), ""
+    when absent — the crawl-metadata companion to extract_html_text.
+    Total on malformed input."""
+    from html import unescape
+    text = _decode_html(payload)
+    m = _TITLE_RE.search(text)
+    if not m:
+        return ""
+    return _WS_RUN_RE.sub(" ", unescape(m.group(1))).strip()

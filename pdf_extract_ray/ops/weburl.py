@@ -220,3 +220,39 @@ def robots_filter(ds, rules, url_col: str = "url"):
         return out
 
     return ds.map_batches(_batch, batch_format="pandas")
+
+
+def parse_robots_txt(data: bytes, agent: str = "*"):
+    """Parse robots.txt bytes into the disallow-prefix list for
+    `agent` (exact-name group match, falling back to the '*' group),
+    the format the rest of this module's robots_filter consumes.
+    Damage-total: undecodable bytes replace, junk lines skip, empty
+    Disallow values (meaning allow-all markers) drop.  Group
+    semantics: consecutive User-agent lines share the following rule
+    block (RFC 9309)."""
+    text = data.decode("utf-8", "replace")
+    groups: dict = {}
+    current_agents: list = []
+    rules_open = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_open:
+                current_agents = []
+                rules_open = False
+            current_agents.append(val.lower())
+            for a in current_agents:
+                groups.setdefault(a, [])
+        elif key == "disallow":
+            rules_open = True
+            if val:
+                for a in (current_agents or ["*"]):
+                    groups.setdefault(a, []).append(val)
+        elif key in ("allow", "crawl-delay", "sitemap"):
+            rules_open = True  # closes the agent run, rules ignored
+    return groups.get(agent.lower(), groups.get("*", []))

@@ -245,3 +245,54 @@ class TestNormalizerProperties:
         assert len(parts) == 300
         norm = weburl.normalize_url_series(pd.Series(junk))
         assert len(norm) == 300
+
+
+class TestRobotsParser:
+    def test_groups_and_agent_fallback(self):
+        txt = b"""# comment
+User-agent: GoodBot
+Disallow: /private/
+Disallow: /tmp/
+
+User-agent: OtherBot
+User-agent: ThirdBot
+Disallow: /shared/
+
+User-agent: *
+Disallow: /all/
+Disallow:
+"""
+        from pdf_extract_ray.ops.weburl import parse_robots_txt
+        assert parse_robots_txt(txt, "GoodBot") == ["/private/", "/tmp/"]
+        # consecutive User-agent lines share the rule block
+        assert parse_robots_txt(txt, "otherbot") == ["/shared/"]
+        assert parse_robots_txt(txt, "thirdbot") == ["/shared/"]
+        # unknown agent falls back to *; empty Disallow dropped
+        assert parse_robots_txt(txt, "NobodyBot") == ["/all/"]
+
+    def test_total_on_garbage(self):
+        from pdf_extract_ray.ops.weburl import parse_robots_txt
+        assert parse_robots_txt(b"\xff\xfe junk\nDisallow /oops") == []
+        assert parse_robots_txt(b"") == []
+
+
+class TestTitleExtraction:
+    def test_title_unescaped_collapsed(self):
+        from pdf_extract_ray.engine.html_extract import extract_title
+        html = b"<html><head><title>\n  Tom &amp; Jerry \t Show " \
+               b"</title></head><body>x</body></html>"
+        assert extract_title(html) == "Tom & Jerry Show"
+
+    def test_missing_and_garbage(self):
+        from pdf_extract_ray.engine.html_extract import extract_title
+        assert extract_title(b"<p>no title</p>") == ""
+        assert extract_title(b"\x00\xff\x12garbage") == ""
+
+    def test_page_titles_query(self, ray_session):
+        import __ray_entry__ as entry
+        out = entry.queries()["page_titles"]("/root/testdata/sf0.001")
+        rows = out.take_all()
+        assert len(rows) > 0
+        titled = [r for r in rows if r["has_title"]]
+        assert titled  # article pages carry <title>
+        assert all(r["title"] for r in titled)
