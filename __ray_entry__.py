@@ -3602,6 +3602,92 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_welch_t_value(sf_dir: str):
+    """Welch's t for event value between hash-assigned A/B variants
+    (user_id % 2): EXACT integer micro-unit moment sums (n, s1, s2)
+    per variant from one combinable aggregate, then the t statistic in
+    the same IEEE op order both engines — the grouped_corr float
+    discipline applied to the two-sample parametric test."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # milli units: x^2 partial sums stay far inside int64 at the
+        # test scales (x ~ 1e6 -> sum x^2 ~ 6e17 at sf0.1); HUGEINT on
+        # the oracle side
+        v = np.rint(np.nan_to_num(
+            b.column("value").to_numpy(zero_copy_only=False))
+            * 1000).astype(np.int64)
+        g = (u % 2).astype(np.int64)
+        df = pd.DataFrame({"variant": g, "n": np.ones(len(g), np.int64),
+                           "s1": v, "s2": v * v})
+        agg = df.groupby("variant", as_index=False).sum()
+        return pa.table({"variant": pa.array(agg["variant"]
+                                             .to_numpy(np.int64)),
+                         "n": pa.array(agg["n"].to_numpy(np.int64)),
+                         "s1": pa.array(agg["s1"].to_numpy(np.int64)),
+                         "s2": pa.array(agg["s2"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("variant").aggregate(Sum("n"), Sum("s1"), Sum("s2")) \
+        .take_all()
+    cols = {"n_a": np.int64, "n_b": np.int64, "t_micro": np.int64}
+    by = {int(r["variant"]): r for r in rows}
+    if 0 not in by or 1 not in by:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    def stats(r):
+        n = int(r["sum(n)"])
+        s1 = int(r["sum(s1)"])
+        s2 = int(r["sum(s2)"])
+        # float conversions FIRST (CAST ... AS DOUBLE parity), then the
+        # same IEEE op order as the SQL expression
+        mean = float(s1) / n
+        var = (float(s2) / n - mean * mean) * n / (n - 1)
+        return n, mean, var
+    na, ma, va = stats(by[0])
+    nb, mb, vb = stats(by[1])
+    if na < 2 or nb < 2:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    return pd.DataFrame([{
+        "n_a": np.int64(na), "n_b": np.int64(nb),
+        "t_micro": np.int64(math.floor(t * 1_000_000 + 0.5))}])
+
+
+def _q_effective_langs(sf_dir: str):
+    """Inverse-Simpson 'effective number of languages' per source:
+    t^2 / sum(c^2) in integer ppm from the same exact (t, ssq)
+    partials grouped_gini uses — 1.0 = monolingual, k = k perfectly
+    balanced languages."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.analytics import grouped_gini
+    out = grouped_gini(_read(sf_dir, "documents",
+                             columns=["source", "lang"]),
+                       "source", "lang").take_all()
+    rows = []
+    for r in out:
+        t = int(r["n_rows"])
+        ssq = int(r["ssq"])
+        rows.append({"source": r["source"], "n_docs": t,
+                     "effective_langs_ppm":
+                         t * t * 1_000_000 // ssq if ssq else 0})
+    df = pd.DataFrame(rows, columns=["source", "n_docs",
+                                     "effective_langs_ppm"])
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["effective_langs_ppm"] = df["effective_langs_ppm"] \
+        .astype(np.int64)
+    return df
+
+
 def _q_page_titles(sf_dir: str):
     """Crawl-metadata enrichment: per-page <title> extraction over the
     pages corpus (html payloads; PDFs/others title to "") -> (url,
@@ -4660,6 +4746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "welch_t_value": _q_welch_t_value,
+        "effective_langs": _q_effective_langs,
         "page_titles": _q_page_titles,
         "lang_confusion": _q_lang_confusion,
         "url_templates": _q_url_templates,
@@ -5598,6 +5686,52 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "welch_t_value": """
+            WITH v AS (
+              SELECT user_id % 2 AS variant,
+                     CAST(round(value * 1000, 0) AS BIGINT) AS x
+              FROM events),
+            s AS (
+              SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s1,
+                     sum(CAST(x AS HUGEINT) * x) AS s2
+              FROM v GROUP BY variant),
+            p AS (
+              SELECT max(CASE WHEN variant = 0 THEN n END) AS na,
+                     max(CASE WHEN variant = 0 THEN s1 END) AS s1a,
+                     max(CASE WHEN variant = 0 THEN s2 END) AS s2a,
+                     max(CASE WHEN variant = 1 THEN n END) AS nb,
+                     max(CASE WHEN variant = 1 THEN s1 END) AS s1b,
+                     max(CASE WHEN variant = 1 THEN s2 END) AS s2b
+              FROM s),
+            f AS (
+              SELECT na, nb,
+                     CAST(s1a AS DOUBLE) / na AS ma,
+                     CAST(s1b AS DOUBLE) / nb AS mb,
+                     (CAST(s2a AS DOUBLE) / na
+                      - (CAST(s1a AS DOUBLE) / na)
+                        * (CAST(s1a AS DOUBLE) / na)) * na / (na - 1)
+                         AS va,
+                     (CAST(s2b AS DOUBLE) / nb
+                      - (CAST(s1b AS DOUBLE) / nb)
+                        * (CAST(s1b AS DOUBLE) / nb)) * nb / (nb - 1)
+                         AS vb
+              FROM p WHERE na >= 2 AND nb >= 2)
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(floor((ma - mb) / sqrt(va / na + vb / nb)
+                              * 1000000 + 0.5) AS BIGINT) AS t_micro
+            FROM f
+        """,
+        "effective_langs": """
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY source, lang),
+            s AS (SELECT source, SUM(n) AS t, SUM(n * n) AS ssq
+                  FROM c GROUP BY source)
+            SELECT source, CAST(t AS BIGINT) AS n_docs,
+                   CAST(t * t * 1000000 // ssq AS BIGINT)
+                       AS effective_langs_ppm
+            FROM s
         """,
         "lang_confusion": """
             WITH w AS (

@@ -178,7 +178,8 @@ def run_ops(sf_dir: str):
              "split_leakage_report", "char_class_mix", "host_lorenz",
              "events_dow_hour", "order_sla_breach", "zipf_slope",
              "rfm_segments", "url_templates",
-             "lang_confusion", "page_titles"]
+             "lang_confusion", "page_titles",
+             "welch_t_value", "effective_langs"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -326,3 +326,37 @@ class TestCharMixLorenz:
         s = out["share_ppm"].to_numpy()
         assert (np.diff(s) >= 0).all()
         assert s[-1] == 1_000_000  # decile 10 covers all docs
+
+
+class TestWelchEffective:
+    def test_welch_symmetric_zero(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        # identical value distributions in both variants -> t == 0
+        n = 8
+        t = pa.table({
+            "event_id": list(range(n)),
+            "ts": pa.array([1_000_000 * i for i in range(n)],
+                           pa.timestamp("us")),
+            "user_id": [0, 1, 2, 3, 4, 5, 6, 7],
+            "event_type": ["x"] * n,
+            "value": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0],
+            "props": ["{}"] * n})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["welch_t_value"](str(tmp_path))
+        assert int(out["t_micro"].iloc[0]) == 0
+        assert int(out["n_a"].iloc[0]) == 4
+
+    def test_effective_langs_balanced(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = pa.table({"doc_id": [1, 2, 3, 4], "text": ["x"] * 4,
+                      "source": ["s"] * 4,
+                      "lang": ["en", "de", "en", "de"],
+                      "n_chars": [1] * 4})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        import __ray_entry__ as entry
+        out = entry.queries()["effective_langs"](str(tmp_path))
+        # two balanced langs -> exactly 2.0 effective
+        assert int(out["effective_langs_ppm"].iloc[0]) == 2_000_000
