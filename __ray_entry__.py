@@ -3602,6 +3602,61 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_sliding_distinct_users(sf_dir: str):
+    """Trailing-3h DISTINCT active users per hour — the sliding window
+    where plain count partials can't combine (a user active twice in
+    the window counts once).  Shape: map-side (hour, user) pair dedup,
+    one pair groupby, x3 window fanout of the deduped pairs, second
+    pair dedup, tiny per-window count; windows reported only for hours
+    that exist."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hr = t // 3_600_000_000
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"hr": hr, "u": u}).drop_duplicates()
+        return pa.table({"hr": pa.array(df["hr"].to_numpy(np.int64)),
+                         "u": pa.array(df["u"].to_numpy(np.int64))})
+
+    hu = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["hr", "u"]).count()
+
+    hours = set()
+    for b in hu.map_batches(
+            lambda t: pa.table({"hr": pc.unique(t.column("hr"))}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        hours.update(b.column("hr").to_pylist())
+    import ray
+    hours_ref = ray.put(np.array(sorted(hours), np.int64))
+
+    def fanout(b: pa.Table) -> pa.Table:
+        valid = ray.get(hours_ref)
+        hr = b.column("hr").to_numpy(zero_copy_only=False)
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        win = np.concatenate([hr, hr + 1, hr + 2])
+        uu = np.concatenate([u, u, u])
+        keep = np.isin(win, valid)
+        df = pd.DataFrame({"win": win[keep],
+                           "u": uu[keep]}).drop_duplicates()
+        return pa.table({"win": pa.array(df["win"].to_numpy(np.int64)),
+                         "u": pa.array(df["u"].to_numpy(np.int64))})
+
+    rows = hu.map_batches(fanout, batch_format="pyarrow") \
+        .groupby(["win", "u"]).count() \
+        .groupby("win").aggregate(Count()).take_all()
+    df = _df_from_rows(rows, ["win", "count()"]).rename(
+        columns={"win": "hr", "count()": "n_users_3h"})
+    df["hr"] = df["hr"].astype(np.int64)
+    df["n_users_3h"] = df["n_users_3h"].astype(np.int64)
+    return df
+
+
 def _q_welch_t_value(sf_dir: str):
     """Welch's t for event value between hash-assigned A/B variants
     (user_id % 2): EXACT integer micro-unit moment sums (n, s1, s2)
@@ -4746,6 +4801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "sliding_distinct_users": _q_sliding_distinct_users,
         "welch_t_value": _q_welch_t_value,
         "effective_langs": _q_effective_langs,
         "page_titles": _q_page_titles,
@@ -5686,6 +5742,22 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "sliding_distinct_users": """
+            WITH hu AS (
+              SELECT DISTINCT
+                     CAST(epoch(date_trunc('hour', ts)) // 3600
+                          AS BIGINT) AS hr,
+                     user_id
+              FROM events),
+            w AS (
+              SELECT hu.hr + k.k AS win, hu.user_id
+              FROM hu CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+            SELECT win AS hr,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_users_3h
+            FROM w WHERE win IN (SELECT hr FROM hu)
+            GROUP BY win
         """,
         "welch_t_value": """
             WITH v AS (

@@ -179,7 +179,8 @@ def run_ops(sf_dir: str):
              "events_dow_hour", "order_sla_breach", "zipf_slope",
              "rfm_segments", "url_templates",
              "lang_confusion", "page_titles",
-             "welch_t_value", "effective_langs"]
+             "welch_t_value", "effective_langs",
+             "sliding_distinct_users"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
