@@ -3602,6 +3602,124 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_supplier_fill_rate(sf_dir: str):
+    """Per-supplier fulfilment: fraction of line items shipped within
+    30 days of their order date, ppm.  ONE orderkey partition pass
+    joins order dates to items (the order_total_audit union shape) and
+    folds (suppkey, on_time, n) partials; a tiny suppkey groupby
+    finishes — order rows never broadcast, item rows exchange once."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").view(np.int64)
+        z = np.zeros(len(b), np.int64)
+        return pa.table({"k": b.column("o_orderkey"), "supp": pa.array(z),
+                         "d": pa.array(d),
+                         "side": pa.array(z)})
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").view(np.int64)
+        return pa.table({"k": b.column("l_orderkey"),
+                         "supp": b.column("l_suppkey"),
+                         "d": pa.array(d),
+                         "side": pa.array(np.ones(len(b), np.int64))})
+
+    u = orders.map_batches(o_prep, batch_format="pyarrow").union(
+        items.map_batches(l_prep, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_suppkey": "int64", "on_time": "int64", "n": "int64"}
+        o = df[df["side"] == 0][["k", "d"]].rename(columns={"d": "od"})
+        l = df[df["side"] == 1]
+        if not len(o) or not len(l):
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        m = l.merge(o, on="k", how="inner")
+        ontime = ((m["d"].to_numpy(np.int64)
+                   - m["od"].to_numpy(np.int64)) <= 30).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": m["supp"].to_numpy(np.int64),
+                          "on_time": ontime,
+                          "n": np.ones(len(m), np.int64)}) \
+            .groupby("l_suppkey", as_index=False).sum()
+        return g.astype(cols)
+
+    parts = _grouped_by_partition(u, ["k"], resolve, n_parts=16)
+    rows = parts.groupby("l_suppkey") \
+        .aggregate(Sum("on_time"), Sum("n")).take_all()
+    df = _df_from_rows(rows, ["l_suppkey", "sum(on_time)", "sum(n)"]) \
+        .rename(columns={"sum(on_time)": "on_time", "sum(n)": "n_items"})
+    df["fill_ppm"] = np.array(
+        [int(o) * 1_000_000 // int(n) if n else 0
+         for o, n in zip(df["on_time"], df["n_items"])], np.int64)
+    for c in ("l_suppkey", "on_time", "n_items", "fill_ppm"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_revenue_concentration(sf_dir: str):
+    """Revenue concentration: share of total order revenue held by the
+    top 1% of customers (ceil(n/100), spend-desc custkey-asc ties) in
+    exact-cent ppm.  One custkey aggregate; the top-k election uses
+    per-block partial top-k (k x blocks rows to the driver, never the
+    customer table)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False))
+            * 100).astype(np.int64)
+        return pa.table({"c": b.column("o_custkey"),
+                         "cents": pa.array(cents)})
+
+    per_cust = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents")).materialize()
+
+    # scalar totals (tiny aggregates over the per-customer table)
+    tot = per_cust.aggregate(Sum("sum(cents)"))
+    total_cents = int(tot.get("sum(sum(cents))") or 0)
+    n_cust = per_cust.count()
+    cols = {"n_customers": np.int64, "top_k": np.int64,
+            "top_cents": np.int64, "total_cents": np.int64,
+            "share_ppm": np.int64}
+    if n_cust == 0 or total_cents == 0:
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in cols.items()})
+    k = (n_cust + 99) // 100  # ceil with positive-only operands
+    # (DuckDB's // truncates toward zero on negatives — the -(-n//100)
+    # ceil idiom is NOT portable)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        cust = pc.cast(b.column("c"), pa.int64()).to_numpy()
+        cents = pc.cast(b.column("sum(cents)"), pa.int64()).to_numpy()
+        idx = np.lexsort((cust, -cents))[:k]
+        return pa.table({"c": pa.array(cust[idx]),
+                         "cents": pa.array(cents[idx])})
+
+    cands = []
+    for b in per_cust.map_batches(partial_topk, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cands.extend(zip(b.column("cents").to_pylist(),
+                         b.column("c").to_pylist()))
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    top_cents = sum(c for c, _ in cands[:k])
+    return pd.DataFrame([{
+        "n_customers": np.int64(n_cust), "top_k": np.int64(k),
+        "top_cents": np.int64(top_cents),
+        "total_cents": np.int64(total_cents),
+        "share_ppm": np.int64(top_cents * 1_000_000 // total_cents)}])
+
+
 def _q_sliding_distinct_users(sf_dir: str):
     """Trailing-3h DISTINCT active users per hour — the sliding window
     where plain count partials can't combine (a user active twice in
@@ -4801,6 +4919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "supplier_fill_rate": _q_supplier_fill_rate,
+        "revenue_concentration": _q_revenue_concentration,
         "sliding_distinct_users": _q_sliding_distinct_users,
         "welch_t_value": _q_welch_t_value,
         "effective_langs": _q_effective_langs,
@@ -5742,6 +5862,42 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "supplier_fill_rate": """
+            WITH m AS (
+              SELECT l.l_suppkey,
+                     CASE WHEN datediff('day', o.o_orderdate,
+                                        l.l_shipdate) <= 30
+                          THEN 1 ELSE 0 END AS ontime
+              FROM lineitem l JOIN orders o
+                ON o.o_orderkey = l.l_orderkey)
+            SELECT l_suppkey,
+                   CAST(sum(ontime) AS BIGINT) AS on_time,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(ontime) * 1000000 // count(*) AS BIGINT)
+                       AS fill_ppm
+            FROM m GROUP BY l_suppkey
+        """,
+        "revenue_concentration": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS total,
+                         CAST((count(*) + 99) // 100 AS BIGINT) AS k
+                  FROM pc),
+            r AS (SELECT cents, row_number() OVER (
+                      ORDER BY cents DESC, o_custkey ASC) AS rk
+                  FROM pc)
+            SELECT s.n AS n_customers, s.k AS top_k,
+                   CAST((SELECT sum(cents) FROM r WHERE rk <= s.k)
+                        AS BIGINT) AS top_cents,
+                   s.total AS total_cents,
+                   CAST((SELECT sum(cents) FROM r WHERE rk <= s.k)
+                        * 1000000 // s.total AS BIGINT) AS share_ppm
+            FROM s WHERE s.n > 0 AND s.total > 0
         """,
         "sliding_distinct_users": """
             WITH hu AS (

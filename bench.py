@@ -180,7 +180,8 @@ def run_ops(sf_dir: str):
              "rfm_segments", "url_templates",
              "lang_confusion", "page_titles",
              "welch_t_value", "effective_langs",
-             "sliding_distinct_users"]
+             "sliding_distinct_users",
+             "supplier_fill_rate", "revenue_concentration"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
