@@ -3602,6 +3602,89 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_boilerplate_stats(sf_dir: str):
+    """HTML-extraction introspection over the pages corpus: per page,
+    how many DOM blocks the segmenter saw, how many the density
+    classifier kept, and the char/link-char totals — the tuning view
+    for the boilerplate strip.  Map-only over html payloads (non-HTML
+    payloads report zeros); engine semantics -> rows-only."""
+    import ray
+
+    from pdf_extract_ray.engine.html_extract import (_score_block,
+                                                     _Segmenter,
+                                                     sniff_payload)
+    ds = ray.data.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+
+    def batch(b: pa.Table) -> pa.Table:
+        urls = b.column("url")
+        out = {"n_blocks": [], "n_kept": [], "total_chars": [],
+               "kept_chars": [], "link_chars": []}
+        for payload in b.column("html").to_pylist():
+            payload = payload or b""
+            if sniff_payload(payload) != "html":
+                for v in out.values():
+                    v.append(0)
+                continue
+            try:
+                text = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                text = payload.decode("latin-1", "replace")
+            seg = _Segmenter()
+            try:
+                seg.feed(text)
+                seg.close()
+            except Exception:
+                pass
+            seg._flush()
+            nb = nk = tc = kc = lc = 0
+            for blk in seg.blocks:
+                t = blk.text
+                nb += 1
+                tc += len(t)
+                lc += blk.link_chars
+                if _score_block(blk, t):
+                    nk += 1
+                    kc += len(t)
+            out["n_blocks"].append(nb)
+            out["n_kept"].append(nk)
+            out["total_chars"].append(tc)
+            out["kept_chars"].append(kc)
+            out["link_chars"].append(lc)
+        cols = [urls] + [pa.array(np.array(v, np.int64))
+                         for v in out.values()]
+        return pa.Table.from_arrays(cols, names=["url"] + list(out))
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def _q_parquet_layout_audit(sf_dir: str):
+    """Storage-layout audit of the input tables: files, row groups,
+    rows, compressed bytes per table from parquet FOOTERS only (no
+    data read) — the partitioning-sanity check a 100 TB ingest runs
+    before touching payload bytes.  Driver-side metadata walk (footer
+    reads are O(tables), not O(rows)) -> rows-only."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rows = []
+    for path in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        md = pq.ParquetFile(path).metadata
+        comp = sum(md.row_group(i).total_byte_size
+                   for i in range(md.num_row_groups))
+        rows.append({"table_name": name, "n_files": 1,
+                     "n_row_groups": md.num_row_groups,
+                     "n_rows": md.num_rows, "data_bytes": comp})
+    df = pd.DataFrame(rows, columns=["table_name", "n_files",
+                                     "n_row_groups", "n_rows",
+                                     "data_bytes"])
+    for c in ("n_files", "n_row_groups", "n_rows", "data_bytes"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_supplier_fill_rate(sf_dir: str):
     """Per-supplier fulfilment: fraction of line items shipped within
     30 days of their order date, ppm.  ONE orderkey partition pass
@@ -4919,6 +5002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "boilerplate_stats": _q_boilerplate_stats,
+        "parquet_layout_audit": _q_parquet_layout_audit,
         "supplier_fill_rate": _q_supplier_fill_rate,
         "revenue_concentration": _q_revenue_concentration,
         "sliding_distinct_users": _q_sliding_distinct_users,

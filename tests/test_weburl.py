@@ -296,3 +296,25 @@ class TestTitleExtraction:
         titled = [r for r in rows if r["has_title"]]
         assert titled  # article pages carry <title>
         assert all(r["title"] for r in titled)
+
+
+class TestIntrospectionOps:
+    def test_boilerplate_stats_counts(self, ray_session):
+        import __ray_entry__ as entry
+        rows = entry.queries()["boilerplate_stats"](
+            "/root/testdata/sf0.001").take_all()
+        assert rows
+        html_rows = [r for r in rows if r["n_blocks"] > 0]
+        assert html_rows  # corpus contains html pages
+        for r in html_rows:
+            assert 0 <= r["n_kept"] <= r["n_blocks"]
+            assert 0 <= r["kept_chars"] <= r["total_chars"]
+
+    def test_parquet_layout_audit(self, ray_session):
+        import __ray_entry__ as entry
+        df = entry.queries()["parquet_layout_audit"](
+            "/root/testdata/sf0.001")
+        assert set(df["table_name"]) >= {"documents", "orders",
+                                         "lineitem", "events"}
+        assert (df["n_rows"] > 0).all()
+        assert (df["data_bytes"] > 0).all()
