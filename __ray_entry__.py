@@ -3602,6 +3602,61 @@ def _q_quarter_share(sf_dir: str):
     return df[["yr", "q", "revenue_cents", "yr_cents", "share_ppm"]]
 
 
+def _q_lineitem_integrity(sf_dir: str):
+    """Key-integrity audit: per-order line numbers should be a
+    contiguous 1..k run with no duplicate (orderkey, linenumber) —
+    the ingest-validation pass.  ONE native orderkey aggregate carries
+    (count, max, distinct-pairs-proxy); map-side pair dedup bounds the
+    duplicate check.  Output: single row (n_orders, n_gapped,
+    n_dup_keys)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber"])
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "ln": b.column("l_linenumber")
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = df.groupby(["k", "ln"], as_index=False) \
+              .agg(c=("ln", "size"))
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "ln": pa.array(g["ln"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    partials = ds.map_batches(pair_dedup, batch_format="pyarrow")
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # all partials of an orderkey land here: finish the (k, ln)
+        # combine, then the per-order contiguity/duplicate checks
+        cols = {"n_orders": "int64", "n_gapped": "int64",
+                "n_dup_keys": "int64"}
+        if not len(df):
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        p = df.groupby(["k", "ln"], as_index=False)["c"].sum()
+        g = p.groupby("k", as_index=False).agg(
+            n=("ln", "size"), mx=("ln", "max"),
+            dups=("c", lambda s: int((s > 1).sum())))
+        return pd.DataFrame([{
+            "n_orders": len(g),
+            "n_gapped": int((g["mx"].to_numpy(np.int64)
+                             != g["n"].to_numpy(np.int64)).sum()),
+            "n_dup_keys": int(g["dups"].sum())}]).astype(cols)
+
+    parts = _grouped_by_partition(partials, ["k"], resolve, n_parts=16)
+    agg = parts.aggregate(Sum("n_orders"), Sum("n_gapped"),
+                          Sum("n_dup_keys"))
+    return pd.DataFrame([{
+        "n_orders": int(agg.get("sum(n_orders)") or 0),
+        "n_gapped": int(agg.get("sum(n_gapped)") or 0),
+        "n_dup_keys": int(agg.get("sum(n_dup_keys)") or 0),
+    }]).astype(np.int64)
+
+
 def _q_boilerplate_stats(sf_dir: str):
     """HTML-extraction introspection over the pages corpus: per page,
     how many DOM blocks the segmenter saw, how many the density
@@ -5002,6 +5057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_hash_sample": _q_stratified_hash_sample,
         "orders_time_rollup": _q_orders_time_rollup,
         "quarter_share": _q_quarter_share,
+        "lineitem_integrity": _q_lineitem_integrity,
         "boilerplate_stats": _q_boilerplate_stats,
         "parquet_layout_audit": _q_parquet_layout_audit,
         "supplier_fill_rate": _q_supplier_fill_rate,
@@ -5947,6 +6003,20 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(j.n_words AS DOUBLE)
                         ELSE 0.0 END AS lang_confidence
             FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """,
+        "lineitem_integrity": """
+            WITH p AS (
+              SELECT l_orderkey AS k, l_linenumber AS ln, count(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            g AS (
+              SELECT k, count(*) AS n, max(ln) AS mx,
+                     sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dups
+              FROM p GROUP BY k)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN mx <> n THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_gapped,
+                   CAST(sum(dups) AS BIGINT) AS n_dup_keys
+            FROM g
         """,
         "supplier_fill_rate": """
             WITH m AS (

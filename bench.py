@@ -181,7 +181,9 @@ def run_ops(sf_dir: str):
              "lang_confusion", "page_titles",
              "welch_t_value", "effective_langs",
              "sliding_distinct_users",
-             "supplier_fill_rate", "revenue_concentration"]
+             "supplier_fill_rate", "revenue_concentration",
+             "lineitem_integrity", "boilerplate_stats",
+             "parquet_layout_audit"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
