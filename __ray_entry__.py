@@ -454,11 +454,10 @@ def _q_dup_clusters(sf_dir: str):
         return ids.map_batches(own, batch_format="pyarrow")
     parts = _default_parts()
     comp = _coalesce_nonempty(comp, parts).materialize()
-    # isolated docs keep their own id: anti-join + union (left_anti is
-    # the proven shape here; avoids outer-join null handling)
-    isolated = ids.join(comp.select_columns(["doc_id"]),
-                        join_type="left_anti", num_partitions=parts,
-                        on=("doc_id",)) \
+    # isolated docs keep their own id: adaptive drop (bounded broadcast
+    # of clustered ids when small, left_anti hash join at scale)
+    from pdf_extract_ray.ops.dedup import drop_rows_by_id
+    isolated = drop_rows_by_id(ids, comp.select_columns(["doc_id"])) \
         .map_batches(own, batch_format="pyarrow")
     return comp.union(isolated)
 
@@ -490,9 +489,8 @@ def _q_dup_clusters_salted(sf_dir: str):
         return ids.map_batches(own, batch_format="pyarrow")
     parts = _default_parts()
     comp = _coalesce_nonempty(comp, parts).materialize()
-    isolated = ids.join(comp.select_columns(["doc_id"]),
-                        join_type="left_anti", num_partitions=parts,
-                        on=("doc_id",)) \
+    from pdf_extract_ray.ops.dedup import drop_rows_by_id
+    isolated = drop_rows_by_id(ids, comp.select_columns(["doc_id"])) \
         .map_batches(own, batch_format="pyarrow")
     return comp.union(isolated)
 
@@ -550,10 +548,10 @@ def _q_neardup_cluster_dedup(sf_dir: str):
         if t.num_rows else pa.table({"doc_id": pa.array([], pa.int64())}),
         batch_format="pyarrow").materialize()
     canon = _coalesce_nonempty(canon, parts)
-    # never-paired docs: not in any component
-    unpaired = ids.join(comp.select_columns(["doc_id"]),
-                        join_type="left_anti", num_partitions=parts,
-                        on=("doc_id",))
+    # never-paired docs: not in any component (adaptive drop — bounded
+    # broadcast when the clustered-id set is small, left_anti at scale)
+    from pdf_extract_ray.ops.dedup import drop_rows_by_id
+    unpaired = drop_rows_by_id(ids, comp.select_columns(["doc_id"]))
     return unpaired.union(canon)
 
 
@@ -2023,8 +2021,10 @@ def _q_ssjoin_jaccard(sf_dir: str):
     Jaccard >= 1/2, all-integer gate (ops/dedup.ssjoin_jaccard).  The
     deterministic complement to the MinHash-LSH near-dup path."""
     from pdf_extract_ray.ops.dedup import ssjoin_jaccard
+    # pin once: the op scans its input 3x (hot-token sample, prefix
+    # postings, candidate fetch) — at 100 TB pass a checkpointed path
     return ssjoin_jaccard(_read(sf_dir, "documents",
-                                columns=["doc_id", "text"]),
+                                columns=["doc_id", "text"]).materialize(),
                           n=3, t_num=1, t_den=2)
 
 
@@ -3196,8 +3196,10 @@ def _q_ssjoin_containment(sf_dir: str):
     word-3-gram sets): finds quoted/subset duplicates symmetric
     Jaccard misses (ops/dedup.ssjoin_containment)."""
     from pdf_extract_ray.ops.dedup import ssjoin_containment
+    # pin once: the op scans its input 3x (see _q_ssjoin_jaccard)
     return ssjoin_containment(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        _read(sf_dir, "documents",
+              columns=["doc_id", "text"]).materialize(),
         n=3, t_num=3, t_den=4)
 
 

@@ -855,6 +855,85 @@ def _doc_gram_sets(batch: pa.Table, id_col: str, text_col: str, n: int):
     return ids, r, g, sizes
 
 
+def _broadcast_candidate_grams(docs_ds, pairs, *, id_col: str,
+                               text_col: str, n: int,
+                               broadcast_limit: int, on_overflow: str):
+    """Verify-tail helper shared by both exact ssjoins: collect the
+    candidate doc ids appearing in `pairs`, fetch their distinct gram
+    sets in ONE corpus scan, and broadcast them as THREE FLAT numpy
+    arrays (ids_sorted, slice_bounds, grams_concat) via one ray.put.
+    Flat arrays serialize zero-copy through the object store — a dict
+    of per-doc arrays costs seconds to pickle on the driver and seconds
+    more to unpickle in EVERY verify task (measured 5 s of a 6 s wall
+    at sf0.1); the flat layout makes both ends near-free.  Grams stay
+    sorted within each doc (the _doc_gram_sets contract), so per-pair
+    slices feed assume_unique set intersection directly."""
+    import ray
+
+    parts = [np.empty(0, np.int64)]
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        parts.append(np.unique(np.concatenate([
+            b.column("doc_id_a").to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+            b.column("doc_id_b").to_numpy(zero_copy_only=False)
+             .astype(np.int64)])))
+    ids = np.unique(np.concatenate(parts))
+    if len(ids) > broadcast_limit:
+        raise ValueError(
+            f"{len(ids)} candidate docs exceed broadcast_limit="
+            f"{broadcast_limit}; {on_overflow}")
+    id_ref = ray.put(pa.array(ids))
+
+    def cand_grams(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.int64())})
+        out = b.filter(pc.is_in(b.column(id_col),
+                                value_set=ray.get(id_ref)))
+        if out.num_rows == 0:
+            return empty
+        bids, r, g, _sizes = _doc_gram_sets(out, id_col, text_col, n)
+        if not len(g):
+            return empty
+        return pa.table({"doc_id": pa.array(bids[r]),
+                         "gram": pa.array(g.view(np.int64))})
+
+    flat = docs_ds.map_batches(cand_grams, batch_format="pyarrow") \
+        .to_pandas()
+    doc = flat["doc_id"].to_numpy(np.int64)
+    gram = flat["gram"].to_numpy(np.int64).view(np.uint64)
+    order = np.argsort(doc, kind="stable")  # per-doc gram order kept
+    doc, gram = doc[order], gram[order]
+    uids, starts = np.unique(doc, return_index=True)
+    bounds = np.concatenate((starts, [len(doc)])).astype(np.int64)
+    return ray.put((uids, bounds, gram))
+
+
+def _pair_gram_counts(lk, av: np.ndarray, bv: np.ndarray):
+    """Exact per-pair set-intersection counts against the flat
+    broadcast layout -> (valid_mask, n_inter, size_a, size_b).  The
+    per-pair loop is bounded by the candidate-pair count and works on
+    slices of one array — no dict lookups, no per-doc objects."""
+    uids, bounds, gram = lk
+    pos_a = np.searchsorted(uids, av)
+    pos_b = np.searchsorted(uids, bv)
+    np.clip(pos_a, 0, len(uids) - 1, out=pos_a)
+    np.clip(pos_b, 0, len(uids) - 1, out=pos_b)
+    ok = np.zeros(len(av), bool) if not len(uids) else \
+        (uids[pos_a] == av) & (uids[pos_b] == bv)
+    inter = np.zeros(len(av), np.int64)
+    sa = np.zeros(len(av), np.int64)
+    sb = np.zeros(len(av), np.int64)
+    for i in np.flatnonzero(ok):
+        a0, a1 = bounds[pos_a[i]], bounds[pos_a[i] + 1]
+        b0, b1 = bounds[pos_b[i]], bounds[pos_b[i] + 1]
+        sa[i], sb[i] = a1 - a0, b1 - b0
+        if sa[i] and sb[i]:
+            inter[i] = np.intersect1d(gram[a0:a1], gram[b0:b1],
+                                      assume_unique=True).size
+    ok &= (sa > 0) & (sb > 0)
+    return ok, inter, sa, sb
+
+
 def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
                    hot_k: int = 2048, sample_mod: int = 16,
                    id_col: str = "doc_id", text_col: str = "text",
@@ -955,11 +1034,13 @@ def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
             key[m] = hk[pos[m]]
         return key
 
-    # ---- pass 1: prefix postings (map-side) ----
+    # ---- pass 1: prefix postings (map-side; rank = the token's
+    # position in the doc's canonical order, for the positional filter)
     def prefix_postings(b: pa.Table) -> pa.Table:
         empty = pa.table({"key": pa.array([], pa.int64()),
                           "doc": pa.array([], pa.int64()),
-                          "size": pa.array([], pa.int64())})
+                          "size": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
         ids, r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
@@ -976,7 +1057,8 @@ def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
         keep = rank < p
         return pa.table({"key": pa.array(k2[keep].view(np.int64)),
                          "doc": pa.array(ids[r2[keep]]),
-                         "size": pa.array(s[keep])})
+                         "size": pa.array(s[keep]),
+                         "rank": pa.array(rank[keep])})
 
     prefix = docs_ds.map_batches(prefix_postings, batch_format="pyarrow")
 
@@ -1023,53 +1105,27 @@ def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
     if pairs.count() == 0:
         return ray.data.from_arrow(empty_out)
 
-    # ---- pass 3: broadcast-verify the bounded candidate set ----
-    ids: set = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        ids.update(b.column("doc_id_a").to_pylist())
-        ids.update(b.column("doc_id_b").to_pylist())
-    if len(ids) > broadcast_limit:
-        raise ValueError(
-            f"{len(ids)} candidate docs exceed broadcast_limit="
-            f"{broadcast_limit}; raise the threshold or verify via the "
-            "verify_pairs_jaccard join path")
-    id_arr = pa.array(sorted(ids), pa.int64())
-    id_ref = ray.put(id_arr)
-
-    def keep_candidates(b: pa.Table) -> pa.Table:
-        out = b.filter(pc.is_in(b.column(id_col), value_set=ray.get(id_ref)))
-        return pa.Table.from_arrays(
-            [out.column(id_col), out.column(text_col)],
-            names=[id_col, text_col])
-
-    sets: dict = {}
-    for b in docs_ds.map_batches(keep_candidates, batch_format="pyarrow") \
-                    .iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        bids, _r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
-        offs = np.cumsum(sizes)
-        for i in range(len(bids)):  # bounded: candidate docs only
-            sets[int(bids[i])] = g[offs[i] - sizes[i]:offs[i]]
-    sets_ref = ray.put(sets)
+    # ---- pass 3: broadcast-verify the bounded candidate set (flat
+    # zero-copy gram arrays; see _broadcast_candidate_grams) ----
+    sets_ref = _broadcast_candidate_grams(
+        docs_ds, pairs, id_col=id_col, text_col=text_col, n=n,
+        broadcast_limit=broadcast_limit,
+        on_overflow="raise the threshold or verify via the "
+                    "verify_pairs_jaccard join path")
 
     def verify(b: pa.Table) -> pa.Table:
         lk = ray.get(sets_ref)
-        av = b.column("doc_id_a").to_pylist()
-        bv = b.column("doc_id_b").to_pylist()
-        oa, ob, oi, ou = [], [], [], []
-        for a_, b_ in zip(av, bv):
-            ga, gb = lk.get(a_), lk.get(b_)
-            if ga is None or gb is None or not len(ga) or not len(gb):
-                continue
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            union = len(ga) + len(gb) - inter
-            if inter * t_den >= t_num * union:
-                oa.append(a_); ob.append(b_); oi.append(inter); ou.append(union)
-        return pa.table({"doc_id_a": pa.array(oa, pa.int64()),
-                         "doc_id_b": pa.array(ob, pa.int64()),
-                         "n_inter": pa.array(oi, pa.int64()),
-                         "n_union": pa.array(ou, pa.int64())})
+        av = b.column("doc_id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bv = b.column("doc_id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok, inter, sa, sb = _pair_gram_counts(lk, av, bv)
+        union = sa + sb - inter
+        keep = ok & (inter * t_den >= t_num * union)
+        return pa.table({"doc_id_a": pa.array(av[keep]),
+                         "doc_id_b": pa.array(bv[keep]),
+                         "n_inter": pa.array(inter[keep]),
+                         "n_union": pa.array(union[keep])})
 
     return pairs.map_batches(verify, batch_format="pyarrow",
                              batch_size=32_768)
@@ -1226,54 +1282,23 @@ def ssjoin_containment(docs_ds, *, n: int = 3, t_num: int = 3,
     if pairs.count() == 0:
         return ray.data.from_arrow(empty_out)
 
-    ids: set = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        ids.update(b.column("doc_id_a").to_pylist())
-        ids.update(b.column("doc_id_b").to_pylist())
-    if len(ids) > broadcast_limit:
-        raise ValueError(
-            f"{len(ids)} candidate docs exceed broadcast_limit="
-            f"{broadcast_limit}; band hot grams or pre-gate probes")
-    id_ref = ray.put(pa.array(sorted(ids), pa.int64()))
-
-    def keep_candidates(b: pa.Table) -> pa.Table:
-        out = b.filter(pc.is_in(b.column(id_col),
-                                value_set=ray.get(id_ref)))
-        return pa.Table.from_arrays(
-            [out.column(id_col), out.column(text_col)],
-            names=[id_col, text_col])
-
-    sets: dict = {}
-    for b in docs_ds.map_batches(keep_candidates,
-                                 batch_format="pyarrow") \
-                    .iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        bids, _r, g, sizes = _doc_gram_sets(b, id_col, text_col, n)
-        offs = np.cumsum(sizes)
-        for i in range(len(bids)):  # bounded: candidate docs only
-            sets[int(bids[i])] = np.sort(
-                g[offs[i] - sizes[i]:offs[i]])
-    sets_ref = ray.put(sets)
+    sets_ref = _broadcast_candidate_grams(
+        docs_ds, pairs, id_col=id_col, text_col=text_col, n=n,
+        broadcast_limit=broadcast_limit,
+        on_overflow="band hot grams or pre-gate probes")
 
     def verify(b: pa.Table) -> pa.Table:
         lk = ray.get(sets_ref)
-        av = b.column("doc_id_a").to_pylist()
-        bv = b.column("doc_id_b").to_pylist()
-        oa, ob, oi, on = [], [], [], []
-        for a_, b_ in zip(av, bv):
-            ga, gb = lk.get(a_), lk.get(b_)
-            if ga is None or gb is None or not len(ga) or not len(gb):
-                continue
-            i = int(np.intersect1d(ga, gb, assume_unique=True).size)
-            if i * t_den >= t_num * len(ga):
-                oa.append(a_)
-                ob.append(b_)
-                oi.append(i)
-                on.append(len(ga))
-        return pa.table({"doc_id_a": pa.array(oa, pa.int64()),
-                         "doc_id_b": pa.array(ob, pa.int64()),
-                         "n_inter": pa.array(oi, pa.int64()),
-                         "n_a": pa.array(on, pa.int64())})
+        av = b.column("doc_id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bv = b.column("doc_id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok, inter, sa, _sb = _pair_gram_counts(lk, av, bv)
+        keep = ok & (inter * t_den >= t_num * sa)
+        return pa.table({"doc_id_a": pa.array(av[keep]),
+                         "doc_id_b": pa.array(bv[keep]),
+                         "n_inter": pa.array(inter[keep]),
+                         "n_a": pa.array(sa[keep])})
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             batch_size=32_768)

@@ -211,48 +211,86 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst", *,
         batch_format="pyarrow")
 
 
+def _banded_pairs_part(df: pd.DataFrame, group_cols: list[str],
+                       value_col: str, id_col: str, tol: int,
+                       keep_group: bool,
+                       ghost_col: str | None = None) -> pd.DataFrame:
+    """Vectorized banded-pair sweep over a WHOLE partition (many groups
+    at once): groups are factorized and encoded into one int64 composite
+    key `gid * (value_span + tol + 1) + value`, so consecutive groups
+    sit more than `tol` apart and a single global searchsorted window
+    can never cross a group boundary — no per-group Python loop.  With
+    `ghost_col`, ghost-ghost pairs are dropped (the salted variant's
+    exactly-once rule)."""
+    def _empty() -> pd.DataFrame:
+        out = pd.DataFrame({"id_a": np.empty(0, np.int64),
+                            "id_b": np.empty(0, np.int64)})
+        if keep_group:
+            for g in group_cols:
+                out[g] = df[g].iloc[:0]
+        return out
+
+    if len(df) == 0:
+        return _empty()
+    if len(group_cols) == 1:
+        gid, _ = pd.factorize(df[group_cols[0]], sort=False)
+    else:
+        gid, _ = pd.factorize(
+            pd.MultiIndex.from_frame(df[group_cols]), sort=False)
+    vals = df[value_col].to_numpy().astype(np.int64)
+    vmin = int(vals.min())
+    span = int(vals.max()) - vmin + tol + 1
+    key = gid.astype(np.int64) * span + (vals - vmin)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    ids = df[id_col].to_numpy().astype(np.int64)[order]
+    n = len(key_s)
+    # for each i, rows j in (i, hi) have key[j] - key[i] <= tol (same
+    # group by construction); expand the ragged windows without a loop
+    hi = np.searchsorted(key_s, key_s + tol, side="right")
+    idx = np.arange(n)
+    cnt = np.maximum(hi - idx - 1, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return _empty()
+    left = np.repeat(idx, cnt)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    right = left + 1 + offs
+    if ghost_col is not None:
+        ghost = df[ghost_col].to_numpy().astype(bool)[order]
+        keep = ~(ghost[left] & ghost[right])
+        left, right = left[keep], right[keep]
+        if not len(left):
+            return _empty()
+    a, b2 = ids[left], ids[right]
+    out = pd.DataFrame({"id_a": np.minimum(a, b2),
+                        "id_b": np.maximum(a, b2)})
+    if keep_group:
+        for g in group_cols:
+            out[g] = df[g].to_numpy()[order][left]
+    return out
+
+
 def interval_self_join(ds, group_cols: list[str], value_col: str,
                        id_col: str, *, tol: int, keep_group: bool = False):
     """All pairs (id_a < id_b) within each group whose values differ by
     at most tol -> Dataset (id_a, id_b) (+ the group columns when
     keep_group — edges never cross groups, so each pair has exactly one
-    group value).  One group-key shuffle; each group is sorted once and
-    swept with a two-pointer window (output-sensitive, no cross
-    product)."""
+    group value).  ONE hash-partition exchange on the group key (the
+    adaptive _grouped_by_partition shape: small inputs collapse to one
+    task, no sort-exchange fixed cost); within a partition every group
+    is swept with the composite-key vectorized window
+    (output-sensitive, no cross product, no per-group Python)."""
+    from .dedup import _grouped_by_partition
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(value_col, kind="mergesort")
-        vals = df[value_col].to_numpy()
-        ids = df[id_col].to_numpy().astype(np.int64)
-        n = len(vals)
-        # for each i, rows j in (i, hi) have vals[j] - vals[i] <= tol;
-        # expand the ragged windows without a Python row loop
-        hi = np.searchsorted(vals, vals + tol, side="right")
-        idx = np.arange(n)
-        cnt = np.maximum(hi - idx - 1, 0)
-        total = int(cnt.sum())
-        if total == 0:
-            out = pd.DataFrame({"id_a": np.empty(0, np.int64),
-                                "id_b": np.empty(0, np.int64)})
-            if keep_group:
-                for g in group_cols:
-                    out[g] = df[g].iloc[:0]
-            return out
-        left = np.repeat(idx, cnt)
-        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        right = left + 1 + offs
-        a, b2 = ids[left], ids[right]
-        out = pd.DataFrame({"id_a": np.minimum(a, b2),
-                            "id_b": np.maximum(a, b2)})
-        if keep_group:
-            for g in group_cols:
-                out[g] = df[g].iloc[0]
-        return out
+        return _banded_pairs_part(df, group_cols, value_col, id_col,
+                                  tol, keep_group)
 
     cols = list(group_cols) + [value_col, id_col]
-    return ds.map_batches(
-        lambda t: t.select(cols), batch_format="pyarrow") \
-        .groupby(group_cols).map_groups(pairs, batch_format="pandas")
+    return _grouped_by_partition(
+        ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow"),
+        group_cols, pairs, n_parts=_default_parts())
 
 
 def interval_self_join_salted(ds, group_cols: list[str], value_col: str,
@@ -278,37 +316,22 @@ def interval_self_join_salted(ds, group_cols: list[str], value_col: str,
                  .append_column("_ghost", pa.array(np.ones(len(v), bool)))
         return pa.concat_tables([own, ghost])
 
+    from .dedup import _grouped_by_partition
+
+    salt_cols = list(group_cols) + ["_bucket"]
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(value_col, kind="mergesort")
-        vals = df[value_col].to_numpy()
-        ids = df[id_col].to_numpy().astype(np.int64)
-        ghost = df["_ghost"].to_numpy().astype(bool)
-        n = len(vals)
-        hi = np.searchsorted(vals, vals + tol, side="right")
-        idx = np.arange(n)
-        cnt = np.maximum(hi - idx - 1, 0)
-        total = int(cnt.sum())
-        if total == 0:
-            return pd.DataFrame({"id_a": np.empty(0, np.int64),
-                                 "id_b": np.empty(0, np.int64)})
-        left = np.repeat(idx, cnt)
-        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        right = left + 1 + offs
         # drop ghost-ghost (owned by the previous bucket) and any
         # ghost-own duplicate of an own-own pair (same ids both present
         # as own is impossible — a row is own in exactly one bucket)
-        keep = ~(ghost[left] & ghost[right])
-        left, right = left[keep], right[keep]
-        a, b2 = ids[left], ids[right]
-        return pd.DataFrame({"id_a": np.minimum(a, b2),
-                             "id_b": np.maximum(a, b2)})
+        return _banded_pairs_part(df, salt_cols, value_col, id_col,
+                                  tol, False, ghost_col="_ghost")
 
     cols = list(group_cols) + [value_col, id_col]
-    return ds.map_batches(
-        lambda t: t.select(cols), batch_format="pyarrow") \
-        .map_batches(salt, batch_format="pyarrow") \
-        .groupby(list(group_cols) + ["_bucket"]) \
-        .map_groups(pairs, batch_format="pandas")
+    return _grouped_by_partition(
+        ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+          .map_batches(salt, batch_format="pyarrow"),
+        salt_cols, pairs, n_parts=_default_parts())
 
 
 def _node_outdegrees(edges_ds, src: str, dst: str):
