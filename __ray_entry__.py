@@ -4960,6 +4960,113 @@ def _q_url_normalize_dedup(sf_dir: str):
     return df
 
 
+def _q_price_band_orders(sf_dir: str):
+    """Point-in-range dim lookup (IP-to-geo shape): orders bucketed
+    into 25 IRREGULAR price bands derived from nation (band k =
+    [k^2, (k+1)^2) x $1000 in cents) via ONE broadcast searchsorted —
+    zero fact shuffle, vs. a BETWEEN theta-join
+    (ops/relational.range_lookup_join)."""
+    from ray.data.aggregate import Count, Sum
+    from pdf_extract_ray.ops.relational import range_lookup_join
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    def mkdim(b: pa.Table) -> pa.Table:
+        k = b.column("n_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"band": b.column("n_name"),
+                         "lo": pa.array(k * k * 100000),
+                         "hi": pa.array((k + 1) * (k + 1) * 100000)})
+
+    dim = nation.map_batches(mkdim, batch_format="pyarrow").to_pandas()
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array(
+            np.rint(v * 100.0).astype(np.int64))})
+
+    fact = orders.map_batches(cents, batch_format="pyarrow")
+    joined = range_lookup_join(fact, dim, value_col="cents",
+                               lo_col="lo", hi_col="hi",
+                               label_col="band")
+    rows = joined.groupby("band").aggregate(Count(), Sum("cents")) \
+        .take_all()
+    df = _df_from_rows(rows, ["band", "count()", "sum(cents)"]).rename(
+        columns={"count()": "n_orders", "sum(cents)": "total_cents"})
+    for c in ("n_orders", "total_cents"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_global_doc_rank(sf_dir: str):
+    """Global ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) without a
+    global sort: broadcast key-histogram offsets + one key-partitioned
+    within-key rank pass (ops/analytics.global_row_number)."""
+    from pdf_extract_ray.ops.analytics import global_row_number
+    return global_row_number(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "n_chars", "doc_id")
+
+
+def _q_quantity_woe(sf_dir: str):
+    """Weight-of-evidence / information-value of quantity buckets vs
+    the 'returned' flag: one bounded (bucket, flag) count shuffle,
+    exact integer counts, ppm/ppb-floored floats with identical op
+    order both engines (ops/analytics.woe_iv)."""
+    from pdf_extract_ray.ops.analytics import woe_iv
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        flag = pc.equal(pc.fill_null(b.column("l_returnflag"), ""), "R")
+        return pa.table({"qty_bucket": pa.array(
+            np.rint(q).astype(np.int64)), "is_return": flag})
+
+    return woe_iv(ds.map_batches(derive, batch_format="pyarrow"),
+                  "qty_bucket", "is_return")
+
+
+def _q_lang_target_encoding(sf_dir: str):
+    """Smoothed target (mean) encoding of lang -> n_chars with m=20
+    pseudo-observations of the global prior: exact integer (sum, count)
+    partials, identical float op order both engines
+    (ops/analytics.smoothed_target_mean)."""
+    from pdf_extract_ray.ops.analytics import smoothed_target_mean
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": pc.fill_null(pc.cast(b.column("lang"), pa.string()),
+                                 "und"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64())})
+
+    return smoothed_target_mean(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        "lang", "n_chars", m=20, scale=1000)
+
+
+def _q_user_value_kendall(sf_dir: str):
+    """Exact Kendall tau-b pair counts per user over (ts, value cents)
+    — monotonic-trend detection with an ALL-INTEGER oracle (no float
+    boundary anywhere); one user-keyed partition pass, vectorized pair
+    enumeration (ops/analytics.grouped_kendall).  Bounded-group
+    assumption documented at the op."""
+    from pdf_extract_ray.ops.analytics import grouped_kendall
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "x": pc.cast(b.column("ts"), pa.int64()),
+            "y": pa.array(np.rint(np.nan_to_num(v) * 100.0)
+                          .astype(np.int64))})
+
+    return grouped_kendall(ds.map_batches(derive, batch_format="pyarrow"),
+                           "user_id", "x", "y")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5203,6 +5310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": _q_audio_resample,
         "ann_topk_pq": _q_ann_topk_pq,
         "frame_samples": _q_frame_samples,
+        "price_band_orders": _q_price_band_orders,
+        "global_doc_rank": _q_global_doc_rank,
+        "quantity_woe": _q_quantity_woe,
+        "lang_target_encoding": _q_lang_target_encoding,
+        "user_value_kendall": _q_user_value_kendall,
     }
 
 
@@ -7912,5 +8024,90 @@ def oracle_sql() -> dict[str, str]:
                    total_spend_cents, n_orders
             FROM agg JOIN customer c ON c.c_custkey = agg.o_custkey
             ORDER BY rank LIMIT 10
+        """,
+        "price_band_orders": """
+            WITH o AS (SELECT CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT) AS cents FROM orders),
+            d AS (SELECT n_name AS band,
+                         CAST(n_nationkey AS BIGINT)
+                           * CAST(n_nationkey AS BIGINT) * 100000 AS lo,
+                         (CAST(n_nationkey AS BIGINT) + 1)
+                           * (CAST(n_nationkey AS BIGINT) + 1) * 100000
+                           AS hi
+                  FROM nation)
+            SELECT d.band, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(o.cents) AS BIGINT) AS total_cents
+            FROM o JOIN d ON o.cents >= d.lo AND o.cents < d.hi
+            GROUP BY d.band
+        """,
+        "global_doc_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS global_rank
+            FROM documents
+        """,
+        "quantity_woe": """
+            WITH f AS (SELECT CAST(round(l_quantity, 0) AS BIGINT)
+                                  AS qty_bucket,
+                              CASE WHEN l_returnflag = 'R' THEN 1
+                                   ELSE 0 END AS bad
+                       FROM lineitem),
+            h AS (SELECT qty_bucket,
+                         CAST(sum(bad) AS BIGINT) AS n_bad,
+                         CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+                  FROM f GROUP BY qty_bucket),
+            t AS (SELECT CAST(sum(n_bad) AS BIGINT) AS B,
+                         CAST(sum(n_good) AS BIGINT) AS G FROM h)
+            SELECT qty_bucket, n_bad, n_good,
+                   CAST(floor(ln((CAST(n_bad AS DOUBLE) / B)
+                                 / (CAST(n_good AS DOUBLE) / G))
+                              * 1000000) AS BIGINT) AS woe_ppm,
+                   CAST(floor((CAST(n_bad AS DOUBLE) / B
+                               - CAST(n_good AS DOUBLE) / G)
+                              * ln((CAST(n_bad AS DOUBLE) / B)
+                                   / (CAST(n_good AS DOUBLE) / G))
+                              * 1000000000) AS BIGINT) AS iv_ppb
+            FROM h, t WHERE n_bad > 0 AND n_good > 0
+        """,
+        "lang_target_encoding": """
+            WITH a AS (SELECT COALESCE(lang, 'und') AS lang,
+                              CAST(sum(n_chars) AS BIGINT) AS s,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY COALESCE(lang, 'und')),
+            t AS (SELECT CAST(sum(s) AS BIGINT) AS tot_s,
+                         CAST(sum(n) AS BIGINT) AS tot_n FROM a)
+            SELECT lang, n AS n_rows,
+                   CAST(floor((CAST(s AS DOUBLE)
+                               + 20.0 * (CAST(tot_s AS DOUBLE)
+                                         / CAST(tot_n AS DOUBLE)))
+                              / CAST(n + 20 AS DOUBLE) * 1000)
+                        AS BIGINT) AS enc_milli
+            FROM a, t
+        """,
+        "user_value_kendall": """
+            WITH e AS (SELECT user_id, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS x,
+                              CAST(round(value * 100, 0) AS BIGINT) AS y
+                       FROM events),
+            p AS (SELECT a.user_id,
+                         CASE WHEN a.x < b.x THEN -1
+                              WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
+                         CASE WHEN a.y < b.y THEN -1
+                              WHEN a.y > b.y THEN 1 ELSE 0 END AS dy
+                  FROM e a JOIN e b
+                    ON a.user_id = b.user_id
+                   AND a.event_id < b.event_id)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_concordant,
+                   CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_discordant,
+                   CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_tie_x,
+                   CAST(sum(CASE WHEN dx <> 0 AND dy = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_tie_y,
+                   CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_tie_both
+            FROM p GROUP BY user_id
         """,
     }

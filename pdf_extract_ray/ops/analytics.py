@@ -1395,3 +1395,223 @@ def grouped_trimmed_mean(ds, group_col: str, value_col: str,
 
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)
+
+
+def global_row_number(ds, key_col: str, id_col: str):
+    """Global ROW_NUMBER() OVER (ORDER BY key, id) WITHOUT a global
+    sort -> (id, key, global_rank), 1-based.
+
+    Two-phase zipWithIndex: (1) one native groupby(key).count() builds
+    the key histogram whose exclusive prefix sums are each key's rank
+    offset (broadcast once via ray.put — the histogram is bounded by
+    the KEY cardinality, not rows; for bounded-domain keys like text
+    lengths that is thousands of entries at 100 TB); (2) one
+    key-partitioned pass ranks ids WITHIN each key (vectorized
+    sort + per-key cumcount across the whole partition).  For truly
+    continuous keys where the histogram itself would not fit, use a
+    range-partitioned sort instead — this op trades on the bounded
+    domain.  No stage ever holds more than a partition."""
+    import ray
+    from .dedup import _grouped_by_partition
+
+    hist = ds.groupby(key_col).count().to_pandas()
+    if len(hist) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            key_col: pd.Series([], dtype=np.int64),
+            "global_rank": pd.Series([], dtype=np.int64)}))
+    hist = hist.sort_values(key_col)
+    keys = hist[key_col].to_numpy(np.int64)
+    cnt = hist["count()"].to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    lut_ref = ray.put((keys, offsets))
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 key_col: np.empty(0, np.int64),
+                                 "global_rank": np.empty(0, np.int64)})
+        k_arr, off = ray.get(lut_ref)
+        df = df.sort_values([key_col, id_col], kind="mergesort")
+        kv = df[key_col].to_numpy(np.int64)
+        within = df.groupby(key_col, sort=False).cumcount().to_numpy()
+        base = off[np.searchsorted(k_arr, kv)]
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             key_col: kv,
+                             "global_rank": base + within + 1})
+
+    return _grouped_by_partition(
+        ds.map_batches(lambda t: t.select([key_col, id_col]),
+                       batch_format="pyarrow"),
+        [key_col], rank_part)
+
+
+def woe_iv(ds, bucket_col: str, flag_col: str):
+    """Weight-of-evidence / information-value table for a categorical
+    feature vs a boolean event -> (bucket, n_bad, n_good, woe_ppm,
+    iv_ppb).  The grouped_entropy discipline: ONE native
+    (bucket, flag) count shuffle (bounded by the bucket x 2 key
+    space), tiny driver finish; woe = ln((bad_i/B)/(good_i/G)) is a
+    float, but both engines derive it from the SAME exact integer
+    counts with the SAME op order, and the ppm/ppb floors leave wide
+    slack above double rounding noise.  Buckets missing an outcome are
+    dropped (woe undefined), matching the SQL's WHERE guard."""
+    import math
+
+    hist = ds.map_batches(
+        lambda b: pa.table({bucket_col: b.column(bucket_col),
+                            "_bad": pc.cast(b.column(flag_col),
+                                            pa.int64())}),
+        batch_format="pyarrow").groupby([bucket_col, "_bad"]).count()
+    rows = hist.take_all()
+    empty = pd.DataFrame({bucket_col: pd.Series([], dtype=np.int64),
+                          "n_bad": pd.Series([], dtype=np.int64),
+                          "n_good": pd.Series([], dtype=np.int64),
+                          "woe_ppm": pd.Series([], dtype=np.int64),
+                          "iv_ppb": pd.Series([], dtype=np.int64)})
+    if not rows:
+        return empty
+    df = pd.DataFrame(rows).rename(columns={"count()": "n"})
+    piv = df.pivot_table(index=bucket_col, columns="_bad", values="n",
+                         aggfunc="sum", fill_value=0)
+    bad = piv[1].to_numpy(np.int64) if 1 in piv.columns \
+        else np.zeros(len(piv), np.int64)
+    good = piv[0].to_numpy(np.int64) if 0 in piv.columns \
+        else np.zeros(len(piv), np.int64)
+    B, G = int(bad.sum()), int(good.sum())
+    out_b, out_nb, out_ng, out_w, out_iv = [], [], [], [], []
+    for bkt, nb, ng in zip(piv.index.to_numpy(), bad, good):
+        nb, ng = int(nb), int(ng)
+        if nb == 0 or ng == 0 or B == 0 or G == 0:
+            continue
+        pb = nb / B
+        pg = ng / G
+        woe = math.log(pb / pg)
+        iv = (pb - pg) * woe
+        out_b.append(int(bkt)); out_nb.append(nb); out_ng.append(ng)
+        out_w.append(math.floor(woe * 1_000_000))
+        out_iv.append(math.floor(iv * 1_000_000_000))
+    if not out_b:
+        return empty
+    return pd.DataFrame({bucket_col: np.array(out_b, np.int64),
+                         "n_bad": np.array(out_nb, np.int64),
+                         "n_good": np.array(out_ng, np.int64),
+                         "woe_ppm": np.array(out_w, np.int64),
+                         "iv_ppb": np.array(out_iv, np.int64)})
+
+
+def smoothed_target_mean(ds, cat_col: str, target_col: str,
+                         m: int = 20, scale: int = 1000):
+    """Smoothed target encoding (the classic mean-encoding feature):
+    enc(cat) = (sum_target_cat + m * prior) / (n_cat + m), prior = the
+    global mean -> (cat, n_rows, enc_milli).  ONE native groupby over
+    exact integer (sum, count) partials; the global prior is the sum
+    of those SAME partials (no second scan).  Float op order is spelled
+    identically in the oracle SQL; floor(enc * scale) leaves wide slack
+    above double noise."""
+    import math
+    from ray.data.aggregate import Sum, Count
+
+    agg = ds.map_batches(
+        lambda b: pa.table({cat_col: b.column(cat_col),
+                            "_t": pc.cast(b.column(target_col),
+                                          pa.int64())}),
+        batch_format="pyarrow").groupby(cat_col) \
+        .aggregate(Sum("_t"), Count()).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({cat_col: pd.Series([], dtype=object),
+                             "n_rows": pd.Series([], dtype=np.int64),
+                             "enc_milli": pd.Series([], dtype=np.int64)})
+    sums = agg["sum(_t)"].to_numpy(np.int64)
+    cnts = agg["count()"].to_numpy(np.int64)
+    prior = float(int(sums.sum())) / float(int(cnts.sum()))
+    enc = [math.floor((float(int(s)) + float(m) * prior)
+                      / float(int(n) + m) * scale)
+           for s, n in zip(sums, cnts)]
+    return pd.DataFrame({cat_col: agg[cat_col],
+                         "n_rows": cnts,
+                         "enc_milli": np.array(enc, np.int64)})
+
+
+def grouped_kendall(ds, group_col: str, x_col: str, y_col: str):
+    """Exact Kendall tau-b pair counts per group -> (group, n_pairs,
+    n_concordant, n_discordant, n_tie_x, n_tie_y, n_tie_both) — ALL
+    integers, so the oracle comparison has no float boundary at all
+    (tau-b itself is derivable from the counts).
+
+    ONE hash-partition exchange on the group key; within a partition
+    every group's full pair set is enumerated with the repeat/offset
+    ragged-window trick (no per-group Python loop) and classified with
+    vectorized sign comparisons.  Partitioning assumption: per-group
+    pair counts are quadratic in group size, so group sizes must be
+    bounded (sessions/users, not the whole corpus) — for larger groups
+    use an O(n log n) inversion count per group instead."""
+    from .dedup import _grouped_by_partition
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series([], dtype=np.int64),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "n_concordant": pd.Series([], dtype=np.int64),
+            "n_discordant": pd.Series([], dtype=np.int64),
+            "n_tie_x": pd.Series([], dtype=np.int64),
+            "n_tie_y": pd.Series([], dtype=np.int64),
+            "n_tie_both": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        gid, guniq = pd.factorize(df[group_col], sort=False)
+        order = np.argsort(gid, kind="stable")
+        gid = gid[order]
+        x = df[x_col].to_numpy(np.int64)[order]
+        y = df[y_col].to_numpy(np.int64)[order]
+        n = len(gid)
+        # group-run boundaries -> all intra-group (i<j) pairs
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(gid)) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        c = ends - starts
+        idx = np.arange(n)
+        cnt = np.repeat(ends, c) - idx - 1  # pairs to the right, in-group
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(idx, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        right = left + 1 + offs
+        xl, xr = x[left], x[right]
+        yl, yr = y[left], y[right]
+        dx = (xr > xl).astype(np.int8) - (xr < xl).astype(np.int8)
+        dy = (yr > yl).astype(np.int8) - (yr < yl).astype(np.int8)
+        # one fused (group, category) bincount instead of six scattered
+        # np.add.at passes (measured ~10x on 10^7-pair partitions):
+        # cat 0 = concordant, 1 = discordant, 2 = tie_x, 3 = tie_y,
+        # 4 = tie_both
+        prod = dx * dy
+        cat = np.full(total, 3, np.int64)
+        cat[prod > 0] = 0
+        cat[prod < 0] = 1
+        zx = dx == 0
+        cat[zx & (dy != 0)] = 2
+        cat[zx & (dy == 0)] = 4
+        pg = gid[left]
+        ng = int(gid[-1]) + 1
+        counts = np.bincount(pg * 5 + cat,
+                             minlength=ng * 5).reshape(ng, 5)
+        npair = counts.sum(axis=1)
+        present = npair > 0
+        return pd.DataFrame({
+            group_col: np.asarray(guniq)[present],
+            "n_pairs": npair[present].astype(np.int64),
+            "n_concordant": counts[present, 0].astype(np.int64),
+            "n_discordant": counts[present, 1].astype(np.int64),
+            "n_tie_x": counts[present, 2].astype(np.int64),
+            "n_tie_y": counts[present, 3].astype(np.int64),
+            "n_tie_both": counts[present, 4].astype(np.int64)})
+
+    # pair work is QUADRATIC in group size, so the adaptive
+    # collapse-to-one-task gate must trip far earlier than the default
+    # 1M rows: 64k rows is ~tens of millions of pairs, still a
+    # sub-second single task after the fused bincount
+    return _grouped_by_partition(
+        ds.map_batches(lambda t: t.select([group_col, x_col, y_col]),
+                       batch_format="pyarrow"),
+        [group_col], pairs, small_rows=65_536)

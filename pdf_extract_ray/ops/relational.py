@@ -2763,3 +2763,48 @@ def column_completeness(ds, count_cols):
     for c in count_cols:
         row[f"{c}_nonnull"] = int(agg.get(f"sum({c}_nonnull)", 0) or 0)
     return pd.DataFrame([row]).astype(np.int64)
+
+
+def range_lookup_join(fact_ds, dim_ds, *, value_col: str, lo_col: str,
+                      hi_col: str, label_col: str):
+    """Point-in-range dim lookup (the IP-to-geo / price-band shape):
+    append `label_col` to every fact row whose `value_col` lands in a
+    dim interval [lo, hi) — inner-join semantics, rows outside every
+    band are dropped.
+
+    The dim side is SMALL BY CONTRACT (a band table, not a fact):
+    its sorted (lo, hi, label) arrays are broadcast ONCE via ray.put
+    and every fact batch resolves with one np.searchsorted — zero
+    fact shuffle, which is the whole point vs. expressing a BETWEEN
+    join as a theta-join shuffle.  Intervals must be non-overlapping
+    (asserted); gaps are allowed (the hi check drops gap rows)."""
+    import ray
+
+    dim = dim_ds.to_pandas() if hasattr(dim_ds, "to_pandas") else dim_ds
+    if len(dim) == 0 or lo_col not in dim.columns:
+        # empty Ray blocks lose their schema -> 0-column frame
+        lo = np.empty(0, np.int64)
+        hi = np.empty(0, np.int64)
+        labels = np.empty(0, object)
+    else:
+        dim = dim.sort_values(lo_col)
+        lo = dim[lo_col].to_numpy(np.int64)
+        hi = dim[hi_col].to_numpy(np.int64)
+        labels = dim[label_col].to_numpy()
+    if len(lo) > 1 and (hi[:-1] > lo[1:]).any():
+        raise ValueError("range_lookup_join: overlapping dim intervals")
+    lut_ref = ray.put((lo, hi, labels))
+
+    def lookup(b: pa.Table) -> pa.Table:
+        l_, h_, lab = ray.get(lut_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(l_, v, side="right") - 1
+        posc = np.clip(pos, 0, len(l_) - 1)
+        ok = (pos >= 0) & (v < h_[posc]) if len(l_) else \
+            np.zeros(len(v), bool)
+        out = b.filter(pa.array(ok))
+        return out.append_column(label_col,
+                                 pa.array(lab[posc[ok]]))
+
+    return fact_ds.map_batches(lookup, batch_format="pyarrow")

@@ -45,6 +45,10 @@ QUERIES = [
     "revenue_by_nation", "dup_clusters", "heavy_hitters",
     "mannwhitney_chars", "order_total_audit", "pmi_pairs",
     "user_value_integral", "weighted_median_price",
+    # round-3 late wave: range lookup, global rank, WOE, target
+    # encoding, Kendall pair counts
+    "price_band_orders", "global_doc_rank", "quantity_woe",
+    "lang_target_encoding", "user_value_kendall",
 ]
 
 
@@ -78,6 +82,8 @@ ONE_ROW_QUERIES = [
     "mannwhitney_chars", "ks_chars", "chars_gmd_by_source",
     "monthly_revenue_delta", "weighted_median_price", "ann_topk",
     "market_share", "order_total_audit",
+    "price_band_orders", "global_doc_rank", "quantity_woe",
+    "lang_target_encoding", "user_value_kendall",
 ]
 
 
