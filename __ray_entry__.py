@@ -4960,6 +4960,58 @@ def _q_url_normalize_dedup(sf_dir: str):
     return df
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL wire-format fidelity, oracled: documents -> gzip JSONL
+    shards (sources/jsonl.write_jsonl_gz, cached per sf_dir) -> C++
+    vectorized read back (sources/jsonl.read_jsonl) -> per-source
+    (count, recomputed char total, min md5) — the md5/length are
+    recomputed FROM THE ROUNDTRIPPED TEXT, so any JSON escaping loss
+    would hash-mismatch the parquet-side oracle."""
+    import glob as _glob
+    import hashlib
+    import os
+    from ray.data.aggregate import Count, Min, Sum
+    from pdf_extract_ray.sources.jsonl import read_jsonl, write_jsonl_gz
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/pdf_extract_ray_cache/jsonl_v1_{tag}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "lang", "source",
+                            "n_chars"])
+        write_jsonl_gz(ds, out_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.jsonl.gz")))
+    back = read_jsonl(files, columns=["text", "source"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        if "text" not in b.column_names:  # all-empty shards lose schema
+            return pa.table({"source": pa.array([], pa.string()),
+                             "len": pa.array([], pa.int64()),
+                             "md5": pa.array([], pa.string())})
+        texts = b.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        lens = pc.cast(pc.utf8_length(pc.fill_null(b.column("text"),
+                                                   "")), pa.int64())
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()), "")
+        return pa.table({"source": src, "len": lens,
+                         "md5": pa.array(md5s, pa.string())})
+
+    rows = back.map_batches(derive, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count(), Sum("len"), Min("md5")) \
+        .take_all()
+    df = _df_from_rows(rows, ["source", "count()", "sum(len)",
+                              "min(md5)"]).rename(
+        columns={"count()": "n_docs", "sum(len)": "total_chars",
+                 "min(md5)": "min_md5"})
+    for c in ("n_docs", "total_chars"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_price_band_orders(sf_dir: str):
     """Point-in-range dim lookup (IP-to-geo shape): orders bucketed
     into 25 IRREGULAR price bands derived from nation (band k =
@@ -5310,6 +5362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": _q_audio_resample,
         "ann_topk_pq": _q_ann_topk_pq,
         "frame_samples": _q_frame_samples,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "price_band_orders": _q_price_band_orders,
         "global_doc_rank": _q_global_doc_rank,
         "quantity_woe": _q_quantity_woe,
@@ -8024,6 +8077,13 @@ def oracle_sql() -> dict[str, str]:
                    total_spend_cents, n_orders
             FROM agg JOIN customer c ON c.c_custkey = agg.o_custkey
             ORDER BY rank LIMIT 10
+        """,
+        "jsonl_roundtrip": """
+            SELECT COALESCE(source, '') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(md5(text)) AS min_md5
+            FROM documents GROUP BY COALESCE(source, '')
         """,
         "price_band_orders": """
             WITH o AS (SELECT CAST(round(o_totalprice * 100, 0)

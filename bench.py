@@ -183,7 +183,8 @@ def run_ops(sf_dir: str):
              "sliding_distinct_users",
              "supplier_fill_rate", "revenue_concentration",
              "lineitem_integrity", "boilerplate_stats",
-             "parquet_layout_audit", "price_band_orders",
+             "parquet_layout_audit", "jsonl_roundtrip",
+             "price_band_orders",
              "global_doc_rank", "quantity_woe", "lang_target_encoding",
              "user_value_kendall"]
     out = {}

@@ -46,9 +46,9 @@ QUERIES = [
     "mannwhitney_chars", "order_total_audit", "pmi_pairs",
     "user_value_integral", "weighted_median_price",
     # round-3 late wave: range lookup, global rank, WOE, target
-    # encoding, Kendall pair counts
+    # encoding, Kendall pair counts, JSONL roundtrip
     "price_band_orders", "global_doc_rank", "quantity_woe",
-    "lang_target_encoding", "user_value_kendall",
+    "lang_target_encoding", "user_value_kendall", "jsonl_roundtrip",
 ]
 
 
