@@ -5012,6 +5012,96 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return df
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV wire-format fidelity, oracled like jsonl_roundtrip:
+    documents -> quoted CSV shards (pandas C writer, cached per
+    sf_dir) -> ray.data.read_csv (Arrow C++ parser,
+    newlines_in_values for embedded linebreaks, explicit string
+    column_types so numeric-looking text can't be re-typed) ->
+    per-source (count, char total, min md5) recomputed from the
+    roundtripped text."""
+    import glob as _glob
+    import hashlib
+    import os
+    from ray.data.aggregate import Count, Min, Sum
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/pdf_extract_ray_cache/csv_v1_{tag}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "source"])
+
+        def dump(df):
+            import uuid
+            name = os.path.join(out_dir,
+                                f"part-{uuid.uuid4().hex[:12]}.csv")
+            df.to_csv(name + ".tmp", index=False)
+            os.rename(name + ".tmp", name)
+            import pandas as _pd
+            return _pd.DataFrame({"path": [name], "n": [len(df)]})
+
+        ds.map_batches(dump, batch_format="pandas").materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+    import ray
+    import pyarrow.csv as pacsv
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.csv")))
+    back = ray.data.read_csv(
+        files,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"doc_id": pa.int64(), "text": pa.string(),
+                          "source": pa.string()}))
+
+    def derive(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        lens = pc.cast(pc.utf8_length(pc.fill_null(b.column("text"),
+                                                   "")), pa.int64())
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()), "")
+        return pa.table({"source": src, "len": lens,
+                         "md5": pa.array(md5s, pa.string())})
+
+    rows = back.map_batches(derive, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count(), Sum("len"), Min("md5")) \
+        .take_all()
+    df = _df_from_rows(rows, ["source", "count()", "sum(len)",
+                              "min(md5)"]).rename(
+        columns={"count()": "n_docs", "sum(len)": "total_chars",
+                 "min(md5)": "min_md5"})
+    for c in ("n_docs", "total_chars"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_kcore_graph(sf_dir: str):
+    """k-core decomposition (k=8) of the bipartite purchase graph
+    (order-bucket <-> part-bucket, 257 buckets a side): the maximal
+    subgraph where every node keeps >= 8 distinct neighbors, plus each
+    survivor's in-core degree.  Link-farm / boilerplate-hub detection
+    shape on web graphs.  Ray side: ops/graph.kcore_nodes (per-round
+    keyed degree pass + adaptive endpoint drop, bounded single-task
+    peel for block-sized graphs).  Oracle: recursive-CTE peeling
+    fixpoint with a shrink guard (emit next round only while the
+    survivor set is strictly smaller AND nonempty; final degree filter
+    handles the empty-core stop)."""
+    from pdf_extract_ray.ops.graph import kcore_nodes
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        o = pc.cast(b.column("l_orderkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = pc.cast(b.column("l_partkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"src": o % 257, "dst": 257 + (p % 257)})
+
+    return kcore_nodes(li.map_batches(edges, batch_format="pyarrow"), k=8)
+
+
 def _q_price_band_orders(sf_dir: str):
     """Point-in-range dim lookup (IP-to-geo shape): orders bucketed
     into 25 IRREGULAR price bands derived from nation (band k =
@@ -5363,6 +5453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": _q_ann_topk_pq,
         "frame_samples": _q_frame_samples,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "kcore_graph": _q_kcore_graph,
         "price_band_orders": _q_price_band_orders,
         "global_doc_rank": _q_global_doc_rank,
         "quantity_woe": _q_quantity_woe,
@@ -8084,6 +8176,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    min(md5(text)) AS min_md5
             FROM documents GROUP BY COALESCE(source, '')
+        """,
+        "csv_roundtrip": """
+            SELECT COALESCE(source, '') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(md5(text)) AS min_md5
+            FROM documents GROUP BY COALESCE(source, '')
+        """,
+        "kcore_graph": """
+            WITH RECURSIVE g AS (
+              SELECT l_orderkey % 257 AS src,
+                     257 + (l_partkey % 257) AS dst
+              FROM lineitem
+            ),
+            e0 AS (
+              SELECT DISTINCT key, nbr FROM (
+                SELECT src AS key, dst AS nbr FROM g
+                UNION ALL SELECT dst, src FROM g)
+              WHERE key <> nbr
+            ),
+            peel AS (
+              SELECT 0 AS r, key, nbr FROM e0
+              UNION ALL
+              SELECT r + 1, key, nbr FROM (
+                SELECT r, key, nbr, dk, dn,
+                       count(*) OVER () AS total,
+                       sum(CASE WHEN dk >= 8 AND dn >= 8
+                                THEN 1 ELSE 0 END) OVER () AS surv
+                FROM (
+                  SELECT r, key, nbr,
+                         count(*) OVER (PARTITION BY key) AS dk,
+                         count(*) OVER (PARTITION BY nbr) AS dn
+                  FROM peel))
+              WHERE dk >= 8 AND dn >= 8 AND surv < total AND surv > 0
+            ),
+            lastr AS (
+              SELECT key, nbr FROM peel
+              WHERE r = (SELECT max(r) FROM peel)
+            ),
+            core AS (
+              SELECT key, nbr FROM (
+                SELECT key, nbr,
+                       count(*) OVER (PARTITION BY key) AS dk,
+                       count(*) OVER (PARTITION BY nbr) AS dn
+                FROM lastr)
+              WHERE dk >= 8 AND dn >= 8
+            )
+            SELECT CAST(key AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS core_deg
+            FROM core GROUP BY key
         """,
         "price_band_orders": """
             WITH o AS (SELECT CAST(round(o_totalprice * 100, 0)

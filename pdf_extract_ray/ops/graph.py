@@ -36,6 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .corpus import _coalesce_nonempty, _default_parts
 
@@ -1021,3 +1022,132 @@ def chain_edges(ds, group_cols: list[str], value_col: str, id_col: str,
         ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow"),
         list(group_cols), pairs,
         n_parts=num_partitions or _default_parts())
+
+
+def kcore_nodes(edges_ds, *, k: int, src: str = "src", dst: str = "dst",
+                node_col: str = "node",
+                num_partitions: int | None = None,
+                single_task_edges: int = 4_000_000,
+                max_rounds: int = 100):
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has >= k DISTINCT neighbors -> (node_col, core_deg)
+    with core_deg = the node's degree inside the core.  The classic
+    peeling fixpoint (repeatedly delete nodes of degree < k) — spam /
+    boilerplate link-farm detection on the doc-similarity graph.
+
+    Per round: ONE keyed degree pass over the surviving symmetrized
+    edge set, then the dropped-node set is removed from both endpoint
+    columns via the adaptive drop (bounded broadcast when small,
+    left_anti hash join at scale — ops/dedup.drop_rows_by_id).  Rounds
+    are data-bounded: each round deletes at least one node or
+    terminates.  Self-loops are discarded and parallel edges deduped
+    up front, so degree = distinct-neighbor count.
+
+    ADAPTIVE bounded finish (the connected_components pattern): a
+    symmetrized edge set that fits one block (<= single_task_edges)
+    peels ALL rounds in one task with bincount degrees — identical
+    semantics, none of the per-round exchange fixed cost; the loop
+    path is pinned by tests via single_task_edges=0."""
+    import ray
+    from .dedup import _grouped_by_partition
+
+    n_parts = num_partitions or _default_parts()
+    empty = pa.table({node_col: pa.array([], pa.int64()),
+                      "core_deg": pa.array([], pa.int64())})
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column(src), pa.int64()).combine_chunks()
+        d = pc.cast(b.column(dst), pa.int64()).combine_chunks()
+        key = pa.concat_arrays([a, d])
+        nbr = pa.concat_arrays([d, a])
+        ka = key.to_numpy(zero_copy_only=False)
+        na = nbr.to_numpy(zero_copy_only=False)
+        keep = ka != na  # self-loops contribute no peeling degree
+        return pa.table({"key": pa.array(ka[keep]),
+                         "nbr": pa.array(na[keep])})
+
+    # dedupe parallel edges once: (key, nbr) distinct via one keyed pass
+    edges = _grouped_by_partition(
+        edges_ds.map_batches(sym, batch_format="pyarrow"),
+        ["key"], lambda df: df.drop_duplicates(subset=["key", "nbr"]),
+        n_parts=n_parts).materialize()
+
+    def _peel_all(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({node_col: np.empty(0, np.int64),
+                                 "core_deg": np.empty(0, np.int64)})
+        key = df["key"].to_numpy(np.int64)
+        nbr = df["nbr"].to_numpy(np.int64)
+        while True:
+            if not len(key):
+                return pd.DataFrame({node_col: np.empty(0, np.int64),
+                                     "core_deg": np.empty(0, np.int64)})
+            uniq, inv = np.unique(key, return_inverse=True)
+            deg = np.bincount(inv)
+            good = uniq[deg >= k]
+            if len(good) == len(uniq):
+                return pd.DataFrame({
+                    node_col: uniq,
+                    "core_deg": deg.astype(np.int64)})
+            in_good_k = good[np.clip(np.searchsorted(good, key), 0,
+                                     max(len(good) - 1, 0))] == key \
+                if len(good) else np.zeros(len(key), bool)
+            in_good_n = good[np.clip(np.searchsorted(good, nbr), 0,
+                                     max(len(good) - 1, 0))] == nbr \
+                if len(good) else np.zeros(len(key), bool)
+            keep = in_good_k & in_good_n
+            key, nbr = key[keep], nbr[keep]
+
+    if edges.count() <= single_task_edges:
+        out = edges.repartition(1).map_batches(
+            _peel_all, batch_format="pandas", batch_size=None)
+        return out.map_batches(
+            lambda t: t if t.num_rows or t.column_names else empty,
+            batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        def degs(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("key", sort=False, as_index=False) \
+                .agg(deg=("nbr", "size"))
+            return g
+
+        deg_ds = _grouped_by_partition(edges, ["key"], degs,
+                                       n_parts=n_parts).materialize()
+        bad = deg_ds.map_batches(
+            lambda b: pa.table({"doc_id": pc.cast(
+                b.filter(pc.less(b.column("deg"), k)).column("key"),
+                pa.int64())}),
+            batch_format="pyarrow").materialize()
+        if bad.count() == 0:
+            return deg_ds.map_batches(
+                lambda b: pa.table({
+                    node_col: pc.cast(b.column("key"), pa.int64()),
+                    "core_deg": pc.cast(b.column("deg"), pa.int64())})
+                if b.num_rows else empty,
+                batch_format="pyarrow")
+        edges = _kcore_drop(edges, bad).materialize()
+        if edges.count() == 0:
+            return ray.data.from_arrow(empty)
+    raise RuntimeError(f"kcore_nodes: no fixpoint in {max_rounds} rounds")
+
+
+def _kcore_drop(edges, bad):
+    """Remove edges with EITHER endpoint in `bad` (doc_id column) via
+    the adaptive drop: key-side first, then neighbor-side with the
+    columns swapped so drop_rows_by_id's id_col contract is reused."""
+    from .dedup import drop_rows_by_id
+
+    keyed = drop_rows_by_id(
+        edges.map_batches(
+            lambda t: pa.table({"doc_id": t.column("key"),
+                                "nbr": t.column("nbr")}),
+            batch_format="pyarrow"), bad)
+    swapped = drop_rows_by_id(
+        keyed.map_batches(
+            lambda t: pa.table({"doc_id": t.column("nbr"),
+                                "nbr": t.column("doc_id")}),
+            batch_format="pyarrow"), bad)
+    return swapped.map_batches(
+        lambda t: pa.table({"key": t.column("nbr"),
+                            "nbr": t.column("doc_id")}),
+        batch_format="pyarrow")

@@ -710,3 +710,72 @@ class TestTriangleSingleTaskPath:
                                single_task_edges=0).to_pandas()
         assert int(fast["n_triangles"].iloc[0]) \
             == int(slow["n_triangles"].iloc[0]) > 0
+
+
+def _naive_kcore(pairs, k):
+    """Reference peeling: dict node -> in-core distinct-neighbor degree."""
+    nbrs: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(nbrs):
+            if len(nbrs[n]) < k:
+                for m in nbrs.pop(n):
+                    if m in nbrs:
+                        nbrs[m].discard(n)
+                changed = True
+    return {n: len(s) for n, s in nbrs.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKCore:
+    def _run(self, pairs, k, **kw):
+        from pdf_extract_ray.ops.graph import kcore_nodes
+        out = kcore_nodes(_ds(_edges(pairs)), k=k, **kw).to_pandas()
+        if out.empty:
+            return {}
+        return dict(zip(out["node"], out["core_deg"]))
+
+    # loop: every per-round exchange runs (degree pass + adaptive drop);
+    # fast: the bounded single-task bincount peel
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_k4_with_peeling_tail(self, kw):
+        # K4 core survives; the 4-5-6-7 chain peels over THREE rounds
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6), (6, 7)]
+        got = self._run(pairs, k=3, **kw)
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_empty_core(self, kw):
+        # tree: no 2-core at all
+        pairs = [(0, 1), (1, 2), (1, 3), (3, 4)]
+        assert self._run(pairs, k=2, **kw) == {}
+
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_parallel_edges_and_self_loops_ignored(self, kw):
+        # triangle + duplicated/reversed edges + self loops: degree must
+        # count DISTINCT neighbors, so the triangle is a 2-core not 3-core
+        pairs = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (3, 3)]
+        assert self._run(pairs, k=3, **kw) == {}
+        assert self._run(pairs, k=2, **kw) == {1: 2, 2: 2, 3: 2}
+
+    def test_empty_input(self):
+        assert self._run([], k=2) == {}
+
+    @pytest.mark.parametrize("kw", [{}, {"single_task_edges": 0}],
+                             ids=["fast", "loop"])
+    def test_random_graph_matches_naive(self, kw):
+        rng = np.random.RandomState(11)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 40, size=(160, 2))]
+        for k in (2, 3, 5):
+            assert self._run(pairs, k=k, **kw) == _naive_kcore(pairs, k)
