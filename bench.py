@@ -186,7 +186,16 @@ def run_ops(sf_dir: str):
              "parquet_layout_audit", "jsonl_roundtrip",
              "price_band_orders",
              "global_doc_rank", "quantity_woe", "lang_target_encoding",
-             "user_value_kendall"]
+             "user_value_kendall",
+             "extract_status_histogram", "extract_metadata",
+             "doc_stats_by_source", "lang_histogram", "doc_size_buckets",
+             "bpe_token_counts", "embedding_label_histogram",
+             "deterministic_sample", "dataset_splits", "lm_scores",
+             "incremental_dedup", "fingerprints", "ngram_neardup",
+             "neardup_clusters", "neardup_cluster_dedup", "neardup_dedup",
+             "embedding_neardup", "image_features", "ann_recall_report",
+             "audio_resample", "frame_samples", "csv_roundtrip",
+             "kcore_graph"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
