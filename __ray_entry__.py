@@ -5209,6 +5209,73 @@ def _q_user_value_kendall(sf_dir: str):
                            "user_id", "x", "y")
 
 
+def _q_user_value_ewma(sf_dir: str):
+    """Dyadic windowed EWMA (alpha=1/2, 16-row window) per user in
+    EXACT scaled integers — weights are powers of two over floored
+    cents, so Ray and DuckDB agree bit-for-bit
+    (ops/events.user_value_ewma: one user-keyed partition pass, 16
+    masked shifted adds, no per-user loop)."""
+    from pdf_extract_ray.ops.events import user_value_ewma
+    return user_value_ewma(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "value"]))
+
+
+def _q_rolling_spikes(sf_dir: str):
+    """Rolling 2-sigma anomaly counter per user with an ALL-INTEGER
+    spike test ((n*c-s)^2 > 4*(n*q-s^2) over trailing-16-row cents
+    sums) — no float variance exists on either engine
+    (ops/events.rolling_spikes: one partition pass, cumulative-sum
+    windows clamped at user starts)."""
+    from pdf_extract_ray.ops.events import rolling_spikes
+    return rolling_spikes(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "value"]))
+
+
+def _q_transition_entropy(sf_dir: str):
+    """Per-state Markov out-transition entropy (ppm-floored nats) from
+    the oracle-tested event_transitions counts; sorted-order driver
+    finish over the tiny |types|^2 cross-tab
+    (ops/events.transition_entropy)."""
+    from pdf_extract_ray.ops.events import transition_entropy
+    return transition_entropy(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"]))
+
+
+def _q_degree_histogram(sf_dir: str):
+    """Degree-distribution histogram (power-law first look) of the
+    hashed bipartite purchase graph kcore_graph uses — symmetrized,
+    self-loops dropped, parallel edges deduped
+    (ops/graph.degree_histogram: map-side dedupe + one distinct-edge
+    exchange + bounded histogram groupby)."""
+    from pdf_extract_ray.ops.graph import degree_histogram
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        o = pc.cast(b.column("l_orderkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = pc.cast(b.column("l_partkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"src": o % 257, "dst": 257 + (p % 257)})
+
+    return degree_histogram(li.map_batches(edges, batch_format="pyarrow"))
+
+
+def _q_asof_join_nearest(sf_dir: str):
+    """NEAREST-neighbor as-of join (closest order either direction,
+    backward wins ties; backward tie-dedup max okey, forward min okey)
+    — both directions resolve in ONE user-keyed partition pass via the
+    negated-axis identity (ops/relational.asof_join_orders_nearest)."""
+    from pdf_extract_ray.ops.relational import asof_join_orders_nearest
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join_orders_nearest(ev, od)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5455,6 +5522,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "kcore_graph": _q_kcore_graph,
+        "user_value_ewma": _q_user_value_ewma,
+        "rolling_spikes": _q_rolling_spikes,
+        "transition_entropy": _q_transition_entropy,
+        "degree_histogram": _q_degree_histogram,
+        "asof_join_nearest": _q_asof_join_nearest,
         "price_band_orders": _q_price_band_orders,
         "global_doc_rank": _q_global_doc_rank,
         "quantity_woe": _q_quantity_woe,
@@ -8226,6 +8298,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(key AS BIGINT) AS node,
                    CAST(count(*) AS BIGINT) AS core_deg
             FROM core GROUP BY key
+        """,
+        "user_value_ewma": """
+            WITH r AS (
+              SELECT event_id, user_id,
+                     CAST(floor(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT a.event_id, a.user_id,
+                   CAST(sum(b.cents *
+                            (CAST(1 AS BIGINT)
+                             << (15 - (a.rn - b.rn)))) AS BIGINT)
+                     AS ewma_scaled
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id
+             AND b.rn BETWEEN a.rn - 15 AND a.rn
+            GROUP BY a.event_id, a.user_id
+        """,
+        "rolling_spikes": """
+            WITH r AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS c
+              FROM events),
+            w AS (
+              SELECT user_id, c,
+                     sum(c) OVER win AS s,
+                     sum(c * c) OVER win AS q,
+                     count(*) OVER win AS n
+              FROM r
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE n >= 8) AS BIGINT)
+                     AS n_eval,
+                   CAST(count(*) FILTER (
+                     WHERE n >= 8
+                       AND (n * c - s) * (n * c - s)
+                           > 4 * (n * q - s * s)) AS BIGINT) AS n_spikes
+            FROM w GROUP BY user_id
+        """,
+        "transition_entropy": """
+            WITH p AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events),
+            c AS (SELECT prev_type, event_type, count(*) AS o
+                  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            s AS (SELECT prev_type, sum(o) AS t FROM c GROUP BY prev_type)
+            SELECT c.prev_type, CAST(t AS BIGINT) AS n_trans,
+                   CAST(floor(sum(-(o * 1.0 / t) * ln(o * 1.0 / t))
+                              * 1000000) AS BIGINT) AS entropy_ppm
+            FROM c JOIN s USING (prev_type)
+            GROUP BY c.prev_type, t
+        """,
+        "degree_histogram": """
+            WITH g AS (
+              SELECT l_orderkey % 257 AS src,
+                     257 + (l_partkey % 257) AS dst
+              FROM lineitem),
+            e0 AS (
+              SELECT DISTINCT key, nbr FROM (
+                SELECT src AS key, dst AS nbr FROM g
+                UNION ALL SELECT dst, src FROM g)
+              WHERE key <> nbr),
+            d AS (SELECT key, count(*) AS degree FROM e0 GROUP BY key)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY degree ORDER BY degree
+        """,
+        "asof_join_nearest": """
+            WITH ob AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate),
+            ofw AS (
+              SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate),
+            b AS (
+              SELECT e.event_id, o.o_orderkey, o.o_orderdate
+              FROM events e ASOF JOIN ob o
+                ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+            f AS (
+              SELECT e.event_id, o.o_orderkey, o.o_orderdate
+              FROM events e ASOF JOIN ofw o
+                ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate)
+            SELECT e.event_id, e.user_id, e.ts,
+                   CASE WHEN b.o_orderkey IS NOT NULL
+                         AND (f.o_orderkey IS NULL OR
+                              epoch_us(e.ts) - epoch_us(b.o_orderdate)
+                                <= epoch_us(f.o_orderdate) - epoch_us(e.ts))
+                        THEN b.o_orderkey ELSE f.o_orderkey END
+                     AS o_orderkey,
+                   CASE WHEN b.o_orderkey IS NOT NULL
+                         AND (f.o_orderkey IS NULL OR
+                              epoch_us(e.ts) - epoch_us(b.o_orderdate)
+                                <= epoch_us(f.o_orderdate) - epoch_us(e.ts))
+                        THEN b.o_orderdate ELSE f.o_orderdate END
+                     AS o_orderdate
+            FROM events e
+            LEFT JOIN b ON e.event_id = b.event_id
+            LEFT JOIN f ON e.event_id = f.event_id
+            WHERE b.o_orderkey IS NOT NULL OR f.o_orderkey IS NOT NULL
         """,
         "price_band_orders": """
             WITH o AS (SELECT CAST(round(o_totalprice * 100, 0)

@@ -195,7 +195,9 @@ def run_ops(sf_dir: str):
              "neardup_clusters", "neardup_cluster_dedup", "neardup_dedup",
              "embedding_neardup", "image_features", "ann_recall_report",
              "audio_resample", "frame_samples", "csv_roundtrip",
-             "kcore_graph"]
+             "kcore_graph",
+             "user_value_ewma", "rolling_spikes", "transition_entropy",
+             "degree_histogram", "asof_join_nearest"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

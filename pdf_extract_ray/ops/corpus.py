@@ -1388,3 +1388,68 @@ def oov_rate(docs_ds, *, k: int = 1000, text_col: str = "text",
                          "oov_ppm": pa.array(ppm)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def readability_scores(docs_ds, *, text_col: str = "text",
+                       group_col: str = "source",
+                       null_group: str = "und"):
+    """Flesch reading-ease per group from EXACT integer counts ->
+    (group, n_docs, words, sentences, syllables, flesch_milli).
+    Words = non-space runs, sentences = [.!?]+ runs, syllables ~=
+    vowel-group runs (the classic cheap proxy); the Flesch float
+    206.835 - 1.015*(W/S) - 84.6*(Y/W) derives from the summed integer
+    totals with IDENTICAL op order on both engines and is floored to
+    milli units (zero denominators clamp to 1, matching the SQL's
+    greatest(x, 1)).
+
+    Character classes are spelled as explicit ASCII sets in BOTH
+    engines — Python's unicode-aware \\S and RE2's ASCII \\s diverge on
+    unicode whitespace, so neither shorthand appears anywhere.
+
+    Scale shape: pure map-side per-batch counting (three compiled-regex
+    passes, no per-row Python) -> per-batch (group, partials) rows ->
+    one bounded groupby Sum; the exchange carries one row per (group,
+    block)."""
+    import re
+
+    from ray.data.aggregate import Count, Sum
+
+    w_re = re.compile(r"[^ \t\n\r\f\v]+")
+    s_re = re.compile(r"[.!?]+")
+    y_re = re.compile(r"[aeiouAEIOU]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].fillna(null_group).astype(str)
+        t = df[text_col].fillna("")
+        out = pd.DataFrame({
+            group_col: g,
+            "w": t.str.count(w_re).astype(np.int64),
+            "s": t.str.count(s_re).astype(np.int64),
+            "y": t.str.count(y_re).astype(np.int64),
+            "n": np.ones(len(df), np.int64)})
+        return out.groupby(group_col, sort=False, as_index=False).sum()
+
+    agg = docs_ds.map_batches(partial, batch_format="pandas") \
+        .groupby(group_col).aggregate(Sum("n"), Sum("w"), Sum("s"),
+                                      Sum("y"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = pc.cast(b.column("sum(n)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = pc.cast(b.column("sum(w)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = pc.cast(b.column("sum(s)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.cast(b.column("sum(y)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        fl = np.floor((206.835 - 1.015 * (w / np.maximum(s, 1))
+                       - 84.6 * (y / np.maximum(w, 1))) * 1000.0) \
+            .astype(np.int64)
+        return pa.table({group_col: b.column(group_col),
+                         "n_docs": pa.array(nd),
+                         "words": pa.array(w),
+                         "sentences": pa.array(s),
+                         "syllables": pa.array(y),
+                         "flesch_milli": pa.array(fl)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1166,3 +1166,151 @@ def session_stats(ds, gap_minutes: int = 30):
         "max_session_events": ml,
         "avg_session_events_milli": ne * 1000 // ns if ns else 0,
     }]).astype(np.int64)
+
+
+def user_value_ewma(ds, *, window: int = 16):
+    """Dyadic windowed EWMA per user: over the last `window` events in
+    (ts, event_id) order, the weighted sum of integer cents with weights
+    2^(window-1-j) for lag j (newest row weighs 2^(window-1), the
+    oldest surviving row weighs 1) -> (event_id, user_id, ewma_scaled).
+    Dividing by 2^window would give the alpha=1/2 truncated EWMA; the
+    SCALED value is returned so the result is an exact BIGINT the SQL
+    oracle reproduces bit-for-bit (no float weight ever exists).
+
+    Shape: one user-hash partition pass (the running_totals shape);
+    within a partition ONE lexsort + `window` vectorized shifted adds
+    masked at user boundaries — no per-user loop, no per-row Python.
+    Partitioning assumption: one user's events fit a partition (salt by
+    time bucket and carry the 16-row tail beyond that)."""
+    shift = window - 1
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {"event_id": "int64", "user_id": "int64",
+                "ewma_scaled": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        # floor(value*100) matches the oracle's CAST(floor(v*100) AS
+        # BIGINT) exactly: both engines compute v*100 in float64 first
+        cents = np.floor(np.nan_to_num(
+            df["value"].to_numpy(dtype=np.float64)) * 100.0) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, e, c = user[order], eid[order], cents[order]
+        # rank within user segment (sorted, so a cumsum over same-user
+        # flags); lag-j contribution is valid only when j <= rank
+        rank = np.arange(n, dtype=np.int64)
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = u[1:] != u[:-1]
+        rank -= np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        out = np.zeros(n, dtype=np.int64)
+        for j in range(window):
+            w = np.int64(1) << np.int64(shift - j)
+            contrib = c[: n - j] * w if j else c * w
+            valid = rank[j:] >= j
+            out[j:][valid] += contrib[valid]
+        return pd.DataFrame({"event_id": e, "user_id": u,
+                             "ewma_scaled": out}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
+
+
+def rolling_spikes(ds, *, window: int = 16, min_n: int = 8):
+    """Rolling anomaly counter per user, EXACT integers end to end: a
+    row is a spike when its value deviates from its trailing
+    `window`-row mean by more than 2 trailing standard deviations —
+    tested as (n*c - s)^2 > 4*(n*q - s^2) with c = integer cents,
+    s/q = window sum / sum-of-squares, n = window row count (>= min_n
+    rows required, so the warmup rows never fire) -> (user_id, n_eval,
+    n_spikes).  Both sides of the inequality are products of bounded
+    int64 window sums, so Ray and DuckDB agree bit-for-bit — no float
+    variance ever exists.
+
+    Shape: one user-hash partition pass; within a partition ONE
+    lexsort, two cumulative sums, and window bounds clamped to each
+    user's first row via maximum.accumulate — no per-user loop."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {"user_id": "int64", "n_eval": "int64", "n_spikes": "int64"}
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(np.nan_to_num(
+            df["value"].to_numpy(dtype=np.float64)) * 100.0) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, c = user[order], cents[order]
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = u[1:] != u[:-1]
+        gstart = np.maximum.accumulate(
+            np.where(starts, np.arange(n), 0))
+        lo = np.maximum(gstart, np.arange(n) - (window - 1))
+        cs = np.concatenate([[0], np.cumsum(c)])
+        cq = np.concatenate([[0], np.cumsum(c * c)])
+        idx = np.arange(n)
+        s = cs[idx + 1] - cs[lo]
+        q = cq[idx + 1] - cq[lo]
+        wn = idx + 1 - lo
+        lhs = (wn * c - s)
+        spike = (wn >= min_n) & (lhs * lhs > 4 * (wn * q - s * s))
+        ev = wn >= min_n
+        g = pd.DataFrame({"user_id": u,
+                          "n_eval": ev.astype(np.int64),
+                          "n_spikes": spike.astype(np.int64)}) \
+            .groupby("user_id", sort=False).sum().reset_index()
+        return g.astype(cols)
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _grouped_by_partition
+    parts = _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
+    agg = parts.groupby("user_id").aggregate(Sum("n_eval"),
+                                             Sum("n_spikes"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "n_eval": pc.cast(b.column("sum(n_eval)"), pa.int64()),
+            "n_spikes": pc.cast(b.column("sum(n_spikes)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def transition_entropy(ds, *, n_parts: int = 32):
+    """Markov out-transition entropy per source state: the Shannon
+    entropy (nats) of the next-event-type mix following each
+    event_type, reported as floor(H * 1e6) -> (prev_type, n_trans,
+    entropy_ppm).  Built on the oracle-tested event_transitions counts
+    (one partition pass + a |types|^2 groupby); the entropy finish
+    runs driver-side over the tiny cross-tab in sorted event_type
+    order, the exact accumulation order the SQL mirrors (grouped
+    entropy pattern, ops/analytics.grouped_entropy)."""
+    import math
+
+    cells = event_transitions(ds, n_parts=n_parts).take_all()
+    cols = {"prev_type": "object", "n_trans": "int64",
+            "entropy_ppm": "int64"}
+    if not cells:
+        return pd.DataFrame(columns=list(cols)).astype(
+            {"n_trans": "int64", "entropy_ppm": "int64"})
+    df = pd.DataFrame(cells).sort_values(["prev_type", "event_type"])
+    out_g, out_n, out_e = [], [], []
+    for g, grp in df.groupby("prev_type", sort=True):
+        t = int(grp["n_transitions"].sum())
+        h = 0.0
+        for o in grp["n_transitions"]:
+            p = int(o) / t
+            h += -p * math.log(p)
+        out_g.append(g)
+        out_n.append(t)
+        out_e.append(math.floor(h * 1_000_000))
+    return pd.DataFrame({"prev_type": out_g,
+                         "n_trans": np.array(out_n, np.int64),
+                         "entropy_ppm": np.array(out_e, np.int64)})

@@ -1151,3 +1151,45 @@ def _kcore_drop(edges, bad):
         lambda t: pa.table({"key": t.column("nbr"),
                             "nbr": t.column("doc_id")}),
         batch_format="pyarrow")
+
+
+def degree_histogram(edges_ds, *, src: str = "src", dst: str = "dst"):
+    """Degree-distribution histogram of an undirected simple graph:
+    symmetrize, drop self-loops, dedupe parallel edges, count each
+    node's distinct neighbors, then histogram the degrees ->
+    (degree, n_nodes) sorted by degree.  The standard first look at a
+    web/link graph (power-law check, hub detection threshold pick).
+
+    Scale shape: symmetrize map-side; ONE (key, nbr) distinct groupby
+    (the only full-edge exchange), then a per-key count and a tiny
+    degree-keyed histogram groupby whose key space is bounded by the
+    max degree — no driver-side edge list ever exists."""
+    from ray.data.aggregate import Count
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        t = pa.table({"key": pa.concat_arrays([
+                          pa.array(s.to_numpy(zero_copy_only=False)),
+                          pa.array(d.to_numpy(zero_copy_only=False))]),
+                      "nbr": pa.concat_arrays([
+                          pa.array(d.to_numpy(zero_copy_only=False)),
+                          pa.array(s.to_numpy(zero_copy_only=False))])})
+        keep = pc.not_equal(t.column("key"), t.column("nbr"))
+        # map-side dedupe shrinks the exchange (parallel edges collapse
+        # per block before the shuffle)
+        return t.filter(keep).group_by(["key", "nbr"]).aggregate([])
+
+    uniq = edges_ds.map_batches(sym, batch_format="pyarrow") \
+        .groupby(["key", "nbr"]).count()
+    deg = uniq.groupby("key").count()
+    hist = deg.map_batches(
+        lambda b: pa.table({"degree": pc.cast(b.column("count()"),
+                                              pa.int64())}),
+        batch_format="pyarrow").groupby("degree").aggregate(Count())
+    out = hist.map_batches(
+        lambda b: pa.table({
+            "degree": pc.cast(b.column("degree"), pa.int64()),
+            "n_nodes": pc.cast(b.column("count()"), pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("degree")

@@ -2808,3 +2808,112 @@ def range_lookup_join(fact_ds, dim_ds, *, value_col: str, lo_col: str,
                                  pa.array(lab[posc[ok]]))
 
     return fact_ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def asof_join_orders_nearest(events_ds, orders_ds, *, n_parts: int = 64):
+    """NEAREST as-of join: each event matches its user's temporally
+    closest order — the latest order at-or-before the event (backward
+    leg, max o_orderkey among equal dates) vs the earliest order
+    strictly after it (forward leg, min o_orderkey); the smaller
+    absolute gap wins and the backward side wins exact ties ->
+    (event_id, user_id, ts, o_orderkey, o_orderdate), inner (events of
+    users with no orders drop).
+
+    One partition pass resolves BOTH directions: the user-keyed union
+    shuffles once; within a partition two lexsorts feed the same
+    _seg_last_idx segmented scan — forward-asof is backward-asof on
+    the negated time axis with negated orderkeys (the
+    asof_join_orders_forward identity), so no new kernel and no second
+    exchange exists.  Partitioning assumption: one user's rows fit a
+    partition (salt by time bucket with boundary order carries beyond
+    that — the asof_join_orders_salted lift)."""
+    from .dedup import _grouped_by_partition
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("o_custkey"), pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "ts": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+            "event_id": pa.array([None] * n, pa.int64()),
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64())})
+
+    def event_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b.column("user_id"), pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "ts": pc.cast(b.column("ts"), pa.timestamp("us")),
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "o_orderkey": pa.array([None] * n, pa.int64())})
+
+    both = events_ds.map_batches(event_rows, batch_format="pyarrow").union(
+        orders_ds.map_batches(order_rows, batch_format="pyarrow"))
+
+    cols = {"event_id": "int64", "user_id": "int64",
+            "ts": "datetime64[us]", "o_orderkey": "int64",
+            "o_orderdate": "datetime64[us]"}
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        key = df["key"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int8)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        okey = df["o_orderkey"].to_numpy(dtype=np.float64)  # NaN on events
+        eid = df["event_id"].to_numpy(dtype=np.float64)
+        is_o = side == 1
+
+        def leg(ts_ax, ok_ax, orders_first):
+            # orders_first: at equal ts, orders sort BEFORE events so an
+            # equal-ts order is eligible (backward, at-or-before);
+            # otherwise AFTER, making the leg strict (forward, after)
+            tie = (1 - side) if orders_first else side
+            order = np.lexsort((ok_ax, tie, ts_ax, key))
+            gch = np.empty(n, dtype=bool)
+            gch[0] = True
+            gch[1:] = key[order][1:] != key[order][:-1]
+            last, valid = _seg_last_idx(is_o[order], gch)
+            return order, last, valid
+
+        # backward leg: latest order <= ts, max okey among equal dates
+        b_ord, b_last, b_valid = leg(ts, okey, True)
+        b_ok = np.full(n, -1, np.int64)
+        b_ot = np.zeros(n, np.int64)
+        b_hit = np.zeros(n, dtype=bool)
+        ev_b = (side[b_ord] == 0)
+        hit_b = ev_b & b_valid
+        rows_b = b_ord[hit_b]
+        b_hit[rows_b] = True
+        b_ok[rows_b] = okey[b_ord][b_last[hit_b]].astype(np.int64)
+        b_ot[rows_b] = ts[b_ord][b_last[hit_b]]
+        # forward leg: earliest order > ts, min okey among equal dates
+        f_ord, f_last, f_valid = leg(-ts, -okey, False)
+        f_ok = np.full(n, -1, np.int64)
+        f_ot = np.zeros(n, np.int64)
+        f_hit = np.zeros(n, dtype=bool)
+        ev_f = (side[f_ord] == 0)
+        hit_f = ev_f & f_valid
+        rows_f = f_ord[hit_f]
+        f_hit[rows_f] = True
+        # the negation lived only in the SORT keys; values read back
+        # from the original arrays
+        f_ok[rows_f] = okey[f_ord][f_last[hit_f]].astype(np.int64)
+        f_ot[rows_f] = ts[f_ord][f_last[hit_f]]
+        # pick the closer side; backward wins ties
+        ev = side == 0
+        any_hit = ev & (b_hit | f_hit)
+        gap_b = np.where(b_hit, ts - b_ot, np.int64(2**62))
+        gap_f = np.where(f_hit, f_ot - ts, np.int64(2**62))
+        use_b = b_hit & (gap_b <= gap_f)
+        sel_ok = np.where(use_b, b_ok, f_ok)[any_hit]
+        sel_ot = np.where(use_b, b_ot, f_ot)[any_hit]
+        return pd.DataFrame({
+            "event_id": eid[any_hit].astype(np.int64),
+            "user_id": key[any_hit],
+            "ts": ts[any_hit].astype("datetime64[us]"),
+            "o_orderkey": sel_ok,
+            "o_orderdate": sel_ot.astype("datetime64[us]")}).astype(cols)
+
+    return _grouped_by_partition(both, ["key"], resolve, n_parts=n_parts)

@@ -779,3 +779,70 @@ class TestKCore:
                  for a, b in rng.randint(0, 40, size=(160, 2))]
         for k in (2, 3, 5):
             assert self._run(pairs, k=k, **kw) == _naive_kcore(pairs, k)
+
+
+class TestDegreeHistogram:
+    def test_matches_naive(self):
+        from pdf_extract_ray.ops.graph import degree_histogram
+        rng = np.random.RandomState(17)
+        m = 500
+        src = rng.randint(0, 40, m)
+        dst = rng.randint(0, 40, m)
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        out = degree_histogram(_ds(t).repartition(6)).to_pandas()
+        # naive: undirected simple graph degrees
+        pairs = set()
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if a != b:
+                pairs.add((a, b))
+                pairs.add((b, a))
+        deg: dict = {}
+        for a, _ in pairs:
+            deg[a] = deg.get(a, 0) + 1
+        exp = pd.Series(list(deg.values())).value_counts().sort_index()
+        assert out["degree"].tolist() == exp.index.tolist()
+        assert out["n_nodes"].tolist() == exp.tolist()
+        assert (out["degree"].to_numpy()[1:]
+                > out["degree"].to_numpy()[:-1]).all()
+
+    def test_self_loops_and_parallel_edges_ignored(self):
+        from pdf_extract_ray.ops.graph import degree_histogram
+        t = pa.table({"src": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 2, 1, 3], pa.int64())})
+        out = degree_histogram(_ds(t)).to_pandas()
+        # only edge 1-2 survives: two nodes of degree 1
+        assert out["degree"].tolist() == [1]
+        assert out["n_nodes"].tolist() == [2]
+
+
+class TestTransitionEntropy:
+    def test_matches_naive_counts(self):
+        import math
+        from pdf_extract_ray.ops.events import transition_entropy
+        rng = np.random.RandomState(23)
+        n = 400
+        types = np.array(["view", "cart", "buy"], dtype=object)
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 10, n), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01")
+                           + pd.to_timedelta(rng.randint(0, 9999, n),
+                                             unit="s")),
+            "event_type": pa.array(types[rng.randint(0, 3, n)])})
+        out = transition_entropy(_ds(t).repartition(5)) \
+            .set_index("prev_type")
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        counts: dict = {}
+        for _, grp in df.groupby("user_id"):
+            et = grp["event_type"].tolist()
+            for a, b in zip(et[:-1], et[1:]):
+                counts.setdefault(a, {})
+                counts[a][b] = counts[a].get(b, 0) + 1
+        for prev, dist in counts.items():
+            tot = sum(dist.values())
+            h = sum(-(o / tot) * math.log(o / tot)
+                    for _, o in sorted(dist.items()))
+            assert int(out.loc[prev, "n_trans"]) == tot
+            assert int(out.loc[prev, "entropy_ppm"]) \
+                == math.floor(h * 1_000_000)

@@ -1880,3 +1880,136 @@ class TestOrderStreaks:
                 cur = cur + 1 if b > a else 1
                 best = max(best, cur)
             assert int(out.loc[cust]) == best, cust
+
+
+class TestAsofNearest:
+    def test_matches_naive_nearest(self):
+        import numpy as np
+        from pdf_extract_ray.ops.relational import asof_join_orders_nearest
+        rng = np.random.RandomState(13)
+        ne, no = 150, 70
+        ev = pa.table({
+            "event_id": pa.array(np.arange(ne), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 14, ne), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01") + pd.to_timedelta(
+                rng.randint(0, 500_000, ne) // 3600 * 3600, unit="s"))})
+        od = pa.table({
+            "o_orderkey": pa.array(np.arange(no), pa.int64()),
+            "o_custkey": pa.array(rng.randint(0, 14, no), pa.int64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime("2024-01-01") + pd.to_timedelta(
+                    rng.randint(0, 500_000, no) // 3600 * 3600,
+                    unit="s"))})
+        out = asof_join_orders_nearest(_ds(ev).repartition(5),
+                                       _ds(od).repartition(3)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        e, o = ev.to_pandas(), od.to_pandas()
+        rows = []
+        for r in e.itertuples():
+            mine = o[o["o_custkey"] == r.user_id]
+            back = mine[mine["o_orderdate"] <= r.ts]
+            fwd = mine[mine["o_orderdate"] > r.ts]
+            cand = []
+            if len(back):
+                bd = back["o_orderdate"].max()
+                bk = int(back[back["o_orderdate"] == bd]
+                         ["o_orderkey"].max())
+                cand.append((int((r.ts - bd).total_seconds()), 0, bk, bd))
+            if len(fwd):
+                fd = fwd["o_orderdate"].min()
+                fk = int(fwd[fwd["o_orderdate"] == fd]
+                         ["o_orderkey"].min())
+                cand.append((int((fd - r.ts).total_seconds()), 1, fk, fd))
+            if cand:
+                cand.sort()  # smaller gap first; backward (0) wins ties
+                rows.append((r.event_id, cand[0][2], cand[0][3]))
+        exp = pd.DataFrame(rows, columns=["event_id", "o_orderkey",
+                                          "o_orderdate"]) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == len(exp)
+        assert (out["o_orderkey"].to_numpy()
+                == exp["o_orderkey"].to_numpy()).all()
+        assert (out["o_orderdate"].to_numpy()
+                == exp["o_orderdate"].to_numpy()).all()
+
+
+class TestUserValueEwma:
+    def test_matches_naive_weighted_window(self):
+        import numpy as np
+        from pdf_extract_ray.ops.events import user_value_ewma
+        rng = np.random.RandomState(7)
+        n = 400
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 9, n), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01")
+                           + pd.to_timedelta(rng.randint(0, 9999, n),
+                                             unit="s")),
+            "value": pa.array(rng.uniform(0, 500, n))})
+        out = user_value_ewma(_ds(t).repartition(6)).to_pandas() \
+            .set_index("event_id")["ewma_scaled"]
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        for uid, grp in df.groupby("user_id"):
+            c = np.floor(grp["value"].to_numpy() * 100.0).astype(np.int64)
+            for i in range(len(c)):
+                lo = max(0, i - 15)
+                exp = sum(int(c[j]) << (15 - (i - j))
+                          for j in range(lo, i + 1))
+                eid = grp["event_id"].to_numpy()[i]
+                assert int(out.loc[eid]) == exp, (uid, i)
+
+    def test_window_truncates_and_isolates_users(self):
+        from pdf_extract_ray.ops.events import user_value_ewma
+        # 20 events of value 1.0 for one user: after 16 rows the scaled
+        # sum saturates at 100 * (2^16 - 1); a second user's single row
+        # must not see the first user's history
+        n = 20
+        t = pa.table({
+            "event_id": pa.array(list(range(n)) + [99], pa.int64()),
+            "user_id": pa.array([1] * n + [2], pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01")
+                           + pd.to_timedelta(list(range(n)) + [5],
+                                             unit="s")),
+            "value": pa.array([1.0] * (n + 1))})
+        out = user_value_ewma(_ds(t).repartition(3)).to_pandas() \
+            .set_index("event_id")["ewma_scaled"]
+        assert int(out.loc[0]) == 100 << 15
+        assert int(out.loc[n - 1]) == 100 * ((1 << 16) - 1)
+        assert int(out.loc[99]) == 100 << 15
+
+
+class TestRollingSpikes:
+    def test_matches_naive_integer_test(self):
+        import numpy as np
+        from pdf_extract_ray.ops.events import rolling_spikes
+        rng = np.random.RandomState(3)
+        n = 600
+        vals = rng.uniform(0, 50, n)
+        vals[rng.randint(0, n, 25)] *= 40  # planted spikes
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 7, n), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01")
+                           + pd.to_timedelta(rng.randint(0, 99999, n),
+                                             unit="s")),
+            "value": pa.array(vals)})
+        out = rolling_spikes(_ds(t).repartition(5)).to_pandas() \
+            .set_index("user_id")
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        total_spikes = 0
+        for uid, grp in df.groupby("user_id"):
+            c = np.floor(grp["value"].to_numpy() * 100.0).astype(np.int64)
+            ev = sp = 0
+            for i in range(len(c)):
+                w = c[max(0, i - 15): i + 1]
+                wn = len(w)
+                if wn < 8:
+                    continue
+                ev += 1
+                s, q = int(w.sum()), int((w * w).sum())
+                if (wn * int(c[i]) - s) ** 2 > 4 * (wn * q - s * s):
+                    sp += 1
+            assert int(out.loc[uid, "n_eval"]) == ev, uid
+            assert int(out.loc[uid, "n_spikes"]) == sp, uid
+            total_spikes += sp
+        assert total_spikes > 0  # planted anomalies actually fire
