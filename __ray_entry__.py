@@ -5264,6 +5264,28 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(li.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_readability_scores(sf_dir: str):
+    """Flesch reading-ease per source from exact integer word /
+    sentence / vowel-run counts (milli-floored float with identical op
+    order both engines; ASCII character classes spelled out so Python
+    and RE2 regex semantics cannot diverge)
+    (ops/corpus.readability_scores: map-side counting, one bounded
+    groupby)."""
+    from pdf_extract_ray.ops.corpus import readability_scores
+    return readability_scores(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
+def _q_events_hourly_gapfill(sf_dir: str):
+    """Gap-filled hourly event counts (zero rows for empty hours
+    between the stream's min and max hour) — the densify step before
+    time-series modeling (ops/events.hourly_gapfill: map-side hour
+    partials, one bounded groupby, driver reindex of the tiny
+    hour table)."""
+    from pdf_extract_ray.ops.events import hourly_gapfill
+    return hourly_gapfill(_read(sf_dir, "events", columns=["ts"]))
+
+
 def _q_asof_join_nearest(sf_dir: str):
     """NEAREST-neighbor as-of join (closest order either direction,
     backward wins ties; backward tie-dedup max okey, forward min okey)
@@ -5527,6 +5549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy": _q_transition_entropy,
         "degree_histogram": _q_degree_histogram,
         "asof_join_nearest": _q_asof_join_nearest,
+        "readability_scores": _q_readability_scores,
+        "events_hourly_gapfill": _q_events_hourly_gapfill,
         "price_band_orders": _q_price_band_orders,
         "global_doc_rank": _q_global_doc_rank,
         "quantity_woe": _q_quantity_woe,
@@ -8402,6 +8426,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN b ON e.event_id = b.event_id
             LEFT JOIN f ON e.event_id = f.event_id
             WHERE b.o_orderkey IS NOT NULL OR f.o_orderkey IS NOT NULL
+        """,
+        "readability_scores": """
+            WITH c AS (
+              SELECT COALESCE(source, 'und') AS source,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                         '[^ \t\n\r\f\v]+')) AS w,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                         '[.!?]+')) AS s,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                         '[aeiouAEIOU]+')) AS y
+              FROM documents),
+            t AS (SELECT source, count(*) AS n_docs, sum(w) AS w,
+                         sum(s) AS s, sum(y) AS y
+                  FROM c GROUP BY source)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(w AS BIGINT) AS words,
+                   CAST(s AS BIGINT) AS sentences,
+                   CAST(y AS BIGINT) AS syllables,
+                   CAST(floor((206.835
+                               - 1.015 * (w * 1.0 / greatest(s, 1))
+                               - 84.6 * (y * 1.0 / greatest(w, 1)))
+                              * 1000) AS BIGINT) AS flesch_milli
+            FROM t
+        """,
+        "events_hourly_gapfill": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+              FROM events GROUP BY 1),
+            b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+            g AS (SELECT unnest(generate_series(mn, mx,
+                                INTERVAL 1 HOUR)) AS hour FROM b)
+            SELECT g.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+            FROM g LEFT JOIN h USING (hour)
+            ORDER BY g.hour
         """,
         "price_band_orders": """
             WITH o AS (SELECT CAST(round(o_totalprice * 100, 0)

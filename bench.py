@@ -197,7 +197,8 @@ def run_ops(sf_dir: str):
              "audio_resample", "frame_samples", "csv_roundtrip",
              "kcore_graph",
              "user_value_ewma", "rolling_spikes", "transition_entropy",
-             "degree_histogram", "asof_join_nearest"]
+             "degree_histogram", "asof_join_nearest",
+             "readability_scores", "events_hourly_gapfill"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

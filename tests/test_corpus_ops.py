@@ -742,3 +742,42 @@ class TestSsjoinContainment:
         assert (2, 1) in got      # subset doc contained in full doc
         assert (1, 3) in got      # full doc contained in superset
         assert (1, 2) not in got  # big-in-small direction fails
+
+
+class TestReadabilityScores:
+    def test_matches_naive_counts_and_formula(self):
+        import math
+        import re
+        from pdf_extract_ray.ops.corpus import readability_scores
+        texts = ["Hello world. This is fine! Right?",
+                 "aeiou bcd xyz. one two three four",
+                 "", "NO VOWELS HR", None,
+                 "Unicode space stays one word."]
+        srcs = ["a", "a", "b", "b", "b", "c"]
+        t = pa.table({"source": pa.array(srcs, pa.string()),
+                      "text": pa.array(texts, pa.string())})
+        out = readability_scores(_ds(t).repartition(3)).to_pandas() \
+            .set_index("source")
+        w_re = re.compile(r"[^ \t\n\r\f\v]+")
+        s_re = re.compile(r"[.!?]+")
+        y_re = re.compile(r"[aeiouAEIOU]+")
+        for src in ["a", "b", "c"]:
+            tx = [x or "" for x, s in zip(texts, srcs) if s == src]
+            W = sum(len(w_re.findall(x)) for x in tx)
+            S = sum(len(s_re.findall(x)) for x in tx)
+            Y = sum(len(y_re.findall(x)) for x in tx)
+            assert int(out.loc[src, "words"]) == W
+            assert int(out.loc[src, "sentences"]) == S
+            assert int(out.loc[src, "syllables"]) == Y
+            exp = math.floor((206.835 - 1.015 * (W / max(S, 1))
+                              - 84.6 * (Y / max(W, 1))) * 1000)
+            assert int(out.loc[src, "flesch_milli"]) == exp
+
+    def test_unicode_space_is_not_a_separator(self):
+        from pdf_extract_ray.ops.corpus import readability_scores
+        # \xa0 must NOT split words: the explicit ASCII class is the
+        # cross-engine (Python re vs RE2) contract
+        t = pa.table({"source": pa.array(["x"], pa.string()),
+                      "text": pa.array(["one\u00a0two"], pa.string())})
+        out = readability_scores(_ds(t)).to_pandas()
+        assert int(out["words"].iloc[0]) == 1

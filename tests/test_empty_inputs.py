@@ -49,6 +49,11 @@ QUERIES = [
     # encoding, Kendall pair counts, JSONL roundtrip
     "price_band_orders", "global_doc_rank", "quantity_woe",
     "lang_target_encoding", "user_value_kendall", "jsonl_roundtrip",
+    # round-3 continuation wave: windowed EWMA / spikes, transition
+    # entropy, degree histogram, nearest as-of, readability, gapfill
+    "user_value_ewma", "rolling_spikes", "transition_entropy",
+    "degree_histogram", "asof_join_nearest", "readability_scores",
+    "events_hourly_gapfill",
 ]
 
 

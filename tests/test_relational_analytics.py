@@ -2013,3 +2013,23 @@ class TestRollingSpikes:
             assert int(out.loc[uid, "n_spikes"]) == sp, uid
             total_spikes += sp
         assert total_spikes > 0  # planted anomalies actually fire
+
+
+class TestHourlyGapfill:
+    def test_holes_are_zero_filled(self):
+        from pdf_extract_ray.ops.events import hourly_gapfill
+        ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                             "2024-01-01 03:05", "2024-01-01 05:59"])
+        t = pa.table({"ts": pa.array(ts)})
+        out = hourly_gapfill(_ds(t).repartition(3))
+        assert len(out) == 6  # 00..05 inclusive
+        assert out["n_events"].tolist() == [2, 0, 0, 1, 0, 1]
+        hrs = pd.to_datetime(out["hour"])
+        assert hrs.iloc[0] == pd.Timestamp("2024-01-01 00:00")
+        assert (hrs.diff().dropna() == pd.Timedelta(hours=1)).all()
+
+    def test_empty_input_total(self):
+        from pdf_extract_ray.ops.events import hourly_gapfill
+        t = pa.table({"ts": pa.array([], pa.timestamp("us"))})
+        out = hourly_gapfill(_ds(t))
+        assert len(out) == 0
