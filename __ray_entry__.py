@@ -5264,6 +5264,52 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(li.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_lang_source_mi(sf_dir: str):
+    """Mutual information lang<->source (+ the three entropies), ppm
+    nats from exact integer counts — the split-leakage / feature-
+    redundancy screen (ops/analytics.mutual_information: one bounded
+    contingency aggregate, tiny driver finish)."""
+    from pdf_extract_ray.ops.analytics import mutual_information
+    return mutual_information(
+        _read(sf_dir, "documents", columns=["lang", "source"]),
+        "lang", "source")
+
+
+def _q_key_skew_report(sf_dir: str):
+    """Partitioning-key skew audit across the big tables: for each
+    candidate shuffle key, distinct keys, the hottest key's row count
+    and its ppm share -> (table_name, key_col, n_rows, n_keys,
+    top_count, top_share_ppm).  The pick-ONE-partitioning-key /
+    salt-hot-keys decision input.  Shape per table: one keyed count
+    (bounded by key cardinality) + a tiny all-reduce max; results
+    union driver-side (4 single rows)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    specs = [("orders", "o_custkey"), ("lineitem", "l_partkey"),
+             ("events", "user_id"), ("documents", "lang")]
+    out = []
+    for table, col in specs:
+        ds = _read(sf_dir, table, columns=[col])
+        if col == "lang":  # string key: null-tolerant, COALESCE parity
+            ds = ds.map_batches(
+                lambda b: pa.table({"lang": pc.fill_null(
+                    pc.cast(b.column("lang"), pa.string()), "und")}),
+                batch_format="pyarrow")
+        counts = ds.groupby(col).count()
+        agg = counts.aggregate(Count(), Max("count()"), Sum("count()"))
+        nk = int(agg.get("count()") or 0)
+        top = int(agg.get("max(count())") or 0)
+        nr = int(agg.get("sum(count())") or 0)
+        out.append({"table_name": table, "key_col": col, "n_rows": nr,
+                    "n_keys": nk, "top_count": top,
+                    "top_share_ppm": top * 1_000_000 // nr if nr else 0})
+    df = pd.DataFrame(out)
+    for c in ("n_rows", "n_keys", "top_count", "top_share_ppm"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_readability_scores(sf_dir: str):
     """Flesch reading-ease per source from exact integer word /
     sentence / vowel-run counts (milli-floored float with identical op
@@ -5551,6 +5597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_nearest": _q_asof_join_nearest,
         "readability_scores": _q_readability_scores,
         "events_hourly_gapfill": _q_events_hourly_gapfill,
+        "lang_source_mi": _q_lang_source_mi,
+        "key_skew_report": _q_key_skew_report,
         "price_band_orders": _q_price_band_orders,
         "global_doc_rank": _q_global_doc_rank,
         "quantity_woe": _q_quantity_woe,
@@ -8449,6 +8497,48 @@ def oracle_sql() -> dict[str, str]:
                                - 84.6 * (y * 1.0 / greatest(w, 1)))
                               * 1000) AS BIGINT) AS flesch_milli
             FROM t
+        """,
+        "lang_source_mi": """
+            WITH c AS (
+              SELECT COALESCE(lang, 'und') AS a,
+                     COALESCE(source, 'und') AS b, count(*) AS o
+              FROM documents GROUP BY 1, 2),
+            tot AS (SELECT sum(o) AS t FROM c),
+            ha AS (SELECT sum(-(o * 1.0 / t) * ln(o * 1.0 / t)) AS h
+                   FROM (SELECT a, sum(o) AS o FROM c GROUP BY a), tot),
+            hb AS (SELECT sum(-(o * 1.0 / t) * ln(o * 1.0 / t)) AS h
+                   FROM (SELECT b, sum(o) AS o FROM c GROUP BY b), tot),
+            hj AS (SELECT sum(-(o * 1.0 / t) * ln(o * 1.0 / t)) AS h
+                   FROM c, tot)
+            SELECT CAST(t AS BIGINT) AS n_rows,
+                   CAST(floor(ha.h * 1000000) AS BIGINT) AS h_a_ppm,
+                   CAST(floor(hb.h * 1000000) AS BIGINT) AS h_b_ppm,
+                   CAST(floor(hj.h * 1000000) AS BIGINT) AS h_joint_ppm,
+                   CAST(floor((ha.h + hb.h - hj.h) * 1000000) AS BIGINT)
+                     AS mi_ppm
+            FROM tot, ha, hb, hj
+        """,
+        "key_skew_report": """
+            WITH u AS (
+              SELECT 'orders' AS table_name, 'o_custkey' AS key_col,
+                     count(*) AS c
+              FROM orders GROUP BY o_custkey
+              UNION ALL
+              SELECT 'lineitem', 'l_partkey', count(*)
+              FROM lineitem GROUP BY l_partkey
+              UNION ALL
+              SELECT 'events', 'user_id', count(*)
+              FROM events GROUP BY user_id
+              UNION ALL
+              SELECT 'documents', 'lang', count(*)
+              FROM documents GROUP BY COALESCE(lang, 'und'))
+            SELECT table_name, key_col,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS top_count,
+                   CAST(max(c) * 1000000 // sum(c) AS BIGINT)
+                     AS top_share_ppm
+            FROM u GROUP BY table_name, key_col
         """,
         "events_hourly_gapfill": """
             WITH h AS (

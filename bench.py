@@ -198,7 +198,8 @@ def run_ops(sf_dir: str):
              "kcore_graph",
              "user_value_ewma", "rolling_spikes", "transition_entropy",
              "degree_histogram", "asof_join_nearest",
-             "readability_scores", "events_hourly_gapfill"]
+             "readability_scores", "events_hourly_gapfill",
+             "lang_source_mi", "key_skew_report"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

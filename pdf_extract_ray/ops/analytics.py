@@ -1615,3 +1615,51 @@ def grouped_kendall(ds, group_col: str, x_col: str, y_col: str):
         ds.map_batches(lambda t: t.select([group_col, x_col, y_col]),
                        batch_format="pyarrow"),
         [group_col], pairs, small_rows=65_536)
+
+
+def mutual_information(ds, col_a: str, col_b: str,
+                       null_value: str = "und"):
+    """Mutual information between two categorical columns, with the
+    marginal and joint entropies -> ONE row (n_rows, h_a_ppm, h_b_ppm,
+    h_joint_ppm, mi_ppm), all ppm-floored nats.  The feature-redundancy
+    / leakage screen: MI(label, split_key) >> 0 means the split leaks.
+
+    All four floats derive from the SAME exact integer (a, b) counts;
+    terms accumulate in sorted key order and MI = H(a) + H(b) -
+    H(joint) is computed in FLOAT before its own floor (the SQL
+    mirrors the expression, not the rounded parts).  Scale shape: one
+    bounded (a, b) histogram aggregate (the contingency shape), tiny
+    driver finish."""
+    import math
+
+    def prep(b: pa.Table) -> pa.Table:
+        a = pc.fill_null(pc.cast(b.column(col_a), pa.string()), null_value)
+        v = pc.fill_null(pc.cast(b.column(col_b), pa.string()), null_value)
+        return pa.table({col_a: a, col_b: v})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby([col_a, col_b]).count().take_all()
+    cols = ["n_rows", "h_a_ppm", "h_b_ppm", "h_joint_ppm", "mi_ppm"]
+    if not rows:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    df = pd.DataFrame(rows).rename(columns={"count()": "o"})
+    t = int(df["o"].sum())
+
+    def ent(series_counts) -> float:
+        h = 0.0
+        for o in series_counts:
+            p = int(o) / t
+            h += -p * math.log(p)
+        return h
+
+    ha = ent(df.groupby(col_a)["o"].sum().sort_index())
+    hb = ent(df.groupby(col_b)["o"].sum().sort_index())
+    hj = ent(df.sort_values([col_a, col_b])["o"])
+    return pd.DataFrame([{
+        "n_rows": t,
+        "h_a_ppm": math.floor(ha * 1_000_000),
+        "h_b_ppm": math.floor(hb * 1_000_000),
+        "h_joint_ppm": math.floor(hj * 1_000_000),
+        "mi_ppm": math.floor((ha + hb - hj) * 1_000_000),
+    }]).astype(np.int64)

@@ -1404,32 +1404,33 @@ def readability_scores(docs_ds, *, text_col: str = "text",
 
     Character classes are spelled as explicit ASCII sets in BOTH
     engines — Python's unicode-aware \\S and RE2's ASCII \\s diverge on
-    unicode whitespace, so neither shorthand appears anywhere.
+    unicode whitespace, so neither shorthand appears anywhere.  Counting
+    runs on Arrow's count_substring_regex (RE2, the same engine DuckDB
+    uses) — zero-copy from the object store, no Python regex.
 
-    Scale shape: pure map-side per-batch counting (three compiled-regex
-    passes, no per-row Python) -> per-batch (group, partials) rows ->
-    one bounded groupby Sum; the exchange carries one row per (group,
-    block)."""
-    import re
+    Scale shape: pure map-side per-batch counting (three C++ regex
+    passes) -> per-batch (group, partials) combine -> one bounded
+    groupby Sum; the exchange carries one row per (group, block)."""
+    from ray.data.aggregate import Sum
 
-    from ray.data.aggregate import Count, Sum
-
-    w_re = re.compile(r"[^ \t\n\r\f\v]+")
-    s_re = re.compile(r"[.!?]+")
-    y_re = re.compile(r"[aeiouAEIOU]+")
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[group_col].fillna(null_group).astype(str)
-        t = df[text_col].fillna("")
-        out = pd.DataFrame({
+    def partial(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()),
+                         null_group)
+        t = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        part = pa.table({
             group_col: g,
-            "w": t.str.count(w_re).astype(np.int64),
-            "s": t.str.count(s_re).astype(np.int64),
-            "y": t.str.count(y_re).astype(np.int64),
-            "n": np.ones(len(df), np.int64)})
-        return out.groupby(group_col, sort=False, as_index=False).sum()
+            "w": pc.cast(pc.count_substring_regex(
+                t, "[^ \t\n\r\f\v]+"), pa.int64()),
+            "s": pc.cast(pc.count_substring_regex(t, "[.!?]+"),
+                         pa.int64()),
+            "y": pc.cast(pc.count_substring_regex(t, "[aeiouAEIOU]+"),
+                         pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64))})
+        agg = part.group_by(group_col).aggregate(
+            [("w", "sum"), ("s", "sum"), ("y", "sum"), ("n", "sum")])
+        return agg.rename_columns([group_col, "w", "s", "y", "n"])
 
-    agg = docs_ds.map_batches(partial, batch_format="pandas") \
+    agg = docs_ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).aggregate(Sum("n"), Sum("w"), Sum("s"),
                                       Sum("y"))
 

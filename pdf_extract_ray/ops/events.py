@@ -1269,18 +1269,11 @@ def rolling_spikes(ds, *, window: int = 16, min_n: int = 8):
             .groupby("user_id", sort=False).sum().reset_index()
         return g.astype(cols)
 
-    from ray.data.aggregate import Sum
-
     from .dedup import _grouped_by_partition
-    parts = _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
-    agg = parts.groupby("user_id").aggregate(Sum("n_eval"),
-                                             Sum("n_spikes"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "user_id": pc.cast(b.column("user_id"), pa.int64()),
-            "n_eval": pc.cast(b.column("sum(n_eval)"), pa.int64()),
-            "n_spikes": pc.cast(b.column("sum(n_spikes)"), pa.int64())}),
-        batch_format="pyarrow")
+    # one row per user per PARTITION — and a user's rows never split
+    # across partitions (that is _grouped_by_partition's contract), so
+    # the per-partition sums ARE the final answer: no second exchange
+    return _grouped_by_partition(ds, ["user_id"], per_user, n_parts=32)
 
 
 def transition_entropy(ds, *, n_parts: int = 32):

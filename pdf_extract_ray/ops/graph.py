@@ -1160,11 +1160,17 @@ def degree_histogram(edges_ds, *, src: str = "src", dst: str = "dst"):
     (degree, n_nodes) sorted by degree.  The standard first look at a
     web/link graph (power-law check, hub detection threshold pick).
 
-    Scale shape: symmetrize map-side; ONE (key, nbr) distinct groupby
-    (the only full-edge exchange), then a per-key count and a tiny
-    degree-keyed histogram groupby whose key space is bounded by the
-    max degree — no driver-side edge list ever exists."""
+    Scale shape: symmetrize + dedupe map-side; ONE key-hash partition
+    pass both dedupes globally (every copy of a key's edges lands in
+    one partition, so global distinct == partition-local distinct) AND
+    counts that key's neighbors — then only (degree) singles flow into
+    a tiny histogram groupby whose key space is bounded by the max
+    degree.  No second full-edge exchange, no driver-side edge list.
+    Partitioning assumption: one node's neighbor list fits a partition
+    (true up to ~100M-degree hubs at 16 B/edge; cap or sample beyond)."""
     from ray.data.aggregate import Count
+
+    from .dedup import _grouped_by_partition
 
     def sym(b: pa.Table) -> pa.Table:
         s = pc.cast(b.column(src), pa.int64())
@@ -1180,13 +1186,17 @@ def degree_histogram(edges_ds, *, src: str = "src", dst: str = "dst"):
         # per block before the shuffle)
         return t.filter(keep).group_by(["key", "nbr"]).aggregate([])
 
-    uniq = edges_ds.map_batches(sym, batch_format="pyarrow") \
-        .groupby(["key", "nbr"]).count()
-    deg = uniq.groupby("key").count()
-    hist = deg.map_batches(
-        lambda b: pa.table({"degree": pc.cast(b.column("count()"),
-                                              pa.int64())}),
-        batch_format="pyarrow").groupby("degree").aggregate(Count())
+    def degrees(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"degree": pd.Series([], dtype=np.int64)})
+        d = df.drop_duplicates(["key", "nbr"]).groupby(
+            "key", sort=False).size()
+        return pd.DataFrame({"degree": d.to_numpy(np.int64)})
+
+    deg = _grouped_by_partition(
+        edges_ds.map_batches(sym, batch_format="pyarrow"),
+        ["key"], degrees)
+    hist = deg.groupby("degree").aggregate(Count())
     out = hist.map_batches(
         lambda b: pa.table({
             "degree": pc.cast(b.column("degree"), pa.int64()),

@@ -53,7 +53,7 @@ QUERIES = [
     # entropy, degree histogram, nearest as-of, readability, gapfill
     "user_value_ewma", "rolling_spikes", "transition_entropy",
     "degree_histogram", "asof_join_nearest", "readability_scores",
-    "events_hourly_gapfill",
+    "events_hourly_gapfill", "lang_source_mi", "key_skew_report",
 ]
 
 

@@ -2033,3 +2033,44 @@ class TestHourlyGapfill:
         t = pa.table({"ts": pa.array([], pa.timestamp("us"))})
         out = hourly_gapfill(_ds(t))
         assert len(out) == 0
+
+
+class TestMutualInformation:
+    def test_matches_naive(self):
+        import math
+        import numpy as np
+        from pdf_extract_ray.ops.analytics import mutual_information
+        rng = np.random.RandomState(41)
+        n = 500
+        a = np.array(["x", "y", "z"], dtype=object)[rng.randint(0, 3, n)]
+        # b correlated with a -> MI > 0
+        b = np.where(rng.rand(n) < 0.7, a,
+                     np.array(["x", "y", "z"], dtype=object)[
+                         rng.randint(0, 3, n)])
+        t = pa.table({"lang": pa.array(a), "source": pa.array(b)})
+        out = mutual_information(_ds(t).repartition(4), "lang", "source")
+        df = pd.DataFrame({"a": a, "b": b})
+
+        def ent(counts):
+            tt = counts.sum()
+            return sum(-(o / tt) * math.log(o / tt) for o in counts)
+
+        ha = ent(df.groupby("a").size().sort_index())
+        hb = ent(df.groupby("b").size().sort_index())
+        hj = ent(df.groupby(["a", "b"]).size().sort_index())
+        assert int(out["n_rows"].iloc[0]) == n
+        assert int(out["h_a_ppm"].iloc[0]) == math.floor(ha * 1e6)
+        assert int(out["h_joint_ppm"].iloc[0]) == math.floor(hj * 1e6)
+        assert int(out["mi_ppm"].iloc[0]) \
+            == math.floor((ha + hb - hj) * 1e6)
+        assert int(out["mi_ppm"].iloc[0]) > 0
+
+    def test_independent_is_near_zero_and_identical_is_h(self):
+        from pdf_extract_ray.ops.analytics import mutual_information
+        a = ["p", "q"] * 50
+        t = pa.table({"lang": pa.array(a, pa.string()),
+                      "source": pa.array(a, pa.string())})
+        out = mutual_information(_ds(t), "lang", "source")
+        # identical columns: MI == H(a) == ln 2
+        assert int(out["mi_ppm"].iloc[0]) == int(out["h_a_ppm"].iloc[0])
+        assert abs(int(out["mi_ppm"].iloc[0]) - 693147) <= 1
