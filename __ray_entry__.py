@@ -3794,10 +3794,12 @@ def _q_supplier_fill_rate(sf_dir: str):
         return g.astype(cols)
 
     parts = _grouped_by_partition(u, ["k"], resolve, n_parts=16)
-    rows = parts.groupby("l_suppkey") \
-        .aggregate(Sum("on_time"), Sum("n")).take_all()
-    df = _df_from_rows(rows, ["l_suppkey", "sum(on_time)", "sum(n)"]) \
-        .rename(columns={"sum(on_time)": "on_time", "sum(n)": "n_items"})
+    # partials are bounded by (#suppliers x n_parts) rows — merge them
+    # driver-side instead of paying a second all-to-all's fixed cost
+    rows = parts.take_all()
+    df = _df_from_rows(rows, ["l_suppkey", "on_time", "n"])
+    df = df.groupby("l_suppkey", as_index=False).sum() \
+        .rename(columns={"n": "n_items"})
     df["fill_ppm"] = np.array(
         [int(o) * 1_000_000 // int(n) if n else 0
          for o, n in zip(df["on_time"], df["n_items"])], np.int64)
@@ -4130,36 +4132,45 @@ def _q_rfm_segments(sf_dir: str):
         return pa.table({"c": b.column("o_custkey"),
                          "d": pa.array(d), "cents": pa.array(cents)})
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
-    per_cust = prepped.groupby("c") \
-        .aggregate(Max("d"), Count(), Sum("cents"))
+    # ONE scan of orders: the custkey aggregate is pinned, so the
+    # global max date reads the (already tiny) per-customer table and
+    # the tier cells fold per block — no second orders pass, no second
+    # all-to-all for an 8-cell finish
+    per_cust = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("c").aggregate(Max("d"), Count(), Sum("cents")) \
+        .materialize()
 
     cols = {"recent": np.int64, "frequent": np.int64, "big": np.int64,
             "n_customers": np.int64}
-    gagg = prepped.aggregate(Max("d"))
-    gmax = gagg.get("max(d)") if gagg else None
+    gagg = per_cust.aggregate(Max("max(d)"))
+    gmax = gagg.get("max(max(d))") if gagg else None
     if gmax is None:
         return pd.DataFrame({k: pd.Series([], dtype=v)
                              for k, v in cols.items()})
     gmax = int(gmax)
 
-    def tiers(b: pa.Table) -> pa.Table:
+    def tier_cells(b: pa.Table) -> pa.Table:
         d = pc.cast(b.column("max(d)"), pa.int64()).to_numpy()
         n = pc.cast(b.column("count()"), pa.int64()).to_numpy()
         cents = pc.cast(b.column("sum(cents)"), pa.int64()).to_numpy()
-        return pa.table({
-            "recent": pa.array((gmax - d <= 90).astype(np.int64)),
-            "frequent": pa.array((n >= 10).astype(np.int64)),
-            "big": pa.array((cents >= 10_000_000).astype(np.int64)),
-            "n": pa.array(np.ones(len(d), np.int64))})
+        cell = ((gmax - d <= 90).astype(np.int64) * 4
+                + (n >= 10).astype(np.int64) * 2
+                + (cents >= 10_000_000).astype(np.int64))
+        counts = np.bincount(cell, minlength=8)
+        return pa.table({"cell": pa.array(np.arange(8, dtype=np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
 
-    from ray.data.aggregate import Sum as _Sum
-    rows = per_cust.map_batches(tiers, batch_format="pyarrow") \
-        .groupby(["recent", "frequent", "big"]).aggregate(_Sum("n")) \
-        .take_all()
-    df = _df_from_rows(rows, ["recent", "frequent", "big", "sum(n)"]) \
-        .rename(columns={"sum(n)": "n_customers"})
-    return df.astype(cols)
+    rows = per_cust.map_batches(tier_cells,
+                                batch_format="pyarrow").take_all()
+    df = _df_from_rows(rows, ["cell", "n"]) \
+        .groupby("cell", as_index=False).sum()
+    df = df[df["n"] > 0]
+    cell = df["cell"].to_numpy(np.int64)
+    out = pd.DataFrame({"recent": (cell >> 2) & 1,
+                        "frequent": (cell >> 1) & 1,
+                        "big": cell & 1,
+                        "n_customers": df["n"].to_numpy(np.int64)})
+    return out.astype(cols)
 
 
 def _q_events_dow_hour(sf_dir: str):
