@@ -5355,6 +5355,94 @@ def _q_asof_join_nearest(sf_dir: str):
     return asof_join_orders_nearest(ev, od)
 
 
+def _q_emd_chars(sf_dir: str):
+    """1-D earth mover's distance between src0/src1 doc-length
+    distributions — exact integer CDF-area identity beside ks_chars'
+    sup norm (ops/analytics.emd_1d: one bounded histogram, one tiny
+    sorted-walk task)."""
+    from pdf_extract_ray.ops.analytics import emd_1d
+    return emd_1d(_read(sf_dir, "documents",
+                        columns=["source", "n_chars"]),
+                  "source", "n_chars", "src0", "src1")
+
+
+def _q_score_auc(sf_dir: str):
+    """ROC AUC of doc length predicting lang='en' via the rank-sum
+    identity AUC = U / (n_pos*n_neg) — exact integers end to end
+    (doubled midranks, ppm floor division), the standard classifier
+    screen over a candidate feature.  Reuses the mannwhitney_u bounded
+    histogram kernel on a derived label column."""
+    from pdf_extract_ray.ops.analytics import mannwhitney_u
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def label(b: pa.Table) -> pa.Table:
+        en = pc.fill_null(pc.equal(b.column("lang"), "en"), False)
+        return pa.table({
+            "g": pc.if_else(en, "pos", "neg"),
+            "n_chars": b.column("n_chars")})
+
+    mw = mannwhitney_u(ds.map_batches(label, batch_format="pyarrow"),
+                       "g", "n_chars", "pos", "neg")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_pos = pc.cast(b.column("n_a"), pa.int64()).to_numpy()
+        n_neg = pc.cast(b.column("n_b"), pa.int64()).to_numpy()
+        num = pc.cast(b.column("two_u_a"), pa.int64()).to_numpy()
+        den = 2 * n_pos * n_neg
+        ppm = np.where(den > 0, num * 1_000_000 // np.maximum(den, 1),
+                       -1)
+        return pa.table({"n_pos": pa.array(n_pos),
+                         "n_neg": pa.array(n_neg),
+                         "auc_num": pa.array(num),
+                         "auc_den": pa.array(den),
+                         "auc_ppm": pa.array(ppm.astype(np.int64))})
+
+    return mw.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_scd2_intervals(sf_dir: str):
+    """SCD-2 history build: each user's event_type runs collapse into
+    validity intervals closed by the next interval's start (-1 = open)
+    — gaps-and-islands emitting LEAD-closed intervals, one user-keyed
+    partition pass (ops/events.scd2_intervals)."""
+    from pdf_extract_ray.ops.events import scd2_intervals
+    return scd2_intervals(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+
+def _q_user_active_time(sf_dir: str):
+    """Per-user activity coverage: union of [ts, ts+5min) windows in
+    exact integer microseconds via the telescoping LEAD+clamp identity
+    (ops/events.user_active_time)."""
+    from pdf_extract_ray.ops.events import user_active_time
+    return user_active_time(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]))
+
+
+def _q_link_common_neighbors(sf_dir: str):
+    """Link prediction on the hashed bipartite purchase graph (the
+    kcore/degree_histogram graph): node pairs sharing >= 2 distinct
+    neighbors with exact common-neighbor counts + neighborhood-Jaccard
+    ppm (ops/graph.common_neighbor_pairs: one neighbor-keyed partition
+    pass emits deduped vectorized triu pairs AND exact degrees; one
+    bounded keyed Sum; degrees broadcast into the finish — no join on
+    the pair stream)."""
+    from pdf_extract_ray.ops.graph import common_neighbor_pairs
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        o = pc.cast(b.column("l_orderkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = pc.cast(b.column("l_partkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"src": o % 257, "dst": 257 + (p % 257)})
+
+    return common_neighbor_pairs(
+        li.map_batches(edges, batch_format="pyarrow"), min_common=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5440,6 +5528,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_chars": _q_mannwhitney_chars,
         "lang_source_contingency": _q_lang_source_contingency,
         "ks_chars": _q_ks_chars,
+        "emd_chars": _q_emd_chars,
+        "score_auc": _q_score_auc,
+        "scd2_intervals": _q_scd2_intervals,
+        "user_active_time": _q_user_active_time,
+        "link_common_neighbors": _q_link_common_neighbors,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7361,6 +7454,114 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "emd_chars": """
+            WITH t AS (SELECT source, n_chars AS v FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            h AS (SELECT v,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                             END) AS ca,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                             END) AS cb
+                  FROM t GROUP BY v),
+            c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+                         sum(cb) OVER (ORDER BY v) AS cumb,
+                         lead(v) OVER (ORDER BY v) AS nv
+                  FROM h),
+            n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(COALESCE(sum(CASE WHEN nv IS NULL THEN 0
+                                     ELSE abs(cuma * nb - cumb * na)
+                                          * (nv - v) END), 0) AS BIGINT)
+                       AS emd_num,
+                   CAST(na * nb AS BIGINT) AS emd_den
+            FROM c, n GROUP BY na, nb
+        """,
+        "score_auc": """
+            WITH t AS (SELECT CASE WHEN lang = 'en' THEN 'pos'
+                              ELSE 'neg' END AS g, n_chars AS v
+                       FROM documents),
+            r AS (SELECT g,
+                         2 * rank() OVER (ORDER BY v)
+                         + count(*) OVER (PARTITION BY v) - 1 AS dr
+                  FROM t),
+            agg AS (SELECT
+                CAST(sum(CASE WHEN g = 'pos' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN g = 'neg' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_neg,
+                CAST(sum(CASE WHEN g = 'pos' THEN dr ELSE 0 END)
+                     AS BIGINT) AS two_r
+                FROM r)
+            SELECT n_pos, n_neg,
+                   CAST(two_r - n_pos * (n_pos + 1) AS BIGINT)
+                       AS auc_num,
+                   CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+                   CAST(CASE WHEN n_pos * n_neg > 0
+                        THEN (two_r - n_pos * (n_pos + 1)) * 1000000
+                             // (2 * n_pos * n_neg)
+                        ELSE -1 END AS BIGINT) AS auc_ppm
+            FROM agg
+        """,
+        "scd2_intervals": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END
+                    AS brk
+                FROM events),
+            i AS (SELECT user_id, event_type, ts,
+                sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+                FROM o),
+            g AS (SELECT user_id, island,
+                         min(event_type) AS event_type,
+                         min(ts) AS valid_from,
+                         count(*) AS n_events
+                  FROM i GROUP BY user_id, island)
+            SELECT user_id, event_type, valid_from,
+                   CAST(COALESCE(epoch_us(lead(valid_from) OVER (
+                            PARTITION BY user_id ORDER BY island)), -1)
+                        AS BIGINT) AS valid_to_us,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM g
+        """,
+        "user_active_time": """
+            WITH g AS (SELECT user_id, ts,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                FROM events WHERE ts IS NOT NULL)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN nxt IS NULL THEN 300000000
+                            ELSE least(epoch_us(nxt) - epoch_us(ts),
+                                       300000000) END) AS BIGINT)
+                       AS active_us,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "link_common_neighbors": """
+            WITH e0 AS (SELECT l_orderkey % 257 AS s,
+                               257 + (l_partkey % 257) AS d
+                        FROM lineitem),
+            e AS (SELECT DISTINCT x, y FROM (
+                      SELECT s AS x, d AS y FROM e0
+                      UNION ALL SELECT d AS x, s AS y FROM e0)
+                  WHERE x <> y),
+            deg AS (SELECT x AS node, count(*) AS dg FROM e GROUP BY x),
+            cn AS (SELECT e1.y AS a, e2.y AS b,
+                          CAST(count(*) AS BIGINT) AS common
+                   FROM e e1 JOIN e e2
+                     ON e1.x = e2.x AND e1.y < e2.y
+                   GROUP BY e1.y, e2.y
+                   HAVING count(*) >= 2)
+            SELECT a, b, common,
+                   CAST(common * 1000000
+                        // (da.dg + db.dg - common) AS BIGINT)
+                       AS jaccard_ppm
+            FROM cn
+            JOIN deg da ON da.node = cn.a
+            JOIN deg db ON db.node = cn.b
         """,
         "benford_digits": """
             SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

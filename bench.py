@@ -199,7 +199,9 @@ def run_ops(sf_dir: str):
              "user_value_ewma", "rolling_spikes", "transition_entropy",
              "degree_histogram", "asof_join_nearest",
              "readability_scores", "events_hourly_gapfill",
-             "lang_source_mi", "key_skew_report"]
+             "lang_source_mi", "key_skew_report",
+             "emd_chars", "score_auc", "scd2_intervals",
+             "user_active_time", "link_common_neighbors"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1348,3 +1348,94 @@ def hourly_gapfill(ds, *, ts_col: str = "ts"):
         .rename(columns={"index": "hour"})
     out["n_events"] = out["n_events"].astype(np.int64)
     return out
+
+
+def scd2_intervals(ds, *, n_parts: int = 32):
+    """SCD-2 history build: collapse each user's event stream (ordered
+    by ts, event_id) into validity intervals of runs of EQUAL
+    consecutive event_type -> (user_id, event_type, valid_from,
+    valid_to_us, n_events), where valid_to_us is the NEXT interval's
+    start in integer microseconds (-1 for the open current interval).
+    The dimension-table "track attribute changes over time" shape
+    (gaps-and-islands emitting LEAD-closed intervals).
+
+    One user-keyed partition pass (the event_gaps shape); within a
+    partition one lexsort + vectorized island detection via factorized
+    type codes (None factorizes to -1, so runs of NULL types form
+    islands exactly like SQL's IS DISTINCT FROM).  No per-user loop.
+    Partitioning assumption: one user's events fit a partition (salt by
+    time bucket with carried boundary state beyond that)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "event_type": "object",
+                "valid_from": "datetime64[us]", "valid_to_us": "int64",
+                "n_events": "int64"}
+        n = len(df)
+        if n == 0:
+            out = pd.DataFrame(columns=list(cols))
+            out["valid_from"] = out["valid_from"].astype("datetime64[us]")
+            return out.astype({k: v for k, v in cols.items()
+                               if k != "valid_from"})
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        ts_i = ts.astype(np.int64)  # NaT -> int64 min: sorts first, total
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(df["event_type"], use_na_sentinel=True)
+        order = np.lexsort((eid, ts_i, user))
+        u, t, c = user[order], ts[order], codes[order]
+        brk = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, n])
+        iu, it, ic = u[starts], t[starts], c[starts]
+        nxt = np.full(len(starts), -1, np.int64)
+        same_user = iu[:-1] == iu[1:]
+        nxt[:-1] = np.where(same_user, it[1:].astype(np.int64), -1)
+        types = np.where(ic >= 0, uniq.take(np.maximum(ic, 0)), None)
+        return pd.DataFrame({
+            "user_id": iu, "event_type": types, "valid_from": it,
+            "valid_to_us": nxt,
+            "n_events": sizes.astype(np.int64)})
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def user_active_time(ds, *, window_s: int = 300, n_parts: int = 32):
+    """Session-free activity coverage: per user, the total time covered
+    by the union of [ts, ts + W) activity windows, in EXACT integer
+    microseconds -> (user_id, active_us, n_events).  Because windows
+    are uniform, the union telescopes to sum(min(next_ts - ts, W)) with
+    the last event contributing W — one LEAD + clamp, no interval
+    merge, bit-identical to the SQL window oracle.
+
+    One user-keyed partition pass; within a partition one lexsort, a
+    shifted diff masked at user boundaries, and a vectorized grouped
+    sum.  Rows with NULL ts are dropped (no position on the axis)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "active_us": "int64",
+                "n_events": "int64"}
+        w_us = np.int64(window_s) * 1_000_000
+        df = df[df["ts"].notna()]
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], ts[order]
+        contrib = np.full(n, w_us, np.int64)
+        same = u[:-1] == u[1:]
+        contrib[:-1] = np.where(same, np.minimum(t[1:] - t[:-1], w_us),
+                                w_us)
+        g = pd.DataFrame({"user_id": u, "active_us": contrib}) \
+            .groupby("user_id", as_index=False) \
+            .agg(active_us=("active_us", "sum"),
+                 n_events=("active_us", "size"))
+        return g.astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)

@@ -1203,3 +1203,131 @@ def degree_histogram(edges_ds, *, src: str = "src", dst: str = "dst"):
             "n_nodes": pc.cast(b.column("count()"), pa.int64())}),
         batch_format="pyarrow")
     return out.sort("degree")
+
+
+def common_neighbor_pairs(edges_ds, *, min_common: int = 2,
+                          src: str = "src", dst: str = "dst",
+                          max_degree: int = 8192,
+                          num_partitions: int = 32):
+    """Link prediction / structural-similarity mining on an undirected
+    simple graph: for every unordered node pair (a < b) sharing at
+    least `min_common` distinct neighbors -> (a, b, common,
+    jaccard_ppm) where jaccard_ppm = common * 1e6 // (deg_a + deg_b -
+    common) — the common-neighbors score and the neighborhood-Jaccard
+    coefficient in exact integers (no float can reorder the ranking
+    vs the SQL self-join oracle).
+
+    Scale shape: symmetrize + map-side dedupe (the degree_histogram
+    discipline), then ONE neighbor-keyed partition pass that both
+    dedupes each neighborhood globally AND emits its C(k,2) candidate
+    pairs fully vectorized (size-class reshape + triu gather — no
+    per-node Python loop) PLUS that node's exact degree as a marker
+    row (b = -1; a node's whole neighborhood lives in one partition,
+    so its degree needs no second exchange).  Partials fold per
+    partition (hash groupby), so the only pair-weight exchange is
+    bounded by distinct-pairs-per-partition, then one keyed Sum
+    merges them.  Degrees (bounded by node count) broadcast into the
+    finishing map — no join on the pair stream.
+
+    Node ids must be non-negative (degree marker rows use b = -1).
+
+    Hub guard: neighborhoods larger than `max_degree` are SKIPPED for
+    pair emission (a 1M-degree hub would emit 5e11 pairs); their
+    degree rows still flow, so Jaccard stays exact for pairs emitted
+    by smaller shared neighbors.  At web scale, salt or sample hubs
+    upstream instead of raising the cap."""
+    from .dedup import _grouped_by_partition
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        t = pa.table({"key": pa.concat_arrays([
+                          pa.array(s.to_numpy(zero_copy_only=False)),
+                          pa.array(d.to_numpy(zero_copy_only=False))]),
+                      "nbr": pa.concat_arrays([
+                          pa.array(d.to_numpy(zero_copy_only=False)),
+                          pa.array(s.to_numpy(zero_copy_only=False))])})
+        keep = pc.not_equal(t.column("key"), t.column("nbr"))
+        return t.filter(keep).group_by(["key", "nbr"]).aggregate([])
+
+    empty_t = pa.table({"a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "common": pa.array([], pa.int64()),
+                        "jaccard_ppm": pa.array([], pa.int64())})
+
+    rows = edges_ds.map_batches(sym, batch_format="pyarrow")
+
+    def pairs_and_degrees(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        key = df["key"].to_numpy(np.int64)
+        nbr = df["nbr"].to_numpy(np.int64)
+        order = np.lexsort((nbr, key))
+        k, v = key[order], nbr[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        k, v = k[keep], v[keep]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sizes = np.diff(np.r_[starts, k.size])
+        out = [pd.DataFrame({"a": k[starts], "b": np.int64(-1),
+                             "n": sizes.astype(np.int64)})]
+        for g in np.unique(sizes):
+            if g < 2 or g > max_degree:
+                continue
+            grp = v[starts[sizes == g][:, None] + np.arange(g)]
+            ii, jj = np.triu_indices(int(g), 1)
+            out.append(pd.DataFrame({"a": grp[:, ii].ravel(),
+                                     "b": grp[:, jj].ravel(),
+                                     "n": np.int64(1)}))
+        allp = pd.concat(out, ignore_index=True)
+        return allp.groupby(["a", "b"], sort=False, as_index=False) \
+            .agg(n=("n", "sum")).astype(cols)
+
+    partials = _grouped_by_partition(rows, ["key"], pairs_and_degrees,
+                                     n_parts=num_partitions)
+
+    # merge partials with a hash-partitioned pandas pass, NOT the native
+    # two-key sort aggregate (measured 156 s vs 0.1 s on a 66k-key
+    # single-block input — the weighted_median pathology)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return df.groupby(["a", "b"], sort=False, as_index=False) \
+            .agg(n=("n", "sum")).astype(cols)
+
+    agg = _grouped_by_partition(partials, ["a", "b"], merge,
+                                n_parts=num_partitions).materialize()
+    if agg.count() == 0:
+        import ray
+        return ray.data.from_arrow(empty_t)
+
+    deg_rows = agg.map_batches(
+        lambda b: b.filter(pc.equal(b.column("b"), -1)),
+        batch_format="pyarrow").take_all()
+    deg_nodes = np.array([r["a"] for r in deg_rows], np.int64)
+    deg_vals = np.array([int(r["n"]) for r in deg_rows], np.int64)
+    o = np.argsort(deg_nodes)
+    deg_nodes, deg_vals = deg_nodes[o], deg_vals[o]
+
+    def finish(b: pa.Table) -> pa.Table:
+        bb = pc.cast(b.column("b"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = pc.cast(b.column("n"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (bb >= 0) & (n >= min_common)
+        if not keep.any():
+            return empty_t
+        a = pc.cast(b.column("a"), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        bb, n = bb[keep], n[keep]
+        da = deg_vals[np.searchsorted(deg_nodes, a)]
+        db = deg_vals[np.searchsorted(deg_nodes, bb)]
+        union = da + db - n
+        jac = np.where(union > 0, n * 1_000_000 // np.maximum(union, 1),
+                       -1)
+        return pa.table({"a": pa.array(a), "b": pa.array(bb),
+                         "common": pa.array(n),
+                         "jaccard_ppm": pa.array(jac.astype(np.int64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

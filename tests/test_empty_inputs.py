@@ -54,6 +54,10 @@ QUERIES = [
     "user_value_ewma", "rolling_spikes", "transition_entropy",
     "degree_histogram", "asof_join_nearest", "readability_scores",
     "events_hourly_gapfill", "lang_source_mi", "key_skew_report",
+    # round-3 continuation wave 5: EMD, rank-AUC, SCD2 islands,
+    # activity coverage, common-neighbor link prediction
+    "emd_chars", "score_auc", "scd2_intervals", "user_active_time",
+    "link_common_neighbors",
 ]
 
 
@@ -89,6 +93,8 @@ ONE_ROW_QUERIES = [
     "market_share", "order_total_audit",
     "price_band_orders", "global_doc_rank", "quantity_woe",
     "lang_target_encoding", "user_value_kendall",
+    "emd_chars", "score_auc", "scd2_intervals", "user_active_time",
+    "link_common_neighbors",
 ]
 
 
