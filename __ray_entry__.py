@@ -5443,6 +5443,161 @@ def _q_link_common_neighbors(sf_dir: str):
         li.map_batches(edges, batch_format="pyarrow"), min_common=2)
 
 
+def _q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities on the directed bipartite purchase graph
+    (order-bucket -> part-bucket) — L1-normalized power iteration,
+    edges pinned once, vectors broadcast per half-step; block-sized
+    graphs resolve in one bounded task (ops/graph.hits).  Not
+    SQL-oracled (iterative float); numpy-parity + loop-vs-finish
+    agreement in tests/test_wave5_ops.py."""
+    from pdf_extract_ray.ops.graph import hits
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        o = pc.cast(b.column("l_orderkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = pc.cast(b.column("l_partkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"src": o % 257, "dst": 257 + (p % 257)})
+
+    return hits(li.map_batches(edges, batch_format="pyarrow"), iters=20)
+
+
+def _q_peer_window_sums(sf_dir: str):
+    """GROUPS-frame window (peer group +/- 1 distinct ts per user) over
+    event value cents — the third SQL frame type beside ROWS/RANGE
+    (ops/events.peer_group_sums; DuckDB 1.0 lacks GROUPS mode, so the
+    oracle states identical semantics as a per-group ROWS window
+    joined back to events)."""
+    from pdf_extract_ray.ops.events import peer_group_sums
+    return peer_group_sums(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_isotonic_calibration(sf_dir: str):
+    """PAVA isotonic calibration of lang='en' against doc length —
+    maximal pooled blocks with exact integer pooling decisions
+    (cross-multiplied means) and ppm rates
+    (ops/classifier.isotonic_calibration).  Not SQL-oracled (PAVA is
+    iterative); brute-force parity in tests."""
+    from pdf_extract_ray.ops.classifier import isotonic_calibration
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_chars": b.column("n_chars"),
+            "is_en": pc.fill_null(pc.equal(b.column("lang"), "en"),
+                                  False)})
+
+    return isotonic_calibration(
+        ds.map_batches(lab, batch_format="pyarrow"), "n_chars", "is_en")
+
+
+def _q_source_jsd(sf_dir: str):
+    """Jensen-Shannon divergence between src0/src1 unigram
+    distributions over the shared top-64 vocabulary — the corpus-drift
+    screen, ppm-floored nats from exact integer counts
+    (ops/corpus.source_jsd)."""
+    from pdf_extract_ray.ops.corpus import source_jsd
+    return source_jsd(_read(sf_dir, "documents",
+                            columns=["source", "text"]),
+                      "src0", "src1", vocab_k=64)
+
+
+def _q_lang_share_ci(sf_dir: str):
+    """Wilson 95% confidence interval for each language's corpus share
+    -> (lang, k, n, share_ppm, lo_ppm, hi_ppm).  The data-card
+    uncertainty row.  Bounds use only +,*,/,sqrt on exact integer
+    counts — sqrt is IEEE-correctly-rounded, so both engines compute
+    bit-identical doubles before the ppm floor (unlike ln-based
+    statistics, which rely on the floor's slack).  One bounded lang
+    histogram + tiny driver finish; null lang -> 'und'."""
+    import pandas as pd
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    hist = ds.map_batches(
+        lambda b: pa.table({"lang": pc.fill_null(
+            pc.cast(b.column("lang"), pa.string()), "und")}),
+        batch_format="pyarrow").groupby("lang").count().take_all()
+    cols = {"k": "int64", "n": "int64", "share_ppm": "int64",
+            "lo_ppm": "int64", "hi_ppm": "int64"}
+    if not hist:
+        out = pd.DataFrame(columns=["lang"] + list(cols))
+        out["lang"] = out["lang"].astype(object)
+        return out.astype(cols)
+    df = pd.DataFrame(hist).rename(columns={"count()": "k"})
+    n = int(df["k"].sum())
+    z = 1.96
+    ks = df["k"].to_numpy(np.int64)
+    p = ks / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z * np.sqrt(p * (1.0 - p) / n
+                        + z * z / (4.0 * n * n))) / denom
+    out = pd.DataFrame({
+        "lang": df["lang"], "k": ks, "n": np.int64(n),
+        "share_ppm": ks * 1_000_000 // n,
+        "lo_ppm": np.floor((center - half) * 1_000_000).astype(np.int64),
+        "hi_ppm": np.floor((center + half) * 1_000_000).astype(np.int64),
+    })
+    return out.astype(cols)
+
+
+def _q_user_value_locf(sf_dir: str):
+    """Hourly LOCF resample per user (gap hours carry the last
+    observed value forward, exact integer cents) — the time-series
+    feature-fill shape (ops/events.user_value_locf: ragged grid +
+    one global maximum.accumulate, no per-user loop)."""
+    from pdf_extract_ray.ops.events import user_value_locf
+    return user_value_locf(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_user_burstiness(sf_dir: str):
+    """Fano factor of hourly event counts per user (zero hours in the
+    span included) — ONE exact integer rational per user, no gapfill
+    rows materialized (ops/events.user_burstiness)."""
+    from pdf_extract_ray.ops.events import user_burstiness
+    return user_burstiness(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def _q_asof_join_tolerance(sf_dir: str):
+    """As-of join with a max-gap tolerance (sensor-fusion / staleness
+    gate): each 'view' matches the same user's most recent 'purchase'
+    at/before it ONLY if it is <= 7 days old — the backward as-of
+    kernel plus one vectorized gap filter; any older purchase is even
+    staler, so post-filtering the nearest match IS the tolerance
+    semantics.  Both streams share the events time axis (orders'
+    TPC-H dates sit ~8000 days before events, which would make any
+    realistic tolerance vacuous)."""
+    from pdf_extract_ray.ops.relational import asof_join_orders
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    views = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "view"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    buys = ev.map_batches(
+        lambda b: (lambda f: pa.table({
+            "o_orderkey": pc.cast(f.column("event_id"), pa.int64()),
+            "o_custkey": pc.cast(f.column("user_id"), pa.int64()),
+            "o_orderdate": pc.cast(f.column("ts"), pa.timestamp("us")),
+        }))(b.filter(pc.equal(b.column("event_type"), "purchase"))),
+        batch_format="pyarrow")
+    out = asof_join_orders(views, buys, how="inner")
+    tol_us = np.int64(7) * 86_400_000_000
+
+    def gap_filter(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        od_ = pc.cast(b.column("o_orderdate"), pa.int64())
+        return b.filter(pc.less_equal(pc.subtract(ts, od_), tol_us))
+
+    return out.map_batches(gap_filter, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5533,6 +5688,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": _q_scd2_intervals,
         "user_active_time": _q_user_active_time,
         "link_common_neighbors": _q_link_common_neighbors,
+        "hits_scores": _q_hits_scores,
+        "peer_window_sums": _q_peer_window_sums,
+        "isotonic_calibration": _q_isotonic_calibration,
+        "source_jsd": _q_source_jsd,
+        "lang_share_ci": _q_lang_share_ci,
+        "user_value_locf": _q_user_value_locf,
+        "user_burstiness": _q_user_burstiness,
+        "asof_join_tolerance": _q_asof_join_tolerance,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7454,6 +7617,131 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "user_value_locf": """
+            WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts,
+                              event_id,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                  AS cents
+                       FROM events
+                       WHERE value IS NOT NULL AND ts IS NOT NULL),
+            lastv AS (SELECT user_id, h, cents FROM e
+                      QUALIFY row_number() OVER (
+                          PARTITION BY user_id, h
+                          ORDER BY ts DESC, event_id DESC) = 1),
+            bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                       FROM e GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(
+                                h0, h1, INTERVAL 1 HOUR)) AS h
+                     FROM bounds),
+            j AS (SELECT g.user_id, g.h, l.cents
+                  FROM grid g LEFT JOIN lastv l
+                    ON g.user_id = l.user_id AND g.h = l.h)
+            SELECT user_id, h AS hour,
+                   CAST(last_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h) AS BIGINT)
+                       AS cents_locf
+            FROM j
+        """,
+        "user_burstiness": """
+            WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT user_id, h, count(*) AS x
+                  FROM e GROUP BY user_id, h),
+            s AS (SELECT user_id,
+                         CAST(date_diff('hour', min(h), max(h)) + 1
+                              AS BIGINT) AS n_hours,
+                         sum(x) AS s, sum(x * x) AS ssq
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n_hours, CAST(s AS BIGINT) AS n_events,
+                   CAST((n_hours * ssq - s * s) * 1000000
+                        // (n_hours * s) AS BIGINT) AS fano_ppm
+            FROM s
+        """,
+        "asof_join_tolerance": """
+            WITH v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            p AS (SELECT user_id AS o_custkey, ts AS o_orderdate,
+                         max(event_id) AS o_orderkey
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts)
+            SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+            FROM (
+              SELECT v.event_id, v.user_id, v.ts,
+                     p.o_orderkey, p.o_orderdate,
+                     row_number() OVER (PARTITION BY v.event_id
+                         ORDER BY p.o_orderdate DESC) AS rn
+              FROM v JOIN p
+                ON v.user_id = p.o_custkey AND v.ts >= p.o_orderdate
+                   AND v.ts <= p.o_orderdate + INTERVAL 7 DAY)
+            WHERE rn = 1
+        """,
+        "lang_share_ci": """
+            WITH c AS (SELECT COALESCE(lang, 'und') AS lang,
+                              count(*) AS k
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(k) AS n FROM c)
+            SELECT lang, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   CAST(k * 1000000 // n AS BIGINT) AS share_ppm,
+                   CAST(floor(((k/n + 1.96*1.96/(2*n))
+                               / (1.0 + 1.96*1.96/n)
+                               - (1.96 * sqrt(k/n*(1.0 - k/n)/n
+                                      + 1.96*1.96/(4.0*n*n)))
+                                 / (1.0 + 1.96*1.96/n))
+                              * 1000000) AS BIGINT) AS lo_ppm,
+                   CAST(floor(((k/n + 1.96*1.96/(2*n))
+                               / (1.0 + 1.96*1.96/n)
+                               + (1.96 * sqrt(k/n*(1.0 - k/n)/n
+                                      + 1.96*1.96/(4.0*n*n)))
+                                 / (1.0 + 1.96*1.96/n))
+                              * 1000000) AS BIGINT) AS hi_ppm
+            FROM c, t
+        """,
+        "peer_window_sums": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            g AS (SELECT user_id, ts, sum(cents) AS gsum
+                  FROM e GROUP BY user_id, ts),
+            w AS (SELECT user_id, ts,
+                         sum(gsum) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS BETWEEN 1 PRECEDING
+                                         AND 1 FOLLOWING) AS fsum
+                  FROM g)
+            SELECT e.event_id, e.user_id,
+                   CAST(w.fsum AS BIGINT) AS frame_cents
+            FROM e JOIN w ON e.user_id = w.user_id AND e.ts = w.ts
+        """,
+        "source_jsd": """
+            WITH x AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            c AS (SELECT word,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                             END) AS ca,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                             END) AS cb
+                  FROM x WHERE word <> '' GROUP BY word),
+            v AS (SELECT * FROM c ORDER BY ca + cb DESC, word LIMIT 64),
+            n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM v)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(count(*) AS BIGINT) AS vocab_n,
+                   CAST(floor(sum(
+                       CASE WHEN ca > 0 THEN
+                           0.5 * (ca / na)
+                               * ln((ca / na)
+                                    / ((ca / na + cb / nb) / 2))
+                       ELSE 0 END
+                       + CASE WHEN cb > 0 THEN
+                           0.5 * (cb / nb)
+                               * ln((cb / nb)
+                                    / ((ca / na + cb / nb) / 2))
+                       ELSE 0 END) * 1000000) AS BIGINT) AS jsd_ppm
+            FROM v, n GROUP BY na, nb
         """,
         "emd_chars": """
             WITH t AS (SELECT source, n_chars AS v FROM documents

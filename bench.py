@@ -201,7 +201,10 @@ def run_ops(sf_dir: str):
              "readability_scores", "events_hourly_gapfill",
              "lang_source_mi", "key_skew_report",
              "emd_chars", "score_auc", "scd2_intervals",
-             "user_active_time", "link_common_neighbors"]
+             "user_active_time", "link_common_neighbors",
+             "hits_scores", "peer_window_sums", "isotonic_calibration",
+             "source_jsd", "lang_share_ci", "user_value_locf",
+             "user_burstiness", "asof_join_tolerance"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -112,3 +112,74 @@ def text_gate_features(text_col: str = "text",
         return X, np.asarray(y, np.float64)
 
     return featurize
+
+
+def isotonic_calibration(ds, score_col: str, label_col: str):
+    """Isotonic (PAVA) calibration of a binary label against an integer
+    score -> one row per pooled block (score_lo, score_hi, n, pos,
+    cal_ppm) with cal_ppm = pos * 1e6 // n: the maximal-block
+    pool-adjacent-violators fit, i.e. the non-decreasing step function
+    of P(label | score) that minimizes squared error.  The standard
+    classifier-calibration shape (reliability curve without arbitrary
+    binning).  All outputs are exact integers: blocks pool by comparing
+    COUNT-CROSS-MULTIPLIED positives (pos_i * n_j vs pos_j * n_i), so
+    no float mean can reorder pooling between runs.
+
+    Scale shape: ONE bounded (score, label) histogram aggregate (the
+    mannwhitney/ks discipline), then a single tiny task runs the
+    sequential PAVA stack over the distinct-score histogram — PAVA is
+    inherently ordered, but its input is O(distinct scores), never
+    O(rows).  Not SQL-oracled (PAVA is iterative); tests pin the fit
+    against a brute-force local reference."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.fill_null(b.column(label_col), False),
+                      pa.int64())
+        return pa.table({"s": pc.cast(b.column(score_col), pa.int64()),
+                         "y": lab})
+
+    hist = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["s", "y"]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"score_lo": "int64", "score_hi": "int64", "n": "int64",
+                "pos": "int64", "cal_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values("s")
+        s = df["s"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        cnt = df["count()"].to_numpy(np.int64)
+        first = np.r_[True, s[1:] != s[:-1]]
+        vid = np.cumsum(first) - 1
+        nv = int(vid[-1]) + 1
+        sv = s[first]
+        n_v = np.zeros(nv, np.int64)
+        p_v = np.zeros(nv, np.int64)
+        np.add.at(n_v, vid, cnt)
+        np.add.at(p_v, vid, np.where(y == 1, cnt, 0))
+        # PAVA stack over the distinct-score histogram: each block is
+        # (lo_idx, hi_idx, n, pos); merge while mean(prev) > mean(cur),
+        # compared as pos_prev * n_cur > pos_cur * n_prev (exact ints)
+        blocks: list[list[int]] = []
+        for i in range(nv):
+            blocks.append([i, i, int(n_v[i]), int(p_v[i])])
+            while (len(blocks) > 1 and
+                   blocks[-2][3] * blocks[-1][2]
+                   > blocks[-1][3] * blocks[-2][2]):
+                lo, _, n1, p1 = blocks.pop(-2)
+                blocks[-1] = [lo, blocks[-1][1],
+                              n1 + blocks[-1][2], p1 + blocks[-1][3]]
+        return pd.DataFrame({
+            "score_lo": [int(sv[b[0]]) for b in blocks],
+            "score_hi": [int(sv[b[1]]) for b in blocks],
+            "n": [b[2] for b in blocks],
+            "pos": [b[3] for b in blocks],
+            "cal_ppm": [b[3] * 1_000_000 // b[2] for b in blocks],
+        }).astype(cols)
+
+    return hist.repartition(1).map_batches(resolve,
+                                           batch_format="pandas",
+                                           batch_size=None)

@@ -1454,3 +1454,92 @@ def readability_scores(docs_ds, *, text_col: str = "text",
                          "flesch_milli": pa.array(fl)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_jsd(docs_ds, source_a: str, source_b: str, *,
+               vocab_k: int = 64, text_col: str = "text",
+               source_col: str = "source"):
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions over the shared top-`vocab_k` vocabulary -> ONE row
+    (n_a, n_b, vocab_n, jsd_ppm), ppm-floored nats.  The corpus-drift /
+    domain-shift screen: JSD near 0 means the sources speak the same
+    language mix; near ln 2 means disjoint vocabularies.
+
+    Distributions are restricted to the shared vocabulary (top-k words
+    by combined occurrence count, ties broken lexicographically) and
+    renormalized over it, so the statistic is well-defined however
+    long the tail is.  All counts are exact integers; the single float
+    expression (p ln(p/m) terms, summed in sorted word order) mirrors
+    the SQL text exactly — the mutual_information discipline.
+
+    Scale shape: one word-keyed count aggregate (two per-source Sum
+    columns, map-side exploded partials — the pmi_pairs discipline),
+    per-block partial top-k, tiny driver merge + finish.  Only word
+    partials cross the wire, never text."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column(source_col).to_pandas()
+        keep = src.isin([source_a, source_b]).to_numpy()
+        texts = pd.Series(
+            b.column(text_col).to_pandas().to_numpy(object)[keep])
+        d = pd.DataFrame({
+            "w": texts.str.split(" "),
+            "s": src.to_numpy(object)[keep]}).explode("w")
+        d = d[d["w"].notna() & (d["w"] != "")]
+        d["a"] = (d["s"] == source_a).astype(np.int64)
+        g = d.groupby("w", sort=False).agg(
+            ca=("a", "sum"), n=("a", "size"))
+        return pa.table({
+            "word": pa.array(g.index.to_numpy(object).tolist(),
+                             pa.string()),
+            "ca": pa.array(g["ca"].to_numpy(np.int64)),
+            "cb": pa.array((g["n"] - g["ca"]).to_numpy(np.int64))})
+
+    summed = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("ca"), Sum("cb"))
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "ca": pa.array([], pa.int64()),
+                             "cb": pa.array([], pa.int64())})
+        w = np.asarray(b.column("word").to_pylist(), object)
+        ca = pc.cast(b.column("sum(ca)"), pa.int64()).to_numpy()
+        cb = pc.cast(b.column("sum(cb)"), pa.int64()).to_numpy()
+        idx = np.lexsort((w, -(ca + cb)))[:vocab_k]
+        return pa.table({"word": pa.array(w[idx].tolist(), pa.string()),
+                         "ca": pa.array(ca[idx]), "cb": pa.array(cb[idx])})
+
+    cands: list[tuple] = []
+    for b in summed.map_batches(partial_top, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        cands.extend(zip(b.column("word").to_pylist(),
+                         b.column("ca").to_pylist(),
+                         b.column("cb").to_pylist()))
+    cands.sort(key=lambda t: (-(t[1] + t[2]), t[0]))
+    vocab = sorted(cands[:vocab_k])  # sorted word order = SQL term order
+    cols = {"n_a": "int64", "n_b": "int64", "vocab_n": "int64",
+            "jsd_ppm": "int64"}
+    if not vocab:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+    na = sum(c[1] for c in vocab)
+    nb = sum(c[2] for c in vocab)
+    if na == 0 or nb == 0:
+        return pd.DataFrame([{"n_a": na, "n_b": nb,
+                              "vocab_n": len(vocab), "jsd_ppm": -1}]) \
+            .astype(cols)
+    acc = 0.0
+    for _, ca, cb in vocab:
+        p = ca / na
+        q = cb / nb
+        m = (p + q) / 2
+        if ca > 0:
+            acc += 0.5 * p * math.log(p / m)
+        if cb > 0:
+            acc += 0.5 * q * math.log(q / m)
+    return pd.DataFrame([{"n_a": na, "n_b": nb, "vocab_n": len(vocab),
+                          "jsd_ppm": math.floor(acc * 1_000_000)}]) \
+        .astype(cols)

@@ -1439,3 +1439,166 @@ def user_active_time(ds, *, window_s: int = 300, n_parts: int = 32):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_user,
                                  n_parts=n_parts)
+
+
+def peer_group_sums(ds, *, n_parts: int = 32):
+    """GROUPS-frame window (GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING):
+    per event, the sum of value cents over its TS-PEER GROUP plus the
+    neighboring distinct-ts peer groups of the same user -> (event_id,
+    user_id, frame_cents).  The peer-group frame type SQL defines
+    beside ROWS and RANGE (DuckDB 1.0 lacks GROUPS mode, so the oracle
+    states the identical semantics as a per-group ROWS window joined
+    back to events).
+
+    One user-keyed partition pass; within a partition one lexsort,
+    vectorized distinct-ts block detection, per-block bincount sums,
+    and shifted same-user adds — no per-user loop.  Null values sum as
+    0 (SQL SUM null-skip policy).  Exact integer cents."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "frame_cents": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        val = df["value"].to_numpy(dtype=np.float64)
+        cents = np.rint(np.nan_to_num(val) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t, c, e = user[order], ts[order], cents[order], eid[order]
+        new_blk = np.r_[True, (u[1:] != u[:-1]) | (t[1:] != t[:-1])]
+        bid = np.cumsum(new_blk) - 1
+        nb = int(bid[-1]) + 1
+        bsum = np.zeros(nb, np.int64)
+        np.add.at(bsum, bid, c)
+        ub = u[new_blk]
+        fsum = bsum.copy()
+        fsum[1:] += np.where(ub[1:] == ub[:-1], bsum[:-1], 0)
+        fsum[:-1] += np.where(ub[1:] == ub[:-1], bsum[1:], 0)
+        return pd.DataFrame({"event_id": e, "user_id": u,
+                             "frame_cents": fsum[bid]}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+_HOUR_US = 3_600_000_000
+
+
+def user_value_locf(ds, *, n_parts: int = 32):
+    """Hourly LOCF resample (the time-series feature-fill standard):
+    per user, an hourly grid from the user's first to last observed
+    hour, carrying the hour's LAST event value (exact integer cents)
+    forward across gap hours -> (user_id, hour, cents_locf).  Events
+    with NULL value are ignored on both engines (no observation).
+
+    One user-keyed partition pass; within a partition one lexsort,
+    per-(user, hour) last-observation pick via run boundaries,
+    vectorized ragged grid construction (repeat + cumsum), a sorted
+    left merge, and ONE global maximum.accumulate LOCF — each user's
+    first grid hour is observed by construction, so the accumulate
+    needs no per-user reset.  Grid rows are O(sum of user spans in
+    hours); a multi-year span per user would need a coarser grid or
+    span cap upstream."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "hour": "datetime64[us]",
+                "cents_locf": "int64"}
+        df = df[df["value"].notna() & df["ts"].notna()]
+        n = len(df)
+        if n == 0:
+            out = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                "hour": pd.Series(
+                                    dtype="datetime64[us]"),
+                                "cents_locf": pd.Series(
+                                    dtype=np.int64)})
+            return out
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t, c = user[order], ts[order], cents[order]
+        h = t // _HOUR_US  # hour index (integer)
+        # last event per (user, hour): the run's final element
+        last = np.r_[(u[1:] != u[:-1]) | (h[1:] != h[:-1]), True]
+        ou, oh, oc = u[last], h[last], c[last]
+        # per-user span -> ragged hourly grid via repeat + cumsum
+        ustart = np.flatnonzero(np.r_[True, ou[1:] != ou[:-1]])
+        uend = np.r_[ustart[1:], ou.size] - 1
+        h0, h1 = oh[ustart], oh[uend]
+        span = (h1 - h0 + 1).astype(np.int64)
+        total = int(span.sum())
+        gu = np.repeat(ou[ustart], span)
+        # grid hour = h0 repeated + within-user offset 0..span-1
+        offs = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.r_[0, np.cumsum(span)[:-1]], span)
+        gh = np.repeat(h0, span) + offs
+        # observed slots: both (gu, gh) and (ou, oh) are sorted and the
+        # observed pairs are a subset of the grid lattice
+        gdf = pd.DataFrame({"u": gu, "h": gh})
+        odf = pd.DataFrame({"u": ou, "h": oh, "c": oc})
+        m = gdf.merge(odf, on=["u", "h"], how="left")
+        obs = m["c"].notna().to_numpy()
+        idx = np.where(obs, np.arange(total), 0)
+        src = np.maximum.accumulate(idx)
+        vals = m["c"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "user_id": m["u"].to_numpy(np.int64),
+            "hour": (m["h"].to_numpy(np.int64)
+                     * _HOUR_US).astype("datetime64[us]"),
+            "cents_locf": vals[src].astype(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def user_burstiness(ds, *, n_parts: int = 32):
+    """Fano factor (index of dispersion) of each user's hourly event
+    counts over the user's active span, zero hours included ->
+    (user_id, n_hours, n_events, fano_ppm) with fano_ppm =
+    (n_hours * sum(x^2) - S^2) * 1e6 // (n_hours * S) — variance over
+    mean in ONE exact integer rational (no float anywhere), the
+    burstiness screen separating steady emitters from spiky ones.
+
+    One user-keyed partition pass; per-(user, hour) counts are run
+    lengths of one lexsort, per-user moments are segmented sums — zero
+    hours enter via the span term only, so the pass never materializes
+    gap rows (unlike a gapfill+variance chain)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_hours": "int64",
+                "n_events": "int64", "fano_ppm": "int64"}
+        df = df[df["ts"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, user))
+        u, t = user[order], ts[order]
+        h = t // _HOUR_US
+        new = np.r_[True, (u[1:] != u[:-1]) | (h[1:] != h[:-1])]
+        runs = np.flatnonzero(new)
+        x = np.diff(np.r_[runs, u.size]).astype(np.int64)
+        ru, rh = u[runs], h[runs]
+        ustart = np.flatnonzero(np.r_[True, ru[1:] != ru[:-1]])
+        uend = np.r_[ustart[1:], ru.size] - 1
+        cs = np.r_[0, np.cumsum(x)]
+        csq = np.r_[0, np.cumsum(x * x)]
+        s = cs[np.r_[ustart[1:], ru.size]] - cs[ustart]
+        ssq = csq[np.r_[ustart[1:], ru.size]] - csq[ustart]
+        n_hours = rh[uend] - rh[ustart] + 1
+        num = (n_hours * ssq - s * s) * 1_000_000
+        den = n_hours * s
+        return pd.DataFrame({
+            "user_id": ru[ustart], "n_hours": n_hours, "n_events": s,
+            "fano_ppm": num // den}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)

@@ -58,6 +58,11 @@ QUERIES = [
     # activity coverage, common-neighbor link prediction
     "emd_chars", "score_auc", "scd2_intervals", "user_active_time",
     "link_common_neighbors",
+    # wave 6: HITS, GROUPS frame, PAVA, JSD, Wilson CI
+    "hits_scores", "peer_window_sums", "isotonic_calibration",
+    "source_jsd", "lang_share_ci",
+    # wave 7: LOCF resample, Fano burstiness, tolerance as-of
+    "user_value_locf", "user_burstiness", "asof_join_tolerance",
 ]
 
 
@@ -94,7 +99,9 @@ ONE_ROW_QUERIES = [
     "price_band_orders", "global_doc_rank", "quantity_woe",
     "lang_target_encoding", "user_value_kendall",
     "emd_chars", "score_auc", "scd2_intervals", "user_active_time",
-    "link_common_neighbors",
+    "link_common_neighbors", "hits_scores", "peer_window_sums",
+    "isotonic_calibration", "source_jsd", "lang_share_ci",
+    "user_value_locf", "user_burstiness", "asof_join_tolerance",
 ]
 
 
