@@ -5294,12 +5294,19 @@ def _q_key_skew_report(sf_dir: str):
     salt-hot-keys decision input.  Shape per table: one keyed count
     (bounded by key cardinality) + a tiny all-reduce max; results
     union driver-side (4 single rows)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pandas as pd
-    from ray.data.aggregate import Count, Max, Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
 
     specs = [("orders", "o_custkey"), ("lineitem", "l_partkey"),
              ("events", "user_id"), ("documents", "lang")]
-    out = []
+
+    # plan construction (read_parquet filesystem resolution) is NOT
+    # thread-safe under lazy fsspec imports — build serially, execute
+    # concurrently
+    plans = []
     for table, col in specs:
         ds = _read(sf_dir, table, columns=[col])
         if col == "lang":  # string key: null-tolerant, COALESCE parity
@@ -5307,14 +5314,40 @@ def _q_key_skew_report(sf_dir: str):
                 lambda b: pa.table({"lang": pc.fill_null(
                     pc.cast(b.column("lang"), pa.string()), "und")}),
                 batch_format="pyarrow")
-        counts = ds.groupby(col).count()
-        agg = counts.aggregate(Count(), Max("count()"), Sum("count()"))
-        nk = int(agg.get("count()") or 0)
-        top = int(agg.get("max(count())") or 0)
-        nr = int(agg.get("sum(count())") or 0)
-        out.append({"table_name": table, "key_col": col, "n_rows": nr,
-                    "n_keys": nk, "top_count": top,
-                    "top_share_ppm": top * 1_000_000 // nr if nr else 0})
+        plans.append((ds, table, col))
+
+    def audit(ds, table: str, col: str) -> dict:
+        def partial(b: pa.Table) -> pa.Table:
+            # per-block fold: the exchange carries (key, count)
+            # partials bounded by distinct keys per block
+            g = b.group_by(col).aggregate([(col, "count")])
+            return pa.table({col: g.column(col),
+                             "c": pc.cast(g.column(f"{col}_count"),
+                                          pa.int64())})
+
+        def summarize(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"n_keys": "int64", "top": "int64", "n": "int64"}
+            if len(df) == 0:
+                return pd.DataFrame(columns=list(cols)).astype(cols)
+            s = df.groupby(col, sort=False)["c"].sum()
+            return pd.DataFrame({"n_keys": [len(s)],
+                                 "top": [int(s.max())],
+                                 "n": [int(s.sum())]}).astype(cols)
+
+        # keys hash-partition, so per-partition distincts/max/sum fold
+        # exactly; <= n_parts summary rows reach the driver
+        rows = _grouped_by_partition(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            [col], summarize).take_all()
+        nk = sum(int(r["n_keys"]) for r in rows)
+        top = max((int(r["top"]) for r in rows), default=0)
+        nr = sum(int(r["n"]) for r in rows)
+        return {"table_name": table, "key_col": col, "n_rows": nr,
+                "n_keys": nk, "top_count": top,
+                "top_share_ppm": top * 1_000_000 // nr if nr else 0}
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        out = list(pool.map(lambda p: audit(*p), plans))
     df = pd.DataFrame(out)
     for c in ("n_rows", "n_keys", "top_count", "top_share_ppm"):
         df[c] = df[c].astype(np.int64)
@@ -5598,6 +5631,33 @@ def _q_asof_join_tolerance(sf_dir: str):
     return out.map_batches(gap_filter, batch_format="pyarrow")
 
 
+_MOTIFS = ["vp", "v[cv]*p", "pp", "se", "p.*p.*p"]
+
+
+def _q_running_balance(sf_dir: str):
+    """Zero-clamped running balance per user (credits minus purchase/
+    error debits) — the nonlinear max(0, .) recurrence resolved
+    closed-form by the reflection identity, two plain windows on both
+    engines (ops/events.capped_running_balance)."""
+    from pdf_extract_ray.ops.events import capped_running_balance
+    return capped_running_balance(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type",
+                       "value"]))
+
+
+def _q_sequence_motifs(sf_dir: str):
+    """Behavioral regex motifs over per-user event-type strings
+    (view-then-purchase, triple purchase, ...) -> users containing
+    each motif (ops/events.sequence_motifs; RE2/Python-re common
+    subset only)."""
+    from pdf_extract_ray.ops.events import sequence_motifs
+    return sequence_motifs(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]),
+        _MOTIFS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5696,6 +5756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_locf": _q_user_value_locf,
         "user_burstiness": _q_user_burstiness,
         "asof_join_tolerance": _q_asof_join_tolerance,
+        "running_balance": _q_running_balance,
+        "sequence_motifs": _q_sequence_motifs,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7617,6 +7679,46 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "running_balance": """
+            WITH d AS (SELECT event_id, user_id, ts,
+                CASE WHEN event_type IN ('purchase', 'error')
+                     THEN -CAST(round(value * 100, 0) AS BIGINT)
+                     ELSE CAST(round(value * 100, 0) AS BIGINT)
+                END AS delta
+                FROM events),
+            p AS (SELECT event_id, user_id, ts,
+                sum(delta) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+                FROM d),
+            q AS (SELECT event_id, user_id, pre,
+                min(pre) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS runmin
+                FROM p)
+            SELECT event_id, user_id,
+                   CAST(pre - least(runmin, 0) AS BIGINT)
+                       AS balance_cents
+            FROM q
+        """,
+        "sequence_motifs": """
+            WITH l AS (SELECT user_id, ts, event_id,
+                CASE event_type WHEN 'view' THEN 'v'
+                     WHEN 'purchase' THEN 'p' WHEN 'click' THEN 'c'
+                     WHEN 'signup' THEN 's' WHEN 'error' THEN 'e'
+                     ELSE 'x' END AS ch
+                FROM events),
+            s AS (SELECT user_id,
+                         string_agg(ch, '' ORDER BY ts, event_id) AS seq
+                  FROM l GROUP BY user_id)
+            SELECT m.motif,
+                   CAST(count(*) FILTER (
+                       regexp_matches(s.seq, m.motif)) AS BIGINT)
+                       AS n_users
+            FROM (VALUES ('vp'), ('v[cv]*p'), ('pp'), ('se'),
+                         ('p.*p.*p')) AS m(motif), s
+            GROUP BY m.motif
         """,
         "user_value_locf": """
             WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts,

@@ -204,7 +204,8 @@ def run_ops(sf_dir: str):
              "user_active_time", "link_common_neighbors",
              "hits_scores", "peer_window_sums", "isotonic_calibration",
              "source_jsd", "lang_share_ci", "user_value_locf",
-             "user_burstiness", "asof_join_tolerance"]
+             "user_burstiness", "asof_join_tolerance",
+             "running_balance", "sequence_motifs"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1602,3 +1602,97 @@ def user_burstiness(ds, *, n_parts: int = 32):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_user,
                                  n_parts=n_parts)
+
+
+def capped_running_balance(ds, *, neg_types=("purchase", "error"),
+                           n_parts: int = 32):
+    """Running balance clamped at zero (inventory / prepaid-credit
+    semantics): per user in (ts, event_id) order, balance_t =
+    max(0, balance_{t-1} + delta_t) with delta = +cents for credit
+    events and -cents for `neg_types` -> (event_id, user_id,
+    balance_cents).  The nonlinear recurrence resolves CLOSED-FORM via
+    the reflection identity  b_t = prefix_t - min(0, running_min of
+    prefix)  — so both engines compute it with two plain windows
+    (prefix sum + running min), no row-at-a-time loop anywhere.
+
+    One user-keyed partition pass; grouped cumsum/cummin are pandas
+    C kernels.  Null values sum as 0 (SQL SUM null-skip)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "balance_cents": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.rint(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        neg = df["event_type"].isin(list(neg_types)).to_numpy()
+        delta = np.where(neg, -cents, cents)
+        order = np.lexsort((eid, ts, user))
+        u, e, d = user[order], eid[order], delta[order]
+        g = pd.DataFrame({"u": u, "d": d})
+        pre = g.groupby("u", sort=False)["d"].cumsum().to_numpy(np.int64)
+        g["pre"] = pre
+        runmin = g.groupby("u", sort=False)["pre"].cummin() \
+            .to_numpy(np.int64)
+        bal = pre - np.minimum(runmin, 0)
+        return pd.DataFrame({"event_id": e, "user_id": u,
+                             "balance_cents": bal}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+_MOTIF_LETTER = {"view": "v", "purchase": "p", "click": "c",
+                 "signup": "s", "error": "e"}
+
+
+def sequence_motifs(ds, motifs, *, n_parts: int = 32):
+    """Event-sequence motif mining: encode each user's event-type
+    stream (ordered by ts, event_id) as a letter string (v/p/c/s/e,
+    unknown -> x) and count, per regex motif, the users whose sequence
+    CONTAINS a match -> (motif, n_users).  The behavioral-pattern
+    screen ("view-streak then purchase", "triple purchase", ...);
+    motifs must stay in the RE2 <-> Python-re common subset (no
+    backrefs/lookarounds) so both engines agree.
+
+    One user-keyed partition pass builds the per-user strings (letters
+    via a vectorized uint8 LUT, one join per user — strings are
+    user-sized, never corpus-sized); each partition then counts every
+    motif with ONE compiled vectorized str.contains pass and the
+    bounded (motif, count) partials merge in a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"motif": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        letters = df["event_type"].map(_MOTIF_LETTER).fillna("x") \
+            .to_numpy(object)
+        order = np.lexsort((eid, ts, user))
+        u, le = user[order], letters[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, u.size]
+        seqs = pd.Series(["".join(le[bounds[i]:bounds[i + 1]])
+                          for i in range(len(starts))])
+        rows = [{"motif": m,
+                 "n": int(seqs.str.contains(m, regex=True).sum())}
+                for m in motifs]
+        return pd.DataFrame(rows).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(ds, ["user_id"], per_user,
+                                     n_parts=n_parts)
+    agg = partials.groupby("motif").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "motif": pc.cast(b.column("motif"), pa.string()),
+            "n_users": pc.cast(b.column("sum(n)"), pa.int64())}),
+        batch_format="pyarrow")

@@ -63,6 +63,8 @@ QUERIES = [
     "source_jsd", "lang_share_ci",
     # wave 7: LOCF resample, Fano burstiness, tolerance as-of
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
+    # wave 8: reflection-identity balance, sequence motifs
+    "running_balance", "sequence_motifs",
 ]
 
 
@@ -102,6 +104,7 @@ ONE_ROW_QUERIES = [
     "link_common_neighbors", "hits_scores", "peer_window_sums",
     "isotonic_calibration", "source_jsd", "lang_share_ci",
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
+    "running_balance", "sequence_motifs",
 ]
 
 
