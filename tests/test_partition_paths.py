@@ -49,7 +49,12 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "order_total_audit", "conversion_latency",
            "cdc_compaction", "order_streaks", "order_gap_stats",
            "ssjoin_containment", "late_event_counts",
-           "snapshot_diff", "stratified_hash_sample"]
+           "snapshot_diff", "stratified_hash_sample",
+           # round-3 waves 5-8 keyed ops
+           "scd2_intervals", "user_active_time", "link_common_neighbors",
+           "peer_window_sums", "user_value_locf", "user_burstiness",
+           "running_balance", "sequence_motifs", "key_skew_report",
+           "asof_join_tolerance"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
