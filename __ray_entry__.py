@@ -5658,6 +5658,61 @@ def _q_sequence_motifs(sf_dir: str):
         _MOTIFS)
 
 
+def _q_quantile_map_sources(sf_dir: str):
+    """Quantile normalization of src0 doc lengths onto src1's empirical
+    distribution — exact cross-multiplied-CDF mapping, the cross-cohort
+    feature-alignment shape (ops/analytics.quantile_map_1d)."""
+    from pdf_extract_ray.ops.analytics import quantile_map_1d
+    out = quantile_map_1d(_read(sf_dir, "documents",
+                                columns=["source", "n_chars"]),
+                          "source", "n_chars", "src0", "src1")
+    return out.map_batches(
+        lambda b: pa.table({"n_chars": b.column("value"),
+                            "n_src0_le": b.column("n_a_le"),
+                            "mapped_chars": b.column("mapped")}),
+        batch_format="pyarrow")
+
+
+def _q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    size-KB bucket): groups below k=5 and rows at risk — the
+    data-release privacy screen.  One bounded 3-key histogram (per-
+    block fold first), tiny driver finish."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents",
+               columns=["lang", "source", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        lang = pc.fill_null(pc.cast(b.column("lang"), pa.string()),
+                            "und")
+        t = pa.table({
+            "lang": lang,
+            "source": b.column("source"),
+            "size_kb": pc.divide(pc.cast(b.column("n_chars"),
+                                         pa.int64()), 1000)})
+        g = t.group_by(["lang", "source", "size_kb"]).aggregate(
+            [("size_kb", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "size_kb": g.column("size_kb"),
+                         "c": pc.cast(g.column("size_kb_count"),
+                                      pa.int64())})
+
+    rows = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby(["lang", "source", "size_kb"]).aggregate(Sum("c")) \
+        .take_all()
+    cols = {"k": "int64", "groups_below": "int64",
+            "rows_at_risk": "int64", "n_groups": "int64",
+            "n_rows": "int64"}
+    c = np.array([int(r["sum(c)"]) for r in rows], np.int64)
+    below = c < 5
+    return pd.DataFrame([{
+        "k": 5, "groups_below": int(below.sum()),
+        "rows_at_risk": int(c[below].sum()),
+        "n_groups": len(c), "n_rows": int(c.sum())}]).astype(cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5758,6 +5813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_tolerance": _q_asof_join_tolerance,
         "running_balance": _q_running_balance,
         "sequence_motifs": _q_sequence_motifs,
+        "quantile_map_sources": _q_quantile_map_sources,
+        "k_anonymity_audit": _q_k_anonymity_audit,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7679,6 +7736,37 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "quantile_map_sources": """
+            WITH t AS (SELECT source, n_chars AS v FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            c0 AS (SELECT v, count(*) AS c FROM t
+                   WHERE source = 'src0' GROUP BY v),
+            c0c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum0 FROM c0),
+            c1 AS (SELECT v, count(*) AS c FROM t
+                   WHERE source = 'src1' GROUP BY v),
+            c1c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum1 FROM c1),
+            n AS (SELECT (SELECT sum(c) FROM c0) AS n0,
+                         (SELECT sum(c) FROM c1) AS n1)
+            SELECT c0c.v AS n_chars, CAST(cum0 AS BIGINT) AS n_src0_le,
+                   CAST(min(c1c.v) AS BIGINT) AS mapped_chars
+            FROM c0c, c1c, n
+            WHERE c1c.cum1 * n0 >= c0c.cum0 * n1
+            GROUP BY c0c.v, cum0
+        """,
+        "k_anonymity_audit": """
+            WITH g AS (SELECT COALESCE(lang, 'und') AS lang, source,
+                              n_chars // 1000 AS size_kb,
+                              count(*) AS c
+                       FROM documents GROUP BY 1, 2, 3)
+            SELECT CAST(5 AS BIGINT) AS k,
+                   CAST(count(*) FILTER (c < 5) AS BIGINT)
+                       AS groups_below,
+                   CAST(COALESCE(sum(c) FILTER (c < 5), 0) AS BIGINT)
+                       AS rows_at_risk,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_rows
+            FROM g
         """,
         "running_balance": """
             WITH d AS (SELECT event_id, user_id, ts,

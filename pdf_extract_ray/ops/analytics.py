@@ -1172,6 +1172,53 @@ def emd_1d(ds, group_col: str, value_col: str,
                                            batch_size=None)
 
 
+def quantile_map_1d(ds, group_col: str, value_col: str,
+                    group_a: str, group_b: str):
+    """Quantile normalization (empirical distribution matching): map
+    each distinct value of group A onto group B's distribution ->
+    (value, n_a_le, mapped) where mapped = min{ y in B :
+    cumB(y) * n_a >= cumA(value) * n_b } — the smallest B value whose
+    CDF position first reaches the A value's CDF position, in EXACT
+    cross-multiplied integers (no float quantile interpolation can
+    disagree with the SQL oracle).  The cross-source feature-alignment
+    shape (batch-effect removal, score calibration across cohorts).
+
+    Scale shape: the mannwhitney/ks discipline — ONE bounded
+    (value, group) histogram aggregation, one tiny sorted-walk task
+    doing a single searchsorted."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(b.column(group_col), group_a),
+                   pc.equal(b.column(group_col), group_b))
+        return b.filter(m).select([group_col, value_col])
+
+    hist = ds.map_batches(keep, batch_format="pyarrow") \
+        .groupby([value_col, group_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"value": "int64", "n_a_le": "int64", "mapped": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(np.int64)
+        cnt = df["count()"].to_numpy(np.int64)
+        is_a = (df[group_col] == group_a).to_numpy()
+        va, ca = vals[is_a], cnt[is_a]
+        vb, cb = vals[~is_a], cnt[~is_a]
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        if n_a == 0 or n_b == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        cum_a = np.cumsum(ca)
+        cum_b = np.cumsum(cb)
+        idx = np.searchsorted(cum_b * n_a, cum_a * n_b, side="left")
+        return pd.DataFrame({"value": va, "n_a_le": cum_a,
+                             "mapped": vb[idx]}).astype(cols)
+
+    return hist.repartition(1).map_batches(resolve,
+                                           batch_format="pandas",
+                                           batch_size=None)
+
+
 def grouped_weighted_median(ds, group_col: str, value_col: str,
                             weight_col: str):
     """Lower weighted median per group in EXACT integers -> (group,

@@ -191,3 +191,34 @@ class TestSourceJsd:
         out = source_jsd(_ds(t), "src0", "src1")
         assert int(out.iloc[0].jsd_ppm) == math.floor(
             math.log(2) * 1_000_000)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileMap1d:
+    def test_hand_computed(self):
+        from pdf_extract_ray.ops.analytics import quantile_map_1d
+        # A = {1, 2, 3}; B = {10, 20, 30}: identity mapping by rank
+        t = pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+            "v": pa.array([1, 2, 3, 10, 20, 30], pa.int64())})
+        out = quantile_map_1d(_ds(t), "g", "v", "a", "b").to_pandas() \
+            .sort_values("value").reset_index(drop=True)
+        assert list(out["value"]) == [1, 2, 3]
+        assert list(out["mapped"]) == [10, 20, 30]
+
+    def test_skewed_sizes(self):
+        from pdf_extract_ray.ops.analytics import quantile_map_1d
+        # A = {5}, B = {1, 2}: cumA(5)*nB = 1*2; first cumB*nA >= 2 is
+        # value 2 (cumB(1)*1 = 1 < 2, cumB(2)*1 = 2)
+        t = pa.table({
+            "g": pa.array(["a", "b", "b"], pa.string()),
+            "v": pa.array([5, 1, 2], pa.int64())})
+        out = quantile_map_1d(_ds(t), "g", "v", "a", "b").to_pandas()
+        assert list(out["mapped"]) == [2]
+
+    def test_empty_side(self):
+        from pdf_extract_ray.ops.analytics import quantile_map_1d
+        t = pa.table({"g": pa.array(["a"], pa.string()),
+                      "v": pa.array([1], pa.int64())})
+        out = quantile_map_1d(_ds(t), "g", "v", "a", "b").to_pandas()
+        assert len(out) == 0
