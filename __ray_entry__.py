@@ -5713,6 +5713,44 @@ def _q_k_anonymity_audit(sf_dir: str):
         "n_groups": len(c), "n_rows": int(c.sum())}]).astype(cols)
 
 
+def _q_salting_plan(sf_dir: str):
+    """Hot-key salting plan (the actionable output of the skew audit):
+    event users whose row count exceeds the per-task target T=100 get
+    ceil(count / T) salts -> (user_id, n_rows, n_salts), plus the brief
+    discipline 'salt hot keys' becomes a computed artifact.  One
+    bounded keyed count; the hot set is by construction <= n_rows/T
+    keys, so the plan itself never becomes the skew problem."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    target = 60
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "c": pc.cast(g.column("user_id_count"),
+                                      pa.int64())})
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("sum(c)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = c > target
+        u = pc.cast(b.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        c = c[keep]
+        return pa.table({
+            "user_id": pa.array(u),
+            "n_rows": pa.array(c),
+            # ceil via (n + T-1) // T: positive operands only, where
+            # numpy floor-div and DuckDB truncating // agree
+            "n_salts": pa.array((c + target - 1) // target)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5815,6 +5853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_motifs": _q_sequence_motifs,
         "quantile_map_sources": _q_quantile_map_sources,
         "k_anonymity_audit": _q_k_anonymity_audit,
+        "salting_plan": _q_salting_plan,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7736,6 +7775,13 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "salting_plan": """
+            WITH c AS (SELECT user_id, count(*) AS n_rows
+                       FROM events GROUP BY user_id)
+            SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST((n_rows + 59) // 60 AS BIGINT) AS n_salts
+            FROM c WHERE n_rows > 60
         """,
         "quantile_map_sources": """
             WITH t AS (SELECT source, n_chars AS v FROM documents

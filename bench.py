@@ -206,7 +206,8 @@ def run_ops(sf_dir: str):
              "source_jsd", "lang_share_ci", "user_value_locf",
              "user_burstiness", "asof_join_tolerance",
              "running_balance", "sequence_motifs",
-             "quantile_map_sources", "k_anonymity_audit"]
+             "quantile_map_sources", "k_anonymity_audit",
+             "salting_plan"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -65,8 +65,8 @@ QUERIES = [
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
     # wave 8: reflection-identity balance, sequence motifs
     "running_balance", "sequence_motifs",
-    # wave 9: quantile mapping, k-anonymity
-    "quantile_map_sources", "k_anonymity_audit",
+    # wave 9: quantile mapping, k-anonymity, salting plan
+    "quantile_map_sources", "k_anonymity_audit", "salting_plan",
 ]
 
 
@@ -107,7 +107,7 @@ ONE_ROW_QUERIES = [
     "isotonic_calibration", "source_jsd", "lang_share_ci",
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
     "running_balance", "sequence_motifs",
-    "quantile_map_sources", "k_anonymity_audit",
+    "quantile_map_sources", "k_anonymity_audit", "salting_plan",
 ]
 
 
