@@ -5751,6 +5751,41 @@ def _q_salting_plan(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_kmv_distinct_users(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch with an EXACT
+    cross-engine oracle: hash = first 15 md5 hex chars of the id (60
+    bits, same digest both engines), keep the k=64 smallest distinct
+    hashes, estimate = (k-1) * 2^60 // kth — unlike HLL, every number
+    here is deterministic, so the sketch itself is DuckDB-verified.
+    -> ONE row (k, kth_hash, est_distinct).  Mergeable at scale: each
+    batch ships only its k smallest hashes (the driver merges
+    <= k x blocks values); distinct-under-k inputs return the exact
+    count (standard KMV convention)."""
+    import hashlib
+    import pandas as pd
+    K = 64
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        hv = np.unique(np.array(
+            [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+             for i in ids], np.int64))[:K]
+        return pa.table({"hv": pa.array(hv)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hv = np.unique(np.array([r["hv"] for r in rows], np.int64))[:K]
+    kk = len(hv)
+    cols = {"k": "int64", "kth_hash": "int64", "est_distinct": "int64"}
+    if kk == 0:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+    kth = int(hv[-1])
+    est = kk if kk < K else (K - 1) * (1 << 60) // kth
+    return pd.DataFrame([{"k": kk, "kth_hash": kth,
+                          "est_distinct": est}]).astype(cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5854,6 +5889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_map_sources": _q_quantile_map_sources,
         "k_anonymity_audit": _q_k_anonymity_audit,
         "salting_plan": _q_salting_plan,
+        "kmv_distinct_users": _q_kmv_distinct_users,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7775,6 +7811,22 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "kmv_distinct_users": """
+            WITH h AS (SELECT DISTINCT
+                           CAST(concat('0x', substr(md5(
+                               CAST(user_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) AS hv
+                       FROM events),
+            k AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+            agg AS (SELECT count(*) AS kk, max(hv) AS kth FROM k)
+            SELECT CAST(kk AS BIGINT) AS k,
+                   CAST(kth AS BIGINT) AS kth_hash,
+                   CAST(CASE WHEN kk < 64 THEN kk
+                        ELSE (CAST(63 AS HUGEINT)
+                              * 1152921504606846976) // kth
+                        END AS BIGINT) AS est_distinct
+            FROM agg
         """,
         "salting_plan": """
             WITH c AS (SELECT user_id, count(*) AS n_rows

@@ -65,8 +65,9 @@ QUERIES = [
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
     # wave 8: reflection-identity balance, sequence motifs
     "running_balance", "sequence_motifs",
-    # wave 9: quantile mapping, k-anonymity, salting plan
+    # wave 9: quantile mapping, k-anonymity, salting plan, KMV sketch
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
+    "kmv_distinct_users",
 ]
 
 
@@ -108,6 +109,7 @@ ONE_ROW_QUERIES = [
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
     "running_balance", "sequence_motifs",
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
+    "kmv_distinct_users",
 ]
 
 
