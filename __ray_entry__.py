@@ -5786,6 +5786,86 @@ def _q_kmv_distinct_users(sf_dir: str):
                           "est_distinct": est}]).astype(cols)
 
 
+def _q_bucket_merkle_diff(sf_dir: str):
+    """Anti-entropy bucket diff (Merkle-style drill-down, level 1):
+    fingerprint both snapshots (the snapshot_diff OLD/NEW derivation)
+    into 64 id-hash buckets as (count, XOR of 60-bit row digests) and
+    report per bucket whether the sides differ -> (bucket, n_old,
+    n_new, xor_old, xor_new, differs).  The replication-repair shape:
+    at 100 TB you diff 64 fingerprints first and re-scan only the
+    differing buckets, never the whole table.  XOR is commutative/
+    associative, so per-block partials fold map-side and ONE bounded
+    64-key pass merges; row digests are md5 (exact in both engines)."""
+    import hashlib
+    import pandas as pd
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .materialize()
+
+    def _digests(ids: np.ndarray, texts) -> np.ndarray:
+        return np.array(
+            [int(hashlib.md5(f"{int(i)}:{t}".encode()).hexdigest()[:15],
+                 16) for i, t in zip(ids, texts)], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = b.column("text").to_pandas().fillna("")
+        old_keep = ids % 5 != 0
+        trunc = texts.str.split(" ").str[:3].str.join(" ")
+        new_texts = texts.where(ids % 7 != 0, trunc)
+        rows = []
+        for side, (mids, mtexts) in enumerate(
+                [(ids[old_keep], texts[old_keep].to_numpy(object)),
+                 (ids, new_texts.to_numpy(object))]):
+            hv = _digests(mids, mtexts)
+            bkt = mids % 64
+            df = pd.DataFrame({"bucket": bkt, "hv": hv})
+            g = df.groupby("bucket", sort=False)["hv"].agg(
+                x=lambda s: int(np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64))), c="size").reset_index()
+            g["side"] = np.int8(side)
+            rows.append(g)
+        out = pd.concat(rows, ignore_index=True)
+        return pa.table({
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "side": pa.array(out["side"].to_numpy(np.int8), pa.int8()),
+            "x": pa.array(out["x"].to_numpy(np.int64)),
+            "c": pa.array(out["c"].to_numpy(np.int64))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bucket": "int64", "n_old": "int64", "n_new": "int64",
+                "xor_old": "int64", "xor_new": "int64",
+                "differs": "bool"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby(["bucket", "side"], sort=False).agg(
+            x=("x", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy(np.int64)))),
+            c=("c", "sum")).reset_index()
+        piv_x = g.pivot_table(index="bucket", columns="side", values="x",
+                              aggfunc="first", fill_value=0)
+        piv_c = g.pivot_table(index="bucket", columns="side", values="c",
+                              aggfunc="first", fill_value=0)
+        out = pd.DataFrame({
+            "bucket": piv_x.index.to_numpy(np.int64),
+            "n_old": piv_c.get(0, pd.Series(0, index=piv_c.index))
+            .to_numpy(np.int64),
+            "n_new": piv_c.get(1, pd.Series(0, index=piv_c.index))
+            .to_numpy(np.int64),
+            "xor_old": piv_x.get(0, pd.Series(0, index=piv_x.index))
+            .to_numpy(np.int64),
+            "xor_new": piv_x.get(1, pd.Series(0, index=piv_x.index))
+            .to_numpy(np.int64)})
+        out["differs"] = (out["xor_old"] != out["xor_new"]) \
+            | (out["n_old"] != out["n_new"])
+        return out.astype(cols)
+
+    return _grouped_by_partition(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], resolve)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5890,6 +5970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": _q_k_anonymity_audit,
         "salting_plan": _q_salting_plan,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "bucket_merkle_diff": _q_bucket_merkle_diff,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7811,6 +7892,43 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "bucket_merkle_diff": """
+            WITH oldt AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 5 <> 0),
+            newt AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0
+                                 THEN array_to_string(
+                                     list_slice(
+                                         string_split(text, ' '),
+                                         1, 3), ' ')
+                                 ELSE text END AS text
+                     FROM documents),
+            u AS (SELECT 0 AS side, doc_id, text FROM oldt
+                  UNION ALL SELECT 1, doc_id, text FROM newt),
+            h AS (SELECT side, doc_id % 64 AS bucket,
+                         CAST(concat('0x', substr(md5(concat(
+                             CAST(doc_id AS VARCHAR), ':',
+                             COALESCE(text, ''))), 1, 15)) AS BIGINT)
+                             AS hv
+                  FROM u),
+            g AS (SELECT bucket, side, bit_xor(hv) AS x, count(*) AS c
+                  FROM h GROUP BY bucket, side)
+            SELECT bucket,
+                   CAST(COALESCE(max(CASE WHEN side = 0 THEN c END), 0)
+                        AS BIGINT) AS n_old,
+                   CAST(COALESCE(max(CASE WHEN side = 1 THEN c END), 0)
+                        AS BIGINT) AS n_new,
+                   CAST(COALESCE(max(CASE WHEN side = 0 THEN x END), 0)
+                        AS BIGINT) AS xor_old,
+                   CAST(COALESCE(max(CASE WHEN side = 1 THEN x END), 0)
+                        AS BIGINT) AS xor_new,
+                   (COALESCE(max(CASE WHEN side = 0 THEN x END), 0)
+                    <> COALESCE(max(CASE WHEN side = 1 THEN x END), 0)
+                    OR COALESCE(max(CASE WHEN side = 0 THEN c END), 0)
+                    <> COALESCE(max(CASE WHEN side = 1 THEN c END), 0))
+                       AS differs
+            FROM g GROUP BY bucket
         """,
         "kmv_distinct_users": """
             WITH h AS (SELECT DISTINCT
