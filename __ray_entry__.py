@@ -5866,6 +5866,73 @@ def _q_bucket_merkle_diff(sf_dir: str):
         ["bucket"], resolve)
 
 
+def _q_wet_roundtrip(sf_dir: str):
+    """WET wire-format fidelity, oracled: documents -> sharded WET
+    files (Common Crawl conversion records; one shard per input block,
+    written worker-side) -> sources/warc.read_wet back -> ONE row
+    (n_docs, total_chars, md5_min, url_min, url_max) recomputed FROM
+    THE ROUNDTRIPPED TEXT — any framing/Content-Length/encoding loss
+    hash-mismatches the parquet-side oracle.  Completes the wire-format
+    family beside jsonl_roundtrip and csv_roundtrip."""
+    import glob as _glob
+    import hashlib
+    import os
+    import pandas as pd
+    from pdf_extract_ray.sources.warc import read_wet, write_wet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/pdf_extract_ray_cache/wet_v1_{tag}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"path": pa.array([], pa.string())})
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            texts = b.column("text").to_pandas().fillna("") \
+                .to_numpy(object)
+            rows = [(f"http://doc/{int(i)}", 0, t)
+                    for i, t in zip(ids, texts)]
+            path = os.path.join(out_dir,
+                                f"part-{int(ids.min())}.wet.gz")
+            write_wet(rows, path, gzip_members=True)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        ds.map_batches(write_shard, batch_format="pyarrow").count()
+        with open(done, "w") as f:
+            f.write("ok")
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.wet.gz")))
+    cols = {"n_docs": "int64", "total_chars": "int64",
+            "md5_min": "object", "url_min": "object",
+            "url_max": "object"}
+    if not files:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+    back = read_wet(files)
+
+    def derive(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        lens = pc.cast(pc.utf8_length(pc.fill_null(b.column("text"),
+                                                   "")), pa.int64())
+        return pa.table({"url": b.column("url"), "len": lens,
+                         "md5": pa.array(md5s, pa.string())})
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+    agg = back.map_batches(derive, batch_format="pyarrow").aggregate(
+        Count(), Sum("len"), Min("md5"), Min("url"), Max("url"))
+    return pd.DataFrame([{
+        "n_docs": int(agg.get("count()") or 0),
+        "total_chars": int(agg.get("sum(len)") or 0),
+        "md5_min": agg.get("min(md5)"),
+        "url_min": agg.get("min(url)"),
+        "url_max": agg.get("max(url)")}]).astype(cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -5971,6 +6038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salting_plan": _q_salting_plan,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "bucket_merkle_diff": _q_bucket_merkle_diff,
+        "wet_roundtrip": _q_wet_roundtrip,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7892,6 +7960,17 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "wet_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(COALESCE(text, ''))) AS BIGINT)
+                       AS total_chars,
+                   min(md5(COALESCE(text, ''))) AS md5_min,
+                   min('http://doc/' || CAST(doc_id AS VARCHAR))
+                       AS url_min,
+                   max('http://doc/' || CAST(doc_id AS VARCHAR))
+                       AS url_max
+            FROM documents
         """,
         "bucket_merkle_diff": """
             WITH oldt AS (SELECT doc_id, text FROM documents

@@ -67,7 +67,7 @@ QUERIES = [
     "running_balance", "sequence_motifs",
     # wave 9: quantile mapping, k-anonymity, salting plan, KMV sketch
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
-    "kmv_distinct_users", "bucket_merkle_diff",
+    "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
 ]
 
 
@@ -109,7 +109,7 @@ ONE_ROW_QUERIES = [
     "user_value_locf", "user_burstiness", "asof_join_tolerance",
     "running_balance", "sequence_motifs",
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
-    "kmv_distinct_users", "bucket_merkle_diff",
+    "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
 ]
 
 
