@@ -5933,6 +5933,17 @@ def _q_wet_roundtrip(sf_dir: str):
         "url_max": agg.get("max(url)")}]).astype(cols)
 
 
+def _q_psi_chars_drift(sf_dir: str):
+    """Population Stability Index between src0/src1 doc-length
+    distributions over combined-decile bins — the standard ML drift
+    metric in ppm nats, exact integer binning + one mirrored float
+    expression (ops/analytics.psi_drift)."""
+    from pdf_extract_ray.ops.analytics import psi_drift
+    return psi_drift(_read(sf_dir, "documents",
+                           columns=["source", "n_chars"]),
+                     "source", "n_chars", "src0", "src1")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6039,6 +6050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_users": _q_kmv_distinct_users,
         "bucket_merkle_diff": _q_bucket_merkle_diff,
         "wet_roundtrip": _q_wet_roundtrip,
+        "psi_chars_drift": _q_psi_chars_drift,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -7959,6 +7971,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT)
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
+            FROM c, n GROUP BY na, nb
+        """,
+        "psi_chars_drift": """
+            WITH t AS (SELECT source, n_chars AS v FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            b AS (SELECT quantile_disc(v, 0.1) AS b1,
+                         quantile_disc(v, 0.2) AS b2,
+                         quantile_disc(v, 0.3) AS b3,
+                         quantile_disc(v, 0.4) AS b4,
+                         quantile_disc(v, 0.5) AS b5,
+                         quantile_disc(v, 0.6) AS b6,
+                         quantile_disc(v, 0.7) AS b7,
+                         quantile_disc(v, 0.8) AS b8,
+                         quantile_disc(v, 0.9) AS b9
+                  FROM t),
+            x AS (SELECT source,
+                         (CASE WHEN v > b1 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b2 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b3 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b4 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b5 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b6 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b7 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b8 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b9 THEN 1 ELSE 0 END) AS bin
+                  FROM t, b),
+            c AS (SELECT bin,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                             END) AS n0,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                             END) AS n1
+                  FROM x GROUP BY bin),
+            n AS (SELECT sum(n0) AS na, sum(n1) AS nb FROM c)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(count(*) FILTER (n0 > 0 AND n1 > 0) AS BIGINT)
+                       AS n_bins_used,
+                   CAST(count(*) FILTER ((n0 = 0) <> (n1 = 0))
+                        AS BIGINT) AS n_bins_skipped,
+                   CAST(floor(COALESCE(sum(
+                       CASE WHEN n0 > 0 AND n1 > 0
+                            THEN (n0/na - n1/nb) * ln((n0/na) / (n1/nb))
+                            ELSE 0 END), 0) * 1000000) AS BIGINT)
+                       AS psi_ppm
             FROM c, n GROUP BY na, nb
         """,
         "wet_roundtrip": """

@@ -208,7 +208,8 @@ def run_ops(sf_dir: str):
              "running_balance", "sequence_motifs",
              "quantile_map_sources", "k_anonymity_audit",
              "salting_plan", "kmv_distinct_users",
-             "bucket_merkle_diff", "wet_roundtrip"]
+             "bucket_merkle_diff", "wet_roundtrip",
+             "psi_chars_drift"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

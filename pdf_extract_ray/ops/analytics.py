@@ -1219,6 +1219,91 @@ def quantile_map_1d(ds, group_col: str, value_col: str,
                                            batch_size=None)
 
 
+def psi_drift(ds, group_col: str, value_col: str,
+              group_a: str, group_b: str, *, n_bins: int = 10):
+    """Population Stability Index between two groups' distributions
+    over COMBINED-decile bins -> ONE row (n_a, n_b, n_bins_used,
+    n_bins_skipped, psi_ppm).  The standard ML drift metric
+    (PSI < 0.1 stable, > 0.25 shifted).  Bin boundaries are the
+    combined distribution's exact discrete quantiles (the
+    grouped_percentiles (p*n+99)//100 == DuckDB quantile_disc index
+    math), bin membership is the integer count of boundaries below the
+    value, and bins empty on either side are SKIPPED and counted
+    (deterministic on both engines — no epsilon smoothing).  The one
+    float expression ((p-q)*ln(p/q), summed in bin order) mirrors the
+    SQL text.
+
+    Scale shape: ONE bounded (value, group) histogram aggregation, one
+    tiny sorted-walk task (the mannwhitney/ks/emd discipline)."""
+    import math
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(b.column(group_col), group_a),
+                   pc.equal(b.column(group_col), group_b))
+        return b.filter(m).select([group_col, value_col])
+
+    hist = ds.map_batches(keep, batch_format="pyarrow") \
+        .groupby([value_col, group_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_a": "int64", "n_b": "int64", "n_bins_used": "int64",
+                "n_bins_skipped": "int64", "psi_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(value_col)
+        vals = df[value_col].to_numpy(np.int64)
+        cnt = df["count()"].to_numpy(np.int64)
+        is_a = (df[group_col] == group_a).to_numpy()
+        first = np.r_[True, vals[1:] != vals[:-1]]
+        vid = np.cumsum(first) - 1
+        nvals = int(vid[-1]) + 1
+        v = vals[first]
+        c_a = np.zeros(nvals, np.int64)
+        c_b = np.zeros(nvals, np.int64)
+        np.add.at(c_a, vid, np.where(is_a, cnt, 0))
+        np.add.at(c_b, vid, np.where(is_a, 0, cnt))
+        c_all = c_a + c_b
+        cum = np.cumsum(c_all)
+        total = int(cum[-1])
+        # combined deciles, quantile_disc index math
+        bnd = np.array([
+            int(v[np.searchsorted(
+                cum, (i * 10 * total + 99) // 100, side="left")])
+            for i in range(1, n_bins)], np.int64)
+        bins = np.searchsorted(bnd, v, side="left")  # #boundaries < v
+        n0 = np.zeros(n_bins, np.int64)
+        n1 = np.zeros(n_bins, np.int64)
+        np.add.at(n0, bins, c_a)
+        np.add.at(n1, bins, c_b)
+        na, nb = int(c_a.sum()), int(c_b.sum())
+        if na == 0 or nb == 0:
+            # one side absent: mirrors the SQL exactly (zero PSI sum,
+            # every nonempty bin counts as one-sided/skipped)
+            return pd.DataFrame([{
+                "n_a": na, "n_b": nb, "n_bins_used": 0,
+                "n_bins_skipped": int((n0 + n1 > 0).sum()),
+                "psi_ppm": 0}]).astype(cols)
+        acc, used, skipped = 0.0, 0, 0
+        for i in range(n_bins):
+            if n0[i] == 0 and n1[i] == 0:
+                continue
+            if n0[i] == 0 or n1[i] == 0:
+                skipped += 1
+                continue
+            p = int(n0[i]) / na
+            q = int(n1[i]) / nb
+            acc += (p - q) * math.log(p / q)
+            used += 1
+        return pd.DataFrame([{
+            "n_a": na, "n_b": nb, "n_bins_used": used,
+            "n_bins_skipped": skipped,
+            "psi_ppm": math.floor(acc * 1_000_000)}]).astype(cols)
+
+    return hist.repartition(1).map_batches(resolve,
+                                           batch_format="pandas",
+                                           batch_size=None)
+
+
 def grouped_weighted_median(ds, group_col: str, value_col: str,
                             weight_col: str):
     """Lower weighted median per group in EXACT integers -> (group,
