@@ -934,6 +934,40 @@ def _pair_gram_counts(lk, av: np.ndarray, bv: np.ndarray):
     return ok, inter, sa, sb
 
 
+def _driver_dedupe_pairs(cand, num_partitions: int):
+    """Drain per-partition candidate pairs to the driver, dedupe with
+    one lexsort, and rebuild a materialized Dataset sized for parallel
+    verify.  Returns None when no candidates survive.  Bounded by the
+    same near-dup-rate bound that justifies the broadcast verify (whose
+    helper drains the pair list driver-side anyway) — replacing a full
+    _grouped_by_partition exchange (A/B ~1.5 s at sf0.1)."""
+    import ray
+
+    a_parts = [np.empty(0, np.int64)]
+    b_parts = [np.empty(0, np.int64)]
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        a_parts.append(b.column("doc_id_a").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        b_parts.append(b.column("doc_id_b").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    a_all = np.concatenate(a_parts)
+    b_all = np.concatenate(b_parts)
+    if a_all.size == 0:
+        return None
+    order = np.lexsort((b_all, a_all))
+    a_all, b_all = a_all[order], b_all[order]
+    keep = np.r_[True, (a_all[1:] != a_all[:-1])
+                 | (b_all[1:] != b_all[:-1])]
+    a_all, b_all = a_all[keep], b_all[keep]
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_id_a": pa.array(a_all), "doc_id_b": pa.array(b_all)}))
+    n_parts = min(num_partitions, max(1, a_all.size // 32_768))
+    if n_parts > 1:
+        pairs = pairs.repartition(n_parts)
+    return pairs.materialize()
+
+
+
 def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
                    hot_k: int = 2048, sample_mod: int = 16,
                    id_col: str = "doc_id", text_col: str = "text",
@@ -1093,16 +1127,13 @@ def ssjoin_jaccard(docs_ds, *, n: int = 3, t_num: int = 1, t_den: int = 2,
 
     cand = _grouped_by_partition(prefix, ["key"], gen_pairs,
                                  n_parts=num_partitions)
-    pairs = _grouped_by_partition(
-        cand, ["doc_id_a", "doc_id_b"],
-        lambda df: df.drop_duplicates(), n_parts=num_partitions) \
-        .materialize()
 
     empty_out = pa.table({"doc_id_a": pa.array([], pa.int64()),
                           "doc_id_b": pa.array([], pa.int64()),
                           "n_inter": pa.array([], pa.int64()),
                           "n_union": pa.array([], pa.int64())})
-    if pairs.count() == 0:
+    pairs = _driver_dedupe_pairs(cand, num_partitions)
+    if pairs is None:
         return ray.data.from_arrow(empty_out)
 
     # ---- pass 3: broadcast-verify the bounded candidate set (flat
@@ -1270,16 +1301,12 @@ def ssjoin_containment(docs_ds, *, n: int = 3, t_num: int = 3,
 
     cand = _grouped_by_partition(posts, ["key"], gen_pairs,
                                  n_parts=num_partitions)
-    pairs = _grouped_by_partition(
-        cand, ["doc_id_a", "doc_id_b"],
-        lambda df: df.drop_duplicates(), n_parts=num_partitions) \
-        .materialize()
-
     empty_out = pa.table({"doc_id_a": pa.array([], pa.int64()),
                           "doc_id_b": pa.array([], pa.int64()),
                           "n_inter": pa.array([], pa.int64()),
                           "n_a": pa.array([], pa.int64())})
-    if pairs.count() == 0:
+    pairs = _driver_dedupe_pairs(cand, num_partitions)
+    if pairs is None:
         return ray.data.from_arrow(empty_out)
 
     sets_ref = _broadcast_candidate_grams(
