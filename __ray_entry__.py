@@ -3209,29 +3209,57 @@ def _q_corpus_datacard(sf_dir: str):
     distributed kernel that computes it exactly: native counts/sums,
     two-stage distincts, the md5 dedup aggregate, the histogram-walk
     median.  Everything integer, fully oracled."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pandas as pd
     from pdf_extract_ray.ops.dedup import _md5_batch
+    # pin once; the six aggregates below are independent chains over
+    # the pinned blocks, so they execute CONCURRENTLY (thread pool —
+    # the key_skew_report pattern; plans are built serially here)
     ds = _read(sf_dir, "documents",
-               columns=["doc_id", "text", "lang", "source", "n_chars"])
+               columns=["doc_id", "text", "lang", "source", "n_chars"]) \
+        .materialize()
     n_docs = ds.count()
-    total_chars = int(ds.sum("n_chars") or 0)
-    n_sources = ds.select_columns(["source"]).groupby("source") \
-        .count().count()
-    lang_counts = ds.select_columns(["lang"]).map_batches(
-        lambda b: pa.table({"lang": pc.coalesce(b.column("lang"),
-                                                pa.scalar("und"))}),
-        batch_format="pyarrow").groupby("lang").count().to_pandas()
+
+    def _chars():
+        return int(ds.sum("n_chars") or 0)
+
+    def _sources():
+        return ds.select_columns(["source"]).groupby("source") \
+            .count().count()
+
+    def _langs():
+        return ds.select_columns(["lang"]).map_batches(
+            lambda b: pa.table({"lang": pc.coalesce(
+                b.column("lang"), pa.scalar("und"))}),
+            batch_format="pyarrow").groupby("lang").count().to_pandas()
+
+    def _distinct_texts():
+        # dup docs = rows - distinct texts, via the md5 aggregate (the
+        # shuffle carries digests, not text)
+        return ds.map_batches(_md5_batch, batch_format="pyarrow") \
+            .groupby("text_md5").count().count()
+
+    def _hist():
+        return ds.select_columns(["n_chars"]).groupby("n_chars") \
+            .count().to_pandas().sort_values("n_chars")
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_chars = pool.submit(_chars)
+        f_sources = pool.submit(_sources)
+        f_langs = pool.submit(_langs)
+        f_groups = pool.submit(_distinct_texts)
+        f_hist = pool.submit(_hist)
+        total_chars = f_chars.result()
+        n_sources = f_sources.result()
+        lang_counts = f_langs.result()
+        groups = f_groups.result()
+        hist = f_hist.result()
     n_langs = len(lang_counts)
     top_lang_count = int(lang_counts["count()"].max()) if n_langs else 0
-    # dup docs = rows - distinct texts, via the md5 aggregate (the
-    # shuffle carries digests, not text)
-    groups = ds.map_batches(_md5_batch, batch_format="pyarrow") \
-        .groupby("text_md5").count().count()
     n_dup_docs = n_docs - groups
     # discrete p50 with DuckDB quantile_disc index math:
     # target = ceil(50*n/100) (the grouped_percentiles kernel)
-    hist = ds.select_columns(["n_chars"]).groupby("n_chars").count() \
-        .to_pandas().sort_values("n_chars")
     cum = hist["count()"].cumsum().to_numpy()
     vals = hist["n_chars"].to_numpy(np.int64)
     p50 = int(vals[np.searchsorted(cum, (50 * n_docs + 99) // 100,
