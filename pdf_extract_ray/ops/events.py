@@ -1538,20 +1538,23 @@ def user_value_locf(ds, *, n_parts: int = 32):
         offs = np.arange(total, dtype=np.int64) \
             - np.repeat(np.r_[0, np.cumsum(span)[:-1]], span)
         gh = np.repeat(h0, span) + offs
-        # observed slots: both (gu, gh) and (ou, oh) are sorted and the
-        # observed pairs are a subset of the grid lattice
-        gdf = pd.DataFrame({"u": gu, "h": gh})
-        odf = pd.DataFrame({"u": ou, "h": oh, "c": oc})
-        m = gdf.merge(odf, on=["u", "h"], how="left")
-        obs = m["c"].notna().to_numpy()
-        idx = np.where(obs, np.arange(total), 0)
-        src = np.maximum.accumulate(idx)
-        vals = m["c"].to_numpy(np.float64)
+        # observed slot -> grid position by DIRECT ARITHMETIC (each
+        # user's grid is the contiguous hour range [h0, h1]):
+        # pos = user_grid_offset + (hour - h0).  No join/merge — the
+        # pandas left-merge here was 8 of the op's 9 seconds at sf0.1.
+        goff = np.r_[0, np.cumsum(span)[:-1]]
+        uidx = np.cumsum(np.r_[True, ou[1:] != ou[:-1]]) - 1
+        pos = goff[uidx] + (oh - h0[uidx])
+        obsmask = np.zeros(total, bool)
+        obsmask[pos] = True
+        valarr = np.zeros(total, np.int64)
+        valarr[pos] = oc
+        src = np.maximum.accumulate(
+            np.where(obsmask, np.arange(total), 0))
         return pd.DataFrame({
-            "user_id": m["u"].to_numpy(np.int64),
-            "hour": (m["h"].to_numpy(np.int64)
-                     * _HOUR_US).astype("datetime64[us]"),
-            "cents_locf": vals[src].astype(np.int64)}).astype(cols)
+            "user_id": gu,
+            "hour": (gh * _HOUR_US).astype("datetime64[us]"),
+            "cents_locf": valarr[src]}).astype(cols)
 
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_user,
