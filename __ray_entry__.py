@@ -5972,6 +5972,90 @@ def _q_psi_chars_drift(sf_dir: str):
                      "source", "n_chars", "src0", "src1")
 
 
+def _q_nfc_audit(sf_dir: str):
+    """Unicode-normalization audit per source: docs whose text is not
+    NFC-normal (mixed-crawl mojibake screen; Python unicodedata and
+    DuckDB nfc_normalize both implement UAX #15, so the count is
+    exact) plus a non-ASCII count via the bytes!=chars identity ->
+    (source, n_docs, n_not_nfc, n_nonascii)."""
+    import unicodedata
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_pandas()
+        texts = b.column("text").to_pandas().fillna("")
+        not_nfc = np.array(
+            [t != unicodedata.normalize("NFC", t) for t in texts],
+            np.int64)
+        nonascii = (texts.str.len()
+                    != texts.str.encode("utf-8").str.len()) \
+            .to_numpy().astype(np.int64)
+        g = pd.DataFrame({"source": src, "nn": not_nfc,
+                          "na": nonascii}).groupby(
+            "source", as_index=False).agg(
+            n=("nn", "size"), nn=("nn", "sum"), na=("na", "sum"))
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "nn": pa.array(g["nn"].to_numpy(np.int64)),
+            "na": pa.array(g["na"].to_numpy(np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n"), Sum("nn"), Sum("na"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b.column("source"),
+            "n_docs": pc.cast(b.column("sum(n)"), pa.int64()),
+            "n_not_nfc": pc.cast(b.column("sum(nn)"), pa.int64()),
+            "n_nonascii": pc.cast(b.column("sum(na)"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_orders_by_isoweek(sf_dir: str):
+    """ISO-8601 week bucketing (the fiscal-calendar parity shape
+    beside date_trunc): orders per (iso_year, iso_week) with exact
+    cent revenue — pandas isocalendar and DuckDB isoyear/weekofyear
+    both implement ISO 8601, so buckets match exactly."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = b.column("o_orderdate").to_pandas()
+        iso = d.dt.isocalendar()
+        cents = np.rint(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False))
+            * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "iso_year": iso["year"].to_numpy(np.int64),
+            "iso_week": iso["week"].to_numpy(np.int64),
+            "cents": cents}).groupby(
+            ["iso_year", "iso_week"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return pa.table({
+            "iso_year": pa.array(g["iso_year"].to_numpy(np.int64)),
+            "iso_week": pa.array(g["iso_week"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby(["iso_year", "iso_week"]) \
+        .aggregate(Sum("n"), Sum("cents"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "iso_year": pc.cast(b.column("iso_year"), pa.int64()),
+            "iso_week": pc.cast(b.column("iso_week"), pa.int64()),
+            "n_orders": pc.cast(b.column("sum(n)"), pa.int64()),
+            "revenue_cents": pc.cast(b.column("sum(cents)"),
+                                     pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6079,6 +6163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_merkle_diff": _q_bucket_merkle_diff,
         "wet_roundtrip": _q_wet_roundtrip,
         "psi_chars_drift": _q_psi_chars_drift,
+        "nfc_audit": _q_nfc_audit,
+        "orders_by_isoweek": _q_orders_by_isoweek,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -8000,6 +8086,27 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "nfc_audit": """
+            SELECT COALESCE(source, '') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN COALESCE(text, '')
+                            <> nfc_normalize(COALESCE(text, ''))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_not_nfc,
+                   CAST(sum(CASE WHEN strlen(COALESCE(text, ''))
+                            <> length(COALESCE(text, ''))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nonascii
+            FROM documents GROUP BY 1
+        """,
+        "orders_by_isoweek": """
+            SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+                   CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1, 2
         """,
         "psi_chars_drift": """
             WITH t AS (SELECT source, n_chars AS v FROM documents

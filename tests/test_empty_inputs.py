@@ -68,7 +68,7 @@ QUERIES = [
     # wave 9: quantile mapping, k-anonymity, salting plan, KMV sketch
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
     "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
-    "psi_chars_drift",
+    "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
 ]
 
 
@@ -111,7 +111,7 @@ ONE_ROW_QUERIES = [
     "running_balance", "sequence_motifs",
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
     "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
-    "psi_chars_drift",
+    "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
 ]
 
 
