@@ -6056,6 +6056,90 @@ def _q_orders_by_isoweek(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_ols2_by_source(sf_dir: str):
+    """Two-feature OLS per source (chars ~ tokens + sentences, with
+    intercept) in EXACT integers end to end: all moment sums are
+    integer partials, and the normal-equation solve is Cramer's rule,
+    so each beta is an integer-determinant rational.  Output ppm betas
+    use a truncation-safe signed division (both engines truncate
+    toward zero) -> (source, n, b_tok_ppm, b_sent_ppm, b0_ppm); a
+    singular system (det = 0) yields -1 sentinels.  Determinant math
+    runs in Python ints (the int64 moments multiply past 2^63; the
+    oracle uses HUGEINT)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["source", "text", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_pandas()
+        texts = b.column("text").to_pandas().fillna("")
+        z = np.nan_to_num(b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        ln = texts.str.len().to_numpy(np.int64)
+        x = np.where(ln == 0, 0,
+                     ln - texts.str.replace(" ", "", regex=False)
+                     .str.len().to_numpy(np.int64) + 1)
+        y = (ln - texts.str.replace(". ", "", regex=False)
+             .str.len().to_numpy(np.int64)) // 2
+        g = pd.DataFrame({
+            "source": src, "n": np.int64(1), "sx": x, "sy": y,
+            "sz": z, "sxx": x * x, "syy": y * y, "sxy": x * y,
+            "sxz": x * z, "syz": y * z}).groupby(
+            "source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols_out = {"n": "int64", "b_tok_ppm": "int64",
+                "b_sent_ppm": "int64", "b0_ppm": "int64"}
+    rows = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n"), Sum("sx"), Sum("sy"), Sum("sz"), Sum("sxx"),
+            Sum("syy"), Sum("sxy"), Sum("sxz"), Sum("syz")).take_all()
+    if not rows:
+        out = pd.DataFrame(columns=["source"] + list(cols_out))
+        return out.astype(cols_out)
+
+    def sdiv(num: int, den: int) -> int:
+        # truncation-safe signed ppm division (den > 0)
+        return (num * 1_000_000 // den if num >= 0
+                else -((-num) * 1_000_000 // den))
+
+    out = []
+    for r in rows:
+        n = int(r["sum(n)"])
+        sx, sy, sz = int(r["sum(sx)"]), int(r["sum(sy)"]), int(r["sum(sz)"])
+        sxx, syy, sxy = int(r["sum(sxx)"]), int(r["sum(syy)"]), int(r["sum(sxy)"])
+        sxz, syz = int(r["sum(sxz)"]), int(r["sum(syz)"])
+        # normal equations [[n sx sy][sx sxx sxy][sy sxy syy]] b =
+        # [sz sxz syz]; Cramer determinants in exact Python ints
+        det = (n * (sxx * syy - sxy * sxy)
+               - sx * (sx * syy - sxy * sy)
+               + sy * (sx * sxy - sxx * sy))
+        if det == 0:
+            out.append({"source": r["source"], "n": n,
+                        "b_tok_ppm": -1, "b_sent_ppm": -1,
+                        "b0_ppm": -1})
+            continue
+        d0 = (sz * (sxx * syy - sxy * sxy)
+              - sx * (sxz * syy - sxy * syz)
+              + sy * (sxz * sxy - sxx * syz))
+        d1 = (n * (sxz * syy - sxy * syz)
+              - sz * (sx * syy - sxy * sy)
+              + sy * (sx * syz - sxz * sy))
+        d2 = (n * (sxx * syz - sxz * sxy)
+              - sx * (sx * syz - sxz * sy)
+              + sz * (sx * sxy - sxx * sy))
+        if det < 0:
+            det, d0, d1, d2 = -det, -d0, -d1, -d2
+        out.append({"source": r["source"], "n": n,
+                    "b_tok_ppm": sdiv(d1, det),
+                    "b_sent_ppm": sdiv(d2, det),
+                    "b0_ppm": sdiv(d0, det)})
+    return pd.DataFrame(out).astype(cols_out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6165,6 +6249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_chars_drift": _q_psi_chars_drift,
         "nfc_audit": _q_nfc_audit,
         "orders_by_isoweek": _q_orders_by_isoweek,
+        "ols2_by_source": _q_ols2_by_source,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -8086,6 +8171,58 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "ols2_by_source": """
+            WITH t AS (SELECT COALESCE(source, '') AS source,
+                CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+                     ELSE length(COALESCE(text, ''))
+                          - length(replace(COALESCE(text, ''),
+                                           ' ', '')) + 1 END AS x,
+                (length(COALESCE(text, ''))
+                 - length(replace(COALESCE(text, ''), '. ', '')))
+                    // 2 AS y,
+                COALESCE(n_chars, 0) AS z
+                FROM documents),
+            m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(x) AS HUGEINT) AS sx,
+                CAST(sum(y) AS HUGEINT) AS sy,
+                CAST(sum(z) AS HUGEINT) AS sz,
+                CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+                CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+                FROM t GROUP BY source),
+            d AS (SELECT source, n,
+                n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy)
+                    + sy*(sx*sxy - sxx*sy) AS det,
+                sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz)
+                    + sy*(sxz*sxy - sxx*syz) AS d0,
+                n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy)
+                    + sy*(sx*syz - sxz*sy) AS d1,
+                n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy)
+                    + sz*(sx*sxy - sxx*sy) AS d2
+                FROM m),
+            s AS (SELECT source, n,
+                CASE WHEN det < 0 THEN -det ELSE det END AS det,
+                CASE WHEN det < 0 THEN -d0 ELSE d0 END AS d0,
+                CASE WHEN det < 0 THEN -d1 ELSE d1 END AS d1,
+                CASE WHEN det < 0 THEN -d2 ELSE d2 END AS d2
+                FROM d)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN det = 0 THEN -1
+                     WHEN d1 >= 0 THEN d1 * 1000000 // det
+                     ELSE -((-d1) * 1000000 // det) END AS BIGINT)
+                    AS b_tok_ppm,
+                CAST(CASE WHEN det = 0 THEN -1
+                     WHEN d2 >= 0 THEN d2 * 1000000 // det
+                     ELSE -((-d2) * 1000000 // det) END AS BIGINT)
+                    AS b_sent_ppm,
+                CAST(CASE WHEN det = 0 THEN -1
+                     WHEN d0 >= 0 THEN d0 * 1000000 // det
+                     ELSE -((-d0) * 1000000 // det) END AS BIGINT)
+                    AS b0_ppm
+            FROM s
         """,
         "nfc_audit": """
             SELECT COALESCE(source, '') AS source,

@@ -209,7 +209,8 @@ def run_ops(sf_dir: str):
              "quantile_map_sources", "k_anonymity_audit",
              "salting_plan", "kmv_distinct_users",
              "bucket_merkle_diff", "wet_roundtrip",
-             "psi_chars_drift", "nfc_audit", "orders_by_isoweek"]
+             "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
+             "ols2_by_source"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

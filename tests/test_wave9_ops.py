@@ -41,14 +41,24 @@ def synth_sf(tmp_path):
             pa.string()),
         "value": pa.array(rng.rand(n) * 100),
         "props": pa.array(["{}"] * n, pa.string())})
+    # tokens = 4 + i%13 (>= 4 words so snapshot truncation changes
+    # text), sentences = i%3, n_chars = exact linear combination so
+    # the OLS fit is exact
+    texts, xs, ys = [], [], []
+    for i in range(200):
+        t = " ".join(["w"] * (4 + i % 13)) + ". next" * (i % 3)
+        texts.append(t)
+        xs.append(t.count(" ") + 1)
+        ys.append(t.count(". "))
+    nchars = 7 + 5 * np.array(xs, np.int64) + 11 * np.array(ys,
+                                                            np.int64)
     docs = pa.table({
         "doc_id": pa.array(np.arange(200, dtype=np.int64)),
-        "text": pa.array([f"word{i} alpha beta gamma" for i in
-                          range(200)], pa.string()),
+        "text": pa.array(texts, pa.string()),
         "lang": pa.array(["en"] * 200, pa.string()),
         "source": pa.array(["src0"] * 100 + ["src1"] * 100,
                            pa.string()),
-        "n_chars": pa.array(np.int64(20) + np.arange(200) % 7)})
+        "n_chars": pa.array(nchars)})
     src = "/root/testdata/sf0.001"
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "embeddings"]:
@@ -125,6 +135,29 @@ class TestPsiSemantics:
         out = m.queries()["psi_chars_drift"](synth_sf)
         out = out.to_pandas() if hasattr(out, "to_pandas") else out
         r = out.iloc[0]
-        # src0 and src1 n_chars distributions are identical (i % 7
-        # pattern repeats every 7 ids) -> PSI ~ 0
-        assert abs(int(r.psi_ppm)) < 5000
+        # src0 and src1 n_chars patterns are near-identical (i % 13 /
+        # i % 3 windows shift slightly between id ranges) -> PSI well
+        # under the 0.1 "stable" threshold
+        assert abs(int(r.psi_ppm)) < 30000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOls2:
+    def test_matches_numpy_lstsq(self, synth_sf):
+        m = _entry()
+        out = m.queries()["ols2_by_source"](synth_sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        docs = pd.read_parquet(os.path.join(synth_sf,
+                                            "documents.parquet"))
+        for src in ["src0", "src1"]:
+            d = docs[docs["source"] == src]
+            x = d["text"].str.count(" ").to_numpy() + 1
+            y = d["text"].str.count(r"\. ").to_numpy()
+            z = d["n_chars"].to_numpy(np.float64)
+            X = np.column_stack([np.ones(len(d)), x, y])
+            beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+            assert np.allclose(beta, [7, 5, 11])  # fixture is exact
+            r = out[out["source"] == src].iloc[0]
+            got = np.array([r.b0_ppm, r.b_tok_ppm, r.b_sent_ppm],
+                           np.float64) / 1e6
+            assert np.allclose(got, beta, atol=2e-6), (got, beta)
