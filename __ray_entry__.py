@@ -6140,6 +6140,17 @@ def _q_ols2_by_source(sf_dir: str):
     return pd.DataFrame(out).astype(cols_out)
 
 
+def _q_changepoint_by_user(sf_dir: str):
+    """Single change-point screen per user: the split maximizing the
+    exact integer scaled mean-shift |s1*n2 - s2*n1| over the cents
+    series (binary-segmentation step 1; ties -> earliest split)
+    (ops/events.changepoint_by_user)."""
+    from pdf_extract_ray.ops.events import changepoint_by_user
+    return changepoint_by_user(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6250,6 +6261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_audit": _q_nfc_audit,
         "orders_by_isoweek": _q_orders_by_isoweek,
         "ols2_by_source": _q_ols2_by_source,
+        "changepoint_by_user": _q_changepoint_by_user,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -8171,6 +8183,31 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "changepoint_by_user": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                  AS cents
+                       FROM events WHERE ts IS NOT NULL),
+            p AS (SELECT user_id, ts, event_id,
+                sum(cents) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS s1,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS k,
+                count(*) OVER (PARTITION BY user_id) AS n,
+                sum(cents) OVER (PARTITION BY user_id) AS tot
+                FROM e)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   CAST(k AS BIGINT) AS split_k,
+                   CAST(abs(s1 * (n - k) - (tot - s1) * k) AS BIGINT)
+                       AS gap_num,
+                   CAST(k AS BIGINT) AS n1,
+                   CAST(n - k AS BIGINT) AS n2
+            FROM p WHERE k < n AND n >= 2
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY abs(s1 * (n - k) - (tot - s1) * k) DESC,
+                         k ASC) = 1
         """,
         "ols2_by_source": """
             WITH t AS (SELECT COALESCE(source, '') AS source,

@@ -1699,3 +1699,63 @@ def sequence_motifs(ds, motifs, *, n_parts: int = 32):
             "motif": pc.cast(b.column("motif"), pa.string()),
             "n_users": pc.cast(b.column("sum(n)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def changepoint_by_user(ds, *, n_parts: int = 32):
+    """Single change-point screen per user (binary-segmentation step
+    1): over the user's cents series in (ts, event_id) order, find the
+    split k (1 <= k < n) maximizing the EXACT integer mean-shift
+    statistic |A_k| = |s1 * n2 - s2 * n1| (the cross-multiplied
+    mean gap scaled by n1*n2 — deterministic and oracle-exact, unlike
+    the variance-normalized CUSUM statistic whose rational compare
+    cannot be expressed in one SQL ORDER BY), ties -> smallest k.
+    -> (user_id, n_events, split_k, gap_num, n1, n2); users with < 2
+    events are dropped.
+
+    One user-keyed partition pass; prefix sums are one grouped cumsum,
+    A_k is vectorized; only the per-user argmax walks run lengths.
+    int64-safe: |A| <= total_cents * n."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "split_k": "int64", "gap_num": "int64",
+                "n1": "int64", "n2": "int64"}
+        df = df[df["ts"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.rint(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, c = user[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, m])
+        # within-user prefix sums via global cumsum minus group base
+        g = np.cumsum(np.r_[0, c])[1:]
+        base = np.repeat(g[starts] - c[starts], sizes)
+        pre = g - base                       # s1 at split k = row idx+1
+        k_in = np.arange(m) - np.repeat(starts, sizes) + 1
+        n_u = np.repeat(sizes, sizes)
+        tot = np.repeat(pre[starts + sizes - 1], sizes)
+        a = np.abs(pre * (n_u - k_in) - (tot - pre) * k_in)
+        rows = []
+        uu = u[starts]
+        for i, st in enumerate(starts):
+            n = int(sizes[i])
+            if n < 2:
+                continue
+            seg = a[st:st + n - 1]
+            k = int(np.argmax(seg))  # first max = smallest k
+            rows.append({"user_id": int(uu[i]), "n_events": n,
+                         "split_k": k + 1, "gap_num": int(seg[k]),
+                         "n1": k + 1, "n2": n - (k + 1)})
+        if not rows:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return pd.DataFrame(rows).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
