@@ -6151,6 +6151,41 @@ def _q_changepoint_by_user(sf_dir: str):
               columns=["event_id", "user_id", "ts", "value"]))
 
 
+def _q_max_drawdown_by_user(sf_dir: str):
+    """Maximum drawdown per user over the cents series in (ts,
+    event_id) order (peak-to-trough risk classic): max(running_max -
+    value), exact integer cents -> (user_id, max_drawdown_cents,
+    n_events).  One user-keyed partition pass; grouped cummax is a
+    pandas C kernel."""
+    import pandas as pd
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "max_drawdown_cents": "int64",
+                "n_events": "int64"}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.rint(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, c = user[order], cents[order]
+        g = pd.DataFrame({"u": u, "c": c})
+        runmax = g.groupby("u", sort=False)["c"].cummax() \
+            .to_numpy(np.int64)
+        g["dd"] = runmax - c
+        out = g.groupby("u", as_index=False).agg(
+            max_drawdown_cents=("dd", "max"), n_events=("dd", "size"))
+        return out.rename(columns={"u": "user_id"}).astype(cols)
+
+    return _grouped_by_partition(ds, ["user_id"], per_user)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6262,6 +6297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_isoweek": _q_orders_by_isoweek,
         "ols2_by_source": _q_ols2_by_source,
         "changepoint_by_user": _q_changepoint_by_user,
+        "max_drawdown_by_user": _q_max_drawdown_by_user,
         "benford_digits": _q_benford_digits,
         "weighted_median_price": _q_weighted_median_price,
         "user_value_integral": _q_user_value_integral,
@@ -8183,6 +8219,23 @@ def oracle_sql() -> dict[str, str]:
                        AS d_num,
                    CAST(na * nb AS BIGINT) AS d_den
             FROM c, n GROUP BY na, nb
+        """,
+        "max_drawdown_by_user": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            p AS (SELECT user_id,
+                max(cents) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS runmax,
+                cents
+                FROM e)
+            SELECT user_id,
+                   CAST(max(runmax - cents) AS BIGINT)
+                       AS max_drawdown_cents,
+                   count(*) AS n_events
+            FROM p GROUP BY user_id
         """,
         "changepoint_by_user": """
             WITH e AS (SELECT user_id, ts, event_id,

@@ -210,7 +210,8 @@ def run_ops(sf_dir: str):
              "salting_plan", "kmv_distinct_users",
              "bucket_merkle_diff", "wet_roundtrip",
              "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
-             "ols2_by_source", "changepoint_by_user"]
+             "ols2_by_source", "changepoint_by_user",
+             "max_drawdown_by_user"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -69,7 +69,7 @@ QUERIES = [
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
     "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
     "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
-    "ols2_by_source", "changepoint_by_user",
+    "ols2_by_source", "changepoint_by_user", "max_drawdown_by_user",
 ]
 
 
@@ -113,7 +113,7 @@ ONE_ROW_QUERIES = [
     "quantile_map_sources", "k_anonymity_audit", "salting_plan",
     "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
     "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
-    "ols2_by_source", "changepoint_by_user",
+    "ols2_by_source", "changepoint_by_user", "max_drawdown_by_user",
 ]
 
 

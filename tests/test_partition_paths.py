@@ -54,7 +54,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "scd2_intervals", "user_active_time", "link_common_neighbors",
            "peer_window_sums", "user_value_locf", "user_burstiness",
            "running_balance", "sequence_motifs", "key_skew_report",
-           "asof_join_tolerance", "changepoint_by_user"]
+           "asof_join_tolerance", "changepoint_by_user",
+           "max_drawdown_by_user"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
