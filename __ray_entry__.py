@@ -6186,6 +6186,162 @@ def _q_max_drawdown_by_user(sf_dir: str):
     return _grouped_by_partition(ds, ["user_id"], per_user)
 
 
+def _q_chars_token_spearman(sf_dir: str):
+    """Spearman rho(n_chars, n_tokens) per source via doubled midranks
+    (integer) + exact integer moments; float formed with the
+    grouped_corr IEEE op order -> bit-identical vs SQL
+    (ops/analytics.grouped_spearman)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import grouped_spearman
+    ds = _read(sf_dir, "documents", columns=["source", "text",
+                                             "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pandas()
+        nsp = texts.str.count(" ").to_numpy(np.int64)
+        nlen = texts.str.len().to_numpy(np.int64)
+        y = np.where(nlen > 0, nsp + 1, 0)
+        return pa.table({
+            "source": b.column("source"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            "n_tokens": pa.array(y, pa.int64())})
+
+    return grouped_spearman(ds.map_batches(derive,
+                                           batch_format="pyarrow"),
+                            "source", "n_chars", "n_tokens")
+
+
+def _q_runs_test_by_user(sf_dir: str):
+    """Wald-Wolfowitz runs counts per user vs the discrete median of
+    the cents series (ops/events.runs_test_by_user)."""
+    from pdf_extract_ray.ops.events import runs_test_by_user
+    return runs_test_by_user(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_peak_hour_by_user(sf_dir: str):
+    """Mode hour-of-day per user, tie -> smallest hour; map-side
+    (user, hour) pre-count bounds the shuffle at 24 rows/user/block
+    (ops/events.peak_hour_by_user)."""
+    from pdf_extract_ray.ops.events import peak_hour_by_user
+    return peak_hour_by_user(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def _q_type_switch_rate(sf_dir: str):
+    """Per-user event-type switching rate in truncated integer ppm
+    over the (ts, event_id)-ordered stream
+    (ops/events.type_switch_rate)."""
+    from pdf_extract_ray.ops.events import type_switch_rate
+    return type_switch_rate(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+
+def _q_event_gap_quantiles(sf_dir: str):
+    """Per-user inter-event-gap distribution (min / discrete-median /
+    max microseconds, exact int64)
+    (ops/events.event_gap_quantiles)."""
+    from pdf_extract_ray.ops.events import event_gap_quantiles
+    return event_gap_quantiles(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts"]))
+
+
+def _q_hapax_rate_by_source(sf_dir: str):
+    """Hapax-legomena share of each source's vocabulary, truncated
+    integer ppm (ops/analytics.hapax_stats)."""
+    from pdf_extract_ray.ops.analytics import hapax_stats
+    return hapax_stats(_read(sf_dir, "documents",
+                             columns=["source", "text"]))
+
+
+def _q_source_bow_gram(sf_dir: str):
+    """Exact integer bag-of-words Gram matrix over source term-count
+    vectors (diagonal = squared norms)
+    (ops/analytics.source_bow_gram)."""
+    from pdf_extract_ray.ops.analytics import source_bow_gram
+    return source_bow_gram(_read(sf_dir, "documents",
+                                 columns=["source", "text"]))
+
+
+def _q_levene_absdev_chars(sf_dir: str):
+    """Brown-Forsythe partials: exact integer sum |n_chars - median|
+    per source (ops/analytics.grouped_absdev)."""
+    from pdf_extract_ray.ops.analytics import grouped_absdev
+    return grouped_absdev(_read(sf_dir, "documents",
+                                columns=["source", "n_chars"]),
+                          "source", "n_chars")
+
+
+def _q_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix, floor-ppm from
+    exact integer counts (ops/events.user_type_entropy)."""
+    from pdf_extract_ray.ops.events import user_type_entropy
+    return user_type_entropy(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]))
+
+
+def _q_reorder_rate(sf_dir: str):
+    """Quick-reorder (<= 7 days) propensity per customer, truncated
+    integer ppm (ops/relational.reorder_rate)."""
+    from pdf_extract_ray.ops.relational import reorder_rate
+    return reorder_rate(
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderkey", "o_orderdate"]))
+
+
+def _q_spend_activity_corr(sf_dir: str):
+    """Cross-table Pearson corr of per-user order spend vs event
+    value (floor-integer units, exact moments, tagged-union shuffle
+    instead of a hash join) (ops/relational.spend_activity_corr)."""
+    from pdf_extract_ray.ops.relational import spend_activity_corr
+    return spend_activity_corr(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "events", columns=["user_id", "value"]))
+
+
+def _q_top_word_per_source(sf_dir: str):
+    """Most frequent word per source, tie -> smallest word
+    (ops/analytics.top_word_per_source)."""
+    from pdf_extract_ray.ops.analytics import top_word_per_source
+    return top_word_per_source(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
+def _q_first_event_type_counts(sf_dir: str):
+    """Distribution of each user's FIRST event type: the
+    user_first_last arg-min combiner feeding one bounded count
+    (ops/events.user_first_last)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.events import user_first_last
+    ufl = user_first_last(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+    cols = {"first_type": "object", "n_users": "int64"}
+    if ufl.count() == 0:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+
+    def fold(b: pa.Table) -> pa.Table:
+        ft = pc.fill_null(pc.cast(b.column("first_type"),
+                                  pa.string()), "")
+        g = pd.Series(ft.to_pandas()).value_counts()
+        return pa.table({"first_type": pa.array(g.index, pa.string()),
+                         "n_users": pa.array(g.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    agg = ufl.map_batches(fold, batch_format="pyarrow") \
+        .groupby("first_type").aggregate(Sum("n_users"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "first_type": pc.cast(b.column("first_type"), pa.string()),
+            "n_users": pc.cast(b.column("sum(n_users)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6473,6 +6629,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_woe": _q_quantity_woe,
         "lang_target_encoding": _q_lang_target_encoding,
         "user_value_kendall": _q_user_value_kendall,
+        "chars_token_spearman": _q_chars_token_spearman,
+        "runs_test_by_user": _q_runs_test_by_user,
+        "peak_hour_by_user": _q_peak_hour_by_user,
+        "type_switch_rate": _q_type_switch_rate,
+        "event_gap_quantiles": _q_event_gap_quantiles,
+        "hapax_rate_by_source": _q_hapax_rate_by_source,
+        "source_bow_gram": _q_source_bow_gram,
+        "levene_absdev_chars": _q_levene_absdev_chars,
+        "user_type_entropy": _q_user_type_entropy,
+        "reorder_rate": _q_reorder_rate,
+        "spend_activity_corr": _q_spend_activity_corr,
+        "top_word_per_source": _q_top_word_per_source,
+        "first_event_type_counts": _q_first_event_type_counts,
     }
 
 
@@ -10037,5 +10206,234 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1
                             ELSE 0 END) AS BIGINT) AS n_tie_both
             FROM p GROUP BY user_id
+        """,
+        "chars_token_spearman": """
+            WITH t AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS x,
+                     CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS y
+              FROM documents),
+            r AS (
+              SELECT source,
+                     2 * rank() OVER (PARTITION BY source ORDER BY x)
+                       + count(*) OVER (PARTITION BY source, x) - 1
+                         AS dx,
+                     2 * rank() OVER (PARTITION BY source ORDER BY y)
+                       + count(*) OVER (PARTITION BY source, y) - 1
+                         AS dy
+              FROM t),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(dx) AS BIGINT) sx,
+                         CAST(sum(dy) AS BIGINT) sy,
+                         CAST(sum(dx * dx) AS BIGINT) sxx,
+                         CAST(sum(dy * dy) AS BIGINT) syy,
+                         CAST(sum(dx * dy) AS BIGINT) sxy
+                  FROM r GROUP BY source)
+            SELECT source, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+            FROM s
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "runs_test_by_user": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CAST(round(COALESCE(value, 0) * 100, 0)
+                                   AS BIGINT) AS c
+                       FROM events WHERE ts IS NOT NULL),
+            m AS (SELECT user_id, quantile_disc(c, 0.5) AS med
+                  FROM e GROUP BY user_id),
+            f AS (SELECT e.user_id, ts, event_id,
+                         CASE WHEN c > med THEN 1 ELSE -1 END AS s
+                  FROM e JOIN m USING (user_id) WHERE c <> med),
+            r AS (SELECT user_id, s,
+                         lag(s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p
+                  FROM f),
+            a AS (SELECT user_id,
+                         CAST(count(CASE WHEN s = 1 THEN 1 END)
+                              AS BIGINT) AS n_pos,
+                         CAST(count(CASE WHEN s = -1 THEN 1 END)
+                              AS BIGINT) AS n_neg,
+                         CAST(1 + count(CASE WHEN p IS NOT NULL
+                                        AND s <> p THEN 1 END)
+                              AS BIGINT) AS n_runs
+                  FROM r GROUP BY user_id)
+            SELECT u.user_id,
+                   COALESCE(a.n_pos, 0) AS n_pos,
+                   COALESCE(a.n_neg, 0) AS n_neg,
+                   COALESCE(a.n_runs, 0) AS n_runs
+            FROM (SELECT DISTINCT user_id FROM e) u
+            LEFT JOIN a USING (user_id)
+        """,
+        "peak_hour_by_user": """
+            WITH h AS (SELECT user_id,
+                              CAST(hour(ts) AS BIGINT) AS hr,
+                              CAST(count(*) AS BIGINT) AS c,
+                              max(count(*)) OVER (PARTITION BY user_id)
+                                  AS mx
+                       FROM events WHERE ts IS NOT NULL
+                       GROUP BY user_id, hour(ts))
+            SELECT user_id, CAST(min(hr) AS BIGINT) AS peak_hour,
+                   CAST(min(c) AS BIGINT) AS n_at_peak
+            FROM h WHERE c = mx GROUP BY user_id
+        """,
+        "type_switch_rate": """
+            WITH r AS (SELECT user_id,
+                              COALESCE(event_type, '') AS et,
+                              lag(COALESCE(event_type, '')) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p,
+                              row_number() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events WHERE ts IS NOT NULL)
+            SELECT user_id,
+                   CAST(count(*) - 1 AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN rn > 1 AND et <> p
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_switches,
+                   CAST(sum(CASE WHEN rn > 1 AND et <> p
+                            THEN 1 ELSE 0 END) * 1000000
+                        // (count(*) - 1) AS BIGINT) AS switch_ppm
+            FROM r GROUP BY user_id HAVING count(*) >= 2
+        """,
+        "event_gap_quantiles": """
+            WITH g AS (SELECT user_id,
+                              epoch_us(ts) - epoch_us(
+                                  lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                                  AS gap
+                       FROM events WHERE ts IS NOT NULL)
+            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS med_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY user_id HAVING count(gap) > 0
+        """,
+        "hapax_rate_by_source": """
+            WITH c AS (SELECT source, word,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT source,
+                                    unnest(string_split(text, ' '))
+                                        AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY source, word)
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(count(CASE WHEN cnt = 1 THEN 1 END) * 1000000
+                        // count(*) AS BIGINT) AS hapax_ppm
+            FROM c GROUP BY source
+        """,
+        "source_bow_gram": """
+            WITH c AS (SELECT source, word,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT source,
+                                    unnest(string_split(text, ' '))
+                                        AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY source, word)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+            FROM c a JOIN c b
+              ON a.word = b.word AND a.source <= b.source
+            GROUP BY a.source, b.source
+        """,
+        "levene_absdev_chars": """
+            WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) med
+                       FROM documents GROUP BY source)
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(med) AS BIGINT) AS median,
+                   CAST(sum(abs(n_chars - med)) AS BIGINT)
+                       AS sum_absdev
+            FROM documents d JOIN m USING (source)
+            GROUP BY d.source
+        """,
+        "user_type_entropy": """
+            WITH c AS (SELECT user_id,
+                              COALESCE(event_type, '') AS et,
+                              count(*) AS o
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT user_id, sum(o) AS t, count(*) AS k
+                  FROM c GROUP BY user_id)
+            SELECT c.user_id, CAST(t AS BIGINT) AS n_events,
+                   CAST(k AS BIGINT) AS n_types,
+                   CAST(floor(sum(-(o * 1.0 / t) * ln(o * 1.0 / t))
+                              * 1000000) AS BIGINT) AS entropy_ppm
+            FROM c JOIN s USING (user_id)
+            GROUP BY c.user_id, t, k
+        """,
+        "reorder_rate": """
+            WITH r AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) - epoch_us(
+                                  lag(o_orderdate) OVER (
+                                      PARTITION BY o_custkey
+                                      ORDER BY o_orderdate,
+                                               o_orderkey)) AS gap
+                       FROM orders WHERE o_orderdate IS NOT NULL)
+            SELECT o_custkey,
+                   CAST(count(gap) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN gap <= 604800000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quick,
+                   CAST(sum(CASE WHEN gap <= 604800000000
+                            THEN 1 ELSE 0 END) * 1000000
+                        // count(gap) AS BIGINT) AS quick_ppm
+            FROM r WHERE gap IS NOT NULL GROUP BY o_custkey
+        """,
+        "spend_activity_corr": """
+            WITH o AS (SELECT o_custkey AS u,
+                              CAST(sum(CAST(floor(o_totalprice)
+                                       AS BIGINT)) AS BIGINT) AS x
+                       FROM orders GROUP BY 1),
+            e AS (SELECT user_id AS u,
+                         CAST(sum(CAST(floor(COALESCE(value, 0))
+                                  AS BIGINT)) AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+            j AS (SELECT x, y FROM o JOIN e USING (u)),
+            s AS (SELECT CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(y * y) AS BIGINT) syy,
+                         CAST(sum(x * y) AS BIGINT) sxy
+                  FROM j)
+            SELECT 'all' AS scope, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr_xy
+            FROM s
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "top_word_per_source": """
+            WITH c AS (SELECT source, word,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT source,
+                                    unnest(string_split(text, ' '))
+                                        AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY source, word),
+            m AS (SELECT source, max(cnt) AS mx FROM c
+                  GROUP BY source)
+            SELECT c.source, min(c.word) AS top_word,
+                   CAST(min(c.cnt) AS BIGINT) AS cnt
+            FROM c JOIN m ON c.source = m.source AND c.cnt = m.mx
+            GROUP BY c.source
+        """,
+        "first_event_type_counts": """
+            WITH f AS (SELECT user_id,
+                              COALESCE(event_type, '') AS et,
+                              row_number() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events)
+            SELECT et AS first_type,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM f WHERE rn = 1 GROUP BY et
         """,
     }

@@ -211,7 +211,14 @@ def run_ops(sf_dir: str):
              "bucket_merkle_diff", "wet_roundtrip",
              "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
              "ols2_by_source", "changepoint_by_user",
-             "max_drawdown_by_user"]
+             "max_drawdown_by_user",
+             "chars_token_spearman", "runs_test_by_user",
+             "peak_hour_by_user", "type_switch_rate",
+             "event_gap_quantiles", "hapax_rate_by_source",
+             "source_bow_gram", "levene_absdev_chars",
+             "user_type_entropy", "reorder_rate",
+             "spend_activity_corr", "top_word_per_source",
+             "first_event_type_counts"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -1853,3 +1853,265 @@ def mutual_information(ds, col_a: str, col_b: str,
         "h_joint_ppm": math.floor(hj * 1_000_000),
         "mi_ppm": math.floor((ha + hb - hj) * 1_000_000),
     }]).astype(np.int64)
+
+
+def grouped_spearman(ds, group_col: str, x_col: str, y_col: str):
+    """Spearman rank correlation per group -> (group, n, rho), exact
+    to the bit vs SQL: ranks are DOUBLED MIDRANKS (2*rank + ties - 1,
+    an integer — the mannwhitney_chars discipline), the moment sums
+    over them are exact int64, and rho is Pearson over those integers
+    computed with the same IEEE op sequence as grouped_corr.
+
+    Needs whole-group rank context, so it is one group-keyed partition
+    pass (cardinality = group count, e.g. sources), NOT a row shuffle
+    per value; within the pass ranking is pandas' C rank kernel.
+    int64-safe while n_group <= ~1e6 (sxx <= n*(2n)^2)."""
+    import math
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "n": "int64", "rho": "float64"}
+        out_rows = []
+        if len(df):
+            for g, sub in df.groupby(group_col, sort=False):
+                x = sub[x_col].to_numpy(np.int64)
+                y = sub[y_col].to_numpy(np.int64)
+                n = len(sub)
+                # doubled midranks: 2 * average-rank, always integral
+                dx = (pd.Series(x).rank(method="average")
+                      .to_numpy(np.float64) * 2).astype(np.int64)
+                dy = (pd.Series(y).rank(method="average")
+                      .to_numpy(np.float64) * 2).astype(np.int64)
+                sx, sy = int(dx.sum()), int(dy.sum())
+                sxx = int((dx * dx).sum())
+                syy = int((dy * dy).sum())
+                sxy = int((dx * dy).sum())
+                vx = n * sxx - sx * sx
+                vy = n * syy - sy * sy
+                if vx <= 0 or vy <= 0:
+                    continue
+                num = float(n * sxy - sx * sy)
+                den = math.sqrt(float(vx)) * math.sqrt(float(vy))
+                out_rows.append({group_col: g, "n": n,
+                                 "rho": num / den})
+        if not out_rows:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "rho": pd.Series([], dtype="float64")})
+        return pd.DataFrame(out_rows)[list(cols)]
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, [group_col], per_group)
+
+
+def _group_word_counts(ds, group_col: str = "source",
+                       text_col: str = "text"):
+    """(group, word, cnt) exact term counts: per-batch explode +
+    LOCAL (group, word) pre-count (map-side combine) then one native
+    groupby sum — the shuffle carries at most n_blocks x |local
+    vocab| rows, never raw tokens.  Shared by source_vocab_stats-class
+    lexical ops."""
+    from ray.data.aggregate import Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        words = pc.split_pattern(
+            pc.coalesce(b.column(text_col), pa.scalar("")), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        off = off - off[0]
+        flat = words.flatten().to_pandas().to_numpy(object)
+        src = np.repeat(b.column(group_col).to_pandas()
+                        .to_numpy(object), np.diff(off))
+        ne = np.fromiter((len(w) > 0 for w in flat), bool, len(flat))
+        g = pd.DataFrame({group_col: src[ne], "word": flat[ne]}) \
+            .groupby([group_col, "word"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            group_col: pa.array(idx[group_col], pa.string()),
+            "word": pa.array(idx["word"], pa.string()),
+            "cnt": pa.array(g.to_numpy(np.int64))})
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby([group_col, "word"]).aggregate(Sum("cnt"))
+
+
+def hapax_stats(ds, group_col: str = "source", text_col: str = "text"):
+    """Hapax-legomena rate per group: words occurring EXACTLY ONCE
+    within the group vs its distinct vocabulary -> (group, n_words,
+    n_distinct, n_hapax, hapax_ppm).  Vocabulary-freshness signal
+    (high hapax share = productive/unbounded vocab, low = template
+    text) — the truncated-integer ppm makes the rate oracle-exact.
+
+    Shuffle = the shared (group, word) count exchange; the per-group
+    fold is a bounded batch pass over unique terms (map-side partial
+    -> one tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    per_word = _group_word_counts(ds, group_col, text_col)
+
+    def fold(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b.column("sum(cnt)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g = pd.DataFrame({group_col: b.column(group_col).to_pandas(),
+                          "n_words": cnt, "n_distinct": 1,
+                          "n_hapax": (cnt == 1).astype(np.int64)}) \
+            .groupby(group_col, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = per_word.map_batches(fold, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n_words"), Sum("n_distinct"),
+                                      Sum("n_hapax"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nw = pc.cast(b.column("sum(n_words)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nd = pc.cast(b.column("sum(n_distinct)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nh = pc.cast(b.column("sum(n_hapax)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            group_col: pc.cast(b.column(group_col), pa.string()),
+            "n_words": pa.array(nw), "n_distinct": pa.array(nd),
+            "n_hapax": pa.array(nh),
+            "hapax_ppm": pa.array(nh * 1_000_000
+                                  // np.maximum(nd, 1))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_bow_gram(ds, group_col: str = "source",
+                    text_col: str = "text"):
+    """Bag-of-words Gram matrix between group term-count vectors:
+    every (a <= b) group pair's EXACT integer dot product
+    sum_w cnt_a(w)*cnt_b(w) -> (src_a, src_b, dot); the diagonal rows
+    ARE the squared norms, so cosine similarity is derivable
+    downstream without any float leaving the engine.
+
+    Scale shape: the shared (group, word) count exchange, then a
+    word-keyed partition pass emits per-partition PARTIAL pair
+    products (each word contributes its <= G^2/2 local outer
+    product), and one tiny (src_a, src_b) groupby sums them — the
+    second shuffle carries O(parts x G^2) rows, independent of corpus
+    size.  int64-safe while sum cnt_a*cnt_b < 2^63 (holds far past
+    1e9-token groups for natural vocabularies)."""
+    from ray.data.aggregate import Sum
+
+    per_word = _group_word_counts(ds, group_col, text_col)
+
+    def pair_products(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src_a": "object", "src_b": "object", "dot": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"src_a": pd.Series([], dtype=object),
+                 "src_b": pd.Series([], dtype=object),
+                 "dot": pd.Series([], dtype="int64")})
+        d = pd.DataFrame({"word": df["word"].to_numpy(object),
+                          "src": df[group_col].to_numpy(object),
+                          "cnt": df["sum(cnt)"].to_numpy(np.int64)})
+        m = d.merge(d, on="word", suffixes=("_a", "_b"))
+        m = m[m["src_a"] <= m["src_b"]]
+        m["dot"] = m["cnt_a"] * m["cnt_b"]
+        out = m.groupby(["src_a", "src_b"], as_index=False)["dot"].sum()
+        return out.astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(per_word, ["word"], pair_products)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_a": pc.cast(b.column("src_a"), pa.string()),
+            "src_b": pc.cast(b.column("src_b"), pa.string()),
+            "dot": pc.cast(b.column("sum(dot)"), pa.int64())})
+
+    return partials.groupby(["src_a", "src_b"]).aggregate(Sum("dot")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_absdev(ds, group_col: str, value_col: str):
+    """Brown-Forsythe dispersion partials per group: the EXACT sum of
+    |x - median_g| around the group's discrete median
+    (sorted[(n-1)//2], the quantile_disc 0.5 convention) ->
+    (group, n, median, sum_absdev) — all int64, no float anywhere.
+    The robust-variance screen behind Levene/Brown-Forsythe tests.
+
+    Median needs whole-group order context -> one group-keyed
+    partition pass; inside, a (group, value) lexsort gives every
+    median by index and the absolute deviations vectorize."""
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "n": "int64", "median": "int64",
+                "sum_absdev": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "median": pd.Series([], dtype="int64"),
+                 "sum_absdev": pd.Series([], dtype="int64")})
+        codes, uniques = pd.factorize(df[group_col], sort=False)
+        x = df[value_col].to_numpy(np.int64)
+        o = np.lexsort((x, codes))
+        cs, xs = codes[o], x[o]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        sizes = np.diff(np.r_[starts, len(cs)])
+        med = xs[starts + (sizes - 1) // 2]
+        dev = np.abs(xs - np.repeat(med, sizes))
+        sums = np.add.reduceat(dev, starts)
+        return pd.DataFrame({
+            group_col: np.asarray(uniques, object)[cs[starts]],
+            "n": sizes.astype(np.int64), "median": med,
+            "sum_absdev": sums.astype(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, [group_col], per_group)
+
+
+def top_word_per_source(ds, group_col: str = "source",
+                        text_col: str = "text"):
+    """Most frequent word per group (tie -> lexicographically smallest
+    word) -> (group, top_word, cnt).  The argmax-over-vocabulary
+    shape on the shared (group, word) count exchange.
+
+    Map-side candidate generation: every post-aggregation batch emits
+    its local top-1 per group (counts are already global there), so
+    the final resolve touches O(groups x blocks) candidate rows, not
+    the vocabulary."""
+
+    per_word = _group_word_counts(ds, group_col, text_col)
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        d = pd.DataFrame({group_col: b.column(group_col).to_pandas(),
+                          "word": b.column("word").to_pandas(),
+                          "cnt": pc.cast(b.column("sum(cnt)"),
+                                         pa.int64()).to_numpy(
+                              zero_copy_only=False)})
+        d = d.sort_values([group_col, "cnt", "word"],
+                          ascending=[True, False, True],
+                          kind="mergesort").drop_duplicates(group_col)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "top_word": "object",
+                "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        d = df.sort_values([group_col, "cnt", "word"],
+                           ascending=[True, False, True],
+                           kind="mergesort").drop_duplicates(group_col)
+        return pd.DataFrame({
+            group_col: d[group_col].to_numpy(object),
+            "top_word": d["word"].to_numpy(object),
+            "cnt": d["cnt"].to_numpy(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    cands = per_word.map_batches(local_top, batch_format="pyarrow")
+    return _grouped_by_partition(cands, [group_col], resolve)

@@ -1759,3 +1759,247 @@ def changepoint_by_user(ds, *, n_parts: int = 32):
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(ds, ["user_id"], per_user,
                                  n_parts=n_parts)
+
+
+def runs_test_by_user(ds, *, n_parts: int = 32):
+    """Wald-Wolfowitz runs screen per user: over the cents series in
+    (ts, event_id) order, drop values equal to the user's discrete
+    median (quantile_disc 0.5 = sorted[(n-1)//2], ties keep the SQL
+    convention), sign the rest (+/- vs median) and count sign runs ->
+    (user_id, n_pos, n_neg, n_runs).  Randomness check for event
+    streams: too few runs = trending, too many = oscillating.
+
+    One user-keyed partition pass (the changepoint_by_user shape);
+    median + signs + run boundaries are all vectorized — the only
+    Python loop is over users present in the partition, bounded by
+    group count, not rows.  Exact integers end-to-end."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_pos": "int64",
+                "n_neg": "int64", "n_runs": "int64"}
+        df = df[df["ts"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.rint(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, c = user[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, m])
+        # discrete median per user: sorted cents[(n-1)//2], computed
+        # from a (user, cents) lexsort so every group is one slice
+        o2 = np.lexsort((c, u))
+        med = c[o2][starts + (sizes - 1) // 2]
+        med_row = np.repeat(med, sizes)
+        keep = c != med_row
+        sign = np.where(c > med_row, 1, -1)
+        rows = []
+        uu = u[starts]
+        for i, st in enumerate(starts):
+            k = keep[st:st + sizes[i]]
+            s = sign[st:st + sizes[i]][k]
+            n_pos = int((s > 0).sum())
+            n_neg = int(len(s) - n_pos)
+            n_runs = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
+            rows.append({"user_id": int(uu[i]), "n_pos": n_pos,
+                         "n_neg": n_neg, "n_runs": n_runs})
+        return pd.DataFrame(rows).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def peak_hour_by_user(ds, *, n_parts: int = 32):
+    """Mode hour-of-day per user (tie -> smallest hour) ->
+    (user_id, peak_hour, n_at_peak).  Activity-profile classic.
+
+    Map-side (user, hour) pre-count per batch bounds the shuffle at
+    24 rows per user per block; the keyed partition pass only merges
+    those partials and picks the argmax — no raw-event shuffle."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "hour": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ts = b.column("ts").to_pandas()
+        ok = ts.notna().to_numpy()
+        g = pd.DataFrame({"user_id": b.column("user_id").to_pandas()
+                          .to_numpy()[ok].astype(np.int64),
+                          "hour": ts.dt.hour.to_numpy()[ok]
+                          .astype(np.int64)}) \
+            .groupby(["user_id", "hour"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({"user_id": pa.array(idx["user_id"], pa.int64()),
+                         "hour": pa.array(idx["hour"], pa.int64()),
+                         "cnt": pa.array(g.to_numpy(np.int64))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "peak_hour": "int64",
+                "n_at_peak": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby(["user_id", "hour"], as_index=False)["cnt"].sum()
+        g = g.sort_values(["user_id", "cnt", "hour"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        out = g.drop_duplicates("user_id")
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "peak_hour": out["hour"].to_numpy(np.int64),
+            "n_at_peak": out["cnt"].to_numpy(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    return _grouped_by_partition(pre_ds, ["user_id"], resolve,
+                                 n_parts=n_parts)
+
+
+def type_switch_rate(ds, *, n_parts: int = 32):
+    """Per-user event-type switching rate: over the (ts, event_id)
+    ordered stream, n_switches = count of consecutive pairs whose
+    event_type differs, n_pairs = n-1, switch_ppm = the truncated
+    integer rate -> (user_id, n_pairs, n_switches, switch_ppm); users
+    with < 2 events are dropped.  Behavioral-diversity screen.
+
+    One user-keyed partition pass; boundary comparison is one
+    vectorized shift over factorized type codes."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_pairs": "int64",
+                "n_switches": "int64", "switch_ppm": "int64"}
+        df = df[df["ts"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        typ = pd.factorize(df["event_type"].fillna(""))[0]
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], typ[order]
+        same_u = u[1:] == u[:-1]
+        switch = (t[1:] != t[:-1]) & same_u
+        g = pd.DataFrame({"u": u[1:][same_u],
+                          "sw": switch[same_u].astype(np.int64)})
+        agg = g.groupby("u", as_index=False).agg(
+            n_pairs=("sw", "size"), n_switches=("sw", "sum"))
+        if len(agg) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        pairs = agg["n_pairs"].to_numpy(np.int64)
+        sw = agg["n_switches"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": agg["u"].to_numpy(np.int64),
+            "n_pairs": pairs, "n_switches": sw,
+            "switch_ppm": sw * 1_000_000 // pairs}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def event_gap_quantiles(ds, *, n_parts: int = 32):
+    """Inter-event-gap distribution per user: consecutive-gap
+    microseconds in (ts, event_id) order -> (user_id, n_gaps,
+    min_gap_us, med_gap_us, max_gap_us); users with < 2 events are
+    dropped.  med = discrete median (sorted[(n-1)//2], the
+    quantile_disc 0.5 convention) — exact int64 end-to-end.
+
+    One user-keyed partition pass; gaps, per-user min/max and the
+    median index lookup are all computed from two lexsorts — no
+    per-user Python loop."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_gaps": "int64",
+                "min_gap_us": "int64", "med_gap_us": "int64",
+                "max_gap_us": "int64"}
+        df = df[df["ts"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], ts[order]
+        same_u = u[1:] == u[:-1]
+        gu = u[1:][same_u]
+        gap = (t[1:] - t[:-1])[same_u]
+        if len(gu) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        o2 = np.lexsort((gap, gu))
+        su, sg = gu[o2], gap[o2]
+        starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        sizes = np.diff(np.r_[starts, len(su)])
+        med = sg[starts + (sizes - 1) // 2]
+        return pd.DataFrame({
+            "user_id": su[starts], "n_gaps": sizes.astype(np.int64),
+            "min_gap_us": sg[starts],
+            "med_gap_us": med,
+            "max_gap_us": sg[starts + sizes - 1]}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def user_type_entropy(ds, *, n_parts: int = 32):
+    """Shannon entropy (nats) of each user's event-type mix ->
+    (user_id, n_events, n_types, entropy_ppm = floor(H * 1e6)).
+    Behavioral-diversity screen; H is float but both engines derive
+    it from the SAME exact integer counts and the ppm floor sits far
+    above double noise (the grouped_entropy discipline, made
+    per-user scale-safe).
+
+    Map-side (user, type) pre-count bounds the shuffle at
+    |type alphabet| rows per user per block; the user-keyed partition
+    pass merges partials and computes -p ln p with one reduceat per
+    partition — no driver-side cross-tab (users are O(corpus), unlike
+    sources)."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "et": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "et": b.column("event_type").to_pandas()
+            .fillna("").to_numpy(object)}) \
+            .groupby(["user_id", "et"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({"user_id": pa.array(idx["user_id"],
+                                             pa.int64()),
+                         "et": pa.array(idx["et"], pa.string()),
+                         "cnt": pa.array(g.to_numpy(np.int64))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_types": "int64", "entropy_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby(["user_id", "et"], as_index=False)["cnt"].sum()
+        g = g.sort_values(["user_id", "et"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        tot = np.add.reduceat(c, starts)
+        p = c / np.repeat(tot, sizes)
+        h = np.add.reduceat(-p * np.log(p), starts)
+        return pd.DataFrame({
+            "user_id": u[starts], "n_events": tot.astype(np.int64),
+            "n_types": sizes.astype(np.int64),
+            "entropy_ppm": np.floor(h * 1_000_000).astype(np.int64)
+        }).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    return _grouped_by_partition(pre_ds, ["user_id"], resolve,
+                                 n_parts=n_parts)

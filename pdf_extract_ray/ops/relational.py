@@ -2917,3 +2917,150 @@ def asof_join_orders_nearest(events_ds, orders_ds, *, n_parts: int = 64):
             "o_orderdate": sel_ot.astype("datetime64[us]")}).astype(cols)
 
     return _grouped_by_partition(both, ["key"], resolve, n_parts=n_parts)
+
+
+def reorder_rate(orders_ds, *, max_gap_days: int = 7,
+                 n_parts: int = 32):
+    """Quick-reorder propensity per customer: over the (o_orderdate,
+    o_orderkey)-ordered order stream, count consecutive pairs placed
+    within `max_gap_days` -> (o_custkey, n_pairs, n_quick, quick_ppm,
+    all integers, truncated ppm); single-order customers drop.
+    Repeat-purchase-cadence screen.
+
+    One custkey-keyed partition pass; gaps are one masked diff over a
+    lexsort — no per-customer Python loop."""
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_custkey": "int64", "n_pairs": "int64",
+                "n_quick": "int64", "quick_ppm": "int64"}
+        df = df[df["o_orderdate"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        cust = df["o_custkey"].to_numpy(dtype=np.int64)
+        ts = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        okey = df["o_orderkey"].to_numpy(dtype=np.int64)
+        order = np.lexsort((okey, ts, cust))
+        c, t = cust[order], ts[order]
+        same = c[1:] == c[:-1]
+        if not same.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        gap = (t[1:] - t[:-1])[same]
+        quick = (gap <= max_gap_days * 86_400_000_000).astype(np.int64)
+        g = pd.DataFrame({"c": c[1:][same], "q": quick})
+        agg = g.groupby("c", as_index=False).agg(
+            n_pairs=("q", "size"), n_quick=("q", "sum"))
+        pairs = agg["n_pairs"].to_numpy(np.int64)
+        quick_n = agg["n_quick"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_custkey": agg["c"].to_numpy(np.int64),
+            "n_pairs": pairs, "n_quick": quick_n,
+            "quick_ppm": quick_n * 1_000_000 // pairs}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(orders_ds, ["o_custkey"], per_cust,
+                                 n_parts=n_parts)
+
+
+def spend_activity_corr(orders_ds, events_ds, *, n_parts: int = 32):
+    """Cross-table Pearson correlation between per-user order spend
+    and per-user event value (users present in BOTH tables) ->
+    one row (scope='all', n, corr_xy).  The cross-dataset signal a
+    feature-store join would feed a model.
+
+    Values are FLOOR()ed to whole integer units per row before
+    summing — floor is exactly reproducible in both engines (unlike
+    round's half-away vs half-even split), so every moment is an
+    exact integer.  Scale shape: map-side per-user partial sums on
+    EACH side (the exchange carries one row per user per block, never
+    raw facts), a tagged union instead of a hash join (the
+    revenue_by_nation single-shuffle pattern), one user-keyed
+    partition pass that keeps both-sided users and emits ONE local
+    moment partial row per partition, and a tiny driver-side finish
+    with Python-int exactness + the grouped_corr IEEE float order.
+    int64-safe while sum(x^2) < 2^63 (~sf100 for TPC-H dollar
+    magnitudes)."""
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "ox": pa.array([], pa.int64()),
+                             "oy": pa.array([], pa.int64())})
+        u = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.floor(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            .astype(np.float64))).astype(np.int64)
+        g = pd.DataFrame({"u": u, "x": v}).groupby(
+            "u", as_index=False).agg(x=("x", "sum"), ox=("x", "size"))
+        return pa.table({"u": pa.array(g["u"].to_numpy(np.int64)),
+                         "x": pa.array(g["x"].to_numpy(np.int64)),
+                         "y": pa.array(np.zeros(len(g), np.int64)),
+                         "ox": pa.array(g["ox"].to_numpy(np.int64)),
+                         "oy": pa.array(np.zeros(len(g), np.int64))})
+
+    def e_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "ox": pa.array([], pa.int64()),
+                             "oy": pa.array([], pa.int64())})
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.floor(np.nan_to_num(
+            b.column("value").to_numpy(zero_copy_only=False)
+            .astype(np.float64))).astype(np.int64)
+        g = pd.DataFrame({"u": u, "y": v}).groupby(
+            "u", as_index=False).agg(y=("y", "sum"), oy=("y", "size"))
+        return pa.table({"u": pa.array(g["u"].to_numpy(np.int64)),
+                         "x": pa.array(np.zeros(len(g), np.int64)),
+                         "y": pa.array(g["y"].to_numpy(np.int64)),
+                         "ox": pa.array(np.zeros(len(g), np.int64)),
+                         "oy": pa.array(g["oy"].to_numpy(np.int64))})
+
+    tagged = orders_ds.map_batches(o_partial, batch_format="pyarrow") \
+        .union(events_ds.map_batches(e_partial, batch_format="pyarrow"))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": "int64", "sx": "int64", "sy": "int64",
+                "sxx": "int64", "syy": "int64", "sxy": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("u", as_index=False).sum()
+        g = g[(g["ox"] > 0) & (g["oy"] > 0)]
+        if len(g) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        return pd.DataFrame({"n": [len(g)], "sx": [x.sum()],
+                             "sy": [y.sum()], "sxx": [(x * x).sum()],
+                             "syy": [(y * y).sum()],
+                             "sxy": [(x * y).sum()]}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(tagged, ["u"], moments,
+                                     n_parts=n_parts)
+
+    import math
+    rows = partials.take_all()
+    n = sum(int(r["n"]) for r in rows)
+    out_cols = {"scope": "object", "n": "int64", "corr_xy": "float64"}
+    if n == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    sx = sum(int(r["sx"]) for r in rows)
+    sy = sum(int(r["sy"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    syy = sum(int(r["syy"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(vx)) * math.sqrt(float(vy))
+    return pd.DataFrame({"scope": ["all"], "n": [n],
+                         "corr_xy": [num / den]}).astype(out_cols)

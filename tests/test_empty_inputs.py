@@ -70,6 +70,13 @@ QUERIES = [
     "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
     "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
     "ols2_by_source", "changepoint_by_user", "max_drawdown_by_user",
+    # wave 11: rank/runs/mode/gap statistics, lexical Gram ops
+    "chars_token_spearman", "runs_test_by_user", "peak_hour_by_user",
+    "type_switch_rate", "event_gap_quantiles", "hapax_rate_by_source",
+    "source_bow_gram", "levene_absdev_chars",
+    # wave 12: entropy, reorder, cross-table corr, argmax word, firsts
+    "user_type_entropy", "reorder_rate", "spend_activity_corr",
+    "top_word_per_source", "first_event_type_counts",
 ]
 
 
@@ -114,6 +121,11 @@ ONE_ROW_QUERIES = [
     "kmv_distinct_users", "bucket_merkle_diff", "wet_roundtrip",
     "psi_chars_drift", "nfc_audit", "orders_by_isoweek",
     "ols2_by_source", "changepoint_by_user", "max_drawdown_by_user",
+    "chars_token_spearman", "runs_test_by_user", "peak_hour_by_user",
+    "type_switch_rate", "event_gap_quantiles", "hapax_rate_by_source",
+    "source_bow_gram", "levene_absdev_chars",
+    "user_type_entropy", "reorder_rate", "spend_activity_corr",
+    "top_word_per_source", "first_event_type_counts",
 ]
 
 

@@ -55,7 +55,15 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "peer_window_sums", "user_value_locf", "user_burstiness",
            "running_balance", "sequence_motifs", "key_skew_report",
            "asof_join_tolerance", "changepoint_by_user",
-           "max_drawdown_by_user"]
+           "max_drawdown_by_user",
+           # round-3 wave 11 keyed ops
+           "chars_token_spearman", "runs_test_by_user",
+           "peak_hour_by_user", "type_switch_rate",
+           "event_gap_quantiles", "source_bow_gram",
+           "levene_absdev_chars",
+           # round-3 wave 12 keyed ops
+           "user_type_entropy", "reorder_rate", "spend_activity_corr",
+           "top_word_per_source", "first_event_type_counts"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
