@@ -6342,6 +6342,52 @@ def _q_first_event_type_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_user_value_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each user's cents series — exact
+    int64 moments over consecutive pairs, grouped_corr IEEE float
+    order (ops/events.user_value_autocorr)."""
+    from pdf_extract_ray.ops.events import user_value_autocorr
+    return user_value_autocorr(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_type_transitions(sf_dir: str):
+    """Event-type Markov transition counts over per-user ordered
+    streams (ops/events.type_transitions)."""
+    from pdf_extract_ray.ops.events import type_transitions
+    return type_transitions(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources, truncated integer
+    ppm (ops/analytics.source_vocab_jaccard)."""
+    from pdf_extract_ray.ops.analytics import source_vocab_jaccard
+    return source_vocab_jaccard(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
+def _q_nation_revenue_hhi(sf_dir: str):
+    """Herfindahl revenue-concentration ppm per nation from exact
+    big-int customer-spend moments
+    (ops/relational.nation_revenue_hhi)."""
+    from pdf_extract_ray.ops.relational import nation_revenue_hhi
+    return nation_revenue_hhi(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]))
+
+
+def _q_adjacent_edit_distance(sf_dir: str):
+    """Exact byte-Levenshtein over consecutive-id doc pairs under the
+    400-byte cap — the near-dup verify kernel, oracled against
+    DuckDB's levenshtein() (ops/dedup.adjacent_edit_distance)."""
+    from pdf_extract_ray.ops.dedup import adjacent_edit_distance
+    return adjacent_edit_distance(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6642,6 +6688,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_activity_corr": _q_spend_activity_corr,
         "top_word_per_source": _q_top_word_per_source,
         "first_event_type_counts": _q_first_event_type_counts,
+        "user_value_autocorr": _q_user_value_autocorr,
+        "type_transitions": _q_type_transitions,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "nation_revenue_hhi": _q_nation_revenue_hhi,
+        "adjacent_edit_distance": _q_adjacent_edit_distance,
     }
 
 
@@ -10435,5 +10486,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT et AS first_type,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM f WHERE rn = 1 GROUP BY et
+        """,
+        "user_value_autocorr": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CAST(round(COALESCE(value, 0) * 100, 0)
+                                   AS BIGINT) AS c
+                       FROM events WHERE ts IS NOT NULL),
+            p AS (SELECT user_id, c AS y,
+                         lag(c) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS x
+                  FROM e),
+            s AS (SELECT user_id, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(x) AS BIGINT) sx,
+                         CAST(sum(y) AS BIGINT) sy,
+                         CAST(sum(x * x) AS BIGINT) sxx,
+                         CAST(sum(y * y) AS BIGINT) syy,
+                         CAST(sum(x * y) AS BIGINT) sxy
+                  FROM p WHERE x IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n AS n_pairs,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS acf1
+            FROM s
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "type_transitions": """
+            WITH r AS (SELECT user_id,
+                              COALESCE(event_type, '') AS et,
+                              lag(COALESCE(event_type, '')) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p
+                       FROM events WHERE ts IS NOT NULL)
+            SELECT p AS from_type, et AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM r WHERE p IS NOT NULL GROUP BY p, et
+        """,
+        "source_vocab_jaccard": """
+            WITH w AS (SELECT DISTINCT source, word
+                       FROM (SELECT source,
+                                    unnest(string_split(text, ' '))
+                                        AS word
+                             FROM documents)
+                       WHERE word <> ''),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+                  FROM w GROUP BY source),
+            i AS (SELECT a.source AS sa, b.source AS sb,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM w a JOIN w b
+                    ON a.word = b.word AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT sa AS src_a, sb AS src_b, s1.nd AS n_a,
+                   s2.nd AS n_b, inter AS n_inter,
+                   CAST(inter * 1000000
+                        // (s1.nd + s2.nd - inter) AS BIGINT)
+                       AS jaccard_ppm
+            FROM i JOIN s s1 ON s1.source = sa
+                   JOIN s s2 ON s2.source = sb
+        """,
+        "nation_revenue_hhi": """
+            WITH x AS (SELECT o_custkey,
+                              CAST(sum(CAST(floor(COALESCE(
+                                       o_totalprice, 0)) AS BIGINT))
+                                   AS BIGINT) AS x
+                       FROM orders GROUP BY o_custkey),
+            j AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, x
+                  FROM x JOIN customer ON o_custkey = c_custkey
+                  WHERE x > 0)
+            SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(CAST(x AS HUGEINT) * x) * 1000000
+                        // (CAST(sum(x) AS HUGEINT) * sum(x))
+                        AS BIGINT) AS hhi_ppm
+            FROM j GROUP BY nation
+        """,
+        "adjacent_edit_distance": """
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(strlen(COALESCE(a.text, '')) AS BIGINT)
+                       AS len_a,
+                   CAST(strlen(COALESCE(b.text, '')) AS BIGINT)
+                       AS len_b,
+                   CAST(levenshtein(COALESCE(a.text, ''),
+                                    COALESCE(b.text, '')) AS BIGINT)
+                       AS dist
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1
+            WHERE strlen(COALESCE(a.text, '')) <= 400
+              AND strlen(COALESCE(b.text, '')) <= 400
         """,
     }

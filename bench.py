@@ -218,7 +218,10 @@ def run_ops(sf_dir: str):
              "source_bow_gram", "levene_absdev_chars",
              "user_type_entropy", "reorder_rate",
              "spend_activity_corr", "top_word_per_source",
-             "first_event_type_counts"]
+             "first_event_type_counts",
+             "user_value_autocorr", "type_transitions",
+             "source_vocab_jaccard", "nation_revenue_hhi",
+             "adjacent_edit_distance"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

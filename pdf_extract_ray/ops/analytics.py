@@ -2115,3 +2115,78 @@ def top_word_per_source(ds, group_col: str = "source",
     from .dedup import _grouped_by_partition
     cands = per_word.map_batches(local_top, batch_format="pyarrow")
     return _grouped_by_partition(cands, [group_col], resolve)
+
+
+def source_vocab_jaccard(ds, group_col: str = "source",
+                         text_col: str = "text"):
+    """Pairwise vocabulary Jaccard between groups: for every group
+    pair (a < b) sharing at least one word, |V_a ∩ V_b| via the
+    shared (group, word) count exchange and a word-keyed partition
+    pass (each word emits its local strict-pair grid), plus each
+    group's distinct-vocabulary size -> (src_a, src_b, n_a, n_b,
+    n_inter, jaccard_ppm = truncated |∩|*1e6 // |∪|).  The
+    corpus-overlap screen behind source-contamination audits.
+
+    Scale shape: the pair exchange carries O(parts x G^2) rows
+    (G = group count), never tokens; the G vocabulary sizes are a
+    bounded driver-side dict (groups = sources, O(10^2)), looked up
+    inside the finishing map — the lang_pivot small-side precedent."""
+    from ray.data.aggregate import Sum
+
+    per_word = _group_word_counts(ds, group_col, text_col)
+    mat = per_word.materialize()
+
+    def sizes_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        g = pd.Series(b.column(group_col).to_pandas()).value_counts()
+        return pa.table({group_col: pa.array(g.index, pa.string()),
+                         "nd": pa.array(g.to_numpy(np.int64))})
+
+    size_rows = mat.map_batches(sizes_fold, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("nd")).take_all()
+    sizes = {r[group_col]: int(r["sum(nd)"]) for r in size_rows}
+
+    def pair_emit(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src_a": "object", "src_b": "object", "inter": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"src_a": pd.Series([], dtype=object),
+                 "src_b": pd.Series([], dtype=object),
+                 "inter": pd.Series([], dtype="int64")})
+        d = pd.DataFrame({"word": df["word"].to_numpy(object),
+                          "src": df[group_col].to_numpy(object)})
+        m = d.merge(d, on="word", suffixes=("_a", "_b"))
+        m = m[m["src_a"] < m["src_b"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"src_a": pd.Series([], dtype=object),
+                 "src_b": pd.Series([], dtype=object),
+                 "inter": pd.Series([], dtype="int64")})
+        out = m.groupby(["src_a", "src_b"], as_index=False).size() \
+            .rename(columns={"size": "inter"})
+        return out.astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(mat, ["word"], pair_emit)
+    agg = partials.groupby(["src_a", "src_b"]).aggregate(Sum("inter"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sa = b.column("src_a").to_pandas().to_numpy(object)
+        sb = b.column("src_b").to_pandas().to_numpy(object)
+        inter = pc.cast(b.column("sum(inter)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        na = np.fromiter((sizes.get(s, 0) for s in sa), np.int64,
+                         len(sa))
+        nb = np.fromiter((sizes.get(s, 0) for s in sb), np.int64,
+                         len(sb))
+        union = np.maximum(na + nb - inter, 1)
+        return pa.table({
+            "src_a": pa.array(sa, pa.string()),
+            "src_b": pa.array(sb, pa.string()),
+            "n_a": pa.array(na), "n_b": pa.array(nb),
+            "n_inter": pa.array(inter),
+            "jaccard_ppm": pa.array(inter * 1_000_000 // union)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

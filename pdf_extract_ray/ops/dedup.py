@@ -1329,3 +1329,96 @@ def ssjoin_containment(docs_ds, *, n: int = 3, t_num: int = 3,
 
     return pairs.map_batches(verify, batch_format="pyarrow",
                              batch_size=32_768)
+
+
+def _levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Exact Levenshtein distance over BYTES (DuckDB's levenshtein()
+    is byte-based: levenshtein('héllo','hello') = 2).  Row DP where
+    the left-neighbor dependency resolves as a min-plus prefix scan:
+    cur[j] = min_k<=j (t[k] + (j-k)) = j + cummin(t - idx)[j], so the
+    inner loop is pure numpy — no per-cell Python."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b, np.uint8)
+    m = len(bv)
+    prev = np.arange(m + 1, dtype=np.int64)
+    idx = np.arange(m + 1, dtype=np.int64)
+    for i, ca in enumerate(a):
+        t = np.empty(m + 1, np.int64)
+        t[0] = i + 1
+        t[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bv != ca))
+        prev = np.minimum.accumulate(t - idx) + idx
+    return int(prev[m])
+
+
+def adjacent_edit_distance(ds, *, max_bytes: int = 400,
+                           n_parts: int = 32):
+    """Exact byte-Levenshtein over consecutive-id document pairs:
+    every (doc_id, doc_id+1) pair where BOTH texts are <= `max_bytes`
+    UTF-8 bytes -> (doc_id_a, doc_id_b, len_a, len_b, dist).  The
+    edit-distance verify kernel of a near-dup pipeline, demonstrated
+    on a deterministic O(n) pair set (in production the pair stream
+    comes from LSH candidates — same keyed-pair resolve, different
+    pair source); the byte cap bounds the O(len^2) DP per pair.
+
+    Scale shape: each qualifying doc emits <= 2 (pair_id, role) rows
+    map-side (only text that passes the cap moves), ONE pair-keyed
+    partition pass assembles both roles and runs the numpy row-DP —
+    pairs are independent, so partitions parallelize freely."""
+
+    def emit(b: pa.Table) -> pa.Table:
+        schema = {"pair_id": pa.array([], pa.int64()),
+                  "doc_id": pa.array([], pa.int64()),
+                  "role": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        txt = pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                          pa.scalar(""))
+        nb = pc.binary_length(pc.cast(txt, pa.binary())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ok = nb <= max_bytes
+        if not ok.any():
+            return pa.table(schema)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        ts = txt.to_pandas().to_numpy(object)[ok]
+        pair = np.concatenate([ids, ids - 1])
+        role = np.concatenate([np.zeros(len(ids), np.int64),
+                               np.ones(len(ids), np.int64)])
+        return pa.table({"pair_id": pa.array(pair),
+                         "doc_id": pa.array(np.concatenate([ids, ids])),
+                         "role": pa.array(role),
+                         "text": pa.array(np.concatenate([ts, ts]),
+                                          pa.string())})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id_a": "int64", "doc_id_b": "int64",
+                "len_a": "int64", "len_b": "int64", "dist": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.sort_values(["pair_id", "role"], kind="mergesort")
+        pid = g["pair_id"].to_numpy(np.int64)
+        role = g["role"].to_numpy(np.int64)
+        txt = g["text"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, pid[1:] != pid[:-1]])
+        sizes = np.diff(np.r_[starts, len(pid)])
+        rows = []
+        for st, sz in zip(starts, sizes):
+            if sz != 2 or role[st] != 0 or role[st + 1] != 1:
+                continue
+            a = str(txt[st]).encode("utf-8")
+            bb = str(txt[st + 1]).encode("utf-8")
+            rows.append({"doc_id_a": int(pid[st]),
+                         "doc_id_b": int(pid[st]) + 1,
+                         "len_a": len(a), "len_b": len(bb),
+                         "dist": _levenshtein_bytes(a, bb)})
+        if not rows:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return pd.DataFrame(rows).astype(cols)
+
+    pairs = ds.map_batches(emit, batch_format="pyarrow")
+    return _grouped_by_partition(pairs, ["pair_id"], resolve,
+                                 n_parts=n_parts)

@@ -2003,3 +2003,111 @@ def user_type_entropy(ds, *, n_parts: int = 32):
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
     return _grouped_by_partition(pre_ds, ["user_id"], resolve,
                                  n_parts=n_parts)
+
+
+def user_value_autocorr(ds, *, n_parts: int = 32):
+    """Lag-1 autocorrelation of each user's cents series in
+    (ts, event_id) order -> (user_id, n_pairs, acf1).  Trend/momentum
+    screen for event streams: acf1 near +1 = persistent level, near
+    -1 = alternating.
+
+    All six moment sums over the (x_t, x_{t+1}) pair stream are EXACT
+    int64 (cents), and the float is formed with the grouped_corr IEEE
+    op sequence (int64 num/den terms -> one double divide), so the
+    output is bit-identical vs SQL.  One user-keyed partition pass;
+    pair extraction is a masked shift, per-user moments one pandas
+    groupby — no per-user Python loop.  int64-safe while
+    n_user * sum(cents^2) < 2^63 (holds past 1e6 events/user at
+    ~$1e3 values)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_pairs": "int64",
+                "acf1": "float64"}
+        df = df[df["ts"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.rint(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, c = user[order], cents[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        x, y = c[:-1][same], c[1:][same]
+        g = pd.DataFrame({"u": u[1:][same], "n": 1, "sx": x, "sy": y,
+                          "sxx": x * x, "syy": y * y, "sxy": x * y}) \
+            .groupby("u", as_index=False).sum()
+        n = g["n"].to_numpy(np.int64)
+        sx = g["sx"].to_numpy(np.int64)
+        sy = g["sy"].to_numpy(np.int64)
+        vx = n * g["sxx"].to_numpy(np.int64) - sx * sx
+        vy = n * g["syy"].to_numpy(np.int64) - sy * sy
+        num = (n * g["sxy"].to_numpy(np.int64) - sx * sy)
+        ok = (vx > 0) & (vy > 0)
+        acf = num[ok].astype(np.float64) \
+            / (np.sqrt(vx[ok].astype(np.float64))
+               * np.sqrt(vy[ok].astype(np.float64)))
+        return pd.DataFrame({
+            "user_id": g["u"].to_numpy(np.int64)[ok],
+            "n_pairs": n[ok], "acf1": acf}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(ds, ["user_id"], per_user,
+                                 n_parts=n_parts)
+
+
+def type_transitions(ds, *, n_parts: int = 32):
+    """Event-type Markov transition counts over per-user ordered
+    streams: every consecutive (ts, event_id)-ordered pair within a
+    user contributes one (from_type, to_type) observation; counts sum
+    globally -> (from_type, to_type, n_pairs).  The empirical
+    transition matrix behind session-behavior models.
+
+    One user-keyed partition pass emits LOCAL (from, to) counts
+    (bounded by the type-alphabet squared per partition, never by
+    rows), then a tiny groupby sums partials.  Null types fold to ''
+    (the corpus-wide COALESCE policy)."""
+    from ray.data.aggregate import Sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"from_type": "object", "to_type": "object",
+                "n_pairs": "int64"}
+        df = df[df["ts"].notna()]
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(df["event_type"].fillna(""))
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], codes[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = pd.DataFrame({"f": t[:-1][same], "t": t[1:][same]}) \
+            .groupby(["f", "t"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        names = np.asarray(uniq, object)
+        return pd.DataFrame({
+            "from_type": names[idx["f"].to_numpy()],
+            "to_type": names[idx["t"].to_numpy()],
+            "n_pairs": g.to_numpy(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(ds, ["user_id"], per_user,
+                                     n_parts=n_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_type": pc.cast(b.column("from_type"), pa.string()),
+            "to_type": pc.cast(b.column("to_type"), pa.string()),
+            "n_pairs": pc.cast(b.column("sum(n_pairs)"), pa.int64())})
+
+    return partials.groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n_pairs")) \
+        .map_batches(finish, batch_format="pyarrow")

@@ -3064,3 +3064,97 @@ def spend_activity_corr(orders_ds, events_ds, *, n_parts: int = 32):
     den = math.sqrt(float(vx)) * math.sqrt(float(vy))
     return pd.DataFrame({"scope": ["all"], "n": [n],
                          "corr_xy": [num / den]}).astype(out_cols)
+
+
+def nation_revenue_hhi(orders_ds, customer_ds, *, n_parts: int = 32):
+    """Herfindahl-Hirschman revenue-concentration index per nation:
+    x_c = each ordering customer's total floor()ed order dollars,
+    HHI = sum(x_c^2) / (sum x_c)^2 in truncated integer ppm ->
+    (nation, n_cust, sum_x, hhi_ppm).  Market-concentration screen
+    (1e6/n = perfectly even, 1e6 = single-customer nation).
+
+    floor() per row (not round) keeps every moment an exact integer in
+    both engines.  Scale shape: map-side per-customer spend partials
+    on the fact side, a tagged union with the (custkey, nationkey) dim
+    (no hash join), ONE custkey-keyed partition pass that finishes
+    each customer exactly once and folds per-nation partials with
+    PYTHON-INT exactness — sum(x^2) overflows int64 near 1e6 heavy
+    customers per partition, so the x^2 partial crosses the wire
+    split as (quot, rem) by 1e18 and the driver reassembles big ints
+    (nations are bounded, 25 rows).  The DuckDB oracle uses HUGEINT
+    for the same quantities."""
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64())})
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.floor(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            .astype(np.float64))).astype(np.int64)
+        g = pd.DataFrame({"k": k, "x": v}).groupby(
+            "k", as_index=False)["x"].sum()
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "x": pa.array(g["x"].to_numpy(np.int64)),
+                         "nat": pa.array(np.full(len(g), -1,
+                                                 np.int64))})
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64())})
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "x": pa.array(np.zeros(len(k), np.int64)),
+                         "nat": pa.array(n)})
+
+    tagged = orders_ds.map_batches(o_partial, batch_format="pyarrow") \
+        .union(customer_ds.map_batches(c_rows, batch_format="pyarrow"))
+
+    SPLIT = 10 ** 18
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nation": "int64", "n_cust": "int64", "sum_x": "int64",
+                "x2_quot": "int64", "x2_rem": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("k", as_index=False).agg(
+            x=("x", "sum"), nat=("nat", "max"))
+        g = g[(g["nat"] >= 0) & (g["x"] > 0)]
+        if len(g) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        rows = []
+        for nat, sub in g.groupby("nat"):
+            xs = sub["x"].to_numpy(np.int64)
+            x2 = sum(int(v) * int(v) for v in xs)
+            q, r = divmod(x2, SPLIT)
+            rows.append({"nation": int(nat), "n_cust": len(xs),
+                         "sum_x": int(xs.sum()), "x2_quot": q,
+                         "x2_rem": r})
+        return pd.DataFrame(rows).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    partials = _grouped_by_partition(tagged, ["k"], fold,
+                                     n_parts=n_parts)
+
+    rows = partials.take_all()
+    out_cols = {"nation": "int64", "n_cust": "int64", "sum_x": "int64",
+                "hhi_ppm": "int64"}
+    acc: dict = {}
+    for r in rows:
+        nat = int(r["nation"])
+        n, sx, x2 = acc.get(nat, (0, 0, 0))
+        acc[nat] = (n + int(r["n_cust"]), sx + int(r["sum_x"]),
+                    x2 + int(r["x2_quot"]) * SPLIT + int(r["x2_rem"]))
+    out = [{"nation": nat, "n_cust": n, "sum_x": sx,
+            "hhi_ppm": x2 * 1_000_000 // (sx * sx)}
+           for nat, (n, sx, x2) in sorted(acc.items()) if sx > 0]
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)

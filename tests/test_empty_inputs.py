@@ -77,6 +77,9 @@ QUERIES = [
     # wave 12: entropy, reorder, cross-table corr, argmax word, firsts
     "user_type_entropy", "reorder_rate", "spend_activity_corr",
     "top_word_per_source", "first_event_type_counts",
+    # wave 13: autocorr, transitions, vocab jaccard, HHI, edit dist
+    "user_value_autocorr", "type_transitions", "source_vocab_jaccard",
+    "nation_revenue_hhi", "adjacent_edit_distance",
 ]
 
 
@@ -126,6 +129,9 @@ ONE_ROW_QUERIES = [
     "source_bow_gram", "levene_absdev_chars",
     "user_type_entropy", "reorder_rate", "spend_activity_corr",
     "top_word_per_source", "first_event_type_counts",
+    # wave 13: autocorr, transitions, vocab jaccard, HHI, edit dist
+    "user_value_autocorr", "type_transitions", "source_vocab_jaccard",
+    "nation_revenue_hhi", "adjacent_edit_distance",
 ]
 
 

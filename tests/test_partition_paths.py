@@ -63,7 +63,11 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "levene_absdev_chars",
            # round-3 wave 12 keyed ops
            "user_type_entropy", "reorder_rate", "spend_activity_corr",
-           "top_word_per_source", "first_event_type_counts"]
+           "top_word_per_source", "first_event_type_counts",
+           # round-3 wave 13 keyed ops
+           "user_value_autocorr", "type_transitions",
+           "source_vocab_jaccard", "nation_revenue_hhi",
+           "adjacent_edit_distance"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).

@@ -161,3 +161,34 @@ class TestOls2:
             got = np.array([r.b0_ppm, r.b_tok_ppm, r.b_sent_ppm],
                            np.float64) / 1e6
             assert np.allclose(got, beta, atol=2e-6), (got, beta)
+
+
+class TestLevenshteinKernel:
+    """The byte-DP must agree with DuckDB's byte-based levenshtein()
+    exactly — the adjacent_edit_distance oracle depends on it."""
+
+    def test_differential_vs_duckdb(self):
+        import random
+        import duckdb
+        from pdf_extract_ray.ops.dedup import _levenshtein_bytes
+        con = duckdb.connect()
+        rng = random.Random(7)
+        alpha = "abcé 漢xy"
+        for _ in range(300):
+            a = "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(0, 14)))
+            b = "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(0, 14)))
+            want = con.execute("SELECT levenshtein(?, ?)",
+                               [a, b]).fetchone()[0]
+            got = _levenshtein_bytes(a.encode(), b.encode())
+            assert got == want, (a, b, got, want)
+        con.close()
+
+    def test_edges(self):
+        from pdf_extract_ray.ops.dedup import _levenshtein_bytes
+        assert _levenshtein_bytes(b"", b"") == 0
+        assert _levenshtein_bytes(b"", b"abc") == 3
+        assert _levenshtein_bytes(b"abc", b"") == 3
+        assert _levenshtein_bytes(b"abc", b"abc") == 0
+        assert _levenshtein_bytes(b"kitten", b"sitting") == 3
