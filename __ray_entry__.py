@@ -6388,6 +6388,49 @@ def _q_adjacent_edit_distance(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_dau_stickiness(sf_dir: str):
+    """Monthly MAU / summed DAU / stickiness ppm from exact distinct
+    user-day counts (ops/events.dau_stickiness)."""
+    from pdf_extract_ray.ops.events import dau_stickiness
+    return dau_stickiness(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention triangle: distinct active users per
+    (first-week cohort, week offset)
+    (ops/events.retention_cohorts)."""
+    from pdf_extract_ray.ops.events import retention_cohorts
+    return retention_cohorts(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def _q_nation_pareto80(sf_dir: str):
+    """Minimum customers covering 80% of nation revenue (exact
+    integer 5*cum<4*total test)
+    (ops/relational.nation_pareto80)."""
+    from pdf_extract_ray.ops.relational import nation_pareto80
+    return nation_pareto80(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]))
+
+
+def _q_source_dup_rate(sf_dir: str):
+    """Per-source exact-duplicate pressure in truncated ppm
+    (ops/dedup.source_dup_rate)."""
+    from pdf_extract_ray.ops.dedup import source_dup_rate
+    return source_dup_rate(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
+def _q_chars_histogram(sf_dir: str):
+    """10-bin equi-width histogram of n_chars with exact integer bin
+    bounds (ops/analytics.equiwidth_histogram)."""
+    from pdf_extract_ray.ops.analytics import equiwidth_histogram
+    return equiwidth_histogram(
+        _read(sf_dir, "documents", columns=["n_chars"]), "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6693,6 +6736,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": _q_source_vocab_jaccard,
         "nation_revenue_hhi": _q_nation_revenue_hhi,
         "adjacent_edit_distance": _q_adjacent_edit_distance,
+        "dau_stickiness": _q_dau_stickiness,
+        "retention_cohorts": _q_retention_cohorts,
+        "nation_pareto80": _q_nation_pareto80,
+        "source_dup_rate": _q_source_dup_rate,
+        "chars_histogram": _q_chars_histogram,
     }
 
 
@@ -10573,5 +10621,88 @@ def oracle_sql() -> dict[str, str]:
               ON b.doc_id = a.doc_id + 1
             WHERE strlen(COALESCE(a.text, '')) <= 400
               AND strlen(COALESCE(b.text, '')) <= 400
+        """,
+        "dau_stickiness": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day,
+                              year(ts) * 12 + month(ts) - 1 AS mo
+                       FROM events WHERE ts IS NOT NULL),
+            dau AS (SELECT day, mo,
+                           CAST(count(DISTINCT user_id) AS BIGINT)
+                               AS dau
+                    FROM d GROUP BY day, mo),
+            mau AS (SELECT mo,
+                           CAST(count(DISTINCT user_id) AS BIGINT)
+                               AS mau
+                    FROM d GROUP BY mo)
+            SELECT CAST(m.mo AS BIGINT) AS month, m.mau AS mau,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dau) AS BIGINT) AS sum_dau,
+                   CAST(sum(dau) * 1000000 // (count(*) * m.mau)
+                        AS BIGINT) AS stickiness_ppm
+            FROM dau a JOIN mau m ON a.mo = m.mo
+            GROUP BY m.mo, m.mau
+        """,
+        "retention_cohorts": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS week
+                       FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT user_id, min(week) AS cohort
+                  FROM w GROUP BY user_id)
+            SELECT CAST(cohort AS BIGINT) AS cohort_week,
+                   CAST(week - cohort AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM w JOIN f USING (user_id)
+            GROUP BY cohort, week - cohort
+        """,
+        "nation_pareto80": """
+            WITH x AS (SELECT o_custkey,
+                              CAST(sum(CAST(floor(COALESCE(
+                                       o_totalprice, 0)) AS BIGINT))
+                                   AS BIGINT) AS x
+                       FROM orders GROUP BY o_custkey),
+            j AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, x
+                  FROM x JOIN customer ON o_custkey = c_custkey
+                  WHERE x > 0),
+            c AS (SELECT nation, x,
+                         sum(x) OVER (PARTITION BY nation
+                                      ORDER BY x DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+                         sum(x) OVER (PARTITION BY nation) AS total
+                  FROM j)
+            SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CASE WHEN 5 * (cum - x) < 4 * total
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+                   CAST(sum(CASE WHEN 5 * (cum - x) < 4 * total
+                            THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS top80_ppm
+            FROM c GROUP BY nation
+        """,
+        "source_dup_rate": """
+            WITH c AS (SELECT source, md5(COALESCE(text, '')) AS h,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY source, h)
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                        * 1000000 // sum(cnt) AS BIGINT) AS dup_ppm
+            FROM c GROUP BY source
+        """,
+        "chars_histogram": """
+            WITH mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS glo,
+                               CAST(max(n_chars) AS BIGINT) AS ghi
+                        FROM documents WHERE n_chars IS NOT NULL),
+            b AS (SELECT (n_chars - glo) * 10 // (ghi - glo + 1)
+                             AS bin, glo, ghi
+                  FROM documents, mm WHERE n_chars IS NOT NULL)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(glo + (bin * (ghi - glo + 1) + 9) // 10
+                        AS BIGINT) AS lo,
+                   CAST(least(glo + ((bin + 1) * (ghi - glo + 1) + 9)
+                              // 10 - 1, ghi) AS BIGINT) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM b GROUP BY bin, glo, ghi
         """,
     }

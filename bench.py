@@ -221,7 +221,9 @@ def run_ops(sf_dir: str):
              "first_event_type_counts",
              "user_value_autocorr", "type_transitions",
              "source_vocab_jaccard", "nation_revenue_hhi",
-             "adjacent_edit_distance"]
+             "adjacent_edit_distance",
+             "dau_stickiness", "retention_cohorts", "nation_pareto80",
+             "source_dup_rate", "chars_histogram"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -2190,3 +2190,60 @@ def source_vocab_jaccard(ds, group_col: str = "source",
             "jaccard_ppm": pa.array(inter * 1_000_000 // union)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def equiwidth_histogram(ds, value_col: str, *, n_bins: int = 10):
+    """Equi-width histogram over an integer column: bin = (x - min)
+    * n_bins // (max - min + 1) from the GLOBAL min/max ->
+    (bin, lo, hi, n_rows) with lo/hi the exact integer bin bounds.
+    Pure integer binning, so both engines place every row
+    identically — no float edge can split a value.
+
+    Two cheap passes, both map-side combined: a tiny Min/Max
+    aggregate, then per-batch bincounts summed in one bounded
+    groupby.  The min/max scalar pair broadcasts by closure (two
+    ints, not a table)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo_v, hi_v = mm.get(f"min({value_col})"), mm.get(f"max({value_col})")
+    cols = {"bin": "int64", "lo": "int64", "hi": "int64",
+            "n_rows": "int64"}
+    if lo_v is None or hi_v is None:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+    lo_v, hi_v = int(lo_v), int(hi_v)
+    width_den = hi_v - lo_v + 1
+
+    def count(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        x = b.column(value_col).to_pandas().dropna() \
+            .to_numpy(np.int64)
+        bins = (x - lo_v) * n_bins // width_den
+        c = np.bincount(bins, minlength=n_bins)
+        nz = np.flatnonzero(c)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n_rows": pa.array(c[nz].astype(np.int64))})
+
+    agg = ds.map_batches(count, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n_rows"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        bins = pc.cast(b.column("bin"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # bin b holds x with b*den <= (x-lo)*n_bins < (b+1)*den:
+        # lo_b = lo + ceil(b*den / n_bins), hi_b = lo +
+        # ceil((b+1)*den / n_bins) - 1 — exact integer bounds; ceil
+        # via (a + n - 1) // n (positive operands ONLY — DuckDB's //
+        # truncates toward zero while numpy floors, so the negated
+        # idiom would diverge between engines)
+        lo_b = lo_v + (bins * width_den + n_bins - 1) // n_bins
+        hi_b = lo_v + ((bins + 1) * width_den + n_bins - 1) // n_bins - 1
+        return pa.table({
+            "bin": pa.array(bins),
+            "lo": pa.array(lo_b.astype(np.int64)),
+            "hi": pa.array(np.minimum(hi_b, hi_v).astype(np.int64)),
+            "n_rows": pc.cast(b.column("sum(n_rows)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

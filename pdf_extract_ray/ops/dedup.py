@@ -1422,3 +1422,67 @@ def adjacent_edit_distance(ds, *, max_bytes: int = 400,
     pairs = ds.map_batches(emit, batch_format="pyarrow")
     return _grouped_by_partition(pairs, ["pair_id"], resolve,
                                  n_parts=n_parts)
+
+
+def source_dup_rate(ds, *, n_parts: int = 32):
+    """Per-source exact-duplicate pressure: share of docs whose text
+    md5 occurs more than once WITHIN the source -> (source, n_docs,
+    n_dup_docs, dup_ppm).  The release-gate metric that decides
+    whether a source needs the full dedup chain.
+
+    Scale shape: map-side (source, md5) local pre-count, one native
+    groupby sum over fingerprints (never text), then a bounded
+    per-source fold — the exact_dedup exchange discipline reused as
+    a metric."""
+    from ray.data.aggregate import Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        txt = pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                          pa.scalar("")).to_pandas().to_numpy(object)
+        h = [hashlib.md5(str(t).encode("utf-8")).hexdigest()
+             for t in txt]
+        g = pd.DataFrame({"source": b.column("source").to_pandas()
+                          .to_numpy(object), "h": h}) \
+            .groupby(["source", "h"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({"source": pa.array(idx["source"],
+                                            pa.string()),
+                         "h": pa.array(idx["h"], pa.string()),
+                         "cnt": pa.array(g.to_numpy(np.int64))})
+
+    counts = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby(["source", "h"]).aggregate(Sum("cnt"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_dup_docs": pa.array([], pa.int64())})
+        cnt = pc.cast(b.column("sum(cnt)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g = pd.DataFrame({
+            "source": b.column("source").to_pandas().to_numpy(object),
+            "n_docs": cnt,
+            "n_dup_docs": np.where(cnt > 1, cnt, 0)}) \
+            .groupby("source", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = counts.map_batches(fold, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_docs"), Sum("n_dup_docs"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = pc.cast(b.column("sum(n_docs)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        du = pc.cast(b.column("sum(n_dup_docs)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pc.cast(b.column("source"), pa.string()),
+            "n_docs": pa.array(nd), "n_dup_docs": pa.array(du),
+            "dup_ppm": pa.array(du * 1_000_000
+                                // np.maximum(nd, 1))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2111,3 +2111,147 @@ def type_transitions(ds, *, n_parts: int = 32):
     return partials.groupby(["from_type", "to_type"]) \
         .aggregate(Sum("n_pairs")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+def dau_stickiness(ds, *, n_parts: int = 32):
+    """Monthly activity summary: MAU (distinct users), the sum of
+    daily DAU over the month's observed days, and the stickiness
+    ratio sum_dau / (n_days * mau) in truncated ppm ->
+    (month, mau, n_days, sum_dau, stickiness_ppm).  month/day are
+    epoch-derived integers (day = epoch_us // 86.4e9, month =
+    year*12+month-1) so every step is exact in both engines.
+
+    Scale shape: map-side per-batch (user, day) dedup bounds the
+    exchange at unique user-days per block; ONE user-keyed partition
+    pass finishes each user's distinct day/month sets exactly once
+    and emits bounded (day|month, count) partials; a tiny groupby
+    sums them and the driver assembles the O(months) result."""
+
+    US_DAY = 86_400_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64()),
+                             "month": pa.array([], pa.int64())})
+        ts = b.column("ts").to_pandas()
+        ok = ts.notna().to_numpy()
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        t = ts[ok]
+        day = (t.to_numpy().astype("datetime64[us]").astype(np.int64)
+               // US_DAY)
+        month = (t.dt.year.to_numpy(np.int64) * 12
+                 + t.dt.month.to_numpy(np.int64) - 1)
+        df = pd.DataFrame({"user_id": u, "day": day, "month": month}) \
+            .drop_duplicates(["user_id", "day"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kind": "int64", "key": "int64", "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        days = df.drop_duplicates(["user_id", "day"])
+        months = df.drop_duplicates(["user_id", "month"])
+        dg = days.groupby("day").size()
+        mg = months.groupby("month").size()
+        return pd.DataFrame({
+            "kind": np.r_[np.zeros(len(dg), np.int64),
+                          np.ones(len(mg), np.int64)],
+            "key": np.r_[dg.index.to_numpy(np.int64),
+                         mg.index.to_numpy(np.int64)],
+            "cnt": np.r_[dg.to_numpy(np.int64),
+                         mg.to_numpy(np.int64)]}).astype(cols)
+
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    partials = _grouped_by_partition(pre_ds, ["user_id"], per_user,
+                                     n_parts=n_parts)
+    rows = partials.groupby(["kind", "key"]).aggregate(Sum("cnt")) \
+        .take_all()
+
+    out_cols = {"month": "int64", "mau": "int64", "n_days": "int64",
+                "sum_dau": "int64", "stickiness_ppm": "int64"}
+    mau = {int(r["key"]): int(r["sum(cnt)"]) for r in rows
+           if r["kind"] == 1}
+    per_month: dict = {}
+    for r in rows:
+        if r["kind"] == 0:
+            day = int(r["key"])
+            ts = pd.Timestamp(day * US_DAY, unit="us")
+            mo = ts.year * 12 + ts.month - 1
+            nd, sd = per_month.get(mo, (0, 0))
+            per_month[mo] = (nd + 1, sd + int(r["sum(cnt)"]))
+    out = [{"month": mo, "mau": mau.get(mo, 0), "n_days": nd,
+            "sum_dau": sd,
+            "stickiness_ppm": sd * 1_000_000
+            // max(nd * mau.get(mo, 0), 1)}
+           for mo, (nd, sd) in sorted(per_month.items())]
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def retention_cohorts(ds, *, n_parts: int = 32):
+    """Weekly retention triangle: cohort = each user's FIRST active
+    epoch-week (epoch_days // 7 — exact in both engines), one row per
+    (cohort_week, week_offset) with the distinct users active at that
+    offset -> (cohort_week, week_offset, n_users); offset 0 rows are
+    the cohort sizes.  THE canonical product-analytics pipeline.
+
+    Scale shape: map-side (user, week) dedup, ONE user-keyed
+    partition pass per user (min week + distinct offsets emitted as
+    bounded partial counts), tiny (cohort, offset) groupby sum — the
+    exchange never carries raw events."""
+
+    US_WEEK = 7 * 86_400_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "week": pa.array([], pa.int64())})
+        ts = b.column("ts").to_pandas()
+        ok = ts.notna().to_numpy()
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        week = (ts[ok].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // US_WEEK)
+        df = pd.DataFrame({"user_id": u, "week": week}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort_week": "int64", "week_offset": "int64",
+                "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        d = df.drop_duplicates(["user_id", "week"])
+        first = d.groupby("user_id")["week"].transform("min")
+        g = pd.DataFrame({
+            "cohort_week": first.to_numpy(np.int64),
+            "week_offset": (d["week"] - first).to_numpy(np.int64)}) \
+            .groupby(["cohort_week", "week_offset"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame({
+            "cohort_week": idx["cohort_week"].to_numpy(np.int64),
+            "week_offset": idx["week_offset"].to_numpy(np.int64),
+            "cnt": g.to_numpy(np.int64)}).astype(cols)
+
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    partials = _grouped_by_partition(pre_ds, ["user_id"], per_user,
+                                     n_parts=n_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": pc.cast(b.column("cohort_week"),
+                                   pa.int64()),
+            "week_offset": pc.cast(b.column("week_offset"),
+                                   pa.int64()),
+            "n_users": pc.cast(b.column("sum(cnt)"), pa.int64())})
+
+    return partials.groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("cnt")).map_batches(finish,
+                                           batch_format="pyarrow")

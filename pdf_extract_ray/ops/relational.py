@@ -3158,3 +3158,93 @@ def nation_revenue_hhi(orders_ds, customer_ds, *, n_parts: int = 32):
     if not out:
         return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)
+
+
+def nation_pareto80(orders_ds, customer_ds, *, n_parts: int = 32):
+    """Pareto revenue coverage per nation: the minimum number of
+    customers whose descending-spend prefix reaches 80% of the
+    nation's floor()ed revenue -> (nation, n_cust, n_top80,
+    top80_ppm).  The 80/20 concentration screen; the threshold test
+    is the exact integer compare 5*(cum - x) < 4*total, so no float
+    boundary can flip a row, and equal spends contribute identical
+    cumsum steps, making n_top80 tie-order independent.
+
+    Scale shape: the nation_revenue_hhi tagged-union custkey pass
+    reduces orders to one exact spend per customer; a second keyed
+    pass over (nation, x) sorts within nation (group cardinality
+    bounded at the nation count; rows already one-per-customer)."""
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64())})
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.floor(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            .astype(np.float64))).astype(np.int64)
+        g = pd.DataFrame({"k": k, "x": v}).groupby(
+            "k", as_index=False)["x"].sum()
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "x": pa.array(g["x"].to_numpy(np.int64)),
+                         "nat": pa.array(np.full(len(g), -1,
+                                                 np.int64))})
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64())})
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "x": pa.array(np.zeros(len(k), np.int64)),
+                         "nat": pa.array(n)})
+
+    tagged = orders_ds.map_batches(o_partial, batch_format="pyarrow") \
+        .union(customer_ds.map_batches(c_rows, batch_format="pyarrow"))
+
+    def cust_spend(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nation": "int64", "x": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("k", as_index=False).agg(
+            x=("x", "sum"), nat=("nat", "max"))
+        g = g[(g["nat"] >= 0) & (g["x"] > 0)]
+        return pd.DataFrame({
+            "nation": g["nat"].to_numpy(np.int64),
+            "x": g["x"].to_numpy(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    spends = _grouped_by_partition(tagged, ["k"], cust_spend,
+                                   n_parts=n_parts)
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nation": "int64", "n_cust": "int64",
+                "n_top80": "int64", "top80_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        nat = df["nation"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        o = np.lexsort((-x, nat))
+        n, xs = nat[o], x[o]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        sizes = np.diff(np.r_[starts, len(n)])
+        cum = np.cumsum(xs)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]]
+                         if len(starts) > 1 else np.array([0]), sizes)
+        cum_in = cum - base
+        total = np.repeat(cum_in[starts + sizes - 1], sizes)
+        needed = 5 * (cum_in - xs) < 4 * total
+        n80 = np.add.reduceat(needed.astype(np.int64), starts)
+        return pd.DataFrame({
+            "nation": n[starts],
+            "n_cust": sizes.astype(np.int64),
+            "n_top80": n80,
+            "top80_ppm": n80 * 1_000_000 // sizes}).astype(cols)
+
+    return _grouped_by_partition(spends, ["nation"], per_nation,
+                                 n_parts=min(n_parts, 25))

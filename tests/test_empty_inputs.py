@@ -80,6 +80,9 @@ QUERIES = [
     # wave 13: autocorr, transitions, vocab jaccard, HHI, edit dist
     "user_value_autocorr", "type_transitions", "source_vocab_jaccard",
     "nation_revenue_hhi", "adjacent_edit_distance",
+    # wave 14: activity analytics, pareto, dup-rate, histogram
+    "dau_stickiness", "retention_cohorts", "nation_pareto80",
+    "source_dup_rate", "chars_histogram",
 ]
 
 
@@ -132,6 +135,9 @@ ONE_ROW_QUERIES = [
     # wave 13: autocorr, transitions, vocab jaccard, HHI, edit dist
     "user_value_autocorr", "type_transitions", "source_vocab_jaccard",
     "nation_revenue_hhi", "adjacent_edit_distance",
+    # wave 14: activity analytics, pareto, dup-rate, histogram
+    "dau_stickiness", "retention_cohorts", "nation_pareto80",
+    "source_dup_rate", "chars_histogram",
 ]
 
 
