@@ -6431,6 +6431,44 @@ def _q_chars_histogram(sf_dir: str):
         _read(sf_dir, "documents", columns=["n_chars"]), "n_chars")
 
 
+def _q_orders_profile(sf_dir: str):
+    """Column profiler over orders: nulls, exact distincts, VARCHAR
+    min/max parity (ops/analytics.table_profile)."""
+    from pdf_extract_ray.ops.analytics import table_profile
+    return table_profile(
+        _read(sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"])
+
+
+def _q_orders_topk_offset(sf_dir: str):
+    """Paginated global top-k (rank 101..120 by cents DESC, orderkey
+    ASC) (ops/analytics.global_topk_offset)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import global_topk_offset
+    out = global_topk_offset(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+        "o_orderkey", "o_totalprice", k=20, offset=100)
+    return out.rename(columns={"key": "o_orderkey"})
+
+
+def _q_copurchase_lift(sf_dir: str):
+    """Association-rule lift over brand co-occurrence, big-int exact
+    truncated ppm (ops/relational.copurchase_lift)."""
+    from pdf_extract_ray.ops.relational import copurchase_lift
+    return copurchase_lift(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+
+
+def _q_char_class_profile(sf_dir: str):
+    """Character-class composition per source
+    (ops/textstats.char_class_profile)."""
+    from pdf_extract_ray.ops.textstats import char_class_profile
+    return char_class_profile(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6741,6 +6779,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pareto80": _q_nation_pareto80,
         "source_dup_rate": _q_source_dup_rate,
         "chars_histogram": _q_chars_histogram,
+        "orders_profile": _q_orders_profile,
+        "orders_topk_offset": _q_orders_topk_offset,
+        "copurchase_lift": _q_copurchase_lift,
+        "char_class_profile": _q_char_class_profile,
     }
 
 
@@ -10704,5 +10746,101 @@ def oracle_sql() -> dict[str, str]:
                               // 10 - 1, ghi) AS BIGINT) AS hi,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM b GROUP BY bin, glo, ghi
+        """,
+        "orders_profile": """
+            SELECT 'o_orderkey' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT)
+                       AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   CAST(min(o_orderdate) AS VARCHAR),
+                   CAST(max(o_orderdate) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        """,
+        "orders_topk_offset": """
+            WITH r AS (SELECT o_orderkey,
+                              CAST(round(COALESCE(o_totalprice, 0)
+                                         * 100, 0) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            w AS (SELECT o_orderkey, cents,
+                         row_number() OVER (ORDER BY cents DESC,
+                                            o_orderkey) AS rank
+                  FROM r)
+            SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, cents
+            FROM w WHERE rank > 100 AND rank <= 120
+        """,
+        "copurchase_lift": """
+            WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                        FROM lineitem JOIN part
+                          ON l_partkey = p_partkey),
+            n AS (SELECT CAST(count(DISTINCT o) AS HUGEINT)
+                             AS n_orders FROM ob),
+            ba AS (SELECT b, CAST(count(*) AS BIGINT) AS nb
+                   FROM ob GROUP BY b),
+            pr AS (SELECT x.b AS brand_a, y.b AS brand_b,
+                          CAST(count(*) AS BIGINT) AS n_ab
+                   FROM ob x JOIN ob y
+                     ON x.o = y.o AND x.b < y.b
+                   GROUP BY 1, 2)
+            SELECT brand_a, brand_b, n_ab, a.nb AS n_a, c.nb AS n_b,
+                   CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+                        // (CAST(a.nb AS HUGEINT) * c.nb) AS BIGINT)
+                       AS lift_ppm
+            FROM pr JOIN ba a ON brand_a = a.b
+                    JOIN ba c ON brand_b = c.b, n
+        """,
+        "char_class_profile": """
+            WITH t AS (SELECT source, COALESCE(text, '') AS s
+                       FROM documents),
+            p AS (SELECT source,
+                         CAST(length(s) AS BIGINT) AS nc,
+                         CAST(length(s) - length(regexp_replace(
+                              s, '[a-zA-Z]', '', 'g')) AS BIGINT)
+                             AS na,
+                         CAST(length(s) - length(replace(s, ' ', ''))
+                              AS BIGINT) AS ns,
+                         CAST(length(s) - length(regexp_replace(
+                              s, '[0-9]', '', 'g')) AS BIGINT) AS nd
+                  FROM t)
+            SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+                   CAST(sum(na) AS BIGINT) AS n_alpha,
+                   CAST(sum(ns) AS BIGINT) AS n_space,
+                   CAST(sum(nd) AS BIGINT) AS n_digit,
+                   CAST(sum(nc - na - ns - nd) AS BIGINT) AS n_other,
+                   CAST(sum(na) * 1000000
+                        // greatest(sum(nc), 1) AS BIGINT)
+                       AS alpha_ppm
+            FROM p GROUP BY source
         """,
     }

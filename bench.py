@@ -223,7 +223,9 @@ def run_ops(sf_dir: str):
              "source_vocab_jaccard", "nation_revenue_hhi",
              "adjacent_edit_distance",
              "dau_stickiness", "retention_cohorts", "nation_pareto80",
-             "source_dup_rate", "chars_histogram"]
+             "source_dup_rate", "chars_histogram",
+             "orders_profile", "orders_topk_offset", "copurchase_lift",
+             "char_class_profile"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

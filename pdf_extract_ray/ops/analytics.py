@@ -2247,3 +2247,224 @@ def equiwidth_histogram(ds, value_col: str, *, n_bins: int = 10):
             "n_rows": pc.cast(b.column("sum(n_rows)"), pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def table_profile(ds, columns):
+    """Column profiler — the data-quality summary every ingest runs
+    first: per column (column, n_rows, n_null, n_distinct, min_v,
+    max_v) with min/max formatted as DuckDB-parity VARCHAR (ints via
+    str, timestamps via their canonical 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+    form, doubles via shortest-roundtrip repr — both engines print
+    shortest-roundtrip).
+
+    Scale shape: ONE fact pass emits a bounded per-batch partial row
+    per column (counts + native min/max carried as an EXACT int64 key
+    for ints/timestamps, float64 for floats, the string itself for
+    strings — never compared through lossy casts), merged on the
+    driver (blocks x columns rows); the distinct counts ride a
+    (column, value-string) pre-dedup exchange + one bounded fold —
+    value strings only need to be injective WITHIN the engine, so
+    repr() is safe even where formats could differ."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        schema = {"col": pa.array([], pa.string()),
+                  "kind": pa.array([], pa.int64()),
+                  "n_rows": pa.array([], pa.int64()),
+                  "n_nonnull": pa.array([], pa.int64()),
+                  "min_i": pa.array([], pa.int64()),
+                  "max_i": pa.array([], pa.int64()),
+                  "min_f": pa.array([], pa.float64()),
+                  "max_f": pa.array([], pa.float64()),
+                  "min_s": pa.array([], pa.string()),
+                  "max_s": pa.array([], pa.string())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        rows = []
+        for c in columns:
+            s = b.column(c).to_pandas()
+            nn = s.dropna()
+            row = {"col": c, "n_rows": len(s), "n_nonnull": len(nn),
+                   "kind": 3, "min_i": 0, "max_i": 0,
+                   "min_f": 0.0, "max_f": 0.0, "min_s": "",
+                   "max_s": ""}
+            if len(nn):
+                if pd.api.types.is_datetime64_any_dtype(s):
+                    v = nn.to_numpy().astype("datetime64[us]") \
+                        .astype(np.int64)
+                    row.update(kind=1, min_i=int(v.min()),
+                               max_i=int(v.max()))
+                elif pd.api.types.is_integer_dtype(nn):
+                    row.update(kind=0, min_i=int(nn.min()),
+                               max_i=int(nn.max()))
+                elif pd.api.types.is_float_dtype(nn):
+                    row.update(kind=2, min_f=float(nn.min()),
+                               max_f=float(nn.max()))
+                else:
+                    vals = nn.astype(str)
+                    row.update(kind=3, min_s=vals.min(),
+                               max_s=vals.max())
+            else:
+                row["kind"] = -1
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        return pa.Table.from_pandas(df[list(schema)],
+                                    preserve_index=False)
+
+    col_id = {c: i for i, c in enumerate(columns)}
+
+    def distinct_ints(b: pa.Table) -> pa.Table:
+        # numeric/timestamp distincts ride a TYPED (col_id, int64)
+        # exchange — values are injectively the int64 bit pattern
+        # (timestamps as epoch-us, floats as raw bits with -0.0
+        # folded to 0.0 to match SQL equality), so the wide groupby
+        # hashes ints, never strings
+        schema = {"cid": pa.array([], pa.int64()),
+                  "val": pa.array([], pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        frames = []
+        for c in columns:
+            nn = b.column(c).to_pandas().dropna()
+            if len(nn) == 0:
+                continue
+            if pd.api.types.is_datetime64_any_dtype(nn):
+                v = nn.to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+            elif pd.api.types.is_integer_dtype(nn):
+                v = nn.to_numpy(np.int64)
+            elif pd.api.types.is_float_dtype(nn):
+                f = nn.to_numpy(np.float64)
+                v = np.where(f == 0.0, 0.0, f).view(np.int64)
+            else:
+                continue
+            u = pd.unique(v)
+            frames.append(pd.DataFrame({"cid": col_id[c], "val": u}))
+        if not frames:
+            return pa.table(schema)
+        df = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct_strs(b: pa.Table) -> pa.Table:
+        schema = {"cid": pa.array([], pa.int64()),
+                  "val": pa.array([], pa.string())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        frames = []
+        for c in columns:
+            nn = b.column(c).to_pandas().dropna()
+            if len(nn) == 0 or pd.api.types.is_numeric_dtype(nn) \
+                    or pd.api.types.is_datetime64_any_dtype(nn):
+                continue
+            u = pd.unique(nn.astype(str))
+            frames.append(pd.DataFrame({"cid": col_id[c], "val": u}))
+        if not frames:
+            return pa.table(schema)
+        df = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def nd_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # value-hash partitioning puts every (cid, val) pair wholly in
+        # one partition, so local nunique partials sum to the exact
+        # global distinct count
+        cols = {"cid": "int64", "nd": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.drop_duplicates(["cid", "val"]).groupby("cid").size()
+        return pd.DataFrame({"cid": g.index.to_numpy(np.int64),
+                             "nd": g.to_numpy(np.int64)}).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    mat = ds.materialize()
+    ndist: dict = {}
+    for emit in (distinct_ints, distinct_strs):
+        pairs = mat.map_batches(emit, batch_format="pyarrow")
+        for r in _grouped_by_partition(pairs, ["val"],
+                                       nd_fold).take_all():
+            c = columns[int(r["cid"])]
+            ndist[c] = ndist.get(c, 0) + int(r["nd"])
+
+    part_rows = mat.map_batches(partials,
+                                batch_format="pyarrow").take_all()
+    out_cols = {"column": "object", "n_rows": "int64",
+                "n_null": "int64", "n_distinct": "int64",
+                "min_v": "object", "max_v": "object"}
+    acc: dict = {}
+    for r in part_rows:
+        c = r["col"]
+        st = acc.setdefault(c, {"n": 0, "nn": 0, "kind": -1,
+                                "mn": None, "mx": None})
+        st["n"] += int(r["n_rows"])
+        st["nn"] += int(r["n_nonnull"])
+        k = int(r["kind"])
+        if k < 0:
+            continue
+        st["kind"] = k
+        mn = (int(r["min_i"]) if k in (0, 1)
+              else float(r["min_f"]) if k == 2 else r["min_s"])
+        mx = (int(r["max_i"]) if k in (0, 1)
+              else float(r["max_f"]) if k == 2 else r["max_s"])
+        st["mn"] = mn if st["mn"] is None else min(st["mn"], mn)
+        st["mx"] = mx if st["mx"] is None else max(st["mx"], mx)
+
+    def fmt(v, kind):
+        if v is None:
+            return ""
+        if kind == 1:
+            return str(pd.Timestamp(v, unit="us"))
+        return repr(v) if kind == 2 else str(v)
+
+    out = [{"column": c, "n_rows": st["n"],
+            "n_null": st["n"] - st["nn"],
+            "n_distinct": ndist.get(c, 0),
+            "min_v": fmt(st["mn"], st["kind"]),
+            "max_v": fmt(st["mx"], st["kind"])}
+           for c in columns for st in [acc[c]]] if acc else []
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def global_topk_offset(ds, key_col: str, value_col: str, *,
+                       k: int = 20, offset: int = 100):
+    """Paginated global top-k: rows ranked by (cents DESC, key ASC)
+    with `offset` skipped -> (rank, key, cents), rank 1-based over
+    the full ordering.  The ORDER BY ... LIMIT k OFFSET m engine
+    primitive; cents = round(value*100) keeps the sort key an exact
+    integer so no float tie can reorder across engines.
+
+    Scale shape: each batch keeps only its local top-(offset+k)
+    (vectorized argpartition+sort), the driver merges the bounded
+    blocks x (offset+k) survivors — no global sort, no full
+    shuffle."""
+    need = offset + k
+
+    def local_top(b: pa.Table) -> pa.Table:
+        schema = {"key": pa.array([], pa.int64()),
+                  "cents": pa.array([], pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        key = b.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.rint(np.nan_to_num(
+            b.column(value_col).to_numpy(zero_copy_only=False)
+            .astype(np.float64)) * 100).astype(np.int64)
+        if len(key) > need:
+            # full (cents DESC, key ASC) local order — argpartition on
+            # cents alone could keep the wrong rows of a tie group
+            # that the global key tie-break would have ranked in
+            sel = np.lexsort((key, -cents))[:need]
+            key, cents = key[sel], cents[sel]
+        return pa.table({"key": pa.array(key),
+                         "cents": pa.array(cents)})
+
+    rows = ds.map_batches(local_top, batch_format="pyarrow").take_all()
+    out_cols = {"rank": "int64", "key": "int64", "cents": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    key = np.array([r["key"] for r in rows], np.int64)
+    cents = np.array([r["cents"] for r in rows], np.int64)
+    o = np.lexsort((key, -cents))[offset:need]
+    return pd.DataFrame({
+        "rank": np.arange(offset + 1, offset + 1 + len(o), dtype=np.int64),
+        "key": key[o], "cents": cents[o]}).astype(out_cols)

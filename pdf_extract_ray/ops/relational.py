@@ -3248,3 +3248,105 @@ def nation_pareto80(orders_ds, customer_ds, *, n_parts: int = 32):
 
     return _grouped_by_partition(spends, ["nation"], per_nation,
                                  n_parts=min(n_parts, 25))
+
+
+def copurchase_lift(lineitem_ds, part_ds, *, num_partitions=None):
+    """Association-rule metrics over brand co-occurrence: for every
+    unordered brand pair in the same order -> (brand_a, brand_b,
+    n_ab, n_a, n_b, lift_ppm) where lift = P(ab)/(P(a)P(b)) =
+    n_ab * n_orders / (n_a * n_b), emitted as truncated integer ppm
+    computed with PYTHON-INT exactness (n_ab * n_orders * 1e6
+    overflows int64 past ~1e9 orders; the finish table is bounded by
+    the brand-pair count, so big ints are free).
+
+    Scale shape mirrors copurchase_pairs: broadcast partkey->brand
+    LUT into the fact scan, ONE orderkey-keyed partition pass that
+    emits pair partials AND per-brand order-incidence partials AND a
+    local distinct-order count from the same dedup (kind-tagged,
+    all bounded by the brand alphabet), one tiny groupby merge."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    rows = part_ds.map_batches(
+        lambda b: b.select(["p_partkey", "p_brand"]),
+        batch_format="pyarrow").take_all()
+    pk = np.array([r["p_partkey"] for r in rows], np.int64)
+    brands = sorted({r["p_brand"] for r in rows})
+    bid_of = {s: i for i, s in enumerate(brands)}
+    size = int(pk.max()) + 1 if len(pk) else 1
+    lut = np.full(size, -1, np.int32)
+    lut[pk] = np.array([bid_of[r["p_brand"]] for r in rows], np.int32)
+    nb = max(len(brands), 1)
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("l_orderkey"), pa.int64()).to_numpy()
+        part = pc.cast(b.column("l_partkey"), pa.int64()).to_numpy()
+        bid = np.where(part < size, lut[np.minimum(part, size - 1)],
+                       np.int32(-1))
+        ok = bid >= 0
+        return pa.table({"okey": pa.array(key[ok]),
+                         "bid": pa.array(bid[ok])})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # kind 0: (a=brand_a, b=brand_b) pair count; kind 1: (a=brand,
+        # b=0) order-incidence count; kind 2: local distinct orders
+        cols = {"kind": "int64", "a": "int64", "b": "int64",
+                "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        okey = df["okey"].to_numpy(np.int64)
+        bid = df["bid"].to_numpy(np.int64)
+        u = np.unique(okey * np.int64(4096) + bid)
+        ob = u % 4096
+        starts = np.flatnonzero(np.r_[True,
+                                      (u >> 12)[1:] != (u >> 12)[:-1]])
+        sizes = np.diff(np.r_[starts, u.size])
+        counts = np.zeros(nb * nb, np.int64)
+        for kk in np.unique(sizes):
+            if kk < 2:
+                continue
+            grp = ob[starts[sizes == kk][:, None] + np.arange(kk)]
+            ii, jj = np.triu_indices(int(kk), 1)
+            np.add.at(counts, grp[:, ii].ravel() * nb
+                      + grp[:, jj].ravel(), 1)
+        nz = np.flatnonzero(counts)
+        inc = np.bincount(ob, minlength=nb)
+        bi = np.flatnonzero(inc)
+        out = pd.DataFrame({
+            "kind": np.r_[np.zeros(len(nz), np.int64),
+                          np.ones(len(bi), np.int64), [2]],
+            "a": np.r_[nz // nb, bi, [0]],
+            "b": np.r_[nz % nb, np.zeros(len(bi), np.int64), [0]],
+            "n": np.r_[counts[nz], inc[bi], [len(starts)]]})
+        return out.astype(cols)
+
+    fact = lineitem_ds.map_batches(li_rows, batch_format="pyarrow")
+    partials = _grouped_by_partition(fact, ["okey"], fold,
+                                     n_parts=num_partitions)
+    agg_rows = partials.groupby(["kind", "a", "b"]) \
+        .aggregate(Sum("n")).take_all()
+
+    out_cols = {"brand_a": "object", "brand_b": "object",
+                "n_ab": "int64", "n_a": "int64", "n_b": "int64",
+                "lift_ppm": "int64"}
+    n_orders = 0
+    inc: dict = {}
+    pairs: dict = {}
+    for r in agg_rows:
+        k, n = int(r["kind"]), int(r["sum(n)"])
+        if k == 2:
+            n_orders += n
+        elif k == 1:
+            inc[int(r["a"])] = inc.get(int(r["a"]), 0) + n
+        else:
+            key = (int(r["a"]), int(r["b"]))
+            pairs[key] = pairs.get(key, 0) + n
+    out = [{"brand_a": brands[a], "brand_b": brands[b], "n_ab": n,
+            "n_a": inc[a], "n_b": inc[b],
+            "lift_ppm": n * n_orders * 1_000_000 // (inc[a] * inc[b])}
+           for (a, b), n in sorted(pairs.items())]
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)

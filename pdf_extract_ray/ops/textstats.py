@@ -565,3 +565,61 @@ def bpe_encode_stats(ds, merges, *, text_col: str = "text"):
             "n_words": pc.cast(b.column("sum(n_words)"), pa.int64()),
             "n_tokens": pc.cast(b.column("sum(n_tokens)"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def char_class_profile(ds, group_col: str = "source",
+                       text_col: str = "text"):
+    """Character-class composition per group: total chars and the
+    exact counts of alphabetic / space / digit / other characters,
+    plus alpha_ppm -> (group, n_chars, n_alpha, n_space, n_digit,
+    n_other, alpha_ppm).  Script/encoding sanity screen (a source
+    whose 'other' share spikes is mojibake or markup).
+
+    Map-only: per-batch vectorized class counts (pandas str.count on
+    single-char classes — the SQL oracle uses the identical classes
+    via length(regexp_replace)) pre-summed per group, one tiny
+    groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        schema = {group_col: pa.array([], pa.string()),
+                  "n_chars": pa.array([], pa.int64()),
+                  "n_alpha": pa.array([], pa.int64()),
+                  "n_space": pa.array([], pa.int64()),
+                  "n_digit": pa.array([], pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        t = b.column(text_col).to_pandas().fillna("")
+        g = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas()
+            .to_numpy(object),
+            "n_chars": t.str.len().to_numpy(np.int64),
+            "n_alpha": t.str.count(r"[a-zA-Z]").to_numpy(np.int64),
+            "n_space": t.str.count(r" ").to_numpy(np.int64),
+            "n_digit": t.str.count(r"[0-9]").to_numpy(np.int64)}) \
+            .groupby(group_col, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n_chars"), Sum("n_alpha"),
+                                      Sum("n_space"), Sum("n_digit"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nc = pc.cast(b.column("sum(n_chars)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        na = pc.cast(b.column("sum(n_alpha)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ns = pc.cast(b.column("sum(n_space)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nd = pc.cast(b.column("sum(n_digit)"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            group_col: pc.cast(b.column(group_col), pa.string()),
+            "n_chars": pa.array(nc), "n_alpha": pa.array(na),
+            "n_space": pa.array(ns), "n_digit": pa.array(nd),
+            "n_other": pa.array(nc - na - ns - nd),
+            "alpha_ppm": pa.array(na * 1_000_000
+                                  // np.maximum(nc, 1))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

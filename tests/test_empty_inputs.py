@@ -83,6 +83,9 @@ QUERIES = [
     # wave 14: activity analytics, pareto, dup-rate, histogram
     "dau_stickiness", "retention_cohorts", "nation_pareto80",
     "source_dup_rate", "chars_histogram",
+    # wave 15: profiler, pagination, lift, char classes
+    "orders_profile", "orders_topk_offset", "copurchase_lift",
+    "char_class_profile",
 ]
 
 
@@ -138,6 +141,9 @@ ONE_ROW_QUERIES = [
     # wave 14: activity analytics, pareto, dup-rate, histogram
     "dau_stickiness", "retention_cohorts", "nation_pareto80",
     "source_dup_rate", "chars_histogram",
+    # wave 15: profiler, pagination, lift, char classes
+    "orders_profile", "orders_topk_offset", "copurchase_lift",
+    "char_class_profile",
 ]
 
 

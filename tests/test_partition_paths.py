@@ -69,7 +69,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "source_vocab_jaccard", "nation_revenue_hhi",
            "adjacent_edit_distance",
            # round-3 wave 14 keyed ops
-           "dau_stickiness", "retention_cohorts", "nation_pareto80"]
+           "dau_stickiness", "retention_cohorts", "nation_pareto80",
+           # round-3 wave 15 keyed ops
+           "orders_profile", "copurchase_lift"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
