@@ -6469,6 +6469,30 @@ def _q_char_class_profile(sf_dir: str):
         _read(sf_dir, "documents", columns=["source", "text"]))
 
 
+def _q_embedding_quant_stats(sf_dir: str):
+    """Per-label quantized embedding energy — the integer-exact
+    embedding-column audit (ops/analytics.embedding_quant_stats)."""
+    from pdf_extract_ray.ops.analytics import embedding_quant_stats
+    return embedding_quant_stats(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"]))
+
+
+def _q_source_lcp(sf_dir: str):
+    """Longest common prefix per source via LCP(lexmin, lexmax)
+    (ops/analytics.source_lcp)."""
+    from pdf_extract_ray.ops.analytics import source_lcp
+    return source_lcp(_read(sf_dir, "documents",
+                            columns=["source", "text"]))
+
+
+def _q_user_lifespan_hist(sf_dir: str):
+    """Histogram of user lifespans in whole days
+    (ops/events.user_lifespan_hist)."""
+    from pdf_extract_ray.ops.events import user_lifespan_hist
+    return user_lifespan_hist(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6783,6 +6807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_offset": _q_orders_topk_offset,
         "copurchase_lift": _q_copurchase_lift,
         "char_class_profile": _q_char_class_profile,
+        "embedding_quant_stats": _q_embedding_quant_stats,
+        "source_lcp": _q_source_lcp,
+        "user_lifespan_hist": _q_user_lifespan_hist,
     }
 
 
@@ -10842,5 +10869,47 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(sum(nc), 1) AS BIGINT)
                        AS alpha_ppm
             FROM p GROUP BY source
+        """,
+        "embedding_quant_stats": """
+            SELECT CAST(COALESCE(label, -1) AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(COALESCE(list_aggregate(
+                        list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)),
+                        'sum'), 0)) AS BIGINT) AS sum_q
+            FROM embeddings GROUP BY 1
+        """,
+        "source_lcp": """
+            WITH mm AS (SELECT source, CAST(count(*) AS BIGINT)
+                               AS n_docs,
+                               min(COALESCE(text, '')) AS lo,
+                               max(COALESCE(text, '')) AS hi
+                        FROM documents GROUP BY source),
+            k AS (SELECT source, n_docs, lo,
+                         CAST(COALESCE(
+                             (SELECT min(r.range)
+                              FROM range(1, 100001) r
+                              WHERE r.range <= least(length(lo),
+                                                     length(hi))
+                                AND substr(lo, CAST(r.range AS INT), 1)
+                                    <> substr(hi, CAST(r.range AS INT),
+                                              1)) - 1,
+                             least(length(lo), length(hi))) AS BIGINT)
+                             AS lcp_len
+                  FROM mm)
+            SELECT source, n_docs, lcp_len,
+                   substr(lo, 1, CAST(lcp_len AS INT)) AS lcp
+            FROM k
+        """,
+        "user_lifespan_hist": """
+            WITH u AS (SELECT user_id,
+                              (epoch_us(max(ts)) - epoch_us(min(ts)))
+                              // 86400000000 AS d
+                       FROM events WHERE ts IS NOT NULL
+                       GROUP BY user_id)
+            SELECT CAST(d AS BIGINT) AS lifespan_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM u GROUP BY d
         """,
     }

@@ -225,7 +225,9 @@ def run_ops(sf_dir: str):
              "dau_stickiness", "retention_cohorts", "nation_pareto80",
              "source_dup_rate", "chars_histogram",
              "orders_profile", "orders_topk_offset", "copurchase_lift",
-             "char_class_profile"]
+             "char_class_profile",
+             "embedding_quant_stats", "source_lcp",
+             "user_lifespan_hist"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

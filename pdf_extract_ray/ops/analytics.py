@@ -2468,3 +2468,105 @@ def global_topk_offset(ds, key_col: str, value_col: str, *,
     return pd.DataFrame({
         "rank": np.arange(offset + 1, offset + 1 + len(o), dtype=np.int64),
         "key": key[o], "cents": cents[o]}).astype(out_cols)
+
+
+def embedding_quant_stats(ds, *, scale: int = 1000):
+    """Per-label quantized embedding energy: every element maps to
+    floor(CAST(x AS DOUBLE) * scale) — an exact integer in BOTH
+    engines (float32 promotes to the same double before the multiply)
+    — and sums per vector, then per label -> (label, n_vecs, sum_q).
+    The integer-exact audit aggregate for an embedding column (drift
+    between two snapshots shows as a sum_q delta with no float noise).
+
+    Map-only: Arrow list offsets -> one reduceat per batch, null
+    embeddings contribute 0 (the similarity._stack zero-vector
+    policy), one bounded label groupby."""
+    from ray.data.aggregate import Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        off = off - off[0]
+        vals = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(np.nan_to_num(vals) * scale).astype(np.int64)
+        cq = np.r_[0, np.cumsum(q)]
+        sums = cq[off[1:]] - cq[off[:-1]]
+        lab = b.column("label").to_pandas()
+        lab = lab.fillna(-1).to_numpy(np.int64) if lab.isna().any() \
+            else lab.to_numpy(np.int64)
+        g = pd.DataFrame({"label": lab, "n_vecs": 1, "sum_q": sums}) \
+            .groupby("label", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("label").aggregate(Sum("n_vecs"), Sum("sum_q"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "n_vecs": pc.cast(b.column("sum(n_vecs)"), pa.int64()),
+            "sum_q": pc.cast(b.column("sum(sum_q)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_lcp(ds, group_col: str = "source", text_col: str = "text"):
+    """Template detector: the longest common prefix of ALL texts in a
+    group -> (group, n_docs, lcp_len, lcp).  Uses the order-statistic
+    identity LCP(set) = LCP(lexmin, lexmax) — so the whole reduction
+    is an associative (min, max) pair: map-side per-batch string
+    min/max partials, a bounded driver merge (blocks x groups rows),
+    and one LCP scan over two strings per group.  A boilerplate-heavy
+    source shows a long shared prefix; organic text shows ~0."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        schema = {group_col: pa.array([], pa.string()),
+                  "n": pa.array([], pa.int64()),
+                  "mn": pa.array([], pa.string()),
+                  "mx": pa.array([], pa.string())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        t = b.column(text_col).to_pandas().fillna("")
+        g = pd.DataFrame({group_col: b.column(group_col).to_pandas()
+                          .to_numpy(object), "t": t}) \
+            .groupby(group_col, sort=False)["t"] \
+            .agg(n="size", mn="min", mx="max").reset_index()
+        return pa.table({
+            group_col: pa.array(g[group_col], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "mn": pa.array(g["mn"], pa.string()),
+            "mx": pa.array(g["mx"], pa.string())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out_cols = {group_col: "object", "n_docs": "int64",
+                "lcp_len": "int64", "lcp": "object"}
+    acc: dict = {}
+    for r in rows:
+        g = r[group_col]
+        st = acc.get(g)
+        if st is None:
+            acc[g] = [int(r["n"]), r["mn"], r["mx"]]
+        else:
+            st[0] += int(r["n"])
+            st[1] = min(st[1], r["mn"])
+            st[2] = max(st[2], r["mx"])
+    out = []
+    for g in sorted(acc):
+        n, mn, mx = acc[g]
+        k = 0
+        lim = min(len(mn), len(mx))
+        while k < lim and mn[k] == mx[k]:
+            k += 1
+        out.append({group_col: g, "n_docs": n, "lcp_len": k,
+                    "lcp": mn[:k]})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)

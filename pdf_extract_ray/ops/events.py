@@ -2255,3 +2255,59 @@ def retention_cohorts(ds, *, n_parts: int = 32):
     return partials.groupby(["cohort_week", "week_offset"]) \
         .aggregate(Sum("cnt")).map_batches(finish,
                                            batch_format="pyarrow")
+
+
+def user_lifespan_hist(ds, *, n_parts: int = 32):
+    """Distribution of user lifespans: whole days between each user's
+    first and last event -> (lifespan_days, n_users), exact integers
+    (floor of the microsecond span / 86400e6 — positive operands, so
+    DuckDB's truncating // and numpy's floor // agree).
+
+    Map-side per-batch (user, min, max) partials bound the exchange
+    at one row per user per block; one user-keyed partition pass
+    merges them and pre-counts spans, a tiny groupby sums."""
+
+    US_DAY = 86_400_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        ts = b.column("ts").to_pandas()
+        ok = ts.notna().to_numpy()
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        t = ts[ok].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({"user_id": u, "mn": t, "mx": t}) \
+            .groupby("user_id", as_index=False) \
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"lifespan_days": "int64", "n_users": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("user_id", as_index=False) \
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+        days = (g["mx"].to_numpy(np.int64)
+                - g["mn"].to_numpy(np.int64)) // US_DAY
+        c = pd.Series(days).value_counts()
+        return pd.DataFrame({
+            "lifespan_days": c.index.to_numpy(np.int64),
+            "n_users": c.to_numpy(np.int64)}).astype(cols)
+
+    from ray.data.aggregate import Sum
+    from .dedup import _grouped_by_partition
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    partials = _grouped_by_partition(pre_ds, ["user_id"], resolve,
+                                     n_parts=n_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lifespan_days": pc.cast(b.column("lifespan_days"),
+                                     pa.int64()),
+            "n_users": pc.cast(b.column("sum(n_users)"), pa.int64())})
+
+    return partials.groupby("lifespan_days").aggregate(Sum("n_users")) \
+        .map_batches(finish, batch_format="pyarrow")

@@ -86,6 +86,8 @@ QUERIES = [
     # wave 15: profiler, pagination, lift, char classes
     "orders_profile", "orders_topk_offset", "copurchase_lift",
     "char_class_profile",
+    # wave 16: embedding audit, LCP template detector, lifespans
+    "embedding_quant_stats", "source_lcp", "user_lifespan_hist",
 ]
 
 
@@ -144,6 +146,8 @@ ONE_ROW_QUERIES = [
     # wave 15: profiler, pagination, lift, char classes
     "orders_profile", "orders_topk_offset", "copurchase_lift",
     "char_class_profile",
+    # wave 16: embedding audit, LCP template detector, lifespans
+    "embedding_quant_stats", "source_lcp", "user_lifespan_hist",
 ]
 
 

@@ -71,7 +71,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round-3 wave 14 keyed ops
            "dau_stickiness", "retention_cohorts", "nation_pareto80",
            # round-3 wave 15 keyed ops
-           "orders_profile", "copurchase_lift"]
+           "orders_profile", "copurchase_lift",
+           # round-3 wave 16 keyed ops
+           "user_lifespan_hist"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
