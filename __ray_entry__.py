@@ -1517,7 +1517,7 @@ def _q_cms_word_counts(sf_dir: str):
     return cms_word_counts(_read(sf_dir, "documents", columns=["text"]))
 
 
-def _q_chars_histogram(sf_dir: str):
+def _q_chars_width_histogram(sf_dir: str):
     """Equal-width n_chars histogram per source (floor-division
     bucketing, map-side partial counts — shuffle payload is groups x
     buckets, never rows; ops/analytics.grouped_histogram)."""
@@ -1976,14 +1976,14 @@ def _q_attributed_purchases(sf_dir: str):
               columns=["event_id", "user_id", "ts", "event_type"]))
 
 
-def _q_retention_cohorts(sf_dir: str):
+def _q_retention_cohorts_cal(sf_dir: str):
     """Weekly retention triangle (cohort = Monday week of first event;
     distinct active users per (cohort, offset) cell): map-side
     (user, week) dedup + one user-keyed partition pass with exact
-    partial counts (ops/events.retention_cohorts)."""
-    from pdf_extract_ray.ops.events import retention_cohorts
-    return retention_cohorts(_read(sf_dir, "events",
-                                   columns=["user_id", "ts"]))
+    partial counts (ops/events.retention_cohorts_cal)."""
+    from pdf_extract_ray.ops.events import retention_cohorts_cal
+    return retention_cohorts_cal(_read(sf_dir, "events",
+                                       columns=["user_id", "ts"]))
 
 
 def _q_user_paths(sf_dir: str):
@@ -4717,7 +4717,7 @@ def _q_tld_rollup(sf_dir: str):
     return df
 
 
-def _q_orders_profile(sf_dir: str):
+def _q_orders_profile_long(sf_dir: str):
     """Data-profiling pass (pandas-describe analog, long format): one
     scan of orders emits per-column (n_nonnull, min, max) partial rows
     per batch; a groupby over the 3-row column dimension combines —
@@ -6554,7 +6554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window3_sums": _q_window3_sums,
         "rolling_median": _q_rolling_median,
         "attributed_purchases": _q_attributed_purchases,
-        "retention_cohorts": _q_retention_cohorts,
+        "retention_cohorts_cal": _q_retention_cohorts_cal,
         "user_paths": _q_user_paths,
         "gram_edit_pairs": _q_gram_edit_pairs,
         "remove_dup_spans": _q_remove_dup_spans,
@@ -6654,7 +6654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "hourly_autocorr": _q_hourly_autocorr,
         "tld_rollup": _q_tld_rollup,
-        "orders_profile": _q_orders_profile,
+        "orders_profile_long": _q_orders_profile_long,
         "sentence_stats": _q_sentence_stats,
         "session_stats": _q_session_stats,
         "crawlprep": _q_crawlprep,
@@ -6718,7 +6718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heuristic / non-SQL operators (rows-only)
         "approx_distinct_users": _q_approx_distinct_users,
         "cms_word_counts": _q_cms_word_counts,
-        "chars_histogram": _q_chars_histogram,
+        "chars_width_histogram": _q_chars_width_histogram,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "lang_id": _q_lang_id,
         "lm_scores": _q_lm_scores,
@@ -7058,7 +7058,7 @@ def oracle_sql() -> dict[str, str]:
                      AND e3.id_a = e1.id_b AND e3.id_b = e2.id_b
             GROUP BY e1.source, e1.lang
         """,
-        "chars_histogram": """
+        "chars_width_histogram": """
             SELECT source,
                    CAST(n_chars // 100 AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n_rows
@@ -7493,7 +7493,7 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS w_sum_cents
             FROM events
         """,
-        "retention_cohorts": """
+        "retention_cohorts_cal": """
             WITH uw AS (SELECT DISTINCT user_id,
                                date_trunc('week', ts) AS wk
                         FROM events),
@@ -8035,7 +8035,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_docs
             FROM h GROUP BY tld
         """,
-        "orders_profile": """
+        "orders_profile_long": """
             SELECT 'o_orderkey' AS column,
                    CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
                    CAST(min(o_orderkey) AS BIGINT) AS min_v,

@@ -139,13 +139,13 @@ def run_ops(sf_dir: str):
              "lm_buckets", "embedding_clusters", "source_vocab_stats",
              "ann_topk_pq", "bm25_top_docs", "range_window_sums",
              "dup_span_stats", "triangle_counts", "cms_word_counts",
-             "chars_histogram", "event_next_gaps", "value_share",
+             "chars_width_histogram", "event_next_gaps", "value_share",
              "doc_grouping_sets", "bpe_encode_stats", "all_user_ids",
              "chars_token_regression", "winsorized_chars",
              "training_shards", "bloom_semi_revenue",
              "cross_source_overlap", "vocab_jaccard",
              "chars_iqr_outliers", "rolling_median", "image_dedup",
-             "attributed_purchases", "retention_cohorts", "user_paths",
+             "attributed_purchases", "retention_cohorts_cal", "user_paths",
              "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
              "part_skyline", "doc_bfs_hops", "lang_gini_by_source",
              "nth_event_per_user", "brand_copurchase", "pmi_pairs",
@@ -171,7 +171,7 @@ def run_ops(sf_dir: str):
              "geomean_chars_by_source", "oov_rate_report",
              "trimmed_mean_chars", "snapshot_schema_union",
              "robots_audit", "crawlprep", "session_stats", "sentence_stats",
-             "orders_profile", "tld_rollup",
+             "orders_profile_long", "tld_rollup",
              "dup_rate_by_source", "hourly_autocorr",
              "crawl_budget", "event_bigram_perplexity",
              "harmonic_mean_chars", "host_balance_gini",

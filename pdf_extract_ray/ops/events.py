@@ -854,8 +854,11 @@ def value_share(ds):
     return ds.map_batches(share, batch_format="pyarrow")
 
 
-def retention_cohorts(ds, *, n_parts: int = 32):
-    """Weekly retention triangle: cohort a user by the Monday-start
+def retention_cohorts_cal(ds, *, n_parts: int = 32):
+    """Weekly retention triangle, CALENDAR variant (Monday-start
+    weeks, timestamp cohort column — DuckDB date_trunc('week')
+    parity; the epoch-week variant below is `retention_cohorts`):
+    cohort a user by the Monday-start
     week of their FIRST event, then count distinct users active in
     each later week -> (cohort_week, offset_weeks, n_users).
 

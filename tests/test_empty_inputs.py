@@ -88,6 +88,8 @@ QUERIES = [
     "char_class_profile",
     # wave 16: embedding audit, LCP template detector, lifespans
     "embedding_quant_stats", "source_lcp", "user_lifespan_hist",
+    # recovered shadowed ops (renamed)
+    "chars_width_histogram", "retention_cohorts_cal", "orders_profile_long",
 ]
 
 
@@ -148,6 +150,8 @@ ONE_ROW_QUERIES = [
     "char_class_profile",
     # wave 16: embedding audit, LCP template detector, lifespans
     "embedding_quant_stats", "source_lcp", "user_lifespan_hist",
+    # recovered shadowed ops (renamed)
+    "chars_width_histogram", "retention_cohorts_cal", "orders_profile_long",
 ]
 
 

@@ -38,7 +38,7 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "triangle_counts", "training_shards", "all_user_ids",
            "event_next_gaps", "bloom_semi_revenue",
            "cross_source_overlap", "vocab_jaccard", "rolling_median",
-           "attributed_purchases", "retention_cohorts", "user_paths",
+           "attributed_purchases", "retention_cohorts_cal", "user_paths",
            "gram_edit_pairs", "remove_dup_spans", "ssjoin_jaccard",
            "big_spender_customers", "quiet_customers",
            "nth_event_per_user", "record_high_events",

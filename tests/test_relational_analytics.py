@@ -1414,7 +1414,7 @@ class TestAttributedPurchases:
 @pytest.mark.usefixtures("ray_session")
 class TestRetentionCohorts:
     def test_hand_computed_week_boundaries(self):
-        from pdf_extract_ray.ops.events import retention_cohorts
+        from pdf_extract_ray.ops.events import retention_cohorts_cal
         ts = lambda s: np.datetime64(s, "us").item()
         # 2024-01-01 is a Monday.  user 1: first event week of Jan 1,
         # active again weeks +1 and +3 (two events in week +1 must
@@ -1431,12 +1431,37 @@ class TestRetentionCohorts:
                             ts("2024-01-08T00:00:00"),
                             ts("2024-01-08T09:00:00")],
                            pa.timestamp("us"))})
-        out = retention_cohorts(_ds(ev)).to_pandas()
+        out = retention_cohorts_cal(_ds(ev)).to_pandas()
         got = {(str(np.datetime64(r.cohort_week, "D")),
                 int(r.offset_weeks)): int(r.n_users)
                for r in out.itertuples()}
         assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 2,
                        ("2024-01-01", 3): 1, ("2024-01-08", 0): 1}
+
+    def test_epoch_week_variant_agrees_on_aligned_weeks(self):
+        # The epoch-week variant buckets by epoch_days // 7 (weeks
+        # start Thursday, day 0 = 1970-01-01); on events whose Monday
+        # calendar weeks coincide with epoch-week buckets the offset
+        # structure must match the calendar variant cell-for-cell.
+        from pdf_extract_ray.ops.events import (retention_cohorts,
+                                                retention_cohorts_cal)
+        ts = lambda s: np.datetime64(s, "us").item()
+        # 2024-01-04 is a Thursday AND all events stay inside
+        # Thu..Sun, so both weekly bucketings agree.
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([ts("2024-01-04T10:00:00"),
+                            ts("2024-01-12T00:00:00"),
+                            ts("2024-01-05T12:00:00")],
+                           pa.timestamp("us"))})
+        epoch = retention_cohorts(_ds(ev)).to_pandas()
+        got = {int(r.week_offset): int(r.n_users)
+               for r in epoch.itertuples()}
+        assert got == {0: 2, 1: 1}
+        cal = retention_cohorts_cal(_ds(ev)).to_pandas()
+        got_cal = {int(r.offset_weeks): int(r.n_users)
+                   for r in cal.itertuples()}
+        assert got_cal == got
 
 
 @pytest.mark.usefixtures("ray_session")
