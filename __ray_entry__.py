@@ -6493,6 +6493,166 @@ def _q_user_lifespan_hist(sf_dir: str):
         _read(sf_dir, "events", columns=["user_id", "ts"]))
 
 
+def _q_anova_f_chars(sf_dir: str):
+    """One-way ANOVA F of document length across languages — the
+    parametric k-group counterpart to welch_t_value, in an exact
+    floor-quantized integer decomposition
+    (ops/analytics.grouped_anova_f)."""
+    from pdf_extract_ray.ops.analytics import grouped_anova_f
+    return grouped_anova_f(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]),
+        "lang", "n_chars")
+
+
+def _q_cramers_v(sf_dir: str):
+    """Cramer's V association strength for the source x lang
+    contingency: reuses grouped_chi2_cells' exact ppm terms; the only
+    floats are one division chain and one sqrt in pinned IEEE order
+    (the Wilson-CI sqrt-only discipline)."""
+    import math
+
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import grouped_chi2_cells
+    cells = grouped_chi2_cells(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        "source", "lang")
+    out_cols = {"n_rows": "int64", "n_sources": "int64",
+                "n_langs": "int64", "chi2_ppm": "int64",
+                "cramers_v": "float64"}
+    if len(cells) == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    n = int(cells["observed"].sum())
+    r = int(cells["source"].nunique())
+    c = int(cells["lang"].nunique())
+    chi2_ppm = int(cells["chi2_term_ppm"].astype(object).map(int).sum())
+    m = min(r - 1, c - 1)
+    if m <= 0 or n <= 0:
+        v = 0.0
+    else:
+        # pinned op order: ppm -> chi2 double, then / n, / m, sqrt
+        v = math.sqrt(float(chi2_ppm) / 1_000_000.0 / float(n)
+                      / float(m))
+    return pd.DataFrame([{"n_rows": n, "n_sources": r, "n_langs": c,
+                          "chi2_ppm": chi2_ppm, "cramers_v": v}]) \
+        .astype(out_cols)
+
+
+def _q_nation_theil(sf_dir: str):
+    """Theil-T spend inequality per nation
+    (ops/relational.nation_theil)."""
+    from pdf_extract_ray.ops.relational import nation_theil
+    return nation_theil(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]))
+
+
+def _q_class_weight_plan(sf_dir: str):
+    """Inverse-frequency training class weights per language —
+    w_ppm = (N * 1e6) // (k * n_g), the standard imbalance-correction
+    plan emitted as exact integers.  One bounded count groupby."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": pc.fill_null(
+            pc.cast(b.column("lang"), pa.string()), "und")})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("lang").count().take_all()
+    out_cols = {"lang": "object", "n_docs": "int64",
+                "weight_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {k: v for k, v in out_cols.items() if k != "lang"})
+    k = len(rows)
+    total = sum(int(r["count()"]) for r in rows)
+    out = [{"lang": r["lang"], "n_docs": int(r["count()"]),
+            "weight_ppm": (total * 1_000_000) // (k * int(r["count()"]))}
+           for r in rows]
+    df = pd.DataFrame(out, columns=list(out_cols))
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["weight_ppm"] = df["weight_ppm"].astype(np.int64)
+    return df
+
+
+def _q_user_daily_ohlc(sf_dir: str):
+    """Per (user, epoch-day) OHLC bars over event value
+    (ops/events.user_daily_ohlc)."""
+    from pdf_extract_ray.ops.events import user_daily_ohlc
+    return user_daily_ohlc(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_systematic_sample(sf_dir: str):
+    """Systematic 1-in-97 sample by global (n_chars DESC, doc_id)
+    rank — rank-spaced sampling preserves the length distribution
+    exactly (unlike a hash sample, which only preserves it in
+    expectation).  Reuses the sortless zipWithIndex kernel
+    (ops/analytics.global_row_number) on the negated key; the filter
+    is map-only."""
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "neg_chars": pc.multiply(
+                pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()),
+                             0), pa.scalar(-1, pa.int64()))})
+
+    ranked = global_row_number(
+        ds.map_batches(neg, batch_format="pyarrow"),
+        "neg_chars", "doc_id")
+
+    def pick(b: pa.Table) -> pa.Table:
+        rk = b.column("global_rank").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = (rk % 97) == 1
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64())
+            .filter(pa.array(keep)),
+            "n_chars": pc.multiply(
+                pc.cast(b.column("neg_chars"), pa.int64()),
+                pa.scalar(-1, pa.int64())).filter(pa.array(keep)),
+            "global_rank": pa.array(rk[keep])})
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()
+    df = _df_from_rows(rows, ["doc_id", "n_chars", "global_rank"])
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_label_centroid_cosine(sf_dir: str):
+    """Pairwise cosine between per-label embedding centroids
+    (ops/analytics.label_centroid_cosine)."""
+    from pdf_extract_ray.ops.analytics import label_centroid_cosine
+    return label_centroid_cosine(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"]))
+
+
+def _q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit over two FK edges — lineitem ->
+    orders and orders -> customer (ops/relational.fk_orphans); the
+    load-gate companion to lineitem_integrity's contiguity check."""
+    import pandas as pd
+    from pdf_extract_ray.ops.relational import fk_orphans
+
+    a = fk_orphans(
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]), "l_orderkey",
+        _read(sf_dir, "orders", columns=["o_orderkey"]), "o_orderkey",
+        "lineitem->orders")
+    b = fk_orphans(
+        _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey",
+        _read(sf_dir, "customer", columns=["c_custkey"]), "c_custkey",
+        "orders->customer")
+    return pd.concat([a, b], ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6810,6 +6970,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quant_stats": _q_embedding_quant_stats,
         "source_lcp": _q_source_lcp,
         "user_lifespan_hist": _q_user_lifespan_hist,
+        "anova_f_chars": _q_anova_f_chars,
+        "cramers_v": _q_cramers_v,
+        "nation_theil": _q_nation_theil,
+        "class_weight_plan": _q_class_weight_plan,
+        "user_daily_ohlc": _q_user_daily_ohlc,
+        "systematic_sample": _q_systematic_sample,
+        "label_centroid_cosine": _q_label_centroid_cosine,
+        "fk_orphans": _q_fk_orphans,
     }
 
 
@@ -10911,5 +11079,162 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d AS BIGINT) AS lifespan_days,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM u GROUP BY d
+        """,
+        "anova_f_chars": """
+            WITH g AS (SELECT COALESCE(lang, 'und') AS lang,
+                              CAST(COUNT(*) AS HUGEINT) AS n,
+                              CAST(SUM(COALESCE(n_chars, 0)) AS HUGEINT)
+                                  AS s1,
+                              SUM(CAST(COALESCE(n_chars, 0) AS HUGEINT)
+                                  * COALESCE(n_chars, 0)) AS s2
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS nn, SUM(s1) AS t1, SUM(s2) AS t2,
+                         CAST(COUNT(*) AS HUGEINT) AS k,
+                         SUM((s1 * s1 * 1000000) // n) AS sb
+                  FROM g)
+            SELECT CAST(nn AS BIGINT) AS n_rows,
+                   CAST(k AS BIGINT) AS n_groups,
+                   CAST(sb - (t1 * t1 * 1000000) // nn AS BIGINT)
+                       AS ssb_micro,
+                   CAST(t2 * 1000000 - sb AS BIGINT) AS ssw_micro,
+                   CAST(CASE WHEN k > 1 AND nn > k
+                                  AND sb - (t1*t1*1000000)//nn > 0
+                                  AND t2*1000000 - sb > 0
+                        THEN ((sb - (t1*t1*1000000)//nn) * (nn-k)
+                              * 1000000) // ((t2*1000000 - sb) * (k-1))
+                        ELSE 0 END AS BIGINT) AS f_micro
+            FROM t
+        """,
+        "cramers_v": """
+            WITH c AS (SELECT COALESCE(source, 'und') AS s,
+                              COALESCE(lang, 'und') AS l,
+                              CAST(COUNT(*) AS HUGEINT) AS o
+                       FROM documents GROUP BY 1, 2),
+            mr AS (SELECT s, SUM(o) AS r FROM c GROUP BY s),
+            mc AS (SELECT l, SUM(o) AS cc FROM c GROUP BY l),
+            tot AS (SELECT SUM(o) AS n,
+                           CAST(COUNT(DISTINCT s) AS BIGINT) AS nr,
+                           CAST(COUNT(DISTINCT l) AS BIGINT) AS nc
+                    FROM c),
+            agg AS (SELECT SUM(((c.o * tot.n - mr.r * mc.cc)
+                                * (c.o * tot.n - mr.r * mc.cc)
+                                * 1000000)
+                               // (mr.r * mc.cc * tot.n)) AS chi2
+                    FROM c JOIN mr ON c.s = mr.s
+                           JOIN mc ON c.l = mc.l CROSS JOIN tot)
+            SELECT CAST(tot.n AS BIGINT) AS n_rows, tot.nr AS n_sources,
+                   tot.nc AS n_langs, CAST(agg.chi2 AS BIGINT)
+                       AS chi2_ppm,
+                   CASE WHEN LEAST(tot.nr - 1, tot.nc - 1) > 0
+                             AND tot.n > 0
+                        THEN sqrt(CAST(agg.chi2 AS DOUBLE) / 1000000.0
+                                  / CAST(tot.n AS DOUBLE)
+                                  / CAST(LEAST(tot.nr - 1, tot.nc - 1)
+                                         AS DOUBLE))
+                        ELSE 0.0 END AS cramers_v
+            FROM tot CROSS JOIN agg
+        """,
+        "nation_theil": """
+            WITH cust AS (
+                SELECT c.c_nationkey AS nation, o.o_custkey AS k,
+                       CAST(SUM(CAST(FLOOR(o.o_totalprice) AS HUGEINT))
+                            AS HUGEINT) AS x
+                FROM orders o JOIN customer c
+                     ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+                HAVING SUM(CAST(FLOOR(o.o_totalprice) AS HUGEINT)) > 0),
+            tot AS (SELECT nation, CAST(COUNT(*) AS HUGEINT) AS n,
+                           SUM(x) AS xt
+                    FROM cust GROUP BY 1),
+            terms AS (SELECT cust.nation,
+                             CAST(FLOOR(1000000.0
+                                  * (CAST(cust.x AS DOUBLE)
+                                     / CAST(tot.xt AS DOUBLE))
+                                  * LN((CAST(cust.x AS DOUBLE)
+                                        / CAST(tot.xt AS DOUBLE))
+                                       * CAST(tot.n AS DOUBLE)))
+                                  AS HUGEINT) AS t
+                      FROM cust JOIN tot ON cust.nation = tot.nation),
+            s AS (SELECT nation, SUM(t) AS st FROM terms GROUP BY 1)
+            SELECT CAST(tot.nation AS BIGINT) AS nation,
+                   CAST(tot.n AS BIGINT) AS n_cust,
+                   CAST(tot.xt AS BIGINT) AS total_x,
+                   CAST(GREATEST(COALESCE(s.st, 0), 0) // tot.n
+                        AS BIGINT) AS theil_ppm
+            FROM tot LEFT JOIN s ON tot.nation = s.nation
+        """,
+        "class_weight_plan": """
+            WITH g AS (SELECT COALESCE(lang, 'und') AS lang,
+                              CAST(COUNT(*) AS HUGEINT) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS total,
+                         CAST(COUNT(*) AS HUGEINT) AS k FROM g)
+            SELECT g.lang, CAST(g.n AS BIGINT) AS n_docs,
+                   CAST((t.total * 1000000) // (t.k * g.n) AS BIGINT)
+                       AS weight_ppm
+            FROM g CROSS JOIN t
+        """,
+        "user_daily_ohlc": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   FIRST(value ORDER BY ts, event_id) AS open,
+                   MAX(value) AS high, MIN(value) AS low,
+                   LAST(value ORDER BY ts, event_id) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "systematic_sample": """
+            SELECT * FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(n_chars AS BIGINT) AS n_chars,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                           AS global_rank
+                FROM documents)
+            WHERE global_rank % 97 = 1
+        """,
+        "label_centroid_cosine": """
+            WITH e AS (SELECT label, unnest(embedding) AS x,
+                              unnest(range(1, len(embedding) + 1)) AS i
+                       FROM embeddings),
+            q AS (SELECT CAST(label AS BIGINT) AS label, i,
+                         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000)
+                                       AS HUGEINT)) AS HUGEINT) AS s
+                  FROM e GROUP BY 1, 2),
+            nrm AS (SELECT label, SUM(s * s) AS nn FROM q GROUP BY 1),
+            p AS (SELECT a.label AS la, b.label AS lb,
+                         SUM(a.s * b.s) AS dot
+                  FROM q a JOIN q b ON a.i = b.i AND a.label < b.label
+                  GROUP BY 1, 2)
+            SELECT p.la AS label_a, p.lb AS label_b,
+                   CAST(p.dot AS BIGINT) AS dot,
+                   CASE WHEN na.nn > 0 AND nb.nn > 0
+                        THEN CAST(p.dot AS DOUBLE)
+                             / (sqrt(CAST(na.nn AS DOUBLE))
+                                * sqrt(CAST(nb.nn AS DOUBLE)))
+                        ELSE 0.0 END AS cosine
+            FROM p JOIN nrm na ON p.la = na.label
+                   JOIN nrm nb ON p.lb = nb.label
+        """,
+        "fk_orphans": """
+            SELECT 'lineitem->orders' AS relationship,
+                   CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+                   CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                       THEN l.l_orderkey END) AS BIGINT)
+                       AS n_orphan_keys
+            FROM lineitem l LEFT JOIN
+                 (SELECT DISTINCT o_orderkey FROM orders) o
+                 ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'orders->customer',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1
+                                 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                       THEN o2.o_custkey END) AS BIGINT)
+            FROM orders o2 LEFT JOIN
+                 (SELECT DISTINCT c_custkey FROM customer) c
+                 ON o2.o_custkey = c.c_custkey
         """,
     }

@@ -227,7 +227,11 @@ def run_ops(sf_dir: str):
              "orders_profile", "orders_topk_offset", "copurchase_lift",
              "char_class_profile",
              "embedding_quant_stats", "source_lcp",
-             "user_lifespan_hist"]
+             "user_lifespan_hist",
+             "anova_f_chars", "cramers_v", "nation_theil",
+             "class_weight_plan", "user_daily_ohlc",
+             "systematic_sample", "label_centroid_cosine",
+             "fk_orphans"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -2570,3 +2570,169 @@ def source_lcp(ds, group_col: str = "source", text_col: str = "text"):
     if not out:
         return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)
+
+
+def grouped_anova_f(ds, group_col: str, value_col: str,
+                    null_value: str = "und"):
+    """One-way ANOVA F statistic over integer values in an EXACT
+    floor-quantized decomposition both engines reproduce bit-for-bit:
+    per group, B_g = (s1_g^2 * 1e6) // n_g (an exact integer floor of
+    the rational between-group term); SSB_micro = sum(B_g) -
+    (S1^2 * 1e6) // N and SSW_micro = S2 * 1e6 - sum(B_g); F_micro =
+    (SSB_micro * (N-k) * 1e6) // (SSW_micro * (k-1)) guarded to
+    positive operands (Python // floors, DuckDB // truncates — they
+    agree only on non-negatives).  No float enters until never.
+
+    Scale shape: per-batch (group, n, s1, s2) integer partials ->
+    ONE bounded groupby -> single-row driver finish over k group rows
+    (k = |groups|, independent of corpus size).  The x^2 partial is
+    int64-safe for value domains up to ~3e9 per batch row count; the
+    oracle uses HUGEINT throughout."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()),
+                         null_value)
+        v = pc.fill_null(pc.cast(b.column(value_col), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g.to_pandas(), "n": 1, "s1": v,
+                           "s2": v * v})
+        a = df.groupby("g", sort=False, as_index=False).sum()
+        return pa.table({"g": pa.array(a["g"], pa.string()),
+                         "n": pa.array(a["n"].to_numpy(np.int64)),
+                         "s1": pa.array(a["s1"].to_numpy(np.int64)),
+                         "s2": pa.array(a["s2"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("n"), Sum("s1"), Sum("s2")) \
+        .take_all()
+    out_cols = {"n_rows": "int64", "n_groups": "int64",
+                "ssb_micro": "int64", "ssw_micro": "int64",
+                "f_micro": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    M = 1_000_000
+    nn = s1t = s2t = sb = 0
+    for r in rows:
+        n, s1, s2 = int(r["sum(n)"]), int(r["sum(s1)"]), int(r["sum(s2)"])
+        nn += n
+        s1t += s1
+        s2t += s2
+        sb += (s1 * s1 * M) // n
+    k = len(rows)
+    ssb = sb - (s1t * s1t * M) // nn
+    ssw = s2t * M - sb
+    f_micro = ((ssb * (nn - k) * M) // (ssw * (k - 1))
+               if (k > 1 and nn > k and ssb > 0 and ssw > 0) else 0)
+    return pd.DataFrame([{"n_rows": nn, "n_groups": k,
+                          "ssb_micro": ssb, "ssw_micro": ssw,
+                          "f_micro": f_micro}]).astype(out_cols)
+
+
+def label_centroid_cosine(ds, *, scale: int = 1000):
+    """Pairwise cosine similarity between per-label embedding
+    centroids — centroid direction == direction of the per-label SUM,
+    so the whole statistic reduces to exact integer (label, dim)
+    sums of floor(x * scale) elements: dot products and squared norms
+    are then Python-int exact, and the only floats are one division
+    and two sqrts in a pinned IEEE order both engines share ->
+    (label_a, label_b, dot, cosine).
+
+    Scale shape: per-batch (label, dim) partial sums (vectorized
+    reshape + one np.add per batch), ONE bounded groupby over
+    |labels| x dim rows, driver finish on the tiny matrix.  Null
+    embeddings are zero vectors (similarity._stack policy) and
+    contribute nothing to the sums."""
+    from ray.data.aggregate import Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lab = b.column("label").to_pandas()
+        lab = lab.fillna(-1).to_numpy(np.int64) if lab.isna().any() \
+            else lab.to_numpy(np.int64)
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        lens = np.diff(off)
+        vals = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(np.nan_to_num(vals) * scale).astype(np.int64)
+        # ragged guard: only constant-dim rows fold vectorized; rows
+        # with a deviant length (or null -> len 0) fold per-row
+        if len(lens) == 0:
+            return empty
+        dim = int(np.bincount(lens).argmax()) if lens.max() > 0 else 0
+        if dim == 0:
+            return empty
+        reg = lens == dim
+        parts = []
+        if reg.any():
+            mat = np.empty((int(reg.sum()), dim), np.int64)
+            starts = off[:-1][reg]
+            idx = starts[:, None] + np.arange(dim)[None, :]
+            mat[:] = q[idx]
+            df = pd.DataFrame(mat)
+            df["label"] = lab[reg]
+            g = df.groupby("label", sort=False).sum()
+            long = g.reset_index().melt(
+                id_vars="label", var_name="dim", value_name="s")
+            parts.append(long)
+        if (~reg).any():
+            rows = []
+            for i in np.flatnonzero(~reg):
+                for d in range(int(lens[i])):
+                    rows.append((int(lab[i]), d, int(q[off[i] + d])))
+            if rows:
+                parts.append(pd.DataFrame(rows,
+                                          columns=["label", "dim", "s"]))
+        if not parts:
+            return empty
+        out = pd.concat(parts, ignore_index=True)
+        return pa.table({"label": pa.array(out["label"]
+                                           .to_numpy(np.int64)),
+                         "dim": pa.array(out["dim"].astype(np.int64)
+                                         .to_numpy()),
+                         "s": pa.array(out["s"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(Sum("s")).take_all()
+    out_cols = {"label_a": "int64", "label_b": "int64",
+                "dot": "int64", "cosine": "float64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    import math
+    vecs: dict = {}
+    for r in rows:
+        vecs.setdefault(int(r["label"]), {})[int(r["dim"])] = \
+            int(r["sum(s)"])
+    labels = sorted(vecs)
+    dense = {}
+    dmax = max((max(d) for d in vecs.values() if d), default=-1) + 1
+    for c in labels:
+        v = np.zeros(dmax, dtype=object)
+        for d, s in vecs[c].items():
+            v[d] = s
+        dense[c] = v
+    out = []
+    for i, a in enumerate(labels):
+        na = int(sum(int(x) * int(x) for x in dense[a]))
+        for bl in labels[i + 1:]:
+            nb = int(sum(int(x) * int(x) for x in dense[bl]))
+            dot = int(sum(int(x) * int(y)
+                          for x, y in zip(dense[a], dense[bl])))
+            if na > 0 and nb > 0:
+                cos = float(dot) / (math.sqrt(float(na))
+                                    * math.sqrt(float(nb)))
+            else:
+                cos = 0.0
+            out.append({"label_a": a, "label_b": bl, "dot": dot,
+                        "cosine": cos})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)

@@ -2314,3 +2314,92 @@ def user_lifespan_hist(ds, *, n_parts: int = 32):
 
     return partials.groupby("lifespan_days").aggregate(Sum("n_users")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+def user_daily_ohlc(ds, *, n_parts: int = 32):
+    """Per (user, day) OHLC bars over event value: open/close are the
+    values at the earliest/latest (ts, event_id) — the composite key
+    makes the tie-break total and deterministic — high/low are
+    max/min.  All four are SELECTED doubles (never summed), so the
+    floats are exact in both engines; day is the integer epoch-day
+    (epoch_us // 86_400_000_000, all-positive so floor == truncate).
+
+    Scale shape: per-batch vectorized partial bars per (user, day)
+    (one lexsort per batch — each partial carries its own
+    open/close anchors), then ONE (user, day)-keyed partition pass
+    merges partials by re-running the same argmin/argmax over the
+    few candidate rows per bar.  The exchange carries one row per
+    (user, day, batch), never raw events."""
+    from .dedup import _grouped_by_partition
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        schema = {"user_id": pa.int64(), "day": pa.int64(),
+                  "o_ts": pa.int64(), "o_eid": pa.int64(),
+                  "open": pa.float64(), "c_ts": pa.int64(),
+                  "c_eid": pa.int64(), "close": pa.float64(),
+                  "high": pa.float64(), "low": pa.float64(),
+                  "n_events": pa.int64()}
+        if b.num_rows == 0:
+            return pa.table({k: pa.array([], t)
+                             for k, t in schema.items()})
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.fill_null(pc.cast(ts_col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = pc.fill_null(pc.cast(b.column("event_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.nan_to_num(b.column("value")
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.float64))
+        day = ts // DAY_US
+        order = np.lexsort((eid, ts, day, u))
+        u, ts, eid, v, day = (a[order] for a in (u, ts, eid, v, day))
+        new = np.empty(len(u), bool)
+        new[0] = True
+        new[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u)] - 1
+        # within a (user, day) run the rows are (ts, eid)-sorted:
+        # first row = open anchor, last = close anchor
+        hi = np.maximum.reduceat(v, starts)
+        lo = np.minimum.reduceat(v, starts)
+        cnt = np.r_[starts[1:], len(u)] - starts
+        return pa.table({
+            "user_id": pa.array(u[starts]), "day": pa.array(day[starts]),
+            "o_ts": pa.array(ts[starts]), "o_eid": pa.array(eid[starts]),
+            "open": pa.array(v[starts]), "c_ts": pa.array(ts[ends]),
+            "c_eid": pa.array(eid[ends]), "close": pa.array(v[ends]),
+            "high": pa.array(hi), "low": pa.array(lo),
+            "n_events": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "day": "int64", "open": "float64",
+                "high": "float64", "low": "float64", "close": "float64",
+                "n_events": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["user_id", "day", "o_ts", "o_eid"],
+                            kind="stable")
+        first = df.groupby(["user_id", "day"], as_index=False, sort=False) \
+            .agg(open=("open", "first"))
+        df2 = df.sort_values(["user_id", "day", "c_ts", "c_eid"],
+                             kind="stable")
+        last = df2.groupby(["user_id", "day"], as_index=False, sort=False) \
+            .agg(close=("close", "last"))
+        rng = df.groupby(["user_id", "day"], as_index=False, sort=False) \
+            .agg(high=("high", "max"), low=("low", "min"),
+                 n_events=("n_events", "sum"))
+        out = first.merge(last, on=["user_id", "day"]) \
+                   .merge(rng, on=["user_id", "day"])
+        return out[list(cols)].astype(cols)
+
+    return _grouped_by_partition(partials, ["user_id", "day"], resolve,
+                                 n_parts=n_parts)

@@ -3350,3 +3350,190 @@ def copurchase_lift(lineitem_ds, part_ds, *, num_partitions=None):
     if not out:
         return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)
+
+
+def fk_orphans(child_ds, child_key: str, parent_ds, parent_key: str,
+               relationship: str, *, n_parts: int = 32):
+    """Referential-integrity audit for one FK edge -> single row
+    (relationship, n_child_rows, n_orphan_rows, n_orphan_keys): child
+    rows whose key has no parent.  The ingest gate every warehouse
+    load runs before joins are trusted.
+
+    Scale shape: map-side per-key child ROW counts (the exchange
+    carries one row per distinct key per batch) tagged-unioned with
+    map-side-deduped parent keys — no hash join, ONE key-partitioned
+    pass; each partition folds to three numbers, the driver adds a
+    handful of partial rows."""
+    from .dedup import _grouped_by_partition
+
+    def c_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        k = pc.fill_null(pc.cast(b.column(child_key), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(ks),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "p": pa.array(np.zeros(len(ks), np.int64))})
+
+    def p_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        k = np.unique(
+            pc.fill_null(pc.cast(b.column(parent_key), pa.int64()), -1)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(k),
+                         "c": pa.array(np.zeros(len(k), np.int64)),
+                         "p": pa.array(np.ones(len(k), np.int64))})
+
+    tagged = child_ds.map_batches(c_partial, batch_format="pyarrow") \
+        .union(parent_ds.map_batches(p_partial, batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_child_rows": "int64", "n_orphan_rows": "int64",
+                "n_orphan_keys": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("k", as_index=False).agg(c=("c", "sum"),
+                                                p=("p", "max"))
+        orphan = (g["p"] == 0) & (g["c"] > 0)
+        return pd.DataFrame([{
+            "n_child_rows": int(g["c"].sum()),
+            "n_orphan_rows": int(g.loc[orphan, "c"].sum()),
+            "n_orphan_keys": int(orphan.sum())}]).astype(cols)
+
+    parts = _grouped_by_partition(tagged, ["k"], fold, n_parts=n_parts)
+    rows = parts.take_all()
+    out_cols = {"relationship": "object", "n_child_rows": "int64",
+                "n_orphan_rows": "int64", "n_orphan_keys": "int64"}
+    tot = {c: 0 for c in ("n_child_rows", "n_orphan_rows",
+                          "n_orphan_keys")}
+    for r in rows:
+        for c in tot:
+            tot[c] += int(r[c])
+    out = pd.DataFrame([{"relationship": relationship, **tot}])
+    return out[list(out_cols)].astype(
+        {k: v for k, v in out_cols.items() if k != "relationship"})
+
+
+def nation_theil(orders_ds, customer_ds, *, n_parts: int = 32):
+    """Theil-T inequality index of customer order spend per nation ->
+    (nation, n_cust, total_x, theil_ppm).  T = (1/n) * sum_i
+    (x_i/mu) * ln(x_i/mu); 0 = perfectly even, ln(n) = one customer
+    holds everything.  The inequality-decomposition counterpart to
+    the HHI screen (nation_revenue_hhi).
+
+    Determinism: each customer's term is floored to ppm BEFORE the
+    per-nation sum — term_ppm = floor(1e6 * r * ln(r * n)) with
+    r = CAST(x AS DOUBLE)/CAST(X AS DOUBLE) — so the cross-engine sum
+    is an order-free INTEGER sum; x (floored dollars) and X, n (exact
+    integer totals) feed identical IEEE expressions in both engines.
+
+    Scale shape: the nation_revenue_hhi tagged-union custkey pass
+    resolves each customer's (nation, x) exactly once; nation totals
+    are a bounded groupby (<=25 rows) broadcast back; the term pass is
+    map-only with per-batch per-nation integer partials."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _grouped_by_partition
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64())})
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.floor(np.nan_to_num(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            .astype(np.float64))).astype(np.int64)
+        g = pd.DataFrame({"k": k, "x": v}).groupby(
+            "k", as_index=False)["x"].sum()
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "x": pa.array(g["x"].to_numpy(np.int64)),
+                         "nat": pa.array(np.full(len(g), -1, np.int64))})
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64())})
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "x": pa.array(np.zeros(len(k), np.int64)),
+                         "nat": pa.array(n)})
+
+    tagged = orders_ds.map_batches(o_partial, batch_format="pyarrow") \
+        .union(customer_ds.map_batches(c_rows, batch_format="pyarrow"))
+
+    def per_customer(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nation": "int64", "x": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("k", as_index=False).agg(
+            x=("x", "sum"), nat=("nat", "max"))
+        g = g[(g["nat"] >= 0) & (g["x"] > 0)]
+        return pd.DataFrame({"nation": g["nat"].to_numpy(np.int64),
+                             "x": g["x"].to_numpy(np.int64)})
+
+    cust = _grouped_by_partition(tagged, ["k"], per_customer,
+                                 n_parts=n_parts).materialize()
+
+    tot_rows = cust.groupby("nation").aggregate(
+        Count(), Sum("x")).take_all()
+    out_cols = {"nation": "int64", "n_cust": "int64", "total_x": "int64",
+                "theil_ppm": "int64"}
+    if not tot_rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    totals = {int(r["nation"]): (int(r["count()"]), int(r["sum(x)"]))
+              for r in tot_rows}
+    lut_ref = ray.put(totals)
+
+    def term_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"nation": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        lut = ray.get(lut_ref)
+        nat = b.column("nation").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = b.column("x").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keys = np.array(sorted(lut), np.int64)
+        ns = np.array([lut[k][0] for k in keys], np.float64)
+        Xs = np.array([float(lut[k][1]) for k in keys], np.float64)
+        pos = np.searchsorted(keys, nat)
+        n_arr = ns[pos]
+        X_arr = Xs[pos]
+        r = x / X_arr
+        term = np.floor(1_000_000.0 * r * np.log(r * n_arr)) \
+            .astype(np.int64)
+        g = pd.DataFrame({"nation": nat, "t": term}) \
+            .groupby("nation", sort=False, as_index=False).sum()
+        return pa.table({"nation": pa.array(g["nation"]
+                                            .to_numpy(np.int64)),
+                         "t": pa.array(g["t"].to_numpy(np.int64))})
+
+    srows = cust.map_batches(term_partial, batch_format="pyarrow") \
+        .groupby("nation").aggregate(Sum("t")).take_all()
+    tsum = {int(r["nation"]): int(r["sum(t)"]) for r in srows}
+    out = []
+    for nat in sorted(totals):
+        n, X = totals[nat]
+        # clamp before the // — floored terms can push the sum a few
+        # ppm below 0 when T ~ 0, and Python floors negatives where
+        # DuckDB truncates; GREATEST(s,0) keeps both engines on
+        # positive operands
+        out.append({"nation": nat, "n_cust": n, "total_x": X,
+                    "theil_ppm": max(tsum.get(nat, 0), 0) // n})
+    _ = math  # documented-import guard
+    return pd.DataFrame(out).astype(out_cols)

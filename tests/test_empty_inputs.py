@@ -90,6 +90,11 @@ QUERIES = [
     "embedding_quant_stats", "source_lcp", "user_lifespan_hist",
     # recovered shadowed ops (renamed)
     "chars_width_histogram", "retention_cohorts_cal", "orders_profile_long",
+    # wave 17: ANOVA F, Cramer's V, Theil, class weights, OHLC,
+    # systematic sample, centroid cosine, FK orphans
+    "anova_f_chars", "cramers_v", "nation_theil", "class_weight_plan",
+    "user_daily_ohlc", "systematic_sample", "label_centroid_cosine",
+    "fk_orphans",
 ]
 
 
@@ -152,6 +157,11 @@ ONE_ROW_QUERIES = [
     "embedding_quant_stats", "source_lcp", "user_lifespan_hist",
     # recovered shadowed ops (renamed)
     "chars_width_histogram", "retention_cohorts_cal", "orders_profile_long",
+    # wave 17: ANOVA F, Cramer's V, Theil, class weights, OHLC,
+    # systematic sample, centroid cosine, FK orphans
+    "anova_f_chars", "cramers_v", "nation_theil", "class_weight_plan",
+    "user_daily_ohlc", "systematic_sample", "label_centroid_cosine",
+    "fk_orphans",
 ]
 
 
