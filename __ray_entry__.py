@@ -6653,6 +6653,75 @@ def _q_fk_orphans(sf_dir: str):
     return pd.concat([a, b], ignore_index=True)
 
 
+def _q_user_survival_km(sf_dir: str):
+    """Kaplan-Meier survival curve over user lifetimes with 6-hour
+    right-censoring (ops/events.user_survival_km; the synthetic events
+    axis spans ~30 days with most users active to the end, so a short
+    censor window is what yields a real at-risk decay)."""
+    from pdf_extract_ray.ops.events import user_survival_km
+    return user_survival_km(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        censor_us=21_600_000_000)
+
+
+def _q_kmv_type_overlap(sf_dir: str):
+    """KMV sketch set-operation estimates of user-audience overlap
+    between event types (ops/sketch.kmv_group_overlap) — the
+    deterministic-sketch counterpart to an exact distinct-pair
+    join."""
+    from pdf_extract_ray.ops.sketch import kmv_group_overlap
+    return kmv_group_overlap(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
+def _q_langid_calibration(sf_dir: str):
+    """Reliability (calibration) bins for the language-ID classifier:
+    confidence decile vs actual accuracy -> (bin, n_docs, n_correct,
+    accuracy_ppm).  The model-audit op every classifier-gated corpus
+    filter needs; reuses the fully-oracled LangIdBatch kernel, so the
+    whole audit is SQL-checkable.  Map-side (bin, n, correct) partials
+    + one 11-key groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.textstats import LangIdBatch
+    from pdf_extract_ray.util import task_udf
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        pred = task_udf(LangIdBatch)(b.select(["doc_id", "text"]))
+        conf = pred.column("lang_confidence") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor(conf * 10.0).astype(np.int64)
+        actual = pc.fill_null(pc.cast(b.column("lang"), pa.string()),
+                              "und").to_pandas().to_numpy(object)
+        p = pred.column("pred_lang").to_pandas().to_numpy(object)
+        correct = (p == actual).astype(np.int64)
+        g = pd.DataFrame({"bin": bins, "n": 1, "c": correct}) \
+            .groupby("bin", sort=False, as_index=False).sum()
+        return pa.table({"bin": pa.array(g["bin"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(fn, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n"), Sum("c")).take_all()
+    out_cols = {"bin": "int64", "n_docs": "int64", "n_correct": "int64",
+                "accuracy_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    out = [{"bin": int(r["bin"]), "n_docs": int(r["sum(n)"]),
+            "n_correct": int(r["sum(c)"]),
+            "accuracy_ppm": (int(r["sum(c)"]) * 1_000_000)
+            // int(r["sum(n)"])} for r in rows]
+    return pd.DataFrame(out).astype(out_cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -6978,6 +7047,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _q_systematic_sample,
         "label_centroid_cosine": _q_label_centroid_cosine,
         "fk_orphans": _q_fk_orphans,
+        "user_survival_km": _q_user_survival_km,
+        "kmv_type_overlap": _q_kmv_type_overlap,
+        "langid_calibration": _q_langid_calibration,
     }
 
 
@@ -11236,5 +11308,141 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o2 LEFT JOIN
                  (SELECT DISTINCT c_custkey FROM customer) c
                  ON o2.o_custkey = c.c_custkey
+        """,
+        "user_survival_km": """
+            WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                              max(epoch_us(ts)) AS l
+                       FROM events GROUP BY 1),
+            g AS (SELECT max(l) AS gmax FROM u),
+            d AS (SELECT (l - f) // 86400000000 AS day,
+                         CASE WHEN l <= g.gmax - 21600000000
+                              THEN 1 ELSE 0 END AS observed
+                  FROM u, g),
+            ev AS (SELECT day, SUM(observed) AS d_events,
+                          COUNT(*) AS leaving
+                   FROM d GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS n FROM d),
+            r AS (SELECT day, d_events,
+                         tot.n - COALESCE(SUM(leaving) OVER (
+                             ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                  FROM ev, tot),
+            t AS (SELECT day, n_risk, d_events,
+                         CASE WHEN d_events < n_risk
+                              THEN CAST(FLOOR(1000000.0 * LN(1.0
+                                   - CAST(d_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)))
+                                   AS BIGINT)
+                              ELSE -1000000000000000 END AS term
+                  FROM r WHERE d_events > 0)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d_events AS BIGINT) AS n_events,
+                   CAST(SUM(term) OVER (ORDER BY day ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS log_surv_ppm
+            FROM t
+        """,
+        "kmv_type_overlap": """
+            WITH h AS (SELECT DISTINCT COALESCE(event_type, 'und') AS t,
+                           CAST(concat('0x', substr(md5(
+                               CAST(user_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) AS hv
+                       FROM events),
+            k AS (SELECT t, hv FROM (
+                      SELECT t, hv, row_number() OVER (
+                          PARTITION BY t ORDER BY hv) AS rn FROM h)
+                  WHERE rn <= 64),
+            e AS (SELECT t, count(*) AS kk, max(hv) AS kth
+                  FROM k GROUP BY 1),
+            pr AS (SELECT a.t AS ta, a.kk AS ka, a.kth AS kha,
+                          b.t AS tb, b.kk AS kb, b.kth AS khb
+                   FROM e a JOIN e b ON a.t < b.t),
+            uh AS (SELECT DISTINCT pr.ta, pr.tb, k.hv
+                   FROM pr JOIN k ON k.t = pr.ta OR k.t = pr.tb),
+            ur AS (SELECT ta, tb, hv, row_number() OVER (
+                       PARTITION BY ta, tb ORDER BY hv) AS rn
+                   FROM uh),
+            ue AS (SELECT ta, tb, count(*) AS kk, max(hv) AS kth
+                   FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+            f AS (SELECT pr.ta, pr.tb,
+                      CASE WHEN pr.ka < 64 THEN CAST(pr.ka AS HUGEINT)
+                           ELSE (CAST(63 AS HUGEINT)
+                                 * 1152921504606846976) // pr.kha
+                           END AS ea,
+                      CASE WHEN pr.kb < 64 THEN CAST(pr.kb AS HUGEINT)
+                           ELSE (CAST(63 AS HUGEINT)
+                                 * 1152921504606846976) // pr.khb
+                           END AS eb,
+                      CASE WHEN ue.kk < 64 THEN CAST(ue.kk AS HUGEINT)
+                           ELSE (CAST(63 AS HUGEINT)
+                                 * 1152921504606846976) // ue.kth
+                           END AS eu
+                  FROM pr JOIN ue ON pr.ta = ue.ta AND pr.tb = ue.tb)
+            SELECT ta AS group_a, tb AS group_b,
+                   CAST(ea AS BIGINT) AS est_a,
+                   CAST(eb AS BIGINT) AS est_b,
+                   CAST(eu AS BIGINT) AS est_union,
+                   CAST(GREATEST(ea + eb - eu, 0) AS BIGINT)
+                       AS est_intersection
+            FROM f
+        """,
+        "langid_calibration": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS w
+              FROM documents),
+            h AS (SELECT doc_id,
+                   sum(CASE WHEN w IN ('auch', 'das', 'den', 'der', 'die', 'ein', 'eine', 'im', 'ist', 'mit', 'nicht', 'und', 'von', 'zu')
+                            THEN 1 ELSE 0 END) AS de,
+                   sum(CASE WHEN w IN ('a', 'and', 'are', 'at', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'this', 'to', 'was', 'with')
+                            THEN 1 ELSE 0 END) AS en,
+                   sum(CASE WHEN w IN ('con', 'de', 'del', 'el', 'en', 'es', 'las', 'los', 'para', 'por', 'se', 'un', 'una', 'y')
+                            THEN 1 ELSE 0 END) AS es,
+                   sum(CASE WHEN w IN ('au', 'dans', 'de', 'du', 'en', 'est', 'et', 'la', 'le', 'les', 'pour', 'que', 'un', 'une')
+                            THEN 1 ELSE 0 END) AS fr,
+                   sum(CASE WHEN w IN ('a', 'az', 'de', 'egy', 'el', 'ez', 'hogy', 'is', 'meg', 'nem', 'van', 'és')
+                            THEN 1 ELSE 0 END) AS hu,
+                   count(*) AS n_words
+                  FROM w GROUP BY doc_id),
+            j AS (SELECT d.doc_id,
+                         COALESCE(h.de,0) AS de, COALESCE(h.en,0) AS en,
+                         COALESCE(h.es,0) AS es, COALESCE(h.fr,0) AS fr,
+                         COALESCE(h.hu,0) AS hu,
+                         COALESCE(h.n_words,0) AS n_words
+                  FROM documents d LEFT JOIN h USING (doc_id)),
+            u AS (SELECT doc_id, 'de' AS lang, de AS hits FROM j
+                  UNION ALL SELECT doc_id, 'en' AS lang, en AS hits FROM j
+                  UNION ALL SELECT doc_id, 'es' AS lang, es AS hits FROM j
+                  UNION ALL SELECT doc_id, 'fr' AS lang, fr AS hits FROM j
+                  UNION ALL SELECT doc_id, 'hu' AS lang, hu AS hits FROM j),
+            b AS (SELECT doc_id, lang, hits,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY hits DESC, lang)
+                             AS rn
+                  FROM u),
+            p AS (SELECT j.doc_id,
+                         CASE WHEN b.hits > 0 THEN b.lang
+                              ELSE 'und' END AS pred_lang,
+                         CASE WHEN j.n_words > 0
+                              THEN CAST(b.hits AS DOUBLE)
+                                   / CAST(j.n_words AS DOUBLE)
+                              ELSE 0.0 END AS conf
+                  FROM b JOIN j USING (doc_id) WHERE b.rn = 1)
+            SELECT CAST(FLOOR(conf * 10.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN p.pred_lang
+                                      = COALESCE(d.lang, 'und')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_correct,
+                   CAST((CAST(SUM(CASE WHEN p.pred_lang
+                                       = COALESCE(d.lang, 'und')
+                                  THEN 1 ELSE 0 END) AS HUGEINT)
+                         * 1000000) // COUNT(*) AS BIGINT)
+                       AS accuracy_ppm
+            FROM p JOIN documents d USING (doc_id)
+            GROUP BY 1
         """,
     }

@@ -231,7 +231,8 @@ def run_ops(sf_dir: str):
              "anova_f_chars", "cramers_v", "nation_theil",
              "class_weight_plan", "user_daily_ohlc",
              "systematic_sample", "label_centroid_cosine",
-             "fk_orphans"]
+             "fk_orphans", "user_survival_km", "kmv_type_overlap",
+             "langid_calibration"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

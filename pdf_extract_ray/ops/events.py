@@ -2403,3 +2403,106 @@ def user_daily_ohlc(ds, *, n_parts: int = 32):
 
     return _grouped_by_partition(partials, ["user_id", "day"], resolve,
                                  n_parts=n_parts)
+
+
+def user_survival_km(ds, *, censor_us: int = 604_800_000_000):
+    """Kaplan-Meier survival curve over user lifetimes (churn
+    analysis): duration = whole days between a user's first and last
+    event; users whose last event falls within `censor_us` of the
+    corpus end are right-CENSORED (still alive at observation end) —
+    they stay in the risk set through their duration but add no death.
+    -> one row per death day: (day, n_risk, n_events, log_surv_ppm)
+    where log_surv_ppm is the running sum of
+    floor(1e6 * ln(1 - d_i/n_i)) — the log of the product-limit
+    estimator as an ORDER-FREE integer cumsum (each step's float ln is
+    floored to ppm before summation, so both engines agree exactly);
+    a saturated step (d == n, survival hits 0) contributes the
+    sentinel -1e15.
+
+    Scale shape: per-batch (user, min_ts, max_ts) partials -> ONE
+    native user-keyed Min/Max aggregate -> map-side bounded day
+    histogram (d_events, leaving per day) -> driver cumsum over the
+    day domain (bounded by the corpus time span, not by users)."""
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "l": pa.array([], pa.int64())})
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.fill_null(pc.cast(ts_col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"user_id": u, "f": ts, "l": ts}) \
+            .groupby("user_id", sort=False, as_index=False) \
+            .agg(f=("f", "min"), l=("l", "max"))
+        return pa.table({"user_id": pa.array(g["user_id"]
+                                             .to_numpy(np.int64)),
+                         "f": pa.array(g["f"].to_numpy(np.int64)),
+                         "l": pa.array(g["l"].to_numpy(np.int64))})
+
+    users = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("f"), Max("l")) \
+        .materialize()
+
+    out_cols = {"day": "int64", "n_risk": "int64", "n_events": "int64",
+                "log_surv_ppm": "int64"}
+    gmax_rows = users.aggregate(Max("max(l)"))
+    if not gmax_rows or gmax_rows.get("max(max(l))") is None:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    gmax = int(gmax_rows["max(max(l))"])
+    cutoff = gmax - censor_us
+
+    def day_hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "d_events": pa.array([], pa.int64()),
+                             "leaving": pa.array([], pa.int64())})
+        f = b.column("min(f)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        last = b.column("max(l)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dur = (last - f) // DAY_US
+        observed = (last <= cutoff).astype(np.int64)
+        g = pd.DataFrame({"day": dur, "d_events": observed,
+                          "leaving": 1}) \
+            .groupby("day", sort=False, as_index=False).sum()
+        return pa.table({"day": pa.array(g["day"].to_numpy(np.int64)),
+                         "d_events": pa.array(g["d_events"]
+                                              .to_numpy(np.int64)),
+                         "leaving": pa.array(g["leaving"]
+                                             .to_numpy(np.int64))})
+
+    rows = users.map_batches(day_hist, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("d_events"), Sum("leaving")) \
+        .take_all()
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    hist = sorted((int(r["day"]), int(r["sum(d_events)"]),
+                   int(r["sum(leaving)"])) for r in rows)
+    n_total = sum(lv for _, _, lv in hist)
+    out = []
+    n_risk = n_total
+    log_ppm = 0
+    for day, d, leaving in hist:
+        if d > 0:
+            if d < n_risk:
+                term = math.floor(1_000_000.0 * math.log(
+                    1.0 - float(d) / float(n_risk)))
+            else:
+                term = -1_000_000_000_000_000
+            log_ppm += term
+            out.append({"day": day, "n_risk": n_risk, "n_events": d,
+                        "log_surv_ppm": log_ppm})
+        n_risk -= leaving
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)

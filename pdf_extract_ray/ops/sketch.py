@@ -443,3 +443,70 @@ def cms_word_counts(ds, text_col: str = "text", *,
             "approx_count": pc.cast(
                 b.column("max(approx_count)"), pa.int64())}),
             batch_format="pyarrow")
+
+
+def kmv_group_overlap(ds, group_col: str, id_col: str, *, k: int = 64):
+    """KMV set-operation sketch: per group keep the k smallest
+    distinct 60-bit md5 hashes of the id column, then estimate every
+    group PAIR's |A|, |B|, |A u B| (union sketch = k smallest of the
+    merged hash sets — the standard KMV closure) and |A n B| by
+    inclusion-exclusion, clamped at 0 -> (group_a, group_b, est_a,
+    est_b, est_union, est_intersection).  Like kmv_distinct_users,
+    every number is DETERMINISTIC (md5, integer //), so the sketch
+    math itself is oracle-checkable; under-k sets estimate exactly.
+
+    Scale shape: per-batch per-group distinct ids -> md5 -> local
+    k-min partials (the exchange carries <= |groups| x k hashes per
+    batch); the driver merges bounded |groups| x k lists and does the
+    pairwise finish on sketches only."""
+    M60 = 1 << 60
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "hv": pa.array([], pa.int64())})
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()),
+                         "und").to_pandas().to_numpy(object)
+        ids = pc.fill_null(pc.cast(b.column(id_col), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "i": ids}).drop_duplicates()
+        memo: Dict[int, int] = {}
+        hv = np.fromiter(
+            (memo.setdefault(int(i), int(hashlib.md5(
+                str(int(i)).encode()).hexdigest()[:15], 16))
+             for i in df["i"]), np.int64, len(df))
+        df = pd.DataFrame({"g": df["g"].to_numpy(object), "hv": hv})
+        top = df.sort_values(["g", "hv"]).groupby("g").head(k)
+        return pa.table({"g": pa.array(top["g"].to_numpy(object),
+                                       pa.string()),
+                         "hv": pa.array(top["hv"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out_cols = {"group_a": "object", "group_b": "object",
+                "est_a": "int64", "est_b": "int64",
+                "est_union": "int64", "est_intersection": "int64"}
+    num_cols = {c: t for c, t in out_cols.items() if t == "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num_cols)
+    sk: Dict[str, np.ndarray] = {}
+    df = pd.DataFrame(rows)
+    for g, sub in df.groupby("g"):
+        sk[str(g)] = np.unique(sub["hv"].to_numpy(np.int64))[:k]
+
+    def est(hv: np.ndarray) -> int:
+        if len(hv) < k:
+            return len(hv)
+        return (k - 1) * M60 // int(hv[-1])
+
+    groups = sorted(sk)
+    out = []
+    for i, a in enumerate(groups):
+        for b_ in groups[i + 1:]:
+            u = np.unique(np.concatenate([sk[a], sk[b_]]))[:k]
+            ea, eb, eu = est(sk[a]), est(sk[b_]), est(u)
+            out.append({"group_a": a, "group_b": b_, "est_a": ea,
+                        "est_b": eb, "est_union": eu,
+                        "est_intersection": max(ea + eb - eu, 0)})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num_cols)
+    return pd.DataFrame(out).astype(num_cols)

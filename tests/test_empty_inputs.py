@@ -95,6 +95,8 @@ QUERIES = [
     "anova_f_chars", "cramers_v", "nation_theil", "class_weight_plan",
     "user_daily_ohlc", "systematic_sample", "label_centroid_cosine",
     "fk_orphans",
+    # wave 18: survival, KMV overlap, calibration
+    "user_survival_km", "kmv_type_overlap", "langid_calibration",
 ]
 
 
@@ -162,6 +164,8 @@ ONE_ROW_QUERIES = [
     "anova_f_chars", "cramers_v", "nation_theil", "class_weight_plan",
     "user_daily_ohlc", "systematic_sample", "label_centroid_cosine",
     "fk_orphans",
+    # wave 18: survival, KMV overlap, calibration
+    "user_survival_km", "kmv_type_overlap", "langid_calibration",
 ]
 
 

@@ -159,3 +159,69 @@ class TestNationTheil:
         t1 = math.floor(1e6 * (1.0 / total) * math.log(1.0 / total * 2))
         assert int(n1["theil_ppm"]) == max(t999 + t1, 0) // 2
         assert int(n1["total_x"]) == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserSurvivalKm:
+    def test_hand_computed_curve(self):
+        from pdf_extract_ray.ops.events import user_survival_km
+        day = 86_400_000_000
+        # durations: u1=0d, u2=0d, u3=1d, u4=2d, u5=2d; all observed
+        # (gmax is u5's last event; censor window 1us below everything)
+        rows = []
+        for uid, (start, dur) in enumerate(
+                [(0, 0), (day, 0), (0, day), (0, 2 * day),
+                 (day, 2 * day)], 1):
+            rows.append((uid, start))
+            rows.append((uid, start + dur))
+        df = pd.DataFrame(rows, columns=["user_id", "ts_us"])
+        df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+        out = user_survival_km(_ds(df[["user_id", "ts"]]), censor_us=0)
+        assert list(out["day"]) == [0, 1, 2]
+        assert list(out["n_risk"]) == [5, 3, 2]
+        assert list(out["n_events"]) == [2, 1, 2]
+        t0 = math.floor(1e6 * math.log(1.0 - 2.0 / 5.0))
+        t1 = math.floor(1e6 * math.log(1.0 - 1.0 / 3.0))
+        assert int(out.iloc[0]["log_surv_ppm"]) == t0
+        assert int(out.iloc[1]["log_surv_ppm"]) == t0 + t1
+        # saturated last step -> sentinel dominates
+        assert int(out.iloc[2]["log_surv_ppm"]) < -10**14
+
+    def test_censored_users_stay_at_risk(self):
+        from pdf_extract_ray.ops.events import user_survival_km
+        day = 86_400_000_000
+        # cutoff = gmax - day/2 = 1.5 day.  u1 dies at day 1 (last event
+        # at 1.0 day <= cutoff -> observed); u2 has duration 1 day but
+        # its last event (1.75 day) is inside the censor window ->
+        # censored; u3 defines gmax (2 day) -> censored at day 2
+        df = pd.DataFrame({
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "ts": pd.to_datetime(
+                [0, day, 3 * day // 4, 7 * day // 4, 0, 2 * day],
+                unit="us")})
+        out = user_survival_km(_ds(df), censor_us=day // 2)
+        assert len(out) == 1
+        r = out.iloc[0]
+        # at day 1 all three are still at risk, one observed death
+        assert (int(r["day"]), int(r["n_risk"]),
+                int(r["n_events"])) == (1, 3, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmvGroupOverlap:
+    def test_under_k_is_exact(self):
+        from pdf_extract_ray.ops.sketch import kmv_group_overlap
+        df = pd.DataFrame({
+            "g": ["a"] * 4 + ["b"] * 3,
+            "i": [1, 2, 3, 4, 3, 4, 5]})
+        out = kmv_group_overlap(_ds(df), "g", "i")
+        r = out.iloc[0]
+        assert (int(r["est_a"]), int(r["est_b"])) == (4, 3)
+        assert int(r["est_union"]) == 5
+        assert int(r["est_intersection"]) == 2
+
+    def test_disjoint_groups(self):
+        from pdf_extract_ray.ops.sketch import kmv_group_overlap
+        df = pd.DataFrame({"g": ["a", "a", "b"], "i": [1, 2, 99]})
+        out = kmv_group_overlap(_ds(df), "g", "i")
+        assert int(out.iloc[0]["est_intersection"]) == 0
