@@ -6722,6 +6722,123 @@ def _q_langid_calibration(sf_dir: str):
     return pd.DataFrame(out).astype(out_cols)
 
 
+def _q_user_value_interp(sf_dir: str):
+    """Hourly linear-interpolation resample per user, exact scaled
+    integers (ops/events.user_value_interp) — the gap-filling
+    counterpart to user_value_locf."""
+    from pdf_extract_ray.ops.events import user_value_interp
+    return user_value_interp(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout keys over (length-bucket, id-bucket) —
+    the lakehouse multi-dimensional clustering primitive (Delta/
+    Iceberg Z-ORDER): interleave 4 bits of each dimension into an
+    8-bit curve position, then audit the layout (docs + chars range
+    per z-bucket).  Pure integer bit algebra both engines; map-side
+    partials -> ONE bounded 256-key groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"z": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.minimum(ch // 64, 15)
+        y = did % 16
+        z = np.zeros(len(x), np.int64)
+        for bit in range(4):
+            z |= (((x >> bit) & 1) << (2 * bit + 1))
+            z |= (((y >> bit) & 1) << (2 * bit))
+        g = pd.DataFrame({"z": z, "n": 1, "mn": ch, "mx": ch}) \
+            .groupby("z", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        return pa.table({"z": pa.array(g["z"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "mn": pa.array(g["mn"].to_numpy(np.int64)),
+                         "mx": pa.array(g["mx"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("z").aggregate(Sum("n"), Min("mn"), Max("mx")) \
+        .take_all()
+    df = _df_from_rows(rows, ["z", "sum(n)", "min(mn)", "max(mx)"]) \
+        .rename(columns={"sum(n)": "n_docs", "min(mn)": "min_chars",
+                         "max(mx)": "max_chars"})
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _q_best_split_chars(sf_dir: str):
+    """Decision-stump split finder: the length threshold that
+    minimizes weighted Gini impurity for predicting lang = 'en' —
+    the CART/GBDT inner loop as a distributed primitive.  EXACT
+    integers end to end: per-side impurity terms are floored to ppm
+    of the corpus ((n_s^2 - e_s^2 - (n_s - e_s)^2) * 1e6 //
+    (n_s * N), positive operands only), summed, arg-minned with
+    smallest-threshold ties.
+
+    Scale shape: ONE bounded (chars, is_en) count exchange (value
+    domain, not rows — the grouped_median assumption), cumulative
+    scan over the sorted distinct values on the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(pc.fill_null(pc.cast(b.column("lang"),
+                                           pa.string()), "und"), "en") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"v": ch, "n": 1, "e": en}) \
+            .groupby("v", sort=False, as_index=False).sum()
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "e": pa.array(g["e"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("n"), Sum("e")).take_all()
+    out_cols = {"threshold": "int64", "n_left": "int64",
+                "n_right": "int64", "gini_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    hist = sorted((int(r["v"]), int(r["sum(n)"]), int(r["sum(e)"]))
+                  for r in rows)
+    N = sum(n for _, n, _ in hist)
+    E = sum(e for _, _, e in hist)
+    M = 1_000_000
+    best = None
+    nl = el = 0
+    for v, n, e in hist[:-1]:
+        nl += n
+        el += e
+        nr, er = N - nl, E - el
+
+        def side(ns, es):
+            return ((ns * ns - es * es - (ns - es) * (ns - es)) * M) \
+                // (ns * N) if ns > 0 else 0
+        g = side(nl, el) + side(nr, er)
+        if best is None or g < best[3]:
+            best = (v, nl, nr, g)
+    if best is None:  # single distinct value: no split possible
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([dict(zip(
+        ("threshold", "n_left", "n_right", "gini_ppm"), best))]) \
+        .astype(out_cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -7050,6 +7167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_survival_km": _q_user_survival_km,
         "kmv_type_overlap": _q_kmv_type_overlap,
         "langid_calibration": _q_langid_calibration,
+        "user_value_interp": _q_user_value_interp,
+        "zorder_layout": _q_zorder_layout,
+        "best_split_chars": _q_best_split_chars,
     }
 
 
@@ -11444,5 +11564,84 @@ def oracle_sql() -> dict[str, str]:
                        AS accuracy_ppm
             FROM p JOIN documents d USING (doc_id)
             GROUP BY 1
+        """,
+        "user_value_interp": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events),
+            dd AS (SELECT user_id, t, vm FROM d WHERE rn = 1),
+            seg AS (SELECT user_id, t AS t0, vm AS v0,
+                           LEAD(t) OVER w AS t1, LEAD(vm) OVER w AS v1
+                    FROM dd
+                    WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            g AS (SELECT user_id, v0, v1, t0, t1,
+                         unnest(range((t0 + 3599999999) // 3600000000,
+                                      ((t1 - 1) // 3600000000) + 1))
+                             AS hour
+                  FROM seg WHERE t1 IS NOT NULL),
+            pts AS (
+              SELECT user_id, hour,
+                     v0 + ((v1 - v0) * (hour * 3600000000 - t0))
+                          // (t1 - t0) AS value_milli
+              FROM g
+              UNION ALL
+              SELECT user_id, t0 // 3600000000, v0
+              FROM seg WHERE t1 IS NULL AND t0 % 3600000000 = 0)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(hour AS BIGINT) AS hour,
+                   CAST(value_milli AS BIGINT) AS value_milli
+            FROM pts
+        """,
+        "zorder_layout": """
+            WITH b AS (
+              SELECT LEAST(COALESCE(n_chars, 0) // 64, 15) AS x,
+                     COALESCE(doc_id, 0) % 16 AS y,
+                     COALESCE(n_chars, 0) AS ch
+              FROM documents),
+            z AS (SELECT ((x & 1) * 2) + (((x >> 1) & 1) * 8)
+                         + (((x >> 2) & 1) * 32)
+                         + (((x >> 3) & 1) * 128)
+                         + (y & 1) + (((y >> 1) & 1) * 4)
+                         + (((y >> 2) & 1) * 16)
+                         + (((y >> 3) & 1) * 64) AS z, ch
+                  FROM b)
+            SELECT CAST(z AS BIGINT) AS z,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(ch) AS BIGINT) AS min_chars,
+                   CAST(MAX(ch) AS BIGINT) AS max_chars
+            FROM z GROUP BY 1
+        """,
+        "best_split_chars": """
+            WITH h AS (SELECT COALESCE(n_chars, 0) AS v,
+                              CAST(COUNT(*) AS HUGEINT) AS n,
+                              CAST(SUM(CASE WHEN COALESCE(lang, 'und')
+                                                 = 'en' THEN 1 ELSE 0
+                                       END) AS HUGEINT) AS e
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS nn, SUM(e) AS ee, MAX(v) AS vmax
+                  FROM h),
+            c AS (SELECT v, SUM(n) OVER (ORDER BY v) AS nl,
+                         SUM(e) OVER (ORDER BY v) AS el
+                  FROM h),
+            cand AS (SELECT c.v, c.nl, c.el, t.nn - c.nl AS nr,
+                            t.ee - c.el AS er, t.nn
+                     FROM c, t WHERE c.v < t.vmax),
+            g AS (SELECT v, nl, nr,
+                     (CASE WHEN nl > 0
+                           THEN ((nl*nl - el*el - (nl-el)*(nl-el))
+                                 * 1000000) // (nl * nn) ELSE 0 END
+                      + CASE WHEN nr > 0
+                             THEN ((nr*nr - er*er - (nr-er)*(nr-er))
+                                   * 1000000) // (nr * nn) ELSE 0 END)
+                         AS gini
+                  FROM cand)
+            SELECT CAST(v AS BIGINT) AS threshold,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nr AS BIGINT) AS n_right,
+                   CAST(gini AS BIGINT) AS gini_ppm
+            FROM g ORDER BY gini, v LIMIT 1
         """,
     }

@@ -232,7 +232,8 @@ def run_ops(sf_dir: str):
              "class_weight_plan", "user_daily_ohlc",
              "systematic_sample", "label_centroid_cosine",
              "fk_orphans", "user_survival_km", "kmv_type_overlap",
-             "langid_calibration"]
+             "langid_calibration",
+             "user_value_interp", "zorder_layout", "best_split_chars"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -2506,3 +2506,106 @@ def user_survival_km(ds, *, censor_us: int = 604_800_000_000):
     if not out:
         return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)
+
+
+def user_value_interp(ds, *, grid_us: int = 3_600_000_000,
+                      n_parts: int = 32):
+    """Linear-interpolation resampling of each user's value series
+    onto an hourly grid — the gap-filling counterpart to
+    user_value_locf, in EXACT scaled integers: with per-(user, ts)
+    values deduped (largest event_id wins) and quantized to
+    v_milli = floor(value * 1000), a grid point t inside segment
+    [t0, t1) gets v0 + trunc((v1 - v0) * (t - t0) / (t1 - t0)) —
+    integer TRUNCATING division, mirroring DuckDB's `//` on signed
+    operands (Python's floor-div differs on negatives, so the kernel
+    truncates explicitly) -> (user_id, hour, value_milli).
+
+    Scale shape: ONE user-keyed partition pass; inside a partition the
+    resolve is fully vectorized WITHOUT per-user loops — instead of
+    locating each grid point's segment (a per-user searchsorted), it
+    walks the SEGMENTS: every consecutive event pair (t0, t1) owns the
+    grid points in [t0, t1), whose count is a closed form, so
+    np.repeat + arange generates all grid rows in one shot; a user's
+    last event emits its own grid point when it lands exactly on the
+    grid."""
+    from .dedup import _grouped_by_partition
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "eid": pa.array([], pa.int64()),
+                             "vm": pa.array([], pa.int64())})
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.fill_null(pc.cast(ts_col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = pc.fill_null(pc.cast(b.column("event_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.nan_to_num(b.column("value")
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.float64))
+        vm = np.floor(v * 1000.0).astype(np.int64)
+        return pa.table({"user_id": pa.array(u), "ts_us": pa.array(ts),
+                         "eid": pa.array(eid), "vm": pa.array(vm)})
+
+    H = grid_us
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "hour": "int64",
+                "value_milli": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        # (user, ts) dedupe: largest eid wins
+        df = df.sort_values(["user_id", "ts_us", "eid"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        vm = df["vm"].to_numpy(np.int64)
+        last_of_ts = np.ones(len(df), bool)
+        last_of_ts[:-1] = (u[:-1] != u[1:]) | (ts[:-1] != ts[1:])
+        u, ts, vm = u[last_of_ts], ts[last_of_ts], vm[last_of_ts]
+        n = len(u)
+        out_parts = []
+        # segments: consecutive rows of the SAME user
+        if n > 1:
+            seg = u[:-1] == u[1:]
+            t0, t1 = ts[:-1][seg], ts[1:][seg]
+            v0, v1 = vm[:-1][seg], vm[1:][seg]
+            su = u[:-1][seg]
+            h_start = -((-t0) // H)          # ceil(t0 / H)
+            h_end = -((-t1) // H) - 1        # last grid < t1
+            cnt = np.maximum(h_end - h_start + 1, 0)
+            if cnt.sum() > 0:
+                rep = np.repeat(np.arange(len(cnt)), cnt)
+                # arange within each segment
+                offs = np.arange(len(rep)) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt)
+                hh = h_start[rep] + offs
+                t = hh * H
+                num = (v1[rep] - v0[rep]) * (t - t0[rep])
+                den = t1[rep] - t0[rep]
+                q = np.sign(num) * (np.abs(num) // den)  # truncation
+                out_parts.append(pd.DataFrame({
+                    "user_id": su[rep], "hour": hh,
+                    "value_milli": v0[rep] + q}))
+        # each user's LAST event emits a point when exactly on-grid
+        is_last = np.ones(n, bool)
+        is_last[:-1] = u[:-1] != u[1:]
+        lu, lt, lv = u[is_last], ts[is_last], vm[is_last]
+        on_grid = lt % H == 0
+        if on_grid.any():
+            out_parts.append(pd.DataFrame({
+                "user_id": lu[on_grid], "hour": lt[on_grid] // H,
+                "value_milli": lv[on_grid]}))
+        if not out_parts:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = pd.concat(out_parts, ignore_index=True)
+        return out.astype(cols)
+
+    partials = ds.map_batches(prep, batch_format="pyarrow")
+    return _grouped_by_partition(partials, ["user_id"], resolve,
+                                 n_parts=n_parts)

@@ -97,6 +97,8 @@ QUERIES = [
     "fk_orphans",
     # wave 18: survival, KMV overlap, calibration
     "user_survival_km", "kmv_type_overlap", "langid_calibration",
+    # wave 19: interpolation resample, z-order layout, gini split
+    "user_value_interp", "zorder_layout", "best_split_chars",
 ]
 
 
@@ -166,6 +168,8 @@ ONE_ROW_QUERIES = [
     "fk_orphans",
     # wave 18: survival, KMV overlap, calibration
     "user_survival_km", "kmv_type_overlap", "langid_calibration",
+    # wave 19: interpolation resample, z-order layout, gini split
+    "user_value_interp", "zorder_layout", "best_split_chars",
 ]
 
 

@@ -75,7 +75,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round-3 wave 16 keyed ops
            "user_lifespan_hist",
            # round-3 wave 17 keyed ops
-           "user_daily_ohlc", "nation_theil", "fk_orphans"]
+           "user_daily_ohlc", "nation_theil", "fk_orphans",
+           # round-3 wave 19 keyed ops
+           "user_value_interp"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
