@@ -6839,6 +6839,180 @@ def _q_best_split_chars(sf_dir: str):
         .astype(out_cols)
 
 
+def _q_nb_lang_confusion(sf_dir: str):
+    """Trained multinomial Naive Bayes lang classifier, exact log-ppm
+    model both engines (ops/classifier.nb_lang_confusion)."""
+    from pdf_extract_ray.ops.classifier import nb_lang_confusion
+    return nb_lang_confusion(
+        _read(sf_dir, "documents", columns=["lang", "text"]))
+
+
+def _q_event_type_stationary(sf_dir: str):
+    """Markov stationary distribution of event types: 8 exact
+    integer-ppm power iterations over the oracled type_transitions
+    matrix (ops/events.event_type_stationary)."""
+    from pdf_extract_ray.ops.events import event_type_stationary
+    return event_type_stationary(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]))
+
+
+def _q_ams_f2_users(sf_dir: str):
+    """AMS second-frequency-moment sketch of per-user event counts,
+    deterministic md5-nibble signs so the sketch itself is oracled
+    (ops/sketch.ams_f2)."""
+    from pdf_extract_ray.ops.sketch import ams_f2
+    return ams_f2(_read(sf_dir, "events", columns=["user_id"]),
+                  "user_id")
+
+
+def _q_zonemap_prune(sf_dir: str):
+    """Zone-map (page min/max) pruning effectiveness audit — the
+    lakehouse data-skipping primitive: docs page on doc_id // 64;
+    a clustered predicate (doc_id range) prunes almost every page, an
+    unclustered one (n_chars range) scans nearly all.  Per predicate:
+    (pages_total, pages_scanned, rows_matched, prune_ppm).
+
+    Scale shape: per-batch per-page partials -> ONE page-keyed
+    groupby (metadata-scale: rows/64 keys) -> map-side 2-predicate
+    fold -> tiny 2-key Sum groupby; the driver never sees per-page
+    rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    D_LO, D_HI = 1000, 2000
+    C_LO, C_HI = 100, 160
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def per_page(b: pa.Table) -> pa.Table:
+        empty = {"pg": pa.array([], pa.int64())}
+        for c in ("d0", "d1", "c0", "c1", "n", "m1", "m2"):
+            empty[c] = pa.array([], pa.int64())
+        if b.num_rows == 0:
+            return pa.table(empty)
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({
+            "pg": did // 64, "d0": did, "d1": did, "c0": ch, "c1": ch,
+            "n": 1,
+            "m1": ((did >= D_LO) & (did <= D_HI)).astype(np.int64),
+            "m2": ((ch >= C_LO) & (ch <= C_HI)).astype(np.int64)}) \
+            .groupby("pg", sort=False, as_index=False) \
+            .agg(d0=("d0", "min"), d1=("d1", "max"), c0=("c0", "min"),
+                 c1=("c1", "max"), n=("n", "sum"), m1=("m1", "sum"),
+                 m2=("m2", "sum"))
+        return pa.table({c: pa.array(g[c].to_numpy(np.int64))
+                         for c in ("pg", "d0", "d1", "c0", "c1", "n",
+                                   "m1", "m2")})
+
+    from ray.data.aggregate import Max, Min
+    pages = ds.map_batches(per_page, batch_format="pyarrow") \
+        .groupby("pg").aggregate(Min("d0"), Max("d1"), Min("c0"),
+                                 Max("c1"), Sum("m1"), Sum("m2"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        preds = {"pred": pa.array([], pa.string()),
+                 "pt": pa.array([], pa.int64()),
+                 "ps": pa.array([], pa.int64()),
+                 "rm": pa.array([], pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(preds)
+        d0 = b.column("min(d0)").to_numpy(zero_copy_only=False)
+        d1 = b.column("max(d1)").to_numpy(zero_copy_only=False)
+        c0 = b.column("min(c0)").to_numpy(zero_copy_only=False)
+        c1 = b.column("max(c1)").to_numpy(zero_copy_only=False)
+        m1 = b.column("sum(m1)").to_numpy(zero_copy_only=False)
+        m2 = b.column("sum(m2)").to_numpy(zero_copy_only=False)
+        n = len(d0)
+        s1 = int(((d1 >= D_LO) & (d0 <= D_HI)).sum())
+        s2 = int(((c1 >= C_LO) & (c0 <= C_HI)).sum())
+        return pa.table({
+            "pred": pa.array(["doc_id_range", "n_chars_range"],
+                             pa.string()),
+            "pt": pa.array([n, n], pa.int64()),
+            "ps": pa.array([s1, s2], pa.int64()),
+            "rm": pa.array([int(m1.sum()), int(m2.sum())],
+                           pa.int64())})
+
+    rows = pages.map_batches(fold, batch_format="pyarrow") \
+        .groupby("pred").aggregate(Sum("pt"), Sum("ps"), Sum("rm")) \
+        .take_all()
+    out_cols = {"predicate": "object", "pages_total": "int64",
+                "pages_scanned": "int64", "rows_matched": "int64",
+                "prune_ppm": "int64"}
+    num = {k: v for k, v in out_cols.items() if v == "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = []
+    for r in rows:
+        pt, ps_, rm = int(r["sum(pt)"]), int(r["sum(ps)"]), \
+            int(r["sum(rm)"])
+        out.append({"predicate": r["pred"], "pages_total": pt,
+                    "pages_scanned": ps_, "rows_matched": rm,
+                    "prune_ppm": ((pt - ps_) * 1_000_000) // pt
+                    if pt > 0 else 0})
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_jackknife_mean_chars(sf_dir: str):
+    """Delete-one-group (16-fold by doc_id % 16) jackknife standard
+    error of mean n_chars — the deterministic distributed resampling
+    primitive: fold sums come from map-side partials + a 16-key
+    groupby; replicate means m_g = (S - S_g)*1e6 // (N - n_g) and the
+    jackknife variance (G-1)/G * sum (m_g - mbar)^2 are exact
+    integers; only the final sqrt is float (bit-identical, the
+    wilson-CI precedent)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"g": did % 16, "n": 1, "s": ch}) \
+            .groupby("g", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"))
+        return pa.table({"g": pa.array(g["g"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("n"), Sum("s")).take_all()
+    out_cols = {"n_rows": "int64", "mean_ppm": "int64",
+                "jk_se_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    folds = {int(r["g"]): (int(r["sum(n)"]), int(r["sum(s)"]))
+             for r in rows}
+    N = sum(n for n, _ in folds.values())
+    S = sum(s for _, s in folds.values())
+    if N == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    M = 1_000_000
+    G = 16
+    m = [((S - folds.get(g, (0, 0))[1]) * M
+          // (N - folds.get(g, (0, 0))[0]))
+         if N - folds.get(g, (0, 0))[0] > 0 else 0 for g in range(G)]
+    mbar = sum(m) // G
+    ss = sum((x - mbar) * (x - mbar) for x in m)
+    jk_var = ((G - 1) * ss) // G
+    return pd.DataFrame([{
+        "n_rows": N, "mean_ppm": (S * M) // N,
+        "jk_se_ppm": math.floor(math.sqrt(jk_var))}]).astype(out_cols)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -7170,6 +7344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_interp": _q_user_value_interp,
         "zorder_layout": _q_zorder_layout,
         "best_split_chars": _q_best_split_chars,
+        "nb_lang_confusion": _q_nb_lang_confusion,
+        "event_type_stationary": _q_event_type_stationary,
+        "ams_f2_users": _q_ams_f2_users,
+        "zonemap_prune": _q_zonemap_prune,
+        "jackknife_mean_chars": _q_jackknife_mean_chars,
     }
 
 
@@ -11643,5 +11822,184 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nr AS BIGINT) AS n_right,
                    CAST(gini AS BIGINT) AS gini_ppm
             FROM g ORDER BY gini, v LIMIT 1
+        """,
+        "nb_lang_confusion": """
+            WITH docs AS (SELECT doc_id, COALESCE(lang, 'und') AS lang,
+                                 COALESCE(text, '') AS text
+                          FROM documents),
+            w AS (SELECT doc_id, lang,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM docs),
+            wf AS (SELECT doc_id, lang, term FROM w WHERE term <> ''),
+            cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                    FROM wf GROUP BY 1, 2),
+            vocab AS (SELECT DISTINCT term FROM wf),
+            vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+            lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+                   FROM docs GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+            tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
+                    FROM cnt GROUP BY 1),
+            logp AS (SELECT l.lang, v.term,
+                            CAST(FLOOR(1000000 * LN(
+                                (COALESCE(cnt.c, 0) + 1.0)
+                                / (COALESCE(tot.t, 0) + vv.v)))
+                                 AS BIGINT) AS lp
+                     FROM lg l CROSS JOIN vocab v CROSS JOIN vv
+                     LEFT JOIN tot ON tot.lang = l.lang
+                     LEFT JOIN cnt ON cnt.lang = l.lang
+                                  AND cnt.term = v.term),
+            prior AS (SELECT l.lang,
+                             CAST(FLOOR(1000000 * LN(
+                                 CAST(l.nd AS DOUBLE) / nn.n))
+                                  AS BIGINT) AS pr
+                      FROM lg l CROSS JOIN nn),
+            tfd AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM wf GROUP BY 1, 2),
+            sc AS (SELECT d.doc_id, d.lang AS true_lang,
+                          p.lang AS cand,
+                          p.pr + COALESCE(SUM(t.tf * logp.lp), 0)
+                              AS score
+                   FROM docs d CROSS JOIN prior p
+                   LEFT JOIN tfd t ON t.doc_id = d.doc_id
+                   LEFT JOIN logp ON logp.lang = p.lang
+                                 AND logp.term = t.term
+                   GROUP BY d.doc_id, d.lang, p.lang, p.pr),
+            pred AS (SELECT doc_id, true_lang, cand,
+                            row_number() OVER (
+                                PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rn
+                     FROM sc)
+            SELECT true_lang, cand AS pred_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred WHERE rn = 1 GROUP BY 1, 2
+        """,
+        "event_type_stationary": """
+            WITH r AS (SELECT user_id, COALESCE(event_type, '') AS et,
+                              lag(COALESCE(event_type, '')) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p
+                       FROM events WHERE ts IS NOT NULL),
+            tr AS (SELECT p AS src, et AS dst,
+                          CAST(count(*) AS HUGEINT) AS c
+                   FROM r WHERE p IS NOT NULL GROUP BY 1, 2),
+            states AS (SELECT src AS s FROM tr
+                       UNION SELECT dst FROM tr),
+            tot AS (SELECT src, SUM(c) AS t FROM tr GROUP BY 1),
+            m AS (SELECT tr.src, tr.dst, tr.c, tot.t
+                  FROM tr JOIN tot USING (src)
+                  UNION ALL
+                  SELECT s, s, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+                  FROM states WHERE s NOT IN (SELECT src FROM tr)),
+            t0 AS (SELECT s AS ty,
+                          CASE WHEN s = (SELECT MIN(s) FROM states)
+                               THEN CAST(1000000 AS HUGEINT)
+                               ELSE CAST(0 AS HUGEINT) END AS v
+                   FROM states),
+            t1 AS (SELECT m.dst AS ty, SUM((t0.v * m.c) // m.t) AS v
+                   FROM t0 JOIN m ON m.src = t0.ty GROUP BY 1),
+            t2 AS (SELECT m.dst AS ty, SUM((t1.v * m.c) // m.t) AS v
+                   FROM t1 JOIN m ON m.src = t1.ty GROUP BY 1),
+            t3 AS (SELECT m.dst AS ty, SUM((t2.v * m.c) // m.t) AS v
+                   FROM t2 JOIN m ON m.src = t2.ty GROUP BY 1),
+            t4 AS (SELECT m.dst AS ty, SUM((t3.v * m.c) // m.t) AS v
+                   FROM t3 JOIN m ON m.src = t3.ty GROUP BY 1),
+            t5 AS (SELECT m.dst AS ty, SUM((t4.v * m.c) // m.t) AS v
+                   FROM t4 JOIN m ON m.src = t4.ty GROUP BY 1),
+            t6 AS (SELECT m.dst AS ty, SUM((t5.v * m.c) // m.t) AS v
+                   FROM t5 JOIN m ON m.src = t5.ty GROUP BY 1),
+            t7 AS (SELECT m.dst AS ty, SUM((t6.v * m.c) // m.t) AS v
+                   FROM t6 JOIN m ON m.src = t6.ty GROUP BY 1),
+            t8 AS (SELECT m.dst AS ty, SUM((t7.v * m.c) // m.t) AS v
+                   FROM t7 JOIN m ON m.src = t7.ty GROUP BY 1)
+            SELECT CAST(states.s AS VARCHAR) AS event_type,
+                   CAST(COALESCE(t8.v, 0) AS BIGINT) AS v_ppm
+            FROM states LEFT JOIN t8 ON t8.ty = states.s
+        """,
+        "ams_f2_users": """
+            WITH cu AS (SELECT COALESCE(user_id, -1) AS u,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1),
+            h AS (SELECT u, c, md5(CAST(u AS VARCHAR)) AS m FROM cu),
+            rr AS (SELECT unnest(range(16)) AS r),
+            s AS (SELECT rr.r,
+                         SUM(CASE WHEN substr(h.m,
+                                       CAST(rr.r + 1 AS INT), 1)
+                                  IN ('0','1','2','3','4','5','6','7')
+                                  THEN CAST(h.c AS HUGEINT)
+                                  ELSE -CAST(h.c AS HUGEINT) END)
+                             AS sr
+                  FROM h CROSS JOIN rr GROUP BY 1),
+            est AS (SELECT SUM(sr * sr) // 16 AS e FROM s),
+            ex AS (SELECT CAST(COALESCE(SUM(
+                       CAST(c AS HUGEINT) * c), 0) AS HUGEINT) AS x
+                   FROM cu)
+            SELECT CAST(ex.x AS BIGINT) AS exact_f2,
+                   CAST(est.e AS BIGINT) AS est_f2,
+                   CAST((est.e * 1000000) // ex.x AS BIGINT)
+                       AS ratio_ppm
+            FROM ex CROSS JOIN est WHERE ex.x > 0
+        """,
+        "zonemap_prune": """
+            WITH p AS (SELECT COALESCE(doc_id, 0) AS did,
+                              COALESCE(n_chars, 0) AS ch
+                       FROM documents),
+            z AS (SELECT did // 64 AS pg, MIN(did) AS d0,
+                         MAX(did) AS d1, MIN(ch) AS c0, MAX(ch) AS c1,
+                         SUM(CASE WHEN did BETWEEN 1000 AND 2000
+                                  THEN 1 ELSE 0 END) AS m1,
+                         SUM(CASE WHEN ch BETWEEN 100 AND 160
+                                  THEN 1 ELSE 0 END) AS m2
+                  FROM p GROUP BY 1),
+            a AS (SELECT 'doc_id_range' AS predicate,
+                         CAST(COUNT(*) AS BIGINT) AS pages_total,
+                         CAST(COALESCE(SUM(CASE WHEN d1 >= 1000
+                                            AND d0 <= 2000 THEN 1
+                                            ELSE 0 END), 0) AS BIGINT)
+                             AS pages_scanned,
+                         CAST(COALESCE(SUM(m1), 0) AS BIGINT)
+                             AS rows_matched
+                  FROM z
+                  UNION ALL
+                  SELECT 'n_chars_range', CAST(COUNT(*) AS BIGINT),
+                         CAST(COALESCE(SUM(CASE WHEN c1 >= 100
+                                            AND c0 <= 160 THEN 1
+                                            ELSE 0 END), 0) AS BIGINT),
+                         CAST(COALESCE(SUM(m2), 0) AS BIGINT)
+                  FROM z)
+            SELECT predicate, pages_total, pages_scanned, rows_matched,
+                   CAST(((pages_total - pages_scanned) * 1000000)
+                        // pages_total AS BIGINT) AS prune_ppm
+            FROM a WHERE pages_total > 0
+        """,
+        "jackknife_mean_chars": """
+            WITH d AS (SELECT COALESCE(doc_id, 0) % 16 AS g,
+                              COALESCE(n_chars, 0) AS ch
+                       FROM documents),
+            f AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(ch) AS HUGEINT) AS s
+                  FROM d GROUP BY 1),
+            tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS nn,
+                           CAST(COALESCE(SUM(s), 0) AS HUGEINT) AS ss
+                    FROM f),
+            folds AS (SELECT unnest(range(16)) AS g),
+            m AS (SELECT folds.g,
+                         CASE WHEN tot.nn - COALESCE(f.n, 0) > 0
+                              THEN ((tot.ss - COALESCE(f.s, 0))
+                                    * 1000000)
+                                   // (tot.nn - COALESCE(f.n, 0))
+                              ELSE CAST(0 AS HUGEINT) END AS mg
+                  FROM folds CROSS JOIN tot
+                  LEFT JOIN f ON f.g = folds.g),
+            mb AS (SELECT SUM(mg) // 16 AS mbar FROM m),
+            v AS (SELECT (15 * SUM((mg - mbar) * (mg - mbar))) // 16
+                             AS jv
+                  FROM m CROSS JOIN mb)
+            SELECT CAST(tot.nn AS BIGINT) AS n_rows,
+                   CAST((tot.ss * 1000000) // tot.nn AS BIGINT)
+                       AS mean_ppm,
+                   CAST(FLOOR(SQRT(CAST(v.jv AS DOUBLE))) AS BIGINT)
+                       AS jk_se_ppm
+            FROM tot CROSS JOIN v WHERE tot.nn > 0
         """,
     }

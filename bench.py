@@ -233,7 +233,9 @@ def run_ops(sf_dir: str):
              "systematic_sample", "label_centroid_cosine",
              "fk_orphans", "user_survival_km", "kmv_type_overlap",
              "langid_calibration",
-             "user_value_interp", "zorder_layout", "best_split_chars"]
+             "user_value_interp", "zorder_layout", "best_split_chars",
+             "nb_lang_confusion", "event_type_stationary",
+             "ams_f2_users", "zonemap_prune", "jackknife_mean_chars"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

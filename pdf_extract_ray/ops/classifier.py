@@ -183,3 +183,131 @@ def isotonic_calibration(ds, score_col: str, label_col: str):
     return hist.repartition(1).map_batches(resolve,
                                            batch_format="pandas",
                                            batch_size=None)
+
+
+def nb_lang_confusion(ds, *, text_col: str = "text",
+                      label_col: str = "lang"):
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated on the corpus itself, with the whole model in EXACT
+    log-ppm integers -> confusion matrix (true_lang, pred_lang,
+    n_docs).
+
+    Training pass: per-batch (lang, word) token counts plus per-lang
+    doc counts (carried in reserved ''-word rows, which real tokens
+    can never occupy because empty tokens are dropped) -> ONE bounded
+    (lang, word) groupby (vocab-domain, not row-domain).  The model
+    is Laplace-smoothed: logp_ppm(c, w) = floor(1e6 * ln((cnt + 1) /
+    (tot_c + V))), prior_ppm(c) = floor(1e6 * ln(n_c / N)) — the same
+    double->floor construction as the oracle SQL (the nation_theil
+    precedent), so per-term integers match bit for bit and the summed
+    scores are exact.
+
+    Scoring pass: the model (langs x vocab ints) broadcasts via
+    ray.put; each batch builds its docs' tf rows over the vocab index
+    and scores all classes in ONE numpy matmul; argmax ties break to
+    the lexicographically smallest lang (np.argmax first-hit over
+    ascending class order).  Emits (true, pred) partials -> tiny
+    groupby.  Null text folds to '', null lang to 'und' (corpus
+    COALESCE policy)."""
+    import collections
+    import math
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def train_partial(b: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        texts = b.column(text_col).to_pylist() if text_col in \
+            b.column_names else [""] * b.num_rows
+        langs = b.column(label_col).to_pylist() if label_col in \
+            b.column_names else ["und"] * b.num_rows
+        for lang, t in zip(langs, texts):
+            lang = lang if lang is not None else "und"
+            cnt[(lang, "")] += 1  # doc-count carrier row
+            for w in (t or "").split(" "):
+                if w:
+                    cnt[(lang, w)] += 1
+        ks = list(cnt.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in ks], pa.string()),
+            "word": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([cnt[k] for k in ks], pa.int64())})
+
+    rows = ds.map_batches(train_partial, batch_format="pyarrow") \
+        .groupby(["lang", "word"]).aggregate(Sum("n")).take_all()
+    out_cols = {"true_lang": "object", "pred_lang": "object",
+                "n_docs": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"n_docs": "int64"})
+    n_docs_c: dict = {}
+    wc: dict = {}
+    vocab_set = set()
+    for r in rows:
+        lang, word, n = r["lang"], r["word"], int(r["sum(n)"])
+        if word == "":
+            n_docs_c[lang] = n_docs_c.get(lang, 0) + n
+        else:
+            wc[(lang, word)] = n
+            vocab_set.add(word)
+    langs = sorted(n_docs_c)
+    vocab = sorted(vocab_set)
+    V, N = len(vocab), sum(n_docs_c.values())
+    widx = {w: i for i, w in enumerate(vocab)}
+    tot_c = {c: 0 for c in langs}
+    for (c, _), n in wc.items():
+        tot_c[c] += n
+    L = len(langs)
+    logp = np.zeros((max(V, 1), L), np.int64)
+    default = np.zeros(L, np.int64)
+    prior = np.zeros(L, np.int64)
+    M = 1_000_000
+    for j, c in enumerate(langs):
+        den = tot_c[c] + V
+        prior[j] = math.floor(M * math.log(n_docs_c[c] / N))
+        if den > 0:
+            default[j] = math.floor(M * math.log(1.0 / den))
+            logp[:, j] = default[j]
+    for (c, w), n in wc.items():
+        logp[widx[w], langs.index(c)] = math.floor(
+            M * math.log((n + 1.0) / (tot_c[c] + V)))
+    model_ref = ray.put((widx, logp, default, prior, langs))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        wi, lp, dflt, pr, cls = ray.get(model_ref)
+        texts = b.column(text_col).to_pylist()
+        labels = ["und" if v is None else v
+                  for v in b.column(label_col).to_pylist()]
+        n = len(texts)
+        doc_idx, toks = [], []
+        for i, t in enumerate(texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            doc_idx.extend([i] * len(ws))
+            toks.extend(ws)
+        scores = np.tile(pr, (n, 1)).astype(np.int64)
+        if toks:
+            codes, uniq = pd.factorize(np.asarray(toks, object))
+            rowmap = np.stack([lp[wi[w]] if w in wi else dflt
+                               for w in uniq])
+            np.add.at(scores, np.asarray(doc_idx, np.int64),
+                      rowmap[codes])
+        preds = [cls[int(j)] for j in np.argmax(scores, axis=1)] \
+            if cls else ["und"] * n
+        cm = collections.Counter(zip(labels, preds))
+        ks = list(cm.keys())
+        return pa.table({
+            "true_lang": pa.array([x[0] for x in ks], pa.string()),
+            "pred_lang": pa.array([x[1] for x in ks], pa.string()),
+            "n": pa.array([cm[x] for x in ks], pa.int64())})
+
+    out = ds.map_batches(score_partial, batch_format="pyarrow") \
+        .groupby(["true_lang", "pred_lang"]).aggregate(Sum("n")) \
+        .take_all()
+    df = pd.DataFrame(out)
+    if df.empty:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"n_docs": "int64"})
+    df = df.rename(columns={"sum(n)": "n_docs"})
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df[["true_lang", "pred_lang", "n_docs"]]

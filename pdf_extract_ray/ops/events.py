@@ -2609,3 +2609,45 @@ def user_value_interp(ds, *, grid_us: int = 3_600_000_000,
     partials = ds.map_batches(prep, batch_format="pyarrow")
     return _grouped_by_partition(partials, ["user_id"], resolve,
                                  n_parts=n_parts)
+
+
+def event_type_stationary(ds, *, iters: int = 8, n_parts: int = 32):
+    """Markov stationary-distribution probe: power iteration over the
+    empirical event-type transition matrix (the oracled
+    type_transitions kernel), in EXACT ppm integers so every engine
+    agrees bit for bit -> (event_type, v_ppm).
+
+    v0 puts all 1e6 ppm on the lexicographically smallest state; each
+    of the `iters` fixed rounds computes
+    v'[j] = sum_i (v[i] * c[i][j]) // tot[i] with per-term floor
+    division (mass leaks to the floor, deliberately — exactness over
+    stochasticity).  States with no outgoing edges get a self-loop
+    (c = tot = 1) so they hold mass like a PageRank dangling fix.
+
+    Scale shape: the distributed work IS type_transitions (one
+    user-keyed pass + a type-alphabet-bounded groupby); the matrix is
+    alphabet^2 rows, so the iteration itself is driver-side tiny."""
+    tr = type_transitions(ds, n_parts=n_parts).take_all()
+    out_cols = {"event_type": "object", "v_ppm": "int64"}
+    if not tr:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"v_ppm": "int64"})
+    states = sorted({r["from_type"] for r in tr}
+                    | {r["to_type"] for r in tr})
+    tot: dict = {}
+    for r in tr:
+        tot[r["from_type"]] = tot.get(r["from_type"], 0) \
+            + int(r["n_pairs"])
+    mat = [(r["from_type"], r["to_type"], int(r["n_pairs"]),
+            tot[r["from_type"]]) for r in tr]
+    mat += [(s, s, 1, 1) for s in states if s not in tot]
+    v = {s: 0 for s in states}
+    v[states[0]] = 1_000_000
+    for _ in range(iters):
+        nxt = {s: 0 for s in states}
+        for src, dst, c, t in mat:
+            nxt[dst] += (v[src] * c) // t
+        v = nxt
+    return pd.DataFrame({"event_type": states,
+                         "v_ppm": [v[s] for s in states]}) \
+        .astype({"v_ppm": "int64"})

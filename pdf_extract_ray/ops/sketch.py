@@ -510,3 +510,68 @@ def kmv_group_overlap(ds, group_col: str, id_col: str, *, k: int = 64):
     if not out:
         return pd.DataFrame(columns=list(out_cols)).astype(num_cols)
     return pd.DataFrame(out).astype(num_cols)
+
+
+def ams_f2(ds, key_col: str, *, n_rows: int = 16):
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
+    over per-key event counts, FULLY deterministic so the estimate
+    itself is oracle-checkable: key frequencies c_k come from one
+    key-domain groupby; each of the 16 estimator rows assigns key k
+    the sign of one NIBBLE of md5(str(k)) (+1 when the hex digit is
+    0-7), S_r = sum(sign_r(k) * c_k); the estimate is the estimator
+    mean floor(sum(S_r^2) / 16) -> one row
+    (exact_f2, est_f2, ratio_ppm).
+
+    Scale shape: ONE bounded key-domain exchange (same envelope as
+    distinct_count), then a map-side 16-value fold -> tiny driver
+    combine; the sketch payload per block is 16 ints regardless of
+    rows.  md5 signing matches the SQL oracle digit for digit."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        k = pc.fill_null(pc.cast(b.column(key_col), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.Series(1, index=k).groupby(level=0, sort=False).sum()
+        return pa.table({"k": pa.array(g.index.to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n"))
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        cols = {f"s{r}": pa.array([0], pa.int64()) for r in range(n_rows)}
+        cols["f2"] = pa.array([0], pa.int64())
+        if b.num_rows == 0:
+            return pa.table(cols)
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # nibble signs: one md5 per key yields all 16 estimator rows
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(str(int(x)).encode()).hexdigest()
+                     [:n_rows].encode() for x in k),
+            dtype=np.uint8).reshape(len(k), n_rows)
+        sign = np.where(digs < ord('8'), 1, -1).astype(np.int64)
+        s = (sign * c[:, None]).sum(axis=0)
+        out = {f"s{r}": pa.array([int(s[r])], pa.int64())
+               for r in range(n_rows)}
+        out["f2"] = pa.array([int((c * c).sum())], pa.int64())
+        return pa.table(out)
+
+    rows = counts.map_batches(sketch_partial, batch_format="pyarrow") \
+        .take_all()
+    out_cols = {"exact_f2": "int64", "est_f2": "int64",
+                "ratio_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    s = [sum(int(r[f"s{i}"]) for r in rows) for i in range(n_rows)]
+    exact = sum(int(r["f2"]) for r in rows)
+    if exact == 0:  # empty input leaves only zero-row partials
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    est = sum(v * v for v in s) // n_rows
+    return pd.DataFrame([{"exact_f2": exact, "est_f2": est,
+                          "ratio_ppm": (est * 1_000_000) // exact}]) \
+        .astype(out_cols)

@@ -99,6 +99,10 @@ QUERIES = [
     "user_survival_km", "kmv_type_overlap", "langid_calibration",
     # wave 19: interpolation resample, z-order layout, gini split
     "user_value_interp", "zorder_layout", "best_split_chars",
+    # wave 20: NB classifier, Markov stationary, AMS F2, zone maps,
+    # jackknife
+    "nb_lang_confusion", "event_type_stationary", "ams_f2_users",
+    "zonemap_prune", "jackknife_mean_chars",
 ]
 
 
@@ -170,6 +174,10 @@ ONE_ROW_QUERIES = [
     "user_survival_km", "kmv_type_overlap", "langid_calibration",
     # wave 19: interpolation resample, z-order layout, gini split
     "user_value_interp", "zorder_layout", "best_split_chars",
+    # wave 20: NB classifier, Markov stationary, AMS F2, zone maps,
+    # jackknife
+    "nb_lang_confusion", "event_type_stationary", "ams_f2_users",
+    "zonemap_prune", "jackknife_mean_chars",
 ]
 
 

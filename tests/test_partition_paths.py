@@ -76,8 +76,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "user_lifespan_hist",
            # round-3 wave 17 keyed ops
            "user_daily_ohlc", "nation_theil", "fk_orphans",
-           # round-3 wave 19 keyed ops
-           "user_value_interp"]
+           # round-3 wave 19/20 keyed ops
+           "user_value_interp", "event_type_stationary"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
