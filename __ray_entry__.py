@@ -7013,6 +7013,211 @@ def _q_jackknife_mean_chars(sf_dir: str):
 
 
 
+def _q_business_days_latency(sf_dir: str):
+    """Order->ship business-day latency per returnflag
+    (ops/relational.business_days_latency, closed-form weekday rank)."""
+    from pdf_extract_ray.ops.relational import business_days_latency
+    return business_days_latency(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_shipdate", "l_returnflag"]))
+
+
+def _q_customer_feature_table(sf_dir: str):
+    """Feature-store wide build: customer dims + exact-cent order
+    aggregates (ops/relational.customer_feature_table)."""
+    from pdf_extract_ray.ops.relational import customer_feature_table
+    return customer_feature_table(
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_mktsegment",
+                       "c_acctbal"]),
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_totalprice", "o_orderdate"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
+
+
+def _q_mmr_select(sf_dir: str):
+    """Maximal-Marginal-Relevance diverse top-16 against the corpus
+    mean embedding (ops/similarity.mmr_select; greedy selection is
+    order-pinned by design — rows-only, brute-parity tested)."""
+    from pdf_extract_ray.ops.similarity import mmr_select
+    return mmr_select(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        dim=64, k=16, m=64)
+
+
+def _q_hash_permutation_test(sf_dir: str):
+    """Deterministic permutation test for mean n_chars difference,
+    lang='en' vs rest: the 16 null replicates re-split the corpus by
+    the 16 nibbles of md5(doc_id) (the AMS-sketch signing trick), so
+    the whole test — observed diff, null diffs, extreme count, p —
+    is exact integers and fully oracled.
+
+    Scale shape: ONE map pass emits 18 keyed partials per batch
+    (16 replicates + en split + totals); a tiny 18-key groupby
+    finishes; no row ever leaves its block."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    R = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(pc.fill_null(pc.cast(b.column("lang"),
+                                           pa.string()), "und"),
+                      "en").to_numpy(zero_copy_only=False)
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(str(int(x)).encode()).hexdigest()
+                     [:R].encode() for x in did),
+            dtype=np.uint8).reshape(len(did), R)
+        in_a = digs < ord('8')
+        rs, ns, ss = [], [], []
+        for r in range(R):
+            rs.append(r)
+            ns.append(int(in_a[:, r].sum()))
+            ss.append(int(ch[in_a[:, r]].sum()))
+        rs += [R, R + 1]
+        ns += [int(en.sum()), len(ch)]
+        ss += [int(ch[en].sum()), int(ch.sum())]
+        return pa.table({"r": pa.array(rs, pa.int64()),
+                         "n": pa.array(ns, pa.int64()),
+                         "s": pa.array(ss, pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("r").aggregate(Sum("n"), Sum("s")).take_all()
+    out_cols = {"d_obs_ppm": "int64", "n_extreme": "int64",
+                "p_ppm": "int64"}
+    got = {int(r["r"]): (int(r["sum(n)"]), int(r["sum(s)"]))
+           for r in rows}
+    if not got:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    N, S = got.get(R + 1, (0, 0))
+    ne, se = got.get(R, (0, 0))
+    if ne == 0 or N - ne == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    M = 1_000_000
+    d_obs = (se * M) // ne - ((S - se) * M) // (N - ne)
+    dr = []
+    for r in range(R):
+        na, sa = got.get(r, (0, 0))
+        if na > 0 and N - na > 0:
+            dr.append((sa * M) // na - ((S - sa) * M) // (N - na))
+        else:
+            dr.append(0)
+    n_ext = sum(1 for d in dr if abs(d) >= abs(d_obs))
+    return pd.DataFrame([{"d_obs_ppm": d_obs, "n_extreme": n_ext,
+                          "p_ppm": (n_ext * M) // R}]) \
+        .astype(out_cols)
+
+
+def _q_gdpr_erasure_audit(sf_dir: str):
+    """Right-to-be-forgotten blast-radius audit: deterministic subject
+    set (key % 1000 == 7) counted across the three subject-keyed
+    tables in pure map-side passes (no shuffle at all) ->
+    (table_name, n_rows, n_erased, erased_ppm)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    specs = [("events", "user_id", -1), ("orders", "o_custkey", 0),
+             ("customer", "c_custkey", 0)]
+    out = []
+    for table, key, null_sent in specs:
+        ds = _read(sf_dir, table, columns=[key])
+
+        def prep(b: pa.Table, _k=key, _s=null_sent) -> pa.Table:
+            k = pc.fill_null(pc.cast(b.column(_k), pa.int64()), _s) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "n": pa.array([len(k)], pa.int64()),
+                "e": pa.array([int((k % 1000 == 7).sum())],
+                              pa.int64())})
+
+        rows = ds.map_batches(prep, batch_format="pyarrow") \
+            .groupby(None).aggregate(Sum("n"), Sum("e")).take_all()
+        n = sum(int(r["sum(n)"] or 0) for r in rows)
+        e = sum(int(r["sum(e)"] or 0) for r in rows)
+        if n > 0:
+            out.append({"table_name": table, "n_rows": n,
+                        "n_erased": e,
+                        "erased_ppm": (e * 1_000_000) // n})
+    cols = {"table_name": "object", "n_rows": "int64",
+            "n_erased": "int64", "erased_ppm": "int64"}
+    if not out:
+        return pd.DataFrame(columns=list(cols)).astype(
+            {k: v for k, v in cols.items() if v == "int64"})
+    return pd.DataFrame(out).astype(
+        {k: "int64" for k in ("n_rows", "n_erased", "erased_ppm")})
+
+
+def _q_ivm_delta_merge(sf_dir: str):
+    """Incremental-view-maintenance shape: the monthly revenue view is
+    maintained as BASE (orderkey % 10 != 0) plus DELTA (% 10 == 0)
+    partial aggregates merged BY KEY — the mergeable-aggregate
+    property a 100 TB snapshot+delta lakehouse pipeline relies on ->
+    (month, n_base, n_delta, revenue_cents).  The oracle recomputes
+    from scratch, proving merge == full recompute."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table, *, want_delta: bool) -> pa.Table:
+        okey = pc.fill_null(pc.cast(b.column("o_orderkey"),
+                                    pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (okey % 10 == 0) if want_delta else (okey % 10 != 0)
+        d = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()),
+                    pa.int32()).to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(
+            pd.Series(d.astype("datetime64[D]")[keep]))
+        month = ((dt.dt.year - 1970) * 12 + dt.dt.month - 1) \
+            .to_numpy(np.int64)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)[keep]
+        g = pd.DataFrame({"month": month, "nb": 0, "nd": 0,
+                          "rev": cents})
+        col = "nd" if want_delta else "nb"
+        g[col] = 1
+        g = g.groupby("month", sort=False, as_index=False).sum()
+        return pa.table({
+            "month": pa.array(g["month"].to_numpy(np.int64)),
+            "nb": pa.array(g["nb"].to_numpy(np.int64)),
+            "nd": pa.array(g["nd"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64))})
+
+    import functools
+    base = ds.map_batches(functools.partial(prep, want_delta=False),
+                          batch_format="pyarrow")
+    delta = ds.map_batches(functools.partial(prep, want_delta=True),
+                           batch_format="pyarrow")
+    merged = base.union(delta).groupby("month").aggregate(
+        Sum("nb"), Sum("nd"), Sum("rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.cast(b.column("month"), pa.int64()),
+            "n_base": pc.cast(b.column("sum(nb)"), pa.int64()),
+            "n_delta": pc.cast(b.column("sum(nd)"), pa.int64()),
+            "revenue_cents": pc.cast(b.column("sum(rev)"),
+                                     pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -7349,6 +7554,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2_users": _q_ams_f2_users,
         "zonemap_prune": _q_zonemap_prune,
         "jackknife_mean_chars": _q_jackknife_mean_chars,
+        "business_days_latency": _q_business_days_latency,
+        "customer_feature_table": _q_customer_feature_table,
+        "mmr_select": _q_mmr_select,
+        "hash_permutation_test": _q_hash_permutation_test,
+        "gdpr_erasure_audit": _q_gdpr_erasure_audit,
+        "ivm_delta_merge": _q_ivm_delta_merge,
     }
 
 
@@ -12001,5 +12212,150 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SQRT(CAST(v.jv AS DOUBLE))) AS BIGINT)
                        AS jk_se_ppm
             FROM tot CROSS JOIN v WHERE tot.nn > 0
+        """,
+        "business_days_latency": """
+            WITH o AS (SELECT o_orderkey,
+                              datediff('day', DATE '1970-01-01',
+                                       o_orderdate) + 1 AS od
+                       FROM orders),
+            l AS (SELECT l_orderkey,
+                         COALESCE(l_returnflag, '') AS returnflag,
+                         datediff('day', DATE '1970-01-01',
+                                  l_shipdate) + 1 AS sd
+                  FROM lineitem),
+            j AS (SELECT l.returnflag,
+                         (5 * (l.sd // 7)
+                          + CASE l.sd % 7 WHEN 1 THEN 1 WHEN 2 THEN 2
+                                WHEN 3 THEN 2 WHEN 4 THEN 2
+                                WHEN 5 THEN 3 WHEN 6 THEN 4
+                                ELSE 0 END)
+                         - (5 * (o.od // 7)
+                            + CASE o.od % 7 WHEN 1 THEN 1 WHEN 2 THEN 2
+                                  WHEN 3 THEN 2 WHEN 4 THEN 2
+                                  WHEN 5 THEN 3 WHEN 6 THEN 4
+                                  ELSE 0 END) AS bus
+                  FROM l JOIN o ON o.o_orderkey = l.l_orderkey)
+            SELECT returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(bus) AS BIGINT) AS sum_busdays,
+                   CAST((sum(bus) * 1000000) // count(*) AS BIGINT)
+                       AS avg_busdays_ppm,
+                   CAST(max(bus) AS BIGINT) AS max_busdays
+            FROM j GROUP BY 1
+        """,
+        "customer_feature_table": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              CAST(sum(CAST(round(o_totalprice * 100,
+                                                  0) AS BIGINT))
+                                   AS BIGINT) AS total_cents,
+                              CAST(min(datediff('day',
+                                       DATE '1970-01-01',
+                                       o_orderdate)) AS BIGINT) AS f,
+                              CAST(max(datediff('day',
+                                       DATE '1970-01-01',
+                                       o_orderdate)) AS BIGINT) AS l
+                       FROM orders GROUP BY 1)
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   COALESCE(c.c_mktsegment, '') AS mktsegment,
+                   n.n_name AS nation,
+                   CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+                       AS acctbal_cents,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.total_cents, 0) AS BIGINT)
+                       AS total_cents,
+                   CAST(CASE WHEN COALESCE(o.n_orders, 0) > 0
+                             THEN o.total_cents // o.n_orders
+                             ELSE 0 END AS BIGINT) AS avg_order_cents,
+                   CAST(COALESCE(o.f, -1) AS BIGINT) AS first_day,
+                   CAST(COALESCE(o.l, -1) AS BIGINT) AS last_day,
+                   CAST(CASE WHEN o.n_orders IS NOT NULL
+                             THEN o.l - o.f ELSE 0 END AS BIGINT)
+                       AS span_days
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            LEFT JOIN o ON o.o_custkey = c.c_custkey
+        """,
+        "hash_permutation_test": """
+            WITH d AS (SELECT COALESCE(n_chars, 0) AS ch,
+                              COALESCE(lang, 'und') AS lang,
+                              md5(CAST(COALESCE(doc_id, 0) AS VARCHAR))
+                                  AS m
+                       FROM documents),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(COALESCE(sum(ch), 0) AS BIGINT) AS s,
+                           CAST(count(*) FILTER (WHERE lang = 'en')
+                                AS BIGINT) AS ne,
+                           CAST(COALESCE(sum(ch) FILTER (
+                                WHERE lang = 'en'), 0) AS BIGINT) AS se
+                    FROM d),
+            rr AS (SELECT unnest(range(16)) AS r),
+            ra AS (SELECT rr.r,
+                          CAST(count(*) FILTER (WHERE substr(d.m,
+                               CAST(rr.r + 1 AS INT), 1) IN
+                               ('0','1','2','3','4','5','6','7'))
+                               AS BIGINT) AS na,
+                          CAST(COALESCE(sum(d.ch) FILTER (
+                               WHERE substr(d.m,
+                               CAST(rr.r + 1 AS INT), 1) IN
+                               ('0','1','2','3','4','5','6','7')), 0)
+                               AS BIGINT) AS sa
+                   FROM rr CROSS JOIN d GROUP BY 1),
+            st AS (SELECT n, s, ne, se,
+                          (se * 1000000) // ne
+                          - ((s - se) * 1000000) // (n - ne) AS dobs
+                   FROM tot WHERE ne > 0 AND n - ne > 0),
+            dr AS (SELECT ra.r,
+                          CASE WHEN ra.na > 0 AND tot.n - ra.na > 0
+                               THEN (ra.sa * 1000000) // ra.na
+                                    - ((tot.s - ra.sa) * 1000000)
+                                      // (tot.n - ra.na)
+                               ELSE 0 END AS dv
+                   FROM ra CROSS JOIN tot),
+            ext AS (SELECT CAST(count(*) AS BIGINT) AS c
+                    FROM dr CROSS JOIN st
+                    WHERE abs(dr.dv) >= abs(st.dobs))
+            SELECT CAST(st.dobs AS BIGINT) AS d_obs_ppm,
+                   CAST(ext.c AS BIGINT) AS n_extreme,
+                   CAST((ext.c * 1000000) // 16 AS BIGINT) AS p_ppm
+            FROM st CROSS JOIN ext
+        """,
+        "gdpr_erasure_audit": """
+            WITH a AS (
+              SELECT 'events' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(*) FILTER (
+                         WHERE COALESCE(user_id, -1) % 1000 = 7)
+                         AS BIGINT) AS n_erased
+              FROM events
+              UNION ALL
+              SELECT 'orders', CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (
+                         WHERE COALESCE(o_custkey, 0) % 1000 = 7)
+                         AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'customer', CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (
+                         WHERE COALESCE(c_custkey, 0) % 1000 = 7)
+                         AS BIGINT)
+              FROM customer)
+            SELECT table_name, n_rows, n_erased,
+                   CAST((n_erased * 1000000) // n_rows AS BIGINT)
+                       AS erased_ppm
+            FROM a WHERE n_rows > 0
+        """,
+        "ivm_delta_merge": """
+            SELECT CAST((year(o_orderdate) - 1970) * 12
+                        + month(o_orderdate) - 1 AS BIGINT) AS month,
+                   CAST(count(*) FILTER (
+                       WHERE COALESCE(o_orderkey, 0) % 10 <> 0)
+                       AS BIGINT) AS n_base,
+                   CAST(count(*) FILTER (
+                       WHERE COALESCE(o_orderkey, 0) % 10 = 0)
+                       AS BIGINT) AS n_delta,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
         """,
     }

@@ -235,7 +235,10 @@ def run_ops(sf_dir: str):
              "langid_calibration",
              "user_value_interp", "zorder_layout", "best_split_chars",
              "nb_lang_confusion", "event_type_stationary",
-             "ams_f2_users", "zonemap_prune", "jackknife_mean_chars"]
+             "ams_f2_users", "zonemap_prune", "jackknife_mean_chars",
+             "business_days_latency", "customer_feature_table",
+             "mmr_select", "hash_permutation_test",
+             "gdpr_erasure_audit", "ivm_delta_merge"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

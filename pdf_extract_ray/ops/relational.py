@@ -3537,3 +3537,209 @@ def nation_theil(orders_ds, customer_ds, *, n_parts: int = 32):
                     "theil_ppm": max(tsum.get(nat, 0), 0) // n})
     _ = math  # documented-import guard
     return pd.DataFrame(out).astype(out_cols)
+
+
+_BUSDAY_C = np.array([0, 1, 2, 2, 2, 3, 4], np.int64)
+
+
+def _busday_rank(days: np.ndarray) -> np.ndarray:
+    """g(d) = #weekdays in epoch-day interval [0, d) — closed form off
+    the 1970-01-01-is-Thursday anchor, so business-day distances are
+    g(b) - g(a) with no calendar table.  Positive inputs only (epoch
+    days of real dates), so // and % agree with SQL."""
+    return 5 * (days // 7) + _BUSDAY_C[days % 7]
+
+
+def business_days_latency(orders_ds, lineitem_ds, *,
+                          num_partitions=None):
+    """Order->ship business-day latency (weekends excluded) per
+    returnflag, in EXACT integers: busdays((order, ship]) =
+    g(ship+1) - g(order+1) with the closed-form weekday rank ->
+    (returnflag, n_items, sum_busdays, avg_busdays_ppm, max_busdays).
+
+    Scale shape: the order_total_audit union pattern — one
+    orderkey-keyed co-partition joins header order dates to line ship
+    dates (pandas merge inside the partition, no per-row Python), each
+    partition emits per-flag partials, a tiny groupby finishes."""
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()),
+                      pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "okey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "day": pa.array(day),
+            "flag": pa.array([""] * b.num_rows, pa.string())})
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b.column("l_shipdate"), pa.date32()),
+                      pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            "day": pa.array(day),
+            "flag": pc.cast(pc.fill_null(b.column("l_returnflag"), ""),
+                            pa.string())})
+
+    both = orders_ds.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem_ds.map_batches(line_rows,
+                                       batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"returnflag": "object", "n": "int64", "s": "int64",
+                "mx": "int64"}
+        hdr = df[df["side"] == 0][["okey", "day"]] \
+            .rename(columns={"day": "oday"})
+        lin = df[df["side"] == 1]
+        if len(hdr) == 0 or len(lin) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        j = lin.merge(hdr, on="okey", how="inner")
+        bus = _busday_rank(j["day"].to_numpy(np.int64) + 1) \
+            - _busday_rank(j["oday"].to_numpy(np.int64) + 1)
+        g = pd.DataFrame({"returnflag": j["flag"].to_numpy(object),
+                          "n": 1, "s": bus, "mx": bus}) \
+            .groupby("returnflag", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"), mx=("mx", "max"))
+        return g.astype(cols)
+
+    parts = _grouped_by_partition(both, ["okey"], resolve,
+                                  n_parts=num_partitions)
+    agg = parts.groupby("returnflag").aggregate(
+        Sum("n"), Sum("s"), Max("mx"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mx = b.column("max(mx)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "returnflag": pc.cast(b.column("returnflag"), pa.string()),
+            "n_items": pa.array(n),
+            "sum_busdays": pa.array(s),
+            "avg_busdays_ppm": pa.array(
+                np.where(n > 0, (s * 1_000_000) // np.maximum(n, 1),
+                         0)),
+            "max_busdays": pa.array(mx)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_feature_table(customer_ds, orders_ds, nation_ds, *,
+                           num_partitions=None):
+    """Feature-store wide build: one row per customer joining dim
+    attributes (mktsegment, nation name via broadcast) to order-derived
+    features (count, exact-cent spend totals/average, first/last order
+    epoch day, active span) -> (c_custkey, mktsegment, nation,
+    acctbal_cents, n_orders, total_cents, avg_order_cents, first_day,
+    last_day, span_days).  Customers with no orders keep -1 day
+    sentinels and zero spend (LEFT JOIN semantics).
+
+    Scale shape: orders pre-aggregate per batch, then ONE custkey-keyed
+    co-partition resolves customer+aggregate rows; the nation dim
+    broadcasts once via ray.put (25 rows — never a shuffle side)."""
+    import ray
+    from .dedup import _grouped_by_partition
+    num_partitions = _cap_partitions(num_partitions)
+
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in nation_ds.take_all()}
+    nat_ref = ray.put(nat)
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        bal = np.rint(b.column("c_acctbal")
+                      .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "ckey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "nkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "seg": pc.cast(pc.fill_null(b.column("c_mktsegment"), ""),
+                           pa.string()),
+            "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            "tot": pa.array(bal),  # reuse: acctbal cents ride here
+            "f": pa.array(np.zeros(b.num_rows, np.int64)),
+            "l": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ckey = pc.cast(b.column("o_custkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        day = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()),
+                      pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.DataFrame({"ckey": ckey, "n": 1, "tot": cents,
+                          "f": day, "l": day}) \
+            .groupby("ckey", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), tot=("tot", "sum"), f=("f", "min"),
+                 l=("l", "max"))
+        m = len(g)
+        return pa.table({
+            "ckey": pa.array(g["ckey"].to_numpy(np.int64)),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "nkey": pa.array(np.zeros(m, np.int64)),
+            "seg": pa.array([""] * m, pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "tot": pa.array(g["tot"].to_numpy(np.int64)),
+            "f": pa.array(g["f"].to_numpy(np.int64)),
+            "l": pa.array(g["l"].to_numpy(np.int64))})
+
+    both = customer_ds.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders_ds.map_batches(order_rows,
+                                     batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_custkey": "int64", "mktsegment": "object",
+                "nation": "object", "acctbal_cents": "int64",
+                "n_orders": "int64", "total_cents": "int64",
+                "avg_order_cents": "int64", "first_day": "int64",
+                "last_day": "int64", "span_days": "int64"}
+        cust = df[df["side"] == 0]
+        if len(cust) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {k: v for k, v in cols.items() if v == "int64"})
+        o = df[df["side"] == 1]
+        agg = o.groupby("ckey", sort=False, as_index=True).agg(
+            n=("n", "sum"), tot=("tot", "sum"), f=("f", "min"),
+            l=("l", "max")) if len(o) else None
+        nmap = ray.get(nat_ref)
+        ck = cust["ckey"].to_numpy(np.int64)
+        if agg is not None:
+            n = agg["n"].reindex(ck, fill_value=0).to_numpy(np.int64)
+            tot = agg["tot"].reindex(ck, fill_value=0) \
+                .to_numpy(np.int64)
+            f = agg["f"].reindex(ck).to_numpy()
+            lst = agg["l"].reindex(ck).to_numpy()
+        else:
+            n = tot = np.zeros(len(ck), np.int64)
+            f = lst = np.full(len(ck), np.nan)
+        has = n > 0
+        f_i = np.where(has, np.nan_to_num(f, nan=-1), -1) \
+            .astype(np.int64)
+        l_i = np.where(has, np.nan_to_num(lst, nan=-1), -1) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "c_custkey": ck,
+            "mktsegment": cust["seg"].to_numpy(object),
+            "nation": [nmap.get(int(k), "") for k in
+                       cust["nkey"].to_numpy(np.int64)],
+            "acctbal_cents": cust["tot"].to_numpy(np.int64),
+            "n_orders": n,
+            "total_cents": tot,
+            "avg_order_cents": np.where(has, tot // np.maximum(n, 1),
+                                        0).astype(np.int64),
+            "first_day": f_i, "last_day": l_i,
+            "span_days": np.where(has, l_i - f_i, 0)
+            .astype(np.int64)}).astype(cols)
+
+    return _grouped_by_partition(both, ["ckey"], resolve,
+                                 n_parts=num_partitions)

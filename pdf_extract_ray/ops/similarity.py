@@ -855,3 +855,103 @@ def pq_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "neighbor_id": pa.array(out_n, pa.int64()),
                      "rank": pa.array(out_r, pa.int64())})
+
+
+def mmr_select(ds, *, dim: int, k: int = 16, m: int = 64,
+               lam_milli: int = 700):
+    """Maximal-Marginal-Relevance diverse subset selection (Carbonell &
+    Goldstein 1998) — the training-data curation shape "pick k docs
+    that are relevant AND mutually diverse": query = the corpus mean
+    embedding, candidates = distributed top-m by cosine relevance, then
+    the greedy MMR loop runs on the driver over only those m rows ->
+    (rank, vec_id, relevance_milli, mmr_milli).
+
+    Determinism: candidate and greedy ties break on vec_id ascending;
+    scores quantize to floor-milli only in the OUTPUT (selection uses
+    the full doubles, which both passes compute identically).
+
+    Scale shape: pass 1 = mean via per-batch (sum, n) partials; pass 2
+    = per-batch local top-m candidates (m rows per block to the
+    driver, corpus never moves); the greedy loop is O(k*m) on m<=64
+    rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    lam = lam_milli / 1000.0
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        v = _stack(b.column("embedding"))
+        if v.shape[0] == 0 or v.shape[1] == 0:
+            return pa.table({"s": pa.array([[0.0] * dim],
+                                           pa.list_(pa.float64())),
+                             "n": pa.array([0], pa.int64())})
+        return pa.table({"s": pa.array([v.sum(axis=0).tolist()],
+                                       pa.list_(pa.float64())),
+                         "n": pa.array([int(v.shape[0])], pa.int64())})
+
+    rows = ds.map_batches(sum_partial, batch_format="pyarrow") \
+        .take_all()
+    out_cols = {"rank": "int64", "vec_id": "int64",
+                "relevance_milli": "int64", "mmr_milli": "int64"}
+    n_total = sum(int(r["n"]) for r in rows)
+    if n_total == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    mean = np.sum([np.asarray(r["s"], np.float64) for r in rows],
+                  axis=0) / n_total
+    q = mean / (np.linalg.norm(mean) or 1.0)
+    q_ref = ray.put(q)
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        v = _stack(b.column("embedding"))
+        ids = pc.fill_null(pc.cast(b.column("vec_id"), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64()),
+                             "emb": pa.array([],
+                                             pa.list_(pa.float64()))})
+        sims = _normalize(v) @ qv
+        order = np.lexsort((ids, -sims))[:m]
+        return pa.table({
+            "vec_id": pa.array(ids[order]),
+            "sim": pa.array(sims[order]),
+            "emb": pa.array([v[i].tolist() for i in order],
+                            pa.list_(pa.float64()))})
+
+    cand = []
+    for b in ds.map_batches(cand_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            cand.append((int(b.column("vec_id")[i].as_py()),
+                         float(b.column("sim")[i].as_py()),
+                         np.asarray(b.column("emb")[i].as_py(),
+                                    np.float64)))
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    cand = cand[:m]
+    if not cand:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    ids = np.asarray([c[0] for c in cand], np.int64)
+    rel = np.asarray([c[1] for c in cand], np.float64)
+    vecs = _normalize(np.stack([c[2] for c in cand]))
+    pair = vecs @ vecs.T
+    chosen: list = []
+    avail = np.ones(len(cand), bool)
+    out = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        if chosen:
+            max_sim = pair[:, chosen].max(axis=1)
+        else:
+            max_sim = np.zeros(len(cand))
+        score = lam * rel - (1.0 - lam) * max_sim
+        score[~avail] = -np.inf
+        # ties on score -> smallest vec_id (ids are cand-sorted, but
+        # re-sorting by (-score, id) pins it regardless)
+        j = int(np.lexsort((ids, -score))[0])
+        chosen.append(j)
+        avail[j] = False
+        out.append({"rank": rank, "vec_id": int(ids[j]),
+                    "relevance_milli": int(np.floor(rel[j] * 1000)),
+                    "mmr_milli": int(np.floor(score[j] * 1000))})
+    return pd.DataFrame(out).astype(out_cols)

@@ -103,6 +103,10 @@ QUERIES = [
     # jackknife
     "nb_lang_confusion", "event_type_stationary", "ams_f2_users",
     "zonemap_prune", "jackknife_mean_chars",
+    # wave 21: busdays, feature table, MMR, permutation test, GDPR,
+    # IVM merge
+    "business_days_latency", "customer_feature_table", "mmr_select",
+    "hash_permutation_test", "gdpr_erasure_audit", "ivm_delta_merge",
 ]
 
 
@@ -178,6 +182,10 @@ ONE_ROW_QUERIES = [
     # jackknife
     "nb_lang_confusion", "event_type_stationary", "ams_f2_users",
     "zonemap_prune", "jackknife_mean_chars",
+    # wave 21: busdays, feature table, MMR, permutation test, GDPR,
+    # IVM merge
+    "business_days_latency", "customer_feature_table", "mmr_select",
+    "hash_permutation_test", "gdpr_erasure_audit", "ivm_delta_merge",
 ]
 
 

@@ -76,8 +76,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "user_lifespan_hist",
            # round-3 wave 17 keyed ops
            "user_daily_ohlc", "nation_theil", "fk_orphans",
-           # round-3 wave 19/20 keyed ops
-           "user_value_interp", "event_type_stationary"]
+           # round-3 wave 19/20/21 keyed ops
+           "user_value_interp", "event_type_stationary",
+           "business_days_latency", "customer_feature_table"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
