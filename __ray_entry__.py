@@ -7218,6 +7218,204 @@ def _q_ivm_delta_merge(sf_dir: str):
 
 
 
+def _q_trade_distance(sf_dir: str):
+    """Weighted single-source shortest path over the nation trade
+    graph: edges are the oracled Q7 cross-nation pair volumes (both
+    directions, weight 1 + 1e12 // (revenue_c4 + 1) — heavier trade =
+    shorter hop), source = lexicographically smallest nation, 6
+    Bellman-Ford min-plus rounds in exact integers (the unrolled-CTE
+    pattern of event_type_stationary) -> (nation, dist_cost);
+    unreachable -> -1.
+
+    Scale shape: the distributed work is the Q7 pair-volume chain
+    (ops/relational.local_supplier_volume); the graph itself is
+    |nations|^2 rows, so relaxation is driver-side tiny."""
+    import pandas as pd
+    from pdf_extract_ray.ops.relational import local_supplier_volume
+
+    pairs = local_supplier_volume(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        relation="cross").take_all()
+    out_cols = {"nation": "object", "dist_cost": "int64"}
+    if not pairs:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"dist_cost": "int64"})
+    INF = 10 ** 15
+    edges = []
+    nodes = set()
+    for r in pairs:
+        a, b_, rev = r["cust_nation"], r["supp_nation"], \
+            int(r["revenue_c4"])
+        w = 1 + 10 ** 12 // (rev + 1)
+        edges.append((a, b_, w))
+        edges.append((b_, a, w))
+        nodes.update((a, b_))
+    nodes = sorted(nodes)
+    dist = {v: INF for v in nodes}
+    dist[nodes[0]] = 0
+    for _ in range(6):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            cand = dist[u] + w
+            if cand < nxt[v]:
+                nxt[v] = cand
+        dist = nxt
+    return pd.DataFrame({
+        "nation": nodes,
+        "dist_cost": [dist[v] if dist[v] < INF else -1
+                      for v in nodes]}).astype({"dist_cost": "int64"})
+
+
+def _q_quota_allocation(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of 1000 sampling
+    slots across sources proportional to doc counts — the quota-
+    sampling design primitive, EXACT integers: base = (1000*n) // N,
+    the L = 1000 - sum(base) leftover slots go to the L largest
+    remainders (ties -> source asc) -> (source, n_docs, base_slots,
+    slots).
+
+    Scale shape: ONE source-domain groupby (bounded by the source
+    alphabet); apportionment is driver-side tiny."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_pandas()
+        g = src.value_counts()
+        return pa.table({"source": pa.array(g.index.to_list(),
+                                            pa.string()),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n")).take_all()
+    out_cols = {"source": "object", "n_docs": "int64",
+                "base_slots": "int64", "slots": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {k: "int64" for k in ("n_docs", "base_slots", "slots")})
+    g = sorted((r["source"], int(r["sum(n)"])) for r in rows)
+    N = sum(n for _, n in g)
+    if N == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {k: "int64" for k in ("n_docs", "base_slots", "slots")})
+    base = {src: (1000 * n) // N for src, n in g}
+    rem = sorted(((1000 * n) % N, src) for src, n in g)
+    left = 1000 - sum(base.values())
+    bonus = {src for _, src in sorted(
+        rem, key=lambda t: (-t[0], t[1]))[:left]}
+    return pd.DataFrame([{
+        "source": src, "n_docs": n, "base_slots": base[src],
+        "slots": base[src] + (1 if src in bonus else 0)}
+        for src, n in g]).astype(
+        {k: "int64" for k in ("n_docs", "base_slots", "slots")})
+
+
+def _q_hierarchy_share(sf_dir: str):
+    """Percent-of-parent rollup down the region -> nation hierarchy:
+    per customer nation, exact-cent revenue plus its ppm share of the
+    region and the region's ppm share of the corpus ->
+    (region, nation, revenue_cents, nation_in_region_ppm,
+    region_share_ppm).  Cents quantize PER ORDER (round(price*100))
+    so both engines sum identical integers.
+
+    Scale shape: the revenue_by_nation union pattern — orders partial-
+    sum per custkey map-side, one custkey-keyed partition pass maps
+    customers to nations, a 25-key groupby merges; region/nation dims
+    broadcast; share math on 25 driver rows."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    nat = {int(r["n_nationkey"]): (r["n_name"], int(r["n_regionkey"]))
+           for r in _read(sf_dir, "nation").take_all()}
+    reg = {int(r["r_regionkey"]): r["r_name"]
+           for r in _read(sf_dir, "region").take_all()}
+    nat_ref = ray.put(nat)
+
+    def opart(b: pa.Table) -> pa.Table:
+        ck = pc.cast(b.column("o_custkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"ckey": ck, "cents": cents}) \
+            .groupby("ckey", sort=False, as_index=False).sum()
+        m = len(g)
+        return pa.table({
+            "ckey": pa.array(g["ckey"].to_numpy(np.int64)),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "v": pa.array(g["cents"].to_numpy(np.int64))})
+
+    def cpart(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ckey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "v": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+    both = _read(sf_dir, "orders",
+                 columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(opart, batch_format="pyarrow") \
+        .union(_read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+               .map_batches(cpart, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nkey": "int64", "cents": "int64"}
+        cust = df[df["side"] == 0]
+        o = df[df["side"] == 1]
+        if len(cust) == 0 or len(o) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        spend = o.groupby("ckey", sort=False)["v"].sum()
+        j = cust[["ckey", "v"]].rename(columns={"v": "nkey"}) \
+            .merge(spend.rename("cents"), left_on="ckey",
+                   right_index=True, how="inner")
+        g = j.groupby("nkey", sort=False, as_index=False)["cents"] \
+            .sum()
+        return g[["nkey", "cents"]].astype(cols)
+
+    parts = _grouped_by_partition(both, ["ckey"], resolve, n_parts=16)
+    rows = parts.groupby("nkey").aggregate(Sum("cents")).take_all()
+    out_cols = {"region": "object", "nation": "object",
+                "revenue_cents": "int64",
+                "nation_in_region_ppm": "int64",
+                "region_share_ppm": "int64"}
+    num = {k: "int64" for k in ("revenue_cents",
+                                "nation_in_region_ppm",
+                                "region_share_ppm")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    per_nation = {}
+    for r in rows:
+        nk = int(r["nkey"])
+        name, rk = nat.get(nk, (str(nk), -1))
+        per_nation[nk] = (reg.get(rk, ""), name, int(r["sum(cents)"]))
+    reg_tot = {}
+    for rname, _, c in per_nation.values():
+        reg_tot[rname] = reg_tot.get(rname, 0) + c
+    total = sum(reg_tot.values())
+    M = 1_000_000
+    out = [{"region": rname, "nation": nname, "revenue_cents": c,
+            "nation_in_region_ppm": (c * M) // reg_tot[rname]
+            if reg_tot[rname] > 0 else 0,
+            "region_share_ppm": (reg_tot[rname] * M) // total
+            if total > 0 else 0}
+           for rname, nname, c in per_nation.values()]
+    return pd.DataFrame(out).astype(num)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -7560,6 +7758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_permutation_test": _q_hash_permutation_test,
         "gdpr_erasure_audit": _q_gdpr_erasure_audit,
         "ivm_delta_merge": _q_ivm_delta_merge,
+        "trade_distance": _q_trade_distance,
+        "quota_allocation": _q_quota_allocation,
+        "hierarchy_share": _q_hierarchy_share,
     }
 
 
@@ -12357,5 +12558,113 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT)
                        AS revenue_cents
             FROM orders GROUP BY 1
+        """,
+        "trade_distance": """
+            WITH e AS (SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY nc.n_name, ns.n_name),
+            w AS (SELECT cust_nation AS src, supp_nation AS dst,
+                         1 + 1000000000000 // (revenue_c4 + 1) AS w
+                  FROM e
+                  UNION ALL
+                  SELECT supp_nation, cust_nation,
+                         1 + 1000000000000 // (revenue_c4 + 1)
+                  FROM e),
+            nodes AS (SELECT DISTINCT src AS v FROM w
+                      UNION SELECT DISTINCT dst FROM w),
+            d0 AS (SELECT v,
+                          CASE WHEN v = (SELECT MIN(v) FROM nodes)
+                               THEN 0
+                               ELSE 1000000000000000 END AS d
+                   FROM nodes),
+            d1 AS (SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d0
+                UNION ALL
+                SELECT w.dst AS v, d0.d + w.w AS d
+                FROM d0 JOIN w ON w.src = d0.v) GROUP BY 1),
+            d2 AS (SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d1
+                UNION ALL
+                SELECT w.dst AS v, d1.d + w.w AS d
+                FROM d1 JOIN w ON w.src = d1.v) GROUP BY 1),
+            d3 AS (SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d2
+                UNION ALL
+                SELECT w.dst AS v, d2.d + w.w AS d
+                FROM d2 JOIN w ON w.src = d2.v) GROUP BY 1),
+            d4 AS (SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d3
+                UNION ALL
+                SELECT w.dst AS v, d3.d + w.w AS d
+                FROM d3 JOIN w ON w.src = d3.v) GROUP BY 1),
+            d5 AS (SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d4
+                UNION ALL
+                SELECT w.dst AS v, d4.d + w.w AS d
+                FROM d4 JOIN w ON w.src = d4.v) GROUP BY 1),
+            d6 AS (SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d5
+                UNION ALL
+                SELECT w.dst AS v, d5.d + w.w AS d
+                FROM d5 JOIN w ON w.src = d5.v) GROUP BY 1),
+            x AS (SELECT v, d FROM d6)
+            SELECT nodes.v AS nation,
+                   CAST(CASE WHEN x.d >= 1000000000000000 THEN -1
+                             ELSE x.d END AS BIGINT) AS dist_cost
+            FROM nodes JOIN x ON x.v = nodes.v
+        """,
+        "quota_allocation": """
+            WITH g AS (SELECT COALESCE(source, '') AS source,
+                              CAST(count(*) AS HUGEINT) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS nn FROM g),
+            b AS (SELECT g.source, g.n, (1000 * g.n) // t.nn AS base,
+                         (1000 * g.n) % t.nn AS rem
+                  FROM g CROSS JOIN t),
+            l AS (SELECT 1000 - SUM(base) AS lf FROM b),
+            r AS (SELECT b.source, b.n, b.base,
+                         row_number() OVER (
+                             ORDER BY b.rem DESC, b.source ASC) AS rk
+                  FROM b)
+            SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+                   CAST(r.base AS BIGINT) AS base_slots,
+                   CAST(r.base + CASE WHEN r.rk <= l.lf THEN 1
+                                      ELSE 0 END AS BIGINT) AS slots
+            FROM r CROSS JOIN l
+        """,
+        "hierarchy_share": """
+            WITH rev AS (SELECT c.c_nationkey AS nk,
+                                CAST(SUM(CAST(round(o.o_totalprice
+                                                    * 100, 0)
+                                              AS BIGINT)) AS BIGINT)
+                                    AS cents
+                         FROM orders o
+                         JOIN customer c ON c.c_custkey = o.o_custkey
+                         GROUP BY 1),
+            nr AS (SELECT n.n_name AS nation, r.r_name AS region,
+                          rev.cents
+                   FROM rev JOIN nation n ON n.n_nationkey = rev.nk
+                   JOIN region r ON r.r_regionkey = n.n_regionkey),
+            rt AS (SELECT region, SUM(cents) AS rc FROM nr GROUP BY 1),
+            tt AS (SELECT SUM(cents) AS tot FROM nr)
+            SELECT nr.region, nr.nation, nr.cents AS revenue_cents,
+                   CAST((nr.cents * 1000000) // rt.rc AS BIGINT)
+                       AS nation_in_region_ppm,
+                   CAST((rt.rc * 1000000) // tt.tot AS BIGINT)
+                       AS region_share_ppm
+            FROM nr JOIN rt USING (region) CROSS JOIN tt
         """,
     }

@@ -238,7 +238,8 @@ def run_ops(sf_dir: str):
              "ams_f2_users", "zonemap_prune", "jackknife_mean_chars",
              "business_days_latency", "customer_feature_table",
              "mmr_select", "hash_permutation_test",
-             "gdpr_erasure_audit", "ivm_delta_merge"]
+             "gdpr_erasure_audit", "ivm_delta_merge",
+             "trade_distance", "quota_allocation", "hierarchy_share"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -107,6 +107,8 @@ QUERIES = [
     # IVM merge
     "business_days_latency", "customer_feature_table", "mmr_select",
     "hash_permutation_test", "gdpr_erasure_audit", "ivm_delta_merge",
+    # wave 22: trade SSSP, quota apportionment, hierarchy shares
+    "trade_distance", "quota_allocation", "hierarchy_share",
 ]
 
 
@@ -186,6 +188,8 @@ ONE_ROW_QUERIES = [
     # IVM merge
     "business_days_latency", "customer_feature_table", "mmr_select",
     "hash_permutation_test", "gdpr_erasure_audit", "ivm_delta_merge",
+    # wave 22: trade SSSP, quota apportionment, hierarchy shares
+    "trade_distance", "quota_allocation", "hierarchy_share",
 ]
 
 
