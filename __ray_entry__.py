@@ -7416,6 +7416,195 @@ def _q_hierarchy_share(sf_dir: str):
 
 
 
+def _q_expectations_audit(sf_dir: str):
+    """Declarative data-quality expectations (the dbt-test / Great-
+    Expectations shape) evaluated in ONE documents scan plus one
+    key-domain exchange for the uniqueness check ->
+    (check_name, n_rows, n_violations, passed).
+
+    Checks: doc_id unique; lang not null; lang in the accepted set
+    {de,en,es,fr,zh}; n_chars >= 0; n_chars == length(text)
+    (codepoint semantics in both engines).
+
+    Scale shape: the four map-expressible checks fold per batch into
+    counter partials (zero shuffle); uniqueness pays the unavoidable
+    key exchange but ships (key, n) partials, not rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "text", "n_chars"])
+    ACCEPTED = {"de", "en", "es", "fr", "zh"}
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        lang = b.column("lang")
+        nn_lang = int(pc.sum(pc.cast(pc.is_null(lang), pa.int64()))
+                      .as_py() or 0)
+        bad_set = int(pc.sum(pc.cast(pc.invert(pc.is_in(
+            pc.fill_null(pc.cast(lang, pa.string()), ""),
+            value_set=pa.array(sorted(ACCEPTED)))), pa.int64()))
+            .as_py() or 0)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), -1)
+        neg = int(pc.sum(pc.cast(pc.less(ch, 0), pa.int64()))
+                  .as_py() or 0)
+        tlen = pc.utf8_length(pc.fill_null(
+            pc.cast(b.column("text"), pa.string()), ""))
+        mismatch = int(pc.sum(pc.cast(pc.not_equal(
+            pc.cast(ch, pa.int64()), pc.cast(tlen, pa.int64())),
+            pa.int64())).as_py() or 0)
+        return pa.table({
+            "check_name": pa.array(
+                ["lang_not_null", "lang_accepted", "n_chars_nonneg",
+                 "n_chars_matches_text"], pa.string()),
+            "n": pa.array([n] * 4, pa.int64()),
+            "viol": pa.array([nn_lang, bad_set, neg, mismatch],
+                             pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("check_name").aggregate(Sum("n"), Sum("viol")) \
+        .take_all()
+
+    # uniqueness: (doc_id, n) partials -> key groupby -> count keys
+    def key_partial(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False)
+        g = pd.Series(1, index=did).groupby(level=0, sort=False).sum()
+        return pa.table({"k": pa.array(g.index.to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    def key_fold(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"keys": pa.array([len(n)], pa.int64()),
+                         "rows": pa.array([int(n.sum())], pa.int64())})
+
+    urows = ds.map_batches(key_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n")) \
+        .map_batches(key_fold, batch_format="pyarrow").take_all()
+    n_rows = sum(int(r["rows"]) for r in urows)
+    n_keys = sum(int(r["keys"]) for r in urows)
+
+    out_cols = {"check_name": "object", "n_rows": "int64",
+                "n_violations": "int64", "passed": "int64"}
+    num = {k: "int64" for k in ("n_rows", "n_violations", "passed")}
+    out = [{"check_name": "doc_id_unique", "n_rows": n_rows,
+            "n_violations": n_rows - n_keys,
+            "passed": 1 if n_rows == n_keys else 0}] if n_rows else []
+    for r in rows:
+        v = int(r["sum(viol)"])
+        out.append({"check_name": r["check_name"],
+                    "n_rows": int(r["sum(n)"]), "n_violations": v,
+                    "passed": 1 if v == 0 else 0})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_hypothetical_rank(sf_dir: str):
+    """Hypothetical-set rank (SQL's RANK() WITHIN GROUP family): for
+    probe lengths (100, 500, 1000), the rank a new doc of that length
+    would take per source (1 + #shorter) and its ppm position over
+    n+1 -> (source, probe, rank, pct_ppm).
+
+    Scale shape: pure map-side counter partials (3 probes x sources
+    per batch) -> one source-domain groupby; no row leaves its
+    block."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    PROBES = (100, 500, 1000)
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"source": src, "n": 1})
+        for p_ in PROBES:
+            df[f"lt{p_}"] = (ch < p_).astype(np.int64)
+        g = df.groupby("source", sort=False, as_index=False).sum()
+        cols = {"source": pa.array(g["source"].to_numpy(object),
+                                   pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64))}
+        for p_ in PROBES:
+            cols[f"lt{p_}"] = pa.array(g[f"lt{p_}"]
+                                       .to_numpy(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum("n")] + [Sum(f"lt{p_}") for p_ in PROBES]
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(*aggs).take_all()
+    out_cols = {"source": "object", "probe": "int64", "rank": "int64",
+                "pct_ppm": "int64"}
+    num = {k: "int64" for k in ("probe", "rank", "pct_ppm")}
+    out = []
+    for r in rows:
+        n = int(r["sum(n)"])
+        for p_ in PROBES:
+            rk = 1 + int(r[f"sum(lt{p_})"])
+            out.append({"source": r["source"], "probe": p_,
+                        "rank": rk,
+                        "pct_ppm": (rk * 1_000_000) // (n + 1)})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_embedding_pair_dot(sf_dir: str):
+    """Fully-ORACLED embedding arithmetic: deterministic pairing
+    (vec_id 2k with 2k+1), dot product of milli-quantized vectors
+    (floor(x*1000) per dim) -> (vec_a, vec_b, dot_q).  Quantized
+    products stay < 2^53, so DuckDB's double list_dot_product and
+    numpy's int64 dot agree EXACTLY regardless of summation order —
+    the trick that makes a float-vector op hash-comparable.
+
+    Scale shape: one pair-keyed (vec_id // 2) partition pass; inside
+    a partition the dot is one vectorized row-wise multiply."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    from pdf_extract_ray.ops.similarity import _stack
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = pc.fill_null(pc.cast(b.column("vec_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = _stack(b.column("embedding"))
+        q = np.floor(v * 1000.0).astype(np.int64)
+        return pa.table({
+            "pair": pa.array(ids // 2),
+            "vid": pa.array(ids),
+            "q": pa.array(q.tolist(),
+                          pa.list_(pa.int64()))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_a": "int64", "vec_b": "int64", "dot_q": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["pair", "vid"], kind="stable")
+        pair = df["pair"].to_numpy(np.int64)
+        vid = df["vid"].to_numpy(np.int64)
+        ok = np.zeros(len(df), bool)
+        ok[:-1] = (pair[:-1] == pair[1:]) & (vid[:-1] + 1 == vid[1:]) \
+            & (vid[:-1] % 2 == 0)
+        if not ok.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        qa = np.stack(df["q"].to_numpy()[np.flatnonzero(ok)])
+        qb = np.stack(df["q"].to_numpy()[np.flatnonzero(ok) + 1])
+        return pd.DataFrame({
+            "vec_a": vid[ok], "vec_b": vid[ok] + 1,
+            "dot_q": (qa * qb).sum(axis=1)}).astype(cols)
+
+    partials = ds.map_batches(prep, batch_format="pyarrow")
+    return _grouped_by_partition(partials, ["pair"], resolve,
+                                 n_parts=32)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -7761,6 +7950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_distance": _q_trade_distance,
         "quota_allocation": _q_quota_allocation,
         "hierarchy_share": _q_hierarchy_share,
+        "expectations_audit": _q_expectations_audit,
+        "hypothetical_rank": _q_hypothetical_rank,
+        "embedding_pair_dot": _q_embedding_pair_dot,
     }
 
 
@@ -12666,5 +12858,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST((rt.rc * 1000000) // tt.tot AS BIGINT)
                        AS region_share_ppm
             FROM nr JOIN rt USING (region) CROSS JOIN tt
+        """,
+        "expectations_audit": """
+            WITH checks AS (
+              SELECT 'doc_id_unique' AS check_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(*) - count(DISTINCT COALESCE(doc_id,
+                          -1)) AS BIGINT) AS n_violations
+              FROM documents
+              UNION ALL
+              SELECT 'lang_not_null', CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE lang IS NULL)
+                          AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'lang_accepted', CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE COALESCE(lang, '')
+                          NOT IN ('de','en','es','fr','zh'))
+                          AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars_nonneg', CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (
+                          WHERE COALESCE(n_chars, -1) < 0) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars_matches_text', CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (
+                          WHERE COALESCE(n_chars, -1)
+                                <> length(COALESCE(text, '')))
+                          AS BIGINT)
+              FROM documents)
+            SELECT check_name, n_rows, n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS passed
+            FROM checks WHERE n_rows > 0
+        """,
+        "hypothetical_rank": """
+            WITH probes AS (SELECT unnest([100, 500, 1000]) AS probe),
+            g AS (SELECT COALESCE(source, '') AS source,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM documents GROUP BY 1),
+            c AS (SELECT COALESCE(d.source, '') AS source, p.probe,
+                         CAST(count(*) FILTER (
+                             WHERE COALESCE(d.n_chars, 0) < p.probe)
+                             AS BIGINT) AS lt
+                  FROM documents d CROSS JOIN probes p
+                  GROUP BY 1, 2)
+            SELECT c.source, CAST(c.probe AS BIGINT) AS probe,
+                   CAST(1 + c.lt AS BIGINT) AS rank,
+                   CAST(((1 + c.lt) * 1000000) // (g.n + 1)
+                        AS BIGINT) AS pct_ppm
+            FROM c JOIN g USING (source)
+        """,
+        "embedding_pair_dot": """
+            WITH q AS (SELECT COALESCE(vec_id, -1) AS vid,
+                              list_transform(embedding,
+                                             x -> floor(x * 1000))
+                                  AS qv
+                       FROM embeddings)
+            SELECT CAST(a.vid AS BIGINT) AS vec_a,
+                   CAST(b.vid AS BIGINT) AS vec_b,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                       AS dot_q
+            FROM q a JOIN q b ON b.vid = a.vid + 1
+            WHERE a.vid % 2 = 0
         """,
     }

@@ -239,7 +239,9 @@ def run_ops(sf_dir: str):
              "business_days_latency", "customer_feature_table",
              "mmr_select", "hash_permutation_test",
              "gdpr_erasure_audit", "ivm_delta_merge",
-             "trade_distance", "quota_allocation", "hierarchy_share"]
+             "trade_distance", "quota_allocation", "hierarchy_share",
+             "expectations_audit", "hypothetical_rank",
+             "embedding_pair_dot"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -109,6 +109,8 @@ QUERIES = [
     "hash_permutation_test", "gdpr_erasure_audit", "ivm_delta_merge",
     # wave 22: trade SSSP, quota apportionment, hierarchy shares
     "trade_distance", "quota_allocation", "hierarchy_share",
+    # wave 23: expectations, hypothetical rank, quantized pair dot
+    "expectations_audit", "hypothetical_rank", "embedding_pair_dot",
 ]
 
 
@@ -190,6 +192,8 @@ ONE_ROW_QUERIES = [
     "hash_permutation_test", "gdpr_erasure_audit", "ivm_delta_merge",
     # wave 22: trade SSSP, quota apportionment, hierarchy shares
     "trade_distance", "quota_allocation", "hierarchy_share",
+    # wave 23: expectations, hypothetical rank, quantized pair dot
+    "expectations_audit", "hypothetical_rank", "embedding_pair_dot",
 ]
 
 

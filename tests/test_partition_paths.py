@@ -79,8 +79,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round-3 wave 19/20/21 keyed ops
            "user_value_interp", "event_type_stationary",
            "business_days_latency", "customer_feature_table",
-           # round-3 wave 22 keyed ops
-           "trade_distance", "hierarchy_share"]
+           # round-3 wave 22/23 keyed ops
+           "trade_distance", "hierarchy_share", "embedding_pair_dot"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
