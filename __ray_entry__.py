@@ -7605,6 +7605,227 @@ def _q_embedding_pair_dot(sf_dir: str):
 
 
 
+def _q_type_lag_xcorr(sf_dir: str):
+    """Cross-correlation lag scan between the daily count series of
+    the two lexicographically-first event types: for each lag in
+    [-7, 7], xcorr = sum_d na(d) * nb(d + lag), exact integers; the
+    argmax row is flagged (ties -> smallest lag) ->
+    (lag, xcorr, is_best).  The "does B trail A by k days" probe.
+
+    Scale shape: ONE bounded (day, type) count exchange (day x alphabet
+    domain); the 15-lag scan runs on the tiny day-count table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        et = pc.fill_null(pc.cast(b.column("event_type"),
+                                  pa.string()), "") \
+            .to_numpy(zero_copy_only=False)
+        day = (np.where(ok, ts, 0) // DAY)[ok]
+        g = pd.DataFrame({"day": day, "et": et[ok], "n": 1}) \
+            .groupby(["day", "et"], sort=False, as_index=False).sum()
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy(np.int64)),
+            "et": pa.array(g["et"].to_numpy(object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["day", "et"]).aggregate(Sum("n")).take_all()
+    out_cols = {"lag": "int64", "xcorr": "int64", "is_best": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    types = sorted({r["et"] for r in rows})
+    if len(types) < 2:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    ta, tb = types[0], types[1]
+    na = {int(r["day"]): int(r["sum(n)"]) for r in rows
+          if r["et"] == ta}
+    nb_ = {int(r["day"]): int(r["sum(n)"]) for r in rows
+           if r["et"] == tb}
+    out = []
+    for lag in range(-7, 8):
+        out.append({"lag": lag,
+                    "xcorr": sum(v * nb_.get(d + lag, 0)
+                                 for d, v in na.items())})
+    best = max(out, key=lambda r: (r["xcorr"], -r["lag"]))
+    for r in out:
+        r["is_best"] = 1 if (r["xcorr"] == best["xcorr"]
+                             and r["lag"] == best["lag"]) else 0
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_analyze_table_sketch(sf_dir: str):
+    """ANALYZE-style optimizer statistics for the orders fact: per
+    column (orderkey, custkey, order epoch day, total cents) the exact
+    n/nulls/min/max plus a KMV-128 distinct estimate whose md5 sketch
+    is itself deterministic and oracled -> (column_name, n_rows,
+    n_nulls, min_v, max_v, ndv_est).
+
+    Scale shape: ONE scan; per batch each column folds to (min, max,
+    nulls, 128 smallest hashes); the driver merges n_blocks tiny
+    sketches.  No exchange at all — the NDV sketch replaces the
+    key-domain groupby an exact ANALYZE would pay."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+    K = 128
+    M60 = 1 << 60
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cents = pa.array(
+            np.where(np.isnan(price), 0,
+                     np.rint(price * 100)).astype(np.int64),
+            pa.int64(), mask=np.isnan(price))
+        cols = {
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "order_day": pc.cast(pc.cast(
+                pc.cast(b.column("o_orderdate"), pa.date32()),
+                pa.int32()), pa.int64()),
+            "total_cents": cents,
+        }
+        names, ns, nulls, mins, maxs, hs = [], [], [], [], [], []
+        for name, col in cols.items():
+            nn = int(pc.sum(pc.cast(pc.is_null(col), pa.int64()))
+                     .as_py() or 0)
+            v = pc.drop_null(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            names.append(name)
+            ns.append(b.num_rows)
+            nulls.append(nn)
+            mins.append(int(v.min()) if len(v) else 0)
+            maxs.append(int(v.max()) if len(v) else 0)
+            uniq = np.unique(v)
+            hv = np.sort(np.asarray(
+                [int(hashlib.md5(str(int(x)).encode())
+                     .hexdigest()[:15], 16) for x in uniq]
+                or [0], np.int64))
+            hs.append(hv[:K].tolist() if len(uniq) else [])
+        return pa.table({
+            "column_name": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "nulls": pa.array(nulls, pa.int64()),
+            "mn": pa.array(mins, pa.int64()),
+            "mx": pa.array(maxs, pa.int64()),
+            "kmv": pa.array(hs, pa.list_(pa.int64()))})
+
+    agg: dict = {}
+    for r in ds.map_batches(prep, batch_format="pyarrow") \
+            .iter_rows():
+        name = r["column_name"]
+        vals = int(r["n"]) - int(r["nulls"])
+        cur = agg.get(name)
+        if cur is None:
+            agg[name] = {"n": int(r["n"]), "nulls": int(r["nulls"]),
+                         "mn": int(r["mn"]), "mx": int(r["mx"]),
+                         "kmv": set(r["kmv"]), "vals": vals}
+        else:
+            cur["n"] += int(r["n"])
+            cur["nulls"] += int(r["nulls"])
+            if vals > 0:
+                if cur["vals"] == 0:
+                    cur["mn"], cur["mx"] = int(r["mn"]), int(r["mx"])
+                else:
+                    cur["mn"] = min(cur["mn"], int(r["mn"]))
+                    cur["mx"] = max(cur["mx"], int(r["mx"]))
+                cur["vals"] += vals
+            cur["kmv"] |= set(r["kmv"])
+    out_cols = {"column_name": "object", "n_rows": "int64",
+                "n_nulls": "int64", "min_v": "int64",
+                "max_v": "int64", "ndv_est": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not agg:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = []
+    for name in ("o_orderkey", "o_custkey", "order_day",
+                 "total_cents"):
+        if name not in agg:
+            continue
+        c = agg[name]
+        kmv = sorted(c["kmv"])[:K]
+        est = len(kmv) if len(kmv) < K else (K - 1) * M60 // kmv[-1]
+        out.append({"column_name": name, "n_rows": c["n"],
+                    "n_nulls": c["nulls"], "min_v": c["mn"],
+                    "max_v": c["mx"], "ndv_est": est})
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_sequence_gaps(sf_dir: str):
+    """Dense-key integrity audit over o_orderkey: distinct count,
+    range, missing-key count and the largest missing RUN (max
+    consecutive-key diff minus 1) -> one row (n_keys, min_key,
+    max_key, n_missing, largest_run).  TPC-H orderkeys are sparse by
+    construction, so the audit has real gaps to find.
+
+    Scale shape: per-batch dedup -> ONE value-bucket (key // 4096)
+    partition pass computes each bucket's local sorted diffs exactly
+    once; the driver stitches only per-bucket (min, max) boundaries
+    — runs never straddle a bucket unseen because buckets tile the
+    key space."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    B = 4096
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = pc.drop_null(pc.cast(b.column("o_orderkey"), pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.unique(k)
+        return pa.table({"bucket": pa.array(k // B),
+                         "k": pa.array(k)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bucket": "int64", "n": "int64", "mn": "int64",
+                "mx": "int64", "run": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = []
+        for bkt, sub in df.groupby("bucket", sort=False):
+            k = np.unique(sub["k"].to_numpy(np.int64))
+            run = int((np.diff(k) - 1).max()) if len(k) > 1 else 0
+            out.append({"bucket": int(bkt), "n": len(k),
+                        "mn": int(k[0]), "mx": int(k[-1]),
+                        "run": run})
+        return pd.DataFrame(out).astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["bucket"],
+        resolve, n_parts=32).take_all()
+    out_cols = {"n_keys": "int64", "min_key": "int64",
+                "max_key": "int64", "n_missing": "int64",
+                "largest_run": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    rows = sorted(rows, key=lambda r: int(r["bucket"]))
+    n = sum(int(r["n"]) for r in rows)
+    mn, mx = int(rows[0]["mn"]), int(rows[-1]["mx"])
+    run = max(int(r["run"]) for r in rows)
+    for a, b_ in zip(rows, rows[1:]):
+        run = max(run, int(b_["mn"]) - int(a["mx"]) - 1)
+    return pd.DataFrame([{
+        "n_keys": n, "min_key": mn, "max_key": mx,
+        "n_missing": (mx - mn + 1) - n, "largest_run": run}]) \
+        .astype(out_cols)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -7953,6 +8174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations_audit": _q_expectations_audit,
         "hypothetical_rank": _q_hypothetical_rank,
         "embedding_pair_dot": _q_embedding_pair_dot,
+        "type_lag_xcorr": _q_type_lag_xcorr,
+        "analyze_table_sketch": _q_analyze_table_sketch,
+        "sequence_gaps": _q_sequence_gaps,
     }
 
 
@@ -12923,5 +13147,95 @@ def oracle_sql() -> dict[str, str]:
                        AS dot_q
             FROM q a JOIN q b ON b.vid = a.vid + 1
             WHERE a.vid % 2 = 0
+        """,
+        "type_lag_xcorr": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              COALESCE(event_type, '') AS et
+                       FROM events WHERE ts IS NOT NULL),
+            types AS (SELECT DISTINCT et FROM e),
+            ta AS (SELECT MIN(et) AS t FROM types),
+            tb AS (SELECT MIN(et) AS t FROM types
+                   WHERE et > (SELECT t FROM ta)),
+            cnt AS (SELECT day, et, CAST(count(*) AS BIGINT) AS n
+                    FROM e GROUP BY 1, 2),
+            a AS (SELECT day, n FROM cnt
+                  WHERE et = (SELECT t FROM ta)),
+            b AS (SELECT day, n FROM cnt
+                  WHERE et = (SELECT t FROM tb)),
+            lags AS (SELECT unnest(range(-7, 8)) AS lag),
+            x AS (SELECT lags.lag,
+                         CAST(COALESCE((SELECT SUM(a.n * b.n)
+                                        FROM a JOIN b
+                                          ON b.day = a.day + lags.lag),
+                                       0) AS BIGINT) AS xcorr
+                  FROM lags),
+            bm AS (SELECT MAX(xcorr) AS mx FROM x),
+            bl AS (SELECT MIN(lag) AS ml FROM x CROSS JOIN bm
+                   WHERE x.xcorr = bm.mx)
+            SELECT CAST(x.lag AS BIGINT) AS lag, x.xcorr,
+                   CAST(CASE WHEN x.lag = bl.ml THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_best
+            FROM x CROSS JOIN bl
+            WHERE (SELECT t FROM tb) IS NOT NULL
+        """,
+        "analyze_table_sketch": """
+            WITH cols AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS v,
+                     'o_orderkey' AS c FROM orders
+              UNION ALL
+              SELECT CAST(o_custkey AS BIGINT), 'o_custkey'
+              FROM orders
+              UNION ALL
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   o_orderdate) AS BIGINT),
+                     'order_day'
+              FROM orders
+              UNION ALL
+              SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                     'total_cents'
+              FROM orders),
+            base AS (SELECT c AS column_name,
+                            CAST(count(*) AS BIGINT) AS n_rows,
+                            CAST(count(*) - count(v) AS BIGINT)
+                                AS n_nulls,
+                            CAST(COALESCE(min(v), 0) AS BIGINT)
+                                AS min_v,
+                            CAST(COALESCE(max(v), 0) AS BIGINT)
+                                AS max_v
+                     FROM cols GROUP BY 1),
+            h AS (SELECT DISTINCT c,
+                         CAST(concat('0x', substr(md5(
+                             CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+                             AS hv
+                  FROM cols WHERE v IS NOT NULL),
+            k AS (SELECT c, hv, row_number() OVER (
+                      PARTITION BY c ORDER BY hv) AS rn FROM h),
+            e AS (SELECT c, count(*) AS kk, max(hv) AS kth
+                  FROM k WHERE rn <= 128 GROUP BY 1)
+            SELECT base.column_name, base.n_rows, base.n_nulls,
+                   base.min_v, base.max_v,
+                   CAST(CASE WHEN COALESCE(e.kk, 0) < 128
+                             THEN COALESCE(e.kk, 0)
+                             ELSE (CAST(127 AS HUGEINT)
+                                   * 1152921504606846976) // e.kth
+                        END AS BIGINT) AS ndv_est
+            FROM base LEFT JOIN e ON e.c = base.column_name
+        """,
+        "sequence_gaps": """
+            WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                       WHERE o_orderkey IS NOT NULL),
+            d AS (SELECT k - lag(k) OVER (ORDER BY k) - 1 AS run
+                  FROM k),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(min(k) AS BIGINT) AS mn,
+                         CAST(max(k) AS BIGINT) AS mx
+                  FROM k),
+            r AS (SELECT CAST(COALESCE(MAX(run), 0) AS BIGINT) AS lr
+                  FROM d)
+            SELECT s.n AS n_keys, s.mn AS min_key, s.mx AS max_key,
+                   CAST((s.mx - s.mn + 1) - s.n AS BIGINT)
+                       AS n_missing,
+                   r.lr AS largest_run
+            FROM s CROSS JOIN r WHERE s.n > 0
         """,
     }

@@ -241,7 +241,9 @@ def run_ops(sf_dir: str):
              "gdpr_erasure_audit", "ivm_delta_merge",
              "trade_distance", "quota_allocation", "hierarchy_share",
              "expectations_audit", "hypothetical_rank",
-             "embedding_pair_dot"]
+             "embedding_pair_dot",
+             "type_lag_xcorr", "analyze_table_sketch",
+             "sequence_gaps"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -111,6 +111,8 @@ QUERIES = [
     "trade_distance", "quota_allocation", "hierarchy_share",
     # wave 23: expectations, hypothetical rank, quantized pair dot
     "expectations_audit", "hypothetical_rank", "embedding_pair_dot",
+    # wave 24: lag xcorr, ANALYZE stats, key-gap audit
+    "type_lag_xcorr", "analyze_table_sketch", "sequence_gaps",
 ]
 
 
@@ -194,6 +196,8 @@ ONE_ROW_QUERIES = [
     "trade_distance", "quota_allocation", "hierarchy_share",
     # wave 23: expectations, hypothetical rank, quantized pair dot
     "expectations_audit", "hypothetical_rank", "embedding_pair_dot",
+    # wave 24: lag xcorr, ANALYZE stats, key-gap audit
+    "type_lag_xcorr", "analyze_table_sketch", "sequence_gaps",
 ]
 
 

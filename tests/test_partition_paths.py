@@ -80,7 +80,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "user_value_interp", "event_type_stationary",
            "business_days_latency", "customer_feature_table",
            # round-3 wave 22/23 keyed ops
-           "trade_distance", "hierarchy_share", "embedding_pair_dot"]
+           "trade_distance", "hierarchy_share", "embedding_pair_dot",
+           # round-3 wave 24 keyed ops
+           "sequence_gaps"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
