@@ -7826,6 +7826,173 @@ def _q_sequence_gaps(sf_dir: str):
 
 
 
+def _q_type_dwell_time(sf_dir: str):
+    """State-machine dwell time: each event "holds the state" until
+    the user's next event; total/average microseconds grouped by the
+    LEADING event's type -> (event_type, n_segments, total_dwell_us,
+    avg_dwell_us).  The session-behavior "time spent per state"
+    primitive.
+
+    Scale shape: ONE user-keyed partition pass; inside a partition the
+    lexsort + shifted-diff is fully vectorized (same kernel family as
+    type_transitions); a type-alphabet groupby merges partials."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": "object", "n": "int64", "s": "int64"}
+        df = df[df["ts_us"].notna()]
+        if len(df) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["eid"].to_numpy(np.int64)
+        et = df["et"].to_numpy(object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = u[:-1] == u[1:]
+        if not same.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        dwell = (ts[1:] - ts[:-1])[same]
+        lead = et[:-1][same]
+        g = pd.DataFrame({"event_type": lead, "n": 1, "s": dwell}) \
+            .groupby("event_type", sort=False, as_index=False).sum()
+        return g.astype(cols)
+
+    partials = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32)
+    rows = partials.groupby("event_type").aggregate(
+        Sum("n"), Sum("s")).take_all()
+    out_cols = {"event_type": "object", "n_segments": "int64",
+                "total_dwell_us": "int64", "avg_dwell_us": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = [{"event_type": r["event_type"],
+            "n_segments": int(r["sum(n)"]),
+            "total_dwell_us": int(r["sum(s)"]),
+            "avg_dwell_us": int(r["sum(s)"]) // int(r["sum(n)"])}
+           for r in rows]
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_yoy_revenue(sf_dir: str):
+    """Year-over-year monthly revenue deltas: each month joined to the
+    month 12 back; yoy change in truncated ppm (DuckDB // semantics
+    on the possibly-negative numerator, mirrored explicitly) ->
+    (month, revenue_cents, prev_year_cents, yoy_ppm).
+
+    Scale shape: ONE bounded month-domain groupby; the self-join runs
+    on the tiny month table driver-side."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()),
+                    pa.int32()).to_numpy(zero_copy_only=False)
+        dt = pd.Series(d.astype("datetime64[D]"))
+        month = ((dt.dt.year - 1970) * 12 + dt.dt.month - 1) \
+            .to_numpy(np.int64)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"month": month, "cents": cents}) \
+            .groupby("month", sort=False, as_index=False).sum()
+        return pa.table({
+            "month": pa.array(g["month"].to_numpy(np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("cents")).take_all()
+    out_cols = {"month": "int64", "revenue_cents": "int64",
+                "prev_year_cents": "int64", "yoy_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    rev = {int(r["month"]): int(r["sum(cents)"]) for r in rows}
+    M = 1_000_000
+    out = []
+    for m_, c in sorted(rev.items()):
+        prev = rev.get(m_ - 12, 0)
+        if prev > 0:
+            num = (c - prev) * M
+            yoy = (abs(num) // prev) * (1 if num >= 0 else -1)
+        else:
+            yoy = 0
+        out.append({"month": m_, "revenue_cents": c,
+                    "prev_year_cents": prev, "yoy_ppm": yoy})
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_embedding_dim_profile(sf_dir: str):
+    """Per-dimension vector profile in milli-quantized EXACT integers
+    (floor(x*1000)): n / sum / min / max per embedding dimension ->
+    (dim, n, sum_q, min_q, max_q).  The feature-drift monitor for an
+    embedding column; NULL embeddings are excluded in both engines.
+
+    Scale shape: per-batch numpy column fold -> 64 partial rows per
+    block -> ONE 64-key groupby.  No row-level data moves."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    DIM = 64
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rows = [r for r in b.column("embedding").to_pylist()
+                if r is not None]
+        empty = {"dim": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+        if not rows:
+            return pa.table(empty)
+        q = np.floor(np.asarray(rows, np.float64) * 1000.0) \
+            .astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "n": pa.array(np.full(q.shape[1], q.shape[0], np.int64)),
+            "s": pa.array(q.sum(axis=0)),
+            "mn": pa.array(q.min(axis=0)),
+            "mx": pa.array(q.max(axis=0))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Sum("n"), Sum("s"), Min("mn"),
+                                  Max("mx")).take_all()
+    out_cols = {"dim": "int64", "n": "int64", "sum_q": "int64",
+                "min_q": "int64", "max_q": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    out = [{"dim": int(r["dim"]), "n": int(r["sum(n)"]),
+            "sum_q": int(r["sum(s)"]), "min_q": int(r["min(mn)"]),
+            "max_q": int(r["max(mx)"])} for r in rows]
+    return pd.DataFrame(out).astype(out_cols) \
+        .sort_values("dim").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -8177,6 +8344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_lag_xcorr": _q_type_lag_xcorr,
         "analyze_table_sketch": _q_analyze_table_sketch,
         "sequence_gaps": _q_sequence_gaps,
+        "type_dwell_time": _q_type_dwell_time,
+        "yoy_revenue": _q_yoy_revenue,
+        "embedding_dim_profile": _q_embedding_dim_profile,
     }
 
 
@@ -13237,5 +13407,51 @@ def oracle_sql() -> dict[str, str]:
                        AS n_missing,
                    r.lr AS largest_run
             FROM s CROSS JOIN r WHERE s.n > 0
+        """,
+        "type_dwell_time": """
+            WITH r AS (SELECT user_id, COALESCE(event_type, '') AS et,
+                              epoch_us(ts) AS t,
+                              LEAD(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events WHERE ts IS NOT NULL)
+            SELECT et AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(nxt - t) AS BIGINT) AS total_dwell_us,
+                   CAST(sum(nxt - t) // count(*) AS BIGINT)
+                       AS avg_dwell_us
+            FROM r WHERE nxt IS NOT NULL GROUP BY 1
+        """,
+        "yoy_revenue": """
+            WITH m AS (SELECT (year(o_orderdate) - 1970) * 12
+                              + month(o_orderdate) - 1 AS month,
+                              CAST(sum(CAST(round(o_totalprice * 100,
+                                                  0) AS BIGINT))
+                                   AS BIGINT) AS cents
+                       FROM orders GROUP BY 1)
+            SELECT CAST(cur.month AS BIGINT) AS month,
+                   cur.cents AS revenue_cents,
+                   CAST(COALESCE(prev.cents, 0) AS BIGINT)
+                       AS prev_year_cents,
+                   CAST(CASE WHEN COALESCE(prev.cents, 0) > 0
+                             THEN ((cur.cents - prev.cents)
+                                   * 1000000) // prev.cents
+                             ELSE 0 END AS BIGINT) AS yoy_ppm
+            FROM m cur LEFT JOIN m prev ON prev.month = cur.month - 12
+        """,
+        "embedding_dim_profile": """
+            WITH e AS (SELECT embedding FROM embeddings
+                       WHERE embedding IS NOT NULL),
+            x AS (SELECT t.i AS dim,
+                         CAST(floor(list_extract(e.embedding,
+                              CAST(t.i + 1 AS INT)) * 1000)
+                              AS BIGINT) AS q
+                  FROM e CROSS JOIN range(64) t(i))
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(q) AS BIGINT) AS n,
+                   CAST(COALESCE(sum(q), 0) AS BIGINT) AS sum_q,
+                   CAST(COALESCE(min(q), 0) AS BIGINT) AS min_q,
+                   CAST(COALESCE(max(q), 0) AS BIGINT) AS max_q
+            FROM x GROUP BY 1 HAVING count(q) > 0
         """,
     }

@@ -243,7 +243,9 @@ def run_ops(sf_dir: str):
              "expectations_audit", "hypothetical_rank",
              "embedding_pair_dot",
              "type_lag_xcorr", "analyze_table_sketch",
-             "sequence_gaps"]
+             "sequence_gaps",
+             "type_dwell_time", "yoy_revenue",
+             "embedding_dim_profile"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

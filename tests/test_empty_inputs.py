@@ -113,6 +113,8 @@ QUERIES = [
     "expectations_audit", "hypothetical_rank", "embedding_pair_dot",
     # wave 24: lag xcorr, ANALYZE stats, key-gap audit
     "type_lag_xcorr", "analyze_table_sketch", "sequence_gaps",
+    # wave 25: dwell time, YoY revenue, dim profile
+    "type_dwell_time", "yoy_revenue", "embedding_dim_profile",
 ]
 
 
@@ -198,6 +200,8 @@ ONE_ROW_QUERIES = [
     "expectations_audit", "hypothetical_rank", "embedding_pair_dot",
     # wave 24: lag xcorr, ANALYZE stats, key-gap audit
     "type_lag_xcorr", "analyze_table_sketch", "sequence_gaps",
+    # wave 25: dwell time, YoY revenue, dim profile
+    "type_dwell_time", "yoy_revenue", "embedding_dim_profile",
 ]
 
 
