@@ -7993,6 +7993,193 @@ def _q_embedding_dim_profile(sf_dir: str):
 
 
 
+def _BUCKET_ADJ(ds, cols, B=4096):
+    """Shared kernel: globally doc_id-adjacent row pairs without a
+    sort — every row goes to bucket did // B and a GHOST copy goes to
+    the previous bucket, so each bucket sees its successor bucket's
+    rows and can emit every consecutive-pair whose LEFT id lives in
+    its own range exactly once.  2x shuffle volume buys exact global
+    adjacency with zero driver stitching."""
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arrs = {"did": np.concatenate([did, did]),
+                "bucket": np.concatenate([did // B, did // B - 1])}
+        out = {"bucket": pa.array(arrs["bucket"]),
+               "did": pa.array(arrs["did"])}
+        for c in cols:
+            v = pc.fill_null(pc.cast(b.column(c), pa.string()), "") \
+                .to_numpy(zero_copy_only=False)
+            out[c] = pa.array(np.concatenate([v, v]).tolist(),
+                              pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(prep, batch_format="pyarrow"), B
+
+
+def _q_contrastive_pairs(sf_dir: str):
+    """Weak-supervision contrastive pair labeling: globally
+    consecutive doc_ids form a pair, label 1 when both docs share a
+    source (positive) else 0 -> (id_a, id_b, label).  The
+    training-pair builder for a contrastive encoder.
+
+    Scale shape: ONE doc_id-bucket partition pass with ghost
+    duplication (_BUCKET_ADJ) — each bucket emits exactly the pairs
+    whose left id it owns; no global sort, no driver stitch."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    partials, B = _BUCKET_ADJ(ds, ["source"])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id_a": "int64", "id_b": "int64", "label": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.drop_duplicates("did").sort_values("did")
+        did = df["did"].to_numpy(np.int64)
+        src = df["source"].to_numpy(object)
+        bkt = df["bucket"].to_numpy(np.int64)
+        if len(did) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        # the partition's OWN range: rows whose bucket equals their
+        # non-ghost bucket (did // B); ghosts carry bucket did//B - 1
+        own = bkt[:-1] == did[:-1] // B
+        return pd.DataFrame({
+            "id_a": did[:-1][own], "id_b": did[1:][own],
+            "label": (src[:-1][own] == src[1:][own])
+            .astype(np.int64)}).astype(cols)
+
+    return _grouped_by_partition(partials, ["bucket"], resolve,
+                                 n_parts=32)
+
+
+def _q_encoding_advisor(sf_dir: str):
+    """Storage-encoding advisor (the lakehouse column-layout call):
+    run-length run counts for the lang and source columns in doc_id
+    order -> (column_name, n_rows, n_runs, rle_ratio_ppm).  Few runs
+    = RLE wins; ratio = runs * 1e6 // rows.
+
+    Scale shape: the _BUCKET_ADJ ghost pass counts cross-row
+    transitions exactly once per owned left id; runs = transitions +
+    1.  No global sort."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source"])
+    partials, B = _BUCKET_ADJ(ds, ["lang", "source"])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"column_name": "object", "trans": "int64",
+                "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.drop_duplicates("did").sort_values("did")
+        did = df["did"].to_numpy(np.int64)
+        bkt = df["bucket"].to_numpy(np.int64)
+        own_rows = bkt == did // B
+        out = []
+        for c in ("lang", "source"):
+            v = df[c].to_numpy(object)
+            if len(did) >= 2:
+                own = own_rows[:-1]
+                tr = int((v[:-1][own] != v[1:][own]).sum())
+            else:
+                tr = 0
+            out.append({"column_name": c, "trans": tr,
+                        "n": int(own_rows.sum())})
+        return pd.DataFrame(out).astype(cols)
+
+    rows = _grouped_by_partition(partials, ["bucket"], resolve,
+                                 n_parts=32) \
+        .groupby("column_name").aggregate(Sum("trans"), Sum("n")) \
+        .take_all()
+    out_cols = {"column_name": "object", "n_rows": "int64",
+                "n_runs": "int64", "rle_ratio_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = []
+    for r in rows:
+        n = int(r["sum(n)"])
+        runs = int(r["sum(trans)"]) + (1 if n > 0 else 0)
+        out.append({"column_name": r["column_name"], "n_rows": n,
+                    "n_runs": runs,
+                    "rle_ratio_ppm": (runs * 1_000_000) // n
+                    if n > 0 else 0})
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_decay_score(sf_dir: str):
+    """Exponential time-decay engagement score, EXACT integers: each
+    event contributes 2^20 halved per week of age (bit shift, capped
+    at 20 weeks -> contribution 1), age measured from the corpus max
+    timestamp -> (user_id, n_events, decay_score).  The
+    recency-weighted activity feature behind churn/engagement models.
+
+    Scale shape: pass 1 = global max ts (tiny all-reduce); pass 2 =
+    map-side per-user fold -> one user-domain groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    WEEK = 604_800_000_000
+
+    def ts_max(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        m = pc.max(pc.cast(ts_col, pa.int64()))
+        return pa.table({"m": pa.array(
+            [m.as_py() if m.as_py() is not None else -1], pa.int64())})
+
+    mrows = ds.map_batches(ts_max, batch_format="pyarrow") \
+        .groupby(None).aggregate(Max("m")).take_all()
+    out_cols = {"user_id": "int64", "n_events": "int64",
+                "decay_score": "int64"}
+    mt = max((int(r["max(m)"]) for r in mrows
+              if r["max(m)"] is not None), default=-1)
+    if mt < 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        w = np.minimum((mt - np.where(ok, ts, 0)[ok]) // WEEK, 20) \
+            .astype(np.int64)
+        sc = (1 << 20) >> w
+        g = pd.DataFrame({"user_id": u, "n": 1, "s": sc}) \
+            .groupby("user_id", sort=False, as_index=False).sum()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n"), Sum("s"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "n_events": pc.cast(b.column("sum(n)"), pa.int64()),
+            "decay_score": pc.cast(b.column("sum(s)"), pa.int64())})
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -8347,6 +8534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_dwell_time": _q_type_dwell_time,
         "yoy_revenue": _q_yoy_revenue,
         "embedding_dim_profile": _q_embedding_dim_profile,
+        "contrastive_pairs": _q_contrastive_pairs,
+        "encoding_advisor": _q_encoding_advisor,
+        "decay_score": _q_decay_score,
     }
 
 
@@ -13453,5 +13643,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(min(q), 0) AS BIGINT) AS min_q,
                    CAST(COALESCE(max(q), 0) AS BIGINT) AS max_q
             FROM x GROUP BY 1 HAVING count(q) > 0
+        """,
+        "contrastive_pairs": """
+            WITH d AS (SELECT doc_id,
+                              COALESCE(source, '') AS source
+                       FROM documents WHERE doc_id IS NOT NULL),
+            w AS (SELECT doc_id AS id_a,
+                         LEAD(doc_id) OVER (ORDER BY doc_id) AS id_b,
+                         source,
+                         LEAD(source) OVER (ORDER BY doc_id) AS nsrc
+                  FROM d)
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(CASE WHEN source = nsrc THEN 1 ELSE 0 END
+                        AS BIGINT) AS label
+            FROM w WHERE id_b IS NOT NULL
+        """,
+        "encoding_advisor": """
+            WITH d AS (SELECT doc_id,
+                              COALESCE(lang, '') AS lang,
+                              COALESCE(source, '') AS source
+                       FROM documents WHERE doc_id IS NOT NULL),
+            w AS (SELECT lang, source,
+                         LAG(lang) OVER (ORDER BY doc_id) AS prev_lang,
+                         LAG(source) OVER (ORDER BY doc_id) AS psrc
+                  FROM d),
+            a AS (SELECT 'lang' AS column_name,
+                         CAST(count(*) AS BIGINT) AS n_rows,
+                         CAST(1 + count(*) FILTER (
+                             WHERE prev_lang IS NOT NULL
+                               AND lang <> prev_lang) AS BIGINT) AS n_runs
+                  FROM w
+                  UNION ALL
+                  SELECT 'source', CAST(count(*) AS BIGINT),
+                         CAST(1 + count(*) FILTER (
+                             WHERE psrc IS NOT NULL
+                               AND source <> psrc) AS BIGINT)
+                  FROM w)
+            SELECT column_name, n_rows, n_runs,
+                   CAST((n_runs * 1000000) // n_rows AS BIGINT)
+                       AS rle_ratio_ppm
+            FROM a WHERE n_rows > 0
+        """,
+        "decay_score": """
+            WITH t AS (SELECT max(epoch_us(ts)) AS mt FROM events
+                       WHERE ts IS NOT NULL),
+            e AS (SELECT COALESCE(user_id, -1) AS user_id,
+                         LEAST((t.mt - epoch_us(ts))
+                               // 604800000000, 20) AS w
+                  FROM events CROSS JOIN t WHERE ts IS NOT NULL)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(1048576 >> CAST(w AS INT)) AS BIGINT)
+                       AS decay_score
+            FROM e GROUP BY 1
         """,
     }

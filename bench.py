@@ -245,7 +245,8 @@ def run_ops(sf_dir: str):
              "type_lag_xcorr", "analyze_table_sketch",
              "sequence_gaps",
              "type_dwell_time", "yoy_revenue",
-             "embedding_dim_profile"]
+             "embedding_dim_profile",
+             "contrastive_pairs", "encoding_advisor", "decay_score"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

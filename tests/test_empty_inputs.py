@@ -115,6 +115,8 @@ QUERIES = [
     "type_lag_xcorr", "analyze_table_sketch", "sequence_gaps",
     # wave 25: dwell time, YoY revenue, dim profile
     "type_dwell_time", "yoy_revenue", "embedding_dim_profile",
+    # wave 26: contrastive pairs, encoding advisor, decay score
+    "contrastive_pairs", "encoding_advisor", "decay_score",
 ]
 
 
@@ -202,6 +204,8 @@ ONE_ROW_QUERIES = [
     "type_lag_xcorr", "analyze_table_sketch", "sequence_gaps",
     # wave 25: dwell time, YoY revenue, dim profile
     "type_dwell_time", "yoy_revenue", "embedding_dim_profile",
+    # wave 26: contrastive pairs, encoding advisor, decay score
+    "contrastive_pairs", "encoding_advisor", "decay_score",
 ]
 
 

@@ -81,8 +81,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "business_days_latency", "customer_feature_table",
            # round-3 wave 22/23 keyed ops
            "trade_distance", "hierarchy_share", "embedding_pair_dot",
-           # round-3 wave 24/25 keyed ops
-           "sequence_gaps", "type_dwell_time"]
+           # round-3 wave 24/25/26 keyed ops
+           "sequence_gaps", "type_dwell_time",
+           "contrastive_pairs", "encoding_advisor"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
