@@ -8180,6 +8180,185 @@ def _q_decay_score(sf_dir: str):
 
 
 
+def _q_feature_hashing_stats(sf_dir: str):
+    """Hashing-trick collision audit: every vocabulary term maps to
+    one of 256 feature buckets via md5; per bucket the distinct-term
+    (collision) count and total term frequency ->
+    (bucket, n_terms, total_tf).  The dimensionality/quality tradeoff
+    readout before committing to hashed features.
+
+    Scale shape: per-batch token counts -> ONE vocab-domain groupby
+    (the tfidf envelope) -> map-side bucket fold -> 256-key groupby."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in b.column("text").to_pylist():
+            c.update(w for w in (t or "").split(" ") if w)
+        ks = list(c.keys())
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks],
+                                       pa.int64())})
+
+    terms = ds.map_batches(tf_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n"))
+
+    def bucket_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64())})
+        terms_ = b.column("term").to_pylist()
+        tf = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bk = np.asarray(
+            [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 256
+             for t in terms_], np.int64)
+        g = pd.DataFrame({"bucket": bk, "t": 1, "f": tf}) \
+            .groupby("bucket", sort=False, as_index=False).sum()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+            "t": pa.array(g["t"].to_numpy(np.int64)),
+            "f": pa.array(g["f"].to_numpy(np.int64))})
+
+    rows = terms.map_batches(bucket_fold, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("t"), Sum("f")).take_all()
+    out_cols = {"bucket": "int64", "n_terms": "int64",
+                "total_tf": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "bucket": int(r["bucket"]), "n_terms": int(r["sum(t)"]),
+        "total_tf": int(r["sum(f)"])} for r in rows]) \
+        .astype(out_cols)
+
+
+def _q_snm_dup_candidates(sf_dir: str):
+    """Sorted-neighborhood (SNM) duplicate detection — the classic
+    blocking alternative to LSH: docs sorted by (n_chars, doc_id),
+    window-1 neighbors with identical text md5 are duplicate pairs ->
+    (id_a, id_b).
+
+    Emits EVERY window-1 candidate with its length gap and an exact
+    text-md5 verdict -> (id_a, id_b, len_diff, is_dup) — the
+    candidate stream IS the SNM contract (this synthetic corpus has
+    no exact dups, so is_dup stays 0 while the blocking math is
+    fully exercised).
+
+    Scale shape: value-bucket partition on n_chars // 64 with ghost
+    duplication (the _BUCKET_ADJ idea on the LENGTH axis — equal
+    lengths always co-locate, so tie runs never split); each bucket
+    emits pairs whose left row it owns."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "n_chars", "text"])
+    B = 64
+
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.asarray([hashlib.md5((t or "").encode()).hexdigest()
+                        for t in b.column("text").to_pylist()],
+                       object)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([ch // B,
+                                               ch // B - 1])),
+            "did": pa.array(np.concatenate([did, did])),
+            "ch": pa.array(np.concatenate([ch, ch])),
+            "h": pa.array(np.concatenate([h, h]).tolist(),
+                          pa.string())})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id_a": "int64", "id_b": "int64",
+                "len_diff": "int64", "is_dup": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.drop_duplicates("did").sort_values(["ch", "did"])
+        did = df["did"].to_numpy(np.int64)
+        ch = df["ch"].to_numpy(np.int64)
+        bkt = df["bucket"].to_numpy(np.int64)
+        h = df["h"].to_numpy(object)
+        if len(did) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        own = bkt[:-1] == ch[:-1] // B
+        return pd.DataFrame({
+            "id_a": did[:-1][own], "id_b": did[1:][own],
+            "len_diff": (ch[1:] - ch[:-1])[own],
+            "is_dup": (h[:-1] == h[1:])[own].astype(np.int64)}) \
+            .astype(cols)
+
+    return _grouped_by_partition(ds.map_batches(
+        prep, batch_format="pyarrow"), ["bucket"], resolve,
+        n_parts=32)
+
+
+def _q_label_propagation_langs(sf_dir: str):
+    """Self-training label cleanup over shared-template clusters:
+    docs whose first 64 chars hash alike (this template-heavy corpus
+    has no EXACT dups, but prefixes cluster) vote on the cluster lang
+    (count desc, lang asc ties); clusters of >= 2 report how many
+    members disagree with the majority -> (text_hash, n_docs,
+    majority_lang, n_relabel).  The weak-supervision "propagate
+    labels through near-duplicates" primitive.
+
+    Scale shape: ONE text-hash-keyed partition pass (the exact-dedup
+    envelope); votes resolve inside the partition."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5((t or "")[:64].encode()).hexdigest()
+             for t in b.column("text").to_pylist()]
+        return pa.table({
+            "h": pa.array(h, pa.string()),
+            "lang": pc.fill_null(pc.cast(b.column("lang"),
+                                         pa.string()), "und")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"text_hash": "object", "n_docs": "int64",
+                "majority_lang": "object", "n_relabel": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_docs": "int64", "n_relabel": "int64"})
+        g = df.groupby(["h", "lang"], sort=False).size() \
+            .rename("c").reset_index()
+        g = g.sort_values(["h", "c", "lang"],
+                          ascending=[True, False, True])
+        tot = g.groupby("h", sort=False)["c"].transform("sum")
+        g["tot"] = tot
+        win = g.drop_duplicates("h")
+        win = win[win["tot"] >= 2]
+        return pd.DataFrame({
+            "text_hash": win["h"].to_numpy(object),
+            "n_docs": win["tot"].to_numpy(np.int64),
+            "majority_lang": win["lang"].to_numpy(object),
+            "n_relabel": (win["tot"] - win["c"])
+            .to_numpy(np.int64)}).astype(cols)
+
+    return _grouped_by_partition(ds.map_batches(
+        prep, batch_format="pyarrow"), ["h"], resolve, n_parts=32)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -8537,6 +8716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_pairs": _q_contrastive_pairs,
         "encoding_advisor": _q_encoding_advisor,
         "decay_score": _q_decay_score,
+        "feature_hashing_stats": _q_feature_hashing_stats,
+        "snm_dup_candidates": _q_snm_dup_candidates,
+        "label_propagation_langs": _q_label_propagation_langs,
     }
 
 
@@ -13697,5 +13879,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1048576 >> CAST(w AS INT)) AS BIGINT)
                        AS decay_score
             FROM e GROUP BY 1
+        """,
+        "feature_hashing_stats": """
+            WITH w AS (SELECT unnest(string_split(COALESCE(text, ''),
+                              ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                   FROM w WHERE term <> '' GROUP BY 1),
+            b AS (SELECT CAST(concat('0x', substr(md5(term), 1, 8))
+                              AS BIGINT) % 256 AS bucket, n
+                  FROM tf)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(n) AS BIGINT) AS total_tf
+            FROM b GROUP BY 1
+        """,
+        "snm_dup_candidates": """
+            WITH d AS (SELECT doc_id, COALESCE(n_chars, 0) AS ch,
+                              md5(COALESCE(text, '')) AS h
+                       FROM documents WHERE doc_id IS NOT NULL),
+            w AS (SELECT doc_id AS id_a,
+                         LEAD(doc_id) OVER win AS id_b,
+                         ch, LEAD(ch) OVER win AS nch,
+                         h, LEAD(h) OVER win AS nh
+                  FROM d WINDOW win AS (ORDER BY ch, doc_id))
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(nch - ch AS BIGINT) AS len_diff,
+                   CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_dup
+            FROM w WHERE id_b IS NOT NULL
+        """,
+        "label_propagation_langs": """
+            WITH d AS (SELECT md5(substr(COALESCE(text, ''), 1,
+                                         64)) AS h,
+                              COALESCE(lang, 'und') AS lang
+                       FROM documents),
+            g AS (SELECT h, lang, CAST(count(*) AS BIGINT) AS c
+                  FROM d GROUP BY 1, 2),
+            t AS (SELECT h, CAST(sum(c) AS BIGINT) AS tot
+                  FROM g GROUP BY 1),
+            r AS (SELECT g.h, g.lang, g.c, t.tot,
+                         row_number() OVER (PARTITION BY g.h
+                             ORDER BY g.c DESC, g.lang ASC) AS rn
+                  FROM g JOIN t USING (h))
+            SELECT h AS text_hash, tot AS n_docs,
+                   lang AS majority_lang,
+                   CAST(tot - c AS BIGINT) AS n_relabel
+            FROM r WHERE rn = 1 AND tot >= 2
         """,
     }

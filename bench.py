@@ -246,7 +246,9 @@ def run_ops(sf_dir: str):
              "sequence_gaps",
              "type_dwell_time", "yoy_revenue",
              "embedding_dim_profile",
-             "contrastive_pairs", "encoding_advisor", "decay_score"]
+             "contrastive_pairs", "encoding_advisor", "decay_score",
+             "feature_hashing_stats", "snm_dup_candidates",
+             "label_propagation_langs"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -117,6 +117,9 @@ QUERIES = [
     "type_dwell_time", "yoy_revenue", "embedding_dim_profile",
     # wave 26: contrastive pairs, encoding advisor, decay score
     "contrastive_pairs", "encoding_advisor", "decay_score",
+    # wave 27: hashing trick, SNM blocking, label propagation
+    "feature_hashing_stats", "snm_dup_candidates",
+    "label_propagation_langs",
 ]
 
 
@@ -206,6 +209,9 @@ ONE_ROW_QUERIES = [
     "type_dwell_time", "yoy_revenue", "embedding_dim_profile",
     # wave 26: contrastive pairs, encoding advisor, decay score
     "contrastive_pairs", "encoding_advisor", "decay_score",
+    # wave 27: hashing trick, SNM blocking, label propagation
+    "feature_hashing_stats", "snm_dup_candidates",
+    "label_propagation_langs",
 ]
 
 
