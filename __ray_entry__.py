@@ -8359,6 +8359,186 @@ def _q_label_propagation_langs(sf_dir: str):
 
 
 
+def _q_lang_kappa(sf_dir: str):
+    """Cohen's kappa between the oracled LangIdBatch predictions and
+    the labeled lang — inter-rater agreement corrected for chance, in
+    EXACT cross-multiplied integers: kappa = (agree*N - sum_l r_l*c_l)
+    / (N^2 - sum_l r_l*c_l), truncated to ppm -> one row (n_docs,
+    n_agree, po_ppm, pe_ppm, kappa_ppm).
+
+    Scale shape: one map pass (LangIdBatch inside the task) emits
+    per-batch (true, pred) confusion partials -> a label-alphabet
+    groupby -> driver closes the 5x6 matrix."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.textstats import LangIdBatch
+    from pdf_extract_ray.util import task_udf
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "p": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pred = task_udf(LangIdBatch)(b.select(["doc_id", "text"]))
+        t = pc.fill_null(pc.cast(b.column("lang"), pa.string()),
+                         "und").to_pandas().to_numpy(object)
+        p_ = pred.column("pred_lang").to_pandas().to_numpy(object)
+        g = pd.DataFrame({"t": t, "p": p_, "n": 1}) \
+            .groupby(["t", "p"], sort=False, as_index=False).sum()
+        return pa.table({"t": pa.array(g["t"].to_numpy(object),
+                                       pa.string()),
+                         "p": pa.array(g["p"].to_numpy(object),
+                                       pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(fn, batch_format="pyarrow") \
+        .groupby(["t", "p"]).aggregate(Sum("n")).take_all()
+    out_cols = {"n_docs": "int64", "n_agree": "int64",
+                "po_ppm": "int64", "pe_ppm": "int64",
+                "kappa_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    cm = {(r["t"], r["p"]): int(r["sum(n)"]) for r in rows}
+    N = sum(cm.values())
+    if N == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    agree = sum(v for (t, p_), v in cm.items() if t == p_)
+    rt: dict = {}
+    ct: dict = {}
+    for (t, p_), v in cm.items():
+        rt[t] = rt.get(t, 0) + v
+        ct[p_] = ct.get(p_, 0) + v
+    rc = sum(rt[l] * ct.get(l, 0) for l in rt)
+    M = 1_000_000
+    den = N * N - rc
+    if den != 0:
+        num = (agree * N - rc) * M
+        kappa = (abs(num) // abs(den)) * (1 if num * den >= 0 else -1)
+    else:
+        kappa = 0
+    return pd.DataFrame([{
+        "n_docs": N, "n_agree": agree, "po_ppm": (agree * M) // N,
+        "pe_ppm": (rc * M) // (N * N), "kappa_ppm": kappa}]) \
+        .astype(out_cols)
+
+
+def _q_consistent_hash_balance(sf_dir: str):
+    """Consistent-hashing ring audit — the shard-rebalancing
+    primitive: 8 shards x 4 vnodes place md5 ring points; every user
+    hashes onto the ring and walks clockwise to the first point (with
+    wraparound); per shard the assigned-user count and ppm share ->
+    (shard, n_users, share_ppm).  Fully deterministic md5 math, so
+    the whole ring is oracle-checkable.
+
+    Scale shape: ONE user-domain dedup exchange, then a vectorized
+    searchsorted against the 32-point broadcast ring; 8-key groupby
+    finishes."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    ring = sorted(
+        (int(hashlib.md5(f"shard{i}:v{j}".encode()).hexdigest()[:15],
+             16), i)
+        for i in range(8) for j in range(4))
+    pts = np.asarray([p for p, _ in ring], np.int64)
+    sh = np.asarray([s_ for _, s_ in ring], np.int64)
+
+    def dedup(b: pa.Table) -> pa.Table:
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(np.unique(u))})
+
+    users = ds.map_batches(dedup, batch_format="pyarrow") \
+        .groupby("u").aggregate(Count())
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u = b.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = np.asarray(
+            [int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15],
+                 16) for x in u], np.int64)
+        idx = np.searchsorted(pts, h, side="left")
+        idx = np.where(idx == len(pts), 0, idx)  # wraparound
+        g = pd.Series(1, index=sh[idx]).groupby(level=0,
+                                                sort=False).sum()
+        return pa.table({
+            "shard": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64))})
+
+    rows = users.map_batches(assign, batch_format="pyarrow") \
+        .groupby("shard").aggregate(Sum("n")).take_all()
+    out_cols = {"shard": "int64", "n_users": "int64",
+                "share_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    tot = sum(int(r["sum(n)"]) for r in rows)
+    return pd.DataFrame([{
+        "shard": int(r["shard"]), "n_users": int(r["sum(n)"]),
+        "share_ppm": (int(r["sum(n)"]) * 1_000_000) // tot}
+        for r in rows]).astype(out_cols)
+
+
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al.) of two ANN rankings —
+    the IR ensembling primitive: brute-force cosine and LSH top-20
+    lists fuse via score = sum(1e6 // (60 + rank)); fused top-10 per
+    query with (score desc, neighbor asc) ties -> (query_id,
+    neighbor_id, rrf_score, fused_rank).  Rows-only (cosine rankings
+    aren't SQL-expressible); hand-parity tested.
+
+    Scale shape: both rankings are existing distributed ops; fusion
+    itself touches only (n_queries x 40) rows on the driver."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.similarity import (brute_force_topk,
+                                                lsh_topk, min_k_rows)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = min_k_rows(ds, "vec_id", 8)
+    if q.num_rows == 0:
+        return pd.DataFrame(columns=["query_id", "neighbor_id",
+                                     "rrf_score", "fused_rank"]) \
+            .astype({"query_id": "int64", "neighbor_id": "int64",
+                     "rrf_score": "int64", "fused_rank": "int64"})
+    qids = [int(x) for x in q.column("vec_id").to_pylist()]
+    qv = np.asarray(q.column("embedding").to_pylist(), np.float64)
+    a = brute_force_topk(ds, qids, qv, k=20)
+    b = lsh_topk(ds, qids, qv, dim=qv.shape[1], k=20)
+    score: dict = {}
+    for tbl in (a, b):
+        for r in tbl.to_pylist():
+            key = (int(r["query_id"]), int(r["neighbor_id"]))
+            score[key] = score.get(key, 0) \
+                + 1_000_000 // (60 + int(r["rank"]))
+    rows = sorted(((qid, nid, sc) for (qid, nid), sc in score.items()),
+                  key=lambda t: (t[0], -t[2], t[1]))
+    out = []
+    cur, rank = None, 0
+    for qid, nid, sc in rows:
+        if qid != cur:
+            cur, rank = qid, 0
+        rank += 1
+        if rank <= 10:
+            out.append({"query_id": qid, "neighbor_id": nid,
+                        "rrf_score": sc, "fused_rank": rank})
+    cols = {"query_id": "int64", "neighbor_id": "int64",
+            "rrf_score": "int64", "fused_rank": "int64"}
+    if not out:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+    return pd.DataFrame(out).astype(cols)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -8719,7 +8899,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing_stats": _q_feature_hashing_stats,
         "snm_dup_candidates": _q_snm_dup_candidates,
         "label_propagation_langs": _q_label_propagation_langs,
+        "lang_kappa": _q_lang_kappa,
+        "consistent_hash_balance": _q_consistent_hash_balance,
+        "rrf_fusion": _q_rrf_fusion,
     }
+
+
+_LANG_ID_SQL = """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS w
+              FROM documents),
+            h AS (SELECT doc_id,
+                   sum(CASE WHEN w IN ('auch', 'das', 'den', 'der', 'die', 'ein', 'eine', 'im', 'ist', 'mit', 'nicht', 'und', 'von', 'zu')
+                            THEN 1 ELSE 0 END) AS de,
+                   sum(CASE WHEN w IN ('a', 'and', 'are', 'at', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'this', 'to', 'was', 'with')
+                            THEN 1 ELSE 0 END) AS en,
+                   sum(CASE WHEN w IN ('con', 'de', 'del', 'el', 'en', 'es', 'las', 'los', 'para', 'por', 'se', 'un', 'una', 'y')
+                            THEN 1 ELSE 0 END) AS es,
+                   sum(CASE WHEN w IN ('au', 'dans', 'de', 'du', 'en', 'est', 'et', 'la', 'le', 'les', 'pour', 'que', 'un', 'une')
+                            THEN 1 ELSE 0 END) AS fr,
+                   sum(CASE WHEN w IN ('a', 'az', 'de', 'egy', 'el', 'ez', 'hogy', 'is', 'meg', 'nem', 'van', 'és')
+                            THEN 1 ELSE 0 END) AS hu,
+                   count(*) AS n_words
+                  FROM w GROUP BY doc_id),
+            j AS (SELECT d.doc_id,
+                         COALESCE(h.de,0) AS de, COALESCE(h.en,0) AS en,
+                         COALESCE(h.es,0) AS es, COALESCE(h.fr,0) AS fr,
+                         COALESCE(h.hu,0) AS hu,
+                         COALESCE(h.n_words,0) AS n_words
+                  FROM documents d LEFT JOIN h USING (doc_id)),
+            u AS (SELECT doc_id, 'de' AS lang, de AS hits FROM j
+                  UNION ALL SELECT doc_id, 'en' AS lang, en AS hits FROM j
+                  UNION ALL SELECT doc_id, 'es' AS lang, es AS hits FROM j
+                  UNION ALL SELECT doc_id, 'fr' AS lang, fr AS hits FROM j
+                  UNION ALL SELECT doc_id, 'hu' AS lang, hu AS hits FROM j),
+            b AS (SELECT doc_id, lang, hits,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY hits DESC, lang)
+                             AS rn
+                  FROM u)
+            SELECT j.doc_id,
+                   CASE WHEN b.hits > 0 THEN b.lang
+                        ELSE 'und' END AS pred_lang,
+                   CASE WHEN j.n_words > 0
+                        THEN CAST(b.hits AS DOUBLE)
+                             / CAST(j.n_words AS DOUBLE)
+                        ELSE 0.0 END AS lang_confidence
+            FROM b JOIN j USING (doc_id) WHERE b.rn = 1
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9487,51 +9717,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(min(h) AS BIGINT) AS hop
             FROM bfs GROUP BY node
         """,
-        "lang_id": """
-            WITH w AS (
-              SELECT doc_id,
-                     unnest(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
-                         x -> x <> '')) AS w
-              FROM documents),
-            h AS (SELECT doc_id,
-                   sum(CASE WHEN w IN ('auch', 'das', 'den', 'der', 'die', 'ein', 'eine', 'im', 'ist', 'mit', 'nicht', 'und', 'von', 'zu')
-                            THEN 1 ELSE 0 END) AS de,
-                   sum(CASE WHEN w IN ('a', 'and', 'are', 'at', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'this', 'to', 'was', 'with')
-                            THEN 1 ELSE 0 END) AS en,
-                   sum(CASE WHEN w IN ('con', 'de', 'del', 'el', 'en', 'es', 'las', 'los', 'para', 'por', 'se', 'un', 'una', 'y')
-                            THEN 1 ELSE 0 END) AS es,
-                   sum(CASE WHEN w IN ('au', 'dans', 'de', 'du', 'en', 'est', 'et', 'la', 'le', 'les', 'pour', 'que', 'un', 'une')
-                            THEN 1 ELSE 0 END) AS fr,
-                   sum(CASE WHEN w IN ('a', 'az', 'de', 'egy', 'el', 'ez', 'hogy', 'is', 'meg', 'nem', 'van', 'és')
-                            THEN 1 ELSE 0 END) AS hu,
-                   count(*) AS n_words
-                  FROM w GROUP BY doc_id),
-            j AS (SELECT d.doc_id,
-                         COALESCE(h.de,0) AS de, COALESCE(h.en,0) AS en,
-                         COALESCE(h.es,0) AS es, COALESCE(h.fr,0) AS fr,
-                         COALESCE(h.hu,0) AS hu,
-                         COALESCE(h.n_words,0) AS n_words
-                  FROM documents d LEFT JOIN h USING (doc_id)),
-            u AS (SELECT doc_id, 'de' AS lang, de AS hits FROM j
-                  UNION ALL SELECT doc_id, 'en' AS lang, en AS hits FROM j
-                  UNION ALL SELECT doc_id, 'es' AS lang, es AS hits FROM j
-                  UNION ALL SELECT doc_id, 'fr' AS lang, fr AS hits FROM j
-                  UNION ALL SELECT doc_id, 'hu' AS lang, hu AS hits FROM j),
-            b AS (SELECT doc_id, lang, hits,
-                         row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY hits DESC, lang)
-                             AS rn
-                  FROM u)
-            SELECT j.doc_id,
-                   CASE WHEN b.hits > 0 THEN b.lang
-                        ELSE 'und' END AS pred_lang,
-                   CASE WHEN j.n_words > 0
-                        THEN CAST(b.hits AS DOUBLE)
-                             / CAST(j.n_words AS DOUBLE)
-                        ELSE 0.0 END AS lang_confidence
-            FROM b JOIN j USING (doc_id) WHERE b.rn = 1
-        """,
+        "lang_id": _LANG_ID_SQL,
         "lineitem_integrity": """
             WITH p AS (
               SELECT l_orderkey AS k, l_linenumber AS ln, count(*) AS c
@@ -13927,5 +14113,61 @@ def oracle_sql() -> dict[str, str]:
                    lang AS majority_lang,
                    CAST(tot - c AS BIGINT) AS n_relabel
             FROM r WHERE rn = 1 AND tot >= 2
+        """,
+        "lang_kappa": "WITH pred AS (" + _LANG_ID_SQL + """),
+            j AS (SELECT COALESCE(d.lang, 'und') AS t, p.pred_lang
+                             AS p
+                  FROM documents d JOIN pred p USING (doc_id)),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           CAST(count(*) FILTER (WHERE t = p)
+                                AS HUGEINT) AS agree
+                    FROM j),
+            rt AS (SELECT t AS l, CAST(count(*) AS HUGEINT) AS c
+                   FROM j GROUP BY 1),
+            ct AS (SELECT p AS l, CAST(count(*) AS HUGEINT) AS c
+                   FROM j GROUP BY 1),
+            rc AS (SELECT CAST(COALESCE(SUM(rt.c * ct.c), 0)
+                               AS HUGEINT) AS v
+                   FROM rt JOIN ct USING (l))
+            SELECT CAST(tot.n AS BIGINT) AS n_docs,
+                   CAST(tot.agree AS BIGINT) AS n_agree,
+                   CAST((tot.agree * 1000000) // tot.n AS BIGINT)
+                       AS po_ppm,
+                   CAST((rc.v * 1000000) // (tot.n * tot.n)
+                        AS BIGINT) AS pe_ppm,
+                   CAST(CASE WHEN tot.n * tot.n - rc.v <> 0
+                             THEN ((tot.agree * tot.n - rc.v)
+                                   * 1000000)
+                                  // (tot.n * tot.n - rc.v)
+                             ELSE 0 END AS BIGINT) AS kappa_ppm
+            FROM tot CROSS JOIN rc WHERE tot.n > 0
+        """,
+        "consistent_hash_balance": """
+            WITH ring AS (
+              SELECT t.i AS shard,
+                     CAST(concat('0x', substr(md5('shard' || t.i
+                          || ':v' || s.j), 1, 15)) AS BIGINT) AS p
+              FROM range(8) t(i) CROSS JOIN range(4) s(j)),
+            u AS (SELECT DISTINCT COALESCE(user_id, -1) AS uid
+                  FROM events),
+            h AS (SELECT uid,
+                         CAST(concat('0x', substr(md5(
+                             CAST(uid AS VARCHAR)), 1, 15)) AS BIGINT)
+                             AS hv
+                  FROM u),
+            a AS (SELECT h.uid,
+                         COALESCE((SELECT r.shard FROM ring r
+                                   WHERE r.p >= h.hv
+                                   ORDER BY r.p LIMIT 1),
+                                  (SELECT r.shard FROM ring r
+                                   ORDER BY r.p LIMIT 1)) AS shard
+                  FROM h),
+            g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_users
+                  FROM a GROUP BY 1),
+            t2 AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot FROM g)
+            SELECT CAST(g.shard AS BIGINT) AS shard, g.n_users,
+                   CAST((g.n_users * 1000000) // t2.tot AS BIGINT)
+                       AS share_ppm
+            FROM g CROSS JOIN t2
         """,
     }

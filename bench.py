@@ -248,7 +248,8 @@ def run_ops(sf_dir: str):
              "embedding_dim_profile",
              "contrastive_pairs", "encoding_advisor", "decay_score",
              "feature_hashing_stats", "snm_dup_candidates",
-             "label_propagation_langs"]
+             "label_propagation_langs",
+             "lang_kappa", "consistent_hash_balance", "rrf_fusion"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -120,6 +120,8 @@ QUERIES = [
     # wave 27: hashing trick, SNM blocking, label propagation
     "feature_hashing_stats", "snm_dup_candidates",
     "label_propagation_langs",
+    # wave 28: kappa, consistent hashing, RRF fusion
+    "lang_kappa", "consistent_hash_balance", "rrf_fusion",
 ]
 
 
@@ -212,6 +214,8 @@ ONE_ROW_QUERIES = [
     # wave 27: hashing trick, SNM blocking, label propagation
     "feature_hashing_stats", "snm_dup_candidates",
     "label_propagation_langs",
+    # wave 28: kappa, consistent hashing, RRF fusion
+    "lang_kappa", "consistent_hash_balance", "rrf_fusion",
 ]
 
 
