@@ -8539,6 +8539,189 @@ def _q_rrf_fusion(sf_dir: str):
 
 
 
+def _q_dau_churn_jaccard(sf_dir: str):
+    """Day-over-day active-user stability: Jaccard of each day's
+    active-user set against the previous day's, EXACT integers
+    (|A∩B| counted per user, |A∪B| = a + b - both) -> (day, n_active,
+    n_prev, n_both, jaccard_ppm); only days whose previous day has
+    activity report.
+
+    Scale shape: ONE user-keyed partition pass emits per-day (active,
+    consecutive-pair) partials per user — bounded by user-days, never
+    by events; a day-domain groupby merges; the day table is tiny
+    driver-side."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        d = (np.where(ok, ts, 0) // DAY)[ok]
+        g = pd.DataFrame({"u": u, "d": d}).drop_duplicates()
+        return pa.table({"user_id": pa.array(g["u"]
+                                             .to_numpy(np.int64)),
+                         "d": pa.array(g["d"].to_numpy(np.int64))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"d": "int64", "act": "int64", "both": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.drop_duplicates().sort_values(["user_id", "d"])
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        both = np.zeros(len(d), bool)
+        both[1:] = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        g = pd.DataFrame({"d": d, "act": 1,
+                          "both": both.astype(np.int64)}) \
+            .groupby("d", sort=False, as_index=False).sum()
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby("d").aggregate(Sum("act"), Sum("both")).take_all()
+    out_cols = {"day": "int64", "n_active": "int64", "n_prev": "int64",
+                "n_both": "int64", "jaccard_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    act = {int(r["d"]): int(r["sum(act)"]) for r in rows}
+    both = {int(r["d"]): int(r["sum(both)"]) for r in rows}
+    out = []
+    for d in sorted(act):
+        prev = act.get(d - 1, 0)
+        if prev == 0:
+            continue
+        bt = both.get(d, 0)
+        union = act[d] + prev - bt
+        out.append({"day": d, "n_active": act[d], "n_prev": prev,
+                    "n_both": bt,
+                    "jaccard_ppm": (bt * 1_000_000) // union
+                    if union > 0 else 0})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_user_growth_curve(sf_dir: str):
+    """Cumulative-adoption curve: per day, newly-seen users (first
+    activity) and the running total -> (day, new_users, cum_users).
+
+    Scale shape: user-domain groupby (min day per user) -> day-domain
+    count -> the cumulative sum runs over the tiny day table."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        d = (np.where(ok, ts, 0) // DAY)[ok]
+        g = pd.DataFrame({"u": u, "d": d}) \
+            .groupby("u", sort=False, as_index=False).min()
+        return pa.table({"u": pa.array(g["u"].to_numpy(np.int64)),
+                         "d": pa.array(g["d"].to_numpy(np.int64))})
+
+    first = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("u").aggregate(Min("d"))
+
+    def day_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = b.column("min(d)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.Series(1, index=d).groupby(level=0, sort=False).sum()
+        return pa.table({"d": pa.array(g.index.to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    rows = first.map_batches(day_fold, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("n")).take_all()
+    out_cols = {"day": "int64", "new_users": "int64",
+                "cum_users": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    out, cum = [], 0
+    for d, n in sorted((int(r["d"]), int(r["sum(n)"])) for r in rows):
+        cum += n
+        out.append({"day": d, "new_users": n, "cum_users": cum})
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_compress_ratio_by_source(sf_dir: str):
+    """Compressibility audit (the Gopher/CCNet repetitiveness
+    signal): zlib-level-6 deflate size over raw UTF-8 size per
+    source -> (source, n_docs, raw_bytes, comp_bytes, ratio_ppm).
+    Deterministic for a fixed zlib, but not SQL-expressible —
+    rows-only with property tests (repetitive text must compress
+    harder).
+
+    Scale shape: pure map-side fold (compression runs where the text
+    lives) -> one source-domain groupby."""
+    import zlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        raw, comp = [], []
+        for t in b.column("text").to_pylist():
+            enc = (t or "").encode("utf-8")
+            raw.append(len(enc))
+            comp.append(len(zlib.compress(enc, 6)))
+        g = pd.DataFrame({"source": src, "n": 1,
+                          "raw": np.asarray(raw, np.int64),
+                          "comp": np.asarray(comp, np.int64)}) \
+            .groupby("source", sort=False, as_index=False).sum()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(object),
+                               pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "raw": pa.array(g["raw"].to_numpy(np.int64)),
+            "comp": pa.array(g["comp"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n"), Sum("raw"),
+                                     Sum("comp")).take_all()
+    out_cols = {"source": "object", "n_docs": "int64",
+                "raw_bytes": "int64", "comp_bytes": "int64",
+                "ratio_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame([{
+        "source": r["source"], "n_docs": int(r["sum(n)"]),
+        "raw_bytes": int(r["sum(raw)"]),
+        "comp_bytes": int(r["sum(comp)"]),
+        "ratio_ppm": (int(r["sum(comp)"]) * 1_000_000)
+        // max(int(r["sum(raw)"]), 1)} for r in rows]).astype(num)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -8902,6 +9085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_kappa": _q_lang_kappa,
         "consistent_hash_balance": _q_consistent_hash_balance,
         "rrf_fusion": _q_rrf_fusion,
+        "dau_churn_jaccard": _q_dau_churn_jaccard,
+        "user_growth_curve": _q_user_growth_curve,
+        "compress_ratio_by_source": _q_compress_ratio_by_source,
     }
 
 
@@ -14169,5 +14355,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((g.n_users * 1000000) // t2.tot AS BIGINT)
                        AS share_ppm
             FROM g CROSS JOIN t2
+        """,
+        "dau_churn_jaccard": """
+            WITH ad AS (SELECT DISTINCT COALESCE(user_id, -1) AS u,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events WHERE ts IS NOT NULL),
+            act AS (SELECT d, CAST(count(*) AS BIGINT) AS a
+                    FROM ad GROUP BY 1),
+            bt AS (SELECT a1.d, CAST(count(*) AS BIGINT) AS b
+                   FROM ad a1 JOIN ad a2
+                     ON a2.u = a1.u AND a2.d = a1.d - 1
+                   GROUP BY 1)
+            SELECT CAST(cur.d AS BIGINT) AS day, cur.a AS n_active,
+                   prev.a AS n_prev,
+                   CAST(COALESCE(bt.b, 0) AS BIGINT) AS n_both,
+                   CAST((COALESCE(bt.b, 0) * 1000000)
+                        // (cur.a + prev.a - COALESCE(bt.b, 0))
+                        AS BIGINT) AS jaccard_ppm
+            FROM act cur
+            JOIN act prev ON prev.d = cur.d - 1
+            LEFT JOIN bt ON bt.d = cur.d
+        """,
+        "user_growth_curve": """
+            WITH f AS (SELECT COALESCE(user_id, -1) AS u,
+                              min(epoch_us(ts) // 86400000000) AS d
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            g AS (SELECT d, CAST(count(*) AS BIGINT) AS n
+                  FROM f GROUP BY 1)
+            SELECT CAST(d AS BIGINT) AS day, n AS new_users,
+                   CAST(sum(n) OVER (ORDER BY d) AS BIGINT)
+                       AS cum_users
+            FROM g
         """,
     }

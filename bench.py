@@ -249,7 +249,9 @@ def run_ops(sf_dir: str):
              "contrastive_pairs", "encoding_advisor", "decay_score",
              "feature_hashing_stats", "snm_dup_candidates",
              "label_propagation_langs",
-             "lang_kappa", "consistent_hash_balance", "rrf_fusion"]
+             "lang_kappa", "consistent_hash_balance", "rrf_fusion",
+             "dau_churn_jaccard", "user_growth_curve",
+             "compress_ratio_by_source"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

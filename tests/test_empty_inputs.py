@@ -122,6 +122,9 @@ QUERIES = [
     "label_propagation_langs",
     # wave 28: kappa, consistent hashing, RRF fusion
     "lang_kappa", "consistent_hash_balance", "rrf_fusion",
+    # wave 29: churn jaccard, growth curve, compressibility
+    "dau_churn_jaccard", "user_growth_curve",
+    "compress_ratio_by_source",
 ]
 
 
@@ -216,6 +219,9 @@ ONE_ROW_QUERIES = [
     "label_propagation_langs",
     # wave 28: kappa, consistent hashing, RRF fusion
     "lang_kappa", "consistent_hash_balance", "rrf_fusion",
+    # wave 29: churn jaccard, growth curve, compressibility
+    "dau_churn_jaccard", "user_growth_curve",
+    "compress_ratio_by_source",
 ]
 
 

@@ -84,8 +84,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round-3 wave 24/25/26 keyed ops
            "sequence_gaps", "type_dwell_time",
            "contrastive_pairs", "encoding_advisor",
-           # round-3 wave 27 keyed ops
-           "snm_dup_candidates", "label_propagation_langs"]
+           # round-3 wave 27/29 keyed ops
+           "snm_dup_candidates", "label_propagation_langs",
+           "dau_churn_jaccard"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
