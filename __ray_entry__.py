@@ -8722,6 +8722,265 @@ def _q_compress_ratio_by_source(sf_dir: str):
 
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """Join-cardinality estimation (the optimizer's bread and
+    butter): |orders JOIN customer ON custkey| computed exactly
+    (sum over shared keys of a_k * b_k) AND estimated from a
+    deterministic 1-in-16 md5 key sample, so the estimator itself is
+    oracled -> one row (exact_rows, est_rows, err_ppm).
+
+    Scale shape: ONE custkey-keyed co-partition pass (union of
+    per-batch side counts); both the exact and sampled sums fold
+    inside the partition — only two counters per partition reach the
+    driver."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        k = pc.fill_null(pc.cast(b.column("o_custkey"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.Series(1, index=k).groupby(level=0, sort=False).sum()
+        return pa.table({
+            "k": pa.array(g.index.to_numpy(np.int64)),
+            "side": pa.array(np.zeros(len(g), np.int8), pa.int8()),
+            "n": pa.array(g.to_numpy(np.int64))})
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        k = pc.fill_null(pc.cast(b.column("c_custkey"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.Series(1, index=k).groupby(level=0, sort=False).sum()
+        return pa.table({
+            "k": pa.array(g.index.to_numpy(np.int64)),
+            "side": pa.array(np.ones(len(g), np.int8), pa.int8()),
+            "n": pa.array(g.to_numpy(np.int64))})
+
+    both = _read(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(o_rows, batch_format="pyarrow") \
+        .union(_read(sf_dir, "customer", columns=["c_custkey"])
+               .map_batches(c_rows, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"exact": "int64", "sampled": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.pivot_table(index="k", columns="side", values="n",
+                           aggfunc="sum")
+        a = g.get(0)
+        b_ = g.get(1)
+        if a is None or b_ is None:
+            return pd.DataFrame({"exact": [0], "sampled": [0]})
+        m = a.notna() & b_.notna()
+        prod = (a[m] * b_[m]).astype(np.int64)
+        keys = prod.index.to_numpy(np.int64)
+        samp = np.asarray(
+            [hashlib.md5(str(int(k)).encode()).hexdigest()[0] == "0"
+             for k in keys], bool)
+        return pd.DataFrame({"exact": [int(prod.sum())],
+                             "sampled": [int(prod[samp].sum())]})
+
+    rows = _grouped_by_partition(both, ["k"], resolve,
+                                 n_parts=16).take_all()
+    out_cols = {"exact_rows": "int64", "est_rows": "int64",
+                "err_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    exact = sum(int(r["exact"]) for r in rows)
+    est = 16 * sum(int(r["sampled"]) for r in rows)
+    if exact == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "exact_rows": exact, "est_rows": est,
+        "err_ppm": (abs(est - exact) * 1_000_000) // exact}]) \
+        .astype(out_cols)
+
+
+def _q_conformal_chars_interval(sf_dir: str):
+    """Split-conformal prediction interval for doc length per source:
+    the TRAIN split fixes the per-source mean (floor ppm); the
+    CALIBRATION split's absolute residuals give the 90th-percentile
+    halfwidth via explicit order-statistic selection (rank
+    (n-1)*90//100, 0-based) -> (source, n_train, n_cal, mean_ppm,
+    q90_resid_ppm).  The split is md5(doc_id) nibble < '4' (~25%
+    calibration) — doc_id % k would alias with this corpus's
+    source = doc_id % 20 assignment and starve whole sources of one
+    split.  Distribution-free uncertainty machinery, exact in both
+    engines.
+
+    Scale shape: pass 1 = source-domain train sums; pass 2 = ONE
+    source-keyed partition pass sorts each source's calibration
+    residuals exactly once."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    M = 1_000_000
+
+    import hashlib
+
+    def _is_cal(did: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            [hashlib.md5(str(int(x)).encode()).hexdigest()[0] < "4"
+             for x in did], bool)
+
+    def train_prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = ~_is_cal(did)
+        g = pd.DataFrame({"source": src[tr], "n": 1, "s": ch[tr]}) \
+            .groupby("source", sort=False, as_index=False).sum()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(object),
+                               pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    trows = ds.map_batches(train_prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n"), Sum("s")).take_all()
+    out_cols = {"source": "object", "n_train": "int64",
+                "n_cal": "int64", "mean_ppm": "int64",
+                "q90_resid_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    means = {r["source"]: ((int(r["sum(s)"]) * M) // int(r["sum(n)"]),
+                           int(r["sum(n)"]))
+             for r in trows if int(r["sum(n)"]) > 0}
+    if not means:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    mean_ref = ray.put(means)
+
+    def cal_prep(b: pa.Table) -> pa.Table:
+        mm = ray.get(mean_ref)
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cal = _is_cal(did)
+        keep = cal & np.asarray([s_ in mm for s_ in src], bool)
+        src, ch = src[keep], ch[keep]
+        mu = np.asarray([mm[s_][0] for s_ in src], np.int64)
+        return pa.table({
+            "source": pa.array(src.tolist(), pa.string()),
+            "r": pa.array(np.abs(ch * M - mu))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "n_cal": "int64", "q": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"n_cal": "int64", "q": "int64"})
+        out = []
+        for s_, sub in df.groupby("source", sort=False):
+            r = np.sort(sub["r"].to_numpy(np.int64))
+            out.append({"source": s_, "n_cal": len(r),
+                        "q": int(r[(len(r) - 1) * 90 // 100])})
+        return pd.DataFrame(out).astype(cols)
+
+    crows = _grouped_by_partition(
+        ds.map_batches(cal_prep, batch_format="pyarrow"), ["source"],
+        resolve, n_parts=16).take_all()
+    cal = {r["source"]: (int(r["n_cal"]), int(r["q"]))
+           for r in crows}
+    out = [{"source": s_, "n_train": means[s_][1],
+            "n_cal": cal.get(s_, (0, 0))[0],
+            "mean_ppm": means[s_][0],
+            "q90_resid_ppm": cal.get(s_, (0, 0))[1]}
+           for s_ in sorted(means) if s_ in cal]
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_markov_next_accuracy(sf_dir: str):
+    """Backtest of the transition-matrix next-event predictor: argmax
+    row of the oracled type_transitions matrix (count desc, dst asc
+    ties) predicts each consecutive pair's next type; exact hit
+    counts -> one row (n_transitions, n_correct, accuracy_ppm).
+
+    Scale shape: the matrix is alphabet^2 (tiny, broadcast in the
+    closure); scoring is a SECOND user-keyed pass with the same
+    vectorized pair kernel as type_transitions."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+    from pdf_extract_ray.ops.events import type_transitions
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    tr = type_transitions(ds).take_all()
+    out_cols = {"n_transitions": "int64", "n_correct": "int64",
+                "accuracy_ppm": "int64"}
+    if not tr:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    best: dict = {}
+    for r in tr:
+        key = r["from_type"]
+        cand = (-int(r["n_pairs"]), r["to_type"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    pred = {k: v[1] for k, v in best.items()}
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": "int64", "c": "int64"}
+        df = df[df["ts_us"].notna()]
+        if len(df) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["eid"].to_numpy(np.int64)
+        et = df["et"].to_numpy(object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[:-1] == u[1:]
+        if not same.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        frm = et[:-1][same]
+        nxt = et[1:][same]
+        hit = np.asarray([pred.get(f) == t
+                          for f, t in zip(frm, nxt)], bool)
+        return pd.DataFrame({"n": [int(same.sum())],
+                             "c": [int(hit.sum())]})
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby(None).aggregate(Sum("n"), Sum("c")).take_all()
+    n = sum(int(r["sum(n)"] or 0) for r in rows)
+    c = sum(int(r["sum(c)"] or 0) for r in rows)
+    if n == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "n_transitions": n, "n_correct": c,
+        "accuracy_ppm": (c * 1_000_000) // n}]).astype(out_cols)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -9088,6 +9347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_churn_jaccard": _q_dau_churn_jaccard,
         "user_growth_curve": _q_user_growth_curve,
         "compress_ratio_by_source": _q_compress_ratio_by_source,
+        "join_size_estimate": _q_join_size_estimate,
+        "conformal_chars_interval": _q_conformal_chars_interval,
+        "markov_next_accuracy": _q_markov_next_accuracy,
     }
 
 
@@ -14386,5 +14648,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) OVER (ORDER BY d) AS BIGINT)
                        AS cum_users
             FROM g
+        """,
+        "join_size_estimate": """
+            WITH a AS (SELECT COALESCE(o_custkey, -1) AS k,
+                              CAST(count(*) AS HUGEINT) AS n
+                       FROM orders GROUP BY 1),
+            b AS (SELECT COALESCE(c_custkey, -1) AS k,
+                         CAST(count(*) AS HUGEINT) AS n
+                  FROM customer GROUP BY 1),
+            j AS (SELECT a.k, a.n * b.n AS p,
+                         substr(md5(CAST(a.k AS VARCHAR)), 1, 1)
+                             AS h0
+                  FROM a JOIN b USING (k)),
+            t AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT)
+                             AS exact_rows,
+                         CAST(16 * COALESCE(SUM(p) FILTER (
+                             WHERE h0 = '0'), 0) AS BIGINT)
+                             AS est_rows
+                  FROM j)
+            SELECT exact_rows, est_rows,
+                   CAST((abs(est_rows - exact_rows) * 1000000)
+                        // exact_rows AS BIGINT) AS err_ppm
+            FROM t WHERE exact_rows > 0
+        """,
+        "conformal_chars_interval": """
+            WITH d AS (SELECT COALESCE(doc_id, 0) AS did,
+                              COALESCE(source, '') AS source,
+                              COALESCE(n_chars, 0) AS ch
+                       FROM documents),
+            tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(ch) AS HUGEINT) AS s
+                   FROM d WHERE substr(md5(CAST(did AS VARCHAR)),
+                                       1, 1) >= '4'
+                   GROUP BY 1),
+            mu AS (SELECT source, n AS n_train,
+                          CAST((s * 1000000) // n AS BIGINT)
+                              AS mean_ppm
+                   FROM tr WHERE n > 0),
+            cal AS (SELECT d.source,
+                           abs(d.ch * 1000000 - mu.mean_ppm) AS r
+                    FROM d JOIN mu USING (source)
+                    WHERE substr(md5(CAST(d.did AS VARCHAR)),
+                                 1, 1) < '4'),
+            rk AS (SELECT source, r,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY r) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM cal)
+            SELECT mu.source, mu.n_train,
+                   CAST(rk.n AS BIGINT) AS n_cal, mu.mean_ppm,
+                   CAST(rk.r AS BIGINT) AS q90_resid_ppm
+            FROM rk JOIN mu USING (source)
+            WHERE rk.rn = ((rk.n - 1) * 90) // 100 + 1
+        """,
+        "markov_next_accuracy": """
+            WITH r AS (SELECT user_id,
+                              COALESCE(event_type, '') AS et,
+                              lag(COALESCE(event_type, '')) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p
+                       FROM events WHERE ts IS NOT NULL),
+            tr AS (SELECT p AS src, et AS dst,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM r WHERE p IS NOT NULL GROUP BY 1, 2),
+            pr AS (SELECT src, dst,
+                          row_number() OVER (PARTITION BY src
+                              ORDER BY c DESC, dst ASC) AS rn
+                   FROM tr),
+            pred AS (SELECT src, dst AS best FROM pr WHERE rn = 1),
+            sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(count(*) FILTER (
+                              WHERE r.et = pred.best) AS BIGINT)
+                              AS c
+                   FROM r JOIN pred ON pred.src = r.p
+                   WHERE r.p IS NOT NULL)
+            SELECT n AS n_transitions, c AS n_correct,
+                   CAST((c * 1000000) // n AS BIGINT)
+                       AS accuracy_ppm
+            FROM sc WHERE n > 0
         """,
     }

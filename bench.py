@@ -251,7 +251,9 @@ def run_ops(sf_dir: str):
              "label_propagation_langs",
              "lang_kappa", "consistent_hash_balance", "rrf_fusion",
              "dau_churn_jaccard", "user_growth_curve",
-             "compress_ratio_by_source"]
+             "compress_ratio_by_source",
+             "join_size_estimate", "conformal_chars_interval",
+             "markov_next_accuracy"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -125,6 +125,9 @@ QUERIES = [
     # wave 29: churn jaccard, growth curve, compressibility
     "dau_churn_jaccard", "user_growth_curve",
     "compress_ratio_by_source",
+    # wave 30: join-size estimate, conformal interval, Markov backtest
+    "join_size_estimate", "conformal_chars_interval",
+    "markov_next_accuracy",
 ]
 
 
@@ -222,6 +225,9 @@ ONE_ROW_QUERIES = [
     # wave 29: churn jaccard, growth curve, compressibility
     "dau_churn_jaccard", "user_growth_curve",
     "compress_ratio_by_source",
+    # wave 30: join-size estimate, conformal interval, Markov backtest
+    "join_size_estimate", "conformal_chars_interval",
+    "markov_next_accuracy",
 ]
 
 

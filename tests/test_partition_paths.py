@@ -86,7 +86,10 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "contrastive_pairs", "encoding_advisor",
            # round-3 wave 27/29 keyed ops
            "snm_dup_candidates", "label_propagation_langs",
-           "dau_churn_jaccard"]
+           "dau_churn_jaccard",
+           # round-3 wave 30 keyed ops
+           "join_size_estimate", "conformal_chars_interval",
+           "markov_next_accuracy"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
