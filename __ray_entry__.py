@@ -8981,6 +8981,202 @@ def _q_markov_next_accuracy(sf_dir: str):
 
 
 
+def _q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution (the marketing counterpart to
+    the last-touch attributed_purchases op): every click/view in the
+    7 days before a purchase shares the purchase's credit equally,
+    floor(1e6 / k) ppm per touch -> (touch_type, n_touches,
+    total_credit_ppm).
+
+    Scale shape: ONE user-keyed partition pass; per user the window
+    counts come from two searchsorted probes per purchase (no
+    pairwise join materializes outside the partition)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    WIN = 7 * 86_400_000_000
+    M = 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"touch_type": "object", "n": "int64",
+                "credit": "int64"}
+        df = df[df["ts_us"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out: dict = {}
+        for et in ("click", "view"):
+            out[et] = [0, 0]
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        for _, sub in df.groupby("user_id", sort=False):
+            ts = sub["ts_us"].to_numpy(np.int64)
+            et = sub["et"].to_numpy(object)
+            p_ts = ts[et == "purchase"]
+            if len(p_ts) == 0:
+                continue
+            cl = ts[et == "click"]
+            vw = ts[et == "view"]
+            k_cl = np.searchsorted(cl, p_ts, "left") \
+                - np.searchsorted(cl, p_ts - WIN, "left")
+            k_vw = np.searchsorted(vw, p_ts, "left") \
+                - np.searchsorted(vw, p_ts - WIN, "left")
+            k = k_cl + k_vw
+            ok = k > 0
+            if not ok.any():
+                continue
+            unit = M // k[ok]
+            out["click"][0] += int(k_cl[ok].sum())
+            out["click"][1] += int((unit * k_cl[ok]).sum())
+            out["view"][0] += int(k_vw[ok].sum())
+            out["view"][1] += int((unit * k_vw[ok]).sum())
+        rows = [{"touch_type": t, "n": v[0], "credit": v[1]}
+                for t, v in out.items() if v[0] > 0]
+        if not rows:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return pd.DataFrame(rows).astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby("touch_type").aggregate(Sum("n"), Sum("credit")) \
+        .take_all()
+    out_cols = {"touch_type": "object", "n_touches": "int64",
+                "total_credit_ppm": "int64"}
+    num = {k: "int64" for k in ("n_touches", "total_credit_ppm")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame([{
+        "touch_type": r["touch_type"], "n_touches": int(r["sum(n)"]),
+        "total_credit_ppm": int(r["sum(credit)"])} for r in rows]) \
+        .astype(num)
+
+
+def _q_diff_in_diff(sf_dir: str):
+    """Difference-in-differences estimator on order revenue: cohorts
+    by custkey parity, periods split at 1995-01-01; DiD =
+    (treat_after - treat_before) - (ctrl_after - ctrl_before), exact
+    cents -> one row.  The canonical before/after causal probe, pure
+    map-side (four counters, zero shuffle)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    CUT = (pd.Timestamp("1995-01-01")
+           - pd.Timestamp("1970-01-01")).days
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = pc.fill_null(pc.cast(b.column("o_custkey"), pa.int64()),
+                          0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()),
+                      pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        treat = ck % 2 == 1
+        after = day >= CUT
+        vals = [int(cents[t & a_].sum())
+                for t in (treat, ~treat) for a_ in (~after, after)]
+        return pa.table({
+            "a1": pa.array([vals[0]], pa.int64()),
+            "a2": pa.array([vals[1]], pa.int64()),
+            "b1": pa.array([vals[2]], pa.int64()),
+            "b2": pa.array([vals[3]], pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(None).aggregate(Sum("a1"), Sum("a2"), Sum("b1"),
+                                 Sum("b2")).take_all()
+    out_cols = {"treat_before_cents": "int64",
+                "treat_after_cents": "int64",
+                "ctrl_before_cents": "int64",
+                "ctrl_after_cents": "int64", "did_cents": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    a1 = sum(int(r["sum(a1)"] or 0) for r in rows)
+    a2 = sum(int(r["sum(a2)"] or 0) for r in rows)
+    b1 = sum(int(r["sum(b1)"] or 0) for r in rows)
+    b2 = sum(int(r["sum(b2)"] or 0) for r in rows)
+    if a1 + a2 + b1 + b2 == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "treat_before_cents": a1, "treat_after_cents": a2,
+        "ctrl_before_cents": b1, "ctrl_after_cents": b2,
+        "did_cents": (a2 - a1) - (b2 - b1)}]).astype(out_cols)
+
+
+def _q_rbo_rankings(sf_dir: str):
+    """Rank-Biased Overlap (Webber et al.) between the brute-force
+    and LSH ANN rankings per query, p = 0.9 truncated at depth 20,
+    computed in EXACT rationals (fractions.Fraction) then floored to
+    ppm -> (query_id, overlap_at_20, rbo_ppm).  The IR-grade ranking
+    agreement metric beside rrf_fusion; rows-only (ANN isn't
+    SQL-expressible), reference-parity tested."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.similarity import (brute_force_topk,
+                                                lsh_topk, min_k_rows)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = min_k_rows(ds, "vec_id", 8)
+    out_cols = {"query_id": "int64", "overlap_at_20": "int64",
+                "rbo_ppm": "int64"}
+    if q.num_rows == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    qids = [int(x) for x in q.column("vec_id").to_pylist()]
+    qv = np.asarray(q.column("embedding").to_pylist(), np.float64)
+    a = brute_force_topk(ds, qids, qv, k=20).to_pylist()
+    b = lsh_topk(ds, qids, qv, dim=qv.shape[1], k=20).to_pylist()
+    ra: dict = {}
+    rb: dict = {}
+    for r in a:
+        ra.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["neighbor_id"])))
+    for r in b:
+        rb.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["neighbor_id"])))
+    p_ = Fraction(9, 10)
+    out = []
+    for qid in sorted(set(ra) | set(rb)):
+        la = [n for _, n in sorted(ra.get(qid, []))]
+        lb = [n for _, n in sorted(rb.get(qid, []))]
+        rbo = Fraction(0)
+        sa: set = set()
+        sb: set = set()
+        depth = max(len(la), len(lb), 1)
+        for d in range(1, depth + 1):
+            if d <= len(la):
+                sa.add(la[d - 1])
+            if d <= len(lb):
+                sb.add(lb[d - 1])
+            rbo += (p_ ** (d - 1)) * Fraction(len(sa & sb), d)
+        rbo *= (1 - p_)
+        out.append({"query_id": qid,
+                    "overlap_at_20": len(sa & sb),
+                    "rbo_ppm": int(rbo * 1_000_000)})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -9350,6 +9546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": _q_join_size_estimate,
         "conformal_chars_interval": _q_conformal_chars_interval,
         "markov_next_accuracy": _q_markov_next_accuracy,
+        "linear_attribution": _q_linear_attribution,
+        "diff_in_diff": _q_diff_in_diff,
+        "rbo_rankings": _q_rbo_rankings,
     }
 
 
@@ -14726,5 +14925,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST((c * 1000000) // n AS BIGINT)
                        AS accuracy_ppm
             FROM sc WHERE n > 0
+        """,
+        "linear_attribution": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t, event_type AS et
+                       FROM events WHERE ts IS NOT NULL),
+            pur AS (SELECT u, t FROM e WHERE et = 'purchase'),
+            tch AS (SELECT u, t, et FROM e
+                    WHERE et IN ('click', 'view')),
+            j AS (SELECT pur.u, pur.t AS pt, tch.et
+                  FROM pur JOIN tch ON tch.u = pur.u
+                   AND tch.t < pur.t
+                   AND tch.t >= pur.t - 604800000000),
+            k AS (SELECT u, pt, CAST(count(*) AS BIGINT) AS kk
+                  FROM j GROUP BY 1, 2),
+            c AS (SELECT j.et, 1000000 // k.kk AS credit
+                  FROM j JOIN k ON k.u = j.u AND k.pt = j.pt)
+            SELECT et AS touch_type,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(credit) AS BIGINT) AS total_credit_ppm
+            FROM c GROUP BY 1
+        """,
+        "diff_in_diff": """
+            WITH x AS (SELECT COALESCE(o_custkey, 0) % 2 AS treat,
+                              CASE WHEN o_orderdate
+                                   >= DATE '1995-01-01'
+                                   THEN 1 ELSE 0 END AS after,
+                              CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            s AS (SELECT
+                CAST(COALESCE(sum(cents) FILTER (
+                    WHERE treat = 1 AND after = 0), 0) AS BIGINT) a1,
+                CAST(COALESCE(sum(cents) FILTER (
+                    WHERE treat = 1 AND after = 1), 0) AS BIGINT) a2,
+                CAST(COALESCE(sum(cents) FILTER (
+                    WHERE treat = 0 AND after = 0), 0) AS BIGINT) b1,
+                CAST(COALESCE(sum(cents) FILTER (
+                    WHERE treat = 0 AND after = 1), 0) AS BIGINT) b2
+                  FROM x)
+            SELECT a1 AS treat_before_cents, a2 AS treat_after_cents,
+                   b1 AS ctrl_before_cents, b2 AS ctrl_after_cents,
+                   CAST((a2 - a1) - (b2 - b1) AS BIGINT) AS did_cents
+            FROM s WHERE a1 + a2 + b1 + b2 <> 0
         """,
     }

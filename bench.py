@@ -253,7 +253,8 @@ def run_ops(sf_dir: str):
              "dau_churn_jaccard", "user_growth_curve",
              "compress_ratio_by_source",
              "join_size_estimate", "conformal_chars_interval",
-             "markov_next_accuracy"]
+             "markov_next_accuracy",
+             "linear_attribution", "diff_in_diff", "rbo_rankings"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

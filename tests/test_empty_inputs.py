@@ -128,6 +128,8 @@ QUERIES = [
     # wave 30: join-size estimate, conformal interval, Markov backtest
     "join_size_estimate", "conformal_chars_interval",
     "markov_next_accuracy",
+    # wave 31: linear attribution, diff-in-diff, RBO
+    "linear_attribution", "diff_in_diff", "rbo_rankings",
 ]
 
 
@@ -228,6 +230,8 @@ ONE_ROW_QUERIES = [
     # wave 30: join-size estimate, conformal interval, Markov backtest
     "join_size_estimate", "conformal_chars_interval",
     "markov_next_accuracy",
+    # wave 31: linear attribution, diff-in-diff, RBO
+    "linear_attribution", "diff_in_diff", "rbo_rankings",
 ]
 
 
