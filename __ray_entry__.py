@@ -9177,6 +9177,163 @@ def _q_rbo_rankings(sf_dir: str):
 
 
 
+def _q_curriculum_order(sf_dir: str):
+    """Curriculum training order: docs bucket by difficulty proxy
+    (length, 64 fixed-width buckets) and interleave round-robin —
+    epoch_pos = (rank_within_bucket - 1) * 64 + bucket, rank by
+    doc_id within bucket -> (doc_id, bucket, epoch_pos).  Every epoch
+    sees difficulties uniformly early instead of length-sorted.
+
+    Scale shape: ONE bucket-keyed partition pass; rank-within-bucket
+    is a sort inside the owning partition (64 buckets — the
+    partition count IS the bucket count; stride interleave needs no
+    global pass)."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.minimum(ch // 16, 63)),
+                         "did": pa.array(did)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "bucket": "int64",
+                "epoch_pos": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = []
+        for bkt, sub in df.groupby("bucket", sort=False):
+            did = np.sort(sub["did"].to_numpy(np.int64))
+            out.append(pd.DataFrame({
+                "doc_id": did, "bucket": int(bkt),
+                "epoch_pos": np.arange(len(did), dtype=np.int64)
+                * 64 + int(bkt)}))
+        return pd.concat(out, ignore_index=True).astype(cols)
+
+    return _grouped_by_partition(ds.map_batches(
+        prep, batch_format="pyarrow"), ["bucket"], resolve,
+        n_parts=32)
+
+
+def _q_negative_sampling_table(sf_dir: str):
+    """word2vec-style negative-sampling table with sublinear damping:
+    per vocabulary term, weight = floor(sqrt(tf)) (exact — tf is far
+    below the double-precision sqrt exactness bound) and the
+    cumulative weight in lexicographic term order (the inverse-CDF
+    lookup a sampler binary-searches) -> (term, tf, weight,
+    cum_weight).
+
+    Scale shape: vocab-domain groupby (the tfidf envelope); the
+    cumulative scan runs over the tiny sorted vocab driver-side."""
+    import collections
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in b.column("text").to_pylist():
+            c.update(w for w in (t or "").split(" ") if w)
+        ks = list(c.keys())
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks],
+                                       pa.int64())})
+
+    rows = ds.map_batches(tf_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n")).take_all()
+    out_cols = {"term": "object", "tf": "int64", "weight": "int64",
+                "cum_weight": "int64"}
+    num = {k: "int64" for k in ("tf", "weight", "cum_weight")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    vocab = sorted((r["term"], int(r["sum(n)"])) for r in rows)
+    out, cum = [], 0
+    for term, tf in vocab:
+        w = math.isqrt(tf)
+        cum += w
+        out.append({"term": term, "tf": tf, "weight": w,
+                    "cum_weight": cum})
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_user_last3_types(sf_dir: str):
+    """Bounded per-key state snapshot (the feature-store "last K
+    actions" pattern): each user's 3 most recent event types joined
+    newest-first with '>' -> (user_id, n_events, last3).
+
+    Scale shape: ONE user-keyed partition pass; the tail-3 selection
+    is a vectorized per-user slice, and only 3 types per user ever
+    leave the partition."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "last3": "object"}
+        df = df[df["ts_us"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"user_id": "int64", "n_events": "int64"})
+        df = df.sort_values(["user_id", "ts_us", "eid"],
+                            kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["et"].to_numpy(object)
+        # per-user tail-3 newest-first, fully vectorized: position
+        # from the END of each user's run
+        n = len(u)
+        idx = np.arange(n)
+        last_of_user = np.ones(n, bool)
+        last_of_user[:-1] = u[:-1] != u[1:]
+        end_idx = np.minimum.accumulate(
+            np.where(last_of_user, idx, n)[::-1])[::-1]
+        from_end = end_idx - idx
+        counts = pd.Series(1, index=u).groupby(level=0,
+                                               sort=False).sum()
+        keep = from_end < 3
+        sub = pd.DataFrame({"u": u[keep], "fe": from_end[keep],
+                            "et": et[keep]}) \
+            .sort_values(["u", "fe"], kind="stable")
+        agg = sub.groupby("u", sort=False)["et"] \
+            .agg(lambda x: ">".join(x))
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "n_events": counts.reindex(agg.index)
+            .to_numpy(np.int64),
+            "last3": agg.to_numpy(object)}).astype(cols)
+
+    return _grouped_by_partition(ds.map_batches(
+        prep, batch_format="pyarrow"), ["user_id"], resolve,
+        n_parts=32)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -9549,6 +9706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": _q_linear_attribution,
         "diff_in_diff": _q_diff_in_diff,
         "rbo_rankings": _q_rbo_rankings,
+        "curriculum_order": _q_curriculum_order,
+        "negative_sampling_table": _q_negative_sampling_table,
+        "user_last3_types": _q_user_last3_types,
     }
 
 
@@ -14968,5 +15128,50 @@ def oracle_sql() -> dict[str, str]:
                    b1 AS ctrl_before_cents, b2 AS ctrl_after_cents,
                    CAST((a2 - a1) - (b2 - b1) AS BIGINT) AS did_cents
             FROM s WHERE a1 + a2 + b1 + b2 <> 0
+        """,
+        "curriculum_order": """
+            WITH d AS (SELECT COALESCE(doc_id, -1) AS doc_id,
+                              LEAST(COALESCE(n_chars, 0) // 16, 63)
+                                  AS bucket
+                       FROM documents),
+            r AS (SELECT doc_id, bucket,
+                         row_number() OVER (PARTITION BY bucket
+                                            ORDER BY doc_id) AS rn
+                  FROM d)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(bucket AS BIGINT) AS bucket,
+                   CAST((rn - 1) * 64 + bucket AS BIGINT)
+                       AS epoch_pos
+            FROM r
+        """,
+        "negative_sampling_table": """
+            WITH w AS (SELECT unnest(string_split(COALESCE(text, ''),
+                              ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+                   FROM w WHERE term <> '' GROUP BY 1),
+            x AS (SELECT term, tf,
+                         CAST(FLOOR(SQRT(CAST(tf AS DOUBLE)))
+                              AS BIGINT) AS weight
+                  FROM tf)
+            SELECT term, tf, weight,
+                   CAST(sum(weight) OVER (ORDER BY term) AS BIGINT)
+                       AS cum_weight
+            FROM x
+        """,
+        "user_last3_types": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS user_id,
+                              COALESCE(event_type, '') AS et, ts,
+                              event_id
+                       FROM events WHERE ts IS NOT NULL),
+            r AS (SELECT user_id, et,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS n
+                  FROM e)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(any_value(n) AS BIGINT) AS n_events,
+                   string_agg(et, '>' ORDER BY rn) AS last3
+            FROM r WHERE rn <= 3 GROUP BY user_id
         """,
     }

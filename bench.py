@@ -254,7 +254,9 @@ def run_ops(sf_dir: str):
              "compress_ratio_by_source",
              "join_size_estimate", "conformal_chars_interval",
              "markov_next_accuracy",
-             "linear_attribution", "diff_in_diff", "rbo_rankings"]
+             "linear_attribution", "diff_in_diff", "rbo_rankings",
+             "curriculum_order", "negative_sampling_table",
+             "user_last3_types"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

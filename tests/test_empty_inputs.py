@@ -130,6 +130,8 @@ QUERIES = [
     "markov_next_accuracy",
     # wave 31: linear attribution, diff-in-diff, RBO
     "linear_attribution", "diff_in_diff", "rbo_rankings",
+    # wave 32: curriculum, negative sampling, last-3 snapshot
+    "curriculum_order", "negative_sampling_table", "user_last3_types",
 ]
 
 
@@ -232,6 +234,8 @@ ONE_ROW_QUERIES = [
     "markov_next_accuracy",
     # wave 31: linear attribution, diff-in-diff, RBO
     "linear_attribution", "diff_in_diff", "rbo_rankings",
+    # wave 32: curriculum, negative sampling, last-3 snapshot
+    "curriculum_order", "negative_sampling_table", "user_last3_types",
 ]
 
 

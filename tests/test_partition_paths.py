@@ -90,8 +90,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round-3 wave 30 keyed ops
            "join_size_estimate", "conformal_chars_interval",
            "markov_next_accuracy",
-           # round-3 wave 31 keyed ops
-           "linear_attribution"]
+           # round-3 wave 31/32 keyed ops
+           "linear_attribution", "curriculum_order",
+           "user_last3_types"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
