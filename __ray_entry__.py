@@ -9334,6 +9334,186 @@ def _q_user_last3_types(sf_dir: str):
 
 
 
+def _q_theil_sen_slope(sf_dir: str):
+    """Theil-Sen robust slope of token count vs n_chars over a
+    deterministic md5 doc sample (nibble '0'-'3', ~25%): median of
+    pairwise slopes, slope_milli = trunc((dy*1000)/dx) so the median
+    is an integer order statistic both engines agree on (index
+    (n-1)//2 in (slope, i, j) order) -> one row (n_sample, n_pairs,
+    slope_milli).
+
+    Scale shape: the sample gate is map-side; the O(sample^2) pair
+    enumeration is the documented bounded-pair kernel (sample size
+    is fixed by the hash gate, independent of corpus size)."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.asarray(
+            [hashlib.md5(str(int(x)).encode()).hexdigest()[0] < "4"
+             for x in did], bool)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        toks = np.asarray(
+            [len([w for w in (t or "").split(" ") if w])
+             for t, k in zip(b.column("text").to_pylist(), keep)
+             if k], np.int64)
+        return pa.table({"did": pa.array(did[keep]),
+                         "ch": pa.array(ch), "tok": pa.array(toks)})
+
+    rows = sorted(ds.map_batches(prep, batch_format="pyarrow")
+                  .take_all(), key=lambda r: int(r["did"]))
+    out_cols = {"n_sample": "int64", "n_pairs": "int64",
+                "slope_milli": "int64"}
+    n = len(rows)
+    if n < 2:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    ch = np.asarray([int(r["ch"]) for r in rows], np.int64)
+    tok = np.asarray([int(r["tok"]) for r in rows], np.int64)
+    ii, jj = np.triu_indices(n, k=1)
+    dx = ch[jj] - ch[ii]
+    ok = dx != 0
+    ii, jj, dx = ii[ok], jj[ok], dx[ok]
+    dy = tok[jj] - tok[ii]
+    num = dy * 1000
+    slope = np.sign(num) * np.sign(dx) * (np.abs(num) // np.abs(dx))
+    order = np.lexsort((jj, ii, slope))
+    k = (len(slope) - 1) // 2
+    return pd.DataFrame([{
+        "n_sample": n, "n_pairs": int(len(slope)),
+        "slope_milli": int(slope[order[k]])}]).astype(out_cols)
+
+
+def _q_candidate_key_audit(sf_dir: str):
+    """Candidate-key discovery (the schema-profiling primitive): for
+    every non-empty subset of {lang, source, n_chars}, does the
+    combination uniquely identify a document? -> (key_set,
+    n_distinct, n_rows, is_key).
+
+    Scale shape: ONE scan emits per-batch DISTINCT combos per subset
+    (all three domains are bounded, so partials are combo-domain
+    sized); one (subset, combo) groupby counts each combo once."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["lang", "source", "n_chars"])
+    SUBS = ("lang", "source", "n_chars", "lang+source",
+            "lang+n_chars", "source+n_chars", "lang+source+n_chars")
+
+    def prep(b: pa.Table) -> pa.Table:
+        lang = pc.fill_null(pc.cast(b.column("lang"), pa.string()),
+                            "").to_numpy(zero_copy_only=False)
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            .astype(str)
+        parts = {"lang": lang, "source": src, "n_chars": ch}
+        ks, combos, ns = [], [], []
+        df = pd.DataFrame(parts)
+        df["n"] = 1
+        for sub in SUBS:
+            cols = sub.split("+")
+            combo = df[cols[0]].astype(str)
+            for c in cols[1:]:
+                combo = combo + "|" + df[c].astype(str)
+            g = pd.DataFrame({"c": combo, "n": 1}) \
+                .groupby("c", sort=False, as_index=False).sum()
+            ks.extend([sub] * len(g))
+            combos.extend(g["c"].tolist())
+            ns.extend(g["n"].tolist())
+        return pa.table({"key_set": pa.array(ks, pa.string()),
+                         "combo": pa.array(combos, pa.string()),
+                         "n": pa.array(np.asarray(ns, np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["key_set", "combo"]).aggregate(Sum("n")) \
+        .take_all()
+    out_cols = {"key_set": "object", "n_distinct": "int64",
+                "n_rows": "int64", "is_key": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    agg: dict = {}
+    for r in rows:
+        d, n = agg.get(r["key_set"], (0, 0))
+        agg[r["key_set"]] = (d + 1, n + int(r["sum(n)"]))
+    out = [{"key_set": ks, "n_distinct": d, "n_rows": n,
+            "is_key": 1 if d == n else 0}
+           for ks, (d, n) in sorted(agg.items())]
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_source_cover_greedy(sf_dir: str):
+    """Greedy set cover: pick sources in order of marginal new-vocab
+    gain until 90% of the corpus vocabulary is covered (ties ->
+    source asc) -> (pick_order, source, gained_terms, cum_terms).
+    The data-sourcing decision "which feeds buy the most vocabulary"
+    — greedy is the canonical 1-1/e approximation.  Rows-only (the
+    iterative greedy isn't SQL-expressible); reference-parity
+    tested.
+
+    Scale shape: ONE (source, term) distinct groupby bounds the
+    exchange at vocab x sources; the greedy loop runs on that small
+    table driver-side."""
+    import collections
+
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        pairs = set()
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        for s_, t in zip(src, b.column("text").to_pylist()):
+            for w in (t or "").split(" "):
+                if w:
+                    pairs.add((s_, w))
+        return pa.table({
+            "source": pa.array([p[0] for p in pairs], pa.string()),
+            "term": pa.array([p[1] for p in pairs], pa.string())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Count()).take_all()
+    out_cols = {"pick_order": "int64", "source": "object",
+                "gained_terms": "int64", "cum_terms": "int64"}
+    num = {k: "int64" for k in ("pick_order", "gained_terms",
+                                "cum_terms")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    vocab_of: dict = collections.defaultdict(set)
+    all_terms = set()
+    for r in rows:
+        vocab_of[r["source"]].add(r["term"])
+        all_terms.add(r["term"])
+    target = (len(all_terms) * 90 + 99) // 100
+    covered: set = set()
+    out = []
+    remaining = dict(vocab_of)
+    order = 0
+    while len(covered) < target and remaining:
+        pick = max(sorted(remaining),
+                   key=lambda s_: (len(remaining[s_] - covered),))
+        gain = len(remaining[pick] - covered)
+        if gain == 0:
+            break
+        order += 1
+        covered |= remaining.pop(pick)
+        out.append({"pick_order": order, "source": pick,
+                    "gained_terms": gain, "cum_terms": len(covered)})
+    return pd.DataFrame(out).astype(num)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -9709,6 +9889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": _q_curriculum_order,
         "negative_sampling_table": _q_negative_sampling_table,
         "user_last3_types": _q_user_last3_types,
+        "theil_sen_slope": _q_theil_sen_slope,
+        "candidate_key_audit": _q_candidate_key_audit,
+        "source_cover_greedy": _q_source_cover_greedy,
     }
 
 
@@ -15173,5 +15356,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(n) AS BIGINT) AS n_events,
                    string_agg(et, '>' ORDER BY rn) AS last3
             FROM r WHERE rn <= 3 GROUP BY user_id
+        """,
+        "theil_sen_slope": """
+            WITH d AS (SELECT COALESCE(doc_id, 0) AS did,
+                              COALESCE(n_chars, 0) AS ch,
+                              CAST(len(list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '')) AS BIGINT) AS tok
+                       FROM documents
+                       WHERE substr(md5(CAST(COALESCE(doc_id, 0)
+                             AS VARCHAR)), 1, 1) < '4'),
+            p AS (SELECT a.did AS i, b.did AS j,
+                         (b.tok - a.tok) * 1000 AS num,
+                         b.ch - a.ch AS dx
+                  FROM d a JOIN d b ON b.did > a.did
+                  WHERE b.ch <> a.ch),
+            sl AS (SELECT i, j, (num // dx) AS slope FROM p),
+            r AS (SELECT slope,
+                         row_number() OVER (ORDER BY slope, i, j)
+                             AS rn,
+                         count(*) OVER () AS np
+                  FROM sl),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM d)
+            SELECT st.ns AS n_sample, CAST(r.np AS BIGINT) AS n_pairs,
+                   CAST(r.slope AS BIGINT) AS slope_milli
+            FROM r CROSS JOIN st
+            WHERE r.rn = (r.np - 1) // 2 + 1
+        """,
+        "candidate_key_audit": """
+            WITH d AS (SELECT COALESCE(lang, '') AS lang,
+                              COALESCE(source, '') AS source,
+                              CAST(COALESCE(n_chars, 0) AS VARCHAR)
+                                  AS ch
+                       FROM documents),
+            u AS (
+              SELECT 'lang' AS key_set,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS nd,
+                     CAST(count(*) AS BIGINT) AS n FROM d
+              UNION ALL SELECT 'source',
+                     CAST(count(DISTINCT source) AS BIGINT),
+                     CAST(count(*) AS BIGINT) FROM d
+              UNION ALL SELECT 'n_chars',
+                     CAST(count(DISTINCT ch) AS BIGINT),
+                     CAST(count(*) AS BIGINT) FROM d
+              UNION ALL SELECT 'lang+source',
+                     CAST(count(DISTINCT lang || '|' || source)
+                          AS BIGINT),
+                     CAST(count(*) AS BIGINT) FROM d
+              UNION ALL SELECT 'lang+n_chars',
+                     CAST(count(DISTINCT lang || '|' || ch)
+                          AS BIGINT),
+                     CAST(count(*) AS BIGINT) FROM d
+              UNION ALL SELECT 'source+n_chars',
+                     CAST(count(DISTINCT source || '|' || ch)
+                          AS BIGINT),
+                     CAST(count(*) AS BIGINT) FROM d
+              UNION ALL SELECT 'lang+source+n_chars',
+                     CAST(count(DISTINCT lang || '|' || source
+                          || '|' || ch) AS BIGINT),
+                     CAST(count(*) AS BIGINT) FROM d)
+            SELECT key_set, nd AS n_distinct, n AS n_rows,
+                   CAST(CASE WHEN nd = n THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_key
+            FROM u WHERE n > 0
         """,
     }

@@ -256,7 +256,9 @@ def run_ops(sf_dir: str):
              "markov_next_accuracy",
              "linear_attribution", "diff_in_diff", "rbo_rankings",
              "curriculum_order", "negative_sampling_table",
-             "user_last3_types"]
+             "user_last3_types",
+             "theil_sen_slope", "candidate_key_audit",
+             "source_cover_greedy"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

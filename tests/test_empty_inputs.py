@@ -132,6 +132,8 @@ QUERIES = [
     "linear_attribution", "diff_in_diff", "rbo_rankings",
     # wave 32: curriculum, negative sampling, last-3 snapshot
     "curriculum_order", "negative_sampling_table", "user_last3_types",
+    # wave 33: Theil-Sen, candidate keys, greedy set cover
+    "theil_sen_slope", "candidate_key_audit", "source_cover_greedy",
 ]
 
 
@@ -236,6 +238,8 @@ ONE_ROW_QUERIES = [
     "linear_attribution", "diff_in_diff", "rbo_rankings",
     # wave 32: curriculum, negative sampling, last-3 snapshot
     "curriculum_order", "negative_sampling_table", "user_last3_types",
+    # wave 33: Theil-Sen, candidate keys, greedy set cover
+    "theil_sen_slope", "candidate_key_audit", "source_cover_greedy",
 ]
 
 
