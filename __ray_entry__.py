@@ -9514,6 +9514,159 @@ def _q_source_cover_greedy(sf_dir: str):
 
 
 
+def _q_markov_entropy_rate(sf_dir: str):
+    """Entropy rate of the event stream, H(next | current), from the
+    oracled transition matrix — per-(src,dst) contribution
+    floor(1e6 * (c/T) * ln(tot_src/c)) in ppm (every term
+    non-negative; the nation_theil double->floor construction) ->
+    one row (n_transitions, n_states, entropy_rate_ppm).  The
+    sequence-predictability ceiling that markov_next_accuracy is
+    benchmarked against.
+
+    Scale shape: the distributed work is type_transitions; the ppm
+    fold runs on the alphabet^2 matrix driver-side."""
+    import math
+
+    import pandas as pd
+
+    from pdf_extract_ray.ops.events import type_transitions
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    tr = type_transitions(ds).take_all()
+    out_cols = {"n_transitions": "int64", "n_states": "int64",
+                "entropy_rate_ppm": "int64"}
+    if not tr:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    tot: dict = {}
+    for r in tr:
+        tot[r["from_type"]] = tot.get(r["from_type"], 0) \
+            + int(r["n_pairs"])
+    T = sum(tot.values())
+    h = sum(math.floor(1_000_000 * (int(r["n_pairs"]) / T)
+                       * math.log(tot[r["from_type"]]
+                                  / int(r["n_pairs"])))
+            for r in tr)
+    states = {r["from_type"] for r in tr} | {r["to_type"] for r in tr}
+    return pd.DataFrame([{
+        "n_transitions": T, "n_states": len(states),
+        "entropy_rate_ppm": h}]).astype(out_cols)
+
+
+def _q_simpson_flip_report(sf_dir: str):
+    """Simpson's-paradox detector for the chars-tokens relation: the
+    covariance-numerator SIGN (n*sxy - sx*sy, EXACT integers — no
+    sqrt needed for a sign) overall and per source, with a flip flag
+    where a source's sign opposes the pooled sign ->
+    (scope, n, cov_sign, flips_overall).
+
+    Scale shape: ONE scan, per-batch (source + overall) moment
+    partials, one bounded groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text",
+                                             "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        x = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.asarray(
+            [0 if not (t or "") else (t.count(" ") + 1)
+             for t in b.column("text").to_pylist()], np.int64)
+        df = pd.DataFrame({"scope": src, "n": 1, "sx": x, "sy": y,
+                           "sxy": x * y})
+        g = df.groupby("scope", sort=False, as_index=False).sum()
+        o = pd.DataFrame([{"scope": "", "n": len(x),
+                           "sx": int(x.sum()), "sy": int(y.sum()),
+                           "sxy": int((x * y).sum())}])
+        g = pd.concat([g, o], ignore_index=True)
+        return pa.table({
+            "scope": pa.array(g["scope"].to_numpy(object),
+                              pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "sx": pa.array(g["sx"].to_numpy(np.int64)),
+            "sy": pa.array(g["sy"].to_numpy(np.int64)),
+            "sxy": pa.array(g["sxy"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("scope").aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                    Sum("sxy")).take_all()
+    out_cols = {"scope": "object", "n": "int64", "cov_sign": "int64",
+                "flips_overall": "int64"}
+    num = {k: "int64" for k in ("n", "cov_sign", "flips_overall")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    stats = {}
+    for r in rows:
+        n = int(r["sum(n)"])
+        num_ = n * int(r["sum(sxy)"]) \
+            - int(r["sum(sx)"]) * int(r["sum(sy)"])
+        stats[r["scope"]] = (n, 0 if num_ == 0
+                             else (1 if num_ > 0 else -1))
+    overall = stats.get("", (0, 0))[1]
+    out = [{"scope": "overall" if sc == "" else sc, "n": st[0],
+            "cov_sign": st[1],
+            "flips_overall": 1 if sc != "" and st[1] != 0
+            and overall != 0 and st[1] != overall else 0}
+           for sc, st in sorted(stats.items())]
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_churn_training_set(sf_dir: str):
+    """Labeled churn dataset builder — the feature+label join every
+    supervised pipeline starts from: per user (n_events, first_day,
+    last_day, active_days) with label churned = 1 when the user's
+    last activity is >= 14 days before the corpus's last day ->
+    (user_id, n_events, first_day, last_day, churned).
+
+    Scale shape: pass 1 = global max day (tiny all-reduce); pass 2 =
+    user-domain groupby of per-batch fold partials."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        d = (np.where(ok, ts, 0) // DAY)[ok]
+        g = pd.DataFrame({"u": u, "n": 1, "f": d, "l": d}) \
+            .groupby("u", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), f=("f", "min"), l=("l", "max"))
+        return pa.table({"u": pa.array(g["u"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "f": pa.array(g["f"].to_numpy(np.int64)),
+                         "l": pa.array(g["l"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("u").aggregate(Sum("n"), Min("f"), Max("l")) \
+        .take_all()
+    out_cols = {"user_id": "int64", "n_events": "int64",
+                "first_day": "int64", "last_day": "int64",
+                "churned": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    max_day = max(int(r["max(l)"]) for r in rows)
+    out = [{"user_id": int(r["u"]), "n_events": int(r["sum(n)"]),
+            "first_day": int(r["min(f)"]),
+            "last_day": int(r["max(l)"]),
+            "churned": 1 if max_day - int(r["max(l)"]) >= 14 else 0}
+           for r in rows]
+    return pd.DataFrame(out).astype(out_cols)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -9892,6 +10045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_slope": _q_theil_sen_slope,
         "candidate_key_audit": _q_candidate_key_audit,
         "source_cover_greedy": _q_source_cover_greedy,
+        "markov_entropy_rate": _q_markov_entropy_rate,
+        "simpson_flip_report": _q_simpson_flip_report,
+        "churn_training_set": _q_churn_training_set,
     }
 
 
@@ -15419,5 +15575,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN nd = n THEN 1 ELSE 0 END AS BIGINT)
                        AS is_key
             FROM u WHERE n > 0
+        """,
+        "markov_entropy_rate": """
+            WITH r AS (SELECT user_id, COALESCE(event_type, '') AS et,
+                              lag(COALESCE(event_type, '')) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p
+                       FROM events WHERE ts IS NOT NULL),
+            tr AS (SELECT p AS src, et AS dst,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM r WHERE p IS NOT NULL GROUP BY 1, 2),
+            tt AS (SELECT src, SUM(c) AS tot FROM tr GROUP BY 1),
+            g AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tr),
+            terms AS (SELECT CAST(FLOOR(1000000
+                          * (CAST(tr.c AS DOUBLE) / g.t)
+                          * LN(CAST(tt.tot AS DOUBLE) / tr.c))
+                          AS BIGINT) AS v
+                      FROM tr JOIN tt USING (src) CROSS JOIN g),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM (
+                       SELECT src AS s FROM tr
+                       UNION SELECT dst FROM tr))
+            SELECT g.t AS n_transitions, st.ns AS n_states,
+                   CAST((SELECT SUM(v) FROM terms) AS BIGINT)
+                       AS entropy_rate_ppm
+            FROM g CROSS JOIN st WHERE g.t > 0
+        """,
+        "simpson_flip_report": """
+            WITH t AS (SELECT COALESCE(source, '') AS source,
+                              CAST(COALESCE(n_chars, 0) AS BIGINT)
+                                  AS x,
+                              CAST(CASE WHEN length(COALESCE(text,
+                                        '')) = 0 THEN 0
+                                   ELSE length(text)
+                                        - length(replace(text, ' ',
+                                                         '')) + 1
+                                   END AS BIGINT) AS y
+                       FROM documents),
+            g AS (SELECT source AS scope,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM t GROUP BY 1
+                  UNION ALL
+                  SELECT 'overall', CAST(count(*) AS BIGINT),
+                         CAST(sum(x) AS BIGINT),
+                         CAST(sum(y) AS BIGINT),
+                         CAST(sum(x * y) AS BIGINT)
+                  FROM t),
+            sg AS (SELECT scope, n,
+                          CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                               WHEN n * sxy - sx * sy < 0 THEN -1
+                               ELSE 0 END AS cov_sign
+                   FROM g WHERE n > 0),
+            ov AS (SELECT cov_sign AS o FROM sg
+                   WHERE scope = 'overall')
+            SELECT sg.scope, sg.n, CAST(sg.cov_sign AS BIGINT)
+                       AS cov_sign,
+                   CAST(CASE WHEN sg.scope <> 'overall'
+                             AND sg.cov_sign <> 0 AND ov.o <> 0
+                             AND sg.cov_sign <> ov.o
+                             THEN 1 ELSE 0 END AS BIGINT)
+                       AS flips_overall
+            FROM sg CROSS JOIN ov
+        """,
+        "churn_training_set": """
+            WITH f AS (SELECT COALESCE(user_id, -1) AS user_id,
+                              CAST(count(*) AS BIGINT) AS n_events,
+                              CAST(min(epoch_us(ts) // 86400000000)
+                                   AS BIGINT) AS first_day,
+                              CAST(max(epoch_us(ts) // 86400000000)
+                                   AS BIGINT) AS last_day
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            m AS (SELECT max(last_day) AS md FROM f)
+            SELECT f.user_id, f.n_events, f.first_day, f.last_day,
+                   CAST(CASE WHEN m.md - f.last_day >= 14 THEN 1
+                             ELSE 0 END AS BIGINT) AS churned
+            FROM f CROSS JOIN m
         """,
     }

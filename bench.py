@@ -258,7 +258,9 @@ def run_ops(sf_dir: str):
              "curriculum_order", "negative_sampling_table",
              "user_last3_types",
              "theil_sen_slope", "candidate_key_audit",
-             "source_cover_greedy"]
+             "source_cover_greedy",
+             "markov_entropy_rate", "simpson_flip_report",
+             "churn_training_set"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -134,6 +134,8 @@ QUERIES = [
     "curriculum_order", "negative_sampling_table", "user_last3_types",
     # wave 33: Theil-Sen, candidate keys, greedy set cover
     "theil_sen_slope", "candidate_key_audit", "source_cover_greedy",
+    # wave 34: entropy rate, Simpson flips, churn labels
+    "markov_entropy_rate", "simpson_flip_report", "churn_training_set",
 ]
 
 
@@ -240,6 +242,8 @@ ONE_ROW_QUERIES = [
     "curriculum_order", "negative_sampling_table", "user_last3_types",
     # wave 33: Theil-Sen, candidate keys, greedy set cover
     "theil_sen_slope", "candidate_key_audit", "source_cover_greedy",
+    # wave 34: entropy rate, Simpson flips, churn labels
+    "markov_entropy_rate", "simpson_flip_report", "churn_training_set",
 ]
 
 
