@@ -9667,6 +9667,170 @@ def _q_churn_training_set(sf_dir: str):
 
 
 
+def _q_source_weighted_jaccard(sf_dir: str):
+    """Weighted (min/max) Jaccard between source term-frequency
+    vectors — the multiset refinement of source_vocab_jaccard:
+    J_w = sum(min(a_t, b_t)) / sum(max(a_t, b_t)) over the joint
+    vocabulary, EXACT integers -> (source_a, source_b, min_sum,
+    max_sum, wj_ppm) for every unordered pair.
+
+    Scale shape: ONE vocab-domain (source, term) groupby; the
+    pairwise fold runs on the tiny sources x vocab matrix
+    driver-side (sources are an alphabet, not a row domain)."""
+    import collections
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        for s_, t in zip(src, b.column("text").to_pylist()):
+            for w in (t or "").split(" "):
+                if w:
+                    c[(s_, w)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("n")).take_all()
+    out_cols = {"source_a": "object", "source_b": "object",
+                "min_sum": "int64", "max_sum": "int64",
+                "wj_ppm": "int64"}
+    num = {k: "int64" for k in ("min_sum", "max_sum", "wj_ppm")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    vocab = sorted({r["term"] for r in rows})
+    widx = {w: i for i, w in enumerate(vocab)}
+    sources = sorted({r["source"] for r in rows})
+    mat = np.zeros((len(sources), len(vocab)), np.int64)
+    sidx = {s_: i for i, s_ in enumerate(sources)}
+    for r in rows:
+        mat[sidx[r["source"]], widx[r["term"]]] = int(r["sum(n)"])
+    out = []
+    for i, a in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            mn = int(np.minimum(mat[i], mat[j]).sum())
+            mx = int(np.maximum(mat[i], mat[j]).sum())
+            out.append({"source_a": a, "source_b": sources[j],
+                        "min_sum": mn, "max_sum": mx,
+                        "wj_ppm": (mn * 1_000_000) // mx
+                        if mx > 0 else 0})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_seasonal_index(sf_dir: str):
+    """Month-of-year seasonality index: each calendar month's revenue
+    against a uniform-month baseline, index_ppm = rev_m * 12 * 1e6 //
+    total -> (month_of_year, n_orders, revenue_cents, index_ppm).
+    1e6 = perfectly average month.
+
+    Scale shape: pure map-side 12-bucket fold, one bounded groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()),
+                    pa.int32()).to_numpy(zero_copy_only=False)
+        moy = pd.Series(d.astype("datetime64[D]")).dt.month \
+            .to_numpy(np.int64)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"m": moy, "n": 1, "c": cents}) \
+            .groupby("m", sort=False, as_index=False).sum()
+        return pa.table({"m": pa.array(g["m"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("m").aggregate(Sum("n"), Sum("c")).take_all()
+    out_cols = {"month_of_year": "int64", "n_orders": "int64",
+                "revenue_cents": "int64", "index_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    total = sum(int(r["sum(c)"]) for r in rows)
+    out = [{"month_of_year": int(r["m"]),
+            "n_orders": int(r["sum(n)"]),
+            "revenue_cents": int(r["sum(c)"]),
+            "index_ppm": (int(r["sum(c)"]) * 12 * 1_000_000) // total
+            if total > 0 else 0} for r in rows]
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_fold_balance_report(sf_dir: str):
+    """Cross-validation fold balance audit: docs hash into 5 md5
+    folds; per (fold, lang) the fold-local share vs the corpus share
+    and the absolute deviation -> (fold, lang, n_docs,
+    fold_share_ppm, global_share_ppm, dev_ppm).  The stratification
+    sanity check before trusting CV estimates.
+
+    Scale shape: ONE (fold, lang) bounded groupby of map-side
+    partials; shares resolve on the 5 x |langs| table."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = pc.fill_null(pc.cast(b.column("lang"), pa.string()),
+                            "und").to_numpy(zero_copy_only=False)
+        fold = np.asarray(
+            [int(hashlib.md5(str(int(x)).encode()).hexdigest()[:8],
+                 16) % 5 for x in did], np.int64)
+        g = pd.DataFrame({"fold": fold, "lang": lang, "n": 1}) \
+            .groupby(["fold", "lang"], sort=False,
+                     as_index=False).sum()
+        return pa.table({
+            "fold": pa.array(g["fold"].to_numpy(np.int64)),
+            "lang": pa.array(g["lang"].to_numpy(object),
+                             pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["fold", "lang"]).aggregate(Sum("n")).take_all()
+    out_cols = {"fold": "int64", "lang": "object", "n_docs": "int64",
+                "fold_share_ppm": "int64", "global_share_ppm": "int64",
+                "dev_ppm": "int64"}
+    num = {k: "int64" for k in out_cols if k != "lang"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    M = 1_000_000
+    fold_tot: dict = {}
+    lang_tot: dict = {}
+    for r in rows:
+        fold_tot[int(r["fold"])] = fold_tot.get(int(r["fold"]), 0) \
+            + int(r["sum(n)"])
+        lang_tot[r["lang"]] = lang_tot.get(r["lang"], 0) \
+            + int(r["sum(n)"])
+    N = sum(fold_tot.values())
+    out = []
+    for r in rows:
+        f, l_, n = int(r["fold"]), r["lang"], int(r["sum(n)"])
+        fs = (n * M) // fold_tot[f]
+        gs = (lang_tot[l_] * M) // N
+        out.append({"fold": f, "lang": l_, "n_docs": n,
+                    "fold_share_ppm": fs, "global_share_ppm": gs,
+                    "dev_ppm": abs(fs - gs)})
+    return pd.DataFrame(out).astype(num)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -10048,6 +10212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": _q_markov_entropy_rate,
         "simpson_flip_report": _q_simpson_flip_report,
         "churn_training_set": _q_churn_training_set,
+        "source_weighted_jaccard": _q_source_weighted_jaccard,
+        "seasonal_index": _q_seasonal_index,
+        "fold_balance_report": _q_fold_balance_report,
     }
 
 
@@ -15652,5 +15819,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN m.md - f.last_day >= 14 THEN 1
                              ELSE 0 END AS BIGINT) AS churned
             FROM f CROSS JOIN m
+        """,
+        "source_weighted_jaccard": """
+            WITH w AS (SELECT COALESCE(source, '') AS source,
+                              unnest(string_split(COALESCE(text, ''),
+                                     ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+                   FROM w WHERE term <> '' GROUP BY 1, 2),
+            srcs AS (SELECT DISTINCT source FROM tf),
+            vocab AS (SELECT DISTINCT term FROM tf),
+            p AS (SELECT a.source AS sa, b.source AS sb
+                  FROM srcs a JOIN srcs b ON b.source > a.source),
+            j AS (SELECT p.sa, p.sb,
+                         COALESCE(ta.n, 0) AS na,
+                         COALESCE(tb.n, 0) AS nb
+                  FROM p CROSS JOIN vocab v
+                  LEFT JOIN tf ta ON ta.source = p.sa
+                                 AND ta.term = v.term
+                  LEFT JOIN tf tb ON tb.source = p.sb
+                                 AND tb.term = v.term)
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST(sum(LEAST(na, nb)) AS BIGINT) AS min_sum,
+                   CAST(sum(GREATEST(na, nb)) AS BIGINT) AS max_sum,
+                   CAST(CASE WHEN sum(GREATEST(na, nb)) > 0
+                             THEN (sum(LEAST(na, nb)) * 1000000)
+                                  // sum(GREATEST(na, nb))
+                             ELSE 0 END AS BIGINT) AS wj_ppm
+            FROM j GROUP BY 1, 2
+        """,
+        "seasonal_index": """
+            WITH m AS (SELECT month(o_orderdate) AS moy,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(round(o_totalprice * 100,
+                                                  0) AS BIGINT))
+                                   AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM m)
+            SELECT CAST(m.moy AS BIGINT) AS month_of_year,
+                   m.n AS n_orders, m.c AS revenue_cents,
+                   CAST(CASE WHEN t.tot > 0
+                             THEN (m.c * 12 * 1000000) // t.tot
+                             ELSE 0 END AS BIGINT) AS index_ppm
+            FROM m CROSS JOIN t
+        """,
+        "fold_balance_report": """
+            WITH d AS (SELECT CAST(concat('0x', substr(md5(
+                              CAST(COALESCE(doc_id, 0) AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 5 AS fold,
+                              COALESCE(lang, 'und') AS lang
+                       FROM documents),
+            g AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1, 2),
+            ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS t
+                   FROM g GROUP BY 1),
+            lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t
+                   FROM g GROUP BY 1),
+            nn AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+            SELECT CAST(g.fold AS BIGINT) AS fold, g.lang,
+                   g.n AS n_docs,
+                   CAST((g.n * 1000000) // ft.t AS BIGINT)
+                       AS fold_share_ppm,
+                   CAST((lt.t * 1000000) // nn.t AS BIGINT)
+                       AS global_share_ppm,
+                   CAST(abs((g.n * 1000000) // ft.t
+                            - (lt.t * 1000000) // nn.t) AS BIGINT)
+                       AS dev_ppm
+            FROM g JOIN ft USING (fold) JOIN lt USING (lang)
+            CROSS JOIN nn
         """,
     }

@@ -260,7 +260,9 @@ def run_ops(sf_dir: str):
              "theil_sen_slope", "candidate_key_audit",
              "source_cover_greedy",
              "markov_entropy_rate", "simpson_flip_report",
-             "churn_training_set"]
+             "churn_training_set",
+             "source_weighted_jaccard", "seasonal_index",
+             "fold_balance_report"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -136,6 +136,8 @@ QUERIES = [
     "theil_sen_slope", "candidate_key_audit", "source_cover_greedy",
     # wave 34: entropy rate, Simpson flips, churn labels
     "markov_entropy_rate", "simpson_flip_report", "churn_training_set",
+    # wave 35: weighted jaccard, seasonal index, fold balance
+    "source_weighted_jaccard", "seasonal_index", "fold_balance_report",
 ]
 
 
@@ -244,6 +246,8 @@ ONE_ROW_QUERIES = [
     "theil_sen_slope", "candidate_key_audit", "source_cover_greedy",
     # wave 34: entropy rate, Simpson flips, churn labels
     "markov_entropy_rate", "simpson_flip_report", "churn_training_set",
+    # wave 35: weighted jaccard, seasonal index, fold balance
+    "source_weighted_jaccard", "seasonal_index", "fold_balance_report",
 ]
 
 
