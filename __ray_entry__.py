@@ -9831,6 +9831,184 @@ def _q_fold_balance_report(sf_dir: str):
 
 
 
+def _q_daily_acf(sf_dir: str):
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7, EXACT integer cross-products: acf_ppm(k) =
+    trunc(1e6 * n_k*sum(xy) - sums... computed as the centered
+    cross-product ratio with truncating signed division ->
+    (lag, n_pairs, acf_ppm).  The seasonality probe feeding the lag
+    scan (type_lag_xcorr) and burstiness ops.
+
+    Scale shape: ONE bounded day-domain groupby; the 7-lag fold runs
+    on the tiny day table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.drop_null(pc.cast(ts_col, pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.Series(1, index=ts // DAY).groupby(level=0,
+                                                  sort=False).sum()
+        return pa.table({"d": pa.array(g.index.to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("n")).take_all()
+    out_cols = {"lag": "int64", "n_pairs": "int64",
+                "acf_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    cnt = {int(r["d"]): int(r["sum(n)"]) for r in rows}
+    days = range(min(cnt), max(cnt) + 1)
+    x = np.asarray([cnt.get(d, 0) for d in days], np.int64)
+    M = 1_000_000
+    out = []
+    for k in range(1, 8):
+        if len(x) <= k:
+            break
+        a, b_ = x[:-k], x[k:]
+        n = len(a)
+        num = n * int((a * b_).sum()) - int(a.sum()) * int(b_.sum())
+        va = n * int((a * a).sum()) - int(a.sum()) ** 2
+        vb = n * int((b_ * b_).sum()) - int(b_.sum()) ** 2
+        den2 = va * vb
+        if den2 <= 0:
+            acf = 0
+        else:
+            import math
+            den = math.floor(math.sqrt(den2))
+            acf = (abs(num) * M // den) * (1 if num >= 0 else -1) \
+                if den > 0 else 0
+        out.append({"lag": k, "n_pairs": n, "acf_ppm": acf})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_daily_peaks(sf_dir: str):
+    """Peak detection on the gap-filled daily event-count series:
+    days strictly above both neighbors -> one row (n_days, n_peaks,
+    top_day, top_count); top breaks ties to the earliest day.
+
+    Scale shape: day-domain groupby; peak scan on the tiny series."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.drop_null(pc.cast(ts_col, pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.Series(1, index=ts // DAY).groupby(level=0,
+                                                  sort=False).sum()
+        return pa.table({"d": pa.array(g.index.to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("n")).take_all()
+    out_cols = {"n_days": "int64", "n_peaks": "int64",
+                "top_day": "int64", "top_count": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    cnt = {int(r["d"]): int(r["sum(n)"]) for r in rows}
+    days = list(range(min(cnt), max(cnt) + 1))
+    x = np.asarray([cnt.get(d, 0) for d in days], np.int64)
+    if len(x) >= 3:
+        peaks = (x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])
+        n_peaks = int(peaks.sum())
+    else:
+        n_peaks = 0
+    top_i = int(np.argmax(x))  # first max = earliest day
+    return pd.DataFrame([{
+        "n_days": len(x), "n_peaks": n_peaks,
+        "top_day": days[top_i], "top_count": int(x[top_i])}]) \
+        .astype(out_cols)
+
+
+def _q_elasticity_by_brand(sf_dir: str):
+    """Discount-quantity response by brand (price-elasticity proxy):
+    Pearson correlation of (discount_c2, quantity) per p_brand from
+    EXACT integer moments — the double division and sqrt are the only
+    float steps (bit-identical cross-engine, the
+    source_chars_token_corr construction) -> (brand, n_items,
+    corr_dq).
+
+    Scale shape: the part dim broadcasts (ray.put); lineitem folds
+    map-side per brand; one brand-domain groupby."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    brand_of = {int(r["p_partkey"]): r["p_brand"]
+                for r in _read(sf_dir, "part",
+                               columns=["p_partkey", "p_brand"])
+                .take_all()}
+    brand_ref = ray.put(brand_of)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_discount", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bo = ray.get(brand_ref)
+        pk = pc.fill_null(pc.cast(b.column("l_partkey"), pa.int64()),
+                          -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = np.rint(np.nan_to_num(
+            b.column("l_discount").to_numpy(zero_copy_only=False)
+            .astype(np.float64)) * 100).astype(np.int64)
+        q = pc.fill_null(pc.cast(pc.round(
+            pc.cast(b.column("l_quantity"), pa.float64())),
+            pa.int64()), 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        brands = np.asarray([bo.get(int(k), "") for k in pk], object)
+        df = pd.DataFrame({"brand": brands, "n": 1, "sx": d, "sy": q,
+                           "sxx": d * d, "syy": q * q, "sxy": d * q})
+        g = df.groupby("brand", sort=False, as_index=False).sum()
+        cols = {"brand": pa.array(g["brand"].to_numpy(object),
+                                  pa.string())}
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            cols[c] = pa.array(g[c].to_numpy(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("brand").aggregate(*aggs).take_all()
+    out_cols = {"brand": "object", "n_items": "int64",
+                "corr_dq": "float64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"n_items": "int64", "corr_dq": "float64"})
+    import math
+    out = []
+    for r in rows:
+        n = int(r["sum(n)"])
+        sx, sy = int(r["sum(sx)"]), int(r["sum(sy)"])
+        sxx, syy = int(r["sum(sxx)"]), int(r["sum(syy)"])
+        sxy = int(r["sum(sxy)"])
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            continue
+        out.append({"brand": r["brand"], "n_items": n,
+                    "corr_dq": (n * sxy - sx * sy)
+                    / (math.sqrt(vx) * math.sqrt(vy))})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"n_items": "int64", "corr_dq": "float64"})
+    return pd.DataFrame(out).astype(
+        {"n_items": "int64", "corr_dq": "float64"})
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -10215,6 +10393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_weighted_jaccard": _q_source_weighted_jaccard,
         "seasonal_index": _q_seasonal_index,
         "fold_balance_report": _q_fold_balance_report,
+        "daily_acf": _q_daily_acf,
+        "daily_peaks": _q_daily_peaks,
+        "elasticity_by_brand": _q_elasticity_by_brand,
     }
 
 
@@ -15887,5 +16068,94 @@ def oracle_sql() -> dict[str, str]:
                        AS dev_ppm
             FROM g JOIN ft USING (fold) JOIN lt USING (lang)
             CROSS JOIN nn
+        """,
+        "daily_acf": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d
+                       FROM events WHERE ts IS NOT NULL),
+            lim AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+            days AS (SELECT unnest(range(lim.lo, lim.hi + 1)) AS d
+                     FROM lim),
+            cnt AS (SELECT days.d,
+                           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                    FROM days LEFT JOIN (
+                        SELECT d, CAST(count(*) AS BIGINT) AS n
+                        FROM e GROUP BY 1) c ON c.d = days.d),
+            lags AS (SELECT unnest(range(1, 8)) AS k),
+            p AS (SELECT lags.k, a.n AS x, b.n AS y
+                  FROM lags
+                  JOIN cnt a ON TRUE
+                  JOIN cnt b ON b.d = a.d + lags.k),
+            m AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx,
+                         CAST(sum(y * y) AS HUGEINT) AS syy,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy
+                  FROM p GROUP BY 1),
+            r AS (SELECT k, n,
+                         n * sxy - sx * sy AS num,
+                         (n * sxx - sx * sx)
+                         * (n * syy - sy * sy) AS den2
+                  FROM m)
+            SELECT CAST(k AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CAST(CASE WHEN den2 > 0 AND FLOOR(SQRT(
+                                 CAST(den2 AS DOUBLE))) > 0
+                             THEN (abs(num) * 1000000)
+                                  // CAST(FLOOR(SQRT(CAST(den2
+                                          AS DOUBLE))) AS HUGEINT)
+                                  * (CASE WHEN num >= 0 THEN 1
+                                          ELSE -1 END)
+                             ELSE 0 END AS BIGINT) AS acf_ppm
+            FROM r ORDER BY k
+        """,
+        "daily_peaks": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d
+                       FROM events WHERE ts IS NOT NULL),
+            lim AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+            days AS (SELECT unnest(range(lim.lo, lim.hi + 1)) AS d
+                     FROM lim),
+            cnt AS (SELECT days.d,
+                           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                    FROM days LEFT JOIN (
+                        SELECT d, CAST(count(*) AS BIGINT) AS n
+                        FROM e GROUP BY 1) c ON c.d = days.d),
+            w AS (SELECT d, n, lag(n) OVER (ORDER BY d) AS p,
+                         lead(n) OVER (ORDER BY d) AS f
+                  FROM cnt),
+            pk AS (SELECT CAST(count(*) FILTER (
+                       WHERE p IS NOT NULL AND f IS NOT NULL
+                         AND n > p AND n > f) AS BIGINT) AS np
+                   FROM w),
+            top AS (SELECT d, n FROM cnt
+                    ORDER BY n DESC, d ASC LIMIT 1),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cnt)
+            SELECT nd.c AS n_days, pk.np AS n_peaks,
+                   CAST(top.d AS BIGINT) AS top_day,
+                   top.n AS top_count
+            FROM nd CROSS JOIN pk CROSS JOIN top
+        """,
+        "elasticity_by_brand": """
+            WITH t AS (SELECT p.p_brand AS brand,
+                              CAST(round(l.l_discount * 100, 0)
+                                   AS BIGINT) AS x,
+                              CAST(round(l.l_quantity, 0) AS BIGINT)
+                                  AS y
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey),
+            s AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM t GROUP BY 1)
+            SELECT brand, n AS n_items,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr_dq
+            FROM s
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
     }

@@ -262,7 +262,8 @@ def run_ops(sf_dir: str):
              "markov_entropy_rate", "simpson_flip_report",
              "churn_training_set",
              "source_weighted_jaccard", "seasonal_index",
-             "fold_balance_report"]
+             "fold_balance_report",
+             "daily_acf", "daily_peaks", "elasticity_by_brand"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

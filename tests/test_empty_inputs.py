@@ -138,6 +138,8 @@ QUERIES = [
     "markov_entropy_rate", "simpson_flip_report", "churn_training_set",
     # wave 35: weighted jaccard, seasonal index, fold balance
     "source_weighted_jaccard", "seasonal_index", "fold_balance_report",
+    # wave 36: daily ACF, peak detection, elasticity
+    "daily_acf", "daily_peaks", "elasticity_by_brand",
 ]
 
 
@@ -248,6 +250,8 @@ ONE_ROW_QUERIES = [
     "markov_entropy_rate", "simpson_flip_report", "churn_training_set",
     # wave 35: weighted jaccard, seasonal index, fold balance
     "source_weighted_jaccard", "seasonal_index", "fold_balance_report",
+    # wave 36: daily ACF, peak detection, elasticity
+    "daily_acf", "daily_peaks", "elasticity_by_brand",
 ]
 
 
