@@ -10009,6 +10009,178 @@ def _q_elasticity_by_brand(sf_dir: str):
 
 
 
+def _q_session_type_lift(sf_dir: str):
+    """Market-basket lift over SESSIONS (30-min inactivity islands):
+    for each unordered event-type pair, the co-occurrence lift
+    lift_ppm = N_sessions * n_ab * 1e6 // (n_a * n_b), exact
+    integers -> (type_a, type_b, n_ab, lift_ppm).
+
+    Scale shape: ONE user-keyed partition pass builds islands
+    (vectorized gap cumsum) and emits LOCAL pair/type/session
+    partials bounded by the type alphabet, never rows; one tiny
+    keyed groupby merges; lift closes on the alphabet^2 table."""
+    import itertools
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    GAP = 1_800_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kind": "int64", "a": "object", "b": "object",
+                "n": "int64"}
+        df = df[df["ts_us"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["user_id", "ts_us", "eid"],
+                            kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["et"].to_numpy(object)
+        brk = np.ones(len(u), np.int64)
+        brk[1:] = ((u[1:] != u[:-1])
+                   | (ts[1:] - ts[:-1] > GAP)).astype(np.int64)
+        sid = np.cumsum(brk)
+        st = pd.DataFrame({"sid": sid, "et": et}).drop_duplicates()
+        out: dict = {}
+        n_sess = int(st["sid"].nunique())
+        out[(2, "", "")] = n_sess
+        for e, c in st["et"].value_counts().items():
+            out[(1, e, "")] = int(c)
+        for _, grp in st.groupby("sid", sort=False):
+            tys = sorted(grp["et"])
+            for a, b_ in itertools.combinations(tys, 2):
+                out[(0, a, b_)] = out.get((0, a, b_), 0) + 1
+        rows = [{"kind": k[0], "a": k[1], "b": k[2], "n": v}
+                for k, v in out.items()]
+        return pd.DataFrame(rows).astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby(["kind", "a", "b"]).aggregate(Sum("n")).take_all()
+    out_cols = {"type_a": "object", "type_b": "object",
+                "n_ab": "int64", "lift_ppm": "int64"}
+    num = {k: "int64" for k in ("n_ab", "lift_ppm")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    N = sum(int(r["sum(n)"]) for r in rows if int(r["kind"]) == 2)
+    ta = {r["a"]: int(r["sum(n)"]) for r in rows
+          if int(r["kind"]) == 1}
+    out = []
+    for r in rows:
+        if int(r["kind"]) != 0:
+            continue
+        a, b_, nab = r["a"], r["b"], int(r["sum(n)"])
+        den = ta.get(a, 0) * ta.get(b_, 0)
+        out.append({"type_a": a, "type_b": b_, "n_ab": nab,
+                    "lift_ppm": (N * nab * 1_000_000) // den
+                    if den > 0 else 0})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_decay_ess(sf_dir: str):
+    """Effective sample size under the time-decay weights (Kish's
+    formula): ESS = (sum w)^2 / sum w^2 over per-user decay scores,
+    reported x100 with floor -> one row (n_users, sum_w, sum_w2,
+    ess_x100).  "How many uniform users is this recency-weighted
+    panel worth" — the weighting-scheme health check.
+
+    Scale shape: reuses the decay_score fold (global-max anchor +
+    user groupby); the Kish ratio closes on three counters."""
+    import pandas as pd
+
+    scores = _q_decay_score(sf_dir)
+    if hasattr(scores, "to_pandas"):
+        scores = scores.to_pandas()
+    out_cols = {"n_users": "int64", "sum_w": "int64",
+                "sum_w2": "int64", "ess_x100": "int64"}
+    if len(scores) == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    w = scores["decay_score"].to_numpy(np.int64)
+    sw = int(w.sum())
+    sw2 = int((w * w).sum())
+    if sw2 == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "n_users": len(w), "sum_w": sw, "sum_w2": sw2,
+        "ess_x100": (sw * sw * 100) // sw2}]).astype(out_cols)
+
+
+def _q_loso_mean_chars(sf_dir: str):
+    """Leave-one-source-out sensitivity of mean doc length: for each
+    source, the corpus mean in floor ppm WITHOUT that source and the
+    signed delta vs the overall mean (truncating division mirrored)
+    -> (source, n_excluded, mean_wo_ppm, delta_ppm).  "Which feed is
+    dragging the average" — the per-source counterpart to the
+    jackknife.
+
+    Scale shape: ONE source-domain groupby of (n, sum) partials; the
+    LOSO fold runs on the |sources| table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"source": src, "n": 1, "s": ch}) \
+            .groupby("source", sort=False, as_index=False).sum()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(object),
+                               pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n"), Sum("s")).take_all()
+    out_cols = {"source": "object", "n_excluded": "int64",
+                "mean_wo_ppm": "int64", "delta_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    N = sum(int(r["sum(n)"]) for r in rows)
+    S = sum(int(r["sum(s)"]) for r in rows)
+    if N == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    M = 1_000_000
+    overall = (S * M) // N
+    out = []
+    for r in rows:
+        n, s_ = int(r["sum(n)"]), int(r["sum(s)"])
+        if N - n <= 0:
+            continue
+        mw = ((S - s_) * M) // (N - n)
+        out.append({"source": r["source"], "n_excluded": n,
+                    "mean_wo_ppm": mw, "delta_ppm": mw - overall})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -10396,6 +10568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_acf": _q_daily_acf,
         "daily_peaks": _q_daily_peaks,
         "elasticity_by_brand": _q_elasticity_by_brand,
+        "session_type_lift": _q_session_type_lift,
+        "decay_ess": _q_decay_ess,
+        "loso_mean_chars": _q_loso_mean_chars,
     }
 
 
@@ -16157,5 +16332,78 @@ def oracle_sql() -> dict[str, str]:
                        AS corr_dq
             FROM s
             WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "session_type_lift": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t, event_id,
+                              COALESCE(event_type, '') AS et
+                       FROM events WHERE ts IS NOT NULL),
+            s AS (SELECT u, t, event_id, et,
+                         CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY u
+                                      ORDER BY t, event_id)),
+            i AS (SELECT u, et,
+                         SUM(brk) OVER (PARTITION BY u
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s),
+            st AS (SELECT DISTINCT u, sid, et FROM i),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                       SELECT DISTINCT u, sid FROM st)),
+            ta AS (SELECT et, CAST(count(*) AS BIGINT) AS c
+                   FROM st GROUP BY 1),
+            pr AS (SELECT a.et AS ta_, b.et AS tb_,
+                          CAST(count(*) AS BIGINT) AS nab
+                   FROM st a JOIN st b
+                     ON b.u = a.u AND b.sid = a.sid
+                    AND b.et > a.et
+                   GROUP BY 1, 2)
+            SELECT pr.ta_ AS type_a, pr.tb_ AS type_b, pr.nab AS n_ab,
+                   CAST((ns.n * pr.nab * 1000000)
+                        // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+            FROM pr
+            JOIN ta ca ON ca.et = pr.ta_
+            JOIN ta cb ON cb.et = pr.tb_
+            CROSS JOIN ns
+        """,
+        "decay_ess": """
+            WITH t AS (SELECT max(epoch_us(ts)) AS mt FROM events
+                       WHERE ts IS NOT NULL),
+            e AS (SELECT COALESCE(user_id, -1) AS user_id,
+                         LEAST((t.mt - epoch_us(ts))
+                               // 604800000000, 20) AS w
+                  FROM events CROSS JOIN t WHERE ts IS NOT NULL),
+            u AS (SELECT user_id,
+                         CAST(sum(1048576 >> CAST(w AS INT))
+                              AS BIGINT) AS sc
+                  FROM e GROUP BY 1),
+            k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(sc) AS HUGEINT) AS sw,
+                         CAST(sum(sc * sc) AS HUGEINT) AS sw2
+                  FROM u)
+            SELECT n AS n_users, CAST(sw AS BIGINT) AS sum_w,
+                   CAST(sw2 AS BIGINT) AS sum_w2,
+                   CAST((sw * sw * 100) // sw2 AS BIGINT)
+                       AS ess_x100
+            FROM k WHERE sw2 > 0
+        """,
+        "loso_mean_chars": """
+            WITH g AS (SELECT COALESCE(source, '') AS source,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(COALESCE(n_chars, 0))
+                                   AS HUGEINT) AS s
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+                         CAST(SUM(s) AS HUGEINT) AS ss
+                  FROM g)
+            SELECT g.source, g.n AS n_excluded,
+                   CAST(((t.ss - g.s) * 1000000) // (t.nn - g.n)
+                        AS BIGINT) AS mean_wo_ppm,
+                   CAST(((t.ss - g.s) * 1000000) // (t.nn - g.n)
+                        - (t.ss * 1000000) // t.nn AS BIGINT)
+                       AS delta_ppm
+            FROM g CROSS JOIN t WHERE t.nn - g.n > 0
         """,
     }

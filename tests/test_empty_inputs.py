@@ -140,6 +140,8 @@ QUERIES = [
     "source_weighted_jaccard", "seasonal_index", "fold_balance_report",
     # wave 36: daily ACF, peak detection, elasticity
     "daily_acf", "daily_peaks", "elasticity_by_brand",
+    # wave 37: session lift, Kish ESS, leave-one-source-out
+    "session_type_lift", "decay_ess", "loso_mean_chars",
 ]
 
 
@@ -252,6 +254,8 @@ ONE_ROW_QUERIES = [
     "source_weighted_jaccard", "seasonal_index", "fold_balance_report",
     # wave 36: daily ACF, peak detection, elasticity
     "daily_acf", "daily_peaks", "elasticity_by_brand",
+    # wave 37: session lift, Kish ESS, leave-one-source-out
+    "session_type_lift", "decay_ess", "loso_mean_chars",
 ]
 
 
