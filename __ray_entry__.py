@@ -10181,6 +10181,228 @@ def _q_loso_mean_chars(sf_dir: str):
 
 
 
+def _q_gains_table_chars(sf_dir: str):
+    """Cumulative-gains table (the model-eval lift curve): docs rank
+    by score (n_chars desc, doc_id asc ties), split into 10 equal
+    integer deciles (first r deciles get the remainder docs), label =
+    lang == 'en' -> (decile, n, n_pos, cum_pos_ppm) where
+    cum_pos_ppm is the share of ALL positives captured through that
+    decile.
+
+    Scale shape: rank comes from the value-domain histogram trick
+    (no row sort): per-batch (chars, is_en) counts -> bounded
+    groupby; decile boundaries + gains close on the value table —
+    EXCEPT ties across a boundary, which the (value, doc_id) order
+    resolves deterministically via per-value doc_id rank counts, so
+    a second value-keyed pass is avoided by assigning each value run
+    its doc-count split arithmetically."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(pc.fill_null(pc.cast(b.column("lang"),
+                                           pa.string()), "und"),
+                      "en").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"v": ch, "d": did, "n": 1, "e": en}) \
+            .groupby(["v", "d"], sort=False, as_index=False) \
+            .agg(n=("n", "sum"), e=("e", "sum"))
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "d": pa.array(g["d"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "e": pa.array(g["e"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["v", "d"]).aggregate(Sum("n"), Sum("e")).take_all()
+    out_cols = {"decile": "int64", "n": "int64", "n_pos": "int64",
+                "cum_pos_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    recs = sorted(((-int(r["v"]), int(r["d"]), int(r["sum(n)"]),
+                    int(r["sum(e)"])) for r in rows))
+    N = sum(n for _, _, n, _ in recs)
+    P = sum(e for _, _, _, e in recs)
+    base, rem = N // 10, N % 10
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    out, cum_pos, i_dec, left = [], 0, 0, sizes[0] if N else 0
+    dn = dp = 0
+    M = 1_000_000
+    for _, _, n, e in recs:
+        while n > 0:
+            take = min(n, left)
+            # positives split pro-rata is ill-defined for a (v, d)
+            # unit of n > 1... but n is per (value, doc_id) = 1 doc
+            dn += take
+            dp += e if take == n else 0
+            n -= take
+            left -= take
+            if left == 0 and i_dec < 9:
+                cum_pos += dp
+                out.append({"decile": i_dec + 1, "n": dn,
+                            "n_pos": dp,
+                            "cum_pos_ppm": (cum_pos * M) // P
+                            if P > 0 else 0})
+                i_dec += 1
+                left = sizes[i_dec]
+                dn = dp = 0
+    if dn > 0 or (N > 0 and i_dec == 9):
+        cum_pos += dp
+        out.append({"decile": i_dec + 1, "n": dn, "n_pos": dp,
+                    "cum_pos_ppm": (cum_pos * M) // P
+                    if P > 0 else 0})
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_kmv_containment(sf_dir: str):
+    """Asymmetric containment estimate from KMV sketches: how much of
+    each event type's user set lies inside another's, estimated as
+    (est_a + est_b - est_union) * 1e6 // est_a with the
+    deterministic md5 bottom-64 sketches (the kmv_type_overlap
+    machinery pointed at the DIRECTIONAL question) ->
+    (type_a, type_b, est_a, est_containment_ppm) for every ordered
+    pair.
+
+    Scale shape: per-type bottom-k fold (map-side) -> driver merges
+    k-sized sketches; no exact set ever materializes."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    K = 64
+    M60 = 1 << 60
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = pc.fill_null(pc.cast(b.column("event_type"),
+                                  pa.string()), "") \
+            .to_numpy(zero_copy_only=False)
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_t, out_h = [], []
+        df = pd.DataFrame({"t": et, "u": u}).drop_duplicates()
+        for t, sub in df.groupby("t", sort=False):
+            hv = np.sort(np.unique(np.asarray(
+                [int(hashlib.md5(str(int(x)).encode())
+                     .hexdigest()[:15], 16)
+                 for x in sub["u"]], np.int64)))[:K]
+            out_t.extend([t] * len(hv))
+            out_h.extend(hv.tolist())
+        return pa.table({"t": pa.array(out_t, pa.string()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    sk: dict = {}
+    for r in ds.map_batches(prep, batch_format="pyarrow") \
+            .iter_rows():
+        sk.setdefault(r["t"], set()).add(int(r["h"]))
+    out_cols = {"type_a": "object", "type_b": "object",
+                "est_a": "int64", "est_containment_ppm": "int64"}
+    num = {k: "int64" for k in ("est_a", "est_containment_ppm")}
+    if not sk:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    bott = {t: sorted(v)[:K] for t, v in sk.items()}
+
+    def est(hv):
+        return len(hv) if len(hv) < K else (K - 1) * M60 // hv[-1]
+
+    out = []
+    for a in sorted(bott):
+        for b_ in sorted(bott):
+            if a == b_:
+                continue
+            ea = est(bott[a])
+            eb = est(bott[b_])
+            u = sorted(set(bott[a]) | set(bott[b_]))[:K]
+            eu = est(u)
+            inter = max(ea + eb - eu, 0)
+            out.append({"type_a": a, "type_b": b_, "est_a": ea,
+                        "est_containment_ppm":
+                        min((inter * 1_000_000) // ea, 1_000_000)
+                        if ea > 0 else 0})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_session_entry_exit(sf_dir: str):
+    """Session entry->exit flow: each 30-min-inactivity session's
+    first and last event type (ties by event_id), counted over all
+    sessions -> (entry_type, exit_type, n_sessions).  The landing/
+    bounce flow matrix of web analytics.
+
+    Scale shape: ONE user-keyed partition pass (vectorized island
+    cumsum + first/last selection); alphabet^2 groupby merges."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    GAP = 1_800_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"entry_type": "object", "exit_type": "object",
+                "n": "int64"}
+        df = df[df["ts_us"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["user_id", "ts_us", "eid"],
+                            kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["et"].to_numpy(object)
+        n = len(u)
+        brk = np.ones(n, bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP)
+        ends = np.zeros(n, bool)
+        ends[:-1] = brk[1:]
+        ends[-1] = True
+        entry = et[brk]
+        exit_ = et[ends]
+        g = pd.DataFrame({"entry_type": entry, "exit_type": exit_,
+                          "n": 1}) \
+            .groupby(["entry_type", "exit_type"], sort=False,
+                     as_index=False).sum()
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby(["entry_type", "exit_type"]).aggregate(Sum("n")) \
+        .take_all()
+    out_cols = {"entry_type": "object", "exit_type": "object",
+                "n_sessions": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(
+            {"n_sessions": "int64"})
+    return pd.DataFrame([{
+        "entry_type": r["entry_type"], "exit_type": r["exit_type"],
+        "n_sessions": int(r["sum(n)"])} for r in rows]) \
+        .astype({"n_sessions": "int64"})
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -10571,6 +10793,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_lift": _q_session_type_lift,
         "decay_ess": _q_decay_ess,
         "loso_mean_chars": _q_loso_mean_chars,
+        "gains_table_chars": _q_gains_table_chars,
+        "kmv_containment": _q_kmv_containment,
+        "session_entry_exit": _q_session_entry_exit,
     }
 
 
@@ -16405,5 +16630,111 @@ def oracle_sql() -> dict[str, str]:
                         - (t.ss * 1000000) // t.nn AS BIGINT)
                        AS delta_ppm
             FROM g CROSS JOIN t WHERE t.nn - g.n > 0
+        """,
+        "gains_table_chars": """
+            WITH d AS (SELECT COALESCE(doc_id, 0) AS did,
+                              COALESCE(n_chars, 0) AS ch,
+                              CASE WHEN COALESCE(lang, 'und') = 'en'
+                                   THEN 1 ELSE 0 END AS pos
+                       FROM documents),
+            r AS (SELECT pos,
+                         row_number() OVER (ORDER BY ch DESC,
+                                            did ASC) AS rn,
+                         count(*) OVER () AS nn
+                  FROM d),
+            x AS (SELECT pos, nn,
+                         CASE WHEN rn <= (nn % 10)
+                                   * (nn // 10 + 1)
+                              THEN (rn - 1) // (nn // 10 + 1) + 1
+                              ELSE (nn % 10)
+                                   + (rn - 1 - (nn % 10)
+                                      * (nn // 10 + 1))
+                                     // GREATEST(nn // 10, 1) + 1
+                         END AS decile
+                  FROM r WHERE nn >= 10),
+            g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(pos) AS BIGINT) AS n_pos
+                  FROM x GROUP BY 1),
+            t AS (SELECT CAST(COALESCE(SUM(n_pos), 0) AS BIGINT)
+                             AS p
+                  FROM g)
+            SELECT CAST(g.decile AS BIGINT) AS decile, g.n, g.n_pos,
+                   CAST(CASE WHEN t.p > 0
+                             THEN (CAST(sum(g.n_pos) OVER (
+                                       ORDER BY g.decile) AS BIGINT)
+                                   * 1000000) // t.p
+                             ELSE 0 END AS BIGINT) AS cum_pos_ppm
+            FROM g CROSS JOIN t
+        """,
+        "session_entry_exit": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t, event_id,
+                              COALESCE(event_type, '') AS et
+                       FROM events WHERE ts IS NOT NULL),
+            s AS (SELECT u, t, event_id, et,
+                         CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY u
+                                      ORDER BY t, event_id)),
+            i AS (SELECT u, t, event_id, et,
+                         SUM(brk) OVER (PARTITION BY u
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s),
+            fx AS (SELECT u, sid,
+                          first(et ORDER BY t, event_id) AS entry,
+                          last(et ORDER BY t, event_id) AS ex
+                   FROM i GROUP BY 1, 2)
+            SELECT entry AS entry_type, ex AS exit_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM fx GROUP BY 1, 2
+        """,
+        "kmv_containment": """
+            WITH du AS (SELECT DISTINCT
+                            COALESCE(event_type, '') AS t,
+                            COALESCE(user_id, -1) AS u
+                        FROM events),
+            hd AS (SELECT DISTINCT t,
+                          CAST(concat('0x', substr(md5(
+                              CAST(u AS VARCHAR)), 1, 15)) AS BIGINT)
+                              AS hv
+                   FROM du),
+            k AS (SELECT t, hv, row_number() OVER (
+                      PARTITION BY t ORDER BY hv) AS rn FROM hd),
+            bot AS (SELECT t, hv FROM k WHERE rn <= 64),
+            ea AS (SELECT t, CAST(count(*) AS BIGINT) AS kk,
+                          max(hv) AS kth
+                   FROM bot GROUP BY 1),
+            e1 AS (SELECT t, CAST(CASE WHEN kk < 64 THEN kk
+                               ELSE (CAST(63 AS HUGEINT)
+                                     * 1152921504606846976) // kth
+                               END AS BIGINT) AS est
+                   FROM ea),
+            tys AS (SELECT DISTINCT t FROM bot),
+            pud AS (SELECT DISTINCT a.t AS ta, b.t AS tb, bu.hv
+                    FROM tys a JOIN tys b ON b.t <> a.t
+                    JOIN bot bu ON bu.t = a.t OR bu.t = b.t),
+            ku AS (SELECT ta, tb, hv, row_number() OVER (
+                       PARTITION BY ta, tb ORDER BY hv) AS rn
+                   FROM pud),
+            eu AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS kk,
+                          max(hv) AS kth
+                   FROM ku WHERE rn <= 64 GROUP BY 1, 2),
+            e2 AS (SELECT ta, tb,
+                          CAST(CASE WHEN kk < 64 THEN kk
+                               ELSE (CAST(63 AS HUGEINT)
+                                     * 1152921504606846976) // kth
+                               END AS BIGINT) AS estu
+                   FROM eu)
+            SELECT e2.ta AS type_a, e2.tb AS type_b,
+                   a.est AS est_a,
+                   CAST(LEAST(GREATEST(a.est + b.est - e2.estu, 0)
+                              * 1000000 // a.est, 1000000)
+                        AS BIGINT) AS est_containment_ppm
+            FROM e2
+            JOIN e1 a ON a.t = e2.ta
+            JOIN e1 b ON b.t = e2.tb
+            WHERE a.est > 0
         """,
     }

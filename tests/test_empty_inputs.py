@@ -142,6 +142,8 @@ QUERIES = [
     "daily_acf", "daily_peaks", "elasticity_by_brand",
     # wave 37: session lift, Kish ESS, leave-one-source-out
     "session_type_lift", "decay_ess", "loso_mean_chars",
+    # wave 38: gains table, KMV containment, session entry/exit
+    "gains_table_chars", "kmv_containment", "session_entry_exit",
 ]
 
 
@@ -256,6 +258,8 @@ ONE_ROW_QUERIES = [
     "daily_acf", "daily_peaks", "elasticity_by_brand",
     # wave 37: session lift, Kish ESS, leave-one-source-out
     "session_type_lift", "decay_ess", "loso_mean_chars",
+    # wave 38: gains table, KMV containment, session entry/exit
+    "gains_table_chars", "kmv_containment", "session_entry_exit",
 ]
 
 
