@@ -10403,6 +10403,200 @@ def _q_session_entry_exit(sf_dir: str):
 
 
 
+def _q_conformal_coverage(sf_dir: str):
+    """Coverage check closing the conformal story: with the
+    per-source mean and q90 halfwidth from the calibration split
+    (the conformal_chars_interval construction), what fraction of
+    TRAIN docs fall inside mean +/- q90? -> (source, n_train,
+    n_inside, coverage_ppm).  A well-calibrated interval reports
+    near 900000.
+
+    Scale shape: the interval table is |sources| rows (broadcast in
+    the closure); coverage is one map-side count pass."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    iv = _q_conformal_chars_interval(sf_dir)
+    out_cols = {"source": "object", "n_train": "int64",
+                "n_inside": "int64", "coverage_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if len(iv) == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    bands = {r["source"]: (int(r["mean_ppm"]),
+                           int(r["q90_resid_ppm"]))
+             for _, r in iv.iterrows()}
+
+    import hashlib
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    M = 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pc.fill_null(pc.cast(b.column("source"), pa.string()),
+                           "").to_numpy(zero_copy_only=False)
+        ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        train = np.asarray(
+            [hashlib.md5(str(int(x)).encode()).hexdigest()[0] >= "4"
+             for x in did], bool)
+        keep = train & np.asarray([s_ in bands for s_ in src], bool)
+        src, ch = src[keep], ch[keep]
+        mu = np.asarray([bands[s_][0] for s_ in src], np.int64)
+        q = np.asarray([bands[s_][1] for s_ in src], np.int64)
+        inside = (np.abs(ch * M - mu) <= q).astype(np.int64)
+        g = pd.DataFrame({"source": src, "n": 1, "i": inside}) \
+            .groupby("source", sort=False, as_index=False).sum()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(object),
+                               pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "i": pa.array(g["i"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n"), Sum("i")).take_all()
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = [{"source": r["source"], "n_train": int(r["sum(n)"]),
+            "n_inside": int(r["sum(i)"]),
+            "coverage_ppm": (int(r["sum(i)"]) * M)
+            // int(r["sum(n)"])} for r in rows
+           if int(r["sum(n)"]) > 0]
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_stable_top_words(sf_dir: str):
+    """Cross-fold vocabulary stability: the words present in EVERY
+    md5 fold's top-20 by term frequency (ties word asc) ->
+    (word, n_folds, min_rank, max_rank).  Feature-selection
+    robustness — a word that tops only one fold is noise.
+
+    Scale shape: (fold, term) counts are one vocab-domain groupby;
+    per-fold top-20 and the intersection run on the tiny fold x
+    vocab table."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c: collections.Counter = collections.Counter()
+        for i, t in zip(did, b.column("text").to_pylist()):
+            fold = int(hashlib.md5(str(int(i)).encode())
+                       .hexdigest()[:8], 16) % 5
+            for w in (t or "").split(" "):
+                if w:
+                    c[(fold, w)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "fold": pa.array([k[0] for k in ks], pa.int64()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["fold", "term"]).aggregate(Sum("n")).take_all()
+    out_cols = {"word": "object", "n_folds": "int64",
+                "min_rank": "int64", "max_rank": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    per_fold: dict = {}
+    for r in rows:
+        per_fold.setdefault(int(r["fold"]), []).append(
+            (-int(r["sum(n)"]), r["term"]))
+    n_folds = len(per_fold)
+    ranks: dict = {}
+    for f, lst in per_fold.items():
+        for rank, (_, w) in enumerate(sorted(lst)[:20], 1):
+            ranks.setdefault(w, {})[f] = rank
+    out = [{"word": w, "n_folds": len(fr),
+            "min_rank": min(fr.values()),
+            "max_rank": max(fr.values())}
+           for w, fr in sorted(ranks.items())
+           if len(fr) == n_folds]
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    return pd.DataFrame(out).astype(num)
+
+
+def _q_session_conversion_by_entry(sf_dir: str):
+    """Funnel economics by landing action: of sessions ENTERING with
+    each type, how many contain a purchase -> (entry_type,
+    n_sessions, n_converted, conversion_ppm).
+
+    Scale shape: the session_entry_exit island pass, extended with a
+    per-session any-purchase flag (segmented maximum, no per-session
+    loop)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    GAP = 1_800_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        return pa.table({
+            "user_id": pc.fill_null(pc.cast(b.column("user_id"),
+                                            pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1),
+            "et": pc.fill_null(pc.cast(b.column("event_type"),
+                                       pa.string()), "")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"entry_type": "object", "n": "int64", "c": "int64"}
+        df = df[df["ts_us"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["user_id", "ts_us", "eid"],
+                            kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["et"].to_numpy(object)
+        n = len(u)
+        brk = np.ones(n, bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP)
+        sid = np.cumsum(brk)
+        is_p = (et == "purchase").astype(np.int64)
+        conv = pd.Series(is_p).groupby(sid, sort=False).max() \
+            .to_numpy(np.int64)
+        entry = et[brk]
+        g = pd.DataFrame({"entry_type": entry, "n": 1, "c": conv}) \
+            .groupby("entry_type", sort=False, as_index=False).sum()
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby("entry_type").aggregate(Sum("n"), Sum("c")) \
+        .take_all()
+    out_cols = {"entry_type": "object", "n_sessions": "int64",
+                "n_converted": "int64", "conversion_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = [{"entry_type": r["entry_type"],
+            "n_sessions": int(r["sum(n)"]),
+            "n_converted": int(r["sum(c)"]),
+            "conversion_ppm": (int(r["sum(c)"]) * 1_000_000)
+            // int(r["sum(n)"])} for r in rows]
+    return pd.DataFrame(out).astype(num)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -10796,6 +10990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gains_table_chars": _q_gains_table_chars,
         "kmv_containment": _q_kmv_containment,
         "session_entry_exit": _q_session_entry_exit,
+        "conformal_coverage": _q_conformal_coverage,
+        "stable_top_words": _q_stable_top_words,
+        "session_conversion_by_entry": _q_session_conversion_by_entry,
     }
 
 
@@ -16736,5 +16933,99 @@ def oracle_sql() -> dict[str, str]:
             JOIN e1 a ON a.t = e2.ta
             JOIN e1 b ON b.t = e2.tb
             WHERE a.est > 0
+        """,
+        "conformal_coverage": """
+            WITH d AS (SELECT COALESCE(doc_id, 0) AS did,
+                              COALESCE(source, '') AS source,
+                              COALESCE(n_chars, 0) AS ch
+                       FROM documents),
+            tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(ch) AS HUGEINT) AS s
+                   FROM d WHERE substr(md5(CAST(did AS VARCHAR)),
+                                       1, 1) >= '4'
+                   GROUP BY 1),
+            mu AS (SELECT source, CAST((s * 1000000) // n AS BIGINT)
+                              AS mean_ppm
+                   FROM tr WHERE n > 0),
+            cal AS (SELECT d.source,
+                           abs(d.ch * 1000000 - mu.mean_ppm) AS r
+                    FROM d JOIN mu USING (source)
+                    WHERE substr(md5(CAST(d.did AS VARCHAR)),
+                                 1, 1) < '4'),
+            rk AS (SELECT source, r,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY r) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM cal),
+            q AS (SELECT source, CAST(r AS BIGINT) AS q90
+                  FROM rk WHERE rn = ((n - 1) * 90) // 100 + 1),
+            cov AS (SELECT d.source,
+                           CAST(count(*) AS BIGINT) AS n_train,
+                           CAST(count(*) FILTER (
+                               WHERE abs(d.ch * 1000000 - mu.mean_ppm)
+                                     <= q.q90) AS BIGINT)
+                               AS n_inside
+                    FROM d
+                    JOIN mu USING (source) JOIN q USING (source)
+                    WHERE substr(md5(CAST(d.did AS VARCHAR)),
+                                 1, 1) >= '4'
+                    GROUP BY 1)
+            SELECT source, n_train, n_inside,
+                   CAST((n_inside * 1000000) // n_train AS BIGINT)
+                       AS coverage_ppm
+            FROM cov WHERE n_train > 0
+        """,
+        "stable_top_words": """
+            WITH w AS (SELECT CAST(concat('0x', substr(md5(
+                              CAST(COALESCE(doc_id, 0) AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 5 AS fold,
+                              unnest(string_split(COALESCE(text, ''),
+                                     ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT fold, term, CAST(count(*) AS BIGINT) AS n
+                   FROM w WHERE term <> '' GROUP BY 1, 2),
+            r AS (SELECT fold, term,
+                         row_number() OVER (PARTITION BY fold
+                             ORDER BY n DESC, term ASC) AS rk
+                  FROM tf),
+            top AS (SELECT fold, term, rk FROM r WHERE rk <= 20),
+            nf AS (SELECT CAST(count(DISTINCT fold) AS BIGINT) AS k
+                   FROM tf)
+            SELECT top.term AS word,
+                   CAST(count(*) AS BIGINT) AS n_folds,
+                   CAST(min(rk) AS BIGINT) AS min_rank,
+                   CAST(max(rk) AS BIGINT) AS max_rank
+            FROM top CROSS JOIN nf
+            GROUP BY top.term, nf.k
+            HAVING count(*) = nf.k
+        """,
+        "session_conversion_by_entry": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t, event_id,
+                              COALESCE(event_type, '') AS et
+                       FROM events WHERE ts IS NOT NULL),
+            s AS (SELECT u, t, event_id, et,
+                         CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY u
+                                      ORDER BY t, event_id)),
+            i AS (SELECT u, t, event_id, et,
+                         SUM(brk) OVER (PARTITION BY u
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s),
+            fx AS (SELECT u, sid,
+                          first(et ORDER BY t, event_id) AS entry,
+                          CAST(max(CASE WHEN et = 'purchase' THEN 1
+                                        ELSE 0 END) AS BIGINT)
+                              AS conv
+                   FROM i GROUP BY 1, 2)
+            SELECT entry AS entry_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   CAST((sum(conv) * 1000000) // count(*) AS BIGINT)
+                       AS conversion_ppm
+            FROM fx GROUP BY 1
         """,
     }

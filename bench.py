@@ -266,7 +266,9 @@ def run_ops(sf_dir: str):
              "daily_acf", "daily_peaks", "elasticity_by_brand",
              "session_type_lift", "decay_ess", "loso_mean_chars",
              "gains_table_chars", "kmv_containment",
-             "session_entry_exit"]
+             "session_entry_exit",
+             "conformal_coverage", "stable_top_words",
+             "session_conversion_by_entry"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -144,6 +144,9 @@ QUERIES = [
     "session_type_lift", "decay_ess", "loso_mean_chars",
     # wave 38: gains table, KMV containment, session entry/exit
     "gains_table_chars", "kmv_containment", "session_entry_exit",
+    # wave 39: conformal coverage, stable top words, entry conversion
+    "conformal_coverage", "stable_top_words",
+    "session_conversion_by_entry",
 ]
 
 
@@ -260,6 +263,9 @@ ONE_ROW_QUERIES = [
     "session_type_lift", "decay_ess", "loso_mean_chars",
     # wave 38: gains table, KMV containment, session entry/exit
     "gains_table_chars", "kmv_containment", "session_entry_exit",
+    # wave 39: conformal coverage, stable top words, entry conversion
+    "conformal_coverage", "stable_top_words",
+    "session_conversion_by_entry",
 ]
 
 
