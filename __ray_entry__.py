@@ -10597,6 +10597,128 @@ def _q_session_conversion_by_entry(sf_dir: str):
 
 
 
+
+
+def _q_dau_new_returning(sf_dir: str):
+    """New-vs-returning split of daily active users: a user is NEW on
+    their first active day, RETURNING on every later active day ->
+    (day, n_new, n_returning).  The growth-mix readout beside
+    user_growth_curve.
+
+    Scale shape: ONE user-keyed partition pass (each user's min day
+    is local to its partition) emits per-day partials; a day-domain
+    groupby merges."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        d = (np.where(ok, ts, 0) // DAY)[ok]
+        g = pd.DataFrame({"user_id": u, "d": d}).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+            "d": pa.array(g["d"].to_numpy(np.int64))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"d": "int64", "nn": "int64", "nr": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.drop_duplicates()
+        first = df.groupby("user_id", sort=False)["d"] \
+            .transform("min")
+        new = (df["d"] == first).astype(np.int64)
+        g = pd.DataFrame({"d": df["d"].to_numpy(np.int64),
+                          "nn": new.to_numpy(np.int64),
+                          "nr": 1 - new.to_numpy(np.int64)}) \
+            .groupby("d", sort=False, as_index=False).sum()
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32) \
+        .groupby("d").aggregate(Sum("nn"), Sum("nr")).take_all()
+    out_cols = {"day": "int64", "n_new": "int64",
+                "n_returning": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "day": int(r["d"]), "n_new": int(r["sum(nn)"]),
+        "n_returning": int(r["sum(nr)"])} for r in rows]) \
+        .astype(out_cols)
+
+
+def _q_user_hour_entropy(sf_dir: str):
+    """Routine-ness: Shannon entropy of each user's hour-of-day
+    histogram, per-TERM floor-ppm (order-independent, unlike the
+    float-sum-then-floor family) -> (user_id, n_events, n_hours,
+    entropy_ppm).  Low entropy = a user who always shows up at the
+    same hours.
+
+    Scale shape: ONE user-keyed partition pass; terms vectorize over
+    the whole (user, hour) count frame — no per-user loop."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    H = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = pc.cast(ts_col, pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~pd.isna(b.column("ts").to_pandas()).to_numpy()
+        u = pc.fill_null(pc.cast(b.column("user_id"), pa.int64()),
+                         -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        hod = ((np.where(ok, ts, 0) // H) % 24)[ok]
+        g = pd.DataFrame({"user_id": u, "h": hod, "n": 1}) \
+            .groupby(["user_id", "h"], sort=False,
+                     as_index=False).sum()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+            "h": pa.array(g["h"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_hours": "int64", "entropy_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby(["user_id", "h"], sort=False,
+                       as_index=False)["n"].sum()
+        tot = g.groupby("user_id", sort=False)["n"] \
+            .transform("sum").to_numpy(np.int64)
+        o = g["n"].to_numpy(np.int64)
+        p_ = o / tot
+        term = np.floor(1_000_000 * (-p_ * np.log(p_))) \
+            .astype(np.int64)
+        out = pd.DataFrame({"user_id": g["user_id"], "n_events": o,
+                            "n_hours": 1, "entropy_ppm": term}) \
+            .groupby("user_id", sort=False, as_index=False).sum()
+        return out.astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        resolve, n_parts=32)
+    return rows
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -10993,6 +11115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_coverage": _q_conformal_coverage,
         "stable_top_words": _q_stable_top_words,
         "session_conversion_by_entry": _q_session_conversion_by_entry,
+        "dau_new_returning": _q_dau_new_returning,
+        "user_hour_entropy": _q_user_hour_entropy,
     }
 
 
@@ -17027,5 +17151,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(conv) * 1000000) // count(*) AS BIGINT)
                        AS conversion_ppm
             FROM fx GROUP BY 1
+        """,
+        "dau_new_returning": """
+            WITH ad AS (SELECT DISTINCT COALESCE(user_id, -1) AS u,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT u, min(d) AS fd FROM ad GROUP BY 1)
+            SELECT CAST(ad.d AS BIGINT) AS day,
+                   CAST(count(*) FILTER (WHERE ad.d = f.fd)
+                        AS BIGINT) AS n_new,
+                   CAST(count(*) FILTER (WHERE ad.d > f.fd)
+                        AS BIGINT) AS n_returning
+            FROM ad JOIN f ON f.u = ad.u
+            GROUP BY 1
+        """,
+        "user_hour_entropy": """
+            WITH c AS (SELECT COALESCE(user_id, -1) AS user_id,
+                              (epoch_us(ts) // 3600000000) % 24
+                                  AS h,
+                              CAST(count(*) AS BIGINT) AS o
+                       FROM events WHERE ts IS NOT NULL
+                       GROUP BY 1, 2),
+            s AS (SELECT user_id, CAST(sum(o) AS BIGINT) AS t,
+                         CAST(count(*) AS BIGINT) AS k
+                  FROM c GROUP BY 1)
+            SELECT c.user_id, s.t AS n_events, s.k AS n_hours,
+                   CAST(sum(CAST(FLOOR(1000000
+                        * (-(c.o * 1.0 / s.t)
+                           * ln(c.o * 1.0 / s.t))) AS BIGINT))
+                        AS BIGINT) AS entropy_ppm
+            FROM c JOIN s USING (user_id)
+            GROUP BY c.user_id, s.t, s.k
         """,
     }

@@ -268,7 +268,8 @@ def run_ops(sf_dir: str):
              "gains_table_chars", "kmv_containment",
              "session_entry_exit",
              "conformal_coverage", "stable_top_words",
-             "session_conversion_by_entry"]
+             "session_conversion_by_entry",
+             "dau_new_returning", "user_hour_entropy"]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is

@@ -147,6 +147,8 @@ QUERIES = [
     # wave 39: conformal coverage, stable top words, entry conversion
     "conformal_coverage", "stable_top_words",
     "session_conversion_by_entry",
+    # wave 40: DAU new/returning, hour entropy
+    "dau_new_returning", "user_hour_entropy",
 ]
 
 
@@ -266,6 +268,8 @@ ONE_ROW_QUERIES = [
     # wave 39: conformal coverage, stable top words, entry conversion
     "conformal_coverage", "stable_top_words",
     "session_conversion_by_entry",
+    # wave 40: DAU new/returning, hour entropy
+    "dau_new_returning", "user_hour_entropy",
 ]
 
 

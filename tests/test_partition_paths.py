@@ -94,7 +94,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "linear_attribution", "curriculum_order",
            "user_last3_types", "markov_entropy_rate",
            "session_type_lift", "session_entry_exit",
-           "session_conversion_by_entry"]
+           "session_conversion_by_entry",
+           # round-3 wave 40 keyed ops
+           "dau_new_returning", "user_hour_entropy"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
