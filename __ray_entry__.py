@@ -7994,28 +7994,61 @@ def _q_embedding_dim_profile(sf_dir: str):
 
 
 def _BUCKET_ADJ(ds, cols, B=4096):
-    """Shared kernel: globally doc_id-adjacent row pairs without a
-    sort — every row goes to bucket did // B and a GHOST copy goes to
-    the previous bucket, so each bucket sees its successor bucket's
-    rows and can emit every consecutive-pair whose LEFT id lives in
-    its own range exactly once.  2x shuffle volume buys exact global
-    adjacency with zero driver stitching."""
+    """Shared kernel: bucket every row by doc_id // B (NO ghost
+    copies).  Globally-adjacent pairs = per-bucket interior pairs
+    emitted in the partition pass (same-bucket consecutive mask) plus
+    a driver stitch of per-bucket boundary rows (_BUCKET_BOUNDS, the
+    sequence_gaps pattern).  The earlier one-bucket-back ghost scheme
+    dropped the pair spanning an entirely-empty interior bucket and
+    could pair a bucket's last row with an unrelated co-hashed
+    bucket's next row; the boundary stitch is exact for any doc_id
+    distribution and halves the shuffle volume."""
     def prep(b: pa.Table) -> pa.Table:
         did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()),
                            -1).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        arrs = {"did": np.concatenate([did, did]),
-                "bucket": np.concatenate([did // B, did // B - 1])}
-        out = {"bucket": pa.array(arrs["bucket"]),
-               "did": pa.array(arrs["did"])}
+        out = {"bucket": pa.array(did // B), "did": pa.array(did)}
         for c in cols:
-            v = pc.fill_null(pc.cast(b.column(c), pa.string()), "") \
-                .to_numpy(zero_copy_only=False)
-            out[c] = pa.array(np.concatenate([v, v]).tolist(),
-                              pa.string())
+            out[c] = pc.fill_null(pc.cast(b.column(c), pa.string()),
+                                  "")
         return pa.table(out)
 
     return ds.map_batches(prep, batch_format="pyarrow"), B
+
+
+def _BUCKET_BOUNDS(partials, cols, sort_cols=("did",),
+                   dtypes=None):
+    """Global first/last row of every non-empty bucket in `sort_cols`
+    order: batch-local head/tail per bucket -> driver finish.  The
+    driver holds O(#non-empty buckets) rows (the sequence_gaps stitch
+    bound).  Returns (firsts, lasts) pandas frames aligned row-for-row
+    on ascending bucket — lasts.iloc[i] is globally adjacent to
+    firsts.iloc[i+1]."""
+    import pandas as pd
+
+    keep = ["bucket"] + [c for c in sort_cols if c != "bucket"] + \
+        [c for c in cols if c not in sort_cols and c != "bucket"]
+    dt = {"bucket": "int64", "did": "int64"}
+    dt.update(dtypes or {})
+    empty = pd.DataFrame({c: pd.Series(dtype=dt.get(c, "object"))
+                          for c in keep})
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "bucket" not in df.columns:
+            return empty.copy()
+        df = df.sort_values(list(sort_cols))
+        g = df.groupby("bucket", sort=False)
+        return pd.concat([g.head(1), g.tail(1)])[keep]
+
+    small = partials.map_batches(
+        local, batch_format="pandas").to_pandas()
+    if len(small) == 0 or "bucket" not in small.columns:
+        return empty.copy(), empty.copy()
+    small = small.sort_values(list(sort_cols)).reset_index(drop=True)
+    g = small.groupby("bucket", sort=False)
+    firsts = g.head(1).sort_values("bucket").reset_index(drop=True)
+    lasts = g.tail(1).sort_values("bucket").reset_index(drop=True)
+    return firsts, lasts
 
 
 def _q_contrastive_pairs(sf_dir: str):
@@ -8024,18 +8057,23 @@ def _q_contrastive_pairs(sf_dir: str):
     source (positive) else 0 -> (id_a, id_b, label).  The
     training-pair builder for a contrastive encoder.
 
-    Scale shape: ONE doc_id-bucket partition pass with ghost
-    duplication (_BUCKET_ADJ) — each bucket emits exactly the pairs
-    whose left id it owns; no global sort, no driver stitch."""
+    Scale shape: ONE doc_id-bucket partition pass emits each bucket's
+    interior pairs (same-bucket consecutive mask — co-hashed foreign
+    buckets in the partition frame never pair); the driver stitches
+    only per-bucket boundary rows, so pairs spanning empty interior
+    buckets are emitted exactly once."""
     import pandas as pd
+    import ray
 
+    from pdf_extract_ray.ops.corpus import _default_parts
     from pdf_extract_ray.ops.dedup import _grouped_by_partition
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
     partials, B = _BUCKET_ADJ(ds, ["source"])
+    partials = partials.materialize()
+    cols = {"id_a": "int64", "id_b": "int64", "label": "int64"}
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"id_a": "int64", "id_b": "int64", "label": "int64"}
         if len(df) == 0:
             return pd.DataFrame(columns=list(cols)).astype(cols)
         df = df.drop_duplicates("did").sort_values("did")
@@ -8044,16 +8082,26 @@ def _q_contrastive_pairs(sf_dir: str):
         bkt = df["bucket"].to_numpy(np.int64)
         if len(did) < 2:
             return pd.DataFrame(columns=list(cols)).astype(cols)
-        # the partition's OWN range: rows whose bucket equals their
-        # non-ghost bucket (did // B); ghosts carry bucket did//B - 1
-        own = bkt[:-1] == did[:-1] // B
+        same = bkt[:-1] == bkt[1:]
         return pd.DataFrame({
-            "id_a": did[:-1][own], "id_b": did[1:][own],
-            "label": (src[:-1][own] == src[1:][own])
+            "id_a": did[:-1][same], "id_b": did[1:][same],
+            "label": (src[:-1][same] == src[1:][same])
             .astype(np.int64)}).astype(cols)
 
-    return _grouped_by_partition(partials, ["bucket"], resolve,
-                                 n_parts=32)
+    pairs = _grouped_by_partition(partials, ["bucket"], resolve,
+                                  n_parts=_default_parts())
+    firsts, lasts = _BUCKET_BOUNDS(partials, ["source"])
+    if len(firsts) < 2:
+        return pairs
+    la = lasts.iloc[:-1].reset_index(drop=True)
+    fb = firsts.iloc[1:].reset_index(drop=True)
+    stitch = pd.DataFrame({
+        "id_a": la["did"].to_numpy(np.int64),
+        "id_b": fb["did"].to_numpy(np.int64),
+        "label": (la["source"].to_numpy(object)
+                  == fb["source"].to_numpy(object))
+        .astype(np.int64)}).astype(cols)
+    return pairs.union(ray.data.from_pandas(stitch))
 
 
 def _q_encoding_advisor(sf_dir: str):
@@ -8062,17 +8110,21 @@ def _q_encoding_advisor(sf_dir: str):
     order -> (column_name, n_rows, n_runs, rle_ratio_ppm).  Few runs
     = RLE wins; ratio = runs * 1e6 // rows.
 
-    Scale shape: the _BUCKET_ADJ ghost pass counts cross-row
-    transitions exactly once per owned left id; runs = transitions +
-    1.  No global sort."""
+    Scale shape: the partition pass counts in-bucket transitions
+    (same-bucket consecutive mask); the driver adds the cross-bucket
+    transitions from per-bucket boundary rows (_BUCKET_BOUNDS), so
+    empty interior buckets cannot drop a transition.  runs =
+    transitions + 1.  No global sort."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
+    from pdf_extract_ray.ops.corpus import _default_parts
     from pdf_extract_ray.ops.dedup import _grouped_by_partition
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "lang", "source"])
     partials, B = _BUCKET_ADJ(ds, ["lang", "source"])
+    partials = partials.materialize()
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"column_name": "object", "trans": "int64",
@@ -8080,25 +8132,29 @@ def _q_encoding_advisor(sf_dir: str):
         if len(df) == 0:
             return pd.DataFrame(columns=list(cols)).astype(cols)
         df = df.drop_duplicates("did").sort_values("did")
-        did = df["did"].to_numpy(np.int64)
         bkt = df["bucket"].to_numpy(np.int64)
-        own_rows = bkt == did // B
+        same = bkt[:-1] == bkt[1:] if len(df) >= 2 else None
         out = []
         for c in ("lang", "source"):
             v = df[c].to_numpy(object)
-            if len(did) >= 2:
-                own = own_rows[:-1]
-                tr = int((v[:-1][own] != v[1:][own]).sum())
-            else:
-                tr = 0
+            tr = int((v[:-1][same] != v[1:][same]).sum()) \
+                if same is not None else 0
             out.append({"column_name": c, "trans": tr,
-                        "n": int(own_rows.sum())})
+                        "n": len(df)})
         return pd.DataFrame(out).astype(cols)
 
     rows = _grouped_by_partition(partials, ["bucket"], resolve,
-                                 n_parts=32) \
+                                 n_parts=_default_parts()) \
         .groupby("column_name").aggregate(Sum("trans"), Sum("n")) \
         .take_all()
+    firsts, lasts = _BUCKET_BOUNDS(partials, ["lang", "source"])
+    cross = {"lang": 0, "source": 0}
+    if len(firsts) >= 2:
+        la = lasts.iloc[:-1].reset_index(drop=True)
+        fb = firsts.iloc[1:].reset_index(drop=True)
+        for c in ("lang", "source"):
+            cross[c] = int((la[c].to_numpy(object)
+                            != fb[c].to_numpy(object)).sum())
     out_cols = {"column_name": "object", "n_rows": "int64",
                 "n_runs": "int64", "rle_ratio_ppm": "int64"}
     num = {k: "int64" for k in list(out_cols)[1:]}
@@ -8107,7 +8163,8 @@ def _q_encoding_advisor(sf_dir: str):
     out = []
     for r in rows:
         n = int(r["sum(n)"])
-        runs = int(r["sum(trans)"]) + (1 if n > 0 else 0)
+        runs = int(r["sum(trans)"]) + cross[r["column_name"]] \
+            + (1 if n > 0 else 0)
         out.append({"column_name": r["column_name"], "n_rows": n,
                     "n_runs": runs,
                     "rle_ratio_ppm": (runs * 1_000_000) // n
@@ -8251,19 +8308,26 @@ def _q_snm_dup_candidates(sf_dir: str):
     no exact dups, so is_dup stays 0 while the blocking math is
     fully exercised).
 
-    Scale shape: value-bucket partition on n_chars // 64 with ghost
-    duplication (the _BUCKET_ADJ idea on the LENGTH axis — equal
-    lengths always co-locate, so tie runs never split); each bucket
-    emits pairs whose left row it owns."""
+    Scale shape: value-bucket partition on n_chars // 64 (the
+    _BUCKET_ADJ idea on the LENGTH axis — equal lengths always
+    co-locate, so tie runs never split); each bucket emits its
+    interior window-1 pairs (same-bucket consecutive mask) and the
+    driver stitches per-bucket boundary rows, so gappy n_chars
+    distributions with empty interior length-buckets still emit the
+    globally-adjacent pair exactly once."""
     import hashlib
 
     import pandas as pd
+    import ray
 
+    from pdf_extract_ray.ops.corpus import _default_parts
     from pdf_extract_ray.ops.dedup import _grouped_by_partition
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "n_chars", "text"])
     B = 64
+    cols = {"id_a": "int64", "id_b": "int64",
+            "len_diff": "int64", "is_dup": "int64"}
 
     def prep(b: pa.Table) -> pa.Table:
         did = pc.fill_null(pc.cast(b.column("doc_id"), pa.int64()),
@@ -8271,20 +8335,13 @@ def _q_snm_dup_candidates(sf_dir: str):
             .astype(np.int64)
         ch = pc.fill_null(pc.cast(b.column("n_chars"), pa.int64()), 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.asarray([hashlib.md5((t or "").encode()).hexdigest()
-                        for t in b.column("text").to_pylist()],
-                       object)
+        h = [hashlib.md5((t or "").encode()).hexdigest()
+             for t in b.column("text").to_pylist()]
         return pa.table({
-            "bucket": pa.array(np.concatenate([ch // B,
-                                               ch // B - 1])),
-            "did": pa.array(np.concatenate([did, did])),
-            "ch": pa.array(np.concatenate([ch, ch])),
-            "h": pa.array(np.concatenate([h, h]).tolist(),
-                          pa.string())})
+            "bucket": pa.array(ch // B), "did": pa.array(did),
+            "ch": pa.array(ch), "h": pa.array(h, pa.string())})
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"id_a": "int64", "id_b": "int64",
-                "len_diff": "int64", "is_dup": "int64"}
         if len(df) == 0:
             return pd.DataFrame(columns=list(cols)).astype(cols)
         df = df.drop_duplicates("did").sort_values(["ch", "did"])
@@ -8294,16 +8351,33 @@ def _q_snm_dup_candidates(sf_dir: str):
         h = df["h"].to_numpy(object)
         if len(did) < 2:
             return pd.DataFrame(columns=list(cols)).astype(cols)
-        own = bkt[:-1] == ch[:-1] // B
+        same = bkt[:-1] == bkt[1:]
         return pd.DataFrame({
-            "id_a": did[:-1][own], "id_b": did[1:][own],
-            "len_diff": (ch[1:] - ch[:-1])[own],
-            "is_dup": (h[:-1] == h[1:])[own].astype(np.int64)}) \
+            "id_a": did[:-1][same], "id_b": did[1:][same],
+            "len_diff": (ch[1:] - ch[:-1])[same],
+            "is_dup": (h[:-1] == h[1:])[same].astype(np.int64)}) \
             .astype(cols)
 
-    return _grouped_by_partition(ds.map_batches(
-        prep, batch_format="pyarrow"), ["bucket"], resolve,
-        n_parts=32)
+    partials = ds.map_batches(prep, batch_format="pyarrow") \
+        .materialize()
+    pairs = _grouped_by_partition(partials, ["bucket"], resolve,
+                                  n_parts=_default_parts())
+    firsts, lasts = _BUCKET_BOUNDS(
+        partials, ["ch", "h"], sort_cols=("ch", "did"),
+        dtypes={"ch": "int64", "h": "object"})
+    if len(firsts) < 2:
+        return pairs
+    la = lasts.iloc[:-1].reset_index(drop=True)
+    fb = firsts.iloc[1:].reset_index(drop=True)
+    stitch = pd.DataFrame({
+        "id_a": la["did"].to_numpy(np.int64),
+        "id_b": fb["did"].to_numpy(np.int64),
+        "len_diff": fb["ch"].to_numpy(np.int64)
+        - la["ch"].to_numpy(np.int64),
+        "is_dup": (la["h"].to_numpy(object)
+                   == fb["h"].to_numpy(object))
+        .astype(np.int64)}).astype(cols)
+    return pairs.union(ray.data.from_pandas(stitch))
 
 
 def _q_label_propagation_langs(sf_dir: str):
@@ -10228,6 +10302,10 @@ def _q_gains_table_chars(sf_dir: str):
     recs = sorted(((-int(r["v"]), int(r["d"]), int(r["sum(n)"]),
                     int(r["sum(e)"])) for r in rows))
     N = sum(n for _, _, n, _ in recs)
+    # the oracle's WHERE nn >= 10 gate: deciles are undefined for
+    # fewer than 10 docs — both engines emit the typed-empty frame
+    if N < 10:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     P = sum(e for _, _, _, e in recs)
     base, rem = N // 10, N % 10
     sizes = [base + (1 if i < rem else 0) for i in range(10)]
@@ -15518,7 +15596,8 @@ def oracle_sql() -> dict[str, str]:
         "user_value_interp": """
             WITH d AS (
               SELECT user_id, epoch_us(ts) AS t,
-                     CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+                     CAST(FLOOR(COALESCE(value, 0) * 1000)
+                          AS BIGINT) AS vm,
                      row_number() OVER (PARTITION BY user_id, ts
                                         ORDER BY event_id DESC) AS rn
               FROM events),
@@ -15817,7 +15896,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders GROUP BY 1)
             SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
                    COALESCE(c.c_mktsegment, '') AS mktsegment,
-                   n.n_name AS nation,
+                   COALESCE(n.n_name, '') AS nation,
                    CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
                        AS acctbal_cents,
                    CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
@@ -15832,7 +15911,7 @@ def oracle_sql() -> dict[str, str]:
                              THEN o.l - o.f ELSE 0 END AS BIGINT)
                        AS span_days
             FROM customer c
-            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
             LEFT JOIN o ON o.o_custkey = c.c_custkey
         """,
         "hash_permutation_test": """
@@ -16496,19 +16575,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "linear_attribution": """
             WITH e AS (SELECT COALESCE(user_id, -1) AS u,
-                              epoch_us(ts) AS t, event_type AS et
+                              epoch_us(ts) AS t, event_type AS et,
+                              event_id AS eid
                        FROM events WHERE ts IS NOT NULL),
-            pur AS (SELECT u, t FROM e WHERE et = 'purchase'),
+            pur AS (SELECT u, t, eid FROM e WHERE et = 'purchase'),
             tch AS (SELECT u, t, et FROM e
                     WHERE et IN ('click', 'view')),
-            j AS (SELECT pur.u, pur.t AS pt, tch.et
+            j AS (SELECT pur.u, pur.t AS pt, pur.eid AS pid, tch.et
                   FROM pur JOIN tch ON tch.u = pur.u
                    AND tch.t < pur.t
                    AND tch.t >= pur.t - 604800000000),
-            k AS (SELECT u, pt, CAST(count(*) AS BIGINT) AS kk
+            k AS (SELECT u, pid, CAST(count(*) AS BIGINT) AS kk
                   FROM j GROUP BY 1, 2),
             c AS (SELECT j.et, 1000000 // k.kk AS credit
-                  FROM j JOIN k ON k.u = j.u AND k.pt = j.pt)
+                  FROM j JOIN k ON k.u = j.u AND k.pid = j.pid)
             SELECT et AS touch_type,
                    CAST(count(*) AS BIGINT) AS n_touches,
                    CAST(sum(credit) AS BIGINT) AS total_credit_ppm

@@ -299,9 +299,25 @@ def bands_for_threshold(n_perm: int, threshold: float,
     return best
 
 
+def _cluster_parts() -> int:
+    """Pair-resolution shuffle width: half the cluster CPUs (the ccprep
+    join-sizing rule — A/B at 32 CPUs: 16 partitions beat 32 by ~2x
+    because hash aggregator actors otherwise starve the map tasks).
+    Scales with the cluster instead of a hardcoded single-node default:
+    at 100 TB the bucket table is billions of rows and the resolve
+    shuffle must widen with the node count."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 2)
+
+
 def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, concurrency=None,
-                           max_bucket=None, star_bucket=None):
+                           max_bucket=None, star_bucket=None,
+                           n_parts=None):
     """Unverified candidate pairs (doc_id_a, doc_id_b) from LSH buckets —
     minimal shuffle payload; follow with verify_pairs_jaccard.
 
@@ -343,19 +359,21 @@ def minhash_lsh_candidates(ds, *, n_perm: int = 64, bands: int = 16,
         return pd.DataFrame({"doc_id_a": np.concatenate(cols_a),
                              "doc_id_b": np.concatenate(cols_b)})
 
-    pairs = _grouped_by_partition(banded, ["bucket"], resolve, n_parts=32)
+    pairs = _grouped_by_partition(banded, ["bucket"], resolve,
+                                  n_parts=n_parts or _cluster_parts())
     return _dedupe_pairs(pairs, [])
 
 
 def minhash_lsh_pairs(ds, *, n_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
-                      concurrency=None):
+                      concurrency=None, n_parts=None):
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold."""
     banded = _minhash_map(ds, MinHashBatch, n_perm, bands, shingle_k,
                           concurrency)
     pairs = _grouped_by_partition(
         banded, ["bucket"],
-        lambda df: _resolve_minhash_partition(df, threshold), n_parts=32)
+        lambda df: _resolve_minhash_partition(df, threshold),
+        n_parts=n_parts or _cluster_parts())
     return _dedupe_pairs(pairs, ["est_jaccard"])
 
 
@@ -452,7 +470,8 @@ def simhash_pairs(ds, max_hamming: int = 3):
                                       "doc_id_b": "int64",
                                       "hamming": "int64"})
 
-    pairs = _grouped_by_partition(banded, ["band_key"], resolve, n_parts=32)
+    pairs = _grouped_by_partition(banded, ["band_key"], resolve,
+                                  n_parts=_cluster_parts())
     return _dedupe_pairs(pairs, ["hamming"])
 
 

@@ -857,6 +857,141 @@ def pq_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
                      "rank": pa.array(out_r, pa.int64())})
 
 
+def ivfpq_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *,
+               dim: int, k: int = 10, n_clusters: int = 16,
+               n_probe: int = 4, m: int = 8, pq_k: int = 16):
+    """IVFADC (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011, §IV): IVF coarse quantizer + PQ on
+    RESIDUALS, ADC scan restricted to the probed inverted lists — the
+    billion-vector production ANN layout, composing ivf_topk's coarse
+    path with pq_topk's compressed scan.
+
+    1. kmeans_fit trains the coarse quantizer (distributed: hash-
+       sampled Dataset, per-batch partial sums);
+    2. the residual dataset (normalized vec - centroid[assign]) trains
+       ONE shared set of PQ codebooks via pq_fit (standard IVFADC —
+       codebooks shared across lists, distributed Lloyd);
+    3. one encode+scan pass: each batch assigns, PQ-encodes residuals
+       (m uint8 codes/vector — the memory layout that fits 1e9 vectors
+       in RAM) and ADC-scores ONLY rows whose list a query probes, via
+       per-(query, list) lookup tables built from the query residual;
+    4. per-batch partial top-k + tiny driver merge (brute_force_topk
+       contract: (query_id, neighbor_id, rank) by distance asc, id-asc
+       ties, self excluded).
+
+    Falls back to exact brute force on degenerate (empty) corpora.
+    Approximate: recall tracks n_probe/n_clusters and m; residual
+    quantization keeps it at-or-above plain IVF at equal probes."""
+    import ray
+    if len(query_ids) == 0:
+        return _empty_topk()
+    cent = kmeans_fit(ds, n_clusters)
+    if cent is None:
+        return brute_force_topk(ds, query_ids, query_vecs, k=k)
+    cent_ref = ray.put(cent)
+
+    def residualize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int32()),
+                "embedding": pa.array([], pa.list_(pa.float64()))})
+        cm = ray.get(cent_ref)
+        vecs = _normalize(_stack(batch.column("embedding")))
+        assign = np.argmax(vecs @ cm.T, axis=1)
+        res = vecs - cm[assign]
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(assign.astype(np.int32), pa.int32()),
+            "embedding": pa.array(res.tolist(),
+                                  pa.list_(pa.float64()))})
+
+    # materialized once: pq_fit's sample pass + the scan pass both read
+    # it, and at scale this IS the stored index input (cluster + codes)
+    res_ds = ds.map_batches(residualize,
+                            batch_format="pyarrow").materialize()
+    books = pq_fit(res_ds, m=m, k=pq_k)
+    if books is None:
+        return brute_force_topk(ds, query_ids, query_vecs, k=k)
+    bk = np.ascontiguousarray(books, np.float64)
+    mm, kk, sub = bk.shape
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    # per-(query, probed list) ADC tables from the query RESIDUAL:
+    # ||q - v||^2 ~ sum_j || (q - c)_j - codeword_j ||^2
+    tabs = {}
+    for qi in range(len(query_ids)):
+        for c in q_lists[qi]:
+            qr = q[qi] - cent[int(c)]
+            tabs[(qi, int(c))] = np.stack(
+                [(((qr[j * sub:(j + 1) * sub][None, :]
+                    - bk[j]) ** 2).sum(1)) for j in range(mm)])
+    tabs_ref = ray.put(tabs)
+    books_ref = ray.put(bk)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"q_idx": pa.array([], pa.int32()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        tt = ray.get(tabs_ref)
+        b = ray.get(books_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        clus = np.asarray(batch.column("cluster").to_pylist(),
+                          np.int64)
+        res = _stack(batch.column("embedding"))
+        codes = np.empty((len(res), mm), np.int64)
+        for j in range(mm):
+            v = res[:, j * sub:(j + 1) * sub]
+            d = ((v[:, None, :] - b[j][None, :, :]) ** 2).sum(2)
+            codes[:, j] = np.argmin(d, axis=1)
+        cols = np.arange(mm)
+        out_q, out_n, out_d = [], [], []
+        kk2 = k + 1
+        for (qi, c), tab in tt.items():
+            sel = clus == c
+            if not sel.any():
+                continue
+            cs = codes[sel]
+            d = tab[cols[None, :], cs].sum(axis=1)
+            nsel = ids[sel]
+            top = np.argpartition(d, min(kk2, len(d)) - 1)[:kk2] \
+                if len(d) > kk2 else np.arange(len(d))
+            out_q.extend([qi] * len(top))
+            out_n.extend(nsel[top].tolist())
+            out_d.extend(d[top].tolist())
+        return pa.table({"q_idx": pa.array(out_q, pa.int32()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "dist": pa.array(out_d, pa.float64())})
+
+    best: List[list] = [[] for _ in query_ids]
+    for bt in res_ds.map_batches(scan, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for qi, nid, dist in zip(bt.column("q_idx").to_pylist(),
+                                 bt.column("neighbor_id").to_pylist(),
+                                 bt.column("dist").to_pylist()):
+            if query_ids[qi] == nid:
+                continue
+            # max-heap eviction on (-dist, -nid): dist ties keep the
+            # smaller id deterministically regardless of arrival order
+            heapq.heappush(best[qi], (-dist, -nid))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out_q, out_n, out_r = [], [], []
+    for qi, qid in enumerate(query_ids):
+        cands = sorted(((-negd, -negn) for negd, negn in best[qi]),
+                       key=lambda t: (t[0], t[1]))[:k]
+        for r, (_, nid) in enumerate(cands, 1):
+            out_q.append(qid)
+            out_n.append(nid)
+            out_r.append(r)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
 def mmr_select(ds, *, dim: int, k: int = 16, m: int = 64,
                lam_milli: int = 700):
     """Maximal-Marginal-Relevance diverse subset selection (Carbonell &
