@@ -932,6 +932,19 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ivf_topk(ds, qids, qvecs, dim=64, k=10, n_clusters=16, n_probe=8)
 
 
+def _q_ann_topk_ivfpq(sf_dir: str):
+    """IVFADC (ops/similarity.ivfpq_topk): IVF coarse lists + PQ
+    residual codes + ADC scan over probed lists — the billion-vector
+    index layout.  Rows-only (approximate by design); recall vs the
+    exact baseline is graded in ann_recall_report and pinned in
+    tests/test_similarity_ops.py on the clustered fixture."""
+    from pdf_extract_ray.ops.similarity import ivfpq_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qids, qvecs = _ann_queries(ds)
+    return ivfpq_topk(ds, qids, qvecs, dim=64, k=10, n_clusters=16,
+                      n_probe=8, m=8, pq_k=16, rerank=100)
+
+
 def _q_ann_recall_report(sf_dir: str):
     """Self-evaluating ANN quality report: recall@10 of the IVF and
     LSH paths against the exact brute-force neighbors, one row per
@@ -940,7 +953,8 @@ def _q_ann_recall_report(sf_dir: str):
     (n_queries x k) results on the driver."""
     import pandas as pd
     from pdf_extract_ray.ops.similarity import (brute_force_topk,
-                                                ivf_topk, lsh_topk)
+                                                ivf_topk, ivfpq_topk,
+                                                lsh_topk)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qids, qvecs = _ann_queries(ds)
     k = 10
@@ -950,6 +964,9 @@ def _q_ann_recall_report(sf_dir: str):
     for method, res in (
             ("ivf", ivf_topk(ds, qids, qvecs, dim=64, k=k,
                              n_clusters=16, n_probe=8)),
+            ("ivfpq", ivfpq_topk(ds, qids, qvecs, dim=64, k=k,
+                                 n_clusters=16, n_probe=8,
+                                 rerank=100)),
             ("lsh", lsh_topk(ds, qids, qvecs, dim=64, k=k, n_bits=8,
                              probe_hamming=1))):
         got = res.to_pandas().groupby("query_id")["neighbor_id"] \
@@ -1020,9 +1037,10 @@ def _q_embedding_label_histogram(sf_dir: str):
 
 def _q_image_features(sf_dir: str):
     """Multimodal stage over mixed payloads: every 5th doc gets a REAL
-    deterministic PNG (pure-stdlib decode path), the rest raw text bytes
+    deterministic image — alternating PNG and baseline JPEG containers,
+    both decoded for real by ops/codecs.py — the rest raw text bytes
     (declared fake-decode fallback)."""
-    from pdf_extract_ray.ops.codecs import encode_png
+    from pdf_extract_ray.ops.codecs import encode_jpeg, encode_png
     from pdf_extract_ray.ops.multimodal import image_features
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -1033,7 +1051,8 @@ def _q_image_features(sf_dir: str):
                 side = 4 + d % 8
                 img = (np.arange(side * side * 3, dtype=np.int64)
                        * (d + 7)) % 256
-                payloads.append(encode_png(
+                enc = encode_jpeg if d % 10 == 0 else encode_png
+                payloads.append(enc(
                     img.astype(np.uint8).reshape(side, side, 3)))
             else:
                 payloads.append(t.encode("utf-8"))
@@ -11031,6 +11050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "embedding_pca": _q_embedding_pca,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_ivfpq": _q_ann_topk_ivfpq,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_neardup": _q_ngram_neardup,

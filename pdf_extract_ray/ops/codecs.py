@@ -35,6 +35,8 @@ def sniff_media(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
     return "unknown"
 
 
@@ -207,3 +209,498 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         w.writeframes((np.clip(samples, -1, 1) * 32767.0)
                       .astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# -- JPEG (ITU-T T.81 baseline sequential) ----------------------------------
+#
+# Pure-numpy baseline JPEG codec (VERDICT r3 item 3): huffman-coded
+# sequential DCT with 8-bit samples — the format that dominates crawl
+# images.  Supported: SOF0/SOF1 frames, interleaved single scan (or
+# single-component scans), arbitrary h/v sampling factors (4:4:4,
+# 4:2:0, 4:2:2, grayscale), restart intervals, 8/16-bit quant tables.
+# Progressive (SOF2) and arithmetic coding raise ValueError and fall
+# back to the declared fake in ops/multimodal.py.
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K.1/K.2 reference quantization tables (raster order)
+_JPEG_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+
+def _idct_basis() -> np.ndarray:
+    """8x8 orthonormal DCT-III basis A with spatial = A @ coef @ A.T
+    (and, A being orthogonal, coef = A.T @ spatial @ A)."""
+    x, u = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    a[:, 0] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_IDCT_A = _idct_basis()
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table (F.2.2.3 DECODE procedure)."""
+    __slots__ = ("mincode", "maxcode", "valptr", "values")
+
+    def __init__(self, bits, values):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            cnt = bits[ln - 1]
+            if cnt:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += cnt
+                k += cnt
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.values = list(values)
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes."""
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        self.acc = (self.acc << 8) | self.data[self.pos]
+        self.pos += 1
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huffdecode(self, t: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            if code <= t.maxcode[ln]:
+                return t.values[t.valptr[ln] + code - t.mincode[ln]]
+        raise ValueError("invalid huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.bits(s)
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+
+def _split_entropy(data: bytes, pos: int):
+    """Entropy-coded bytes from `pos`: unstuff FF00, split at restart
+    markers; stops before the first real marker.  -> (segments, pos)."""
+    segs = []
+    cur = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """-> uint8 (h, w, 3) RGB (JFIF YCbCr) or (h, w, 1) grayscale.
+    Baseline sequential only; raises ValueError on progressive/
+    arithmetic/12-bit streams (callers fall back to the declared
+    fake)."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    qt = {}
+    huff = {}
+    comps = None
+    width = height = None
+    ri = 0
+    scan = None
+    i = 2
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            raise ValueError("marker desync")
+        m = data[i + 1]
+        i += 2
+        if m == 0xFF:
+            i -= 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        if i + 2 > n:
+            raise ValueError("truncated segment header")
+        seg_len = (data[i] << 8) | data[i + 1]
+        seg = data[i + 2:i + seg_len]
+        i += seg_len
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    qt[tq] = np.frombuffer(
+                        seg[j:j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[j:j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+        elif m in (0xC0, 0xC1):
+            if seg[0] != 8:
+                raise ValueError("unsupported sample precision")
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            comps = []
+            for c in range(seg[5]):
+                hh, vv = seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15
+                if not (1 <= hh <= 4 and 1 <= vv <= 4):
+                    raise ValueError("bad sampling factors")
+                comps.append({"id": seg[6 + 3 * c], "h": hh, "v": vv,
+                              "tq": seg[8 + 3 * c]})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (not baseline)")
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                j += 1
+                bits = list(seg[j:j + 16])
+                j += 16
+                cnt = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, seg[j:j + cnt])
+                j += cnt
+        elif m == 0xDD:
+            ri = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:
+            ns = seg[0]
+            scomp = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                      seg[2 + 2 * c] & 15) for c in range(ns)]
+            segs, i = _split_entropy(data, i)
+            scan = (scomp, segs)
+            break
+    if comps is None or scan is None or width is None:
+        raise ValueError("missing SOF/SOS")
+    scomp, segs = scan
+    if len(scomp) not in (len(comps), 1) or \
+            (len(scomp) == 1 and len(comps) != 1):
+        raise ValueError("non-interleaved multi-scan unsupported")
+    byid = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scomp:
+        c = byid[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.float64)
+    total = mcux * mcuy
+    mcu = 0
+    for segdata in segs:
+        if mcu >= total:
+            break
+        r = _BitReader(segdata)
+        preds = {c["id"]: 0 for c in comps}
+        count = min(ri, total - mcu) if ri else total - mcu
+        for _ in range(count):
+            my, mx = divmod(mcu, mcux)
+            for c in order:
+                dct = huff.get((0, c["td"]))
+                act = huff.get((1, c["ta"]))
+                if dct is None or act is None:
+                    raise ValueError("missing huffman table")
+                for vi in range(c["v"]):
+                    for hi in range(c["h"]):
+                        blk = np.zeros(64, np.float64)
+                        s = r.huffdecode(dct)
+                        preds[c["id"]] += r.receive_extend(s)
+                        blk[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = r.huffdecode(act)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            blk[k] = r.receive_extend(size)
+                            k += 1
+                        by = my * c["v"] + vi
+                        bx = mx * c["h"] + hi
+                        c["coef"][by * c["bw"] + bx] = blk
+            mcu += 1
+    if mcu < total:
+        raise ValueError("truncated scan")
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("missing quant table")
+        deq = c["coef"] * qt[c["tq"]][None, :].astype(np.float64)
+        raster = np.zeros_like(deq)
+        raster[:, _ZIGZAG] = deq
+        b8 = raster.reshape(-1, 8, 8)
+        spatial = np.einsum("xu,nuv,yv->nxy", _IDCT_A, b8, _IDCT_A) \
+            + 128.0
+        plane = spatial.reshape(c["bh"], c["bw"], 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = plane.repeat(ry, axis=0)
+        if rx > 1:
+            plane = plane.repeat(rx, axis=1)
+        planes.append(plane[:height, :width])
+    out = np.stack(planes, axis=2)
+    if out.shape[2] == 3:
+        y = out[:, :, 0]
+        cb = out[:, :, 1] - 128.0
+        cr = out[:, :, 2] - 128.0
+        out = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# fixture-side JPEG encoder: VALID baseline streams, not size-optimal
+# (flat canonical Huffman tables: 12 DC symbols at 4 bits, the 162
+# standard AC symbols at 8 bits — every code is well-formed and none
+# is all-ones, so any conformant decoder accepts the output)
+_ENC_DC_SYMBOLS = list(range(12))
+_ENC_AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                                  for s in range(1, 11)]
+
+
+def _enc_tables():
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    ac_bits = [0] * 7 + [162] + [0] * 8
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(_ENC_DC_SYMBOLS)}
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(_ENC_AC_SYMBOLS)}
+    return dc_bits, ac_bits, dc_codes, ac_codes
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def pad(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _enc_block(w: _BitWriter, zig: np.ndarray, pred: int,
+               dc_codes, ac_codes) -> int:
+    dc = int(zig[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last_nz = int(np.nonzero(zig[1:])[0][-1]) + 1 if np.any(zig[1:]) \
+        else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(zig[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 (h, w, 1|3) -> baseline JFIF bytes (Annex K quant tables;
+    4:2:0 when `subsample` else 4:4:4; optional restart markers)."""
+    h, w = img.shape[:2]
+    nch = img.shape[2] if img.ndim == 3 else 1
+    px = img.reshape(h, w, nch).astype(np.float64)
+    if nch == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample \
+            else [(1, 1), (1, 1), (1, 1)]
+        tqs = [0, 1, 1]
+    elif nch == 1:
+        planes = [px[:, :, 0]]
+        sampling = [(1, 1)]
+        tqs = [0]
+    else:
+        raise ValueError(f"unsupported channel count {nch}")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qts = {0: _JPEG_QT_LUM, 1: _JPEG_QT_CHROMA}
+    dc_bits, ac_bits, dc_codes, ac_codes = _enc_tables()
+
+    # per-component quantized zigzag blocks in MCU order
+    comp_blocks = []
+    for plane, (sh, sv), tq in zip(planes, sampling, tqs):
+        if (sh, sv) != (hmax, vmax):
+            # box-filter downsample by the sampling ratio
+            fy, fx = vmax // sv, hmax // sh
+            py, pxw = plane.shape
+            ey = -(-py // fy) * fy
+            ex = -(-pxw // fx) * fx
+            pad = np.pad(plane, ((0, ey - py), (0, ex - pxw)),
+                         mode="edge")
+            plane = pad.reshape(ey // fy, fy, ex // fx, fx) \
+                .mean(axis=(1, 3))
+        bw, bh = mcux * sh, mcuy * sv
+        py, pxw = plane.shape
+        pad = np.pad(plane, ((0, bh * 8 - py), (0, bw * 8 - pxw)),
+                     mode="edge")
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _IDCT_A.T, blocks,
+                         _IDCT_A.T)
+        qz = np.round(coef.reshape(-1, 64)
+                      / qts[tq][None, :].astype(np.float64))
+        zig = qz[:, _ZIGZAG].astype(np.int64)
+        comp_blocks.append((zig, bw, sh, sv))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq in sorted(set(tqs)):
+        zz = qts[tq][_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8,
+                                     h, w, len(planes))
+    for ci, ((sh, sv), tq) in enumerate(zip(sampling, tqs)):
+        out += bytes([ci + 1, (sh << 4) | sv, tq])
+    for tc_th, bits, values in (
+            ((0 << 4) | 0, dc_bits, _ENC_DC_SYMBOLS),
+            ((1 << 4) | 0, ac_bits, _ENC_AC_SYMBOLS),
+            ((0 << 4) | 1, dc_bits, _ENC_DC_SYMBOLS),
+            ((1 << 4) | 1, ac_bits, _ENC_AC_SYMBOLS)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tc_th]) + bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes),
+                                     len(planes))
+    for ci in range(len(planes)):
+        out += bytes([ci + 1, 0x00])
+    out += b"\x00\x3f\x00"
+
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.pad()
+            out += bytes(wtr.out)
+            wtr = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (zig, bw, sh, sv) in enumerate(comp_blocks):
+            for vi in range(sv):
+                for hi in range(sh):
+                    by = my * sv + vi
+                    bx = mx * sh + hi
+                    preds[ci] = _enc_block(
+                        wtr, zig[by * bw + bx], preds[ci],
+                        dc_codes, ac_codes)
+    wtr.pad()
+    out += bytes(wtr.out)
+    out += b"\xff\xd9"
+    return bytes(out)

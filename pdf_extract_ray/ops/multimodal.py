@@ -1,9 +1,10 @@
 """Multimodal column stages: image/audio/video as opaque binary + metadata.
 
-Decode kernels: PNG, uncompressed BMP and PCM WAV are decoded FOR REAL
-with the pure-stdlib codecs in ops/codecs.py (zlib / struct / wave) —
-dimensions, channels and features come from actual pixels/samples.
-Formats that need an external codec (JPEG, MP4, ...) fall back to the
+Decode kernels: baseline JPEG, PNG, uncompressed BMP and PCM WAV are
+decoded FOR REAL with the pure-python codecs in ops/codecs.py (huffman
++IDCT / zlib / struct / wave) — dimensions, channels and features come
+from actual pixels/samples.  Formats that still need an external codec
+(progressive JPEG, MP4, ...) fall back to the
 declared deterministic fake (`DETERMINISTIC_FAKE_DECODE` path) so the
 Ray-side plumbing — schema, batch size, actor pool signature, output
 layout — stays total and testable; swap the fallback for PIL/pyav in
@@ -19,7 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codecs import decode_bmp, decode_png, decode_wav, sniff_media
+from .codecs import (decode_bmp, decode_jpeg, decode_png, decode_wav,
+                     sniff_media)
 
 # the FALLBACK for undecodable formats is fake; png/bmp/wav decode real
 DETERMINISTIC_FAKE_DECODE = True
@@ -72,6 +74,14 @@ def decode_image(payload: bytes, feature_dim: int):
         img = decode_png(payload)
     elif kind == "bmp":
         img = decode_bmp(payload)
+    elif kind == "jpeg":
+        try:
+            img = decode_jpeg(payload)
+        except ValueError:
+            # progressive/arithmetic/damaged: the declared fake keeps
+            # the stage total (baseline sequential decodes for real)
+            w, h, c, f = _fake_decode_image(payload)
+            return w, h, c, f[:feature_dim]
     else:
         w, h, c, f = _fake_decode_image(payload)
         return w, h, c, f[:feature_dim]
@@ -300,6 +310,11 @@ class ResizeImageBatch:
                     img, st = decode_png(payload), "ok"
                 elif kind == "bmp":
                     img, st = decode_bmp(payload), "ok"
+                elif kind == "jpeg":
+                    try:
+                        img, st = decode_jpeg(payload), "ok"
+                    except ValueError:
+                        img, st = self._fallback(payload), "fake"
                 elif not payload:
                     raise ValueError("empty image payload")
                 else:
@@ -500,6 +515,11 @@ class ImageDHashBatch:
                     img, st = decode_png(payload), "ok"
                 elif kind == "bmp":
                     img, st = decode_bmp(payload), "ok"
+                elif kind == "jpeg":
+                    try:
+                        img, st = decode_jpeg(payload), "ok"
+                    except ValueError:
+                        img, st = self._fallback(payload), "fake"
                 else:
                     img, st = self._fallback(payload), "fake"
                 hashes.append(np.int64(np.uint64(dhash64(img))))

@@ -859,7 +859,8 @@ def pq_topk(ds, query_ids: List[int], query_vecs: np.ndarray,
 
 def ivfpq_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *,
                dim: int, k: int = 10, n_clusters: int = 16,
-               n_probe: int = 4, m: int = 8, pq_k: int = 16):
+               n_probe: int = 4, m: int = 8, pq_k: int = 16,
+               rerank: int = 0):
     """IVFADC (Jegou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011, §IV): IVF coarse quantizer + PQ on
     RESIDUALS, ADC scan restricted to the probed inverted lists — the
@@ -879,9 +880,16 @@ def ivfpq_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *,
        contract: (query_id, neighbor_id, rank) by distance asc, id-asc
        ties, self excluded).
 
+    `rerank` > 0 enables the IVFADC+R refinement (Jegou et al. §V):
+    the ADC scan keeps a `rerank`-deep shortlist per query, then ONE
+    bounded fetch pass pulls the shortlist's exact vectors (<= n_q x
+    rerank rows to the driver) and exact cosine re-scores the final
+    top-k — ADC does the corpus-scale pruning, exact math does the
+    ranking, which is how production IVFADC recovers exact-tier
+    recall at PQ memory cost.
+
     Falls back to exact brute force on degenerate (empty) corpora.
-    Approximate: recall tracks n_probe/n_clusters and m; residual
-    quantization keeps it at-or-above plain IVF at equal probes."""
+    Approximate: recall tracks n_probe/n_clusters, m and rerank."""
     import ray
     if len(query_ids) == 0:
         return _empty_topk()
@@ -929,6 +937,7 @@ def ivfpq_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *,
                     - bk[j]) ** 2).sum(1)) for j in range(mm)])
     tabs_ref = ray.put(tabs)
     books_ref = ray.put(bk)
+    depth = max(k, rerank) if rerank else k
 
     def scan(batch: pa.Table) -> pa.Table:
         empty = pa.table({"q_idx": pa.array([], pa.int32()),
@@ -949,7 +958,7 @@ def ivfpq_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *,
             codes[:, j] = np.argmin(d, axis=1)
         cols = np.arange(mm)
         out_q, out_n, out_d = [], [], []
-        kk2 = k + 1
+        kk2 = depth + 1
         for (qi, c), tab in tt.items():
             sel = clus == c
             if not sel.any():
@@ -977,9 +986,58 @@ def ivfpq_topk(ds, query_ids: List[int], query_vecs: np.ndarray, *,
             # max-heap eviction on (-dist, -nid): dist ties keep the
             # smaller id deterministically regardless of arrival order
             heapq.heappush(best[qi], (-dist, -nid))
-            if len(best[qi]) > k:
+            if len(best[qi]) > depth:
                 heapq.heappop(best[qi])
     out_q, out_n, out_r = [], [], []
+    if rerank:
+        # IVFADC+R: one bounded fetch of the shortlist's exact vectors
+        # (<= n_q * rerank rows), exact cosine re-score on the driver
+        want = set()
+        for qi in range(len(query_ids)):
+            want.update(-negn for _, negn in best[qi])
+        want_ref = ray.put(want)
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64()))})
+            if batch.num_rows == 0:
+                return empty
+            w = ray.get(want_ref)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             np.int64)
+            mask = np.fromiter((int(i) in w for i in ids), bool,
+                               len(ids))
+            if not mask.any():
+                return empty
+            vecs = _normalize(_stack(batch.column("embedding")))[mask]
+            return pa.table({
+                "vec_id": pa.array(ids[mask]),
+                "embedding": pa.array(vecs.tolist(),
+                                      pa.list_(pa.float64()))})
+
+        vec_by_id = {}
+        for bt in ds.map_batches(fetch, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for vid, v in zip(bt.column("vec_id").to_pylist(),
+                              bt.column("embedding").to_pylist()):
+                vec_by_id[int(vid)] = np.asarray(v, np.float64)
+        for qi, qid in enumerate(query_ids):
+            cand_ids = sorted({-negn for _, negn in best[qi]}
+                              & vec_by_id.keys())
+            if not cand_ids:
+                continue
+            mat = np.stack([vec_by_id[i] for i in cand_ids])
+            sims = mat @ q[qi]
+            order = sorted(range(len(cand_ids)),
+                           key=lambda i: (-sims[i], cand_ids[i]))[:k]
+            for r, i in enumerate(order, 1):
+                out_q.append(qid)
+                out_n.append(cand_ids[i])
+                out_r.append(r)
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64())})
     for qi, qid in enumerate(query_ids):
         cands = sorted(((-negd, -negn) for negd, negn in best[qi]),
                        key=lambda t: (t[0], t[1]))[:k]

@@ -81,7 +81,7 @@ class TestCodecs:
         assert sniff_media(encode_png(img)) == "png"
         assert sniff_media(encode_bmp(img)) == "bmp"
         assert sniff_media(encode_wav(np.zeros((4, 1)))) == "wav"
-        assert sniff_media(b"\xff\xd8\xff any jpeg") == "unknown"
+        assert sniff_media(b"\xff\xd8\xff any jpeg") == "jpeg"
 
     def test_decode_errors(self):
         with pytest.raises(ValueError):
@@ -286,3 +286,120 @@ class TestImageDHash:
         assert len(out) == 4
         assert sorted(out.item_id.tolist()) == [0, 2, 4, 6]
         assert out.n_items.tolist() == [2, 2, 2, 2]
+
+
+class TestJpegCodec:
+    """Baseline JPEG (VERDICT r3 item 3): pure-numpy huffman+IDCT
+    decoder + fixture encoder.  Hashes freeze the exact pixel output
+    (both codec halves are deterministic)."""
+
+    def test_exact_pixels_frozen(self):
+        import hashlib
+        from pdf_extract_ray.ops.codecs import decode_jpeg, encode_jpeg
+        rng = np.random.RandomState(42)
+        img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+        data = encode_jpeg(img)
+        assert hashlib.sha256(data).hexdigest() == \
+            "3d5d5f6bd3459aeb8b87b47fce803ad5ef38f0bd17efd26a3f43ef53f118b8b9"
+        dec = decode_jpeg(data)
+        assert dec.shape == (8, 8, 3)
+        assert hashlib.sha256(dec.tobytes()).hexdigest() == \
+            "dd45e3711adf861a4d08b35d2bffcbdb96f7f14a61d1fb9b50b32c48aa48bb42"
+        assert dec[0, 0].tolist() == [101, 181, 180]
+
+    def test_constant_color_near_exact(self):
+        from pdf_extract_ray.ops.codecs import decode_jpeg, encode_jpeg
+        img = np.full((16, 24, 3), [120, 64, 200], np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    @pytest.mark.parametrize("kw", [
+        {}, {"subsample": True}, {"restart_interval": 3},
+        {"subsample": True, "restart_interval": 2}])
+    def test_gradient_roundtrip_variants(self, kw):
+        from pdf_extract_ray.ops.codecs import decode_jpeg, encode_jpeg
+        y, x = np.mgrid[0:32, 0:40]
+        img = np.stack([(x * 6) % 256, (y * 7) % 256,
+                        ((x + y) * 3) % 256], axis=2).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, **kw))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < (6 if kw.get("subsample") else 4), (kw, err)
+
+    def test_grayscale_and_odd_dims(self):
+        import hashlib
+        from pdf_extract_ray.ops.codecs import decode_jpeg, encode_jpeg
+        g = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)[..., None]
+        dg = decode_jpeg(encode_jpeg(g))
+        assert dg.shape == (16, 16, 1)
+        assert hashlib.sha256(dg.tobytes()).hexdigest() == \
+            "54cc9017048b9255f493a69ee3de2d1e116527fb1e56479968bb20acc8e72428"
+        # non-multiple-of-8 (and of 16 when subsampled) dimensions
+        odd = np.full((13, 21, 3), [10, 200, 90], np.uint8)
+        for sub in (False, True):
+            d = decode_jpeg(encode_jpeg(odd, subsample=sub))
+            assert d.shape == (13, 21, 3)
+            assert np.abs(d.astype(int) - odd.astype(int)).max() <= 3
+
+    def test_progressive_rejected(self):
+        from pdf_extract_ray.ops.codecs import decode_jpeg, encode_jpeg
+        img = np.full((8, 8, 3), 55, np.uint8)
+        data = bytearray(encode_jpeg(img))
+        sof = bytes(data).find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # claim progressive
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+
+    def test_fuzz_total(self):
+        import struct
+
+        from pdf_extract_ray.ops.codecs import decode_jpeg, encode_jpeg
+        img = np.full((16, 16, 3), 90, np.uint8)
+        base = encode_jpeg(img, restart_interval=2)
+        rng = np.random.RandomState(5)
+        for _ in range(150):
+            buf = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                buf[rng.randint(len(buf))] = rng.randint(256)
+            trunc = bytes(buf)[:rng.randint(2, len(buf))] \
+                if rng.rand() < 0.3 else bytes(buf)
+            try:
+                out = decode_jpeg(trunc)
+                assert out.dtype == np.uint8
+            except (ValueError, IndexError, struct.error, KeyError):
+                pass
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJpegStages:
+    def test_image_features_real_jpeg(self):
+        import ray
+        from pdf_extract_ray.ops.codecs import encode_jpeg
+        from pdf_extract_ray.ops.multimodal import image_features
+        img = np.full((10, 8, 3), [200, 100, 50], np.uint8)
+        t = pa.table({"item_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([encode_jpeg(img)],
+                                          pa.binary())})
+        out = image_features(ray.data.from_arrow(t)).to_pandas()
+        assert out.loc[0, "status"] == "ok"
+        assert (out.loc[0, "width"], out.loc[0, "height"]) == (8, 10)
+        # real pixels: channel-0 mean ~200/255
+        assert abs(out.loc[0, "features"][0] - 200 / 255) < 0.02
+
+    def test_resize_stage_real_jpeg(self):
+        import ray
+        from pdf_extract_ray.ops.codecs import encode_jpeg
+        from pdf_extract_ray.ops.multimodal import ResizeImageBatch
+        img = np.full((32, 32, 3), [10, 250, 120], np.uint8)
+        t = pa.table({"item_id": pa.array([7], pa.int64()),
+                      "payload": pa.array([encode_jpeg(img)],
+                                          pa.binary())})
+        out = ray.data.from_arrow(t).map_batches(
+            ResizeImageBatch, fn_constructor_kwargs={
+                "width": 8, "height": 8},
+            batch_format="pyarrow", concurrency=1).to_pandas()
+        assert out.loc[0, "status"] == "ok"
+        px = np.frombuffer(out.loc[0, "pixels"], np.uint8) \
+            .reshape(8, 8, 3)
+        assert np.abs(px.astype(int)
+                      - np.array([10, 250, 120])).max() <= 4
