@@ -938,3 +938,279 @@ def pdf_encrypted_corrupt_startxref(text: str = "objstm aes secret") -> bytes:
 ADVERSARIAL_GENERATORS["pdf_aes128_objstm"] = pdf_aes128_objstm
 ADVERSARIAL_GENERATORS["pdf_encrypted_corrupt_startxref"] = \
     pdf_encrypted_corrupt_startxref
+
+
+# ---------------------------------------------------------------------------
+# Writer-profile generators (VERDICT r3 item 1): fixtures that mimic the
+# operator/structure mixes real PDF writers emit, so byte parity is
+# anchored on realistic shapes, not only on single-feature fixtures.
+# All three register in PDF_GENERATORS, so the differential-property,
+# span-parity and fuzz suites cover them automatically.
+# ---------------------------------------------------------------------------
+
+
+def _a85_encode(data: bytes) -> bytes:
+    """PDF ASCII85 serialization (no <~ leader, ~> terminator)."""
+    import base64
+    return base64.a85encode(data) + b"~>"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Valid (deliberately size-inefficient) PDF LZW stream: a CLEAR
+    code before every literal keeps the decoder table at its initial
+    size, so every code is 9 bits — exercises the LZWDecode path
+    without reimplementing adaptive code-width logic fixture-side."""
+    buf = bytearray()
+    acc = 0
+    n = 0
+
+    def emit(code: int):
+        nonlocal acc, n
+        acc = (acc << 9) | code
+        n += 9
+        while n >= 8:
+            n -= 8
+            buf.append((acc >> n) & 0xFF)
+
+    emit(256)
+    for byte in data:
+        emit(byte)
+        emit(256)
+    emit(257)
+    if n:
+        buf.append((acc << (8 - n)) & 0xFF)
+    return bytes(buf)
+
+
+def pdf_latex_style() -> bytes:
+    """pdfTeX-profile fixture: Type1 SUBSET fonts (ABCDEF+ prefixes),
+    one re-encoded to low codes via /Differences carrying ligature and
+    punctuation glyph names (fi/fl/emdash/quotedbl*), one with NO
+    /Encoding entry whose embedded Type1 FontFile supplies the builtin
+    encoding (`dup N /name put` cleartext, engine/type1.py), kerned TJ
+    arrays throughout, Flate-compressed content — the standard LaTeX
+    document shape (reference parity surface: src/lib.rs:391-518
+    encoding priority + TJ positioning)."""
+    b = PdfBuilder()
+    clear = (b"%!PS-AdobeFont-1.0: TestRoman 001.001\n"
+             b"/FontName /ABCDEF+TestRoman def\n"
+             b"/PaintType 0 def\n"
+             b"/FontMatrix [0.001 0 0 0.001 0 0] readonly def\n"
+             b"/Encoding 256 array\n"
+             b"0 1 255 {1 index exch /.notdef put} for\n"
+             b"dup 65 /alpha put\n"
+             b"dup 66 /beta put\n"
+             b"dup 67 /summation put\n"
+             b"readonly def\n"
+             b"currentdict end\n"
+             b"currentfile eexec\n")
+    binary = bytes(range(64))
+    t1_program = clear + binary + b"\n0" * 8 + b"\ncleartomark\n"
+    ff = b.stream(
+        f"<< /Length1 {len(clear)} /Length2 {len(binary)} "
+        f"/Length3 0 >>", t1_program)
+    desc2 = b.add(
+        f"<< /Type /FontDescriptor /FontName /ABCDEF+TestRoman "
+        f"/Flags 4 /ItalicAngle 0 /Ascent 694 /Descent -194 "
+        f"/StemV 69 /FontBBox [-40 -250 1009 750] "
+        f"/FontFile {ff} 0 R >>".encode())
+    f2 = b.add(
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+TestRoman "
+        f"/FirstChar 65 /LastChar 67 /Widths [500 500 500] "
+        f"/FontDescriptor {desc2} 0 R >>".encode())
+    f1 = b.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /GHIJKL+TestItalic "
+        b"/FirstChar 1 /LastChar 5 /Widths [556 556 1000 500 500] "
+        b"/Encoding << /Differences [1 /fi /fl /emdash /quotedblleft "
+        b"/quotedblright] >> >>")
+    content = (b"BT\n"
+               b"/F1 9.96 Tf\n"
+               b"72 700 Td\n"
+               b"[(\\001nds) -250 (and) -250 (\\002ies)] TJ\n"
+               b"0 -11.96 Td\n"
+               b"[(\\004kerned\\005) -278 (\\003) -278 (dash)] TJ\n"
+               b"/F2 9.96 Tf\n"
+               b"0 -11.96 Td\n"
+               b"[(A) 28 (BC)] TJ\n"
+               b"ET")
+    root = _single_page(b, {"F1": f1, "F2": f2}, content, compress=True)
+    return b.build(root)
+
+
+def pdf_word_style() -> bytes:
+    """Word-profile fixture: PDF 1.7 xref-stream + ObjStm layout, two
+    pages — page 1 simple /TrueType with /WinAnsiEncoding (smart
+    quotes and en-dash from the 0x80-0x9F WinAnsi region), page 2
+    Type0/CIDFontType2 Identity-H whose ToUnicode carries BOTH a
+    bfrange and a SURROGATE-PAIR bfchar (emoji) — plus an Info
+    dictionary inside the object stream (reference parity surface:
+    src/lib.rs CMap bfchar/bfrange + UTF-16BE handling)."""
+    widths = " ".join(["500"] * 117)
+    tounicode = (b"/CIDInit /ProcSet findresource begin\n"
+                 b"12 dict begin\nbegincmap\n"
+                 b"/CMapName /Adobe-Identity-UCS def\n"
+                 b"/CMapType 2 def\n"
+                 b"1 begincodespacerange\n<0000> <FFFF>\n"
+                 b"endcodespacerange\n"
+                 b"2 beginbfchar\n"
+                 b"<0005> <D83DDE00>\n"
+                 b"<0006> <0021>\n"
+                 b"endbfchar\n"
+                 b"1 beginbfrange\n"
+                 b"<0010> <0019> <0041>\n"
+                 b"endbfrange\n"
+                 b"endcmap\nCMapName currentdict /CMap defineresource "
+                 b"pop\nend\nend\n")
+    inner = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 10 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F0 6 0 R >> >> /Contents 11 0 R >>",
+        (b"<< /Type /Font /Subtype /TrueType /BaseFont /Calibri "
+         b"/FirstChar 32 /LastChar 148 /Widths [" + widths.encode()
+         + b"] /Encoding /WinAnsiEncoding >>"),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Calibri "
+        b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+        b"/ToUnicode 12 0 R >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Calibri "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /FontDescriptor 8 0 R /DW 1000 "
+        b"/W [16 [500 500 500 500 500 500 500 500 500 500]] >>",
+        b"<< /Type /FontDescriptor /FontName /Calibri /Flags 4 "
+        b"/ItalicAngle 0 /Ascent 750 /Descent -250 /StemV 80 "
+        b"/FontBBox [-503 -313 1240 1026] >>",
+        b"<< /Title (Quarterly Report) /Author (A. Writer) "
+        b"/Producer (WordProfile 1.0) >>",
+    ]
+    offs, pos = [], 0
+    for body in inner:
+        offs.append(pos)
+        pos += len(body) + 1
+    nums = list(range(1, len(inner) + 1))
+    head = " ".join(f"{n} {o}" for n, o in zip(nums, offs)).encode()
+    objstm_data = head + b"\n" + b"\n".join(inner) + b"\n"
+    first = len(head) + 1
+    objstm_z = zlib.compress(objstm_data)
+
+    content1 = zlib.compress(
+        b"BT /F1 11 Tf 72 700 Td (Hello \\223Word\\224 \\226 style) "
+        b"Tj ET")
+    content2 = zlib.compress(
+        b"BT /F0 12 Tf 72 700 Td <001000110012001300140005> Tj ET")
+    tounicode_z = zlib.compress(tounicode)
+
+    out = bytearray(b"%PDF-1.7\n%\xc2\xb5\n")
+    offsets = {}
+    offsets[10] = len(out)
+    out += (f"10 0 obj\n<< /Length {len(content1)} /Filter /FlateDecode"
+            f" >>\n".encode() + b"stream\n" + content1
+            + b"\nendstream\nendobj\n")
+    offsets[11] = len(out)
+    out += (f"11 0 obj\n<< /Length {len(content2)} /Filter "
+            f"/FlateDecode >>\n".encode() + b"stream\n" + content2
+            + b"\nendstream\nendobj\n")
+    offsets[12] = len(out)
+    out += (f"12 0 obj\n<< /Length {len(tounicode_z)} /Filter "
+            f"/FlateDecode >>\n".encode() + b"stream\n" + tounicode_z
+            + b"\nendstream\nendobj\n")
+    offsets[13] = len(out)
+    out += (f"13 0 obj\n<< /Type /ObjStm /N {len(inner)} "
+            f"/First {first} /Length {len(objstm_z)} "
+            f"/Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + objstm_z + b"\nendstream\nendobj\n")
+    xref_off = len(out)
+    entries = [(0, 0, 0xFFFF)]
+    for idx in range(len(inner)):
+        entries.append((2, 13, idx))
+    for num in (10, 11, 12, 13):
+        entries.append((1, offsets[num], 0))
+    entries.append((1, xref_off, 0))
+    xdata = b"".join(t.to_bytes(1, "big") + f2.to_bytes(4, "big")
+                     + f3.to_bytes(2, "big") for t, f2, f3 in entries)
+    xz = zlib.compress(xdata)
+    out += (f"14 0 obj\n<< /Type /XRef /Size 15 /W [1 4 2] "
+            f"/Root 1 0 R /Info 9 0 R /Length {len(xz)} "
+            f"/Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + xz + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def pdf_ghostscript_style() -> bytes:
+    """Ghostscript-pdfwrite-profile fixture: ASCII85+Flate filter CHAIN
+    on the page content, an LZWDecode Form XObject invoked with Do, an
+    ObjStm-heavy xref STREAM with the PNG Up predictor
+    (/DecodeParms /Predictor 12), and a base-14 font re-encoded via
+    /Differences — the classic ps2pdf output shape (reference parity
+    surface: filter chains src/lib.rs:1257 + Do recursion)."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Differences [200 /dotlessi /germandbls] "
+            b">> >>")
+    inner = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> "
+        b"/XObject << /Fm1 6 0 R >> >> /Contents 5 0 R >>",
+        font,
+    ]
+    offs, pos = [], 0
+    for body in inner:
+        offs.append(pos)
+        pos += len(body) + 1
+    head = " ".join(f"{n} {o}"
+                    for n, o in zip([1, 2, 3, 4], offs)).encode()
+    objstm_data = head + b"\n" + b"\n".join(inner) + b"\n"
+    first = len(head) + 1
+    objstm_z = zlib.compress(objstm_data)
+
+    content_raw = (b"BT /F1 10 Tf 72 700 Td "
+                   b"(ghostscript ma\\310n l\\311ne) Tj ET\n"
+                   b"q 1 0 0 1 0 0 cm /Fm1 Do Q")
+    content_a85 = _a85_encode(zlib.compress(content_raw))
+    xobj_raw = b"BT /F1 10 Tf 72 650 Td (from lzw xobject) Tj ET"
+    xobj_lzw = _lzw_encode(xobj_raw)
+
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += (f"5 0 obj\n<< /Length {len(content_a85)} /Filter "
+            f"[/ASCII85Decode /FlateDecode] >>\n".encode()
+            + b"stream\n" + content_a85 + b"\nendstream\nendobj\n")
+    offsets[6] = len(out)
+    out += (f"6 0 obj\n<< /Type /XObject /Subtype /Form "
+            f"/BBox [0 0 612 792] /Length {len(xobj_lzw)} "
+            f"/Filter /LZWDecode >>\n".encode()
+            + b"stream\n" + xobj_lzw + b"\nendstream\nendobj\n")
+    offsets[7] = len(out)
+    out += (f"7 0 obj\n<< /Type /ObjStm /N 4 /First {first} "
+            f"/Length {len(objstm_z)} /Filter /FlateDecode >>\n"
+            .encode() + b"stream\n" + objstm_z
+            + b"\nendstream\nendobj\n")
+    xref_off = len(out)
+    entries = [(0, 0, 0xFFFF), (2, 7, 0), (2, 7, 1), (2, 7, 2),
+               (2, 7, 3), (1, offsets[5], 0), (1, offsets[6], 0),
+               (1, offsets[7], 0), (1, xref_off, 0)]
+    # PNG Up predictor over W [1 4 2] rows (7 columns)
+    rows = [t.to_bytes(1, "big") + f2.to_bytes(4, "big")
+            + f3.to_bytes(2, "big") for t, f2, f3 in entries]
+    pred = bytearray()
+    prev = bytes(7)
+    for row in rows:
+        pred.append(2)
+        pred += bytes((a - p) & 0xFF for a, p in zip(row, prev))
+        prev = row
+    xz = zlib.compress(bytes(pred))
+    out += (f"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+            f"/Root 1 0 R /Length {len(xz)} /Filter /FlateDecode >>\n"
+            .encode() + b"stream\n" + xz + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+PDF_GENERATORS["pdf_latex_style"] = pdf_latex_style
+PDF_GENERATORS["pdf_word_style"] = pdf_word_style
+PDF_GENERATORS["pdf_ghostscript_style"] = pdf_ghostscript_style

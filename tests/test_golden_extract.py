@@ -29,6 +29,15 @@ GOLDEN = {
     "pdf_q_q_cm": "\n\nbase\n scaled\n\nafter",
     "pdf_flate_xrefstream": "\n\nxref stream doc",
     "pdf_zapf_symbol": "\n\nαβγ\n\n❁❂❃",
+    # writer profiles (VERDICT r3 item 1): realistic operator/structure
+    # mixes — derived from the reference's algorithm over the profile
+    # shapes (Differences+ligatures / builtin Type1 encoding; WinAnsi
+    # C1 region + surrogate-pair ToUnicode; A85+Flate chain + LZW
+    # XObject + predictor xref stream)
+    "pdf_latex_style": "\n\nﬁnds and ﬂies\n“kerned” — dash\nαβ∑",
+    "pdf_word_style": "\n\nHello “Word” – styleABCDE😀",
+    "pdf_ghostscript_style":
+        "\n\nghostscript maın lßne\n\nfrom lzw xobject",
 }
 
 
@@ -228,3 +237,26 @@ def test_cid_word_spacing_quirk_positions():
     simple_text, simple_spans = extract_text_and_spans_from_mem(b.build(root))
     assert simple_text == "\n\na b"
     assert simple_spans[2][3] > 1000  # Tw pushed 'b' ~1000pt right
+
+
+def test_word_style_metadata_and_pages():
+    """Word-profile fixture: Info dict lives INSIDE the object stream
+    (PDF 1.5+), ToUnicode surrogate pair decodes to the emoji, pages
+    split cleanly."""
+    pdf = pdfgen.pdf_word_style()
+    meta = get_metadata(pdf)
+    assert meta.get("Title") == "Quarterly Report"
+    assert meta.get("Author") == "A. Writer"
+    pages = extract_text_from_mem_by_pages(pdf)
+    assert pages == ["\n\nHello “Word” – style", "\n\nABCDE😀"]
+
+
+def test_lzw_and_a85_chain_roundtrip():
+    """The ghostscript fixture's filter chain decodes through the
+    engine's LZW (early-change) + ASCII85 + Flate paths."""
+    from pdf_extract_ray.data.pdfgen import _a85_encode, _lzw_encode
+    from pdf_extract_ray.engine.filters import (_ascii85_decode,
+                                                _lzw_decode)
+    payload = bytes(range(256)) * 3 + b"tail"
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+    assert _ascii85_decode(_a85_encode(payload)) == payload
