@@ -3059,6 +3059,79 @@ def _q_cdc_compaction(sf_dir: str):
     return _grouped_by_partition(cands, ["doc_id"], resolve, n_parts=32)
 
 
+def _q_html_extract_eval(sf_dir: str):
+    """Extraction-quality eval for the HTML boilerplate strip (the P10
+    graft-mandated path): labeled synthetic pages
+    (data/htmlgen.labeled_page — graded classes including deliberate
+    hard cases: stopword-free short content that the linguistic rule
+    misses, cookie-banner prose that is structurally content) ->
+    per-class keep rates plus corpus precision/recall/F1 in exact ppm
+    integers.  Rows-only (engine-side extraction is not
+    SQL-expressible); thresholds pinned in tests/test_html_eval.py.
+    The HTML-side analogue of neardup_eval_report.
+
+    Scale shape: map-side per-batch class counters -> tiny
+    class-domain groupby; pages never leave the workers."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def score(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from pdf_extract_ray.data.htmlgen import labeled_page
+        from pdf_extract_ray.engine.html_extract import extract_html_text
+        n: Counter = Counter()
+        k: Counter = Counter()
+        for d in b.column("doc_id").to_pylist():
+            if d is None:
+                continue
+            html, parts = labeled_page(int(d))
+            try:
+                text = extract_html_text(html)
+            except Exception:
+                text = ""
+            for cls, m in parts:
+                n[cls] += 1
+                if m in text:
+                    k[cls] += 1
+        keys = sorted(n)
+        return pa.table({
+            "cls": pa.array(keys, pa.string()),
+            "n": pa.array([n[c] for c in keys], pa.int64()),
+            "k": pa.array([k[c] for c in keys], pa.int64())})
+
+    rows = ds.map_batches(score, batch_format="pyarrow") \
+        .groupby("cls").aggregate(Sum("n"), Sum("k")).take_all()
+    out_cols = {"name": "object", "n_parts": "int64",
+                "n_kept": "int64", "ppm": "int64"}
+    num = {c: "int64" for c in ("n_parts", "n_kept", "ppm")}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    M = 1_000_000
+    stats = {r["cls"]: (int(r["sum(n)"]), int(r["sum(k)"]))
+             for r in rows}
+    out = [{"name": c, "n_parts": nn, "n_kept": kk,
+            "ppm": (kk * M) // nn if nn else 0}
+           for c, (nn, kk) in sorted(stats.items())]
+    tp = sum(kk for c, (nn, kk) in stats.items()
+             if c.startswith("content"))
+    fn = sum(nn - kk for c, (nn, kk) in stats.items()
+             if c.startswith("content"))
+    fp = sum(kk for c, (nn, kk) in stats.items()
+             if c.startswith("boiler"))
+    prec = (tp * M) // (tp + fp) if tp + fp else 0
+    rec = (tp * M) // (tp + fn) if tp + fn else 0
+    f1 = (2 * prec * rec) // (prec + rec) if prec + rec else 0
+    out.append({"name": "precision", "n_parts": tp + fp,
+                "n_kept": tp, "ppm": prec})
+    out.append({"name": "recall", "n_parts": tp + fn, "n_kept": tp,
+                "ppm": rec})
+    out.append({"name": "f1", "n_parts": 0, "n_kept": 0, "ppm": f1})
+    return pd.DataFrame(out).astype(num)
+
+
 def _q_neardup_eval_report(sf_dir: str):
     """Self-evaluating dedup quality report (the ann_recall_report
     analog for the near-dup stack): MinHash-LSH candidate pairs at
@@ -10938,6 +11011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": _q_conversion_latency,
         "cdc_compaction": _q_cdc_compaction,
         "neardup_eval_report": _q_neardup_eval_report,
+        "html_extract_eval": _q_html_extract_eval,
         "above_avg_sources": _q_above_avg_sources,
         "order_streaks": _q_order_streaks,
         "order_gap_stats": _q_order_gap_stats,

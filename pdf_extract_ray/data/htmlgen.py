@@ -88,3 +88,69 @@ HTML_GENERATORS = {
     "html_entities": html_entities,
     "html_inline_links": html_inline_links,
 }
+
+
+# -- labeled quality-eval corpus (VERDICT r3 item 7) -------------------------
+
+_EVAL_STOP_SENT = ("this is the part of the page that a reader would "
+                   "actually want to keep because it has the full story "
+                   "and all of the useful words in it")
+_EVAL_COOKIE = ("We use cookies and similar technologies to improve your "
+                "experience on this site and to show personalised adverts "
+                "please accept our policy to continue reading the page")
+
+
+def labeled_page(doc_id: int):
+    """Deterministic labeled page for the extraction-quality eval:
+    -> (html_bytes, parts) with parts = [(part_class, marker), ...].
+    Each text part carries a unique marker token; the eval checks which
+    markers survive `extract_html_text`.
+
+    Classes (graded by construction, so P/R are informative):
+    - content_long    long prose paragraph — MUST be kept (density rule)
+    - content_short   short paragraph; even doc_ids get stopword-rich
+                      prose (kept via the linguistic rule), odd get
+                      stopword-free jargon (expected MISS -> recall < 1)
+    - boiler_nav      nav/footer/aside structural boilerplate — MUST drop
+    - boiler_linkfarm link-dense div — MUST drop (link-density rule)
+    - boiler_semantic long cookie-banner prose in a plain div —
+                      structurally indistinguishable from content
+                      (expected FALSE POSITIVE -> precision < 1)
+    """
+    d = int(doc_id)
+    parts = []
+
+    def mk(i):
+        return f"mkz{d}x{i}"
+
+    m0, m1, m2, m3, m4, m5 = (mk(i) for i in range(6))
+    parts.append(("content_long", m0))
+    parts.append(("content_short", m1))
+    parts.append(("boiler_nav", m2))
+    parts.append(("boiler_linkfarm", m3))
+    parts.append(("boiler_semantic", m4))
+    parts.append(("content_long", m5))
+    if d % 2 == 0:
+        short = f"<p>Please read the {m1} notes before you go on</p>"
+    else:
+        short = f"<p>Xqz {m1} vvv qqq zzz</p>"
+    links = " ".join(f'<a href="/l{i}">item {i} {m3}</a>'
+                     for i in range(12))
+    html = f"""<!DOCTYPE html>
+<html><head><title>Eval {d}</title><script>var x={d};</script></head>
+<body>
+<nav><a href="/">Home {m2}</a> <a href="/a">About {m2}</a></nav>
+<div id="main">
+<p>{_EVAL_STOP_SENT} {m0} and even more of the same style of prose
+so the block stays clearly over the length threshold for keeping</p>
+{short}
+<div class="cookie">{_EVAL_COOKIE} {m4} with quite a few more plain
+words so this banner is as long as a real paragraph of content</div>
+<p>{_EVAL_STOP_SENT} {m5} closing paragraph of the article with the
+same healthy mix of common words and normal length</p>
+</div>
+<div class="farm">{links}</div>
+<footer>Copyright 2024 {m2} Example Corp <a href="/tos">Terms</a>
+</footer>
+</body></html>"""
+    return html.encode(), parts
