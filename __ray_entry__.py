@@ -3059,6 +3059,20 @@ def _q_cdc_compaction(sf_dir: str):
     return _grouped_by_partition(cands, ["doc_id"], resolve, n_parts=32)
 
 
+def _q_sa_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans >= 13 tokens (Lee et al. 2022
+    ExactSubstr semantics) via DISTRIBUTED PREFIX DOUBLING
+    (ops/dedup.sa_dup_spans): suffix equivalence classes built in
+    2*log2(L)+3 hash-partitioned passes with exact group-min-position
+    representatives — no hashing in any decision, no global sort.  The
+    true-suffix-array completion of the n-gram-approximate
+    chunk_dedup/remove_dup_spans family (VERDICT r3 item 5).  Oracle:
+    naive window-string self-grouping + island merge in DuckDB."""
+    from pdf_extract_ray.ops.dedup import sa_dup_spans
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return sa_dup_spans(ds, min_len=13)
+
+
 def _q_html_extract_eval(sf_dir: str):
     """Extraction-quality eval for the HTML boilerplate strip (the P10
     graft-mandated path): labeled synthetic pages
@@ -11012,6 +11026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compaction": _q_cdc_compaction,
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
+        "sa_dup_spans": _q_sa_dup_spans,
         "above_avg_sources": _q_above_avg_sources,
         "order_streaks": _q_order_streaks,
         "order_gap_stats": _q_order_gap_stats,
@@ -16483,6 +16498,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "sa_dup_spans": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(
+                                  string_split(COALESCE(text, ''),
+                                               ' '),
+                                  x -> x <> '') AS toks
+                       FROM documents WHERE doc_id IS NOT NULL),
+            t AS (SELECT doc_id, len(toks) AS n, toks,
+                         unnest(range(len(toks))) AS p
+                  FROM d),
+            w AS (SELECT doc_id, p,
+                         array_to_string(
+                             list_slice(toks,
+                                        CAST(p + 1 AS BIGINT),
+                                        CAST(p + 13 AS BIGINT)),
+                             ' ') AS win
+                  FROM t WHERE p + 13 <= n),
+            g AS (SELECT win FROM w GROUP BY win
+                  HAVING count(*) >= 2),
+            f AS (SELECT w.doc_id, w.p FROM w JOIN g USING (win)),
+            i AS (SELECT doc_id, p,
+                         CASE WHEN p - lag(p) OVER (
+                                  PARTITION BY doc_id ORDER BY p)
+                                  <= 13
+                              THEN 0 ELSE 1 END AS brk
+                  FROM f),
+            s AS (SELECT doc_id, p,
+                         SUM(brk) OVER (PARTITION BY doc_id
+                                        ORDER BY p
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS isl
+                  FROM i)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(MIN(p) AS BIGINT) AS start_tok,
+                   CAST(MAX(p) + 12 AS BIGINT) AS end_tok,
+                   CAST(MAX(p) + 13 - MIN(p) AS BIGINT) AS n_tokens
+            FROM s GROUP BY doc_id, isl
         """,
         "label_propagation_langs": """
             WITH d AS (SELECT md5(substr(COALESCE(text, ''), 1,

@@ -1505,3 +1505,218 @@ def source_dup_rate(ds, *, n_parts: int = 32):
                                 // np.maximum(nd, 1))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (suffix-array semantics, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def sa_dup_spans(ds, *, min_len: int = 8, n_parts=None):
+    """EXACT duplicated-substring spans >= `min_len` tokens — the
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) ExactSubstr semantics, built as a DISTRIBUTED
+    PREFIX-DOUBLING suffix equivalence (Manber-Myers rounds on
+    `_grouped_by_partition`) instead of a monolithic suffix array:
+
+    - round 0: token equality classes (rank = group-min packed
+      (doc, pos) — EXACT representatives, no hashing in any decision);
+    - round t: rank_{t}[p] = class of (rank[p], rank[p + 2^(t-1)]),
+      formed by ONE position-aligned pass (dense per-doc positions,
+      bucket ghosts carry ranks backward) + ONE pair-keyed class pass;
+    - final key (rank[p], rank[p + min_len - 2^T]) compares windows of
+      exactly `min_len` tokens; classes with >= 2 window-valid members
+      are duplicated windows; per-doc interval union (windows merge
+      when starts differ <= min_len) yields maximal spans.
+
+    Tokenization contract (shared with the DuckDB oracle): single-space
+    split, empty tokens dropped, positions over the filtered list.
+
+    Returns Dataset (doc_id, start_tok, end_tok, n_tokens).
+
+    Scale shape: every pass is a hash-partitioned exchange over
+    (doc, pos, rank) int64 rows — no global sort, no driver
+    materialization; 2*ceil(log2(min_len)) + 3 passes total.  Rank
+    representatives pack (doc_id * P + pos) into int64 where P is the
+    max per-doc token count rounded up to a power of two (bound checked
+    at run time; at 10^12-doc scale switch the representative to the
+    two-column (doc, pos) form)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    parts = n_parts or _cluster_parts()
+    B = 4096  # position bucket; must stay > the largest align step
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        docs, poss, toks, valid = [], [], [], []
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        for d, t in zip(ids, texts):
+            if d is None:
+                continue
+            words = [w for w in (t or "").split(" ") if w]
+            n = len(words)
+            for p, w in enumerate(words):
+                docs.append(d)
+                poss.append(p)
+                toks.append(w)
+                valid.append(p + min_len <= n)
+        return pa.table({
+            "doc": pa.array(docs, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "tok": pa.array(toks, pa.string()),
+            "valid": pa.array(valid, pa.bool_())})
+
+    out_cols = {"doc_id": "int64", "start_tok": "int64",
+                "end_tok": "int64", "n_tokens": "int64"}
+    empty = pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    toks = ds.map_batches(tokenize, batch_format="pyarrow") \
+        .materialize()
+    if toks.count() == 0:
+        # empty results lose their Dataset schema in Ray 2.49 — the
+        # repo-wide convention is the typed pandas empty instead
+        return empty
+    max_pos = toks.aggregate(Max("pos"))["max(pos)"]
+    # P must cover the largest LOOKUP offset pos + k (k <= min_len),
+    # or packed keys alias into the next doc's range
+    P = 1 << int(max_pos + min_len + 1).bit_length()
+
+    def pack(doc: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        out = doc * P + pos
+        if (out // P != doc).any():
+            raise ValueError("doc_id*P overflows int64 — use the "
+                             "two-column representative at this scale")
+        return out
+
+    def class_pass(df: pd.DataFrame) -> pd.DataFrame:
+        """Assign rank = group-min packed (doc,pos) per key group."""
+        cols = {"doc": "int64", "pos": "int64", "r": "int64",
+                "valid": "bool"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        rep = pack(df["doc"].to_numpy(np.int64),
+                   df["pos"].to_numpy(np.int64))
+        df = df.assign(_rep=rep)
+        r = df.groupby(["k1", "k2"], sort=False)["_rep"] \
+            .transform("min")
+        return pd.DataFrame({
+            "doc": df["doc"].to_numpy(np.int64),
+            "pos": df["pos"].to_numpy(np.int64),
+            "r": r.to_numpy(np.int64),
+            "valid": df["valid"].to_numpy(bool)}).astype(cols)
+
+    # round 0: token classes (k1 = token, k2 constant)
+    def tok_key(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": b.column("doc"), "pos": b.column("pos"),
+            "valid": b.column("valid"), "k1": b.column("tok"),
+            "k2": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    ranked = _grouped_by_partition(
+        toks.map_batches(tok_key, batch_format="pyarrow"),
+        ["k1"], class_pass, n_parts=parts).materialize()
+
+    def align(ranked_ds, k: int):
+        """One position-aligned pass: emit (doc,pos,valid,k1=r[p],
+        k2=r[p+k] or unique sentinel)."""
+        def prep(b: pa.Table) -> pa.Table:
+            doc = b.column("doc").to_numpy(zero_copy_only=False)
+            pos = b.column("pos").to_numpy(zero_copy_only=False)
+            r = b.column("r").to_numpy(zero_copy_only=False)
+            v = b.column("valid").to_numpy(zero_copy_only=False)
+            bkt = pos // B
+            ghost_sel = (pos - k) // B != bkt
+            out = {
+                "doc": np.concatenate([doc, doc[ghost_sel]]),
+                "pos": np.concatenate([pos, pos[ghost_sel]]),
+                "r": np.concatenate([r, r[ghost_sel]]),
+                "valid": np.concatenate([v, v[ghost_sel]]),
+                "bucket": np.concatenate([bkt,
+                                          (pos - k)[ghost_sel] // B]),
+            }
+            return pa.table({c: pa.array(a) for c, a in out.items()})
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"doc": "int64", "pos": "int64", "valid": "bool",
+                    "k1": "int64", "k2": "int64"}
+            if len(df) == 0:
+                return pd.DataFrame(columns=list(cols)).astype(cols)
+            df = df.drop_duplicates(["doc", "pos", "bucket"])
+            doc = df["doc"].to_numpy(np.int64)
+            pos = df["pos"].to_numpy(np.int64)
+            r = df["r"].to_numpy(np.int64)
+            v = df["valid"].to_numpy(bool)
+            own = df["bucket"].to_numpy(np.int64) == pos // B
+            key = pack(doc, pos)
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            sr = r[order]
+            want = pack(doc[own], pos[own] + k)
+            idx = np.searchsorted(skey, want)
+            found = (idx < len(skey))
+            idx_c = np.minimum(idx, len(skey) - 1)
+            found &= skey[idx_c] == want
+            k2 = np.where(found, sr[idx_c],
+                          -pack(doc[own], pos[own]) - 1)
+            return pd.DataFrame({
+                "doc": doc[own], "pos": pos[own],
+                "valid": v[own], "k1": r[own],
+                "k2": k2.astype(np.int64)}).astype(cols)
+
+        return _grouped_by_partition(
+            ranked_ds.map_batches(prep, batch_format="pyarrow"),
+            ["doc", "bucket"], resolve, n_parts=parts)
+
+    step = 1
+    while step * 2 < min_len:
+        ranked = _grouped_by_partition(
+            align(ranked, step), ["k1", "k2"], class_pass,
+            n_parts=parts).materialize()
+        step *= 2
+    # final window key: prefixes of exactly min_len tokens
+    final = align(ranked, min_len - step)
+
+    def dup_pass(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc": "int64", "pos": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df[df["valid"]]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        sz = df.groupby(["k1", "k2"], sort=False)["doc"] \
+            .transform("size")
+        hit = df[sz >= 2]
+        return pd.DataFrame({
+            "doc": hit["doc"].to_numpy(np.int64),
+            "pos": hit["pos"].to_numpy(np.int64)}).astype(cols)
+
+    flagged = _grouped_by_partition(final, ["k1", "k2"], dup_pass,
+                                    n_parts=parts)
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "start_tok": "int64",
+                "end_tok": "int64", "n_tokens": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["doc", "pos"])
+        doc = df["doc"].to_numpy(np.int64)
+        pos = df["pos"].to_numpy(np.int64)
+        brk = np.ones(len(df), bool)
+        if len(df) > 1:
+            same = doc[1:] == doc[:-1]
+            near = (pos[1:] - pos[:-1]) <= min_len
+            brk[1:] = ~(same & near)
+        isl = np.cumsum(brk)
+        g = pd.DataFrame({"doc": doc, "pos": pos, "isl": isl}) \
+            .groupby("isl", sort=False) \
+            .agg(doc_id=("doc", "first"), start_tok=("pos", "min"),
+                 end_tok=("pos", "max"))
+        g["end_tok"] += min_len - 1
+        g["n_tokens"] = g["end_tok"] - g["start_tok"] + 1
+        return g.reset_index(drop=True).astype(cols)
+
+    spans = _grouped_by_partition(flagged, ["doc"], islands,
+                                  n_parts=parts).materialize()
+    if spans.count() == 0:
+        return empty
+    return spans

@@ -149,6 +149,8 @@ QUERIES = [
     "session_conversion_by_entry",
     # wave 40: DAU new/returning, hour entropy
     "dau_new_returning", "user_hour_entropy",
+    # round 4: suffix-array dup spans, HTML quality eval, IVFADC
+    "sa_dup_spans", "html_extract_eval", "ann_topk_ivfpq",
 ]
 
 
@@ -270,6 +272,8 @@ ONE_ROW_QUERIES = [
     "session_conversion_by_entry",
     # wave 40: DAU new/returning, hour entropy
     "dau_new_returning", "user_hour_entropy",
+    # round 4: suffix-array dup spans, HTML quality eval, IVFADC
+    "sa_dup_spans", "html_extract_eval", "ann_topk_ivfpq",
 ]
 
 

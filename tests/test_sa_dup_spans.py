@@ -1,0 +1,100 @@
+"""Distributed prefix-doubling exact-substring dedup (Lee et al. 2022
+semantics; VERDICT r3 item 5): differential vs a brute-force window
+counter, planted overlaps, degenerate inputs."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _brute(docs, L):
+    from collections import Counter
+    wins = Counter()
+    toks = {d: [w for w in t.split(" ") if w] for d, t in docs.items()}
+    for ws in toks.values():
+        for p in range(len(ws) - L + 1):
+            wins[" ".join(ws[p:p + L])] += 1
+    rows = []
+    for d, ws in toks.items():
+        ps = [p for p in range(len(ws) - L + 1)
+              if wins[" ".join(ws[p:p + L])] >= 2]
+        if not ps:
+            continue
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev <= L:
+                prev = p
+            else:
+                rows.append((d, start, prev + L - 1,
+                             prev + L - start))
+                start = prev = p
+        rows.append((d, start, prev + L - 1, prev + L - start))
+    return sorted(rows)
+
+
+def _run(docs, L, force=False):
+    import ray
+
+    from pdf_extract_ray.ops import dedup as dedup_mod
+    from pdf_extract_ray.ops.dedup import sa_dup_spans
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array([docs[d] for d in docs],
+                                   pa.string())})
+    assert dedup_mod._FORCE_SHUFFLE is False
+    dedup_mod._FORCE_SHUFFLE = force
+    try:
+        out = sa_dup_spans(ray.data.from_arrow(t), min_len=L)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+    finally:
+        dedup_mod._FORCE_SHUFFLE = False
+    return sorted(map(tuple, out[["doc_id", "start_tok", "end_tok",
+                                  "n_tokens"]].values.tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaDupSpans:
+    @pytest.mark.parametrize("L", [2, 3, 5, 8, 13])
+    def test_differential_vs_brute(self, L):
+        rng = np.random.RandomState(L)
+        vocab = [f"w{i}" for i in range(10)]
+        docs = {d: " ".join(rng.choice(vocab, rng.randint(3, 50)))
+                for d in range(25)}
+        assert _run(docs, L) == _brute(docs, L)
+
+    @pytest.mark.parametrize("force", [False, True])
+    def test_planted_overlap_found_in_both_paths(self, force):
+        rng = np.random.RandomState(99)
+        vocab = [f"tok{i}" for i in range(5000)]  # dup-free base
+        docs = {d: " ".join(rng.choice(vocab, 30, replace=False))
+                for d in range(10)}
+        shared = " ".join(f"s{i}" for i in range(20))
+        docs[100] = shared                        # the span alone
+        docs[101] = docs[1] + " " + shared        # appended
+        got = _run(docs, 8, force=force)
+        want = _brute(docs, 8)
+        assert got == want
+        assert (100, 0, 19, 20) in got
+        # doc 101 duplicates BOTH its copied base (vs doc 1) and the
+        # shared tail -> one merged full-length span
+        assert (101, 0, 49, 50) in got
+        assert (1, 0, 29, 30) in got
+
+    def test_within_doc_repeat(self):
+        # the duplicated window lives TWICE IN ONE DOC - still >= 2
+        docs = {1: "a b c d e f a b c d e f", 2: "q r s"}
+        got = _run(docs, 4)
+        assert got == _brute(docs, 4)
+        assert got and got[0][0] == 1
+
+    def test_empty_and_degenerate(self):
+        assert _run({}, 8) == []
+        assert _run({1: ""}, 8) == []
+        assert _run({1: "one two three"}, 8) == []
+        assert _run({1: "  "}, 2) == []
+
+    def test_whitespace_tokenization_contract(self):
+        # double spaces produce empty tokens that BOTH engines drop
+        docs = {1: "a  b   c d e", 2: "a b c  d e"}
+        assert _run(docs, 5) == _brute(
+            {1: "a b c d e", 2: "a b c d e"}, 5)
