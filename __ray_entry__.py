@@ -3073,6 +3073,207 @@ def _q_sa_dup_spans(sf_dir: str):
     return sa_dup_spans(ds, min_len=13)
 
 
+def _day_counts(sf_dir: str):
+    """Shared: exact per-day event counts (tiny day domain)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        us = pc.drop_null(pc.cast(ts_col, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        day, cnt = np.unique(us // 86_400_000_000, return_counts=True)
+        return pa.table({"day": pa.array(day),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("c")).take_all()
+    return {int(r["day"]): int(r["sum(c)"]) for r in rows}
+
+
+def _q_daily_ewma_counts(sf_dir: str):
+    """Exponentially-decayed daily activity (EXACT integers, the
+    engagement-trend feature): ewma_d = sum over j in 0..10 of
+    count(day-j) >> j (bit-shift halving per day of age, missing days
+    contribute 0) -> (day, cnt, ewma).
+
+    Scale shape: map-side per-day partial counts -> tiny day-domain
+    groupby; the 11-term window closes on the driver's day table."""
+    import pandas as pd
+    counts = _day_counts(sf_dir)
+    out_cols = {"day": "int64", "cnt": "int64", "ewma": "int64"}
+    if not counts:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    out = [{"day": d, "cnt": c,
+            "ewma": sum(counts.get(d - j, 0) >> j for j in range(11))}
+           for d, c in sorted(counts.items())]
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def _q_spike_days(sf_dir: str):
+    """Anomaly days: day count exceeds mean + 2 sigma over the
+    observed-day distribution, decided by the EXACT integer
+    inequality (N*c - T) > 0 AND (N*c - T)^2 > 4*(N*Q - T^2)
+    (cross-multiplied z > 2; N days, T total, Q sum of squares) ->
+    (day, cnt).  Python ints are arbitrary-precision; the oracle
+    casts to HUGEINT."""
+    import pandas as pd
+    counts = _day_counts(sf_dir)
+    out_cols = {"day": "int64", "cnt": "int64"}
+    if not counts:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    n = len(counts)
+    t = sum(counts.values())
+    q = sum(c * c for c in counts.values())
+    out = [{"day": d, "cnt": c} for d, c in sorted(counts.items())
+           if n * c - t > 0 and (n * c - t) ** 2 > 4 * (n * q - t * t)]
+    return pd.DataFrame(out).astype(out_cols) if out else \
+        pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+
+
+def _q_nation_revenue_trend(sf_dir: str):
+    """Per-nation OLS revenue trend (closed-form slope of cents vs
+    order epoch-day): slope_micro = (n*Sxy - Sx*Sy)*1e6 //
+    (n*Sxx - Sx^2), all moments exact integers -> (nation, n_orders,
+    slope_micro).  The grouped-regression feature for trend reports.
+
+    Scale shape: ONE custkey-hash partition pass co-locating order
+    partials with customer rows (the revenue_by_nation envelope);
+    nation names resolve from the broadcast nation dim; the driver
+    combines 25 rows of int64 partials with arbitrary-precision
+    Python ints (n*Sxy overflows int64 at sf >= 0.1)."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    nat = {int(r["n_nationkey"]): r["n_name"] for r in _read(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        .take_all()}
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(pc.cast(b.column("o_orderdate"),
+                                       pa.date32()), pa.int32()),
+                       pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({
+            "key": pc.fill_null(pc.cast(b.column("o_custkey"),
+                                        pa.int64()), -1),
+            "x": days, "y": cents,
+            "nk": pa.array(np.full(b.num_rows, -1, np.int64))})
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.fill_null(pc.cast(b.column("c_custkey"),
+                                        pa.int64()), -1),
+            "x": pa.array(np.zeros(b.num_rows, np.int64)),
+            "y": pa.array(np.zeros(b.num_rows, np.int64)),
+            "nk": pc.fill_null(pc.cast(b.column("c_nationkey"),
+                                       pa.int64()), -1)})
+
+    both = orders.map_batches(o_prep, batch_format="pyarrow").union(
+        cust.map_batches(c_prep, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nk": "int64", "n": "int64", "sx": "int64",
+                "sy": "int64", "sxy": "int64", "sxx": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        cmap = df[df["nk"] >= 0]
+        omap = df[df["nk"] < 0]
+        if len(cmap) == 0 or len(omap) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        nk = omap["key"].map(
+            cmap.drop_duplicates("key").set_index("key")["nk"])
+        omap = omap.assign(nk2=nk.fillna(-1).astype(np.int64))
+        omap = omap[omap["nk2"] >= 0]
+        if len(omap) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        x = omap["x"].to_numpy(np.int64)
+        y = omap["y"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "nk": omap["nk2"].to_numpy(np.int64), "n": 1, "sx": x,
+            "sy": y, "sxy": x * y, "sxx": x * x}) \
+            .groupby("nk", as_index=False).sum()
+        return g.astype(cols)
+
+    parts = _grouped_by_partition(both, ["key"], resolve) \
+        .to_pandas()
+    out_cols = {"nation": "object", "n_orders": "int64",
+                "slope_micro": "int64"}
+    num = {"n_orders": "int64", "slope_micro": "int64"}
+    if len(parts) == 0 or "nk" not in parts.columns:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = []
+    for nk, g in parts.groupby("nk"):
+        n = int(g["n"].sum())
+        sx = int(g["sx"].sum())
+        sy = int(g["sy"].sum())
+        sxy = int(g["sxy"].sum())
+        sxx = int(g["sxx"].sum())
+        den = n * sxx - sx * sx
+        numer = (n * sxy - sx * sy) * 1_000_000
+        # DuckDB // truncates toward zero on negatives; mirror it
+        slope = (abs(numer) // den) * (1 if numer >= 0 else -1) \
+            if den else 0
+        out.append({"nation": nat.get(int(nk), ""), "n_orders": n,
+                    "slope_micro": slope})
+    return pd.DataFrame(out).astype(num) \
+        .sort_values("nation").reset_index(drop=True)
+
+
+def _q_goodturing_counts(sf_dir: str):
+    """Good-Turing frequency-of-frequencies table N_r (the smoothing
+    input: how many distinct terms occur exactly r times), r capped at
+    50 -> (freq, n_terms).
+
+    Scale shape: per-batch term value_counts partials -> term-domain
+    partition pass -> the count-of-counts closes on the vocab-sized
+    table."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.split(" ").explode()
+        s = s[s != ""]
+        vc = s.value_counts()
+        return pd.DataFrame({
+            "term": vc.index.to_numpy(object),
+            "c": vc.to_numpy(np.int64)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"freq": "int64", "n_terms": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        tot = df.groupby("term", sort=False)["c"].sum()
+        ff = tot[tot <= 50].value_counts()
+        return pd.DataFrame({
+            "freq": ff.index.to_numpy(np.int64),
+            "n_terms": ff.to_numpy(np.int64)}).astype(cols)
+
+    from ray.data.aggregate import Sum
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pandas"), ["term"],
+        resolve).groupby("freq").aggregate(Sum("n_terms")).take_all()
+    out_cols = {"freq": "int64", "n_terms": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{"freq": int(r["freq"]),
+                          "n_terms": int(r["sum(n_terms)"])}
+                         for r in rows]).astype(out_cols) \
+        .sort_values("freq").reset_index(drop=True)
+
+
 def _q_html_extract_eval(sf_dir: str):
     """Extraction-quality eval for the HTML boilerplate strip (the P10
     graft-mandated path): labeled synthetic pages
@@ -11027,6 +11228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "daily_ewma_counts": _q_daily_ewma_counts,
+        "spike_days": _q_spike_days,
+        "nation_revenue_trend": _q_nation_revenue_trend,
+        "goodturing_counts": _q_goodturing_counts,
         "above_avg_sources": _q_above_avg_sources,
         "order_streaks": _q_order_streaks,
         "order_gap_stats": _q_order_gap_stats,
@@ -16498,6 +16703,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "daily_ewma_counts": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt
+                  FROM e GROUP BY 1)
+            SELECT CAST(a.day AS BIGINT) AS day, a.cnt,
+                   CAST(SUM(b.cnt >> CAST(a.day - b.day AS INT))
+                        AS BIGINT) AS ewma
+            FROM c a JOIN c b ON b.day BETWEEN a.day - 10 AND a.day
+            GROUP BY a.day, a.cnt
+        """,
+        "spike_days": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt
+                  FROM e GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(cnt) AS HUGEINT) AS tt,
+                         CAST(sum(CAST(cnt AS HUGEINT) * cnt)
+                              AS HUGEINT) AS q
+                  FROM c)
+            SELECT CAST(c.day AS BIGINT) AS day, c.cnt
+            FROM c CROSS JOIN t
+            WHERE t.n * c.cnt - t.tt > 0
+              AND (t.n * c.cnt - t.tt) * (t.n * c.cnt - t.tt)
+                  > 4 * (t.n * t.q - t.tt * t.tt)
+        """,
+        "nation_revenue_trend": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(datediff('day', DATE '1970-01-01',
+                                            o_orderdate) AS BIGINT)
+                                  AS x,
+                              CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT) AS y
+                       FROM orders),
+            j AS (SELECT n.n_name AS nation, o.x, o.y
+                  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+            g AS (SELECT nation,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                             AS sxy,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS sxx
+                  FROM j GROUP BY 1)
+            SELECT nation, CAST(n AS BIGINT) AS n_orders,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE ((n * sxy - sx * sy) * 1000000)
+                             // (n * sxx - sx * sx) END AS BIGINT)
+                       AS slope_micro
+            FROM g
+        """,
+        "goodturing_counts": """
+            WITH w AS (SELECT unnest(string_split(COALESCE(text, ''),
+                              ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                   FROM w WHERE term <> '' GROUP BY 1)
+            SELECT CAST(c AS BIGINT) AS freq,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM tf WHERE c <= 50 GROUP BY 1
         """,
         "sa_dup_spans": """
             WITH d AS (SELECT doc_id,

@@ -151,6 +151,9 @@ QUERIES = [
     "dau_new_returning", "user_hour_entropy",
     # round 4: suffix-array dup spans, HTML quality eval, IVFADC
     "sa_dup_spans", "html_extract_eval", "ann_topk_ivfpq",
+    # round 4 wave 41: EWMA days, spikes, OLS trend, Good-Turing
+    "daily_ewma_counts", "spike_days", "nation_revenue_trend",
+    "goodturing_counts",
 ]
 
 
@@ -274,6 +277,9 @@ ONE_ROW_QUERIES = [
     "dau_new_returning", "user_hour_entropy",
     # round 4: suffix-array dup spans, HTML quality eval, IVFADC
     "sa_dup_spans", "html_extract_eval", "ann_topk_ivfpq",
+    # round 4 wave 41: EWMA days, spikes, OLS trend, Good-Turing
+    "daily_ewma_counts", "spike_days", "nation_revenue_trend",
+    "goodturing_counts",
 ]
 
 
