@@ -809,11 +809,31 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
                 names=[f"doc_id_{_n}", f"text_{_n}"]),
             batch_format="pyarrow")
 
+    # the partition resolves that produced `pairs` emit EMPTY,
+    # schema-less blocks for pair-free partitions; pyarrow's join key
+    # resolution crashes on them ("No match ... FieldRef doc_id_a" —
+    # reproduced on the 10M-doc ccprep run).  Repartition so no block
+    # is empty (the ops/corpus._coalesce_nonempty guard, sized
+    # ~64k rows/block).
+    n_pairs = pairs.count()
+    pairs = pairs.repartition(
+        max(1, min(num_partitions, (n_pairs + 65535) // 65536)))
+    docs_f = docs_f.repartition(
+        max(1, min(num_partitions, (len(ids) + 65535) // 65536)))
     # sequence the two joins (pin the tiny intermediate) so their
     # aggregator pools never contend for the same CPU budget at once
     joined = pairs.join(side("a"), join_type="inner",
                         num_partitions=num_partitions,
                         on=("doc_id_a",)).materialize()
+    n_joined = joined.count()
+    if n_joined == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id_a": pa.array([], pa.int64()),
+             "doc_id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+    # the first join's aggregators can also emit empty blocks
+    joined = joined.repartition(
+        max(1, min(num_partitions, (n_joined + 65535) // 65536)))
     joined = joined.join(side("b"), join_type="inner",
                          num_partitions=num_partitions, on=("doc_id_b",))
 

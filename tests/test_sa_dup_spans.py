@@ -98,3 +98,44 @@ class TestSaDupSpans:
         docs = {1: "a  b   c d e", 2: "a b c  d e"}
         assert _run(docs, 5) == _brute(
             {1: "a b c d e", 2: "a b c d e"}, 5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVerifyPairsJoinPathEmptyBlocks:
+    """Join-fallback coverage for verify_pairs_jaccard with sparse
+    pair partitions (most resolve partitions emit zero pairs).  The
+    10M-doc ccprep scale run crashed this path on empty/mixed pair
+    blocks ("No match or multiple matches for key field reference
+    FieldRef.Name(doc_id_a)"); the fix coalesces pairs/docs/joined to
+    non-empty uniform blocks before each join (verified by re-running
+    the 10M job — tools/scale_check.py)."""
+
+    def test_join_path_with_sparse_pair_blocks(self):
+        import ray
+
+        from pdf_extract_ray.ops import dedup as dedup_mod
+        from pdf_extract_ray.ops.dedup import (minhash_lsh_pairs,
+                                               verify_pairs_jaccard)
+        texts = {}
+        base = ("the quick brown fox jumps over the lazy dog "
+                "again and again in this long sentence")
+        for d in range(40):
+            texts[d] = f"unique{d} " + " ".join(
+                f"w{d}x{i}" for i in range(30))
+        texts[100] = base
+        texts[101] = base + " tail"
+        t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                      "text": pa.array([texts[d] for d in texts],
+                                       pa.string())})
+        ds = ray.data.from_arrow(t)
+        assert dedup_mod._FORCE_SHUFFLE is False
+        dedup_mod._FORCE_SHUFFLE = True  # many partitions, most empty
+        try:
+            pairs = minhash_lsh_pairs(ds, threshold=0.4)
+            out = verify_pairs_jaccard(pairs, ds, threshold=0.5,
+                                       broadcast_limit=0).to_pandas()
+        finally:
+            dedup_mod._FORCE_SHUFFLE = False
+        got = set(map(tuple, out[["doc_id_a", "doc_id_b"]]
+                      .values.tolist()))
+        assert (100, 101) in got
