@@ -3274,6 +3274,172 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention triangle (the product-analytics
+    staple): cohort = a user's first active week, one row per
+    (cohort_week, offset_weeks) with the count of cohort users active
+    that week -> (cohort_week, offset_weeks, n_users).
+
+    Scale shape: ONE user-keyed partition pass computes each user's
+    distinct active weeks + cohort locally (users never straddle
+    partitions) and emits (cohort, offset) partials; a small
+    (cohort x offset)-domain groupby merges counts."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    WEEK = 604_800_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        t = pa.table({
+            "u": pc.fill_null(pc.cast(b.column("user_id"),
+                                      pa.int64()), -1),
+            "w": pc.cast(ts_col, pa.int64())})
+        mask = pc.is_valid(b.column("ts"))
+        t = t.filter(mask)
+        return pa.table({
+            "u": t.column("u"),
+            "w": pc.divide(t.column("w"), WEEK)})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort": "int64", "off": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        uw = df.drop_duplicates(["u", "w"])
+        cw = uw.groupby("u", sort=False)["w"].transform("min")
+        g = pd.DataFrame({"cohort": cw.to_numpy(np.int64),
+                          "off": uw["w"].to_numpy(np.int64)
+                          - cw.to_numpy(np.int64)}) \
+            .groupby(["cohort", "off"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["u"],
+        resolve).groupby(["cohort", "off"]).aggregate(Sum("n")) \
+        .take_all()
+    out_cols = {"cohort_week": "int64", "offset_weeks": "int64",
+                "n_users": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "cohort_week": int(r["cohort"]),
+        "offset_weeks": int(r["off"]),
+        "n_users": int(r["sum(n)"])} for r in rows]) \
+        .astype(out_cols).sort_values(["cohort_week", "offset_weeks"]) \
+        .reset_index(drop=True)
+
+
+def _q_revenue_drawdown(sf_dir: str):
+    """Max drawdown of the CUMULATIVE DEVIATION of daily revenue from
+    its mean (cents, exact ints: flow_d = N*rev_d - T keeps everything
+    integer): the worst peak-to-trough slump of the demeaned revenue
+    path -> one row (max_drawdown_units, at_day).  Ties take the
+    earliest day; raw revenue is all-positive so the demeaned series
+    is the meaningful drawdown axis.
+
+    Scale shape: day-domain partial sums -> the tiny day table closes
+    on the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(pc.cast(b.column("o_orderdate"),
+                                       pa.date32()), pa.int32()),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"day": days, "c": cents}) \
+            .groupby("day", as_index=False).sum()
+        return pa.table({"day": pa.array(g["day"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("c")).take_all()
+    out_cols = {"max_drawdown_units": "int64", "at_day": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    recs = sorted((int(r["day"]), int(r["sum(c)"])) for r in rows)
+    n = len(recs)
+    t = sum(c for _, c in recs)
+    cum = 0
+    peak = 0
+    best = 0
+    best_day = recs[0][0]
+    for d, c in recs:
+        cum += n * c - t
+        if cum > peak:
+            peak = cum
+        dd = peak - cum
+        if dd > best:
+            best = dd
+            best_day = d
+    return pd.DataFrame([{"max_drawdown_units": best,
+                          "at_day": best_day}]).astype(out_cols)
+
+
+def _q_revenue_lorenz(sf_dir: str):
+    """Customer-revenue Lorenz deciles (the inequality panel): rank
+    customers with orders by (total cents asc, custkey asc), split
+    into 10 integer deciles (first r deciles take the remainder),
+    report each decile's revenue and cumulative share in exact ppm ->
+    (decile, n_customers, revenue_cents, cum_share_ppm).
+
+    Scale shape: custkey-domain partial sums (bounded by #customers)
+    -> the driver walks the sorted per-customer totals once (the
+    gains_table value-table pattern)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        key = pc.fill_null(pc.cast(b.column("o_custkey"), pa.int64()),
+                           -1).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"k": key, "c": cents}) \
+            .groupby("k", as_index=False).sum()
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c")).take_all()
+    out_cols = {"decile": "int64", "n_customers": "int64",
+                "revenue_cents": "int64", "cum_share_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    recs = sorted((int(r["sum(c)"]), int(r["k"])) for r in rows)
+    n = len(recs)
+    if n < 10:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    total = sum(c for c, _ in recs)
+    base, rem = n // 10, n % 10
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    out = []
+    i = 0
+    cum = 0
+    for dec, sz in enumerate(sizes, start=1):
+        cents = sum(c for c, _ in recs[i:i + sz])
+        cum += cents
+        out.append({"decile": dec, "n_customers": sz,
+                    "revenue_cents": cents,
+                    "cum_share_ppm": (cum * 1_000_000) // total
+                    if total else 0})
+        i += sz
+    return pd.DataFrame(out).astype(out_cols)
+
+
 def _q_html_extract_eval(sf_dir: str):
     """Extraction-quality eval for the HTML boilerplate strip (the P10
     graft-mandated path): labeled synthetic pages
@@ -11228,6 +11394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "cohort_retention": _q_cohort_retention,
+        "revenue_drawdown": _q_revenue_drawdown,
+        "revenue_lorenz": _q_revenue_lorenz,
         "daily_ewma_counts": _q_daily_ewma_counts,
         "spike_days": _q_spike_days,
         "nation_revenue_trend": _q_nation_revenue_trend,
@@ -16703,6 +16872,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "cohort_retention": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) // 604800000000 AS w
+                       FROM events WHERE ts IS NOT NULL),
+            uw AS (SELECT DISTINCT u, w FROM e),
+            c AS (SELECT u, min(w) AS cw FROM uw GROUP BY 1)
+            SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+                   CAST(uw.w - c.cw AS BIGINT) AS offset_weeks,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c ON c.u = uw.u GROUP BY 1, 2
+        """,
+        "revenue_drawdown": """
+            WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   o_orderdate) AS BIGINT) AS day,
+                              CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT) AS c
+                       FROM orders),
+            d AS (SELECT day, CAST(sum(c) AS BIGINT) AS rev
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(rev) AS HUGEINT) AS tt FROM d),
+            s AS (SELECT day,
+                         SUM(t.n * rev - t.tt)
+                             OVER (ORDER BY day) AS cum
+                  FROM d CROSS JOIN t),
+            m AS (SELECT day, cum,
+                         GREATEST(MAX(cum) OVER (ORDER BY day),
+                                  0) AS peak
+                  FROM s),
+            dd AS (SELECT day, peak - cum AS v FROM m)
+            SELECT CAST(v AS BIGINT) AS max_drawdown_units,
+                   CAST(day AS BIGINT) AS at_day
+            FROM dd ORDER BY v DESC, day ASC LIMIT 1
+        """,
+        "revenue_lorenz": """
+            WITH o AS (SELECT COALESCE(o_custkey, -1) AS k,
+                              CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT) AS c
+                       FROM orders),
+            g AS (SELECT k, CAST(sum(c) AS BIGINT) AS c
+                  FROM o GROUP BY 1),
+            r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS rn,
+                         count(*) OVER () AS n,
+                         sum(c) OVER () AS total
+                  FROM g),
+            d AS (SELECT c, n, total,
+                         CASE WHEN rn <= (n % 10) * (n // 10 + 1)
+                              THEN (rn - 1) // (n // 10 + 1) + 1
+                              ELSE n % 10 + (rn - 1 - (n % 10)
+                                   * (n // 10 + 1)) // (n // 10) + 1
+                         END AS decile
+                  FROM r WHERE n >= 10),
+            a AS (SELECT decile,
+                         CAST(count(*) AS BIGINT) AS n_customers,
+                         CAST(sum(c) AS BIGINT) AS revenue_cents,
+                         ANY_VALUE(total) AS total
+                  FROM d GROUP BY 1)
+            SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+                   revenue_cents,
+                   CAST((SUM(revenue_cents) OVER (ORDER BY decile)
+                         * 1000000) // total AS BIGINT)
+                       AS cum_share_ppm
+            FROM a
         """,
         "daily_ewma_counts": """
             WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day

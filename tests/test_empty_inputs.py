@@ -154,6 +154,8 @@ QUERIES = [
     # round 4 wave 41: EWMA days, spikes, OLS trend, Good-Turing
     "daily_ewma_counts", "spike_days", "nation_revenue_trend",
     "goodturing_counts",
+    # round 4 wave 42: cohort retention, drawdown, Lorenz deciles
+    "cohort_retention", "revenue_drawdown", "revenue_lorenz",
 ]
 
 
@@ -280,6 +282,8 @@ ONE_ROW_QUERIES = [
     # round 4 wave 41: EWMA days, spikes, OLS trend, Good-Turing
     "daily_ewma_counts", "spike_days", "nation_revenue_trend",
     "goodturing_counts",
+    # round 4 wave 42: cohort retention, drawdown, Lorenz deciles
+    "cohort_retention", "revenue_drawdown", "revenue_lorenz",
 ]
 
 

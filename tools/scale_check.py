@@ -76,16 +76,27 @@ def main():
         return ray.data.read_parquet(pages_dir,
                                      columns=["url", "html"])
 
+    from ray.data.aggregate import Sum
+
+    def consume(ds, text_col=None):
+        """Worker-side row/byte tally — the driver never touches the
+        data plane (matches the real write_parquet consumption; an
+        iter_batches loop here would map every block into driver RSS
+        and misreport streaming memory)."""
+        import pyarrow as pa
+
+        def stat(b: pa.Table) -> pa.Table:
+            nb = b.column(text_col).nbytes if text_col else 0
+            return pa.table({"rows": pa.array([b.num_rows]),
+                             "nbytes": pa.array([nb])})
+
+        agg = ds.map_batches(stat, batch_format="pyarrow")             .aggregate(Sum("rows"), Sum("nbytes"))
+        return int(agg["sum(rows)"] or 0), int(agg["sum(nbytes)"] or 0)
+
     if "extract" in which:
         t0 = time.time()
         out = extract_dataset(read(), with_spans=False)
-        rows = 0
-        nbytes = 0
-        for b in out.iter_batches(batch_format="pyarrow",
-                                  batch_size=4096):
-            rows += b.num_rows
-            col = b.column("extracted_text")
-            nbytes += col.nbytes
+        rows, nbytes = consume(out, "extracted_text")
         wall = time.time() - t0
         print(f"extract: {rows} rows {wall:.1f}s "
               f"{rows/wall:,.0f} docs/s {nbytes/wall/1e6:.1f} MB/s "
@@ -95,8 +106,7 @@ def main():
         from pdf_extract_ray.pipelines.textprep import textprep_dataset
         t0 = time.time()
         out = textprep_dataset(read())
-        rows = sum(b.num_rows for b in out.iter_batches(
-            batch_format="pyarrow", batch_size=4096))
+        rows, _ = consume(out)
         wall = time.time() - t0
         print(f"textprep: {rows} rows {wall:.1f}s "
               f"{n_rows/wall:,.0f} docs/s driver_rss={_rss_mb():.0f}MB",
@@ -106,8 +116,7 @@ def main():
         from pdf_extract_ray.pipelines.ccprep import ccprep_dataset
         t0 = time.time()
         out = ccprep_dataset(read())
-        rows = sum(b.num_rows for b in out.iter_batches(
-            batch_format="pyarrow", batch_size=4096))
+        rows, _ = consume(out)
         wall = time.time() - t0
         print(f"ccprep: {rows} rows {wall:.1f}s "
               f"{n_rows/wall:,.0f} docs/s driver_rss={_rss_mb():.0f}MB",
