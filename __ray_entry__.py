@@ -3274,6 +3274,163 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_event_order_audit(sf_dir: str):
+    """Out-of-order ingestion audit (the stream-quality check): per
+    user, count adjacent pairs in (ts, event_id) order whose event_id
+    DECREASES — late-arriving or re-sequenced rows; report per-user
+    totals for users with at least one inversion -> (user_id, n_events,
+    n_inversions).
+
+    Scale shape: ONE user-keyed partition pass; the lexsorted
+    shifted-compare is fully vectorized."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        t = pa.table({
+            "u": pc.fill_null(pc.cast(b.column("user_id"),
+                                      pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1)})
+        return t.filter(pc.is_valid(b.column("ts")))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_inversions": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["u", "ts_us", "eid"], kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        eid = df["eid"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        inv = same & (eid[1:] < eid[:-1])
+        g = pd.DataFrame({"u": u, "n": 1}) \
+            .groupby("u", as_index=False).sum()
+        gi = pd.DataFrame({"u": u[:-1][inv], "i": 1}) \
+            .groupby("u", as_index=False).sum() if inv.any() else \
+            pd.DataFrame({"u": [], "i": []})
+        m = g.merge(gi, on="u", how="left").fillna(0)
+        m = m[m["i"] > 0]
+        return pd.DataFrame({
+            "user_id": m["u"].to_numpy(np.int64),
+            "n_events": m["n"].to_numpy(np.int64),
+            "n_inversions": m["i"].to_numpy(np.int64)}).astype(cols)
+
+    out = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["u"], resolve)
+    import pandas as _pd
+    df = out.to_pandas()
+    cols = {"user_id": "int64", "n_events": "int64",
+            "n_inversions": "int64"}
+    if len(df) == 0 or "user_id" not in df.columns:
+        return _pd.DataFrame(columns=list(cols)).astype(cols)
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_dow_hour_heatmap(sf_dir: str):
+    """Activity heatmap cells: events bucketed by (day-of-week, hour)
+    in UTC -> (dow, hour, n_events) with dow 0=Thursday epoch
+    convention mapped to ISO-ish 0=Monday via (days+3)%7.
+
+    Scale shape: pure map-side (dow,hour) partial counts -> 168-cell
+    groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        us = pc.drop_null(pc.cast(ts_col, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day + 3) % 7
+        hour = (us // 3_600_000_000) % 24
+        g = pd.DataFrame({"dow": dow, "hour": hour, "n": 1}) \
+            .groupby(["dow", "hour"], as_index=False).sum()
+        return pa.table({
+            "dow": pa.array(g["dow"].to_numpy(np.int64)),
+            "hour": pa.array(g["hour"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["dow", "hour"]).aggregate(Sum("n")).take_all()
+    out_cols = {"dow": "int64", "hour": "int64", "n_events": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "dow": int(r["dow"]), "hour": int(r["hour"]),
+        "n_events": int(r["sum(n)"])} for r in rows]) \
+        .astype(out_cols).sort_values(["dow", "hour"]) \
+        .reset_index(drop=True)
+
+
+def _q_interarrival_buckets(sf_dir: str):
+    """Per-user inter-event gap distribution in log2 seconds buckets
+    (bucket = floor(log2(gap_s+1)) via bit_length) -> (bucket,
+    n_gaps).  The traffic-model / burstiness fingerprint.
+
+    Scale shape: ONE user-keyed partition pass emits bounded bucket
+    partials; a ~40-cell groupby merges."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        t = pa.table({
+            "u": pc.fill_null(pc.cast(b.column("user_id"),
+                                      pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1)})
+        return t.filter(pc.is_valid(b.column("ts")))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bucket": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["u", "ts_us", "eid"], kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gaps_s = (ts[1:] - ts[:-1])[same] // 1_000_000
+        if len(gaps_s) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        # floor(log2(gap_s + 1)) == bit_length(gap_s + 1) - 1, exact
+        b2 = np.frompyfunc(lambda g: int(g + 1).bit_length() - 1,
+                           1, 1)(gaps_s).astype(np.int64)
+        vc = pd.Series(b2).value_counts()
+        return pd.DataFrame({
+            "bucket": vc.index.to_numpy(np.int64),
+            "n": vc.to_numpy(np.int64)}).astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["u"], resolve) \
+        .groupby("bucket").aggregate(Sum("n")).take_all()
+    out_cols = {"bucket": "int64", "n_gaps": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "bucket": int(r["bucket"]), "n_gaps": int(r["sum(n)"])}
+        for r in rows]).astype(out_cols).sort_values("bucket") \
+        .reset_index(drop=True)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Weekly cohort-retention triangle (the product-analytics
     staple): cohort = a user's first active week, one row per
@@ -11394,6 +11551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "event_order_audit": _q_event_order_audit,
+        "dow_hour_heatmap": _q_dow_hour_heatmap,
+        "interarrival_buckets": _q_interarrival_buckets,
         "cohort_retention": _q_cohort_retention,
         "revenue_drawdown": _q_revenue_drawdown,
         "revenue_lorenz": _q_revenue_lorenz,
@@ -16872,6 +17032,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "event_order_audit": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t,
+                              COALESCE(event_id, -1) AS eid
+                       FROM events WHERE ts IS NOT NULL),
+            w AS (SELECT u, eid,
+                         LAG(eid) OVER (PARTITION BY u
+                                        ORDER BY t, eid) AS peid
+                  FROM e),
+            g AS (SELECT u, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(count(*) FILTER (
+                             WHERE peid IS NOT NULL AND eid < peid)
+                             AS BIGINT) AS n_inv
+                  FROM w GROUP BY 1)
+            SELECT CAST(u AS BIGINT) AS user_id, n_events,
+                   n_inv AS n_inversions
+            FROM g WHERE n_inv > 0
+        """,
+        "dow_hour_heatmap": """
+            WITH e AS (SELECT epoch_us(ts) AS us FROM events
+                       WHERE ts IS NOT NULL)
+            SELECT CAST((us // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+                   CAST((us // 3600000000) % 24 AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM e GROUP BY 1, 2
+        """,
+        "interarrival_buckets": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t,
+                              COALESCE(event_id, -1) AS eid
+                       FROM events WHERE ts IS NOT NULL),
+            w AS (SELECT u, t,
+                         LAG(t) OVER (PARTITION BY u
+                                      ORDER BY t, eid) AS pt
+                  FROM e),
+            g AS (SELECT (t - pt) // 1000000 AS gap_s FROM w
+                  WHERE pt IS NOT NULL)
+            SELECT CAST(floor(log2(gap_s + 1)) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g GROUP BY 1
         """,
         "cohort_retention": """
             WITH e AS (SELECT COALESCE(user_id, -1) AS u,

@@ -156,6 +156,8 @@ QUERIES = [
     "goodturing_counts",
     # round 4 wave 42: cohort retention, drawdown, Lorenz deciles
     "cohort_retention", "revenue_drawdown", "revenue_lorenz",
+    # round 4 wave 43: order audit, heatmap, interarrival buckets
+    "event_order_audit", "dow_hour_heatmap", "interarrival_buckets",
 ]
 
 
@@ -284,6 +286,8 @@ ONE_ROW_QUERIES = [
     "goodturing_counts",
     # round 4 wave 42: cohort retention, drawdown, Lorenz deciles
     "cohort_retention", "revenue_drawdown", "revenue_lorenz",
+    # round 4 wave 43: order audit, heatmap, interarrival buckets
+    "event_order_audit", "dow_hour_heatmap", "interarrival_buckets",
 ]
 
 
