@@ -1151,18 +1151,32 @@ def _q_audio_features(sf_dir: str):
 
 
 def _q_frame_samples(sf_dir: str):
+    """Every 7th doc gets a REAL MJPEG AVI (deterministic frames;
+    container walk + per-frame JPEG decode, sigs over decoded RGB),
+    the rest raw text bytes (declared fake path)."""
+    from pdf_extract_ray.ops.codecs import encode_avi_mjpeg
     from pdf_extract_ray.ops.multimodal import sample_frames
 
     def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 7 == 0:
+                side = 8 + d % 8
+                frames = [((np.arange(side * side * 3, dtype=np.int64)
+                            * (d + fi + 3)) % 256).astype(np.uint8)
+                          .reshape(side, side, 3)
+                          for fi in range(1 + d % 4)]
+                payloads.append(encode_avi_mjpeg(frames))
+            else:
+                payloads.append((t * 50).encode("utf-8"))
         return pa.Table.from_arrays(
-            [batch.column("doc_id"),
-             pa.array([(t * 50).encode("utf-8") for t in batch.column("text").to_pylist()],
-                      pa.binary())],
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
             names=["item_id", "payload"])
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return sample_frames(ds.map_batches(to_payload, batch_format="pyarrow"),
-                         every_n=10)
+                         every_n=2)
 
 
 def _q_events_hourly(sf_dir: str):

@@ -35,6 +35,8 @@ def sniff_media(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"AVI ":
+        return "avi"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     return "unknown"
@@ -704,3 +706,64 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
     out += bytes(wtr.out)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# -- AVI / MJPEG (RIFF container; frames are baseline JPEGs) -----------------
+#
+# Motion-JPEG in AVI is the one video format the pure-python stack can
+# decode END TO END (container = RIFF chunk walk, frames = decode_jpeg),
+# so video frame sampling gets a real path; other containers (MP4...)
+# still fall back to the declared fake in ops/multimodal.py.
+
+
+def parse_avi_mjpeg(data: bytes):
+    """-> list of JPEG frame payloads from an AVI 'movi' list ('00dc'/
+    '00db' chunks).  Raises ValueError on non-AVI/damaged input."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames = []
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, len(data))
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(data[body_start:body_end])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("no MJPEG frames")
+    return frames
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """list of uint8 (h, w, 3) arrays -> minimal MJPEG AVI bytes
+    (fixture-side; hdrl with avih/strh/strf + movi list)."""
+    jpegs = [encode_jpeg(f) for f in frames]
+    h, w = frames[0].shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10,
+                       len(jpegs), 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0,
+                                            0, 1, fps, 0, len(jpegs),
+                                            0, 0, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -9,7 +9,8 @@ declared deterministic fake (`DETERMINISTIC_FAKE_DECODE` path) so the
 Ray-side plumbing — schema, batch size, actor pool signature, output
 layout — stays total and testable; swap the fallback for PIL/pyav in
 production without changing the stage contract.  Video frame sampling
-remains a stub (no pure-Python container parser).
+is REAL for MJPEG-in-AVI (RIFF container walk + per-frame JPEG
+decode); other containers (MP4, ...) keep the declared fake.
 """
 from __future__ import annotations
 
@@ -143,29 +144,51 @@ def image_features(ds, *, batch_size: int = 8, concurrency=None):
 
 
 class FrameSampleBatch:
-    """Video frame-sampling stage (STUB): emits one row per sampled frame
-    index — the flat_map-shaped layout a real sampler would produce."""
+    """Video frame-sampling stage: REAL decode for MJPEG-in-AVI
+    (ops/codecs.parse_avi_mjpeg container walk + decode_jpeg per
+    sampled frame — frame_sig hashes the DECODED RGB pixels, so
+    re-muxed containers with identical frames dedup together); other
+    containers (MP4, ...) keep the declared byte-window fake so the
+    stage stays total.  Emits one row per sampled frame — the
+    flat_map-shaped layout."""
 
     def __init__(self, every_n: int = 30):
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import decode_jpeg, parse_avi_mjpeg
         ids_out: List[int] = []
         frame_idx: List[int] = []
         frame_sig: List[bytes] = []
+        status: List[str] = []
         for item_id, payload in zip(batch.column("item_id").to_pylist(),
                                     batch.column("payload").to_pylist()):
             payload = payload or b""
-            n_frames = max(1, len(payload) // 1024)  # STUB: 1 "frame"/KiB
+            if sniff_media(payload) == "avi":
+                try:
+                    frames = parse_avi_mjpeg(payload)
+                    for fi in range(0, len(frames), self.every_n):
+                        img = decode_jpeg(frames[fi])
+                        ids_out.append(item_id)
+                        frame_idx.append(fi)
+                        frame_sig.append(hashlib.blake2b(
+                            img.tobytes(), digest_size=8).digest())
+                        status.append("ok")
+                    continue
+                except Exception:
+                    pass  # damaged AVI: fall through to the fake path
+            n_frames = max(1, len(payload) // 1024)  # fake: 1 "frame"/KiB
             for fi in range(0, n_frames, self.every_n):
                 ids_out.append(item_id)
                 frame_idx.append(fi)
                 frame_sig.append(hashlib.blake2b(
                     payload[fi * 1024:(fi + 1) * 1024], digest_size=8).digest())
+                status.append("fake")
         return pa.Table.from_arrays(
             [pa.array(ids_out, pa.int64()), pa.array(frame_idx, pa.int32()),
-             pa.array(frame_sig, pa.binary())],
-            names=["item_id", "frame_idx", "frame_sig"])
+             pa.array(frame_sig, pa.binary()),
+             pa.array(status, pa.string())],
+            names=["item_id", "frame_idx", "frame_sig", "status"])
 
 
 def sample_frames(ds, *, every_n: int = 30, batch_size: int = 4, concurrency=None):

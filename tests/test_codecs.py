@@ -403,3 +403,54 @@ class TestJpegStages:
             .reshape(8, 8, 3)
         assert np.abs(px.astype(int)
                       - np.array([10, 250, 120])).max() <= 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMjpegAvi:
+    def test_roundtrip_and_real_frame_sampling(self):
+        import hashlib
+
+        import ray
+        from pdf_extract_ray.ops.codecs import (decode_jpeg,
+                                                encode_avi_mjpeg,
+                                                parse_avi_mjpeg)
+        from pdf_extract_ray.ops.multimodal import sample_frames
+        frames = [np.full((16, 24, 3), [10 * i, 100, 200 - 10 * i],
+                          np.uint8) for i in range(5)]
+        avi = encode_avi_mjpeg(frames)
+        assert len(parse_avi_mjpeg(avi)) == 5
+        t = pa.table({"item_id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array([avi, b"not-a-video" * 200],
+                                          pa.binary())})
+        out = sample_frames(ray.data.from_arrow(t),
+                            every_n=2).to_pandas()
+        real = out[out.item_id == 1]
+        assert real.frame_idx.tolist() == [0, 2, 4]
+        assert (real.status == "ok").all()
+        # sigs hash DECODED pixels: recompute independently
+        want = hashlib.blake2b(
+            decode_jpeg(parse_avi_mjpeg(avi)[2]).tobytes(),
+            digest_size=8).digest()
+        assert real[real.frame_idx == 2].frame_sig.iloc[0] == want
+        fake = out[out.item_id == 2]
+        assert (fake.status == "fake").all() and len(fake) >= 1
+
+    def test_damaged_avi_total(self):
+        import ray
+        from pdf_extract_ray.ops.codecs import encode_avi_mjpeg
+        from pdf_extract_ray.ops.multimodal import sample_frames
+        frames = [np.full((8, 8, 3), 50, np.uint8)]
+        avi = bytearray(encode_avi_mjpeg(frames))
+        avi[40:200] = b"\x00" * 160  # wreck the header region
+        t = pa.table({"item_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([bytes(avi)], pa.binary())})
+        out = sample_frames(ray.data.from_arrow(t),
+                            every_n=1).to_pandas()
+        assert len(out) >= 1  # fell back, stayed total
+
+    def test_parse_rejects_non_avi(self):
+        from pdf_extract_ray.ops.codecs import parse_avi_mjpeg
+        with pytest.raises(ValueError):
+            parse_avi_mjpeg(b"RIFFxxxxWAVE")
+        with pytest.raises(ValueError):
+            parse_avi_mjpeg(b"junk")
