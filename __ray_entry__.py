@@ -3288,6 +3288,153 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_sessionize_sweep(sf_dir: str):
+    """Idle-timeout sensitivity sweep: session counts for THREE
+    timeouts (5 min / 30 min / 2 h) from ONE user-keyed pass — the
+    parameter-tuning companion to sessionize (per user, n_sessions(T)
+    = 1 + #gaps > T; a gap histogram computed once serves every
+    threshold) -> (timeout_s, n_users, n_sessions)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    TIMEOUTS = (300, 1800, 7200)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        t = pa.table({
+            "u": pc.fill_null(pc.cast(b.column("user_id"),
+                                      pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64()),
+            "eid": pc.fill_null(pc.cast(b.column("event_id"),
+                                        pa.int64()), -1)})
+        return t.filter(pc.is_valid(b.column("ts")))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"timeout_s": "int64", "nu": "int64", "ns": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["u", "ts_us", "eid"], kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        n_users = len(np.unique(u))
+        out = [{"timeout_s": t_s,
+                "nu": n_users,
+                "ns": n_users + int((gaps > t_s * 1_000_000).sum())}
+               for t_s in TIMEOUTS]
+        return pd.DataFrame(out).astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["u"], resolve) \
+        .groupby("timeout_s").aggregate(Sum("nu"), Sum("ns")) \
+        .take_all()
+    out_cols = {"timeout_s": "int64", "n_users": "int64",
+                "n_sessions": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame([{
+        "timeout_s": int(r["timeout_s"]),
+        "n_users": int(r["sum(nu)"]),
+        "n_sessions": int(r["sum(ns)"])} for r in rows]) \
+        .astype(out_cols).sort_values("timeout_s") \
+        .reset_index(drop=True)
+
+
+def _q_dup_span_coverage(sf_dir: str):
+    """Per-source duplication pressure from the EXACT substring dedup:
+    share of tokens covered by sa_dup_spans' >= 13-token duplicated
+    spans -> (source, n_docs, total_tokens, dup_tokens,
+    coverage_ppm).  The release-report metric the ExactSubstr paper
+    motivates, composed on the prefix-doubling kernel's output.
+
+    Scale shape: the span table joins docs on a doc_id-keyed
+    partition pass (spans are a small fraction of docs); totals close
+    in a source-domain groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import (_grouped_by_partition,
+                                           sa_dup_spans)
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "text"])
+    spans = sa_dup_spans(docs.select_columns(["doc_id", "text"]),
+                         min_len=13)
+
+    def doc_prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc": df["doc_id"].fillna(-1).astype("int64"),
+            "source": df["source"].fillna("").astype(object),
+            "ntok": t.str.count("[^ ]+").astype("int64"),
+            "dup": np.zeros(len(df), np.int64),
+            "is_doc": np.ones(len(df), np.int64)})
+
+    def span_prep(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc": "int64", "source": "object", "ntok": "int64",
+                "dup": "int64", "is_doc": "int64"}
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {k: v for k, v in cols.items() if k != "source"})
+        return pd.DataFrame({
+            "doc": df["doc_id"].to_numpy(np.int64),
+            "source": np.full(len(df), "", object),
+            "ntok": np.zeros(len(df), np.int64),
+            "dup": df["n_tokens"].to_numpy(np.int64),
+            "is_doc": np.zeros(len(df), np.int64)})
+
+    doc_rows = docs.map_batches(doc_prep, batch_format="pandas")
+    if hasattr(spans, "map_batches"):
+        span_rows = spans.map_batches(span_prep, batch_format="pandas")
+        both = doc_rows.union(span_rows)
+    else:  # typed-empty pandas frame (no dup spans at all)
+        both = doc_rows
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "n_docs": "int64",
+                "total_tokens": "int64", "dup_tokens": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {k: v for k, v in cols.items() if k != "source"})
+        dup_per_doc = df[df["is_doc"] == 0].groupby("doc")["dup"] \
+            .sum()
+        d = df[df["is_doc"] == 1].copy()
+        d["dup"] = d["doc"].map(dup_per_doc).fillna(0) \
+            .astype(np.int64)
+        g = d.groupby("source", as_index=False).agg(
+            n_docs=("doc", "size"), total_tokens=("ntok", "sum"),
+            dup_tokens=("dup", "sum"))
+        return g.astype(cols)
+
+    rows = _grouped_by_partition(both, ["doc"], resolve) \
+        .groupby("source").aggregate(Sum("n_docs"),
+                                     Sum("total_tokens"),
+                                     Sum("dup_tokens")).take_all()
+    out_cols = {"source": "object", "n_docs": "int64",
+                "total_tokens": "int64", "dup_tokens": "int64",
+                "coverage_ppm": "int64"}
+    num = {k: "int64" for k in list(out_cols)[1:]}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    out = []
+    for r in rows:
+        tot = int(r["sum(total_tokens)"])
+        dup = int(r["sum(dup_tokens)"])
+        out.append({"source": r["source"],
+                    "n_docs": int(r["sum(n_docs)"]),
+                    "total_tokens": tot, "dup_tokens": dup,
+                    "coverage_ppm": (dup * 1_000_000) // tot
+                    if tot else 0})
+    return pd.DataFrame(out).astype(num) \
+        .sort_values("source").reset_index(drop=True)
+
+
 def _q_event_order_audit(sf_dir: str):
     """Out-of-order ingestion audit (the stream-quality check): per
     user, count adjacent pairs in (ts, event_id) order whose event_id
@@ -11565,6 +11712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "sessionize_sweep": _q_sessionize_sweep,
+        "dup_span_coverage": _q_dup_span_coverage,
         "event_order_audit": _q_event_order_audit,
         "dow_hour_heatmap": _q_dow_hour_heatmap,
         "interarrival_buckets": _q_interarrival_buckets,
@@ -17046,6 +17195,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "sessionize_sweep": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t,
+                              COALESCE(event_id, -1) AS eid
+                       FROM events WHERE ts IS NOT NULL),
+            w AS (SELECT u, t - LAG(t) OVER (PARTITION BY u
+                                             ORDER BY t, eid) AS gap
+                  FROM e),
+            a AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu
+                  FROM e),
+            ts3 AS (SELECT unnest([300, 1800, 7200]) AS timeout_s),
+            g AS (SELECT ts3.timeout_s,
+                         CAST(count(*) FILTER (WHERE w.gap >
+                              CAST(ts3.timeout_s AS BIGINT)
+                              * 1000000) AS BIGINT)
+                             AS extra
+                  FROM ts3 CROSS JOIN w GROUP BY 1)
+            SELECT CAST(g.timeout_s AS BIGINT) AS timeout_s,
+                   a.nu AS n_users,
+                   CAST(a.nu + g.extra AS BIGINT) AS n_sessions
+            FROM g CROSS JOIN a
+        """,
+        "dup_span_coverage": """
+            WITH d AS (SELECT doc_id, COALESCE(source, '') AS source,
+                              list_filter(
+                                  string_split(COALESCE(text, ''),
+                                               ' '),
+                                  x -> x <> '') AS toks
+                       FROM documents WHERE doc_id IS NOT NULL),
+            t AS (SELECT doc_id, len(toks) AS n, toks,
+                         unnest(range(len(toks))) AS p
+                  FROM d),
+            w AS (SELECT doc_id, p,
+                         array_to_string(
+                             list_slice(toks,
+                                        CAST(p + 1 AS BIGINT),
+                                        CAST(p + 13 AS BIGINT)),
+                             ' ') AS win
+                  FROM t WHERE p + 13 <= n),
+            g AS (SELECT win FROM w GROUP BY win
+                  HAVING count(*) >= 2),
+            f AS (SELECT w.doc_id, w.p FROM w JOIN g USING (win)),
+            i AS (SELECT doc_id, p,
+                         CASE WHEN p - lag(p) OVER (
+                                  PARTITION BY doc_id ORDER BY p)
+                                  <= 13
+                              THEN 0 ELSE 1 END AS brk
+                  FROM f),
+            s AS (SELECT doc_id, p,
+                         SUM(brk) OVER (PARTITION BY doc_id
+                                        ORDER BY p
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS isl
+                  FROM i),
+            sp AS (SELECT doc_id,
+                          MAX(p) + 13 - MIN(p) AS n_tokens
+                   FROM s GROUP BY doc_id, isl),
+            spd AS (SELECT doc_id,
+                           CAST(sum(n_tokens) AS BIGINT) AS dup
+                    FROM sp GROUP BY 1),
+            j AS (SELECT d.source, d.doc_id, len(d.toks) AS ntok,
+                         COALESCE(spd.dup, 0) AS dup
+                  FROM d LEFT JOIN spd USING (doc_id))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   CAST(sum(dup) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN sum(ntok) > 0
+                        THEN (sum(dup) * 1000000) // sum(ntok)
+                        ELSE 0 END AS BIGINT) AS coverage_ppm
+            FROM j GROUP BY 1
         """,
         "event_order_audit": """
             WITH e AS (SELECT COALESCE(user_id, -1) AS u,

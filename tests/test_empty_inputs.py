@@ -158,6 +158,8 @@ QUERIES = [
     "cohort_retention", "revenue_drawdown", "revenue_lorenz",
     # round 4 wave 43: order audit, heatmap, interarrival buckets
     "event_order_audit", "dow_hour_heatmap", "interarrival_buckets",
+    # round 4 wave 44: sessionize sweep, dup-span coverage
+    "sessionize_sweep", "dup_span_coverage",
 ]
 
 
@@ -288,6 +290,8 @@ ONE_ROW_QUERIES = [
     "cohort_retention", "revenue_drawdown", "revenue_lorenz",
     # round 4 wave 43: order audit, heatmap, interarrival buckets
     "event_order_audit", "dow_hour_heatmap", "interarrival_buckets",
+    # round 4 wave 44: sessionize sweep, dup-span coverage
+    "sessionize_sweep", "dup_span_coverage",
 ]
 
 

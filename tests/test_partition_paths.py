@@ -100,7 +100,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round 4: prefix-doubling suffix-array dup spans
            "sa_dup_spans", "nation_revenue_trend",
            "goodturing_counts", "cohort_retention",
-           "interarrival_buckets"]
+           "interarrival_buckets", "sessionize_sweep",
+           "dup_span_coverage"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
