@@ -269,7 +269,17 @@ def run_ops(sf_dir: str):
              "session_entry_exit",
              "conformal_coverage", "stable_top_words",
              "session_conversion_by_entry",
-             "dau_new_returning", "user_hour_entropy"]
+             "dau_new_returning", "user_hour_entropy",
+             # round 4: VERDICT items + waves 41-44
+             "ann_topk_ivfpq", "html_extract_eval", "sa_dup_spans",
+             "daily_ewma_counts", "spike_days", "nation_revenue_trend",
+             "goodturing_counts", "cohort_retention",
+             "revenue_drawdown", "revenue_lorenz", "event_order_audit",
+             "dow_hour_heatmap", "interarrival_buckets",
+             "sessionize_sweep", "dup_span_coverage"]
+    # future-proof: any queries() entry not explicitly ordered above
+    # still gets measured (new waves can't silently skip the bench)
+    names += [n for n in sorted(qs) if n not in names]
     out = {}
     # soft wall budget: the first pass ALWAYS completes (every op gets a
     # measurement); the second best-of-2 pass stops when the budget is
