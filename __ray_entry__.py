@@ -3288,6 +3288,84 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_heaps_curve(sf_dir: str):
+    """Heaps'-law vocabulary growth curve: distinct-term count after
+    each doc_id decile of the corpus (docs ordered by doc_id) ->
+    (decile, boundary_doc_id, vocab_size).  The tokenizer-budget /
+    OOV-planning curve.
+
+    Scale shape: boundaries from the sorted distinct doc_id list
+    (driver holds #docs ids — the gains_table bound; swap for the
+    distributed quantile_disc kernel beyond that); vocabulary counts
+    from a term-keyed partition pass emitting each term's FIRST
+    doc_id binned against the broadcast boundaries — V(k) closes as a
+    10-cell cumsum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def id_prep(b: pa.Table) -> pa.Table:
+        ids = pc.drop_null(pc.cast(b.column("doc_id"), pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.unique(ids))})
+
+    ids = np.unique(np.concatenate(
+        [b.column("doc_id").to_numpy(zero_copy_only=False)
+         for b in ds.map_batches(id_prep, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    out_cols = {"decile": "int64", "boundary_doc_id": "int64",
+                "vocab_size": "int64"}
+    if len(ids) < 10:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    n = len(ids)
+    bounds = np.array([ids[(n * k) // 10 - 1] for k in range(1, 11)],
+                      np.int64)
+    import ray
+    b_ref = ray.put(bounds)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.split(" ").explode()
+        s = s[s != ""]
+        fd = pd.DataFrame({
+            "term": s.to_numpy(object),
+            "fd": df["doc_id"].fillna(-1).astype("int64")
+            .reindex(s.index).to_numpy(np.int64)}) \
+            .groupby("term", as_index=False)["fd"].min()
+        return fd
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bin": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        import ray as _ray
+        bnds = _ray.get(b_ref)
+        fd = df.groupby("term", sort=False)["fd"].min() \
+            .to_numpy(np.int64)
+        j = np.searchsorted(bnds, fd, side="left")
+        vc = pd.Series(j).value_counts()
+        return pd.DataFrame({
+            "bin": vc.index.to_numpy(np.int64),
+            "n": vc.to_numpy(np.int64)}).astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pandas"), ["term"],
+        resolve).groupby("bin").aggregate(Sum("n")).take_all()
+    hist = np.zeros(11, np.int64)
+    for r in rows:
+        b = int(r["bin"])
+        if 0 <= b <= 10:
+            hist[b] += int(r["sum(n)"])
+    cum = np.cumsum(hist)
+    return pd.DataFrame([{
+        "decile": k, "boundary_doc_id": int(bounds[k - 1]),
+        "vocab_size": int(cum[k - 1])} for k in range(1, 11)]) \
+        .astype(out_cols)
+
+
 def _q_sessionize_sweep(sf_dir: str):
     """Idle-timeout sensitivity sweep: session counts for THREE
     timeouts (5 min / 30 min / 2 h) from ONE user-keyed pass — the
@@ -11712,6 +11790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "heaps_curve": _q_heaps_curve,
         "sessionize_sweep": _q_sessionize_sweep,
         "dup_span_coverage": _q_dup_span_coverage,
         "event_order_audit": _q_event_order_audit,
@@ -17195,6 +17274,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "heaps_curve": """
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents WHERE doc_id IS NOT NULL),
+            ids AS (SELECT DISTINCT doc_id FROM d),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ids),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY doc_id) AS rn
+                  FROM ids),
+            b AS (SELECT k.k, r.doc_id AS boundary
+                  FROM (SELECT unnest(range(1, 11)) AS k) k
+                  JOIN nn ON TRUE
+                  JOIN r ON r.rn = (nn.c * k.k) // 10),
+            w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+                  FROM d),
+            fo AS (SELECT term, min(doc_id) AS fd FROM w
+                   WHERE term <> '' GROUP BY 1)
+            SELECT CAST(b.k AS BIGINT) AS decile,
+                   CAST(b.boundary AS BIGINT) AS boundary_doc_id,
+                   CAST(count(fo.term) AS BIGINT) AS vocab_size
+            FROM b LEFT JOIN fo ON fo.fd <= b.boundary
+            GROUP BY 1, 2
         """,
         "sessionize_sweep": """
             WITH e AS (SELECT COALESCE(user_id, -1) AS u,
