@@ -3288,6 +3288,79 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_logrank_lifetimes(sf_dir: str):
+    """Two-sample log-rank test on user lifetimes (cohorts = user_id
+    parity, all uncensored): observed deaths O1 in cohort A plus the
+    exact floor-ppm expected/variance sums E1 = sum d*n1//n and V =
+    sum d*n1*n2*(n-d) // (n^2*(n-1)) over distinct death days -> one
+    row (n_users_a, n_users_b, o1, e1_ppm, v_ppm).  The survival
+    A/B-test statistic, exact integers end to end (the KM per-step
+    quantization precedent).
+
+    Scale shape: user-keyed lifetime pass -> bounded day-domain
+    groupby -> driver walks the sorted day table with Python
+    arbitrary-precision ints (the products overflow int64)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_col = b.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        t = pa.table({
+            "u": pc.fill_null(pc.cast(b.column("user_id"),
+                                      pa.int64()), -1),
+            "ts_us": pc.cast(ts_col, pa.int64())})
+        return t.filter(pc.is_valid(b.column("ts")))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"d": "int64", "d1": "int64", "dd": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("u")["ts_us"].agg(["min", "max"])
+        life = (g["max"].to_numpy(np.int64)
+                - g["min"].to_numpy(np.int64)) // DAY
+        grp = np.abs(g.index.to_numpy(np.int64)) % 2
+        t = pd.DataFrame({"d": life, "a": (grp == 0).astype(np.int64),
+                          "n": 1}).groupby("d", as_index=False).sum()
+        return pd.DataFrame({"d": t["d"].to_numpy(np.int64),
+                             "d1": t["a"].to_numpy(np.int64),
+                             "dd": t["n"].to_numpy(np.int64)}) \
+            .astype(cols)
+
+    rows = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pyarrow"), ["u"], resolve) \
+        .groupby("d").aggregate(Sum("d1"), Sum("dd")).take_all()
+    out_cols = {"n_users_a": "int64", "n_users_b": "int64",
+                "o1": "int64", "e1_ppm": "int64", "v_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    recs = sorted((int(r["d"]), int(r["sum(d1)"]), int(r["sum(dd)"]))
+                  for r in rows)
+    t1 = sum(d1 for _, d1, _ in recs)
+    tt = sum(dd for _, _, dd in recs)
+    n1 = t1
+    n = tt
+    o1 = t1
+    e1 = 0
+    v = 0
+    for _, d1, dd in recs:
+        e1 += (dd * n1 * 1_000_000) // n
+        if n > 1:
+            v += (dd * n1 * (n - n1) * (n - dd) * 1_000_000) \
+                // (n * n * (n - 1))
+        n1 -= d1
+        n -= dd
+    return pd.DataFrame([{
+        "n_users_a": t1, "n_users_b": tt - t1, "o1": o1,
+        "e1_ppm": e1, "v_ppm": v}]).astype(out_cols)
+
+
 def _q_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary growth curve: distinct-term count after
     each doc_id decile of the corpus (docs ordered by doc_id) ->
@@ -11790,6 +11863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "logrank_lifetimes": _q_logrank_lifetimes,
         "heaps_curve": _q_heaps_curve,
         "sessionize_sweep": _q_sessionize_sweep,
         "dup_span_coverage": _q_dup_span_coverage,
@@ -17274,6 +17348,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "logrank_lifetimes": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              epoch_us(ts) AS t
+                       FROM events WHERE ts IS NOT NULL),
+            lt AS (SELECT u, (max(t) - min(t)) // 86400000000 AS d,
+                          abs(u) % 2 AS g
+                   FROM e GROUP BY u),
+            dt AS (SELECT d,
+                          CAST(count(*) FILTER (WHERE g = 0)
+                               AS HUGEINT) AS d1,
+                          CAST(count(*) AS HUGEINT) AS dd
+                   FROM lt GROUP BY d),
+            tot AS (SELECT CAST(count(*) FILTER (WHERE g = 0)
+                                AS HUGEINT) AS t1,
+                           CAST(count(*) AS HUGEINT) AS tt
+                    FROM lt),
+            w AS (SELECT d, d1, dd,
+                         tot.t1 - COALESCE(SUM(d1) OVER (
+                             ORDER BY d ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS n1,
+                         tot.tt - COALESCE(SUM(dd) OVER (
+                             ORDER BY d ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS n
+                  FROM dt CROSS JOIN tot)
+            SELECT CAST(ANY_VALUE(tot.t1) AS BIGINT) AS n_users_a,
+                   CAST(ANY_VALUE(tot.tt - tot.t1) AS BIGINT)
+                       AS n_users_b,
+                   CAST(SUM(w.d1) AS BIGINT) AS o1,
+                   CAST(SUM((w.dd * w.n1 * 1000000) // w.n)
+                        AS BIGINT) AS e1_ppm,
+                   CAST(SUM(CASE WHEN w.n > 1 THEN
+                        (w.dd * w.n1 * (w.n - w.n1) * (w.n - w.dd)
+                         * 1000000) // (w.n * w.n * (w.n - 1))
+                        ELSE 0 END) AS BIGINT) AS v_ppm
+            FROM w CROSS JOIN tot
         """,
         "heaps_curve": """
             WITH d AS (SELECT doc_id, COALESCE(text, '') AS t

@@ -160,8 +160,8 @@ QUERIES = [
     "event_order_audit", "dow_hour_heatmap", "interarrival_buckets",
     # round 4 wave 44: sessionize sweep, dup-span coverage
     "sessionize_sweep", "dup_span_coverage",
-    # round 4 wave 45: Heaps curve
-    "heaps_curve",
+    # round 4 wave 45: Heaps curve, log-rank survival A/B
+    "heaps_curve", "logrank_lifetimes",
 ]
 
 
@@ -294,8 +294,8 @@ ONE_ROW_QUERIES = [
     "event_order_audit", "dow_hour_heatmap", "interarrival_buckets",
     # round 4 wave 44: sessionize sweep, dup-span coverage
     "sessionize_sweep", "dup_span_coverage",
-    # round 4 wave 45: Heaps curve
-    "heaps_curve",
+    # round 4 wave 45: Heaps curve, log-rank survival A/B
+    "heaps_curve", "logrank_lifetimes",
 ]
 
 
