@@ -68,8 +68,8 @@ def _image_features_real(img: np.ndarray, dim: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, feature_dim: int):
-    """-> (w, h, channels, features): real decode for PNG/BMP, declared
-    deterministic fake for anything else."""
+    """-> (w, h, channels, features): real decode for baseline
+    JPEG/PNG/BMP, declared deterministic fake for anything else."""
     kind = sniff_media(payload or b"")
     if kind == "png":
         img = decode_png(payload)
