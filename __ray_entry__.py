@@ -3288,6 +3288,47 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_chunk_for_training(sf_dir: str):
+    """Training-prep chunking plan: every doc splits into 128-token
+    windows with 16-token overlap (stride 112; n_chunks =
+    (n_tokens + 95) // 112, last chunk always > overlap long) ->
+    (doc_id, chunk_idx, start_tok, n_tokens).  The
+    long-document-to-context-window layout step before packing.
+
+    Scale shape: PURE map-side — vectorized token counts + numpy
+    explode (repeat/arange), zero shuffles; output is corpus-sized by
+    design (a transform, not an aggregate)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, STEP = 128, 112
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "chunk_idx": "int64",
+                "start_tok": "int64", "n_tokens": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        n = df["text"].fillna("").str.count("[^ ]+") \
+            .to_numpy(np.int64)
+        doc = df["doc_id"].fillna(-1).astype("int64") \
+            .to_numpy(np.int64)
+        n_chunks = np.where(n > 0, (n + 95) // STEP, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        doc_rep = np.repeat(doc, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        offs = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        idx = np.arange(total, dtype=np.int64) - offs
+        start = idx * STEP
+        length = np.minimum(W, n_rep - start)
+        return pd.DataFrame({
+            "doc_id": doc_rep, "chunk_idx": idx,
+            "start_tok": start, "n_tokens": length}).astype(cols)
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
 def _q_logrank_lifetimes(sf_dir: str):
     """Two-sample log-rank test on user lifetimes (cohorts = user_id
     parity, all uncensored): observed deaths O1 in cohort A plus the
@@ -11863,6 +11904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "chunk_for_training": _q_chunk_for_training,
         "logrank_lifetimes": _q_logrank_lifetimes,
         "heaps_curve": _q_heaps_curve,
         "sessionize_sweep": _q_sessionize_sweep,
@@ -17348,6 +17390,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "chunk_for_training": """
+            WITH d AS (SELECT COALESCE(doc_id, -1) AS doc_id,
+                              len(list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '')) AS n
+                       FROM documents),
+            c AS (SELECT doc_id, n,
+                         unnest(range((n + 95) // 112)) AS i
+                  FROM d WHERE n > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 112 AS BIGINT) AS start_tok,
+                   CAST(LEAST(128, n - i * 112) AS BIGINT)
+                       AS n_tokens
+            FROM c
         """,
         "logrank_lifetimes": """
             WITH e AS (SELECT COALESCE(user_id, -1) AS u,

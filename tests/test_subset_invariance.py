@@ -18,7 +18,8 @@ SF = "/root/testdata/sf0.001"
 # queries whose output is one row per input doc, map-only by contract
 MAP_ONLY = ["token_counts", "quality_scores", "normalize_text",
             "lang_id", "repetition_scores", "redact_pii",
-            "dataset_splits", "deterministic_sample", "fingerprints"]
+            "dataset_splits", "deterministic_sample", "fingerprints",
+            "chunk_for_training"]
 
 
 def _entry():
