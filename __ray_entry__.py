@@ -3288,6 +3288,63 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_ipf_raking(sf_dir: str):
+    """Iterative proportional fitting (raking) of the (source, lang)
+    contingency table to UNIFORM target margins — the survey-weighting
+    / dataset-rebalancing primitive: 4 unrolled row+column scaling
+    rounds in exact ppm-mass integers (w' = w * target_mass //
+    axis_sum, fixed order — the Markov-stationary unrolled-iteration
+    precedent) -> (source, lang, n_docs, raked_docs).
+
+    Scale shape: ONE bounded (source x lang) count groupby; the tiny
+    table rakes on the driver with Python ints; the oracle unrolls
+    the identical rounds as CTEs."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": pc.fill_null(pc.cast(b.column("source"),
+                                           pa.string()), ""),
+            "lang": pc.fill_null(pc.cast(b.column("lang"),
+                                         pa.string()), "und")})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Count()).take_all()
+    out_cols = {"source": "object", "lang": "object",
+                "n_docs": "int64", "raked_docs": "int64"}
+    num = {"n_docs": "int64", "raked_docs": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    cells = {(r["source"], r["lang"]): int(r["count()"])
+             for r in rows}
+    total = sum(cells.values())
+    srcs = sorted({s for s, _ in cells})
+    langs = sorted({l for _, l in cells})
+    ns, nl = len(srcs), len(langs)
+    # uniform targets with remainder to the lexicographically first
+    row_t = {s: (total // ns + (1 if i < total % ns else 0))
+             * 1_000_000 for i, s in enumerate(srcs)}
+    col_t = {l: (total // nl + (1 if i < total % nl else 0))
+             * 1_000_000 for i, l in enumerate(langs)}
+    w = {k: v * 1_000_000 for k, v in cells.items()}
+    for _ in range(4):
+        rs = {s: sum(w[(s2, l)] for (s2, l) in w if s2 == s)
+              for s in srcs}
+        w = {(s, l): (w[(s, l)] * row_t[s]) // rs[s]
+             for (s, l) in w if rs[s] > 0}
+        cs = {l: sum(w[(s, l2)] for (s, l2) in w if l2 == l)
+              for l in langs}
+        w = {(s, l): (w[(s, l)] * col_t[l]) // cs[l]
+             for (s, l) in w if cs[l] > 0}
+    out = [{"source": s2, "lang": l2, "n_docs": cells[(s2, l2)],
+            "raked_docs": w.get((s2, l2), 0) // 1_000_000}
+           for (s2, l2) in sorted(cells)]
+    return pd.DataFrame(out).astype(num)
+
+
 def _q_chunk_for_training(sf_dir: str):
     """Training-prep chunking plan: every doc splits into 128-token
     windows with 16-token overlap (stride 112; n_chunks =
@@ -11904,6 +11961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "ipf_raking": _q_ipf_raking,
         "chunk_for_training": _q_chunk_for_training,
         "logrank_lifetimes": _q_logrank_lifetimes,
         "heaps_curve": _q_heaps_curve,
@@ -17390,6 +17448,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "ipf_raking": """
+            WITH d AS (SELECT COALESCE(source, '') AS s,
+                              COALESCE(lang, 'und') AS l
+                       FROM documents),
+            c AS (SELECT s, l, CAST(count(*) AS HUGEINT) AS n
+                  FROM d GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(n) AS HUGEINT) AS t FROM c),
+            sr AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS i
+                   FROM (SELECT DISTINCT s FROM c)),
+            lr AS (SELECT l, row_number() OVER (ORDER BY l) - 1 AS j
+                   FROM (SELECT DISTINCT l FROM c)),
+            ns AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM sr),
+            nl AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM lr),
+            rt AS (SELECT sr.s, (tot.t // ns.k + CASE WHEN sr.i <
+                          tot.t % ns.k THEN 1 ELSE 0 END) * 1000000
+                          AS m
+                   FROM sr CROSS JOIN tot CROSS JOIN ns),
+            ct AS (SELECT lr.l, (tot.t // nl.k + CASE WHEN lr.j <
+                          tot.t % nl.k THEN 1 ELSE 0 END) * 1000000
+                          AS m
+                   FROM lr CROSS JOIN tot CROSS JOIN nl),
+            w0 AS (SELECT s, l, n, n * 1000000 AS w FROM c),
+            r1 AS (SELECT w0.s, w0.l, n, (w * rt.m) //
+                          SUM(w) OVER (PARTITION BY w0.s) AS w
+                   FROM w0 JOIN rt ON rt.s = w0.s),
+            c1 AS (SELECT r1.s, r1.l, n, (w * ct.m) //
+                          SUM(w) OVER (PARTITION BY r1.l) AS w
+                   FROM r1 JOIN ct ON ct.l = r1.l),
+            r2 AS (SELECT c1.s, c1.l, n, (w * rt.m) //
+                          SUM(w) OVER (PARTITION BY c1.s) AS w
+                   FROM c1 JOIN rt ON rt.s = c1.s),
+            c2 AS (SELECT r2.s, r2.l, n, (w * ct.m) //
+                          SUM(w) OVER (PARTITION BY r2.l) AS w
+                   FROM r2 JOIN ct ON ct.l = r2.l),
+            r3 AS (SELECT c2.s, c2.l, n, (w * rt.m) //
+                          SUM(w) OVER (PARTITION BY c2.s) AS w
+                   FROM c2 JOIN rt ON rt.s = c2.s),
+            c3 AS (SELECT r3.s, r3.l, n, (w * ct.m) //
+                          SUM(w) OVER (PARTITION BY r3.l) AS w
+                   FROM r3 JOIN ct ON ct.l = r3.l),
+            r4 AS (SELECT c3.s, c3.l, n, (w * rt.m) //
+                          SUM(w) OVER (PARTITION BY c3.s) AS w
+                   FROM c3 JOIN rt ON rt.s = c3.s),
+            c4 AS (SELECT r4.s, r4.l, n, (w * ct.m) //
+                          SUM(w) OVER (PARTITION BY r4.l) AS w
+                   FROM r4 JOIN ct ON ct.l = r4.l)
+            SELECT s AS source, l AS lang,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(w // 1000000 AS BIGINT) AS raked_docs
+            FROM c4
         """,
         "chunk_for_training": """
             WITH d AS (SELECT COALESCE(doc_id, -1) AS doc_id,

@@ -162,8 +162,8 @@ QUERIES = [
     "sessionize_sweep", "dup_span_coverage",
     # round 4 wave 45: Heaps curve, log-rank survival A/B
     "heaps_curve", "logrank_lifetimes",
-    # round 4 wave 46: training chunk plan
-    "chunk_for_training",
+    # round 4 wave 46/47: training chunk plan, IPF raking
+    "chunk_for_training", "ipf_raking",
 ]
 
 
@@ -298,8 +298,8 @@ ONE_ROW_QUERIES = [
     "sessionize_sweep", "dup_span_coverage",
     # round 4 wave 45: Heaps curve, log-rank survival A/B
     "heaps_curve", "logrank_lifetimes",
-    # round 4 wave 46: training chunk plan
-    "chunk_for_training",
+    # round 4 wave 46/47: training chunk plan, IPF raking
+    "chunk_for_training", "ipf_raking",
 ]
 
 

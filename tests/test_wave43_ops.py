@@ -98,3 +98,21 @@ class TestDowHourHeatmap:
             out = m.queries()["dow_hour_heatmap"](td)
         # 1970-01-01 was a Thursday: (0 + 3) % 7 = 3, hour 5
         assert out.values.tolist() == [[3, 5, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIpfRaking:
+    def test_margins_converge_to_uniform(self):
+        m = _entry("ipf")
+        out = m.queries()["ipf_raking"]("/root/testdata/sf0.001")
+        total = out["n_docs"].sum()
+        ns = out["source"].nunique()
+        nl = out["lang"].nunique()
+        # after 4 rounds the raked column margins are exact (last step
+        # scales columns) and row margins are within 1% of uniform
+        col = out.groupby("lang")["raked_docs"].sum()
+        assert (abs(col - total / nl) <= max(2, total // 100)).all()
+        row = out.groupby("source")["raked_docs"].sum()
+        assert (abs(row - total / ns) <= max(2, total / 50)).all()
+        # mass approximately conserved
+        assert abs(out["raked_docs"].sum() - total) <= total // 100
