@@ -3294,7 +3294,7 @@ def _q_ipf_raking(sf_dir: str):
     / dataset-rebalancing primitive: 4 unrolled row+column scaling
     rounds in exact ppm-mass integers (w' = w * target_mass //
     axis_sum, fixed order — the Markov-stationary unrolled-iteration
-    precedent) -> (source, lang, n_docs, raked_docs).
+    precedent) -> (source, lang, n_docs, raked_mass_ppm).
 
     Scale shape: ONE bounded (source x lang) count groupby; the tiny
     table rakes on the driver with Python ints; the oracle unrolls
@@ -3314,8 +3314,8 @@ def _q_ipf_raking(sf_dir: str):
     rows = ds.map_batches(prep, batch_format="pyarrow") \
         .groupby(["source", "lang"]).aggregate(Count()).take_all()
     out_cols = {"source": "object", "lang": "object",
-                "n_docs": "int64", "raked_docs": "int64"}
-    num = {"n_docs": "int64", "raked_docs": "int64"}
+                "n_docs": "int64", "raked_mass_ppm": "int64"}
+    num = {"n_docs": "int64", "raked_mass_ppm": "int64"}
     if not rows:
         return pd.DataFrame(columns=list(out_cols)).astype(num)
     cells = {(r["source"], r["lang"]): int(r["count()"])
@@ -3340,7 +3340,7 @@ def _q_ipf_raking(sf_dir: str):
         w = {(s, l): (w[(s, l)] * col_t[l]) // cs[l]
              for (s, l) in w if cs[l] > 0}
     out = [{"source": s2, "lang": l2, "n_docs": cells[(s2, l2)],
-            "raked_docs": w.get((s2, l2), 0) // 1_000_000}
+            "raked_mass_ppm": w.get((s2, l2), 0)}
            for (s2, l2) in sorted(cells)]
     return pd.DataFrame(out).astype(num)
 
@@ -17497,7 +17497,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM r4 JOIN ct ON ct.l = r4.l)
             SELECT s AS source, l AS lang,
                    CAST(n AS BIGINT) AS n_docs,
-                   CAST(w // 1000000 AS BIGINT) AS raked_docs
+                   CAST(w AS BIGINT) AS raked_mass_ppm
             FROM c4
         """,
         "chunk_for_training": """
