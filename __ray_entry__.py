@@ -3288,6 +3288,129 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_bloom_fpr_audit(sf_dir: str):
+    """Bloom-filter false-positive audit with a FULLY DETERMINISTIC
+    sketch: purchase users populate a 1024-bit / 4-hash filter
+    (positions = md5(user_id) hex windows % 1024); 10 000 synthetic
+    out-of-set ids (max_user+1 ..) probe it; report the measured FPR
+    in exact ppm -> one row (n_members, n_probes, n_bits_set,
+    n_false_pos, fpr_ppm).  The sketch-quality companion to the
+    KMV/HLL/CMS family — every bit is md5-derived, so the ORACLE
+    rebuilds the identical filter in SQL (synthetic probes make the
+    audit non-vacuous: every observed user purchases in this corpus).
+
+    Scale shape: one bounded user-domain groupby (member flag per
+    user); positions and probes are map-side md5 over bounded id
+    lists; the 1024-bit array lives on the driver."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    M, K, NPROBE = 1024, 4, 10_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.fill_null(pc.cast(b.column("user_id"),
+                                      pa.int64()), -1),
+            "p": pc.cast(pc.equal(pc.fill_null(pc.cast(
+                b.column("event_type"), pa.string()), ""),
+                "purchase"), pa.int8())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("u").aggregate(Max("p")).take_all()
+    out_cols = {"n_members": "int64", "n_probes": "int64",
+                "n_bits_set": "int64", "n_false_pos": "int64",
+                "fpr_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+
+    def positions(u: int):
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        return [int(h[8 * i:8 * i + 8], 16) % M for i in range(K)]
+
+    members = [int(r["u"]) for r in rows if int(r["max(p)"]) == 1]
+    max_u = max(int(r["u"]) for r in rows)
+    probes = list(range(max_u + 1, max_u + 1 + NPROBE))
+    bits = set()
+    for u in members:
+        bits.update(positions(u))
+    fp = sum(1 for u in probes if all(pos in bits
+                                      for pos in positions(u)))
+    n_probes = len(probes)
+    return pd.DataFrame([{
+        "n_members": len(members), "n_probes": n_probes,
+        "n_bits_set": len(bits), "n_false_pos": fp,
+        "fpr_ppm": (fp * 1_000_000) // n_probes if n_probes else 0}]) \
+        .astype(out_cols)
+
+
+def _q_unseen_vocab_estimate(sf_dir: str):
+    """Chao1 unseen-species estimate of the BIGRAM vocabulary (how
+    many more unique bigrams a bigger crawl would surface — the
+    corpus-coverage planning number): est_milli = V*1000 +
+    (N1^2*1000)//(2*N2) (bias-corrected N1*(N1-1)//2 form when N2=0)
+    from exact singleton/doubleton counts -> one row (v_obs, n1, n2,
+    chao1_milli).
+
+    Scale shape: vectorized within-doc bigram explode (row-aligned
+    shift, no per-row Python) -> bigram-keyed partition totals ->
+    three counters."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bg": "object", "c": "int64"}
+        s = df["text"].fillna("").str.split(" ").explode()
+        s = s[s != ""]
+        if len(s) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"c": "int64"})
+        vals = s.to_numpy(object)
+        rows = s.index.to_numpy()
+        m = rows[1:] == rows[:-1]
+        if not m.any():
+            return pd.DataFrame(columns=list(cols)).astype(
+                {"c": "int64"})
+        bg = np.char.add(np.char.add(
+            vals[:-1][m].astype(str), " "), vals[1:][m].astype(str))
+        vc = pd.Series(bg).value_counts()
+        return pd.DataFrame({"bg": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)}).astype(cols)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"v": "int64", "n1": "int64", "n2": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        tot = df.groupby("bg", sort=False)["c"].sum()
+        return pd.DataFrame([{
+            "v": len(tot), "n1": int((tot == 1).sum()),
+            "n2": int((tot == 2).sum())}]).astype(cols)
+
+    parts = _grouped_by_partition(
+        ds.map_batches(prep, batch_format="pandas"), ["bg"], resolve) \
+        .to_pandas()
+    out_cols = {"v_obs": "int64", "n1": "int64", "n2": "int64",
+                "chao1_milli": "int64"}
+    if len(parts) == 0 or "v" not in parts.columns:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    v = int(parts["v"].sum())
+    n1 = int(parts["n1"].sum())
+    n2 = int(parts["n2"].sum())
+    if n2 > 0:
+        est = v * 1000 + (n1 * n1 * 1000) // (2 * n2)
+    else:
+        est = v * 1000 + (n1 * (n1 - 1) * 1000) // 2
+    return pd.DataFrame([{
+        "v_obs": v, "n1": n1, "n2": n2, "chao1_milli": est}]) \
+        .astype(out_cols)
+
+
 def _q_ipf_raking(sf_dir: str):
     """Iterative proportional fitting (raking) of the (source, lang)
     contingency table to UNIFORM target margins — the survey-weighting
@@ -11961,6 +12084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "bloom_fpr_audit": _q_bloom_fpr_audit,
+        "unseen_vocab_estimate": _q_unseen_vocab_estimate,
         "ipf_raking": _q_ipf_raking,
         "chunk_for_training": _q_chunk_for_training,
         "logrank_lifetimes": _q_logrank_lifetimes,
@@ -17448,6 +17573,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "bloom_fpr_audit": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              COALESCE(event_type, '') AS et
+                       FROM events),
+            users AS (SELECT u, max(CASE WHEN et = 'purchase'
+                                    THEN 1 ELSE 0 END) AS p
+                      FROM e GROUP BY 1),
+            mx AS (SELECT max(u) AS mu FROM users),
+            probes AS (SELECT mx.mu + 1
+                              + unnest(range(10000)) AS u
+                       FROM mx),
+            mpos AS (SELECT u, unnest(range(4)) AS i FROM users
+                     WHERE p = 1),
+            mh AS (SELECT CAST(('0x' || substr(
+                              md5(CAST(u AS VARCHAR)),
+                              CAST(8 * i + 1 AS INT), 8)) AS BIGINT)
+                              % 1024 AS b
+                   FROM mpos),
+            bits AS (SELECT DISTINCT b FROM mh),
+            ppos AS (SELECT u, unnest(range(4)) AS i FROM probes),
+            ph AS (SELECT u,
+                          CAST(('0x' || substr(
+                              md5(CAST(u AS VARCHAR)),
+                              CAST(8 * i + 1 AS INT), 8)) AS BIGINT)
+                              % 1024 AS b
+                   FROM ppos),
+            hit AS (SELECT ph.u,
+                           CAST(count(bits.b) AS BIGINT) AS k_in
+                    FROM ph LEFT JOIN bits ON bits.b = ph.b
+                    GROUP BY 1),
+            fp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hit
+                   WHERE k_in = 4),
+            mem AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users
+                    WHERE p = 1)
+            SELECT mem.n AS n_members,
+                   CAST(10000 AS BIGINT) AS n_probes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bits)
+                       AS n_bits_set,
+                   fp.n AS n_false_pos,
+                   CAST((fp.n * 1000000) // 10000 AS BIGINT)
+                       AS fpr_ppm
+            FROM mem CROSS JOIN fp
+        """,
+        "unseen_vocab_estimate": """
+            WITH d AS (SELECT list_filter(
+                           string_split(COALESCE(text, ''), ' '),
+                           x -> x <> '') AS toks
+                       FROM documents),
+            t AS (SELECT toks, unnest(range(len(toks) - 1)) AS p
+                  FROM d WHERE len(toks) >= 2),
+            b AS (SELECT toks[CAST(p + 1 AS BIGINT)] || ' ' ||
+                         toks[CAST(p + 2 AS BIGINT)] AS bg
+                  FROM t),
+            tf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c
+                   FROM b GROUP BY 1),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                           CAST(count(*) FILTER (WHERE c = 1)
+                                AS BIGINT) AS n1,
+                           CAST(count(*) FILTER (WHERE c = 2)
+                                AS BIGINT) AS n2
+                    FROM tf)
+            SELECT v AS v_obs, n1, n2,
+                   CAST(CASE WHEN n2 > 0
+                        THEN v * 1000 + (n1 * n1 * 1000) // (2 * n2)
+                        ELSE v * 1000 + (n1 * (n1 - 1) * 1000) // 2
+                        END AS BIGINT) AS chao1_milli
+            FROM agg WHERE v > 0
         """,
         "ipf_raking": """
             WITH d AS (SELECT COALESCE(source, '') AS s,

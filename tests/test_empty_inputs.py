@@ -164,6 +164,8 @@ QUERIES = [
     "heaps_curve", "logrank_lifetimes",
     # round 4 wave 46/47: training chunk plan, IPF raking
     "chunk_for_training", "ipf_raking",
+    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit
+    "unseen_vocab_estimate", "bloom_fpr_audit",
 ]
 
 
@@ -300,6 +302,8 @@ ONE_ROW_QUERIES = [
     "heaps_curve", "logrank_lifetimes",
     # round 4 wave 46/47: training chunk plan, IPF raking
     "chunk_for_training", "ipf_raking",
+    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit
+    "unseen_vocab_estimate", "bloom_fpr_audit",
 ]
 
 

@@ -102,7 +102,7 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "goodturing_counts", "cohort_retention",
            "interarrival_buckets", "sessionize_sweep",
            "dup_span_coverage", "heaps_curve",
-           "logrank_lifetimes"]
+           "logrank_lifetimes", "unseen_vocab_estimate"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
