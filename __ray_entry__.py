@@ -3288,6 +3288,69 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_alias_sampling_table(sf_dir: str):
+    """Walker/Vose alias table for O(1) source sampling (the mixture-
+    sampling accelerator): exact integer construction over per-source
+    doc masses scaled to ppm-of-uniform -> (slot, source, prob_ppm,
+    alias_source).  Rows-only (the stack construction is inherently
+    sequential), but the EXACT integer invariant — every source's
+    total mass across its own slot plus its alias contributions equals
+    its scaled mass — is pinned in tests/test_wave43_ops.py.
+
+    Scale shape: one bounded source-domain count groupby; the
+    S-row table builds on the driver (S = #sources)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": pc.fill_null(pc.cast(b.column("source"),
+                                           pa.string()), "")})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count()).take_all()
+    out_cols = {"slot": "int64", "source": "object",
+                "prob_ppm": "int64", "alias_source": "object"}
+    num = {"slot": "int64", "prob_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(num)
+    counts = sorted((r["source"], int(r["count()"])) for r in rows)
+    total = sum(c for _, c in counts)
+    n = len(counts)
+    # scaled mass: m_i = count_i * n * 1e6 // total, remainder to the
+    # lexicographically first sources so sum(m) == n * 1e6 exactly
+    base = [(c * n * 1_000_000) // total for _, c in counts]
+    rem = n * 1_000_000 - sum(base)
+    mass = [b + (1 if i < rem else 0) for i, b in enumerate(base)]
+    UNIT = 1_000_000
+    small = [i for i in range(n) if mass[i] < UNIT]
+    large = [i for i in range(n) if mass[i] >= UNIT]
+    prob = [0] * n
+    alias = [-1] * n
+    work = list(mass)
+    # deterministic Vose: stacks pop from the END, indexes ascending
+    while small and large:
+        s_i = small.pop()
+        l_i = large.pop()
+        prob[s_i] = work[s_i]
+        alias[s_i] = l_i
+        work[l_i] = work[l_i] - (UNIT - work[s_i])
+        if work[l_i] < UNIT:
+            small.append(l_i)
+        else:
+            large.append(l_i)
+    for i in small + large:
+        prob[i] = UNIT
+        alias[i] = -1
+    srcs = [s for s, _ in counts]
+    return pd.DataFrame([{
+        "slot": i, "source": srcs[i], "prob_ppm": prob[i],
+        "alias_source": srcs[alias[i]] if alias[i] >= 0 else ""}
+        for i in range(n)]).astype(num)
+
+
 def _q_bloom_fpr_audit(sf_dir: str):
     """Bloom-filter false-positive audit with a FULLY DETERMINISTIC
     sketch: purchase users populate a 1024-bit / 4-hash filter
@@ -12084,6 +12147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "alias_sampling_table": _q_alias_sampling_table,
         "bloom_fpr_audit": _q_bloom_fpr_audit,
         "unseen_vocab_estimate": _q_unseen_vocab_estimate,
         "ipf_raking": _q_ipf_raking,

@@ -164,8 +164,9 @@ QUERIES = [
     "heaps_curve", "logrank_lifetimes",
     # round 4 wave 46/47: training chunk plan, IPF raking
     "chunk_for_training", "ipf_raking",
-    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit
+    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit, alias
     "unseen_vocab_estimate", "bloom_fpr_audit",
+    "alias_sampling_table",
 ]
 
 
@@ -302,8 +303,9 @@ ONE_ROW_QUERIES = [
     "heaps_curve", "logrank_lifetimes",
     # round 4 wave 46/47: training chunk plan, IPF raking
     "chunk_for_training", "ipf_raking",
-    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit
+    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit, alias
     "unseen_vocab_estimate", "bloom_fpr_audit",
+    "alias_sampling_table",
 ]
 
 

@@ -119,3 +119,42 @@ class TestIpfRaking:
         assert (abs(row - total / ns) <= total // 50).all()
         assert abs(out["raked_mass_ppm"].sum() - total) \
             <= total // 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAliasSamplingTable:
+    def test_exact_mass_invariant(self):
+        m = _entry("alias")
+        out = m.queries()["alias_sampling_table"](
+            "/root/testdata/sf0.001")
+        UNIT = 1_000_000
+        n = len(out)
+        assert n == out["source"].nunique()
+        # reconstruct each source's mass: own slot prob + (UNIT - prob)
+        # from every slot that aliases to it
+        mass = {s: 0 for s in out["source"]}
+        for r in out.itertuples():
+            mass[r.source] += r.prob_ppm
+            if r.alias_source:
+                mass[r.alias_source] += UNIT - r.prob_ppm
+        # masses must sum to n * UNIT exactly and match the scaled
+        # per-source doc shares within the remainder distribution
+        assert sum(mass.values()) == n * UNIT
+        import pandas as pd
+        docs = pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["source"])
+        counts = docs["source"].fillna("").value_counts().sort_index()
+        total = int(counts.sum())
+        base = {s: (int(c) * n * UNIT) // total
+                for s, c in counts.items()}
+        rem = n * UNIT - sum(base.values())
+        for i, s in enumerate(sorted(base)):
+            want = base[s] + (1 if i < rem else 0)
+            assert mass[s] == want, (s, mass[s], want)
+
+    def test_deterministic(self):
+        m = _entry("alias2")
+        a = m.queries()["alias_sampling_table"]("/root/testdata/sf0.001")
+        b = m.queries()["alias_sampling_table"]("/root/testdata/sf0.001")
+        assert a.values.tolist() == b.values.tolist()
