@@ -3288,6 +3288,74 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_label_dispersion(sf_dir: str):
+    """Per-label embedding dispersion WITHOUT any pairwise pass: mean
+    pairwise dot of the floor(x*1000)-quantized vectors via the exact
+    centroid identity sum_pairs(q_i . q_j) * 2 = ||S||^2 - sum||q||^2
+    (S = per-dim integer sum) -> (label, n_vecs, pair_dot_num,
+    pair_dot_den, mean_pair_cos_ppm).  All integers exact; num/den
+    carry the undivided values, the ppm mirrors DuckDB's
+    truncate-toward-zero division.
+
+    Scale shape: map-side (label, dim-sum, norm-sum, count) partials
+    -> tiny label-domain merge; O(n*d) total work where a naive
+    pairwise pass is O(n^2*d)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_ray.ops.similarity import _stack
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        labels = pc.fill_null(pc.cast(b.column("label"), pa.int64()),
+                              -1).to_numpy(zero_copy_only=False)
+        v = _stack(b.column("embedding"))
+        if v.shape[0] == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "ssq": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64()))})
+        q = np.floor(v * 1000.0).astype(np.int64)
+        out_l, out_n, out_ssq, out_s = [], [], [], []
+        for lab in np.unique(labels):
+            sel = q[labels == lab]
+            out_l.append(int(lab))
+            out_n.append(int(sel.shape[0]))
+            out_ssq.append(int((sel.astype(object) ** 2).sum()))
+            out_s.append(sel.sum(axis=0).tolist())
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "ssq": pa.array(out_ssq, pa.int64()),
+            "s": pa.array(out_s, pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").take_all()
+    out_cols = {"label": "int64", "n_vecs": "int64",
+                "pair_dot_num": "int64", "pair_dot_den": "int64",
+                "mean_pair_cos_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    acc: dict = {}
+    for r in rows:
+        lab = int(r["label"])
+        n, ssq, s = acc.get(lab, (0, 0, None))
+        sv = np.asarray(r["s"], dtype=np.int64)
+        acc[lab] = (n + int(r["n"]), ssq + int(r["ssq"]),
+                    sv if s is None else s + sv)
+    out = []
+    for lab in sorted(acc):
+        n, ssq, s = acc[lab]
+        num = int(sum(int(x) * int(x) for x in s)) - ssq
+        den = n * (n - 1)
+        ppm = (abs(num) // den) * (1 if num >= 0 else -1) \
+            if den else 0
+        out.append({"label": lab, "n_vecs": n, "pair_dot_num": num,
+                    "pair_dot_den": den, "mean_pair_cos_ppm": ppm})
+    return pd.DataFrame(out).astype(out_cols)
+
+
 def _q_alias_sampling_table(sf_dir: str):
     """Walker/Vose alias table for O(1) source sampling (the mixture-
     sampling accelerator): exact integer construction over per-source
@@ -12147,6 +12215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "label_dispersion": _q_label_dispersion,
         "alias_sampling_table": _q_alias_sampling_table,
         "bloom_fpr_audit": _q_bloom_fpr_audit,
         "unseen_vocab_estimate": _q_unseen_vocab_estimate,
@@ -17637,6 +17706,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "label_dispersion": """
+            WITH base AS (SELECT COALESCE(label, -1) AS label,
+                                 embedding
+                          FROM embeddings),
+            cnt AS (SELECT CAST(label AS BIGINT) AS label,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM base GROUP BY 1),
+            e AS (SELECT label, unnest(embedding) AS x,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM base),
+            qd AS (SELECT CAST(label AS BIGINT) AS label, i,
+                          CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE)
+                               * 1000) AS HUGEINT)) AS HUGEINT) AS s,
+                          CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE)
+                               * 1000) AS HUGEINT)
+                               * CAST(FLOOR(CAST(x AS DOUBLE)
+                               * 1000) AS HUGEINT)) AS HUGEINT)
+                              AS sq
+                   FROM e GROUP BY 1, 2),
+            ag AS (SELECT label, SUM(s * s) AS s2, SUM(sq) AS ssq
+                   FROM qd GROUP BY 1)
+            SELECT cnt.label, cnt.n AS n_vecs,
+                   CAST(COALESCE(ag.s2 - ag.ssq, 0) AS BIGINT)
+                       AS pair_dot_num,
+                   CAST(cnt.n * (cnt.n - 1) AS BIGINT)
+                       AS pair_dot_den,
+                   CAST(CASE WHEN cnt.n > 1
+                        THEN COALESCE(ag.s2 - ag.ssq, 0)
+                             // (cnt.n * (cnt.n - 1))
+                        ELSE 0 END AS BIGINT) AS mean_pair_cos_ppm
+            FROM cnt LEFT JOIN ag ON ag.label = cnt.label
         """,
         "bloom_fpr_audit": """
             WITH e AS (SELECT COALESCE(user_id, -1) AS u,

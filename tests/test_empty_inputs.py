@@ -164,9 +164,9 @@ QUERIES = [
     "heaps_curve", "logrank_lifetimes",
     # round 4 wave 46/47: training chunk plan, IPF raking
     "chunk_for_training", "ipf_raking",
-    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit, alias
+    # round 4 wave 48/49: Chao1, Bloom FPR, alias, label dispersion
     "unseen_vocab_estimate", "bloom_fpr_audit",
-    "alias_sampling_table",
+    "alias_sampling_table", "label_dispersion",
 ]
 
 
@@ -303,9 +303,9 @@ ONE_ROW_QUERIES = [
     "heaps_curve", "logrank_lifetimes",
     # round 4 wave 46/47: training chunk plan, IPF raking
     "chunk_for_training", "ipf_raking",
-    # round 4 wave 48: Chao1 unseen vocab, Bloom FPR audit, alias
+    # round 4 wave 48/49: Chao1, Bloom FPR, alias, label dispersion
     "unseen_vocab_estimate", "bloom_fpr_audit",
-    "alias_sampling_table",
+    "alias_sampling_table", "label_dispersion",
 ]
 
 
