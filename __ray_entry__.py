@@ -3288,6 +3288,72 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_label_centroid_shift(sf_dir: str):
+    """Per-label embedding drift vs the corpus: cosine between each
+    label's centroid direction and the GLOBAL centroid direction, all
+    numerators/norms from exact floor(x*1000) integer dim sums (one
+    division + two sqrts in pinned IEEE order — the Wilson-CI
+    bit-identical precedent) -> (label, n_vecs, dot, cosine).
+
+    Scale shape: the label_dispersion partials reused — map-side
+    (label, dim-sum) partials, tiny label-domain merge; global sums =
+    sum of label sums."""
+    import pandas as pd
+
+    from pdf_extract_ray.ops.similarity import _stack
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        labels = pc.fill_null(pc.cast(b.column("label"), pa.int64()),
+                              -1).to_numpy(zero_copy_only=False)
+        v = _stack(b.column("embedding"))
+        if v.shape[0] == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64()))})
+        q = np.floor(v * 1000.0).astype(np.int64)
+        out_l, out_n, out_s = [], [], []
+        for lab in np.unique(labels):
+            sel = q[labels == lab]
+            out_l.append(int(lab))
+            out_n.append(int(sel.shape[0]))
+            out_s.append(sel.sum(axis=0).tolist())
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "s": pa.array(out_s, pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").take_all()
+    out_cols = {"label": "int64", "n_vecs": "int64", "dot": "int64",
+                "cosine": "float64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    acc: dict = {}
+    for r in rows:
+        lab = int(r["label"])
+        n, s = acc.get(lab, (0, None))
+        sv = np.asarray(r["s"], dtype=np.int64)
+        acc[lab] = (n + int(r["n"]), sv if s is None else s + sv)
+    g = None
+    for _, (_, s) in sorted(acc.items()):
+        g = s.copy() if g is None else g + s
+    g2 = int(sum(int(x) * int(x) for x in g))
+    import math
+    out = []
+    for lab in sorted(acc):
+        n, s = acc[lab]
+        dot = int(sum(int(a) * int(b) for a, b in zip(s, g)))
+        s2 = int(sum(int(x) * int(x) for x in s))
+        cos = (float(dot) / (math.sqrt(float(s2))
+                             * math.sqrt(float(g2)))
+               if s2 > 0 and g2 > 0 else 0.0)
+        out.append({"label": lab, "n_vecs": n, "dot": dot,
+                    "cosine": cos})
+    return pd.DataFrame(out).astype(out_cols)
+
+
 def _q_label_dispersion(sf_dir: str):
     """Per-label embedding dispersion WITHOUT any pairwise pass: mean
     pairwise dot of the floor(x*1000)-quantized vectors via the exact
@@ -12215,6 +12281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "label_centroid_shift": _q_label_centroid_shift,
         "label_dispersion": _q_label_dispersion,
         "alias_sampling_table": _q_alias_sampling_table,
         "bloom_fpr_audit": _q_bloom_fpr_audit,
@@ -17706,6 +17773,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "label_centroid_shift": """
+            WITH base AS (SELECT COALESCE(label, -1) AS label,
+                                 embedding
+                          FROM embeddings),
+            cnt AS (SELECT CAST(label AS BIGINT) AS label,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM base GROUP BY 1),
+            e AS (SELECT label, unnest(embedding) AS x,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM base),
+            qd AS (SELECT CAST(label AS BIGINT) AS label, i,
+                          CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE)
+                               * 1000) AS HUGEINT)) AS HUGEINT) AS s
+                   FROM e GROUP BY 1, 2),
+            gl AS (SELECT i, SUM(s) AS gs FROM qd GROUP BY 1),
+            dt AS (SELECT qd.label,
+                          SUM(qd.s * gl.gs) AS dot,
+                          SUM(qd.s * qd.s) AS s2
+                   FROM qd JOIN gl ON gl.i = qd.i GROUP BY 1),
+            g2 AS (SELECT SUM(gs * gs) AS v FROM gl)
+            SELECT cnt.label, cnt.n AS n_vecs,
+                   CAST(COALESCE(dt.dot, 0) AS BIGINT) AS dot,
+                   CASE WHEN COALESCE(dt.s2, 0) > 0 AND g2.v > 0
+                        THEN CAST(dt.dot AS DOUBLE)
+                             / (sqrt(CAST(dt.s2 AS DOUBLE))
+                                * sqrt(CAST(g2.v AS DOUBLE)))
+                        ELSE 0.0 END AS cosine
+            FROM cnt LEFT JOIN dt ON dt.label = cnt.label
+            CROSS JOIN g2
         """,
         "label_dispersion": """
             WITH base AS (SELECT COALESCE(label, -1) AS label,
