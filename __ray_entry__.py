@@ -3288,6 +3288,81 @@ def _q_goodturing_counts(sf_dir: str):
         .sort_values("freq").reset_index(drop=True)
 
 
+def _q_ip_topk_exact(sf_dir: str):
+    """FULLY ORACLED exact maximum-inner-product search: top-10
+    neighbors of the 10 smallest vec_ids under the INTEGER dot of
+    floor(x*1000)-quantized vectors (ties by neighbor id asc; self
+    excluded) -> (query_id, neighbor_id, rank, dot).  Integer dots
+    < 2^53 equal DuckDB's double list_dot_product EXACTLY
+    (the embedding_pair_dot precedent), so this is the one ANN-family
+    result a SQL engine reproduces hash-identically — the recall
+    ground truth for the approximate paths.
+
+    Scale shape: query matrix broadcast once; per-batch integer
+    matmul + partial top-k; tiny driver merge (brute_force_topk
+    envelope with an exact integer metric)."""
+    import heapq
+
+    import pandas as pd
+    import ray
+
+    from pdf_extract_ray.ops.similarity import _stack, min_k_rows
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 10
+    head = min_k_rows(ds, "vec_id", k)
+    qids = head.column("vec_id").to_pylist()
+    out_cols = {"query_id": "int64", "neighbor_id": "int64",
+                "rank": "int64", "dot": "int64"}
+    if not qids:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    qm = np.floor(_stack(head.column("embedding")) * 1000.0) \
+        .astype(np.int64)
+    q_ref = ray.put(qm)
+    qid_ref = ray.put(np.asarray(qids, np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"qi": pa.array([], pa.int32()),
+                             "nid": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        qm_ = ray.get(q_ref)
+        ids = np.asarray(b.column("vec_id").to_pylist(), np.int64)
+        v = np.floor(_stack(b.column("embedding")) * 1000.0) \
+            .astype(np.int64)
+        dots = qm_ @ v.T  # exact int64 (|q|,|v| <= 1000, d = 64)
+        out_q, out_n, out_d = [], [], []
+        kk = min(k + 1, dots.shape[1])
+        for qi in range(dots.shape[0]):
+            idx = np.argpartition(-dots[qi], kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_n.extend(ids[idx].tolist())
+            out_d.extend(dots[qi][idx].tolist())
+        return pa.table({"qi": pa.array(out_q, pa.int32()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64())})
+
+    best: list = [[] for _ in qids]
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for qi, nid, dot in zip(b.column("qi").to_pylist(),
+                                b.column("nid").to_pylist(),
+                                b.column("dot").to_pylist()):
+            if qids[qi] == nid:
+                continue
+            heapq.heappush(best[qi], (dot, -nid))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out = []
+    for qi, qid in enumerate(qids):
+        cands = sorted(((d, -negn) for d, negn in best[qi]),
+                       key=lambda t: (-t[0], t[1]))[:k]
+        for r, (d, nid) in enumerate(cands, 1):
+            out.append({"query_id": int(qid), "neighbor_id": int(nid),
+                        "rank": r, "dot": int(d)})
+    return pd.DataFrame(out).astype(out_cols)
+
+
 def _q_label_centroid_shift(sf_dir: str):
     """Per-label embedding drift vs the corpus: cosine between each
     label's centroid direction and the GLOBAL centroid direction, all
@@ -12281,6 +12356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_eval_report": _q_neardup_eval_report,
         "html_extract_eval": _q_html_extract_eval,
         "sa_dup_spans": _q_sa_dup_spans,
+        "ip_topk_exact": _q_ip_topk_exact,
         "label_centroid_shift": _q_label_centroid_shift,
         "label_dispersion": _q_label_dispersion,
         "alias_sampling_table": _q_alias_sampling_table,
@@ -17773,6 +17849,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h = nh THEN 1 ELSE 0 END
                         AS BIGINT) AS is_dup
             FROM w WHERE id_b IS NOT NULL
+        """,
+        "ip_topk_exact": """
+            WITH e AS (SELECT COALESCE(vec_id, -1) AS vec_id,
+                              list_transform(embedding,
+                                  x -> FLOOR(CAST(x AS DOUBLE)
+                                             * 1000)) AS q
+                       FROM embeddings),
+            qs AS (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 10),
+            d AS (SELECT qs.vec_id AS query_id,
+                         e.vec_id AS neighbor_id,
+                         CAST(list_dot_product(qs.q, e.q) AS BIGINT)
+                             AS dot
+                  FROM qs CROSS JOIN e
+                  WHERE e.vec_id <> qs.vec_id),
+            r AS (SELECT query_id, neighbor_id, dot,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY dot DESC, neighbor_id ASC)
+                             AS rank
+                  FROM d)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(rank AS BIGINT) AS rank, dot
+            FROM r WHERE rank <= 10
         """,
         "label_centroid_shift": """
             WITH base AS (SELECT COALESCE(label, -1) AS label,

@@ -167,7 +167,7 @@ QUERIES = [
     # round 4 wave 48/49: Chao1, Bloom FPR, alias, label dispersion
     "unseen_vocab_estimate", "bloom_fpr_audit",
     "alias_sampling_table", "label_dispersion",
-    "label_centroid_shift",
+    "label_centroid_shift", "ip_topk_exact",
 ]
 
 
@@ -307,7 +307,7 @@ ONE_ROW_QUERIES = [
     # round 4 wave 48/49: Chao1, Bloom FPR, alias, label dispersion
     "unseen_vocab_estimate", "bloom_fpr_audit",
     "alias_sampling_table", "label_dispersion",
-    "label_centroid_shift",
+    "label_centroid_shift", "ip_topk_exact",
 ]
 
 
