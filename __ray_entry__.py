@@ -3360,6 +3360,8 @@ def _q_ip_topk_exact(sf_dir: str):
         for r, (d, nid) in enumerate(cands, 1):
             out.append({"query_id": int(qid), "neighbor_id": int(nid),
                         "rank": r, "dot": int(d)})
+    if not out:  # single-row corpus: self excluded, nothing to rank
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)
 
 
