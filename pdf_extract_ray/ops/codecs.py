@@ -363,9 +363,17 @@ def _split_entropy(data: bytes, pos: int):
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """-> uint8 (h, w, 3) RGB (JFIF YCbCr) or (h, w, 1) grayscale.
-    Baseline sequential only; raises ValueError on progressive/
-    arithmetic/12-bit streams (callers fall back to the declared
-    fake)."""
+    Raises ValueError on any unsupported or malformed stream —
+    structural damage (truncated SOF/SOS, undeclared scan components)
+    included, so callers' single `except ValueError` fake-decode
+    fallback always catches damaged inputs."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG structure: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     qt = {}

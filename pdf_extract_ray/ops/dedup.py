@@ -736,8 +736,14 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
         ids.update(batch.column("doc_id_a").to_pylist())
         ids.update(batch.column("doc_id_b").to_pylist())
     if not ids:
-        # no candidates (clean corpus): short-circuit — empty blocks have
-        # no schema, which would break the hash join's key resolution
+        # No candidates (clean corpus): short-circuit before the join
+        # machinery.  CONTRACT NOTE (Ray 2.49): an empty Dataset —
+        # even one built from a typed Arrow table — loses its
+        # block-level schema, so hash-JOINING this result crashes
+        # ("No match for FieldRef").  select_columns/iter_batches/
+        # count are fine, and every in-repo consumer (ccprep's CC +
+        # greedy paths, the query wrappers) counts or iterates before
+        # any join; external callers must guard joins with a count.
         return ray.data.from_arrow(pa.table(
             {"doc_id_a": pa.array([], pa.int64()),
              "doc_id_b": pa.array([], pa.int64()),
@@ -827,6 +833,10 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
                         on=("doc_id_a",)).materialize()
     n_joined = joined.count()
     if n_joined == 0:
+        # same contract note as the no-candidates short-circuit above:
+        # consumers may select/iterate/count this typed-empty Dataset
+        # but must not hash-join it without a row-count guard (Ray
+        # 2.49 drops block schema on empty datasets)
         return ray.data.from_arrow(pa.table(
             {"doc_id_a": pa.array([], pa.int64()),
              "doc_id_b": pa.array([], pa.int64()),
@@ -1565,27 +1575,40 @@ def sa_dup_spans(ds, *, min_len: int = 8, n_parts=None):
     from ray.data.aggregate import Max
 
     parts = n_parts or _cluster_parts()
-    B = 4096  # position bucket; must stay > the largest align step
+    # position bucket size.  The ghost scheme is EXACT for any align
+    # step k (ghosts are emitted directly into bucket (pos-k)//B, so
+    # correctness never depends on B vs k); B only tunes shuffle
+    # granularity — min_len > B is fine.
+    B = 4096
 
     def tokenize(b: pa.Table) -> pa.Table:
-        docs, poss, toks, valid = [], [], [], []
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        for d, t in zip(ids, texts):
-            if d is None:
-                continue
-            words = [w for w in (t or "").split(" ") if w]
-            n = len(words)
-            for p, w in enumerate(words):
-                docs.append(d)
-                poss.append(p)
-                toks.append(w)
-                valid.append(p + min_len <= n)
+        """Columnar (doc, pos, tok, valid) expansion — single-space
+        split + explode, empty tokens dropped, positions over the
+        filtered list (same contract as the DuckDB oracle).  Fully
+        vectorized: no per-token Python (this stage touches every
+        token of the corpus)."""
+        cols = {"doc": pa.int64(), "pos": pa.int64(),
+                "tok": pa.string(), "valid": pa.bool_()}
+        doc = b.column("doc_id").to_pandas()
+        keep = doc.notna()
+        doc = doc[keep]
+        txt = b.column("text").to_pandas()[keep].fillna("")
+        s = txt.str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        idx = s.index.to_numpy()
+        if len(idx) == 0:
+            return pa.table({k: pa.array([], t) for k, t in cols.items()})
+        # tokens of one row are contiguous after explode: segmented
+        # arange gives filtered positions, run lengths give doc sizes
+        starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        run_len = np.diff(np.r_[starts, len(idx)])
+        pos = np.arange(len(idx)) - np.repeat(starts, run_len)
+        n_tok = np.repeat(run_len, run_len)
         return pa.table({
-            "doc": pa.array(docs, pa.int64()),
-            "pos": pa.array(poss, pa.int64()),
-            "tok": pa.array(toks, pa.string()),
-            "valid": pa.array(valid, pa.bool_())})
+            "doc": pa.array(doc.loc[idx].to_numpy(np.int64), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "tok": pa.array(s.to_numpy(), pa.string()),
+            "valid": pa.array(pos + min_len <= n_tok, pa.bool_())})
 
     out_cols = {"doc_id": "int64", "start_tok": "int64",
                 "end_tok": "int64", "n_tokens": "int64"}
