@@ -1037,10 +1037,13 @@ def _q_embedding_label_histogram(sf_dir: str):
 
 def _q_image_features(sf_dir: str):
     """Multimodal stage over mixed payloads: every 5th doc gets a REAL
-    deterministic image — alternating PNG and baseline JPEG containers,
-    both decoded for real by ops/codecs.py — the rest raw text bytes
-    (declared fake-decode fallback)."""
-    from pdf_extract_ray.ops.codecs import encode_jpeg, encode_png
+    deterministic image — rotating PNG / baseline JPEG / PROGRESSIVE
+    JPEG (SOF2, successive approximation) containers, all decoded for
+    real by ops/codecs.py — the rest raw text bytes (declared
+    fake-decode fallback)."""
+    from pdf_extract_ray.ops.codecs import (encode_jpeg,
+                                            encode_jpeg_progressive,
+                                            encode_png)
     from pdf_extract_ray.ops.multimodal import image_features
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -1051,7 +1054,13 @@ def _q_image_features(sf_dir: str):
                 side = 4 + d % 8
                 img = (np.arange(side * side * 3, dtype=np.int64)
                        * (d + 7)) % 256
-                enc = encode_jpeg if d % 10 == 0 else encode_png
+                if d % 20 == 0:
+                    enc = (lambda im: encode_jpeg_progressive(
+                        im, successive=True))
+                elif d % 10 == 0:
+                    enc = encode_jpeg
+                else:
+                    enc = encode_png
                 payloads.append(enc(
                     img.astype(np.uint8).reshape(side, side, 3)))
             else:

@@ -373,6 +373,179 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG structure: {e!r}") from e
 
 
+def _decode_block_baseline(r, coef, c, preds, dct, act):
+    """Sequential DC+AC decode of one block into zigzag-order coef."""
+    s = r.huffdecode(dct)
+    preds[c["id"]] += r.receive_extend(s)
+    coef[0] = preds[c["id"]]
+    k = 1
+    while k < 64:
+        rs = r.huffdecode(act)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        coef[k] = r.receive_extend(size)
+        k += 1
+
+
+def _decode_block_ac_first(r, coef, act, Ss, Se, Al, eob):
+    """Progressive AC first pass (Ah=0): EOB runs + coefficients<<Al."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = r.huffdecode(act)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run != 15:
+                eob[0] = (1 << run) - 1
+                if run:
+                    eob[0] += r.bits(run)
+                return
+            k += 16
+        else:
+            k += run
+            if k > Se:
+                raise ValueError("AC index overflow")
+            coef[k] = r.receive_extend(size) << Al
+            k += 1
+
+
+def _decode_block_ac_refine(r, coef, act, Ss, Se, Al, eob):
+    """Progressive AC refinement (Ah=Al+1 -> Al): newly-significant
+    coefficients as +-1<<Al plus correction bits on known-nonzero
+    history coefficients (libjpeg decode_mcu_AC_refine semantics)."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+    if eob[0] == 0:
+        while k <= Se:
+            rs = r.huffdecode(act)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run != 15:
+                    eob[0] = 1 << run
+                    if run:
+                        eob[0] += r.bits(run)
+                    break
+                val = 0
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement size")
+                val = p1 if r.bit() else m1
+            while k <= Se:
+                cv = int(coef[k])
+                if cv != 0:
+                    if r.bit() and (cv & p1) == 0:
+                        coef[k] = cv + (p1 if cv >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val != 0:
+                if k > Se:
+                    raise ValueError("AC refinement overflow")
+                coef[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= Se:
+            cv = int(coef[k])
+            if cv != 0:
+                if r.bit() and (cv & p1) == 0:
+                    coef[k] = cv + (p1 if cv >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _decode_scan(comps, byid, huff, segs, scomp, Ss, Se, Ah, Al,
+                 progressive, ri, hmax, vmax, mcux, mcuy, width, height):
+    """Decode one entropy-coded scan into the per-component coefficient
+    arrays.  Interleaved (ns>1: MCU order) and non-interleaved (ns=1:
+    the component's own ceil-block grid) orders both supported, for
+    baseline AND progressive scans; restart segments reset DC
+    predictors and the EOB run."""
+    ns = len(scomp)
+    order = []
+    for cs, td, ta in scomp:
+        if cs not in byid:
+            raise ValueError("scan component not declared in SOF")
+        c = byid[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+    if ns == 1:
+        c0 = order[0]
+        nbx = -(-(-(-width * c0["h"] // hmax)) // 8)
+        nby = -(-(-(-height * c0["v"] // vmax)) // 8)
+        total = nbx * nby
+    else:
+        nbx = nby = 0
+        total = mcux * mcuy
+    need_dc = (not progressive) or (Ss == 0 and Ah == 0)
+    need_ac = (not progressive) or Ss > 0
+    if progressive:
+        if Ss == 0 and Se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        if Se > 63 or Ss > Se:
+            raise ValueError("bad spectral band")
+        if Ah not in (0, Al + 1):
+            raise ValueError("bad successive-approximation step")
+        if Ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+    for c in order:
+        if need_dc and huff.get((0, c["td"])) is None:
+            raise ValueError("missing huffman table")
+        if need_ac and huff.get((1, c["ta"])) is None:
+            raise ValueError("missing huffman table")
+    unit = 0
+    for segdata in segs:
+        if unit >= total:
+            break
+        r = _BitReader(segdata)
+        preds = {c["id"]: 0 for c in comps}
+        eob = [0]
+        count = min(ri, total - unit) if ri else total - unit
+        for _ in range(count):
+            if ns == 1:
+                by, bx = divmod(unit, nbx)
+                blocks = [(order[0], by, bx)]
+            else:
+                my, mx = divmod(unit, mcux)
+                blocks = [(c, my * c["v"] + vi, mx * c["h"] + hi)
+                          for c in order
+                          for vi in range(c["v"]) for hi in range(c["h"])]
+            for c, by, bx in blocks:
+                coef = c["coef"][by * c["bw"] + bx]
+                if not progressive:
+                    _decode_block_baseline(
+                        r, coef, c, preds,
+                        huff[(0, c["td"])], huff[(1, c["ta"])])
+                elif Ss == 0:
+                    if Ah == 0:
+                        s = r.huffdecode(huff[(0, c["td"])])
+                        preds[c["id"]] += r.receive_extend(s)
+                        coef[0] = preds[c["id"]] << Al
+                    elif r.bit():
+                        coef[0] = int(coef[0]) | (1 << Al)
+                else:
+                    if Ah == 0:
+                        _decode_block_ac_first(
+                            r, coef, huff[(1, c["ta"])], Ss, Se, Al, eob)
+                    else:
+                        _decode_block_ac_refine(
+                            r, coef, huff[(1, c["ta"])], Ss, Se, Al, eob)
+            unit += 1
+    if unit < total:
+        raise ValueError("truncated scan")
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
@@ -381,7 +554,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps = None
     width = height = None
     ri = 0
-    scan = None
+    progressive = False
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     i = 2
     n = len(data)
     while i + 1 < n:
@@ -414,7 +589,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     qt[tq] = np.frombuffer(
                         seg[j:j + 64], dtype=np.uint8).astype(np.int64)
                     j += 64
-        elif m in (0xC0, 0xC1):
+        elif m in (0xC0, 0xC1, 0xC2):
+            progressive = (m == 0xC2)
             if seg[0] != 8:
                 raise ValueError("unsupported sample precision")
             height = (seg[1] << 8) | seg[2]
@@ -426,9 +602,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("bad sampling factors")
                 comps.append({"id": seg[6 + 3 * c], "h": hh, "v": vv,
                               "tq": seg[8 + 3 * c]})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                # zigzag-order int64 coefficients, shared across scans
+                # (progressive accumulates bit-planes into them; int64
+                # so corrupt-stream DC accumulation can't overflow the
+                # numpy store, which would raise OverflowError instead
+                # of the totality-contracted ValueError)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG mode (not baseline)")
+            raise ValueError(
+                "unsupported JPEG mode (not baseline/progressive)")
         elif m == 0xC4:
             j = 0
             while j < len(seg):
@@ -442,73 +632,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif m == 0xDD:
             ri = (seg[0] << 8) | seg[1]
         elif m == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scomp = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
                       seg[2 + 2 * c] & 15) for c in range(ns)]
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             segs, i = _split_entropy(data, i)
-            scan = (scomp, segs)
-            break
-    if comps is None or scan is None or width is None:
+            _decode_scan(comps, {c["id"]: c for c in comps}, huff, segs,
+                         scomp, Ss, Se, Ah, Al, progressive, ri,
+                         hmax, vmax, mcux, mcuy, width, height)
+            saw_scan = True
+    if comps is None or not saw_scan or width is None:
         raise ValueError("missing SOF/SOS")
-    scomp, segs = scan
-    if len(scomp) not in (len(comps), 1) or \
-            (len(scomp) == 1 and len(comps) != 1):
-        raise ValueError("non-interleaved multi-scan unsupported")
-    byid = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scomp:
-        c = byid[cs]
-        c["td"], c["ta"] = td, ta
-        order.append(c)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.float64)
-    total = mcux * mcuy
-    mcu = 0
-    for segdata in segs:
-        if mcu >= total:
-            break
-        r = _BitReader(segdata)
-        preds = {c["id"]: 0 for c in comps}
-        count = min(ri, total - mcu) if ri else total - mcu
-        for _ in range(count):
-            my, mx = divmod(mcu, mcux)
-            for c in order:
-                dct = huff.get((0, c["td"]))
-                act = huff.get((1, c["ta"]))
-                if dct is None or act is None:
-                    raise ValueError("missing huffman table")
-                for vi in range(c["v"]):
-                    for hi in range(c["h"]):
-                        blk = np.zeros(64, np.float64)
-                        s = r.huffdecode(dct)
-                        preds[c["id"]] += r.receive_extend(s)
-                        blk[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = r.huffdecode(act)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            blk[k] = r.receive_extend(size)
-                            k += 1
-                        by = my * c["v"] + vi
-                        bx = mx * c["h"] + hi
-                        c["coef"][by * c["bw"] + bx] = blk
-            mcu += 1
-    if mcu < total:
-        raise ValueError("truncated scan")
     planes = []
     for c in comps:
         if c["tq"] not in qt:
@@ -712,6 +849,272 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
                         dc_codes, ac_codes)
     wtr.pad()
     out += bytes(wtr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# fixture-side PROGRESSIVE encoder: same quantized coefficients as
+# encode_jpeg (so baseline and progressive decodes of one image are
+# pixel-identical), emitted as a multi-scan SOF2 stream.  The AC table
+# adds the EOBn symbols (r<<4)|0 for r=0..14 so real EOB runs are
+# exercised, not just EOB0.
+_ENC_PROG_AC_SYMBOLS = [(r << 4) | 0 for r in range(15)] + [0xF0] + \
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+def _enc_prog_tables():
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    ac_bits = [0] * 7 + [len(_ENC_PROG_AC_SYMBOLS)] + [0] * 8
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(_ENC_DC_SYMBOLS)}
+    ac_codes = {sym: (i, 8)
+                for i, sym in enumerate(_ENC_PROG_AC_SYMBOLS)}
+    return dc_bits, ac_bits, dc_codes, ac_codes
+
+
+def _prep_jpeg_blocks(img: np.ndarray, subsample: bool):
+    """Shared encoder front half: color transform + subsample +
+    quantized zigzag coefficient blocks in padded MCU-grid layout.
+    -> (h, w, comp_blocks, sampling, tqs)."""
+    h, w = img.shape[:2]
+    nch = img.shape[2] if img.ndim == 3 else 1
+    px = img.reshape(h, w, nch).astype(np.float64)
+    if nch == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample \
+            else [(1, 1), (1, 1), (1, 1)]
+        tqs = [0, 1, 1]
+    elif nch == 1:
+        planes = [px[:, :, 0]]
+        sampling = [(1, 1)]
+        tqs = [0]
+    else:
+        raise ValueError(f"unsupported channel count {nch}")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qts = {0: _JPEG_QT_LUM, 1: _JPEG_QT_CHROMA}
+    comp_blocks = []
+    for plane, (sh, sv), tq in zip(planes, sampling, tqs):
+        if (sh, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh
+            py, pxw = plane.shape
+            ey = -(-py // fy) * fy
+            ex = -(-pxw // fx) * fx
+            pad = np.pad(plane, ((0, ey - py), (0, ex - pxw)),
+                         mode="edge")
+            plane = pad.reshape(ey // fy, fy, ex // fx, fx) \
+                .mean(axis=(1, 3))
+        bw, bh = mcux * sh, mcuy * sv
+        py, pxw = plane.shape
+        pad = np.pad(plane, ((0, bh * 8 - py), (0, bw * 8 - pxw)),
+                     mode="edge")
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _IDCT_A.T, blocks,
+                         _IDCT_A.T)
+        qz = np.round(coef.reshape(-1, 64)
+                      / qts[tq][None, :].astype(np.float64))
+        zig = qz[:, _ZIGZAG].astype(np.int64)
+        comp_blocks.append((zig, bw, sh, sv))
+    return h, w, comp_blocks, sampling, tqs
+
+
+class _ProgScanWriter:
+    """One progressive scan's entropy encoder (EOB-run + buffered
+    correction-bit bookkeeping, libjpeg emit_* semantics)."""
+
+    def __init__(self, ac_codes):
+        self.w = _BitWriter()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.be = []   # correction bits attached to the pending EOBRUN
+        self.br = []   # correction bits of the block being encoded
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[nbits << 4]
+            self.w.write(code, ln)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+    def flush_br(self):
+        for b in self.br:
+            self.w.write(b, 1)
+        self.br = []
+
+    def ac_first_block(self, zig, Ss, Se, Al):
+        r = 0
+        for k in range(Ss, Se + 1):
+            t = int(zig[k])
+            v = (abs(t) >> Al) * (1 if t >= 0 else -1)
+            if v == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                code, ln = self.ac_codes[0xF0]
+                self.w.write(code, ln)
+                r -= 16
+            s = abs(v).bit_length()
+            code, ln = self.ac_codes[(r << 4) | s]
+            self.w.write(code, ln)
+            self.w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def ac_refine_block(self, zig, Ss, Se, Al):
+        absv = [abs(int(zig[k])) >> Al for k in range(Ss, Se + 1)]
+        eobpos = -1
+        for rel, t in enumerate(absv):
+            if t == 1:
+                eobpos = rel
+        r = 0
+        for rel in range(len(absv)):
+            t = absv[rel]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and rel <= eobpos:
+                self.emit_eobrun()
+                code, ln = self.ac_codes[0xF0]
+                self.w.write(code, ln)
+                r -= 16
+                self.flush_br()
+            if t > 1:
+                self.br.append(t & 1)
+                continue
+            self.emit_eobrun()
+            code, ln = self.ac_codes[(r << 4) | 1]
+            self.w.write(code, ln)
+            self.w.write(1 if int(zig[Ss + rel]) >= 0 else 0, 1)
+            self.flush_br()
+            r = 0
+        if r > 0 or self.br:
+            self.eobrun += 1
+            self.be.extend(self.br)
+            self.br = []
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        self.w.pad()
+        return bytes(self.w.out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, subsample: bool = False,
+                            successive: bool = False) -> bytes:
+    """uint8 (h, w, 1|3) -> PROGRESSIVE (SOF2) JFIF bytes with the same
+    quantized coefficients as encode_jpeg, so decode_jpeg output is
+    pixel-identical between the two encodings of one image.
+
+    successive=False: spectral-selection-only script (interleaved DC
+    scan, then one full-band AC scan per component).  successive=True:
+    adds successive approximation (DC first at Al=1 + DC refine; split
+    AC bands 1-31/32-63 first at Al=1 + both refines) — exercises the
+    decoder's EOB-run, newly-significant and correction-bit paths."""
+    h, w, comp_blocks, sampling, tqs = _prep_jpeg_blocks(img, subsample)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qts = {0: _JPEG_QT_LUM, 1: _JPEG_QT_CHROMA}
+    dc_bits, ac_bits, dc_codes, ac_codes = _enc_prog_tables()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq in sorted(set(tqs)):
+        zz = qts[tq][_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(sampling), 8,
+                                     h, w, len(sampling))
+    for ci, ((sh, sv), tq) in enumerate(zip(sampling, tqs)):
+        out += bytes([ci + 1, (sh << 4) | sv, tq])
+    for tc_th, bits, values in (
+            ((0 << 4) | 0, dc_bits, _ENC_DC_SYMBOLS),
+            ((1 << 4) | 0, ac_bits, _ENC_PROG_AC_SYMBOLS),
+            ((0 << 4) | 1, dc_bits, _ENC_DC_SYMBOLS),
+            ((1 << 4) | 1, ac_bits, _ENC_PROG_AC_SYMBOLS)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tc_th]) + bytes(bits) + bytes(values)
+
+    def sos_header(comp_ids, Ss, Se, Ah, Al):
+        hdr = bytearray(b"\xff\xda")
+        hdr += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            td = ta = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        hdr += bytes([Ss, Se, (Ah << 4) | Al])
+        return bytes(hdr)
+
+    def dc_scan(Ah, Al):
+        scan = _ProgScanWriter(ac_codes)
+        wtr = scan.w
+        preds = [0] * len(comp_blocks)
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (zig, bw, sh, sv) in enumerate(comp_blocks):
+                for vi in range(sv):
+                    for hi in range(sh):
+                        dc = int(zig[(my * sv + vi) * bw
+                                     + mx * sh + hi][0])
+                        if Ah == 0:
+                            diff = (dc >> Al) - preds[ci]
+                            preds[ci] = dc >> Al
+                            mag = abs(diff)
+                            s = mag.bit_length()
+                            code, ln = dc_codes[s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(diff if diff >= 0
+                                          else diff + (1 << s) - 1, s)
+                        else:
+                            wtr.write((dc >> Al) & 1, 1)
+        return scan.finish()
+
+    def ac_scan(ci, Ss, Se, Ah, Al):
+        zig, bw, sh, sv = comp_blocks[ci]
+        nbx = -(-(-(-w * sh // hmax)) // 8)
+        nby = -(-(-(-h * sv // vmax)) // 8)
+        scan = _ProgScanWriter(ac_codes)
+        for bi in range(nbx * nby):
+            by, bx = divmod(bi, nbx)
+            blk = zig[by * bw + bx]
+            if Ah == 0:
+                scan.ac_first_block(blk, Ss, Se, Al)
+            else:
+                scan.ac_refine_block(blk, Ss, Se, Al)
+        return scan.finish()
+
+    all_ids = list(range(len(comp_blocks)))
+    if not successive:
+        out += sos_header(all_ids, 0, 0, 0, 0) + dc_scan(0, 0)
+        for ci in all_ids:
+            out += sos_header([ci], 1, 63, 0, 0) + ac_scan(ci, 1, 63, 0, 0)
+    else:
+        out += sos_header(all_ids, 0, 0, 0, 1) + dc_scan(0, 1)
+        for ci in all_ids:
+            out += sos_header([ci], 1, 31, 0, 1) + ac_scan(ci, 1, 31, 0, 1)
+            out += sos_header([ci], 32, 63, 0, 1) \
+                + ac_scan(ci, 32, 63, 0, 1)
+        out += sos_header(all_ids, 0, 0, 1, 0) + dc_scan(1, 0)
+        for ci in all_ids:
+            out += sos_header([ci], 1, 31, 1, 0) + ac_scan(ci, 1, 31, 1, 0)
+            out += sos_header([ci], 32, 63, 1, 0) \
+                + ac_scan(ci, 32, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -1,17 +1,18 @@
 """Multimodal column stages: image/audio/video as opaque binary + metadata.
 
-Decode kernels: baseline JPEG, PNG, uncompressed BMP and PCM WAV are
-decoded FOR REAL with the pure-python codecs in ops/codecs.py (huffman
-+IDCT / zlib / struct / wave) — dimensions, channels and features come
-from actual pixels/samples.  Formats that still need an external codec
-(progressive JPEG, MP4, ...) fall back to the
-declared deterministic fake (`DETERMINISTIC_FAKE_DECODE` path) so the
-Ray-side plumbing — schema, batch size, actor pool signature, output
-layout — stays total and testable; swap the fallback for PIL/pyav in
-production without changing the stage contract.  Video frame sampling
-is REAL for MJPEG-in-AVI (RIFF container walk + per-frame JPEG
-decode); other containers (MP4, ...) keep the declared fake.
-"""
+Decode kernels: baseline AND progressive JPEG (SOF0/1/2, spectral
+selection + successive approximation), PNG, uncompressed BMP and PCM
+WAV are decoded FOR REAL with the pure-python codecs in ops/codecs.py
+(huffman+IDCT / zlib / struct / wave) — dimensions, channels and
+features come from actual pixels/samples.  Formats that still need an
+external codec (arithmetic-coded/12-bit JPEG, H.264, ...) fall back to
+the declared deterministic fake (`DETERMINISTIC_FAKE_DECODE` path) so
+the Ray-side plumbing — schema, batch size, actor pool signature,
+output layout — stays total and testable; swap the fallback for
+PIL/pyav in production without changing the stage contract.  Video
+frame sampling is REAL for MJPEG-in-AVI (RIFF container walk +
+per-frame JPEG decode); MP4 gets a real container walk (moov/stbl
+sample tables -> actual frame byte ranges) with fake pixel sigs."""
 from __future__ import annotations
 
 import hashlib
@@ -79,8 +80,8 @@ def decode_image(payload: bytes, feature_dim: int):
         try:
             img = decode_jpeg(payload)
         except ValueError:
-            # progressive/arithmetic/damaged: the declared fake keeps
-            # the stage total (baseline sequential decodes for real)
+            # arithmetic/12-bit/damaged: the declared fake keeps the
+            # stage total (baseline AND progressive decode for real)
             w, h, c, f = _fake_decode_image(payload)
             return w, h, c, f[:feature_dim]
     else:
