@@ -1161,9 +1161,12 @@ def _q_audio_features(sf_dir: str):
 
 def _q_frame_samples(sf_dir: str):
     """Every 7th doc gets a REAL MJPEG AVI (deterministic frames;
-    container walk + per-frame JPEG decode, sigs over decoded RGB),
-    the rest raw text bytes (declared fake path)."""
-    from pdf_extract_ray.ops.codecs import encode_avi_mjpeg
+    container walk + per-frame JPEG decode, sigs over decoded RGB);
+    every 7th+3 doc gets a REAL MP4 container (moov/stbl sample tables
+    -> actual frame byte ranges, stss keyframe seeks, sigs over the
+    coded sample payloads, status='container'); the rest raw text
+    bytes (declared fake path)."""
+    from pdf_extract_ray.ops.codecs import build_mp4, encode_avi_mjpeg
     from pdf_extract_ray.ops.multimodal import sample_frames
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -1177,6 +1180,11 @@ def _q_frame_samples(sf_dir: str):
                           .reshape(side, side, 3)
                           for fi in range(1 + d % 4)]
                 payloads.append(encode_avi_mjpeg(frames))
+            elif d % 7 == 3:
+                aus = [bytes([(d + fi) % 256]) * (40 + (d + fi) % 64)
+                       for fi in range(4 + d % 9)]
+                payloads.append(build_mp4(aus, sync_every=3,
+                                          samples_per_chunk=4))
             else:
                 payloads.append((t * 50).encode("utf-8"))
         return pa.Table.from_arrays(
@@ -16422,14 +16430,16 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)) AS BIGINT) AS y
                   FROM events GROUP BY 1),
             j AS (SELECT x, y FROM o JOIN e USING (u)),
-            s AS (SELECT CAST(count(*) AS BIGINT) n,
-                         CAST(sum(x) AS BIGINT) sx,
-                         CAST(sum(y) AS BIGINT) sy,
-                         CAST(sum(x * x) AS BIGINT) sxx,
-                         CAST(sum(y * y) AS BIGINT) syy,
-                         CAST(sum(x * y) AS BIGINT) sxy
+            -- HUGEINT moments: n * sxy overflows BIGINT at sf >= 0.1
+            -- (found by the round-5 full sf0.1 sweep)
+            s AS (SELECT CAST(count(*) AS HUGEINT) n,
+                         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) sx,
+                         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) sy,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) sxx,
+                         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) syy,
+                         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) sxy
                   FROM j)
-            SELECT 'all' AS scope, n,
+            SELECT 'all' AS scope, CAST(n AS BIGINT) AS n,
                    CAST(n * sxy - sx * sy AS DOUBLE)
                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))

@@ -39,6 +39,8 @@ def sniff_media(payload: bytes) -> str:
         return "avi"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -1178,3 +1180,248 @@ def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
     movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+# -- MP4 / ISO BMFF (container walk ONLY: box tree + stbl sample tables
+#    -> REAL per-frame byte ranges and sync flags; H.264 pixel decode is
+#    out of scope for the pure-python stack, so frame sigs hash the
+#    actual coded sample payloads, not pixels) -------------------------------
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, box_end) over ISO-BMFF boxes in
+    [pos, end).  Raises ValueError on malformed sizes (never loops:
+    size >= 8 guarantees progress)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        fourcc = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("bad box size")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, pos: int, end: int, fourcc: bytes):
+    for fc, body, bend in _mp4_boxes(data, pos, end):
+        if fc == fourcc:
+            return body, bend
+    return None
+
+
+def _u32s(data: bytes, pos: int, count: int) -> np.ndarray:
+    buf = data[pos:pos + 4 * count]
+    if len(buf) < 4 * count:
+        raise ValueError("truncated table")
+    return np.frombuffer(buf, dtype=">u4").astype(np.int64)
+
+
+def parse_mp4_samples(data: bytes) -> dict:
+    """REAL ISO-BMFF container walk for the first VIDEO track:
+    ftyp/moov/trak/mdia/minf/stbl with stsd (codec fourcc), stsz
+    (sample sizes), stsc (sample-to-chunk runs), stco/co64 (chunk
+    offsets) and stss (sync samples; absent = all sync) resolved into
+    absolute per-sample byte ranges.
+
+    -> {"codec": str, "timescale": int, "duration": int,
+        "samples": [(offset, size, is_sync), ...]}
+    Raises ValueError on non-MP4 or damaged boxes/tables (samples must
+    lie inside the file)."""
+    if sniff_media(data) != "mp4":
+        raise ValueError("not an MP4")
+    try:
+        return _parse_mp4_samples(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed MP4 structure: {e!r}") from e
+
+
+def _parse_mp4_samples(data: bytes) -> dict:
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for fc, tbody, tend in _mp4_boxes(data, moov[0], moov[1]):
+        if fc != b"trak":
+            continue
+        mdia = _mp4_child(data, tbody, tend, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_child(data, mdia[0], mdia[1], b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak without mdhd")
+        ver = data[mdhd[0]]
+        if ver == 1:
+            timescale = int(_u32s(data, mdhd[0] + 20, 1)[0])
+            (duration,) = struct.unpack(
+                ">Q", data[mdhd[0] + 24:mdhd[0] + 32])
+        else:
+            timescale = int(_u32s(data, mdhd[0] + 12, 1)[0])
+            duration = int(_u32s(data, mdhd[0] + 16, 1)[0])
+        minf = _mp4_child(data, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            raise ValueError("video trak without minf")
+        stbl = _mp4_child(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            raise ValueError("video trak without stbl")
+        boxes = {fc: (b, e)
+                 for fc, b, e in _mp4_boxes(data, stbl[0], stbl[1])}
+        if b"stsd" not in boxes:
+            raise ValueError("missing stsd")
+        sb = boxes[b"stsd"][0]
+        codec = data[sb + 12:sb + 16].decode("latin-1") \
+            if int(_u32s(data, sb + 4, 1)[0]) >= 1 else ""
+        if b"stsz" not in boxes:
+            raise ValueError("missing stsz")
+        sb = boxes[b"stsz"][0]
+        uniform = int(_u32s(data, sb + 4, 1)[0])
+        n_samples = int(_u32s(data, sb + 8, 1)[0])
+        if n_samples > len(data):  # a table bigger than the file is lies
+            raise ValueError("implausible sample count")
+        sizes = np.full(n_samples, uniform, np.int64) if uniform \
+            else _u32s(data, sb + 12, n_samples)
+        co = boxes.get(b"stco")
+        if co is not None:
+            n_chunks = int(_u32s(data, co[0] + 4, 1)[0])
+            offsets = _u32s(data, co[0] + 8, n_chunks)
+        else:
+            co = boxes.get(b"co64")
+            if co is None:
+                raise ValueError("missing stco/co64")
+            n_chunks = int(_u32s(data, co[0] + 4, 1)[0])
+            buf = data[co[0] + 8:co[0] + 8 + 8 * n_chunks]
+            if len(buf) < 8 * n_chunks:
+                raise ValueError("truncated co64")
+            offsets = np.frombuffer(buf, dtype=">u8").astype(np.int64)
+        if b"stsc" not in boxes:
+            raise ValueError("missing stsc")
+        sb = boxes[b"stsc"][0]
+        n_runs = int(_u32s(data, sb + 4, 1)[0])
+        runs = _u32s(data, sb + 8, 3 * n_runs).reshape(n_runs, 3)
+        # expand stsc runs -> samples-per-chunk for every chunk
+        spc = np.zeros(n_chunks, np.int64)
+        for ri in range(n_runs):
+            first = int(runs[ri, 0]) - 1
+            last = int(runs[ri + 1, 0]) - 1 if ri + 1 < n_runs \
+                else n_chunks
+            if not (0 <= first <= last <= n_chunks):
+                raise ValueError("bad stsc run")
+            spc[first:last] = runs[ri, 1]
+        if spc.sum() < n_samples:
+            raise ValueError("stsc covers fewer samples than stsz")
+        sync = np.zeros(n_samples, bool)
+        if b"stss" in boxes:
+            sb = boxes[b"stss"][0]
+            n_sync = int(_u32s(data, sb + 4, 1)[0])
+            nums = _u32s(data, sb + 8, n_sync) - 1  # 1-based
+            if ((nums < 0) | (nums >= n_samples)).any():
+                raise ValueError("stss sample number out of range")
+            sync[nums] = True
+        else:
+            sync[:] = True
+        samples = []
+        si = 0
+        for ci in range(n_chunks):
+            pos = int(offsets[ci])
+            for _ in range(int(spc[ci])):
+                if si >= n_samples:
+                    break
+                size = int(sizes[si])
+                if pos < 0 or pos + size > len(data):
+                    raise ValueError("sample outside file")
+                samples.append((pos, size, bool(sync[si])))
+                pos += size
+                si += 1
+        if si < n_samples:
+            raise ValueError("chunks cover fewer samples than stsz")
+        return {"codec": codec, "timescale": timescale,
+                "duration": duration, "samples": samples}
+    raise ValueError("no video track")
+
+
+def build_mp4(frames, *, fps: int = 30, sync_every: int = 10,
+              samples_per_chunk: int = 5, codec: bytes = b"avc1") -> bytes:
+    """Fixture-side minimal MP4: ftyp + mdat holding the given coded
+    sample payloads (opaque bytes — stand-ins for H.264 AUs) + a moov
+    whose stbl tables (stsd/stts/stsc/stsz/stco/stss) describe them.
+    Every `sync_every`-th sample is marked sync in stss."""
+    def box(fc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fc + body
+
+    def full(fc: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(fc, struct.pack(">I", version << 24) + body)
+
+    n = len(frames)
+    if n == 0:
+        raise ValueError("no samples")
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
+               + b"isomiso2avc1mp41")
+    mdat_payload = b"".join(frames)
+    mdat_body_off = len(ftyp) + 8
+    # chunk layout: groups of samples_per_chunk
+    chunk_offs, chunk_first = [], []
+    pos = mdat_body_off
+    for si, f in enumerate(frames):
+        if si % samples_per_chunk == 0:
+            chunk_offs.append(pos)
+            chunk_first.append(si)
+        pos += len(f)
+    timescale = 600
+    delta = timescale // fps
+    duration = n * delta
+
+    stsd_entry = (struct.pack(">I", 86 + 8) + codec + b"\x00" * 6
+                  + struct.pack(">H", 1) + b"\x00" * 16
+                  + struct.pack(">HH", 64, 48)
+                  + struct.pack(">II", 0x00480000, 0x00480000)
+                  + struct.pack(">I", 0) + struct.pack(">H", 1)
+                  + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    last_run = n - chunk_first[-1]
+    runs = []
+    if len(chunk_offs) > 1:
+        runs.append((1, samples_per_chunk))
+    if last_run != samples_per_chunk or len(chunk_offs) == 1:
+        runs.append((len(chunk_offs), last_run))
+    stsc = full(b"stsc", struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", first, cnt, 1) for first, cnt in runs))
+    stsz = full(b"stsz", struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", len(f)) for f in frames))
+    stco = full(b"stco", struct.pack(">I", len(chunk_offs)) + b"".join(
+        struct.pack(">I", o) for o in chunk_offs))
+    syncs = list(range(1, n + 1, sync_every))
+    stss = full(b"stss", struct.pack(">I", len(syncs)) + b"".join(
+        struct.pack(">I", s) for s in syncs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    vmhd = box(b"vmhd", struct.pack(">I", 1) + b"\x00" * 8)
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + struct.pack(">I", 12) + b"url "
+                             + struct.pack(">I", 1)))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
+                                     duration, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + struct.pack(">II", 64 << 16, 48 << 16), 0)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + b"\x00" * 8
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_payload) + moov

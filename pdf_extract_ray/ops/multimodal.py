@@ -148,16 +148,21 @@ class FrameSampleBatch:
     """Video frame-sampling stage: REAL decode for MJPEG-in-AVI
     (ops/codecs.parse_avi_mjpeg container walk + decode_jpeg per
     sampled frame — frame_sig hashes the DECODED RGB pixels, so
-    re-muxed containers with identical frames dedup together); other
-    containers (MP4, ...) keep the declared byte-window fake so the
-    stage stays total.  Emits one row per sampled frame — the
+    re-muxed containers with identical frames dedup together).  MP4
+    gets a REAL container walk (ops/codecs.parse_mp4_samples: moov/
+    trak/stbl sample tables -> actual frame byte ranges; seeks land on
+    the nearest preceding stss sync sample, like a real sampler) —
+    frame_sig hashes the actual coded sample payload and rows carry
+    status='container' because H.264 pixel decode stays out of scope.
+    Anything else keeps the declared byte-window fake so the stage
+    stays total.  Emits one row per sampled frame — the
     flat_map-shaped layout."""
 
     def __init__(self, every_n: int = 30):
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .codecs import decode_jpeg, parse_avi_mjpeg
+        from .codecs import decode_jpeg, parse_avi_mjpeg, parse_mp4_samples
         ids_out: List[int] = []
         frame_idx: List[int] = []
         frame_sig: List[bytes] = []
@@ -165,7 +170,8 @@ class FrameSampleBatch:
         for item_id, payload in zip(batch.column("item_id").to_pylist(),
                                     batch.column("payload").to_pylist()):
             payload = payload or b""
-            if sniff_media(payload) == "avi":
+            kind = sniff_media(payload)
+            if kind == "avi":
                 try:
                     frames = parse_avi_mjpeg(payload)
                     for fi in range(0, len(frames), self.every_n):
@@ -178,6 +184,30 @@ class FrameSampleBatch:
                     continue
                 except Exception:
                     pass  # damaged AVI: fall through to the fake path
+            elif kind == "mp4":
+                try:
+                    samples = parse_mp4_samples(payload)["samples"]
+                    syncs = [i for i, s in enumerate(samples) if s[2]] \
+                        or list(range(len(samples)))
+                    picked = []
+                    for target in range(0, len(samples), self.every_n):
+                        # nearest preceding keyframe (first one if the
+                        # target precedes every sync sample)
+                        prev = [i for i in syncs if i <= target]
+                        pick = prev[-1] if prev else syncs[0]
+                        if pick not in picked:
+                            picked.append(pick)
+                    for fi in picked:
+                        off, size, _ = samples[fi]
+                        ids_out.append(item_id)
+                        frame_idx.append(fi)
+                        frame_sig.append(hashlib.blake2b(
+                            payload[off:off + size],
+                            digest_size=8).digest())
+                        status.append("container")
+                    continue
+                except ValueError:
+                    pass  # damaged MP4: fall through to the fake path
             n_frames = max(1, len(payload) // 1024)  # fake: 1 "frame"/KiB
             for fi in range(0, n_frames, self.every_n):
                 ids_out.append(item_id)

@@ -72,7 +72,14 @@ def main():
             print(f"ok   {name}: rows={len(res)} cols={list(res.columns)} "
                   f"[rows-only] {dt:.1f}s")
             continue
-        ora = con.execute(oracles[name]).fetchdf()
+        try:
+            ora = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            # an oracle-side error is a FAILURE of the suite (the SQL
+            # must run at every SF), but must not kill the whole sweep
+            print(f"FAIL {name}: ORACLE raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
         a, b = canon(res), canon(ora)
         status = []
         if len(a) != len(b):
