@@ -1214,3 +1214,196 @@ def pdf_ghostscript_style() -> bytes:
 PDF_GENERATORS["pdf_latex_style"] = pdf_latex_style
 PDF_GENERATORS["pdf_word_style"] = pdf_word_style
 PDF_GENERATORS["pdf_ghostscript_style"] = pdf_ghostscript_style
+
+
+# ---------------------------------------------------------------------------
+# Writer-profile wave 2 (VERDICT r4 item 7): scanned-image pages, AcroForm
+# field text, multi-generation incremental updates with object shadowing,
+# and pathological page trees.  All register in PDF_GENERATORS /
+# ADVERSARIAL_GENERATORS so the differential-property, span-parity,
+# subset-invariance and fuzz suites cover them automatically.
+# ---------------------------------------------------------------------------
+
+
+def pdf_scanned_image() -> bytes:
+    """Scanner-profile fixture: the page is ONE full-page DCTDecode
+    image XObject drawn via cm + Do with NO text operators anywhere.
+    The reference recurses into EVERY XObject Do names (no /Subtype
+    check, src/lib.rs:1860-1869), so the JPEG entropy bytes get
+    tokenized as a content stream; none of them form text-showing
+    sequences, so extraction yields EMPTY text — never an error.  The
+    image is a real baseline JPEG (ops/codecs.encode_jpeg)."""
+    import numpy as np
+
+    from ..ops.codecs import encode_jpeg
+    yy, xx = np.mgrid[0:44, 0:32]
+    img = np.stack([(yy * 5) % 256, (xx * 7) % 256,
+                    ((xx + yy) * 3) % 256], axis=2).astype(np.uint8)
+    jpg = encode_jpeg(img)
+    b = PdfBuilder()
+    im = b.stream("<< /Type /XObject /Subtype /Image /Width 32 "
+                  "/Height 44 /ColorSpace /DeviceRGB "
+                  "/BitsPerComponent 8 /Filter /DCTDecode >>", jpg)
+    cs = b.stream("<< >>", b"q 612 0 0 792 0 0 cm /Im0 Do Q")
+    page = b.add(f"<< /Type /Page /Parent {{PARENT}} "
+                 f"/MediaBox [0 0 612 792] "
+                 f"/Resources << /XObject << /Im0 {im} 0 R >> >> "
+                 f"/Contents {cs} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>"
+                  .encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(
+        b"{PARENT}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    return b.build(root)
+
+
+def pdf_acroform_fields() -> bytes:
+    """AcroForm fixture: page body text PLUS an interactive form whose
+    text fields carry /V values and widget /AP appearance streams with
+    their own Tj operators.  The reference walks PAGE CONTENT STREAMS
+    only — field values and appearance streams are never drawn — so
+    extraction must yield exactly the body text."""
+    b = PdfBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 "
+                 b"/BaseFont /Helvetica >>")
+    ap = b.stream("<< /Type /XObject /Subtype /Form "
+                  "/BBox [0 0 200 20] >>",
+                  b"BT /F1 10 Tf 2 5 Td (FIELD APPEARANCE TEXT) Tj ET")
+    field1 = b.add(f"<< /FT /Tx /T (name) /V (typed into field one) "
+                   f"/Type /Annot /Subtype /Widget "
+                   f"/Rect [72 600 272 620] "
+                   f"/AP << /N {ap} 0 R >> >>".encode())
+    field2 = b.add(b"<< /FT /Ch /T (color) /V (blue) "
+                   b"/Opt [(red) (blue)] /Type /Annot /Subtype /Widget "
+                   b"/Rect [72 560 272 580] >>")
+    cs = b.stream("<< >>", b"BT /F1 12 Tf 72 700 Td "
+                           b"(Visible body text only) Tj ET")
+    page = b.add(f"<< /Type /Page /Parent {{PARENT}} "
+                 f"/MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {font} 0 R >> >> "
+                 f"/Annots [{field1} 0 R {field2} 0 R] "
+                 f"/Contents {cs} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>"
+                  .encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(
+        b"{PARENT}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R "
+                 f"/AcroForm << /Fields [{field1} 0 R {field2} 0 R] "
+                 f"/NeedAppearances true >> >>".encode())
+    return b.build(root)
+
+
+def pdf_multigen_shadowing() -> bytes:
+    """THREE-generation incremental update chain (PDF 7.5.6): gen 1 is
+    a plain doc (text 'generation one', Info /Title (v1)); gen 2
+    appends a replacement content stream ('generation two') with an
+    xref whose /Prev points at gen 1; gen 3 appends BOTH another
+    content replacement ('generation three') AND a shadowing Info
+    object (/Title (v3)).  Newest xref wins per object: text must be
+    'generation three', Title 'v3', and every untouched object must
+    resolve through the two-step /Prev chain."""
+    b = PdfBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 "
+                 b"/BaseFont /Helvetica >>")
+    cs = b.stream("<< >>", b"BT /F1 12 Tf 72 720 Td "
+                           b"(generation one) Tj ET")
+    page = b.add(f"<< /Type /Page /Parent {{PARENT}} "
+                 f"/MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {font} 0 R >> >> "
+                 f"/Contents {cs} 0 R >>".encode())
+    pages = b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>"
+                  .encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(
+        b"{PARENT}", f"{pages} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    info = b.add(b"<< /Title (v1) /Producer (gen1) >>")
+    out = bytearray(b.build(root, info_num=info))
+    size = len(b.bodies) + 1
+
+    def append_gen(objs, prev_off):
+        """objs: {num: body}; appends objects + xref subsections +
+        trailer; returns new startxref offset."""
+        offs = {}
+        for num, body in sorted(objs.items()):
+            offs[num] = len(out)
+            out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+        xref_off = len(out)
+        out.extend(b"xref\n0 1\n0000000000 65535 f \n")
+        for num in sorted(offs):
+            out.extend(f"{num} 1\n{offs[num]:010d} 00000 n \n".encode())
+        out.extend((f"trailer\n<< /Size {size} /Root {root} 0 R "
+                    f"/Info {info} 0 R /Prev {prev_off} >>\n"
+                    f"startxref\n{xref_off}\n%%EOF\n").encode())
+        return xref_off
+
+    def content_obj(text):
+        data = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        return (f"<< /Length {len(data)} >>".encode()
+                + b"\nstream\n" + data + b"\nendstream")
+
+    prev1 = int(out[out.rfind(b"startxref") + 9:out.rfind(b"%%EOF")]
+                .strip())
+    prev2 = append_gen({cs: content_obj("generation two")}, prev1)
+    append_gen({cs: content_obj("generation three"),
+                info: b"<< /Title (v3) /Producer (gen3) >>"}, prev2)
+    return bytes(out)
+
+
+def pdf_pagetree_cycle() -> bytes:
+    """Pathological page tree with a CYCLE: the intermediate Pages
+    node's /Kids contains the leaf page AND a back-reference to the
+    root Pages node.  The walk must terminate (visited-set semantics),
+    emit the page exactly once, and extract its text."""
+    b = PdfBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 "
+                 b"/BaseFont /Helvetica >>")
+    cs = b.stream("<< >>", b"BT /F1 12 Tf 72 720 Td "
+                           b"(cycle survivor) Tj ET")
+    # object numbers fixed up manually: 3=page, 4=mid Pages, 5=root Pages
+    page = b.add(f"<< /Type /Page /Parent 4 0 R "
+                 f"/MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {font} 0 R >> >> "
+                 f"/Contents {cs} 0 R >>".encode())
+    mid = b.add(f"<< /Type /Pages /Parent 5 0 R "
+                f"/Kids [{page} 0 R 5 0 R] /Count 1 >>".encode())
+    top = b.add(f"<< /Type /Pages /Kids [{mid} 0 R] /Count 1 >>"
+                .encode())
+    assert (page, mid, top) == (3, 4, 5)
+    root = b.add(f"<< /Type /Catalog /Pages {top} 0 R >>".encode())
+    return b.build(root)
+
+
+def pdf_pagetree_inherited() -> bytes:
+    """Pathological page tree exercising ATTRIBUTE INHERITANCE and
+    junk-Kids tolerance: /Resources and /MediaBox live ONLY on the
+    root Pages node (the leaf page has neither, resolving both through
+    two /Parent hops, src/lib.rs:2352-2362), and the /Kids arrays
+    contain garbage entries (an integer, a string object reference)
+    that the walk must skip."""
+    b = PdfBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 "
+                 b"/BaseFont /Helvetica >>")
+    junk = b.add(b"(not a page)")
+    cs = b.stream("<< >>", b"BT /F1 12 Tf 72 720 Td "
+                           b"(inherited resources) Tj ET")
+    page = b.add(f"<< /Type /Page /Parent {{MID}} "
+                 f"/Contents {cs} 0 R >>".encode())
+    mid = b.add(f"<< /Type /Pages /Parent {{TOP}} "
+                f"/Kids [42 {junk} 0 R {page} 0 R] /Count 1 >>".encode())
+    top = b.add(f"<< /Type /Pages /Kids [{mid} 0 R] /Count 1 "
+                f"/MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+                .encode())
+    b.bodies[page - 1] = b.bodies[page - 1].replace(
+        b"{MID}", f"{mid} 0 R".encode())
+    b.bodies[mid - 1] = b.bodies[mid - 1].replace(
+        b"{TOP}", f"{top} 0 R".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {top} 0 R >>".encode())
+    return b.build(root)
+
+
+PDF_GENERATORS["pdf_scanned_image"] = pdf_scanned_image
+PDF_GENERATORS["pdf_acroform_fields"] = pdf_acroform_fields
+ADVERSARIAL_GENERATORS["pdf_multigen_shadowing"] = pdf_multigen_shadowing
+ADVERSARIAL_GENERATORS["pdf_pagetree_cycle"] = pdf_pagetree_cycle
+ADVERSARIAL_GENERATORS["pdf_pagetree_inherited"] = pdf_pagetree_inherited

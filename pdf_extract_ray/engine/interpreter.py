@@ -408,6 +408,15 @@ class Processor:
                 xf = maybe_get_obj(doc, xobjects, bytes(name))
                 if not isinstance(xf, Stream):
                     raise PdfError(f"missing XObject {bytes(name)!r}")
+                if xf.dict.get(b"Subtype") == b"Image":
+                    # DELIBERATE divergence: the reference recurses into
+                    # EVERY XObject (src/lib.rs:1860-1869) and panics
+                    # when the image entropy bytes fail Content::decode
+                    # (lib.rs:1582 .unwrap()) — i.e. every scanned PDF
+                    # crashes it.  Totalization trumps crash parity
+                    # (same policy as the Do depth cap): images carry
+                    # no text, skip them.
+                    continue
                 sub_res = xf.dict.get(b"Resources")
                 if sub_res is not None:
                     from .objects import maybe_deref

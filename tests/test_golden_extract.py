@@ -38,6 +38,10 @@ GOLDEN = {
     "pdf_word_style": "\n\nHello “Word” – styleABCDE😀",
     "pdf_ghostscript_style":
         "\n\nghostscript maın lßne\n\nfrom lzw xobject",
+    # writer profiles wave 2 (VERDICT r4 item 7)
+    "pdf_scanned_image": "",       # image-only page: EMPTY, not error
+    "pdf_acroform_fields": "\n\nVisible body text only",  # field /V and
+    # /AP appearance text must NOT leak into extraction
 }
 
 
