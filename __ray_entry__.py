@@ -12251,6 +12251,111 @@ def _q_user_hour_entropy(sf_dir: str):
     return rows
 
 
+# --- round-5 wave A ---------------------------------------------------------
+
+
+def _q_c4_line_filter(sf_dir: str):
+    """C4 line-level cleaning (terminal punctuation + min words +
+    banned terms, doc dropped under min kept lines) over documents
+    line-ized deterministically: words grouped 5-per-line, every
+    (doc_id+i)%11==0 line suffixed ' javascript.' (banned), else
+    (doc_id+i)%3==0 suffixed '.' (the only terminal lines) — the same
+    derivation the oracle performs with list lambdas
+    (ops/corpus.c4_line_filter)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import c4_line_filter
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for d, t in zip(df["doc_id"].fillna(-1).astype(np.int64),
+                        df["text"].fillna("")):
+            words = [w for w in t.split(" ") if w]
+            lines = []
+            for i in range((len(words) + 4) // 5):
+                line = " ".join(words[5 * i:5 * i + 5])
+                if (d + i) % 11 == 0:
+                    line += " javascript."
+                elif (d + i) % 3 == 0:
+                    line += "."
+                lines.append(line)
+            outs.append("\n".join(lines))
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": outs})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return c4_line_filter(ds.map_batches(to_lines,
+                                         batch_format="pandas"))
+
+
+def _q_probe_positions(sf_dir: str):
+    """Contamination-probe locator: first byte offset + occurrence
+    count per (doc, probe) for four fixed word-bigram probes
+    (ops/corpus.probe_positions)."""
+    from pdf_extract_ray.ops.corpus import probe_positions
+    return probe_positions(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        ["table part", "fast merge", "key agg", "row scan"])
+
+
+def _q_mojibake_audit(sf_dir: str):
+    """Per-source encoding-damage audit over documents with planted
+    mojibake (doc_id%17==0 -> 'a'->'Ã¡' substitution, %17==1 ->
+    ' â€œq' suffix; same derivation in the oracle)
+    (ops/textstats.mojibake_audit)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.textstats import mojibake_audit
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        d = df["doc_id"].fillna(-1).astype(np.int64)
+        txt = txt.where(d % 17 != 0,
+                        txt.str.replace("a", "Ã¡", regex=False))
+        txt = txt.where(d % 17 != 1, txt + " â€œq")
+        return pd.DataFrame({"source": df["source"], "text": txt})
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "text"])
+    return mojibake_audit(ds.map_batches(plant, batch_format="pandas"))
+
+
+def _q_l_diversity_audit(sf_dir: str):
+    """l-diversity privacy audit: QI groups = (source, n_chars//64),
+    sensitive = lang; flags groups whose members all share one lang
+    (ops/analytics.l_diversity_audit)."""
+    from pdf_extract_ray.ops.analytics import l_diversity_audit
+    return l_diversity_audit(
+        _read(sf_dir, "documents",
+              columns=["source", "n_chars", "lang"]))
+
+
+def _q_effect_size_chars(sf_dir: str):
+    """Cohen's d of each source's n_chars against the rest of the
+    corpus, exact HUGEINT moments -> bit-identical doubles
+    (ops/analytics.effect_size_by_group)."""
+    from pdf_extract_ray.ops.analytics import effect_size_by_group
+    return effect_size_by_group(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_partial_corr_chars(sf_dir: str):
+    """First-order partial correlation of (n_chars, word count) given
+    'a'-occurrence count, exact integer moments + mirrored float
+    formula tree (ops/analytics.partial_corr_three)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import partial_corr_three
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        return pd.DataFrame({
+            "x": df["n_chars"].fillna(0).astype(np.int64),
+            "y": txt.str.count(r"[^ ]+").astype(np.int64),
+            "z": txt.str.count("a").astype(np.int64)})
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "text"])
+    return partial_corr_three(
+        ds.map_batches(derive, batch_format="pandas"), "x", "y", "z")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12674,6 +12779,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion_by_entry": _q_session_conversion_by_entry,
         "dau_new_returning": _q_dau_new_returning,
         "user_hour_entropy": _q_user_hour_entropy,
+        "c4_line_filter": _q_c4_line_filter,
+        "probe_positions": _q_probe_positions,
+        "mojibake_audit": _q_mojibake_audit,
+        "l_diversity_audit": _q_l_diversity_audit,
+        "effect_size_chars": _q_effect_size_chars,
+        "partial_corr_chars": _q_partial_corr_chars,
     }
 
 
@@ -19299,5 +19410,154 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS entropy_ppm
             FROM c JOIN s USING (user_id)
             GROUP BY c.user_id, s.t, s.k
+        """,
+        "c4_line_filter": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '') AS ws
+                       FROM documents WHERE doc_id IS NOT NULL),
+            l AS (SELECT doc_id, i,
+                         array_to_string(ws[(5*i+1):(5*i+5)], ' ')
+                         || CASE WHEN (doc_id + i) % 11 = 0
+                                     THEN ' javascript.'
+                                 WHEN (doc_id + i) % 3 = 0 THEN '.'
+                                 ELSE '' END AS line
+                  FROM w, LATERAL (
+                      SELECT unnest(range(CAST(ceil(len(ws) / 5.0)
+                                               AS BIGINT))) AS i)),
+            k AS (SELECT doc_id, i, line,
+                         (line LIKE '%.' OR line LIKE '%!'
+                          OR line LIKE '%?' OR line LIKE '%"'
+                          OR line LIKE '%”')
+                         AND len(list_filter(string_split(line, ' '),
+                                             x -> x <> '')) >= 3
+                         AND lower(line) NOT LIKE '%lorem ipsum%'
+                         AND lower(line) NOT LIKE '%javascript%'
+                         AND lower(line) NOT LIKE '%{%' AS keep
+                  FROM l)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY i)
+                       FILTER (WHERE keep) AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines_total,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                       AS n_lines_kept
+            FROM k GROUP BY doc_id
+            HAVING count(*) FILTER (WHERE keep) >= 2
+        """,
+        "probe_positions": """
+            WITH p AS (SELECT unnest(['table part', 'fast merge',
+                                      'key agg', 'row scan']) AS probe),
+            d AS (SELECT doc_id, COALESCE(text, '') AS t
+                  FROM documents WHERE doc_id IS NOT NULL)
+            SELECT doc_id, probe,
+                   CAST(strpos(t, probe) - 1 AS BIGINT) AS first_pos,
+                   CAST((length(t) - length(replace(t, probe, '')))
+                        / length(probe) AS BIGINT) AS n_hits
+            FROM d, p WHERE strpos(t, probe) > 0
+        """,
+        "mojibake_audit": """
+            WITH planted AS (
+                SELECT source,
+                       CASE WHEN doc_id % 17 = 0
+                                THEN replace(COALESCE(text, ''),
+                                             'a', 'Ã¡')
+                            WHEN doc_id % 17 = 1
+                                THEN COALESCE(text, '') || ' â€œq'
+                            ELSE COALESCE(text, '') END AS t
+                FROM documents),
+            f AS (SELECT COALESCE(source, '') AS source,
+                         (t LIKE '%Ã%' OR t LIKE '%â€%'
+                          OR t LIKE '%�%') AS moji,
+                         regexp_matches(t, '[^[:ascii:]]') AS nonascii
+                  FROM planted)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE moji) AS BIGINT)
+                       AS n_mojibake_docs,
+                   CAST(count(*) FILTER (WHERE nonascii) AS BIGINT)
+                       AS n_nonascii_docs,
+                   CAST(count(*) FILTER (WHERE moji) * 1000000
+                        // count(*) AS BIGINT) AS mojibake_ppm
+            FROM f GROUP BY source
+        """,
+        "l_diversity_audit": """
+            SELECT COALESCE(source, '') AS source,
+                   CAST(floor(COALESCE(n_chars, 0) / 64.0) AS BIGINT)
+                       AS size_class,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT COALESCE(lang, 'und'))
+                        AS BIGINT) AS l_distinct,
+                   count(DISTINCT COALESCE(lang, 'und')) >= 2 AS l_ok
+            FROM documents GROUP BY 1, 2
+        """,
+        "effect_size_chars": """
+            WITH g AS (SELECT COALESCE(source, '') AS source,
+                              CAST(count(*) AS HUGEINT) n,
+                              CAST(sum(CAST(COALESCE(n_chars, 0)
+                                       AS HUGEINT)) AS HUGEINT) sx,
+                              CAST(sum(CAST(COALESCE(n_chars, 0)
+                                       AS HUGEINT)
+                                       * COALESCE(n_chars, 0))
+                                   AS HUGEINT) sxx
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) tn, sum(sx) tsx, sum(sxx) tsxx FROM g),
+            v AS (SELECT source, n, sx, sxx,
+                         tn - n AS nr, tsx - sx AS sxr,
+                         tsxx - sxx AS sxxr
+                  FROM g, t WHERE n >= 2 AND tn - n >= 2),
+            e AS (SELECT source, n,
+                         CAST(n * sxx - sx * sx AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE) AS var_s,
+                         CAST(nr * sxxr - sxr * sxr AS DOUBLE)
+                         / CAST(nr * (nr - 1) AS DOUBLE) AS var_r,
+                         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(sxr AS DOUBLE) / CAST(nr AS DOUBLE)
+                             AS mean_diff,
+                         n, nr FROM v),
+            p AS (SELECT source, n,
+                         mean_diff,
+                         (CAST(n - 1 AS DOUBLE) * var_s
+                          + CAST(nr - 1 AS DOUBLE) * var_r)
+                         / CAST(n + nr - 2 AS DOUBLE) AS pooled
+                  FROM e)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   mean_diff / sqrt(pooled) AS d
+            FROM p WHERE pooled > 0
+        """,
+        "partial_corr_chars": """
+            WITH b AS (SELECT
+                CAST(COALESCE(n_chars, 0) AS HUGEINT) x,
+                CAST(len(list_filter(string_split(
+                    COALESCE(text, ''), ' '), w -> w <> ''))
+                    AS HUGEINT) y,
+                CAST(length(COALESCE(text, ''))
+                     - length(replace(COALESCE(text, ''), 'a', ''))
+                     AS HUGEINT) z
+                FROM documents),
+            m AS (SELECT CAST(count(*) AS HUGEINT) n,
+                         sum(x) sx, sum(y) sy, sum(z) sz,
+                         sum(x * x) sxx, sum(y * y) syy,
+                         sum(z * z) szz, sum(x * y) sxy,
+                         sum(x * z) sxz, sum(y * z) syz
+                  FROM b),
+            r AS (SELECT CAST(n AS BIGINT) AS n,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) r_xy,
+                CAST(n * sxz - sx * sz AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) r_xz,
+                CAST(n * syz - sy * sz AS DOUBLE)
+                / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                   * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) r_yz
+                FROM m
+                WHERE n >= 3 AND n * sxx - sx * sx > 0
+                  AND n * syy - sy * sy > 0 AND n * szz - sz * sz > 0)
+            SELECT n, r_xy, r_xz, r_yz,
+                   (r_xy - r_xz * r_yz)
+                   / sqrt((1.0 - r_xz * r_xz)
+                          * (1.0 - r_yz * r_yz)) AS partial_r
+            FROM r
+            WHERE (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
         """,
     }

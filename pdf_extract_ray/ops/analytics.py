@@ -2736,3 +2736,156 @@ def label_centroid_cosine(ds, *, scale: int = 1000):
     if not out:
         return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave A: privacy / effect-size / partial-correlation audits
+# ---------------------------------------------------------------------------
+
+
+def l_diversity_audit(ds, *, group_cols=("source",), bucket_col="n_chars",
+                      bucket_width: int = 64, sensitive_col: str = "lang"):
+    """l-diversity audit (privacy): quasi-identifier groups =
+    (group_cols..., bucket_col // bucket_width); l = number of DISTINCT
+    sensitive values per group.  Groups with l == 1 leak the sensitive
+    attribute of every member -> l_ok = false.
+
+    -> (group_cols..., size_class, n_rows, l_distinct, l_ok), one row
+    per QI group.  Scale shape: per-batch (QI, sensitive) distinct
+    pre-dedup, ONE native groupby over the deduped pairs carrying both
+    the row count partial and the distinct partial (pairs bounded by
+    |QI| x |sensitive domain|, not rows)."""
+    from ray.data.aggregate import Count, Sum
+    gcols = list(group_cols)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[sensitive_col] = df[sensitive_col].fillna("und")
+        df["size_class"] = (df[bucket_col].fillna(0).astype(np.int64)
+                            // bucket_width)
+        g = df.groupby(gcols + ["size_class", sensitive_col],
+                       as_index=False).size()
+        return g.rename(columns={"size": "n_part"})
+
+    agg = ds.map_batches(pre, batch_format="pandas") \
+        .groupby(gcols + ["size_class", sensitive_col]) \
+        .aggregate(Sum("n_part")).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: "object" for c in gcols}
+        cols.update({"size_class": "int64", "n_rows": "int64",
+                     "l_distinct": "int64", "l_ok": "bool"})
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby(gcols + ["size_class"], as_index=False).agg(
+            n_rows=("sum(n_part)", "sum"),
+            l_distinct=(sensitive_col, "nunique"))
+        g["l_ok"] = g["l_distinct"] >= 2
+        return g.astype(cols)
+
+    # sensitive values of one QI group must meet in one partition
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(agg, gcols + ["size_class"], finish,
+                                 n_parts=8)
+
+
+def effect_size_by_group(ds, group_col: str, value_col: str):
+    """Cohen's d of each group AGAINST THE REST of the corpus, from
+    exact integer moments (one map-side partial pass + tiny driver
+    finish; rest-moments = totals - group moments, so no second scan).
+
+    d = (mean_g - mean_rest) / pooled_sd with the textbook pooled
+    sample variance; the float expression tree is mirrored verbatim by
+    the DuckDB oracle, so doubles compare bit-identically.
+    -> (group, n, mean_milli, d_milli is NOT emitted — d as float64)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].fillna(0).astype(np.int64).to_numpy()
+        g = pd.DataFrame({group_col: df[group_col].fillna(""),
+                          "sx": v, "sxx": v * v, "n": 1})
+        return g.groupby(group_col, as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(group_col).aggregate(Sum("sx"), Sum("sxx"), Sum("n")) \
+        .materialize()
+    rows = agg.take_all()  # bounded: one row per group
+    out_cols = {group_col: "object", "n": "int64", "d": "float64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    tot_n = sum(int(r["sum(n)"]) for r in rows)
+    tot_sx = sum(int(r["sum(sx)"]) for r in rows)
+    tot_sxx = sum(int(r["sum(sxx)"]) for r in rows)
+    out = []
+    for r in sorted(rows, key=lambda r: r[group_col]):
+        ns, sxs, sxxs = (int(r["sum(n)"]), int(r["sum(sx)"]),
+                         int(r["sum(sxx)"]))
+        nr, sxr, sxxr = tot_n - ns, tot_sx - sxs, tot_sxx - sxxs
+        if ns < 2 or nr < 2:
+            continue
+        # var = (n*sxx - sx^2) / (n*(n-1)), exact-integer numerators
+        var_s = float(ns * sxxs - sxs * sxs) / float(ns * (ns - 1))
+        var_r = float(nr * sxxr - sxr * sxr) / float(nr * (nr - 1))
+        pooled = ((ns - 1) * var_s + (nr - 1) * var_r) \
+            / float(ns + nr - 2)
+        if pooled <= 0:
+            continue
+        import math
+        d = (float(sxs) / ns - float(sxr) / nr) / math.sqrt(pooled)
+        out.append({group_col: r[group_col], "n": ns, "d": d})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def partial_corr_three(ds, x_col: str, y_col: str, z_col: str):
+    """First-order partial correlation r_xy.z over the whole table from
+    EXACT integer moments: one map-side partial pass, Python-int driver
+    totals (overflow-free), then the textbook formula
+    (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) with each pairwise
+    r in the repo's grouped_corr IEEE evaluation order — the oracle
+    mirrors the float expression tree exactly.
+    -> one row (n, r_xy, r_xz, r_yz, partial_r)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].fillna(0).astype(np.int64).to_numpy()
+        y = df[y_col].fillna(0).astype(np.int64).to_numpy()
+        z = df[z_col].fillna(0).astype(np.int64).to_numpy()
+        return pd.DataFrame({
+            "n": [len(df)], "sx": [x.sum()], "sy": [y.sum()],
+            "sz": [z.sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()], "szz": [(z * z).sum()],
+            "sxy": [(x * y).sum()], "sxz": [(x * z).sum()],
+            "syz": [(y * z).sum()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").take_all()
+    out_cols = {"n": "int64", "r_xy": "float64", "r_xz": "float64",
+                "r_yz": "float64", "partial_r": "float64"}
+    n = sum(int(r["n"]) for r in rows)
+    if n < 3:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    t = {k: sum(int(r[k]) for r in rows) for k in
+         ("sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz")}
+    import math
+
+    def corr(sa, sb, saa, sbb, sab):
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        if va <= 0 or vb <= 0:
+            return None
+        return float(n * sab - sa * sb) \
+            / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+
+    r_xy = corr(t["sx"], t["sy"], t["sxx"], t["syy"], t["sxy"])
+    r_xz = corr(t["sx"], t["sz"], t["sxx"], t["szz"], t["sxz"])
+    r_yz = corr(t["sy"], t["sz"], t["syy"], t["szz"], t["syz"])
+    if r_xy is None or r_xz is None or r_yz is None:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    prod = (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)
+    if prod <= 0.0:  # |r| can touch 1.0 on degenerate inputs
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    pr = (r_xy - r_xz * r_yz) / math.sqrt(prod)
+    return pd.DataFrame({"n": [n], "r_xy": [r_xy], "r_xz": [r_xz],
+                         "r_yz": [r_yz], "partial_r": [pr]}) \
+        .astype(out_cols)

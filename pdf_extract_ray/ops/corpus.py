@@ -1543,3 +1543,101 @@ def source_jsd(docs_ds, source_a: str, source_b: str, *,
     return pd.DataFrame([{"n_a": na, "n_b": nb, "vocab_n": len(vocab),
                           "jsd_ppm": math.floor(acc * 1_000_000)}]) \
         .astype(cols)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave A: C4 line-level cleaning + contamination probe locator
+# ---------------------------------------------------------------------------
+
+_C4_TERMINALS = ('.', '!', '?', '"', '”')
+_C4_BANNED = ("lorem ipsum", "javascript", "{")
+
+
+def c4_line_filter(ds, *, min_words: int = 3, min_lines: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 rules —
+    distinct from chunk_dedup's duplicated-span rule): keep a line iff
+    it (a) ends in a terminal punctuation mark ('.', '!', '?', '\"' or
+    a right curly quote), (b) has >= min_words non-empty words, and
+    (c) its lowercase form contains none of {'lorem ipsum',
+    'javascript', '{'}.  Documents keeping < min_lines lines are
+    dropped entirely.
+
+    -> (doc_id, text [kept lines re-joined with newline],
+        n_lines_total, n_lines_kept).  Map-only (embarrassingly
+    parallel, no shuffle): split/explode + vectorized predicates +
+    one per-batch groupby rebuild — no per-line Python."""
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "text": "object",
+                "n_lines_total": "int64", "n_lines_kept": "int64"}
+        df = df[df[id_col].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        txt = df[text_col].fillna("")
+        lines = txt.str.split("\n").explode()
+        lo = lines.str.lower()
+        words = lines.str.count(r"[^ ]+")
+        keep = (lines.str.endswith(_C4_TERMINALS)
+                & (words >= min_words))
+        for pat in _C4_BANNED:
+            keep &= ~lo.str.contains(pat, regex=False)
+        tot = lines.groupby(level=0).size()
+        kept_lines = lines[keep]
+        out = pd.DataFrame({
+            "doc_id": df[id_col].astype(np.int64),
+            "n_lines_total": tot.reindex(df.index).fillna(0)
+            .astype(np.int64)})
+        if len(kept_lines):
+            joined = kept_lines.groupby(level=0).agg("\n".join)
+            n_kept = kept_lines.groupby(level=0).size()
+        else:
+            joined = pd.Series(dtype=object)
+            n_kept = pd.Series(dtype=np.int64)
+        out["text"] = joined.reindex(df.index).fillna("")
+        out["n_lines_kept"] = n_kept.reindex(df.index).fillna(0) \
+            .astype(np.int64)
+        out = out[out["n_lines_kept"] >= min_lines]
+        return out[["doc_id", "text", "n_lines_total",
+                    "n_lines_kept"]].astype(cols)
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+def probe_positions(ds, probes, *, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Contamination-probe locator: for a small broadcast list of probe
+    strings, report every document containing each probe with its
+    FIRST byte offset and its non-overlapping occurrence count (exact
+    python-str.find / replace-difference semantics, mirrored by the
+    oracle's strpos + replace trick).
+
+    -> (doc_id, probe, first_pos, n_hits), hits only.  Map-only; the
+    probe list rides the UDF closure (decontaminate's broadcast-eval
+    pattern at O(10) probes)."""
+    probes = list(probes)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "probe": "object",
+                "first_pos": "int64", "n_hits": "int64"}
+        df = df[df[id_col].notna()]
+        parts = []
+        if len(df):
+            txt = df[text_col].fillna("")
+            ids = df[id_col].astype(np.int64)
+            import re
+            for p in probes:
+                pos = txt.str.find(p)
+                hit = pos >= 0
+                if not hit.any():
+                    continue
+                cnt = txt[hit].str.count(re.escape(p))
+                parts.append(pd.DataFrame({
+                    "doc_id": ids[hit], "probe": p,
+                    "first_pos": pos[hit].astype(np.int64),
+                    "n_hits": cnt.astype(np.int64)}))
+        if not parts:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return pd.concat(parts, ignore_index=True).astype(cols)
+
+    return ds.map_batches(scan, batch_format="pandas")

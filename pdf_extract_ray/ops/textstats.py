@@ -623,3 +623,61 @@ def char_class_profile(ds, group_col: str = "source",
                                   // np.maximum(nc, 1))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave A: encoding-damage (mojibake) audit
+# ---------------------------------------------------------------------------
+
+# classic UTF-8-read-as-Latin-1 artifacts: 'Ã' (C3-prefixed two-byte
+# sequences), 'â€' (E2 80 punctuation family) and the replacement char
+_MOJIBAKE_MARKERS = ("Ã", "â€", "�")
+
+
+def mojibake_audit(ds, *, group_col: str = "source",
+                   text_col: str = "text"):
+    """Per-group encoding-damage audit: how many documents carry
+    mojibake markers ('Ã', 'â€', U+FFFD — the UTF-8-decoded-as-Latin-1
+    fingerprints) and how many contain ANY non-ASCII character at all.
+
+    -> (group, n_docs, n_mojibake_docs, n_nonascii_docs,
+        mojibake_ppm [truncated integer]).  Map-side per-group partial
+    counts (vectorized str.contains), one tiny groupby sum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df[text_col].fillna("")
+        moji = pd.Series(False, index=df.index)
+        for m in _MOJIBAKE_MARKERS:
+            moji |= txt.str.contains(m, regex=False)
+        nonascii = txt.str.contains(r"[^\x00-\x7f]", regex=True)
+        g = pd.DataFrame({group_col: df[group_col].fillna(""),
+                          "n_docs": 1,
+                          "n_mojibake_docs": moji.astype(np.int64),
+                          "n_nonascii_docs": nonascii.astype(np.int64)})
+        return g.groupby(group_col, as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(group_col) \
+        .aggregate(Sum("n_docs"), Sum("n_mojibake_docs"),
+                   Sum("n_nonascii_docs"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "n_docs": "int64",
+                "n_mojibake_docs": "int64", "n_nonascii_docs": "int64",
+                "mojibake_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = pd.DataFrame({
+            group_col: df[group_col],
+            "n_docs": df["sum(n_docs)"].astype(np.int64),
+            "n_mojibake_docs":
+                df["sum(n_mojibake_docs)"].astype(np.int64),
+            "n_nonascii_docs":
+                df["sum(n_nonascii_docs)"].astype(np.int64)})
+        out["mojibake_ppm"] = (out["n_mojibake_docs"] * 1_000_000
+                               // out["n_docs"])
+        return out.astype(cols)
+
+    return agg.map_batches(finish, batch_format="pandas")

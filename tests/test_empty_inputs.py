@@ -168,6 +168,10 @@ QUERIES = [
     "unseen_vocab_estimate", "bloom_fpr_audit",
     "alias_sampling_table", "label_dispersion",
     "label_centroid_shift", "ip_topk_exact",
+    # round 5 wave A: C4 line filter, probe locator, mojibake,
+    # l-diversity, Cohen's d, partial correlation
+    "c4_line_filter", "probe_positions", "mojibake_audit",
+    "l_diversity_audit", "effect_size_chars", "partial_corr_chars",
 ]
 
 
@@ -308,6 +312,10 @@ ONE_ROW_QUERIES = [
     "unseen_vocab_estimate", "bloom_fpr_audit",
     "alias_sampling_table", "label_dispersion",
     "label_centroid_shift", "ip_topk_exact",
+    # round 5 wave A: C4 line filter, probe locator, mojibake,
+    # l-diversity, Cohen's d, partial correlation
+    "c4_line_filter", "probe_positions", "mojibake_audit",
+    "l_diversity_audit", "effect_size_chars", "partial_corr_chars",
 ]
 
 

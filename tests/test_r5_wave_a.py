@@ -1,0 +1,193 @@
+"""Round-5 wave A op kernels: hand-computed expectations independent
+of the DuckDB oracle (C4 line filter, probe locator, mojibake audit,
+l-diversity, Cohen's d, partial correlation)."""
+import math
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray
+    return ray.data.from_pandas(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4LineFilter:
+    def test_rules_on_handcrafted_lines(self):
+        from pdf_extract_ray.ops.corpus import c4_line_filter
+        text = "\n".join([
+            "a good long sentence here.",     # kept
+            "short.",                         # < 3 words
+            "no terminal punctuation at all",  # no terminal
+            "uses javascript code today.",    # banned term
+            "ends with a bang!",              # kept
+            "Lorem Ipsum dolor sit amet.",    # banned (case-insensitive)
+            "brace { in the line.",           # banned
+            'quoted line stays in."',         # kept (quote terminal)
+        ])
+        out = c4_line_filter(_ds(pd.DataFrame(
+            {"doc_id": [1], "text": [text]}))).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["n_lines_total"] == 8
+        assert r["n_lines_kept"] == 3
+        assert r["text"] == ("a good long sentence here.\n"
+                             "ends with a bang!\n"
+                             'quoted line stays in."')
+
+    def test_min_lines_drops_doc(self):
+        from pdf_extract_ray.ops.corpus import c4_line_filter
+        out = c4_line_filter(_ds(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["only one good line here.\nbad",
+                     "first good line here.\nsecond good line here."],
+        }))).to_pandas()
+        assert out["doc_id"].tolist() == [2]
+
+    def test_empty_and_null(self):
+        from pdf_extract_ray.ops.corpus import c4_line_filter
+        out = c4_line_filter(_ds(pd.DataFrame({
+            "doc_id": pd.array([1, None], dtype="Int64"),
+            "text": [None, "x."]}))).to_pandas()
+        # all rows filtered: empty result (Ray 2.49 empty Datasets drop
+        # block schema at to_pandas — rows, not columns, are the contract)
+        assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProbePositions:
+    def test_offsets_and_counts(self):
+        from pdf_extract_ray.ops.corpus import probe_positions
+        out = probe_positions(_ds(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["xx ab yy ab zz", "no hits here"]})),
+            ["ab", "zz"]).to_pandas()
+        out = out.sort_values(["doc_id", "probe"]).reset_index(drop=True)
+        assert out[["doc_id", "probe", "first_pos", "n_hits"]] \
+            .values.tolist() == [[1, "ab", 3, 2], [1, "zz", 12, 1]]
+
+    def test_nonoverlapping_count_semantics(self):
+        from pdf_extract_ray.ops.corpus import probe_positions
+        out = probe_positions(_ds(pd.DataFrame(
+            {"doc_id": [1], "text": ["aaa"]})), ["aa"]).to_pandas()
+        # python str semantics: 'aaa'.count('aa') == 1 (non-overlap),
+        # matching the oracle's replace-length trick
+        assert out["n_hits"].tolist() == [1]
+        assert out["first_pos"].tolist() == [0]
+
+    def test_regex_metachars_are_literal(self):
+        from pdf_extract_ray.ops.corpus import probe_positions
+        out = probe_positions(_ds(pd.DataFrame(
+            {"doc_id": [1], "text": ["price (a+b) here"]})),
+            ["(a+b)"]).to_pandas()
+        assert out["n_hits"].tolist() == [1]
+        assert out["first_pos"].tolist() == [6]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMojibakeAudit:
+    def test_detects_planted_markers(self):
+        from pdf_extract_ray.ops.textstats import mojibake_audit
+        out = mojibake_audit(_ds(pd.DataFrame({
+            "source": ["s1", "s1", "s1", "s2"],
+            "text": ["clean ascii", "cafÃ© damage", "smart â€œquote",
+                     "naïve but genuine"]}))).to_pandas()
+        out = out.set_index("source")
+        assert out.loc["s1", "n_docs"] == 3
+        assert out.loc["s1", "n_mojibake_docs"] == 2
+        assert out.loc["s1", "n_nonascii_docs"] == 2
+        assert out.loc["s1", "mojibake_ppm"] == 666_666
+        # genuine non-ASCII is NOT mojibake
+        assert out.loc["s2", "n_mojibake_docs"] == 0
+        assert out.loc["s2", "n_nonascii_docs"] == 1
+
+    def test_replacement_char(self):
+        from pdf_extract_ray.ops.textstats import mojibake_audit
+        out = mojibake_audit(_ds(pd.DataFrame({
+            "source": ["s"], "text": ["bad � byte"]}))).to_pandas()
+        assert out["n_mojibake_docs"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLDiversity:
+    def test_flags_single_lang_groups(self):
+        from pdf_extract_ray.ops.analytics import l_diversity_audit
+        df = pd.DataFrame({
+            "source": ["a"] * 3 + ["b"] * 2,
+            "n_chars": [10, 20, 70, 10, 20],   # buckets 0,0,1 | 0,0
+            "lang": ["en", "de", "en", "fr", "fr"]})
+        out = l_diversity_audit(_ds(df))
+        out = (out.to_pandas() if not isinstance(out, pd.DataFrame)
+               else out)
+        out = out.set_index(["source", "size_class"]).sort_index()
+        assert out.loc[("a", 0), "l_distinct"] == 2
+        assert bool(out.loc[("a", 0), "l_ok"])
+        assert out.loc[("a", 1), "l_distinct"] == 1
+        assert not bool(out.loc[("a", 1), "l_ok"])
+        assert out.loc[("b", 0), "l_distinct"] == 1
+        assert not bool(out.loc[("b", 0), "l_ok"])
+
+    def test_null_lang_counts_as_und(self):
+        from pdf_extract_ray.ops.analytics import l_diversity_audit
+        df = pd.DataFrame({"source": ["a", "a"], "n_chars": [1, 2],
+                           "lang": [None, "en"]})
+        out = l_diversity_audit(_ds(df))
+        out = (out.to_pandas() if not isinstance(out, pd.DataFrame)
+               else out)
+        assert out["l_distinct"].tolist() == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEffectSize:
+    def test_matches_textbook_formula(self):
+        from pdf_extract_ray.ops.analytics import effect_size_by_group
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame({
+            "g": ["a"] * 30 + ["b"] * 50,
+            "v": np.r_[rng.randint(50, 100, 30),
+                       rng.randint(80, 160, 50)].astype(np.int64)})
+        out = effect_size_by_group(_ds(df), "g", "v").set_index("g")
+        for g in ("a", "b"):
+            s = df[df.g == g]["v"].to_numpy(float)
+            r = df[df.g != g]["v"].to_numpy(float)
+            pooled = ((len(s) - 1) * s.var(ddof=1)
+                      + (len(r) - 1) * r.var(ddof=1)) \
+                / (len(s) + len(r) - 2)
+            want = (s.mean() - r.mean()) / math.sqrt(pooled)
+            assert out.loc[g, "d"] == pytest.approx(want, rel=1e-12)
+
+    def test_degenerate_single_group(self):
+        from pdf_extract_ray.ops.analytics import effect_size_by_group
+        out = effect_size_by_group(_ds(pd.DataFrame(
+            {"g": ["a"] * 5, "v": [1, 2, 3, 4, 5]})), "g", "v")
+        assert len(out) == 0  # no rest to compare against
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartialCorr:
+    def test_matches_numpy(self):
+        from pdf_extract_ray.ops.analytics import partial_corr_three
+        rng = np.random.RandomState(11)
+        z = rng.randint(0, 50, 200)
+        x = z * 3 + rng.randint(0, 30, 200)
+        y = z * 2 + rng.randint(0, 30, 200)
+        df = pd.DataFrame({"x": x, "y": y, "z": z}).astype(np.int64)
+        out = partial_corr_three(_ds(df), "x", "y", "z")
+        c = np.corrcoef(np.stack([x, y, z]))
+        want = (c[0, 1] - c[0, 2] * c[1, 2]) \
+            / math.sqrt((1 - c[0, 2] ** 2) * (1 - c[1, 2] ** 2))
+        assert out["partial_r"].iloc[0] == pytest.approx(want, rel=1e-9)
+        # partialling out the common driver must shrink the correlation
+        assert abs(out["partial_r"].iloc[0]) < abs(out["r_xy"].iloc[0])
+
+    def test_constant_column_empty(self):
+        from pdf_extract_ray.ops.analytics import partial_corr_three
+        df = pd.DataFrame({"x": [1, 2, 3], "y": [4, 5, 6],
+                           "z": [7, 7, 7]}).astype(np.int64)
+        out = partial_corr_three(_ds(df), "x", "y", "z")
+        assert len(out) == 0
