@@ -12356,6 +12356,49 @@ def _q_partial_corr_chars(sf_dir: str):
         ds.map_batches(derive, batch_format="pandas"), "x", "y", "z")
 
 
+def _q_line_df_removal(sf_dir: str):
+    """CC-Net-style boilerplate-line removal: lines in >= 5 distinct
+    docs removed everywhere — documents line-ized deterministically
+    (4 words per line, same derivation in the oracle); pre-deduped
+    (line, doc) exchange + bounded boilerplate broadcast
+    (ops/corpus.line_df_removal)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import line_df_removal
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t in df["text"].fillna(""):
+            words = [w for w in t.split(" ") if w]
+            outs.append("\n".join(
+                " ".join(words[4 * i:4 * i + 4])
+                for i in range((len(words) + 3) // 4)))
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": outs})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_df_removal(ds.map_batches(to_lines,
+                                          batch_format="pandas"))
+
+
+def _q_skipgram_counts(sf_dir: str):
+    """Top-30 window-2 skip-gram pairs over the corpus (ordered pairs,
+    within-doc, shifted-array map partials, one pair groupby)
+    (ops/corpus.skipgram_counts)."""
+    from pdf_extract_ray.ops.corpus import skipgram_counts
+    return skipgram_counts(
+        _read(sf_dir, "documents", columns=["text"]))
+
+
+def _q_mad_anomalies(sf_dir: str):
+    """Global top-50 robust-z outlier docs by n_chars within source
+    (integer ppm score from exact histogram-derived median + MAD)
+    (ops/analytics.mad_anomalies)."""
+    from pdf_extract_ray.ops.analytics import mad_anomalies
+    return mad_anomalies(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12785,6 +12828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_audit": _q_l_diversity_audit,
         "effect_size_chars": _q_effect_size_chars,
         "partial_corr_chars": _q_partial_corr_chars,
+        "line_df_removal": _q_line_df_removal,
+        "skipgram_counts": _q_skipgram_counts,
+        "mad_anomalies": _q_mad_anomalies,
     }
 
 
@@ -19559,5 +19605,67 @@ def oracle_sql() -> dict[str, str]:
                           * (1.0 - r_yz * r_yz)) AS partial_r
             FROM r
             WHERE (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+        """,
+        "line_df_removal": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '') AS ws
+                       FROM documents WHERE doc_id IS NOT NULL),
+            l AS (SELECT doc_id, i,
+                         array_to_string(ws[(4*i+1):(4*i+4)], ' ')
+                             AS line
+                  FROM w, LATERAL (
+                      SELECT unnest(range(CAST(ceil(len(ws) / 4.0)
+                                               AS BIGINT))) AS i)),
+            df AS (SELECT line,
+                          count(DISTINCT doc_id) AS n_docs
+                   FROM l GROUP BY line),
+            b AS (SELECT line FROM df WHERE n_docs >= 5)
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY i)
+                            FILTER (WHERE line NOT IN
+                                    (SELECT line FROM b)), '')
+                       AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines_total,
+                   CAST(count(*) FILTER (WHERE line IN
+                                         (SELECT line FROM b))
+                        AS BIGINT) AS n_lines_removed
+            FROM l GROUP BY doc_id
+        """,
+        "skipgram_counts": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '') AS ws
+                       FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS tok,
+                         generate_subscripts(ws, 1) AS p
+                  FROM w)
+            SELECT a.tok AS w1, b.tok AS w2,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t a JOIN t b
+              ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+            GROUP BY a.tok, b.tok
+            ORDER BY cnt DESC, w1, w2 LIMIT 30
+        """,
+        "mad_anomalies": """
+            WITH m AS (SELECT source,
+                              CAST(round(median(n_chars) * 2, 0)
+                                   AS BIGINT) AS m2
+                       FROM documents GROUP BY source),
+            s AS (SELECT d.source, m.m2,
+                         CAST(round(median(abs(2 * d.n_chars - m.m2))
+                                    * 2, 0) AS BIGINT) AS mad_x4
+                  FROM documents d JOIN m USING (source)
+                  GROUP BY d.source, m.m2)
+            SELECT d.doc_id, d.source,
+                   CAST(abs(2 * d.n_chars - s.m2) AS BIGINT)
+                       AS dev_x2,
+                   CAST(abs(2 * d.n_chars - s.m2) * 2000000
+                        // greatest(s.mad_x4, 1) AS BIGINT)
+                       AS score_ppm
+            FROM documents d JOIN s USING (source)
+            ORDER BY score_ppm DESC, d.source, d.doc_id LIMIT 50
         """,
     }

@@ -2889,3 +2889,85 @@ def partial_corr_three(ds, x_col: str, y_col: str, z_col: str):
     return pd.DataFrame({"n": [n], "r_xy": [r_xy], "r_xz": [r_xz],
                          "r_yz": [r_yz], "partial_r": [pr]}) \
         .astype(out_cols)
+
+
+def mad_anomalies(ds, group_col: str, value_col: str,
+                  id_col: str = "doc_id", *, top_k: int = 50):
+    """Global top-k robust outliers: score = |2v - m2| * 2e6 //
+    max(mad_x4, 1) — the integer robust z in ppm, with m2 (2x the
+    group median) and mad_x4 (4x the group MAD) EXACT from one
+    (group, value) histogram aggregate (grouped_mad's units; the dev
+    histogram is DERIVED from the value histogram, so one exchange
+    covers both medians).  -> top_k rows (id, group, dev_x2,
+    score_ppm), ties broken (score desc, group asc, id asc) — the
+    same ORDER BY ... LIMIT set as the oracle.
+
+    Scale shape: histogram exchange bounded by |group| x |value
+    domain|; per-group resolve via hash-partitioned pass; stats (one
+    row per group) broadcast into a map-side score + per-batch exact
+    top-k candidates; driver merges top_k x n_blocks rows."""
+    import ray
+
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "m2": "int64", "mad_x4": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = []
+        for g, sub in df.groupby(group_col):
+            sub = sub.sort_values(value_col)
+            vals = sub[value_col].to_numpy(np.int64)
+            cnts = sub["count()"].to_numpy(np.int64)
+            n = int(cnts.sum())
+            cum = np.cumsum(cnts)
+            lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+            hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+            m2 = lo + hi
+            dev = np.abs(2 * vals - m2)
+            dsub = pd.DataFrame({"d": dev, "c": cnts}) \
+                .groupby("d", as_index=False).sum().sort_values("d")
+            dv = dsub["d"].to_numpy(np.int64)
+            dc = dsub["c"].to_numpy(np.int64)
+            dcum = np.cumsum(dc)
+            dlo = int(dv[np.searchsorted(dcum, (n - 1) // 2 + 1)])
+            dhi = int(dv[np.searchsorted(dcum, n // 2 + 1)])
+            out.append({group_col: g, "m2": m2, "mad_x4": dlo + dhi})
+        return pd.DataFrame(out).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    stats_rows = _grouped_by_partition(hist, [group_col], resolve,
+                                       n_parts=8).take_all()
+    out_cols = {id_col: "int64", group_col: "object",
+                "dev_x2": "int64", "score_ppm": "int64"}
+    if not stats_rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    stats = {r[group_col]: (int(r["m2"]), int(r["mad_x4"]))
+             for r in stats_rows}
+    ref = ray.put(stats)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+        st = ray.get(ref)
+        m2 = df[group_col].map(lambda g: st.get(g, (0, 0))[0])
+        mad = df[group_col].map(
+            lambda g: max(st.get(g, (0, 1))[1], 1))
+        v = df[value_col].fillna(0).astype(np.int64)
+        dev = (2 * v - m2).abs().astype(np.int64)
+        sc = dev * 2_000_000 // mad.astype(np.int64)
+        out = pd.DataFrame({
+            id_col: df[id_col].astype(np.int64),
+            group_col: df[group_col], "dev_x2": dev,
+            "score_ppm": sc.astype(np.int64)})
+        return out.sort_values(
+            ["score_ppm", group_col, id_col],
+            ascending=[False, True, True]).head(top_k).astype(out_cols)
+
+    cand = ds.map_batches(score, batch_format="pandas").take_all()
+    if not cand:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(cand).sort_values(
+        ["score_ppm", group_col, id_col],
+        ascending=[False, True, True]).head(top_k) \
+        .reset_index(drop=True).astype(out_cols)

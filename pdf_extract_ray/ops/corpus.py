@@ -1641,3 +1641,142 @@ def probe_positions(ds, probes, *, id_col: str = "doc_id",
         return pd.concat(parts, ignore_index=True).astype(cols)
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+def line_df_removal(ds, *, df_threshold: int = 5,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_limit: int = 2_000_000):
+    """Boilerplate-LINE removal by corpus document frequency (the
+    CC-Net dedup-lines shape, distinct from chunk_dedup's keep-first
+    rule): any non-empty line appearing in >= df_threshold DISTINCT
+    documents is boilerplate and removed from EVERY document.
+
+    -> (doc_id, text [surviving lines re-joined], n_lines_total,
+        n_lines_removed); docs with zero non-empty lines are absent.
+
+    Scale shape: explode -> per-batch per-doc DISTINCT pre-dedup (the
+    exchange carries (line, doc) pairs deduped within batch, never raw
+    repetition) -> ONE groupby count = df -> the >=threshold survivors
+    are the SMALL boilerplate set (bounded by distinct boilerplate
+    lines, asserted under `broadcast_limit`) -> ray.put broadcast ->
+    map-side filter + per-batch rebuild.  Two scans of the text, one
+    tiny exchange, no joins."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def line_doc_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[id_col].notna()]
+        if len(df) == 0:
+            return pd.DataFrame({"line": pd.Series(dtype=object),
+                                 "n_docs_part": pd.Series(
+                                     dtype=np.int64)})
+        lines = df[text_col].fillna("").str.split("\n").explode()
+        lines = lines[lines.str.len() > 0]
+        ids = df[id_col].astype(np.int64).reindex(lines.index)
+        g = pd.DataFrame({"line": lines.to_numpy(),
+                          "doc": ids.to_numpy()}) \
+            .drop_duplicates()
+        return g.groupby("line", as_index=False) \
+            .agg(n_docs_part=("doc", "size"))
+
+    df_counts = ds.map_batches(line_doc_pairs, batch_format="pandas") \
+        .groupby("line").aggregate(Sum("n_docs_part"))
+    boiler = set()
+    n_seen = 0
+    for b in df_counts.iter_batches(batch_format="pandas"):
+        hot = b[b["sum(n_docs_part)"] >= df_threshold]["line"]
+        n_seen += len(hot)
+        if n_seen > broadcast_limit:
+            raise ValueError(
+                "boilerplate set exceeds broadcast_limit — raise "
+                "df_threshold or shard the removal join")
+        boiler.update(hot.tolist())
+    ref = ray.put(boiler)
+
+    def remove(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "text": "object",
+                "n_lines_total": "int64", "n_lines_removed": "int64"}
+        df = df[df[id_col].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        bset = ray.get(ref)
+        lines = df[text_col].fillna("").str.split("\n").explode()
+        lines = lines[lines.str.len() > 0]
+        if len(lines) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        bad = lines.isin(bset)
+        tot = lines.groupby(level=0).size()
+        kept = lines[~bad]
+        joined = kept.groupby(level=0).agg("\n".join) if len(kept) \
+            else pd.Series(dtype=object)
+        removed = bad.groupby(level=0).sum()
+        idx = tot.index
+        out = pd.DataFrame({
+            "doc_id": df[id_col].astype(np.int64).reindex(idx),
+            "text": joined.reindex(idx).fillna(""),
+            "n_lines_total": tot.astype(np.int64),
+            "n_lines_removed": removed.reindex(idx).fillna(0)
+            .astype(np.int64)})
+        return out.reset_index(drop=True).astype(cols)
+
+    return ds.map_batches(remove, batch_format="pandas")
+
+
+def skipgram_counts(ds, *, window: int = 2, top_k: int = 30,
+                    text_col: str = "text"):
+    """Window-w co-occurrence (skip-gram) pair counts: for each token
+    position p, the ORDERED pairs (w[p], w[p+d]) for d = 1..window,
+    within-document — the word2vec context statistic, a strict
+    superset of adjacent bigrams.  -> global top_k pairs by count
+    (ties: lexicographic pair), (w1, w2, cnt).
+
+    Map-side pair-count partials from SHIFTED numpy views of the
+    exploded token array (zero per-token python), one (w1, w2) groupby
+    sum, per-block exact top-k candidates + bounded driver merge."""
+    from ray.data.aggregate import Sum
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": "object", "w2": "object", "cnt_part": "int64"}
+        txt = df[text_col].fillna("")
+        s = txt.str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        if len(s) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        idx = s.index.to_numpy()
+        tok = s.to_numpy()
+        frames = []
+        for d in range(1, window + 1):
+            if len(tok) <= d:
+                break
+            same = idx[d:] == idx[:-d]
+            if same.any():
+                frames.append(pd.DataFrame(
+                    {"w1": tok[:-d][same], "w2": tok[d:][same]}))
+        if not frames:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = pd.concat(frames, ignore_index=True) \
+            .groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "cnt_part"})
+        return g.astype(cols)
+
+    summed = ds.map_batches(pairs, batch_format="pandas") \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt_part"))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": "object", "w2": "object", "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.rename(columns={"sum(cnt_part)": "cnt"})
+        df = df.sort_values(["cnt", "w1", "w2"],
+                            ascending=[False, True, True]).head(top_k)
+        return df[["w1", "w2", "cnt"]].astype(cols)
+
+    cand = summed.map_batches(local_topk, batch_format="pandas") \
+        .take_all()  # bounded: top_k x n_blocks rows
+    cols = {"w1": "object", "w2": "object", "cnt": "int64"}
+    if not cand:
+        return pd.DataFrame(columns=list(cols)).astype(cols)
+    out = pd.DataFrame(cand).sort_values(
+        ["cnt", "w1", "w2"], ascending=[False, True, True]) \
+        .head(top_k).reset_index(drop=True)
+    return out.astype(cols)

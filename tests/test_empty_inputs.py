@@ -172,6 +172,9 @@ QUERIES = [
     # l-diversity, Cohen's d, partial correlation
     "c4_line_filter", "probe_positions", "mojibake_audit",
     "l_diversity_audit", "effect_size_chars", "partial_corr_chars",
+    # round 5 wave B: line-df boilerplate removal, skip-grams,
+    # robust-z outliers
+    "line_df_removal", "skipgram_counts", "mad_anomalies",
 ]
 
 
@@ -316,6 +319,9 @@ ONE_ROW_QUERIES = [
     # l-diversity, Cohen's d, partial correlation
     "c4_line_filter", "probe_positions", "mojibake_audit",
     "l_diversity_audit", "effect_size_chars", "partial_corr_chars",
+    # round 5 wave B: line-df boilerplate removal, skip-grams,
+    # robust-z outliers
+    "line_df_removal", "skipgram_counts", "mad_anomalies",
 ]
 
 

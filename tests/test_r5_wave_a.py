@@ -191,3 +191,97 @@ class TestPartialCorr:
                            "z": [7, 7, 7]}).astype(np.int64)
         out = partial_corr_three(_ds(df), "x", "y", "z")
         assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLineDfRemoval:
+    def test_boilerplate_removed_everywhere(self):
+        from pdf_extract_ray.ops.corpus import line_df_removal
+        boiler = "all rights reserved"
+        docs = pd.DataFrame({
+            "doc_id": range(6),
+            "text": [f"unique line {i}\n{boiler}" for i in range(5)]
+            + ["only unique content"]})
+        out = line_df_removal(_ds(docs), df_threshold=5).to_pandas() \
+            .set_index("doc_id").sort_index()
+        for i in range(5):
+            assert out.loc[i, "text"] == f"unique line {i}"
+            assert out.loc[i, "n_lines_removed"] == 1
+        assert out.loc[5, "text"] == "only unique content"
+        assert out.loc[5, "n_lines_removed"] == 0
+
+    def test_threshold_not_met_keeps_lines(self):
+        from pdf_extract_ray.ops.corpus import line_df_removal
+        docs = pd.DataFrame({
+            "doc_id": [1, 2], "text": ["shared line", "shared line"]})
+        out = line_df_removal(_ds(docs), df_threshold=3).to_pandas()
+        assert (out["n_lines_removed"] == 0).all()
+
+    def test_within_doc_repeats_count_once(self):
+        from pdf_extract_ray.ops.corpus import line_df_removal
+        # the same line 10x within ONE doc is df=1, not df=10
+        docs = pd.DataFrame({
+            "doc_id": [1], "text": ["\n".join(["rep"] * 10)]})
+        out = line_df_removal(_ds(docs), df_threshold=2).to_pandas()
+        assert out["n_lines_removed"].tolist() == [0]
+        assert out["n_lines_total"].tolist() == [10]
+
+    def test_fully_removed_doc_stays_with_empty_text(self):
+        from pdf_extract_ray.ops.corpus import line_df_removal
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3], "text": ["b", "b", "b"]})
+        out = line_df_removal(_ds(docs), df_threshold=3).to_pandas()
+        assert len(out) == 3
+        assert (out["text"] == "").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkipgramCounts:
+    def test_window2_pairs(self):
+        from pdf_extract_ray.ops.corpus import skipgram_counts
+        out = skipgram_counts(_ds(pd.DataFrame(
+            {"text": ["a b c"]})), window=2, top_k=10)
+        got = {(r.w1, r.w2): r.cnt for r in out.itertuples()}
+        assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+    def test_no_cross_document_pairs(self):
+        from pdf_extract_ray.ops.corpus import skipgram_counts
+        out = skipgram_counts(_ds(pd.DataFrame(
+            {"text": ["x y", "y z"]})), window=2, top_k=10)
+        got = {(r.w1, r.w2) for r in out.itertuples()}
+        assert ("y", "z") in got and ("x", "z") not in got
+
+    def test_topk_tie_order(self):
+        from pdf_extract_ray.ops.corpus import skipgram_counts
+        out = skipgram_counts(_ds(pd.DataFrame(
+            {"text": ["a b", "c d"]})), window=1, top_k=1)
+        # equal counts -> lexicographically smallest pair wins
+        assert out[["w1", "w2"]].values.tolist() == [["a", "b"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMadAnomalies:
+    def test_outlier_scores(self):
+        from pdf_extract_ray.ops.analytics import mad_anomalies
+        # group a: values 10,10,10,10,100 -> med 10, mad 0 -> clamp 1
+        df = pd.DataFrame({
+            "doc_id": range(5),
+            "source": ["a"] * 5,
+            "n_chars": [10, 10, 10, 10, 100]})
+        out = mad_anomalies(_ds(df), "source", "n_chars", top_k=2)
+        assert out["doc_id"].tolist()[0] == 4
+        # dev_x2 = |200-20| = 180; mad_x4 clamped to 1
+        assert out["dev_x2"].iloc[0] == 180
+        assert out["score_ppm"].iloc[0] == 180 * 2_000_000
+
+    def test_even_count_median_units(self):
+        from pdf_extract_ray.ops.analytics import mad_anomalies
+        df = pd.DataFrame({
+            "doc_id": range(4), "source": ["s"] * 4,
+            "n_chars": [1, 3, 5, 7]})  # m2 = 3+5 = 8
+        out = mad_anomalies(_ds(df), "source", "n_chars", top_k=10)
+        # devs_x2 of 2v-8: |2-8|=6,|6-8|=2,|10-8|=2,|14-8|=6
+        # mad_x4 = 2+6 = 8 (middle two of 2,2,6,6)
+        assert sorted(out["dev_x2"].tolist()) == [2, 2, 6, 6]
+        top = out.iloc[0]
+        assert top["score_ppm"] == 6 * 2_000_000 // 8
