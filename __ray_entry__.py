@@ -12399,6 +12399,53 @@ def _q_mad_anomalies(sf_dir: str):
         "source", "n_chars")
 
 
+def _q_kn_discount_counts(sf_dir: str):
+    """Kneser-Ney count tables (unigram count + distinct left/right
+    context fan) for the top-40 corpus words
+    (ops/corpus.kn_discount_counts)."""
+    from pdf_extract_ray.ops.corpus import kn_discount_counts
+    return kn_discount_counts(
+        _read(sf_dir, "documents", columns=["text"]))
+
+
+def _q_cms_oracle_table(sf_dir: str):
+    """FULLY-ORACLED count-min sketch (md5 hash rows, deterministic
+    cells): top-40 true words with exact count, CMS estimate and
+    overcount — est >= true always (ops/sketch.cms_oracle_table)."""
+    from pdf_extract_ray.ops.sketch import cms_oracle_table
+    return cms_oracle_table(
+        _read(sf_dir, "documents", columns=["text"]),
+        depth=4, width=512)
+
+
+def _q_c4prep(sf_dir: str):
+    """Composed C4-style prep chain, oracled END TO END: line-ize
+    (same derivation as c4_line_filter's oracle) -> line-quality
+    filter -> boilerplate-line df removal -> exact keep-min dedup
+    (ops/corpus.c4prep_docs)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.corpus import c4prep_docs
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for d, t in zip(df["doc_id"].fillna(-1).astype(np.int64),
+                        df["text"].fillna("")):
+            words = [w for w in t.split(" ") if w]
+            lines = []
+            for i in range((len(words) + 4) // 5):
+                line = " ".join(words[5 * i:5 * i + 5])
+                if (d + i) % 11 == 0:
+                    line += " javascript."
+                elif (d + i) % 3 == 0:
+                    line += "."
+                lines.append(line)
+            outs.append("\n".join(lines))
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": outs})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return c4prep_docs(ds.map_batches(to_lines, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12831,6 +12878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_df_removal": _q_line_df_removal,
         "skipgram_counts": _q_skipgram_counts,
         "mad_anomalies": _q_mad_anomalies,
+        "kn_discount_counts": _q_kn_discount_counts,
+        "cms_oracle_table": _q_cms_oracle_table,
+        "c4prep": _q_c4prep,
     }
 
 
@@ -19667,5 +19717,106 @@ def oracle_sql() -> dict[str, str]:
                        AS score_ppm
             FROM documents d JOIN s USING (source)
             ORDER BY score_ppm DESC, d.source, d.doc_id LIMIT 50
+        """,
+        "kn_discount_counts": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '') AS ws
+                       FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS tok,
+                         generate_subscripts(ws, 1) AS p
+                  FROM w),
+            uni AS (SELECT tok AS word,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM t GROUP BY tok),
+            pr AS (SELECT a.tok AS w1, b.tok AS w2
+                   FROM t a JOIN t b
+                     ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+            lf AS (SELECT w2 AS word,
+                          CAST(count(DISTINCT w1) AS BIGINT)
+                              AS n_left
+                   FROM pr GROUP BY w2),
+            rf AS (SELECT w1 AS word,
+                          CAST(count(DISTINCT w2) AS BIGINT)
+                              AS n_right
+                   FROM pr GROUP BY w1)
+            SELECT uni.word, uni.cnt,
+                   COALESCE(lf.n_left, 0) AS n_left,
+                   COALESCE(rf.n_right, 0) AS n_right
+            FROM uni LEFT JOIN lf USING (word)
+                     LEFT JOIN rf USING (word)
+            ORDER BY uni.cnt DESC, uni.word LIMIT 40
+        """,
+        "cms_oracle_table": """
+            WITH w AS (SELECT unnest(list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '')) AS tok
+                       FROM documents),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+                    FROM w GROUP BY tok),
+            cells AS (SELECT tok, true_cnt, i,
+                             CAST(('0x' || substr(
+                                 md5(tok || ':' || i), 1, 15))
+                                 AS BIGINT) % 512 AS cell
+                      FROM uni, LATERAL (SELECT unnest([0, 1, 2, 3])
+                                         AS i)),
+            counter AS (SELECT i, cell,
+                               CAST(sum(true_cnt) AS BIGINT) AS c
+                        FROM cells GROUP BY i, cell),
+            est AS (SELECT cells.tok,
+                           CAST(min(counter.c) AS BIGINT) AS est_cnt
+                    FROM cells JOIN counter USING (i, cell)
+                    GROUP BY cells.tok)
+            SELECT uni.tok AS word, uni.true_cnt,
+                   est.est_cnt,
+                   est.est_cnt - uni.true_cnt AS overcount
+            FROM uni JOIN est USING (tok)
+            ORDER BY uni.true_cnt DESC, uni.tok LIMIT 40
+        """,
+        "c4prep": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '') AS ws
+                       FROM documents WHERE doc_id IS NOT NULL),
+            l AS (SELECT doc_id, i,
+                         array_to_string(ws[(5*i+1):(5*i+5)], ' ')
+                         || CASE WHEN (doc_id + i) % 11 = 0
+                                     THEN ' javascript.'
+                                 WHEN (doc_id + i) % 3 = 0 THEN '.'
+                                 ELSE '' END AS line
+                  FROM w, LATERAL (
+                      SELECT unnest(range(CAST(ceil(len(ws) / 5.0)
+                                               AS BIGINT))) AS i)),
+            k AS (SELECT doc_id, i, line,
+                         (line LIKE '%.' OR line LIKE '%!'
+                          OR line LIKE '%?' OR line LIKE '%"'
+                          OR line LIKE '%”')
+                         AND len(list_filter(string_split(line, ' '),
+                                             x -> x <> '')) >= 3
+                         AND lower(line) NOT LIKE '%lorem ipsum%'
+                         AND lower(line) NOT LIKE '%javascript%'
+                         AND lower(line) NOT LIKE '%{%' AS keep
+                  FROM l),
+            d AS (SELECT doc_id FROM k GROUP BY doc_id
+                  HAVING count(*) FILTER (WHERE keep) >= 2),
+            kl AS (SELECT k.doc_id, k.i, k.line
+                   FROM k JOIN d USING (doc_id) WHERE k.keep),
+            df AS (SELECT line, count(DISTINCT doc_id) AS nd
+                   FROM kl GROUP BY line),
+            b AS (SELECT line FROM df WHERE nd >= 5),
+            sv AS (SELECT doc_id, i, line FROM kl
+                   WHERE line NOT IN (SELECT line FROM b)),
+            doc AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY i)
+                               AS text,
+                           CAST(count(*) AS BIGINT) AS n_lines
+                    FROM sv GROUP BY doc_id)
+            SELECT doc_id, text, n_lines FROM (
+                SELECT doc_id, text, n_lines,
+                       min(doc_id) OVER (PARTITION BY text) AS keeper
+                FROM doc)
+            WHERE doc_id = keeper
         """,
     }

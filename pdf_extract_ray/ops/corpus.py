@@ -1780,3 +1780,148 @@ def skipgram_counts(ds, *, window: int = 2, top_k: int = 30,
         ["cnt", "w1", "w2"], ascending=[False, True, True]) \
         .head(top_k).reset_index(drop=True)
     return out.astype(cols)
+
+
+def kn_discount_counts(ds, *, top_k: int = 40, text_col: str = "text"):
+    """Kneser-Ney count tables for the corpus's top-k words: unigram
+    count c(w), continuation fan-in N1+(.w) = number of DISTINCT
+    left-context words, and fan-out N1+(w.) = distinct right-context
+    words (adjacent within-doc pairs) — the statistics KN smoothing
+    interpolates with.  -> (word, cnt, n_left, n_right), top_k by
+    (cnt desc, word asc).
+
+    Scale shape: shifted-array adjacent pairs, per-batch DISTINCT
+    pre-dedup, ONE pair groupby establishing the global distinct pair
+    set, then two bounded per-word fan counts off that deduped stream;
+    unigram counts ride a separate word groupby.  No joins: the three
+    count tables merge on the driver over only the top-k words."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": "object", "w2": "object"}
+        s = df[text_col].fillna("").str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        if len(s) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        idx = s.index.to_numpy()
+        tok = s.to_numpy()
+        same = idx[1:] == idx[:-1]
+        if not same.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return pd.DataFrame({"w1": tok[:-1][same],
+                             "w2": tok[1:][same]}).drop_duplicates() \
+            .astype(cols)
+
+    distinct_pairs = ds.map_batches(pairs, batch_format="pandas") \
+        .groupby(["w1", "w2"]).aggregate(Count()).materialize()
+
+    def fans(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "n_left_part": "int64",
+                "n_right_part": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        left = df.groupby("w2", as_index=False).size() \
+            .rename(columns={"w2": "word", "size": "n_left_part"})
+        right = df.groupby("w1", as_index=False).size() \
+            .rename(columns={"w1": "word", "size": "n_right_part"})
+        out = left.merge(right, on="word", how="outer").fillna(0)
+        return out.astype(cols)
+
+    fan_agg = distinct_pairs.map_batches(fans, batch_format="pandas") \
+        .groupby("word").aggregate(Sum("n_left_part"),
+                                   Sum("n_right_part"))
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "cnt_part": "int64"}
+        s = df[text_col].fillna("").str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        if len(s) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = s.value_counts().rename_axis("word") \
+            .reset_index(name="cnt_part")
+        return g.astype(cols)
+
+    cnt_agg = ds.map_batches(counts, batch_format="pandas") \
+        .groupby("word").aggregate(Sum("cnt_part"))
+
+    def cnt_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.rename(columns={"sum(cnt_part)": "cnt"})
+        return df.sort_values(["cnt", "word"],
+                              ascending=[False, True]) \
+            .head(top_k)[["word", "cnt"]].astype(cols)
+
+    cand = cnt_agg.map_batches(cnt_topk, batch_format="pandas") \
+        .take_all()
+    out_cols = {"word": "object", "cnt": "int64", "n_left": "int64",
+                "n_right": "int64"}
+    if not cand:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    top = pd.DataFrame(cand).sort_values(
+        ["cnt", "word"], ascending=[False, True]).head(top_k)
+    want = set(top["word"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["word"].isin(want)]
+
+    fan_rows = fan_agg.map_batches(pick, batch_format="pandas") \
+        .take_all()  # bounded: <= top_k rows
+    fan = {r["word"]: (int(r["sum(n_left_part)"]),
+                       int(r["sum(n_right_part)"]))
+           for r in fan_rows}
+    top = top.reset_index(drop=True)
+    top["n_left"] = top["word"].map(
+        lambda w: fan.get(w, (0, 0))[0]).astype(np.int64)
+    top["n_right"] = top["word"].map(
+        lambda w: fan.get(w, (0, 0))[1]).astype(np.int64)
+    return top.astype(out_cols)
+
+
+def c4prep_docs(ds, *, min_words: int = 3, min_lines: int = 2,
+                df_threshold: int = 5, n_parts: int = 16):
+    """Composed C4-style document prep, fully SQL-reproducible:
+    c4_line_filter (line quality) -> line_df_removal (corpus
+    boilerplate lines) -> drop emptied docs -> EXACT dedup (keep the
+    smallest doc_id per identical surviving text — textprep's
+    one-md5-shuffle keep-min pattern).  -> (doc_id, text, n_lines).
+
+    Every stage is deterministic and oracled end to end — the whole
+    chain has a single DuckDB mirror, which is the strongest
+    correctness statement a composed pipeline can make."""
+    import hashlib
+
+    filtered = c4_line_filter(ds, min_words=min_words,
+                              min_lines=min_lines)
+    cleaned = line_df_removal(filtered, df_threshold=df_threshold)
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"text_md5": "object", "doc_id": "int64",
+                "text": "object", "n_lines": "int64"}
+        df = df[df["text"].str.len() > 0]
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = pd.DataFrame({
+            "text_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t in df["text"]],
+            "doc_id": df["doc_id"].astype(np.int64),
+            "text": df["text"],
+            "n_lines": (df["text"].str.count("\n") + 1)
+            .astype(np.int64)})
+        idx = out.groupby("text_md5")["doc_id"].idxmin()
+        return out.loc[idx].astype(cols)
+
+    pre = cleaned.map_batches(keep_min, batch_format="pandas")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "text": "object",
+                "n_lines": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        idx = df.groupby("text_md5")["doc_id"].idxmin()
+        return df.loc[idx, ["doc_id", "text", "n_lines"]].astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(pre, ["text_md5"], resolve,
+                                 n_parts=n_parts)

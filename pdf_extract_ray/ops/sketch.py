@@ -575,3 +575,105 @@ def ams_f2(ds, key_col: str, *, n_rows: int = 16):
     return pd.DataFrame([{"exact_f2": exact, "est_f2": est,
                           "ratio_ppm": (est * 1_000_000) // exact}]) \
         .astype(out_cols)
+
+
+def _md5_cell(words, salt: int, width: int) -> np.ndarray:
+    """Deterministic SQL-reproducible CMS cell index: the first 15 hex
+    chars of md5(word + ':' + salt) as an integer, mod width — exactly
+    DuckDB's CAST('0x' || substr(md5(w || ':' || i), 1, 15) AS BIGINT)
+    % width (15 hex chars = 60 bits, always < 2^63)."""
+    import hashlib
+    out = np.empty(len(words), np.int64)
+    suffix = f":{salt}".encode()
+    for i, w in enumerate(words):
+        h = hashlib.md5(w.encode("utf-8") + suffix).hexdigest()
+        out[i] = int(h[:15], 16) % width
+    return out
+
+
+def cms_oracle_table(ds, *, depth: int = 4, width: int = 512,
+                     top_k: int = 40, text_col: str = "text"):
+    """FULLY-ORACLED count-min sketch: md5-derived hash rows make
+    every counter cell — and therefore every estimate — deterministic
+    and SQL-reproducible (the KMV/AMS treatment applied to CMS;
+    cms_word_counts keeps the fast siphash variant for production).
+
+    Builds the depth x width counter table over all corpus words, then
+    reports the top_k TRUE words with their exact count, the CMS
+    estimate (min over rows of the hashed cell), and the overcount.
+    -> (word, true_cnt, est_cnt, overcount), est_cnt >= true_cnt
+    always (the CMS one-sided guarantee, asserted by construction).
+
+    Scale shape: per-batch word value_counts -> (row, cell) partials
+    (exchange bounded by depth x batch vocab), ONE cell groupby to the
+    depth*width counter table (bounded, driver-held), exact top-k via
+    the word_frequencies pattern, estimates driver-side over top_k
+    words only."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cell_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"row": "int64", "cell": "int64", "cnt_part": "int64"}
+        s = df[text_col].fillna("").str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        if len(s) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        vc = s.value_counts()
+        words = vc.index.to_numpy()
+        cnts = vc.to_numpy(np.int64)
+        frames = []
+        for i in range(depth):
+            frames.append(pd.DataFrame({
+                "row": np.full(len(words), i, np.int64),
+                "cell": _md5_cell(words, i, width),
+                "cnt_part": cnts}))
+        return pd.concat(frames, ignore_index=True) \
+            .groupby(["row", "cell"], as_index=False).sum() \
+            .astype(cols)
+
+    counter_rows = ds.map_batches(cell_partials, batch_format="pandas") \
+        .groupby(["row", "cell"]).aggregate(Sum("cnt_part")).take_all()
+    counter = {(int(r["row"]), int(r["cell"])): int(r["sum(cnt_part)"])
+               for r in counter_rows}
+
+    def word_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "cnt_part": "int64"}
+        s = df[text_col].fillna("").str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        if len(s) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return s.value_counts().rename_axis("word") \
+            .reset_index(name="cnt_part").astype(cols)
+
+    agg = ds.map_batches(word_partials, batch_format="pandas") \
+        .groupby("word").aggregate(Sum("cnt_part"))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "true_cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.rename(columns={"sum(cnt_part)": "true_cnt"})
+        return df.sort_values(["true_cnt", "word"],
+                              ascending=[False, True]) \
+            .head(top_k)[["word", "true_cnt"]].astype(cols)
+
+    cand = agg.map_batches(local_topk, batch_format="pandas") \
+        .take_all()
+    out_cols = {"word": "object", "true_cnt": "int64",
+                "est_cnt": "int64", "overcount": "int64"}
+    if not cand:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    top = pd.DataFrame(cand).sort_values(
+        ["true_cnt", "word"], ascending=[False, True]).head(top_k) \
+        .reset_index(drop=True)
+    words = top["word"].tolist()
+    ests = []
+    for w in words:
+        est = min(counter.get(
+            (i, int(_md5_cell([w], i, width)[0])), 0)
+            for i in range(depth))
+        ests.append(est)
+    top["est_cnt"] = np.asarray(ests, np.int64)
+    top["overcount"] = top["est_cnt"] - top["true_cnt"]
+    assert (top["overcount"] >= 0).all(), "CMS one-sided bound broken"
+    return top.astype(out_cols)

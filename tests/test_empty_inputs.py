@@ -175,6 +175,8 @@ QUERIES = [
     # round 5 wave B: line-df boilerplate removal, skip-grams,
     # robust-z outliers
     "line_df_removal", "skipgram_counts", "mad_anomalies",
+    # round 5 wave C: KN counts, oracled CMS, composed C4 chain
+    "kn_discount_counts", "cms_oracle_table", "c4prep",
 ]
 
 
@@ -322,6 +324,8 @@ ONE_ROW_QUERIES = [
     # round 5 wave B: line-df boilerplate removal, skip-grams,
     # robust-z outliers
     "line_df_removal", "skipgram_counts", "mad_anomalies",
+    # round 5 wave C: KN counts, oracled CMS, composed C4 chain
+    "kn_discount_counts", "cms_oracle_table", "c4prep",
 ]
 
 

@@ -285,3 +285,92 @@ class TestMadAnomalies:
         assert sorted(out["dev_x2"].tolist()) == [2, 2, 6, 6]
         top = out.iloc[0]
         assert top["score_ppm"] == 6 * 2_000_000 // 8
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnDiscountCounts:
+    def test_counts_and_fans(self):
+        from pdf_extract_ray.ops.corpus import kn_discount_counts
+        # 'b' follows a and c; 'b' precedes c and a
+        out = kn_discount_counts(_ds(pd.DataFrame({
+            "text": ["a b c", "c b a", "a b"]})), top_k=10) \
+            .set_index("word")
+        assert out.loc["b", "cnt"] == 3
+        assert out.loc["b", "n_left"] == 2   # {a, c}
+        assert out.loc["b", "n_right"] == 2  # {c, a}
+        assert out.loc["a", "n_left"] == 1   # only b precedes a
+        # first word of a doc has no left context from that doc
+        assert out.loc["c", "n_right"] == 1  # only b follows c
+
+    def test_no_cross_doc_contexts(self):
+        from pdf_extract_ray.ops.corpus import kn_discount_counts
+        out = kn_discount_counts(_ds(pd.DataFrame({
+            "text": ["x", "y"]})), top_k=10).set_index("word")
+        assert (out["n_left"] == 0).all()
+        assert (out["n_right"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCmsOracleTable:
+    def test_one_sided_and_exact_when_no_collisions(self):
+        from pdf_extract_ray.ops.sketch import cms_oracle_table
+        out = cms_oracle_table(_ds(pd.DataFrame({
+            "text": ["a a a b b c"]})), depth=4, width=512, top_k=10)
+        out = out.set_index("word")
+        assert (out["overcount"] >= 0).all()
+        # 3 words in 512 cells x 4 rows: collisions in ALL rows are
+        # overwhelmingly unlikely -> estimates exact
+        assert out.loc["a", "est_cnt"] == 3
+        assert out.loc["b", "true_cnt"] == 2
+
+    def test_forced_collision_overcounts(self):
+        from pdf_extract_ray.ops.sketch import cms_oracle_table
+        # width=1: every word shares the single cell per row
+        docs = pd.DataFrame({"text": ["a a a b"]})
+        out = cms_oracle_table(_ds(docs), depth=2, width=1, top_k=10) \
+            .set_index("word")
+        assert out.loc["a", "est_cnt"] == 4
+        assert out.loc["b", "est_cnt"] == 4
+        assert out.loc["b", "overcount"] == 3
+
+    def test_md5_cell_matches_duckdb(self):
+        import duckdb
+        from pdf_extract_ray.ops.sketch import _md5_cell
+        con = duckdb.connect()
+        for w, i in [("hello", 0), ("world", 3), ("Ã¡", 1)]:
+            want = con.execute(
+                "SELECT CAST(('0x' || substr(md5(? || ':' || ?), 1, "
+                "15)) AS BIGINT) % 512", [w, i]).fetchone()[0]
+            assert int(_md5_cell([w], i, 512)[0]) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4Prep:
+    def test_chain_and_dedup(self):
+        from pdf_extract_ray.ops.corpus import c4prep_docs
+        good = "one good line here.\nanother good line here."
+        docs = pd.DataFrame({
+            "doc_id": [5, 3, 9],
+            "text": [good, good, "unkept"]})
+        out = c4prep_docs(_ds(docs), df_threshold=5)
+        out = out.to_pandas() if not isinstance(out, pd.DataFrame) \
+            else out
+        # doc 9 fails line quality; 5 and 3 identical -> keep min (3)
+        assert out["doc_id"].tolist() == [3]
+        assert out["n_lines"].tolist() == [2]
+        assert out["text"].iloc[0] == good
+
+    def test_boilerplate_removed_then_dedup(self):
+        from pdf_extract_ray.ops.corpus import c4prep_docs
+        boiler = "all rights reserved to us."
+        docs = pd.DataFrame({
+            "doc_id": range(6),
+            "text": [f"unique useful line {i} stays.\n"
+                     f"second useful line {i} stays.\n" + boiler
+                     for i in range(6)]})
+        out = c4prep_docs(_ds(docs), df_threshold=5)
+        out = out.to_pandas() if not isinstance(out, pd.DataFrame) \
+            else out
+        assert len(out) == 6
+        assert not out["text"].str.contains("rights reserved").any()
+        assert (out["n_lines"] == 2).all()
