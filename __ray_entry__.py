@@ -12446,6 +12446,49 @@ def _q_c4prep(sf_dir: str):
     return c4prep_docs(ds.map_batches(to_lines, batch_format="pandas"))
 
 
+def _q_huber_mean_chars(sf_dir: str):
+    """MAD-winsorized (Huber-style) robust mean of n_chars per source
+    — ONE histogram exchange yields median, MAD and the clamped sum,
+    integer-exact (ops/analytics.winsorized_mean_mad)."""
+    from pdf_extract_ray.ops.analytics import winsorized_mean_mad
+    return winsorized_mean_mad(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")
+
+
+def _q_quality_pr_curve(sf_dir: str):
+    """Precision/recall curve of the quality score against a
+    length-derived label (n_chars >= 150) at 5 milli thresholds —
+    exact confusion counts (ops/classifier.pr_curve over
+    ops/textstats.quality_scores)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.classifier import pr_curve
+    from pdf_extract_ray.ops.textstats import quality_scores
+
+    scored = quality_scores(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "score_milli": np.floor(
+                df["quality_score"].fillna(0.0).astype(np.float64)
+                * 1000).astype(np.int64),
+            "label": df["n_chars_calc"].fillna(0).astype(np.int64)
+            >= 150})
+
+    return pr_curve(scored.map_batches(derive, batch_format="pandas"))
+
+
+def _q_bias_model_biases(sf_dir: str):
+    """Two-round additive bias model (mu + b_u + b_i) over event
+    values, truncating-integer parity — per-item biases + round-2
+    residual mass (ops/classifier.bias_model)."""
+    from pdf_extract_ray.ops.classifier import bias_model
+    return bias_model(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12881,6 +12924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_discount_counts": _q_kn_discount_counts,
         "cms_oracle_table": _q_cms_oracle_table,
         "c4prep": _q_c4prep,
+        "huber_mean_chars": _q_huber_mean_chars,
+        "quality_pr_curve": _q_quality_pr_curve,
+        "bias_model_biases": _q_bias_model_biases,
     }
 
 
@@ -19818,5 +19864,101 @@ def oracle_sql() -> dict[str, str]:
                        min(doc_id) OVER (PARTITION BY text) AS keeper
                 FROM doc)
             WHERE doc_id = keeper
+        """,
+        "huber_mean_chars": """
+            WITH m AS (SELECT source,
+                              CAST(round(median(n_chars) * 2, 0)
+                                   AS BIGINT) AS m2
+                       FROM documents GROUP BY source),
+            s AS (SELECT d.source, m.m2,
+                         CAST(round(median(abs(2 * d.n_chars - m.m2))
+                                    * 2, 0) AS BIGINT) AS mad4
+                  FROM documents d JOIN m USING (source)
+                  GROUP BY d.source, m.m2),
+            c AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(least(greatest(
+                             4 * d.n_chars, 2 * s.m2 - 3 * s.mad4),
+                             2 * s.m2 + 3 * s.mad4)) AS BIGINT)
+                             AS sum_clamped4
+                  FROM documents d JOIN s USING (source)
+                  GROUP BY d.source)
+            SELECT source, n, sum_clamped4,
+                   CAST(sum_clamped4 * 1000 // (4 * n) AS BIGINT)
+                       AS wmean_milli
+            FROM c
+        """,
+        "quality_pr_curve": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS nc,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                     END AS n_tokens,
+                     length(replace(text, ' ', '')) AS nonspace
+              FROM documents),
+            q AS (SELECT CAST(floor(
+                      least(1.0, n_tokens / 100.0) *
+                      (CASE WHEN (CASE WHEN n_tokens > 0
+                                  THEN nonspace * 1.0 / n_tokens
+                                  ELSE 0.0 END) BETWEEN 2.0 AND 10.0
+                            THEN 1.0 ELSE 0.5 END) * 1000)
+                      AS BIGINT) AS sm,
+                         (nc >= 150) AS y
+                  FROM t),
+            th AS (SELECT unnest([100, 250, 500, 750, 900])
+                       AS threshold),
+            c AS (SELECT threshold,
+                         CAST(count(*) FILTER (WHERE sm >= threshold
+                                               AND y) AS BIGINT) tp,
+                         CAST(count(*) FILTER (WHERE sm >= threshold
+                                               AND NOT y) AS BIGINT)
+                             fp,
+                         CAST(count(*) FILTER (WHERE sm < threshold
+                                               AND y) AS BIGINT) fn,
+                         CAST(count(*) FILTER (WHERE sm < threshold
+                                               AND NOT y) AS BIGINT)
+                             tn
+                  FROM th, q GROUP BY threshold)
+            SELECT CAST(threshold AS BIGINT) AS threshold,
+                   tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+                        ELSE -1 END AS precision_ppm,
+                   CASE WHEN tp + fn > 0
+                        THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+                        ELSE -1 END AS recall_ppm
+            FROM c
+        """,
+        "bias_model_biases": """
+            WITH e AS (SELECT COALESCE(user_id, -1) AS u,
+                              COALESCE(event_type, '') AS it,
+                              CAST(floor(COALESCE(value, 0))
+                                   AS BIGINT) AS r
+                       FROM events),
+            mu AS (SELECT CAST(sum(r) // count(*) AS BIGINT) AS mu
+                   FROM e),
+            bu1 AS (SELECT e.u,
+                           CAST(sum(e.r - mu.mu) // count(*)
+                                AS BIGINT) AS bu
+                    FROM e CROSS JOIN mu GROUP BY e.u),
+            bi1 AS (SELECT e.it,
+                           CAST(sum(e.r - mu.mu - bu1.bu) // count(*)
+                                AS BIGINT) AS bi
+                    FROM e JOIN bu1 USING (u) CROSS JOIN mu
+                    GROUP BY e.it),
+            bu2 AS (SELECT e.u,
+                           CAST(sum(e.r - mu.mu - bi1.bi) // count(*)
+                                AS BIGINT) AS bu
+                    FROM e JOIN bi1 USING (it) CROSS JOIN mu
+                    GROUP BY e.u)
+            SELECT e.it, CAST(count(*) AS BIGINT) AS n,
+                   bi1.bi + CAST(sum(e.r - mu.mu - bu2.bu - bi1.bi)
+                                 // count(*) AS BIGINT) AS b_i,
+                   CAST(sum(abs(e.r - mu.mu - bu2.bu - bi1.bi))
+                        AS BIGINT) AS resid_abs_sum
+            FROM e JOIN bu2 USING (u) JOIN bi1 USING (it)
+                 CROSS JOIN mu
+            GROUP BY e.it, bi1.bi
         """,
     }

@@ -2971,3 +2971,53 @@ def mad_anomalies(ds, group_col: str, value_col: str,
         ["score_ppm", group_col, id_col],
         ascending=[False, True, True]).head(top_k) \
         .reset_index(drop=True).astype(out_cols)
+
+
+def winsorized_mean_mad(ds, group_col: str, value_col: str, *,
+                        k: int = 3):
+    """Robust (MAD-winsorized) mean per group, INTEGER-exact: values
+    clamped to median +- k*MAD in x4 units (m2 = 2*median, mad_x4 =
+    4*MAD are both integers from the value histogram), then averaged
+    with truncating milli division.  ONE (group, value) histogram
+    exchange computes median, MAD and the clamped sum — the clamped
+    sum is a pure function of the histogram.
+    -> (group, n, sum_clamped4, wmean_milli)."""
+
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "n": "int64",
+                "sum_clamped4": "int64", "wmean_milli": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = []
+        for g, sub in df.groupby(group_col):
+            sub = sub.sort_values(value_col)
+            vals = sub[value_col].to_numpy(np.int64)
+            cnts = sub["count()"].to_numpy(np.int64)
+            n = int(cnts.sum())
+            cum = np.cumsum(cnts)
+            lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+            hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+            m2 = lo + hi
+            dev = np.abs(2 * vals - m2)
+            dsub = pd.DataFrame({"d": dev, "c": cnts}) \
+                .groupby("d", as_index=False).sum().sort_values("d")
+            dv = dsub["d"].to_numpy(np.int64)
+            dc = dsub["c"].to_numpy(np.int64)
+            dcum = np.cumsum(dc)
+            dlo = int(dv[np.searchsorted(dcum, (n - 1) // 2 + 1)])
+            dhi = int(dv[np.searchsorted(dcum, n // 2 + 1)])
+            mad4 = dlo + dhi
+            lo4 = 2 * m2 - k * mad4
+            hi4 = 2 * m2 + k * mad4
+            clamped = np.clip(4 * vals, lo4, hi4)
+            s4 = int((clamped * cnts).sum())
+            # truncating signed division = DuckDB's `//`
+            wm = (abs(s4) * 1000 // (4 * n)) * (1 if s4 >= 0 else -1)
+            out.append({group_col: g, "n": n, "sum_clamped4": s4,
+                       "wmean_milli": wm})
+        return pd.DataFrame(out).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)

@@ -311,3 +311,154 @@ def nb_lang_confusion(ds, *, text_col: str = "text",
     df = df.rename(columns={"sum(n)": "n_docs"})
     df["n_docs"] = df["n_docs"].astype("int64")
     return df[["true_lang", "pred_lang", "n_docs"]]
+
+
+def pr_curve(ds, *, score_col: str = "score_milli",
+             label_col: str = "label",
+             thresholds=(100, 250, 500, 750, 900)):
+    """Precision/recall curve at fixed integer-milli thresholds from
+    exact confusion counts: prediction = score >= t.  -> one row per
+    threshold (threshold, tp, fp, fn, tn, precision_ppm, recall_ppm;
+    truncating integer ppm, -1 when the denominator is zero).
+    Map-side per-threshold partial counts, one tiny sum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    ts = list(thresholds)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].fillna(0).astype(np.int64).to_numpy()
+        y = df[label_col].fillna(False).astype(bool).to_numpy()
+        rows = []
+        for t in ts:
+            p = s >= t
+            rows.append({"threshold": t,
+                         "tp": int((p & y).sum()),
+                         "fp": int((p & ~y).sum()),
+                         "fn": int((~p & y).sum()),
+                         "tn": int((~p & ~y).sum())})
+        return pd.DataFrame(rows)
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("threshold").aggregate(Sum("tp"), Sum("fp"),
+                                        Sum("fn"), Sum("tn"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"threshold": "int64", "tp": "int64", "fp": "int64",
+                "fn": "int64", "tn": "int64", "precision_ppm": "int64",
+                "recall_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = pd.DataFrame({
+            "threshold": df["threshold"].astype(np.int64),
+            "tp": df["sum(tp)"].astype(np.int64),
+            "fp": df["sum(fp)"].astype(np.int64),
+            "fn": df["sum(fn)"].astype(np.int64),
+            "tn": df["sum(tn)"].astype(np.int64)})
+        pd_den = out["tp"] + out["fp"]
+        rc_den = out["tp"] + out["fn"]
+        out["precision_ppm"] = np.where(
+            pd_den > 0, out["tp"] * 1_000_000 // pd_den.clip(lower=1),
+            -1).astype(np.int64)
+        out["recall_ppm"] = np.where(
+            rc_den > 0, out["tp"] * 1_000_000 // rc_den.clip(lower=1),
+            -1).astype(np.int64)
+        return out.astype(cols)
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def bias_model(events_ds, *, user_col: str = "user_id",
+               item_col: str = "event_type", value_col: str = "value",
+               n_parts: int = 16):
+    """Two-round additive bias model r ~ mu + b_u + b_i (the classic
+    recommender baseline) with INTEGER-exact arithmetic: r =
+    floor(value), mu and every bias update are TRUNCATING means
+    (sign * (|sum| // n) — DuckDB's `//` truncates toward zero while
+    Python's floors, so the signed form is the only
+    division both engines agree on).  -> one row per item
+    (item, n, b_i, resid_abs_sum) after round 2.
+
+    Scale shape: one global mean pass; each round is ONE user-keyed
+    partition pass (b_u is a per-user scalar resolved locally) whose
+    map side pre-aggregates (item, resid) partials, plus a tiny item
+    groupby; the <=|items| b_i vector broadcasts back.  Users never
+    need a global table — their bias lives inside their partition."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.floor(df[value_col].fillna(0).astype(np.float64)) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "u": df[user_col].fillna(-1).astype(np.int64),
+            "it": df[item_col].fillna(""), "r": r})
+
+    rows_ds = events_ds.map_batches(base, batch_format="pandas") \
+        .materialize()
+    tot = rows_ds.map_batches(
+        lambda df: pd.DataFrame({"s": [int(df["r"].sum())],
+                                 "n": [len(df)]}),
+        batch_format="pandas").take_all()
+    n_all = sum(int(r["n"]) for r in tot)
+    out_cols = {"it": "object", "n": "int64", "b_i": "int64",
+                "resid_abs_sum": "int64"}
+    if n_all == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+
+    def tdiv(s: int, n: int) -> int:
+        return (abs(s) // n) * (1 if s >= 0 else -1)
+
+    mu = tdiv(sum(int(r["s"]) for r in tot), n_all)
+
+    from .dedup import _grouped_by_partition
+
+    def item_partials(bi_map, final):
+        """user-keyed pass: resolve b_u locally (with current b_i
+        folded in), emit per-item residual partials."""
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"it": "object", "s": "int64", "a": "int64",
+                    "n": "int64"}
+            if len(df) == 0:
+                return pd.DataFrame(columns=list(cols)).astype(cols)
+            bi = df["it"].map(lambda i: bi_map.get(i, 0)) \
+                .astype(np.int64)
+            base_r = (df["r"].astype(np.int64) - mu - bi) \
+                .reset_index(drop=True)
+            u = df["u"].reset_index(drop=True)
+            gs = pd.DataFrame({"u": u, "br": base_r}) \
+                .groupby("u")["br"].agg(["sum", "size"])
+            # truncating signed division, vectorized (no per-group
+            # python): matches DuckDB's `//`
+            bu_val = (gs["sum"].abs().to_numpy(np.int64)
+                      // gs["size"].to_numpy(np.int64)) \
+                * np.where(gs["sum"].to_numpy(np.int64) >= 0, 1, -1)
+            bu = u.map(pd.Series(bu_val, index=gs.index)) \
+                .astype(np.int64)
+            resid = base_r - bu
+            out = pd.DataFrame({"it": df["it"].reset_index(drop=True),
+                                "s": resid, "a": resid.abs(), "n": 1})
+            return out.groupby("it", as_index=False).sum() \
+                .astype(cols)
+        return fn
+
+    def round_pass(bi_map, final=False):
+        part = _grouped_by_partition(rows_ds, ["u"],
+                                     item_partials(bi_map, final),
+                                     n_parts=n_parts)
+        agg = part.groupby("it").aggregate(Sum("s"), Sum("a"),
+                                           Sum("n")).take_all()
+        return {r["it"]: (int(r["sum(s)"]), int(r["sum(a)"]),
+                          int(r["sum(n)"])) for r in agg}
+
+    r1 = round_pass({})
+    bi1 = {it: tdiv(s, n) for it, (s, a, n) in r1.items()}
+    r2 = round_pass(bi1)
+    out = []
+    for it in sorted(r2):
+        s, a, n = r2[it]
+        out.append({"it": it, "n": n,
+                    "b_i": bi1.get(it, 0) + tdiv(s, n),
+                    "resid_abs_sum": a})
+    return pd.DataFrame(out).astype(out_cols)

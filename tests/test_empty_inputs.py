@@ -177,6 +177,8 @@ QUERIES = [
     "line_df_removal", "skipgram_counts", "mad_anomalies",
     # round 5 wave C: KN counts, oracled CMS, composed C4 chain
     "kn_discount_counts", "cms_oracle_table", "c4prep",
+    # round 5 wave D: winsorized mean, PR curve, bias model
+    "huber_mean_chars", "quality_pr_curve", "bias_model_biases",
 ]
 
 
@@ -326,6 +328,8 @@ ONE_ROW_QUERIES = [
     "line_df_removal", "skipgram_counts", "mad_anomalies",
     # round 5 wave C: KN counts, oracled CMS, composed C4 chain
     "kn_discount_counts", "cms_oracle_table", "c4prep",
+    # round 5 wave D: winsorized mean, PR curve, bias model
+    "huber_mean_chars", "quality_pr_curve", "bias_model_biases",
 ]
 
 

@@ -374,3 +374,98 @@ class TestC4Prep:
         assert len(out) == 6
         assert not out["text"].str.contains("rights reserved").any()
         assert (out["n_lines"] == 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinsorizedMean:
+    def test_clamps_outlier(self):
+        from pdf_extract_ray.ops.analytics import winsorized_mean_mad
+        # values 10,12,14,1000: m2=26, mad4=... devs_x2 of 2v-26:
+        # |20-26|=6,|24-26|=2,|28-26|=2,|2000-26|=1974
+        # sorted 2,2,6,1974 -> mad4 = 6+2 = 8; k=3 -> clamp to
+        # [2*26-24, 2*26+24] = [28, 76] in x4 units
+        df = pd.DataFrame({"g": ["s"] * 4,
+                           "v": [10, 12, 14, 1000]})
+        out = winsorized_mean_mad(_ds(df), "g", "v").to_pandas()
+        # 4v = 40,48,56,4000 -> clip to 28..76 -> 40,48,56,76
+        assert out["sum_clamped4"].tolist() == [40 + 48 + 56 + 76]
+        assert out["wmean_milli"].tolist() == [220 * 1000 // 16]
+
+    def test_no_outliers_equals_mean(self):
+        from pdf_extract_ray.ops.analytics import winsorized_mean_mad
+        df = pd.DataFrame({"g": ["s"] * 5, "v": [10, 11, 12, 13, 14]})
+        out = winsorized_mean_mad(_ds(df), "g", "v").to_pandas()
+        assert out["wmean_milli"].tolist() == [12 * 1000]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrCurve:
+    def test_confusion_counts(self):
+        from pdf_extract_ray.ops.classifier import pr_curve
+        df = pd.DataFrame({
+            "score_milli": [950, 800, 600, 400, 100],
+            "label": [True, True, False, True, False]})
+        out = pr_curve(_ds(df), thresholds=(500,)).to_pandas()
+        r = out.iloc[0]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+        assert r["precision_ppm"] == 2 * 1_000_000 // 3
+        assert r["recall_ppm"] == 2 * 1_000_000 // 3
+
+    def test_zero_denominator_sentinel(self):
+        from pdf_extract_ray.ops.classifier import pr_curve
+        df = pd.DataFrame({"score_milli": [100], "label": [False]})
+        out = pr_curve(_ds(df), thresholds=(500,)).to_pandas()
+        assert out["precision_ppm"].tolist() == [-1]
+        assert out["recall_ppm"].tolist() == [-1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBiasModel:
+    def test_single_user_single_item_fits_exactly(self):
+        from pdf_extract_ray.ops.classifier import bias_model
+        df = pd.DataFrame({"user_id": [1, 1, 1],
+                           "event_type": ["a", "a", "a"],
+                           "value": [10.0, 10.0, 10.0]})
+        out = bias_model(_ds(df))
+        # mu=10, all residuals 0 at every stage
+        assert out["resid_abs_sum"].tolist() == [0]
+        assert out["b_i"].tolist() == [0]
+
+    def test_item_offsets_recovered(self):
+        from pdf_extract_ray.ops.classifier import bias_model
+        # two users with personal levels, item b always +6 over item a
+        rows = []
+        for u, lvl in [(1, 20), (2, 40)]:
+            for it, off in [("a", 0), ("b", 6)]:
+                rows.append({"user_id": u, "event_type": it,
+                             "value": float(lvl + off)})
+        out = bias_model(_ds(pd.DataFrame(rows))).set_index("it")
+        # model separates item offsets around their mean (+-3)
+        assert out.loc["b", "b_i"] - out.loc["a", "b_i"] == 6
+        assert out["resid_abs_sum"].sum() == 0
+
+    def test_truncating_division_parity(self):
+        import duckdb
+        from pdf_extract_ray.ops.classifier import bias_model
+        # negative residual means exercise the sign*(|s|//n) form;
+        # compare against DuckDB running the same unrolled SQL
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 5, 40),
+            "event_type": rng.choice(["x", "y", "z"], 40),
+            "value": rng.randint(-50, 50, 40).astype(float)})
+        got = bias_model(_ds(df)).set_index("it")
+        con = duckdb.connect()
+        con.register("events", df)
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "m_bias", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__ray_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        want = con.execute(m.oracle_sql()["bias_model_biases"]) \
+            .fetchdf().set_index("it")
+        for it in want.index:
+            assert got.loc[it, "b_i"] == want.loc[it, "b_i"], it
+            assert got.loc[it, "resid_abs_sum"] \
+                == want.loc[it, "resid_abs_sum"], it
