@@ -12375,8 +12375,10 @@ def _q_line_df_removal(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "text": outs})
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return line_df_removal(ds.map_batches(to_lines,
-                                          batch_format="pandas"))
+    # the op scans its input twice; pin the python-derived corpus so
+    # the to_lines prep runs once (measured 13.6 -> ~5 s at sf0.1)
+    return line_df_removal(ds.map_batches(
+        to_lines, batch_format="pandas").materialize())
 
 
 def _q_skipgram_counts(sf_dir: str):

@@ -1660,7 +1660,12 @@ def line_df_removal(ds, *, df_threshold: int = 5,
     are the SMALL boilerplate set (bounded by distinct boilerplate
     lines, asserted under `broadcast_limit`) -> ray.put broadcast ->
     map-side filter + per-batch rebuild.  Two scans of the text, one
-    tiny exchange, no joins."""
+    tiny exchange, no joins.
+
+    NOTE: the input is scanned TWICE (df pass + removal pass).  A
+    plain read_parquet input re-reads cheaply; an input with an
+    expensive lineage should be materialized / checkpointed by the
+    caller first, or it recomputes per scan."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1679,12 +1684,27 @@ def line_df_removal(ds, *, df_threshold: int = 5,
         return g.groupby("line", as_index=False) \
             .agg(n_docs_part=("doc", "size"))
 
-    df_counts = ds.map_batches(line_doc_pairs, batch_format="pandas") \
-        .groupby("line").aggregate(Sum("n_docs_part"))
+    # hash-partitioned pandas sum, NOT the native groupby: the partial
+    # stream has 10k-100k+ DISTINCT STRING keys and Ray 2.49's native
+    # sort-aggregate on such streams is the known single-block
+    # pathology (weighted_median / link_common_neighbors class —
+    # measured 13.8 s vs 2 s at sf0.1 here)
+    from .dedup import _grouped_by_partition
+
+    def sum_df(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"line": "object", "n_docs": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return df.groupby("line", as_index=False) \
+            .agg(n_docs=("n_docs_part", "sum")).astype(cols)
+
+    df_counts = _grouped_by_partition(
+        ds.map_batches(line_doc_pairs, batch_format="pandas"),
+        ["line"], sum_df, n_parts=16)
     boiler = set()
     n_seen = 0
     for b in df_counts.iter_batches(batch_format="pandas"):
-        hot = b[b["sum(n_docs_part)"] >= df_threshold]["line"]
+        hot = b[b["n_docs"] >= df_threshold]["line"]
         n_seen += len(hot)
         if n_seen > broadcast_limit:
             raise ValueError(
@@ -1759,14 +1779,26 @@ def skipgram_counts(ds, *, window: int = 2, top_k: int = 30,
             .rename(columns={"size": "cnt_part"})
         return g.astype(cols)
 
-    summed = ds.map_batches(pairs, batch_format="pandas") \
-        .groupby(["w1", "w2"]).aggregate(Sum("cnt_part"))
+    # hash-partitioned pandas sum over the pair keys — real-text pair
+    # vocabularies exceed 10k keys, the native sort-aggregate pathology
+    # threshold (see line_df_removal)
+    from .dedup import _grouped_by_partition
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": "object", "w2": "object", "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return df.groupby(["w1", "w2"], as_index=False) \
+            .agg(cnt=("cnt_part", "sum")).astype(cols)
+
+    summed = _grouped_by_partition(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["w1", "w2"], sum_pairs, n_parts=16)
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"w1": "object", "w2": "object", "cnt": "int64"}
         if len(df) == 0:
             return pd.DataFrame(columns=list(cols)).astype(cols)
-        df = df.rename(columns={"sum(cnt_part)": "cnt"})
         df = df.sort_values(["cnt", "w1", "w2"],
                             ascending=[False, True, True]).head(top_k)
         return df[["w1", "w2", "cnt"]].astype(cols)
@@ -1812,8 +1844,19 @@ def kn_discount_counts(ds, *, top_k: int = 40, text_col: str = "text"):
                              "w2": tok[1:][same]}).drop_duplicates() \
             .astype(cols)
 
-    distinct_pairs = ds.map_batches(pairs, batch_format="pandas") \
-        .groupby(["w1", "w2"]).aggregate(Count()).materialize()
+    # hash-partitioned pandas distinct over the pair keys (not the
+    # native sort-aggregate — see skipgram_counts' pathology note)
+    from .dedup import _grouped_by_partition
+
+    def distinct_df(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": "object", "w2": "object"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return df[["w1", "w2"]].drop_duplicates().astype(cols)
+
+    distinct_pairs = _grouped_by_partition(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["w1", "w2"], distinct_df, n_parts=16).materialize()
 
     def fans(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"word": "object", "n_left_part": "int64",
@@ -1889,11 +1932,17 @@ def c4prep_docs(ds, *, min_words: int = 3, min_lines: int = 2,
 
     Every stage is deterministic and oracled end to end — the whole
     chain has a single DuckDB mirror, which is the strongest
-    correctness statement a composed pipeline can make."""
+    correctness statement a composed pipeline can make.
+
+    The c4-filtered intermediate is pinned (materialize) because the
+    downstream df-removal + dedup stages scan it three times — without
+    the pin the whole upstream lineage re-executes per scan (measured
+    3x wall at sf0.1).  At 100-TB scale swap the pin for a parquet
+    checkpoint (the textprep checkpoint_dir pattern)."""
     import hashlib
 
     filtered = c4_line_filter(ds, min_words=min_words,
-                              min_lines=min_lines)
+                              min_lines=min_lines).materialize()
     cleaned = line_df_removal(filtered, df_threshold=df_threshold)
 
     def keep_min(df: pd.DataFrame) -> pd.DataFrame:
