@@ -102,7 +102,11 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "goodturing_counts", "cohort_retention",
            "interarrival_buckets", "sessionize_sweep",
            "dup_span_coverage", "heaps_curve",
-           "logrank_lifetimes", "unseen_vocab_estimate"]
+           "logrank_lifetimes", "unseen_vocab_estimate",
+           # round 5 keyed ops (hash-partitioned pandas passes)
+           "line_df_removal", "skipgram_counts", "kn_discount_counts",
+           "c4prep", "mad_anomalies", "bias_model_biases",
+           "l_diversity_audit", "huber_mean_chars"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
