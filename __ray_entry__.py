@@ -12491,6 +12491,47 @@ def _q_bias_model_biases(sf_dir: str):
               columns=["user_id", "event_type", "value"]))
 
 
+def _q_embedding_exact_dedup(sf_dir: str):
+    """Exact duplicate-vector groups under floor(x*1000) quantization
+    with PLANTED duplicates: vec_id%10==7 rows get a synthetic vector
+    keyed by vec_id//50 (five members per 50-block), the rest keep
+    their real embedding — same derivation in the oracle
+    (ops/similarity.embedding_exact_dedup)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.similarity import embedding_exact_dedup
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.fill_null(b.column("vec_id"), -1)
+                         .to_pylist(), np.int64)
+        embs = b.column("embedding").to_pylist()
+        out = []
+        for i, e in zip(ids, embs):
+            if i % 10 == 7:
+                g = i // 50
+                out.append([((int(g) * 13 + d) % 7) / 7.0
+                            for d in range(64)])
+            else:
+                out.append([0.0] * 64 if e is None
+                           else [float(x) for x in e])
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(out, pa.list_(pa.float64()))})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_exact_dedup(
+        ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def _q_knn_label_eval(sf_dir: str):
+    """FULLY-ORACLED 5-NN label prediction for the 20 smallest
+    vec_ids: exact integer dots, deterministic neighbor and vote ties
+    (ops/similarity.knn_label_eval)."""
+    from pdf_extract_ray.ops.similarity import knn_label_eval
+    return knn_label_eval(
+        _read(sf_dir, "embeddings",
+              columns=["vec_id", "embedding", "label"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12929,6 +12970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huber_mean_chars": _q_huber_mean_chars,
         "quality_pr_curve": _q_quality_pr_curve,
         "bias_model_biases": _q_bias_model_biases,
+        "embedding_exact_dedup": _q_embedding_exact_dedup,
+        "knn_label_eval": _q_knn_label_eval,
     }
 
 
@@ -19962,5 +20005,63 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN bu2 USING (u) JOIN bi1 USING (it)
                  CROSS JOIN mu
             GROUP BY e.it, bi1.bi
+        """,
+        "embedding_exact_dedup": """
+            WITH p AS (SELECT COALESCE(vec_id, -1) AS vec_id,
+                              CASE WHEN COALESCE(vec_id, -1) % 10 = 7
+                                   THEN list_transform(range(64),
+                                        d -> (((vec_id // 50) * 13 + d)
+                                              % 7) / 7.0)
+                                   ELSE list_transform(
+                                        COALESCE(embedding,
+                                            list_transform(range(64),
+                                                           d -> 0.0)),
+                                        x -> CAST(x AS DOUBLE)) END
+                                  AS emb
+                       FROM embeddings),
+            k AS (SELECT vec_id,
+                         array_to_string(list_transform(emb,
+                             x -> CAST(FLOOR(x * 1000) AS BIGINT)),
+                             ',') AS key
+                  FROM p)
+            SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM k GROUP BY key
+        """,
+        "knn_label_eval": """
+            WITH e AS (SELECT COALESCE(vec_id, -1) AS vec_id,
+                              COALESCE(label, -1) AS label,
+                              list_transform(embedding,
+                                  x -> FLOOR(CAST(x AS DOUBLE)
+                                             * 1000)) AS q
+                       FROM embeddings),
+            qs AS (SELECT vec_id, label, q FROM e
+                   ORDER BY vec_id LIMIT 20),
+            d AS (SELECT qs.vec_id AS query_id,
+                         qs.label AS true_label,
+                         e.vec_id AS neighbor_id,
+                         e.label AS nlab,
+                         CAST(list_dot_product(qs.q, e.q) AS BIGINT)
+                             AS dot
+                  FROM qs CROSS JOIN e
+                  WHERE e.vec_id <> qs.vec_id),
+            r AS (SELECT query_id, true_label, nlab,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY dot DESC, neighbor_id ASC)
+                             AS rank
+                  FROM d),
+            v AS (SELECT query_id, true_label, nlab,
+                         count(*) AS c
+                  FROM r WHERE rank <= 5
+                  GROUP BY query_id, true_label, nlab),
+            p AS (SELECT query_id, true_label, nlab AS pred_label,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY c DESC, nlab ASC) AS rn
+                  FROM v)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(true_label AS BIGINT) AS true_label,
+                   CAST(pred_label AS BIGINT) AS pred_label,
+                   pred_label = true_label AS correct
+            FROM p WHERE rn = 1
         """,
     }

@@ -13,6 +13,8 @@ from __future__ import annotations
 import heapq
 from typing import List, Optional, Tuple
 
+import pyarrow.compute as pc
+
 import numpy as np
 import pyarrow as pa
 
@@ -1147,4 +1149,139 @@ def mmr_select(ds, *, dim: int, k: int = 16, m: int = 64,
         out.append({"rank": rank, "vec_id": int(ids[j]),
                     "relevance_milli": int(np.floor(rel[j] * 1000)),
                     "mmr_milli": int(np.floor(score[j] * 1000))})
+    return pd.DataFrame(out).astype(out_cols)
+
+
+def embedding_exact_dedup(ds, *, scale: int = 1000,
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding"):
+    """EXACT duplicate-vector groups under floor(x*scale) quantization:
+    one row per distinct quantized vector, keeper = smallest id,
+    n_dups = members.  The byte-level companion to the cosine near-dup
+    path (catches re-ingested / re-encoded identical embeddings that
+    cosine thresholds would also catch but pay O(pairs) for).
+
+    -> (vec_id, n_dups).  Scale shape: map-side quantize + per-batch
+    (key, min, count) combine, ONE hash-partitioned pass on the
+    quantized-string key (the exact_dedup single-shuffle pattern)."""
+    import pandas as pd
+
+    def combine(b: pa.Table) -> pa.Table:
+        cols = {"key": "object", "vec_id": "int64", "n": "int64"}
+        if b.num_rows == 0:
+            return pa.Table.from_pandas(
+                pd.DataFrame(columns=list(cols)).astype(cols),
+                preserve_index=False)
+        ids = np.asarray(pc.fill_null(b.column(id_col), -1).to_pylist(),
+                         np.int64)
+        q = np.floor(_stack(b.column(emb_col)) * float(scale)) \
+            .astype(np.int64)
+        keys = ["," .join(map(str, row)) for row in q]
+        g = pd.DataFrame({"key": keys, "vec_id": ids, "n": 1}) \
+            .groupby("key", as_index=False) \
+            .agg(vec_id=("vec_id", "min"), n=("n", "sum"))
+        return pa.Table.from_pandas(g.astype(cols),
+                                    preserve_index=False)
+
+    pre = ds.map_batches(combine, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": "int64", "n_dups": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("key", as_index=False) \
+            .agg(vec_id=("vec_id", "min"), n_dups=("n", "sum"))
+        return g[["vec_id", "n_dups"]].astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(pre, ["key"], resolve, n_parts=16)
+
+
+def knn_label_eval(ds, *, n_queries: int = 20, k: int = 5,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   label_col: str = "label"):
+    """FULLY-ORACLED k-NN label prediction eval: for the n_queries
+    smallest ids, find the k nearest neighbors by EXACT integer dot of
+    floor(x*1000)-quantized vectors (self excluded, ties by neighbor
+    id asc — the ip_topk_exact metric) and predict the majority
+    neighbor label (ties -> smallest label).  -> one row per query
+    (query_id, true_label, pred_label, correct).
+
+    Scale shape: query matrix broadcast once (ray.put), per-batch
+    integer matmul + partial top-k carrying neighbor labels, bounded
+    driver merge (n_queries x k rows)."""
+    import heapq
+
+    import pandas as pd
+    import ray
+
+    head = min_k_rows(ds, id_col, n_queries)
+    qids = head.column(id_col).to_pylist()
+    out_cols = {"query_id": "int64", "true_label": "int64",
+                "pred_label": "int64", "correct": "bool"}
+    if not qids:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    true_labels = [int(x) if x is not None else -1
+                   for x in head.column(label_col).to_pylist()]
+    qm = np.floor(_stack(head.column(emb_col)) * 1000.0) \
+        .astype(np.int64)
+    q_ref = ray.put(qm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"qi": pa.array([], pa.int32()),
+                          "nid": pa.array([], pa.int64()),
+                          "lab": pa.array([], pa.int64()),
+                          "dot": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        qm_ = ray.get(q_ref)
+        ids = np.asarray(pc.fill_null(b.column(id_col), -1).to_pylist(),
+                         np.int64)
+        labs = np.asarray(pc.fill_null(b.column(label_col), -1)
+                          .to_pylist(), np.int64)
+        v = np.floor(_stack(b.column(emb_col)) * 1000.0) \
+            .astype(np.int64)
+        dots = qm_ @ v.T
+        out_q, out_n, out_l, out_d = [], [], [], []
+        kk = min(k + 1, dots.shape[1])
+        for qi in range(dots.shape[0]):
+            idx = np.argpartition(-dots[qi], kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_n.extend(ids[idx].tolist())
+            out_l.extend(labs[idx].tolist())
+            out_d.extend(dots[qi][idx].tolist())
+        return pa.table({"qi": pa.array(out_q, pa.int32()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "lab": pa.array(out_l, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64())})
+
+    best: list = [[] for _ in qids]
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for qi, nid, lab, dot in zip(b.column("qi").to_pylist(),
+                                     b.column("nid").to_pylist(),
+                                     b.column("lab").to_pylist(),
+                                     b.column("dot").to_pylist()):
+            if qids[qi] == nid:
+                continue
+            # max-heap emulation: keep k best by (dot desc, nid asc)
+            heapq.heappush(best[qi], (dot, -nid, lab))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out = []
+    for qi, qid in enumerate(qids):
+        neigh = sorted(((d, -negn, lab) for d, negn, lab in best[qi]),
+                       key=lambda t: (-t[0], t[1]))[:k]
+        if not neigh:
+            continue
+        votes: dict = {}
+        for _, _, lab in neigh:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        out.append({"query_id": int(qid),
+                    "true_label": true_labels[qi],
+                    "pred_label": int(pred),
+                    "correct": int(pred) == true_labels[qi]})
+    if not out:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
     return pd.DataFrame(out).astype(out_cols)

@@ -179,6 +179,8 @@ QUERIES = [
     "kn_discount_counts", "cms_oracle_table", "c4prep",
     # round 5 wave D: winsorized mean, PR curve, bias model
     "huber_mean_chars", "quality_pr_curve", "bias_model_biases",
+    # round 5 wave E: embedding exact dedup, kNN label eval
+    "embedding_exact_dedup", "knn_label_eval",
 ]
 
 
@@ -330,6 +332,8 @@ ONE_ROW_QUERIES = [
     "kn_discount_counts", "cms_oracle_table", "c4prep",
     # round 5 wave D: winsorized mean, PR curve, bias model
     "huber_mean_chars", "quality_pr_curve", "bias_model_biases",
+    # round 5 wave E: embedding exact dedup, kNN label eval
+    "embedding_exact_dedup", "knn_label_eval",
 ]
 
 

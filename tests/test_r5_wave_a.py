@@ -469,3 +469,58 @@ class TestBiasModel:
             assert got.loc[it, "b_i"] == want.loc[it, "b_i"], it
             assert got.loc[it, "resid_abs_sum"] \
                 == want.loc[it, "resid_abs_sum"], it
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingExactDedup:
+    def test_planted_duplicates_collapse(self):
+        from pdf_extract_ray.ops.similarity import embedding_exact_dedup
+        v = [0.5] * 4
+        df = pd.DataFrame({
+            "vec_id": [3, 1, 2, 9],
+            "embedding": [v, v, [0.1] * 4, v]})
+        out = embedding_exact_dedup(_ds(df)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert out["vec_id"].tolist() == [1, 2]
+        assert out.set_index("vec_id")["n_dups"].to_dict() \
+            == {1: 3, 2: 1}
+
+    def test_quantization_boundary(self):
+        from pdf_extract_ray.ops.similarity import embedding_exact_dedup
+        # 0.0011 and 0.0019 both floor to 1 at scale 1000 -> dup;
+        # 0.0021 floors to 2 -> distinct
+        df = pd.DataFrame({
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.0011], [0.0019], [0.0021]]})
+        out = embedding_exact_dedup(_ds(df)).to_pandas()
+        assert sorted(out["n_dups"].tolist()) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnLabelEval:
+    def test_majority_vote_and_ties(self):
+        from pdf_extract_ray.ops.similarity import knn_label_eval
+        # query 0 at origin-ish; 3 close label-1 vecs, 2 close label-2
+        rows = [
+            {"vec_id": 0, "embedding": [1.0, 0.0], "label": 1},
+            {"vec_id": 1, "embedding": [0.9, 0.1], "label": 1},
+            {"vec_id": 2, "embedding": [0.9, 0.0], "label": 1},
+            {"vec_id": 3, "embedding": [0.8, 0.1], "label": 1},
+            {"vec_id": 4, "embedding": [0.8, 0.0], "label": 2},
+            {"vec_id": 5, "embedding": [0.7, 0.1], "label": 2},
+        ]
+        out = knn_label_eval(_ds(pd.DataFrame(rows)), n_queries=1, k=5)
+        assert out["query_id"].tolist() == [0]
+        assert out["pred_label"].tolist() == [1]
+        assert out["correct"].tolist() == [True]
+
+    def test_vote_tie_smallest_label(self):
+        from pdf_extract_ray.ops.similarity import knn_label_eval
+        rows = [
+            {"vec_id": 0, "embedding": [1.0], "label": 9},
+            {"vec_id": 1, "embedding": [0.9], "label": 5},
+            {"vec_id": 2, "embedding": [0.8], "label": 3},
+        ]
+        out = knn_label_eval(_ds(pd.DataFrame(rows)), n_queries=1, k=2)
+        # one vote each for 5 and 3 -> smallest label wins
+        assert out["pred_label"].tolist() == [3]
