@@ -12532,6 +12532,24 @@ def _q_knn_label_eval(sf_dir: str):
               columns=["vec_id", "embedding", "label"]))
 
 
+def _q_l1_line_fit(sf_dir: str):
+    """Integer-exact L1 regression n_chars ~ m*words + b over slope
+    grid 0..10 (per-m lower-median intercept + absolute loss from ONE
+    (m, resid) histogram exchange) (ops/analytics.l1_line_fit)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.analytics import l1_line_fit
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        return pd.DataFrame({
+            "y": df["n_chars"].fillna(0).astype(np.int64),
+            "x": txt.str.count(r"[^ ]+").astype(np.int64)})
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "text"])
+    return l1_line_fit(ds.map_batches(derive, batch_format="pandas"),
+                       "x", "y")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12972,6 +12990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bias_model_biases": _q_bias_model_biases,
         "embedding_exact_dedup": _q_embedding_exact_dedup,
         "knn_label_eval": _q_knn_label_eval,
+        "l1_line_fit": _q_l1_line_fit,
     }
 
 
@@ -20063,5 +20082,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pred_label AS BIGINT) AS pred_label,
                    pred_label = true_label AS correct
             FROM p WHERE rn = 1
+        """,
+        "l1_line_fit": """
+            WITH b AS (SELECT CAST(COALESCE(n_chars, 0) AS BIGINT) y,
+                              CAST(len(list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  w -> w <> '')) AS BIGINT) x
+                       FROM documents),
+            g AS (SELECT unnest(range(11)) AS m),
+            r AS (SELECT g.m, b.y - g.m * b.x AS resid FROM b, g),
+            med AS (SELECT m, CAST(quantile_disc(resid, 0.5)
+                                   AS BIGINT) AS b0
+                    FROM r GROUP BY m),
+            loss AS (SELECT r.m,
+                            CAST(sum(abs(r.resid - med.b0))
+                                 AS BIGINT) AS l1,
+                            CAST(min(med.b0) AS BIGINT) AS b0
+                     FROM r JOIN med USING (m) GROUP BY r.m)
+            SELECT CAST(m AS BIGINT) AS slope, b0 AS intercept,
+                   l1 AS l1_loss
+            FROM loss ORDER BY l1, m LIMIT 1
         """,
     }

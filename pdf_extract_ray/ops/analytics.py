@@ -3021,3 +3021,69 @@ def winsorized_mean_mad(ds, group_col: str, value_col: str, *,
 
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(hist, [group_col], resolve, n_parts=8)
+
+
+def l1_line_fit(ds, x_col: str, y_col: str, *, slopes=tuple(range(11))):
+    """Robust L1 line fit y ~ m*x + b over a small integer slope grid:
+    for each candidate m, b(m) = LOWER MEDIAN of the residuals
+    y - m*x (the L1-optimal intercept, quantile_disc parity), loss(m)
+    = sum |y - m*x - b(m)|; winner = min loss, ties -> smaller m.
+    Everything is exact integers -> one row
+    (slope, intercept, l1_loss).
+
+    Scale shape: ONE (m, resid) histogram exchange (map-side combine
+    over the slope-grid cross product), per-m median + loss resolved
+    from the histogram (loss = sum cnt*|r - b| is a pure histogram
+    function), tiny driver argmin."""
+    from ray.data.aggregate import Sum
+    grid = list(slopes)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"m": "int64", "r": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        x = df[x_col].fillna(0).astype(np.int64).to_numpy()
+        y = df[y_col].fillna(0).astype(np.int64).to_numpy()
+        frames = []
+        for m in grid:
+            r = y - m * x
+            g = pd.Series(r).value_counts()
+            frames.append(pd.DataFrame({
+                "m": np.full(len(g), m, np.int64),
+                "r": g.index.to_numpy(np.int64),
+                "c": g.to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True).astype(cols)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"m": "int64", "b0": "int64", "l1": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = []
+        for m, sub in df.groupby("m"):
+            g = sub.groupby("r", as_index=False)["c"].sum() \
+                .sort_values("r")
+            rv = g["r"].to_numpy(np.int64)
+            cv = g["c"].to_numpy(np.int64)
+            n = int(cv.sum())
+            cum = np.cumsum(cv)
+            b = int(rv[np.searchsorted(cum, (n - 1) // 2 + 1)])
+            loss = int((np.abs(rv - b) * cv).sum())
+            out.append({"m": int(m), "b0": b, "l1": loss})
+        return pd.DataFrame(out).astype(cols)
+
+    # m-keyed partition pass (11 keys), NOT the native (m, resid)
+    # sort-aggregate (~10k+ int keys = the known pathology); the
+    # per-m resid histogram resolves locally
+    from .dedup import _grouped_by_partition
+    rows = _grouped_by_partition(
+        ds.map_batches(partial, batch_format="pandas"), ["m"],
+        resolve, n_parts=4).take_all()
+    out_cols = {"slope": "int64", "intercept": "int64",
+                "l1_loss": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    best = min(rows, key=lambda r: (int(r["l1"]), int(r["m"])))
+    return pd.DataFrame({"slope": [int(best["m"])],
+                         "intercept": [int(best["b0"])],
+                         "l1_loss": [int(best["l1"])]}) \
+        .astype(out_cols)

@@ -181,6 +181,7 @@ QUERIES = [
     "huber_mean_chars", "quality_pr_curve", "bias_model_biases",
     # round 5 wave E: embedding exact dedup, kNN label eval
     "embedding_exact_dedup", "knn_label_eval",
+    "l1_line_fit",
 ]
 
 
@@ -334,6 +335,7 @@ ONE_ROW_QUERIES = [
     "huber_mean_chars", "quality_pr_curve", "bias_model_biases",
     # round 5 wave E: embedding exact dedup, kNN label eval
     "embedding_exact_dedup", "knn_label_eval",
+    "l1_line_fit",
 ]
 
 

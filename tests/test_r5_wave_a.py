@@ -524,3 +524,30 @@ class TestKnnLabelEval:
         out = knn_label_eval(_ds(pd.DataFrame(rows)), n_queries=1, k=2)
         # one vote each for 5 and 3 -> smallest label wins
         assert out["pred_label"].tolist() == [3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestL1LineFit:
+    def test_recovers_exact_line(self):
+        from pdf_extract_ray.ops.analytics import l1_line_fit
+        x = np.arange(1, 30, dtype=np.int64)
+        df = pd.DataFrame({"x": x, "y": 4 * x + 7})
+        out = l1_line_fit(_ds(df), "x", "y")
+        assert out.iloc[0].tolist() == [4, 7, 0]
+
+    def test_robust_to_outliers(self):
+        from pdf_extract_ray.ops.analytics import l1_line_fit
+        x = np.arange(1, 40, dtype=np.int64)
+        y = 3 * x + 2
+        y[:3] = 10_000  # gross outliers OLS would chase
+        out = l1_line_fit(_ds(pd.DataFrame({"x": x, "y": y})), "x", "y")
+        assert out["slope"].tolist() == [3]
+        assert out["intercept"].tolist() == [2]
+
+    def test_lower_median_even_count(self):
+        from pdf_extract_ray.ops.analytics import l1_line_fit
+        # slope 0 only: residuals = y; even count -> LOWER median
+        df = pd.DataFrame({"x": [0, 0, 0, 0], "y": [1, 3, 5, 7]})
+        out = l1_line_fit(_ds(df), "x", "y", slopes=(0,))
+        assert out["intercept"].tolist() == [3]
+        assert out["l1_loss"].tolist() == [2 + 0 + 2 + 4]
