@@ -19,7 +19,9 @@ SF = "/root/testdata/sf0.001"
 MAP_ONLY = ["token_counts", "quality_scores", "normalize_text",
             "lang_id", "repetition_scores", "redact_pii",
             "dataset_splits", "deterministic_sample", "fingerprints",
-            "chunk_for_training"]
+            "chunk_for_training",
+            # round 5 map-only ops
+            "c4_line_filter", "probe_positions"]
 
 
 def _entry():
