@@ -53,7 +53,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """-> uint8 array (h, w, channels).  8-bit, non-interlaced only."""
+    """-> uint8 array (h, w, channels).  8-bit, non-interlaced only.
+    Raises ValueError on ANY malformed input (structural damage
+    included) — the multimodal fake-decode fallback catches exactly
+    ValueError."""
+    try:
+        return _decode_png(data)
+    except (IndexError, KeyError, struct.error, zlib.error, EOFError,
+            OverflowError, MemoryError, ZeroDivisionError) as e:
+        raise ValueError(f"malformed PNG structure: {e!r}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
     pos = 8
@@ -80,9 +91,15 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) < height * (stride + 1):
+    need = height * (stride + 1)
+    if need > (1 << 28):
+        raise ValueError("implausible PNG dimensions")
+    # decompress AT MOST what the raster needs: a crafted deflate bomb
+    # must not expand unbounded (found by tools/media_fuzz.py hardening)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), need)
+    if len(raw) < need:
         raise ValueError("truncated PNG data")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -117,7 +134,16 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """-> uint8 array (h, w, 3).  24/32-bit uncompressed BI_RGB only."""
+    """-> uint8 array (h, w, 3).  24/32-bit uncompressed BI_RGB only.
+    Raises ValueError on ANY malformed input."""
+    try:
+        return _decode_bmp(data)
+    except (IndexError, KeyError, struct.error, OverflowError,
+            MemoryError, ZeroDivisionError) as e:
+        raise ValueError(f"malformed BMP structure: {e!r}") from e
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
     if not data.startswith(BMP_MAGIC) or len(data) < 54:
         raise ValueError("not a BMP")
     pixel_off, = struct.unpack("<I", data[10:14])
@@ -146,7 +172,20 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
-    """-> (samples float64 in [-1, 1] shaped (n, channels), rate, width)."""
+    """-> (samples float64 in [-1, 1] shaped (n, channels), rate,
+    width).  Raises ValueError on ANY malformed input."""
+    import wave
+    try:
+        return _decode_wav(data)
+    except (wave.Error, IndexError, KeyError, struct.error, EOFError,
+            OverflowError, MemoryError, ZeroDivisionError,
+            RuntimeError) as e:
+        # RuntimeError: stdlib wave's Chunk.skip raises a BARE
+        # RuntimeError on unseekable/short chunk tails (wave.py:155)
+        raise ValueError(f"malformed WAV structure: {e!r}") from e
+
+
+def _decode_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
     with wave_open(data) as w:
         n = w.getnframes()
         rate = w.getframerate()
@@ -371,7 +410,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     fallback always catches damaged inputs."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, KeyError) as e:
+    except (IndexError, KeyError, struct.error, OverflowError,
+            MemoryError, ZeroDivisionError) as e:
         raise ValueError(f"malformed JPEG structure: {e!r}") from e
 
 
@@ -604,6 +644,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("bad sampling factors")
                 comps.append({"id": seg[6 + 3 * c], "h": hh, "v": vv,
                               "tq": seg[8 + 3 * c]})
+            if width * height > (1 << 25):
+                # a 200-byte header must not allocate GBs of
+                # coefficient arrays (crafted-SOF OOM guard; 33 MP
+                # covers effectively all real web images)
+                raise ValueError("implausible JPEG dimensions")
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = -(-width // (8 * hmax))
@@ -1131,7 +1176,16 @@ def encode_jpeg_progressive(img: np.ndarray, *, subsample: bool = False,
 
 def parse_avi_mjpeg(data: bytes):
     """-> list of JPEG frame payloads from an AVI 'movi' list ('00dc'/
-    '00db' chunks).  Raises ValueError on non-AVI/damaged input."""
+    '00db' chunks).  Raises ValueError on non-AVI/damaged input
+    (struct damage included)."""
+    try:
+        return _parse_avi_mjpeg(data)
+    except (IndexError, KeyError, struct.error, OverflowError,
+            MemoryError, RecursionError) as e:
+        raise ValueError(f"malformed AVI structure: {e!r}") from e
+
+
+def _parse_avi_mjpeg(data: bytes):
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     frames = []

@@ -729,13 +729,21 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
             cpus = 8
         num_partitions = max(2, min(32, cpus))
 
-    pairs = pairs_ds.materialize()  # tiny by construction (LSH survivors)
-    ids: set = set()
+    pairs = pairs_ds.materialize()  # bounded: LSH survivors
+    # candidate-id collection in NUMPY, not a python set: at the 100M
+    # scale check the survivor-id set is ~1M+ ids and a python int set
+    # costs ~70 B/id on the DRIVER (plus the mapped plasma pages);
+    # np.unique over int64 chunks is ~8 B/id and one pass
+    id_parts = []
     for batch in pairs.select_columns(["doc_id_a", "doc_id_b"]) \
                       .iter_batches(batch_format="pyarrow"):
-        ids.update(batch.column("doc_id_a").to_pylist())
-        ids.update(batch.column("doc_id_b").to_pylist())
-    if not ids:
+        for col in ("doc_id_a", "doc_id_b"):
+            arr = batch.column(col).combine_chunks()
+            id_parts.append(np.asarray(arr.to_numpy(
+                zero_copy_only=False), np.int64))
+    ids_arr = np.unique(np.concatenate(id_parts)) if id_parts \
+        else np.empty(0, np.int64)
+    if ids_arr.size == 0:
         # No candidates (clean corpus): short-circuit before the join
         # machinery.  CONTRACT NOTE (Ray 2.49): an empty Dataset —
         # even one built from a typed Arrow table — loses its
@@ -748,7 +756,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
             {"doc_id_a": pa.array([], pa.int64()),
              "doc_id_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}))
-    id_set = pa.array(sorted(ids), pa.int64())
+    id_set = pa.array(ids_arr, pa.int64())  # already unique + sorted
     ref = ray.put(id_set)
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
@@ -762,7 +770,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
     docs_f = docs_ds.map_batches(keep_candidates,
                                  batch_format="pyarrow").materialize()
 
-    if len(ids) <= broadcast_limit:
+    if ids_arr.size <= broadcast_limit:
         lookup = {}
         for b in docs_f.iter_batches(batch_format="pyarrow"):
             for d, t in zip(b.column("doc_id").to_pylist(),
@@ -825,7 +833,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, n: int = 3,
     pairs = pairs.repartition(
         max(1, min(num_partitions, (n_pairs + 65535) // 65536)))
     docs_f = docs_f.repartition(
-        max(1, min(num_partitions, (len(ids) + 65535) // 65536)))
+        max(1, min(num_partitions, (int(ids_arr.size) + 65535) // 65536)))
     # sequence the two joins (pin the tiny intermediate) so their
     # aggregator pools never contend for the same CPU budget at once
     joined = pairs.join(side("a"), join_type="inner",
