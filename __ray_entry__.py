@@ -12550,6 +12550,44 @@ def _q_l1_line_fit(sf_dir: str):
                        "x", "y")
 
 
+def _q_crawl_schedule(sf_dir: str):
+    """Politeness crawl schedule: per-host FIFO slots x host-derived
+    crawl delay over the deterministic URL derivation (same build as
+    url_host_stats, mirrored in SQL) — ONE host-keyed pass, no global
+    sort (ops/weburl.crawl_schedule)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.weburl import crawl_schedule
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].fillna(0).astype(np.int64)
+        lang = df["lang"].fillna("und").astype(str)
+        src = df["source"].fillna("").astype(str).str.lower()
+        tail = ("/" + lang + "/d" + (did % 17).astype(str)
+                + "/p" + did.astype(str) + ".html")
+        tail = tail.where(did % 5 != 0, "/")
+        return pd.DataFrame(
+            {"url": "https://" + src + ".example.com" + tail})
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source"])
+    return crawl_schedule(ds.map_batches(build, batch_format="pandas"))
+
+
+def _q_bucketed_join(sf_dir: str):
+    """Hive-style bucketed-storage join: customer and events written
+    partitioned by key%16, joined BUCKET-LOCALLY (no join-time
+    shuffle); per-bucket counts must equal the oracle's global join
+    (ops/relational.bucketed_join_counts)."""
+    import tempfile
+
+    from pdf_extract_ray.ops.relational import bucketed_join_counts
+    out_root = tempfile.mkdtemp(prefix="bucketed_join_")
+    return bucketed_join_counts(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "events", columns=["user_id"]),
+        out_root, left_key="c_custkey", right_key="user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -12991,6 +13029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_exact_dedup": _q_embedding_exact_dedup,
         "knn_label_eval": _q_knn_label_eval,
         "l1_line_fit": _q_l1_line_fit,
+        "crawl_schedule": _q_crawl_schedule,
+        "bucketed_join": _q_bucketed_join,
     }
 
 
@@ -20102,5 +20142,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(m AS BIGINT) AS slope, b0 AS intercept,
                    l1 AS l1_loss
             FROM loss ORDER BY l1, m LIMIT 1
+        """,
+        "crawl_schedule": """
+            WITH u AS (SELECT
+                'https://' || lower(COALESCE(source, ''))
+                || '.example.com'
+                || CASE WHEN COALESCE(doc_id, 0) % 5 = 0 THEN '/'
+                        ELSE '/' || COALESCE(lang, 'und') || '/d'
+                             || CAST(COALESCE(doc_id, 0) % 17
+                                     AS VARCHAR)
+                             || '/p' || CAST(COALESCE(doc_id, 0)
+                                             AS VARCHAR) || '.html'
+                   END AS url,
+                lower(COALESCE(source, '')) || '.example.com' AS host
+                FROM documents),
+            r AS (SELECT url, host,
+                         row_number() OVER (PARTITION BY host
+                                            ORDER BY url) - 1 AS slot
+                  FROM u)
+            SELECT url, host, CAST(slot AS BIGINT) AS slot,
+                   CAST(slot * ((length(host) % 4 + 1) * 500)
+                        AS BIGINT) AS fetch_at_ms
+            FROM r
+        """,
+        "bucketed_join": """
+            WITH l AS (SELECT c_custkey, c_custkey % 16 AS bucket
+                       FROM customer WHERE c_custkey IS NOT NULL),
+            r AS (SELECT user_id, user_id % 16 AS bucket
+                  FROM events WHERE user_id IS NOT NULL),
+            b AS (SELECT unnest(range(16)) AS bucket),
+            lc AS (SELECT bucket, count(*) AS n FROM l
+                   GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS n FROM r
+                   GROUP BY bucket),
+            jc AS (SELECT l.bucket, count(*) AS n
+                   FROM l JOIN r ON l.c_custkey = r.user_id
+                   GROUP BY l.bucket)
+            SELECT CAST(b.bucket AS BIGINT) AS bucket,
+                   CAST(COALESCE(lc.n, 0) AS BIGINT) AS n_left,
+                   CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_right,
+                   CAST(COALESCE(jc.n, 0) AS BIGINT) AS n_joined
+            FROM b LEFT JOIN lc USING (bucket)
+                   LEFT JOIN rc USING (bucket)
+                   LEFT JOIN jc USING (bucket)
         """,
     }

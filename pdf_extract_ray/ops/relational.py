@@ -3743,3 +3743,69 @@ def customer_feature_table(customer_ds, orders_ds, nation_ds, *,
 
     return _grouped_by_partition(both, ["ckey"], resolve,
                                  n_parts=num_partitions)
+
+
+def bucketed_join_counts(ds_left, ds_right, out_root, *,
+                         left_key: str, right_key: str,
+                         n_buckets: int = 16):
+    """Hive-style BUCKETED-storage join: both sides are written
+    partitioned by bucket = key % n_buckets (one parquet dir per
+    bucket), then joined BUCKET-LOCALLY — each bucket's inner join
+    runs in ONE task reading only its two bucket directories, with NO
+    shuffle at join time.  This is the co-partitioned layout a 100-TB
+    warehouse pays for once at write time and amortizes across every
+    downstream key join; the per-bucket counts prove the bucket-local
+    plan equals the global join.
+
+    -> (bucket, n_left, n_right, n_joined), one row per bucket."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    left_root = os.path.join(out_root, "left")
+    right_root = os.path.join(out_root, "right")
+
+    def write_bucketed(ds, key, root):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df[key].notna()].copy()
+            df["bucket"] = (df[key].astype(np.int64) % n_buckets) \
+                .astype(np.int64)
+            return df
+        ds.map_batches(tag, batch_format="pandas") \
+            .write_parquet(root, partition_cols=["bucket"])
+
+    write_bucketed(ds_left, left_key, left_root)
+    write_bucketed(ds_right, right_key, right_root)
+
+    def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        cols = {"bucket": "int64", "n_left": "int64",
+                "n_right": "int64", "n_joined": "int64"}
+        out = []
+        for b in batch["bucket"]:
+            b = int(b)
+
+            def read(root, col):
+                files = sorted(_glob.glob(os.path.join(
+                    root, f"bucket={b}", "*.parquet")))
+                if not files:
+                    return pd.Series([], dtype=np.int64)
+                t = pd.concat([pq.read_table(f, columns=[col])
+                               .to_pandas() for f in files])
+                return t[col].astype(np.int64)
+
+            lk = read(left_root, left_key)
+            rk = read(right_root, right_key)
+            joined = int(rk.map(lk.value_counts()).fillna(0).sum()) \
+                if len(lk) and len(rk) else 0
+            out.append({"bucket": b, "n_left": len(lk),
+                        "n_right": len(rk), "n_joined": joined})
+        return pd.DataFrame(out).astype(cols)
+
+    buckets = ray.data.from_pandas(
+        pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64)}))
+    return buckets.map_batches(join_bucket, batch_format="pandas",
+                               batch_size=1)

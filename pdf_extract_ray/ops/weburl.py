@@ -256,3 +256,37 @@ def parse_robots_txt(data: bytes, agent: str = "*"):
         elif key in ("allow", "crawl-delay", "sitemap"):
             rules_open = True  # closes the agent run, rules ignored
     return groups.get(agent.lower(), groups.get("*", []))
+
+
+def crawl_schedule(ds, *, url_col: str = "url",
+                   base_delay_ms: int = 500):
+    """Politeness-scheduled crawl plan: per-host FIFO slots (url asc —
+    deterministic without timestamps) with a host-derived crawl delay
+    (base_delay_ms * (1 + len(host) % 4), standing in for a
+    robots.txt Crawl-delay), so fetch_at_ms = slot * delay.  The
+    frontier-scheduling shape every crawler needs: ONE host-keyed
+    partition pass, no global sort.
+
+    -> (url, host, slot [0-based], fetch_at_ms); unparseable URLs
+    (no host) are absent."""
+    parsed = parse_urls(ds, url_col=url_col, keep=[url_col]) \
+        .map_batches(lambda df: df[df["host"].notna()]
+                     [[url_col, "host"]], batch_format="pandas")
+
+    def schedule(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"url": "object", "host": "object", "slot": "int64",
+                "fetch_at_ms": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        df = df.sort_values(["host", url_col]).reset_index(drop=True)
+        slot = df.groupby("host").cumcount().astype(np.int64)
+        delay = (df["host"].str.len().fillna(0).astype(np.int64)
+                 % 4 + 1) * base_delay_ms
+        return pd.DataFrame({
+            "url": df[url_col], "host": df["host"], "slot": slot,
+            "fetch_at_ms": (slot * delay).astype(np.int64)}) \
+            .astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(parsed, ["host"], schedule,
+                                 n_parts=16)

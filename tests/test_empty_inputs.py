@@ -182,6 +182,8 @@ QUERIES = [
     # round 5 wave E: embedding exact dedup, kNN label eval
     "embedding_exact_dedup", "knn_label_eval",
     "l1_line_fit",
+    # round 5 wave G: crawl schedule, bucketed-storage join
+    "crawl_schedule", "bucketed_join",
 ]
 
 
@@ -336,6 +338,8 @@ ONE_ROW_QUERIES = [
     # round 5 wave E: embedding exact dedup, kNN label eval
     "embedding_exact_dedup", "knn_label_eval",
     "l1_line_fit",
+    # round 5 wave G: crawl schedule, bucketed-storage join
+    "crawl_schedule", "bucketed_join",
 ]
 
 

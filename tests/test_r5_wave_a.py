@@ -551,3 +551,53 @@ class TestL1LineFit:
         out = l1_line_fit(_ds(df), "x", "y", slopes=(0,))
         assert out["intercept"].tolist() == [3]
         assert out["l1_loss"].tolist() == [2 + 0 + 2 + 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlSchedule:
+    def test_slots_and_delays(self):
+        from pdf_extract_ray.ops.weburl import crawl_schedule
+        urls = ["https://aa.com/1", "https://aa.com/0",
+                "https://bbb.com/x", "not a url"]
+        out = crawl_schedule(_ds(pd.DataFrame({"url": urls}))) \
+            .to_pandas().sort_values(["host", "slot"]) \
+            .reset_index(drop=True)
+        # unparseable url absent; aa.com FIFO by url asc
+        assert len(out) == 3
+        a = out[out.host == "aa.com"]
+        assert a["url"].tolist() == ["https://aa.com/0",
+                                     "https://aa.com/1"]
+        assert a["slot"].tolist() == [0, 1]
+        # delay = (len('aa.com') % 4 + 1) * 500 = (6%4+1)*500 = 1500
+        assert a["fetch_at_ms"].tolist() == [0, 1500]
+
+    def test_hosts_independent(self):
+        from pdf_extract_ray.ops.weburl import crawl_schedule
+        urls = [f"https://h{i}.com/p" for i in range(5)]
+        out = crawl_schedule(_ds(pd.DataFrame({"url": urls}))) \
+            .to_pandas()
+        assert (out["slot"] == 0).all()
+        assert (out["fetch_at_ms"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedJoin:
+    def test_bucket_local_equals_global(self, tmp_path):
+        from pdf_extract_ray.ops.relational import bucketed_join_counts
+        left = pd.DataFrame({"k": np.arange(40, dtype=np.int64)})
+        rng = np.random.RandomState(3)
+        right = pd.DataFrame(
+            {"k2": rng.randint(0, 60, 200).astype(np.int64)})
+        out = bucketed_join_counts(
+            _ds(left), _ds(right), str(tmp_path / "bj"),
+            left_key="k", right_key="k2", n_buckets=8).to_pandas()
+        assert len(out) == 8
+        assert out["n_left"].sum() == 40
+        assert out["n_right"].sum() == 200
+        want = int(pd.Series(right["k2"])
+                   .isin(set(left["k"])).sum())
+        assert out["n_joined"].sum() == want
+        # bucket locality: every row's keys share bucket residue
+        for _, r in out.iterrows():
+            assert r["n_left"] == ((left["k"] % 8)
+                                   == r["bucket"]).sum()
