@@ -12588,6 +12588,19 @@ def _q_bucketed_join(sf_dir: str):
         out_root, left_key="c_custkey", right_key="user_id")
 
 
+def _q_bloom_anti_audit(sf_dir: str):
+    """Bloom-prefiltered anti join (events.user_id NOT IN customer):
+    md5-deterministic 1024-bit/4-hash filter, exact re-check of bloom
+    positives, anti count = negatives + false positives — the oracle
+    rebuilds the identical filter in SQL
+    (ops/sketch.bloom_anti_audit)."""
+    from pdf_extract_ray.ops.sketch import bloom_anti_audit
+    return bloom_anti_audit(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "events", columns=["user_id"]),
+        dim_key="c_custkey", fact_key="user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -13031,6 +13044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l1_line_fit": _q_l1_line_fit,
         "crawl_schedule": _q_crawl_schedule,
         "bucketed_join": _q_bucketed_join,
+        "bloom_anti_audit": _q_bloom_anti_audit,
     }
 
 
@@ -20185,5 +20199,43 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN lc USING (bucket)
                    LEFT JOIN rc USING (bucket)
                    LEFT JOIN jc USING (bucket)
+        """,
+        "bloom_anti_audit": """
+            WITH mk AS (SELECT DISTINCT c_custkey AS u FROM customer
+                        WHERE c_custkey IS NOT NULL),
+            mpos AS (SELECT DISTINCT
+                         CAST(('0x' || substr(md5(CAST(u AS VARCHAR)),
+                               1 + 8 * i, 8)) AS BIGINT) % 1024 AS p
+                     FROM mk, LATERAL (SELECT unnest([0, 1, 2, 3])
+                                       AS i)),
+            f AS (SELECT user_id AS u FROM events
+                  WHERE user_id IS NOT NULL),
+            fpos AS (SELECT f.rowid AS rid, f.u,
+                         CAST(('0x' || substr(md5(CAST(f.u AS VARCHAR)),
+                               1 + 8 * i, 8)) AS BIGINT) % 1024 AS p
+                     FROM (SELECT row_number() OVER () AS rowid, u
+                           FROM f) f,
+                          LATERAL (SELECT unnest([0, 1, 2, 3]) AS i)),
+            cls AS (SELECT rid, min(u) AS u,
+                           count(*) FILTER (WHERE p IN
+                               (SELECT p FROM mpos)) = 4 AS pos
+                    FROM fpos GROUP BY rid),
+            agg AS (SELECT
+                count(*) AS n_probes,
+                count(*) FILTER (WHERE NOT pos) AS n_neg,
+                count(*) FILTER (WHERE pos) AS n_pos,
+                count(*) FILTER (WHERE pos AND u NOT IN
+                    (SELECT u FROM mk)) AS n_fp
+                FROM cls)
+            SELECT CAST((SELECT count(*) FROM mk) AS BIGINT)
+                       AS n_members,
+                   CAST((SELECT count(*) FROM mpos) AS BIGINT)
+                       AS n_bits_set,
+                   CAST(n_probes AS BIGINT) AS n_probes,
+                   CAST(n_neg AS BIGINT) AS n_bloom_negative,
+                   CAST(n_pos AS BIGINT) AS n_bloom_positive,
+                   CAST(n_fp AS BIGINT) AS n_false_pos,
+                   CAST(n_neg + n_fp AS BIGINT) AS anti_join_n
+            FROM agg
         """,
     }

@@ -677,3 +677,84 @@ def cms_oracle_table(ds, *, depth: int = 4, width: int = 512,
     top["overcount"] = top["est_cnt"] - top["true_cnt"]
     assert (top["overcount"] >= 0).all(), "CMS one-sided bound broken"
     return top.astype(out_cols)
+
+
+def _md5_bloom_positions(u: int, m_bits: int, k: int):
+    import hashlib
+    h = hashlib.md5(str(u).encode()).hexdigest()
+    return [int(h[8 * i:8 * i + 8], 16) % m_bits for i in range(k)]
+
+
+def bloom_anti_audit(dim_ds, fact_ds, *, dim_key: str, fact_key: str,
+                     m_bits: int = 1024, k: int = 4):
+    """Bloom-prefiltered ANTI join audit with the fully-deterministic
+    md5 sketch (the bloom_fpr_audit filter): dim keys populate the
+    m_bits/k filter; every fact row probes it.  Rows the filter
+    rejects are DEFINITELY not in the dim (the anti-join fast path —
+    no exchange, no exact lookup); rows it accepts take the exact
+    check, which exposes the false positives the anti join must still
+    filter.  anti_join_n == n_bloom_negative + n_false_pos ==
+    the true NOT-IN count, which the oracle computes directly.
+
+    -> one row (n_members, n_bits_set, n_probes, n_bloom_negative,
+    n_bloom_positive, n_false_pos, anti_join_n).
+
+    Scale shape: the filter is m_bits/8 bytes however many dim keys;
+    the exact re-check set is the DIM side (broadcast-bounded, the
+    dims-are-small convention); the fact side is ONE map-only pass
+    emitting per-batch partial counts."""
+    import pandas as pd
+    import ray
+
+    key_parts = []
+    for b in dim_ds.iter_batches(batch_format="pyarrow"):
+        arr = b.column(dim_key).combine_chunks()
+        v = np.asarray(arr.to_numpy(zero_copy_only=False))
+        v = v[~pd.isna(v)] if v.dtype == object else v
+        key_parts.append(v.astype(np.int64))
+    keys = np.unique(np.concatenate(key_parts)) if key_parts \
+        else np.empty(0, np.int64)
+    bits = np.zeros(m_bits, bool)
+    for u in keys.tolist():
+        for p in _md5_bloom_positions(u, m_bits, k):
+            bits[p] = True
+    bits_ref = ray.put(bits)
+    keys_ref = ray.put(keys)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_probes": "int64", "n_neg": "int64", "n_pos": "int64",
+                "n_fp": "int64"}
+        vals = df[fact_key].dropna().astype(np.int64).to_numpy()
+        if len(vals) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        bt = ray.get(bits_ref)
+        ks = ray.get(keys_ref)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        upos = np.array([all(bt[p] for p in
+                             _md5_bloom_positions(int(u), m_bits, k))
+                         for u in uniq], bool)
+        umem = np.isin(uniq, ks)
+        pos = upos[inv]
+        mem = umem[inv]
+        return pd.DataFrame({
+            "n_probes": [len(vals)],
+            "n_neg": [int((~pos).sum())],
+            "n_pos": [int(pos.sum())],
+            "n_fp": [int((pos & ~mem).sum())]})
+
+    parts = fact_ds.map_batches(probe, batch_format="pandas") \
+        .take_all()
+    out_cols = {"n_members": "int64", "n_bits_set": "int64",
+                "n_probes": "int64", "n_bloom_negative": "int64",
+                "n_bloom_positive": "int64", "n_false_pos": "int64",
+                "anti_join_n": "int64"}
+    n_probes = sum(int(r["n_probes"]) for r in parts)
+    n_neg = sum(int(r["n_neg"]) for r in parts)
+    n_pos = sum(int(r["n_pos"]) for r in parts)
+    n_fp = sum(int(r["n_fp"]) for r in parts)
+    return pd.DataFrame({
+        "n_members": [int(keys.size)],
+        "n_bits_set": [int(bits.sum())],
+        "n_probes": [n_probes], "n_bloom_negative": [n_neg],
+        "n_bloom_positive": [n_pos], "n_false_pos": [n_fp],
+        "anti_join_n": [n_neg + n_fp]}).astype(out_cols)

@@ -183,7 +183,7 @@ QUERIES = [
     "embedding_exact_dedup", "knn_label_eval",
     "l1_line_fit",
     # round 5 wave G: crawl schedule, bucketed-storage join
-    "crawl_schedule", "bucketed_join",
+    "crawl_schedule", "bucketed_join", "bloom_anti_audit",
 ]
 
 
@@ -339,7 +339,7 @@ ONE_ROW_QUERIES = [
     "embedding_exact_dedup", "knn_label_eval",
     "l1_line_fit",
     # round 5 wave G: crawl schedule, bucketed-storage join
-    "crawl_schedule", "bucketed_join",
+    "crawl_schedule", "bucketed_join", "bloom_anti_audit",
 ]
 
 

@@ -601,3 +601,34 @@ class TestBucketedJoin:
         for _, r in out.iterrows():
             assert r["n_left"] == ((left["k"] % 8)
                                    == r["bucket"]).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomAntiAudit:
+    def test_counts_reconcile(self):
+        from pdf_extract_ray.ops.sketch import bloom_anti_audit
+        dim = pd.DataFrame({"k": np.arange(50, dtype=np.int64)})
+        rng = np.random.RandomState(5)
+        fact = pd.DataFrame(
+            {"u": rng.randint(0, 200, 500).astype(np.int64)})
+        out = bloom_anti_audit(_ds(dim), _ds(fact),
+                               dim_key="k", fact_key="u")
+        r = out.iloc[0]
+        true_anti = int((~fact["u"].isin(set(range(50)))).sum())
+        assert r["anti_join_n"] == true_anti
+        assert r["n_bloom_negative"] + r["n_bloom_positive"] \
+            == r["n_probes"] == 500
+        # members always pass the filter (no false negatives)
+        members = int(fact["u"].isin(set(range(50))).sum())
+        assert r["n_bloom_positive"] - r["n_false_pos"] == members
+
+    def test_tiny_filter_forces_false_positives(self):
+        from pdf_extract_ray.ops.sketch import bloom_anti_audit
+        dim = pd.DataFrame({"k": np.arange(30, dtype=np.int64)})
+        fact = pd.DataFrame(
+            {"u": np.arange(30, 200, dtype=np.int64)})
+        out = bloom_anti_audit(_ds(dim), _ds(fact), dim_key="k",
+                               fact_key="u", m_bits=64, k=2)
+        r = out.iloc[0]
+        assert r["n_false_pos"] > 0  # saturated filter must FP
+        assert r["anti_join_n"] == 170  # exact anti count still right
