@@ -12588,6 +12588,39 @@ def _q_bucketed_join(sf_dir: str):
         out_root, left_key="c_custkey", right_key="user_id")
 
 
+def _q_dup_cluster_size_hist(sf_dir: str):
+    """Cluster-size distribution of the dup graph (the release-doc
+    dedup metric: how much mass sits in big boilerplate clusters) —
+    the dup_clusters CC chain + one component-keyed size pass + a tiny
+    size histogram -> (cluster_size, n_clusters)."""
+    import pandas as pd
+    from pdf_extract_ray.ops.dedup import _grouped_by_partition
+
+    comp = _q_dup_clusters(sf_dir)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"sz": "int64", "n_part": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        vc = df.groupby("component").size().value_counts()
+        return pd.DataFrame(
+            {"sz": vc.index.to_numpy(np.int64),
+             "n_part": vc.to_numpy(np.int64)}).astype(cols)
+
+    part = _grouped_by_partition(comp, ["component"], sizes,
+                                 n_parts=16)
+    from ray.data.aggregate import Sum
+    rows = part.groupby("sz").aggregate(Sum("n_part")).take_all()
+    out_cols = {"cluster_size": "int64", "n_clusters": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return pd.DataFrame(
+        {"cluster_size": [int(r["sz"]) for r in rows],
+         "n_clusters": [int(r["sum(n_part)"]) for r in rows]}) \
+        .sort_values("cluster_size").reset_index(drop=True) \
+        .astype(out_cols)
+
+
 def _q_bloom_anti_audit(sf_dir: str):
     """Bloom-prefiltered anti join (events.user_id NOT IN customer):
     md5-deterministic 1024-bit/4-hash filter, exact re-check of bloom
@@ -13045,6 +13078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "bucketed_join": _q_bucketed_join,
         "bloom_anti_audit": _q_bloom_anti_audit,
+        "dup_cluster_size_hist": _q_dup_cluster_size_hist,
     }
 
 
@@ -20237,5 +20271,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_fp AS BIGINT) AS n_false_pos,
                    CAST(n_neg + n_fp AS BIGINT) AS anti_join_n
             FROM agg
+        """,
+        "dup_cluster_size_hist": """
+            WITH RECURSIVE e AS (
+              SELECT a.doc_id ua, b.doc_id ub FROM documents a
+              JOIN documents b
+                ON a.source = b.source AND a.lang = b.lang
+               AND abs(a.n_chars - b.n_chars) <= 5
+               AND a.doc_id < b.doc_id),
+            sym AS (SELECT ua, ub FROM e UNION SELECT ub, ua FROM e),
+            reach(x, y) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.x, s.ub FROM reach r JOIN sym s ON r.y = s.ua),
+            comp AS (SELECT x AS doc_id, MIN(y) AS component
+                     FROM reach GROUP BY x),
+            sizes AS (SELECT component, count(*) AS sz FROM comp
+                      GROUP BY component)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY sz
         """,
     }

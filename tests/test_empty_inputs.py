@@ -184,6 +184,7 @@ QUERIES = [
     "l1_line_fit",
     # round 5 wave G: crawl schedule, bucketed-storage join
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
+    "dup_cluster_size_hist",
 ]
 
 
@@ -340,6 +341,7 @@ ONE_ROW_QUERIES = [
     "l1_line_fit",
     # round 5 wave G: crawl schedule, bucketed-storage join
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
+    "dup_cluster_size_hist",
 ]
 
 
