@@ -106,7 +106,9 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            # round 5 keyed ops (hash-partitioned pandas passes)
            "line_df_removal", "skipgram_counts", "kn_discount_counts",
            "c4prep", "mad_anomalies", "bias_model_biases",
-           "l_diversity_audit", "huber_mean_chars"]
+           "l_diversity_audit", "huber_mean_chars",
+           "crawl_schedule", "dup_cluster_size_hist", "l1_line_fit",
+           "embedding_exact_dedup"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
