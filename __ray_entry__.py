@@ -12634,6 +12634,26 @@ def _q_bloom_anti_audit(sf_dir: str):
         dim_key="c_custkey", fact_key="user_id")
 
 
+def _q_eta_squared_chars(sf_dir: str):
+    """ANOVA variance-explained eta^2 of n_chars across langs in the
+    exact floor-quantized integer decomposition (the anova_f_chars
+    companion) (ops/analytics.eta_squared)."""
+    from pdf_extract_ray.ops.analytics import eta_squared
+    return eta_squared(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]),
+        "lang", "n_chars")
+
+
+def _q_rank_biserial_chars(sf_dir: str):
+    """Rank-biserial effect size (src0 vs src1 doc lengths) from the
+    exact doubled Mann-Whitney U, truncating ppm
+    (ops/analytics.rank_biserial)."""
+    from pdf_extract_ray.ops.analytics import rank_biserial
+    return rank_biserial(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars", "src0", "src1")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -13079,6 +13099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": _q_bucketed_join,
         "bloom_anti_audit": _q_bloom_anti_audit,
         "dup_cluster_size_hist": _q_dup_cluster_size_hist,
+        "eta_squared_chars": _q_eta_squared_chars,
+        "rank_biserial_chars": _q_rank_biserial_chars,
     }
 
 
@@ -20291,5 +20313,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sz AS BIGINT) AS cluster_size,
                    CAST(count(*) AS BIGINT) AS n_clusters
             FROM sizes GROUP BY sz
+        """,
+        "eta_squared_chars": """
+            WITH g AS (SELECT COALESCE(lang, 'und') AS lang,
+                              CAST(COUNT(*) AS HUGEINT) AS n,
+                              CAST(SUM(COALESCE(n_chars, 0))
+                                   AS HUGEINT) AS s1,
+                              SUM(CAST(COALESCE(n_chars, 0) AS HUGEINT)
+                                  * COALESCE(n_chars, 0)) AS s2
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS nn, SUM(s1) AS t1, SUM(s2) AS t2,
+                         CAST(COUNT(*) AS HUGEINT) AS k,
+                         SUM((s1 * s1 * 1000000) // n) AS sb
+                  FROM g)
+            SELECT CAST(nn AS BIGINT) AS n_rows,
+                   CAST(k AS BIGINT) AS n_groups,
+                   CAST(sb - (t1 * t1 * 1000000) // nn AS BIGINT)
+                       AS ssb_micro,
+                   CAST(t2 * 1000000 - (t1 * t1 * 1000000) // nn
+                        AS BIGINT) AS sst_micro,
+                   CAST(CASE WHEN t2 * 1000000
+                                  - (t1*t1*1000000)//nn > 0
+                                  AND sb - (t1*t1*1000000)//nn > 0
+                        THEN ((sb - (t1*t1*1000000)//nn) * 1000000)
+                             // (t2*1000000 - (t1*t1*1000000)//nn)
+                        ELSE 0 END AS BIGINT) AS eta2_ppm
+            FROM t
+        """,
+        "rank_biserial_chars": """
+            WITH t AS (SELECT source, n_chars AS v FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            r AS (SELECT source,
+                         2 * rank() OVER (ORDER BY v)
+                         + count(*) OVER (PARTITION BY v) - 1 AS dr
+                  FROM t),
+            agg AS (SELECT
+                CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN source = 'src0' THEN dr ELSE 0 END)
+                     AS BIGINT) AS two_r_a
+                FROM r),
+            u AS (SELECT n_a, n_b,
+                         CAST(two_r_a - n_a * (n_a + 1) AS BIGINT)
+                             AS two_u_a
+                  FROM agg)
+            SELECT n_a, n_b, two_u_a,
+                   CAST((n_a * n_b * 1000000 - two_u_a * 1000000)
+                        // (n_a * n_b) AS BIGINT)
+                       AS rank_biserial_ppm
+            FROM u WHERE n_a > 0 AND n_b > 0
         """,
     }

@@ -3087,3 +3087,78 @@ def l1_line_fit(ds, x_col: str, y_col: str, *, slopes=tuple(range(11))):
                          "intercept": [int(best["b0"])],
                          "l1_loss": [int(best["l1"])]}) \
         .astype(out_cols)
+
+
+def eta_squared(ds, group_col: str, value_col: str,
+                null_value: str = "und"):
+    """ANOVA variance-explained (eta^2 = SSB/SST) in the EXACT
+    floor-quantized integer decomposition grouped_anova_f pins:
+    B_g = (s1_g^2 * 1e6) // n_g, SSB_micro = sum(B_g) -
+    (S1^2 * 1e6) // N, SST_micro = S2*1e6 - (S1^2*1e6)//N,
+    eta2_ppm = SSB_micro * 1e6 // SST_micro (non-negative operands
+    only, so Python floor == DuckDB trunc).  -> one row
+    (n_rows, n_groups, ssb_micro, sst_micro, eta2_ppm).
+
+    Scale shape: identical to grouped_anova_f — per-batch integer
+    partials, ONE bounded groupby, single-row driver finish."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column(group_col), pa.string()),
+                         null_value)
+        v = pc.fill_null(pc.cast(b.column(value_col), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g.to_pandas(), "n": 1, "s1": v,
+                           "s2": v * v})
+        a = df.groupby("g", sort=False, as_index=False).sum()
+        return pa.table({"g": pa.array(a["g"], pa.string()),
+                         "n": pa.array(a["n"].to_numpy(np.int64)),
+                         "s1": pa.array(a["s1"].to_numpy(np.int64)),
+                         "s2": pa.array(a["s2"].to_numpy(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("n"), Sum("s1"), Sum("s2")) \
+        .take_all()
+    out_cols = {"n_rows": "int64", "n_groups": "int64",
+                "ssb_micro": "int64", "sst_micro": "int64",
+                "eta2_ppm": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    nn = sum(int(r["sum(n)"]) for r in rows)
+    t1 = sum(int(r["sum(s1)"]) for r in rows)
+    t2 = sum(int(r["sum(s2)"]) for r in rows)
+    sb = sum((int(r["sum(s1)"]) ** 2 * 1_000_000)
+             // int(r["sum(n)"]) for r in rows)
+    ssb = sb - (t1 * t1 * 1_000_000) // nn
+    sst = t2 * 1_000_000 - (t1 * t1 * 1_000_000) // nn
+    eta = ssb * 1_000_000 // sst if (sst > 0 and ssb > 0) else 0
+    return pd.DataFrame({"n_rows": [nn], "n_groups": [len(rows)],
+                         "ssb_micro": [ssb], "sst_micro": [sst],
+                         "eta2_ppm": [eta]}).astype(out_cols)
+
+
+def rank_biserial(ds, group_col: str, value_col: str,
+                  group_a: str, group_b: str):
+    """Rank-biserial effect size for the Mann-Whitney comparison:
+    r = 1 - 2U_A/(n_A n_B), computed from mannwhitney_u's EXACT
+    doubled-U integer (2U_A = two_u_a, so r = 1 - two_u_a/(n_A n_B)).
+    -> one row (n_a, n_b, two_u_a, rank_biserial_ppm) with the ppm a
+    truncating signed division (DuckDB `//` parity).  Same histogram
+    exchange as mannwhitney_u; zero extra passes."""
+    import pandas as pd
+    mw = mannwhitney_u(ds, group_col, value_col, group_a, group_b)
+    df = mw.to_pandas() if not isinstance(mw, pd.DataFrame) else mw
+    out_cols = {"n_a": "int64", "n_b": "int64", "two_u_a": "int64",
+                "rank_biserial_ppm": "int64"}
+    if len(df) == 0 or int(df["n_a"].iloc[0]) == 0 \
+            or int(df["n_b"].iloc[0]) == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    n_a = int(df["n_a"].iloc[0])
+    n_b = int(df["n_b"].iloc[0])
+    two_u = int(df["two_u_a"].iloc[0])
+    num = n_a * n_b * 1_000_000 - two_u * 1_000_000
+    den = n_a * n_b
+    ppm = (abs(num) // den) * (1 if num >= 0 else -1)
+    return pd.DataFrame({"n_a": [n_a], "n_b": [n_b],
+                         "two_u_a": [two_u],
+                         "rank_biserial_ppm": [ppm]}).astype(out_cols)

@@ -184,7 +184,8 @@ QUERIES = [
     "l1_line_fit",
     # round 5 wave G: crawl schedule, bucketed-storage join
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
-    "dup_cluster_size_hist",
+    "dup_cluster_size_hist", "eta_squared_chars",
+    "rank_biserial_chars",
 ]
 
 
@@ -341,7 +342,8 @@ ONE_ROW_QUERIES = [
     "l1_line_fit",
     # round 5 wave G: crawl schedule, bucketed-storage join
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
-    "dup_cluster_size_hist",
+    "dup_cluster_size_hist", "eta_squared_chars",
+    "rank_biserial_chars",
 ]
 
 

@@ -632,3 +632,41 @@ class TestBloomAntiAudit:
         r = out.iloc[0]
         assert r["n_false_pos"] > 0  # saturated filter must FP
         assert r["anti_join_n"] == 170  # exact anti count still right
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEtaSquaredAndRankBiserial:
+    def test_eta_zero_when_groups_identical(self):
+        from pdf_extract_ray.ops.analytics import eta_squared
+        df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "v": [5, 7, 5, 7]})
+        out = eta_squared(_ds(df), "g", "v")
+        assert out["eta2_ppm"].tolist() == [0]
+
+    def test_eta_one_when_groups_separated(self):
+        from pdf_extract_ray.ops.analytics import eta_squared
+        df = pd.DataFrame({"g": ["a"] * 3 + ["b"] * 3,
+                           "v": [10, 10, 10, 90, 90, 90]})
+        out = eta_squared(_ds(df), "g", "v")
+        # all variance between groups -> eta2 ~ 1 (floor-quantized)
+        assert out["eta2_ppm"].iloc[0] >= 999_000
+
+    def test_rank_biserial_extremes(self):
+        from pdf_extract_ray.ops.analytics import rank_biserial
+        # all of A below all of B -> U_A = 0 -> r = 1
+        df = pd.DataFrame({"g": ["A"] * 3 + ["B"] * 3,
+                           "v": [1, 2, 3, 10, 11, 12]})
+        out = rank_biserial(_ds(df), "g", "v", "A", "B")
+        assert out["rank_biserial_ppm"].tolist() == [1_000_000]
+        # reversed -> r = -1
+        out2 = rank_biserial(_ds(df), "g", "v", "B", "A")
+        assert out2["rank_biserial_ppm"].tolist() == [-1_000_000]
+
+    def test_rank_biserial_balanced(self):
+        from pdf_extract_ray.ops.analytics import rank_biserial
+        df = pd.DataFrame({"g": ["A", "B", "A", "B"],
+                           "v": [1, 2, 4, 3]})
+        # U_A: a=1 beats none... pairs (A>B): (4>2),(4>3) = 2 of 4
+        # -> r = 1 - 2*2/4 = 0
+        out = rank_biserial(_ds(df), "g", "v", "A", "B")
+        assert out["rank_biserial_ppm"].tolist() == [0]
