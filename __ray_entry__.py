@@ -12654,6 +12654,20 @@ def _q_rank_biserial_chars(sf_dir: str):
         "source", "n_chars", "src0", "src1")
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the dup graph (banded pairs):
+    Pearson r over (deg(src), deg(dst)) of the directed orientation
+    set — degrees attached via two tagged-union keyed passes, no
+    degree-table broadcast (ops/graph.degree_assortativity)."""
+    from pdf_extract_ray.ops.graph import (degree_assortativity,
+                                           interval_self_join)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "lang", "n_chars"])
+    edges = interval_self_join(docs, ["source", "lang"], "n_chars",
+                               "doc_id", tol=5)
+    return degree_assortativity(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -13101,6 +13115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_hist": _q_dup_cluster_size_hist,
         "eta_squared_chars": _q_eta_squared_chars,
         "rank_biserial_chars": _q_rank_biserial_chars,
+        "degree_assortativity": _q_degree_assortativity,
     }
 
 
@@ -20364,5 +20379,31 @@ def oracle_sql() -> dict[str, str]:
                         // (n_a * n_b) AS BIGINT)
                        AS rank_biserial_ppm
             FROM u WHERE n_a > 0 AND n_b > 0
+        """,
+        "degree_assortativity": """
+            WITH e AS (
+              SELECT a.doc_id ua, b.doc_id ub FROM documents a
+              JOIN documents b
+                ON a.source = b.source AND a.lang = b.lang
+               AND abs(a.n_chars - b.n_chars) <= 5
+               AND a.doc_id < b.doc_id),
+            sym AS (SELECT ua, ub FROM e UNION ALL
+                    SELECT ub, ua FROM e),
+            deg AS (SELECT ua AS x, CAST(count(*) AS HUGEINT) AS d
+                    FROM sym GROUP BY ua),
+            m AS (SELECT da.d AS dx, db.d AS dy
+                  FROM sym s JOIN deg da ON s.ua = da.x
+                             JOIN deg db ON s.ub = db.x),
+            t AS (SELECT CAST(count(*) AS HUGEINT) n,
+                         sum(dx) sx, sum(dy) sy, sum(dx * dx) sxx,
+                         sum(dy * dy) syy, sum(dx * dy) sxy
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_directed,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+            FROM t
+            WHERE n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
         """,
     }

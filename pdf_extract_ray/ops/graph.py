@@ -1451,3 +1451,125 @@ def hits(edges_ds, src: str = "src", dst: str = "dst", *,
         "node": pa.array(nodes, pa.int64()),
         "hub": pa.array(h, pa.float64()),
         "authority": pa.array(a, pa.float64())}))
+
+
+def degree_assortativity(edges_ds, a_col: str = "id_a",
+                         b_col: str = "id_b", *, n_parts: int = 16):
+    """Degree assortativity coefficient: the Pearson correlation of
+    (deg(src), deg(dst)) over the DIRECTED orientation set (each
+    undirected edge counted both ways — the standard Newman r).
+    EXACT integer moments end to end; the single float formula mirrors
+    the oracle's expression tree.  -> one row (n_directed, r).
+
+    Scale shape: degrees = one node-keyed pass over exploded
+    endpoints; degree ATTACHMENT avoids any broadcast of the (node ->
+    degree) table via TWO tagged-union keyed passes (the
+    revenue_by_nation pattern): edges keyed by src pick up deg(src)
+    inside the partition, re-key by dst, pick up deg(dst), emit
+    integer moment partials.  No joins, no driver-side node table."""
+    import math
+
+    from .dedup import _grouped_by_partition
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "dst": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        a = df[a_col].astype(np.int64).to_numpy()
+        b = df[b_col].astype(np.int64).to_numpy()
+        return pd.DataFrame({"src": np.r_[a, b],
+                             "dst": np.r_[b, a]}).astype(cols)
+
+    directed = edges_ds.map_batches(orient, batch_format="pandas") \
+        .materialize()
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["deg"] = np.int64(-1)  # -1 marks an edge row
+        return df[["src", "dst", "deg"]]
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "dst": "int64", "deg": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("src", as_index=False).size()
+        # degree row: dst = -1 sentinel, deg = out-degree(src) partial
+        return pd.DataFrame({"src": g["src"].astype(np.int64),
+                             "dst": np.int64(-1),
+                             "deg": g["size"].astype(np.int64)}) \
+            .astype(cols)
+
+    tagged1 = directed.map_batches(tag_edges, batch_format="pandas") \
+        .union(directed.map_batches(deg_partial,
+                                    batch_format="pandas"))
+
+    def attach_src(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "dst": "int64", "deg_src": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        degs = df[df["dst"] == -1].groupby("src")["deg"].sum()
+        e = df[df["dst"] != -1]
+        return pd.DataFrame({
+            "src": e["src"].astype(np.int64),
+            "dst": e["dst"].astype(np.int64),
+            "deg_src": e["src"].map(degs).fillna(0)
+            .astype(np.int64)}).astype(cols)
+
+    with_src = _grouped_by_partition(tagged1, ["src"], attach_src,
+                                     n_parts=n_parts).materialize()
+
+    def tag_edges2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst": df["dst"].astype(np.int64),
+                             "deg_src": df["deg_src"]
+                             .astype(np.int64),
+                             "deg": np.int64(-1)})
+
+    def deg_partial2(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"dst": "int64", "deg_src": "int64", "deg": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        g = df.groupby("src", as_index=False).size()
+        return pd.DataFrame({"dst": g["src"].astype(np.int64),
+                             "deg_src": np.int64(-1),
+                             "deg": g["size"].astype(np.int64)}) \
+            .astype(cols)
+
+    tagged2 = with_src.map_batches(tag_edges2, batch_format="pandas") \
+        .union(directed.map_batches(deg_partial2,
+                                    batch_format="pandas"))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": "int64", "sx": "int64", "sy": "int64",
+                "sxx": "int64", "syy": "int64", "sxy": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        degs = df[df["deg"] != -1].groupby("dst")["deg"].sum()
+        e = df[df["deg"] == -1]
+        if len(e) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        x = e["deg_src"].astype(np.int64).to_numpy()
+        y = e["dst"].map(degs).fillna(0).astype(np.int64).to_numpy()
+        return pd.DataFrame({
+            "n": [len(e)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "syy": [int((y * y).sum())],
+            "sxy": [int((x * y).sum())]})
+
+    rows = _grouped_by_partition(tagged2, ["dst"], moments,
+                                 n_parts=n_parts).take_all()
+    out_cols = {"n_directed": "int64", "r": "float64"}
+    n = sum(int(r["n"]) for r in rows)
+    if n < 2:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    sx = sum(int(r["sx"]) for r in rows)
+    sy = sum(int(r["sy"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    syy = sum(int(r["syy"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    r = float(n * sxy - sx * sy) \
+        / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    return pd.DataFrame({"n_directed": [n], "r": [r]}) \
+        .astype(out_cols)

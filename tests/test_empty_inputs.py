@@ -185,7 +185,7 @@ QUERIES = [
     # round 5 wave G: crawl schedule, bucketed-storage join
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
     "dup_cluster_size_hist", "eta_squared_chars",
-    "rank_biserial_chars",
+    "rank_biserial_chars", "degree_assortativity",
 ]
 
 
@@ -343,7 +343,7 @@ ONE_ROW_QUERIES = [
     # round 5 wave G: crawl schedule, bucketed-storage join
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
     "dup_cluster_size_hist", "eta_squared_chars",
-    "rank_biserial_chars",
+    "rank_biserial_chars", "degree_assortativity",
 ]
 
 

@@ -670,3 +670,32 @@ class TestEtaSquaredAndRankBiserial:
         # -> r = 1 - 2*2/4 = 0
         out = rank_biserial(_ds(df), "g", "v", "A", "B")
         assert out["rank_biserial_ppm"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDegreeAssortativity:
+    def test_matches_numpy_newman_r(self):
+        from pdf_extract_ray.ops.graph import degree_assortativity
+        rng = np.random.RandomState(8)
+        edges = pd.DataFrame({
+            "id_a": rng.randint(0, 30, 60).astype(np.int64),
+            "id_b": rng.randint(30, 60, 60).astype(np.int64)})
+        out = degree_assortativity(_ds(edges))
+        # independent numpy computation over the directed orientation
+        a = edges["id_a"].to_numpy()
+        b = edges["id_b"].to_numpy()
+        src = np.r_[a, b]
+        dst = np.r_[b, a]
+        deg = pd.Series(src).value_counts()
+        x = pd.Series(src).map(deg).to_numpy(float)
+        y = pd.Series(dst).map(deg).to_numpy(float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert out["r"].iloc[0] == pytest.approx(want, rel=1e-9)
+        assert out["n_directed"].iloc[0] == 120
+
+    def test_star_graph_is_disassortative(self):
+        from pdf_extract_ray.ops.graph import degree_assortativity
+        edges = pd.DataFrame({"id_a": [0, 0, 0, 0],
+                              "id_b": [1, 2, 3, 4]})
+        out = degree_assortativity(_ds(edges))
+        assert out["r"].iloc[0] == pytest.approx(-1.0)
