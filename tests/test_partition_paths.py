@@ -108,7 +108,8 @@ QUERIES = ["revenue_by_nation", "customer_order_coverage", "chunk_dedup",
            "c4prep", "mad_anomalies", "bias_model_biases",
            "l_diversity_audit", "huber_mean_chars",
            "crawl_schedule", "dup_cluster_size_hist", "l1_line_fit",
-           "embedding_exact_dedup"]
+           "embedding_exact_dedup", "degree_assortativity",
+           "rank_biserial_chars"]
 # pack_sequences is deliberately absent: packing is layout-dependent by
 # nature, so the op pins ONE explicit hash-partition path instead of the
 # adaptive helper (see ops/corpus.pack_sequences docstring).
