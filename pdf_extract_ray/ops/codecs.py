@@ -64,6 +64,49 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed PNG structure: {e!r}") from e
 
 
+# Adam7 interlace pass origins/strides (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_defilter(raw: bytes, pos: int, height: int, stride: int,
+                  ch: int):
+    """Defilter one (sub-)image of `height` scanlines of `stride`
+    bytes starting at `pos` -> (uint8 (height, stride) array, new
+    pos).  Each Adam7 pass filters independently (fresh zero prev
+    row), so the same kernel serves both layouts."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i])
+                           + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                ul = int(prev[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i])
+                           + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out, pos
+
+
 def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
@@ -81,8 +124,8 @@ def _decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported bit depth {bit_depth}")
             if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported color type {color_type}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
@@ -91,8 +134,18 @@ def _decode_png(data: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
-    need = height * (stride + 1)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = _ADAM7
+    dims = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        wp = (width - x0 + dx - 1) // dx if width > x0 else 0
+        hp = (height - y0 + dy - 1) // dy if height > y0 else 0
+        dims.append((wp, hp))
+        if wp > 0 and hp > 0:
+            need += hp * (wp * ch + 1)
     if need > (1 << 28):
         raise ValueError("implausible PNG dimensions")
     # decompress AT MOST what the raster needs: a crafted deflate bomb
@@ -101,36 +154,14 @@ def _decode_png(data: bytes) -> np.ndarray:
     raw = d.decompress(bytes(idat), need)
     if len(raw) < need:
         raise ValueError("truncated PNG data")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    out3 = np.zeros((height, width, ch), dtype=np.uint8)
     pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8,
-                             count=stride, offset=pos + 1).copy()
-        pos += stride + 1
-        if ftype == 0:
-            pass
-        elif ftype == 2:  # Up
-            line += prev
-        elif ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = int(line[i - ch]) if i >= ch else 0
-                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = int(line[i - ch]) if i >= ch else 0
-                ul = int(prev[i - ch]) if i >= ch else 0
-                line[i] = (int(line[i])
-                           + _paeth(left, int(prev[i]), ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {ftype}")
-        out[y] = line
-        prev = out[y]
-    return out.reshape(height, width, ch)
+    for (x0, y0, dx, dy), (wp, hp) in zip(passes, dims):
+        if wp <= 0 or hp <= 0:
+            continue
+        sub, pos = _png_defilter(raw, pos, hp, wp * ch, ch)
+        out3[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+    return out3
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -209,18 +240,29 @@ def wave_open(data: bytes):
 # -- encoders (fixture-side: deterministic test payload construction) -------
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """uint8 (h, w, c) -> PNG bytes (filter 0 scanlines)."""
+def encode_png(img: np.ndarray, *, interlace: bool = False) -> bytes:
+    """uint8 (h, w, c) -> PNG bytes (filter 0 scanlines; optional
+    Adam7 interlaced layout for decoder-coverage fixtures)."""
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            for y in range(sub.shape[0]):
+                if sub.shape[1]:
+                    parts.append(b"\x00" + sub[y].tobytes())
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
         return struct.pack(">I", len(payload)) + ctype + payload \
             + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

@@ -643,3 +643,39 @@ class TestMp4FrameSampling:
         out = sample_frames(ray.data.from_arrow(t), every_n=1).to_pandas()
         assert len(out) >= 1
         assert (out.status == "fake").all()
+
+
+class TestInterlacedPng:
+    """Adam7 interlaced PNG decode (round 5): each pass defilters
+    independently and scatters into the raster — pixel-identical to
+    the sequential layout by construction."""
+
+    @pytest.mark.parametrize("shape", [
+        (16, 16, 3), (13, 21, 3), (8, 8, 1), (1, 1, 3), (7, 3, 4),
+        (9, 17, 2), (2, 2, 3)])
+    def test_roundtrip_identical_to_sequential(self, shape):
+        from pdf_extract_ray.ops.codecs import decode_png, encode_png
+        rng = np.random.RandomState(sum(shape))
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        data = encode_png(img, interlace=True)
+        # really interlaced: IHDR interlace byte set
+        ihdr_off = data.find(b"IHDR") + 4
+        assert data[ihdr_off + 12] == 1
+        assert np.array_equal(decode_png(data), img)
+
+    def test_fuzz_total_interlaced(self):
+        from pdf_extract_ray.ops.codecs import decode_png, encode_png
+        img = np.arange(24 * 16 * 3, dtype=np.int64).reshape(24, 16, 3)
+        base = encode_png((img % 256).astype(np.uint8), interlace=True)
+        rng = np.random.RandomState(13)
+        for _ in range(200):
+            buf = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                buf[rng.randint(len(buf))] = rng.randint(256)
+            t = bytes(buf)[:rng.randint(2, len(buf))] \
+                if rng.rand() < 0.3 else bytes(buf)
+            try:
+                out = decode_png(t)
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass

@@ -54,6 +54,7 @@ def main() -> int:
         ("pjpeg_gray", encode_jpeg_progressive(gray, successive=True),
          decode_jpeg),
         ("png", encode_png(img), decode_png),
+        ("png_adam7", encode_png(img, interlace=True), decode_png),
         ("bmp", encode_bmp(img), decode_bmp),
         ("wav", encode_wav(samples, 16000), decode_wav),
         ("avi", encode_avi_mjpeg([img, img]), parse_avi_mjpeg),
