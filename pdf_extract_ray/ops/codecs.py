@@ -25,7 +25,9 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> defilter channels; type 3 (palette) defilters as one
+# index byte per pixel, then maps through PLTE (+optional tRNS alpha)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_media(payload: bytes) -> str:
@@ -114,9 +116,17 @@ def _decode_png(data: bytes) -> np.ndarray:
     width = height = None
     bit_depth = color_type = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + length]
+        if ctype == b"PLTE":
+            if len(chunk) % 3 or not chunk:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, np.uint8)
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", chunk)
@@ -161,6 +171,19 @@ def _decode_png(data: bytes) -> np.ndarray:
             continue
         sub, pos = _png_defilter(raw, pos, hp, wp * ch, ch)
         out3[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = out3[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(idx.shape, 255, np.uint8)
+        has = idx < len(trns)
+        alpha[has] = trns[idx[has]]
+        return np.concatenate([rgb, alpha[:, :, None]], axis=2)
     return out3
 
 
@@ -266,6 +289,39 @@ def encode_png(img: np.ndarray, *, interlace: bool = False) -> bytes:
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray, *,
+                       trns: bytes | None = None,
+                       interlace: bool = False) -> bytes:
+    """uint8 (h, w) palette indices + (n, 3) palette -> indexed
+    (color type 3) PNG bytes, optional tRNS alpha table and Adam7."""
+    h, w = indices.shape
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = indices[y0::dy, x0::dx]
+            for y in range(sub.shape[0]):
+                if sub.shape[1]:
+                    parts.append(b"\x00" + sub[y].tobytes())
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + indices[y].tobytes()
+                       for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0,
+                       1 if interlace else 0)
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr) \
+        + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) \
+        + chunk(b"IEND", b"")
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

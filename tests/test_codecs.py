@@ -679,3 +679,45 @@ class TestInterlacedPng:
                 assert out.dtype == np.uint8
             except ValueError:
                 pass
+
+
+class TestPalettePng:
+    """Indexed (color type 3) PNG with PLTE + optional tRNS (round 5):
+    defilter as index bytes, map through the palette; works sequential
+    AND Adam7."""
+
+    def test_roundtrip_and_trns(self):
+        from pdf_extract_ray.ops.codecs import (decode_png,
+                                                encode_png_palette)
+        rng = np.random.RandomState(2)
+        pal = rng.randint(0, 256, (17, 3)).astype(np.uint8)
+        idx = rng.randint(0, 17, (10, 14)).astype(np.uint8)
+        for inter in (False, True):
+            out = decode_png(encode_png_palette(idx, pal,
+                                                interlace=inter))
+            assert np.array_equal(out, pal[idx])
+        out = decode_png(encode_png_palette(idx, pal,
+                                            trns=bytes([200] * 5)))
+        assert out.shape == (10, 14, 4)
+        assert np.array_equal(
+            out[:, :, 3],
+            np.where(idx < 5, 200, 255).astype(np.uint8))
+
+    def test_out_of_range_index_rejected(self):
+        from pdf_extract_ray.ops.codecs import (decode_png,
+                                                encode_png_palette)
+        pal = np.zeros((4, 3), np.uint8)
+        idx = np.full((4, 4), 9, np.uint8)  # index 9 > palette size
+        with pytest.raises(ValueError):
+            decode_png(encode_png_palette(idx, pal))
+
+    def test_missing_plte_rejected(self):
+        from pdf_extract_ray.ops.codecs import (decode_png,
+                                                encode_png_palette)
+        pal = np.zeros((4, 3), np.uint8)
+        idx = np.zeros((4, 4), np.uint8)
+        data = bytearray(encode_png_palette(idx, pal))
+        p = bytes(data).find(b"PLTE")
+        data[p:p + 4] = b"pLTX"  # hide the palette chunk
+        with pytest.raises(ValueError):
+            decode_png(bytes(data))

@@ -25,8 +25,8 @@ from pdf_extract_ray.ops.codecs import (build_mp4, decode_bmp,
                                         decode_wav, encode_avi_mjpeg,
                                         encode_bmp, encode_jpeg,
                                         encode_jpeg_progressive,
-                                        encode_png, encode_wav,
-                                        parse_avi_mjpeg,
+                                        encode_png, encode_png_palette,
+                                        encode_wav, parse_avi_mjpeg,
                                         parse_mp4_samples)
 
 
@@ -55,6 +55,10 @@ def main() -> int:
          decode_jpeg),
         ("png", encode_png(img), decode_png),
         ("png_adam7", encode_png(img, interlace=True), decode_png),
+        ("png_pal", encode_png_palette(
+            (img[:, :, 0] % 16), nprng.randint(
+                0, 256, (16, 3)).astype(np.uint8),
+            trns=bytes(range(8))), decode_png),
         ("bmp", encode_bmp(img), decode_bmp),
         ("wav", encode_wav(samples, 16000), decode_wav),
         ("avi", encode_avi_mjpeg([img, img]), parse_avi_mjpeg),
