@@ -72,11 +72,13 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _png_defilter(raw: bytes, pos: int, height: int, stride: int,
-                  ch: int):
+                  bpp: int):
     """Defilter one (sub-)image of `height` scanlines of `stride`
     bytes starting at `pos` -> (uint8 (height, stride) array, new
-    pos).  Each Adam7 pass filters independently (fresh zero prev
-    row), so the same kernel serves both layouts."""
+    pos).  `bpp` = BYTES per pixel (channels x sample bytes) — the
+    left-neighbour distance the Sub/Average/Paeth filters use.  Each
+    Adam7 pass filters independently (fresh zero prev row), so the
+    same kernel serves both layouts."""
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -89,17 +91,17 @@ def _png_defilter(raw: bytes, pos: int, height: int, stride: int,
         elif ftype == 2:  # Up
             line += prev
         elif ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = int(line[i - ch]) if i >= ch else 0
+                left = int(line[i - bpp]) if i >= bpp else 0
                 line[i] = (int(line[i])
                            + ((left + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = int(line[i - ch]) if i >= ch else 0
-                ul = int(prev[i - ch]) if i >= ch else 0
+                left = int(line[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
                 line[i] = (int(line[i])
                            + _paeth(left, int(prev[i]), ul)) & 0xFF
         else:
@@ -130,7 +132,8 @@ def _decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", chunk)
-            if bit_depth != 8:
+            if bit_depth not in (8, 16) or \
+                    (bit_depth == 16 and color_type == 3):
                 raise ValueError(f"unsupported bit depth {bit_depth}")
             if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported color type {color_type}")
@@ -144,6 +147,8 @@ def _decode_png(data: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     ch = _PNG_CHANNELS[color_type]
+    sb = bit_depth // 8  # sample bytes (1 or 2)
+    bpp = ch * sb
     if interlace == 0:
         passes = [(0, 0, 1, 1)]
     else:
@@ -155,7 +160,7 @@ def _decode_png(data: bytes) -> np.ndarray:
         hp = (height - y0 + dy - 1) // dy if height > y0 else 0
         dims.append((wp, hp))
         if wp > 0 and hp > 0:
-            need += hp * (wp * ch + 1)
+            need += hp * (wp * bpp + 1)
     if need > (1 << 28):
         raise ValueError("implausible PNG dimensions")
     # decompress AT MOST what the raster needs: a crafted deflate bomb
@@ -169,7 +174,11 @@ def _decode_png(data: bytes) -> np.ndarray:
     for (x0, y0, dx, dy), (wp, hp) in zip(passes, dims):
         if wp <= 0 or hp <= 0:
             continue
-        sub, pos = _png_defilter(raw, pos, hp, wp * ch, ch)
+        sub, pos = _png_defilter(raw, pos, hp, wp * bpp, bpp)
+        if sb == 2:
+            # 16-bit samples: keep the high byte (the standard 8-bit
+            # downconversion — big-endian sample order)
+            sub = sub.reshape(hp, wp, ch, 2)[:, :, :, 0]
         out3[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
     if color_type == 3:
         if plte is None:

@@ -721,3 +721,62 @@ class TestPalettePng:
         data[p:p + 4] = b"pLTX"  # hide the palette chunk
         with pytest.raises(ValueError):
             decode_png(bytes(data))
+
+
+class TestPng16Bit:
+    """16-bit-per-sample PNG decode (round 5): defilter at 2-byte
+    pixel stride, high-byte downconversion to uint8."""
+
+    @staticmethod
+    def _build(img16, interlace=0):
+        import struct, zlib
+        from pdf_extract_ray.ops.codecs import PNG_MAGIC, _ADAM7
+
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", crc))
+
+        h, w, c = img16.shape
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        if interlace:
+            parts = []
+            for x0, y0, dx, dy in _ADAM7:
+                sub = img16[y0::dy, x0::dx]
+                for y in range(sub.shape[0]):
+                    if sub.shape[1]:
+                        parts.append(b"\x00" + sub[y].tobytes())
+            raw = b"".join(parts)
+        else:
+            raw = b"".join(b"\x00" + img16[y].tobytes()
+                           for y in range(h))
+        return (PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, ct,
+                                             0, 0, interlace))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    @pytest.mark.parametrize("shape,inter", [
+        ((9, 7, 3), 0), ((8, 8, 1), 0), ((13, 5, 4), 0),
+        ((9, 7, 3), 1), ((6, 11, 2), 1)])
+    def test_high_byte_downconversion(self, shape, inter):
+        from pdf_extract_ray.ops.codecs import decode_png
+        rng = np.random.RandomState(sum(shape))
+        img16 = rng.randint(0, 65536, shape).astype(">u2")
+        out = decode_png(self._build(img16, interlace=inter))
+        want = (img16.astype(np.uint16) >> 8).astype(np.uint8)
+        assert np.array_equal(out, want)
+
+    def test_16bit_palette_rejected(self):
+        from pdf_extract_ray.ops.codecs import decode_png
+        import struct, zlib
+        from pdf_extract_ray.ops.codecs import PNG_MAGIC
+
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", crc))
+        data = PNG_MAGIC + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0))
+        with pytest.raises(ValueError):
+            decode_png(data)
