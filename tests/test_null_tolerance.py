@@ -22,6 +22,11 @@ NULL_SENSITIVE = [
     "langs_per_source", "dup_span_stats", "remove_dup_spans",
     "ssjoin_jaccard", "ssjoin_containment", "prefix_dedup_best",
     "snapshot_diff", "corpus_datacard", "lm_scores", "bpe_merges",
+    # round 5 text-touching ops
+    "c4_line_filter", "probe_positions", "mojibake_audit",
+    "line_df_removal", "skipgram_counts", "kn_discount_counts",
+    "c4prep", "cms_oracle_table", "partial_corr_chars",
+    "l1_line_fit",
 ]
 
 
