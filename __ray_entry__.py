@@ -12668,6 +12668,23 @@ def _q_degree_assortativity(sf_dir: str):
     return degree_assortativity(edges)
 
 
+def _q_char_bigram_entropy(sf_dir: str):
+    """Per-source character-bigram entropy (pair, left-char and
+    conditional, order-free per-term floor-ppm sums)
+    (ops/textstats.char_bigram_entropy)."""
+    from pdf_extract_ray.ops.textstats import char_bigram_entropy
+    return char_bigram_entropy(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
+def _q_vocab_coverage_curve(sf_dir: str):
+    """Token-occurrence coverage of the top-k vocabulary for
+    k in {10,20,40,80} (ops/corpus.vocab_coverage_curve)."""
+    from pdf_extract_ray.ops.corpus import vocab_coverage_curve
+    return vocab_coverage_curve(
+        _read(sf_dir, "documents", columns=["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -13116,6 +13133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eta_squared_chars": _q_eta_squared_chars,
         "rank_biserial_chars": _q_rank_biserial_chars,
         "degree_assortativity": _q_degree_assortativity,
+        "char_bigram_entropy": _q_char_bigram_entropy,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
     }
 
 
@@ -20405,5 +20424,57 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WHERE n >= 2 AND n * sxx - sx * sx > 0
               AND n * syy - sy * sy > 0
+        """,
+        "char_bigram_entropy": """
+            WITH d AS (SELECT COALESCE(source, '') AS g,
+                              COALESCE(text, '') AS t
+                       FROM documents),
+            p AS (SELECT g, substr(t, i, 1) AS c1,
+                         substr(t, i + 1, 1) AS c2
+                  FROM d, LATERAL (
+                      SELECT unnest(range(1, length(t))) AS i)
+                  WHERE length(t) >= 2),
+            pc AS (SELECT g, c1, c2, count(*) AS o
+                   FROM p GROUP BY g, c1, c2),
+            tt AS (SELECT g, sum(o) AS t FROM pc GROUP BY g),
+            hp AS (SELECT pc.g,
+                          CAST(sum(CAST(FLOOR(1000000
+                              * (-(o * 1.0 / t) * ln(o * 1.0 / t)))
+                              AS BIGINT)) AS BIGINT) AS h_pair_ppm
+                   FROM pc JOIN tt USING (g) GROUP BY pc.g),
+            lc AS (SELECT g, c1, sum(o) AS o FROM pc
+                   GROUP BY g, c1),
+            hl AS (SELECT lc.g,
+                          CAST(sum(CAST(FLOOR(1000000
+                              * (-(o * 1.0 / t) * ln(o * 1.0 / t)))
+                              AS BIGINT)) AS BIGINT) AS h_left_ppm
+                   FROM lc JOIN tt USING (g) GROUP BY lc.g)
+            SELECT tt.g AS "group", CAST(tt.t AS BIGINT) AS n_pairs,
+                   hp.h_pair_ppm, hl.h_left_ppm,
+                   hp.h_pair_ppm - hl.h_left_ppm AS h_cond_ppm
+            FROM tt JOIN hp USING (g) JOIN hl USING (g)
+        """,
+        "vocab_coverage_curve": """
+            WITH w AS (SELECT unnest(list_filter(string_split(
+                                  COALESCE(text, ''), ' '),
+                                  x -> x <> '')) AS word
+                       FROM documents),
+            c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                  FROM w GROUP BY word),
+            r AS (SELECT word, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, word)
+                             AS rn
+                  FROM c),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            k AS (SELECT unnest([10, 20, 40, 80]) AS k)
+            SELECT CAST(k.k AS BIGINT) AS k,
+                   CAST(COALESCE(sum(r.cnt) FILTER (
+                       WHERE r.rn <= k.k), 0) AS BIGINT)
+                       AS covered_tokens,
+                   CAST(min(t.total) AS BIGINT) AS total_tokens,
+                   CAST(COALESCE(sum(r.cnt) FILTER (
+                       WHERE r.rn <= k.k), 0) * 1000000
+                        // min(t.total) AS BIGINT) AS covered_ppm
+            FROM k, r, t GROUP BY k.k
         """,
     }

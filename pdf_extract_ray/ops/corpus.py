@@ -1974,3 +1974,75 @@ def c4prep_docs(ds, *, min_words: int = 3, min_lines: int = 2,
     from .dedup import _grouped_by_partition
     return _grouped_by_partition(pre, ["text_md5"], resolve,
                                  n_parts=n_parts)
+
+
+def vocab_coverage_curve(ds, *, ks=(10, 20, 40, 80),
+                         text_col: str = "text"):
+    """Tokenizer-design curve: what fraction of all token occurrences
+    the top-k vocabulary covers, for a grid of k (the oov_rate single
+    point generalized).  Vocabulary order = (count desc, word asc) —
+    deterministic ties.  -> (k, covered_tokens, total_tokens,
+    covered_ppm [truncating]).
+
+    Scale shape: the word_frequencies pattern — per-batch value_counts
+    partials, ONE word groupby via the hash-partitioned pandas pass,
+    exact per-block top-max(k) candidates + total-count partial, tiny
+    driver merge."""
+    from ray.data.aggregate import Sum
+    kmax = max(ks)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "cnt_part": "int64"}
+        s = df[text_col].fillna("").str.split(" ").explode()
+        s = s[s.str.len() > 0]
+        if len(s) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return s.value_counts().rename_axis("word") \
+            .reset_index(name="cnt_part").astype(cols)
+
+    from .dedup import _grouped_by_partition
+
+    def sum_words(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return df.groupby("word", as_index=False) \
+            .agg(cnt=("cnt_part", "sum")).astype(cols)
+
+    summed = _grouped_by_partition(
+        ds.map_batches(counts, batch_format="pandas"), ["word"],
+        sum_words, n_parts=16).materialize()
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"word": "object", "cnt": "int64", "tot_part": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        top = df.sort_values(["cnt", "word"],
+                             ascending=[False, True]).head(kmax)
+        top = top[["word", "cnt"]].copy()
+        top["tot_part"] = np.int64(0)
+        total_row = pd.DataFrame({"word": [""], "cnt": [np.int64(0)],
+                                  "tot_part": [df["cnt"].sum()]})
+        return pd.concat([top, total_row], ignore_index=True) \
+            .astype(cols)
+
+    cand = summed.map_batches(local_top, batch_format="pandas") \
+        .take_all()
+    out_cols = {"k": "int64", "covered_tokens": "int64",
+                "total_tokens": "int64", "covered_ppm": "int64"}
+    if not cand:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    cdf = pd.DataFrame(cand)
+    total = int(cdf["tot_part"].sum())
+    if total == 0:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    top = cdf[cdf["tot_part"] == 0].sort_values(
+        ["cnt", "word"], ascending=[False, True]).head(kmax)
+    cum = top["cnt"].cumsum().to_numpy(np.int64)
+    out = []
+    for k in ks:
+        cov = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        out.append({"k": k, "covered_tokens": cov,
+                    "total_tokens": total,
+                    "covered_ppm": cov * 1_000_000 // total})
+    return pd.DataFrame(out).astype(out_cols)

@@ -681,3 +681,73 @@ def mojibake_audit(ds, *, group_col: str = "source",
         return out.astype(cols)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def char_bigram_entropy(ds, *, group_col: str = "source",
+                        text_col: str = "text"):
+    """Per-group character-bigram entropy table: H(pair), H(left
+    char) and the conditional H(c2|c1) = H(pair) - H(c1), each as the
+    ORDER-FREE integer sum of per-term floor(1e6 * -p ln p) (the
+    user_type_entropy ppm pattern, so DuckDB reproduces every column
+    exactly).  Pairs are adjacent characters WITHIN a document.
+    -> (group, n_pairs, h_pair_ppm, h_left_ppm, h_cond_ppm).
+
+    Scale shape: fully vectorized pair extraction (one UTF-32 view of
+    the batch's concatenated text, separator-masked, position ->
+    document via searchsorted), per-batch (group, c1, c2) partial
+    counts, one pair-keyed exchange bounded by the bigram domain,
+    per-group entropy resolve."""
+    import pandas as pd
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"g": "object", "c1": "int64", "c2": "int64",
+                "o": "int64"}
+        txt = df[text_col].fillna("")
+        grp = df[group_col].fillna("").astype(str)
+        if len(df) == 0 or int(txt.str.len().sum()) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        big = "\x01".join(txt.tolist())
+        codes = np.frombuffer(big.encode("utf-32-le"), np.uint32)
+        if len(codes) < 2:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        c1 = codes[:-1].astype(np.int64)
+        c2 = codes[1:].astype(np.int64)
+        valid = (c1 != 1) & (c2 != 1)
+        lens = txt.str.len().to_numpy(np.int64)
+        ends = np.cumsum(lens + 1)  # separator after each doc
+        doc_of = np.searchsorted(ends, np.arange(len(c1)),
+                                 side="right")
+        g = pd.DataFrame({"g": grp.to_numpy()[doc_of][valid],
+                          "c1": c1[valid], "c2": c2[valid], "o": 1})
+        return g.groupby(["g", "c1", "c2"], as_index=False).sum() \
+            .astype(cols)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"group": "object", "n_pairs": "int64",
+                "h_pair_ppm": "int64", "h_left_ppm": "int64",
+                "h_cond_ppm": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        out = []
+        for g, sub in df.groupby("g"):
+            pc_ = sub.groupby(["c1", "c2"], as_index=False)["o"].sum()
+            t = int(pc_["o"].sum())
+            if t == 0:
+                continue
+            p = pc_["o"].to_numpy(np.float64) / t
+            hp = int(np.floor(1_000_000 * (-p * np.log(p)))
+                     .astype(np.int64).sum())
+            lc = pc_.groupby("c1", as_index=False)["o"].sum()
+            q = lc["o"].to_numpy(np.float64) / t
+            hl = int(np.floor(1_000_000 * (-q * np.log(q)))
+                     .astype(np.int64).sum())
+            out.append({"group": g, "n_pairs": t, "h_pair_ppm": hp,
+                        "h_left_ppm": hl, "h_cond_ppm": hp - hl})
+        if not out:
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        return pd.DataFrame(out).astype(cols)
+
+    from .dedup import _grouped_by_partition
+    return _grouped_by_partition(
+        ds.map_batches(pairs, batch_format="pandas"), ["g"], resolve,
+        n_parts=8)

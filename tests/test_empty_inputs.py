@@ -186,6 +186,7 @@ QUERIES = [
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
     "dup_cluster_size_hist", "eta_squared_chars",
     "rank_biserial_chars", "degree_assortativity",
+    "char_bigram_entropy", "vocab_coverage_curve",
 ]
 
 
@@ -344,6 +345,7 @@ ONE_ROW_QUERIES = [
     "crawl_schedule", "bucketed_join", "bloom_anti_audit",
     "dup_cluster_size_hist", "eta_squared_chars",
     "rank_biserial_chars", "degree_assortativity",
+    "char_bigram_entropy", "vocab_coverage_curve",
 ]
 
 

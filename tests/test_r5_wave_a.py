@@ -699,3 +699,44 @@ class TestDegreeAssortativity:
                               "id_b": [1, 2, 3, 4]})
         out = degree_assortativity(_ds(edges))
         assert out["r"].iloc[0] == pytest.approx(-1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCharBigramEntropy:
+    def test_uniform_pairs(self):
+        from pdf_extract_ray.ops.textstats import char_bigram_entropy
+        out = char_bigram_entropy(_ds(pd.DataFrame({
+            "source": ["a", "a"], "text": ["abab", "ba"]}))).to_pandas()
+        r = out.iloc[0]
+        # pairs {ab:2, ba:2} -> H = ln 2; left {a:2, b:2} -> ln 2
+        assert r["n_pairs"] == 4
+        assert r["h_pair_ppm"] == 693146  # floor(1e6*ln2/2)*2
+        assert r["h_cond_ppm"] == 0  # next char fully determined
+
+    def test_no_cross_document_pairs(self):
+        from pdf_extract_ray.ops.textstats import char_bigram_entropy
+        out = char_bigram_entropy(_ds(pd.DataFrame({
+            "source": ["s", "s"], "text": ["ab", "cd"]}))).to_pandas()
+        # only 'ab' and 'cd' — never 'bc' across the boundary
+        assert out["n_pairs"].tolist() == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabCoverageCurve:
+    def test_curve_monotone_and_exact(self):
+        from pdf_extract_ray.ops.corpus import vocab_coverage_curve
+        docs = pd.DataFrame({"text": ["a a a b b c", "a b d"]})
+        out = vocab_coverage_curve(_ds(docs), ks=(1, 2, 4))
+        out = out.set_index("k")
+        assert out.loc[1, "covered_tokens"] == 4   # 'a' x4
+        assert out.loc[2, "covered_tokens"] == 7   # + 'b' x3
+        assert out.loc[4, "covered_tokens"] == 9   # everything
+        assert out.loc[4, "covered_ppm"] == 1_000_000
+        assert (out["total_tokens"] == 9).all()
+
+    def test_tie_order_lexicographic(self):
+        from pdf_extract_ray.ops.corpus import vocab_coverage_curve
+        docs = pd.DataFrame({"text": ["z y x"]})
+        out = vocab_coverage_curve(_ds(docs), ks=(1,))
+        # equal counts -> 'x' first lexicographically
+        assert out["covered_tokens"].tolist() == [1]
