@@ -12685,6 +12685,15 @@ def _q_vocab_coverage_curve(sf_dir: str):
         _read(sf_dir, "documents", columns=["text"]))
 
 
+def _q_mann_kendall_daily(sf_dir: str):
+    """Mann-Kendall monotone-trend S over the daily event-count
+    series, exact integer pair signs
+    (ops/events.mann_kendall_daily)."""
+    from pdf_extract_ray.ops.events import mann_kendall_daily
+    return mann_kendall_daily(
+        _read(sf_dir, "events", columns=["ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction surface (rows-only; byte parity covered in tests/)
@@ -13135,6 +13144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "char_bigram_entropy": _q_char_bigram_entropy,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "mann_kendall_daily": _q_mann_kendall_daily,
     }
 
 
@@ -20476,5 +20486,21 @@ def oracle_sql() -> dict[str, str]:
                        WHERE r.rn <= k.k), 0) * 1000000
                         // min(t.total) AS BIGINT) AS covered_ppm
             FROM k, r, t GROUP BY k.k
+        """,
+        "mann_kendall_daily": """
+            WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events WHERE ts IS NOT NULL
+                       GROUP BY 1),
+            p AS (SELECT CASE WHEN b.c > a.c THEN 1
+                              WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+                  FROM d a JOIN d b ON a.day < b.day)
+            SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+                   CAST(COALESCE(sum(sg), 0) AS BIGINT) AS s_stat,
+                   CAST(count(*) FILTER (WHERE sg > 0) AS BIGINT)
+                       AS n_concordant,
+                   CAST(count(*) FILTER (WHERE sg < 0) AS BIGINT)
+                       AS n_discordant
+            FROM p
         """,
     }

@@ -2651,3 +2651,47 @@ def event_type_stationary(ds, *, iters: int = 8, n_parts: int = 32):
     return pd.DataFrame({"event_type": states,
                          "v_ppm": [v[s] for s in states]}) \
         .astype({"v_ppm": "int64"})
+
+
+def mann_kendall_daily(ds, *, ts_col: str = "ts",
+                       n_parts: int = 8):
+    """Mann-Kendall trend test over the DAILY event-count series:
+    S = sum over day pairs i<j of sign(c_j - c_i), an exact integer
+    (the nonparametric monotone-trend statistic; S >> 0 = growth).
+    -> one row (n_days, s_stat, n_concordant, n_discordant).
+
+    Scale shape: daily counts via ONE (day) groupby (the exchange is
+    bounded by the date domain, not events); the O(days^2) pair scan
+    runs on the driver over that bounded series — days grow with
+    calendar time, never with corpus size."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day": "int64", "c_part": "int64"}
+        t = pd.to_datetime(df[ts_col], errors="coerce")
+        ok = t.notna()
+        if not ok.any():
+            return pd.DataFrame(columns=list(cols)).astype(cols)
+        days = (t[ok].values.astype("datetime64[D]")
+                .astype(np.int64))
+        g = pd.Series(days).value_counts()
+        return pd.DataFrame({"day": g.index.to_numpy(np.int64),
+                             "c_part": g.to_numpy(np.int64)}) \
+            .astype(cols)
+
+    rows = ds.map_batches(day_partial, batch_format="pandas") \
+        .groupby("day").aggregate(Sum("c_part")).take_all()
+    out_cols = {"n_days": "int64", "s_stat": "int64",
+                "n_concordant": "int64", "n_discordant": "int64"}
+    if not rows:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    ser = sorted((int(r["day"]), int(r["sum(c_part)"])) for r in rows)
+    c = np.asarray([v for _, v in ser], np.int64)
+    diff = c[None, :] - c[:, None]
+    iu = np.triu_indices(len(c), k=1)
+    signs = np.sign(diff[iu])
+    return pd.DataFrame({
+        "n_days": [len(c)], "s_stat": [int(signs.sum())],
+        "n_concordant": [int((signs > 0).sum())],
+        "n_discordant": [int((signs < 0).sum())]}).astype(out_cols)

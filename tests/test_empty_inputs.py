@@ -187,6 +187,7 @@ QUERIES = [
     "dup_cluster_size_hist", "eta_squared_chars",
     "rank_biserial_chars", "degree_assortativity",
     "char_bigram_entropy", "vocab_coverage_curve",
+    "mann_kendall_daily",
 ]
 
 
@@ -346,6 +347,7 @@ ONE_ROW_QUERIES = [
     "dup_cluster_size_hist", "eta_squared_chars",
     "rank_biserial_chars", "degree_assortativity",
     "char_bigram_entropy", "vocab_coverage_curve",
+    "mann_kendall_daily",
 ]
 
 

@@ -740,3 +740,26 @@ class TestVocabCoverageCurve:
         out = vocab_coverage_curve(_ds(docs), ks=(1,))
         # equal counts -> 'x' first lexicographically
         assert out["covered_tokens"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMannKendall:
+    def test_monotone_up(self):
+        from pdf_extract_ray.ops.events import mann_kendall_daily
+        ts = []
+        for d in range(5):          # day d gets d+1 events
+            ts += [f"2024-01-0{d+1} 10:00:00"] * (d + 1)
+        out = mann_kendall_daily(_ds(pd.DataFrame(
+            {"ts": pd.to_datetime(ts)})))
+        r = out.iloc[0]
+        assert r["n_days"] == 5
+        assert r["s_stat"] == 10    # all C(5,2) pairs concordant
+        assert r["n_discordant"] == 0
+
+    def test_flat_series_zero(self):
+        from pdf_extract_ray.ops.events import mann_kendall_daily
+        ts = [f"2024-01-0{d+1} 09:00:00" for d in range(4)] * 3
+        out = mann_kendall_daily(_ds(pd.DataFrame(
+            {"ts": pd.to_datetime(ts)})))
+        assert out["s_stat"].tolist() == [0]
+        assert out["n_concordant"].tolist() == [0]
